@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver-generated fixture tables.
+  *
+  * Schemas are declared explicitly (ground truth: FIXTURES.md, dumped from
+  * the parquet files themselves) so a misread fails fast instead of being
+  * silently inferred — SURVEY.md §1.2. All fields nullable to match parquet
+  * defaults. `events.ts` is stored as timestamp[ns]; Spark truncates to µs
+  * on read (same truncation DuckDB 1.0.0 applies — FIXTURES.md hazard #1).
+  */
+object Tables {
+  private def st(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  val lineitemSchema: StructType = st(
+    "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+    "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+    "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+    "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+    "l_linestatus" -> StringType, "l_shipdate" -> TimestampType)
+
+  val ordersSchema: StructType = st(
+    "o_orderkey" -> LongType, "o_custkey" -> LongType,
+    "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+    "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType)
+
+  val customerSchema: StructType = st(
+    "c_custkey" -> LongType, "c_name" -> StringType,
+    "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+    "c_mktsegment" -> StringType)
+
+  val supplierSchema: StructType = st(
+    "s_suppkey" -> LongType, "s_name" -> StringType,
+    "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+
+  val partSchema: StructType = st(
+    "p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+    "p_type" -> StringType, "p_size" -> IntegerType,
+    "p_retailprice" -> DoubleType)
+
+  val nationSchema: StructType = st(
+    "n_nationkey" -> IntegerType, "n_name" -> StringType,
+    "n_regionkey" -> IntegerType)
+
+  val regionSchema: StructType = st(
+    "r_regionkey" -> IntegerType, "r_name" -> StringType)
+
+  val eventsSchema: StructType = st(
+    "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+    "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+
+  val documentsSchema: StructType = st(
+    "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+    "source" -> StringType, "n_chars" -> LongType)
+
+  val embeddingsSchema: StructType = st(
+    "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+    "label" -> IntegerType)
+
+  val schemas: Map[String, StructType] = Map(
+    "lineitem" -> lineitemSchema, "orders" -> ordersSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "nation" -> nationSchema, "region" -> regionSchema,
+    "events" -> eventsSchema, "documents" -> documentsSchema,
+    "embeddings" -> embeddingsSchema)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+}
