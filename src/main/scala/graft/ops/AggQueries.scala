@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Aggregation operators A3–A11, P4–P6 (SURVEY.md §2.4, §2.2).
+  *
+  * All shapes are partial-agg friendly (map-side combine happens
+  * automatically in Spark's hash aggregate); no driver-side collection.
+  */
+object AggQueries {
+
+  /** A6 rollup + A3 having-style post-filter via grouping id. */
+  def q11Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    // DataFrame rollup + orderBy trips Spark's ambiguous-self-join check
+    // (the Expand node re-emits the grouping attrs); the SQL surface
+    // resolves cleanly and exercises spark.sql() as an entry point.
+    o.createOrReplaceTempView("q11_orders")
+    c.createOrReplaceTempView("q11_customer")
+    s.sql(
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS revenue,
+         |  CAST(grouping_id() AS BIGINT) AS gid
+         |FROM q11_orders JOIN q11_customer ON o_custkey = c_custkey
+         |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q11RollupSql: String =
+    s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+       |  ${out4(s"SUM(CAST(o_totalprice AS $DM))")} AS revenue,
+       |  CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+       |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** A4 exact count-distinct per group. */
+  def q12DistinctParts(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12DistinctPartsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A8 min_by/max_by: cheapest and priciest order per customer
+    * (no (custkey,totalprice) ties in the fixtures → deterministic). */
+  def q13ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        dec4(max(dm(col("o_totalprice")))).as("best_price"))
+      .orderBy("o_custkey")
+  }
+
+  val q13ArgMinMaxSql: String =
+    s"""SELECT o_custkey,
+       |  arg_max(o_orderkey, o_totalprice) AS best_order,
+       |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+       |  ${out4(s"MAX(CAST(o_totalprice AS $DM))")} AS best_price
+       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** A9 statistical aggregates (rounded doubles — decimal impossible). */
+  def q14Stats(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy("l_returnflag")
+      .agg(rnd(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        rnd(var_samp(col("l_quantity"))).as("var_qty"),
+        rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val q14StatsSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A10 exact percentiles (continuous interpolation both engines). */
+  def q15Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        transform(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))), x => round(x, 4))
+          .as("price_quartiles"),
+        rnd(percentile(col("o_totalprice"), lit(0.9))).as("p90"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q15PercentilesSql: String =
+    """SELECT c_mktsegment,
+      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> ROUND(x, 4)) AS price_quartiles,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** A7 sorted set-collect per group (hazard #3: arrays always sorted). */
+  def q16CollectSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy("n_name")
+  }
+
+  val q16CollectSegmentsSql: String =
+    """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** A11 pivot: event counts per type, one column per category.
+    * Oracle mirrors Spark's pivot via FILTERed counts. */
+  def q17PivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+  }
+
+  val q17PivotEventsSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** P5+P2 conditional recode: order-size buckets via CASE. */
+  def q18CaseBuckets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val bucket = when(col("o_totalprice") < 100000, "small")
+      .when(col("o_totalprice") < 250000, "medium")
+      .otherwise("large")
+    o.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dec4(sum(dm(col("o_totalprice")))).as("revenue"))
+      .orderBy("bucket")
+  }
+
+  val q18CaseBucketsSql: String =
+    s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+       |            WHEN o_totalprice < 250000 THEN 'medium'
+       |            ELSE 'large' END AS bucket,
+       |  COUNT(*) AS n_orders,
+       |  ${out4(s"SUM(CAST(o_totalprice AS $DM))")} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** P4 null handling: synthesize nulls (negative balances), count/fill. */
+  def q19NullHandling(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val posBal = when(col("c_acctbal") >= 0, col("c_acctbal"))
+    c.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        count(posBal).as("n_nonneg"),
+        dec4(sum(coalesce(dm(posBal), lit(0)))).as("pos_balance"),
+        dec4(avg(dm(posBal))).as("avg_pos_balance"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q19NullHandlingSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+       |  COUNT(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS n_nonneg,
+       |  ${out4(s"SUM(COALESCE(CAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS $DM), 0))")} AS pos_balance,
+       |  ${out4(s"AVG(CAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS $DM))")} AS avg_pos_balance
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** P6 distinct + O4 union-distinct: nations seen on either side. */
+  def q20UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custN.union(suppN).distinct().orderBy("n_name")
+  }
+
+  val q20UnionDistinctSql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |UNION
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+}

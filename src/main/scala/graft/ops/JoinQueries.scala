@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Join operators J1–J7, J10 and set ops O3–O5 (SURVEY.md §2.3, §2.6).
+  *
+  * Scale notes: dimension sides (region/nation) are explicitly
+  * `broadcast()`; orders⋈lineitem is a large-large equi-join left to
+  * Catalyst (sort-merge + AQE above the broadcast threshold); theta joins
+  * carry an equi key so they plan as sort-merge with a post-filter, never
+  * a nested-loop over the full cross space.
+  */
+object JoinQueries {
+
+  /** J1+J2+A2: star-join revenue rollup by region/nation. */
+  def q2RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    val revenue = dm(col("l_extendedprice")) * (one - df(col("l_discount")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dec4(sum(revenue)).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q2RevenueByNationSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${out4(s"SUM(CAST(l_extendedprice AS $DM) * (CAST(1 AS $DF) - CAST(l_discount AS $DF)))")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** J5 left anti: customers with no URGENT order (orphan check). */
+  def q3NoUrgentCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q3NoUrgentCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J4 left semi: customers holding at least one open high-value order. */
+  def q4BigSpenders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 300000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), dec4(col("c_acctbal")).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val q4BigSpendersSql: String =
+    s"""SELECT c_custkey, c_name, ${out4("c_acctbal")} AS acctbal
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+       |    AND o.o_totalprice > 300000)
+       |ORDER BY c_custkey""".stripMargin
+
+  /** J3 left outer + P4: per-customer URGENT order stats, zero-filled for
+    * customers with none (exercises the null-producing outer path). */
+  def q5UrgentFill(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val urgentAgg = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n0"), sum(dm(col("o_totalprice"))).as("s0"))
+    c.join(urgentAgg, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n0"), lit(0L)).as("n_urgent"),
+        dec4(coalesce(col("s0"), lit(0))).as("urgent_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q5UrgentFillSql: String =
+    s"""SELECT c_custkey,
+       |  COALESCE(n0, 0) AS n_urgent,
+       |  ${out4("COALESCE(s0, 0)")} AS urgent_spend
+       |FROM customer c
+       |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n0,
+       |             SUM(CAST(o_totalprice AS $DM)) AS s0
+       |           FROM orders WHERE o_orderpriority = '1-URGENT'
+       |           GROUP BY o_custkey) u ON u.o_custkey = c.c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** O3+O4: stack two per-status extracts (union-by-name), re-aggregate. */
+  def q6UnionPriorities(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    f.unionByName(open)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dec4(sum(dm(col("o_totalprice")))).as("total_spend"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q6UnionPrioritiesSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${out4(s"SUM(CAST(o_totalprice AS $DM))")} AS total_spend
+       |FROM (SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+       |      UNION ALL
+       |      SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O')
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** O5 except: nations that have customers but no suppliers. */
+  def q7NationExcept(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val custNations = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppNations = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custNations.except(suppNations).orderBy("n_name")
+  }
+
+  val q7NationExceptSql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |EXCEPT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** O5 intersect: nations with both customers and suppliers. */
+  def q8NationIntersect(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val custNations = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppNations = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custNations.intersect(suppNations).orderBy("n_name")
+  }
+
+  val q8NationIntersectSql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |INTERSECT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** J7 theta/range join (with equi blocking key): lines shipped within 60
+    * days of their order, delay stats per priority. */
+  def q9ShipDelay(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        rnd(avg(datediff(col("l_shipdate"), col("o_orderdate")))).as("avg_delay_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q9ShipDelaySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** J6 cross join (bounded): region × order-status matrix. */
+  def q10CrossMatrix(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).select("r_name")
+    val st = Tables.orders(s, dir).select("o_orderstatus").distinct()
+    r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+  }
+
+  val q10CrossMatrixSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+}
