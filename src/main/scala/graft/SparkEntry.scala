@@ -28,6 +28,15 @@ object SparkEntry {
     "q18_case_buckets" -> AggQueries.q18CaseBuckets _,
     "q19_null_handling" -> AggQueries.q19NullHandling _,
     "q20_union_distinct" -> AggQueries.q20UnionDistinct _,
+    "q21_rank_orders" -> WindowQueries.q21RankOrders _,
+    "q22_top3_per_customer" -> WindowQueries.q22Top3PerCustomer _,
+    "q23_event_gaps" -> WindowQueries.q23EventGaps _,
+    "q24_running_total" -> WindowQueries.q24RunningTotal _,
+    "q25_moving_avg" -> WindowQueries.q25MovingAvg _,
+    "q26_rolling_revenue" -> WindowQueries.q26RollingRevenue _,
+    "q27_analytic" -> WindowQueries.q27Analytic _,
+    "q28_keep_latest" -> WindowQueries.q28KeepLatest _,
+    "q29_exact_dedup" -> WindowQueries.q29ExactDedup _,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +61,14 @@ object SparkEntry {
     "q18_case_buckets" -> AggQueries.q18CaseBucketsSql,
     "q19_null_handling" -> AggQueries.q19NullHandlingSql,
     "q20_union_distinct" -> AggQueries.q20UnionDistinctSql,
+    "q21_rank_orders" -> WindowQueries.q21RankOrdersSql,
+    "q22_top3_per_customer" -> WindowQueries.q22Top3PerCustomerSql,
+    "q23_event_gaps" -> WindowQueries.q23EventGapsSql,
+    "q24_running_total" -> WindowQueries.q24RunningTotalSql,
+    "q25_moving_avg" -> WindowQueries.q25MovingAvgSql,
+    "q26_rolling_revenue" -> WindowQueries.q26RollingRevenueSql,
+    "q27_analytic" -> WindowQueries.q27AnalyticSql,
+    "q28_keep_latest" -> WindowQueries.q28KeepLatestSql,
+    "q29_exact_dedup" -> WindowQueries.q29ExactDedupSql,
   )
 }

@@ -67,8 +67,25 @@ object Tables {
     "events" -> eventsSchema, "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
+  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to map to
+    * its µs TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a raw
+    * nanosecond long (legacy conf, runtime-mutable so it works on any
+    * driver-provided session) and floor-divide to µs — the identical
+    * truncation DuckDB applies on read (FIXTURES.md hazard #1). */
+  private val eventsRawSchema: StructType = st(
+    "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+    "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
