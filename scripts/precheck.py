@@ -39,8 +39,10 @@ def norm_cell(v):
         return r[:-2] if r.endswith(".0") else r
     if isinstance(v, decimal.Decimal):
         return num_str(v)
-    if isinstance(v, (pd_ts_types)):
+    if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join("∅" if x is None else str(norm_cell(x)) for x in v) + "]"
     if isinstance(v, dict):
