@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text-hashing primitives shared by the dedup / fingerprint
+  * operators (SURVEY.md §2.8 L3–L5, L11; fingerprinting per the
+  * LLM-pipeline mandate).
+  *
+  * Design constraint: the driver's t2 gate hash-compares results against
+  * DuckDB 1.0.0, and the two engines' builtin hash functions
+  * (xxhash64 vs duckdb hash) can never agree. So every hash here is a
+  * plain polynomial rolling hash over int64 arithmetic — bit-identical in
+  * any engine that has 64-bit integers and a left-fold list reduce.
+  *
+  *   tokenHash(t)  = fold chars c of t:   h -> (h*31  + ascii(c)) mod P
+  *   docHash(ths)  = fold token-hashes x: h -> (h*131 + x)        mod P
+  *   P = 1_000_000_007 (hash values < 2^30, so every intermediate
+  *   product stays far below 2^63 — no overflow divergence).
+  *
+  * Scale note: these run as Catalyst higher-order functions (codegen'd
+  * lambda over array), no UDF and no driver round-trip; on a 1000-executor
+  * cluster they pipeline inside the scan stage. A custom codegen'd
+  * Expression would save the per-char array materialization but is a
+  * perf-only follow-up (SURVEY.md §4).
+  */
+object TextFns {
+  val P = 1000000007L
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Polynomial char hash of one token (portable across engines). */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      transform(split(tok, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (h, x) => pmod(h * lit(31L) + x, lit(P)))
+
+  /** Array of token hashes for a text column. */
+  def tokenHashes(text: Column): Column = transform(tokens(text), tokenHash _)
+
+  /** Order-sensitive whole-document hash from a token-hash array. */
+  def docHash(tokenHashArr: Column): Column =
+    aggregate(tokenHashArr, lit(0L), (h, x) => pmod(h * lit(131L) + x, lit(P)))
+
+  /** k-token shingle hashes (rolling): h(w_i..w_{i+k-1}) as a polynomial
+    * fold; empty array when the doc has fewer than k tokens. */
+  def shingleHashes(tokenHashArr: Column, k: Int): Column =
+    when(size(tokenHashArr) < k, array().cast("array<bigint>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tokenHashArr) - lit(k - 1)),
+          i => aggregate(
+            slice(tokenHashArr, i, lit(k)), lit(0L),
+            (h, x) => pmod(h * lit(131L) + x, lit(P)))))
+
+  /** MinHash signature: for each (a,b) seed, min over token hashes of
+    * (a*x + b) mod P. Input must be non-empty (guard at call site). */
+  def minHashSignature(tokenHashArr: Column, seeds: Seq[(Long, Long)]): Column =
+    array(seeds.map { case (a, b) =>
+      array_min(transform(tokenHashArr,
+        x => pmod(lit(a) * x + lit(b), lit(P))))
+    }: _*)
+
+  /** LSH band keys from a signature: rows of `rowsPerBand` hashes fold to
+    * one scalar key, offset by band index so bands never collide. */
+  def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column = {
+    val bigP = 999999999999989L
+    array((0 until nBands).map { b =>
+      val fold = (0 until rowsPerBand)
+        .map(r => element_at(signature, b * rowsPerBand + r + 1))
+        .reduce((acc, x) => pmod(acc * lit(1000003L) + x, lit(bigP)))
+      (pmod(fold, lit(bigP)) * lit(4L) + lit(b.toLong))
+    }: _*)
+  }
+
+  // ---- DuckDB SQL mirrors (string fragments for oracleSql) ----
+
+  /** DuckDB: token hash of a string expression `t`. */
+  def tokenHashSql(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($t,''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h, x) -> (h * 31 + x) % $P)"
+
+  /** DuckDB: array of token hashes of text expression `t`. */
+  def tokenHashesSql(t: String): String =
+    s"list_transform(string_split($t,' '), tok -> ${tokenHashSql("tok")})"
+
+  /** DuckDB: fold a bigint-list expression with the doc-hash polynomial. */
+  def docHashSql(arr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), " +
+      s"(h, x) -> (h * 131 + x) % $P)"
+}

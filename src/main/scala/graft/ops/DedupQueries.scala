@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators L3–L5 (SURVEY.md §2.8): edit
+  * distance, token-set jaccard, char n-gram jaccard, and a full
+  * MinHash+LSH banding pipeline — all oracle-checked against DuckDB
+  * (portable polynomial hashes, see TextFns; the MLlib MinHashLSH
+  * variant is covered in ScalaTest, where sketches need no oracle).
+  *
+  * Scale notes: every self-join is blocked — by attribute (second token,
+  * lang × length bucket) or by LSH band key — so candidate generation is
+  * a hash-partitioned equi-join, never a cross product. At 100 TB the
+  * band-key join is the only shape that survives: candidates ∝ true
+  * near-dups, not |corpus|².
+  */
+object DedupQueries {
+
+  /** L3 fuzzy dedup: near-identical part names by edit distance, blocked
+    * on the noun (second token) so only plausible pairs are compared. */
+  def q48FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("p_name").as("name_a"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"))
+    a.join(b, "noun")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 4)
+      .select("name_a", "name_b", "lev")
+      .orderBy("name_a", "name_b")
+  }
+
+  val q48FuzzyNamesSql: String =
+    """SELECT name_a, name_b, lev FROM (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    levenshtein(a.p_name, b.p_name) AS lev
+      |  FROM (SELECT DISTINCT p_name FROM part) a
+      |  JOIN (SELECT DISTINCT p_name FROM part) b
+      |    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+      |   AND a.p_name < b.p_name)
+      |WHERE lev <= 4 ORDER BY name_a, name_b""".stripMargin
+
+  /** L4 token-set jaccard near-dups, blocked by (lang, length bucket).
+    * Corpus vocabulary is tiny so baseline jaccard is ~0.7 — the 0.95
+    * threshold isolates genuine near-duplicates. */
+  def q49TokenJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      (col("n_chars") / 100).cast("long").as("len_bkt"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("len_bkt"),
+      col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("len_bkt"),
+      col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    val uni = size(col("toks_a")) + size(col("toks_b")) -
+      size(array_intersect(col("toks_a"), col("toks_b")))
+    a.join(b, Seq("lang", "len_bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", inter / uni)
+      .filter(col("jac") >= 0.95)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q49TokenJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS len_bkt,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents)
+      |SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.95 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Char 3-gram jaccard over part names (all distinct-name pairs — the
+    * name dictionary is tiny; the blocking story lives in q49/q51). */
+  def q50CharGramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams3 = (nm: org.apache.spark.sql.Column) =>
+      array_distinct(transform(sequence(lit(1), length(nm) - 2),
+        i => nm.substr(i, lit(3))))
+    val t = Tables.part(s, dir).select(col("p_name")).distinct()
+      .withColumn("g", grams3(col("p_name")))
+    val a = t.select(col("p_name").as("name_a"), col("g").as("ga"))
+    val b = t.select(col("p_name").as("name_b"), col("g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val uni = size(col("ga")) + size(col("gb")) -
+      size(array_intersect(col("ga"), col("gb")))
+    a.crossJoin(b)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jac", inter / uni)
+      .filter(col("jac") >= 0.3)
+      .select(col("name_a"), col("name_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q50CharGramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT p_name, list_distinct(list_transform(
+      |    generate_series(1, length(p_name) - 2),
+      |    i -> substr(p_name, i, 3))) AS g
+      |  FROM (SELECT DISTINCT p_name FROM part))
+      |SELECT name_a, name_b, ROUND(jac, 4) AS jac FROM (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+      |  FROM t a CROSS JOIN t b WHERE a.p_name < b.p_name)
+      |WHERE jac >= 0.3 ORDER BY name_a, name_b""".stripMargin
+
+  /** L5 MinHash + LSH banding over 3-token shingles, end to end:
+    * shingle → 8-hash MinHash signature → 4 bands × 2 rows → band-key
+    * equi-join for candidates → exact shingle-jaccard verification at
+    * 0.8. Shingling makes baseline jaccard ≈ 0 (verified on fixtures),
+    * so candidates ∝ true near-dups — the sub-quadratic scale path. */
+  def q51MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Seq((37L, 17L), (101L, 29L), (193L, 43L), (271L, 59L),
+      (389L, 71L), (577L, 89L), (691L, 97L), (811L, 113L))
+    val t = Tables.documents(s, dir).select(
+        col("doc_id"), shingleHashes(tokenHashes(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shd", array_distinct(col("sh")))
+    val sig = t.withColumn("sig", minHashSignature(col("shd"), seeds))
+    val bands = sig.select(col("doc_id"), col("shd"),
+      explode(bandKeys(col("sig"), nBands = 4, rowsPerBand = 2)).as("bk"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("bk"),
+        col("shd").as("sh_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bk"),
+        col("shd").as("sh_b")), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(col("sh_a")) + size(col("sh_b")) -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.withColumn("jac", inter / uni)
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q51MinHashLshSql: String = {
+    val seeds = Seq((37L, 17L), (101L, 29L), (193L, 43L), (271L, 59L),
+      (389L, 71L), (577L, 89L), (691L, 97L), (811L, 113L))
+    val sigList = seeds.map { case (a, b) =>
+      s"list_min(list_transform(shd, x -> ($a * x + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandList = (0 until 4).map { bI =>
+      s"((sig[${2 * bI + 1}] * 1000003 + sig[${2 * bI + 2}]) % 999999999999989) * 4 + $bI"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+       |        ELSE list_transform(generate_series(1, len(th) - 2),
+       |               i -> ${docHashSql("th[i:i+2]")}) END AS sh
+       |    FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents))
+       |  WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, shd, $sigList AS sig FROM t),
+       |bands AS (SELECT doc_id, shd, unnest($bandList) AS bk FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.shd AS sh_a, b.shd AS sh_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jac
+       |  FROM cand)
+       |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

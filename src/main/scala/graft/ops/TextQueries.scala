@@ -1,0 +1,276 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators L9–L13 plus the LLM-pipeline text ops
+  * (language-ID, quality scoring, token counting, fingerprinting) —
+  * SURVEY.md §2.8.
+  *
+  * Scale notes: every query here is explode → hash-agg — the classic
+  * map-side-combinable shape. Token/bigram explosion multiplies rows by
+  * ~60× but partial aggregation collapses them before the shuffle, so the
+  * exchanged volume is ~|vocab| × |groups|, independent of corpus size.
+  * No driver-side collection anywhere.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** L9 tokenization + word count: term frequencies per language. */
+  def q40WordCount(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "word")
+  }
+
+  val q40WordCountSql: String =
+    """SELECT lang, word, COUNT(*) AS cnt
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY lang, word ORDER BY lang, word""".stripMargin
+
+  /** L10 stopword filter + top-5 non-stop terms per language
+    * (deterministic tie-break on the word itself). */
+  def q41TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = d
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(!col("word").isin(stopwords: _*))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("word"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("lang", "rnk")
+  }
+
+  val q41TopTermsSql: String =
+    s"""SELECT lang, word, cnt, rnk FROM (
+       |  SELECT lang, word, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+       |  FROM (SELECT lang, word, COUNT(*) AS cnt
+       |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+       |        WHERE word NOT IN $stopSql
+       |        GROUP BY lang, word))
+       |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  /** L11 n-grams: corpus-wide bigram counts (guarded for 1-token docs;
+    * Spark `sequence` would count DOWN on start>stop — SURVEY.md §2.7). */
+  def q42Bigrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = tokens(col("text"))
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    d.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bigram")
+  }
+
+  val q42BigramsSql: String =
+    """SELECT bigram, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |    ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS bigram
+      |  FROM documents)
+      |GROUP BY bigram ORDER BY bigram""".stripMargin
+
+  /** L12 tf-idf: top-3 terms per document by tf·ln(N/df), deterministic
+    * tie-break on the term. N and df come from joins, not collect(). */
+  def q43TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "word", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val q43TfIdfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+      |  GROUP BY doc_id, word),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, rnk, word, tfidf FROM (
+      |  SELECT tf.doc_id, tf.word, ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC, tf.word) AS rnk
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** L13 text stats: per-language corpus profile. */
+  def q44TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(tokens(col("text")))), 4).as("avg_words"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  val q44TextStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  ROUND(AVG(len(string_split(text,' '))), 4) AS avg_words,
+      |  MAX(n_chars) AS max_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Language-ID by character-bigram profile: build a top-20 bigram
+    * profile per labelled language from the corpus, then classify each
+    * doc by profile overlap (argmax, tie-break lang asc). Emits the
+    * confusion matrix. Entirely relational — the "model" is a 100-row
+    * broadcast table, so classification scales linearly with the corpus. */
+  def q45LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bg = d.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("b"))
+    val prof = bg.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("b"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("cand_lang"), col("b"))
+    val docBg = bg.select("doc_id", "b").distinct()
+    val score = docBg.join(broadcast(prof), "b")
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("ov"))
+    val pred = score.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("ov").desc, col("cand_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+    d.join(pred, "doc_id")
+      .groupBy(col("lang").as("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
+  val q45LangIdSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, length(text) - 1),
+      |      i -> substr(text, i, 2))) AS b
+      |  FROM documents),
+      |prof AS (
+      |  SELECT lang AS cand_lang, b FROM (
+      |    SELECT lang, b, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, b) AS rn
+      |    FROM bg GROUP BY lang, b)
+      |  WHERE rn <= 20),
+      |docbg AS (SELECT DISTINCT doc_id, b FROM bg),
+      |score AS (
+      |  SELECT d.doc_id, p.cand_lang, COUNT(*) AS ov
+      |  FROM docbg d JOIN prof p USING (b) GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, cand_lang AS pred_lang FROM (
+      |    SELECT doc_id, cand_lang,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ov DESC, cand_lang) AS rn
+      |    FROM score)
+      |  WHERE rn = 1)
+      |SELECT d.lang AS actual_lang, p.pred_lang, COUNT(*) AS n
+      |FROM documents d JOIN pred p USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Quality scoring + token counting per document: whitespace tokens, a
+    * BPE-ish regex token count, stopword ratio, distinct ratio, and a
+    * composite quality score — all codegen'd builtins, no UDF. */
+  def q46Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = tokens(col("text"))
+    // All rounded ratios are computed with integer half-up division —
+    // floor((2*a*10^4 + b) / (2*b)) — so both engines round the same
+    // rational, never a float on a .xxxx5 ulp boundary (the q46 lesson:
+    // Spark round() is decimal HALF_UP, DuckDB's is not).
+    def r4(num: Column, den: Column): Column = {
+      // floor((2a+b)/(2b)) via subtract-remainder: h - h%d is exactly
+      // divisible, operands < 2^53, so the double division is exact.
+      val h = num * 20000L + den
+      val d2 = den * 2L
+      (((h - pmod(h, d2)) / d2).cast("long") / 10000.0)
+    }
+    val nTok = size(w).cast("long")
+    val nStop = size(filter(w, t => t.isin(stopwords: _*))).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    // quality = 0.4*min(nc,500)/500 + 0.3*(t-s)/t + 0.3*d/t, as one
+    // exact rational num/den with den = 5000*t.
+    val m = least(col("n_chars"), lit(500L)).cast("long")
+    val qNum = m * 4L * nTok + (nTok - nStop) * 1500L + nDistinct * 1500L
+    val qDen = nTok * 5000L
+    d.select(
+        col("doc_id"),
+        nTok.as("n_ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[^a-z ]', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        r4(nStop, nTok).as("stop_ratio"),
+        r4(nDistinct, nTok).as("distinct_ratio"),
+        r4(qNum, qDen).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q46QualitySql: String = {
+    def r4(num: String, den: String): String =
+      s"(($num * 20000 + $den) // (($den) * 2)) / 10000.0"
+    val t = "len(string_split(text,' '))"
+    val st = s"len(list_filter(string_split(text,' '), x -> x IN $stopSql))"
+    val d = "len(list_distinct(string_split(text,' ')))"
+    val qNum = s"(least(n_chars, 500) * 4 * $t + ($t - $st) * 1500 + $d * 1500)"
+    val qDen = s"($t * 5000)"
+    s"""SELECT doc_id,
+       |  $t AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS n_bpe_tokens,
+       |  ${r4(st, t)} AS stop_ratio,
+       |  ${r4(d, t)} AS distinct_ratio,
+       |  ${r4(qNum, qDen)} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: order-sensitive whole-doc polynomial hash
+    * plus a winnowing-style min-3-token-shingle fingerprint (the rolling
+    * hash). Portable int64 math — see TextFns. */
+  def q47Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val th = tokenHashes(col("text"))
+    val sh = shingleHashes(th, 3)
+    d.select(
+        col("doc_id"),
+        docHash(th).as("doc_hash"),
+        array_min(sh).as("min_shingle"),
+        size(array_distinct(sh)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val q47FingerprintSql: String = {
+    val th = tokenHashesSql("text")
+    s"""SELECT doc_id,
+       |  ${docHashSql("th")} AS doc_hash,
+       |  list_min(sh) AS min_shingle,
+       |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_shingles
+       |FROM (
+       |  SELECT doc_id, th,
+       |    CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+       |      ELSE list_transform(generate_series(1, len(th) - 2),
+       |             i -> ${docHashSql("th[i:i+2]")}) END AS sh
+       |  FROM (SELECT doc_id, $th AS th FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.CentroidAgg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search operators L6–L8 (SURVEY.md §2.8) over
+  * the 64-dim `embeddings` fixture: cosine similarity, brute-force
+  * top-k nearest neighbors, vector centroids via the custom Aggregator
+  * UDAF, and cosine near-dup pairs. The IVF-bucketed ANN variant (no SQL
+  * oracle — sketch/recall semantics) lives in ScalaTest.
+  *
+  * All similarity math is builtin higher-order functions
+  * (`zip_with`/`aggregate`) — codegen'd, no UDF, stays inside
+  * whole-stage codegen. Floats are cast to double (exact) before
+  * multiplication; outputs are rounded before ranking/comparison so
+  * float summation order can never flip a rank across engines.
+  */
+object VectorQueries {
+
+  /** Dot product of two double-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** cosine(a, b) over float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a); val bd = toDouble(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** DuckDB mirror of `cosine` for embedding-list expressions. */
+  def cosineSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_aggregate(list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** L6 cosine similarity of every vector to a fixed query vector (the
+    * vec_id=0 embedding), via a one-row broadcast join — no collect. */
+  def q52Cosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  val q52CosineSql: String =
+    s"""SELECT vec_id, ROUND(${cosineSql("embedding", "qv")}, 4) AS cos_sim
+       |FROM embeddings
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0 ORDER BY vec_id""".stripMargin
+
+  /** L7 top-5 nearest neighbors for each of the first 5 vectors:
+    * brute-force scored join + per-query ranking window. Rank on the
+    * ROUNDED similarity with vec_id tie-break (cross-engine hazard #4).
+    * The LSH/IVF sub-quadratic variants are ScalaTest-covered. */
+  def q53TopKNN(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cands = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  val q53TopKNNSql: String =
+    s"""SELECT q_id, rnk, c_id, sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${cosineSql("c.embedding", "q.embedding")}, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ROUND(${cosineSql("c.embedding", "q.embedding")}, 6) DESC, c.vec_id) AS rnk
+       |  FROM embeddings c
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+       |  WHERE c.vec_id >= 5)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** L8/A12 centroid per label through the custom Aggregator UDAF
+    * (CentroidAgg), posexploded to (label, pos, val) long form so the
+    * DuckDB oracle can mirror it with zipped unnests + avg. The UDAF
+    * itself is the surface under test — a two-phase partial/final hash
+    * aggregate over a 65-double buffer. */
+  def q54Centroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroid = udaf(new CentroidAgg(64))
+    e.groupBy("label")
+      .agg(centroid(col("embedding")).as("ctr"))
+      .select(col("label"), posexplode(col("ctr")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v"), 4).as("ctr_val"))
+      .orderBy("label", "pos")
+  }
+
+  val q54CentroidSql: String =
+    """SELECT label, pos, ROUND(AVG(v), 4) AS ctr_val FROM (
+      |  SELECT label,
+      |    unnest(generate_series(1, len(embedding))) AS pos,
+      |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      |  FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  /** Embedding cosine near-dup pairs within a label block (fixture
+    * vectors are random; 0.3 sits above the within-label p99 ≈ 0.29, so
+    * survivors are the genuinely-closest pairs). Label blocking keeps
+    * the pair count ∝ Σ|label|², the standard partition-then-compare
+    * shape; at scale the label becomes an LSH/IVF bucket id. */
+  def q55NearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, "label")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.3)
+      .select("label", "id_a", "id_b", "sim")
+      .orderBy("label", "id_a", "id_b")
+  }
+
+  val q55NearDupVectorsSql: String =
+    s"""SELECT label, id_a, id_b, sim FROM (
+       |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE sim >= 0.3 ORDER BY label, id_a, id_b""".stripMargin
+}
