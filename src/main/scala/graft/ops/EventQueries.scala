@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Event-time operators: as-of join J8, tumbling/sliding/session windows
+  * T1–T3, and the T6 conversion funnel (SURVEY.md §2.3, §2.9) — batch
+  * forms over the `events` table; streaming variants live in ScalaTest
+  * (`MemoryStream`) per §5.
+  *
+  * Scale notes: the as-of join uses the union + carry-forward rewrite —
+  * ONE shuffle on user_id and no candidate-pair blowup (a join-based
+  * as-of materializes every (purchase, earlier view) pair before ranking;
+  * this form is linear in events per user). Session windows use
+  * gaps-and-islands, also a single user_id shuffle. All window buckets
+  * group by derived columns — plain hash aggregation, partial+final.
+  */
+object EventQueries {
+
+  /** J8 as-of join: for each purchase, the latest view by the same user
+    * at-or-before the purchase (ties: view before purchase at equal ts;
+    * among equal-ts views the highest event_id wins — deterministic).
+    * Implemented as union + running `last(struct, ignoreNulls)` so the
+    * whole op is one shuffle; the oracle uses the equivalent
+    * join + ROW_NUMBER form (same semantics, DuckDB-friendly). */
+  def q56AsofViewPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(
+      when(col("tag") === 0, struct(col("ts").as("v_ts"), col("event_id").as("v_id"))),
+      ignoreNulls = true).over(w)
+    e.withColumn("last_view", carried)
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("last_view.v_id").as("view_id"),
+        col("last_view.v_ts").as("view_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q56AsofViewPurchaseSql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+      |SELECT user_id, purchase_id, purchase_ts, view_id, view_ts FROM (
+      |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |    v.event_id AS view_id, v.ts AS view_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+      |WHERE rn = 1
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** T1 tumbling window: hourly event counts + value sums per type.
+    * Spark `window()` aligns 1-hour buckets to epoch hours, i.e. exactly
+    * `date_trunc('hour', ts)`. */
+  def q57Tumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dec4(sum(dm(col("value")))).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket_start", "event_type")
+  }
+
+  val q57TumblingSql: String =
+    s"""SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       |  COUNT(*) AS n, ${out4(s"SUM(CAST(value AS $DM))")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY bucket_start, event_type""".stripMargin
+
+  /** T2 sliding window: 1-hour windows sliding every 15 minutes. Each
+    * event lands in 4 buckets; the oracle mirrors Spark's expansion
+    * explicitly (bucket k = 15-min bucket minus k*15min, k=0..3). */
+  def q58Sliding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("n_users"))
+      .orderBy("bucket_start")
+  }
+
+  val q58SlidingSql: String =
+    """SELECT bucket_start, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k) AS bucket_start,
+      |             user_id
+      |      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      |GROUP BY 1
+      |ORDER BY bucket_start""".stripMargin
+
+  /** T3 session windows (30-minute gap) via gaps-and-islands: one
+    * user_id shuffle, no session_window operator needed in batch. */
+  def q59Sessions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1).otherwise(0)
+    e.withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q59SessionsSql: String =
+    """SELECT user_id, session_id, MIN(ts) AS session_start,
+      |  MAX(ts) AS session_end, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NOT DISTINCT FROM NULL THEN 1
+      |           WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1
+      |           ELSE 0 END AS new_s
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** T6 funnel: first signup per user, first purchase at-or-after it,
+    * conversion latency in whole seconds (exact µs integer floor). */
+  def q60Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    val firstSignup = min(when(col("event_type") === "signup", col("ts"))).over(w)
+    e.withColumn("signup_ts", firstSignup)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"),
+        min(when(col("event_type") === "purchase" && col("ts") >= col("signup_ts"),
+          col("ts"))).as("conv_ts"))
+      .withColumn("conv_sec",
+        expr("(unix_micros(conv_ts) - unix_micros(signup_ts)) div 1000000"))
+      .orderBy("user_id")
+  }
+
+  val q60FunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, signup_ts, conv_ts,
+      |  (epoch_us(conv_ts) - epoch_us(signup_ts)) // 1000000 AS conv_sec
+      |FROM (
+      |  SELECT f.user_id, f.signup_ts, MIN(e.ts) AS conv_ts
+      |  FROM f LEFT JOIN events e
+      |    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+      |   AND e.ts >= f.signup_ts
+      |  GROUP BY f.user_id, f.signup_ts)
+      |ORDER BY user_id""".stripMargin
+}
