@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md / north-star: "multimodal
+  * columns"): image/audio/video travel as opaque `binary` columns with a
+  * typed metadata struct. The Spark-side mechanics — schema, partition-
+  * wise batch processing, explode shapes — are real and tested; the
+  * decode kernels are DETERMINISTIC STUBS (clearly marked) because no
+  * image/audio codec library ships in this environment. Swapping a stub
+  * for a real codec changes only the function body, not the plan shape.
+  *
+  * Scale notes: payload bytes stay columnar end-to-end (no
+  * driver collection); decode runs per-partition so a real codec would
+  * amortize model/codec init once per partition, the same batching
+  * argument as Arrow-batched UDFs. Metadata-only queries prune the
+  * binary column at the parquet scan.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("kind", StringType),        // image | audio | video
+    StructField("content_length", LongType),
+    StructField("checksum", StringType)))
+
+  /** Attach a deterministic fake payload to each document row: the
+    * UTF-8 bytes of its text stand in for real media bytes. Gives every
+    * downstream op a non-null `media` binary + typed `media_meta`. */
+  def withFakeMedia(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("media_meta", struct(
+        kind.as("kind"),
+        length(col("media")).cast("long").as("content_length"),
+        sha2(col("media"), 256).as("checksum")))
+  }
+
+  /** STUB image decode — stands in for a real codec call. Derives fake
+    * (width, height, channels) deterministically from the payload hash
+    * so tests are stable. Pure `Column` expressions → stays inside
+    * whole-stage codegen; a real decoder would swap this for a
+    * per-partition kernel like [[decodePartitions]]. */
+  def decodeImageStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = abs(xxhash64(payload))
+    struct(
+      (pmod(h, lit(1920)) + 1).cast("int").as("width"),
+      (pmod(h / 1920, lit(1080)) + 1).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** Partition-wise decode: the Scala analog of an Arrow-batched UDF.
+    * One `init` per partition (where a real codec/model would load),
+    * then a streaming pass over rows — the batch shape a 1000-executor
+    * cluster needs. The kernel itself is a STUB (byte-sum "feature"). */
+  def decodePartitions(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema.add("feature_sum", LongType).add("n_bytes", IntegerType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // real codec: val codec = Codec.load() — once per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        // STUB kernel: sum of bytes stands in for decode+featurize
+        var s = 0L; var i = 0
+        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s :+ bytes.length)
+      }
+    }(enc)
+  }
+
+  /** STUB frame sampling for `kind = video`: emits `n` (frame_no,
+    * frame_sig) rows per video via posexplode — the UDTF shape real
+    * frame extraction would use. Non-video rows pass through with a
+    * single frame 0. */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    val frames = when(col("media_meta.kind") === "video",
+      sequence(lit(0), lit(n - 1))).otherwise(sequence(lit(0), lit(0)))
+    df.withColumn("frame_no", explode(frames))
+      // STUB: per-frame signature = hash(payload, frame index)
+      .withColumn("frame_sig", abs(xxhash64(col("media"), col("frame_no"))))
+  }
+
+  /** STUB featurize: payload → fixed-dim fake embedding (hash-seeded),
+    * the shape an encoder model would produce. */
+  def featurizeStub(df: DataFrame, dim: Int): DataFrame =
+    df.withColumn("media_vec",
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col("media"), i), lit(1000)).cast("float") / 1000f))
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event record as it arrives on the stream — mirrors the `events`
+  * fixture schema (FIXTURES.md) minus the JSON props column. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Funnel output: a user's first signup and first purchase at-or-after
+  * it (T6, SURVEY.md §2.9). */
+case class Conversion(user_id: Long, signup_ts: Timestamp,
+    conv_ts: Timestamp, conv_sec: Long)
+
+private case class FunnelState(signupUs: Long, converted: Boolean)
+
+/** Structured Streaming operators T1–T7 + J12 (SURVEY.md §2.9). Batch
+  * parity forms live in `graft.ops.EventQueries`; these take a streaming
+  * (or batch — watermarks no-op there) DataFrame and return the
+  * transformed stream, so callers pick source and sink.
+  *
+  * Scale notes: every op keys state by window/user/event_id — state
+  * stores partition by the grouping key across executors, and watermarks
+  * bound state size (no unbounded accumulation at 100 TB/day rates).
+  */
+object StreamOps {
+
+  /** T1/T4: tumbling event-time counts with a watermark. Late rows
+    * beyond `delay` are dropped; in append mode a window emits once its
+    * end passes the watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T3: gap-based session windows per user (streaming form of
+    * EventQueries.q59's gaps-and-islands). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** T5: exactly-once per event_id within the watermark horizon. */
+  def dedupByEventId(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** J12: enrich the stream with a static dimension. Broadcast by hint —
+    * a static dim joined into every micro-batch should never shuffle the
+    * stream side. */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "left")
+
+  /** T6: stateful signup→purchase funnel via flatMapGroupsWithState.
+    * State per user is two fields (first signup µs + converted flag);
+    * emits exactly one Conversion when the first at-or-after purchase
+    * arrives. NoTimeout keeps the demo deterministic; production would
+    * set an event-time timeout to bound state. */
+  def funnel(events: Dataset[Ev]): Dataset[Conversion] = {
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[Conversion]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, converted = false))
+          val out = scala.collection.mutable.ListBuffer.empty[Conversion]
+          // Events within a batch are not ordered — process signups first
+          // so a same-batch signup+purchase pair converts.
+          val (signups, rest) = evs.toSeq.partition(_.event_type == "signup")
+          signups.foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (us < st.signupUs) st = st.copy(signupUs = us)
+          }
+          rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (!st.converted && e.event_type == "purchase" &&
+                st.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= st.signupUs) {
+              st = st.copy(converted = true)
+              val signupTs = new Timestamp(st.signupUs / 1000)
+              out += Conversion(userId, signupTs, e.ts,
+                (e.ts.getTime * 1000 - st.signupUs) / 1000000)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

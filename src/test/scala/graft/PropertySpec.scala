@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.VectorQueries
+
+/** ScalaCheck-generated algebraic properties (SURVEY.md §5.5). Samples
+  * are drawn with a fixed seed so runs are deterministic; each property
+  * is checked over several generated datasets (Spark jobs are too heavy
+  * for hundreds of forAll iterations). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val kvGen: Gen[List[(Int, Int)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 99)))
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    for (data <- samples(kvGen, 4)) {
+      val df = data.toDF("k", "v")
+      val once = df.dropDuplicates("k")
+      val twice = once.dropDuplicates("k")
+      assert(once.count() == twice.count())
+      assert(once.select("k").distinct().count() == once.count())
+    }
+  }
+
+  test("semi + anti partition the left side on its join key") {
+    import spark.implicits._
+    for ((ldata, rdata) <- samples(Gen.zip(kvGen, kvGen), 4)) {
+      val l = ldata.toDF("k", "v")
+      val r = rdata.toDF("k", "w")
+      val semi = l.join(r, Seq("k"), "left_semi").count()
+      val anti = l.join(r, Seq("k"), "left_anti").count()
+      assert(semi + anti == l.count(), "every left row is matched xor unmatched")
+    }
+  }
+
+  test("exceptAll/unionAll bag algebra: (a ∪ b) \\ b has |a| rows") {
+    import spark.implicits._
+    for ((adata, bdata) <- samples(Gen.zip(kvGen, kvGen), 4)) {
+      val a = adata.toDF("k", "v")
+      val b = bdata.toDF("k", "v")
+      assert(a.unionAll(b).exceptAll(b).count() == a.count())
+    }
+  }
+
+  private val vecGen: Gen[List[Seq[Float]]] =
+    Gen.listOfN(20, Gen.listOfN(8,
+      Gen.choose(-100, 100).map(_.toFloat / 10f)).map(_.toSeq))
+      .map(_.filter(v => v.exists(_ != 0f)))
+
+  test("cosine similarity is within [-1, 1] and self-similarity is 1") {
+    import spark.implicits._
+    for (vecs <- samples(vecGen, 3)) {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      val a = df.select(col("id").as("ida"), col("vec").as("va"))
+      val b = df.select(col("id").as("idb"), col("vec").as("vb"))
+      val pairs = a.crossJoin(b)
+        .withColumn("cos", VectorQueries.cosine(col("va"), col("vb")))
+      assert(pairs.filter(abs(col("cos")) > 1.0 + 1e-9).count() == 0)
+      val selfBad = pairs.filter(col("ida") === col("idb"))
+        .filter(abs(col("cos") - 1.0) > 1e-6).count()
+      assert(selfBad == 0)
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Ev, StreamOps}
+
+/** Structured Streaming semantics T1, T4–T7, J12 (SURVEY.md §2.9, §5.4):
+  * MemoryStream micro-batches driven explicitly so watermark advancement
+  * is deterministic. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def newStream(): MemoryStream[Ev] = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Ev]
+    MemoryStream[Ev]
+  }
+
+  test("T1+T4 tumbling window with watermark drops late rows (append mode)") {
+    val in = newStream()
+    val q = StreamOps.tumblingCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("t1_agg")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in [10:00,11:00) + one at 12:30 → watermark 12:20
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: late row at 10:30 (< watermark → dropped) + 14:00 row;
+      // [10:00,11:00) is now emitted WITHOUT the late row
+      in.addData(
+        Ev(4, ts("2024-01-01 10:30:00"), 1, "view", 1.0),
+        Ev(5, ts("2024-01-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so 12:00 + 14:00 windows emit too
+      in.addData(Ev(6, ts("2024-01-01 18:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("t1_agg")
+        .select("bucket_start", "n").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2, "late row must not be counted")
+      assert(out("2024-01-01 12:00:00.0") == 1)
+      assert(out("2024-01-01 14:00:00.0") == 1)
+    } finally q.stop()
+  }
+
+  test("T5 dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val in = newStream()
+    val q = StreamOps.dedupByEventId(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t5_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "view", 1.0)) // same-batch dup
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 10:01:00"), 1, "view", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val n = spark.table("t5_dedup").filter(col("event_id") === 1).count()
+      assert(n == 1, s"expected 1 surviving row for event_id=1, got $n")
+    } finally q.stop()
+  }
+
+  test("J12 stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    val in = newStream()
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = StreamOps.enrichWithCustomers(in.toDF(), dim)
+      .select("event_id", "user_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("j12_enrich")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 9, "view", 1.0)) // no dim match
+      q.processAllAvailable()
+      val rows = spark.table("j12_enrich").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows(1L).contains("BUILDING"))
+      assert(rows(2L).isEmpty, "unmatched user keeps null segment (left join)")
+    } finally q.stop()
+  }
+
+  test("T6 stateful funnel emits one conversion per user, after signup only") {
+    import spark.implicits._
+    val in = newStream()
+    val q = StreamOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("t6_funnel")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 09:00:00"), 1, "purchase", 5.0), // pre-signup: no conversion
+        Ev(2, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        Ev(3, ts("2024-01-01 10:30:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(4, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0), // converts (3600 s)
+        Ev(5, ts("2024-01-01 12:00:00"), 1, "purchase", 2.0)) // second: ignored
+      q.processAllAvailable()
+      val out = spark.table("t6_funnel").as[graft.streaming.Conversion].collect()
+      assert(out.length == 1)
+      assert(out.head.user_id == 1 && out.head.conv_sec == 3600)
+    } finally q.stop()
+  }
+
+  test("T7 parquet sink with AvailableNow writes exactly the pushed rows") {
+    val in = newStream()
+    val dir = Files.createTempDirectory("t7_sink").toString
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 2, "click", 2.0))
+    val q = in.toDF().writeStream.format("parquet")
+      .option("path", s"$dir/data").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.read.parquet(s"$dir/data").count() == 2)
+  }
+
+  test("T3 session_window groups by 30-minute gaps (batch mode)") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0), // same session
+      Ev(3, ts("2024-01-01 11:00:00"), 1, "view", 1.0), // gap 50 min → new session
+      Ev(4, ts("2024-01-01 10:00:00"), 2, "view", 1.0)).toDF()
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect()
+    assert(sessions.length == 3)
+  }
+}
