@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time kernels behind the custom hash expressions below.
+  *
+  * These compute exactly what the portable higher-order-function
+  * formulations in [[TextFns]] specify (and what the DuckDB oracle SQL
+  * mirrors), but in one tight JVM loop per row instead of an interpreted
+  * Catalyst lambda per character — the HOF path evaluates
+  * `aggregate(transform(split(tok,""), ...))` with boxed per-char steps
+  * and is ~100× slower on long documents.
+  *
+  * Semantics contract (bit-identical to the HOF path, t2-gate verified):
+  *  - tokens = text split on every single space, empty tokens kept
+  *    (matches `split(text, " ")` = Java `split(" ", -1)`)
+  *  - tokenHash = fold chars c: h -> (h*31 + c) mod P, empty token -> 0.
+  *    Char value stands in for `ascii(c)`: the corpus is ASCII-only
+  *    (codepoints 32..121, verified against the fixtures), where the
+  *    two agree.
+  *  - shingle/doc hash = fold hashes x: h -> (h*131 + x) mod P
+  *  - minhash_j = min over x of (a_j*x + b_j) mod P
+  *  - band key b = ((sig[2b] * 1000003 + sig[2b+1]) mod bigP) * nBands + b
+  * All intermediates stay below 2^63 (values < P = 1e9, multipliers
+  * <= 1000003 applied to < bigP = 1e15 once per fold step).
+  */
+object HashKernels {
+  val P = 1000000007L
+  val BigP = 999999999999989L
+
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    var tokens = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') tokens += 1; i += 1 }
+    val out = new Array[Long](tokens)
+    var h = 0L
+    var t = 0
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ') { out(t) = h; t += 1; h = 0L }
+      else h = (h * 31L + c) % P
+      i += 1
+    }
+    out(t) = h
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def docHash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * 131L + arr.getLong(i)) % P; i += 1 }
+    h
+  }
+
+  def shingleHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 131L + arr.getLong(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def minHashSig(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val m = a.length
+    val out = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < m) {
+        val v = (a(j) * x + b(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def bandKeys(sig: ArrayData, nBands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = sig.getLong(b * rowsPerBand)
+      var r = 1
+      while (r < rowsPerBand) {
+        acc = (acc * 1000003L + sig.getLong(b * rowsPerBand + r)) % BigP
+        r += 1
+      }
+      out(b) = (acc % BigP) * nBands + b
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Base for the hash expressions: codegen is a single static call into
+  * [[HashKernels]], so the whole dedup pipeline stays inside
+  * WholeStageCodegen with no interpreted lambdas (SURVEY.md §4's
+  * "custom codegen'd Expression" follow-up).
+  */
+sealed trait HashKernelExpr extends UnaryExpression {
+  protected def kernelCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, kernelCall)
+}
+
+/** array<bigint> of per-token polynomial hashes of a text column. */
+case class TokenHashesExpr(child: Expression) extends HashKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.tokenHashes($c)"
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** Order-sensitive fold of a token-hash array into one bigint. */
+case class DocHashExpr(child: Expression) extends HashKernelExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_hash"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.docHash(input.asInstanceOf[ArrayData])
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.docHash($c)"
+  override protected def withNewChildInternal(newChild: Expression): DocHashExpr =
+    copy(child = newChild)
+}
+
+/** Rolling k-window fold of a token-hash array; empty if fewer than k. */
+case class ShingleHashesExpr(child: Expression, k: Int) extends HashKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.shingleHashes($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature: per seed pair, min over the array of (a*x+b) mod P.
+  * One pass over the input for all seeds.
+  */
+case class MinHashSigExpr(child: Expression, seedsA: Array[Long], seedsB: Array[Long])
+    extends HashKernelExpr {
+  require(seedsA.length == seedsB.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minHashSig(input.asInstanceOf[ArrayData], seedsA, seedsB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("seedsA", seedsA, "long[]")
+    val bRef = ctx.addReferenceObj("seedsB", seedsB, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minHashSig($c, $aRef, $bRef)")
+  }
+  override protected def kernelCall(c: String): String =
+    throw new IllegalStateException("unused: doGenCode overridden")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** LSH band keys from a signature, band index mixed in so bands never
+  * collide with each other.
+  */
+case class BandKeysExpr(child: Expression, nBands: Int, rowsPerBand: Int)
+    extends HashKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bandKeys(input.asInstanceOf[ArrayData], nBands, rowsPerBand)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.bandKeys($c, $nBands, $rowsPerBand)"
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column => ofExpr, expression => toExpr}
 import org.apache.spark.sql.functions._
 
 /** Portable text-hashing primitives shared by the dedup / fingerprint
@@ -30,23 +31,44 @@ object TextFns {
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Polynomial char hash of one token (portable across engines). */
-  def tokenHash(tok: Column): Column =
+  /** Array of token hashes for a text column (codegen'd kernel). */
+  def tokenHashes(text: Column): Column = ofExpr(TokenHashesExpr(toExpr(text)))
+
+  /** Order-sensitive whole-document hash from a token-hash array. */
+  def docHash(tokenHashArr: Column): Column = ofExpr(DocHashExpr(toExpr(tokenHashArr)))
+
+  /** k-token shingle hashes (rolling): h(w_i..w_{i+k-1}) as a polynomial
+    * fold; empty array when the doc has fewer than k tokens. */
+  def shingleHashes(tokenHashArr: Column, k: Int): Column =
+    ofExpr(ShingleHashesExpr(toExpr(tokenHashArr), k))
+
+  /** MinHash signature: for each (a,b) seed, min over token hashes of
+    * (a*x + b) mod P. Input must be non-empty (guard at call site). */
+  def minHashSignature(tokenHashArr: Column, seeds: Seq[(Long, Long)]): Column =
+    ofExpr(MinHashSigExpr(toExpr(tokenHashArr),
+      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+
+  /** LSH band keys from a signature: rows of `rowsPerBand` hashes fold to
+    * one scalar key, offset by band index so bands never collide. */
+  def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column =
+    ofExpr(BandKeysExpr(toExpr(signature), nBands, rowsPerBand))
+
+  // ---- Reference formulations (portable HOF forms the kernels must
+  // ---- match bit-for-bit; exercised by HashKernelSpec) ----
+
+  /** Polynomial char hash of one token — HOF reference form. */
+  def tokenHashHof(tok: Column): Column =
     aggregate(
       transform(split(tok, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (h, x) => pmod(h * lit(31L) + x, lit(P)))
 
-  /** Array of token hashes for a text column. */
-  def tokenHashes(text: Column): Column = transform(tokens(text), tokenHash _)
+  def tokenHashesHof(text: Column): Column = transform(tokens(text), tokenHashHof _)
 
-  /** Order-sensitive whole-document hash from a token-hash array. */
-  def docHash(tokenHashArr: Column): Column =
+  def docHashHof(tokenHashArr: Column): Column =
     aggregate(tokenHashArr, lit(0L), (h, x) => pmod(h * lit(131L) + x, lit(P)))
 
-  /** k-token shingle hashes (rolling): h(w_i..w_{i+k-1}) as a polynomial
-    * fold; empty array when the doc has fewer than k tokens. */
-  def shingleHashes(tokenHashArr: Column, k: Int): Column =
+  def shingleHashesHof(tokenHashArr: Column, k: Int): Column =
     when(size(tokenHashArr) < k, array().cast("array<bigint>"))
       .otherwise(
         transform(
@@ -55,17 +77,13 @@ object TextFns {
             slice(tokenHashArr, i, lit(k)), lit(0L),
             (h, x) => pmod(h * lit(131L) + x, lit(P)))))
 
-  /** MinHash signature: for each (a,b) seed, min over token hashes of
-    * (a*x + b) mod P. Input must be non-empty (guard at call site). */
-  def minHashSignature(tokenHashArr: Column, seeds: Seq[(Long, Long)]): Column =
+  def minHashSignatureHof(tokenHashArr: Column, seeds: Seq[(Long, Long)]): Column =
     array(seeds.map { case (a, b) =>
       array_min(transform(tokenHashArr,
         x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
 
-  /** LSH band keys from a signature: rows of `rowsPerBand` hashes fold to
-    * one scalar key, offset by band index so bands never collide. */
-  def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column = {
+  def bandKeysHof(signature: Column, nBands: Int, rowsPerBand: Int): Column = {
     val bigP = 999999999999989L
     array((0 until nBands).map { b =>
       val fold = (0 until rowsPerBand)

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the sql-package-private Expression <-> Column converters,
+  * needed to expose graft's custom Catalyst expressions as `Column`s on
+  * Spark 4 (where `Column` wraps a ColumnNode, not an Expression). Same
+  * shim pattern public Spark extension libraries use for package-private
+  * factories (cf. SNIPPETS.md [3]).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.functions._
+
+/** The codegen'd hash kernels (HashExprs) must match the portable
+  * higher-order-function reference forms bit-for-bit — the DuckDB oracle
+  * SQL mirrors the HOF forms, so any divergence here breaks the t2 gate.
+  * Checked over every fixture document plus hand-picked edge cases.
+  */
+class HashKernelSpec extends SparkSpec {
+  private val seeds = Seq((37L, 17L), (101L, 29L), (193L, 43L), (271L, 59L),
+    (389L, 71L), (577L, 89L), (691L, 97L), (811L, 113L))
+
+  private def docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+
+  test("tokenHashes kernel == HOF reference on all fixture docs") {
+    val diff = docs
+      .withColumn("fast", tokenHashes(col("text")))
+      .withColumn("ref", tokenHashesHof(col("text")))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0)
+  }
+
+  test("docHash + shingleHashes kernels == HOF reference on all fixture docs") {
+    val th = tokenHashes(col("text"))
+    val diff = docs
+      .withColumn("fastD", docHash(th)).withColumn("refD", docHashHof(th))
+      .withColumn("fastS", shingleHashes(th, 3))
+      .withColumn("refS", shingleHashesHof(th, 3))
+      .filter(not(col("fastD") <=> col("refD")) ||
+        not(col("fastS") <=> col("refS")))
+    assert(diff.count() === 0)
+  }
+
+  test("minHashSignature + bandKeys kernels == HOF reference") {
+    val shd = array_distinct(shingleHashes(tokenHashes(col("text")), 3))
+    val diff = docs.filter(size(shingleHashes(tokenHashes(col("text")), 3)) > 0)
+      .withColumn("fastM", minHashSignature(shd, seeds))
+      .withColumn("refM", minHashSignatureHof(shd, seeds))
+      .withColumn("fastB", bandKeys(minHashSignature(shd, seeds), 4, 2))
+      .withColumn("refB", bandKeysHof(minHashSignatureHof(shd, seeds), 4, 2))
+      .filter(not(col("fastM") <=> col("refM")) ||
+        not(col("fastB") <=> col("refB")))
+    assert(diff.count() === 0)
+  }
+
+  test("kernel edge cases: empty text, repeated/leading/trailing spaces, short docs") {
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a b", "  double  space ", "one two",
+      "one two three four").toDF("text")
+    val checks = edge
+      .withColumn("fastT", tokenHashes(col("text")))
+      .withColumn("refT", tokenHashesHof(col("text")))
+      .withColumn("fastS", shingleHashes(tokenHashes(col("text")), 3))
+      .withColumn("refS", shingleHashesHof(tokenHashesHof(col("text")), 3))
+    assert(checks.filter(not(col("fastT") <=> col("refT")) ||
+      not(col("fastS") <=> col("refS"))).count() === 0)
+    // fewer than k tokens -> empty shingle array, not null
+    val short = checks.filter(col("text") === "a b").select("fastS").head()
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+}
