@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused similarity / n-gram kernels. Same motivation as [[HashKernels]]:
+  * the higher-order-function forms (`zip_with` + `aggregate` cosine,
+  * double `array_intersect` jaccard, `transform(sequence(...), substr)`
+  * bigrams) evaluate an interpreted Catalyst lambda per element; these
+  * expressions compute the identical values in one JVM loop per row and
+  * stay inside whole-stage codegen.
+  *
+  * Bit-parity contracts (all t2-gate verified, pinned by
+  * SimilarityKernelSpec against the HOF reference forms):
+  *  - cosine: the three dot-product sums fold left-to-right exactly like
+  *    `aggregate(zip_with(...))`, float operands widened to double before
+  *    multiplying, so every partial sum is bit-identical; 0-vectors give
+  *    the same NaN.
+  *  - jaccard: |a∩b| on already-distinct arrays / (|a|+|b|-|a∩b|),
+  *    matching size(array_intersect(a,b)) for distinct inputs.
+  *  - bigrams: 2-char (resp. 2-token) windows at every position; fewer
+  *    than 2 units -> empty array (the guard both oracle SQLs use).
+  */
+object SimilarityKernels {
+
+  /** Fused cosine over two equal-length float arrays. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dotAB = 0.0
+    var dotAA = 0.0
+    var dotBB = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dotAB += x * y
+      dotAA += x * x
+      dotBB += y * y
+      i += 1
+    }
+    dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
+  }
+
+  /** Jaccard of two string arrays that are already element-distinct. */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    val set = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < m) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (n + m - inter)
+  }
+
+  /** All 2-char substrings of a text; empty when length < 2. */
+  def charBigrams(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val L = s.length
+    if (L < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](L - 1)
+    var i = 0
+    while (i < L - 1) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Space-joined adjacent-token pairs; empty when fewer than 2 tokens.
+    * Tokenization matches `split(text, " ")` (empty tokens kept). */
+  def wordBigrams(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** cosine(a, b) of two float-array columns, fused single pass. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SimilarityKernels.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** jaccard(a, b) of two element-distinct string-array columns. */
+case class JaccardSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SimilarityKernels.jaccardSim($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Character bigrams of a text column. */
+case class CharBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+  override def nullSafeEval(input: Any): Any =
+    SimilarityKernels.charBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimilarityKernels.charBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharBigramsExpr =
+    copy(child = newChild)
+}
+
+/** Word bigrams of a text column. */
+case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+  override def nullSafeEval(input: Any): Any =
+    SimilarityKernels.wordBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimilarityKernels.wordBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the similarity / n-gram kernels. */
+object SimFns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.GraftColumnBridge.{column => ofExpr, expression => toExpr}
+  def cosineSim(a: Column, b: Column): Column = ofExpr(CosineSimExpr(toExpr(a), toExpr(b)))
+  def jaccardSim(a: Column, b: Column): Column = ofExpr(JaccardSimExpr(toExpr(a), toExpr(b)))
+  def charBigrams(t: Column): Column = ofExpr(CharBigramsExpr(toExpr(t)))
+  def wordBigrams(t: Column): Column = ofExpr(WordBigramsExpr(toExpr(t)))
+}

@@ -56,13 +56,10 @@ object DedupQueries {
       col("toks").as("toks_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("len_bkt"),
       col("toks").as("toks_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-      .cast("double")
-    val uni = size(col("toks_a")) + size(col("toks_b")) -
-      size(array_intersect(col("toks_a"), col("toks_b")))
     a.join(b, Seq("lang", "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", inter / uni)
+      .withColumn("jac",
+        graft.functions.SimFns.jaccardSim(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= 0.95)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -91,12 +88,10 @@ object DedupQueries {
       .withColumn("g", grams3(col("p_name")))
     val a = t.select(col("p_name").as("name_a"), col("g").as("ga"))
     val b = t.select(col("p_name").as("name_b"), col("g").as("gb"))
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-    val uni = size(col("ga")) + size(col("gb")) -
-      size(array_intersect(col("ga"), col("gb")))
     a.crossJoin(b)
       .filter(col("name_a") < col("name_b"))
-      .withColumn("jac", inter / uni)
+      .withColumn("jac",
+        graft.functions.SimFns.jaccardSim(col("ga"), col("gb")))
       .filter(col("jac") >= 0.3)
       .select(col("name_a"), col("name_b"), round(col("jac"), 4).as("jac"))
       .orderBy("name_a", "name_b")

@@ -65,10 +65,7 @@ object TextQueries {
     * Spark `sequence` would count DOWN on start>stop — SURVEY.md §2.7). */
   def q42Bigrams(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val w = tokens(col("text"))
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val bigrams = graft.functions.SimFns.wordBigrams(col("text"))
     d.select(explode(bigrams).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
@@ -144,8 +141,7 @@ object TextQueries {
   def q45LangId(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val bg = d.select(col("doc_id"), col("lang"),
-      explode(transform(sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("b"))
+      explode(graft.functions.SimFns.charBigrams(col("text"))).as("b"))
     val prof = bg.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("b"))))

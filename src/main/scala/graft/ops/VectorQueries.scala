@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Dot product of two double-array columns. */
+  /** Dot product of two double-array columns (HOF reference form). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** cosine(a, b) over float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) over float-array columns — fused codegen'd kernel. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.SimFns.cosineSim(a, b)
+
+  /** HOF reference form of `cosine` (bit-identical; SimilarityKernelSpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }

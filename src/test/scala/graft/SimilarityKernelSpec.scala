@@ -1,0 +1,75 @@
+package graft
+
+import graft.Tables
+import graft.functions.SimFns
+import graft.functions.TextFns.tokens
+import graft.ops.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** The fused similarity / n-gram kernels (SimilarityExprs) must match
+  * the higher-order-function reference forms bit-for-bit on fixture
+  * data — the DuckDB oracle SQL mirrors the HOF forms.
+  */
+class SimilarityKernelSpec extends SparkSpec {
+
+  test("cosine kernel == zip_with/aggregate HOF on all fixture vector pairs") {
+    val e = Tables.embeddings(spark, sf0001).limit(80)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val diff = a.crossJoin(b)
+      .withColumn("fast", VectorQueries.cosine(col("va"), col("vb")))
+      .withColumn("ref", VectorQueries.cosineHof(col("va"), col("vb")))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0)
+  }
+
+  test("cosine kernel: self-similarity 1.0; zero vector -> NaN, not error") {
+    import spark.implicits._
+    // Unlike the HOF form (whose Divide raises DIVIDE_BY_ZERO under ANSI
+    // mode), the kernel follows IEEE and yields NaN for a zero vector —
+    // the behavior a similarity search wants. No fixture vector is zero,
+    // so the oracle queries never see the difference.
+    val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .withColumn("fast", VectorQueries.cosine(col("a"), col("b")))
+    val rows = v.select("fast").collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).getDouble(0).isNaN)
+  }
+
+  test("jaccard kernel == array_intersect formula on fixture token sets") {
+    val t = Tables.documents(spark, sf0001).limit(60)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val uni = size(col("ta")) + size(col("tb")) -
+      size(array_intersect(col("ta"), col("tb")))
+    val diff = a.crossJoin(b)
+      .withColumn("fast", SimFns.jaccardSim(col("ta"), col("tb")))
+      .withColumn("ref", inter / uni)
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0)
+  }
+
+  test("bigram kernels == HOF forms on fixture docs, empty-guard edges") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sf0001).select("text")
+      .union(Seq("", "x", "one", "one two", "a  b").toDF("text"))
+    val w = tokens(col("text"))
+    val refWord = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val refChar = when(length(col("text")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2))))
+    val diff = d
+      .withColumn("fw", SimFns.wordBigrams(col("text")))
+      .withColumn("rw", refWord)
+      .withColumn("fc", SimFns.charBigrams(col("text")))
+      .withColumn("rc", refChar)
+      .filter(not(col("fw") <=> col("rw")) || not(col("fc") <=> col("rc")))
+    assert(diff.count() === 0)
+  }
+}
