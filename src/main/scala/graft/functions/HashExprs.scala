@@ -109,6 +109,25 @@ object HashKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  def simHash(arr: ArrayData, bits: Int, a: Long, b0: Long): Long = {
+    val n = arr.numElements()
+    val acc = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val x = (a * arr.getLong(i) + b0) % P
+      var b = 0
+      while (b < bits) {
+        if (((x >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
 }
 
 /** Base for the hash expressions: codegen is a single static call into
@@ -191,5 +210,24 @@ case class BandKeysExpr(child: Expression, nBands: Int, rowsPerBand: Int)
   override protected def kernelCall(c: String): String =
     s"graft.functions.HashKernels.bandKeys($c, $nBands, $rowsPerBand)"
   override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint of a token-hash array: bit i of the result is the
+  * majority vote of bit i across the seeded hash view (a*x+b0) mod P of
+  * each token hash (+1 when set, -1 when clear; ties -> 0). `bits` <= 30
+  * because the view values are < P = 1e9+7 < 2^30; wider fingerprints
+  * compose multiple views with distinct seeds (see DedupQueries.q61).
+  */
+case class SimHashExpr(child: Expression, bits: Int, a: Long, b0: Long)
+    extends HashKernelExpr {
+  require(bits > 0 && bits <= 30)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash(input.asInstanceOf[ArrayData], bits, a, b0)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.simHash($c, $bits, ${a}L, ${b0}L)"
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }

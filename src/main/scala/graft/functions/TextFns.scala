@@ -53,6 +53,11 @@ object TextFns {
   def bandKeys(signature: Column, nBands: Int, rowsPerBand: Int): Column =
     ofExpr(BandKeysExpr(toExpr(signature), nBands, rowsPerBand))
 
+  /** SimHash fingerprint (bit-majority over the (a*x+b) mod P view of
+    * the token hashes), <= 30 bits per view. */
+  def simHash(tokenHashArr: Column, bits: Int, a: Long = 1L, b: Long = 0L): Column =
+    ofExpr(SimHashExpr(toExpr(tokenHashArr), bits, a, b))
+
   // ---- Reference formulations (portable HOF forms the kernels must
   // ---- match bit-for-bit; exercised by HashKernelSpec) ----
 

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.functions.SimFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the sub-quadratic scale path for similarity search
+  * (SURVEY.md §2.8 L7; brute-force q53 is the exact baseline). No SQL
+  * oracle (approximate semantics); recall is asserted in AnnIvfSpec.
+  *
+  * Shape, chosen for the 100 TB story:
+  *  - TRAIN: Lloyd's k-means over the corpus. Each iteration is one
+  *    narrow projection (nearest-centroid id via the fused cosine kernel
+  *    against a broadcast literal centroid matrix — no n×k join) plus
+  *    one map-side-combinable groupBy(cid, pos) avg. Only the k×dim
+  *    centroid matrix ever reaches the driver — model parameters, not
+  *    data (the MLlib KMeans contract).
+  *  - INDEX: one `cid` column on the corpus; at scale you'd
+  *    `partitionBy(cid)` the sink (S6) so probes prune partitions.
+  *  - QUERY: rank centroids per query on the driver (k values), scan
+  *    only the nProbe matching buckets — a broadcast semi-filter — and
+  *    brute-force rank within them. Work per query drops from |corpus|
+  *    to ~nProbe/k of it.
+  */
+object AnnIvf {
+
+  /** Centroids as plain driver-side arrays: model, not data. */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+    def nearestCentroids(q: Array[Float], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (cosineLocal(q, c), i) }
+        .sortBy { case (sim, i) => (-sim, i) }
+        .take(nProbe).map(_._2).toSeq
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Column: id (0-based) of the nearest centroid to `emb`, ties to the
+    * lowest id. k fused-cosine calls per row, no join, no shuffle. */
+  private def nearestCid(emb: Column, centroids: Array[Array[Float]]): Column = {
+    val sims = array(centroids.map(c => SimFns.cosineSim(emb, typedlit(c))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Train k-means (cosine assignment, mean update) and return the
+    * centroid matrix. Seeds = the first k vectors by `idCol` —
+    * deterministic, no RNG. */
+  def train(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): IvfModel = {
+    var centroids = emb.orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.withColumn("cid", nearestCid(col(vecCol), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), transform(col("pm"), _.getField("m").cast("float"))
+          .as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+      it += 1
+    }
+    IvfModel(centroids)
+  }
+
+  /** Corpus with its bucket assignment under `model`. */
+  def assign(emb: DataFrame, vecCol: String, model: IvfModel): DataFrame =
+    emb.withColumn("cid", nearestCid(col(vecCol), model.centroids))
+
+  /** Top-k neighbors of one query vector, probing `nProbe` buckets of
+    * the assigned corpus. Returns (vec_id, rnk, sim) ranked on the
+    * rounded similarity with id tie-break (the q53 determinism rule). */
+  def topK(assigned: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val probes = model.nearestCentroids(query, nProbe)
+    val w = Window.orderBy(col("sim").desc, col(idCol))
+    assigned.filter(col("cid").isin(probes: _*))
+      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("sim"))
+  }
+}

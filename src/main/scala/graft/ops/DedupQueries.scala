@@ -170,4 +170,56 @@ object DedupQueries {
        |  FROM cand)
        |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** SimHash near-dup dedup: 60-bit fingerprint (two seeded 30-bit
+    * bit-majority views of the token hashes), 4-band pigeonhole blocking
+    * (hamming <= 3 of 60 bits guarantees at least one of the 4 15-bit
+    * bands is identical), hamming verification on the candidates. Like
+    * q51 this is the sub-quadratic shape: 15-bit band keys spread the
+    * corpus over 32k buckets per band, so the band-key equi-join scales
+    * with true near-dups, never |corpus|². */
+  def q61SimHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{simHash, tokenHashes}
+    val th = tokenHashes(col("text"))
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (simHash(th, 30) + simHash(th, 30, 387L, 15L) * (1L << 30)).as("sh"))
+    // band b key = bits [15b, 15b+15) of the fingerprint, tagged with b
+    val bks = array((0 until 4).map { b =>
+      shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)) * 4 + b
+    }: _*)
+    val bands = t.select(col("doc_id"), col("sh"), explode(bks).as("bk"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("bk"),
+        col("sh").as("sh_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bk"),
+        col("sh").as("sh_b")), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    cand.withColumn("ham", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("ham") <= 3)
+      .select("doc_a", "doc_b", "ham")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q61SimHashSql: String = {
+    def view(expr: String, shift: Int) = (0 until 30).map { i =>
+      s"(CASE WHEN list_sum(list_transform(th, x -> 2*(($expr >> $i) & 1) - 1)) > 0 " +
+        s"THEN CAST(${1L << (i + shift)} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    val bitTerms = view("x", 0) + " + " + view(s"((387*x + 15) % $P)", 30)
+    val bandList = (0 until 4).map { b =>
+      s"((sh >> ${15 * b}) & 32767) * 4 + $b"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents)),
+       |bands AS (SELECT doc_id, sh, unnest($bandList) AS bk FROM t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sh AS sh_a, b.sh AS sh_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS ham
+       |FROM cand
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -39,6 +39,17 @@ class OperatorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("A5 approx_count_distinct within rsd bounds of the exact count") {
+    val li = Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15,
+      s"approx $approx vs exact $exact drifts past 3x the 5% rsd")
+  }
+
   test("as-of join: every purchase maps to the latest view at-or-before it") {
     val out = graft.ops.EventQueries.q56AsofViewPurchase(spark, sf0001)
     val bad = out.filter(col("view_ts").isNotNull &&
