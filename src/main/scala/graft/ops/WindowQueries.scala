@@ -123,7 +123,10 @@ object WindowQueries {
       |ORDER BY user_id, event_id""".stripMargin
 
   /** W6 range frame: 7-day rolling revenue over a numeric day key
-    * (hazard: RANGE over timestamps differs — order by epoch-day int). */
+    * (hazard: RANGE over timestamps differs — order by epoch-day int).
+    * The window is deliberately unpartitioned: it runs over the
+    * already-aggregated per-day series (|distinct days| rows, bounded by
+    * the calendar — a few thousand even at 100 TB), not the raw orders. */
   def q26RollingRevenue(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val daily = o
