@@ -57,6 +57,28 @@ object EventQueries {
       |WHERE rn = 1
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  /** J8 via the native merge operator (plans.AsofJoin*): same semantics
+    * and oracle as q56, but planned as AsofJoinExec — a custom
+    * LogicalPlan + Strategy + physical two-pointer merge registered
+    * through the session's extension hooks. Keeping both forms under the
+    * t2 gate pins the rewrite and the native operator to each other. */
+  def q62AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    graft.plans.AsofJoinOp.asofJoin(purchases, views,
+        leftKey = "user_id", rightKey = "v_user_id",
+        leftTs = "purchase_ts", rightTs = "view_ts", tie = Some("view_id"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q62AsofNativeSql: String = q56AsofViewPurchaseSql
+
   /** T1 tumbling window: hourly event counts + value sums per type.
     * Spark `window()` aligns 1-hour buckets to epoch hours, i.e. exactly
     * `date_trunc('hour', ts)`. */
