@@ -178,4 +178,42 @@ object FunctionQueries {
       |  CAST(list_aggregate(generate_series(1, p_size), 'sum') AS INTEGER) AS tri_sum,
       |  flatten([generate_series(1, 2), generate_series(1, p_size % 3 + 1)]) AS flat_seq
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Scalar sweep: the §2.7 functions not already covered by q30–q36 —
+    * upper/rpad/replace/LIKE, epoch seconds, sign, pmod, exp/ln
+    * (rounded), greatest/least, nullif — one row per first-line item. */
+  def q63ScalarSweep(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).filter(col("l_linenumber") === 1)
+    l.select(
+        col("l_orderkey"),
+        upper(col("l_returnflag")).as("flag_up"),
+        rpad(col("l_linestatus"), 3, "x").as("status_pad"),
+        regexp_replace(col("l_returnflag"), "A", "Z").as("flag_sub"),
+        col("l_linestatus").like("%O%").as("is_open"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"),
+        signum(col("l_quantity") - 25).cast("int").as("qty_sign"),
+        pmod(col("l_orderkey"), lit(7)).as("ok_mod7"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g_qty"),
+        least(col("l_tax") * 100, col("l_quantity")).as("l_qty"),
+        nullif(col("l_linestatus"), lit("O")).as("status_or_null"))
+      .orderBy("l_orderkey")
+  }
+
+  val q63ScalarSweepSql: String =
+    """SELECT l_orderkey,
+      |  upper(l_returnflag) AS flag_up,
+      |  rpad(l_linestatus, 3, 'x') AS status_pad,
+      |  regexp_replace(l_returnflag, 'A', 'Z', 'g') AS flag_sub,
+      |  l_linestatus LIKE '%O%' AS is_open,
+      |  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
+      |  CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+      |  ((l_orderkey % 7) + 7) % 7 AS ok_mod7,
+      |  ROUND(exp(l_discount), 6) AS exp_disc,
+      |  ROUND(ln(l_extendedprice), 6) AS ln_price,
+      |  greatest(l_quantity, l_discount * 100) AS g_qty,
+      |  least(l_tax * 100, l_quantity) AS l_qty,
+      |  nullif(l_linestatus, 'O') AS status_or_null
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
 }
