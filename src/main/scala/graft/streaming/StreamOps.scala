@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event record as it arrives on the stream — mirrors the `events`
   * fixture schema (FIXTURES.md) minus the JSON props column. */
@@ -96,5 +96,45 @@ object StreamOps {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** T6 on the Spark 4 arbitrary-state API: same funnel as [[funnel]]
+    * but as a `StatefulProcessor` + `transformWithState`. The typed
+    * `ValueState` handle lives in the state-store layer (requires the
+    * RocksDB provider — multi-column-family state); production state
+    * then gets TTL, timers, and schema evolution for free. */
+  class FunnelProcessor extends StatefulProcessor[Long, Ev, Conversion] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Conversion] = {
+      var s = if (st.exists()) st.get()
+        else FunnelState(Long.MaxValue, converted = false)
+      val out = scala.collection.mutable.ListBuffer.empty[Conversion]
+      val (signups, rest) = rows.toSeq.partition(_.event_type == "signup")
+      signups.foreach { e =>
+        val us = e.ts.getTime * 1000
+        if (us < s.signupUs) s = s.copy(signupUs = us)
+      }
+      rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (!s.converted && e.event_type == "purchase" &&
+            s.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= s.signupUs) {
+          s = s.copy(converted = true)
+          out += Conversion(userId, new Timestamp(s.signupUs / 1000), e.ts,
+            (e.ts.getTime * 1000 - s.signupUs) / 1000000)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[funnel]] through `transformWithState`. */
+  def funnelTws(events: Dataset[Ev]): Dataset[Conversion] = {
+    implicit val outEnc = Encoders.product[Conversion]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T6 via transformWithState (Spark 4 API) matches the funnel semantics") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    val q = StreamOps.funnelTws(in.toDS())
+      .writeStream.format("memory").queryName("t6_tws")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 09:00:00"), 1, "purchase", 5.0), // pre-signup
+        Ev(2, ts("2024-01-01 10:00:00"), 1, "signup", 0.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(4, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0), // converts
+        Ev(5, ts("2024-01-01 12:00:00"), 1, "purchase", 2.0)) // ignored
+      q.processAllAvailable()
+      val rows = spark.table("t6_tws").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L && rows.head.getLong(3) == 3600L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T6 stateful funnel emits one conversion per user, after signup only") {
     import spark.implicits._
     val in = newStream()
