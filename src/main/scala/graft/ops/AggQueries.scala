@@ -204,4 +204,80 @@ object AggQueries {
       |UNION
       |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
+
+  /** A6 cube + grouping sets: the full multi-level subtotal lattice over
+    * (returnflag, linestatus), via spark.sql like q11 (the DataFrame
+    * cube + orderBy hits the same ambiguous-Expand check). */
+  def q64Cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q64_lineitem")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS qty,
+         |  CAST(grouping_id() AS BIGINT) AS gid
+         |FROM q64_lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q64CubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(13,4))), 4) AS DECIMAL(18,4)) AS qty,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** J3 full outer: big spenders vs frequent buyers — each side keeps
+    * customers the other side lacks (nulls on the missing side). */
+  def q65FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val spend = o.groupBy(col("o_custkey").as("s_custkey"))
+      .agg(dec4(sum(dm(col("o_totalprice")))).as("total_spend"))
+      .filter(col("total_spend") > 400000)
+    val freq = o.groupBy(col("o_custkey").as("f_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+    spend.join(freq, col("s_custkey") === col("f_custkey"), "full_outer")
+      .select(
+        coalesce(col("s_custkey"), col("f_custkey")).as("custkey"),
+        col("total_spend"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  val q65FullOuterSql: String =
+    s"""SELECT coalesce(s_custkey, f_custkey) AS custkey, total_spend, n_orders
+       |FROM (SELECT o_custkey AS s_custkey,
+       |        ${out4(s"SUM(CAST(o_totalprice AS $DM))")} AS total_spend
+       |      FROM orders GROUP BY 1 HAVING total_spend > 400000) s
+       |FULL OUTER JOIN
+       |     (SELECT o_custkey AS f_custkey, COUNT(*) AS n_orders
+       |      FROM orders GROUP BY 1 HAVING n_orders >= 3) f
+       |  ON s_custkey = f_custkey
+       |ORDER BY custkey""".stripMargin
+
+  /** O5 bag semantics: exceptAll / intersectAll of order-priority
+    * multisets from two halves of the orders table (duplicates count). */
+  def q66BagOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderkey") % 2 === 0).select("o_orderpriority")
+    val b = o.filter(col("o_orderkey") % 3 === 0).select("o_orderpriority")
+    val ex = a.exceptAll(b).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select("op", "o_orderpriority", "n")
+      .orderBy("op", "o_orderpriority")
+  }
+
+  val q66BagOpsSql: String =
+    """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+      |     b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n
+      |FROM (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
+      |FROM (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b)
+      |GROUP BY 2
+      |ORDER BY op, o_orderpriority""".stripMargin
 }
