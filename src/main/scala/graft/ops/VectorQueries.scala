@@ -144,4 +144,42 @@ object VectorQueries {
        |  FROM embeddings a JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE sim >= 0.3 ORDER BY label, id_a, id_b""".stripMargin
+
+  /** Int8 embedding quantization (training-pipeline storage op): each
+    * vector gets a per-vector scale = max|x|/127, values become
+    * round-half-up int8 codes, and the query reports the code checksum
+    * plus worst reconstruction error. `floor(x/scale + 0.5)` is used on
+    * both engines so halfway cases can never split on rounding mode
+    * (Spark round is HALF_UP, DuckDB's is banker's). 4x smaller vectors
+    * at < 1% error is the standard ANN memory trade. */
+  def q67Quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val vd = transform(col("embedding"), _.cast("double"))
+    val scale = array_max(transform(vd, x => abs(x))) / 127.0
+    val codes = transform(vd, x => floor(x / col("q_scale") + 0.5).cast("int"))
+    val recon = zip_with(col("codes"), vd,
+      (q, x) => abs(q.cast("double") * col("q_scale") - x))
+    e.withColumn("q_scale", scale)
+      .withColumn("codes", codes)
+      .select(
+        col("vec_id"),
+        round(col("q_scale"), 6).as("q_scale_r"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        round(array_max(recon), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val q67QuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS INTEGER)) AS codes,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  ROUND(q_scale, 6) AS q_scale_r,
+      |  list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS code_sum,
+      |  ROUND(list_max(list_transform(generate_series(1, len(codes)),
+      |    i -> abs(CAST(codes[i] AS DOUBLE) * q_scale - vd[i]))), 6) AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
 }

@@ -54,6 +54,35 @@ class PropertySpec extends SparkSpec {
       Gen.choose(-100, 100).map(_.toFloat / 10f)).map(_.toSeq))
       .map(_.filter(v => v.exists(_ != 0f)))
 
+  test("as-of join invariants on generated event sets") {
+    import spark.implicits._
+    // keys 0-4, small ts range to force duplicate timestamps and
+    // unmatched keys — the edge cases the merge must handle
+    val evGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(80, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L),
+        Gen.choose(0L, 999L)))
+    for ((ldata, rdata) <- samples(Gen.zip(evGen, evGen), 3)) {
+      val l = ldata.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val r = rdata.map { case (k, t, id) => (k, t, id) }.toDF("rk", "rt", "rid")
+      val out = graft.plans.AsofJoinOp.asofJoin(l, r, "k", "rk", "t", "rt",
+        tie = Some("rid")).cache()
+      // left outer: exactly one output row per left row
+      assert(out.count() == l.count())
+      // every match respects the as-of bound
+      assert(out.filter(col("rt").isNotNull && col("rt") > col("t")).count() == 0)
+      // spot-check against the quadratic definition for one key
+      val byDef = l.as("l").join(r.as("r"),
+          col("l.k") === col("r.rk") && col("r.rt") <= col("l.t"), "left")
+        .groupBy("l.lid").agg(max(struct(col("r.rt"), col("r.rid"))).as("best"))
+        .select(col("lid"), col("best.rid").as("rid_def"))
+      val disagree = out.join(byDef, "lid")
+        .filter(not(col("rid") <=> col("rid_def"))).count()
+      assert(disagree == 0, "merge result must equal the quadratic definition")
+      out.unpersist()
+    }
+  }
+
   test("cosine similarity is within [-1, 1] and self-similarity is 1") {
     import spark.implicits._
     for (vecs <- samples(vecGen, 3)) {
