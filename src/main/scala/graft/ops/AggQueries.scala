@@ -77,8 +77,10 @@ object AggQueries {
     l.groupBy("l_returnflag")
       .agg(rnd(stddev_samp(col("l_extendedprice"))).as("sd_price"),
         rnd(var_samp(col("l_quantity"))).as("var_qty"),
-        rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+        (rnd(corr(col("l_quantity"), col("l_extendedprice")), 6) + 0.0)
+          .as("corr_qty_price"),
+        (rnd(covar_samp(col("l_quantity"), col("l_discount")), 6) + 0.0)
+          .as("covar_qty_disc"))
       .orderBy("l_returnflag")
   }
 
@@ -86,8 +88,8 @@ object AggQueries {
     """SELECT l_returnflag,
       |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
       |  ROUND(var_samp(l_quantity), 4) AS var_qty,
-      |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      |  ROUND(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+      |  ROUND(covar_samp(l_quantity, l_discount), 6) + 0 AS covar_qty_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A10 exact percentiles (continuous interpolation both engines). */

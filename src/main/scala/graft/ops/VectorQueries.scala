@@ -53,12 +53,14 @@ object VectorQueries {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+        // + 0.0 normalizes IEEE -0.0 (a tiny negative cosine rounds to
+        // negative zero, and the two engines disagree on its sign bit)
+        (round(cosine(col("embedding"), col("qv")), 4) + 0.0).as("cos_sim"))
       .orderBy("vec_id")
   }
 
   val q52CosineSql: String =
-    s"""SELECT vec_id, ROUND(${cosineSql("embedding", "qv")}, 4) AS cos_sim
+    s"""SELECT vec_id, ROUND(${cosineSql("embedding", "qv")}, 4) + 0 AS cos_sim
        |FROM embeddings
        |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
        |WHERE vec_id <> 0 ORDER BY vec_id""".stripMargin
@@ -74,7 +76,7 @@ object VectorQueries {
     val cands = e.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val scored = cands.crossJoin(broadcast(queries))
-      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6) + 0.0)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -86,7 +88,7 @@ object VectorQueries {
   val q53TopKNNSql: String =
     s"""SELECT q_id, rnk, c_id, sim FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-       |    ROUND(${cosineSql("c.embedding", "q.embedding")}, 6) AS sim,
+       |    ROUND(${cosineSql("c.embedding", "q.embedding")}, 6) + 0 AS sim,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ROUND(${cosineSql("c.embedding", "q.embedding")}, 6) DESC, c.vec_id) AS rnk
        |  FROM embeddings c
@@ -106,12 +108,12 @@ object VectorQueries {
       .agg(centroid(col("embedding")).as("ctr"))
       .select(col("label"), posexplode(col("ctr")).as(Seq("pos0", "v")))
       .select(col("label"), (col("pos0") + 1).as("pos"),
-        round(col("v"), 4).as("ctr_val"))
+        (round(col("v"), 4) + 0.0).as("ctr_val"))
       .orderBy("label", "pos")
   }
 
   val q54CentroidSql: String =
-    """SELECT label, pos, ROUND(AVG(v), 4) AS ctr_val FROM (
+    """SELECT label, pos, ROUND(AVG(v), 4) + 0 AS ctr_val FROM (
       |  SELECT label,
       |    unnest(generate_series(1, len(embedding))) AS pos,
       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
@@ -131,7 +133,7 @@ object VectorQueries {
       col("embedding").as("vb"))
     a.join(b, "label")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4) + 0.0)
       .filter(col("sim") >= 0.3)
       .select("label", "id_a", "id_b", "sim")
       .orderBy("label", "id_a", "id_b")
@@ -140,7 +142,7 @@ object VectorQueries {
   val q55NearDupVectorsSql: String =
     s"""SELECT label, id_a, id_b, sim FROM (
        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 4) + 0 AS sim
        |  FROM embeddings a JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE sim >= 0.3 ORDER BY label, id_a, id_b""".stripMargin
