@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards for the properties that matter at 100 TB: filters
+  * reaching the parquet scan, dimensions broadcasting, aggregation
+  * running partial+final. The DuckDB gate checks values; these checks
+  * keep the PLANS from silently regressing (e.g., a refactor that slips
+  * a filter above a join or de-broadcasts a dimension).
+  */
+class PlanShapeSpec extends SparkSpec {
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+    assert(!p.contains("ReadSchema: struct<l_orderkey"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("q1: aggregation is partial then final around one exchange") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q2: all four dimension joins broadcast, no sort-merge") {
+    val p = planOf("q2_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join fell back to sort-merge")
+  }
+
+  test("q51: LSH candidate join is an equi-join on the band key, not a cross product") {
+    val p = planOf("q51_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("q53: the 5-row query side broadcasts under the scored cross join") {
+    val p = planOf("q53_topk_nn")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      s"query vectors should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "cross join must not be partition-wise")
+  }
+
+  test("q62: native as-of join plans with sorted, hash-clustered children") {
+    val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the exec node prints without its Exec suffix
+    assert(p.contains("AsofJoin "), s"plan:\n$p")
+    assert(p.contains("Sort ["), "children must arrive sorted for the merge")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "both sides must co-partition on the key")
+  }
+}
