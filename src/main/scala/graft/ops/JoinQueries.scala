@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
 
@@ -199,4 +200,108 @@ object JoinQueries {
     """SELECT r_name, o_orderstatus
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
       |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  /** Schema-drift integration: stack two source extracts whose columns
+    * only partially overlap, aligning by NAME with nulls for the columns
+    * a source lacks (`unionByName(allowMissingColumns)`) — the
+    * heterogeneous-sources half of "data integration". */
+  def q68SchemaDriftUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // source A exports priority but not status; source B the reverse
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        lit("feed_a").as("src"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), lit("feed_b").as("src"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val q68SchemaDriftUnionSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderpriority, 'feed_a' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderstatus, 'feed_b' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD2 change tracking: collapse each user's event-type stream into
+    * validity intervals [valid_from, valid_to) with the current row
+    * open-ended (null) — lag to detect changes, lead for the horizon. */
+  def q69Scd2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changed = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wChg = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changed
+      .withColumn("valid_to", lead(col("ts"), 1).over(wChg))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val q69Scd2Sql: String =
+    """SELECT user_id, event_type, valid_from, valid_to FROM (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** Merge/upsert (the MERGE INTO shape without a table format): apply a
+    * changes feed (latest event value per user) onto a base snapshot
+    * (each user's first-seen value) — matched rows update, unmatched
+    * insert, everyone else carries over. Pure full-outer + coalesce, the
+    * portable upsert at any scale. */
+  def q70MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val base = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("b_user"))
+      .agg(dec4(dm(min_by(col("value"), struct(col("ts"), col("event_id")))))
+        .as("b_value"))
+    val changes = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("c_user"))
+      .agg(dec4(dm(max_by(col("value"), struct(col("ts"), col("event_id")))))
+        .as("c_value"))
+    base.join(changes, col("b_user") === col("c_user"), "full_outer")
+      .select(
+        coalesce(col("b_user"), col("c_user")).as("user_id"),
+        coalesce(col("c_value"), col("b_value")).as("value"),
+        when(col("b_user").isNull, "insert")
+          .when(col("c_user").isNull, "carryover")
+          .otherwise("update").as("action"))
+      .orderBy("user_id")
+  }
+
+  val q70MergeUpsertSql: String =
+    // DuckDB 1.0 arg_min/arg_max reject struct ordering keys, so the
+    // oracle picks first/last rows with ROW_NUMBER instead
+    s"""WITH base AS (
+       |  SELECT user_id AS b_user, ${out4(s"CAST(value AS $DM)")} AS b_value
+       |  FROM (SELECT user_id, value, ROW_NUMBER() OVER (
+       |          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |        FROM events WHERE event_type = 'view')
+       |  WHERE rn = 1),
+       |changes AS (
+       |  SELECT user_id AS c_user, ${out4(s"CAST(value AS $DM)")} AS c_value
+       |  FROM (SELECT user_id, value, ROW_NUMBER() OVER (
+       |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events WHERE event_type = 'purchase')
+       |  WHERE rn = 1)
+       |SELECT coalesce(b_user, c_user) AS user_id,
+       |  coalesce(c_value, b_value) AS value,
+       |  CASE WHEN b_user IS NULL THEN 'insert'
+       |       WHEN c_user IS NULL THEN 'carryover'
+       |       ELSE 'update' END AS action
+       |FROM base FULL OUTER JOIN changes ON b_user = c_user
+       |ORDER BY user_id""".stripMargin
 }
