@@ -46,6 +46,31 @@ class HashKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("kernels == HOF reference on fuzzed ASCII strings (generated)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // printable ASCII incl. repeated spaces — the kernel's documented
+    // input domain (fixture corpus is 32..121); fixed seeds keep it
+    // deterministic
+    val charGen = Gen.frequency(6 -> Gen.choose(33.toChar, 121.toChar),
+      1 -> Gen.const(' '))
+    val strGen = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 300)
+      .map(i => strGen.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    val df = texts.toDF("text")
+    val th = tokenHashes(col("text"))
+    val diff = df
+      .withColumn("fT", th).withColumn("rT", tokenHashesHof(col("text")))
+      .withColumn("fD", docHash(th)).withColumn("rD", docHashHof(th))
+      .withColumn("fS", shingleHashes(th, 3))
+      .withColumn("rS", shingleHashesHof(th, 3))
+      .filter(not(col("fT") <=> col("rT")) || not(col("fD") <=> col("rD")) ||
+        not(col("fS") <=> col("rS")))
+    assert(diff.count() === 0)
+  }
+
   test("kernel edge cases: empty text, repeated/leading/trailing spaces, short docs") {
     import spark.implicits._
     val edge = Seq("", " ", "a", "a b", "  double  space ", "one two",
