@@ -147,7 +147,11 @@ object TextQueries {
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("b"))))
       .filter(col("rn") <= 20)
       .select(col("lang").as("cand_lang"), col("b"))
-    val docBg = bg.select("doc_id", "b").distinct()
+    // per-doc distinct bigrams never need a shuffle: dedupe inside the
+    // array before exploding instead of a global distinct()
+    val docBg = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.SimFns.charBigrams(col("text"))))
+        .as("b"))
     val score = docBg.join(broadcast(prof), "b")
       .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("ov"))
     val pred = score.withColumn("rn", row_number().over(
