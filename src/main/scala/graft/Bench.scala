@@ -27,18 +27,30 @@ object Bench {
     // of whatever else the host is doing (observed 1.7x run-to-run drift
     // on the same build); the per-query minimum is the standard
     // steady-state estimator.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def timedPass(): (Map[String, Double], Set[String]) = {
+      val failed = scala.collection.mutable.Set.empty[String]
+      val times = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      (times, failed.toSet)
     }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val (p1, f1) = timedPass()
+    val (p2, f2) = timedPass()
+    val failed = f1 ++ f2
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failing query must be visible in the JSON, not silently counted
+    // as its time-to-exception
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

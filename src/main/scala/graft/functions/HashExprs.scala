@@ -26,8 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - shingle/doc hash = fold hashes x: h -> (h*131 + x) mod P
   *  - minhash_j = min over x of (a_j*x + b_j) mod P
   *  - band key b = ((sig[2b] * 1000003 + sig[2b+1]) mod bigP) * nBands + b
-  * All intermediates stay below 2^63 (values < P = 1e9, multipliers
-  * <= 1000003 applied to < bigP = 1e15 once per fold step).
+  * All intermediates stay below 2^63 for the shipped configurations
+  * (hash values < P = 1e9; the band fold applies its 1000003 multiplier
+  * exactly once because rowsPerBand is capped at 2 — a third fold step
+  * would overflow, which BandKeysExpr guards against).
   */
 object HashKernels {
   val P = 1000000007L
@@ -141,8 +143,34 @@ sealed trait HashKernelExpr extends UnaryExpression {
     defineCodeGen(ctx, ev, kernelCall)
 }
 
+/** Analysis-time input validation for the kernel expressions.
+  * (`ExpectsInputTypes` can't be mixed in from outside
+  * `org.apache.spark.sql` — `AbstractDataType` is private[sql] — so the
+  * checks are spelled out; without them the SQL-registered functions
+  * would accept wrong-typed arrays and reinterpret raw bytes.) */
+private[functions] object KernelTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def stringInput(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires a string argument, got ${other.simpleString}")
+  }
+
+  def arrayOf(fn: String, elem: DataType, dts: DataType*): TypeCheckResult =
+    dts.zipWithIndex.collectFirst {
+      case (dt, i) if !dt.isInstanceOf[ArrayType] ||
+          dt.asInstanceOf[ArrayType].elementType != elem =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} requires array<${elem.simpleString}>, " +
+            s"got ${dt.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
+
 /** array<bigint> of per-token polynomial hashes of a text column. */
 case class TokenHashesExpr(child: Expression) extends HashKernelExpr {
+  override def checkInputDataTypes() =
+    KernelTypeCheck.stringInput(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hashes"
   override def nullSafeEval(input: Any): Any =
@@ -155,7 +183,9 @@ case class TokenHashesExpr(child: Expression) extends HashKernelExpr {
 
 /** Order-sensitive fold of a token-hash array into one bigint. */
 case class DocHashExpr(child: Expression) extends HashKernelExpr {
-  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
+    override def dataType: DataType = LongType
   override def prettyName: String = "doc_hash"
   override def nullSafeEval(input: Any): Any =
     HashKernels.docHash(input.asInstanceOf[ArrayData])
@@ -167,7 +197,9 @@ case class DocHashExpr(child: Expression) extends HashKernelExpr {
 
 /** Rolling k-window fold of a token-hash array; empty if fewer than k. */
 case class ShingleHashesExpr(child: Expression, k: Int) extends HashKernelExpr {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
     HashKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
@@ -183,6 +215,8 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends HashKernelExpr {
 case class MinHashSigExpr(child: Expression, seedsA: Array[Long], seedsB: Array[Long])
     extends HashKernelExpr {
   require(seedsA.length == seedsB.length)
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any =
@@ -203,6 +237,12 @@ case class MinHashSigExpr(child: Expression, seedsA: Array[Long], seedsB: Array[
   */
 case class BandKeysExpr(child: Expression, nBands: Int, rowsPerBand: Int)
     extends HashKernelExpr {
+  // rowsPerBand > 2 would overflow the fold: acc < BigP ~ 1e15 times the
+  // 1000003 multiplier exceeds 2^63 from the second step on
+  require(rowsPerBand >= 1 && rowsPerBand <= 2,
+    "BandKeysExpr supports rowsPerBand of 1 or 2")
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_keys"
   override def nullSafeEval(input: Any): Any =
@@ -222,6 +262,8 @@ case class BandKeysExpr(child: Expression, nBands: Int, rowsPerBand: Int)
 case class SimHashExpr(child: Expression, bits: Int, a: Long, b0: Long)
     extends HashKernelExpr {
   require(bits > 0 && bits <= 30)
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
   override def nullSafeEval(input: Any): Any =

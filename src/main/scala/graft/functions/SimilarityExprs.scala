@@ -34,11 +34,15 @@ object SimilarityKernels {
     var dotBB = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dotAB += x * y
-      dotAA += x * x
-      dotBB += y * y
+      // null elements contribute nothing (fixture arrays never hold
+      // nulls; SQL callers might)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dotAB += x * y
+        dotAA += x * x
+        dotBB += y * y
+      }
       i += 1
     }
     dotAB / (math.sqrt(dotAA) * math.sqrt(dotBB))
@@ -50,10 +54,13 @@ object SimilarityKernels {
     val m = b.numElements()
     val set = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
-    while (i < n) { set.add(a.getUTF8String(i)); i += 1 }
+    while (i < n) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
     var inter = 0
     i = 0
-    while (i < m) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    while (i < m) {
+      if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
+      i += 1
+    }
     inter.toDouble / (n + m - inter)
   }
 
@@ -89,6 +96,8 @@ object SimilarityKernels {
 
 /** cosine(a, b) of two float-array columns, fused single pass. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, FloatType, left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -103,6 +112,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
 
 /** jaccard(a, b) of two element-distinct string-array columns. */
 case class JaccardSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, StringType, left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -117,6 +128,8 @@ case class JaccardSimExpr(left: Expression, right: Expression) extends BinaryExp
 
 /** Character bigrams of a text column. */
 case class CharBigramsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    KernelTypeCheck.stringInput(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_bigrams"
   override def nullSafeEval(input: Any): Any =
@@ -129,6 +142,8 @@ case class CharBigramsExpr(child: Expression) extends UnaryExpression {
 
 /** Word bigrams of a text column. */
 case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() =
+    KernelTypeCheck.stringInput(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_bigrams"
   override def nullSafeEval(input: Any): Any =

@@ -94,7 +94,7 @@ object TextFns {
       val fold = (0 until rowsPerBand)
         .map(r => element_at(signature, b * rowsPerBand + r + 1))
         .reduce((acc, x) => pmod(acc * lit(1000003L) + x, lit(bigP)))
-      (pmod(fold, lit(bigP)) * lit(4L) + lit(b.toLong))
+      (pmod(fold, lit(bigP)) * lit(nBands.toLong) + lit(b.toLong))
     }: _*)
   }
 

@@ -243,7 +243,10 @@ object JoinQueries {
       .withColumn("valid_to", lead(col("ts"), 1).over(wChg))
       .select(col("user_id"), col("event_type"),
         col("ts").as("valid_from"), col("valid_to"))
-      .orderBy("user_id", "valid_from")
+      // (user_id, valid_from, event_type) is a total order over change
+      // rows: two same-ts rows of the same user and type cannot both be
+      // changes (the second would see prev_type == event_type)
+      .orderBy("user_id", "valid_from", "event_type")
   }
 
   val q69Scd2Sql: String =
@@ -255,7 +258,7 @@ object JoinQueries {
       |      LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       |    FROM events)
       |  WHERE prev_type IS NULL OR prev_type <> event_type)
-      |ORDER BY user_id, valid_from""".stripMargin
+      |ORDER BY user_id, valid_from, event_type""".stripMargin
 
   /** Merge/upsert (the MERGE INTO shape without a table format): apply a
     * changes feed (latest event value per user) onto a base snapshot

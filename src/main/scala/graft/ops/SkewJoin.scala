@@ -31,6 +31,8 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets > 1, "salting needs at least 2 buckets")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs already have a __salt column; rename it before salting")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(buckets))
         .cast("int"))

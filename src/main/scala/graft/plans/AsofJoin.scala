@@ -54,8 +54,10 @@ case class AsofJoinPlan(
 object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, aj: AsofJoinPlan) =>
+      // like Catalyst's own pushdown, never move non-deterministic
+      // predicates (a pushed rand() would see different rows)
       val (leftPreds, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(aj.left.outputSet))
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
       if (leftPreds.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(leftPreds.reduce(And), aj.left))

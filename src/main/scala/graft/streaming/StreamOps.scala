@@ -63,6 +63,30 @@ object StreamOps {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "left")
 
+  /** One micro-batch step of the funnel state machine — shared by both
+    * arbitrary-state APIs below so their semantics can never drift.
+    * Events within a batch are not ordered: signups fold in first so a
+    * same-batch signup+purchase pair converts. */
+  private def advanceFunnel(userId: Long, prev: FunnelState,
+      evs: Seq[Ev]): (FunnelState, Seq[Conversion]) = {
+    var st = prev
+    val out = scala.collection.mutable.ListBuffer.empty[Conversion]
+    val (signups, rest) = evs.partition(_.event_type == "signup")
+    signups.foreach { e =>
+      val us = e.ts.getTime * 1000
+      if (us < st.signupUs) st = st.copy(signupUs = us)
+    }
+    rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (!st.converted && e.event_type == "purchase" &&
+          st.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= st.signupUs) {
+        st = st.copy(converted = true)
+        out += Conversion(userId, new Timestamp(st.signupUs / 1000), e.ts,
+          (e.ts.getTime * 1000 - st.signupUs) / 1000000)
+      }
+    }
+    (st, out.toSeq)
+  }
+
   /** T6: stateful signup→purchase funnel via flatMapGroupsWithState.
     * State per user is two fields (first signup µs + converted flag);
     * emits exactly one Conversion when the first at-or-after purchase
@@ -75,24 +99,9 @@ object StreamOps {
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, converted = false))
-          val out = scala.collection.mutable.ListBuffer.empty[Conversion]
-          // Events within a batch are not ordered — process signups first
-          // so a same-batch signup+purchase pair converts.
-          val (signups, rest) = evs.toSeq.partition(_.event_type == "signup")
-          signups.foreach { e =>
-            val us = e.ts.getTime * 1000
-            if (us < st.signupUs) st = st.copy(signupUs = us)
-          }
-          rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (!st.converted && e.event_type == "purchase" &&
-                st.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= st.signupUs) {
-              st = st.copy(converted = true)
-              val signupTs = new Timestamp(st.signupUs / 1000)
-              out += Conversion(userId, signupTs, e.ts,
-                (e.ts.getTime * 1000 - st.signupUs) / 1000000)
-            }
-          }
+          val prev = state.getOption
+            .getOrElse(FunnelState(Long.MaxValue, converted = false))
+          val (st, out) = advanceFunnel(userId, prev, evs.toSeq)
           state.update(st)
           out.iterator
       }
@@ -110,22 +119,9 @@ object StreamOps {
         Encoders.product[FunnelState], TTLConfig.NONE)
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[Conversion] = {
-      var s = if (st.exists()) st.get()
+      val prev = if (st.exists()) st.get()
         else FunnelState(Long.MaxValue, converted = false)
-      val out = scala.collection.mutable.ListBuffer.empty[Conversion]
-      val (signups, rest) = rows.toSeq.partition(_.event_type == "signup")
-      signups.foreach { e =>
-        val us = e.ts.getTime * 1000
-        if (us < s.signupUs) s = s.copy(signupUs = us)
-      }
-      rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        if (!s.converted && e.event_type == "purchase" &&
-            s.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= s.signupUs) {
-          s = s.copy(converted = true)
-          out += Conversion(userId, new Timestamp(s.signupUs / 1000), e.ts,
-            (e.ts.getTime * 1000 - s.signupUs) / 1000000)
-        }
-      }
+      val (s, out) = advanceFunnel(userId, prev, rows.toSeq)
       st.update(s)
       out.iterator
     }
