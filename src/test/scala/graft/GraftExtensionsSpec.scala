@@ -28,6 +28,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(4) == viaColumn)
   }
 
+  test("wrong-typed SQL arguments fail analysis instead of reading garbage") {
+    GraftFunctions.register(spark)
+    // double arrays (not float) must be rejected, not byte-reinterpreted
+    val e1 = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d))").head())
+    assert(e1.getMessage.contains("cosine_sim"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT jaccard_sim(array(1, 2), array(2, 3))").head())
+    assert(e2.getMessage.contains("jaccard_sim"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT token_hashes(42)").head())
+    assert(e3.getMessage.contains("token_hashes"))
+  }
+
+  test("guards: rowsPerBand cap and pre-salted skew-join inputs") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      graft.functions.TextFns.bandKeys(col("x"), nBands = 2, rowsPerBand = 3))
+    val pre = Seq((1L, 2)).toDF("k", "__salt")
+    intercept[IllegalArgumentException](
+      graft.ops.SkewJoin.saltedInnerJoin(pre, Seq((1L, "a")).toDF("k", "v"),
+        "k", 4))
+  }
+
   test("GraftExtensions is loadable by the spark.sql.extensions mechanism") {
     // The extensions loader instantiates the class by reflection with a
     // no-arg constructor and applies it to a SparkSessionExtensions;
