@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** One-stop facade over the engine's public surface. A pipeline that
+  * used the reference's dataframe workflow switches by building a
+  * normal SparkSession (optionally with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`) and
+  * calling these entry points; everything returns plain DataFrames, so
+  * the full Spark API composes around them.
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.enable(spark)                       // SQL fns + as-of planner
+  * val docs  = Graft.tables.documents(spark, dir)
+  * val dedup = docs.withColumn("sh", Graft.simHash(col("text")))
+  * val joined = Graft.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t")
+  * }}}
+  */
+object Graft {
+
+  /** Register everything on a live session: kernel SQL functions plus
+    * the as-of join strategy and pushdown rule. Idempotent. */
+  def enable(spark: SparkSession): Unit = {
+    GraftFunctions.register(spark)
+    plans.AsofJoinOp.ensureRegistered(spark)
+  }
+
+  /** Fixture-schema table loaders (explicit StructTypes, fail-fast). */
+  def tables: Tables.type = Tables
+
+  // -- similarity / text kernels (codegen'd custom expressions) --
+  def cosineSim(a: Column, b: Column): Column = functions.SimFns.cosineSim(a, b)
+  def jaccardSim(a: Column, b: Column): Column = functions.SimFns.jaccardSim(a, b)
+  def charBigrams(text: Column): Column = functions.SimFns.charBigrams(text)
+  def wordBigrams(text: Column): Column = functions.SimFns.wordBigrams(text)
+  def tokenHashes(text: Column): Column = functions.TextFns.tokenHashes(text)
+  def docHash(tokenHashes: Column): Column = functions.TextFns.docHash(tokenHashes)
+
+  /** 60-bit SimHash fingerprint of a text column (two seeded 30-bit
+    * views — the q61 configuration). */
+  def simHash(text: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    val th = functions.TextFns.tokenHashes(text)
+    functions.TextFns.simHash(th, 30) +
+      functions.TextFns.simHash(th, 30, 387L, 15L) * lit(1L << 30)
+  }
+
+  // -- operators --
+
+  /** Left outer as-of join via the native merge operator (AsofJoinExec). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      tie: Option[String] = None): DataFrame =
+    plans.AsofJoinOp.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs, tie)
+
+  /** Hot-key-safe inner equi-join (deterministic salting). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int = 16): DataFrame =
+    ops.SkewJoin.saltedInnerJoin(left, right, key, buckets)
+
+  /** IVF approximate-nearest-neighbor entry points. */
+  def annTrain(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 3): ops.AnnIvf.IvfModel =
+    ops.AnnIvf.train(emb, vecCol, idCol, k, iters)
+  def annAssign(emb: DataFrame, vecCol: String,
+      model: ops.AnnIvf.IvfModel): DataFrame =
+    ops.AnnIvf.assign(emb, vecCol, model)
+  def annTopK(assigned: DataFrame, vecCol: String, idCol: String,
+      model: ops.AnnIvf.IvfModel, query: Array[Float], k: Int,
+      nProbe: Int): DataFrame =
+    ops.AnnIvf.topK(assigned, vecCol, idCol, model, query, k, nProbe)
+
+  /** Elementwise-mean UDAF for fixed-length float vectors. */
+  def centroidUdaf(dim: Int): Column => Column = {
+    val agg = org.apache.spark.sql.functions.udaf(new functions.CentroidAgg(dim))
+    c => agg(c)
+  }
+}
