@@ -273,4 +273,50 @@ object TextQueries {
        |  FROM (SELECT doc_id, $th AS th FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Deterministic train/val/test split — the dataset-assembly op every
+    * training pipeline needs. Assignment is a pure function of the id
+    * (multiplicative hash mod 100), so it is reproducible, join-free,
+    * and stable under reruns and repartitioning; emits per-(lang, split)
+    * counts. */
+  def q71SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+    d.withColumn("split", split)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  val q71SplitAssignSql: String =
+    """SELECT lang, split, COUNT(*) AS n FROM (
+      |  SELECT lang, CASE
+      |    WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 80 THEN 'train'
+      |    WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Stratified deterministic sample: 5 documents per language, chosen
+    * by ranking a per-row hash inside each stratum — the reproducible,
+    * shuffle-once alternative to rand()-based sampling. */
+  def q72StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000007L))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", h)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "rn", "doc_id", "source")
+      .orderBy("lang", "rn")
+  }
+
+  val q72StratifiedSampleSql: String =
+    """SELECT lang, rn, doc_id, source FROM (
+      |  SELECT lang, doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ((doc_id * 1103515245 + 12345) % 1000000007 + 1000000007) % 1000000007, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 }
