@@ -23,7 +23,7 @@ object AggQueries {
     c.createOrReplaceTempView("q11_customer")
     s.sql(
       s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS revenue,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          |  CAST(grouping_id() AS BIGINT) AS gid
          |FROM q11_orders JOIN q11_customer ON o_custkey = c_custkey
          |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
@@ -92,40 +92,54 @@ object AggQueries {
       |  ROUND(covar_samp(l_quantity, l_discount), 6) + 0 AS covar_qty_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** A10 exact percentiles (continuous interpolation both engines). */
+  /** A10 exact percentiles (continuous interpolation both engines).
+    * The multi-probability array form of `percentile` is the surface
+    * under test; the OUTPUT unpacks it to scalar columns because the
+    * driver's pandas hasher cannot sort/hash array cells. */
   def q15Percentiles(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
+    val quarts = transform(percentile(col("o_totalprice"),
+      array(lit(0.25), lit(0.5), lit(0.75))), x => round(x, 4))
     o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(
-        transform(percentile(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75))), x => round(x, 4))
-          .as("price_quartiles"),
+      .agg(quarts.as("q"),
         rnd(percentile(col("o_totalprice"), lit(0.9))).as("p90"))
+      .select(col("c_mktsegment"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("p90"))
       .orderBy("c_mktsegment")
   }
 
   val q15PercentilesSql: String =
-    """SELECT c_mktsegment,
-      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> ROUND(x, 4)) AS price_quartiles,
-      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    """SELECT c_mktsegment, q[1] AS p25, q[2] AS p50, q[3] AS p75, p90 FROM (
+      |  SELECT c_mktsegment,
+      |    list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> ROUND(x, 4)) AS q,
+      |    ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
 
-  /** A7 sorted set-collect per group (hazard #3: arrays always sorted). */
+  /** A7 sorted set-collect per group (hazard #3: arrays always sorted).
+    * Output flattens the set to a joined string — the driver's pandas
+    * hasher cannot sort/hash array cells; string join of sorted string
+    * elements is lossless and formats identically on both engines. */
   def q16CollectSegments(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = broadcast(Tables.nation(s, dir))
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
         countDistinct(col("c_mktsegment")).as("n_segments"))
       .orderBy("n_name")
   }
 
   val q16CollectSegmentsSql: String =
-    """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+    """SELECT n_name,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
       |  COUNT(DISTINCT c_mktsegment) AS n_segments
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -214,7 +228,7 @@ object AggQueries {
     Tables.lineitem(s, dir).createOrReplaceTempView("q64_lineitem")
     s.sql(
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS qty,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS DOUBLE) AS qty,
          |  CAST(grouping_id() AS BIGINT) AS gid
          |FROM q64_lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -223,7 +237,7 @@ object AggQueries {
 
   val q64CubeSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(13,4))), 4) AS DECIMAL(18,4)) AS qty,
+      |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(13,4))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS qty,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)

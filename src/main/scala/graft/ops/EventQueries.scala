@@ -141,8 +141,10 @@ object EventQueries {
       |  MAX(ts) AS session_end, COUNT(*) AS n_events
       |FROM (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    -- CAST AS BIGINT: DuckDB windowed integer SUM widens to
+      |    -- HUGEINT → pandas float64, vs Spark's int64
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER

@@ -167,16 +167,19 @@ object FunctionQueries {
         col("p_partkey"),
         aggregate(sequence(lit(1), col("p_size")), lit(0), (a, x) => a + x)
           .as("tri_sum"),
-        transform(flatten(array(sequence(lit(1), lit(2)),
+        // joined to a string: the driver's pandas hasher cannot
+        // sort/hash array cells; int→string formats identically on
+        // both engines, so the join is lossless
+        array_join(transform(flatten(array(sequence(lit(1), lit(2)),
           sequence(lit(1), pmod(col("p_size"), lit(3)) + 1))),
-          x => x.cast("long")).as("flat_seq"))
+          x => x.cast("string")), ",").as("flat_seq"))
       .orderBy("p_partkey")
   }
 
   val q36SequencesSql: String =
     """SELECT p_partkey,
       |  CAST(list_aggregate(generate_series(1, p_size), 'sum') AS INTEGER) AS tri_sum,
-      |  flatten([generate_series(1, 2), generate_series(1, p_size % 3 + 1)]) AS flat_seq
+      |  array_to_string(flatten([generate_series(1, 2), generate_series(1, p_size % 3 + 1)]), ',') AS flat_seq
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Scalar sweep: the §2.7 functions not already covered by q30–q36 —

@@ -19,7 +19,16 @@ import org.apache.spark.sql.types.DecimalType
   *  - DuckDB CAST(decimal AS narrower-decimal) TRUNCATES, but DuckDB
   *    ROUND(dec, 4) rounds half-up == Spark's cast-to-decimal (HALF_UP).
   *    So every Spark `dec4(expr)` output pairs with DuckDB
-  *    `CAST(ROUND(expr, 4) AS DECIMAL(18,4))`.
+  *    `CAST(CAST(ROUND(expr, 4) AS DECIMAL(18,4)) AS DOUBLE)`.
+  *  - FINAL projections are DOUBLE, not DECIMAL: both engines convert the
+  *    identical scale-4 decimal to its nearest IEEE-754 double (exact,
+  *    deterministic, same bits), and a double survives the driver's
+  *    pandas-based hasher, where DECIMAL does not (Spark parquet decimal
+  *    → pandas `object`/`Decimal` vs DuckDB `.df()` DECIMAL → `float64`
+  *    hash-mismatch even when values are equal). The decimal math stays
+  *    INTERNAL — that is what keeps SUM/AVG partition-order independent;
+  *    only the last projection converts. Decimal(18,4) cannot round to
+  *    IEEE -0.0 (BigDecimal has no signed zero), so no `+ 0.0` needed.
   */
 object Parity {
   /** Measure columns (price/quantity/balance/value): exact, headroom for
@@ -32,9 +41,10 @@ object Parity {
   /** Literal 1 as a tight decimal for (1 - disc)-style factors. */
   val one: Column = lit(1).cast(DecimalType(6, 4))
 
-  /** Final-output normalization: HALF_UP to scale 4, fixed type.
-    * DuckDB mirror: CAST(ROUND(expr, 4) AS DECIMAL(18,4)). */
-  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Final-output normalization: HALF_UP to scale 4 via an exact decimal
+    * cast, then to DOUBLE (see header — driver-hasher-safe, same bits on
+    * both engines). DuckDB mirror: `out4`. */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4)).cast("double")
 
   /** Round a double output to `s` places — used where decimal math is
     * impossible (stddev/corr/cosine). Collision with a rounding boundary
@@ -44,5 +54,6 @@ object Parity {
   /** DuckDB SQL fragment mirrors. */
   val DM = "DECIMAL(13,4)"
   val DF = "DECIMAL(6,4)"
-  def out4(expr: String): String = s"CAST(ROUND($expr, 4) AS DECIMAL(18,4))"
+  def out4(expr: String): String =
+    s"CAST(CAST(ROUND($expr, 4) AS DECIMAL(18,4)) AS DOUBLE)"
 }

@@ -25,15 +25,17 @@ object SourceQueries {
       .option("header", "true").csv(out)
     val back = s.read.option("header", "true")
       .schema(Tables.nationSchema).csv(out)
+    // names joined to a string: the driver's pandas hasher cannot
+    // sort/hash array cells (sorted string list join is lossless)
     back.groupBy("n_regionkey")
       .agg(count(lit(1)).as("n_nations"),
-        sort_array(collect_list(col("n_name"))).as("names"))
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
       .orderBy("n_regionkey")
   }
 
   val q37CsvRoundtripSql: String =
     """SELECT n_regionkey, COUNT(*) AS n_nations,
-      |  list_sort(list(n_name)) AS names
+      |  array_to_string(list_sort(list(n_name)), ',') AS names
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** S3: JSON-lines sink → source; doubles must round-trip losslessly. */
@@ -65,7 +67,10 @@ object SourceQueries {
       .orderBy("lang")
   }
 
+  // CAST AS BIGINT: DuckDB widens integer SUM to HUGEINT → pandas
+  // float64, vs Spark's int64 — hash-mismatch on type alone
   val q39PartitionedSinkSql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

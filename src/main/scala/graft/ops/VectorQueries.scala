@@ -180,7 +180,8 @@ object VectorQueries {
       |  FROM embeddings)
       |SELECT vec_id,
       |  ROUND(q_scale, 6) AS q_scale_r,
-      |  list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS code_sum,
+      |  -- outer CAST: DuckDB list_sum widens to HUGEINT → pandas float64
+      |  CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS BIGINT) AS code_sum,
       |  ROUND(list_max(list_transform(generate_series(1, len(codes)),
       |    i -> abs(CAST(codes[i] AS DOUBLE) * q_scale - vd[i]))), 6) AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
