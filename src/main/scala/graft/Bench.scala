@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // comma-separated query-name subset for local iteration; the driver
+    // never sets it, so its rounds always time the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    def selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +26,7 @@ object Bench {
       val d = new java.io.File(sib, "sf0.001")
       if (d.isDirectory) d.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // Best of two timed passes per query: a single pass is at the mercy
@@ -29,7 +35,7 @@ object Bench {
     // steady-state estimator.
     def timedPass(): (Map[String, Double], Set[String]) = {
       val failed = scala.collection.mutable.Set.empty[String]
-      val times = SparkEntry.queries.map { case (name, fn) =>
+      val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

@@ -85,15 +85,25 @@ object AnnIvf {
 
   /** Top-k neighbors of one query vector, probing `nProbe` buckets of
     * the assigned corpus. Returns (vec_id, rnk, sim) ranked on the
-    * rounded similarity with id tie-break (the q53 determinism rule). */
+    * rounded similarity with id tie-break (the q53 determinism rule).
+    *
+    * Ranking is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-k heap + driver merge of k
+    * rows per partition), NOT a global ranking window, which would pull
+    * every probed candidate into one partition (at 100 TB with
+    * nProbe/k ≈ 1/3 of the corpus, an executor-sized bottleneck). The
+    * `rnk` column is attached afterward over the k-row result — a
+    * single-partition window over k rows, not over the corpus. */
   def topK(assigned: DataFrame, vecCol: String, idCol: String,
       model: IvfModel, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
     val probes = model.nearestCentroids(query, nProbe)
-    val w = Window.orderBy(col("sim").desc, col(idCol))
-    assigned.filter(col("cid").isin(probes: _*))
+    val top = assigned.filter(col("cid").isin(probes: _*))
       .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
       .select(col(idCol), col("rnk"), col("sim"))
   }
 }

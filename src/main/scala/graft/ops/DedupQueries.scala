@@ -56,6 +56,12 @@ object DedupQueries {
       col("toks").as("toks_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("len_bkt"),
       col("toks").as("toks_b"))
+    // exact all-pairs-within-block baseline, kept deliberately: a
+    // size-ratio prune in the join condition was measured SLOWER here
+    // (blocks already group similar-length docs, so the prune rarely
+    // fires but is paid per pair). The sub-quadratic scale paths are
+    // q51's band keys and ops.PrefixJoin (lossless prefix filtering,
+    // proven output-equivalent to this query in PrefixJoinSpec).
     a.join(b, Seq("lang", "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
@@ -78,18 +84,29 @@ object DedupQueries {
       |    ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
       |WHERE jac >= 0.95 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Char 3-gram jaccard over part names (all distinct-name pairs — the
-    * name dictionary is tiny; the blocking story lives in q49/q51). */
+  /** Char 3-gram jaccard over part names. Candidates come from a gram
+    * inverted index — explode each name's distinct 3-grams and equi-join
+    * on the gram — which is LOSSLESS for any threshold > 0 (jac > 0
+    * requires at least one shared gram), so the output matches the
+    * all-pairs oracle exactly while the plan stays a hash-partitioned
+    * equi-join (no CartesianProduct). Candidate volume ∝ gram
+    * co-occurrence, not |dictionary|²; at web scale you'd add prefix
+    * filtering (index only each name's rarest grams) to shrink the hot
+    * gram buckets, or go to the q51 band keys. */
   def q50CharGramJaccard(s: SparkSession, dir: String): DataFrame = {
     val grams3 = (nm: org.apache.spark.sql.Column) =>
       array_distinct(transform(sequence(lit(1), length(nm) - 2),
         i => nm.substr(i, lit(3))))
     val t = Tables.part(s, dir).select(col("p_name")).distinct()
       .withColumn("g", grams3(col("p_name")))
-    val a = t.select(col("p_name").as("name_a"), col("g").as("ga"))
-    val b = t.select(col("p_name").as("name_b"), col("g").as("gb"))
-    a.crossJoin(b)
+    val ex = t.select(col("p_name"), col("g"), explode(col("g")).as("gram"))
+    val cand = ex.select(col("p_name").as("name_a"), col("g").as("ga"),
+        col("gram"))
+      .join(ex.select(col("p_name").as("name_b"), col("g").as("gb"),
+        col("gram")), "gram")
       .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "ga", "gb").distinct()
+    cand
       .withColumn("jac",
         graft.functions.SimFns.jaccardSim(col("ga"), col("gb")))
       .filter(col("jac") >= 0.3)

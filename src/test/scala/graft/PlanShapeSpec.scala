@@ -46,6 +46,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cross join must not be partition-wise")
   }
 
+  test("q50: gram-inverted-index candidates keep the similarity join an equi-join") {
+    val p = planOf("q50_chargram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay an equi-join on the gram key:\n$p")
+  }
+
+  test("AnnIvf.topK ranks via TakeOrderedAndProject, not a global window over the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = ops.AnnIvf.train(emb, "embedding", "vec_id", k = 4, iters = 1)
+    val assigned = ops.AnnIvf.assign(emb, "embedding", model)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val top = ops.AnnIvf.topK(assigned, "embedding", "vec_id", model, qv,
+      k = 10, nProbe = 2)
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate ranking must be per-partition top-k + merge:\n$p")
+    // the only Window allowed is the rnk attach over the k-row result,
+    // which must sit ABOVE the TakeOrderedAndProject, never below it
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx < topIdx,
+      s"global ranking window below the top-k — corpus-wide single partition:\n$p")
+    assert(top.count() == 10)
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
