@@ -72,6 +72,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image decode via `javax.imageio` (ships in the JDK — no
+    * external dependency): per-partition pass appending (img_width,
+    * img_height, img_bands); payloads that are not a decodable image
+    * (wrong kind, corrupt bytes) yield nulls instead of failing the
+    * task. Same partition-batched shape as [[decodePartitions]] — a
+    * heavier codec would hoist its init above the row loop. */
+  def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("img_width", IntegerType).add("img_height", IntegerType)
+      .add("img_bands", IntegerType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val dims: Seq[Any] =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Seq(null, null, null)
+            else Seq(img.getWidth, img.getHeight, img.getRaster.getNumBands)
+          } catch { case _: Exception => Seq(null, null, null) }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ dims)
+      }
+    }(enc)
+  }
+
   /** STUB frame sampling for `kind = video`: emits `n` (frame_no,
     * frame_sig) rows per video via posexplode — the UDTF shape real
     * frame extraction would use. Non-video rows pass through with a

@@ -40,6 +40,18 @@ object StreamOps {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** T2: sliding event-time windows with a watermark — each event lands
+    * in width/slide overlapping buckets (the streaming form of
+    * EventQueries.q58). In append mode a bucket emits once its END
+    * passes the watermark, so the overlapping buckets of one event
+    * finish at different micro-batches. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("n"))
+
   /** T3: gap-based session windows per user (streaming form of
     * EventQueries.q59's gaps-and-islands). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

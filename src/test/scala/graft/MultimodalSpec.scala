@@ -36,6 +36,29 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("decodeImages reads real PNG dimensions via javax.imageio, nulls for junk") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel so the file isn't degenerate
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, png(17, 9)),
+      (2L, png(3, 31)),
+      (3L, "definitely not an image".getBytes("UTF-8"))).toDF("id", "media")
+    val out = Multimodal.decodeImages(df, "media")
+      .select("id", "img_width", "img_height", "img_bands")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == ((Some(17), Some(9), Some(3))))
+    assert(out(2L) == ((Some(3), Some(31), Some(3))))
+    assert(out(3L) == ((None, None, None)), "junk bytes must decode to nulls, not fail")
+  }
+
   test("sampleFrames explodes n frames per video, 1 per non-video") {
     val frames = Multimodal.sampleFrames(media, 4)
     val perKind = frames.groupBy("media_meta.kind")

@@ -53,6 +53,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T2 sliding windows emit one bucket per overlapping slide (append mode)") {
+    val in = newStream()
+    val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t2_sliding")
+      .outputMode("append").start()
+    try {
+      // one event at 10:05 lands in the 4 sliding buckets starting
+      // 09:15, 09:30, 09:45, 10:00
+      in.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past every bucket end (11:00) → all 4 emit
+      in.addData(Ev(2, ts("2024-01-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t2_sliding").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val expected = Seq("09:15", "09:30", "09:45", "10:00")
+        .map(m => s"2024-01-01 $m:00.0")
+      assert(expected.forall(out.get(_).contains(1L)),
+        s"each overlapping bucket must count the event once: $out")
+      assert(out.size == expected.size,
+        s"the 14:00 row's buckets are still open and must not emit: $out")
+    } finally q.stop()
+  }
+
   test("T5 dropDuplicatesWithinWatermark keeps one row per event_id") {
     val in = newStream()
     val q = StreamOps.dedupByEventId(in.toDF(), "10 minutes")
