@@ -76,16 +76,27 @@ object Tables {
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
+  /** Relation memo per (session, dir, table): a DataFrame is an immutable
+    * logical plan, so reuse is safe, and it keeps one InMemoryFileIndex
+    * per table instead of re-listing the directory on every query that
+    * mentions it (72 bench queries × ~2 tables each adds up). Keyed on
+    * the session object so a stopped session's entries are never reused
+    * by the next one. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else {
-      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    }
+    memo.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      } else {
+        spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      }
+    })
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
