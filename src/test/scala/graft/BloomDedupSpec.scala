@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.BloomDedup
+import org.apache.spark.sql.functions._
+
+/** BloomDedup exactness + routing effectiveness: the bloom-routed
+  * incremental dedup must return EXACTLY the plain anti-join result
+  * (bloom has no false negatives, and maybe-hits are verified exactly),
+  * and the filter must route most genuinely-new rows around the join.
+  */
+class BloomDedupSpec extends SparkSpec {
+
+  test("newAgainst equals the exact anti-join, including all-new and all-dup slices") {
+    import spark.implicits._
+    val corpus = Tables.orders(spark, sf0001).select("o_orderkey")
+    // batch = half the corpus keys (dups) + a disjoint new-key range
+    val dups = corpus.filter(col("o_orderkey") % 2 === 0)
+    val fresh = spark.range(10_000_000L, 10_000_500L).toDF("o_orderkey")
+    val batch = dups.unionByName(fresh)
+
+    val bloom = BloomDedup.buildFilter(corpus, "o_orderkey",
+      expectedItems = 20000, fpp = 0.01)
+    val got = BloomDedup.newAgainst(batch, corpus, "o_orderkey", bloom)
+      .collect().map(_.getLong(0)).sorted
+    val want = batch.join(corpus, Seq("o_orderkey"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "bloom-routed result diverged from exact anti-join")
+    assert(want.length == 500, "expected exactly the fresh keys to survive")
+  }
+
+  test("the filter routes ~fpp of genuinely-new keys to the exact check") {
+    val corpus = Tables.orders(spark, sf0001).select("o_orderkey")
+    val bloom = BloomDedup.buildFilter(corpus, "o_orderkey", 20000, 0.01)
+    import spark.implicits._
+    val fresh = spark.range(20_000_000L, 20_010_000L).toDF("o_orderkey")
+    val maybe = fresh.filter(BloomDedup.mightContain(bloom, col("o_orderkey"))).count()
+    // 10k new keys at fpp=0.01 → expect ~100 false positives; 5x slack
+    assert(maybe < 500, s"bloom routed $maybe of 10000 new keys to the join — ineffective")
+  }
+}
