@@ -19,10 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * through the public extension points (`experimental.extraStrategies` /
   * `SparkSessionExtensions`).
   *
-  * Semantics (left outer, backward-looking): for every left row, append
-  * the right row with the same key and the greatest `rightTs <= leftTs`
-  * (ties broken by the greatest `tie` column when given); nulls when no
-  * such row.
+  * Semantics (left outer): for every left row, append the matching
+  * right row per `direction` — Backward (default): the greatest
+  * `rightTs <= leftTs`, ties broken by the greatest `tie` column when
+  * given; Forward: the least `rightTs >= leftTs`, ties by the LEAST tie
+  * (first row in sort order); nulls when no such row. An optional
+  * `tolerance` (in the ts column's native unit — µs for timestamps,
+  * days for dates) additionally bounds |leftTs - rightTs|, matching the
+  * pandas `merge_asof` / DuckDB `ASOF JOIN` surface.
   *
   * Why a custom operator instead of the window rewrite (q56) or a range
   * join + rank: the rewrite unions both inputs through one shuffle and
@@ -34,11 +38,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * merge: no pair blow-up, no window buffer, and at 100 TB both inputs
   * shuffle exactly once (or zero times when bucketed on the key).
   */
+sealed trait AsofDirection
+object AsofDirection {
+  /** Latest right row at-or-before the left timestamp (the default). */
+  case object Backward extends AsofDirection
+  /** Earliest right row at-or-after the left timestamp. */
+  case object Forward extends AsofDirection
+}
+
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    rightTie: Option[Attribute]) extends BinaryNode {
+    rightTie: Option[Attribute],
+    direction: AsofDirection = AsofDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -69,8 +83,9 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, dir, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie,
+        dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +99,9 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    rightTie: Option[Attribute]) extends BinaryExecNode {
+    rightTie: Option[Attribute],
+    direction: AsofDirection = AsofDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -117,6 +134,20 @@ case class AsofJoinExec(
       throw new IllegalArgumentException(s"asof join key/ts type not supported: $other")
   }
 
+  /** |a - b| in the ts type's native unit, for the tolerance bound.
+    * Only integral-ordered ts types support tolerance. */
+  private def diffFn(dt: DataType): (Any, Any) => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (a, b) => math.abs(a.asInstanceOf[Long] - b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      (a, b) => math.abs(a.asInstanceOf[Int].toLong - b.asInstanceOf[Int].toLong)
+    case ShortType =>
+      (a, b) => math.abs(a.asInstanceOf[Short].toLong - b.asInstanceOf[Short].toLong)
+    case other =>
+      throw new IllegalArgumentException(
+        s"asof tolerance requires an integral ts type, got: $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
     val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
@@ -130,6 +161,9 @@ case class AsofJoinExec(
       "asof join key/ts types must match across sides")
     val keyCmp = comparator(keyDt)
     val tsCmp = comparator(tsDt)
+    val diff = tolerance.map(_ => diffFn(tsDt))
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val forward = direction == AsofDirection.Forward
     val rightWidth = right.output.size
     val outAttrs = output
 
@@ -154,23 +188,41 @@ case class AsofJoinExec(
       }
       advanceRight()
       var best: InternalRow = null
+      var bestTs: Any = null
       var bestKey: Any = null
+      def withinTol(a: Any, b: Any): Boolean =
+        diff.forall(d => d(a, b) <= tol)
       lIter.map { l =>
         if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
           project(joined(l, nullRight))
         } else {
           val lk = l.get(lKeyIdx, keyDt)
           val lt = l.get(lTsIdx, tsDt)
-          if (bestKey == null || keyCmp(bestKey, lk) != 0) { best = null; bestKey = lk }
           // drop right rows for keys already passed
           while (rRow != null && keyCmp(rKeyV, lk) < 0) advanceRight()
-          // fold in right rows at this key with ts <= left ts; sorted
-          // input means the last one consumed is the as-of winner
-          while (rRow != null && keyCmp(rKeyV, lk) == 0 && tsCmp(rTsV, lt) <= 0) {
-            best = rRow.copy()
-            advanceRight()
-          }
-          project(joined(l, if (best == null) nullRight else best))
+          val out: InternalRow =
+            if (forward) {
+              // skip rights strictly before lt — later lefts have
+              // larger lt, so they can never need them either. The
+              // winner is then PEEKED, not consumed: the same right row
+              // can serve several lefts with earlier timestamps.
+              while (rRow != null && keyCmp(rKeyV, lk) == 0 && tsCmp(rTsV, lt) < 0)
+                advanceRight()
+              if (rRow != null && keyCmp(rKeyV, lk) == 0 && withinTol(rTsV, lt))
+                rRow
+              else nullRight
+            } else {
+              if (bestKey == null || keyCmp(bestKey, lk) != 0) { best = null; bestKey = lk }
+              // fold in right rows at this key with ts <= left ts; sorted
+              // input means the last one consumed is the as-of winner
+              while (rRow != null && keyCmp(rKeyV, lk) == 0 && tsCmp(rTsV, lt) <= 0) {
+                best = rRow.copy()
+                bestTs = rTsV
+                advanceRight()
+              }
+              if (best != null && withinTol(lt, bestTs)) best else nullRight
+            }
+          project(joined(l, out))
         }
       }
     }
@@ -196,13 +248,18 @@ object AsofJoinOp {
   }
 
   /** Left outer as-of join: for each `left` row, the `right` row with
-    * `left(leftKey) == right(rightKey)` and the latest
-    * `rightTs <= leftTs` (greatest `tie` winning among equal
-    * timestamps). The two sides' column names must be disjoint — rename
-    * before joining. */
+    * `left(leftKey) == right(rightKey)` and — Backward (default) — the
+    * latest `rightTs <= leftTs` (greatest `tie` winning among equal
+    * timestamps), or — Forward — the earliest `rightTs >= leftTs`
+    * (least `tie` winning). `tolerance` bounds |leftTs - rightTs| in
+    * the ts column's native unit (µs for timestamps, days for dates).
+    * The two sides' column names must be disjoint — rename before
+    * joining. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, tie: Option[String] = None): DataFrame = {
+      leftTs: String, rightTs: String, tie: Option[String] = None,
+      direction: AsofDirection = AsofDirection.Backward,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -219,6 +276,6 @@ object AsofJoinOp {
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      tie.map(attr(rPlan, _))))
+      tie.map(attr(rPlan, _)), direction, tolerance))
   }
 }
