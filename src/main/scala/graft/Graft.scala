@@ -48,11 +48,34 @@ object Graft {
 
   // -- operators --
 
-  /** Left outer as-of join via the native merge operator (AsofJoinExec). */
+  /** Left outer as-of join via the native merge operator (AsofJoinExec);
+    * backward or forward, optionally tolerance-bounded. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      tie: Option[String] = None): DataFrame =
-    plans.AsofJoinOp.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs, tie)
+      tie: Option[String] = None,
+      direction: plans.AsofDirection = plans.AsofDirection.Backward,
+      tolerance: Option[Long] = None): DataFrame =
+    plans.AsofJoinOp.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      tie, direction, tolerance)
+
+  /** Lossless prefix-filtering jaccard self-join (AllPairs/PPJoin). */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, tokCol: String,
+      t: Double): DataFrame =
+    ops.PrefixJoin.jaccardJoin(docs, idCol, tokCol, t)
+
+  /** Membership sketch over a corpus key + exact bloom-routed
+    * new-vs-corpus dedup. */
+  def bloomFilterOf(corpus: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    ops.BloomDedup.buildFilter(corpus, keyCol, expectedItems, fpp)
+  def newAgainst(batch: DataFrame, corpus: DataFrame, keyCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    ops.BloomDedup.newAgainst(batch, corpus, keyCol, bloom)
+
+  /** Range-clustered, size-bounded parquet sink. Returns file count. */
+  def writeClustered(df: DataFrame, path: String, sortCols: Seq[String],
+      targetRowsPerFile: Long): Int =
+    ops.Compaction.writeClustered(df, path, sortCols, targetRowsPerFile)
 
   /** Hot-key-safe inner equi-join (deterministic salting). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,

@@ -50,6 +50,18 @@ class OperatorSpec extends SparkSpec {
       s"approx $approx vs exact $exact drifts past 3x the 5% rsd")
   }
 
+  test("A5 approx_percentile lands within 2% of the exact percentile") {
+    val o = Tables.orders(spark, sf0001)
+    val row = o.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("approx"))
+      .head()
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx p50 $approx vs exact $exact drifts past 2%")
+  }
+
   test("as-of join: every purchase maps to the latest view at-or-before it") {
     val out = graft.ops.EventQueries.q56AsofViewPurchase(spark, sf0001)
     val bad = out.filter(col("view_ts").isNotNull &&

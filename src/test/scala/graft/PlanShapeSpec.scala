@@ -72,6 +72,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(top.count() == 10)
   }
 
+  test("q43: document-frequency and corpus-count model tables broadcast") {
+    val p = planOf("q43_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"df/N model tables must broadcast, never shuffle the tf stream:\n$p")
+    assert(!p.contains("CartesianProduct"), "the one-row N join must broadcast")
+  }
+
+  test("q9: theta join keeps its equi key — sort-merge, never nested-loop") {
+    val p = planOf("q9_ship_delay")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"range predicate must ride an equi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "date-range condition must not degrade to a nested loop")
+  }
+
+  test("q57: tumbling window aggregates partially before the shuffle") {
+    val p = planOf("q57_tumbling")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"window-bucket agg must map-side combine:\n$p")
+  }
+
+  test("q40: text queries prune unused document columns at the scan") {
+    val p = planOf("q40_word_count")
+    assert(!p.contains("props") && !p.contains("source"),
+      s"unused columns must never reach the scan:\n$p")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
