@@ -77,6 +77,14 @@ object Graft {
       targetRowsPerFile: Long): Int =
     ops.Compaction.writeClustered(df, path, sortCols, targetRowsPerFile)
 
+  /** One-pass column profile (nulls / HLL distinct / min / max). */
+  def profile(df: DataFrame): DataFrame = ops.DataQuality.profile(df)
+
+  /** Rule-based row split: (clean, quarantined-with-violation-tags). */
+  def quarantine(df: DataFrame,
+      rules: Seq[(String, Column)]): (DataFrame, DataFrame) =
+    ops.DataQuality.quarantine(df, rules)
+
   /** Hot-key-safe inner equi-join (deterministic salting). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int = 16): DataFrame =

@@ -75,6 +75,27 @@ object StreamOps {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "left")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within `horizon` BEFORE the purchase. Both sides carry
+    * watermarks and the join condition bounds view_ts on both ends, so
+    * Spark can expire buffered state — the requirements for an append-
+    * mode stream-stream join to be runnable at all (unbounded state
+    * otherwise). Inner join: purchases with no view in the horizon drop. */
+  def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame,
+      horizon: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   /** One micro-batch step of the funnel state machine — shared by both
     * arbitrary-state APIs below so their semantics can never drift.
     * Events within a batch are not ordered: signups fold in first so a

@@ -115,6 +115,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views to purchases within the horizon") {
+    val vIn = newStream()
+    val pIn = newStream()
+    val q = StreamOps.purchasesWithRecentViews(
+        pIn.toDF().filter(col("event_type") === "purchase"),
+        vIn.toDF().filter(col("event_type") === "view"),
+        horizon = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      vIn.addData(
+        Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0),  // in horizon
+        Ev(11, ts("2024-01-01 08:00:00"), 1, "view", 1.0),  // too old
+        Ev(12, ts("2024-01-01 10:20:00"), 2, "view", 1.0))  // other user
+      pIn.addData(Ev(20, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("purchase_id", "view_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(rows == Set(20L -> 10L),
+        s"only the in-horizon same-user view may join: $rows")
+    } finally q.stop()
+  }
+
   test("T6 via transformWithState (Spark 4 API) matches the funnel semantics") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
