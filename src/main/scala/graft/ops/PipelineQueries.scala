@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the round-2 pipeline operators: bloom-routed
+  * incremental dedup, the forward as-of join, and the range-clustered
+  * compacting sink. Each op's exactness claim is thereby checked against
+  * DuckDB, not just ScalaTest. */
+object PipelineQueries {
+
+  private def scratch(sfDir: String, tag: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/$key/$tag"
+  }
+
+  /** L15 under the oracle gate: customers with no URGENT order (the q3
+    * answer), computed with the bloom-routed exact dedup — the sketch
+    * over the urgent-order keys routes definitely-new customers around
+    * the anti-join; the result is exactly NOT EXISTS. */
+  def q73BloomNewKeys(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("cust_key"))
+    val batch = Tables.customer(s, dir).select(col("c_custkey").as("cust_key"))
+    val bloom = BloomDedup.buildFilter(corpus, "cust_key",
+      expectedItems = corpus.count(), fpp = 0.01)
+    BloomDedup.newAgainst(batch, corpus, "cust_key", bloom)
+      .orderBy("cust_key")
+  }
+
+  val q73BloomNewKeysSql: String =
+    """SELECT c_custkey AS cust_key FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY cust_key""".stripMargin
+
+  /** J8 forward direction under the oracle gate: for each purchase, the
+    * EARLIEST view at-or-after it by the same user (least view_id on
+    * ties) — the native merge operator running Forward. */
+  def q74AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    graft.plans.AsofJoinOp.asofJoin(purchases, views,
+        leftKey = "user_id", rightKey = "v_user_id",
+        leftTs = "purchase_ts", rightTs = "view_ts", tie = Some("view_id"),
+        direction = graft.plans.AsofDirection.Forward)
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q74AsofForwardSql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+      |SELECT user_id, purchase_id, purchase_ts, view_id, view_ts FROM (
+      |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |    v.event_id AS view_id, v.ts AS view_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts ASC, v.event_id ASC) AS rn
+      |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+      |WHERE rn = 1
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** L16 under the oracle gate: documents written through the
+    * range-clustered compacting sink, read back, re-aggregated — any
+    * row lost or duplicated by the repartition/sort/write path breaks
+    * parity with the oracle over the ORIGINAL table. */
+  def q75ClusteredSink(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "documents_clustered")
+    Compaction.writeClustered(Tables.documents(s, dir), out,
+      sortCols = Seq("doc_id"), targetRowsPerFile = 2000L)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
+  // CAST AS BIGINT: DuckDB widens integer SUM to HUGEINT → pandas float64
+  val q75ClusteredSinkSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}
