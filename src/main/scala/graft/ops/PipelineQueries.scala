@@ -66,6 +66,31 @@ object PipelineQueries {
       |WHERE rn = 1
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  /** L17 under the oracle gate: quarantined customers with their
+    * violation tags (flattened to a string for the driver's hasher).
+    * The rule conjunction and the per-rule tags must match DuckDB
+    * evaluating the same predicates. */
+  def q76Quarantine(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val (_, bad) = DataQuality.quarantine(c, Seq(
+      "nonneg_balance" -> (col("c_acctbal") >= 0),
+      "balance_cap" -> (col("c_acctbal") <= 5000)))
+    bad.select(col("c_custkey"),
+        array_join(col("_violations"), ",").as("violations"))
+      .orderBy("c_custkey")
+  }
+
+  val q76QuarantineSql: String =
+    """SELECT c_custkey,
+      |  array_to_string(list_filter([
+      |    CASE WHEN NOT COALESCE(c_acctbal >= 0, FALSE) THEN 'nonneg_balance' END,
+      |    CASE WHEN NOT COALESCE(c_acctbal <= 5000, FALSE) THEN 'balance_cap' END],
+      |    x -> x IS NOT NULL), ',') AS violations
+      |FROM customer
+      |WHERE NOT COALESCE(c_acctbal >= 0, FALSE)
+      |   OR NOT COALESCE(c_acctbal <= 5000, FALSE)
+      |ORDER BY c_custkey""".stripMargin
+
   /** L16 under the oracle gate: documents written through the
     * range-clustered compacting sink, read back, re-aggregated — any
     * row lost or duplicated by the repartition/sort/write path breaks
