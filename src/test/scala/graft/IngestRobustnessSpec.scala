@@ -48,6 +48,23 @@ class IngestRobustnessSpec extends SparkSpec {
     assert(dropped.select("id", "amount").collect().length == 2)
   }
 
+  test("parquet mergeSchema unifies drifted file schemas on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // feed A has (id, amount); the later feed B added a currency column
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.parquet(s"$dir/batch=a")
+    Seq((3L, 30.0, "EUR")).toDF("id", "amount", "currency")
+      .write.parquet(s"$dir/batch=b")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "amount", "currency", "batch"))
+    val rows = merged.select("id", "currency").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty,
+      "pre-drift files read the new column as null")
+    assert(rows(3L).contains("EUR"))
+  }
+
   test("JSON lines: broken line is quarantined, valid lines parse typed") {
     val path = write(Seq(
       """{"id": 1, "v": 2.5}""",
