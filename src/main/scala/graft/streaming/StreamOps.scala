@@ -96,6 +96,45 @@ object StreamOps {
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** T7+ production sink pattern: `foreachBatch` upsert into a parquet
+    * "table" — each micro-batch merges keep-latest-per-key into the
+    * current snapshot (read → full-outer-style coalesce via the q70
+    * merge shape → rewrite). The batch function sees a BATCH DataFrame,
+    * so the whole relational surface (joins, windows) applies to
+    * streaming output — the reason foreachBatch is the workhorse sink
+    * for warehouse merges. Rewrite-the-snapshot is the portable
+    * no-table-format strategy; a real deployment swaps the body for a
+    * MERGE INTO against a transactional table, same batch contract.
+    * Micro-batch = atomic replace here: the snapshot is re-read each
+    * batch, so the merge is idempotent per (key, ts, id) ordering. */
+  def upsertSink(events: DataFrame, snapshotDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val incoming = batch.select("user_id", "ts", "event_id", "value")
+      val current =
+        try spark.read.schema(incoming.schema).parquet(snapshotDir)
+        catch { case _: Exception => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val merged = current.unionByName(incoming)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      // write to a scratch dir then swap: the snapshot read above and
+      // the overwrite below cannot safely overlap in one FS path
+      val tmp = snapshotDir + "_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(snapshotDir))
+      ()
+    }.option("checkpointLocation", checkpointDir).start()
+  }
+
   /** One micro-batch step of the funnel state machine — shared by both
     * arbitrary-state APIs below so their semantics can never drift.
     * Events within a batch are not ordered: signups fold in first so a

@@ -204,6 +204,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/data").count() == 2)
   }
 
+  test("foreachBatch upsert sink keeps latest value per user across micro-batches") {
+    val in = newStream()
+    val base = Files.createTempDirectory("t7_upsert").toString
+    val q = StreamOps.upsertSink(in.toDF(), s"$base/snap", s"$base/ckpt")
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(3, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0),  // updates user 1
+        Ev(4, ts("2024-01-01 09:00:00"), 2, "purchase", 3.0))  // older: ignored
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+        .select("user_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == Map(1L -> 9.0, 2L -> 7.0),
+        s"latest-per-user must win across batches: $snap")
+    } finally q.stop()
+  }
+
   test("T3 session_window groups by 30-minute gaps (batch mode)") {
     import spark.implicits._
     val df = Seq(
