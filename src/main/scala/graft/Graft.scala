@@ -77,6 +77,11 @@ object Graft {
       targetRowsPerFile: Long): Int =
     ops.Compaction.writeClustered(df, path, sortCols, targetRowsPerFile)
 
+  /** Embedding utilities: unit-norm and seeded JL projection. */
+  def l2Normalize(v: Column): Column = ops.EmbeddingOps.l2Normalize(v)
+  def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
+    ops.EmbeddingOps.randomProject(v, outDim, seed)
+
   /** One-pass column profile (nulls / HLL distinct / min / max). */
   def profile(df: DataFrame): DataFrame = ops.DataQuality.profile(df)
 
