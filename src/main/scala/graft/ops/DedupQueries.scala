@@ -48,10 +48,13 @@ object DedupQueries {
     * Corpus vocabulary is tiny so baseline jaccard is ~0.7 — the 0.95
     * threshold isolates genuine near-duplicates. */
   def q49TokenJaccard(s: SparkSession, dir: String): DataFrame = {
+    // tokens sorted ONCE per row so the per-pair kernel is a
+    // zero-allocation merge (jaccardSortedSim) instead of a hash set
+    // per pair — the per-pair cost is what a blocked self-join multiplies
     val t = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"),
       (col("n_chars") / 100).cast("long").as("len_bkt"),
-      array_distinct(tokens(col("text"))).as("toks"))
+      sort_array(array_distinct(tokens(col("text")))).as("toks"))
     val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("len_bkt"),
       col("toks").as("toks_a"))
     val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("len_bkt"),
@@ -65,7 +68,7 @@ object DedupQueries {
     a.join(b, Seq("lang", "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
-        graft.functions.SimFns.jaccardSim(col("toks_a"), col("toks_b")))
+        graft.functions.SimFns.jaccardSortedSim(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= 0.95)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy("doc_a", "doc_b")

@@ -53,6 +53,19 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("sorted-merge jaccard kernel == hash-set kernel on sorted fixture sets") {
+    val t = Tables.documents(spark, sf0001).limit(60)
+      .select(col("doc_id"),
+        sort_array(array_distinct(tokens(col("text")))).as("toks"))
+    val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    val diff = a.crossJoin(b)
+      .withColumn("merge", SimFns.jaccardSortedSim(col("ta"), col("tb")))
+      .withColumn("hash", SimFns.jaccardSim(col("ta"), col("tb")))
+      .filter(not(col("merge") <=> col("hash")))
+    assert(diff.count() === 0)
+  }
+
   test("bigram kernels == HOF forms on fixture docs, empty-guard edges") {
     import spark.implicits._
     val d = Tables.documents(spark, sf0001).select("text")
