@@ -25,6 +25,8 @@ object GraftFunctions {
       es => CosineSimExpr(es(0), es(1))),
     ("jaccard_sim", "jaccard_sim(a, b) - jaccard of two element-distinct string arrays",
       es => JaccardSimExpr(es(0), es(1))),
+    ("jaccard_sorted_sim", "jaccard_sorted_sim(a, b) - jaccard of two element-distinct SORTED string arrays (zero-allocation merge)",
+      es => JaccardSortedSimExpr(es(0), es(1))),
     ("char_bigrams", "char_bigrams(text) - all 2-char substrings",
       es => CharBigramsExpr(es.head)),
     ("word_bigrams", "word_bigrams(text) - space-joined adjacent token pairs",

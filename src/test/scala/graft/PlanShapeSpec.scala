@@ -100,6 +100,16 @@ class PlanShapeSpec extends SparkSpec {
       s"unused columns must never reach the scan:\n$p")
   }
 
+  test("partitioned sink output prunes partitions on a partition-key filter") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/docs"
+    Tables.documents(spark, sf0001).write.partitionBy("lang").parquet(dir)
+    val p = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select("doc_id").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang") ||
+      p.contains("PartitionFilters: [(lang"),
+      s"lang filter must prune directories, not scan them:\n$p")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
