@@ -91,6 +91,76 @@ object PipelineQueries {
       |   OR NOT COALESCE(c_acctbal <= 5000, FALSE)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Snapshot diff under the oracle gate: two deterministic "versions"
+    * of orders (old drops key%5==0 rows, new drops key%7==0 rows and
+    * bumps o_totalprice where key%11==0) diffed on the key — added /
+    * removed / changed rows with the changed columns named, against a
+    * DuckDB FULL OUTER mirror. */
+  def q77SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+    val newSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    Diff.snapshotDiff(oldSnap, newSnap, keys = Seq("o_orderkey"),
+        compareCols = Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val q77SnapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 5 <> 0),
+      |new AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+      |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |       WHEN new.o_orderkey IS NULL THEN 'removed'
+      |       WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+      |         OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+      |         THEN 'changed' END AS change,
+      |  CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL THEN ''
+      |       ELSE array_to_string(list_filter([
+      |         CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'o_totalprice' END,
+      |         CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'o_orderstatus' END],
+      |         x -> x IS NOT NULL), ',') END AS changed_cols
+      |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+      |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      |   OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+      |   OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A11's inverse under the oracle gate: unpivot/melt the lineitem
+    * measure columns to long form — Spark 4 `unpivot` vs DuckDB
+    * `UNPIVOT`. Values pass through unchanged (no arithmetic), so
+    * doubles compare exactly. */
+  def q78Unpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure", valueColumnName = "value")
+      // value joins the sort: the synthetic lineitem can carry several
+      // l_linenumber=1 rows per order, so (orderkey, measure) alone is
+      // not a total order
+      .orderBy("l_orderkey", "measure", "value")
+  }
+
+  val q78UnpivotSql: String =
+    """SELECT l_orderkey, measure, value FROM (
+      |  SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+      |  FROM lineitem WHERE l_linenumber = 1)
+      |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, measure, value""".stripMargin
+
   /** L16 under the oracle gate: documents written through the
     * range-clustered compacting sink, read back, re-aggregated — any
     * row lost or duplicated by the repartition/sort/write path breaks
