@@ -82,6 +82,11 @@ object Graft {
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
     ops.EmbeddingOps.randomProject(v, outDim, seed)
 
+  /** Snapshot diff: added/removed/changed rows with changed columns. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    ops.Diff.snapshotDiff(oldDf, newDf, keys, compareCols)
+
   /** One-pass column profile (nulls / HLL distinct / min / max). */
   def profile(df: DataFrame): DataFrame = ops.DataQuality.profile(df)
 
