@@ -111,6 +111,11 @@ object Graft {
       model: ops.AnnIvf.IvfModel, query: Array[Float], k: Int,
       nProbe: Int): DataFrame =
     ops.AnnIvf.topK(assigned, vecCol, idCol, model, query, k, nProbe)
+  def annTopKBatch(assigned: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      model: ops.AnnIvf.IvfModel, k: Int, nProbe: Int): DataFrame =
+    ops.AnnIvf.topKBatch(assigned, vecCol, idCol, queries, qVecCol, qIdCol,
+      model, k, nProbe)
 
   /** Elementwise-mean UDAF for fixed-length float vectors. */
   def centroidUdaf(dim: Int): Column => Column = {

@@ -83,6 +83,40 @@ object AnnIvf {
   def assign(emb: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     emb.withColumn("cid", nearestCid(col(vecCol), model.centroids))
 
+  /** Batch form of [[topK]]: top-k neighbors for EVERY query row in one
+    * distributed plan — the serving shape at scale, where looping
+    * [[topK]] per query would schedule one job each.
+    *
+    * The per-query probe list is computed with pure expressions (rank
+    * the k centroid similarities inside a projection — the model rides
+    * along as array literals), then exploded to (q_id, cid) rows and
+    * equi-joined with the assigned corpus on the bucket id. The query
+    * side is tiny (|queries| × nProbe rows) so Spark broadcasts it —
+    * zero shuffle of the corpus; ranking windows are keyed per query.
+    * Centroid ranking order matches `IvfModel.nearestCentroids`
+    * ((sim desc, cid asc)), so results are identical to per-query
+    * [[topK]] calls (pinned in AnnIvfSpec). */
+  def topKBatch(assigned: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      model: IvfModel, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val centroidSims = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-SimFns.cosineSim(col(qVecCol), typedlit(c))).as("neg_sim"),
+        lit(i).as("cid"))
+    }: _*)
+    val probes = transform(
+      slice(array_sort(centroidSims), lit(1), lit(nProbe)), _.getField("cid"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"),
+      explode(probes).as("cid"))
+    val scored = assigned.join(broadcast(q), "cid")
+      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), col("qv")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol), col("rnk"), col("sim"))
+  }
+
   /** Top-k neighbors of one query vector, probing `nProbe` buckets of
     * the assigned corpus. Returns (vec_id, rnk, sim) ranked on the
     * rounded similarity with id tie-break (the q53 determinism rule).

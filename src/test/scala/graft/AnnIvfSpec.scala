@@ -52,4 +52,31 @@ class AnnIvfSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall < 0.7")
     assert(probedFrac < 0.5, s"probed $probedFrac of corpus — no scan reduction")
   }
+
+  test("topKBatch == per-query topK for every query, in one distributed plan") {
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val model = AnnIvf.train(emb, "embedding", "vec_id", K, iters = 2)
+    val assigned = AnnIvf.assign(emb, "embedding", model)
+      .filter(col("vec_id") >= 5).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+    val batch = AnnIvf.topKBatch(assigned, "embedding", "vec_id",
+        queries, "embedding", "qid", model, TOPK, NPROBE)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+
+    val single = queries.collect().flatMap { row =>
+      val qid = row.getLong(0)
+      val qv = row.getSeq[Float](1).toArray
+      AnnIvf.topK(assigned, "embedding", "vec_id", model, qv, TOPK, NPROBE)
+        .collect()
+        .map(r => (qid, r.getInt(1)) -> (r.getLong(0), r.getDouble(2)))
+    }.toMap
+
+    assert(batch.size == single.size)
+    assert(batch == single,
+      s"batch/single diverged on: ${(batch.toSet diff single.toSet).take(5)}")
+  }
 }
