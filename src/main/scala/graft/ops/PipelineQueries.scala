@@ -161,6 +161,54 @@ object PipelineQueries {
       |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
       |ORDER BY l_orderkey, measure, value""".stripMargin
 
+  /** Date-spine densification under the oracle gate: the classic
+    * time-series integration op — generate the full calendar between
+    * the data's min and max day, cross it with the priority dimension,
+    * and left-join the daily aggregate so missing days surface as
+    * explicit zero rows (gap-filled series feed windows/forecasts that
+    * assume contiguous time). The spine is derived FROM the data (one
+    * tiny agg → sequence), never a driver-side loop; its size is
+    * calendar-bounded, independent of fact volume. */
+  def q79DateSpine(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+    val span = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val prios = o.select("o_orderpriority").distinct()
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dm(col("o_totalprice"))).as("rev"))
+    spine.crossJoin(prios)
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .select(col("day"), col("o_orderpriority"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        dec4(coalesce(col("rev"), lit(0))).as("revenue"))
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q79DateSpineSql: String = {
+    import Parity._
+    s"""WITH span AS (
+       |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+       |         MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+       |days AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+       |daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+       |    COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS $DM)) AS rev
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT day, o_orderpriority,
+       |  COALESCE(n_orders, 0) AS n_orders,
+       |  ${out4("COALESCE(rev, 0)")} AS revenue
+       |FROM days CROSS JOIN prios
+       |LEFT JOIN daily USING (day, o_orderpriority)
+       |ORDER BY day, o_orderpriority""".stripMargin
+  }
+
   /** L16 under the oracle gate: documents written through the
     * range-clustered compacting sink, read back, re-aggregated — any
     * row lost or duplicated by the repartition/sort/write path breaks
