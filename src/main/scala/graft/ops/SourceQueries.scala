@@ -54,6 +54,39 @@ object SourceQueries {
        |  ${out4(s"SUM(CAST(c_acctbal AS $DM))")} AS total_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** ORC sink → ORC source (columnar alternative to parquet, built into
+    * Spark SQL): schema-preserving roundtrip checked by aggregating the
+    * read-back table against the oracle over the ORIGINAL parquet. */
+  def q80OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "supplier_orc")
+    Tables.supplier(s, dir).write.mode("overwrite").orc(out)
+    val back = s.read.schema(Tables.supplierSchema).orc(out)
+    back.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        dec4(sum(dm(col("s_acctbal")))).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val q80OrcRoundtripSql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n_supp,
+       |  ${out4(s"SUM(CAST(s_acctbal AS $DM))")} AS total_bal
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** XML sink → XML source (Spark 4 built-in XML datasource): the
+    * row-tag document roundtrip — enterprise feeds still speak XML; a
+    * type or value lost in serialization breaks oracle parity. */
+  def q81XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "region_xml")
+    Tables.region(s, dir).write.mode("overwrite")
+      .option("rootTag", "regions").option("rowTag", "region").xml(out)
+    val back = s.read.schema(Tables.regionSchema)
+      .option("rowTag", "region").xml(out)
+    back.select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")
+  }
+
+  val q81XmlRoundtripSql: String =
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
+
   /** S6: partitioned parquet sink (lang=... directories) → read back.
     * At 100 TB this is the layout that makes partition pruning work. */
   def q39PartitionedSink(s: SparkSession, dir: String): DataFrame = {
