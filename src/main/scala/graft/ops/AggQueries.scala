@@ -243,6 +243,30 @@ object AggQueries {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** A6 explicit GROUPING SETS (the general form rollup/cube compile
+    * to): segment×priority detail, segment subtotals, and the grand
+    * total — but NOT priority-only (the set rollup would add), proving
+    * the set list is honored as written. */
+  def q82GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q82_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("q82_customer")
+    s.sql(
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         |  CAST(grouping_id() AS BIGINT) AS gid
+         |FROM q82_orders JOIN q82_customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q82GroupingSetsSql: String =
+    s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+       |  ${out4(s"SUM(CAST(o_totalprice AS $DM))")} AS revenue,
+       |  CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+       |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** J3 full outer: big spenders vs frequent buyers — each side keeps
     * customers the other side lacks (nulls on the missing side). */
   def q65FullOuter(s: SparkSession, dir: String): DataFrame = {

@@ -100,6 +100,15 @@ class PlanShapeSpec extends SparkSpec {
       s"unused columns must never reach the scan:\n$p")
   }
 
+  test("q77: snapshot diff is one join, never a nested loop") {
+    val p = planOf("q77_snapshot_diff")
+    assert(p.contains("FullOuter") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      s"diff must be a single keyed full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "version compare must never degrade to a nested loop")
+  }
+
   test("partitioned sink output prunes partitions on a partition-key filter") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/docs"
     Tables.documents(spark, sf0001).write.partitionBy("lang").parquet(dir)
