@@ -83,6 +83,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff identity and anti-symmetry on generated versions") {
+    import spark.implicits._
+    for (data <- samples(kvGen, 3)) {
+      val base = data.toDF("k", "v").dropDuplicates("k")
+      val mutated = base.withColumn("v",
+        when(col("k") % 3 === 0, col("v") + 1000).otherwise(col("v")))
+        .filter(col("k") % 4 =!= 1) // drop some keys
+      // identity: a version diffed against itself reports nothing
+      assert(ops.Diff.snapshotDiff(base, base, Seq("k"), Seq("v")).count() == 0)
+      // anti-symmetry: added(a→b) == removed(b→a); changed == changed
+      val fwd = ops.Diff.snapshotDiff(base, mutated, Seq("k"), Seq("v"))
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rev = ops.Diff.snapshotDiff(mutated, base, Seq("k"), Seq("v"))
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fwd.getOrElse("added", 0L) == rev.getOrElse("removed", 0L))
+      assert(fwd.getOrElse("removed", 0L) == rev.getOrElse("added", 0L))
+      assert(fwd.getOrElse("changed", 0L) == rev.getOrElse("changed", 0L))
+    }
+  }
+
+  test("quarantine partitions the input and clean rows satisfy every rule") {
+    import spark.implicits._
+    for (data <- samples(kvGen, 3)) {
+      val df = data.toDF("k", "v")
+      val rules = Seq("v_small" -> (col("v") < 50), "k_even" -> (col("k") % 2 === 0))
+      val (good, bad) = ops.DataQuality.quarantine(df, rules)
+      assert(good.count() + bad.count() == df.count())
+      assert(good.filter(col("v") >= 50 || col("k") % 2 =!= 0).count() == 0)
+      assert(bad.filter(size(col("_violations")) === 0).count() == 0)
+    }
+  }
+
+  test("prefix jaccard join results shrink monotonically with the threshold") {
+    val toks = Tables.documents(spark, sf0001).limit(120)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val loose = ops.PrefixJoin.jaccardJoin(toks, "doc_id", "toks", 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = ops.PrefixJoin.jaccardJoin(toks, "doc_id", "toks", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose),
+      s"pairs at t=0.9 must be a subset of pairs at t=0.7; extra: ${(tight -- loose).take(3)}")
+  }
+
   test("cosine similarity is within [-1, 1] and self-similarity is 1") {
     import spark.implicits._
     for (vecs <- samples(vecGen, 3)) {
