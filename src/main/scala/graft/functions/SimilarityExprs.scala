@@ -86,16 +86,32 @@ object SimilarityKernels {
     inter.toDouble / (n + m - inter)
   }
 
-  /** All 2-char substrings of a text; empty when length < 2. */
+  /** All 2-codepoint substrings of a text; empty when length < 2.
+    * Single pass over the UTF-8 bytes — no String materialization, each
+    * bigram is a direct byte-range slice. Codepoint indexing matches
+    * DuckDB's `substr` (the oracle mirror); identical to UTF-16-unit
+    * indexing for all BMP text. */
   def charBigrams(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val L = s.length
-    if (L < 2) return new GenericArrayData(new Array[Any](0))
-    val out = new Array[Any](L - 1)
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0
     var i = 0
-    while (i < L - 1) {
-      out(i) = UTF8String.fromString(s.substring(i, i + 2))
-      i += 1
+    while (i < n) { i += UTF8String.numBytesForFirstByte(bytes(i)); count += 1 }
+    if (count < 2) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](count + 1)
+    i = 0
+    var k = 0
+    while (i < n) {
+      starts(k) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      k += 1
+    }
+    starts(count) = n
+    val out = new Array[Any](count - 1)
+    k = 0
+    while (k < count - 1) {
+      out(k) = UTF8String.fromBytes(bytes, starts(k), starts(k + 2) - starts(k))
+      k += 1
     }
     new GenericArrayData(out)
   }
