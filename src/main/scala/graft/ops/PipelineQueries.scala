@@ -161,6 +161,60 @@ object PipelineQueries {
       |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
       |ORDER BY l_orderkey, measure, value""".stripMargin
 
+  /** Record linkage under the oracle gate: link the customer table
+    * against a deterministically-dirtied copy of itself (leading zeros
+    * stripped from the name, balance rounded to integer — the classic
+    * "same entity, different source formatting" situation). Blocking on
+    * (nation, balance-bucket) keeps candidates ∝ block sizes; scoring
+    * is 0.3·name-edit-similarity + 0.7·balance-proximity; two
+    * thresholds classify match vs possible. Every step is mirrored in
+    * DuckDB, so the scores and classes must agree exactly. */
+  def q83RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val aSide = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+      col("c_nationkey").as("nk"),
+      floor(col("c_acctbal") / 100).cast("long").as("bal_bkt"),
+      col("c_acctbal").as("a_bal"))
+    val bSide = c.select(col("c_custkey").as("b_id"),
+      regexp_replace(col("c_name"), "#0+", "#").as("b_name"),
+      col("c_nationkey").as("nk"),
+      floor(round(col("c_acctbal")) / 100).cast("long").as("bal_bkt"),
+      round(col("c_acctbal")).as("b_bal"))
+    RecordLinkage.link(aSide, bSide, blockOn = Seq("nk", "bal_bkt"),
+        sims = Seq(
+          RecordLinkage.nameSim(col("a_name"), col("b_name")) -> 0.3,
+          RecordLinkage.proximitySim(col("a_bal"), col("b_bal")) -> 0.7),
+        matchT = 0.75, possibleT = 0.6)
+      .select(col("a_id"), col("b_id"), round(col("score"), 4).as("score"),
+        col("clazz"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q83RecordLinkageSql: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS nk,
+      |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bkt,
+      |    c_acctbal AS a_bal
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey AS b_id,
+      |    regexp_replace(c_name, '#0+', '#', 'g') AS b_name,
+      |    c_nationkey AS nk,
+      |    CAST(floor(round(c_acctbal) / 100) AS BIGINT) AS bal_bkt,
+      |    round(c_acctbal) AS b_bal
+      |  FROM customer)
+      |SELECT a_id, b_id, ROUND(score, 4) AS score,
+      |  CASE WHEN score >= 0.75 THEN 'match' ELSE 'possible' END AS clazz
+      |FROM (
+      |  SELECT a_id, b_id,
+      |    0.3 * (CASE WHEN greatest(length(a_name), length(b_name)) = 0 THEN 1.0
+      |           ELSE 1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE)
+      |                / greatest(length(a_name), length(b_name)) END)
+      |    + 0.7 * (1.0 / (1.0 + abs(CAST(a_bal AS DOUBLE) - CAST(b_bal AS DOUBLE)))) AS score
+      |  FROM a JOIN b USING (nk, bal_bkt))
+      |WHERE score >= 0.6
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
