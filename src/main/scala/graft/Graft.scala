@@ -82,6 +82,17 @@ object Graft {
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
     ops.EmbeddingOps.randomProject(v, outDim, seed)
 
+  /** Entity clustering: connected components of match pairs. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame =
+    ops.ConnectedComponents.components(edges, srcCol, dstCol, maxIters)
+
+  /** Record linkage: block → weighted field scores → match/possible. */
+  def recordLink(a: DataFrame, b: DataFrame, blockOn: Seq[String],
+      sims: Seq[(Column, Double)], matchT: Double,
+      possibleT: Double): DataFrame =
+    ops.RecordLinkage.link(a, b, blockOn, sims, matchT, possibleT)
+
   /** Snapshot diff: added/removed/changed rows with changed columns. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame =
