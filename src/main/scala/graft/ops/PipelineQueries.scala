@@ -215,6 +215,42 @@ object PipelineQueries {
       |WHERE score >= 0.6
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Entity resolution end-to-end under the oracle gate: q83's match
+    * pairs transitively closed into entity ids by the ITERATIVE
+    * min-label propagation operator — checked against a DuckDB
+    * RECURSIVE CTE computing the same transitive closure. Proves the
+    * distributed fixpoint loop lands on exactly the closure a
+    * sequential engine computes. */
+  def q84Entities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q83RecordLinkage(s, dir)
+      .filter(col("clazz") === "match")
+      .select("a_id", "b_id")
+    ConnectedComponents.components(pairs, "a_id", "b_id")
+      .orderBy("id")
+  }
+
+  val q84EntitiesSql: String =
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |""".stripMargin +
+      q83RecordLinkageSql.linesIterator
+        .filter(!_.startsWith("ORDER BY")).mkString("\n") +
+    """
+      |  ) WHERE clazz = 'match'),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |closure(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+      |SELECT id, MIN(r) AS component FROM (
+      |  SELECT src AS id, dst AS r FROM closure
+      |  UNION ALL SELECT src, src FROM edges)
+      |GROUP BY id
+      |ORDER BY id""".stripMargin
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
