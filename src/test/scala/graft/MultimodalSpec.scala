@@ -59,6 +59,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((None, None, None)), "junk bytes must decode to nulls, not fail")
   }
 
+  test("resizeImages re-encodes to the target dimensions; imageRgbStats is exact") {
+    import spark.implicits._
+    // a solid-color 10x4 PNG: resize must not change the color means
+    val img = new java.awt.image.BufferedImage(10, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 100, 50)); g.fillRect(0, 0, 10, 4)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+
+    val resized = Multimodal.resizeImages(df, "media", 4, 4)
+    val back = Multimodal.decodeImages(
+      resized.filter(col("id") === 1).select(col("resized").as("media")), "media")
+      .select("img_width", "img_height").head()
+    assert((back.getInt(0), back.getInt(1)) == ((4, 4)))
+    assert(resized.filter(col("id") === 2).head().isNullAt(2),
+      "junk payload must resize to null, not fail")
+
+    val stats = Multimodal.imageRgbStats(df.filter(col("id") === 1), "media")
+      .select("rgb_mean").head().getSeq[Double](0)
+    assert(stats == Seq(200.0, 100.0, 50.0),
+      s"solid color must produce exact channel means, got $stats")
+  }
+
   test("sampleFrames explodes n frames per video, 1 per non-video") {
     val frames = Multimodal.sampleFrames(media, 4)
     val perKind = frames.groupBy("media_meta.kind")
