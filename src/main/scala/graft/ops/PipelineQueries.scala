@@ -251,6 +251,75 @@ object PipelineQueries {
       |GROUP BY id
       |ORDER BY id""".stripMargin
 
+  /** Sequence packing under the oracle gate — the pre-training batch
+    * op: assign whole documents to fixed token-budget bins (512 here)
+    * in a deterministic order, per language. Greedy contiguous
+    * packing: a document goes to the bin its RUNNING token total
+    * (exclusive) falls in; documents are never split. One keyed window
+    * cumsum — a single shuffle at any corpus size. Emits per-bin doc
+    * counts, token totals, and the fill ratio. */
+  def q85SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val budget = 512L
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / budget).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"))
+      .withColumn("fill", round(col("bin_tokens") / (budget * 1.0), 4))
+      .orderBy("lang", "bin")
+  }
+
+  val q85SeqPackingSql: String =
+    """SELECT lang, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+      |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / 512.0, 4) AS fill
+      |FROM (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS BIGINT) AS bin
+      |  FROM (SELECT lang, doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |        FROM documents))
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
+  /** Weighted source mixing under the oracle gate — "data mixing":
+    * retain a different deterministic fraction of each language toward
+    * a target mix (en 80%, everything else 20%) by ranking a per-row
+    * hash inside each stratum into percentile buckets (`ntile(100)`)
+    * and keeping buckets up to the stratum's rate. Reproducible under
+    * any partitioning — no rand(). */
+  def q86SourceMixing(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val h = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val rate = when(col("lang") === "en", 80).otherwise(20)
+    d.withColumn("h", h)
+      .withColumn("pct", ntile(100).over(w))
+      .filter(col("pct") <= rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q86SourceMixingSql: String =
+    """SELECT lang, COUNT(*) AS n_kept FROM (
+      |  SELECT lang,
+      |    NTILE(100) OVER (PARTITION BY lang
+      |      ORDER BY ((doc_id * 1103515245 + 12345) % 1000000007 + 1000000007) % 1000000007, doc_id) AS pct
+      |  FROM documents)
+      |WHERE pct <= CASE WHEN lang = 'en' THEN 80 ELSE 20 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
