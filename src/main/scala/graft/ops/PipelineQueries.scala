@@ -320,6 +320,45 @@ object PipelineQueries {
       |WHERE pct <= CASE WHEN lang = 'en' THEN 80 ELSE 20 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Benchmark-contamination detection under the oracle gate — eval
+    * hygiene: which corpus documents share a 3-token shingle with the
+    * held-out benchmark set (doc_id % 97 == 0 stands in for it)?
+    * Benchmark shingles are a small distinct set → broadcast equi-join
+    * against the corpus shingle explosion; reports per-document shared
+    * shingle counts. Reuses the q51 portable shingle-hash kernels, so
+    * the DuckDB mirror is exact. At 100 TB this is the shape
+    * decontamination actually runs: corpus-side explode is map-local,
+    * the join is broadcast, output ∝ contaminated docs. */
+  def q87Contamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{shingleHashes, tokenHashes}
+    val sh = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(
+          shingleHashes(tokenHashes(col("text")), 3))).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val q87ContaminationSql: String = {
+    import graft.functions.TextFns.{docHashSql, tokenHashesSql}
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+       |      ELSE list_transform(generate_series(1, len(th) - 2),
+       |             i -> ${docHashSql("th[i:i+2]")}) END)) AS shingle
+       |  FROM (SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents)),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared
+       |FROM sh JOIN bench USING (shingle)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
