@@ -82,6 +82,9 @@ object Graft {
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
     ops.EmbeddingOps.randomProject(v, outDim, seed)
 
+  /** PII scrubbing: placeholders for email/IP/card/phone spans. */
+  def redact(text: Column): Column = ops.Redaction.redact(text)
+
   /** Entity clustering: connected components of match pairs. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame =
