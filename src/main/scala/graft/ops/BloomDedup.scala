@@ -32,10 +32,27 @@ object BloomDedup {
       expectedItems: Long, fpp: Double = 0.01): BloomFilter =
     corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
 
-  /** `mightContain(key)` as a column (broadcast via UDF closure). */
-  def mightContain(bloom: BloomFilter, key: Column): Column = {
-    val probe = udf((k: Long) => bloom.mightContainLong(k))
-    probe(key)
+  /** `mightContain(key)` as a column (broadcast via UDF closure).
+    * Dispatches on the key type (integral vs string — the two types
+    * `stat.bloomFilter` supports); a NULL key yields false ("never
+    * seen"), which routes null-keyed rows to the definitely-new branch
+    * — matching anti-join semantics, where a null key equals nothing
+    * and therefore always survives. */
+  def mightContain(bloom: BloomFilter, key: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val probe = udf((k: java.lang.Long) =>
+          k != null && bloom.mightContainLong(k))
+        probe(key.cast("long"))
+      case StringType =>
+        val probe = udf((k: String) =>
+          k != null && bloom.mightContainString(k))
+        probe(key)
+      case other => throw new IllegalArgumentException(
+        s"bloom key type not supported: $other (integral or string only)")
+    }
   }
 
   /** Exact "batch rows whose key is not in the corpus", bloom-routed.
@@ -43,7 +60,8 @@ object BloomDedup {
     * BloomDedupSpec; the join only ever sees the maybe-dup slice. */
   def newAgainst(batch: DataFrame, corpus: DataFrame, keyCol: String,
       bloom: BloomFilter): DataFrame = {
-    val maybe = mightContain(bloom, col(keyCol))
+    val dt = batch.schema(keyCol).dataType
+    val maybe = mightContain(bloom, col(keyCol), dt)
     val definitelyNew = batch.filter(!maybe)
     val needCheck = batch.filter(maybe)
     val confirmedNew = needCheck.join(

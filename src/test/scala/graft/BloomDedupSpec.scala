@@ -28,12 +28,38 @@ class BloomDedupSpec extends SparkSpec {
     assert(want.length == 500, "expected exactly the fresh keys to survive")
   }
 
+  test("string keys and null keys match anti-join semantics") {
+    import spark.implicits._
+    val corpus = Seq("a", "b", "c").toDF("k")
+    val batch = Seq(Some("a"), Some("z"), None).toDF("k")
+    val bloom = BloomDedup.buildFilter(corpus, "k", 100)
+    val got = BloomDedup.newAgainst(batch, corpus, "k", bloom)
+      .collect().map(r => Option(r.getString(0))).toSet
+    val want = batch.join(corpus, Seq("k"), "left_anti")
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got == Set(Some("z"), None),
+      "null-keyed rows must survive like the anti-join keeps them")
+  }
+
+  test("unsupported key types are rejected up front") {
+    import spark.implicits._
+    val df = Seq(1.5).toDF("k")
+    intercept[IllegalArgumentException] {
+      BloomDedup.mightContain(
+        BloomDedup.buildFilter(Seq("x").toDF("k"), "k", 10),
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.types.DoubleType)
+    }
+  }
+
   test("the filter routes ~fpp of genuinely-new keys to the exact check") {
     val corpus = Tables.orders(spark, sf0001).select("o_orderkey")
     val bloom = BloomDedup.buildFilter(corpus, "o_orderkey", 20000, 0.01)
     import spark.implicits._
     val fresh = spark.range(20_000_000L, 20_010_000L).toDF("o_orderkey")
-    val maybe = fresh.filter(BloomDedup.mightContain(bloom, col("o_orderkey"))).count()
+    val maybe = fresh.filter(BloomDedup.mightContain(bloom, col("o_orderkey"),
+      org.apache.spark.sql.types.LongType)).count()
     // 10k new keys at fpp=0.01 → expect ~100 false positives; 5x slack
     assert(maybe < 500, s"bloom routed $maybe of 10000 new keys to the join — ineffective")
   }
