@@ -30,6 +30,9 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      // a null endpoint identifies nothing — drop the edge rather than
+      // propagate null labels through the joins
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
 
