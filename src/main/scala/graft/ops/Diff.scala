@@ -17,7 +17,10 @@ object Diff {
   /** Diff `newDf` against `oldDf` on `keys`, comparing `compareCols`.
     * Returns key columns + `change` ('added' | 'removed' | 'changed')
     * + `changed_cols` (comma-joined names, empty for added/removed);
-    * unchanged rows are dropped. */
+    * unchanged rows are dropped. NULL keys follow join semantics: a
+    * null key identifies nothing, so a null-keyed row in each version
+    * surfaces as an independent removed/added pair rather than
+    * matching. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")

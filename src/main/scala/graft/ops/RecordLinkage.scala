@@ -32,7 +32,10 @@ object RecordLinkage {
     * both sides), score each candidate with Σ weightᵢ·simᵢ (the sim
     * Columns reference the joined row), and classify. Pairs below
     * `possibleT` are dropped; `clazz` is 'match' (≥ matchT) or
-    * 'possible'. Returns the joined columns + `score` + `clazz`. */
+    * 'possible'. Returns the joined columns + `score` + `clazz`.
+    * A NULL similarity input nulls the score, and `score >= possibleT`
+    * is then false — pairs with missing compared fields drop out;
+    * wrap sims in `coalesce` to rate missing fields instead. */
   def link(a: DataFrame, b: DataFrame, blockOn: Seq[String],
       sims: Seq[(Column, Double)], matchT: Double,
       possibleT: Double): DataFrame = {
