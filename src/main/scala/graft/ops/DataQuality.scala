@@ -21,7 +21,9 @@ object DataQuality {
   def profile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields
     val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+      // backticks: a column literally named "a.b" must not resolve as
+      // a nested field reference
+      val c = col(s"`${f.name}`")
       val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType)
       Seq(
@@ -37,11 +39,11 @@ object DataQuality {
     val entries = cols.map { f =>
       struct(
         lit(f.name).as("column"),
-        col(s"${f.name}__n").as("n"),
-        col(s"${f.name}__nulls").as("n_null"),
-        col(s"${f.name}__distinct").as("approx_distinct"),
-        col(s"${f.name}__min").as("min_str"),
-        col(s"${f.name}__max").as("max_str"))
+        col(s"`${f.name}__n`").as("n"),
+        col(s"`${f.name}__nulls`").as("n_null"),
+        col(s"`${f.name}__distinct`").as("approx_distinct"),
+        col(s"`${f.name}__min`").as("min_str"),
+        col(s"`${f.name}__max`").as("max_str"))
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }

@@ -34,11 +34,16 @@ object EmbeddingOps {
     val d = transform(v, _.cast("double"))
     val idx = sequence(lit(0), size(v) - 1)
     val scale = math.sqrt(outDim.toDouble)
-    transform(sequence(lit(0), lit(outDim - 1)), j => {
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j => {
       val signed = zip_with(d, idx, (x, i) =>
         // sign in {-1, +1} from the hash's low bit
         x * (pmod(xxhash64(lit(seed), j, i), lit(2)) * 2 - 1))
       aggregate(signed, lit(0.0), (acc, x) => acc + x) / scale
     })
+    // empty input: Spark's sequence(0, -1) counts DOWN ([0, -1]), so
+    // guard explicitly — the projection of nothing is the zero vector
+    when(size(v) === 0,
+      transform(sequence(lit(0), lit(outDim - 1)), _ => lit(0.0)))
+      .otherwise(proj)
   }
 }

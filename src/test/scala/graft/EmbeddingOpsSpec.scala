@@ -43,6 +43,22 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(mae < 0.15, f"mean |cos_orig - cos_proj| = $mae%.3f too large for JL at 32 dims")
   }
 
+  test("randomProject of an empty vector is the zero vector") {
+    import spark.implicits._
+    val out = Seq(Seq.empty[Float]).toDF("embedding")
+      .select(EmbeddingOps.randomProject(col("embedding"), 4).as("p"))
+      .head().getSeq[Double](0)
+    assert(out == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("profile survives a dotted column name") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "weird.name")
+    val p = graft.ops.DataQuality.profile(df).collect()
+      .map(_.getString(0)).toSet
+    assert(p == Set("id", "weird.name"))
+  }
+
   test("projection is deterministic under repartitioning (seeded hash matrix)") {
     val once = emb.select(col("vec_id"),
       EmbeddingOps.randomProject(col("embedding"), 8, seed = 7L).as("p"))
