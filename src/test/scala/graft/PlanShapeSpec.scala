@@ -109,6 +109,18 @@ class PlanShapeSpec extends SparkSpec {
       "version compare must never degrade to a nested loop")
   }
 
+  test("q83: record-linkage candidates come from an equi-join on the block keys") {
+    val p = planOf("q83_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking must keep candidate generation an equi-join:\n$p")
+  }
+
+  test("q87: contamination check broadcasts the benchmark shingle set") {
+    val p = planOf("q87_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark side must broadcast — corpus must not shuffle:\n$p")
+  }
+
   test("partitioned sink output prunes partitions on a partition-key filter") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/docs"
     Tables.documents(spark, sf0001).write.partitionBy("lang").parquet(dir)
