@@ -65,7 +65,7 @@ object DedupQueries {
     // fires but is paid per pair). The sub-quadratic scale paths are
     // q51's band keys and ops.PrefixJoin (lossless prefix filtering,
     // proven output-equivalent to this query in PrefixJoinSpec).
-    a.join(b, Seq("lang", "len_bkt"))
+    a.join(b.hint("shuffle_hash"), Seq("lang", "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
         graft.functions.SimFns.jaccardSortedSim(col("toks_a"), col("toks_b")))
