@@ -148,7 +148,7 @@ object DedupQueries {
     val cand = bands.select(col("doc_id").as("doc_a"), col("bk"),
         col("shd").as("sh_a"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bk"),
-        col("shd").as("sh_b")), "bk")
+        col("shd").as("sh_b")).hint("shuffle_hash"), "bk")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -212,7 +212,7 @@ object DedupQueries {
     val cand = bands.select(col("doc_id").as("doc_a"), col("bk"),
         col("sh").as("sh_a"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bk"),
-        col("sh").as("sh_b")), "bk")
+        col("sh").as("sh_b")).hint("shuffle_hash"), "bk")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
     cand.withColumn("ham", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

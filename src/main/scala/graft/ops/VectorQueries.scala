@@ -131,7 +131,7 @@ object VectorQueries {
       col("embedding").as("va"))
     val b = e.select(col("label"), col("vec_id").as("id_b"),
       col("embedding").as("vb"))
-    a.join(b, "label")
+    a.join(b.hint("shuffle_hash"), "label")
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4) + 0.0)
       .filter(col("sim") >= 0.3)
