@@ -359,6 +359,40 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Equal-width histogram under the oracle gate — the distribution
+    * half of data profiling: 10 buckets over [min, max] of
+    * l_extendedprice, bounds derived from the data (one tiny agg,
+    * broadcast), bucket = floor((x-min)/width) clamped to the last
+    * bucket. Both engines compute identical doubles from identical
+    * inputs, so bucket assignment can never diverge. */
+  def q88Histogram(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val bounds = l.agg(min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    l.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("l_extendedprice") - col("mn")) /
+          ((col("mx") - col("mn")) / 10.0)).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 4).as("lo"),
+        round(max(col("l_extendedprice")), 4).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val q88HistogramSql: String =
+    """WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |           FROM lineitem)
+      |SELECT bucket, COUNT(*) AS n,
+      |  ROUND(MIN(l_extendedprice), 4) AS lo,
+      |  ROUND(MAX(l_extendedprice), 4) AS hi
+      |FROM (
+      |  SELECT l_extendedprice,
+      |    LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS bucket
+      |  FROM lineitem CROSS JOIN s)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
