@@ -393,6 +393,29 @@ object PipelineQueries {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Spark 4 VARIANT type under the oracle gate: `parse_json` stores
+    * events.props as the binary semi-structured VARIANT (the modern
+    * open-table semi-structured encoding, shredded and predicate-
+    * pushable at scale — unlike q33's per-query string JSON parsing),
+    * `variant_get` extracts a typed path. The oracle extracts the same
+    * path from the JSON text, so a value lost or re-typed by the
+    * variant encode/decode breaks parity. */
+  def q89Variant(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.select(col("user_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("k")
+  }
+
+  val q89VariantSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   /** Date-spine densification under the oracle gate: the classic
     * time-series integration op — generate the full calendar between
     * the data's min and max day, cross it with the priority dimension,
