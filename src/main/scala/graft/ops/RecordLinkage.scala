@@ -42,7 +42,9 @@ object RecordLinkage {
     require(sims.nonEmpty, "need at least one similarity field")
     require(matchT >= possibleT, "matchT must be >= possibleT")
     val score = sims.map { case (c, w) => c * w }.reduce(_ + _)
-    a.join(b, blockOn)
+    // blocking keys are low-cardinality by design — shuffled hash skips
+    // sort-merge's pointless sorts (measured on q83)
+    a.join(b.hint("shuffle_hash"), blockOn)
       .withColumn("score", score)
       .filter(col("score") >= possibleT)
       .withColumn("clazz",
