@@ -76,17 +76,35 @@ object Tables {
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
-  /** Relation memo per (session, dir, table): a DataFrame is an immutable
-    * logical plan, so reuse is safe, and it keeps one InMemoryFileIndex
-    * per table instead of re-listing the directory on every query that
-    * mentions it (72 bench queries × ~2 tables each adds up). Keyed on
-    * the session object so a stopped session's entries are never reused
-    * by the next one. */
+  /** Relation memo per (session → (dir, table)): a DataFrame is an
+    * immutable logical plan, so reuse is safe, and it keeps one
+    * InMemoryFileIndex per table instead of re-listing the directory on
+    * every query that mentions it (the bench's ~90 queries × ~2 tables
+    * each adds up). The outer map holds the session WEAKLY — a stopped,
+    * dereferenced session and all its cached plans become collectable
+    * instead of being retained for the JVM lifetime (long-running
+    * processes and test suites create many sessions). WeakHashMap is not
+    * thread-safe, so all access synchronizes on it; the lookup is a
+    * few map probes, never the plan construction race that matters. */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name), { _ =>
+    memo.synchronized {
+      val perSession = {
+        val existing = memo.get(spark)
+        if (existing != null) existing
+        else {
+          val fresh = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+          memo.put(spark, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
+    }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
@@ -96,7 +114,7 @@ object Tables {
       } else {
         spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
       }
-    })
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -27,10 +27,19 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomDedup {
 
-  /** One corpus pass → membership sketch over `keyCol`. */
+  /** One corpus pass → membership sketch over `keyCol`. An empty corpus
+    * is a legitimate first-ingest state but breaks Spark twice over
+    * (`BloomFilter.create` throws on 0 expected insertions; the
+    * `stat.bloomFilter` tree aggregation NPEs on a null zero-buffer), so
+    * it short-circuits to a fresh filter that matches nothing — every
+    * batch row then routes definitely-new. The `isEmpty` probe is a
+    * limit-1 job, negligible next to the corpus aggregation it guards. */
   def buildFilter(corpus: DataFrame, keyCol: String,
-      expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+      expectedItems: Long, fpp: Double = 0.01): BloomFilter = {
+    val n = math.max(1L, expectedItems)
+    if (corpus.isEmpty) BloomFilter.create(n, fpp)
+    else corpus.stat.bloomFilter(keyCol, n, fpp)
+  }
 
   /** `mightContain(key)` as a column (broadcast via UDF closure).
     * Dispatches on the key type (integral vs string — the two types

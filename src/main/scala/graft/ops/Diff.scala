@@ -26,12 +26,16 @@ object Diff {
     require(keys.nonEmpty, "need at least one key column")
     val o = oldDf.select((keys ++ compareCols).map(col): _*)
       .toDF((keys ++ compareCols).map("_old_" + _): _*)
+      .withColumn("_old_present", lit(true))
     val n = newDf.select((keys ++ compareCols).map(col): _*)
       .toDF((keys ++ compareCols).map("_new_" + _): _*)
+      .withColumn("_new_present", lit(true))
     val joinCond = keys.map(k => col(s"_old_$k") === col(s"_new_$k"))
       .reduce(_ && _)
-    val inOld = col(s"_old_${keys.head}").isNotNull
-    val inNew = col(s"_new_${keys.head}").isNotNull
+    // literal markers, not key nullness: a row whose own key value is
+    // NULL must still register as present on its side
+    val inOld = col("_old_present").isNotNull
+    val inNew = col("_new_present").isNotNull
     val diffs: Column = array_compact(array(compareCols.map { c =>
       when(!(col(s"_old_$c") <=> col(s"_new_$c")), lit(c))
     }: _*))

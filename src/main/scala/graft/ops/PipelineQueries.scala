@@ -370,9 +370,12 @@ object PipelineQueries {
     val bounds = l.agg(min(col("l_extendedprice")).as("mn"),
       max(col("l_extendedprice")).as("mx"))
     l.crossJoin(broadcast(bounds))
+      // degenerate-input guard: mx == mn makes the width 0 (NaN buckets
+      // here, a CAST error in DuckDB) — all-equal data is one bucket 0
       .withColumn("bucket",
-        least(floor((col("l_extendedprice") - col("mn")) /
-          ((col("mx") - col("mn")) / 10.0)).cast("long"), lit(9L)))
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("l_extendedprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 10.0)).cast("long"), lit(9L))))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min(col("l_extendedprice")), 4).as("lo"),
@@ -388,7 +391,9 @@ object PipelineQueries {
       |  ROUND(MAX(l_extendedprice), 4) AS hi
       |FROM (
       |  SELECT l_extendedprice,
-      |    LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS bucket
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE LEAST(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+      |    END AS bucket
       |  FROM lineitem CROSS JOIN s)
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin

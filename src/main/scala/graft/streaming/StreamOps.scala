@@ -113,10 +113,16 @@ object StreamOps {
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val incoming = batch.select("user_id", "ts", "event_id", "value")
+      // decide empty-vs-read by an explicit existence probe: a transient
+      // read failure (corrupt file, FS hiccup) must propagate and retry
+      // the micro-batch, never silently discard the merged state
+      val fsProbe = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
       val current =
-        try spark.read.schema(incoming.schema).parquet(snapshotDir)
-        catch { case _: Exception => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+        if (fsProbe.exists(new org.apache.hadoop.fs.Path(snapshotDir)))
+          spark.read.schema(incoming.schema).parquet(snapshotDir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       val merged = current.unionByName(incoming)

@@ -42,6 +42,18 @@ class BloomDedupSpec extends SparkSpec {
       "null-keyed rows must survive like the anti-join keeps them")
   }
 
+  test("empty corpus: filter builds and every batch row is new") {
+    import spark.implicits._
+    val corpus = spark.range(0).toDF("k") // first-ingest state
+    val batch = Seq(1L, 2L, 3L).toDF("k")
+    // expectedItems = corpus.count() = 0 must not throw (clamped to 1)
+    val bloom = BloomDedup.buildFilter(corpus, "k", expectedItems = corpus.count())
+    val got = BloomDedup.newAgainst(batch, corpus, "k", bloom)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)),
+      "an empty corpus must pass the whole batch through as new")
+  }
+
   test("unsupported key types are rejected up front") {
     import spark.implicits._
     val df = Seq(1.5).toDF("k")

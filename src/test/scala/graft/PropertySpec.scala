@@ -105,6 +105,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff surfaces null-keyed rows as an independent removed/added pair") {
+    import spark.implicits._
+    // a null key matches nothing under join semantics, so the old-side
+    // null-keyed row must come back 'removed' and the new-side one
+    // 'added' — presence is tracked by literal markers, not key nullness
+    val oldDf = Seq((Some(1L), "a"), (None: Option[Long], "x")).toDF("k", "v")
+    val newDf = Seq((Some(1L), "a"), (None: Option[Long], "y")).toDF("k", "v")
+    val out = ops.Diff.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(out == Set((None, "removed"), (None, "added")),
+      s"null-keyed rows mishandled: $out")
+  }
+
   test("quarantine partitions the input and clean rows satisfy every rule") {
     import spark.implicits._
     for (data <- samples(kvGen, 3)) {
