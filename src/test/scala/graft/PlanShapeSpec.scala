@@ -131,6 +131,21 @@ class PlanShapeSpec extends SparkSpec {
       s"lang filter must prune directories, not scan them:\n$p")
   }
 
+  test("q90: cluster labeling joins broadcast — the corpus never shuffles for its labels") {
+    val p = planOf("q90_dedup_clusters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (id, component) label table must broadcast onto documents:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "pipeline must stay on equi-joins end to end")
+  }
+
+  test("q91: repetition filter is a pure per-row map — no shuffle before the final sort") {
+    val p = planOf("q91_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a per-row quality filter must not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), "no join belongs in a per-document map")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
