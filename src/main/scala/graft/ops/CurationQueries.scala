@@ -94,6 +94,81 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap — the "domain cap" every crawl-curation
+    * pipeline applies so no single site dominates the corpus: keep at
+    * most `cap` documents per source, chosen by a deterministic per-row
+    * hash rank (reproducible under any partitioning — no rand(), same
+    * multiplicative-hash discipline as q71/q72/q86). Emits the kept
+    * (source, doc_id, rank) rows, so the oracle pins the exact choice,
+    * not just the counts. One keyed window — a single shuffle at any
+    * corpus size; at 100 TB `source` is the natural high-cardinality
+    * partition key (millions of domains), so no skew concern short of
+    * one domain owning the corpus. */
+  def q92SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val d = Tables.documents(s, dir)
+    val h = pmod(col("doc_id") * 2654435761L + 104729L, lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", h)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("source"), col("doc_id"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  val q92SourceCapSql: String =
+    """SELECT source, doc_id, rnk FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id * 2654435761 + 104729) % 1000000007
+      |                + 1000000007) % 1000000007, doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 15
+      |ORDER BY source, rnk""".stripMargin
+
+  /** Per-language percentile length filter — the length-outlier cut
+    * (truncated boilerplate on the left tail, concatenation junk on the
+    * right): keep documents whose token count lies within [p5, p95] OF
+    * THEIR LANGUAGE, thresholds derived from the data. Exact
+    * interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`, parity proven by q15); the per-lang threshold
+    * table is tiny → broadcast join, corpus never reshuffles. */
+  def q93LengthFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.tokens
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val cuts = d.groupBy("lang")
+      .agg(expr("percentile(n_tok, 0.05)").as("p5"),
+        expr("percentile(n_tok, 0.95)").as("p95"))
+    d.join(broadcast(cuts), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") >= col("p5") && col("n_tok") <= col("p95"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(first(col("p5")), 4).as("p5"),
+        round(first(col("p95")), 4).as("p95"))
+      .orderBy("lang")
+  }
+
+  val q93LengthFilterSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT lang, quantile_cont(n_tok, 0.05) AS p5,
+      |         quantile_cont(n_tok, 0.95) AS p95
+      |  FROM d GROUP BY lang)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tok >= p5 AND n_tok <= p95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  ROUND(ANY_VALUE(p5), 4) AS p5, ROUND(ANY_VALUE(p95), 4) AS p95
+      |FROM d JOIN cuts ON d.lang = cuts.lang
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
   val q91RepetitionSql: String =
     """SELECT doc_id, lang, n_bigrams, n_unique,
       |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) AS rep_ratio

@@ -146,6 +146,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in a per-document map")
   }
 
+  test("q93: the per-lang percentile threshold table broadcasts onto the corpus") {
+    val p = planOf("q93_length_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny cuts table must broadcast — the corpus must not shuffle for it:\n$p")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
