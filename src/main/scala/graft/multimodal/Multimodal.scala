@@ -172,6 +172,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (ships in the JDK — no
+    * external dependency; PCM WAV/AIFF/AU containers): per-partition
+    * pass appending (sample_rate, audio_channels, n_frames,
+    * duration_sec, rms). `rms` is a real signal statistic (root mean
+    * square of the 16-bit PCM samples, normalized to [0, 1]) — the
+    * "silence / clipped / level" screen an audio curation pipeline runs
+    * first. Payloads that are not decodable audio yield nulls instead
+    * of failing the task; compressed codecs (mp3/ogg) have no JDK SPI
+    * in this environment and so also surface as nulls, by design. */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("sample_rate", IntegerType).add("audio_channels", IntegerType)
+      .add("n_frames", LongType).add("duration_sec", DoubleType)
+      .add("rms", DoubleType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Seq[Any] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val data = ais.readAllBytes()
+            ais.close()
+            val frameSize = fmt.getFrameSize
+            val nFrames =
+              if (frameSize > 0) data.length.toLong / frameSize else 0L
+            val dur =
+              if (fmt.getFrameRate > 0) nFrames / fmt.getFrameRate.toDouble
+              else null
+            // RMS only for the dominant on-disk layout (16-bit signed
+            // PCM); other widths keep metadata but report null level
+            val rms: Any =
+              if (fmt.getSampleSizeInBits == 16 && data.length >= 2) {
+                val big = fmt.isBigEndian
+                var sum = 0.0; var i = 0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  val x = s / 32768.0
+                  sum += x * x
+                  i += 2
+                }
+                math.sqrt(sum / (data.length / 2))
+              } else null
+            Seq(fmt.getSampleRate.toInt, fmt.getChannels, nFrames, dur, rms)
+          } catch { case _: Exception => Seq(null, null, null, null, null) }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ out)
+      }
+    }(enc)
+  }
+
   /** STUB frame sampling for `kind = video`: emits `n` (frame_no,
     * frame_sig) rows per video via posexplode — the UDTF shape real
     * frame extraction would use. Non-video rows pass through with a

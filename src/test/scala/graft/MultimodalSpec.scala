@@ -86,6 +86,45 @@ class MultimodalSpec extends SparkSpec {
       s"solid color must produce exact channel means, got $stats")
   }
 
+  test("decodeAudio reads real WAV metadata and RMS via javax.sound, nulls for junk") {
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at amplitude 0.5, 16-bit mono PCM 8 kHz:
+    // RMS must come back ≈ 0.5/√2
+    val rate = 8000
+    val n = rate / 2
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val df = Seq((1L, bos.toByteArray),
+      (2L, "definitely not audio".getBytes("UTF-8"))).toDF("id", "media")
+    val out = Multimodal.decodeAudio(df, "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val ok = out(1L)
+    assert(ok.getInt(2) == rate && ok.getInt(3) == 1,
+      s"expected 8 kHz mono, got ${ok.getInt(2)} Hz x${ok.getInt(3)}")
+    assert(ok.getLong(4) == n.toLong, "frame count must match the written PCM")
+    assert(math.abs(ok.getDouble(5) - 0.5) < 1e-6, "duration must be 0.5 s")
+    assert(math.abs(ok.getDouble(6) - amp / math.sqrt(2)) < 0.01,
+      s"sine RMS must be amp/sqrt(2), got ${ok.getDouble(6)}")
+    val junk = out(2L)
+    assert(junk.isNullAt(2) && junk.isNullAt(6),
+      "junk bytes must decode to nulls, not fail the task")
+  }
+
   test("sampleFrames explodes n frames per video, 1 per non-video") {
     val frames = Multimodal.sampleFrames(media, 4)
     val perKind = frames.groupBy("media_meta.kind")
