@@ -131,6 +131,19 @@ object Graft {
     ops.AnnIvf.topKBatch(assigned, vecCol, idCol, queries, qVecCol, qIdCol,
       model, k, nProbe)
 
+  /** Product-quantization ANN entry points (memory-side scale path:
+    * m-byte codes, ADC top-k without reading float vectors). */
+  def pqTrain(emb: DataFrame, vecCol: String, idCol: String, m: Int,
+      ksub: Int = 16, iters: Int = 3): ops.AnnPq.PqModel =
+    ops.AnnPq.train(emb, vecCol, idCol, m, ksub, iters)
+  def pqEncode(emb: DataFrame, vecCol: String,
+      model: ops.AnnPq.PqModel): DataFrame =
+    ops.AnnPq.encode(emb, vecCol, model)
+  def pqTopK(encoded: DataFrame, vecCol: String, idCol: String,
+      model: ops.AnnPq.PqModel, query: Array[Float], k: Int,
+      shortlist: Int): DataFrame =
+    ops.AnnPq.topK(encoded, vecCol, idCol, model, query, k, shortlist)
+
   /** Elementwise-mean UDAF for fixed-length float vectors. */
   def centroidUdaf(dim: Int): Column => Column = {
     val agg = org.apache.spark.sql.functions.udaf(new functions.CentroidAgg(dim))
