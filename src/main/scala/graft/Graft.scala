@@ -29,6 +29,10 @@ object Graft {
   /** Fixture-schema table loaders (explicit StructTypes, fail-fast). */
   def tables: Tables.type = Tables
 
+  /** Binary media columns: schema, partition-batched decode (real
+    * image/audio kernels, stub video), resize, features. */
+  def media: multimodal.Multimodal.type = multimodal.Multimodal
+
   // -- similarity / text kernels (codegen'd custom expressions) --
   def cosineSim(a: Column, b: Column): Column = functions.SimFns.cosineSim(a, b)
   def jaccardSim(a: Column, b: Column): Column = functions.SimFns.jaccardSim(a, b)

@@ -133,7 +133,14 @@ object CurationQueries {
     * THEIR LANGUAGE, thresholds derived from the data. Exact
     * interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`, parity proven by q15); the per-lang threshold
-    * table is tiny → broadcast join, corpus never reshuffles. */
+    * table is tiny → broadcast join, corpus never reshuffles.
+    *
+    * Scale note: exact `percentile` buffers each group's values in the
+    * agg buffer — right for the oracle (bit-exact thresholds), wrong
+    * for billions of rows per language. At 100 TB swap the `cuts` agg
+    * for `approx_percentile(n_tok, array(0.05, 0.95), accuracy)` — one
+    * pass, bounded-memory sketch, same broadcast shape downstream; the
+    * cut values move by at most 1/accuracy quantile mass. */
   def q93LengthFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns.tokens
     val d = Tables.documents(s, dir)

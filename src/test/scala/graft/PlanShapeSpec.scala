@@ -152,6 +152,19 @@ class PlanShapeSpec extends SparkSpec {
       s"the tiny cuts table must broadcast — the corpus must not shuffle for it:\n$p")
   }
 
+  test("q22/q41: top-N-per-group plans push the rank limit below the shuffle (WindowGroupLimit)") {
+    // Spark 4's WindowGroupLimit keeps only each group's top-N rows on
+    // the map side before the window sort — the difference between
+    // shuffling N rows per group and shuffling the corpus at 100 TB.
+    // Guard it so a refactor (e.g. filtering on a derived column) never
+    // silently drops the pushdown.
+    for (q <- Seq("q22_top3_per_customer", "q41_top_terms")) {
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$p")
+    }
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
