@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-curation operators, both oracle-gated: the dedup
@@ -175,6 +175,50 @@ object CurationQueries {
       |FROM d JOIN cuts ON d.lang = cuts.lang
       |GROUP BY d.lang
       |ORDER BY d.lang""".stripMargin
+
+  /** Golden-record survivorship — the master-data step of a data
+    * integration pipeline: the same entity arrives from several feeds
+    * with different quality and gaps; the golden record takes, per
+    * FIELD, the first non-null value by feed priority. Feeds here are
+    * deterministic derivations of customer: feed 1 (authoritative) with
+    * deterministic nulls punched in (key%7 names, key%5 balances),
+    * feed 2 (secondary) complete but degraded (lowercased names,
+    * rounded balances). Survivorship is one groupBy with a
+    * `min(when(nonNull, struct(prio, v)))` per field — null-skipping
+    * argmin as a single map-side-combinable aggregation, one shuffle
+    * at any scale, no window, no self-join. */
+  def q94GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val feed1 = c.select(col("c_custkey"), lit(1).as("prio"),
+      when(col("c_custkey") % 7 =!= 0, col("c_name")).as("name"),
+      when(col("c_custkey") % 5 =!= 0, col("c_acctbal")).as("bal"))
+    val feed2 = c.select(col("c_custkey"), lit(2).as("prio"),
+      lower(col("c_name")).as("name"),
+      round(col("c_acctbal")).as("bal"))
+    def survive(v: Column, as: String): Column =
+      min(when(v.isNotNull, struct(col("prio"), v.as("v")))).getField("v").as(as)
+    feed1.unionByName(feed2)
+      .groupBy("c_custkey")
+      .agg(survive(col("name"), "name"), survive(col("bal"), "bal"))
+      .orderBy("c_custkey")
+  }
+
+  val q94GoldenRecordSql: String =
+    """WITH feeds AS (
+      |  SELECT c_custkey, 1 AS prio,
+      |    CASE WHEN c_custkey % 7 <> 0 THEN c_name END AS name,
+      |    CASE WHEN c_custkey % 5 <> 0 THEN c_acctbal END AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2 AS prio, lower(c_name) AS name,
+      |    round(c_acctbal) AS bal
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  arg_min(name, prio) FILTER (WHERE name IS NOT NULL) AS name,
+      |  arg_min(bal, prio) FILTER (WHERE bal IS NOT NULL) AS bal
+      |FROM feeds
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
 
   val q91RepetitionSql: String =
     """SELECT doc_id, lang, n_bigrams, n_unique,
