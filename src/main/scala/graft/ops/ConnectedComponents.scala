@@ -34,27 +34,29 @@ object ConnectedComponents {
       // propagate null labels through the joins
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // fold a self-edge per vertex into the adjacency: one join + one
+    // aggregation then yields BOTH min(self, neighbors) — the update —
+    // and the self row's label — the previous value for the convergence
+    // check — instead of a second (left) join per round
+    val symPlus = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint()
 
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = symPlus.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      // the smallest label among each vertex's neighbors
-      val neighborMin = sym
+      val updated = symPlus
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src"))
-        .agg(min(col("component")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("next"))
+        .agg(min(col("component")).as("next"),
+          // exactly one self row per src carries the previous label
+          min(when(col("dst") === col("src"), col("component"))).as("prev"))
         .localCheckpoint()
-      changed = updated.filter(col("next") =!= col("component")).count()
-      labels = updated.select(col("id"), col("next").as("component"))
+      changed = updated.filter(col("next") =!= col("prev")).count()
+      labels = updated.select(col("src").as("id"), col("next").as("component"))
       it += 1
     }
     require(changed == 0,
