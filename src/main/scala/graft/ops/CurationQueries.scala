@@ -220,6 +220,70 @@ object CurationQueries {
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** Forward-fill (LOCF) over a densified daily series — the pandas
+    * `ffill` primitive re-expressed relationally: build the q79 date
+    * spine per priority, leave missing days NULL, then carry the last
+    * observation forward with `last(_, ignoreNulls)` over a keyed
+    * running frame, plus the staleness age in days. One keyed window —
+    * a single shuffle; the spine is calendar-bounded regardless of fact
+    * volume. Leading days before the first observation stay NULL (no
+    * backfill), exactly pandas semantics. */
+  def q95ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+    val span = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val prios = o.select("o_orderpriority").distinct()
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.crossJoin(prios)
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .withColumn("rev_filled", last(col("rev"), ignoreNulls = true).over(w))
+      .withColumn("obs_day",
+        last(when(col("rev").isNotNull, col("day")), ignoreNulls = true).over(w))
+      .select(col("day"), col("o_orderpriority"),
+        dec4(col("rev_filled")).as("rev_filled"),
+        // long: DuckDB date_diff returns BIGINT, Spark datediff INT
+        datediff(col("day"), col("obs_day")).cast("long").as("staleness_days"))
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q95ForwardFillSql: String = {
+    import Parity._
+    s"""WITH span AS (
+       |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+       |         MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+       |days AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+       |daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+       |    SUM(CAST(o_totalprice AS $DM)) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT day, o_orderpriority, rev
+       |  FROM days CROSS JOIN prios
+       |  LEFT JOIN daily USING (day, o_orderpriority))
+       |SELECT day, o_orderpriority,
+       |  ${out4("""last_value(rev IGNORE NULLS) OVER (
+       |    PARTITION BY o_orderpriority ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS rev_filled,
+       |  date_diff('day',
+       |    last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+       |      PARTITION BY o_orderpriority ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    day) AS staleness_days
+       |FROM sparse
+       |ORDER BY day, o_orderpriority""".stripMargin
+  }
+
   val q91RepetitionSql: String =
     """SELECT doc_id, lang, n_bigrams, n_unique,
       |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) AS rep_ratio
