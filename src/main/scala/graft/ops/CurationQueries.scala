@@ -284,6 +284,128 @@ object CurationQueries {
        |ORDER BY day, o_orderpriority""".stripMargin
   }
 
+  /** Linear interpolation between observations — pandas
+    * `interpolate(method='linear')` relationally: on the q95 sparse
+    * series, a missing day takes
+    * prev + (next − prev) · elapsed/gap, where prev/next come from a
+    * backward `last(ignoreNulls)` and a forward `first(ignoreNulls)`
+    * window over the SAME keyed sort (one shuffle, one sort, two frame
+    * passes). Leading/trailing gaps (no prev or no next) stay NULL.
+    * The lerp runs in double on both engines from identical decimal
+    * inputs and integer day distances, so rounding to 4 is stable. */
+  def q96Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val span = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val prios = o.select("o_orderpriority").distinct()
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
+    val back = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevRev = last(col("rev"), ignoreNulls = true).over(back)
+    val prevDay = last(when(col("rev").isNotNull, col("day")),
+      ignoreNulls = true).over(back)
+    val nextRev = first(col("rev"), ignoreNulls = true).over(fwd)
+    val nextDay = first(when(col("rev").isNotNull, col("day")),
+      ignoreNulls = true).over(fwd)
+    val lerp = prevRev + (nextRev - prevRev) *
+      (datediff(col("day"), prevDay).cast("double") /
+        datediff(nextDay, prevDay).cast("double"))
+    spine.crossJoin(prios)
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .withColumn("rev_interp", round(
+        when(col("rev").isNotNull, col("rev")).otherwise(lerp), 4))
+      .select("day", "o_orderpriority", "rev_interp")
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q96InterpolateSql: String =
+    """WITH span AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+      |         MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |sparse AS (
+      |  SELECT day, o_orderpriority, rev
+      |  FROM days CROSS JOIN prios
+      |  LEFT JOIN daily USING (day, o_orderpriority)),
+      |ctx AS (
+      |  SELECT day, o_orderpriority, rev,
+      |    last_value(rev IGNORE NULLS) OVER bk AS prev_rev,
+      |    last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER bk AS prev_day,
+      |    first_value(rev IGNORE NULLS) OVER fw AS next_rev,
+      |    first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER fw AS next_day
+      |  FROM sparse
+      |  WINDOW
+      |    bk AS (PARTITION BY o_orderpriority ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    fw AS (PARTITION BY o_orderpriority ORDER BY day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT day, o_orderpriority,
+      |  ROUND(CASE WHEN rev IS NOT NULL THEN rev
+      |    ELSE prev_rev + (next_rev - prev_rev) *
+      |      (CAST(date_diff('day', prev_day, day) AS DOUBLE) /
+      |       CAST(date_diff('day', prev_day, next_day) AS DOUBLE)) END, 4)
+      |    AS rev_interp
+      |FROM ctx
+      |ORDER BY day, o_orderpriority""".stripMargin
+
+  /** Rolling z-score anomaly flags — the monitoring op a pipeline runs
+    * over its own daily volumes: each (priority, day) revenue scored
+    * against its trailing 30-observation mean/stddev; |z| > 2 flags an
+    * anomaly. One keyed window, map-side nothing — same single-shuffle
+    * discipline as every series op here. The first row of each key has
+    * no sample stddev (NULL z, never flagged), and a zero-variance
+    * window yields NULL via nullif — identical on both engines. */
+  def q97Anomaly(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-29, Window.currentRow)
+    val z = (col("rev") - avg(col("rev")).over(w)) /
+      nullif(stddev_samp(col("rev")).over(w), lit(0.0))
+    daily.withColumn("z", round(z, 4))
+      .withColumn("is_anomaly",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z")) > 2.0))
+      .select("day", "o_orderpriority", "z", "is_anomaly")
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q97AnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT day, o_orderpriority,
+      |    ROUND((rev - avg(rev) OVER w) / nullif(stddev_samp(rev) OVER w, 0.0), 4) AS z
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+      |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT day, o_orderpriority, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 2.0 END AS is_anomaly
+      |FROM scored
+      |ORDER BY day, o_orderpriority""".stripMargin
+
   val q91RepetitionSql: String =
     """SELECT doc_id, lang, n_bigrams, n_unique,
       |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) AS rep_ratio
