@@ -148,6 +148,17 @@ object Graft {
       shortlist: Int): DataFrame =
     ops.AnnPq.topK(encoded, vecCol, idCol, model, query, k, shortlist)
 
+  /** Keyed-series missing-value repair (pandas ffill/bfill/interpolate). */
+  def ffill(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCols: Seq[String]): DataFrame =
+    ops.SeriesOps.ffill(df, partCols, orderCol, valueCols)
+  def bfill(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCols: Seq[String]): DataFrame =
+    ops.SeriesOps.bfill(df, partCols, orderCol, valueCols)
+  def interpolate(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCol: String, posCol: String): DataFrame =
+    ops.SeriesOps.interpolate(df, partCols, orderCol, valueCol, posCol)
+
   /** Elementwise-mean UDAF for fixed-length float vectors. */
   def centroidUdaf(dim: Int): Column => Column = {
     val agg = org.apache.spark.sql.functions.udaf(new functions.CentroidAgg(dim))
