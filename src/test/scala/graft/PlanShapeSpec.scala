@@ -165,6 +165,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q96: backward and forward fill windows share one exchange") {
+    // both frames use the same (partitionBy priority, orderBy day)
+    // spec, so Spark must plan ONE priority-keyed exchange feeding both
+    // Window nodes — a second one would double-shuffle the series
+    val p = planOf("q96_interpolate")
+    val windowExchanges =
+      "hashpartitioning\\(o_orderpriority".r.findAllIn(p).size
+    assert(windowExchanges == 1,
+      s"expected one shared window exchange, found $windowExchanges:\n$p")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
