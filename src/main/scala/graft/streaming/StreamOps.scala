@@ -141,6 +141,38 @@ object StreamOps {
     }.option("checkpointLocation", checkpointDir).start()
   }
 
+  /** Incremental-ingest sink: append-only, exactly one row per key ever
+    * — the crawl-drop pattern ("which of these documents has the corpus
+    * never seen?") as a streaming sink. Each micro-batch dedups within
+    * itself, routes against a bloom filter of the current corpus keys
+    * (definitely-new rows skip the join; bloom has no false negatives),
+    * anti-join-verifies the maybe-dups, and APPENDS only the genuinely
+    * new rows — the snapshot is never rewritten, so corpus size doesn't
+    * bound the batch cost ceiling the way the upsert sink's rewrite
+    * does. The filter is rebuilt per batch here for simplicity;
+    * production persists a mergeable sketch and unions in each batch's
+    * keys — exactness is unaffected either way (the anti-join decides,
+    * the bloom only routes). */
+  def bloomIngestSink(events: DataFrame, keyCol: String, snapshotDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))
+      val distinctBatch = batch.dropDuplicates(keyCol)
+      val fresh =
+        if (!exists) distinctBatch
+        else {
+          val corpus = spark.read.schema(batch.schema).parquet(snapshotDir)
+          val bloom = graft.ops.BloomDedup.buildFilter(
+            corpus, keyCol, expectedItems = corpus.count())
+          graft.ops.BloomDedup.newAgainst(distinctBatch, corpus, keyCol, bloom)
+        }
+      fresh.write.mode("append").parquet(snapshotDir)
+      ()
+    }.option("checkpointLocation", checkpointDir).start()
+
   /** One micro-batch step of the funnel state machine — shared by both
     * arbitrary-state APIs below so their semantics can never drift.
     * Events within a batch are not ordered: signups fold in first so a

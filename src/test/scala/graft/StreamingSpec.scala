@@ -225,6 +225,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-routed ingest sink appends exactly one row per key across micro-batches") {
+    val in = newStream()
+    val base = Files.createTempDirectory("bloom_ingest").toString
+    val q = StreamOps.bloomIngestSink(in.toDF(), "event_id",
+      s"$base/snap", s"$base/ckpt")
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "doc", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "doc", 2.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 2, "doc", 3.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(2, ts("2024-01-01 11:00:00"), 1, "doc", 2.5), // dup: dropped
+        Ev(3, ts("2024-01-01 11:01:00"), 2, "doc", 3.5), // dup: dropped
+        Ev(4, ts("2024-01-01 11:02:00"), 3, "doc", 4.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(1, ts("2024-01-01 12:00:00"), 1, "doc", 1.5), // dup: dropped
+        Ev(5, ts("2024-01-01 12:01:00"), 3, "doc", 5.0),
+        Ev(5, ts("2024-01-01 12:01:30"), 3, "doc", 5.5)) // within-batch dup
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+      assert(snap.count() == 5, "exactly one row per distinct key ever seen")
+      val firstSeen = snap.select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(firstSeen.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(firstSeen(1L) == 1.0 && firstSeen(2L) == 2.0 && firstSeen(4L) == 4.0,
+        "the batch that first carried a key must be the one kept")
+    } finally q.stop()
+  }
+
   test("T3 session_window groups by 30-minute gaps (batch mode)") {
     import spark.implicits._
     val df = Seq(
