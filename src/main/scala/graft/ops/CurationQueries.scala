@@ -406,6 +406,38 @@ object CurationQueries {
       |FROM scored
       |ORDER BY day, o_orderpriority""".stripMargin
 
+  /** Equal-frequency (quantile) binning — pandas `qcut`, the partner of
+    * q88's equal-width histogram: rank every order price into deciles
+    * with `ntile(10)` under a deterministic total order (price, then
+    * key — ntile ties would otherwise be engine-dependent), then profile
+    * each bin. The global-order window is the one shape that needs care
+    * at scale: ntile over the whole corpus single-partitions the sort,
+    * so the 100 TB form replaces it with approx_percentile cut points
+    * (the q93 pattern) or a range-partitioned rank; the semantics
+    * pinned here are the target for both. */
+  def q98Qcut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"))
+      .orderBy("decile")
+  }
+
+  val q98QcutSql: String =
+    """SELECT decile, COUNT(*) AS n,
+      |  ROUND(MIN(o_totalprice), 4) AS lo,
+      |  ROUND(MAX(o_totalprice), 4) AS hi
+      |FROM (
+      |  SELECT o_totalprice,
+      |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val q91RepetitionSql: String =
     """SELECT doc_id, lang, n_bigrams, n_unique,
       |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) AS rep_ratio
