@@ -76,33 +76,56 @@ object Tables {
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
-  /** Relation memo per (session → (dir, table)): a DataFrame is an
+  /** Relation memo per (sessionUUID → (dir, table)): a DataFrame is an
     * immutable logical plan, so reuse is safe, and it keeps one
     * InMemoryFileIndex per table instead of re-listing the directory on
     * every query that mentions it (the bench's ~90 queries × ~2 tables
-    * each adds up). The outer map holds the session WEAKLY — a stopped,
-    * dereferenced session and all its cached plans become collectable
-    * instead of being retained for the JVM lifetime (long-running
-    * processes and test suites create many sessions). WeakHashMap is not
-    * thread-safe, so all access synchronizes on it; the lookup is a
-    * few map probes, never the plan construction race that matters. */
-  private val memo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]()
+    * each adds up).
+    *
+    * Eviction discipline: the key is the session's UUID *string* — never
+    * the session itself or anything the cached values reference. (A
+    * WeakHashMap[SparkSession, DataFrame] is inert here: a DataFrame
+    * strongly references its SparkSession through QueryExecution, so
+    * every entry's value would pin its own key and nothing could ever be
+    * collected.) Instead eviction is explicit: the first load for a
+    * session registers a SparkListener — holding only the UUID string —
+    * that drops the session's entries when its SparkContext fires
+    * onApplicationEnd (SparkSession.stop()), so stopped sessions and all
+    * their cached plans become collectable instead of being retained for
+    * the JVM lifetime. TablesMemoSpec pins both the eviction and the
+    * collectability. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.synchronized {
-      val perSession = {
-        val existing = memo.get(spark)
-        if (existing != null) existing
-        else {
-          val fresh = scala.collection.mutable.Map.empty[(String, String), DataFrame]
-          memo.put(spark, fresh)
-          fresh
-        }
-      }
-      perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
+  /** Test hook: is anything memoized for this session UUID? */
+  private[graft] def isMemoized(sessionUUID: String): Boolean =
+    memo.containsKey(sessionUUID)
+
+  private[graft] def evict(sessionUUID: String): Unit = {
+    memo.remove(sessionUUID)
+    hooked.remove(sessionUUID)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val uuid = org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)
+    if (hooked.add(uuid)) {
+      // one listener per session; clones from newSession() share a
+      // context, so each registers its own and all evict on context end
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evict(uuid)
+        })
     }
+    memo.computeIfAbsent(uuid,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      // TrieMap.getOrElseUpdate is atomic; a lost race just builds the
+      // same immutable plan twice, which is harmless
+      .getOrElseUpdate((dir, name), build(spark, dir, name))
+  }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
       if (name == "events") {

@@ -57,16 +57,31 @@ object AnnPq {
   }
 
   /** Train per-subspace k-means codebooks. Seeds = sub-vectors of the
-    * first ksub rows by `idCol` — deterministic, no RNG. */
+    * first rows by `idCol` — deterministic, no RNG.
+    *
+    * Validation (ADVICE r3/r4): a corpus with fewer than ksub rows, or
+    * whose leading rows collapse to fewer than ksub DISTINCT sub-vectors
+    * in some subspace, must fail fast — silently training duplicate
+    * centroids shrinks the effective code space (degraded recall with no
+    * signal). The seed pool is 4×ksub rows so benign duplicates are
+    * skipped rather than fatal; only a genuinely degenerate corpus
+    * throws. */
   def train(emb: DataFrame, vecCol: String, idCol: String, m: Int,
       ksub: Int, iters: Int): PqModel = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    val seeds = emb.orderBy(idCol).limit(ksub).select(vecCol)
+    val seedPool = emb.orderBy(idCol).limit(ksub * 4).select(vecCol)
       .collect().map(_.getSeq[Float](0).toArray)
+    require(seedPool.length >= ksub,
+      s"PQ train needs at least ksub=$ksub rows; corpus has ${seedPool.length}")
     val codebooks = (0 until m).toArray.map { s =>
-      var cents = seeds.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      var cents = seedPool.map(v => v.slice(s * dsub, (s + 1) * dsub))
+        .distinctBy(_.toSeq).take(ksub)
+      require(cents.length == ksub,
+        s"subspace $s: only ${cents.length} distinct seed sub-vectors in the " +
+          s"first ${seedPool.length} rows (< ksub=$ksub) — corpus too " +
+          "degenerate to train a full codebook")
       val model0 = PqModel(dim, m, ksub, Array.fill(m)(cents)) // slice helper only
       var it = 0
       while (it < iters) {

@@ -103,11 +103,19 @@ object CurationQueries {
     * not just the counts. One keyed window — a single shuffle at any
     * corpus size; at 100 TB `source` is the natural high-cardinality
     * partition key (millions of domains), so no skew concern short of
-    * one domain owning the corpus. */
+    * one domain owning the corpus.
+    *
+    * Overflow discipline: the id is modular-reduced BEFORE the multiply
+    * ([[capHash]]), so the intermediate is bounded by (p−1)·2654435761
+    * ≈ 2.65e18 < Long.MaxValue for ANY 64-bit id. The naive
+    * `id * 2654435761 + c` form wraps silently in Spark (non-ANSI) but
+    * raises BIGINT-out-of-range in DuckDB at id ≈ 3.5e9, breaking the
+    * cross-engine parity this oracle pins; PropertySpec proves the
+    * reduced form against BigInt arithmetic across the full Long range. */
   def q92SourceCap(s: SparkSession, dir: String): DataFrame = {
     val cap = 15
     val d = Tables.documents(s, dir)
-    val h = pmod(col("doc_id") * 2654435761L + 104729L, lit(1000000007L))
+    val h = capHash(col("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     d.withColumn("h", h)
@@ -117,12 +125,19 @@ object CurationQueries {
       .orderBy("source", "rnk")
   }
 
+  /** q92's rank hash, shared with PropertySpec: pmod-reduce the id
+    * first, then multiply — identical values to the naive form for all
+    * ids in [0, p) (every fixture id), but safe for the full Long range
+    * on both engines. */
+  private[graft] def capHash(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * 2654435761L + 104729L, lit(1000000007L))
+
   val q92SourceCapSql: String =
     """SELECT source, doc_id, rnk FROM (
       |  SELECT source, doc_id,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY ((doc_id * 2654435761 + 104729) % 1000000007
-      |                + 1000000007) % 1000000007, doc_id) AS rnk
+      |      ORDER BY (((doc_id % 1000000007 + 1000000007) % 1000000007)
+      |                * 2654435761 + 104729) % 1000000007, doc_id) AS rnk
       |  FROM documents)
       |WHERE rnk <= 15
       |ORDER BY source, rnk""".stripMargin

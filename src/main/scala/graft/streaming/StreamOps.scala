@@ -115,11 +115,15 @@ object StreamOps {
       val incoming = batch.select("user_id", "ts", "event_id", "value")
       // decide empty-vs-read by an explicit existence probe: a transient
       // read failure (corrupt file, FS hiccup) must propagate and retry
-      // the micro-batch, never silently discard the merged state
-      val fsProbe = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // the micro-batch, never silently discard the merged state.
+      // The FS is derived FROM THE PATH's scheme, never FileSystem.get
+      // (default FS) — on a cluster the snapshot dir is s3a:// or
+      // hdfs://, not the local default, and a default-FS probe throws
+      // "Wrong FS"
+      val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+      val fsProbe = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val current =
-        if (fsProbe.exists(new org.apache.hadoop.fs.Path(snapshotDir)))
+        if (fsProbe.exists(snapPath))
           spark.read.schema(incoming.schema).parquet(snapshotDir)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
@@ -132,11 +136,10 @@ object StreamOps {
       // the overwrite below cannot safely overlap in one FS path
       val tmp = snapshotDir + "_tmp"
       merged.write.mode("overwrite").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(snapshotDir))
+      // same path-derived FS as the probe: tmp shares the snapshot's
+      // scheme, so delete+rename stay a same-store metadata operation
+      fsProbe.delete(snapPath, true)
+      fsProbe.rename(new org.apache.hadoop.fs.Path(tmp), snapPath)
       ()
     }.option("checkpointLocation", checkpointDir).start()
   }
@@ -157,9 +160,11 @@ object StreamOps {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))
+      // path-derived FS (never default-FS FileSystem.get): the corpus
+      // snapshot lives wherever the URI says, e.g. s3a://
+      val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+      val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(snapPath)
       val distinctBatch = batch.dropDuplicates(keyCol)
       val fresh =
         if (!exists) distinctBatch

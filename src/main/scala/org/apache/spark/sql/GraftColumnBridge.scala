@@ -18,4 +18,9 @@ object GraftColumnBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[classic.SparkSession].experimental
+  /** The session's stable UUID (`private[sql]` on classic.SparkSession)
+    * — graft.Tables keys its relation memo by it precisely because a
+    * String cannot pin the session the way a session-keyed map would. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

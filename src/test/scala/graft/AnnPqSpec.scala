@@ -34,6 +34,28 @@ class AnnPqSpec extends SparkSpec {
     }
   }
 
+  test("train fails fast on a corpus smaller than ksub") {
+    // ADVICE r3/r4: a too-small corpus must throw, never silently train
+    // a collapsed codebook with duplicate/missing centroids
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < KSUB - 1)
+    val e = intercept[IllegalArgumentException] {
+      AnnPq.train(emb, "embedding", "vec_id", M, KSUB, iters = 1)
+    }
+    assert(e.getMessage.contains(s"ksub=$KSUB"))
+  }
+
+  test("train fails fast when seed rows collapse to duplicate sub-vectors") {
+    import spark.implicits._
+    // 2*ksub copies of one vector: every subspace has exactly 1 distinct
+    // seed sub-vector — enough rows, but a degenerate code space
+    val dup = (0 until KSUB * 2).map(i =>
+      (i.toLong, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnPq.train(dup, "embedding", "vec_id", m = 4, KSUB, iters = 1)
+    }
+    assert(e.getMessage.contains("distinct seed sub-vectors"))
+  }
+
   // Shortlist is deliberately generous (20%): the synthetic 64-dim
   // corpus has near-uniform pairwise sims (concentration of measure), a
   // worst case for any quantizer — m=4 and m=8 shortlists capture the

@@ -142,6 +142,29 @@ class PropertySpec extends SparkSpec {
       s"pairs at t=0.9 must be a subset of pairs at t=0.7; extra: ${(tight -- loose).take(3)}")
   }
 
+  test("q92 capHash matches BigInt modular arithmetic over the full Long range") {
+    // pins the ADVICE r4 overflow fix: pmod-reduce BEFORE the multiply.
+    // The oracle here is exact BigInt arithmetic — the value the naive
+    // `id * 2654435761 + 104729` form would produce WITHOUT 64-bit
+    // wrap-around — so any overflow in the Spark column is caught. Ids
+    // include the hostile band ≥ 3.5e9 where the naive form wraps in
+    // Spark and raises in DuckDB, and Long.MaxValue itself.
+    import spark.implicits._
+    val p = BigInt(1000000007L)
+    def oracle(id: Long): Long =
+      (((BigInt(id).mod(p)) * BigInt(2654435761L) + BigInt(104729L)).mod(p)).toLong
+    val hostile = Seq(0L, 1L, 14629L, 3500000000L, 4000000007L,
+      1L << 40, (1L << 62) - 3, Long.MaxValue, -1L, Long.MinValue)
+    val generated = samples(Gen.choose(Long.MinValue, Long.MaxValue), 20)
+    val ids = (hostile ++ generated).distinct
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.ops.CurationQueries.capHash(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids)
+      assert(got(id) == oracle(id),
+        s"capHash($id) = ${got(id)}, BigInt oracle says ${oracle(id)}")
+  }
+
   test("cosine similarity is within [-1, 1] and self-similarity is 1") {
     import spark.implicits._
     for (vecs <- samples(vecGen, 3)) {

@@ -256,6 +256,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink works with a fully-qualified file:/// snapshot URI") {
+    // pins the ADVICE r3/r4 fix: the sink must derive its FileSystem
+    // from the path's scheme (Path.getFileSystem), not the default FS —
+    // a qualified URI through the old FileSystem.get(conf) probes the
+    // wrong store (or throws "Wrong FS") on any cluster where the
+    // snapshot is not on the default filesystem
+    val in = newStream()
+    val base = Files.createTempDirectory("t7_upsert_uri").toUri.toString
+      .stripSuffix("/") // file:///tmp/... — scheme-qualified
+    assert(base.startsWith("file:///"))
+    val q = StreamOps.upsertSink(in.toDF(), s"$base/snap", s"$base/ckpt")
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+        .select("user_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == Map(1L -> 9.0), s"qualified-URI upsert broken: $snap")
+    } finally q.stop()
+  }
+
+  test("bloom ingest sink works with a fully-qualified file:/// snapshot URI") {
+    val in = newStream()
+    val base = Files.createTempDirectory("bloom_ingest_uri").toUri.toString
+      .stripSuffix("/")
+    assert(base.startsWith("file:///"))
+    val q = StreamOps.bloomIngestSink(in.toDF(), "event_id",
+      s"$base/snap", s"$base/ckpt")
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "doc", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(1, ts("2024-01-01 11:00:00"), 1, "doc", 1.5), // dup: dropped
+        Ev(2, ts("2024-01-01 11:01:00"), 2, "doc", 2.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == Map(1L -> 1.0, 2L -> 2.0),
+        s"qualified-URI bloom ingest broken: $snap")
+    } finally q.stop()
+  }
+
   test("T3 session_window groups by 30-minute gaps (batch mode)") {
     import spark.implicits._
     val df = Seq(
