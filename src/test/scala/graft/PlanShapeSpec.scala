@@ -185,4 +185,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
       "both sides must co-partition on the key")
   }
+
+  test("nested-loop joins appear ONLY on the PLANS.md-enumerated allowlist") {
+    // the PLANS.md header contract as an executable guard: cartesian /
+    // broadcast-nested-loop plans are expected ONLY where a deliberate
+    // tiny-side broadcast exists — q10's bounded pair matrix, the
+    // one-row bounds/corpus-count sides of q43/q79/q88/q95/q96, and the
+    // broadcast query sides of q52/q53 — and even there at most ONE per
+    // plan. Any other query earning either operator (a dropped broadcast
+    // hint, a join condition that stopped being an equi-join) is a
+    // quadratic scale regression this test turns from a PLANS.md review
+    // note into a hard failure. CartesianProduct (partition-wise, both
+    // sides shuffled N×M) is never acceptable, allowlisted or not.
+    val allowedBnlj = Set("q10_cross_matrix", "q43_tfidf", "q52_cosine",
+      "q53_topk_nn", "q79_date_spine", "q88_histogram", "q95_forward_fill",
+      "q96_interpolate")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val cart = "CartesianProduct".r.findAllIn(p).size
+        val bnlj = "BroadcastNestedLoop".r.findAllIn(p).size
+        if (cart > 0) Some(s"$name: CartesianProduct x$cart")
+        else if (bnlj > 0 && !allowedBnlj(name)) Some(s"$name: BNLJ x$bnlj")
+        else if (bnlj > 1) Some(s"$name: BNLJ x$bnlj (allowlist permits 1)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop plans outside the allowlist:\n${offenders.mkString("\n")}")
+  }
 }
