@@ -71,6 +71,64 @@ object AnnIvfPq {
     AnnPq.encode(assigned, "res", model.pq).drop("res")
   }
 
+  /** Element-wise dot product of two float-array columns, accumulated
+    * in double — stays inside codegen. */
+  private def dotExpr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Batch form of [[topK]]: IVFADC for EVERY query row in one
+    * distributed plan — the serving shape at scale, where looping
+    * [[topK]] per query would schedule one job each.
+    *
+    * The ADC economics survive batching because the per-query lookup
+    * table is computed ON THE QUERY SIDE as a column (m×ksub sub-dot
+    * expressions against the codebook literals — tiny side, computed
+    * once per query row), and rides through the broadcast into the
+    * bucket equi-join; corpus-side scoring is still just m+1 array
+    * lookups per row. Ranking windows are keyed per query (never
+    * global; the shortlist rank is WindowGroupLimit-pushable), ordering
+    * matches [[topK]] ((approx desc, id), then (sim desc, id)), so
+    * results are identical to per-query calls — pinned in AnnIvfPqSpec. */
+  def topKBatch(encoded: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      model: IvfPqModel, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val cents = model.ivf.centroids
+    val centroidSims = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-SimFns.cosineSim(col(qVecCol), typedlit(c))).as("neg_sim"),
+        lit(i).as("cid"))
+    }: _*)
+    val probes = transform(
+      slice(array_sort(centroidSims), lit(1), lit(nProbe)), _.getField("cid"))
+    val dsub = model.pq.dsub
+    val lut = array((0 until model.pq.m).map { s =>
+      array((0 until model.pq.ksub).map { c =>
+        dotExpr(slice(col(qVecCol), s * dsub + 1, dsub),
+          typedlit(model.pq.codebooks(s)(c)))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"),
+        lut.as("lut"), explode(probes).as("cid"))
+      .withColumn("qdotc",
+        dotExpr(col("qv"), element_at(typedlit(cents), col("cid") + 1)))
+    val adc = (0 until model.pq.m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(q), "cid")
+      .withColumn("approx", col("qdotc") + adc)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col(idCol))
+    val cand = scored.withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    cand.withColumn("sim",
+        round(SimFns.cosineSim(col(vecCol), col("qv")), 6))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol), col("rnk"), col("sim"))
+  }
+
   /** Top-k by three-stage IVFADC serve: prune to the `nProbe` buckets
     * nearest the query (driver-side centroid ranking, k values), score
     * every row in them with dot(q, c_cid) + ADC over the residual codes

@@ -70,6 +70,26 @@ class AnnIvfPqSpec extends SparkSpec {
     assert(recall >= 0.85, f"recall $recall%.2f below pinned floor")
   }
 
+  test("topKBatch equals per-query topK for every query") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val batch = AnnIvfPq.topKBatch(encoded, "embedding", "vec_id",
+        queries, "qv", "q_id", model, TOPK, NPROBE, SHORTLIST)
+      .select("q_id", "vec_id", "rnk", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val single = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .flatMap { case (qid, qv) =>
+        AnnIvfPq.topK(encoded, "embedding", "vec_id", model, qv,
+            TOPK, NPROBE, SHORTLIST)
+          .collect().map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2)))
+      }.toSet
+    assert(batch == single,
+      s"batch/per-query drift: ${(batch diff single).take(3)} vs ${(single diff batch).take(3)}")
+  }
+
   test("shortlist ranking is TakeOrderedAndProject, never a corpus-wide window") {
     val qv = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
