@@ -87,44 +87,68 @@ object Tables {
     * WeakHashMap[SparkSession, DataFrame] is inert here: a DataFrame
     * strongly references its SparkSession through QueryExecution, so
     * every entry's value would pin its own key and nothing could ever be
-    * collected.) Instead eviction is explicit: the first load for a
-    * session registers a SparkListener — holding only the UUID string —
-    * that drops the session's entries when its SparkContext fires
-    * onApplicationEnd (SparkSession.stop()), so stopped sessions and all
-    * their cached plans become collectable instead of being retained for
-    * the JVM lifetime. TablesMemoSpec pins both the eviction and the
-    * collectability. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    String, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
-  private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * collected.) Eviction is explicit, on two triggers:
+    *  - application end: the first load on a given SparkContext
+    *    registers ONE SparkListener (per context, not per session —
+    *    the bus must not accumulate a listener per short-lived clone)
+    *    that clears the memo when the context stops; every session of a
+    *    stopped context is unusable anyway, and one context is active
+    *    per JVM, so a full clear is exact. Stopped sessions and their
+    *    cached plans then become collectable instead of being retained
+    *    for the JVM lifetime.
+    *  - LRU bound: `newSession()` clones can be dropped by the caller
+    *    while the context lives on, and nothing observable marks that
+    *    moment — so the session map is capped at [[MaxSessions]] with
+    *    least-recently-LOADED eviction. A pathological
+    *    clone-per-request service retains at most MaxSessions sessions'
+    *    plans instead of growing without bound.
+    * TablesMemoSpec pins eviction and the GC-collectability of an
+    * evicted session. */
+  private val MaxSessions = 64
+  private val memo = new java.util.LinkedHashMap[
+      String, scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+      size() > MaxSessions
+  }
+  private val hookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
   /** Test hook: is anything memoized for this session UUID? */
   private[graft] def isMemoized(sessionUUID: String): Boolean =
-    memo.containsKey(sessionUUID)
+    memo.synchronized(memo.containsKey(sessionUUID))
 
-  private[graft] def evict(sessionUUID: String): Unit = {
-    memo.remove(sessionUUID)
-    hooked.remove(sessionUUID)
-  }
+  private[graft] def evict(sessionUUID: String): Unit =
+    memo.synchronized(memo.remove(sessionUUID))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val uuid = org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)
-    if (hooked.add(uuid)) {
-      // one listener per session; clones from newSession() share a
-      // context, so each registers its own and all evict on context end
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            evict(uuid)
-        })
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          memo.synchronized(memo.clear())
+          hookedContexts.remove(sc)
+        }
+      })
     }
-    memo.computeIfAbsent(uuid,
-        _ => scala.collection.concurrent.TrieMap.empty)
-      // TrieMap.getOrElseUpdate is atomic; a lost race just builds the
-      // same immutable plan twice, which is harmless
-      .getOrElseUpdate((dir, name), build(spark, dir, name))
+    val perSession = memo.synchronized {
+      val existing = memo.get(uuid)
+      if (existing != null) existing
+      else {
+        val fresh =
+          scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        memo.put(uuid, fresh)
+        fresh
+      }
+    }
+    // TrieMap.getOrElseUpdate is atomic; a lost race just builds the
+    // same immutable plan twice, which is harmless. Plan construction
+    // stays OUTSIDE the memo lock.
+    perSession.getOrElseUpdate((dir, name), build(spark, dir, name))
   }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {

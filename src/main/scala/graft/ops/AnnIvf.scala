@@ -54,13 +54,23 @@ object AnnIvf {
   }
 
   /** Train k-means (cosine assignment, mean update) and return the
-    * centroid matrix. Seeds = the first k vectors by `idCol` —
-    * deterministic, no RNG. */
+    * centroid matrix. Seeds = the first k DISTINCT vectors by `idCol` —
+    * deterministic, no RNG. A corpus with fewer than k rows (or fewer
+    * than k distinct vectors in its first 4k rows) fails fast: silently
+    * training fewer/duplicate centroids would shrink the bucket space
+    * with no signal (same validation contract as AnnPq.train). */
   def train(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): IvfModel = {
-    var centroids = emb.orderBy(idCol).limit(k)
+    val seedPool = emb.orderBy(idCol).limit(k * 4)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).toArray)
+    require(seedPool.length >= k,
+      s"IVF train needs at least k=$k rows; corpus has ${seedPool.length}")
+    var centroids = seedPool.distinctBy(_.toSeq).take(k)
+    require(centroids.length == k,
+      s"only ${centroids.length} distinct seed vectors in the first " +
+        s"${seedPool.length} rows (< k=$k) — corpus too degenerate to " +
+        "seed a full coarse quantizer")
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("cid", nearestCid(col(vecCol), centroids))
@@ -83,6 +93,21 @@ object AnnIvf {
   def assign(emb: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     emb.withColumn("cid", nearestCid(col(vecCol), model.centroids))
 
+  /** Per-row probe list as a pure expression: the nProbe bucket ids
+    * nearest to `qVec`, ordered (sim desc, cid asc) to match
+    * `IvfModel.nearestCentroids` exactly. Shared by [[topKBatch]] and
+    * AnnIvfPq.topKBatch so the probe-ordering contract lives in ONE
+    * place — a tie-break change here changes both consistently. */
+  private[ops] def probesExpr(qVec: Column,
+      centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val centroidSims = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-SimFns.cosineSim(qVec, typedlit(c))).as("neg_sim"),
+        lit(i).as("cid"))
+    }: _*)
+    transform(
+      slice(array_sort(centroidSims), lit(1), lit(nProbe)), _.getField("cid"))
+  }
+
   /** Batch form of [[topK]]: top-k neighbors for EVERY query row in one
     * distributed plan — the serving shape at scale, where looping
     * [[topK]] per query would schedule one job each.
@@ -100,12 +125,7 @@ object AnnIvf {
       queries: DataFrame, qVecCol: String, qIdCol: String,
       model: IvfModel, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val centroidSims = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-SimFns.cosineSim(col(qVecCol), typedlit(c))).as("neg_sim"),
-        lit(i).as("cid"))
-    }: _*)
-    val probes = transform(
-      slice(array_sort(centroidSims), lit(1), lit(nProbe)), _.getField("cid"))
+    val probes = probesExpr(col(qVecCol), model.centroids, nProbe)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"),
       explode(probes).as("cid"))
     val scored = assigned.join(broadcast(q), "cid")

@@ -51,8 +51,9 @@ object AnnIvfPq {
 
   /** Train coarse quantizer then residual PQ. Deterministic end to end
     * (both trainers seed from the first rows by `idCol`, no RNG).
-    * Validation is inherited: AnnPq.train fails fast on a corpus that
-    * cannot seed k full codebooks, AnnIvf.train on one smaller than k. */
+    * Validation is inherited: AnnIvf.train fails fast on a corpus that
+    * cannot seed k distinct coarse centroids, AnnPq.train on one that
+    * cannot seed ksub distinct codes in every subspace. */
   def train(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       ivfIters: Int, m: Int, ksub: Int, pqIters: Int): IvfPqModel = {
     val ivf = AnnIvf.train(emb, vecCol, idCol, k, ivfIters)
@@ -71,10 +72,16 @@ object AnnIvfPq {
     AnnPq.encode(assigned, "res", model.pq).drop("res")
   }
 
-  /** Element-wise dot product of two float-array columns, accumulated
-    * in double — stays inside codegen. */
+  /** Element-wise dot product of two float-array columns, with each
+    * element CAST TO DOUBLE before the multiply — bit-identical to the
+    * driver-side loops in [[AnnPq.adcTable]] and [[topK]]'s qDotC
+    * (`x.toDouble * y.toDouble`). A float multiply here would drift in
+    * the low-order bits and let shortlist membership differ between
+    * topKBatch and per-query topK on near-ties. Stays inside codegen. */
   private def dotExpr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Batch form of [[topK]]: IVFADC for EVERY query row in one
     * distributed plan — the serving shape at scale, where looping
@@ -93,12 +100,7 @@ object AnnIvfPq {
       queries: DataFrame, qVecCol: String, qIdCol: String,
       model: IvfPqModel, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     val cents = model.ivf.centroids
-    val centroidSims = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-SimFns.cosineSim(col(qVecCol), typedlit(c))).as("neg_sim"),
-        lit(i).as("cid"))
-    }: _*)
-    val probes = transform(
-      slice(array_sort(centroidSims), lit(1), lit(nProbe)), _.getField("cid"))
+    val probes = AnnIvf.probesExpr(col(qVecCol), cents, nProbe)
     val dsub = model.pq.dsub
     val lut = array((0 until model.pq.m).map { s =>
       array((0 until model.pq.ksub).map { c =>

@@ -137,9 +137,15 @@ object StreamOps {
       val tmp = snapshotDir + "_tmp"
       merged.write.mode("overwrite").parquet(tmp)
       // same path-derived FS as the probe: tmp shares the snapshot's
-      // scheme, so delete+rename stay a same-store metadata operation
+      // scheme, so delete+rename stay a same-store metadata operation.
+      // Hadoop FileSystem reports most rename failures by RETURNING
+      // FALSE, not throwing — an unchecked false here after the delete
+      // succeeded would silently lose the snapshot and let the
+      // micro-batch commit; the next batch would then rebuild from
+      // empty. Failing the batch instead makes the checkpoint retry it.
       fsProbe.delete(snapPath, true)
-      fsProbe.rename(new org.apache.hadoop.fs.Path(tmp), snapPath)
+      require(fsProbe.rename(new org.apache.hadoop.fs.Path(tmp), snapPath),
+        s"rename $tmp -> $snapshotDir failed; failing the micro-batch so it retries")
       ()
     }.option("checkpointLocation", checkpointDir).start()
   }

@@ -14,6 +14,26 @@ class AnnIvfSpec extends SparkSpec {
   private val TOPK = 10
   private val NPROBE = 3
 
+  test("train fails fast on a corpus smaller than k") {
+    // same validation contract as AnnPq.train (r5): never silently
+    // train a collapsed coarse quantizer
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < K - 1)
+    val e = intercept[IllegalArgumentException] {
+      AnnIvf.train(emb, "embedding", "vec_id", K, iters = 1)
+    }
+    assert(e.getMessage.contains(s"k=$K"))
+  }
+
+  test("train fails fast when seed rows collapse to duplicate vectors") {
+    import spark.implicits._
+    val dup = (0 until K * 2).map(i =>
+      (i.toLong, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnIvf.train(dup, "embedding", "vec_id", K, iters = 1)
+    }
+    assert(e.getMessage.contains("distinct seed vectors"))
+  }
+
   test("IVF top-10 recall >= 0.7 over 5 queries while probing < half the corpus") {
     val emb = Tables.embeddings(spark, sf0001).cache()
     val n = emb.count()

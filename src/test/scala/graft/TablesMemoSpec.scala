@@ -42,6 +42,20 @@ class TablesMemoSpec extends SparkSpec {
       "a stopped, dereferenced session must be GC-collectable once evicted")
   }
 
+  test("session map is LRU-bounded: dropped clones cannot accumulate unboundedly") {
+    // newSession() clones dereferenced mid-application have no stop
+    // event; the cap is what bounds their retention
+    val first = spark.newSession()
+    val firstUuid = org.apache.spark.sql.GraftColumnBridge.sessionUUID(first)
+    Tables.nation(first, sf0001)
+    assert(Tables.isMemoized(firstUuid))
+    for (_ <- 1 to 70) { // > MaxSessions = 64 fresh sessions
+      Tables.nation(spark.newSession(), sf0001)
+    }
+    assert(!Tables.isMemoized(firstUuid),
+      "the least-recently-loaded session must have been LRU-evicted")
+  }
+
   test("memo survives unrelated loads and re-populates after eviction") {
     val child = spark.newSession()
     val uuid = org.apache.spark.sql.GraftColumnBridge.sessionUUID(child)
