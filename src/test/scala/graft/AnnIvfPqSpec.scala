@@ -90,6 +90,26 @@ class AnnIvfPqSpec extends SparkSpec {
       s"batch/per-query drift: ${(batch diff single).take(3)} vs ${(single diff batch).take(3)}")
   }
 
+  test("a cid-partitioned serving index prunes unprobed buckets at the scan") {
+    // the 100 TB serving claim made executable: persist the encoded
+    // index partitionBy(cid) (the S6 sink layout the AnnIvf scaladoc
+    // prescribes) and check that a probe-list filter reaches the scan
+    // as a PARTITION filter — unprobed buckets are never read, so
+    // per-query IO is nProbe/k of the index regardless of corpus size
+    val dir =
+      java.nio.file.Files.createTempDirectory("ivfpq_index").toString + "/index"
+    encoded.drop("embedding").write.partitionBy("cid").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probed = index.filter(col("cid").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("cid"),
+      s"probe filter must prune partitions, not scan all buckets:\n$scan")
+    assert(probed.count() ==
+      encoded.filter(col("cid").isin(0, 1)).count())
+  }
+
   test("shortlist ranking is TakeOrderedAndProject, never a corpus-wide window") {
     val qv = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
