@@ -54,23 +54,25 @@ object AnnIvf {
   }
 
   /** Train k-means (cosine assignment, mean update) and return the
-    * centroid matrix. Seeds = the first k DISTINCT vectors by `idCol` —
-    * deterministic, no RNG. A corpus with fewer than k rows (or fewer
-    * than k distinct vectors in its first 4k rows) fails fast: silently
-    * training fewer/duplicate centroids would shrink the bucket space
-    * with no signal (same validation contract as AnnPq.train). */
+    * centroid matrix. Seeds = the k distinct vectors with the smallest
+    * first-appearance ids — deterministic, no RNG, computed
+    * DISTRIBUTED (one groupBy over the corpus; training already costs
+    * iters × full-corpus aggregations) so the check is exact: a corpus
+    * with fewer than k distinct vectors ANYWHERE fails fast — silently
+    * training duplicate centroids would shrink the bucket space with no
+    * signal — while any corpus with k distinct vectors trains, no
+    * matter how its leading ids are arranged (a fixed seed window would
+    * false-fail a corpus whose lowest ids are padding duplicates). */
   def train(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): IvfModel = {
-    val seedPool = emb.orderBy(idCol).limit(k * 4)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(seedPool.length >= k,
-      s"IVF train needs at least k=$k rows; corpus has ${seedPool.length}")
-    var centroids = seedPool.distinctBy(_.toSeq).take(k)
+    var centroids = emb
+      .select(col(vecCol).as("v"), col(idCol).cast("long").as("i"))
+      .groupBy("v").agg(min(col("i")).as("first_id"))
+      .orderBy("first_id").limit(k)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
     require(centroids.length == k,
-      s"only ${centroids.length} distinct seed vectors in the first " +
-        s"${seedPool.length} rows (< k=$k) — corpus too degenerate to " +
-        "seed a full coarse quantizer")
+      s"only ${centroids.length} distinct seed vectors in the corpus " +
+        s"(< k=$k) — too degenerate to seed a full coarse quantizer")
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("cid", nearestCid(col(vecCol), centroids))
@@ -92,6 +94,23 @@ object AnnIvf {
   /** Corpus with its bucket assignment under `model`. */
   def assign(emb: DataFrame, vecCol: String, model: IvfModel): DataFrame =
     emb.withColumn("cid", nearestCid(col(vecCol), model.centroids))
+
+  /** Shared exact-scoring tail — THE q53 determinism contract in one
+    * place (rounded fused cosine, (sim desc, id asc) order, top-k via
+    * TakeOrderedAndProject, rank attached over the k-row result):
+    * [[topK]], AnnPq.topK and AnnIvfPq.topK all end here, so a
+    * tie-break or rounding change cannot drift between them. */
+  private[ops] def exactTopK(cand: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val top = cand
+      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
+      .select(col(idCol), col("rnk"), col("sim"))
+  }
 
   /** Per-row probe list as a pure expression: the nProbe bucket ids
     * nearest to `qVec`, ordered (sim desc, cid asc) to match
@@ -130,6 +149,9 @@ object AnnIvf {
       explode(probes).as("cid"))
     val scored = assigned.join(broadcast(q), "cid")
       .withColumn("sim", round(SimFns.cosineSim(col(vecCol), col("qv")), 6))
+      // project before the window exchange: the corpus and query float
+      // vectors are consumed by `sim` — only (q_id, id, sim) shuffles
+      .select(col("q_id"), col(idCol), col("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
@@ -151,13 +173,7 @@ object AnnIvf {
   def topK(assigned: DataFrame, vecCol: String, idCol: String,
       model: IvfModel, query: Array[Float], k: Int, nProbe: Int): DataFrame = {
     val probes = model.nearestCentroids(query, nProbe)
-    val top = assigned.filter(col("cid").isin(probes: _*))
-      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
-      .select(col(idCol), col("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-    top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
-      .select(col(idCol), col("rnk"), col("sim"))
+    exactTopK(assigned.filter(col("cid").isin(probes: _*)),
+      vecCol, idCol, query, k)
   }
 }

@@ -57,10 +57,17 @@ object AnnIvfPq {
   def train(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       ivfIters: Int, m: Int, ksub: Int, pqIters: Int): IvfPqModel = {
     val ivf = AnnIvf.train(emb, vecCol, idCol, k, ivfIters)
+    // persist the assignment+residual: it is FIXED once the coarse
+    // quantizer is trained, and AnnPq.train drives m×(iters+1) jobs
+    // over it — without the persist each one re-runs the k-kernel
+    // nearest-centroid assignment over the whole corpus
     val withRes = AnnIvf.assign(emb, vecCol, ivf)
       .withColumn("res", residual(col(vecCol), col("cid"), ivf.centroids))
-    val pq = AnnPq.train(withRes, "res", idCol, m, ksub, pqIters)
-    IvfPqModel(ivf, pq)
+      .persist()
+    try {
+      val pq = AnnPq.train(withRes, "res", idCol, m, ksub, pqIters)
+      IvfPqModel(ivf, pq)
+    } finally withRes.unpersist(blocking = false)
   }
 
   /** Corpus with bucket id and residual PQ codes — (idCol, cid, codes)
@@ -118,6 +125,11 @@ object AnnIvfPq {
     }.reduce(_ + _)
     val scored = encoded.join(broadcast(q), "cid")
       .withColumn("approx", col("qdotc") + adc)
+      // project BEFORE the window exchange: lut (m×ksub doubles per
+      // row), codes, and qdotc are consumed by `approx` above — keeping
+      // them would multiply the q_id shuffle volume by the model size.
+      // Only the ranking/re-rank columns cross the exchange.
+      .select(col("q_id"), col(idCol), col(vecCol), col("qv"), col("approx"))
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col(idCol))
     val cand = scored.withColumn("srnk", row_number().over(wShort))
@@ -159,13 +171,6 @@ object AnnIvfPq {
       .withColumn("approx", approx)
       .orderBy(col("approx").desc, col(idCol))
       .limit(shortlist)
-    val top = cand
-      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
-      .select(col(idCol), col("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-    top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
-      .select(col(idCol), col("rnk"), col("sim"))
+    AnnIvf.exactTopK(cand, vecCol, idCol, query, k)
   }
 }

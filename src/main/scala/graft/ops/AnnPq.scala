@@ -56,32 +56,35 @@ object AnnPq {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** Train per-subspace k-means codebooks. Seeds = sub-vectors of the
-    * first rows by `idCol` — deterministic, no RNG.
+  /** Train per-subspace k-means codebooks. Seeds per subspace = the
+    * ksub distinct sub-vectors with the smallest first-appearance ids —
+    * deterministic, no RNG, computed DISTRIBUTED (one groupBy per
+    * subspace; training already costs m × iters full-corpus
+    * aggregations) so the check is exact.
     *
-    * Validation (ADVICE r3/r4): a corpus with fewer than ksub rows, or
-    * whose leading rows collapse to fewer than ksub DISTINCT sub-vectors
-    * in some subspace, must fail fast — silently training duplicate
-    * centroids shrinks the effective code space (degraded recall with no
-    * signal). The seed pool is 4×ksub rows so benign duplicates are
-    * skipped rather than fatal; only a genuinely degenerate corpus
-    * throws. */
+    * Validation (ADVICE r3/r4): a corpus with fewer than ksub distinct
+    * sub-vectors in some subspace must fail fast — silently training
+    * duplicate centroids shrinks the effective code space (degraded
+    * recall with no signal) — while any corpus with ksub distinct
+    * sub-vectors everywhere trains, no matter how its leading ids are
+    * arranged (a fixed seed window would false-fail a corpus whose
+    * lowest ids are padding duplicates). */
   def train(emb: DataFrame, vecCol: String, idCol: String, m: Int,
       ksub: Int, iters: Int): PqModel = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    val seedPool = emb.orderBy(idCol).limit(ksub * 4).select(vecCol)
-      .collect().map(_.getSeq[Float](0).toArray)
-    require(seedPool.length >= ksub,
-      s"PQ train needs at least ksub=$ksub rows; corpus has ${seedPool.length}")
     val codebooks = (0 until m).toArray.map { s =>
-      var cents = seedPool.map(v => v.slice(s * dsub, (s + 1) * dsub))
-        .distinctBy(_.toSeq).take(ksub)
+      var cents = emb
+        .select(slice(col(vecCol), s * dsub + 1, dsub).as("sv"),
+          col(idCol).cast("long").as("i"))
+        .groupBy("sv").agg(min(col("i")).as("first_id"))
+        .orderBy("first_id").limit(ksub)
+        .select("sv").collect().map(_.getSeq[Float](0).toArray)
       require(cents.length == ksub,
-        s"subspace $s: only ${cents.length} distinct seed sub-vectors in the " +
-          s"first ${seedPool.length} rows (< ksub=$ksub) — corpus too " +
-          "degenerate to train a full codebook")
+        s"subspace $s: only ${cents.length} distinct seed sub-vectors in " +
+          s"the corpus (< ksub=$ksub) — too degenerate to train a full " +
+          "codebook")
       val model0 = PqModel(dim, m, ksub, Array.fill(m)(cents)) // slice helper only
       var it = 0
       while (it < iters) {
@@ -138,13 +141,6 @@ object AnnPq {
     val cand = encoded.withColumn("approx", approx)
       .orderBy(col("approx").desc, col(idCol))
       .limit(shortlist)
-    val top = cand
-      .withColumn("sim", round(SimFns.cosineSim(col(vecCol), typedlit(query)), 6))
-      .select(col(idCol), col("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-    top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
-      .select(col(idCol), col("rnk"), col("sim"))
+    AnnIvf.exactTopK(cand, vecCol, idCol, query, k)
   }
 }

@@ -106,46 +106,70 @@ object StreamOps {
     * no-table-format strategy; a real deployment swaps the body for a
     * MERGE INTO against a transactional table, same batch contract.
     * Micro-batch = atomic replace here: the snapshot is re-read each
-    * batch, so the merge is idempotent per (key, ts, id) ordering. */
+    * batch, so the merge is idempotent per (key, ts, id) ordering.
+    *
+    * Durability discipline (two-rename generation swap): a bare
+    * delete-then-rename has a crash window in which NEITHER directory
+    * holds the merged state — a driver death between the two steps
+    * would make the retried batch rebuild from empty, silently. Instead
+    * the swap is snapshot→`_old`, `_tmp`→snapshot, drop `_old`; at
+    * every crash point either the snapshot or `_old` holds the last
+    * complete generation, and the read probe falls back to `_old`.
+    * Hadoop FileSystem reports most rename/delete failures by RETURNING
+    * FALSE, not throwing — every step is require()d so a failed swap
+    * fails the micro-batch and the checkpoint retries it. Scratch and
+    * `_old` paths are built as SIBLINGS of the normalized Path (a
+    * trailing slash on snapshotDir must not nest them inside the
+    * snapshot, where the recursive delete would eat them). The FS is
+    * derived FROM THE PATH's scheme, never default-FS
+    * `FileSystem.get` — on a cluster the snapshot lives on
+    * s3a:// or hdfs://, and a default-FS probe throws "Wrong FS". */
   def upsertSink(events: DataFrame, snapshotDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val incoming = batch.select("user_id", "ts", "event_id", "value")
-      // decide empty-vs-read by an explicit existence probe: a transient
-      // read failure (corrupt file, FS hiccup) must propagate and retry
-      // the micro-batch, never silently discard the merged state.
-      // The FS is derived FROM THE PATH's scheme, never FileSystem.get
-      // (default FS) — on a cluster the snapshot dir is s3a:// or
-      // hdfs://, not the local default, and a default-FS probe throws
-      // "Wrong FS"
       val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
-      val fsProbe = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val current =
-        if (fsProbe.exists(snapPath))
-          spark.read.schema(incoming.schema).parquet(snapshotDir)
-        else spark.createDataFrame(
+      val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpPath =
+        new org.apache.hadoop.fs.Path(snapPath.getParent, snapPath.getName + "_tmp")
+      val oldPath =
+        new org.apache.hadoop.fs.Path(snapPath.getParent, snapPath.getName + "_old")
+      // read the live snapshot; fall back to the _old generation if a
+      // crash landed between the two renames below. A transient read
+      // failure must propagate and retry the micro-batch, never
+      // silently discard the merged state.
+      val src =
+        if (fs.exists(snapPath)) Some(snapPath)
+        else if (fs.exists(oldPath)) Some(oldPath)
+        else None
+      val current = src match {
+        case Some(p) => spark.read.schema(incoming.schema).parquet(p.toString)
+        case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+      }
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       val merged = current.unionByName(incoming)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-      // write to a scratch dir then swap: the snapshot read above and
-      // the overwrite below cannot safely overlap in one FS path
-      val tmp = snapshotDir + "_tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      // same path-derived FS as the probe: tmp shares the snapshot's
-      // scheme, so delete+rename stay a same-store metadata operation.
-      // Hadoop FileSystem reports most rename failures by RETURNING
-      // FALSE, not throwing — an unchecked false here after the delete
-      // succeeded would silently lose the snapshot and let the
-      // micro-batch commit; the next batch would then rebuild from
-      // empty. Failing the batch instead makes the checkpoint retry it.
-      fsProbe.delete(snapPath, true)
-      require(fsProbe.rename(new org.apache.hadoop.fs.Path(tmp), snapPath),
-        s"rename $tmp -> $snapshotDir failed; failing the micro-batch so it retries")
+      // materialize to scratch first: the snapshot read above and the
+      // overwrite below cannot safely overlap in one FS path
+      merged.write.mode("overwrite").parquet(tmpPath.toString)
+      // generation swap; every step checked (rename into an EXISTING
+      // destination dir "succeeds" by nesting, so stale dirs must be
+      // cleared first and the clears must be known to have worked)
+      if (fs.exists(oldPath) && fs.exists(snapPath))
+        require(fs.delete(oldPath, true),
+          s"could not clear stale $oldPath; failing the micro-batch to retry")
+      if (fs.exists(snapPath))
+        require(fs.rename(snapPath, oldPath),
+          s"rename $snapPath -> $oldPath failed; failing the micro-batch to retry")
+      require(fs.rename(tmpPath, snapPath),
+        s"rename $tmpPath -> $snapPath failed; failing the micro-batch to retry")
+      // best-effort: a surviving _old is reclaimed by the next batch
+      fs.delete(oldPath, true)
       ()
     }.option("checkpointLocation", checkpointDir).start()
   }

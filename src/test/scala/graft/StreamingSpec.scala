@@ -279,6 +279,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink tolerates a trailing slash on the snapshot dir") {
+    // scratch/_old paths are siblings of the NORMALIZED path: with a
+    // raw string concat a trailing slash would nest _tmp inside the
+    // snapshot, where the swap's recursive delete eats the fresh data
+    val in = newStream()
+    val base = Files.createTempDirectory("t7_upsert_slash").toString
+    val q = StreamOps.upsertSink(in.toDF(), s"$base/snap/", s"$base/ckpt")
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+        .select("user_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == Map(1L -> 9.0), s"trailing-slash upsert broken: $snap")
+    } finally q.stop()
+  }
+
+  test("upsert sink recovers merged state from the _old generation after a crash window") {
+    // simulate a driver death between the two swap renames: the live
+    // snapshot is gone but _old holds the last complete generation —
+    // the next batch must merge on top of it, not rebuild from empty
+    val in = newStream()
+    val base = Files.createTempDirectory("t7_upsert_crash").toString
+    val q1 = StreamOps.upsertSink(in.toDF(), s"$base/snap", s"$base/ckpt1")
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "purchase", 7.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash point: snapshot renamed away, replacement never landed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/snap"),
+      new org.apache.hadoop.fs.Path(s"$base/snap_old")))
+    val in2 = newStream()
+    val q2 = StreamOps.upsertSink(in2.toDF(), s"$base/snap", s"$base/ckpt2")
+    try {
+      in2.addData(Ev(3, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0))
+      q2.processAllAvailable()
+      val snap = spark.read.parquet(s"$base/snap")
+        .select("user_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(snap == Map(1L -> 9.0, 2L -> 7.0),
+        s"state from the _old generation must survive the crash window: $snap")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/snap_old")),
+        "the recovered _old generation must be reclaimed after the swap")
+    } finally q2.stop()
+  }
+
   test("bloom ingest sink works with a fully-qualified file:/// snapshot URI") {
     val in = newStream()
     val base = Files.createTempDirectory("bloom_ingest_uri").toUri.toString
