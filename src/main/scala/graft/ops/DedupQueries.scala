@@ -266,4 +266,62 @@ object DedupQueries {
        |FROM cand
        |WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Cross-document duplicate-passage detection — the span-level
+    * exact-substring dedup shape (Lee et al., ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), here at word-5-gram
+    * granularity: a gram occurring in ≥ 2 distinct documents marks every
+    * one of its occurrences as a duplicated span position; emit per-doc
+    * duplicated-span counts and the duplicated fraction. Complements the
+    * doc-level families (q49–q51, q61): those decide KEEP/DROP per doc,
+    * this localizes WHICH spans are boilerplate inside kept docs.
+    *
+    * Scale: explode → gram inverted index (hash-agg with map-side
+    * combine) → equi-join back on gram — the q50 inverted-index shape,
+    * never a pairwise product. Shuffle ∝ corpus gram count; the join
+    * fan-out is one row per duplicated position, ∝ actual boilerplate.
+    * dup_frac uses the q46 exact-integer half-up division so decimal
+    * rounding can never split the engines. */
+  def q100DupPassages(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val withWs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+    val grams = transform(sequence(lit(1), size(col("ws")) - 4), i =>
+      concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2), element_at(col("ws"), i + 3),
+        element_at(col("ws"), i + 4)))
+    val g = withWs.select(col("doc_id"), explode(grams).as("gram"))
+    val dupg = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val perDoc = g.join(dupg, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val tot = withWs.select(col("doc_id"),
+      (size(col("ws")) - 4).cast("long").as("n_grams"))
+    // exact integer half-up division (the q46 r4 form): both engines
+    // round the same rational, never a double on a .xxxx5 boundary
+    val h = col("n_dup") * 20000L + col("n_grams")
+    val d2 = col("n_grams") * 2L
+    tot.join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q100DupPassagesSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
+      |        FROM w WHERE len(ws) >= 5)),
+      |dupg AS (
+      |  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+      |  WHERE nd >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN dupg USING (gram) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(ws) - 4 AS n_grams FROM w WHERE len(ws) >= 5)
+      |SELECT t.doc_id, t.n_grams, p.n_dup,
+      |  ((p.n_dup * 20000 + t.n_grams) // (t.n_grams * 2)) / 10000.0 AS dup_frac
+      |FROM tot t JOIN per_doc p USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 }

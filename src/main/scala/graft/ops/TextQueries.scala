@@ -319,4 +319,76 @@ object TextQueries {
       |      ORDER BY ((doc_id * 1103515245 + 12345) % 1000000007 + 1000000007) % 1000000007, doc_id) AS rn
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  /** Okapi BM25 retrieval scoring (Robertson et al., TREC-3): rank the
+    * corpus against a fixed query-term set with the k1=1.2, b=0.75
+    * saturated, length-normalized tf and the +1-smoothed idf. Distinct
+    * from q43's tf-idf: BM25 saturates term frequency and normalizes by
+    * dl/avgdl, which is what retrieval-quality corpus filtering and
+    * RAG-style example selection actually use.
+    *
+    * Cross-engine determinism: each term's contribution is scaled to an
+    * integer micro-score with floor(x·10⁶ + 0.5) BEFORE the per-doc
+    * sum, so aggregation is exact integer addition (order-independent —
+    * a double sum could differ in the last ulp between engines); the
+    * remaining double math is a single ln/mul/div chain with an
+    * identical parse shape on both engines (IEEE-deterministic). The
+    * final score is one exact-integer-to-double division.
+    *
+    * Scale: tf/df/avgdl are map-side-combinable aggregates; df (≤ query
+    * vocabulary) and the one-row (n_docs, avgdl) stats are broadcast, so
+    * scoring is linear in the corpus and the top-20 is
+    * TakeOrderedAndProject — the rank window runs AFTER the limit, over
+    * ≤ 20 rows, never over the corpus. */
+  def q99Bm25(s: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("hash", "join", "scan")
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      avg(size(tokens(col("text"))).cast("long")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val tfn = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", floor(idf * tfn * 1000000.0 + 0.5))
+      .groupBy("doc_id").agg(sum(col("c")).as("sc"))
+    scored.orderBy(col("sc").desc, col("doc_id")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("sc").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rnk"),
+        (col("sc").cast("double") / 1000000.0).as("score"))
+      .orderBy("rnk")
+  }
+
+  val q99Bm25Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, dl, word, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, len(string_split(text,' ')) AS dl,
+      |               unnest(string_split(text,' ')) AS word FROM documents)
+      |  WHERE word IN ('hash', 'join', 'scan')
+      |  GROUP BY doc_id, dl, word),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |                 AVG(len(string_split(text,' '))) AS avgdl FROM documents),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(stats.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl)))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS c
+      |  FROM tf JOIN df USING (word) CROSS JOIN stats)
+      |SELECT doc_id, rnk, score FROM (
+      |  SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1000000.0 AS score,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS rnk
+      |  FROM contrib GROUP BY doc_id)
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 }

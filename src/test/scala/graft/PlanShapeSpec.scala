@@ -190,16 +190,16 @@ class PlanShapeSpec extends SparkSpec {
     // the PLANS.md header contract as an executable guard: cartesian /
     // broadcast-nested-loop plans are expected ONLY where a deliberate
     // tiny-side broadcast exists — q10's bounded pair matrix, the
-    // one-row bounds/corpus-count sides of q43/q79/q88/q95/q96, and the
-    // broadcast query sides of q52/q53 — and even there at most ONE per
-    // plan. Any other query earning either operator (a dropped broadcast
-    // hint, a join condition that stopped being an equi-join) is a
-    // quadratic scale regression this test turns from a PLANS.md review
-    // note into a hard failure. CartesianProduct (partition-wise, both
-    // sides shuffled N×M) is never acceptable, allowlisted or not.
+    // one-row bounds/corpus-count sides of q43/q79/q88/q95/q96/q99, and
+    // the broadcast query sides of q52/q53 — and even there at most ONE
+    // per plan. Any other query earning either operator (a dropped
+    // broadcast hint, a join condition that stopped being an equi-join)
+    // is a quadratic scale regression this test turns from a PLANS.md
+    // review note into a hard failure. CartesianProduct (partition-wise,
+    // both sides shuffled N×M) is never acceptable, allowlisted or not.
     val allowedBnlj = Set("q10_cross_matrix", "q43_tfidf", "q52_cosine",
       "q53_topk_nn", "q79_date_spine", "q88_histogram", "q95_forward_fill",
-      "q96_interpolate")
+      "q96_interpolate", "q99_bm25")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
