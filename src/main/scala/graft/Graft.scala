@@ -148,6 +148,40 @@ object Graft {
       shortlist: Int): DataFrame =
     ops.AnnPq.topK(encoded, vecCol, idCol, model, query, k, shortlist)
 
+  /** Combined IVF-PQ ANN (IVFADC layout: coarse prune + residual-PQ
+    * ADC + exact re-rank — the billion-scale serving index shape). */
+  def ivfPqTrain(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      ivfIters: Int, m: Int, ksub: Int = 16,
+      pqIters: Int = 3): ops.AnnIvfPq.IvfPqModel =
+    ops.AnnIvfPq.train(emb, vecCol, idCol, k, ivfIters, m, ksub, pqIters)
+  def ivfPqEncode(emb: DataFrame, vecCol: String,
+      model: ops.AnnIvfPq.IvfPqModel): DataFrame =
+    ops.AnnIvfPq.encode(emb, vecCol, model)
+  def ivfPqTopK(encoded: DataFrame, vecCol: String, idCol: String,
+      model: ops.AnnIvfPq.IvfPqModel, query: Array[Float], k: Int,
+      nProbe: Int, shortlist: Int): DataFrame =
+    ops.AnnIvfPq.topK(encoded, vecCol, idCol, model, query, k, nProbe,
+      shortlist)
+  def ivfPqTopKBatch(encoded: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      model: ops.AnnIvfPq.IvfPqModel, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame =
+    ops.AnnIvfPq.topKBatch(encoded, vecCol, idCol, queries, qVecCol, qIdCol,
+      model, k, nProbe, shortlist)
+
+  /** Semantic (embedding-space) dedup: cluster, pair within clusters at
+    * cosine ≥ tau, close transitively, keep one representative. */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, tau: Double): DataFrame =
+    ops.SemanticDedup.dedup(emb, vecCol, idCol, k, iters, tau)
+
+  /** Damped (optionally weighted) PageRank over an edge DataFrame;
+    * dangling mass redistributes so ranks stay a distribution. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None, damping: Double = 0.85,
+      iters: Int = 10): DataFrame =
+    ops.PageRank.ranks(edges, srcCol, dstCol, weightCol, damping, iters)
+
   /** Keyed-series missing-value repair (pandas ffill/bfill/interpolate). */
   def ffill(df: DataFrame, partCols: Seq[String], orderCol: String,
       valueCols: Seq[String]): DataFrame =

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics queries under the oracle gate. q84 (entity
+  * clustering via [[ConnectedComponents]]) lives in PipelineQueries;
+  * here is the other iterative-graph classic: weighted PageRank over
+  * the nation trade graph. The general mass-conserving double-valued
+  * operator is [[PageRank]]; this query is the ORACLE form — a fixed
+  * 3-iteration unroll in exact Long micro-rank units (share =
+  * (r·w) div W, update = tele + (85·in) div 100), so both engines do
+  * pure integer arithmetic and the cross-engine hash can never drift
+  * on float summation order. All values non-negative, so Spark `div`
+  * (truncate) and DuckDB `//` (floor) agree; intermediates bounded by
+  * rank·weight ≤ 2.6e9 · |lineitem-per-edge| — Long-safe through
+  * SF 1e4.
+  *
+  * Scale: the edge build is the heavy part (lineitem ⋈ orders SMJ +
+  * two broadcast dims) and collapses to ≤ |nations|² weighted edges via
+  * a map-side-combinable count; each iteration is then one equi-join +
+  * partial-agg sum over that bounded edge set. The driver sees one
+  * scalar (N) and the final 25-row window is bounded by the nation
+  * dimension, not the fact table.
+  */
+object GraphQueries {
+
+  /** Weighted PageRank (3 integer iterations) of the nation trade
+    * graph: edge src→dst with weight = number of lineitems customers
+    * of nation src bought from suppliers of nation dst. Emits
+    * (n_name, pr_micro, rnk) — micro-rank units of 1e-9. */
+  def q101PageRank(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    // materialize the collapsed edge list ONCE (≤ |nations|² rows):
+    // without this the fact-table join subtree would re-evaluate in
+    // every unrolled iteration (same localCheckpoint pattern as q84's
+    // ConnectedComponents — the fixed-point queries' lineage guard)
+    val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val wt = e.groupBy("src").agg(sum("w").as("tw"))
+    // one driver scalar, same class as q84's per-round convergence count
+    val n = nodes.count()
+    val tele = (1000000000L * 15L) / (100L * n)
+    var ranks = nodes.select(col("id"), lit(1000000000L).as("r"))
+    var it = 0
+    while (it < 3) {
+      val contrib = e.join(wt, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .selectExpr("dst AS id", "(r * w) div tw AS sh")
+        .groupBy("id").agg(sum("sh").as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      it += 1
+    }
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    ranks.join(broadcast(nat), "id")
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("n_name"))))
+      .select(col("n_name"), col("r").as("pr_micro"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  val q101PageRankSql: String = {
+    def iter(prev: String, c: String, r: String): String =
+      s"""$c AS (SELECT e.dst AS id, SUM((p.r * e.w) // wt.tw) AS s
+         |  FROM e JOIN wt USING (src) JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst),
+         |$r AS (SELECT nodes.id, tele.t + (85 * COALESCE($c.s, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN tele LEFT JOIN $c USING (id))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |wt AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+       |tele AS (SELECT (CAST(1000000000 AS BIGINT) * 15) // (100 * COUNT(*)) AS t
+       |  FROM nodes),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |${iter("r0", "c1", "r1")},
+       |${iter("r1", "c2", "r2")},
+       |${iter("r2", "c3", "r3")}
+       |SELECT n.n_name, r3.r AS pr_micro,
+       |  ROW_NUMBER() OVER (ORDER BY r3.r DESC, n.n_name) AS rnk
+       |FROM r3 JOIN nation n ON r3.id = n.n_nationkey
+       |ORDER BY rnk""".stripMargin
+  }
+}

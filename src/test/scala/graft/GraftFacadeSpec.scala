@@ -76,4 +76,35 @@ class GraftFacadeSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("facade_sink").toString
     assert(Graft.writeClustered(docs, s"$dir/d", Seq("doc_id"), 250L) == 2)
   }
+
+  test("round-5 facade surface: ivf-pq, semantic dedup, pagerank") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+
+    // IVF-PQ: train/encode/serve round-trips and returns k ranked rows
+    val model = Graft.ivfPqTrain(emb, "embedding", "vec_id",
+      k = 4, ivfIters = 1, m = 8)
+    val encoded = Graft.ivfPqEncode(emb, "embedding", model)
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val top = Graft.ivfPqTopK(encoded, "embedding", "vec_id", model, q,
+      k = 5, nProbe = 2, shortlist = 20).collect()
+    assert(top.length == 5)
+    val batch = Graft.ivfPqTopKBatch(encoded, "embedding", "vec_id",
+      emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+      "qv", "q_id", model, k = 5, nProbe = 2, shortlist = 20)
+    assert(batch.count() == 10)
+
+    // semantic dedup labels every row, reps are group minima
+    val sd = Graft.semanticDedup(emb, "embedding", "vec_id",
+      k = 4, iters = 1, tau = 0.95).collect()
+    assert(sd.length == emb.count())
+
+    // pagerank over a tiny weighted graph sums to 1
+    val edges = Seq((0L, 1L, 3.0), (1L, 0L, 1.0)).toDF("s", "d", "w")
+    val pr = Graft.pageRank(edges, "s", "d", Some("w"), iters = 5)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(pr.sum - 1.0) < 1e-9)
+  }
 }
