@@ -391,4 +391,51 @@ object TextQueries {
       |    ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS rnk
       |  FROM contrib GROUP BY doc_id)
       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Sliding-window chunking (window 20 tokens, stride 10) — the
+    * standard retrieval/RAG corpus-prep op: overlapping fixed-budget
+    * chunks with stable (doc_id, chunk_no) identity, runt chunks
+    * (< 5 tokens, only possible for < 5-token docs) dropped.
+    *
+    * Chunk count = max(⌈(len−20)/10⌉, 0) + 1. The ceil-div operand can
+    * go negative where the engines' integer division disagrees (Spark
+    * `div` truncates, DuckDB `//` floors) — both are then ≤ 0 and the
+    * greatest(…, 0) masks the difference, so parity holds for every
+    * length; positives divide identically.
+    *
+    * Scale: pure per-row explode → slice — no join, no shuffle before
+    * the final sort; output volume ∝ corpus tokens × (window/stride)
+    * overlap factor (2× here). */
+  def q102Chunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nChunks = greatest(
+      expr("(size(ws) - 20 + 10 - 1) div 10"), lit(0)) + 1
+    val start = (col("chunk_no") - 1) * 10 + 1
+    val len = least(lit(20), size(col("ws")) - start + 1)
+    d.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), nChunks)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        slice(col("ws"), start, len).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("toks")).as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val q102ChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, pos AS chunk_no,
+      |    list_slice(ws, (pos - 1) * 10 + 1,
+      |               least((pos - 1) * 10 + 20, len(ws))) AS toks
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1,
+      |            greatest((len(ws) - 20 + 10 - 1) // 10, 0) + 1)) AS pos
+      |        FROM w))
+      |SELECT doc_id, chunk_no, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  array_to_string(toks, ' ') AS chunk_text
+      |FROM c WHERE len(toks) >= 5
+      |ORDER BY doc_id, chunk_no""".stripMargin
 }
