@@ -81,6 +81,12 @@ object Graft {
       targetRowsPerFile: Long): Int =
     ops.Compaction.writeClustered(df, path, sortCols, targetRowsPerFile)
 
+  /** Z-order-clustered sink: multi-dimensional min/max skipping
+    * (quantile-ranked Morton curve). Returns file count. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      targetRowsPerFile: Long, bits: Int = 8): Int =
+    ops.ZOrder.writeZOrdered(df, path, zCols, targetRowsPerFile, bits)
+
   /** Embedding utilities: unit-norm and seeded JL projection. */
   def l2Normalize(v: Column): Column = ops.EmbeddingOps.l2Normalize(v)
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
