@@ -97,7 +97,10 @@ object GraphQueries {
        |${iter("r0", "c1", "r1")},
        |${iter("r1", "c2", "r2")},
        |${iter("r2", "c3", "r3")}
-       |SELECT n.n_name, r3.r AS pr_micro,
+       |-- CAST: the SUM inside each iteration widens r to HUGEINT,
+       |-- which pandas reads as float64 and the driver hasher rejects
+       |-- against Spark's int64 (the q67 lesson)
+       |SELECT n.n_name, CAST(r3.r AS BIGINT) AS pr_micro,
        |  ROW_NUMBER() OVER (ORDER BY r3.r DESC, n.n_name) AS rnk
        |FROM r3 JOIN nation n ON r3.id = n.n_nationkey
        |ORDER BY rnk""".stripMargin
