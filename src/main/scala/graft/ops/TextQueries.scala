@@ -438,4 +438,74 @@ object TextQueries {
       |  array_to_string(toks, ' ') AS chunk_text
       |FROM c WHERE len(toks) >= 5
       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Bigram language-model quality scoring — the CCNet-style corpus
+    * filter (Wenzek et al., LREC 2020): train an add-one-smoothed
+    * bigram LM on the corpus itself, then score every document by its
+    * average token log-likelihood; low scores mark boilerplate/noise
+    * for downstream filtering. P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V).
+    *
+    * Cross-engine determinism (the q99/q101 recipe): each distinct
+    * bigram TYPE gets one integer micro-logprob,
+    * ⌊ln((cb+1)/(cw+V))·10⁶+0.5⌋ — computed once per type from exact
+    * integer counts via an identical IEEE parse shape on both engines —
+    * and the per-document aggregate is then an exact BIGINT sum
+    * (order-independent, unlike a double sum which can drift in the
+    * last ulp under Spark's partial aggregation). The reported
+    * avg_logprob is a single exact-integer-to-double division chain.
+    *
+    * Scale: token/bigram counting is explode → map-side-combinable
+    * hash agg (shuffle ∝ vocab, not corpus — Heaps' law sublinear).
+    * The model build joins bigram types to unigram counts on the
+    * prefix word — vocab-sized equi-join both sides, left to AQE
+    * (broadcast-able at fixture scale, shuffle-safe when a web-scale
+    * vocab outgrows the threshold); only the one-row vocab size V is
+    * force-broadcast. Scoring re-joins corpus bigrams to the model on
+    * the bigram key — plain equi-join, linear in corpus tokens. */
+  def q103LmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bi = d.select(col("doc_id"),
+      explode(graft.functions.SimFns.wordBigrams(col("text"))).as("bigram"))
+    val cb = bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cw = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val v = cw.agg(count(lit(1)).as("v"))
+    val model = cb
+      .withColumn("w", split(col("bigram"), " ").getItem(0))
+      .join(cw, "w")
+      .crossJoin(broadcast(v))
+      .withColumn("mlp", floor(
+        log((col("cb").cast("double") + 1.0) /
+            (col("cw") + col("v")).cast("double")) * 1000000.0 + 0.5)
+        .cast("long"))
+      .select("bigram", "mlp")
+    bi.join(model, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("mlp").as("sum_mlp"))
+      .withColumn("avg_logprob",
+        round(col("sum_mlp").cast("double") / col("n_bigrams").cast("double")
+          / 1000000.0, 4))
+      .orderBy("doc_id")
+  }
+
+  val q103LmScoreSql: String =
+    """WITH bi AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |    ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS bigram
+      |  FROM documents),
+      |cb AS (SELECT bigram, COUNT(*) AS cb FROM bi GROUP BY bigram),
+      |cw AS (SELECT w, COUNT(*) AS cw
+      |       FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      |       GROUP BY w),
+      |v AS (SELECT COUNT(*) AS v FROM cw),
+      |model AS (
+      |  SELECT bigram,
+      |    CAST(floor(ln((CAST(cb AS DOUBLE) + 1.0) / CAST(cw + v AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS mlp
+      |  FROM cb JOIN cw ON string_split(cb.bigram, ' ')[1] = cw.w CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(mlp) AS BIGINT) AS sum_mlp,
+      |  ROUND(CAST(SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 4) AS avg_logprob
+      |FROM bi JOIN model USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
