@@ -35,6 +35,10 @@ object GraftFunctions {
       es => TokenHashesExpr(es.head)),
     ("doc_hash", "doc_hash(arr) - order-sensitive fold of a token-hash array",
       es => DocHashExpr(es.head)),
+    ("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition",
+      es => NfcNormalizeExpr(es.head)),
+    ("fold_accents", "fold_accents(text) - NFD-decompose, drop combining marks, NFC-recompose",
+      es => FoldAccentsExpr(es.head)),
   )
 
   /** Register every graft function on a live session. */

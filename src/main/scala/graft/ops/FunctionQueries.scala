@@ -219,4 +219,41 @@ object FunctionQueries {
       |  least(l_tax * 100, l_quantity) AS l_qty,
       |  nullif(l_linestatus, 'O') AS status_or_null
       |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** Unicode normalization (custom codegen'd expressions, §2.10): NFC
+    * composition + accent folding vs DuckDB `nfc_normalize` /
+    * `strip_accents`. The fixture corpus is pure ASCII, so the query
+    * MANUFACTURES the non-ASCII path deterministically inside both
+    * engines: vowels are translated to their composed accented forms
+    * (á é í ó ü — folding must return the original text), and every
+    * 'e' is suffixed with a combining acute U+0301 (NFC must compose
+    * 'e'+mark into one é code point, shrinking the char count by
+    * exactly the number of 'e's). Literals are written as chr()/escape
+    * forms so no raw non-ASCII rides through the oracle JSON.
+    *
+    * Scale: per-row map over codegen'd kernels — no shuffle before the
+    * output sort, no UDF. */
+  def q104UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UniFns
+    val d = Tables.documents(s, dir)
+    val accented = translate(col("text"), "aeiou", "\u00e1\u00e9\u00ed\u00f3\u00fc")
+    val decomposed = regexp_replace(col("text"), "e", "e\u0301")
+    d.select(
+        col("doc_id"),
+        (UniFns.foldAccents(accented) === col("text")).as("fold_roundtrip"),
+        length(decomposed).as("len_decomposed"),
+        length(UniFns.nfcNormalize(decomposed)).as("len_composed"),
+        substring(UniFns.foldAccents(UniFns.nfcNormalize(decomposed)), 1, 24)
+          .as("folded_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val q104UnicodeNormSql: String =
+    """SELECT doc_id,
+      |  strip_accents(translate(text, 'aeiou',
+      |    chr(225)||chr(233)||chr(237)||chr(243)||chr(252))) = text AS fold_roundtrip,
+      |  CAST(length(replace(text, 'e', 'e'||chr(769))) AS INTEGER) AS len_decomposed,
+      |  CAST(length(nfc_normalize(replace(text, 'e', 'e'||chr(769)))) AS INTEGER) AS len_composed,
+      |  substring(strip_accents(nfc_normalize(replace(text, 'e', 'e'||chr(769)))), 1, 24) AS folded_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
