@@ -105,4 +105,55 @@ object GraphQueries {
        |FROM r3 JOIN nation n ON r3.id = n.n_nationkey
        |ORDER BY rnk""".stripMargin
   }
+
+  /** Exact triangle counting on the part co-purchase graph (parts are
+    * adjacent when some order contains both) via [[Triangles]] —
+    * degree-ordered orientation, each triangle found exactly once.
+    * Emits the top-15 parts by triangle participation (tie-break on
+    * partkey) — all-integer, so the cross-engine hash is exact. The
+    * oracle SQL runs the SAME oriented algorithm (it is plain
+    * relational algebra), so both engines do bounded-wedge work.
+    *
+    * Scale: the pair build is a per-order self-join (quadratic only in
+    * ORDER BASKET SIZE, ≤ 7 items in this schema — bounded, like q10's
+    * blocking); everything after is the Triangles operator's equi-join
+    * pipeline whose wedge volume is degree-capped at O(m^1.5) total,
+    * independent of hub skew. */
+  def q105Triangles(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = lp.alias("a").join(lp.alias("b"), Seq("ok"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val tri = Triangles.perVertex(edges, "u", "v")
+    tri.orderBy(col("n_tri").desc, col("id")).limit(15)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tri").desc, col("id"))))
+      .select(col("rnk"), col("id").as("p_partkey"), col("n_tri"))
+      .orderBy("rnk")
+  }
+
+  val q105TrianglesSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |canon AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT id, COUNT(*) AS d FROM
+      |  (SELECT u AS id FROM canon UNION ALL SELECT v FROM canon) GROUP BY id),
+      |o AS (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+      |    greatest(du.d, dv.d) AS db
+      |  FROM canon JOIN deg du ON du.id = canon.u JOIN deg dv ON dv.id = canon.v),
+      |tri AS (SELECT e1.a, e1.b AS w1, e2.b AS w2
+      |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+      |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      |  WHERE EXISTS (SELECT 1 FROM o c WHERE c.a = e1.b AND c.b = e2.b)),
+      |pv AS (SELECT id, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS id FROM tri UNION ALL SELECT w1 FROM tri UNION ALL SELECT w2 FROM tri)
+      |  GROUP BY id)
+      |SELECT rnk, p_partkey, n_tri FROM (
+      |  SELECT id AS p_partkey, n_tri,
+      |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, id) AS rnk FROM pv)
+      |WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 }
