@@ -186,4 +186,57 @@ object EventQueries {
       |   AND e.ts >= f.signup_ts
       |  GROUP BY f.user_id, f.signup_ts)
       |ORDER BY user_id""".stripMargin
+
+  /** Sweep-line interval algebra: peak concurrency per event type when
+    * each event occupies [ts, ts+10min) — the "max simultaneous
+    * sessions / resource utilization" shape that windowed aggregation
+    * cannot express (concurrency changes at BOUNDARIES, not fixed
+    * buckets). Boundary explode (+1 at start, −1 at end) → keyed
+    * running sum → max, with −1 sorted before +1 at equal timestamps
+    * so half-open intervals never double-count a touch.
+    *
+    * Determinism under ties: rows with identical (bt, delta) are
+    * interchangeable — the running-sum value MULTISET (and therefore
+    * the per-type max and the first boundary timestamp reaching it) is
+    * identical for every tie permutation in both engines.
+    *
+    * Scale: one shuffle on event_type for the running-sum window (2
+    * rows per event), one map-side-combinable agg for the peak, and a
+    * 5-row broadcast back — no self-join, no interval cross product.
+    * With a high-cardinality partition key this is the textbook keyed
+    * sweep; a single global sweep would need range-partitioned prefix
+    * sums instead. */
+  def q106PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val b = e.select(col("event_type"), col("ts").as("bt"), lit(1).as("delta"))
+      .unionAll(e.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("bt"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bt"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = b.withColumn("cur", sum(col("delta")).over(w))
+    val peaks = c.groupBy("event_type").agg(max(col("cur")).as("peak"))
+    c.join(broadcast(peaks), "event_type")
+      .filter(col("cur") === col("peak"))
+      .groupBy("event_type")
+      .agg(first(col("peak")).as("peak"), min(col("bt")).as("first_peak_ts"))
+      .orderBy("event_type")
+  }
+
+  val q106PeakConcurrencySql: String =
+    """WITH b AS (
+      |  SELECT event_type, ts AS bt, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 10 MINUTE AS bt, -1 AS delta FROM events),
+      |c AS (
+      |  SELECT event_type, bt,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY bt, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      |  FROM b),
+      |p AS (SELECT event_type, MAX(cur) AS peak FROM c GROUP BY event_type)
+      |SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak,
+      |  MIN(c.bt) AS first_peak_ts
+      |FROM c JOIN p ON c.event_type = p.event_type AND c.cur = p.peak
+      |GROUP BY c.event_type, p.peak
+      |ORDER BY c.event_type""".stripMargin
 }
