@@ -469,4 +469,50 @@ object CurationQueries {
       |WHERE n_bigrams > 0
       |  AND ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) >= 0.05
       |ORDER BY doc_id""".stripMargin
+
+  /** Robust outlier detection by median absolute deviation — q97's
+    * z-score flags drown when the contamination itself inflates the
+    * mean/stddev; median and MAD have a 50% breakdown point, the
+    * standard robust screen for corrupt numeric feeds. Exact medians
+    * (A10 precedent: Spark `percentile` == DuckDB `quantile_cont`,
+    * both linear-interpolating), outlier when |v − med| > 3·MAD.
+    *
+    * Scale: two grouped exact percentiles (sort within the event_type
+    * partitions) and two broadcasts of the 5-row per-type stats back
+    * to the fact rows — no global sort, no self-join. For a
+    * high-cardinality key the exact percentile becomes the bottleneck
+    * and `percentile_approx`/KLL is the drop-in (A5-style trade). */
+  def q107RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type", "med")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad.select("event_type", "mad")), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q107RobustOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, med, quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type, med)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+      |  CAST(COUNT(*) FILTER (WHERE d.dev > m.mad * 3) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type, m.med, m.mad
+      |ORDER BY d.event_type""".stripMargin
 }
