@@ -112,6 +112,26 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Signed feature-hash embedding (the "hashing trick", Weinberger et
+    * al., ICML 2009) of a token-hash array into `dim` integer buckets:
+    * bucket = h mod dim, sign = +1 when (h mod 2·dim) < dim else −1 —
+    * a division-free sign rule so the HOF/DuckDB mirrors need only
+    * `pmod`. Counts stay integers; normalization to floats is the
+    * caller's (engine-local) step. */
+  def featureHashEmbed(arr: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val twoDim = 2L * dim
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val b = (h % dim).toInt
+      if (h % twoDim < dim) out(b) += 1L else out(b) -= 1L
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def simHash(arr: ArrayData, bits: Int, a: Long, b0: Long): Long = {
     val n = arr.numElements()
     val acc = new Array[Int](bits)
@@ -271,5 +291,21 @@ case class SimHashExpr(child: Expression, bits: Int, a: Long, b0: Long)
   override protected def kernelCall(c: String): String =
     s"graft.functions.HashKernels.simHash($c, $bits, ${a}L, ${b0}L)"
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Signed feature-hash embedding of a token-hash array: array<bigint>
+  * of length `dim` (see [[HashKernels.featureHashEmbed]]). */
+case class FeatureHashEmbedExpr(child: Expression, dim: Int) extends HashKernelExpr {
+  require(dim > 0)
+  override def checkInputDataTypes() =
+    KernelTypeCheck.arrayOf(prettyName, LongType, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "feature_hash_embed"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.featureHashEmbed(input.asInstanceOf[ArrayData], dim)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.featureHashEmbed($c, $dim)"
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbedExpr =
     copy(child = newChild)
 }

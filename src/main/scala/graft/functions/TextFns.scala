@@ -58,6 +58,11 @@ object TextFns {
   def simHash(tokenHashArr: Column, bits: Int, a: Long = 1L, b: Long = 0L): Column =
     ofExpr(SimHashExpr(toExpr(tokenHashArr), bits, a, b))
 
+  /** Signed feature-hash embedding ("hashing trick") of a token-hash
+    * array into `dim` integer buckets. */
+  def featureHashEmbed(tokenHashArr: Column, dim: Int): Column =
+    ofExpr(FeatureHashEmbedExpr(toExpr(tokenHashArr), dim))
+
   // ---- Reference formulations (portable HOF forms the kernels must
   // ---- match bit-for-bit; exercised by HashKernelSpec) ----
 
@@ -88,6 +93,16 @@ object TextFns {
         x => pmod(lit(a) * x + lit(b), lit(P))))
     }: _*)
 
+  def featureHashEmbedHof(tokenHashArr: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), b =>
+      coalesce(
+        aggregate(
+          filter(tokenHashArr, h => pmod(h, lit(dim.toLong)) === b.cast("long")),
+          lit(0L),
+          (acc, h) => acc +
+            when(pmod(h, lit(2L * dim)) < lit(dim.toLong), lit(1L)).otherwise(lit(-1L))),
+        lit(0L)))
+
   def bandKeysHof(signature: Column, nBands: Int, rowsPerBand: Int): Column = {
     val bigP = 999999999999989L
     array((0 until nBands).map { b =>
@@ -114,4 +129,12 @@ object TextFns {
   def docHashSql(arr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), " +
       s"(h, x) -> (h * 131 + x) % $P)"
+
+  /** DuckDB: signed feature-hash embedding of a token-hash list `th`
+    * (all hashes non-negative, so `%` needs no pmod wrapper). */
+  def featureHashEmbedSql(th: String, dim: Int): String =
+    s"list_transform(generate_series(0, ${dim - 1}), b -> " +
+      s"CAST(coalesce(list_sum(list_transform(" +
+      s"list_filter($th, h -> h % $dim = b), " +
+      s"h -> CASE WHEN h % ${2 * dim} < $dim THEN 1 ELSE -1 END)), 0) AS BIGINT))"
 }

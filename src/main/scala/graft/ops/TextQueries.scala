@@ -488,6 +488,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Feature-hash ("hashing trick", Weinberger et al., ICML 2009)
+    * document embeddings — the model-free way to get a fixed-width
+    * vector per document for clustering / similarity when no learned
+    * encoder is in the pipeline: each token's hash picks one of 16
+    * signed buckets. Bucket counts are INTEGERS, so the cross-engine
+    * hash is exact; l2-normalizing to floats (what AnnIvf consumes) is
+    * an engine-local step deliberately outside the oracle.
+    *
+    * Scale: one codegen'd kernel pass per row, O(tokens + dim) — no
+    * explode, no shuffle before the output sort. The HOF/DuckDB
+    * mirrors are O(dim·tokens); bit-equality with the kernel is
+    * pinned in HashKernelSpec (the q47/q51 discipline). */
+  def q108HashEmbed(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        featureHashEmbed(tokenHashes(col("text")), 16).as("emb"))
+      .select(col("doc_id"),
+        // the driver's hasher rejects raw list columns — serialize
+        array_join(col("emb"), ",").as("emb_csv"),
+        size(filter(col("emb"), x => x =!= 0L)).as("nnz"),
+        aggregate(col("emb"), lit(0L), (a, x) => a + abs(x)).as("l1"))
+      .orderBy("doc_id")
+  }
+
+  val q108HashEmbedSql: String = {
+    val th = tokenHashesSql("text")
+    val emb = featureHashEmbedSql("th", 16)
+    s"""SELECT doc_id, array_to_string(emb, ',') AS emb_csv,
+       |  CAST(len(list_filter(emb, x -> x != 0)) AS INTEGER) AS nnz,
+       |  CAST(list_sum(list_transform(emb, x -> abs(x))) AS BIGINT) AS l1
+       |FROM (SELECT doc_id, $emb AS emb
+       |      FROM (SELECT doc_id, $th AS th FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val q103LmScoreSql: String =
     """WITH bi AS (
       |  SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []

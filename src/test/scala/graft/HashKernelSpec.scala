@@ -46,6 +46,19 @@ class HashKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("featureHashEmbed kernel == HOF reference on all fixture docs") {
+    val th = tokenHashes(col("text"))
+    val diff = docs
+      .withColumn("fast", featureHashEmbed(th, 16))
+      .withColumn("ref", featureHashEmbedHof(th, 16))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() === 0)
+    // signs actually both occur somewhere in the corpus
+    val signs = docs.select(explode(featureHashEmbed(th, 16)).as("v"))
+    assert(signs.filter(col("v") > 0).count() > 0)
+    assert(signs.filter(col("v") < 0).count() > 0)
+  }
+
   test("kernels == HOF reference on fuzzed ASCII strings (generated)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
