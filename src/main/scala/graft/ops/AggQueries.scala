@@ -320,4 +320,47 @@ object AggQueries {
       |FROM (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b)
       |GROUP BY 2
       |ORDER BY op, o_orderpriority""".stripMargin
+
+  /** A9 extension — grouped ordinary-least-squares trend: per order
+    * priority, the slope / intercept / R² of total price regressed on
+    * order date (epoch days). Both engines evaluate the same ANSI
+    * `regr_slope/regr_intercept/regr_r2` aggregates (population
+    * covariance over population variance), so the surface under test
+    * is the regression-aggregate family itself, not a hand-rolled
+    * covar/var quotient.
+    *
+    * Parity: x is an exact integer day count cast to double (lossless
+    * below 2^53); the regression outputs are doubles whose
+    * partition-order summation jitter sits ~1e-10 below the q14-style
+    * rounding grid (slope/r2 at 6 places, intercept at 2 — intercept
+    * magnitude is ~1e5 so its absolute jitter is the largest), with
+    * `+ 0.0` normalizing any rounded negative zero.
+    *
+    * Scale: one map-side-combinable hash aggregation over orders; the
+    * regression state is 6 doubles per group, output bounded by the
+    * 5-value priority domain. No joins, no windows. */
+  def q111GroupedRegression(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("x",
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("double"))
+    o.groupBy("o_orderpriority")
+      .agg((rnd(regr_slope(col("o_totalprice"), col("x")), 6) + 0.0)
+          .as("slope"),
+        (rnd(regr_intercept(col("o_totalprice"), col("x")), 2) + 0.0)
+          .as("icept"),
+        (rnd(regr_r2(col("o_totalprice"), col("x")), 6) + 0.0).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q111GroupedRegressionSql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(regr_slope(o_totalprice, x), 6) + 0 AS slope,
+      |  ROUND(regr_intercept(o_totalprice, x), 2) + 0 AS icept,
+      |  ROUND(regr_r2(o_totalprice, x), 6) + 0 AS r2,
+      |  COUNT(*) AS n
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS x
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -239,4 +239,52 @@ object EventQueries {
       |FROM c JOIN p ON c.event_type = p.event_type AND c.cur = p.peak
       |GROUP BY c.event_type, p.peak
       |ORDER BY c.event_type""".stripMargin
+
+  /** Cohort retention matrix: users are cohorted by the ISO week of
+    * their FIRST event; each (cohort_wk, week_no) cell counts the
+    * distinct users from that cohort active week_no weeks later. The
+    * product-analytics staple that funnels (q60) and sessions (q59)
+    * don't cover — activity relative to a per-user anchor.
+    *
+    * Parity: week buckets via `date_trunc('week', …)` (ISO Monday
+    * start in both engines); week_no is an exact day-diff of two
+    * week-truncated stamps `div` 7, cast BIGINT on both sides; the
+    * cell value is a plain COUNT over an already user-distinct
+    * activity set — all integers, hash-exact.
+    *
+    * Scale: the anchor agg and the distinct both shuffle on user_id,
+    * the join is user_id-to-user_id (co-partitioned, AQE can reuse
+    * the exchange), and the final agg's output is bounded by
+    * |weeks|² — independent of user count. No windows, no
+    * count-distinct expand (the distinct upstream already pays that
+    * cost once, map-side combinable). */
+  def q109CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val cohort = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_wk"))
+    val activity = e
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .withColumn("week_no",
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)"))
+      .groupBy("cohort_wk", "week_no")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_wk", "week_no")
+  }
+
+  val q109CohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events WHERE user_id IS NOT NULL)
+      |-- DuckDB date_trunc('week', ts) yields DATE; Spark yields
+      |-- TIMESTAMP — re-align the output type
+      |SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_wk,
+      |  CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_no,
+      |  COUNT(*) AS active_users
+      |FROM activity JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

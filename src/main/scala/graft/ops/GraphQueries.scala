@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Parity.rnd
 
 /** Graph-analytics queries under the oracle gate. q84 (entity
   * clustering via [[ConnectedComponents]]) lives in PipelineQueries;
@@ -156,4 +157,70 @@ object GraphQueries {
       |  SELECT id AS p_partkey, n_tri,
       |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, id) AS rnk FROM pv)
       |WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+
+  /** Market-basket association rules over brands-within-orders: for
+    * every unordered brand pair {a, b}, the co-occurrence count and
+    * the lift  N·c(a,b) / (c(a)·c(b))  — the frequent-itemset /
+    * recommender primitive the triangle query's co-purchase graph
+    * doesn't expose (it counts topology, not association strength).
+    *
+    * Parity: all counts are exact BIGINTs; lift is one double
+    * division of two exactly-representable int64 products (deterministic
+    * IEEE bits on both engines), rounded per the q14 discipline. The
+    * corpus-size row joins on a constant "one" column; Catalyst
+    * constant-folds that condition away, so the plan is the same
+    * deliberate one-row BroadcastNestedLoopJoin as q43's corpus-count
+    * bound — allowlisted in PLANS.md / PlanShapeSpec.
+    *
+    * Scale: the per-order pair build is quadratic only in DISTINCT
+    * BRANDS PER ORDER (≤ basket size ≤ 7 — bounded, same class as
+    * q105's pair build); items' distinct shuffle is reused across all
+    * three consumers (identical exchange → ReuseExchange), pair and
+    * brand counts are map-side-combinable hash aggs, and the output is
+    * bounded by |brands|² regardless of fact-table size. */
+  def q110BrandBasket(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val items = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand")).distinct()
+    val n = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")).withColumn("one", lit(1))
+    val bc = items.groupBy("brand").agg(count(lit(1)).as("c"))
+    val pairs = items.alias("a").join(items.alias("b"), Seq("ok"))
+      .filter(col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(bc.select(col("brand").as("brand_a"), col("c").as("c_a"))),
+        "brand_a")
+      .join(broadcast(bc.select(col("brand").as("brand_b"), col("c").as("c_b"))),
+        "brand_b")
+      .withColumn("one", lit(1))
+      .join(broadcast(n), "one")
+      .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        (rnd((col("c_ab") * col("n_orders")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6) + 0.0).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val q110BrandBasketSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(*) AS n_orders FROM (SELECT DISTINCT ok FROM items)),
+      |bc AS (SELECT brand, COUNT(*) AS c FROM items GROUP BY brand),
+      |pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS c_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+      |  ROUND(CAST(c_ab * n_orders AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6)
+      |    + 0 AS lift
+      |FROM pairs
+      |JOIN bc ca ON ca.brand = pairs.brand_a
+      |JOIN bc cb ON cb.brand = pairs.brand_b
+      |CROSS JOIN n
+      |ORDER BY brand_a, brand_b""".stripMargin
 }
