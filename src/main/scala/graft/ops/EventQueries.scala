@@ -287,4 +287,50 @@ object EventQueries {
       |  COUNT(*) AS active_users
       |FROM activity JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** First-order Markov transition matrix of event types: for each
+    * user's time-ordered event stream, count consecutive
+    * (from_type → to_type) pairs and the per-source transition
+    * probability. The behavioral-flow shape (what follows what) that
+    * the funnel (q60) — which pins ONE fixed sequence — doesn't give.
+    *
+    * Parity: (ts, event_id) totally orders each user's stream, so
+    * `lead` is deterministic; counts are exact BIGINTs; p is one
+    * IEEE-exact int64→double division rounded at 6 (q14 discipline).
+    * The per-source total stays internal (DuckDB SUM widens to
+    * HUGEINT — the q101 lesson — so it must not be projected).
+    *
+    * Scale: one user_id shuffle for the lead window (linear in events
+    * per user), then a map-side-combinable count bounded by
+    * |event_type|²; totals re-aggregate that bounded set and
+    * broadcast back. */
+  def q112Transitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cnt = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (rnd(col("n").cast("double") / col("tot").cast("double"), 6) + 0.0)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q112TransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n) AS tot FROM cnt GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0 AS p
+      |FROM cnt JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
 }
