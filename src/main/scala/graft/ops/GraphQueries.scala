@@ -119,14 +119,17 @@ object GraphQueries {
     * ORDER BASKET SIZE, ≤ 7 items in this schema — bounded, like q10's
     * blocking); everything after is the Triangles operator's equi-join
     * pipeline whose wedge volume is degree-capped at O(m^1.5) total,
-    * independent of hub skew. */
+    * independent of hub skew. The adjacency table is broadcast
+    * (`broadcastAdj = true`): its size is |parts| · O(√m) longs —
+    * ~24 MB here and still executor-sized at SF 1000 since the part
+    * dimension grows far slower than lineitem. */
   def q105Triangles(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
     val edges = lp.alias("a").join(lp.alias("b"), Seq("ok"))
       .filter(col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
-    val tri = Triangles.perVertex(edges, "u", "v")
+    val tri = Triangles.perVertex(edges, "u", "v", broadcastAdj = true)
     tri.orderBy(col("n_tri").desc, col("id")).limit(15)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -9,27 +9,41 @@ import org.apache.spark.sql.functions._
   * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
   *
   * Orient every undirected edge from its lower endpoint to its higher
-  * endpoint under the total order (degree, id). Every triangle then has
-  * exactly one "apex" — the vertex both of whose triangle edges point
-  * OUT — so enumerating wedges (apex → b, apex → c) and semi-joining
-  * the closing edge (b → c, which is oriented that way by transitivity
-  * of the order) finds each triangle exactly once, no dedup pass.
+  * endpoint under the total order (degree, id). A triangle with oriented
+  * edges u→v, u→w, v→w is then found exactly once: at edge (u, v), as
+  * w ∈ N⁺(u) ∩ N⁺(v) (at edge (u, w) it would need v ∈ N⁺(w), which
+  * contradicts v→w — so no dedup pass is ever needed).
   *
-  * Why this survives 100×: wedge volume is Σ_v outdeg(v)², and
-  * degree-ordering bounds outdeg(v) by O(√m) — a web-scale star vertex
-  * (degree 10⁷) contributes almost nothing because its edges orient
-  * INTO it. The naive a<b<c id-ordered enumeration has the same code
-  * shape but lets one low-id hub explode the wedge join; the "last
-  * reducer" of the paper's title. All joins below are equi-joins on the
-  * apex / edge key (the (deg,b)<(deg,c) wedge-ordering predicate is a
-  * post-filter on the apex hash join), so nothing is partition-wise.
+  * Execution shape — edge-iterator over packed adjacency arrays, not a
+  * row-per-wedge join: collect each vertex's out-neighborhood into one
+  * array (degree-ordering caps it at O(√m) entries), equi-join the
+  * oriented edge list with that adjacency table on BOTH endpoints, and
+  * intersect the two arrays per edge. The Θ(Σ outdeg²) wedge work is
+  * unavoidable, but here it runs inside `array_intersect` on rows that
+  * stay 1-per-EDGE, instead of shuffling 1-row-per-WEDGE through an
+  * exchange — on the dense sf0.1 co-purchase graph (3M edges, ~450M
+  * wedges) that is the difference between shuffling 3M rows and 450M.
+  *
+  * Why this survives 100×: degree-ordering bounds every adjacency array
+  * at O(√m) — a web-scale star vertex (degree 10⁷) contributes almost
+  * nothing because its edges orient INTO it (the "last reducer" of the
+  * paper's title dissolves). Both adjacency joins are plain equi-joins
+  * on a vertex key; when the oriented-degree-capped adjacency table
+  * fits an executor (n·O(√m) longs), pass `broadcastAdj = true` and
+  * they become broadcast hash joins with zero extra exchanges.
   */
 object Triangles {
 
   /** Every triangle {x,y,z} in the undirected simple graph induced by
     * `edges` (self-loops dropped, duplicates and direction collapsed),
-    * emitted once with x < y < z. */
-  def triples(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * emitted once with x < y < z.
+    *
+    * @param broadcastAdj broadcast the per-vertex adjacency arrays
+    *        (size n·O(√m) longs after orientation) instead of shuffle-
+    *        joining them — right whenever that fits comfortably in an
+    *        executor; leave false for web-scale vertex counts. */
+  def triples(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastAdj: Boolean = false): DataFrame = {
     val canon = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .filter(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
@@ -38,8 +52,7 @@ object Triangles {
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    // orient u→v when (deg,id)(u) < (deg,id)(v); carry both endpoint
-    // degrees so the wedge ordering below needs no further join
+    // orient u→v when (deg,id)(u) < (deg,id)(v)
     val oriented = canon
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
@@ -47,30 +60,29 @@ object Triangles {
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("b"),
-        least(col("du"), col("dv")).as("da"),
-        greatest(col("du"), col("dv")).as("db"))
-      // greatest/least on degrees is NOT the endpoint mapping when
-      // du==dv (both equal — harmless) so db is always deg(b): when
-      // du==dv both are the same value either way
-    val e1 = oriented.select(col("a"), col("b").as("w1"), col("db").as("dw1"))
-    val e2 = oriented.select(col("a"), col("b").as("w2"), col("db").as("dw2"))
-    val wedges = e1.join(e2, Seq("a"))
-      .filter(col("dw1") < col("dw2") ||
-        (col("dw1") === col("dw2") && col("w1") < col("w2")))
-    val closing = oriented.select(col("a").as("w1"), col("b").as("w2"))
-    wedges.join(closing, Seq("w1", "w2"), "left_semi")
+          col("v")).otherwise(col("u")).as("b"))
+    // packed out-neighborhoods; sort_array only for deterministic row
+    // bytes (the triangle SET is order-independent)
+    val adjBase = oriented.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val adj = if (broadcastAdj) broadcast(adjBase) else adjBase
+    oriented
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
       .select(
-        least(col("a"), col("w1"), col("w2")).as("x"),
-        (col("a") + col("w1") + col("w2")
-          - least(col("a"), col("w1"), col("w2"))
-          - greatest(col("a"), col("w1"), col("w2"))).as("y"),
-        greatest(col("a"), col("w1"), col("w2")).as("z"))
+        least(col("a"), col("b"), col("c")).as("x"),
+        (col("a") + col("b") + col("c")
+          - least(col("a"), col("b"), col("c"))
+          - greatest(col("a"), col("b"), col("c"))).as("y"),
+        greatest(col("a"), col("b"), col("c")).as("z"))
   }
 
   /** Per-vertex triangle participation counts (id, n_tri). */
-  def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val t = triples(edges, srcCol, dstCol)
+  def perVertex(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastAdj: Boolean = false): DataFrame = {
+    val t = triples(edges, srcCol, dstCol, broadcastAdj)
     t.select(col("x").as("id"))
       .union(t.select(col("y").as("id")))
       .union(t.select(col("z").as("id")))
