@@ -333,4 +333,71 @@ object EventQueries {
       |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0 AS p
       |FROM cnt JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Session path mining: sessionize each user's stream with q59's
+    * 30-minute gap rule, render each session as its ordered
+    * event-type path ("view>view>purchase"), and rank the top-20
+    * most common paths. The sequence-mining complement to q112 —
+    * whole-journey frequencies, not one-step transitions.
+    *
+    * Parity: the path is assembled from a `sort_array` of
+    * (ts, event_id, event_type) structs — the same (ts, event_id)
+    * total order the DuckDB `string_agg(… ORDER BY ts, event_id)`
+    * uses, so both engines emit identical strings; counts and ranks
+    * are integers with a (count desc, path) total tie-break.
+    *
+    * Scale: ONE user_id shuffle — the session window's partitioning
+    * (user_id) already satisfies the (user_id, session_id) group-by's
+    * clustered distribution, so the path build adds no exchange; the
+    * path count is map-side combinable and the top-20 collapses to
+    * TakeOrderedAndProject. Path strings grow with session length
+    * (bounded by the gap rule's burst structure, same class as q16's
+    * collected arrays); cap with `slice` before `array_join` if a
+    * domain ever produces pathological sessions. */
+  def q113SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1).otherwise(0)
+    val paths = e.withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select(col("rnk"), col("path"), col("n_sessions"))
+      .orderBy("rnk")
+  }
+
+  val q113SessionPathsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS NOT DISTINCT FROM NULL THEN 1
+      |           WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |             THEN 1
+      |           ELSE 0 END AS new_s
+      |    FROM events WHERE user_id IS NOT NULL)),
+      |p AS (SELECT user_id, session_id,
+      |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |      FROM s GROUP BY user_id, session_id),
+      |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+      |SELECT rnk, path, n_sessions FROM (
+      |  SELECT path, n_sessions,
+      |    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk FROM c)
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 }
