@@ -61,16 +61,21 @@ object Triangles {
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
-    // packed out-neighborhoods; sort_array only for deterministic row
-    // bytes (the triangle SET is order-independent)
+    // packed out-neighborhoods; sort_array makes rows deterministic AND
+    // feeds the merge-scan intersect kernel below
     val adjBase = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val adj = if (broadcastAdj) broadcast(adjBase) else adjBase
+    // sortedLongIntersect = array_intersect for sorted distinct long
+    // arrays (SimilarityKernelSpec pins the equivalence), but a
+    // two-pointer codegen merge instead of a per-row hash set — this
+    // runs once per edge and is the hot loop of the whole operator
     oriented
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        explode(array_intersect(col("na"), col("nb"))).as("c"))
+        explode(graft.functions.SimFns.sortedLongIntersect(
+          col("na"), col("nb"))).as("c"))
       .select(
         least(col("a"), col("b"), col("c")).as("x"),
         (col("a") + col("b") + col("c")

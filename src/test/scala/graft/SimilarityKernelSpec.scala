@@ -66,6 +66,23 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("sorted-long-intersect kernel == array_intersect on sorted id sets") {
+    // token-hash sets per doc: sorted, distinct, long-typed — the exact
+    // adjacency-array contract Triangles feeds the kernel (plus empty
+    // arrays and fully-disjoint pairs from the cross join)
+    val t = Tables.documents(spark, sf0001).limit(60)
+      .select(col("doc_id"),
+        sort_array(array_distinct(
+          graft.functions.TextFns.tokenHashes(col("text")))).as("ids"))
+    val a = t.select(col("doc_id").as("id_a"), col("ids").as("ia"))
+    val b = t.select(col("doc_id").as("id_b"), col("ids").as("ib"))
+    val diff = a.crossJoin(b)
+      .withColumn("merge", SimFns.sortedLongIntersect(col("ia"), col("ib")))
+      .withColumn("ref", array_intersect(col("ia"), col("ib")))
+      .filter(not(col("merge") <=> col("ref")))
+    assert(diff.count() === 0)
+  }
+
   test("bigram kernels == HOF forms on fixture docs, empty-guard edges") {
     import spark.implicits._
     val d = Tables.documents(spark, sf0001).select("text")
