@@ -400,4 +400,48 @@ object EventQueries {
       |  SELECT path, n_sessions,
       |    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk FROM c)
       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Inter-event dwell-time distribution: the gap from each event to
+    * the SAME user's next event (any type), attributed to the earlier
+    * event's type, summarized per type as exact p50/p90 seconds and
+    * the max. Latency-profile analytics over the (ts, event_id)
+    * stream order q112/q113 establish.
+    *
+    * Parity: gaps are exact integer microseconds (µs-truncated
+    * timestamps on both engines, FIXTURES.md hazard #1); Spark
+    * `percentile` == DuckDB `quantile_cont` (q15's A10 contract) with
+    * the /1e6 conversion and q14-style rounding applied AFTER the
+    * exact-µs percentile; max_s is integer floor-divided — hash-exact.
+    *
+    * Scale: one user_id shuffle for the lead window, then a
+    * map-side-combinable agg to the |event_type|-bounded output. The
+    * exact percentile holds per-group gap multisets; swap in
+    * `percentile_approx` when a type's event count outgrows executor
+    * memory (the q15/q107 note). */
+  def q114DwellTimes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = e.withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("gap_us").isNotNull)
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        rnd(percentile(col("gap_us"), lit(0.5)) / 1e6).as("p50_s"),
+        rnd(percentile(col("gap_us"), lit(0.9)) / 1e6).as("p90_s"),
+        expr("CAST(max(gap_us) div 1000000 AS BIGINT)").as("max_s"))
+      .orderBy("event_type")
+  }
+
+  val q114DwellTimesSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS gap_us
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  ROUND(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+      |  ROUND(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s,
+      |  CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -186,6 +186,47 @@ class PlanShapeSpec extends SparkSpec {
       "both sides must co-partition on the key")
   }
 
+  test("runtime bloom-filter join pruning engages on a selective fact join") {
+    // The cluster-scale shuffle reducer Catalyst provides for free:
+    // when one join side carries a selective predicate, InjectRuntimeFilter
+    // builds a bloom filter over its join keys and semi-filters the OTHER
+    // side's scan BEFORE the shuffle (`might_contain` in the plan). At
+    // 100 TB this drops most of the fact-table shuffle for dimension-
+    // filtered joins. Guard: the feature stays ON in this Spark build and
+    // engages for the canonical shape (lineitem ⋈ orders filtered to one
+    // priority) once the local-mode size thresholds are lowered — a
+    // regression here (conf renamed, default flipped, planner stops
+    // matching) should fail loudly, not silently cost a full shuffle.
+    val conf = spark.conf
+    val enabled = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val appThresh =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = Seq(enabled, appThresh, bcThresh)
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(enabled, "true")
+      conf.set(appThresh, "0") // fixture scans are tiny; always consider
+      // runtime filters only pay off (and only inject) on SHUFFLE joins;
+      // at fixture scale the filtered side would broadcast, so pin the
+      // cluster-scale shape the guard is about
+      conf.set(bcThresh, "-1")
+      val l = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not engage:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        "bloom build side missing from the plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("nested-loop joins appear ONLY on the PLANS.md-enumerated allowlist") {
     // the PLANS.md header contract as an executable guard: cartesian /
     // broadcast-nested-loop plans are expected ONLY where a deliberate
