@@ -33,7 +33,7 @@ object Bench {
     // of whatever else the host is doing (observed 1.7x run-to-run drift
     // on the same build); the per-query minimum is the standard
     // steady-state estimator.
-    def timedPass(): (Map[String, Double], Set[String]) = {
+    def timedPass(pass: Int): (Map[String, Double], Set[String]) = {
       val failed = scala.collection.mutable.Set.empty[String]
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -42,12 +42,18 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // stream each timing as it lands: the driver's artifact keeps only
+        // the tail of stdout, so a contended or anomalous run (round 5's
+        // q105 at 21 s vs 4 s local) must be diagnosable from stderr lines,
+        // not just the one end-of-run JSON blob
+        System.err.println(f"[bench] pass$pass $name%-28s $t%8.3f s")
+        name -> t
       }
       (times, failed.toSet)
     }
-    val (p1, f1) = timedPass()
-    val (p2, f2) = timedPass()
+    val (p1, f1) = timedPass(1)
+    val (p2, f2) = timedPass(2)
     val failed = f1 ++ f2
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

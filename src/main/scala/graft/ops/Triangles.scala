@@ -52,15 +52,27 @@ object Triangles {
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+    // degree table is vertex-sized — the same memory class as the
+    // adjacency arrays, so under broadcastAdj it rides the same
+    // executor-fits assumption and both orientation joins go shuffle-free
+    val degA = if (broadcastAdj) broadcast(deg) else deg
     // orient u→v when (deg,id)(u) < (deg,id)(v)
     val oriented = canon
-      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .join(degA.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(degA.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
+      // the oriented edge list feeds BOTH sides of the intersect stage
+      // (adjacency build + probe); without a lineage cut the whole
+      // canon + degree subtree — the edge-build shuffles included —
+      // re-executes once per consumer. O(m) rows of two longs: the same
+      // materialize-the-collapsed-edges pattern as PageRank/CC, and the
+      // round-5 driver bench showed the re-derivation is exactly where a
+      // contended host doubles the bill (21 s vs 4 s local on q105)
+      .localCheckpoint()
     // packed out-neighborhoods; sort_array makes rows deterministic AND
     // feeds the merge-scan intersect kernel below
     val adjBase = oriented.groupBy(col("a"))
