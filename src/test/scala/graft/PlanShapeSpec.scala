@@ -176,6 +176,19 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one shared window exchange, found $windowExchanges:\n$p")
   }
 
+  test("q98: quantile binning ranks range-partitioned — no single-reducer fact sort") {
+    // the old ntile(10) OVER (ORDER BY …) form pulled every order
+    // through one partition; the replacement must keep NTILE's exact
+    // bucket assignment while every window in the plan stays keyed
+    val p = planOf("q98_qcut")
+    assert(!p.contains("ntile("),
+      s"global ntile window must not reappear:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may single-partition the fact table:\n$p")
+    assert(p.contains("hashpartitioning(pid"),
+      s"rank window must be partitioned on the range-partition id:\n$p")
+  }
+
   test("q62: native as-of join plans with sorted, hash-clustered children") {
     val df = SparkEntry.queries("q62_asof_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
