@@ -46,6 +46,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cross join must not be partition-wise")
   }
 
+  test("q49: jaccard candidates ride the prefix-token inverted index, never block all-pairs") {
+    // the r6 change: any self-join on the block keys alone is quadratic
+    // in block size — every candidate join must also carry the
+    // rarest-token prefix key (lossless per AllPairs/PPJoin)
+    val p = planOf("q49_token_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay an equi-join:\n$p")
+    val blockJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("len_bkt"))
+    assert(blockJoins.forall(_.contains("ptok")),
+      s"a join matches on the block keys without the prefix token:\n$p")
+    assert(p.contains("ptok"), s"prefix index missing from the plan:\n$p")
+  }
+
   test("q50: gram-inverted-index candidates keep the similarity join an equi-join") {
     val p = planOf("q50_chargram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
