@@ -22,17 +22,41 @@ import graft.functions.SimFns
   * a cid-equi-join (hash-partitioned, never a cross product), and the
   * closure is the sub-quadratic hash-to-min propagation. The documented
   * approximation: a near-dup pair straddling a cluster boundary is
-  * missed — SemanticDedupSpec measures exactly this against the
-  * brute-force oracle. At 100 TB, train the model on a sample (train
-  * cost is iters × corpus aggregations) and raise k with corpus size.
+  * missed at nProbe = 1 — [[assignMulti]] (multi-probe assignment, the
+  * same remedy IVF search uses) recovers those pairs by also pairing
+  * each vector in its runner-up clusters; SemanticDedupSpec measures
+  * both the miss and the recovery against the brute-force oracle. At
+  * 100 TB, train the model on a sample (train cost is iters × corpus
+  * aggregations) and raise k with corpus size.
   */
 object SemanticDedup {
 
+  /** One row per (vector, probed bucket): each vector lands in its
+    * `nProbe` nearest clusters instead of only the nearest — the
+    * standard multi-probe fix for SemDeDup's one recall hole, near-dup
+    * pairs straddling a cluster boundary (both members sit close to the
+    * same boundary, so each other's cluster is almost always the
+    * runner-up probe). Probe order matches `IvfModel.nearestCentroids`
+    * exactly (shared `probesExpr`). Pair volume grows by at most
+    * nProbe× rows per cluster (Σ|cluster|² ≤ nProbe²·n²/k with the same
+    * n/k executor sizing); dedup output is unchanged in shape because
+    * [[candidatePairs]] de-duplicates pairs found in two shared
+    * buckets. Still map-only: k fused cosines per row, no shuffle. */
+  def assignMulti(emb: DataFrame, vecCol: String, model: AnnIvf.IvfModel,
+      nProbe: Int): DataFrame =
+    emb.withColumn("cid",
+      explode(AnnIvf.probesExpr(col(vecCol), model.centroids, nProbe)))
+
   /** Within-cluster candidate near-dup pairs at cosine ≥ tau over a
     * corpus that already carries a `cid` cluster column (from
-    * `AnnIvf.assign`). Exact cosines (fused kernel, no rounding):
-    * precision is 1 by construction; only recall depends on the
-    * clustering. Returns (id_a, id_b, sim) with id_a < id_b. */
+    * `AnnIvf.assign`, or [[assignMulti]] with one row per probed
+    * bucket). Exact cosines (fused kernel, no rounding): precision is 1
+    * by construction; only recall depends on the clustering. Returns
+    * (id_a, id_b, sim) with id_a < id_b, each pair once even when it
+    * co-occurs in several probed buckets (the distinct is exact: the
+    * fused kernel is deterministic, so duplicate findings carry
+    * bit-identical sims; its shuffle is output-sized — ∝ near-dups,
+    * never corpus-sized). */
   def candidatePairs(assigned: DataFrame, vecCol: String, idCol: String,
       tau: Double): DataFrame = {
     val a = assigned.select(col("cid"),
@@ -44,18 +68,25 @@ object SemanticDedup {
       .withColumn("sim", SimFns.cosineSim(col("va"), col("vb")))
       .filter(col("sim") >= tau)
       .select("id_a", "id_b", "sim")
+      .distinct()
   }
 
-  /** Full pipeline: train k-means (deterministic seeds), assign, pair
-    * within clusters at cosine ≥ tau, transitively close, and label
-    * every row. Returns one row per input row: (idCol, rep, is_dup)
-    * where `rep` is the lowest id of the row's duplicate group (its own
-    * id when unique) — keep `!is_dup` rows for the deduplicated corpus,
-    * or join `rep` back to re-attach dropped rows to their survivor. */
+  /** Full pipeline: train k-means (deterministic seeds), assign each
+    * vector to its `nProbe` nearest clusters, pair within clusters at
+    * cosine ≥ tau, transitively close, and label every row. Returns one
+    * row per input row: (idCol, rep, is_dup) where `rep` is the lowest
+    * id of the row's duplicate group (its own id when unique) — keep
+    * `!is_dup` rows for the deduplicated corpus, or join `rep` back to
+    * re-attach dropped rows to their survivor. nProbe = 1 is classic
+    * SemDeDup (boundary pairs missed); nProbe = 2 closes most of that
+    * hole for ≤ 4× the pair-join work (SemanticDedupSpec measures the
+    * recovery against the brute-force oracle). */
   def dedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int, tau: Double): DataFrame = {
+      iters: Int, tau: Double, nProbe: Int = 1): DataFrame = {
     val model = AnnIvf.train(emb, vecCol, idCol, k, iters)
-    val assigned = AnnIvf.assign(emb, vecCol, model)
+    val assigned =
+      if (nProbe <= 1) AnnIvf.assign(emb, vecCol, model)
+      else assignMulti(emb, vecCol, model, nProbe)
     val pairs = candidatePairs(assigned, vecCol, idCol, tau)
     val comps = ConnectedComponents.components(pairs, "id_a", "id_b")
     emb.select(col(idCol).cast("long").as("id"))

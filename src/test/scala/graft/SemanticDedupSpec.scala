@@ -76,6 +76,59 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe assignment recovers a boundary-straddling pair nProbe=1 misses") {
+    val model = AnnIvf.train(corpus, "embedding", "vec_id", K, iters = 2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def blend(a: Array[Float], b: Array[Float], wa: Float): Array[Float] =
+      a.zip(b).map { case (x, y) => wa * x + (1 - wa) * y }
+    // find a centroid pair whose midpoint blends provably straddle the
+    // boundary: each blend's nearest centroid is its dominant one, the
+    // runner-up set covers both, and the blends are near-dups of each
+    // other — all checked against the trained model, so the test is
+    // deterministic (no RNG anywhere in train/assign)
+    val c = model.centroids
+    val straddle = (for {
+      i <- c.indices.iterator; j <- c.indices.iterator if i != j
+      va = blend(c(i), c(j), 0.55f); vb = blend(c(i), c(j), 0.45f)
+      if cos(va, vb) >= TAU
+      if model.nearestCentroids(va, 1) == Seq(i)
+      if model.nearestCentroids(vb, 1) == Seq(j)
+      if model.nearestCentroids(va, 2).toSet == Set(i, j)
+      if model.nearestCentroids(vb, 2).toSet == Set(i, j)
+    } yield (va, vb)).nextOption()
+    assert(straddle.nonEmpty,
+      "fixture centroids admit no boundary-straddling blend — k too degenerate")
+    val (va, vb) = straddle.get
+    import spark.implicits._
+    val planted = Seq((20000L, va.toSeq), (20001L, vb.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val corpus2 = corpus.select(col("vec_id"), col("embedding")).union(planted)
+    def pairsAt(nProbe: Int): Set[(Long, Long)] = {
+      val assigned =
+        if (nProbe <= 1) AnnIvf.assign(corpus2, "embedding", model)
+        else SemanticDedup.assignMulti(corpus2, "embedding", model, nProbe)
+      SemanticDedup.candidatePairs(assigned, "embedding", "vec_id", TAU)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val p1 = pairsAt(1)
+    val p2 = pairsAt(2)
+    // the planted pair is exactly the documented nProbe=1 hole …
+    assert(!p1.contains((20000L, 20001L)),
+      "construction should straddle clusters at nProbe=1")
+    // … and multi-probe recovers it without losing anything
+    assert(p2.contains((20000L, 20001L)), s"multi-probe missed the planted pair")
+    assert(p1.subsetOf(p2), s"multi-probe lost pairs: ${p1.diff(p2)}")
+  }
+
   test("dedup is deterministic across runs") {
     def run() = SemanticDedup
       .dedup(corpus, "embedding", "vec_id", K, iters = 2, tau = TAU)
