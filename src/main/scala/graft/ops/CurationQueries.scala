@@ -504,6 +504,72 @@ object CurationQueries {
       |  AND ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_bigrams, 4) >= 0.05
       |ORDER BY doc_id""".stripMargin
 
+  /** Exponentially weighted moving average over the daily revenue
+    * series — pandas `ewm(alpha=0.2).mean()` / the classic exponential
+    * smoother, the recursive partner of q97's trailing-window z-score:
+    * e_1 = rev_1, e_t = 0.2·rev_t + 0.8·e_{t−1}. A recursion is not a
+    * window frame, so the series is assembled per key (array_sort of
+    * (day, rev) structs — the q113 path-assembly discipline) and folded
+    * with `aggregate`, carrying (prefix-EWMAs, last) through one linear
+    * pass; both engines evaluate the same `0.2·x + 0.8·e` tree left to
+    * right over the same day order, so the doubles are bit-identical
+    * before the final round(4).
+    *
+    * Scale: one (day, priority) hash agg (map-side combinable) then one
+    * priority-keyed shuffle; per-group state is linear in the series
+    * length, which is calendar-bounded (the q79/q95 contract — a year
+    * slice here keeps the DuckDB recursive-CTE oracle shallow). For
+    * unbounded/streaming series the same recurrence runs in
+    * transformWithState (T6) with one double of state per key. */
+  def q115Ewma(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
+    val series = daily.groupBy("o_orderpriority")
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("s"))
+    val folded = series.withColumn("es", expr(
+      """aggregate(s,
+        |  struct(cast(array() as array<double>) AS es,
+        |         cast(null as double) AS e),
+        |  (acc, x) -> struct(
+        |    array_append(acc.es,
+        |      CASE WHEN acc.e IS NULL THEN x.rev
+        |           ELSE 0.2D * x.rev + 0.8D * acc.e END),
+        |    CASE WHEN acc.e IS NULL THEN x.rev
+        |         ELSE 0.2D * x.rev + 0.8D * acc.e END),
+        |  acc -> acc.es)""".stripMargin))
+    folded
+      .select(col("o_orderpriority"),
+        explode(arrays_zip(col("s"), col("es"))).as("z"))
+      .select(col("z.s.day").as("day"), col("o_orderpriority"),
+        round(col("z.s.rev"), 4).as("rev"),
+        round(col("z.es"), 4).as("ewma"))
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q115EwmaSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS pr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS rev
+      |  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT day, pr, rev,
+      |    ROW_NUMBER() OVER (PARTITION BY pr ORDER BY day) AS rn
+      |  FROM daily),
+      |e AS (
+      |  SELECT day, pr, rev, rn, rev AS ewma FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.day, s.pr, s.rev, s.rn,
+      |    CAST(0.2 AS DOUBLE) * s.rev + CAST(0.8 AS DOUBLE) * e.ewma
+      |  FROM s JOIN e ON s.pr = e.pr AND s.rn = e.rn + 1)
+      |SELECT day, pr AS o_orderpriority, ROUND(rev, 4) AS rev,
+      |  ROUND(ewma, 4) AS ewma
+      |FROM e ORDER BY day, o_orderpriority""".stripMargin
+
   /** Robust outlier detection by median absolute deviation — q97's
     * z-score flags drown when the contamination itself inflates the
     * mean/stddev; median and MAD have a 50% breakdown point, the

@@ -543,4 +543,48 @@ object TextQueries {
       |  ROUND(CAST(SUM(mlp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 4) AS avg_logprob
       |FROM bi JOIN model USING (bigram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Materialized inverted index — the posting-list artifact a search
+    * stack serves from (and the layout q99's BM25 scores against):
+    * per term, document frequency, collection frequency, and the
+    * doc-ordered posting list `doc:tf doc:tf …` (doc-ordered postings
+    * are what intersection/merge iterators require). Serialized with
+    * array_join per the driver hasher's no-array rule.
+    *
+    * Scale: two map-side-combinable hash aggs over the token stream —
+    * (term, doc) counts then per-term assembly; one shuffle each, no
+    * joins, no windows. The fixture vocabulary is dictionary-bounded
+    * (every term materializes whole); at web scale the per-term reduce
+    * state is capped by TIERING on df — head terms (df above a band)
+    * go to impact-ordered / sharded posting formats instead of one
+    * giant row — a `filter(col("df") <= band)` on this same plan.
+    * DuckDB SUM widens to HUGEINT → CAST back to BIGINT (the q101
+    * lesson). */
+  def q116Postings(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            x => concat(x.getField("doc_id"), lit(":"), x.getField("tf"))),
+          " ").as("postings"))
+      .orderBy("term")
+  }
+
+  val q116PostingsSql: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term, doc_id)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS cf,
+      |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+      |             ' ' ORDER BY doc_id) AS postings
+      |FROM tf
+      |GROUP BY term
+      |ORDER BY term""".stripMargin
 }
