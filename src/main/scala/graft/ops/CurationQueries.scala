@@ -438,7 +438,8 @@ object CurationQueries {
     * with literal constants. Every stage is parallel at 100 TB; the
     * old `ntile(10) OVER (ORDER BY …)` form pulled the whole fact
     * table through one partition (the suite's last single-reducer
-    * sort, VERDICT r5). */
+    * sort, VERDICT r5). When sketch-exact bucket populations suffice,
+    * [[AppxQcut]] does the same binning with ZERO shuffles. */
   def q98Qcut(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey"))
