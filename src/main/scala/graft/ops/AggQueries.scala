@@ -363,4 +363,60 @@ object AggQueries {
       |        CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS x
       |      FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** RFM customer segmentation — the classic marketing-analytics
+    * quantile grid: per customer recency (last order date), frequency
+    * (order count), monetary (lifetime spend), each independently
+    * quintile-bucketed under a deterministic total order (measure, then
+    * custkey — NTILE with an under-specified ORDER BY is
+    * engine-dependent), then the 5×5×5 segment census.
+    *
+    * Buckets are ascending on each measure (tile 5 = most recent / most
+    * frequent / highest spend), matching the oracle's plain
+    * `NTILE(5) OVER (ORDER BY measure, key)`.
+    *
+    * Parity: recency is a DATE max (exact); frequency an integer count;
+    * monetary an exact decimal sum converted once to double (same bits
+    * both engines, q1 discipline) — so all three sort orders are
+    * bit-identical and the bucket assignment is forced.
+    *
+    * Scale: one map-side-combinable custkey hash agg collapses the fact
+    * table to customer-dimension size, then three [[RangedNtile]] passes
+    * (each one range shuffle + per-partition rank; driver state is
+    * partition-count-sized) — NO single-reducer sort, where the naive
+    * three-window form would single-partition the customer table three
+    * times. Output bounded at k³ = 125 rows. */
+  def q120RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rfm = o.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("recency"),
+        count(lit(1)).as("freq"),
+        sum(dm(col("o_totalprice"))).cast("double").as("monetary"))
+    val tiled = Seq(("recency", "r_tile"), ("freq", "f_tile"),
+        ("monetary", "m_tile"))
+      .foldLeft(rfm) { case (df, (measure, out)) =>
+        RangedNtile.withNtile(df, 5,
+          Seq(col(measure), col("o_custkey")), out)
+      }
+    tiled.groupBy("r_tile", "f_tile", "m_tile")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_tile", "f_tile", "m_tile")
+  }
+
+  val q120RfmSegmentsSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    MAX(CAST(o_orderdate AS DATE)) AS recency,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT
+      |    NTILE(5) OVER (ORDER BY recency, o_custkey) AS r_tile,
+      |    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_tile,
+      |    NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_tile
+      |  FROM rfm)
+      |SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_customers
+      |FROM t GROUP BY r_tile, f_tile, m_tile
+      |ORDER BY r_tile, f_tile, m_tile""".stripMargin
 }

@@ -427,49 +427,17 @@ object CurationQueries {
     * would otherwise be engine-dependent), then profile each bin.
     *
     * Exact NTILE semantics WITHOUT the single-reducer sort (the oracle
-    * SQL keeps `NTILE(10)` as the semantic spec): range-partition on
-    * the sort key, materialize once so every consumer sees the same
-    * partition ids, then global rank = per-partition `row_number`
-    * (parallel sorts) + the preceding partitions' row counts. The only
-    * driver-side state is one (pid, count) pair per shuffle partition —
-    * partition-count-sized model data, same class as AnnIvf's centroid
-    * collect — from which the front-loaded NTILE bucket formula
-    * (first n mod 10 buckets get one extra row) is evaluated per row
-    * with literal constants. Every stage is parallel at 100 TB; the
-    * old `ntile(10) OVER (ORDER BY …)` form pulled the whole fact
-    * table through one partition (the suite's last single-reducer
-    * sort, VERDICT r5). When sketch-exact bucket populations suffice,
+    * SQL keeps `NTILE(10)` as the semantic spec) via [[RangedNtile]] —
+    * range-partitioned parallel rank + the front-loaded bucket formula;
+    * see that op's scaladoc for the full plan story. The old
+    * `ntile(10) OVER (ORDER BY …)` form pulled the whole fact table
+    * through one partition (the suite's last single-reducer sort,
+    * VERDICT r5). When sketch-exact bucket populations suffice,
     * [[AppxQcut]] does the same binning with ZERO shuffles. */
   def q98Qcut(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey"))
-    // materialized so the count branch and the rank branch cannot see
-    // different AQE coalescing of the range exchange (pid must agree)
-    val part = o.repartitionByRange(col("o_totalprice"), col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val cnts = part.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = cnts.map(_._2).sum
-    var acc = 0L
-    val offMap: Map[Int, Long] =
-      cnts.map { case (pid, c) => val o0 = acc; acc += c; pid -> o0 }.toMap
-    // NTILE(k): with q = n div k and rem = n mod k, buckets 1..rem hold
-    // q+1 rows and the rest hold q — row r (1-based) lands in bucket
-    // ceil(r/(q+1)) while r <= rem*(q+1), else rem + ceil((r-cut)/q)
-    val qq = n / 10
-    val rem = n % 10
-    val cut = rem * (qq + 1)
-    val w = Window.partitionBy("pid")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    part
-      .withColumn("r",
-        row_number().over(w).cast("long") +
-          element_at(typedlit(offMap), col("pid")))
-      .withColumn("decile",
-        when(col("r") <= cut, expr(s"(r - 1) div ${qq + 1} + 1"))
-          .otherwise(expr(s"$rem + (r - $cut - 1) div ${math.max(qq, 1L)} + 1"))
-          .cast("int"))
+    RangedNtile.withNtile(o, 10,
+        Seq(col("o_totalprice"), col("o_orderkey")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 4).as("lo"),

@@ -492,4 +492,164 @@ object PipelineQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Penny-exact proration — the classic financial-integration
+    * allocation: distribute each order's header total across its line
+    * items proportionally to extended price, in whole cents, such that
+    * the allocated cents SUM EXACTLY to the header total (no
+    * lost-penny drift). Naive per-row rounding breaks the invariant;
+    * the standard fix is largest-remainder apportionment: floor every
+    * proportional share, then hand the leftover cents to the lines
+    * with the largest division remainders. The rank tiebreak is
+    * (remainder, line number, weight): line numbers are NOT unique in
+    * this fixture, but lines tying on all three carry identical floors,
+    * so the output MULTISET is engine-forced even where the rank itself
+    * is not; the weight rides along in the output so every row is
+    * self-describing (and [[ProrationSpec]] needs no join back).
+    *
+    * All arithmetic is int64: prices enter as cents via
+    * `ROUND(x*100)` (the stored values have 2 decimals, so the product
+    * is within one ulp of an integer — rounding to nearest is
+    * tie-free), and `total_c * w ≤ ~6e14` stays far under 2^63. Both
+    * engines compute identical quotients/remainders, so the output
+    * hash-matches without any float discipline.
+    *
+    * Scale: one orderkey-keyed shuffle; the three window functions
+    * (denominator sum, floor-sum shortfall, remainder rank) all share
+    * that partitioning — per-order state only, no driver work, no
+    * second shuffle. The date filter bounds the checked slice; the op
+    * itself is date-free. */
+  def q117Proration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-03-01", "1995-03-31"))
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("total_c"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("w"))
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+    val byOrder = Window.partitionBy("l_orderkey")
+    val byRem = Window.partitionBy("l_orderkey")
+      .orderBy(col("rem").desc, col("l_linenumber"), col("w"))
+    j.withColumn("denom", sum(col("w")).over(byOrder))
+      .withColumn("floor_c", expr("(total_c * w) div denom"))
+      .withColumn("rem", expr("(total_c * w) % denom"))
+      .withColumn("short", col("total_c") - sum(col("floor_c")).over(byOrder))
+      .withColumn("alloc_cents",
+        col("floor_c") +
+          when(row_number().over(byRem) <= col("short"), 1L).otherwise(0L))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("w").as("ext_cents"), col("alloc_cents"))
+      .orderBy("l_orderkey", "l_linenumber", "ext_cents", "alloc_cents")
+  }
+
+  val q117ProrationSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN '1995-03-01' AND '1995-03-31'),
+      |j AS (
+      |  SELECT l_orderkey, l_linenumber, total_c,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+      |  FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+      |f AS (
+      |  -- CAST: DuckDB widens window SUM(BIGINT) to HUGEINT
+      |  SELECT l_orderkey, l_linenumber, total_c, w,
+      |    CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS denom
+      |  FROM j),
+      |g AS (
+      |  SELECT l_orderkey, l_linenumber, total_c, w,
+      |    (total_c * w) // denom AS floor_c,
+      |    (total_c * w) % denom AS rem
+      |  FROM f),
+      |h AS (
+      |  SELECT l_orderkey, l_linenumber, w, floor_c,
+      |    total_c - CAST(SUM(floor_c) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |      AS short,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                       ORDER BY rem DESC, l_linenumber, w) AS rnk
+      |  FROM g)
+      |SELECT l_orderkey, l_linenumber, w AS ext_cents,
+      |  floor_c + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS alloc_cents
+      |FROM h
+      |ORDER BY l_orderkey, l_linenumber, ext_cents, alloc_cents""".stripMargin
+
+  /** Pareto-frontier shortlist over the part catalog — the parts for
+    * which no other part is simultaneously cheaper-or-equal AND
+    * larger-or-equal (strict somewhere): minimize retail price, maximize
+    * size. Multi-criteria top-set selection, the [[Skyline]] operator;
+    * the oracle states the semantics directly as the quadratic
+    * NOT EXISTS dominance test, while the Spark plan is the exact
+    * one-range-shuffle two-phase sweep (see [[Skyline.skyline2]]).
+    *
+    * Parity: price and size pass through both engines untouched from the
+    * same parquet (no arithmetic), so membership and ordering are forced
+    * bit-identically. */
+  def q118Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select("p_partkey", "p_retailprice", "p_size")
+    Skyline.skyline2(p, col("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  val q118SkylineSql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice
+      |    AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
+  /** Benford first-digit screen — the forensic data-quality test:
+    * naturally-occurring amounts follow P(d) = log10(1 + 1/d), and a
+    * source whose leading-digit histogram strays is synthetic, truncated,
+    * or tampered. Per return flag: observed count, observed share, and
+    * the Benford expectation per digit 1–9.
+    *
+    * The leading digit is extracted in exact integer space (cents via
+    * `ROUND(x*100)`, then first character of the digit string) — no
+    * log10-of-value bucketing, whose float edge cases would differ
+    * between engines. The two double outputs are a count ratio
+    * (int64→double division, IEEE-identical) and log10 of a literal
+    * rational, both rounded at 4 with ulp-scale margins to the rounding
+    * grid (checked digit-by-digit: the closest, log10(9/8) = 0.05115252…,
+    * sits 2.5e-8 above the 0.05115 boundary — eight orders above any
+    * libm ulp divergence).
+    *
+    * Scale: one map-side-combinable hash agg over lineitem to ≤ 27
+    * groups; the per-flag total is a window over ≤ 9 rows. No joins, no
+    * fact-sized windows. */
+  def q119Benford(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, dir)
+      .withColumn("digit",
+        substring(expr("cast(cast(round(l_extendedprice * 100) as bigint) as string)"),
+          1, 1).cast("int"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    l.groupBy("l_returnflag", "digit").agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(col("n").cast("double") / sum(col("n")).over(byFlag), 4))
+      .withColumn("benford", round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .select("l_returnflag", "digit", "n", "pct", "benford")
+      .orderBy("l_returnflag", "digit")
+  }
+
+  val q119BenfordSql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |                     AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, digit, COUNT(*) AS n
+      |  FROM d GROUP BY l_returnflag, digit)
+      |SELECT l_returnflag, digit, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE), 4) AS pct,
+      |  ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford
+      |FROM g ORDER BY l_returnflag, digit""".stripMargin
 }
