@@ -587,4 +587,78 @@ object TextQueries {
       |FROM tf
       |GROUP BY term
       |ORDER BY term""".stripMargin
+
+  /** PMI collocation mining — the classic statistical measure for
+    * "these two words form a unit" (Church & Hanks, CL 1990): for
+    * bigram (x, y), PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over
+    * the bigram-instance total and p(x) over the unigram total. High
+    * PMI + a minimum-count floor (here n_xy ≥ 5, the standard guard
+    * against one-off pairs) surfaces multiword expressions for
+    * tokenizer/vocab construction.
+    *
+    * Parity: all counts are exact integers; the totals are computed
+    * once (one scan-level agg, collected as two driver scalars — the
+    * PageRank dangling-mass class) and inlined as literals, so both
+    * engines evaluate ln on the identically-associated double
+    * expression; ln's cross-libm divergence is ≤ ulps, eight orders
+    * below the round(4) grid except at measure-zero boundaries. The
+    * final order sorts the ROUNDED pmi (then bigram), so ordering and
+    * values are forced together.
+    *
+    * Scale: bigram and unigram counting are explode → map-side-combined
+    * hash aggs; the two unigram joins are broadcast at this vocab (the
+    * hint degrades gracefully to shuffle-hash when the vocab outgrows
+    * the executor); top-25 via TakeOrderedAndProject. Totals need one
+    * extra pass over doc lengths, not over the pair space. */
+  def q121Pmi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFns
+    val d = Tables.documents(s, dir)
+    val totRow = d.select(size(tokens(col("text"))).as("nw"))
+      .agg(sum(greatest(col("nw") - 1, lit(0))).as("nb"),
+        sum(col("nw")).as("nu"))
+      .head()
+    val (nb, nu) = (totRow.getLong(0), totRow.getLong(1))
+    val bi = d.select(explode(SimFns.wordBigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val uni = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val w1 = uni.select(col("w").as("w1"), col("n_w").as("n_w1"))
+    val w2 = uni.select(col("w").as("w2"), col("n_w").as("n_w2"))
+    bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(w1), "w1")
+      .join(broadcast(w2), "w2")
+      .withColumn("pmi", expr(
+        s"round(ln((cast(n_xy as double) * $nu * $nu) / " +
+          s"(cast($nb as double) * n_w1 * n_w2)), 4)"))
+      .select("bigram", "n_xy", "pmi")
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(25)
+  }
+
+  val q121PmiSql: String =
+    """WITH tot AS (
+      |  SELECT CAST(SUM(GREATEST(len(string_split(text,' ')) - 1, 0)) AS BIGINT) AS nb,
+      |         CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS nu
+      |  FROM documents),
+      |bi AS (
+      |  SELECT bigram, COUNT(*) AS n_xy FROM (
+      |    SELECT unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |      ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS bigram
+      |    FROM documents)
+      |  GROUP BY bigram HAVING COUNT(*) >= 5),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS n_w FROM (
+      |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      |  GROUP BY w)
+      |SELECT b.bigram, b.n_xy,
+      |  ROUND(LN((CAST(b.n_xy AS DOUBLE) * t.nu * t.nu) /
+      |           (CAST(t.nb AS DOUBLE) * u1.n_w * u2.n_w)), 4) AS pmi
+      |FROM bi b
+      |CROSS JOIN tot t
+      |JOIN uni u1 ON string_split(b.bigram, ' ')[1] = u1.w
+      |JOIN uni u2 ON string_split(b.bigram, ' ')[len(string_split(b.bigram, ' '))] = u2.w
+      |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin
 }
