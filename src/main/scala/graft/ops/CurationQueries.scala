@@ -568,6 +568,129 @@ object CurationQueries {
       .orderBy("event_type")
   }
 
+  /** Categorical column profiling with Shannon entropy — the
+    * value-distribution half of data profiling ([[DataQuality.profile]]
+    * is the one-pass count/null/HLL half): per column, row count,
+    * distinct values (null counted as a value), null mass, entropy in
+    * nats, and the modal value's share. Low entropy or a top-share near
+    * 1 flags a near-constant column; entropy near ln(k) flags uniform
+    * codes — the screens a schema-mapping step runs before trusting a
+    * field.
+    *
+    * Parity: counts are exact; entropy = −Σ p·ln p sums ≤ 5 doubles per
+    * column whose partition-order jitter (~1e−16) sits twelve orders
+    * below the round(4) grid; `+ 0.0` normalizes the single-value
+    * column's −0.0 (q111 discipline). p = n/tot is int64→double
+    * division, IEEE-identical.
+    *
+    * Scale: stack → one (column, value) hash agg, map-side combinable;
+    * the entropy window runs over ≤ |values| rows per column. Columns
+    * profiled in one pass regardless of table count — unions, not
+    * joins. */
+  def q122ColumnEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, dir).selectExpr(
+      "stack(2, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus) as (col_name, val)")
+    val o = Tables.orders(s, dir).selectExpr(
+      "stack(2, 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority) as (col_name, val)")
+    val c = l.unionAll(o).groupBy("col_name", "val")
+      .agg(count(lit(1)).as("n"))
+    val t = c.withColumn("tot",
+      sum(col("n")).over(Window.partitionBy("col_name")))
+    t.groupBy("col_name")
+      .agg(max(col("tot")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("val").isNull, col("n"))), lit(0L)).as("n_null"),
+        (round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
+          + 0.0).as("entropy"),
+        round(max(col("n")).cast("double") / max(col("tot")), 4).as("top_share"))
+      .orderBy("col_name")
+  }
+
+  val q122ColumnEntropySql: String =
+    """WITH v AS (
+      |  SELECT 'l_returnflag' AS col_name, l_returnflag AS val FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      |c AS (SELECT col_name, val, COUNT(*) AS n FROM v GROUP BY col_name, val),
+      |t AS (SELECT col_name, val, n,
+      |        CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT) AS tot
+      |      FROM c)
+      |SELECT col_name,
+      |  MAX(tot) AS n_rows,
+      |  COUNT(*) AS n_distinct,
+      |  COALESCE(SUM(n) FILTER (WHERE val IS NULL), 0) AS n_null,
+      |  ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 4)
+      |    + 0 AS entropy,
+      |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share
+      |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  /** Referential-integrity audit — the first gate of any multi-source
+    * integration: for every declared FK edge, how many child rows point
+    * at a missing parent (orphans) and how many distinct dangling keys
+    * exist. One output row per relationship, so a 7-edge schema audit is
+    * one bounded frame regardless of fact size.
+    *
+    * Scale: each edge is one left join keyed on the FK — dimension
+    * parents broadcast; the one fact-sized parent (orders) joins
+    * shuffle-side where a broadcast would not fit. Counts are
+    * map-side-combinable; `countDistinct` of dangling keys shuffles only
+    * orphan keys (normally zero). A healthy feed costs 7 scans and
+    * produces 7 rows of zeros — the point is the plan stays this cheap
+    * at 100 TB. */
+  def q123RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val parent = dim.select(col(pk))
+      val side = if (bcast) broadcast(parent) else parent
+      fact.select(col(fk))
+        .join(side, col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col(pk).isNull, 1)).as("n_orphans"),
+          countDistinct(when(col(pk).isNull, col(fk))).as("n_missing_keys"))
+        .select(lit(name).as("relationship"),
+          col("n_rows"), col("n_orphans"), col("n_missing_keys"))
+    }
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val p = Tables.part(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    Seq(
+      audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
+      audit("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey", bcast = false),
+      audit("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey", bcast = true),
+      audit("lineitem.l_suppkey->supplier", l, "l_suppkey", su, "s_suppkey", bcast = true),
+      audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", bcast = true),
+      audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", bcast = true),
+      audit("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey", bcast = true))
+      .reduce(_ unionAll _)
+      .orderBy("relationship")
+  }
+
+  val q123RefIntegritySql: String = {
+    def edge(name: String, fact: String, fk: String,
+             dim: String, pk: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(*) FILTER (WHERE d.$pk IS NULL) AS n_orphans,
+         |  COUNT(DISTINCT CASE WHEN d.$pk IS NULL THEN f.$fk END)
+         |    AS n_missing_keys
+         |FROM $fact f LEFT JOIN $dim d ON f.$fk = d.$pk""".stripMargin
+    Seq(
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   val q107RobustOutliersSql: String =
     """WITH med AS (
       |  SELECT event_type, quantile_cont(value, 0.5) AS med
