@@ -199,7 +199,7 @@ class PlanShapeSpec extends SparkSpec {
       s"global ntile window must not reappear:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"no stage may single-partition the fact table:\n$p")
-    assert(p.contains("hashpartitioning(pid"),
+    assert(p.contains("hashpartitioning(__pid"),
       s"rank window must be partitioned on the range-partition id:\n$p")
   }
 
