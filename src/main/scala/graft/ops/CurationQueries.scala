@@ -626,6 +626,63 @@ object CurationQueries {
       |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share
       |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Source-overlap matrix — pairwise Jaccard similarity of the
+    * distinct word-bigram shingle sets of each corpus source: the
+    * curation dashboard that says "these two feeds are 40% the same
+    * material" BEFORE mixing weights are chosen (q86) or cross-source
+    * dedup is run (q90). Set-level redundancy, complementing the
+    * document-level dedup ladder.
+    *
+    * Scale: the pair space is |sources|² (bounded, here 10 rows), never
+    * document pairs — the join is an inverted-index equi-join on the
+    * shingle (q50 discipline), so work is ∝ Σ_gram (#sources sharing
+    * it)², capped by |sources|² per gram. Distinct shingle sets are one
+    * map-side-combinable distinct per source; the 5-row size table
+    * broadcasts twice. Exact integer intersections; Jaccard is one
+    * int64→double division rounded at 4. */
+  def q124SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFns
+    val d = Tables.documents(s, dir)
+    val g = d.select(col("source"),
+        explode(SimFns.wordBigrams(col("text"))).as("bigram"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = g.select(col("source").as("src_a"), col("bigram"))
+    val b = g.select(col("source").as("src_b"), col("bigram"))
+    val inter = a.join(b, Seq("bigram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("un"), 4))
+      .select("src_a", "src_b", "inter", "un", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  val q124SourceOverlapSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT source, bigram FROM (
+      |    SELECT source,
+      |      unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |        ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS bigram
+      |    FROM documents)),
+      |s AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |  FROM g a JOIN g b ON a.bigram = b.bigram AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT src_a, src_b, inter,
+      |  sa.n + sb.n - inter AS un,
+      |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM i
+      |JOIN s sa ON i.src_a = sa.source
+      |JOIN s sb ON i.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Referential-integrity audit — the first gate of any multi-source
     * integration: for every declared FK edge, how many child rows point
     * at a missing parent (orphans) and how many distinct dangling keys
