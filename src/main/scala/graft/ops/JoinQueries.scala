@@ -307,4 +307,66 @@ object JoinQueries {
        |       ELSE 'update' END AS action
        |FROM base FULL OUTER JOIN changes ON b_user = c_user
        |ORDER BY user_id""".stripMargin
+
+  /** Full-snowflake local-supply revenue rollup — the TPC-H Q5-family
+    * join-planning stress query: all seven schema tables in one plan
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ part ⋈ nation ⋈
+    * region) with the classic cross-dimension correlation filter
+    * `s_nationkey = c_nationkey` (supplier local to the customer),
+    * date-range and part-size pushdown filters, and the q1 decimal
+    * discipline on the discounted-revenue measure.
+    *
+    * Scale: the two fact-fact joins (lineitem–orders, then supplier /
+    * part sides) shuffle on their keys; nation and region broadcast
+    * (bounded dims); customer/supplier/part carry NO hint — they are
+    * linearly-scaled dimensions, so the right strategy flips from
+    * broadcast (small SF) to shuffle (100 TB) and AQE must make that
+    * call, which is exactly what this query exercises, along with
+    * Catalyst's join reordering and `InjectRuntimeFilter` on the
+    * dimension-filtered fact scan (pinned for the generic shape by
+    * PlanShapeSpec's runtime-bloom-filter guard). */
+  def q125Snowflake(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_size") <= 25)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(
+        dec4(sum(dm(col("l_extendedprice")) * (one - df(col("l_discount")))))
+          .as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "yr")
+  }
+
+  val q125SnowflakeSql: String =
+    s"""SELECT r_name, year(CAST(o_orderdate AS DATE)) AS yr,
+       |  ${Parity.out4(
+      s"SUM(CAST(l_extendedprice AS ${Parity.DM}) * " +
+        s"(CAST(1 AS ${Parity.DF}) - CAST(l_discount AS ${Parity.DF})))")}
+       |    AS rev,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+       |  AND p_size <= 25
+       |GROUP BY r_name, yr
+       |ORDER BY r_name, yr""".stripMargin
 }
