@@ -204,4 +204,19 @@ object Graft {
     val agg = org.apache.spark.sql.functions.udaf(new functions.CentroidAgg(dim))
     c => agg(c)
   }
+
+  def exactNtile(df: DataFrame, k: Int, order: Seq[Column],
+      out: String): DataFrame = ops.RangedNtile.withNtile(df, k, order, out)
+  def skyline(df: DataFrame, minimize: Column, maximize: Column): DataFrame =
+    ops.Skyline.skyline2(df, minimize, maximize)
+  def kcore(edges: DataFrame, k: Int): DataFrame = ops.KCore.kcore(edges, k)
+  def bpeTrain(words: DataFrame, nMerges: Int): Seq[(String, String)] =
+    ops.BpeTrain.train(words, nMerges)
+  def bpeTokenize(word: Column, merges: Seq[(String, String)]): Column =
+    ops.BpeTrain.applyMerges(word, merges)
+  def qualityTrain(docs: DataFrame, dim: Int = 64, iters: Int = 30,
+      lr: Double = 2.0): ops.QualityClassifier.Model =
+    ops.QualityClassifier.train(docs, dim, iters, lr)
+  def qualityScore(text: Column, m: ops.QualityClassifier.Model): Column =
+    ops.QualityClassifier.score(text, m)
 }
