@@ -43,4 +43,37 @@ object RelationalQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
+
+  /** Correlated scalar subqueries through the SQL surface — "orders
+    * more than 1.5× their customer's average order value". The point is
+    * the PLANNER path: this is the one query issued via `spark.sql`
+    * with correlated subqueries, which Catalyst must decorrelate into
+    * aggregate + join (RewriteCorrelatedScalarSubquery) — at 100 TB the
+    * difference between a per-row re-scan and two hash joins. The same
+    * text runs verbatim in DuckDB, whose unnesting is the
+    * Neumann-Kemper algorithm — one SQL string, two optimizers, forced
+    * agreement.
+    *
+    * Parity: the comparison is cleared of float averages entirely —
+    * `2·price_cents·count > 3·sum_cents` in int64 (1.5 = 3/2), the q117
+    * cents discipline, so the boundary set is engine-exact. DuckDB's
+    * SUM widens to HUGEINT inside the predicate only (never projected),
+    * which compares exactly. */
+  def q126AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q126AboveAvgSql)
+  }
+
+  val q126AboveAvgSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM o
+      |WHERE 2 * pc * (SELECT COUNT(*) FROM o i
+      |                WHERE i.o_custkey = o.o_custkey)
+      |    > 3 * (SELECT SUM(pc) FROM o i
+      |           WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }
