@@ -576,6 +576,50 @@ object PipelineQueries {
       |FROM h
       |ORDER BY l_orderkey, l_linenumber, ext_cents, alloc_cents""".stripMargin
 
+  /** Weighted sampling without replacement — Efraimidis–Spirakis A-Res
+    * (IPL 2006): rank each row by key u^(1/w) and keep the top n per
+    * stratum; inclusion probability is proportional to weight w. The
+    * `rand()`-free twist (q71/q72 discipline): u comes from a
+    * multiplicative hash of the row key, so the "sample" is a pure
+    * function of the data — reproducible across runs, engines, and
+    * repartitioning, which is what makes a sampling step auditable in a
+    * data pipeline.
+    *
+    * Parity: u = (h+1)/(P+1) and 1/w are exact IEEE doubles on both
+    * engines; `pow` is the one cross-libm call — an order flip needs
+    * two keys within ~1 ulp of each other AND straddling the top-n
+    * cutoff (the q14 residual-risk class, negligible on hashed input).
+    *
+    * Scale: the rank-filter window compiles to WindowGroupLimit (the
+    * W2/q22 pushdown) — per-partition top-n heaps, no full sort of the
+    * fact table. */
+  def q127WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val h = pmod(col("o_orderkey") * 1103515245L + 12345L, lit(1000000007L))
+    val u = (h + 1).cast("double") / lit(1000000008d)
+    val k = pow(u, lit(1.0) / col("o_totalprice"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("k").desc, col("o_orderkey"))
+    o.withColumn("k", k)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val q127WeightedSampleSql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY POW(
+      |        CAST(((o_orderkey * 1103515245 + 12345) % 1000000007
+      |              + 1000000007) % 1000000007 + 1 AS DOUBLE) / 1000000008,
+      |        1.0 / o_totalprice) DESC,
+      |      o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
   /** Pareto-frontier shortlist over the part catalog — the parts for
     * which no other part is simultaneously cheaper-or-equal AND
     * larger-or-equal (strict somewhere): minimize retail price, maximize

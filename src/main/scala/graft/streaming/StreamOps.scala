@@ -18,6 +18,9 @@ case class Conversion(user_id: Long, signup_ts: Timestamp,
 
 private case class FunnelState(signupUs: Long, converted: Boolean)
 
+case class EwmaPoint(user_id: Long, ts: Timestamp, value: Double,
+    ewma: Double)
+
 /** Structured Streaming operators T1–T7 + J12 (SURVEY.md §2.9). Batch
   * parity forms live in `graft.ops.EventQueries`; these take a streaming
   * (or batch — watermarks no-op there) DataFrame and return the
@@ -277,5 +280,42 @@ object StreamOps {
     implicit val outEnc = Encoders.product[Conversion]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The q115 EWMA recurrence in streaming form — exactly the "one
+    * double of state per key" its batch scaladoc promises: per key,
+    * e ← α·v + (1−α)·e over events in (ts, event_id) order. Events are
+    * sorted WITHIN each micro-batch before folding (iterator order is
+    * not a contract), so a stream delivering the same events in the
+    * same batches is bit-deterministic with the batch fold; cross-batch
+    * ordering is the source's responsibility (watermark + sorted
+    * replay), as with any streaming recurrence. */
+  class EwmaProcessor(alpha: Double) extends StatefulProcessor[Long, Ev, EwmaPoint] {
+    @transient private var st: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Double]("ewma",
+        Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[EwmaPoint] = {
+      var e = if (st.exists()) Some(st.get()) else None
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+        val next = e match {
+          case None => r.value
+          case Some(prev) => alpha * r.value + (1.0 - alpha) * prev
+        }
+        e = Some(next)
+        EwmaPoint(userId, r.ts, r.value, next)
+      }
+      e.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Per-key streaming EWMA through `transformWithState`. */
+  def ewmaTws(events: Dataset[Ev], alpha: Double): Dataset[EwmaPoint] = {
+    implicit val outEnc = Encoders.product[EwmaPoint]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new EwmaProcessor(alpha), TimeMode.None(),
+        OutputMode.Append())
   }
 }

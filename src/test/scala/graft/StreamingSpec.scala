@@ -364,4 +364,41 @@ class StreamingSpec extends SparkSpec {
       .count().collect()
     assert(sessions.length == 3)
   }
+
+  test("streaming EWMA carries one double of state per key across batches") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    val q = StreamOps.ewmaTws(in.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma_tws")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives out of order inside the batch — the processor
+      // must sort by (ts, event_id) before folding
+      in.addData(
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "m", 20.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "m", 10.0),
+        Ev(3, ts("2024-01-01 10:00:00"), 2, "m", 100.0))
+      q.processAllAvailable()
+      // batch 2 continues user 1 from the STORED state, not from scratch
+      in.addData(Ev(4, ts("2024-01-01 10:20:00"), 1, "m", 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_tws")
+        .select("user_id", "value", "ewma").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(rows((1L, 10.0)) == 10.0)                       // seed
+      assert(rows((1L, 20.0)) == 0.2 * 20.0 + 0.8 * 10.0)    // in-batch fold
+      assert(rows((2L, 100.0)) == 100.0)                     // per-key isolation
+      val e2 = 0.2 * 20.0 + 0.8 * 10.0
+      assert(rows((1L, 30.0)) == 0.2 * 30.0 + 0.8 * e2)      // cross-batch state
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
