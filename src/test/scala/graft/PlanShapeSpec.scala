@@ -254,6 +254,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q117: the three proration windows share one orderkey exchange") {
+    val p = planOf("q117_proration")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+    // denominator sum, shortfall sum, and remainder rank must all run
+    // on the l_orderkey partitioning — re-shuffling between windows
+    // would triple the fact shuffle
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size <= 1,
+      s"proration must shuffle the joined fact once:\n$p")
+  }
+
+  test("q120: three quantile passes, zero single-partition sorts") {
+    val p = planOf("q120_rfm_segments")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"an RFM tile fell back to a global window:\n$p")
+    assert(!p.contains("ntile("), s"no global ntile window:\n$p")
+  }
+
+  test("q125: bounded dims broadcast; no dimension cross product") {
+    val p = planOf("q125_snowflake")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"snowflake must stay equi-joined:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation/region must broadcast:\n$p")
+  }
+
+  test("q127: weighted-sample rank filter compiles to WindowGroupLimit") {
+    val p = planOf("q127_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-n-per-group must push a group limit, not full-sort:\n$p")
+  }
+
   test("nested-loop joins appear ONLY on the PLANS.md-enumerated allowlist") {
     // the PLANS.md header contract as an executable guard: cartesian /
     // broadcast-nested-loop plans are expected ONLY where a deliberate
