@@ -364,6 +364,50 @@ object AggQueries {
       |      FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Weekly OHLC resampling — the financial downsample: per (week,
+    * priority) bucket, the OPENING order value (first by time), the
+    * CLOSING value (last by time), high, low, and volume. The
+    * first/last-in-bucket selections run as `min_by`/`max_by` against a
+    * single exact-integer order key (epoch-day·10¹² + orderkey — a
+    * total order, so ties cannot make argmin engine-dependent; the q13
+    * A8 family hardened for time series).
+    *
+    * Scale: one map-side-combinable hash agg — min_by/max_by carry one
+    * (value, ord) pair of state per bucket; no windows, no sort until
+    * the bounded output. */
+  def q128WeeklyOhlc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("week", date_trunc("week", col("o_orderdate")).cast("date"))
+      .withColumn("ord",
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long") * 1000000000000L + col("o_orderkey"))
+    o.groupBy("week", "o_orderpriority")
+      .agg(min_by(col("o_totalprice"), col("ord")).as("open"),
+        max(col("o_totalprice")).as("high"),
+        min(col("o_totalprice")).as("low"),
+        max_by(col("o_totalprice"), col("ord")).as("close"),
+        count(lit(1)).as("volume"))
+      .filter(col("week") >= lit("1998-01-01"))
+      .orderBy("week", "o_orderpriority")
+  }
+
+  val q128WeeklyOhlcSql: String =
+    """SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+      |  o_orderpriority,
+      |  arg_min(o_totalprice, ord) AS open,
+      |  MAX(o_totalprice) AS high,
+      |  MIN(o_totalprice) AS low,
+      |  arg_max(o_totalprice, ord) AS close,
+      |  COUNT(*) AS volume
+      |FROM (
+      |  SELECT o_orderdate, o_orderpriority, o_totalprice,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |         AS BIGINT) * 1000000000000 + o_orderkey AS ord
+      |  FROM orders)
+      |GROUP BY week, o_orderpriority
+      |HAVING week >= DATE '1998-01-01'
+      |ORDER BY week, o_orderpriority""".stripMargin
+
   /** RFM customer segmentation — the classic marketing-analytics
     * quantile grid: per customer recency (last order date), frequency
     * (order count), monetary (lifetime spend), each independently
