@@ -308,6 +308,75 @@ object JoinQueries {
        |FROM base FULL OUTER JOIN changes ON b_user = c_user
        |ORDER BY user_id""".stripMargin
 
+  /** CDC apply with tombstones — q70's merge completed with the DELETE
+    * leg every real change-feed has: purchases after the cutoff upsert
+    * a user's state, `error` events tombstone it. Per user the LATEST
+    * post-cutoff change wins (max_by over the exact (ts, event_id)
+    * struct — q28's keep-latest contract), then one full-outer merge:
+    * carryover / update / insert survive, a winning tombstone removes
+    * the row entirely — the MERGE … WHEN MATCHED THEN DELETE shape.
+    *
+    * Scale: two filtered keyed aggs (map-side combinable) + one
+    * user-keyed full-outer join; tombstoned state drops BEFORE the sink
+    * rather than accumulating as soft-deleted rows. */
+  def q129CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val base = e.filter(col("event_type") === "purchase" && col("ts") < cutoff)
+      .groupBy(col("user_id").as("b_user"))
+      .agg(dec4(dm(max_by(col("value"), struct(col("ts"), col("event_id")))))
+        .as("b_value"))
+    val changes = e
+      .filter(col("ts") >= cutoff &&
+        col("event_type").isin("purchase", "error"))
+      .groupBy(col("user_id").as("c_user"))
+      .agg(
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("op"),
+        dec4(dm(max_by(when(col("event_type") === "purchase", col("value")),
+          struct(col("ts"), col("event_id"))))).as("c_value"))
+    base.join(changes, col("b_user") === col("c_user"), "full_outer")
+      .filter(col("op").isNull || col("op") === "purchase")
+      .select(
+        coalesce(col("b_user"), col("c_user")).as("user_id"),
+        coalesce(col("c_value"), col("b_value")).as("value"),
+        when(col("c_user").isNull, "carryover")
+          .when(col("b_user").isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy("user_id")
+  }
+
+  // DuckDB 1.0 arg_max rejects struct ordering keys (q70 lesson) — the
+  // oracle picks latest rows with ROW_NUMBER instead
+  val q129CdcApplySql: String = {
+    import Parity.{DM, out4}
+    s"""WITH base AS (
+       |  SELECT user_id AS b_user, ${out4(s"CAST(value AS $DM)")} AS b_value
+       |  FROM (SELECT user_id, value, ROW_NUMBER() OVER (
+       |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events
+       |        WHERE event_type = 'purchase'
+       |          AND ts < TIMESTAMP '2024-01-20 00:00:00')
+       |  WHERE rn = 1),
+       |changes AS (
+       |  SELECT user_id AS c_user, event_type AS op,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN ${out4(s"CAST(value AS $DM)")} END AS c_value
+       |  FROM (SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+       |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events
+       |        WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+       |          AND event_type IN ('purchase', 'error'))
+       |  WHERE rn = 1)
+       |SELECT coalesce(b_user, c_user) AS user_id,
+       |  coalesce(c_value, b_value) AS value,
+       |  CASE WHEN c_user IS NULL THEN 'carryover'
+       |       WHEN b_user IS NULL THEN 'insert'
+       |       ELSE 'update' END AS action
+       |FROM base FULL OUTER JOIN changes ON b_user = c_user
+       |WHERE op IS NULL OR op = 'purchase'
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** Full-snowflake local-supply revenue rollup — the TPC-H Q5-family
     * join-planning stress query: all seven schema tables in one plan
     * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ part ⋈ nation ⋈
