@@ -58,4 +58,69 @@ class EndToEndSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.agg(sum("total_balance")).head().getDouble(0) == 325.0)
   }
+
+  test("LLM curation: classifier gate → hash dedup → BPE vocab → tokenize") {
+    // the training-data-pipeline capstone, composed through the facade:
+    // a learned quality screen gates the corpus, exact dedup collapses
+    // repeats, BPE learns a vocabulary on the survivors, and the corpus
+    // tokenizes with it — every stage an engine operator
+    val docs = Tables.documents(spark, sf0001).limit(400)
+      .select("doc_id", "text")
+
+    // 1. GATE: train on a planted separable label, keep high scorers
+    val marker = (1 to 25).map(_ => "xkeepx").mkString(" ")
+    val corpus = docs
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+      .withColumn("text",
+        when(col("label") === 1, concat(col("text"), lit(" " + marker)))
+          .otherwise(col("text")))
+    val m = Graft.qualityTrain(corpus.select("text", "label"),
+      dim = 64, iters = 30, lr = 4.0)
+    val gated = corpus
+      .filter(Graft.qualityScore(col("text"), m) >= 0.5)
+    val keptOf = gated.agg(
+      sum(col("label")).as("pos"), count(lit(1)).as("n")).head
+    val totalPos = corpus.agg(sum(col("label"))).head.getLong(0)
+    assert(keptOf.getLong(0) >= (totalPos * 0.9).toLong,
+      "the gate must keep ~all planted-positive docs")
+    assert(keptOf.getLong(1) - keptOf.getLong(0) <=
+      ((corpus.count() - totalPos) * 0.1).toLong,
+      "the gate must drop ~all unplanted docs")
+
+    // 2. DEDUP: inject duplicates, collapse by content hash
+    val withDups = gated.unionAll(gated.limit(20))
+    val deduped = withDups
+      .withColumn("h", Graft.docHash(Graft.tokenHashes(col("text"))))
+      .dropDuplicates("h")
+    assert(deduped.count() == gated.count(),
+      "every injected duplicate must collapse onto its original")
+
+    // 3. VOCAB: BPE merges from the survivor word-frequency table
+    val words = deduped
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = Graft.bpeTrain(words, 8)
+    assert(merges.length == 8)
+
+    // 4. TOKENIZE: apply the learned merges per word across the corpus;
+    // token counts must land between word count and char count, and
+    // concatenating each word's tokens must reconstruct the word
+    val toked = deduped.select(
+      col("text"),
+      transform(split(col("text"), " "),
+        w => Graft.bpeTokenize(w, merges)).as("tw"),
+      size(filter(split(col("text"), " "),
+        w => length(w) > 0)).as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+      .withColumn("n_toks",
+        aggregate(col("tw"), lit(0), (a, ts) => a + size(ts)))
+      .withColumn("rejoined",
+        array_join(transform(col("tw"), ts => array_join(ts, "")), " "))
+    val bad = toked.filter(
+      col("n_toks") < col("n_words") || col("n_toks") > col("n_chars"))
+    assert(bad.count() == 0, "token counts must sit in [words, chars]")
+    assert(toked.filter(col("rejoined") =!= col("text")).count() == 0,
+      "concatenating tokens must reconstruct every document verbatim")
+  }
 }
