@@ -308,6 +308,42 @@ object JoinQueries {
        |FROM base FULL OUTER JOIN changes ON b_user = c_user
        |ORDER BY user_id""".stripMargin
 
+  /** Point-in-time (AS OF) reconstruction over the q69 SCD2 history —
+    * the temporal-table read side: "what was every user's state at T?"
+    * is one predicate over the validity intervals, `valid_from ≤ T <
+    * valid_to` (open-ended current rows via NULL). Composes the q69
+    * operator directly — the SCD2 build is the expensive write-side
+    * artifact; every AS OF read is then a cheap interval filter, which
+    * at 100 TB is the whole argument for maintaining SCD2 at all
+    * (partition the history by valid_from range and the filter prunes
+    * partitions).
+    *
+    * Boundary semantics: a state change AT exactly T is visible (the
+    * half-open interval convention); same-timestamp change pairs cannot
+    * double-match because the earlier row's valid_to equals the tied
+    * timestamp and fails `valid_to > T`. */
+  def q130Scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val t = lit("2024-01-15 12:00:00").cast("timestamp")
+    q69Scd2(s, dir)
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select("user_id", "event_type", "valid_from")
+      .orderBy("user_id", "event_type")
+  }
+
+  val q130Scd2AsofSql: String =
+    """SELECT user_id, event_type, valid_from FROM (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** CDC apply with tombstones — q70's merge completed with the DELETE
     * leg every real change-feed has: purchases after the cutoff upsert
     * a user's state, `error` events tombstone it. Per user the LATEST
