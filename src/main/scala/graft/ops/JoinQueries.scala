@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
@@ -307,6 +307,76 @@ object JoinQueries {
        |       ELSE 'update' END AS action
        |FROM base FULL OUTER JOIN changes ON b_user = c_user
        |ORDER BY user_id""".stripMargin
+
+  /** Spatial radius join via grid blocking — the geohash/S2-cell scale
+    * pattern for "find all pairs within distance r": bucket both sides
+    * into r-sized grid cells, expand each probe to its 3×3 cell
+    * neighborhood (lossless: any point within r of (x, y) lies in an
+    * adjacent cell when the cell edge ≥ r), equi-join on the cell key,
+    * and refine with the exact distance. Candidates are ∝ local
+    * density × 9, never |A|·|B|; the ORACLE is the quadratic all-pairs
+    * definition, so the hash gate itself proves the blocking lossless.
+    *
+    * Coordinates are synthesized deterministically from the keys (the
+    * q71 hash discipline) since the fixture carries no geo columns —
+    * the OPERATOR under test is the join shape. Distance is planar
+    * euclidean: products/sums of identical doubles and an IEEE-exact
+    * sqrt, so both engines compute bit-identical distances and the
+    * radius boundary cannot flip (no trig, whose cross-libm ulps
+    * could).
+    *
+    * Scale: the 9-cell explode multiplies the probe side ×9 before one
+    * equi-join — broadcast here (supplier-sized build), shuffle on the
+    * cell key when both sides are large; skewed cells (urban cores)
+    * take the q-family salting treatment. */
+  def q131GeoJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = 20.0
+    def lat(key: Column): Column =
+      pmod(key * 2654435761L, lit(1700L)).cast("double") / 10.0 - 85.0
+    def lon(key: Column): Column =
+      pmod(key * 1103515245L + 12345L, lit(3600L)).cast("double") / 10.0 - 180.0
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      lat(col("c_custkey")).as("clat"), lon(col("c_custkey")).as("clon"))
+    val su = Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      lat(col("s_suppkey")).as("slat"), lon(col("s_suppkey")).as("slon"))
+      .withColumn("scx", floor(col("slon") / r).cast("int"))
+      .withColumn("scy", floor(col("slat") / r).cast("int"))
+    val offsets = typedlit(for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield (dx, dy))
+    c.withColumn("o", explode(offsets))
+      .withColumn("jx", floor(col("clon") / r).cast("int") + col("o._1"))
+      .withColumn("jy", floor(col("clat") / r).cast("int") + col("o._2"))
+      .join(broadcast(su),
+        col("jx") === col("scx") && col("jy") === col("scy"))
+      .withColumn("dist", sqrt(
+        (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+          (col("clon") - col("slon")) * (col("clon") - col("slon"))))
+      .filter(col("dist") <= r)
+      .select(col("c_custkey"), col("s_suppkey"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  val q131GeoJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CAST(((c_custkey * 2654435761) % 1700 + 1700) % 1700 AS DOUBLE) / 10.0 - 85.0 AS clat,
+      |    CAST(((c_custkey * 1103515245 + 12345) % 3600 + 3600) % 3600 AS DOUBLE) / 10.0 - 180.0 AS clon
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey,
+      |    CAST(((s_suppkey * 2654435761) % 1700 + 1700) % 1700 AS DOUBLE) / 10.0 - 85.0 AS slat,
+      |    CAST(((s_suppkey * 1103515245 + 12345) % 3600 + 3600) % 3600 AS DOUBLE) / 10.0 - 180.0 AS slon
+      |  FROM supplier)
+      |SELECT c_custkey, s_suppkey,
+      |  ROUND(SQRT((clat - slat) * (clat - slat)
+      |           + (clon - slon) * (clon - slon)), 4) AS dist
+      |FROM c CROSS JOIN s
+      |WHERE SQRT((clat - slat) * (clat - slat)
+      |         + (clon - slon) * (clon - slon)) <= 20.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
 
   /** Point-in-time (AS OF) reconstruction over the q69 SCD2 history —
     * the temporal-table read side: "what was every user's state at T?"
