@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: iterative peeling to a fixpoint — drop every vertex whose
   * CURRENT degree is below k, remove its edges, recompute. Each round is
-  * one map-side-combinable degree agg plus two broadcast-able semi
-  * filters (the sub-k vertex set is small by definition near the
-  * fixpoint; early rounds broadcast fine too since only vertex IDS
-  * move). The only driver state is the per-round continue/stop count —
+  * one map-side-combinable degree agg plus two anti-join filters on
+  * the sub-k vertex set. That set is UNHINTED deliberately: in round
+  * one it can be most of the graph (billions of IDs at 100 TB — a
+  * forced broadcast would OOM the driver), while near the fixpoint it
+  * is tiny — exactly the size flip AQE's runtime join selection
+  * handles, and the materialized per-round frame gives it accurate
+  * sizes. The only driver state is the per-round continue/stop count —
   * the PageRank one-scalar-per-round discipline. Round count is bounded
   * by the peeling depth (≤ the degeneracy ordering length; in practice a
   * handful), and `localCheckpoint` flattens lineage per round (the
@@ -41,8 +44,8 @@ object KCore {
       if (bad.isEmpty) done = true
       else {
         cur = cur
-          .join(broadcast(bad), cur("src") === bad("v"), "left_anti")
-          .join(broadcast(bad), cur("dst") === bad("v"), "left_anti")
+          .join(bad, cur("src") === bad("v"), "left_anti")
+          .join(bad, cur("dst") === bad("v"), "left_anti")
           .localCheckpoint()
       }
     }
