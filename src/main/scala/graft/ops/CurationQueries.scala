@@ -689,13 +689,15 @@ object CurationQueries {
     * exist. One output row per relationship, so a 7-edge schema audit is
     * one bounded frame regardless of fact size.
     *
-    * Scale: each edge is one left join keyed on the FK — dimension
-    * parents broadcast; the one fact-sized parent (orders) joins
-    * shuffle-side where a broadcast would not fit. Counts are
-    * map-side-combinable; `countDistinct` of dangling keys shuffles only
-    * orphan keys (normally zero). A healthy feed costs 7 scans and
-    * produces 7 rows of zeros — the point is the plan stays this cheap
-    * at 100 TB. */
+    * Scale: each edge is one left join keyed on the FK. Only the
+    * BOUNDED parents (nation, region) carry a broadcast hint;
+    * linearly-scaled parents (customer, supplier, part, orders) are
+    * unhinted — AQE picks broadcast at small SF and shuffle at 100 TB
+    * (a forced hint on a scaled dimension is the KCore round-one OOM).
+    * Counts are map-side-combinable; `countDistinct` of dangling keys
+    * shuffles only orphan keys (normally zero). A healthy feed costs 7
+    * scans and produces 7 rows of zeros — the point is the plan stays
+    * this cheap at 100 TB. */
   def q123RefIntegrity(s: SparkSession, dir: String): DataFrame = {
     def audit(name: String, fact: DataFrame, fk: String,
               dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
@@ -719,10 +721,10 @@ object CurationQueries {
     Seq(
       audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
       audit("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey", bcast = false),
-      audit("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey", bcast = true),
-      audit("lineitem.l_suppkey->supplier", l, "l_suppkey", su, "s_suppkey", bcast = true),
+      audit("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey", bcast = false),
+      audit("lineitem.l_suppkey->supplier", l, "l_suppkey", su, "s_suppkey", bcast = false),
       audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", bcast = true),
-      audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", bcast = true),
+      audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", bcast = false),
       audit("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey", bcast = true))
       .reduce(_ unionAll _)
       .orderBy("relationship")

@@ -326,9 +326,10 @@ object JoinQueries {
     * could).
     *
     * Scale: the 9-cell explode multiplies the probe side ×9 before one
-    * equi-join — broadcast here (supplier-sized build), shuffle on the
-    * cell key when both sides are large; skewed cells (urban cores)
-    * take the q-family salting treatment. */
+    * equi-join — UNHINTED, because the build side scales with the data
+    * (AQE broadcasts it at small SF, shuffles on the cell key when both
+    * sides are large); skewed cells (urban cores) take the q-family
+    * salting treatment. */
   def q131GeoJoin(s: SparkSession, dir: String): DataFrame = {
     val r = 20.0
     def lat(key: Column): Column =
@@ -348,8 +349,7 @@ object JoinQueries {
     c.withColumn("o", explode(offsets))
       .withColumn("jx", floor(col("clon") / r).cast("int") + col("o._1"))
       .withColumn("jy", floor(col("clat") / r).cast("int") + col("o._2"))
-      .join(broadcast(su),
-        col("jx") === col("scx") && col("jy") === col("scy"))
+      .join(su, col("jx") === col("scx") && col("jy") === col("scy"))
       .withColumn("dist", sqrt(
         (col("clat") - col("slat")) * (col("clat") - col("slat")) +
           (col("clon") - col("slon")) * (col("clon") - col("slon"))))

@@ -606,10 +606,12 @@ object TextQueries {
     * values are forced together.
     *
     * Scale: bigram and unigram counting are explode → map-side-combined
-    * hash aggs; the two unigram joins are broadcast at this vocab (the
-    * hint degrades gracefully to shuffle-hash when the vocab outgrows
-    * the executor); top-25 via TakeOrderedAndProject. Totals need one
-    * extra pass over doc lengths, not over the pair space. */
+    * hash aggs; the two unigram joins carry NO broadcast hint — a
+    * unigram vocab is small for one corpus and huge for the web, the
+    * q123/KCore size-flip AQE's runtime selection owns (a forced hint
+    * would OOM on a billion-type vocab); top-25 via
+    * TakeOrderedAndProject. Totals need one extra pass over doc
+    * lengths, not over the pair space. */
   def q121Pmi(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFns
     val d = Tables.documents(s, dir)
@@ -627,8 +629,8 @@ object TextQueries {
     val w2 = uni.select(col("w").as("w2"), col("n_w").as("n_w2"))
     bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(broadcast(w1), "w1")
-      .join(broadcast(w2), "w2")
+      .join(w1, "w1")
+      .join(w2, "w2")
       .withColumn("pmi", expr(
         s"round(ln((cast(n_xy as double) * $nu * $nu) / " +
           s"(cast($nb as double) * n_w1 * n_w2)), 4)"))
