@@ -626,6 +626,63 @@ object CurationQueries {
       |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share
       |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Winsorized robust scaling — clamp each value to its group's exact
+    * [p05, p95] band before statistics: the standard tail-taming
+    * treatment when a feed's outliers are real data (not errors to
+    * quarantine like q76, not merely flags like q107) but would
+    * dominate any downstream mean/scale. Reports per-group clip counts
+    * and the winsorized mean against the raw mean — the before/after a
+    * curation dashboard shows.
+    *
+    * Parity: exact percentiles (`percentile` == `quantile_cont`, the
+    * A10 contract) on int64 cents; the clamp is pure comparison; means
+    * divide exact integer sums by counts (int64→double, IEEE-exact)
+    * before one round(4).
+    *
+    * Scale: one grouped exact percentile (sort within the 5-value
+    * priority partitions), one broadcast of the 5-row band table, one
+    * map-side-combinable agg. `percentile_approx` is the documented
+    * high-cardinality swap (A5 trade). */
+  def q132Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+    val bands = o.groupBy("o_orderpriority")
+      .agg(expr("cast(percentile(pc, 0.05) as double)").as("lo"),
+        expr("cast(percentile(pc, 0.95) as double)").as("hi"))
+    o.join(broadcast(bands), "o_orderpriority")
+      .withColumn("w", greatest(least(col("pc").cast("double"), col("hi")),
+        col("lo")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pc").cast("double") < col("lo"), 1)).as("n_clip_lo"),
+        count(when(col("pc").cast("double") > col("hi"), 1)).as("n_clip_hi"),
+        round(sum(col("pc")).cast("double") / count(lit(1)) / 100.0, 4)
+          .as("raw_mean"),
+        round(sum(col("w")) / count(lit(1)) / 100.0, 4).as("wins_mean"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q132WinsorizeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |b AS (
+      |  SELECT o_orderpriority,
+      |    CAST(quantile_cont(pc, 0.05) AS DOUBLE) AS lo,
+      |    CAST(quantile_cont(pc, 0.95) AS DOUBLE) AS hi
+      |  FROM o GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE CAST(pc AS DOUBLE) < lo) AS n_clip_lo,
+      |  COUNT(*) FILTER (WHERE CAST(pc AS DOUBLE) > hi) AS n_clip_hi,
+      |  ROUND(CAST(SUM(pc) AS DOUBLE) / COUNT(*) / 100.0, 4) AS raw_mean,
+      |  ROUND(SUM(GREATEST(LEAST(CAST(pc AS DOUBLE), hi), lo))
+      |        / COUNT(*) / 100.0, 4) AS wins_mean
+      |FROM o JOIN b ON o.o_orderpriority = b.o_orderpriority
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   /** Source-overlap matrix — pairwise Jaccard similarity of the
     * distinct word-bigram shingle sets of each corpus source: the
     * curation dashboard that says "these two feeds are 40% the same

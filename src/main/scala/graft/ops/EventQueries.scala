@@ -444,4 +444,53 @@ object EventQueries {
       |  CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_s
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Per-event-type user reach with a Wilson 95% lower confidence
+    * bound — the statistically honest way to rank funnel steps or
+    * feature adoption when group sizes differ: the raw share of users
+    * who performed the event at least once is optimistic for small
+    * cohorts, while the Wilson score interval (Wilson 1927, the
+    * recommendation-ranking standard) discounts exactly by sample size.
+    *
+    * Parity: counts are exact (distinct users per type / overall, the
+    * latter collected once as a driver scalar and inlined — the q121
+    * totals discipline); the Wilson formula is one +,*,/,sqrt tree
+    * written with identical association for both engines — IEEE
+    * division/multiplication are deterministic and sqrt is
+    * correctly-rounded by spec, so the doubles match bit-for-bit before
+    * round(4).
+    *
+    * Scale: one (event_type, user_id) distinct — map-side combinable —
+    * then a 5-row projection; the global distinct-user count is one
+    * scan-level aggregate. */
+  def q133WilsonReach(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val n = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    val k = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("k"))
+    val z2 = 1.96 * 1.96
+    k.withColumn("p", col("k").cast("double") / n)
+      .withColumn("wilson_lo", expr(
+        s"round((p + $z2 / (2.0 * $n) - 1.96 * sqrt(p * (1.0 - p) / $n " +
+          s"+ $z2 / (4.0 * $n * $n))) / (1.0 + $z2 / $n), 4)"))
+      .select(col("event_type"), col("k"), round(col("p"), 4).as("p"),
+        col("wilson_lo"))
+      .orderBy("event_type")
+  }
+
+  val q133WilsonReachSql: String = {
+    val z2 = 1.96 * 1.96
+    val nSub = "(SELECT COUNT(DISTINCT user_id) FROM events)"
+    s"""WITH t AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS k,
+       |    CAST($nSub AS BIGINT) AS n
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, k,
+       |  ROUND(CAST(k AS DOUBLE) / n, 4) AS p,
+       |  ROUND((CAST(k AS DOUBLE) / n + $z2 / (2.0 * n)
+       |    - 1.96 * SQRT(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n
+       |                  + $z2 / (4.0 * n * n)))
+       |    / (1.0 + $z2 / n), 4) AS wilson_lo
+       |FROM t ORDER BY event_type""".stripMargin
+  }
 }
