@@ -180,4 +180,71 @@ class PropertySpec extends SparkSpec {
       assert(selfBad == 0)
     }
   }
+
+  test("RangedNtile equals the ntile window on generated data, any k") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 9),
+      Gen.listOfN(80, Gen.choose(-1000, 1000)))
+    for ((k, vals) <- samples(gen, 4)) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val ours = graft.ops.RangedNtile
+        .withNtile(df, k, Seq(col("v"), col("id")), "b")
+      val ref = df.withColumn("b_ref", ntile(k).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))))
+      assert(ours.join(ref, Seq("id", "v"))
+        .filter(col("b") =!= col("b_ref")).count() == 0, s"k=$k")
+    }
+  }
+
+  test("skyline is idempotent and dominates every dropped row") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0, 30), Gen.choose(0, 30)))
+    for (data <- samples(gen, 4)) {
+      val df = data.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x.toDouble, y) }
+        .toDF("id", "x", "y")
+      val front = graft.ops.Skyline.skyline2(df, col("x"), col("y"))
+      val again = graft.ops.Skyline.skyline2(front, col("x"), col("y"))
+      assert(front.count() == again.count(), "skyline(skyline(x)) == skyline(x)")
+      // every non-frontier row is strictly dominated by some frontier row
+      val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val kept = front.select("id").collect().map(_.getLong(0)).toSet
+      rows.filterNot(r => kept(r._1)).foreach { case (id, x, y) =>
+        assert(rows.exists { case (i2, x2, y2) =>
+          kept(i2) && x2 <= x && y2 >= y && (x2 < x || y2 > y)
+        }, s"dropped row $id is not dominated by any kept row")
+      }
+    }
+  }
+
+  test("largest-remainder apportionment conserves totals on generated weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.zip(Gen.choose(1L, 1000000L),
+      Gen.listOfN(7, Gen.choose(1L, 100000L)))
+    for ((total, ws) <- samples(gen, 5)) {
+      val df = ws.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "w")
+        .withColumn("total", lit(total))
+      val byAll = Window.partitionBy("total")
+      val byRem = Window.partitionBy("total")
+        .orderBy(col("rem").desc, col("i"))
+      val alloc = df
+        .withColumn("denom", sum(col("w")).over(byAll))
+        .withColumn("floor_c", expr("(total * w) div denom"))
+        .withColumn("rem", expr("(total * w) % denom"))
+        .withColumn("short", col("total") - sum(col("floor_c")).over(byAll))
+        .withColumn("a", col("floor_c") +
+          when(row_number().over(byRem) <= col("short"), 1L).otherwise(0L))
+      assert(alloc.agg(sum("a")).head.getLong(0) == total,
+        s"total=$total ws=$ws")
+      val maxDev = alloc
+        .withColumn("ideal",
+          col("total").cast("double") * col("w") / col("denom"))
+        .agg(max(abs(col("a").cast("double") - col("ideal"))))
+        .head.getDouble(0)
+      assert(maxDev < 1.0 + 1e-9)
+    }
+  }
 }
