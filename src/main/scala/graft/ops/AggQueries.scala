@@ -463,4 +463,55 @@ object AggQueries {
       |SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_customers
       |FROM t GROUP BY r_tile, f_tile, m_tile
       |ORDER BY r_tile, f_tile, m_tile""".stripMargin
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * shape: the orders fact is aggregated as BASE (before the cutoff)
+    * and DELTA (at/after it) in two independent partial passes, then
+    * the partials are merged by re-aggregation — sum of counts, sum of
+    * sums, min of mins, max of maxes — and the mean is derived from the
+    * merged sums only at the end. The oracle is the plain full-table
+    * aggregate, so the green hash IS the algebraic proof that the
+    * partial states compose losslessly: at 100 TB the base partial is
+    * yesterday's persisted state and only the delta partition is
+    * scanned at refresh, the same mergeability contract the A5 HLL and
+    * L46 count-min rollups exercise for approximate state.
+    *
+    * Parity: all partials are exact int64 on cents (the q132
+    * round-to-cents form); avg divides the merged int64 sum once
+    * (int64→double, IEEE-exact) — derived AFTER the merge, since means
+    * do not compose but sums and counts do.
+    *
+    * Scale: two disjoint filtered scans (partition pruning serves each
+    * from different files when the sink partitions by date), each with
+    * map-side partial aggregation; the merge re-agg runs over
+    * 2×|priorities| rows. No window, no join, no driver state. */
+  def q136IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+      col("o_orderdate"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("pc").as("sum_pc"),
+        min("pc").as("min_pc"), max("pc").as("max_pc"))
+    val base = partial(o.filter(col("o_orderdate") < cutoff))
+    val delta = partial(o.filter(col("o_orderdate") >= cutoff))
+    base.unionByName(delta).groupBy("o_orderpriority")
+      .agg(sum("cnt").as("n"), sum("sum_pc").as("sum_cents"),
+        min("min_pc").as("min_cents"), max("max_pc").as("max_cents"))
+      .withColumn("avg_price",
+        round(col("sum_cents").cast("double") / col("n") / 100.0, 4))
+      .orderBy("o_orderpriority")
+  }
+
+  val q136IncrAggSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(pc) AS BIGINT) AS sum_cents,
+      |  MIN(pc) AS min_cents, MAX(pc) AS max_cents,
+      |  ROUND(CAST(SUM(pc) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price
+      |FROM o GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -823,4 +823,52 @@ object CurationQueries {
       |FROM dev d JOIN mad m ON d.event_type = m.event_type
       |GROUP BY d.event_type, m.med, m.mad
       |ORDER BY d.event_type""".stripMargin
+
+  /** Deterministic stratified train/val/test split — the corpus-prep
+    * step every training pipeline runs before anything touches a model:
+    * each document lands in exactly one of train (80%), val (10%) or
+    * test (10%) by a pure function of its id, so the assignment is
+    * reproducible across runs, engines, partitionings and re-ingests
+    * (no `rand()`, no sampling state to persist). The census per
+    * (lang, split) is what a curation dashboard shows to confirm the
+    * holdout is balanced within every stratum.
+    *
+    * Parity: the bucket is the q127 LCG discipline — doc_id reduced mod
+    * 1000003 BEFORE the multiply (the q92 overflow lesson), one shared
+    * 64-bit-exact integer expression in both engines; counts and char
+    * sums are exact int64, the mean divides once int64→double.
+    *
+    * Scale: one map-side-combinable hash agg over a pure per-row
+    * projection — no shuffle beyond the 15-group agg, no window, no
+    * sort until the bounded output. The split column itself is the
+    * thing a 100 TB run writes via the S6 partitioned sink
+    * (`partitionBy("split")`), making each subset scan partition-pruned
+    * downstream. */
+  def q134StratSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val b = pmod(pmod(col("doc_id"), lit(1000003L)) * 1103515245L + 12345L,
+      lit(1000000007L)) % 10
+    d.withColumn("split",
+        when(b < 8, lit("train")).when(b === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("tot_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+          .as("avg_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val q134StratSplitSql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars,
+      |    ((doc_id % 1000003) * 1103515245 + 12345) % 1000000007 % 10 AS b
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+      |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin
 }

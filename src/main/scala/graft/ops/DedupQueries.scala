@@ -348,4 +348,85 @@ object DedupQueries {
       |  ((p.n_dup * 20000 + t.n_grams) // (t.n_grams * 2)) / 10000.0 AS dup_frac
       |FROM tot t JOIN per_doc p USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Sparse bag-of-words cosine similarity join — document pairs with
+    * cosine ≥ 0.3 over word-bigram count vectors, computed entirely
+    * through the inverted index: dot products materialize ONLY where
+    * two documents share an indexed bigram (one posting-list equi-join
+    * + hash agg), never by pairing dense vectors. This is the sparse
+    * complement of L6/L7's dense-embedding cosine: the exact lexical
+    * similarity join a curation pipeline runs where no embedding model
+    * has been applied yet.
+    *
+    * The vocabulary keeps mid-frequency bigrams (2 ≤ df ≤ 50): df < 2
+    * cannot contribute to any pair, and the df cap is the scale lever —
+    * it bounds every posting list at 50 entries, so per-term pair
+    * fan-out is ≤ C(50,2) regardless of corpus size and total candidate
+    * volume grows with true co-occurrence, not |corpus|². (Dropping
+    * near-ubiquitous terms is also what makes lexical cosine
+    * discriminative — the standard stopword effect.)
+    *
+    * Parity: tc, df, dot and the squared norms are exact int64; cosine
+    * is dot / (sqrt(n1)·sqrt(n2)) written with identical association in
+    * both engines (IEEE division/multiplication deterministic, sqrt
+    * correctly rounded), so the τ = 0.3 filter sees the same bits —
+    * and the sf0.01 distribution keeps an empty ±0.02 guard band
+    * around τ. Norms are over the same filtered vocabulary as the dot
+    * (the vector space IS the indexed vocabulary).
+    *
+    * Scale: two map-side-combinable aggs build the index; the self-join
+    * is hash-partitioned on the bigram; norms join back on doc_id.
+    * No window, no cross product, no driver state. */
+  def q135SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFns
+    val d = Tables.documents(s, dir)
+    val tc = d.select(col("doc_id"),
+        explode(SimFns.wordBigrams(col("text"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tc"))
+    val voc = tc.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+      .select("g")
+    val post = tc.join(voc, "g")
+    val norm = post.groupBy("doc_id").agg(sum(col("tc") * col("tc")).as("n2"))
+    val a = post.select(col("g"), col("doc_id").as("d1"), col("tc").as("tc1"))
+    val b = post.select(col("g"), col("doc_id").as("d2"), col("tc").as("tc2"))
+    val dot = a.join(b, "g").filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum(col("tc1") * col("tc2")).as("dot"))
+    dot
+      .join(norm.select(col("doc_id").as("d1"), col("n2").as("n21")), "d1")
+      .join(norm.select(col("doc_id").as("d2"), col("n2").as("n22")), "d2")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n21").cast("double")) * sqrt(col("n22").cast("double"))))
+      .filter(col("cos") >= 0.3)
+      .select(col("d1"), col("d2"), col("dot"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("d1", "d2")
+  }
+
+  val q135SparseCosineSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, bigram AS g, COUNT(*) AS tc FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |        ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS bigram
+      |    FROM documents)
+      |  GROUP BY doc_id, g),
+      |voc AS (
+      |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM tc GROUP BY g)
+      |  WHERE df BETWEEN 2 AND 50),
+      |post AS (SELECT tc.doc_id, tc.g, tc.tc FROM tc JOIN voc USING (g)),
+      |norm AS (SELECT doc_id, SUM(tc * tc) AS n2 FROM post GROUP BY doc_id),
+      |dot AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.tc * b.tc) AS dot
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, CAST(dot AS BIGINT) AS dot, ROUND(cos, 4) AS cos FROM (
+      |  SELECT d1, d2, dot,
+      |    CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cos
+      |  FROM dot JOIN norm n1 ON dot.d1 = n1.doc_id
+      |           JOIN norm n2 ON dot.d2 = n2.doc_id)
+      |WHERE cos >= 0.3
+      |ORDER BY d1, d2""".stripMargin
 }
