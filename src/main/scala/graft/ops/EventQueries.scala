@@ -493,4 +493,66 @@ object EventQueries {
        |    / (1.0 + $z2 / n), 4) AS wilson_lo
        |FROM t ORDER BY event_type""".stripMargin
   }
+
+  /** Interval-union coverage per user — total DISTINCT time covered by
+    * possibly-overlapping activity intervals ([ts, ts + value hours]):
+    * the classic interval-union-length sweep, the integral partner of
+    * q106's point-in-time peak concurrency. Covered vs total exposes
+    * the overlap factor a per-interval SUM silently double-counts —
+    * the difference between "users were active 100 hours" and "users'
+    * intervals total 100 hours".
+    *
+    * The sweep needs only the running maximum of interval ends over the
+    * start-ordered sequence: each interval contributes
+    * max(0, e − max(s, prior_max_end)) — exactly its un-covered
+    * extension. One window, no interval self-join (the O(n²) trap), no
+    * island reconstruction.
+    *
+    * Parity: endpoints are exact int64 microseconds (unix_micros ==
+    * epoch_us; the duration rounds once from double); the window frame
+    * is ROWS UNBOUNDED PRECEDING→1 PRECEDING with a total (s, e,
+    * event_id) order, so the running max is engine-identical; sums and
+    * the GREATEST clamp stay integer, one division at the end.
+    *
+    * Scale: one user_id shuffle shared by the window and the agg;
+    * per-user state is one running maximum — no buffering, no
+    * quadratic pair space. The streaming form of the same recurrence
+    * fits transformWithState with one int64 of state per key. */
+  def q137IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val iv = e.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        expr("cast(round(value * 3600 * 1000000) as bigint)")).as("e"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("e"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("pmax", max(col("e")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_iv"),
+        sum(greatest(col("e") - greatest(col("s"),
+          coalesce(col("pmax"), col("s"))), lit(0L))).as("covered_us"),
+        sum(col("e") - col("s")).as("total_us"))
+      .withColumn("coverage",
+        round(col("covered_us").cast("double") / col("total_us"), 4))
+      .orderBy("user_id")
+  }
+
+  val q137IntervalUnionSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(ROUND(value * 3600 * 1000000) AS BIGINT) AS e
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv)
+      |SELECT user_id, COUNT(*) AS n_iv,
+      |  CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS BIGINT)
+      |    AS covered_us,
+      |  CAST(SUM(e - s) AS BIGINT) AS total_us,
+      |  ROUND(CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS DOUBLE)
+      |    / CAST(SUM(e - s) AS BIGINT), 4) AS coverage
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -185,4 +185,72 @@ object VectorQueries {
       |  ROUND(list_max(list_transform(generate_series(1, len(codes)),
       |    i -> abs(CAST(codes[i] AS DOUBLE) * q_scale - vd[i]))), 6) AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Exact covariance matrix of the embedding columns — the d×(d+1)/2
+    * upper-triangular second-moment census behind PCA/whitening/feature
+    * decorrelation, computed as one streaming pass with NO self-join:
+    * each row expands to its pair products through a codegen'd
+    * nested-transform HOF (the vector never leaves the task), and the
+    * d² groups collapse in map-side partial aggregation. The join-free
+    * plan is the point — the naive per-dimension explode + vec_id
+    * self-join pushes d²·n rows through an exchange; this pushes at
+    * most d² partials per task.
+    *
+    * Parity: elements quantize once to int64 micro-units (float32 →
+    * double is exact; the ROUND is the q132 cents discipline), so all
+    * second moments and marginal sums are exact integers; cov =
+    * (Sxy/n − (Sx/n)·(Sy/n)) / 1e12 is one identical-association
+    * double tree (each division exact-deterministic, sqrt-free).
+    *
+    * Scale: Σ|x·y| ≤ (0.53e6)² · n keeps int64 through ~SF100 corpora
+    * (~5M vectors with |x| ≤ ~0.53); the documented swap above that is
+    * DECIMAL(38,0) sums — the shape is unchanged. The 64-row marginal
+    * table broadcasts. */
+  def q138Covariance(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).withColumn("m",
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+    val pairs = emb.select(explode(expr(
+        """flatten(transform(sequence(1, size(m)), i ->
+          |  transform(sequence(i, size(m)), j ->
+          |    struct(i as i, j as j,
+          |           element_at(m, i) * element_at(m, j) as p))))""".stripMargin))
+        .as("pr"))
+      // i/j as int64 so the output schema matches the oracle's
+      // generate_series (the driver's dtype-strict hasher, bit r5 q101)
+      .select(col("pr.i").cast("long").as("i"),
+        col("pr.j").cast("long").as("j"), col("pr.p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("p").as("sxy"))
+    val marg = emb.select(posexplode(col("m")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"), col("x"))
+      .groupBy("i").agg(sum("x").as("sx"))
+    pairs
+      .join(broadcast(marg.select(col("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(marg.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        round((col("sxy").cast("double") / col("n") -
+          (col("sxi").cast("double") / col("n")) *
+            (col("sxj").cast("double") / col("n"))) / 1e12, 8).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val q138CovarianceSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, i,
+      |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)),
+      |marg AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM el GROUP BY i),
+      |pairs AS (
+      |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+      |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i)
+      |SELECT p.i, p.j, p.n, p.sxy,
+      |  ROUND((CAST(p.sxy AS DOUBLE) / p.n -
+      |    (CAST(mi.sx AS DOUBLE) / p.n) * (CAST(mj.sx AS DOUBLE) / p.n))
+      |    / 1e12, 8) AS cov
+      |FROM pairs p JOIN marg mi ON p.i = mi.i JOIN marg mj ON p.j = mj.i
+      |ORDER BY p.i, p.j""".stripMargin
 }
