@@ -544,4 +544,42 @@ object JoinQueries {
        |  AND p_size <= 25
        |GROUP BY r_name, yr
        |ORDER BY r_name, yr""".stripMargin
+
+  /** Salted skew join through the correctness gate — the fact join runs
+    * through [[SkewJoin.saltedInnerJoin]] (every lineitem row gets a
+    * deterministic whole-row-hash salt in [0, 8); orders is replicated
+    * 8× and the key becomes (orderkey, salt)) while the oracle states
+    * the PLAIN join — so the green hash is a machine-checked proof that
+    * salting changes the physical row routing and nothing else. This is
+    * the q131/q118 pattern: oracle = semantics, Spark plan = the
+    * scale-safe rewrite.
+    *
+    * Why it exists: AQE's skew-join split handles oversized SMJ
+    * partitions, but a hot key feeding an aggregation-after-join still
+    * lands on one reducer; salting spreads it over `buckets` reducers
+    * at the cost of a buckets× right-side blow-up (SkewJoin scaladoc).
+    * The post-join agg here is exactly that aggregation-after-join
+    * shape.
+    *
+    * Parity: revenue in exact int64 cents (q132 discipline); counts
+    * exact. Scale: one (key, salt) hash join + map-side-combinable
+    * 5-group agg; the 8× replication is of the SMALLER side. */
+  def q139SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("o_orderkey"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    SkewJoin.saltedInnerJoin(l, o, "o_orderkey", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("pc").as("rev_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q139SaltedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }
