@@ -210,6 +210,10 @@ object Graft {
   def skyline(df: DataFrame, minimize: Column, maximize: Column): DataFrame =
     ops.Skyline.skyline2(df, minimize, maximize)
   def kcore(edges: DataFrame, k: Int): DataFrame = ops.KCore.kcore(edges, k)
+  /** Deterministic synchronous label-propagation communities. */
+  def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 10): DataFrame =
+    ops.LabelProp.communities(edges, srcCol, dstCol, maxIters)
   def bpeTrain(words: DataFrame, nMerges: Int): Seq[(String, String)] =
     ops.BpeTrain.train(words, nMerges)
   def bpeTokenize(word: Column, merges: Seq[(String, String)]): Column =
