@@ -205,6 +205,15 @@ object Graft {
     c => agg(c)
   }
 
+  /** Mergeable t-digest quantile-sketch UDAF (compression δ); read the
+    * result with [[tdigestQuantile]]. */
+  def tdigestUdaf(delta: Int = 100): Column => Column = {
+    val agg = org.apache.spark.sql.functions.udaf(new functions.TDigestAgg(delta))
+    c => agg(c)
+  }
+  def tdigestQuantile(s: functions.TDigestAgg.Sketch, q: Double): Double =
+    functions.TDigestAgg.quantile(s, q)
+
   def exactNtile(df: DataFrame, k: Int, order: Seq[Column],
       out: String): DataFrame = ops.RangedNtile.withNtile(df, k, order, out)
   def skyline(df: DataFrame, minimize: Column, maximize: Column): DataFrame =
