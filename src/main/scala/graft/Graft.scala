@@ -223,6 +223,13 @@ object Graft {
   def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 10): DataFrame =
     ops.LabelProp.communities(edges, srcCol, dstCol, maxIters)
+
+  /** Bucketed-table layout: shuffle-free co-located joins and aggs. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = ops.Bucketing.writeBucketed(df, table, key, buckets)
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    ops.Bucketing.bucketedJoin(spark, leftTable, rightTable, key)
   def bpeTrain(words: DataFrame, nMerges: Int): Seq[(String, String)] =
     ops.BpeTrain.train(words, nMerges)
   def bpeTokenize(word: Column, merges: Seq[(String, String)]): Column =

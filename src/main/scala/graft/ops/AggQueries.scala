@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
 
@@ -502,6 +503,57 @@ object AggQueries {
         round(col("sum_cents").cast("double") / col("n") / 100.0, 4))
       .orderBy("o_orderpriority")
   }
+
+  /** Exact weighted median — quantity-weighted median unit price per
+    * return flag: the weighted-percentile statistic (each row counts
+    * with its weight) that plain `percentile` (A10) cannot express.
+    * Lower weighted median: the smallest price whose cumulative weight
+    * reaches half the total — an integer-threshold definition
+    * (2·cum ≥ tot), no interpolation, no division.
+    *
+    * Scale: the fact table FIRST collapses to the (flag, distinct
+    * price) histogram in a map-side-combinable hash agg; the
+    * cumulative-weight window then runs over histogram rows (bounded
+    * by distinct cent values), NOT fact rows — the q98 lesson applied
+    * to weighted quantiles. Threshold selection is one filtered min.
+    *
+    * Parity: prices in exact int64 cents, weights exact int64
+    * quantities; ROWS cumulative frame over a per-group-unique pc
+    * order; the selected value is tie-independent by construction
+    * (every row of a price run crosses the threshold at the same pc). */
+  def q140WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("rf", "pc").agg(sum("q").as("w"))
+    val cum = Window.partitionBy("rf").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("w").over(cum))
+      .withColumn("tot", sum("w").over(Window.partitionBy("rf")))
+      .groupBy("rf")
+      .agg(max("tot").as("total_qty"),
+        min(when(col("cum") * 2 >= col("tot"), col("pc")))
+          .as("wmedian_cents"))
+      .orderBy("rf")
+  }
+
+  val q140WeightedMedianSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT rf, pc, w,
+      |    SUM(w) OVER (PARTITION BY rf ORDER BY pc
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    SUM(w) OVER (PARTITION BY rf) AS tot
+      |  FROM h)
+      |SELECT rf, CAST(MAX(tot) AS BIGINT) AS total_qty,
+      |  MIN(CASE WHEN 2 * cum >= tot THEN pc END) AS wmedian_cents
+      |FROM c GROUP BY rf ORDER BY rf""".stripMargin
 
   val q136IncrAggSql: String =
     """WITH o AS (

@@ -824,6 +824,59 @@ object CurationQueries {
       |GROUP BY d.event_type, m.med, m.mad
       |ORDER BY d.event_type""".stripMargin
 
+  /** Functional-dependency discovery over declared candidates — the
+    * data-profiling partner of q122's value census and q123's FK
+    * audit: for each candidate A→B, how many A-values exist, how many
+    * map to MORE than one B (violations), and whether the dependency
+    * holds exactly. Mined FDs drive normalization, key inference and
+    * anomaly screens ("this feed suddenly violates custkey→nation").
+    *
+    * Parity: pure exact counts; `holds` is a boolean both engines
+    * derive from the same integer.
+    *
+    * Scale: one map-side-combinable (lhs → distinct-rhs) hash agg per
+    * candidate, each collapsing to one row before the bounded union —
+    * the q123 shape. Candidate lists are metadata-sized; nothing here
+    * is quadratic in values. */
+  def q142FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String, rhs: String) =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          count(when(col("nd") > 1, 1)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    Seq(
+      fd("customer.c_custkey->c_nationkey", c, "c_custkey", "c_nationkey"),
+      fd("lineitem.l_orderkey->l_returnflag", l, "l_orderkey", "l_returnflag"),
+      fd("lineitem.l_partkey->l_suppkey", l, "l_partkey", "l_suppkey"),
+      fd("nation.n_nationkey->n_regionkey", n, "n_nationkey", "n_regionkey"),
+      fd("orders.o_custkey->o_orderpriority", o, "o_custkey", "o_orderpriority"),
+      fd("orders.o_orderkey->o_orderpriority", o, "o_orderkey", "o_orderpriority"))
+      .reduce(_.unionByName(_))
+      .orderBy("fd")
+  }
+
+  val q142FdDiscoverySql: String = {
+    def fd(name: String, table: String, lhs: String, rhs: String): String =
+      s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
+         |  COUNT(*) FILTER (WHERE nd > 1) AS n_violating,
+         |  COUNT(*) FILTER (WHERE nd > 1) = 0 AS holds
+         |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nd
+         |      FROM $table GROUP BY $lhs)""".stripMargin
+    Seq(
+      fd("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+      fd("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+      fd("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      fd("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+      fd("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      fd("orders.o_orderkey->o_orderpriority", "orders", "o_orderkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   /** Deterministic stratified train/val/test split — the corpus-prep
     * step every training pipeline runs before anything touches a model:
     * each document lands in exactly one of train (80%), val (10%) or

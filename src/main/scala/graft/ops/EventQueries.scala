@@ -538,6 +538,44 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands date variant behind retention/engagement
+    * dashboards ("current streak", "best streak"): distinct active
+    * days collapse to runs where day_number − row_number is constant
+    * (each gap shifts the difference), and the longest run is one max.
+    *
+    * Parity: day numbers are exact integer datediffs from the epoch;
+    * row_number runs over the per-user DISTINCT day sequence (unique,
+    * so the order is total); all counts exact.
+    *
+    * Scale: one user_id shuffle shared by the distinct, the window and
+    * both aggs; per-user state is the day list (bounded by the
+    * calendar, ~365/year/user). No self-join, no date spine. */
+  def q141Streaks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    d.withColumn("grp",
+        datediff(col("d"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_days"), max("len").as("max_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  val q141StreaksSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |g AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '1970-01-01', d)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+      |  MAX(len) AS max_streak, COUNT(*) AS n_streaks
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q137IntervalUnionSql: String =
     """WITH iv AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS s,

@@ -17,5 +17,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", false)
+    // managed-table home for the bucketed-join suite (in-memory catalog)
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse")
     .getOrCreate()
 }
