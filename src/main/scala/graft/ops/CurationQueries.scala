@@ -539,6 +539,83 @@ object CurationQueries {
       |  ROUND(ewma, 4) AS ewma
       |FROM e ORDER BY day, o_orderpriority""".stripMargin
 
+  /** Holt linear (double-exponential) smoothing — q115's EWMA tracks a
+    * level only and lags any trending series by design; Holt adds the
+    * coupled trend recurrence (level ℓ_t = α·x + (1−α)(ℓ+b), trend
+    * b_t = β·Δℓ + (1−β)b), giving the one-step forecast ℓ+b a trending
+    * daily-revenue series actually needs. α=0.3, β=0.1, ℓ₁=x₁, b₁=0.
+    *
+    * Parity: the fold evaluates the identical expression tree step by
+    * step in both engines, so the doubles are bit-identical by
+    * induction (the q115 contract, two state variables instead of
+    * one); rounding happens only at output.
+    *
+    * Scale: identical to q115 — one keyed shuffle, per-group state
+    * linear in the calendar-bounded series; the streaming form is the
+    * same recurrence in transformWithState with two doubles of state
+    * per key. */
+  def q143Holt(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
+    val series = daily.groupBy("o_orderpriority")
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("s"))
+    val folded = series.withColumn("hs", expr(
+      """aggregate(s,
+        |  struct(cast(array() as array<struct<l: double, b: double>>) AS hs,
+        |         cast(null as double) AS l, cast(null as double) AS b),
+        |  (acc, x) -> CASE WHEN acc.l IS NULL THEN
+        |      struct(array_append(acc.hs, struct(x.rev AS l, 0.0D AS b)) AS hs,
+        |             x.rev AS l, cast(0.0D as double) AS b)
+        |    ELSE struct(
+        |      array_append(acc.hs, struct(
+        |        0.3D * x.rev + 0.7D * (acc.l + acc.b) AS l,
+        |        0.1D * ((0.3D * x.rev + 0.7D * (acc.l + acc.b)) - acc.l)
+        |          + 0.9D * acc.b AS b)) AS hs,
+        |      0.3D * x.rev + 0.7D * (acc.l + acc.b) AS l,
+        |      0.1D * ((0.3D * x.rev + 0.7D * (acc.l + acc.b)) - acc.l)
+        |        + 0.9D * acc.b AS b) END,
+        |  acc -> acc.hs)""".stripMargin))
+    folded
+      .select(col("o_orderpriority"),
+        explode(arrays_zip(col("s"), col("hs"))).as("z"))
+      .select(col("z.s.day").as("day"), col("o_orderpriority"),
+        round(col("z.s.rev"), 4).as("rev"),
+        round(col("z.hs.l"), 4).as("level"),
+        round(col("z.hs.b"), 4).as("trend"),
+        round(col("z.hs.l") + col("z.hs.b"), 4).as("forecast"))
+      .orderBy("day", "o_orderpriority")
+  }
+
+  val q143HoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS pr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS rev
+      |  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT day, pr, rev,
+      |    ROW_NUMBER() OVER (PARTITION BY pr ORDER BY day) AS rn
+      |  FROM daily),
+      |h AS (
+      |  SELECT day, pr, rev, rn, rev AS lvl, CAST(0 AS DOUBLE) AS tr
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.day, s.pr, s.rev, s.rn,
+      |    CAST(0.3 AS DOUBLE) * s.rev
+      |      + CAST(0.7 AS DOUBLE) * (h.lvl + h.tr),
+      |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * s.rev
+      |        + CAST(0.7 AS DOUBLE) * (h.lvl + h.tr)) - h.lvl)
+      |      + CAST(0.9 AS DOUBLE) * h.tr
+      |  FROM s JOIN h ON s.pr = h.pr AND s.rn = h.rn + 1)
+      |SELECT day, pr AS o_orderpriority, ROUND(rev, 4) AS rev,
+      |  ROUND(lvl, 4) AS level, ROUND(tr, 4) AS trend,
+      |  ROUND(lvl + tr, 4) AS forecast
+      |FROM h ORDER BY day, o_orderpriority""".stripMargin
+
   /** Robust outlier detection by median absolute deviation — q97's
     * z-score flags drown when the contamination itself inflates the
     * mean/stddev; median and MAD have a 50% breakdown point, the

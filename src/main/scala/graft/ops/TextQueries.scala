@@ -663,4 +663,111 @@ object TextQueries {
       |JOIN uni u1 ON string_split(b.bigram, ' ')[1] = u1.w
       |JOIN uni u2 ON string_split(b.bigram, ' ')[len(string_split(b.bigram, ' '))] = u2.w
       |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin
+
+  /** Distinct-n lexical diversity per source — distinct-1 (unique
+    * words / word occurrences) and distinct-2 (unique bigrams / bigram
+    * occurrences), the standard repetitiveness screen for generated or
+    * boilerplate-heavy corpora (Li et al., NAACL 2016): a source whose
+    * distinct-2 collapses is template spam even when its vocabulary
+    * looks healthy. Complements q91 (within-doc repetition) with the
+    * across-source view.
+    *
+    * Parity: four exact integer counts per source; two divisions at
+    * output. Scale: two explode → map-side-combinable distinct/count
+    * aggs per source — no joins, no windows. */
+  def q144Diversity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimFns
+    val d = Tables.documents(s, dir)
+    val uni = d.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct_1"))
+    val bi = d.select(col("source"),
+        explode(SimFns.wordBigrams(col("text"))).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("n_distinct_2"))
+    uni.join(bi, "source")
+      .select(col("source"), col("n_tokens"), col("n_distinct_1"),
+        col("n_bigrams"), col("n_distinct_2"),
+        round(col("n_distinct_1").cast("double") / col("n_tokens"), 4)
+          .as("distinct_1"),
+        round(col("n_distinct_2").cast("double") / col("n_bigrams"), 4)
+          .as("distinct_2"))
+      .orderBy("source")
+  }
+
+  val q144DiversitySql: String =
+    """WITH u AS (
+      |  SELECT source, COUNT(*) AS n_tokens,
+      |    COUNT(DISTINCT w) AS n_distinct_1
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source),
+      |b AS (
+      |  SELECT source, COUNT(*) AS n_bigrams,
+      |    COUNT(DISTINCT g) AS n_distinct_2
+      |  FROM (
+      |    SELECT source,
+      |      unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |        ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END) AS g
+      |    FROM documents)
+      |  GROUP BY source)
+      |SELECT u.source, n_tokens, n_distinct_1, n_bigrams, n_distinct_2,
+      |  ROUND(CAST(n_distinct_1 AS DOUBLE) / n_tokens, 4) AS distinct_1,
+      |  ROUND(CAST(n_distinct_2 AS DOUBLE) / n_bigrams, 4) AS distinct_2
+      |FROM u JOIN b ON u.source = b.source
+      |ORDER BY u.source""".stripMargin
+
+  /** Frequency-truncated vocabulary coverage per language — what share
+    * of token OCCURRENCES a top-k corpus vocabulary covers (k = 100,
+    * 1000): the vocab-size/OOV-rate trade-off curve a tokenizer design
+    * starts from (the L45 BPE training step chooses its merge budget
+    * against exactly this curve), and the per-language split exposes
+    * which languages a shared vocabulary under-serves.
+    *
+    * Parity: vocabulary rank is a total (count desc, word) order;
+    * coverage sums are exact integers; two divisions at output.
+    *
+    * Scale: corpus-wide word counts collapse in one map-side hash agg
+    * (vocabulary-sized output); the rank window runs over the
+    * VOCABULARY, not the corpus; the per-language coverage join is
+    * vocabulary-keyed. Nothing touches fact-scale rows twice. */
+  def q145VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val occ = d.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val vocab = occ.groupBy("w").agg(sum("n").as("tot"))
+    val ranked = vocab.withColumn("rnk",
+      row_number().over(Window.orderBy(col("tot").desc, col("w"))))
+    occ.join(ranked.select("w", "rnk"), "w")
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("rnk") <= 100, col("n")).otherwise(0L)).as("cov100"),
+        sum(when(col("rnk") <= 1000, col("n")).otherwise(0L)).as("cov1000"))
+      .select(col("lang"), col("n_tokens"),
+        round(col("cov100").cast("double") / col("n_tokens"), 4)
+          .as("coverage_top100"),
+        round(col("cov1000").cast("double") / col("n_tokens"), 4)
+          .as("coverage_top1000"))
+      .orderBy("lang")
+  }
+
+  val q145VocabCoverageSql: String =
+    """WITH occ AS (
+      |  SELECT lang, w, COUNT(*) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY lang, w),
+      |ranked AS (
+      |  SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, w) AS rnk
+      |  FROM occ GROUP BY w)
+      |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CASE WHEN rnk <= 100 THEN n ELSE 0 END) AS DOUBLE)
+      |    / SUM(n), 4) AS coverage_top100,
+      |  ROUND(CAST(SUM(CASE WHEN rnk <= 1000 THEN n ELSE 0 END) AS DOUBLE)
+      |    / SUM(n), 4) AS coverage_top1000
+      |FROM occ JOIN ranked USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }
