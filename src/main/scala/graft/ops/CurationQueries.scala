@@ -901,6 +901,136 @@ object CurationQueries {
       |GROUP BY d.event_type, m.med, m.mad
       |ORDER BY d.event_type""".stripMargin
 
+  /** Population Stability Index — THE production drift metric: bin the
+    * monitored feature by the BASE period's exact deciles, compare the
+    * comparison period's bin shares, PSI = Σ (p_b − p_a)·ln(p_b/p_a).
+    * Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 act. Here:
+    * order prices, pre-1999 as base vs 1999+ as comparison, one row per
+    * decile with its PSI term (the total is the sum — emitting terms
+    * localizes WHERE the distribution moved, which is the part a
+    * monitoring dashboard actually shows).
+    *
+    * Parity: cut points are exact decile percentiles on int64 cents
+    * (the A10 `percentile` == `quantile_cont` contract); bin assignment
+    * counts cuts below the value (identical comparison semantics);
+    * counts exact; the ln tree is identical-association (the
+    * q121/q43 ln precedent) and rounds at 6.
+    *
+    * Scale: one agg for cuts (9-value array broadcast, the q88
+    * one-row-bounds pattern — allowlisted BNLJ), one map-side bin
+    * projection, one ≤10-group agg. No windows over fact rows. */
+  def q146Psi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val cuts = o.filter(!col("is_new"))
+      .agg(expr(
+        "percentile(pc, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("c"))
+    val binned = o.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        lit(1) + size(filter(col("c"),
+          x => col("pc").cast("double") > x)))
+    val t = binned.groupBy("bin")
+      .agg(count(when(!col("is_new"), 1)).as("na"),
+        count(when(col("is_new"), 1)).as("nb"))
+    // period totals as driver scalars (q121/q133 discipline) — the
+    // second one-row broadcast would exceed the one-BNLJ-per-plan cap
+    val totRow = o.agg(count(when(!col("is_new"), 1)),
+      count(when(col("is_new"), 1))).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    t.select(col("bin"), col("na"), col("nb"),
+        round((col("nb").cast("double") / tb -
+          col("na").cast("double") / ta) *
+          log((col("nb").cast("double") / tb) /
+            (col("na").cast("double") / ta)), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val q146PsiSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |cuts AS (
+      |  SELECT list_transform(
+      |    quantile_cont(pc, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    x -> CAST(x AS DOUBLE)) AS c
+      |  FROM o WHERE NOT is_new),
+      |t AS (
+      |  SELECT 1 + len(list_filter((SELECT c FROM cuts),
+      |           x -> CAST(pc AS DOUBLE) > x)) AS bin,
+      |    COUNT(*) FILTER (WHERE NOT is_new) AS na,
+      |    COUNT(*) FILTER (WHERE is_new) AS nb
+      |  FROM o GROUP BY 1),
+      |tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM t)
+      |SELECT bin, na, nb,
+      |  ROUND((CAST(nb AS DOUBLE)/tb - CAST(na AS DOUBLE)/ta) *
+      |        LN((CAST(nb AS DOUBLE)/tb) / (CAST(na AS DOUBLE)/ta)), 6)
+      |    AS psi_term
+      |FROM t, tot ORDER BY bin""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the base and
+    * comparison price distributions — the nonparametric partner of
+    * q146's binned PSI: KS = max |CDF_a − CDF_b| over the merged value
+    * domain, computed EXACTLY in integers by cross-multiplying the
+    * cumulative counts (|cum_a·n_b − cum_b·n_a|, divided once at the
+    * end) — no floating-point CDFs, no binning approximation.
+    *
+    * Scale: the fact table collapses to the distinct-cents histogram in
+    * a map-side agg; the cumulative counts then come from [[PrefixSum]]
+    * — range-partitioned local cumsums + partition-count offsets — so
+    * the global CDF needs NO single-partition window even though its
+    * order spans the whole value domain (DuckDB states the same thing
+    * with a plain window, fine for an oracle). The final max is one
+    * scan. Int64 budget: cum·n ≤ n², safe through ~3·10⁹ rows/side.
+    *
+    * Parity: everything before the final division is exact int64; ties
+    * are immaterial because the CDF is read per distinct value (the
+    * PrefixSum tie contract). */
+  def q147Ks(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val h = o.groupBy("pc")
+      .agg(count(when(!col("is_new"), 1)).as("ca"),
+        count(when(col("is_new"), 1)).as("cb"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
+      Seq((col("ca"), "cuma"), (col("cb"), "cumb")))
+    // side totals as driver scalars (q121/q133 discipline) so the
+    // per-row cross-multiplication needs no one-row broadcast join
+    val totRow = h.agg(sum("ca"), sum("cb")).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    c.agg(max(abs(col("cuma") * tb - col("cumb") * ta)).as("ks_num"))
+      .select(col("ks_num"), lit(ta * tb).as("ks_den"),
+        round(col("ks_num").cast("double") / (ta * tb), 6).as("ks"))
+  }
+
+  val q147KsSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |h AS (
+      |  SELECT pc, COUNT(*) FILTER (WHERE NOT is_new) AS ca,
+      |    COUNT(*) FILTER (WHERE is_new) AS cb
+      |  FROM o GROUP BY pc),
+      |c AS (
+      |  SELECT pc,
+      |    SUM(ca) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM h),
+      |tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM h)
+      |SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS BIGINT) AS ks_num,
+      |  CAST(MAX(ta * tb) AS BIGINT) AS ks_den,
+      |  ROUND(CAST(MAX(ABS(cuma * tb - cumb * ta)) AS DOUBLE)
+      |    / MAX(ta * tb), 6) AS ks
+      |FROM c, tot""".stripMargin
+
   /** Functional-dependency discovery over declared candidates — the
     * data-profiling partner of q122's value census and q123's FK
     * audit: for each candidate A→B, how many A-values exist, how many

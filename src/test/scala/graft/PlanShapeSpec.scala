@@ -290,7 +290,7 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast-nested-loop plans are expected ONLY where a deliberate
     // tiny-side broadcast exists — q10's bounded pair matrix, the
     // one-row bounds/corpus-count/vocab-size sides of
-    // q43/q79/q88/q95/q96/q99/q103/q110, and
+    // q43/q79/q88/q95/q96/q99/q103/q110/q146, and
     // the broadcast query sides of q52/q53 — and even there at most ONE
     // per plan. Any other query earning either operator (a dropped
     // broadcast hint, a join condition that stopped being an equi-join)
@@ -299,7 +299,8 @@ class PlanShapeSpec extends SparkSpec {
     // both sides shuffled N×M) is never acceptable, allowlisted or not.
     val allowedBnlj = Set("q10_cross_matrix", "q43_tfidf", "q52_cosine",
       "q53_topk_nn", "q79_date_spine", "q88_histogram", "q95_forward_fill",
-      "q96_interpolate", "q99_bm25", "q103_lm_score", "q110_brand_basket")
+      "q96_interpolate", "q99_bm25", "q103_lm_score", "q110_brand_basket",
+      "q146_psi")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
