@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-curation operators, both oracle-gated: the dedup
@@ -970,6 +971,70 @@ object CurationQueries {
       |        LN((CAST(nb AS DOUBLE)/tb) / (CAST(na AS DOUBLE)/ta)), 6)
       |    AS psi_term
       |FROM t, tot ORDER BY bin""".stripMargin
+
+  /** CUSUM changepoint detection — where did the level of a daily
+    * series shift? The cumulative-sum statistic S_k − k·mean peaks at
+    * the changepoint (Page 1954); computed EXACTLY by
+    * cross-multiplying: score_k = n·S_k − k·T (both int64), so the
+    * argmax is integer-exact and the only doubles are display columns.
+    * Per priority: the detected day, its normalized CUSUM height and
+    * the series length — the monitoring view behind "this feed's level
+    * moved on day X", sharper than q97's pointwise z-scores for
+    * sustained shifts.
+    *
+    * Parity: daily cents exact; the keyed cumulative window is ordered
+    * by the unique day; argmax ties break on the earliest day via
+    * lexicographic struct-min. Scale: one priority-keyed shuffle; the
+    * window runs over calendar-bounded rows per group (the q115
+    * contract). */
+  def q148Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("pr"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
+    val byDay = Window.partitionBy("pr").orderBy("day")
+    val all = Window.partitionBy("pr")
+    val scored = daily
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("sk", sum("rev").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("t", sum("rev").over(all))
+      .withColumn("score", col("n") * col("sk") - col("k") * col("t"))
+    scored.groupBy("pr")
+      .agg(max("n").as("n_days"),
+        min(struct((-abs(col("score"))).as("neg"), col("day"),
+          col("score"))).as("m"))
+      .select(col("pr"), col("n_days"),
+        col("m.day").as("changepoint"),
+        round(abs(col("m.score")).cast("double") /
+          col("n_days") / 100.0, 4).as("cusum_height"))
+      .orderBy("pr")
+  }
+
+  val q148CusumSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT pr, day,
+      |    COUNT(*) OVER (PARTITION BY pr) AS n,
+      |    SUM(rev) OVER (PARTITION BY pr) AS t,
+      |    ROW_NUMBER() OVER (PARTITION BY pr ORDER BY day) AS k,
+      |    SUM(rev) OVER (PARTITION BY pr ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      |  FROM daily),
+      |sc AS (SELECT pr, day, n, n * sk - k * t AS score FROM scored),
+      |best AS (
+      |  SELECT pr, day, n, score,
+      |    ROW_NUMBER() OVER (PARTITION BY pr
+      |      ORDER BY ABS(score) DESC, day) AS rnk
+      |  FROM sc)
+      |SELECT pr, CAST(n AS BIGINT) AS n_days, day AS changepoint,
+      |  ROUND(CAST(ABS(score) AS DOUBLE) / n / 100.0, 4) AS cusum_height
+      |FROM best WHERE rnk = 1 ORDER BY pr""".stripMargin
 
   /** Exact two-sample Kolmogorov–Smirnov distance between the base and
     * comparison price distributions — the nonparametric partner of

@@ -545,6 +545,69 @@ object JoinQueries {
        |GROUP BY r_name, yr
        |ORDER BY r_name, yr""".stripMargin
 
+  /** Grid-density hotspot detection — the aggregation partner of
+    * q131's radius join on the same synthetic lat/lon assignment:
+    * customer counts per 10°-cell, smoothed over the 3×3 cell
+    * neighborhood (a Getis–Ord-style local-density screen without the
+    * variance term), flagging dense cells against their
+    * neighborhood. Density maps, hotspot policing, store-siting — the
+    * standard first query over any point dataset.
+    *
+    * Parity: cells and counts are exact integers (floor of a
+    * one-decimal coordinate grid); the share divides once at output.
+    *
+    * Scale: points collapse to cells in one map-side hash agg
+    * (output ≤ 36×17 cells at this size — but the shape holds for
+    * meter-scale grids too: cells ∝ area, not points); the 9-way
+    * neighbor lookup is an equi-join of the CELL table against its
+    * exploded offsets — cell-sized, never point-sized. */
+  def q149Hotspots(s: SparkSession, dir: String): DataFrame = {
+    def lat(key: Column): Column =
+      pmod(key * 2654435761L, lit(1700L)).cast("double") / 10.0 - 85.0
+    def lon(key: Column): Column =
+      pmod(key * 1103515245L + 12345L, lit(3600L)).cast("double") / 10.0 - 180.0
+    val cell = 10.0
+    val cells = Tables.customer(s, dir)
+      .select(floor(lon(col("c_custkey")) / cell).cast("int").as("cx"),
+        floor(lat(col("c_custkey")) / cell).cast("int").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val offsets = typedlit(for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield (dx, dy))
+    val nbr = cells.withColumn("o", explode(offsets))
+      .select((col("cx") + col("o._1")).as("cx"),
+        (col("cy") + col("o._2")).as("cy"), col("n").as("nn"))
+      .groupBy("cx", "cy").agg(sum("nn").as("nbhd"))
+    cells.join(nbr, Seq("cx", "cy"))
+      .select(col("cx"), col("cy"), col("n"), col("nbhd"),
+        round(col("n").cast("double") / col("nbhd"), 4).as("share"))
+      .filter(col("n") >= 4)
+      .orderBy("cx", "cy")
+  }
+
+  val q149HotspotsSql: String =
+    """WITH pts AS (
+      |  SELECT
+      |    CAST(FLOOR((CAST(((c_custkey * 1103515245 + 12345) % 3600 + 3600) % 3600 AS DOUBLE)
+      |      / 10.0 - 180.0) / 10.0) AS INTEGER) AS cx,
+      |    CAST(FLOOR((CAST(((c_custkey * 2654435761) % 1700 + 1700) % 1700 AS DOUBLE)
+      |      / 10.0 - 85.0) / 10.0) AS INTEGER) AS cy
+      |  FROM customer),
+      |cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY cx, cy),
+      |offs AS (
+      |  SELECT dx.dx, dy.dy
+      |  FROM (SELECT unnest([-1, 0, 1]) AS dx) dx,
+      |       (SELECT unnest([-1, 0, 1]) AS dy) dy),
+      |nbr AS (
+      |  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+      |    CAST(SUM(c.n) AS BIGINT) AS nbhd
+      |  FROM cells c CROSS JOIN offs o
+      |  GROUP BY 1, 2)
+      |SELECT c.cx, c.cy, c.n, nbr.nbhd,
+      |  ROUND(CAST(c.n AS DOUBLE) / nbr.nbhd, 4) AS share
+      |FROM cells c JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
+      |WHERE c.n >= 4
+      |ORDER BY c.cx, c.cy""".stripMargin
+
   /** Salted skew join through the correctness gate — the fact join runs
     * through [[SkewJoin.saltedInnerJoin]] (every lineitem row gets a
     * deterministic whole-row-hash salt in [0, 8); orders is replicated
