@@ -224,6 +224,11 @@ object Graft {
       maxIters: Int = 10): DataFrame =
     ops.LabelProp.communities(edges, srcCol, dstCol, maxIters)
 
+  /** Two-phase top-k: Misra–Gries candidates + exact rescore. */
+  def approxTopK(df: DataFrame, valueCol: Column, k: Int,
+      capacity: Int = 1024): DataFrame =
+    ops.ApproxTopK.topK(df, valueCol, k, capacity)
+
   /** Bucketed-table layout: shuffle-free co-located joins and aggs. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = ops.Bucketing.writeBucketed(df, table, key, buckets)

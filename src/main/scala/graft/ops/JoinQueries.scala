@@ -580,7 +580,7 @@ object JoinQueries {
     cells.join(nbr, Seq("cx", "cy"))
       .select(col("cx"), col("cy"), col("n"), col("nbhd"),
         round(col("n").cast("double") / col("nbhd"), 4).as("share"))
-      .filter(col("n") >= 4)
+      .filter(col("n") >= 2)
       .orderBy("cx", "cy")
   }
 
@@ -605,7 +605,7 @@ object JoinQueries {
       |SELECT c.cx, c.cy, c.n, nbr.nbhd,
       |  ROUND(CAST(c.n AS DOUBLE) / nbr.nbhd, 4) AS share
       |FROM cells c JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
-      |WHERE c.n >= 4
+      |WHERE c.n >= 2
       |ORDER BY c.cx, c.cy""".stripMargin
 
   /** Salted skew join through the correctness gate — the fact join runs
