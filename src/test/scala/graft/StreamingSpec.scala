@@ -401,4 +401,41 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("t-digest sketch aggregates inside a windowed streaming query") {
+    // the mergeable-sketch contract doing streaming duty: quantile state
+    // per (type, window) is O(delta) centroids, merged across batches by
+    // the same partial/final path batch aggs use
+    import org.apache.spark.sql.functions._
+    val agg = udaf(new graft.functions.TDigestAgg(100))
+    val in = newStream()
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(agg(col("value")).as("td"), count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("td"), col("n"))
+      .writeStream.format("memory").queryName("td_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1 to 50).map(i =>
+        Ev(i, ts("2024-01-01 10:05:00"), 1, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((51 to 100).map(i =>
+        Ev(i, ts("2024-01-01 10:40:00"), 1, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      // advance the watermark so the 10:00 window finalizes
+      in.addData(Ev(101, ts("2024-01-01 13:00:00"), 1, "m", 0.0))
+      q.processAllAvailable()
+      val row = spark.table("td_stream")
+        .filter(col("bucket") === ts("2024-01-01 10:00:00"))
+        .select("td.means", "td.ws", "n").collect()(0)
+      assert(row.getLong(2) == 100L)
+      val sk = graft.functions.TDigestAgg.Sketch(
+        row.getSeq[Double](0).toArray, row.getSeq[Long](1).toArray)
+      assert(sk.ws.sum == 100L, "sketch must cover both micro-batches")
+      val med = graft.functions.TDigestAgg.quantile(sk, 0.5)
+      assert(math.abs(med - 50.5) <= 3.0, s"median estimate off: $med")
+    } finally q.stop()
+  }
 }
