@@ -538,6 +538,64 @@ object AggQueries {
       .orderBy("rf")
   }
 
+  /** Exact Gini concentration coefficient of order value per priority
+    * — the inequality census (0 = all orders equal, →1 = revenue
+    * concentrated in few orders) behind revenue-concentration and
+    * vendor-dependency dashboards. Computed EXACTLY from the sorted
+    * histogram via the rank-sum identity G = (2·Σk·x_k − (n+1)·T)/(n·T)
+    * with Σk·x_k = Σ_v v·(w·cumBefore + w(w+1)/2) over distinct values
+    * — every term integer, one double division at the end.
+    *
+    * Parity: int64 cents; the cumulative window is ordered by the
+    * unique distinct value (total order); both engines round the same
+    * quotient at 6.
+    *
+    * Scale: the q140 discipline — the fact table collapses to the
+    * (priority, distinct-cents) histogram map-side; windows and sums
+    * run over histogram rows. Int64 term budget v·n² holds through
+    * ~SF1 per group; DECIMAL(38,0) is the documented swap above. */
+  def q150Gini(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+      .groupBy("pr", "pc").agg(count(lit(1)).as("w"))
+    val cum = Window.partitionBy("pr").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cb", sum("w").over(cum) - col("w"))
+      .withColumn("term",
+        col("pc") * (col("w") * col("cb") +
+          expr("w * (w + 1) div 2")))
+      .groupBy("pr")
+      .agg(sum("w").as("n"), sum(col("pc") * col("w")).as("t"),
+        sum("term").as("s"))
+      .select(col("pr"), col("n"),
+        round((lit(2) * col("s") - (col("n") + 1) * col("t"))
+          .cast("double") / (col("n") * col("t")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("pr")
+  }
+
+  val q150GiniSql: String =
+    """WITH h AS (
+      |  SELECT o_orderpriority AS pr,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    COUNT(*) AS w
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT pr, pc, w,
+      |    SUM(w) OVER (PARTITION BY pr ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cb
+      |  FROM h),
+      |g AS (
+      |  SELECT pr, CAST(SUM(w) AS BIGINT) AS n,
+      |    CAST(SUM(pc * w) AS BIGINT) AS t,
+      |    CAST(SUM(pc * (w * cb + w * (w + 1) // 2)) AS BIGINT) AS s
+      |  FROM c GROUP BY pr)
+      |SELECT pr, n,
+      |  ROUND(CAST(2 * s - (n + 1) * t AS DOUBLE)
+      |    / CAST(n * t AS DOUBLE), 6) AS gini
+      |FROM g ORDER BY pr""".stripMargin
+
   val q140WeightedMedianSql: String =
     """WITH h AS (
       |  SELECT l_returnflag AS rf,
