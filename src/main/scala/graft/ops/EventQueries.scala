@@ -538,6 +538,77 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Session entry-point attribution — which event type OPENS sessions,
+    * and how often those sessions convert: sessionize by an 8-hour
+    * inactivity gap (q59's gaps-and-islands machinery), take each
+    * session's first event as its entry, flag sessions containing a
+    * purchase, and report conversion per entry type. First-touch
+    * attribution at session granularity — the funnel-entry view a
+    * growth dashboard leads with.
+    *
+    * Parity: the session id is an integer running sum of gap flags
+    * over the total (ts, event_id) order; entry = first_value over the
+    * same order within the session; conversion is an exact max-flag;
+    * one division at output.
+    *
+    * Scale: ONE user_id shuffle serves the lag window, the running
+    * sum, the per-session window and the session agg (all share the
+    * user_id partitioning; the final ≤|types|-group agg is map-side).
+    * No self-joins, no fact-sized windows without keys. */
+  def q151EntryAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 28800,
+          1L).otherwise(0L))
+      .withColumn("sid", sum("is_new").over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "sid")
+      .orderBy("ts", "event_id")
+    val sessions = e
+      .withColumn("entry_type", first("event_type").over(bySession))
+      .groupBy("user_id", "sid")
+      .agg(min("entry_type").as("entry_type"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_sessions"), 4))
+      .orderBy("entry_type")
+  }
+
+  val q151EntryAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 28800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e),
+      |fe AS (
+      |  SELECT user_id, sid, event_type,
+      |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid
+      |      ORDER BY ts, event_id) AS entry_type
+      |  FROM s),
+      |agg AS (
+      |  SELECT user_id, sid, MIN(entry_type) AS entry_type,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM fe GROUP BY user_id, sid)
+      |SELECT entry_type, COUNT(*) AS n_sessions,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS conv_rate
+      |FROM agg GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands date variant behind retention/engagement
     * dashboards ("current streak", "best streak"): distinct active
