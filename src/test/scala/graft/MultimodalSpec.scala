@@ -140,4 +140,41 @@ class MultimodalSpec extends SparkSpec {
       exists(col("media_vec"), v => v < 0f || v >= 1f)).count()
     assert(bad == 0)
   }
+
+  test("dHash: re-encode-stable, robust to resize, far for different images") {
+    import spark.implicits._
+    // deterministic gradient image — structure survives downscaling
+    def gradient(w: Int, h: Int, seed: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // seed selects the STRUCTURE (gradient direction + stripes), not
+        // just an offset — dHash reads gradients, so different seeds
+        // must differ in where brightness increases
+        val v = (if (seed % 2 == 1) x * 255 / w + (x * y * seed) % 13
+                 else 255 - x * 255 / w + (if ((x / 4) % 2 == 0) 60 else 0) +
+                   (y * seed) % 17) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, gradient(64, 48, 1, "png")),
+      (2L, gradient(64, 48, 1, "jpg")),    // same pixels, other codec
+      (3L, gradient(128, 96, 1, "png")),   // same structure, 2x size
+      (4L, gradient(64, 48, 8, "png")),    // different structure (even seed)
+      (5L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+    val h = Multimodal.dHashImages(df, "media")
+      .select("id", "dhash").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(5L).isEmpty, "junk bytes must hash to null")
+    assert(ham(h(1L).get, h(2L).get) <= 6, "jpeg re-encode must stay near")
+    assert(ham(h(1L).get, h(3L).get) <= 6, "2x resize must stay near")
+    assert(ham(h(1L).get, h(4L).get) >= 16,
+      s"different images must be far, got ${ham(h(1L).get, h(4L).get)}")
+  }
 }
