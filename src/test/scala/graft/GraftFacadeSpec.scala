@@ -107,4 +107,40 @@ class GraftFacadeSpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(math.abs(pr.sum - 1.0) < 1e-9)
   }
+
+  test("round-6 facade surface: labelProp, tdigest, approxTopK, bucketing") {
+    import spark.implicits._
+
+    // two triangles joined by one bridge → two communities
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val lp = Graft.labelProp(es, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp(1L) == lp(2L) && lp(4L) == lp(5L))
+
+    // t-digest UDAF through the facade: median of 1..1000 ≈ 500
+    val tdAgg = Graft.tdigestUdaf(100)
+    val skRow = (1 to 1000).map(_.toDouble).toDF("v")
+      .agg(tdAgg(col("v")).as("td")).select("td.*")
+      .as[graft.functions.TDigestAgg.Sketch].collect()(0)
+    assert(math.abs(Graft.tdigestQuantile(skRow, 0.5) - 500.0) <= 20.0)
+
+    // two-phase top-k through the facade
+    val words = (1 to 50).flatMap(i => Seq.fill(100 / i)(s"t$i")).toDF("w")
+    val tk = Graft.approxTopK(words, col("w"), k = 3, capacity = 64)
+      .collect().map(_.getString(0))
+    assert(tk.head == "t1")
+
+    // bucketed write + join through the facade
+    val l = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("k", "v")
+    val r = Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+    Graft.writeBucketed(l, "fac_l", "k", 4)
+    Graft.writeBucketed(r, "fac_r", "k", 4)
+    try {
+      assert(Graft.bucketedJoin(spark, "fac_l", "fac_r", "k").count() == 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fac_l")
+      spark.sql("DROP TABLE IF EXISTS fac_r")
+    }
+  }
 }
