@@ -538,6 +538,51 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Rolling 7-day active users and DAU/WAU stickiness — THE product
+    * engagement ratio. Rolling DISTINCT counts resist window frames
+    * (COUNT(DISTINCT) OVER RANGE exists in neither engine) and the
+    * naive day×day self-join is quadratic in the calendar; the
+    * scale-safe form is contribution expansion — each (day, user)
+    * activity row contributes to the 7 target days it is visible in
+    * (the q149 neighbor-offset shape in time), then one distinct +
+    * count per target day. Expansion is a bounded 7×, never
+    * |days|×|days|.
+    *
+    * Parity: date arithmetic on exact integer day offsets; counts
+    * exact; one division at output. Early days carry partial windows
+    * (standard dashboard semantics).
+    *
+    * Scale: (day, user) distinct is one map-side-combinable shuffle;
+    * the 7× explode is a per-row map; the final distinct/count
+    * shuffles on (day, user) — all keyed, no windows, no self-joins. */
+  def q152RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .withColumn("off", explode(typedlit((0 to 6).toList)))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val q152RollingActiveSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+      |w AS (
+      |  SELECT DISTINCT day + CAST(o.off AS INTEGER) AS day, user_id
+      |  FROM du, (SELECT unnest(generate_series(0, 6)) AS off) o),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY day)
+      |SELECT d.day, d.dau, w2.wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / w2.wau, 4) AS stickiness
+      |FROM dau d JOIN wau w2 USING (day)
+      |ORDER BY d.day""".stripMargin
+
   /** Session entry-point attribution — which event type OPENS sessions,
     * and how often those sessions convert: sessionize by an 8-hour
     * inactivity gap (q59's gaps-and-islands machinery), take each
