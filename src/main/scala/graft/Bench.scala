@@ -62,7 +62,10 @@ object Bench {
     // a failing query must be visible in the JSON, not silently counted
     // as its time-to-exception
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // "queries" leads and the scalar fields TRAIL: the driver's artifact
+    // keeps only the LAST bytes of this line, so putting the total/failed
+    // after the (long) queries map is what makes them tail-survivable.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -698,7 +698,7 @@ object CurationQueries {
       |SELECT col_name,
       |  MAX(tot) AS n_rows,
       |  COUNT(*) AS n_distinct,
-      |  COALESCE(SUM(n) FILTER (WHERE val IS NULL), 0) AS n_null,
+      |  CAST(COALESCE(SUM(n) FILTER (WHERE val IS NULL), 0) AS BIGINT) AS n_null,
       |  ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 4)
       |    + 0 AS entropy,
       |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share

@@ -606,7 +606,7 @@ object EventQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 28800,
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 28800000000L,
           1L).otherwise(0L))
       .withColumn("sid", sum("is_new").over(
         byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -630,7 +630,7 @@ object EventQueries {
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 28800
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 28800000000
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -609,24 +609,28 @@ object JoinQueries {
       |ORDER BY c.cx, c.cy""".stripMargin
 
   /** Salted skew join through the correctness gate — the fact join runs
-    * through [[SkewJoin.saltedInnerJoin]] (every lineitem row gets a
-    * deterministic whole-row-hash salt in [0, 8); orders is replicated
-    * 8× and the key becomes (orderkey, salt)) while the oracle states
-    * the PLAIN join — so the green hash is a machine-checked proof that
-    * salting changes the physical row routing and nothing else. This is
-    * the q131/q118 pattern: oracle = semantics, Spark plan = the
-    * scale-safe rewrite.
+    * through [[SkewJoin.saltedInnerJoin]] (two-path since round 7: a
+    * Misra–Gries pass detects hot keys, salts only their rows, and
+    * plain-joins the rest) while the oracle states the PLAIN join — so
+    * the green hash is a machine-checked proof that salting changes the
+    * physical row routing and nothing else. This is the q131/q118
+    * pattern: oracle = semantics, Spark plan = the scale-safe rewrite.
     *
     * Why it exists: AQE's skew-join split handles oversized SMJ
     * partitions, but a hot key feeding an aggregation-after-join still
     * lands on one reducer; salting spreads it over `buckets` reducers
-    * at the cost of a buckets× right-side blow-up (SkewJoin scaladoc).
-    * The post-join agg here is exactly that aggregation-after-join
-    * shape.
+    * at the cost of replicating that key's right rows ×buckets
+    * (SkewJoin scaladoc). The post-join agg here is exactly that
+    * aggregation-after-join shape.
     *
-    * Parity: revenue in exact int64 cents (q132 discipline); counts
-    * exact. Scale: one (key, salt) hash join + map-side-combinable
-    * 5-group agg; the 8× replication is of the SMALLER side. */
+    * This query's data has NO hot key (max orderkey multiplicity is 7
+    * lines), so the detect pass provably finds nothing and every row
+    * takes the unreplicated plain path — the two-path promise that
+    * skew handling costs nothing when there is no skew. The hot path
+    * goes through the same gate in [[q153SkewAttribution]], whose join
+    * key really is skewed. Parity: revenue in exact int64 cents (q132
+    * discipline); counts exact. Scale: one detect agg (bounded sketch
+    * state) + one plain hash join + map-side-combinable 5-group agg. */
   def q139SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir).select(
       col("l_orderkey").as("o_orderkey"),
@@ -645,4 +649,54 @@ object JoinQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** The HOT path of [[SkewJoin.saltedInnerJoin]] through the oracle
+    * gate — q139's complement. The join key here is `l_returnflag`,
+    * whose three values carry ~25/50/25% of lineitem each, so ALL keys
+    * clear the 1/64 hot-share threshold: the Misra–Gries pass flags
+    * them, every left row gets a whole-row-hash salt, the 3-row dim is
+    * replicated ×8 on (flag, salt), and the cold path is empty — the
+    * exact mirror of q139's all-cold run. The oracle states the plain
+    * join, so the green hash proves hot-path routing is also a pure
+    * physical rewrite.
+    *
+    * The query itself is the classic "join the group mean back" shape:
+    * per-flag average item price (exact int64-cent sum ÷ count, one
+    * IEEE division both engines perform identically), joined back on
+    * the skewed flag, keeping items priced above their flag's mean —
+    * at 100 TB the textbook case where AQE can't help (the post-join
+    * agg re-keys on the hot flag) and blanket salting would replicate
+    * a big dim; here the dim is 3 rows and the bill is 24 routed rows.
+    *
+    * Parity: cents exact (q132); avg is one int64→double division both
+    * sides compute bit-identically; strict `>` excludes boundary rows
+    * consistently. Scale: detect agg (bounded sketch) + one (key,salt)
+    * hash join + map-side 6-group agg. */
+  def q153SkewAttribution(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"))
+    val dim = l.groupBy("l_returnflag")
+      .agg((sum("pc").cast("double") / count(lit(1))).as("avg_pc"))
+    SkewJoin.saltedInnerJoin(l, dim, "l_returnflag", buckets = 8)
+      .filter(col("pc") > col("avg_pc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), sum("pc").as("rev_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q153SkewAttributionSql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT l_returnflag, CAST(SUM(pc) AS DOUBLE) / COUNT(*) AS avg_pc
+      |  FROM l GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(l.pc) AS BIGINT) AS rev_cents
+      |FROM l JOIN d USING (l_returnflag)
+      |WHERE l.pc > d.avg_pc
+      |GROUP BY l.l_returnflag, l.l_linestatus
+      |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin
 }

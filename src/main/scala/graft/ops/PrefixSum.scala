@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
 
 /** Exact global running totals without the single-reducer sort — the
   * [[RangedNtile]] two-phase machinery generalized from ranks to SUMs:
@@ -30,7 +31,15 @@ object PrefixSum {
 
   /** Returns `df` plus, for each (column, alias) in `sums`, a column
     * `alias` holding the exact cumulative sum of that column over the
-    * global `order`, computed with no single-partition stage. */
+    * global `order`, computed with no single-partition stage.
+    *
+    * Sum columns may be any integral, floating or decimal type; the
+    * per-partition offsets are accumulated in the matching driver type
+    * (Long / Double / BigDecimal). Integral and decimal results are
+    * exact; for floating sums the driver-side partial-total addition
+    * reassociates IEEE ops exactly as a distributed `SUM` window
+    * would, so the result matches Spark's own partial-agg semantics,
+    * not a sequential left fold. */
   def withPrefixSums(df: DataFrame, order: Seq[Column],
       sums: Seq[(Column, String)]): DataFrame = {
     require(sums.nonEmpty, "need at least one column to sum")
@@ -40,24 +49,43 @@ object PrefixSum {
     val aggs = sums.zipWithIndex.map { case ((c, _), i) =>
       sum(c).as(s"__t$i")
     }
-    val totals = part.groupBy("__pid")
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map(r => r.getInt(0) ->
-        sums.indices.map(i => if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
-      .sortBy(_._1)
-    // exclusive running offsets per partition, one entry per sum column
-    val offMaps: Seq[Map[Int, Long]] = sums.indices.map { i =>
-      var acc = 0L
-      totals.map { case (pid, ts) =>
-        val o0 = acc; acc += ts(i); pid -> o0
-      }.toMap
-    }
+    val agged = part.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+    val sumTypes = agged.schema.fields.drop(1).map(_.dataType)
+    val totals = agged.collect().sortBy(_.getInt(0))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive running offsets per partition, accumulated in the sum
+    // column's own result type so nothing truncates or reclassifies
     sums.zipWithIndex.foldLeft(part) { case (d, ((c, alias), i)) =>
-      d.withColumn(alias,
-        sum(c).over(w) + element_at(typedlit(offMaps(i)), col("__pid")))
+      val offCol = sumTypes(i) match {
+        case LongType =>
+          var acc = 0L
+          val m = totals.map { r =>
+            val o0 = acc
+            if (!r.isNullAt(i + 1)) acc += r.getAs[Number](i + 1).longValue()
+            r.getInt(0) -> o0
+          }.toMap
+          element_at(typedlit(m), col("__pid"))
+        case DoubleType | FloatType =>
+          var acc = 0.0
+          val m = totals.map { r =>
+            val o0 = acc
+            if (!r.isNullAt(i + 1)) acc += r.getAs[Number](i + 1).doubleValue()
+            r.getInt(0) -> o0
+          }.toMap
+          element_at(typedlit(m), col("__pid"))
+        case _: DecimalType =>
+          var acc = BigDecimal(0)
+          val m = totals.map { r =>
+            val o0 = acc
+            if (!r.isNullAt(i + 1)) acc += BigDecimal(r.getDecimal(i + 1))
+            r.getInt(0) -> o0
+          }.toMap
+          element_at(typedlit(m), col("__pid"))
+        case other => throw new IllegalArgumentException(
+          s"withPrefixSums: unsupported sum result type $other for column $alias")
+      }
+      d.withColumn(alias, sum(c).over(w) + offCol)
     }.drop("__pid")
   }
 }

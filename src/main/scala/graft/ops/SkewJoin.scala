@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.HeavyHittersAgg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -15,30 +16,80 @@ import org.apache.spark.sql.functions._
   * partition of that key — fine — whereas for aggregations-after-join or
   * broadcast-ineligible dimension explosions the hot reducer remains).
   *
-  * Mechanics: every left row gets a deterministic salt in [0, buckets)
-  * hashed from the whole row (no RNG — results stay reproducible), the
-  * right side is replicated once per salt value, and the join key
-  * becomes (key, salt). One hot key then spreads over `buckets` reducers
-  * at the cost of a buckets× blow-up of the right side — use for joins
-  * whose right side is small-ish but above the broadcast threshold.
-  * Row-level results are identical to the unsalted join (SkewJoinSpec).
+  * Mechanics — TWO-PATH salting, so only skew pays the salting tax:
+  *
+  *  1. A Misra–Gries heavy-hitters pass over the LEFT join key finds
+  *     keys whose frequency share exceeds `hotShare` (bounded
+  *     partitions×capacity sketch state, never a full key histogram;
+  *     the MG guarantee — every key with true share > 1/(capacity+1)
+  *     survives — plus a slack term makes the hot set a superset of
+  *     the truly-hot keys, and over-selection only costs replication
+  *     of THAT key's right rows, never correctness).
+  *  2. Hot-key left rows get a deterministic salt in [0, buckets)
+  *     hashed from the whole row (no RNG — reproducible); hot-key
+  *     right rows are replicated once per salt value; the hot join key
+  *     becomes (key, salt), spreading each hot key over `buckets`
+  *     reducers.
+  *  3. Every other row takes the PLAIN equi-join — no replication.
+  *  4. Union. Row-level results are identical to the unsalted join
+  *     (SkewJoinSpec pins both parity and the ≈|right| + |hot|·buckets
+  *     replication bound).
+  *
+  * At 100 TB this is the difference that matters: the old blanket
+  * rewrite replicated the ENTIRE right side ×buckets (a scale-killer
+  * for any right side above the broadcast threshold); here the
+  * replication bill is `buckets × (right rows matching hot keys)` —
+  * typically a handful of keys — while the cold 99.9% of both sides
+  * moves exactly once. With no hot key at all (sketch finds nothing)
+  * the call degenerates to the plain join, byte for byte.
   */
 object SkewJoin {
 
-  /** Inner equi-join of `left` and `right` on `key`, salted into
-    * `buckets` sub-keys. Output columns = left columns then right
-    * columns minus its join key, like a plain `join(right, key)`. */
+  /** Inner equi-join of `left` and `right` on `key`, salting ONLY keys
+    * whose left-side frequency share is ≥ `hotShare` into `buckets`
+    * sub-keys. Output columns = left columns then right columns minus
+    * its join key, like a plain `join(right, key)`. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, hotShare: Double = 1.0 / 64): DataFrame = {
     require(buckets > 1, "salting needs at least 2 buckets")
+    require(hotShare > 0 && hotShare <= 1,
+      s"hotShare must be in (0, 1], got $hotShare")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "inputs already have a __salt column; rename it before salting")
-    val saltedLeft = left.withColumn("__salt",
+    val hot = hotKeys(left, key, hotShare)
+    if (hot.isEmpty) return left.join(right, Seq(key), "inner")
+    val isHotL = col(key).cast("string").isInCollection(hot)
+    val isHotR = right(key).cast("string").isInCollection(hot)
+    val saltedLeft = left.filter(isHotL).withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(buckets))
         .cast("int"))
-    val saltedRight = right.withColumn("__salt",
+    val saltedRight = right.filter(isHotR).withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt"), "inner")
+    val hotJoined = saltedLeft.join(saltedRight, Seq(key, "__salt"), "inner")
       .drop("__salt")
+    val coldJoined = left.filter(!isHotL).join(right.filter(!isHotR),
+      Seq(key), "inner")
+    coldJoined.unionByName(hotJoined)
+  }
+
+  /** Left-side keys (as strings) whose frequency share is ≥ `hotShare`,
+    * detected with one Misra–Gries pass. The sketch's stored counts are
+    * lower bounds undercounting by at most n/(capacity+1), so the
+    * filter adds that slack back: no truly-hot key is missed, and any
+    * false positive is merely salted without need. Driver state is
+    * ≤ capacity entries — never a full key histogram. */
+  private[graft] def hotKeys(left: DataFrame, key: String,
+      hotShare: Double): Seq[String] = {
+    val capacity = math.max(64, math.ceil(4.0 / hotShare).toInt)
+    val mg = udaf(new HeavyHittersAgg(capacity))
+    val row = left.select(col(key).cast("string").as("__k"))
+      .agg(mg(col("__k")).as("sketch"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = row.getLong(1)
+    if (n == 0) return Seq.empty
+    val slack = n.toDouble / (capacity + 1)
+    row.getMap[String, Long](0).iterator
+      .collect { case (k, c) if c + slack >= hotShare * n => k }
+      .toSeq.sorted
   }
 }

@@ -211,6 +211,15 @@ object StreamOps {
       ()
     }.option("checkpointLocation", checkpointDir).start()
 
+  /** Exact microseconds since epoch. `Timestamp.getTime` floors to
+    * milliseconds, so two events in the same millisecond but different
+    * microseconds would compare equal under it — the nanos field holds
+    * the sub-second truth. Every in-batch sort and µs computation below
+    * goes through this so streaming folds are bit-deterministic with
+    * the batch (ts, event_id) order at full µs precision. */
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
+
   /** One micro-batch step of the funnel state machine — shared by both
     * arbitrary-state APIs below so their semantics can never drift.
     * Events within a batch are not ordered: signups fold in first so a
@@ -221,15 +230,15 @@ object StreamOps {
     val out = scala.collection.mutable.ListBuffer.empty[Conversion]
     val (signups, rest) = evs.partition(_.event_type == "signup")
     signups.foreach { e =>
-      val us = e.ts.getTime * 1000
+      val us = tsMicros(e.ts)
       if (us < st.signupUs) st = st.copy(signupUs = us)
     }
-    rest.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rest.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       if (!st.converted && e.event_type == "purchase" &&
-          st.signupUs != Long.MaxValue && e.ts.getTime * 1000 >= st.signupUs) {
+          st.signupUs != Long.MaxValue && tsMicros(e.ts) >= st.signupUs) {
         st = st.copy(converted = true)
         out += Conversion(userId, new Timestamp(st.signupUs / 1000), e.ts,
-          (e.ts.getTime * 1000 - st.signupUs) / 1000000)
+          (tsMicros(e.ts) - st.signupUs) / 1000000)
       }
     }
     (st, out.toSeq)
@@ -298,7 +307,7 @@ object StreamOps {
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[EwmaPoint] = {
       var e = if (st.exists()) Some(st.get()) else None
-      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+      val out = rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).map { r =>
         val next = e match {
           case None => r.value
           case Some(prev) => alpha * r.value + (1.0 - alpha) * prev
