@@ -429,4 +429,85 @@ object DedupQueries {
       |           JOIN norm n2 ON dot.d2 = n2.doc_id)
       |WHERE cos >= 0.3
       |ORDER BY d1, d2""".stripMargin
+
+  /** Containment (asymmetric-Jaccard) near-superset detection — pairs
+    * where ≥ half of document A's discriminative 5-grams also appear
+    * in document B: |grams(A) ∩ grams(B)| / |grams(A)| ≥ 0.5. The
+    * symmetric-Jaccard family (q49/q50/q51) misses exactly this case:
+    * a short doc quoted or concatenated inside a long one scores low
+    * Jaccard (the union is huge) but high containment — the
+    * quote/aggregator-page duplicate class a curation pipeline must
+    * catch separately.
+    *
+    * "Discriminative" = document frequency ≤ 20 (computed over
+    * distinct (doc, gram) pairs). That is the SEMANTIC, not a lossy
+    * shortcut, and the oracle states the same rule: boilerplate grams
+    * shared by everything shouldn't witness containment — and the df
+    * cap simultaneously bounds the inverted-index fan-out at
+    * C(20,2) pairs per gram, so candidate volume is Σ_gram df² with
+    * df ≤ 20, never |corpus|². Denominator |grams(A)| counts A's
+    * kept grams (df 1 included — unique grams vote against
+    * containment, as they must).
+    *
+    * Parity: exact integer counts end-to-end; the fraction is the
+    * q100/q46 half-up integer division. Scale: gram-keyed window (df)
+    * + bounded posting-list self-join + pair hash-agg + one doc-keyed
+    * size join — the q135 sparse-join backbone with a df cap. */
+  def q155Containment(s: SparkSession, dir: String): DataFrame = {
+    val withWs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+    val grams = transform(sequence(lit(1), size(col("ws")) - 4), i =>
+      concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2), element_at(col("ws"), i + 3),
+        element_at(col("ws"), i + 4)))
+    val g = withWs.select(col("doc_id"),
+      explode(array_distinct(grams)).as("gram"))
+    val keep = g
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") <= 20)
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val shared = keep.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    val j = shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    val h = col("shared") * 20000L + col("n_a")
+    val d2 = col("n_a") * 2L
+    j.select(col("doc_a"), col("doc_b"), col("n_a"), col("shared"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q155ContainmentSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, ws FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 5),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' ||
+      |      ws[pos+3] || ' ' || ws[pos+4] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS pos
+      |        FROM w)),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |keep AS (
+      |  SELECT doc_id, gram FROM
+      |    (SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+      |     FROM g)
+      |  WHERE df <= 20),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM keep GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM keep a JOIN keep b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(*) >= 3)
+      |SELECT s.doc_a, s.doc_b, z.n_a, s.shared,
+      |  ((s.shared * 20000 + z.n_a) // (z.n_a * 2)) / 10000.0 AS containment
+      |FROM shared s JOIN sizes z ON s.doc_a = z.doc_id
+      |WHERE ((s.shared * 20000 + z.n_a) // (z.n_a * 2)) / 10000.0 >= 0.5
+      |ORDER BY s.doc_a, s.doc_b""".stripMargin
 }

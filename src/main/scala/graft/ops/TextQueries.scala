@@ -770,4 +770,70 @@ object TextQueries {
       |    / SUM(n), 4) AS coverage_top1000
       |FROM occ JOIN ranked USING (w)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** First-occurrence n-gram novelty — for each document, the fraction
+    * of its distinct word 3-grams never seen in any EARLIER document
+    * (by doc_id, the corpus's ingest order). This is the running-
+    * novelty signal a curation pipeline uses to spot boilerplate waves
+    * (novelty collapses when a template floods the crawl) and to
+    * prioritize genuinely-new text in data mixing; the complement of
+    * q87's contamination (which screens against a fixed held-out set,
+    * not the corpus's own past).
+    *
+    * Parity: "novel" = this doc IS the minimum doc_id holding the
+    * gram — an exact integer min, no timestamps; the fraction uses the
+    * exact half-up integer division from q100/q46 so no double ever
+    * hits a rounding boundary. Per-doc grams are deduped inside the
+    * array (array_distinct before explode — no extra shuffle).
+    *
+    * Scale: one gram-keyed window (min over the partition) + one
+    * doc-keyed agg — two shuffles of the distinct (doc, gram) pairs;
+    * no joins, no pairwise anything. The gram shuffle is the inverted
+    * index's natural build, identical to q100/q116's backbone. */
+  def q154NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val withWs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val grams = transform(sequence(lit(1), size(col("ws")) - 2), i =>
+      concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2)))
+    val g = withWs.select(col("doc_id"),
+      explode(array_distinct(grams)).as("gram"))
+    val per = g
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("gram")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val h = col("n_novel") * 20000L + col("n_grams")
+    val d2 = col("n_grams") * 2L
+    per.select(col("doc_id"), col("n_grams"), col("n_novel"),
+      (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val q154NgramNoveltySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, ws FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS pos
+      |        FROM w)),
+      |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |t AS (
+      |  SELECT doc_id, gram,
+      |    MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+      |  FROM g),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_novel
+      |  FROM t GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_novel,
+      |  ((n_novel * 20000 + n_grams) // (n_grams * 2)) / 10000.0 AS novelty
+      |FROM per ORDER BY doc_id""".stripMargin
 }
