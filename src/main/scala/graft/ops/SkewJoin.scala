@@ -50,13 +50,24 @@ object SkewJoin {
     * sub-keys. Output columns = left columns then right columns minus
     * its join key, like a plain `join(right, key)`. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-      buckets: Int, hotShare: Double = 1.0 / 64): DataFrame = {
+      buckets: Int, hotShare: Double = 1.0 / 64): DataFrame =
+    saltedInnerJoinWithHotKeys(left, right, key, buckets,
+      hotKeys(left, key, hotShare))
+
+  /** [[saltedInnerJoin]] with a caller-supplied hot-key set (as
+    * strings), skipping the detection scan. The production form when
+    * the hot keys are already known — from a previous run's sketch, a
+    * maintained key-frequency table, or domain knowledge — so the
+    * detect pass's extra read of `left` is paid once, not per join.
+    * Passing a cold or absent key is harmless (it is salted without
+    * need / matches nothing); MISSING a genuinely hot key silently
+    * routes it down the plain path, so prefer the detecting overload
+    * unless the supplied set's provenance is trusted. */
+  def saltedInnerJoinWithHotKeys(left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, hot: Seq[String]): DataFrame = {
     require(buckets > 1, "salting needs at least 2 buckets")
-    require(hotShare > 0 && hotShare <= 1,
-      s"hotShare must be in (0, 1], got $hotShare")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "inputs already have a __salt column; rename it before salting")
-    val hot = hotKeys(left, key, hotShare)
     if (hot.isEmpty) return left.join(right, Seq(key), "inner")
     val isHotL = col(key).cast("string").isInCollection(hot)
     val isHotR = right(key).cast("string").isInCollection(hot)
@@ -80,6 +91,8 @@ object SkewJoin {
     * ≤ capacity entries — never a full key histogram. */
   private[graft] def hotKeys(left: DataFrame, key: String,
       hotShare: Double): Seq[String] = {
+    require(hotShare > 0 && hotShare <= 1,
+      s"hotShare must be in (0, 1], got $hotShare")
     val capacity = math.max(64, math.ceil(4.0 / hotShare).toInt)
     val mg = udaf(new HeavyHittersAgg(capacity))
     val row = left.select(col(key).cast("string").as("__k"))

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event record as it arrives on the stream — mirrors the `events`
   * fixture schema (FIXTURES.md) minus the JSON props column. */
@@ -20,6 +20,12 @@ private case class FunnelState(signupUs: Long, converted: Boolean)
 
 case class EwmaPoint(user_id: Long, ts: Timestamp, value: Double,
     ewma: Double)
+
+/** A closed session: [start, end] span and its event count (T6 timers). */
+case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+    n_events: Long)
+
+private case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
 /** Structured Streaming operators T1–T7 + J12 (SURVEY.md §2.9). Batch
   * parity forms live in `graft.ops.EventQueries`; these take a streaming
@@ -325,6 +331,86 @@ object StreamOps {
     implicit val outEnc = Encoders.product[EwmaPoint]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new EwmaProcessor(alpha), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Exact-µs epoch back to a µs-precision Timestamp. */
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Event-time SESSION aggregation with TIMER-driven emission — the
+    * capability `session_window` cannot give: a session is emitted the
+    * moment the WATERMARK proves it over (last event + gap has passed),
+    * per key, with arbitrary per-session state, not only at the next
+    * aggregation flush. Two close paths, identical semantics:
+    *
+    *  - in-data close: a new event for the key arrives more than `gap`
+    *    after the stored last event → the old session emits
+    *    immediately and the new one opens (same fold as q59's batch
+    *    gaps-and-islands, at exact-µs precision);
+    *  - timer close: no further event arrives; the event-time timer
+    *    re-armed at (last + gap) fires once the watermark passes it
+    *    and emits the open session, clearing state.
+    *
+    * One pending timer per key (old timers are deleted before
+    * re-arming), so state store timer volume is O(active keys). A
+    * defensive staleness guard in the expiry handler ignores a timer
+    * that predates the stored session's current horizon — harmless
+    * belt-and-braces given the delete+re-arm discipline. */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
+        val us = tsMicros(r.ts)
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1))
+          case Some(s) =>
+            out += SessionOut(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n)
+            cur = Some(SessionState(us, us, 1L))
+          case None =>
+            cur = Some(SessionState(us, us, 1L))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.floorDiv(s.lastUs + gapUs, 1000L) + 1L)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      // staleness guard: a timer armed for an earlier horizon must not
+      // close a session that newer events have since extended
+      if (expiredTimerInfo.getExpiryTimeInMs() <
+          math.floorDiv(s.lastUs + gapUs, 1000L) + 1L) return Iterator.empty
+      st.clear()
+      Iterator.single(SessionOut(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n))
+    }
+  }
+
+  /** Session aggregation through `transformWithState` with event-time
+    * timers. `delayThreshold` is the watermark lateness bound on `ts`;
+    * sessions close `gap` after their last event (watermark time). */
+  def sessionsTws(events: Dataset[Ev], gapUs: Long,
+      delayThreshold: String): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    events.withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime(),
         OutputMode.Append())
   }
 }

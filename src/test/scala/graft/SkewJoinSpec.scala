@@ -56,6 +56,23 @@ class SkewJoinSpec extends SparkSpec {
     assert(saltsUsed >= 6, s"hot key landed in only $saltsUsed of 8 buckets")
   }
 
+  test("caller-supplied hot keys skip detection but route identically") {
+    import spark.implicits._
+    val left = ((1 to 300).map(i => (7L, i)) ++ (1 to 30).map(i => (i.toLong + 100, i)))
+      .toDF("k", "v")
+    val right = (Seq(7L) ++ (101L to 130L)).map(k => (k, s"d$k")).toDF("k", "d")
+    val plain = left.join(right, Seq("k"), "inner")
+    val supplied = SkewJoin.saltedInnerJoinWithHotKeys(left, right, "k",
+      buckets = 4, hot = Seq("7"))
+    val detected = SkewJoin.saltedInnerJoin(left, right, "k", buckets = 4)
+    assert(supplied.exceptAll(plain).isEmpty && plain.exceptAll(supplied).isEmpty)
+    assert(detected.exceptAll(supplied).isEmpty && supplied.exceptAll(detected).isEmpty)
+    // a cold (or absent) key in the supplied set is harmless
+    val overSupplied = SkewJoin.saltedInnerJoinWithHotKeys(left, right, "k",
+      buckets = 4, hot = Seq("7", "101", "999999"))
+    assert(overSupplied.exceptAll(plain).isEmpty && plain.exceptAll(overSupplied).isEmpty)
+  }
+
   test("over-selection is harmless: tiny hotShare salts everything, parity still holds") {
     import spark.implicits._
     val left = (1L to 50L).flatMap(k => Seq((k, "a"), (k, "b"))).toDF("k", "tag")

@@ -402,6 +402,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    val q = StreamOps.sessionsTws(in.toDS(), gapUs = 30L * 60 * 1000000,
+        delayThreshold = "0 seconds")
+      .writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws").isEmpty,
+        "no session may close before the watermark proves the gap")
+      // u1's 11:00 event closes the 10:00–10:10 session IN-DATA (50 min
+      // gap); the watermark moving to 11:00 fires u2's 10:35 timer
+      in.addData(Ev(4, ts("2024-01-01 11:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val mid = spark.table("sess_tws")
+        .select("user_id", "start", "end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(mid == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)),
+        s"expected one in-data close and one timer close, got $mid")
+      // a far-future event (any key) pushes the watermark past u1's
+      // 11:30 horizon → the open 11:00 session closes by TIMER
+      in.addData(Ev(5, ts("2024-01-01 23:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("sess_tws")
+        .select("user_id", "start", "end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(fin.contains((1L, ts("2024-01-01 11:00:00"),
+        ts("2024-01-01 11:00:00"), 1L)),
+        s"open session must close once the watermark passes last+gap: $fin")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("t-digest sketch aggregates inside a windowed streaming query") {
     // the mergeable-sketch contract doing streaming duty: quantile state
     // per (type, window) is O(delta) centroids, merged across batches by
