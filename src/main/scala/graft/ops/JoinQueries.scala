@@ -699,4 +699,57 @@ object JoinQueries {
       |WHERE l.pc > d.avg_pc
       |GROUP BY l.l_returnflag, l.l_linestatus
       |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin
+
+  /** Incremental JOIN maintenance — the delta decomposition behind
+    * every materialized join view (DBSP / differential-dataflow
+    * algebra): with A = A₀ ∪ ΔA and B = B₀ ∪ ΔB,
+    *
+    *   A ⋈ B = (A₀⋈B₀) ∪ (A₀⋈ΔB) ∪ (ΔA⋈B₀) ∪ (ΔA⋈ΔB)
+    *
+    * so refreshing a join view needs only the three delta terms — the
+    * base⋈base term is yesterday's materialization, never recomputed.
+    * Here both fact sides split on a 1996-01-01 cutoff (lineitem by
+    * ship date, orders by order date), the Spark plan computes the
+    * FOUR-WAY union explicitly, and the oracle states the plain join —
+    * the hash gate proves the decomposition lossless, the q139/q153
+    * "oracle = semantics, plan = rewrite" pattern applied to view
+    * maintenance. q136 is the aggregation half of the same story
+    * (merge of partials); this is the join half.
+    *
+    * At 100 TB the point is the delta terms' size: ΔA⋈B₀ and A₀⋈ΔB
+    * shuffle |Δ| against a bucketed base (zero-exchange if both sides
+    * are bucketed on the key, L71), and ΔA⋈ΔB is delta-sized on both
+    * sides — the full-fact reshuffle never happens on refresh.
+    *
+    * Parity: cents exact (q132); groups are (priority, order-year) so
+    * the output differs from q139's single-dimension agg. */
+  def q156IncrJoin(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-01-01").cast("date")
+    val l = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("ok"), col("l_shipdate"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"))
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("ok"), col("o_orderpriority"),
+      year(col("o_orderdate")).as("oyear"))
+    val lBase = l.filter(col("l_shipdate") < cutoff)
+    val lDelta = l.filter(col("l_shipdate") >= cutoff)
+    val oBase = o.filter(col("oyear") < 1996)
+    val oDelta = o.filter(col("oyear") >= 1996)
+    val joined = lBase.join(oBase, "ok")
+      .unionByName(lBase.join(oDelta, "ok"))
+      .unionByName(lDelta.join(oBase, "ok"))
+      .unionByName(lDelta.join(oDelta, "ok"))
+    joined.groupBy("o_orderpriority", "oyear")
+      .agg(count(lit(1)).as("n_items"), sum("pc").as("rev_cents"))
+      .orderBy("o_orderpriority", "oyear")
+  }
+
+  val q156IncrJoinSql: String =
+    """SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INTEGER) AS oyear,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, YEAR(o_orderdate)
+      |ORDER BY o_orderpriority, oyear""".stripMargin
 }
