@@ -177,4 +177,39 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(h(1L).get, h(4L).get) >= 16,
       s"different images must be far, got ${ham(h(1L).get, h(4L).get)}")
   }
+
+  test("binaryFile source ingests an image directory straight into the decode pipeline") {
+    // the ingest path a multimodal lake starts from: files on disk →
+    // binaryFile scan (path, modificationTime, length, content) → the
+    // same decode kernels that serve parquet-resident payloads. The
+    // source supports pathGlobFilter pushdown, so non-image junk never
+    // leaves the scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toFile
+    try {
+      def write(name: String, w: Int, h: Int): Unit = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x336699)
+        javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name))
+      }
+      write("a.png", 8, 6)
+      write("b.png", 12, 3)
+      java.nio.file.Files.write(new java.io.File(dir, "junk.txt").toPath,
+        "not an image".getBytes)
+      val files = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(dir.getAbsolutePath)
+      assert(files.count() == 2, "glob filter must drop the junk file")
+      assert(files.columns.toSet ==
+        Set("path", "modificationTime", "length", "content"))
+      val dims = Multimodal.decodeImages(
+          files.select(col("path"), col("content").as("media")), "media")
+        .select("img_width", "img_height").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(dims == Set((8, 6), (12, 3)),
+        s"decoded dimensions must match what was written: $dims")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
 }
