@@ -752,4 +752,47 @@ object JoinQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority, YEAR(o_orderdate)
       |ORDER BY o_orderpriority, oyear""".stripMargin
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * variant where NULL keys MATCH each other instead of silently
+    * dropping: per-(nation, segment) customer counts joined to
+    * per-segment balance totals where the segment key is genuinely
+    * nullable (BUILDING is nulled out, the "unknown segment" bucket
+    * every cleaned feed has). A plain inner join would lose every
+    * unknown-segment row — exactly the silent data loss this operator
+    * exists to prevent; the oracle's IS NOT DISTINCT FROM pins the
+    * match semantics.
+    *
+    * Parity: the NULL-last/NULL-first divergence between engines is
+    * neutralized with an explicit NULLS FIRST in the oracle's ORDER BY
+    * (Spark's default asc = nulls first; DuckDB's = nulls last).
+    * Cents exact (q132).
+    *
+    * Scale: two map-side-combinable aggs off one shared scan + a
+    * broadcast-sized (≤ segments+1 rows) join build — the null-safe
+    * condition plans as a normal hash join on a null-tolerant key. */
+  def q157NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey"),
+      expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("bal"))
+    val a = c.groupBy("c_nationkey", "seg").agg(count(lit(1)).as("n_cust"))
+    val b = c.groupBy("seg").agg(sum("bal").as("tot_cents"))
+      .withColumnRenamed("seg", "seg_b")
+    a.join(broadcast(b), a("seg") <=> b("seg_b"), "inner")
+      .select(col("c_nationkey"), col("seg"), col("n_cust"), col("tot_cents"))
+      .orderBy(col("c_nationkey"), col("seg").asc_nulls_first)
+  }
+
+  val q157NullsafeJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |a AS (SELECT c_nationkey, seg, COUNT(*) AS n_cust
+      |      FROM c GROUP BY c_nationkey, seg),
+      |b AS (SELECT seg, CAST(SUM(bal) AS BIGINT) AS tot_cents
+      |      FROM c GROUP BY seg)
+      |SELECT a.c_nationkey, a.seg, a.n_cust, b.tot_cents
+      |FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+      |ORDER BY a.c_nationkey, a.seg NULLS FIRST""".stripMargin
 }
