@@ -105,6 +105,31 @@ object StreamOps {
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** [[purchasesWithRecentViews]] as a LEFT OUTER stream-stream join —
+    * the attribution completeness case: every purchase must surface,
+    * view-attributed or not. Outer stream-stream is the semantically
+    * loaded variant: an unmatched left row CANNOT emit when it
+    * arrives (a matching view may still come), so the engine holds it
+    * in join state and emits the null-padded row only once the
+    * watermark proves the match window closed. Same event-time range
+    * condition + both-sides watermark as the inner form — that bound
+    * is what makes the state (and the null-emission decision) finite. */
+  def purchasesWithRecentViewsOuter(purchases: DataFrame, views: DataFrame,
+      horizon: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   /** T7+ production sink pattern: `foreachBatch` upsert into a parquet
     * "table" — each micro-batch merges keep-latest-per-key into the
     * current snapshot (read → full-outer-style coalesce via the q70

@@ -139,6 +139,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join null-pads unmatched purchases only after the watermark closes the window") {
+    val vIn = newStream()
+    val pIn = newStream()
+    val q = StreamOps.purchasesWithRecentViewsOuter(
+        pIn.toDF().filter(col("event_type") === "purchase"),
+        vIn.toDF().filter(col("event_type") === "view"),
+        horizon = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").start()
+    try {
+      vIn.addData(Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0))
+      pIn.addData(
+        Ev(20, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0), // matched
+        Ev(21, ts("2024-01-01 10:30:00"), 2, "purchase", 5.0)) // no view yet
+      q.processAllAvailable()
+      val matched = spark.table("ss_join_outer")
+        .select("purchase_id", "view_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(matched.get(20L).flatten.contains(10L))
+      assert(!matched.contains(21L),
+        "an unmatched purchase must NOT emit while a view could still arrive")
+      // advance both watermarks far past purchase 21's match window —
+      // the engine can now prove no view will pair with it
+      vIn.addData(Ev(30, ts("2024-01-01 13:00:00"), 9, "view", 1.0))
+      pIn.addData(Ev(31, ts("2024-01-01 13:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("ss_join_outer")
+        .select("purchase_id", "view_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(fin.get(21L).exists(_.isEmpty),
+        s"the unmatched purchase must surface null-padded once provably final: $fin")
+    } finally q.stop()
+  }
+
   test("T6 via transformWithState (Spark 4 API) matches the funnel semantics") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
