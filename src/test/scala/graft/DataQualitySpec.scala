@@ -41,4 +41,24 @@ class DataQualitySpec extends SparkSpec {
       4L -> Set("nonneg_balance", "tagged")))
     assert(!good.columns.contains("_violations"), "clean rows drop the tag column")
   }
+
+  test("observed metrics ride the job's own pass — no second scan") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    val (instrumented, obs) = graft.ops.DataQuality.observed(
+      li.filter(col("l_quantity") > 0), "etl",
+      Seq(
+        "rows" -> count(lit(1)),
+        "null_ship" -> count(when(col("l_shipdate").isNull, 1)),
+        "sum_qty" -> sum(col("l_quantity"))))
+    // downstream transformations continue from the instrumented frame;
+    // ONE action drives both the result and the metrics
+    val kept = instrumented.filter(col("l_discount") <= 0.1).count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == li.count(),
+      s"observe must count the pre-filter pass: $m")
+    assert(m("null_ship").asInstanceOf[Long] == 0L)
+    assert(m("sum_qty").asInstanceOf[Double] > 0.0)
+    assert(kept > 0 && kept <= m("rows").asInstanceOf[Long])
+  }
 }
