@@ -244,4 +244,30 @@ object Graft {
     ops.QualityClassifier.train(docs, dim, iters, lr)
   def qualityScore(text: Column, m: ops.QualityClassifier.Model): Column =
     ops.QualityClassifier.score(text, m)
+
+  /** Two-path salted join with a caller-supplied hot-key set (skips
+    * the detection scan — see SkewJoin scaladoc). */
+  def saltedJoinWithHotKeys(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int, hotKeys: Seq[String]): DataFrame =
+    ops.SkewJoin.saltedInnerJoinWithHotKeys(left, right, key, buckets, hotKeys)
+
+  /** Exact distributed PCA (round 7): fit / project / total variance. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): ops.Pca.PcaModel =
+    ops.Pca.fit(df, vecCol, k)
+  def pcaProject(df: DataFrame, vecCol: String, model: ops.Pca.PcaModel,
+      outCol: String = "pca"): DataFrame =
+    ops.Pca.project(df, vecCol, model, outCol)
+  def pcaTotalVariance(df: DataFrame, vecCol: String): Double =
+    ops.Pca.totalVariance(df, vecCol)
+
+  /** MMR diversified retrieval (round 7). */
+  def mmrTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, lambda: Double = 0.7,
+      poolSize: Int = 100): Seq[(Long, Double, Double)] =
+    ops.Mmr.diversifiedTopK(df, vecCol, idCol, query, k, lambda, poolSize)
+
+  /** One-pass observed ETL metrics (round 7). */
+  def observed(df: DataFrame, name: String, metrics: Seq[(String, Column)])
+      : (DataFrame, org.apache.spark.sql.Observation) =
+    ops.DataQuality.observed(df, name, metrics)
 }
