@@ -314,4 +314,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"nested-loop plans outside the allowlist:\n${offenders.mkString("\n")}")
   }
+
+  test("q139/q153: the two-path salted join pays replication ONLY under skew") {
+    // q139's join key has no hot key → the degenerate plain-join plan:
+    // no Generate (explode) node may appear anywhere
+    val cold = planOf("q139_salted_join")
+    assert(!cold.contains("Generate"),
+      s"skew-free q139 must not plan a replicating explode:\n$cold")
+    // q153's key IS hot (every l_returnflag above 1/64 share) → the
+    // hot path must be taken: a Generate(explode) for the right-side
+    // replication and a Union stitching hot+cold branches
+    val hot = planOf("q153_skew_attribution")
+    assert(hot.contains("Generate") && hot.contains("Union"),
+      s"q153 must route through the salted (explode + union) path:\n$hot")
+  }
 }
