@@ -510,4 +510,80 @@ object DedupQueries {
       |FROM shared s JOIN sizes z ON s.doc_a = z.doc_id
       |WHERE ((s.shared * 20000 + z.n_a) // (z.n_a * 2)) / 10000.0 >= 0.5
       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
+  /** Weighted Jaccard similarity join — Σ min(tf_A, tf_B) /
+    * Σ max(tf_A, tf_B) over word term-frequency vectors: the
+    * multiset-overlap semantic between L4's SET Jaccard (a word
+    * repeated 40× counts once) and L61's cosine (repeats count
+    * quadratically). This is the histogram-intersection similarity a
+    * curation pipeline wants for template detection, where repeat
+    * structure IS the signal but shouldn't be squared.
+    *
+    * Identity Σmax = |A| + |B| − Σmin turns the pair score into
+    * shared-term work plus two per-doc totals — no union-side
+    * materialization. Vocabulary = words with df ≤ 50 (the stated
+    * semantic, q155's discipline: corpus-wide boilerplate words carry
+    * no pair evidence AND would blow up posting lists); df-1 words
+    * still count in the totals, voting against similarity.
+    *
+    * Parity: tf/min/totals are exact int64; the score is the q100
+    * half-up integer division. Scale: posting-list equi-join with
+    * ≤ C(50,2) fan-out per term + pair hash-agg + two broadcast-shape
+    * size joins — the q135 backbone with LEAST instead of products. */
+  def q158WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val kept = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")))
+      .filter(col("df") <= 50)
+    val totals = kept.groupBy("doc_id").agg(sum("tf").as("tot"))
+    val smin = kept.select(col("doc_id").as("d1"), col("w"), col("tf").as("tf1"))
+      .join(kept.select(col("doc_id").as("d2"), col("w"), col("tf").as("tf2")), "w")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum(least(col("tf1"), col("tf2"))).as("smin"))
+    val j = smin
+      .join(totals.select(col("doc_id").as("d1"), col("tot").as("tot1")), "d1")
+      .join(totals.select(col("doc_id").as("d2"), col("tot").as("tot2")), "d2")
+      .withColumn("den", col("tot1") + col("tot2") - col("smin"))
+    val h = col("smin") * 20000L + col("den")
+    val d2x = col("den") * 2L
+    j.select(col("d1"), col("d2"), col("smin"), col("den"),
+        (((h - pmod(h, d2x)) / d2x).cast("long") / 10000.0).as("wjac"))
+      .filter(col("wjac") >= 0.3)
+      .orderBy("d1", "d2")
+  }
+
+  val q158WeightedJaccardSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY doc_id, w),
+      |kept AS (
+      |  SELECT doc_id, w, tf FROM
+      |    (SELECT doc_id, w, tf, COUNT(*) OVER (PARTITION BY w) AS df
+      |     FROM tf)
+      |  WHERE df <= 50),
+      |totals AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot
+      |  FROM kept GROUP BY doc_id),
+      |smin AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS smin
+      |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |j AS (
+      |  SELECT s.d1, s.d2, s.smin,
+      |    t1.tot + t2.tot - s.smin AS den
+      |  FROM smin s
+      |  JOIN totals t1 ON s.d1 = t1.doc_id
+      |  JOIN totals t2 ON s.d2 = t2.doc_id)
+      |SELECT d1, d2, smin, den,
+      |  ((smin * 20000 + den) // (den * 2)) / 10000.0 AS wjac
+      |FROM j
+      |WHERE ((smin * 20000 + den) // (den * 2)) / 10000.0 >= 0.3
+      |ORDER BY d1, d2""".stripMargin
 }

@@ -123,4 +123,40 @@ class EndToEndSpec extends SparkSpec {
     assert(toked.filter(col("rejoined") =!= col("text")).count() == 0,
       "concatenating tokens must reconstruct every document verbatim")
   }
+
+  test("retrieval pipeline: PCA compress → IVF index → MMR rerank") {
+    import graft.ops.{AnnIvf, Mmr, Pca}
+    val emb = Tables.embeddings(spark, sf0001)
+    // 64-d → 16-d data-dependent compression; the index and all
+    // downstream similarity work run in the compressed space
+    val model = Pca.fit(emb, "embedding", 16)
+    val compressed = Pca.project(emb, "embedding", model)
+      .select(col("vec_id"),
+        transform(col("pca"), _.cast("float")).as("cvec"))
+      .cache()
+    val ivf = AnnIvf.train(compressed, "cvec", "vec_id", k = 8, iters = 3)
+    val assigned = AnnIvf.assign(compressed, "cvec", ivf)
+    assert(assigned.select("cid").distinct().count() > 1,
+      "IVF must spread the compressed corpus over buckets")
+    // query with the first vector's compressed form; rerank with MMR
+    val q = compressed.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val picks = Mmr.diversifiedTopK(compressed, "cvec", "vec_id", q,
+      k = 10, lambda = 0.7, poolSize = 50)
+    assert(picks.size == 10 && picks.map(_._1).distinct.size == 10)
+    // the top pick must be the compressed-space cosine argmax (the
+    // query vector itself, id 0's row) and relevance ≈ 1
+    val brute = compressed
+      .withColumn("sim", graft.functions.SimFns.cosineSim(col("cvec"),
+        typedlit(q.toSeq)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .select("vec_id").limit(20).collect().map(_.getLong(0))
+    assert(picks.head._1 == brute.head, "MMR pick 1 must be the cosine argmax")
+    assert(math.abs(picks.head._2 - 1.0) < 1e-6)
+    // λ=0.7 still favors relevance: most picks come from the brute
+    // top-20 of the same space, but diversity may swap in outsiders
+    val overlap = picks.map(_._1).count(brute.toSet)
+    assert(overlap >= 5, s"only $overlap/10 MMR picks in brute top-20")
+    compressed.unpersist()
+    ()
+  }
 }
