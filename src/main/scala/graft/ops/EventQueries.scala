@@ -709,4 +709,78 @@ object EventQueries {
       |  ROUND(CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0)) AS DOUBLE)
       |    / CAST(SUM(e - s) AS BIGINT), 4) AS coverage
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Weekly growth accounting — the canonical engagement decomposition
+    * every growth dashboard leads with: each active (user, week) is
+    * exactly one of NEW (first week ever), RETAINED (also active the
+    * immediately-preceding calendar week) or RESURRECTED (returning
+    * after a gap); CHURNED(w) = active(w−1) − retained(w), the users
+    * the previous week lost. Identity n_active = n_new + n_retained +
+    * n_resurrected holds by construction — the oracle hash pins it.
+    * q109's cohort matrix slices the same activity by cohort age;
+    * q152's DAU/WAU is the rolling-window view; this is the
+    * week-over-week flow decomposition.
+    *
+    * Parity: weeks are `date_trunc('week')` (both engines anchor
+    * Monday) cast to DATE; "previous week" is exact date arithmetic
+    * (wk − 7 days), so sparse weeks classify correctly; counts exact
+    * int64; first week's churn is NULL in both engines (LAG off the
+    * edge).
+    *
+    * Scale: one distinct over (user, week) + per-user window (both on
+    * the same user shuffle) + a week-keyed map-side agg; the final
+    * LAG runs over the week-count-bounded aggregate, not fact rows. */
+  def q159GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val byU = Window.partitionBy("user_id").orderBy("wk")
+    val cls = uw
+      .withColumn("first_wk", min("wk").over(Window.partitionBy("user_id")))
+      .withColumn("prev_wk", lag(col("wk"), 1).over(byU))
+      .withColumn("cls",
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("prev_wk") === date_sub(col("wk"), 7), "retained")
+          .otherwise("resurrected"))
+    val weekly = cls.groupBy("wk").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    weekly
+      .withColumn("n_churned",
+        lag(col("n_active"), 1).over(Window.orderBy("wk")) - col("n_retained"))
+      .orderBy("wk")
+  }
+
+  val q159GrowthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+      |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      |  FROM uw),
+      |cls AS (
+      |  SELECT wk,
+      |    CASE WHEN wk = first_wk THEN 'new'
+      |         WHEN prev_wk = wk - 7 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM c),
+      |weekly AS (
+      |  SELECT wk, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_resurrected
+      |  FROM cls GROUP BY wk)
+      |SELECT wk, n_active, n_new, n_retained, n_resurrected,
+      |  LAG(n_active) OVER (ORDER BY wk) - n_retained AS n_churned
+      |FROM weekly ORDER BY wk""".stripMargin
 }
