@@ -813,6 +813,75 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary drift as an EXACT total-variation distance — the
+    * corpus-shift monitor for text: TV(P, Q) = ½·Σ_w |p_w − q_w|
+    * between the word distributions of two corpus slices (here the
+    * even/odd doc_id halves per language — the SPLIT-HALF form, which
+    * measures the sampling-noise floor that any real temporal/source
+    * drift must exceed to mean anything; q146's PSI is the numeric-
+    * feature counterpart).
+    *
+    * The parity trick is the whole point: a naive Σ of double
+    * |c1/n1 − c2/n2| terms is an ORDER-DEPENDENT float sum (FIXTURES
+    * hazard 2 — Spark partial aggregation vs DuckDB's sequential fold
+    * disagree in the last bits). Rewriting each term over the common
+    * denominator, |p − q| = |c1·n2 − c2·n1| / (n1·n2), makes the
+    * numerator an exact int64 the engines sum identically in any
+    * order; ONE half-up integer division at the end produces the
+    * 4-decimal TV. Bounds: Σ|c1·n2 − c2·n1| ≤ 2·n1·n2 (~2×10⁹ at
+    * sf0.1) and the half-up form multiplies by 2×10⁴ — comfortably
+    * int64 through ~SF100, DECIMAL(38,0) is the documented swap above.
+    *
+    * Scale: explode → (lang, word) map-side-combinable count (the
+    * §2.8 backbone), a lang-partition window for totals over
+    * vocab-sized rows, one ≤|langs|-group agg. */
+  def q160VocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), (pmod(col("doc_id"), lit(2)) === 0).as("h1"),
+        explode(split(col("text"), " ")).as("w"))
+    val wc = tok.groupBy("lang", "w").agg(
+      sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+    val byLang = Window.partitionBy("lang")
+    val wt = wc
+      .withColumn("n1", sum("c1").over(byLang))
+      .withColumn("n2", sum("c2").over(byLang))
+      .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+    val agg = wt.groupBy("lang").agg(
+      max("n1").as("n1"), max("n2").as("n2"),
+      count(lit(1)).as("n_vocab"), sum("num").as("s"))
+    val den = col("n1") * col("n2") * 2L
+    val h = col("s") * 20000L + den
+    agg.select(col("lang"), col("n1"), col("n2"), col("n_vocab"),
+        (((h - pmod(h, den * 2L)) / (den * 2L)).cast("long") / 10000.0)
+          .as("tv_dist"))
+      .orderBy("lang")
+  }
+
+  val q160VocabDriftSql: String =
+    """WITH tok AS (
+      |  SELECT lang, (doc_id % 2 = 0) AS h1,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wc AS (
+      |  SELECT lang, w,
+      |    CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM tok GROUP BY lang, w),
+      |wt AS (
+      |  SELECT lang, c1, c2,
+      |    CAST(SUM(c1) OVER (PARTITION BY lang) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER (PARTITION BY lang) AS BIGINT) AS n2
+      |  FROM wc),
+      |agg AS (
+      |  SELECT lang, MAX(n1) AS n1, MAX(n2) AS n2,
+      |    COUNT(*) AS n_vocab,
+      |    CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS s
+      |  FROM wt GROUP BY lang)
+      |SELECT lang, n1, n2, n_vocab,
+      |  ((s * 20000 + n1 * n2 * 2) // (n1 * n2 * 4)) / 10000.0 AS tv_dist
+      |FROM agg ORDER BY lang""".stripMargin
+
   val q154NgramNoveltySql: String =
     """WITH w AS (
       |  SELECT doc_id, ws FROM
