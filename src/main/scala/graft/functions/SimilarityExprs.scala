@@ -143,6 +143,61 @@ object SimilarityKernels {
     new GenericArrayData(out)
   }
 
+  /** Jaro–Winkler similarity — the standard name-matching metric:
+    * Jaro (match window ⌊max/2⌋−1, half-transpositions) plus the
+    * Winkler prefix boost ℓ·0.1·(1−j) applied only when j ≥ 0.7 with
+    * ℓ = common prefix capped at 4. Parity contract (probed against
+    * DuckDB 1.0 `jaro_winkler_similarity`, pinned in
+    * SimilarityKernelSpec): DuckDB uses exactly this boost-thresholded
+    * form — MARTHA/MARHTA 0.961111, DIXON/DICKSONX 0.813333,
+    * sub-threshold pairs (j < 0.7) get NO boost. Operates on UTF-16
+    * code units (`String#charAt`), which matches DuckDB on the BMP
+    * text the fixtures hold. Both-empty → 1.0; one-empty → 0.0. */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // half-transpositions: matched chars out of relative order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2).toDouble / m) / 3.0
+    if (jaro < 0.7) return jaro
+    var l = 0
+    while (l < math.min(4, math.min(la, lb)) && a.charAt(l) == b.charAt(l))
+      l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
   /** Space-joined adjacent-token pairs; empty when fewer than 2 tokens.
     * Tokenization matches `split(text, " ")` (empty tokens kept). */
   def wordBigrams(text: UTF8String): ArrayData = {
@@ -172,6 +227,26 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
       (a, b) => s"graft.functions.SimilarityKernels.cosineSim($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** jaro_winkler(a, b) of two string columns, fused single pass. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes() = {
+    val l = KernelTypeCheck.stringInput(prettyName, left.dataType)
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
+    else KernelTypeCheck.stringInput(prettyName, right.dataType)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SimilarityKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -263,6 +338,8 @@ object SimFns {
   def sortedLongIntersect(a: Column, b: Column): Column =
     ofExpr(SortedLongIntersectExpr(toExpr(a), toExpr(b)))
   def cosineSim(a: Column, b: Column): Column = ofExpr(CosineSimExpr(toExpr(a), toExpr(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    ofExpr(JaroWinklerExpr(toExpr(a), toExpr(b)))
   def jaccardSim(a: Column, b: Column): Column = ofExpr(JaccardSimExpr(toExpr(a), toExpr(b)))
   def jaccardSortedSim(a: Column, b: Column): Column =
     ofExpr(JaccardSortedSimExpr(toExpr(a), toExpr(b)))

@@ -102,4 +102,28 @@ class SimilarityKernelSpec extends SparkSpec {
       .filter(not(col("fw") <=> col("rw")) || not(col("fc") <=> col("rc")))
     assert(diff.count() === 0)
   }
+
+  test("jaro-winkler kernel matches DuckDB's probed values (6 dp) and its edge rules") {
+    import graft.functions.SimilarityKernels.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // probed against DuckDB 1.0 jaro_winkler_similarity this round —
+    // the same engine the q161 oracle runs, so these six pins ARE the
+    // cross-engine contract
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.961111),      // prefix 3, boost applied
+      ("DIXON", "DICKSONX", 0.813333),     // prefix 2
+      ("JELLYFISH", "SMELLYFISH", 0.896296), // prefix 0 → pure jaro
+      ("DWAYNE", "DUANE", 0.840000),
+      ("CRATE", "TRACE", 0.733333),        // transpositions, prefix 0
+      ("ab", "ac", 0.666667))              // jaro < 0.7 → NO boost
+    cases.foreach { case (a, b, want) =>
+      val got = jw(u(a), u(b))
+      assert(math.abs(got - want) < 5e-7, s"jw($a,$b)=$got, want $want")
+    }
+    assert(jw(u("abc"), u("abc")) == 1.0)
+    assert(jw(u(""), u("")) == 1.0)
+    assert(jw(u(""), u("abc")) == 0.0 && jw(u("a"), u("b")) == 0.0)
+    // symmetry on an asymmetric-length pair
+    assert(jw(u("DIXON"), u("DICKSONX")) == jw(u("DICKSONX"), u("DIXON")))
+  }
 }

@@ -486,6 +486,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T3 session_window aggregates in STREAMING mode with watermark-gated emission") {
+    import spark.implicits._
+    val in = newStream()
+    val q = in.toDF().withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("user_id"), col("n"))
+      .writeStream.format("memory").queryName("t3_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("t3_stream").isEmpty,
+        "append mode may not emit a session the watermark hasn't closed")
+      // 13:00 advances the watermark far past both sessions' gap end
+      in.addData(Ev(4, ts("2024-01-01 13:00:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t3_stream")
+        .select("user_id", "start", "n").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L),
+        (2L, ts("2024-01-01 10:05:00"), 1L)),
+        s"both closed sessions must flush, merged per gap: $rows")
+    } finally q.stop()
+  }
+
   test("t-digest sketch aggregates inside a windowed streaming query") {
     // the mergeable-sketch contract doing streaming duty: quantile state
     // per (type, window) is O(delta) centroids, merged across batches by
