@@ -185,6 +185,19 @@ private[functions] object KernelTypeCheck {
           s"$fn argument ${i + 1} requires array<${elem.simpleString}>, " +
             s"got ${dt.simpleString}")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  /** Each argument independently array<float> OR array<double> — for
+    * kernels that widen to double anyway (cosine), so an fp32 embedding
+    * column and an fp64 one (e.g. a PCA projection) both work. */
+  def floatOrDoubleArray(fn: String, dts: DataType*): TypeCheckResult =
+    dts.zipWithIndex.collectFirst {
+      case (dt, i) if !(dt.isInstanceOf[ArrayType] &&
+          (dt.asInstanceOf[ArrayType].elementType == FloatType ||
+            dt.asInstanceOf[ArrayType].elementType == DoubleType)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} requires array<float> or array<double>, " +
+            s"got ${dt.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
 /** array<bigint> of per-token polynomial hashes of a text column. */

@@ -27,7 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimilarityKernels {
 
   /** Fused cosine over two equal-length float arrays. */
-  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+  def cosineSim(a: ArrayData, b: ArrayData): Double =
+    cosineSim(a, b, false, false)
+
+  /** Element-type-generic form: each side is fp32 or fp64 (`aDouble` /
+    * `bDouble` are analysis-time constants from the column types, so
+    * the JIT folds the branches). fp32 values widen to double exactly —
+    * float inputs produce bit-identical sums to the 2-arg form. */
+  def cosineSim(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): Double = {
     val n = a.numElements()
     var dotAB = 0.0
     var dotAA = 0.0
@@ -37,8 +45,8 @@ object SimilarityKernels {
       // null elements contribute nothing (fixture arrays never hold
       // nulls; SQL callers might)
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
+        val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
         dotAB += x * y
         dotAA += x * x
         dotBB += y * y
@@ -214,17 +222,24 @@ object SimilarityKernels {
   }
 }
 
-/** cosine(a, b) of two float-array columns, fused single pass. */
+/** cosine(a, b) of two fp32/fp64-array columns (each side independently
+  * float or double — a raw embedding and a PCA projection compare
+  * without a cast), fused single pass. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes() =
-    KernelTypeCheck.arrayOf(prettyName, FloatType, left.dataType, right.dataType)
+    KernelTypeCheck.floatOrDoubleArray(prettyName, left.dataType, right.dataType)
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override def nullSafeEval(a: Any, b: Any): Any =
-    SimilarityKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SimilarityKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isDouble(left), isDouble(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.SimilarityKernels.cosineSim($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityKernels.cosineSim($a, $b, ${isDouble(left)}, ${isDouble(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)

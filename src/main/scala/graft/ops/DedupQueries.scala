@@ -20,14 +20,24 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** L3 fuzzy dedup: near-identical part names by edit distance, blocked
-    * on the noun (second token) so only plausible pairs are compared. */
+    * on (noun = second token, length band) — the compound block is part
+    * of the operator contract, mirrored in the oracle (the q49 len_bkt
+    * discipline). A single-token block's pair count grows quadratically
+    * with the number of names per noun; composing an 8-char length band
+    * multiplies the block count by the band fan-out, and a
+    * length-difference prefilter (lev ≤ 4 forces |len_a − len_b| ≤ 4 —
+    * an edit changes the length by at most 1) prunes the survivors
+    * BEFORE the O(len²) levenshtein kernel runs. Shrinkage is pinned by
+    * DedupBlockingSpec on a deliberately single-noun fixture. */
   def q48FuzzyNames(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir).select(col("p_name")).distinct()
       .withColumn("noun", element_at(split(col("p_name"), " "), 2))
-    val a = names.select(col("p_name").as("name_a"), col("noun"))
-    val b = names.select(col("p_name").as("name_b"), col("noun"))
-    a.join(b, "noun")
+      .withColumn("len_bkt", (length(col("p_name")) / 8).cast("long"))
+    val a = names.select(col("p_name").as("name_a"), col("noun"), col("len_bkt"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"), col("len_bkt"))
+    a.join(b, Seq("noun", "len_bkt"))
       .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 4)
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("lev") <= 4)
       .select("name_a", "name_b", "lev")
@@ -41,6 +51,8 @@ object DedupQueries {
       |  FROM (SELECT DISTINCT p_name FROM part) a
       |  JOIN (SELECT DISTINCT p_name FROM part) b
       |    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+      |   AND length(a.p_name) // 8 = length(b.p_name) // 8
+      |   AND abs(length(a.p_name) - length(b.p_name)) <= 4
       |   AND a.p_name < b.p_name)
       |WHERE lev <= 4 ORDER BY name_a, name_b""".stripMargin
 
@@ -600,15 +612,25 @@ object DedupQueries {
     *
     * Parity: jw is one double both engines derive from identical
     * integer (m, t, ℓ, lengths) tuples; ROUND(…, 4) and a 0.93
-    * threshold sit far from any observed boundary. Scale: the q48
-    * noun block bounds candidates; the kernel is a per-pair map. */
+    * threshold sit far from any observed boundary.
+    *
+    * Scale: compound (noun, 8-char length band) block — the q48/q49
+    * contract — plus an exact length-RATIO prefilter before the kernel:
+    * jw ≥ 0.93 at max prefix boost ℓ=4 forces jaro ≥ (0.93−0.4)/0.6,
+    * and jaro ≤ (2 + min/max)/3 (m ≤ min(|a|,|b|), transposition term
+    * ≤ 1), so min·20 ≥ max·13 is a NECESSARY condition — integer
+    * arithmetic, identical in both engines, zero false negatives for
+    * the in-band pairs. */
   def q161JaroNames(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir).select(col("p_name")).distinct()
       .withColumn("noun", element_at(split(col("p_name"), " "), 2))
-    val a = names.select(col("p_name").as("name_a"), col("noun"))
-    val b = names.select(col("p_name").as("name_b"), col("noun"))
-    a.join(b, "noun")
+      .withColumn("len_bkt", (length(col("p_name")) / 8).cast("long"))
+    val a = names.select(col("p_name").as("name_a"), col("noun"), col("len_bkt"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"), col("len_bkt"))
+    a.join(b, Seq("noun", "len_bkt"))
       .filter(col("name_a") < col("name_b"))
+      .filter(least(length(col("name_a")), length(col("name_b"))) * 20 >=
+        greatest(length(col("name_a")), length(col("name_b"))) * 13)
       .withColumn("jw", round(
         graft.functions.SimFns.jaroWinkler(col("name_a"), col("name_b")), 4))
       .filter(col("jw") >= 0.93)
@@ -623,6 +645,9 @@ object DedupQueries {
       |  FROM (SELECT DISTINCT p_name FROM part) a
       |  JOIN (SELECT DISTINCT p_name FROM part) b
       |    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+      |   AND length(a.p_name) // 8 = length(b.p_name) // 8
+      |   AND least(length(a.p_name), length(b.p_name)) * 20
+      |       >= greatest(length(a.p_name), length(b.p_name)) * 13
       |   AND a.p_name < b.p_name)
       |WHERE jw >= 0.93 ORDER BY name_a, name_b""".stripMargin
 }

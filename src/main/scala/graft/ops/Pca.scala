@@ -63,6 +63,14 @@ object Pca {
       .groupBy((col("i0") + 1).as("i")).agg(sum("x").as("sx"))
       .collect().map(r => r.getAs[Number]("i").intValue() -> r.getDouble(1))
       .toMap
+    require(pairs.nonEmpty, s"Pca.fit: no non-null '$vecCol' vectors to fit on")
+    // ragged vector lengths make per-pair counts diverge (a short vector
+    // contributes no (i,j) product for i or j past its end) — fail loudly
+    // rather than compute a covariance with the wrong n
+    val pairCounts = pairs.map(_.getAs[Long]("n")).distinct
+    require(pairCounts.length == 1,
+      s"Pca.fit: ragged '$vecCol' lengths — moment-pair counts differ " +
+        s"(${pairCounts.sorted.mkString(", ")}); all vectors must share one dimension")
     val d = marg.keys.max
     require(k >= 1 && k <= d, s"need 1 <= k <= d=$d, got $k")
     val n = pairs.head.getAs[Long]("n").toDouble

@@ -833,8 +833,10 @@ object TextQueries {
     * int64 through ~SF100, DECIMAL(38,0) is the documented swap above.
     *
     * Scale: explode → (lang, word) map-side-combinable count (the
-    * §2.8 backbone), a lang-partition window for totals over
-    * vocab-sized rows, one ≤|langs|-group agg. */
+    * §2.8 backbone); per-language totals come from a ≤|langs|-row
+    * `groupBy` aggregate BROADCAST-joined back (the q146/q93 pattern)
+    * — not a lang-partition window, which would shuffle the whole
+    * vocabulary onto |langs| reducers; then one ≤|langs|-group agg. */
   def q160VocabDrift(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("lang"), (pmod(col("doc_id"), lit(2)) === 0).as("h1"),
@@ -842,10 +844,9 @@ object TextQueries {
     val wc = tok.groupBy("lang", "w").agg(
       sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
       sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
-    val byLang = Window.partitionBy("lang")
-    val wt = wc
-      .withColumn("n1", sum("c1").over(byLang))
-      .withColumn("n2", sum("c2").over(byLang))
+    val totals = wc.groupBy("lang")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wt = wc.join(broadcast(totals), "lang")
       .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
     val agg = wt.groupBy("lang").agg(
       max("n1").as("n1"), max("n2").as("n2"),

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event record as it arrives on the stream — mirrors the `events`
   * fixture schema (FIXTURES.md) minus the JSON props column. */
@@ -366,64 +366,74 @@ object StreamOps {
     t
   }
 
-  /** Event-time SESSION aggregation with TIMER-driven emission — the
-    * capability `session_window` cannot give: a session is emitted the
-    * moment the WATERMARK proves it over (last event + gap has passed),
-    * per key, with arbitrary per-session state, not only at the next
-    * aggregation flush. Two close paths, identical semantics:
+  /** Event-time SESSION aggregation with TIMER-driven, WATERMARK-GATED
+    * emission — the capability `session_window` cannot give: a session
+    * is emitted the moment the WATERMARK proves it over (last event +
+    * gap has passed), per key, with arbitrary per-session state, not
+    * only at the next aggregation flush.
     *
-    *  - in-data close: a new event for the key arrives more than `gap`
-    *    after the stored last event → the old session emits
-    *    immediately and the new one opens (same fold as q59's batch
-    *    gaps-and-islands, at exact-µs precision);
-    *  - timer close: no further event arrives; the event-time timer
-    *    re-armed at (last + gap) fires once the watermark passes it
-    *    and emits the open session, clearing state.
+    * State is the full set of candidate sessions for the key, open or
+    * gap-separated alike. An incoming event merges into every session
+    * whose span it touches (within `gap` of [start, last]) — so an
+    * allowed-late event can EXTEND a session that a newer event had
+    * already gap-separated, PREPEND to one (startUs moves down), or
+    * BRIDGE two sessions into one. No session is emitted from the data
+    * path at all: emission happens only in `handleExpiredTimer`, and
+    * only for sessions whose close horizon (last + gap) the watermark
+    * has actually passed — at which point the watermark contract
+    * guarantees no event that could still touch the session will be
+    * admitted. With delay = 0 and in-order data this degenerates to the
+    * classic one-open-session fold (q59's batch gaps-and-islands at
+    * exact-µs precision, one batch later); with a positive lateness
+    * bound it stays correct where an emit-on-gap design silently
+    * splits sessions.
     *
-    * One pending timer per key (old timers are deleted before
-    * re-arming), so state store timer volume is O(active keys). A
-    * defensive staleness guard in the expiry handler ignores a timer
-    * that predates the stored session's current horizon — harmless
-    * belt-and-braces given the delete+re-arm discipline. */
+    * One pending timer per key at the MINIMUM horizon over stored
+    * sessions (old timers deleted before re-arming), so state-store
+    * timer volume is O(active keys); sessions the fired watermark does
+    * not yet prove closed stay in state and the timer re-arms at their
+    * minimum horizon. */
   class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Ev, SessionOut] {
-    @transient private var st: ValueState[SessionState] = _
+    @transient private var st: ListState[SessionState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SessionState]("session",
+      st = getHandle.getListState[SessionState]("sessions",
         Encoders.product[SessionState], TTLConfig.NONE)
+    /** First watermark ms value that proves the session over. */
+    private def horizonMs(s: SessionState): Long =
+      math.floorDiv(s.lastUs + gapUs, 1000L) + 1L
+    private def rearm(sessions: Seq[SessionState]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty) getHandle.registerTimer(sessions.map(horizonMs).min)
+    }
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-      var cur = if (st.exists()) Some(st.get()) else None
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+      sessions ++= st.get()
       rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
         val us = tsMicros(r.ts)
-        cur match {
-          case Some(s) if us - s.lastUs <= gapUs =>
-            cur = Some(SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1))
-          case Some(s) =>
-            out += SessionOut(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n)
-            cur = Some(SessionState(us, us, 1L))
-          case None =>
-            cur = Some(SessionState(us, us, 1L))
-        }
+        val (touch, rest) = sessions.partition(s =>
+          us >= s.startUs - gapUs && us <= s.lastUs + gapUs)
+        val merged =
+          if (touch.isEmpty) SessionState(us, us, 1L)
+          else SessionState(math.min(us, touch.map(_.startUs).min),
+            math.max(us, touch.map(_.lastUs).max), touch.map(_.n).sum + 1L)
+        sessions.clear(); sessions ++= rest; sessions += merged
       }
-      cur.foreach { s =>
-        st.update(s)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(math.floorDiv(s.lastUs + gapUs, 1000L) + 1L)
-      }
-      out.iterator
+      st.clear()
+      if (sessions.nonEmpty) st.put(sessions.toArray)
+      rearm(sessions.toSeq)
+      Iterator.empty
     }
     override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (!st.exists()) return Iterator.empty
-      val s = st.get()
-      // staleness guard: a timer armed for an earlier horizon must not
-      // close a session that newer events have since extended
-      if (expiredTimerInfo.getExpiryTimeInMs() <
-          math.floorDiv(s.lastUs + gapUs, 1000L) + 1L) return Iterator.empty
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val (closed, open) = st.get().toSeq.partition(s => horizonMs(s) <= wmMs)
       st.clear()
-      Iterator.single(SessionOut(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n))
+      if (open.nonEmpty) st.put(open.toArray)
+      rearm(open)
+      closed.sortBy(s => (s.startUs, s.lastUs)).iterator
+        .map(s => SessionOut(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n))
     }
   }
 

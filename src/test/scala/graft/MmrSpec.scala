@@ -41,6 +41,42 @@ class MmrSpec extends SparkSpec {
     assert(math.abs(got.head._2 - 0.9 / math.sqrt(0.9)) < 1e-6)
   }
 
+  test("accepts array<double> vectors (e.g. a raw Pca.project output)") {
+    import org.apache.spark.sql.functions.expr
+    val dbl = fixture().withColumn("embedding",
+      expr("transform(embedding, x -> cast(x as double))"))
+    val got = Mmr.diversifiedTopK(dbl, "embedding", "vec_id", query,
+      k = 3, lambda = 0.5, poolSize = 5)
+    assert(got.map(_._1) == Seq(1L, 3L, 5L),
+      s"double vectors must rank identically to float: $got")
+  }
+
+  test("batch form matches per-query sequential calls on the embeddings fixture") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val batch = Mmr.diversifiedTopKBatch(emb, "embedding", "vec_id",
+        queries, "qv", "q_id", k = 8, lambda = 0.7, poolSize = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val qVecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    qVecs.foreach { case (qid, qv) =>
+      val seqr = Mmr.diversifiedTopK(emb, "embedding", "vec_id", qv,
+        k = 8, lambda = 0.7, poolSize = 40)
+      seqr.zipWithIndex.foreach { case ((id, rel, marg), i) =>
+        val (bid, brel, bmarg) = batch((qid, i + 1))
+        assert(bid == id, s"q$qid pick ${i + 1}: batch $bid vs seq $id")
+        assert(math.abs(brel - rel) < 1e-9 && math.abs(bmarg - marg) < 1e-9,
+          s"q$qid pick ${i + 1}: scores diverge")
+      }
+    }
+    assert(batch.size == 4 * 8, "every query must yield exactly k picks")
+  }
+
   test("partitioning-independent and pool-bounded on the embeddings fixture") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.select("embedding").head().getSeq[Float](0).toArray

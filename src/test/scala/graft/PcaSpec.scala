@@ -81,4 +81,23 @@ class PcaSpec extends SparkSpec {
     val out = Pca.project(emb, "embedding", m1).select(size(col("pca"))).head()
     assert(out.getInt(0) == 8)
   }
+
+  test("fails fast on empty input and on ragged vector lengths") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.fit(empty, "v", 2)
+    }
+    assert(e1.getMessage.contains("no non-null"), e1.getMessage)
+    val allNull = Seq((1L, null: Array[Double]), (2L, null: Array[Double]))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] { Pca.fit(allNull, "v", 2) }
+    val ragged = Seq(
+      (1L, Array(1.0, 2.0, 3.0)), (2L, Array(4.0, 5.0, 6.0)),
+      (3L, Array(7.0, 8.0))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.fit(ragged, "v", 2)
+    }
+    assert(e2.getMessage.contains("ragged"), e2.getMessage)
+  }
 }

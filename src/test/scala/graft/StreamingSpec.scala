@@ -486,6 +486,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("allowed-late events extend and bridge not-yet-proven sessions") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    // 4h lateness bound: a gap-separating event must NOT flush the old
+    // session (an allowed-late event could still extend or bridge it)
+    val q = StreamOps.sessionsTws(in.toDS(), gapUs = 30L * 60 * 1000000,
+        delayThreshold = "4 hours")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:00:00"), 3, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:50:00"), 3, "view", 1.0)) // u3: 2 sessions
+      q.processAllAvailable()
+      // u1's 13:00 event is 3h past 10:00 — gap-separated, but the
+      // watermark (09:00) hasn't proven the 10:00 session over yet
+      in.addData(Ev(4, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_late").isEmpty,
+        "nothing may emit while the watermark allows late extensions")
+      // allowed-late arrivals (>= watermark 09:00): u1's 10:20 EXTENDS
+      // the gap-separated 10:00 session; u3's 10:25 BRIDGES 10:00+10:50
+      in.addData(
+        Ev(5, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+        Ev(6, ts("2024-01-01 10:25:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      // push the watermark to 14:00 — every u1/u3 horizon is passed
+      in.addData(Ev(7, ts("2024-01-01 18:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_late")
+        .select("user_id", "start", "end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 2L),
+        (1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 1L),
+        (3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 3L)),
+        s"late events must extend/bridge pending sessions: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T3 session_window aggregates in STREAMING mode with watermark-gated emission") {
     import spark.implicits._
     val in = newStream()
