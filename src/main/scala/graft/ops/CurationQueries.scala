@@ -1196,4 +1196,122 @@ object CurationQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
       |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
       |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Gopher/C4-style heuristic quality-rule bundle — the classic
+    * pre-training filter family ([PK] Rae et al. 2021 §A1.1, Raffel
+    * et al. 2020 §2.2) as ONE census query: per rule, how many
+    * documents it would drop, plus the any-rule union and the retained
+    * remainder. Rules (composing the q44/q46/q91 kernel shapes):
+    *
+    *  - symbol_ratio: (# + … occurrences) / words > 1/10
+    *  - bullet_lines / ellipsis_lines: > 9/10 of lines start with a
+    *    bullet; > 3/10 end with '...'
+    *  - stopword_absent: none of {the, a, of, and, to} present
+    *  - mean_word_len outside [4.2, 4.8] (Gopher's [3,10] band scaled
+    *    to this synthetic vocabulary, where every mean sits in
+    *    [3.7, 5.3] — the bound is the corpus-calibrated analogue)
+    *  - word_count outside [40, 100000]
+    *
+    * Parity discipline: every threshold is an exact INTEGER
+    * cross-multiplication (sum_len·10 < n_words·42, not mean < 4.2 —
+    * no float boundary can flip an engine), word-char totals derive
+    * from length(text) − spaces, and shares use the half-up integer
+    * division both engines compute identically. Scale: one projection
+    * per document (codegen HOFs, no shuffle) into a single global
+    * aggregate of constant width; the census unpivot is 8 literal
+    * struct rows. */
+  def q162GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nw = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .cast("long")
+    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nSym = (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, x =>
+      substring(x, 1, 1).isin("-", "*", "•"))).cast("long")
+    val nEll = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val flags = d.select(
+      (nSym * 10 > nw).as("f_sym"),
+      (nBullet * 10 > nLines * 9).as("f_bullet"),
+      (nEll * 10 > nLines * 3).as("f_ell"),
+      (!arrays_overlap(split(col("text"), " "),
+        array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))))
+        .as("f_stop"),
+      (sumLen * 10 < nw * 42 || sumLen * 10 > nw * 48).as("f_mwl"),
+      (nw < 40 || nw > 100000).as("f_wc"))
+      .withColumn("f_any",
+        col("f_sym") || col("f_bullet") || col("f_ell") || col("f_stop") ||
+          col("f_mwl") || col("f_wc"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("total"), cnt("f_sym").as("n_sym"),
+      cnt("f_bullet").as("n_bullet"), cnt("f_ell").as("n_ell"),
+      cnt("f_stop").as("n_stop"), cnt("f_mwl").as("n_mwl"),
+      cnt("f_wc").as("n_wc"), cnt("f_any").as("n_any"))
+    val census = agg.select(col("total"), explode(array(
+      struct(lit("any_rule").as("rule"), col("n_any").as("n_docs")),
+      struct(lit("bullet_lines").as("rule"), col("n_bullet").as("n_docs")),
+      struct(lit("ellipsis_lines").as("rule"), col("n_ell").as("n_docs")),
+      struct(lit("mean_word_len").as("rule"), col("n_mwl").as("n_docs")),
+      struct(lit("retained").as("rule"), (col("total") - col("n_any")).as("n_docs")),
+      struct(lit("stopword_absent").as("rule"), col("n_stop").as("n_docs")),
+      struct(lit("symbol_ratio").as("rule"), col("n_sym").as("n_docs")),
+      struct(lit("word_count").as("rule"), col("n_wc").as("n_docs"))
+    )).as("r")).select(col("r.rule").as("rule"), col("r.n_docs").as("n_docs"),
+      col("total"))
+    val h = col("n_docs") * 20000L + col("total")
+    val d2 = col("total") * 2L
+    census.select(col("rule"), col("n_docs"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("share"))
+      .orderBy("rule")
+  }
+
+  val q162GopherRulesSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    (length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3) * 10
+      |      > (length(text) - length(replace(text, ' ', '')) + 1) AS f_sym,
+      |    len(list_filter(string_split(text, chr(10)),
+      |      l -> substr(l, 1, 1) IN ('-', '*', chr(8226)))) * 10
+      |      > len(string_split(text, chr(10))) * 9 AS f_bullet,
+      |    len(list_filter(string_split(text, chr(10)),
+      |      l -> ends_with(l, '...'))) * 10
+      |      > len(string_split(text, chr(10))) * 3 AS f_ell,
+      |    len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to'])) = 0 AS f_stop,
+      |    length(replace(text, ' ', '')) * 10
+      |        < (length(text) - length(replace(text, ' ', '')) + 1) * 42
+      |      OR length(replace(text, ' ', '')) * 10
+      |        > (length(text) - length(replace(text, ' ', '')) + 1) * 48 AS f_mwl,
+      |    (length(text) - length(replace(text, ' ', '')) + 1) < 40
+      |      OR (length(text) - length(replace(text, ' ', '')) + 1) > 100000
+      |      AS f_wc
+      |  FROM documents),
+      |agg AS (
+      |  SELECT COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+      |    CAST(SUM(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+      |    CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_ell,
+      |    CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+      |    CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+      |    CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+      |    CAST(SUM(CASE WHEN f_sym OR f_bullet OR f_ell OR f_stop OR f_mwl
+      |      OR f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+      |  FROM f),
+      |census AS (
+      |  SELECT 'any_rule' AS rule, n_any AS n_docs, total FROM agg
+      |  UNION ALL SELECT 'bullet_lines', n_bullet, total FROM agg
+      |  UNION ALL SELECT 'ellipsis_lines', n_ell, total FROM agg
+      |  UNION ALL SELECT 'mean_word_len', n_mwl, total FROM agg
+      |  UNION ALL SELECT 'retained', total - n_any, total FROM agg
+      |  UNION ALL SELECT 'stopword_absent', n_stop, total FROM agg
+      |  UNION ALL SELECT 'symbol_ratio', n_sym, total FROM agg
+      |  UNION ALL SELECT 'word_count', n_wc, total FROM agg)
+      |SELECT rule, n_docs,
+      |  ((n_docs * 20000 + total) // (total * 2)) / 10000.0 AS share
+      |FROM census ORDER BY rule""".stripMargin
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+/** Exclude with `sbt "testOnly -- -l graft.SlowScale"` — the suite's
+  * one deliberately-minutes-long test. */
+object SlowScale extends Tag("graft.SlowScale")
+
+/** MEASURED scale curves for the heavy query family — the executable
+  * form of every "candidates ∝ input, not input²" scaladoc claim. The
+  * sf0.01 fixture is replicated 1× and 10× through the same writer and
+  * each query is timed at both scales; the wall-time growth exponent
+  * log₁₀(t₁₀/t₁) must stay ≤ 1.4 (linear scan + shuffle log factors
+  * land ~0.3–1.0 here because fixed job overhead deflates the ratio; a
+  * genuinely quadratic candidate generator lands ~2 — r7's q48/q161
+  * single-key blocking would have tripped exactly this).
+  *
+  * Replication grows the VOCABULARY with the corpus (copy k suffixes
+  * every token with k), modeling real content growth. Replicating text
+  * verbatim instead would make every similarity join quadratic BY
+  * FIXTURE (10 identical copies of each doc are 45 true near-dup pairs
+  * each — output itself is quadratic in copies), which measures the
+  * fixture's pathology, not the plan's scaling. Ids shift by a
+  * copy-sized stride so keys stay unique; embeddings/orders replicate
+  * unchanged (row-linear operators, duplicate values are legal). */
+class ScaleCurveSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.01"
+  private val stride = 100000000L
+
+  /** Copy k of `src`: ids shifted, word tokens suffixed with k (k > 0)
+    * so each copy brings new vocabulary, text-length column recomputed. */
+  private def copyK(src: DataFrame, k: Int, idCols: Seq[String],
+      textCols: Seq[String], lenCol: Option[String]): DataFrame = {
+    var d = src
+    idCols.foreach(ic => d = d.withColumn(ic, col(ic) + lit(k * stride)))
+    if (k > 0) textCols.foreach(tc => d = d.withColumn(tc,
+      array_join(transform(split(col(tc), " "), w => concat(w, lit(k.toString))), " ")))
+    if (k > 0) lenCol.foreach(lc =>
+      d = d.withColumn(lc, length(col(textCols.head)).cast("long")))
+    d
+  }
+
+  private def gen(outRoot: String, copies: Int): Unit = {
+    val specs = Seq(
+      ("documents", Seq("doc_id"), Seq("text"), Some("n_chars")),
+      ("part", Seq("p_partkey"), Seq("p_name"), None),
+      ("orders", Seq("o_orderkey"), Seq.empty[String], None),
+      ("embeddings", Seq("vec_id"), Seq.empty[String], None))
+    specs.foreach { case (table, idCols, textCols, lenCol) =>
+      val src = Tables.load(spark, base, table)
+      (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
+    }
+  }
+
+  private def timeQ(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("heavy-family growth exponent 1x -> 10x stays below 1.4", SlowScale) {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-scale"
+    gen(s"$root/x1", 1)
+    gen(s"$root/x10", 10)
+    val heavy = Seq("q49_token_jaccard", "q100_dup_passages",
+      "q135_sparse_cosine", "q138_covariance", "q147_ks",
+      "q155_containment", "q161_jaro_names")
+    val rows = heavy.map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, s"$root/x1").count()                    // codegen warm-up
+      val t1 = math.min(timeQ(fn, s"$root/x1"), timeQ(fn, s"$root/x1"))
+      var t10 = timeQ(fn, s"$root/x10")
+      var exp = math.log(t10 / math.max(t1, 0.05)) / math.log(10.0)
+      if (exp > 1.4) {                                  // one noise retry
+        t10 = math.min(t10, timeQ(fn, s"$root/x10"))
+        exp = math.log(t10 / math.max(t1, 0.05)) / math.log(10.0)
+      }
+      info(f"$name%-22s t1=$t1%6.2fs  t10=$t10%6.2fs  exponent=$exp%5.2f")
+      (name, t1, t10, exp)
+    }
+    val bad = rows.filter(_._4 > 1.4)
+    assert(bad.isEmpty,
+      s"superlinear growth: ${bad.map(r => f"${r._1} exp=${r._4}%.2f").mkString(", ")}")
+  }
+}
