@@ -1314,4 +1314,70 @@ object CurationQueries {
       |SELECT rule, n_docs,
       |  ((n_docs * 20000 + total) // (total * 2)) / 10000.0 AS share
       |FROM census ORDER BY rule""".stripMargin
+
+  /** k-anonymity generalization ladder — the privacy audit a curation
+    * pipeline runs before releasing tabular training data: at each
+    * quasi-identifier generalization level (fine: nation × segment ×
+    * $1k balance band; mid: × $5k band; coarse: nation × segment
+    * only), how many QI groups exist, how many are smaller than k = 5,
+    * and how many rows those small groups expose. Choosing the release
+    * level IS reading this table: the coarsest level whose
+    * rows-at-risk share is acceptable.
+    *
+    * Parity: bands come from floor(c_acctbal / const) — one IEEE
+    * double division + floor, bit-identical across engines, and the
+    * band value is only a GROUP KEY (never output). Scale: three
+    * grouped counts — map-side-combinable, group cardinality ≤
+    * nations × segments × bands (bounded), union of three
+    * constant-width aggregates. */
+  def q164KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    def level(name: String, keys: Seq[Column]): DataFrame =
+      c.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+          sum("n").as("total"))
+        .select(lit(name).as("level"), col("n_groups"), col("n_small"),
+          col("rows_at_risk"), col("total"))
+    val fine = level("1_fine", Seq(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000)))
+    val mid = level("2_mid", Seq(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 5000)))
+    val coarse = level("3_coarse", Seq(col("c_nationkey"), col("c_mktsegment")))
+    val h = col("rows_at_risk") * 20000L + col("total")
+    val d2 = col("total") * 2L
+    fine.unionByName(mid).unionByName(coarse)
+      .select(col("level"), col("n_groups"), col("n_small"),
+        col("rows_at_risk"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("risk_share"))
+      .orderBy("level")
+  }
+
+  val q164KAnonymitySql: String =
+    """WITH
+      |f AS (SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS b,
+      |        COUNT(*) AS n FROM customer GROUP BY 1, 2, 3),
+      |m AS (SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 5000) AS b,
+      |        COUNT(*) AS n FROM customer GROUP BY 1, 2, 3),
+      |c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |        FROM customer GROUP BY 1, 2),
+      |lv AS (
+      |  SELECT '1_fine' AS level, COUNT(*) AS n_groups,
+      |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |    CAST(SUM(n) AS BIGINT) AS total FROM f
+      |  UNION ALL
+      |  SELECT '2_mid', COUNT(*),
+      |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(n) AS BIGINT) FROM m
+      |  UNION ALL
+      |  SELECT '3_coarse', COUNT(*),
+      |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(n) AS BIGINT) FROM c)
+      |SELECT level, n_groups, n_small, rows_at_risk,
+      |  ((rows_at_risk * 20000 + total) // (total * 2)) / 10000.0 AS risk_share
+      |FROM lv ORDER BY level""".stripMargin
 }

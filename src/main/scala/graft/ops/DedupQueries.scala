@@ -650,4 +650,60 @@ object DedupQueries {
       |       >= greatest(length(a.p_name), length(b.p_name)) * 13
       |   AND a.p_name < b.p_name)
       |WHERE jw >= 0.93 ORDER BY name_a, name_b""".stripMargin
+
+  /** Reranker training features for fuzzy-match candidates: every
+    * similarity the record-linkage stack owns — edit distance,
+    * Jaro–Winkler (fused codegen kernel), token-set jaccard (fused
+    * kernel on distinct tokens), length delta — evaluated over the
+    * q161 compound block in ONE pass. This is the "pair-feature join"
+    * that turns a dedup candidate generator into supervised training
+    * data for a learned matcher: candidates from cheap blocking,
+    * features from the kernel library, labels from a threshold or
+    * human review downstream.
+    *
+    * Scale: identical block shape to q48/q161 ((noun, 8-char length
+    * band) equi-join); all four features are per-pair codegen maps, so
+    * the cost profile is the candidate count, not the feature count.
+    * Parity: lev is integer both sides; jw/tok_jac are ROUND(…,4)
+    * doubles derived from identical integer tuples; len_delta cast to
+    * int64 on both engines. */
+  def q163PairFeatures(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      .withColumn("len_bkt", (length(col("p_name")) / 8).cast("long"))
+    val a = names.select(col("p_name").as("name_a"), col("noun"), col("len_bkt"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"), col("len_bkt"))
+    a.join(b, Seq("noun", "len_bkt"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 6)
+      .withColumn("jw", round(
+        graft.functions.SimFns.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .withColumn("tok_jac", round(graft.functions.SimFns.jaccardSim(
+        array_distinct(split(col("name_a"), " ")),
+        array_distinct(split(col("name_b"), " "))), 4))
+      .withColumn("len_delta",
+        abs(length(col("name_a")) - length(col("name_b"))).cast("long"))
+      .select("name_a", "name_b", "lev", "jw", "tok_jac", "len_delta")
+      .orderBy("name_a", "name_b")
+  }
+
+  val q163PairFeaturesSql: String =
+    """SELECT name_a, name_b, lev, jw, tok_jac, len_delta FROM (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    levenshtein(a.p_name, b.p_name) AS lev,
+      |    ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw,
+      |    ROUND(CAST(len(list_intersect(list_distinct(string_split(a.p_name, ' ')),
+      |                                  list_distinct(string_split(b.p_name, ' ')))) AS DOUBLE)
+      |      / (len(list_distinct(string_split(a.p_name, ' ')))
+      |         + len(list_distinct(string_split(b.p_name, ' ')))
+      |         - len(list_intersect(list_distinct(string_split(a.p_name, ' ')),
+      |                              list_distinct(string_split(b.p_name, ' '))))), 4) AS tok_jac,
+      |    CAST(abs(length(a.p_name) - length(b.p_name)) AS BIGINT) AS len_delta
+      |  FROM (SELECT DISTINCT p_name FROM part) a
+      |  JOIN (SELECT DISTINCT p_name FROM part) b
+      |    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+      |   AND length(a.p_name) // 8 = length(b.p_name) // 8
+      |   AND a.p_name < b.p_name)
+      |WHERE lev <= 6 ORDER BY name_a, name_b""".stripMargin
 }

@@ -696,4 +696,67 @@ object PipelineQueries {
       |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE), 4) AS pct,
       |  ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford
       |FROM g ORDER BY l_returnflag, digit""".stripMargin
+
+  /** Largest-remainder (Hamilton) apportionment of a training-token
+    * budget across sources — the exact-integer companion to q86's
+    * weighted mixing: allocate N = 10,000 sampling slots proportional
+    * to each source's token count such that slots sum to EXACTLY N
+    * (floor quotas, then one extra slot to the largest remainders,
+    * ties broken by source name). Proportional rounding that provably
+    * sums to the budget is the step a data-mix config generator needs
+    * before sampling; naive per-source rounding over- or under-shoots.
+    *
+    * Parity: quotas are integer div/mod against the corpus total
+    * (driver scalar, q121/q133 discipline — all quantities positive,
+    * so Spark's truncating `div` equals DuckDB's flooring `//`);
+    * the remainder rank is a window over the ≤|sources| census rows
+    * (bounded, corpus-independent); share = slots/10⁴ is the same
+    * two-integer double division on both engines. Scale: one
+    * map-side-combinable token count per source; everything after
+    * runs on census-sized data. */
+  def q165Apportion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("source"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("nw"))
+      .groupBy("source").agg(sum("nw").as("tok"))
+    val tot = toks.agg(sum("tok")).head.getLong(0)
+    val n = 10000L
+    val based = toks
+      .withColumn("base", expr(s"tok * $n div $tot"))
+      .withColumn("rem", expr(s"(tok * $n) % $tot"))
+    val deficit = n - based.agg(sum("base")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    based
+      .withColumn("rk", row_number().over(w))
+      .withColumn("slots",
+        col("base") + when(col("rk") <= deficit, 1L).otherwise(0L))
+      .select(col("source"), col("tok"), col("slots"),
+        (col("slots") / 10000.0).as("share"))
+      .orderBy("source")
+  }
+
+  val q165ApportionSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS BIGINT) AS tok
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS tot FROM t),
+      |b AS (
+      |  SELECT source, tok, (tok * 10000) // tot AS base,
+      |    (tok * 10000) % tot AS rem
+      |  FROM t, tot),
+      |r AS (
+      |  SELECT source, tok, base,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+      |    (SELECT 10000 - SUM(base) FROM b) AS deficit
+      |  FROM b)
+      |SELECT source, tok,
+      |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+      |    AS slots,
+      |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS DOUBLE)
+      |    / 10000.0 AS share
+      |FROM r ORDER BY source""".stripMargin
 }

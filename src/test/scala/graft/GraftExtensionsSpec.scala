@@ -30,9 +30,14 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("wrong-typed SQL arguments fail analysis instead of reading garbage") {
     GraftFunctions.register(spark)
-    // double arrays (not float) must be rejected, not byte-reinterpreted
+    // fp64 arrays are a LEGAL cosine input since round 8 (each side
+    // independently float or double); self-similarity must be 1.0
+    assert(math.abs(spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d))")
+      .head().getDouble(0) - 1.0) < 1e-12)
+    // non-floating arrays must still be rejected, not byte-reinterpreted
     val e1 = intercept[Exception](
-      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d))").head())
+      spark.sql("SELECT cosine_sim(array('a', 'b'), array('a', 'b'))").head())
     assert(e1.getMessage.contains("cosine_sim"))
     val e2 = intercept[Exception](
       spark.sql("SELECT jaccard_sim(array(1, 2), array(2, 3))").head())
