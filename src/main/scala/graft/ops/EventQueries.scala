@@ -783,4 +783,108 @@ object EventQueries {
       |SELECT wk, n_active, n_new, n_retained, n_resurrected,
       |  LAG(n_active) OVER (ORDER BY wk) - n_retained AS n_churned
       |FROM weekly ORDER BY wk""".stripMargin
+
+  /** Markov transition matrix between consecutive event types per user
+    * — the user-journey model a recommendation / funnel team fits
+    * first: P(next = b | current = a) from every adjacent event pair in
+    * each user's (ts, event_id)-ordered stream. Session-agnostic by
+    * design (the session-scoped variant composes q151's sid first).
+    *
+    * Parity: pair ordering is the q151 (ts, event_id) total order;
+    * counts are exact int64; probabilities are the half-up 4-decimal
+    * integer division against the per-prev-type row total. Scale: one
+    * user-partition lag window (the §2.5 backbone) then a
+    * |types|²-group map-side-combinable count; the row-total join is
+    * a broadcast of ≤|types| rows. */
+  def q166Transitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = e
+      .withColumn("prev_et", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_et").isNotNull)
+      .groupBy(col("prev_et"), col("event_type").as("next_et"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_et").agg(sum("n").as("tot"))
+    val h = col("n") * 20000L + col("tot")
+    val d2 = col("tot") * 2L
+    pairs.join(broadcast(totals), "prev_et")
+      .select(col("prev_et"), col("next_et"), col("n"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("p"))
+      .orderBy("prev_et", "next_et")
+  }
+
+  val q166TransitionsSql: String =
+    """WITH pr AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_et,
+      |         event_type AS next_et
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_et, next_et, COUNT(*) AS n
+      |  FROM pr WHERE prev_et IS NOT NULL GROUP BY prev_et, next_et),
+      |tt AS (SELECT prev_et, CAST(SUM(n) AS BIGINT) AS tot
+      |       FROM pairs GROUP BY prev_et)
+      |SELECT p.prev_et, p.next_et, p.n,
+      |  ((p.n * 20000 + t.tot) // (t.tot * 2)) / 10000.0 AS p
+      |FROM pairs p JOIN tt t ON p.prev_et = t.prev_et
+      |ORDER BY p.prev_et, p.next_et""".stripMargin
+
+  /** Engagement-concentration Lorenz table: users ranked into activity
+    * deciles (most-active first), with each decile's user count, event
+    * count, event share, and CUMULATIVE share — the "top 10% of users
+    * produce X% of events" census (the distribution view of q150's
+    * scalar Gini). Decile assignment runs through [[RangedNtile]] — the
+    * exact-NTILE machinery with no single-reducer sort, since the USER
+    * census grows with the corpus — and the Lorenz accumulation is a
+    * window over exactly 10 rows.
+    *
+    * Parity: NTILE tie placement is made deterministic by the (n desc,
+    * user_id) total order (the q98 contract); shares use the half-up
+    * integer division. */
+  def q167Lorenz(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val dec = RangedNtile.withNtile(perUser, 10,
+      Seq(col("n").desc, col("user_id")), "decile")
+    val byDec = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withTot = byDec
+      .withColumn("cum_events", sum("n_events").over(w))
+      .withColumn("tot", sum("n_events").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def share(c: org.apache.spark.sql.Column) = {
+      val h = c * 20000L + col("tot")
+      val d2 = col("tot") * 2L
+      ((h - pmod(h, d2)) / d2).cast("long") / 10000.0
+    }
+    withTot.select(col("decile"), col("n_users"), col("n_events"),
+        share(col("n_events")).as("share"),
+        share(col("cum_events")).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val q167LorenzSql: String =
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT user_id, n,
+      |    NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile
+      |  FROM u),
+      |b AS (
+      |  SELECT decile, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT)
+      |    AS n_events
+      |  FROM d GROUP BY decile),
+      |c AS (
+      |  SELECT decile, n_users, n_events,
+      |    CAST(SUM(n_events) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_events,
+      |    CAST(SUM(n_events) OVER () AS BIGINT) AS tot
+      |  FROM b)
+      |SELECT decile, n_users, n_events,
+      |  ((n_events * 20000 + tot) // (tot * 2)) / 10000.0 AS share,
+      |  ((cum_events * 20000 + tot) // (tot * 2)) / 10000.0 AS cum_share
+      |FROM c ORDER BY decile""".stripMargin
 }
