@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event record as it arrives on the stream — mirrors the `events`
   * fixture schema (FIXTURES.md) minus the JSON props column. */
@@ -20,6 +20,11 @@ private case class FunnelState(signupUs: Long, converted: Boolean)
 
 case class EwmaPoint(user_id: Long, ts: Timestamp, value: Double,
     ewma: Double)
+
+/** One updated (user, event_type) counter after a micro-batch, plus the
+  * user's current distinct-type count (MapState demo, §2.9 T6). */
+case class TypeCount(user_id: Long, event_type: String, n_type: Long,
+    n_types: Long)
 
 /** A closed session: [start, end] span and its event count (T6 timers). */
 case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
@@ -349,6 +354,43 @@ object StreamOps {
       e.foreach(st.update)
       out.iterator
     }
+  }
+
+  /** Per-key per-event-type running counts through `transformWithState`
+    * MAP state — the point-update primitive the other processors don't
+    * exercise: a `MapState[String, Long]` holds one counter per
+    * (user, event_type), and a micro-batch touches ONLY the entries its
+    * events hit (a `ValueState[Map[...]]` would deserialize + rewrite
+    * the whole map per batch — the difference matters when per-key
+    * sub-state is wide). Emits one row per TOUCHED type per batch with
+    * the updated counter and the key's current distinct-type count,
+    * sorted by type for determinism. */
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var st: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val batch = rows.toSeq.groupBy(_.event_type)
+        .view.mapValues(_.size.toLong).toMap
+      batch.foreach { case (et, n) =>
+        val cur = if (st.containsKey(et)) st.getValue(et) else 0L
+        st.updateValue(et, cur + n)
+      }
+      val nTypes = st.keys().size.toLong
+      batch.keys.toSeq.sorted.iterator
+        .map(et => TypeCount(userId, et, st.getValue(et), nTypes))
+    }
+  }
+
+  /** Per-key distinct-type counters via [[TypeCountProcessor]]. */
+  def typeCountsTws(events: Dataset[Ev]): Dataset[TypeCount] = {
+    implicit val outEnc = Encoders.product[TypeCount]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Per-key streaming EWMA through `transformWithState`. */

@@ -101,4 +101,37 @@ class BpeSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(seg == Seq("aa", "aa"))
   }
+
+  test("fused bpe_encode kernel == the applyMerges HOF fold on the corpus vocabulary") {
+    import graft.functions.BpeFns
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = BpeTrain.train(words, 12)
+    assert(merges.length == 12)
+    val both = words
+      .select(col("word"),
+        BpeTrain.applyMerges(col("word"), merges).as("hof"),
+        BpeFns.bpeEncode(col("word"), merges).as("fused"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"divergence on '${r.getString(0)}'")
+    }
+    // edges: empty string -> empty array; single char -> itself;
+    // null -> null
+    val edges = Seq("", "a", null).toDF("word")
+      .select(col("word"), BpeFns.bpeEncode(col("word"), merges).as("t"))
+      .collect()
+    assert(edges(0).getSeq[String](1) == Seq.empty[String])
+    assert(edges(1).getSeq[String](1) == Seq("a"))
+    assert(edges(2).isNullAt(1))
+    // and it composes into the corpus-level token count, the operator
+    // this kernel exists for (one loop per word, inside codegen)
+    val nTok = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(size(BpeFns.bpeEncode(col("word"), merges)).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(nTok > 0)
+  }
 }

@@ -486,6 +486,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState point-updates: per-key per-type counters across batches") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    val q = StreamOps.typeCountsTws(in.toDS())
+      .writeStream.format("memory").queryName("type_counts")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 1, "cart", 1.0),
+        Ev(4, ts("2024-01-01 10:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 touches ONLY u1/"view" — the untouched "cart" entry
+      // must persist in map state and keep counting distinct types
+      in.addData(Ev(5, ts("2024-01-01 11:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("type_counts")
+        .select("user_id", "event_type", "n_type", "n_types").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // batch-1 emissions
+      assert(rows.contains((1L, "view", 2L, 2L)))
+      assert(rows.contains((1L, "cart", 1L, 2L)))
+      assert(rows.contains((2L, "view", 1L, 1L)))
+      // batch-2 emission: counter accumulated, distinct count intact,
+      // and no row re-emitted for the untouched "cart" key
+      assert(rows.contains((1L, "view", 3L, 2L)))
+      assert(rows.count(t => t._1 == 1L && t._2 == "cart") == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("allowed-late events extend and bridge not-yet-proven sessions") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
