@@ -887,4 +887,68 @@ object EventQueries {
       |  ((n_events * 20000 + tot) // (tot * 2)) / 10000.0 AS share,
       |  ((cum_events * 20000 + tot) // (tot * 2)) / 10000.0 AS cum_share
       |FROM c ORDER BY decile""".stripMargin
+
+  /** Strict-order WINDOWED 3-step funnel (view → click within 6 h →
+    * purchase within 6 h of the click): a user reaches stage k only
+    * via events in TIME ORDER and inside the per-step conversion
+    * window — the MATCH_RECOGNIZE-class ordered-sequence semantic that
+    * plain per-type mins get wrong (q60 is the 2-step unwindowed
+    * special case). Census output: users reaching each stage + half-up
+    * conversion share vs stage 1. Window arithmetic is exact µs
+    * integers (`unix_micros`, the q151 discipline).
+    *
+    * Scale: each stage is one filtered scan joined to the previous
+    * stage's USER-keyed aggregate (monotonically shrinking), then a
+    * min — hash equi-joins and map-side-combinable aggs throughout;
+    * the stage-1 total rides as a driver scalar (q121/q133 discipline)
+    * so the census needs no one-row broadcast join. */
+  def q168Funnel3(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 21600L * 1000000L
+    val e = Tables.events(s, dir)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") >= col("t1") &&
+        expr("unix_micros(ts) - unix_micros(t1)") <= winUs)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") >= col("t2") &&
+        expr("unix_micros(ts) - unix_micros(t2)") <= winUs)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val n1 = t1.count()
+    def stage(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        col("n_users"))
+    val census = stage("1_view", t1)
+      .unionByName(stage("2_click", t2))
+      .unionByName(stage("3_purchase", t3))
+    val h = col("n_users") * 20000L + lit(n1)
+    val d2 = lit(n1) * 2L
+    census.select(col("stage"), col("n_users"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("share"))
+      .orderBy("stage")
+  }
+
+  val q168Funnel3Sql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t1
+      |   AND epoch_us(e.ts) - epoch_us(t1.t1) <= 21600000000
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t2
+      |   AND epoch_us(e.ts) - epoch_us(t2.t2) <= 21600000000
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM t1),
+      |census AS (
+      |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+      |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+      |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
+      |SELECT stage, n_users,
+      |  ((n_users * 20000 + n.n1) // (n.n1 * 2)) / 10000.0 AS share
+      |FROM census, n ORDER BY stage""".stripMargin
 }

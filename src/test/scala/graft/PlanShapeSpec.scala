@@ -33,6 +33,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "a dim join fell back to sort-merge")
   }
 
+  test("q48/q161: fuzzy-name joins keep the compound (noun, len_bkt) block key") {
+    Seq("q48_fuzzy_names", "q161_jaro_names").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q candidate generation must stay an equi-join:\n$p")
+      // both key columns must be in the join's partitioning/equi keys —
+      // dropping len_bkt silently reverts to the single-key quadratic block
+      assert(p.contains("noun") && p.contains("len_bkt"),
+        s"$q must join on (noun, len_bkt):\n$p")
+    }
+  }
+
   test("q51: LSH candidate join is an equi-join on the band key, not a cross product") {
     val p = planOf("q51_minhash_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
