@@ -951,4 +951,58 @@ object EventQueries {
       |SELECT stage, n_users,
       |  ((n_users * 20000 + n.n1) // (n.n1 * 2)) / 10000.0 AS share
       |FROM census, n ORDER BY stage""".stripMargin
+
+  /** Last-touch marketing attribution through the NATIVE as-of join:
+    * each purchase is attributed to the user's latest click at-or-before
+    * it within a 6-hour lookback (tolerance), ties among equal-ts clicks
+    * to the highest event_id (the q56/q62 rule); revenue then rolls up
+    * per campaign (the click's `props.k`), campaign −1 = unattributed
+    * (no qualifying click — COALESCE'd so null group ordering can never
+    * diverge between engines, the q157 hazard).
+    *
+    * This is AsofJoinExec's tolerance path under the oracle gate with a
+    * downstream aggregate on top — the attribution join IS the ad-tech /
+    * conversion-credit workload as-of joins exist for. Scale: the
+    * native two-pointer merge runs co-partitioned on user (one
+    * exchange+sort per side, one buffered right row per partition);
+    * the rollup is a ≤|campaigns|-group map-side-combinable agg. */
+  def q169Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("revenue"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    graft.plans.AsofJoinOp.asofJoin(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user_id",
+        leftTs = "purchase_ts", rightTs = "click_ts", tie = Some("click_id"),
+        tolerance = Some(21600L * 1000000L))
+      .select(coalesce(col("k"), lit(-1)).as("campaign"), col("revenue"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_purchases"),
+        dec4(sum(dm(col("revenue")))).as("revenue"))
+      .orderBy("campaign")
+  }
+
+  val q169AttributionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+       |  FROM events WHERE event_type = 'click'),
+       |a AS (
+       |  SELECT p.event_id AS pid, p.value, c.k,
+       |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+       |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+       |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000)
+       |SELECT COALESCE(k, -1) AS campaign,
+       |  COUNT(*) AS n_purchases,
+       |  ${out4(s"SUM(CAST(value AS $DM))")} AS revenue
+       |FROM a WHERE rn = 1
+       |GROUP BY 1 ORDER BY campaign""".stripMargin
 }
