@@ -1005,4 +1005,55 @@ object EventQueries {
        |  ${out4(s"SUM(CAST(value AS $DM))")} AS revenue
        |FROM a WHERE rn = 1
        |GROUP BY 1 ORDER BY campaign""".stripMargin
+
+  /** L109 cohort retention triangle: users cohorted by the Monday-start
+    * week of their FIRST event; for each (cohort week, week offset) the
+    * count of cohort members active that week and the retention share
+    * vs the cohort size — the classic "week-N retention" matrix. Week
+    * truncation and the day-difference arithmetic are identical on both
+    * engines (date_trunc('week') = Monday 00:00; both stamps midnight,
+    * so the day diff is an exact multiple of 7). Share is half-up 4dp
+    * in exact integer arithmetic (q167 discipline).
+    *
+    * Scale: one distinct over (user, week) — a keyed shuffle that
+    * collapses the event stream to user-weeks; the cohort table is
+    * |users|-sized and the final census is |weeks|²-sized. No windows,
+    * no skew (time is naturally balanced). */
+  def q171Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    val cell = act.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort")).cast("long") / lit(7L)).cast("int"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+    val h = col("n_active") * 20000L + col("cohort_users")
+    val d2 = col("cohort_users") * 2L
+    cell.select(col("cohort"), col("week_offset"), col("cohort_users"),
+        col("n_active"),
+        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val q171RetentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id),
+      |sz AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY cohort),
+      |cell AS (
+      |  SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM act a JOIN f USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort, CAST(c.week_offset AS INTEGER) AS week_offset,
+      |  s.cohort_users, c.n_active,
+      |  ((c.n_active * 20000 + s.cohort_users) // (s.cohort_users * 2)) / 10000.0
+      |    AS retention
+      |FROM cell c JOIN sz s USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin
 }

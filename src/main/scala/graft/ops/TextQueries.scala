@@ -906,4 +906,81 @@ object TextQueries {
       |SELECT doc_id, n_grams, n_novel,
       |  ((n_novel * 20000 + n_grams) // (n_grams * 2)) / 10000.0 AS novelty
       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** L108 unigram-LM surprisal per document — the perplexity-proxy
+    * quality filter (CCNet-style: score each document by how surprising
+    * its tokens are under a corpus-level language model; here the
+    * model is the corpus unigram distribution itself, so no OOV mass is
+    * needed). surprisal = mean −ln p(w) = ln N − (Σ ln n_w)/n_tokens.
+    * Outliers on BOTH ends are curation signal: high = rare-vocabulary
+    * junk, low = boilerplate.
+    *
+    * Scale: one corpus word census (map-side combinable, |vocab|-sized
+    * result joined back to the token stream — vocab is corpus-sublinear
+    * so the join build side stays broadcastable far past 100 TB), one
+    * per-doc agg. ln N rides as a driver scalar (q121 discipline).
+    * Double sums round at 4dp (Parity.rnd residual-risk note). */
+  def q170Surprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val nTotal = vocab.agg(sum("n_w")).head().getLong(0)
+    tok.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("n_w"))).as("sum_ln"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(math.log(nTotal.toDouble)) - col("sum_ln") / col("n_tokens"), 4)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val q170SurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+      |t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM v)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(LN(t.n) - SUM(LN(v.n_w)) / COUNT(*), 4) AS surprisal
+      |FROM tok JOIN v USING (w) CROSS JOIN t
+      |GROUP BY doc_id, t.n ORDER BY doc_id""".stripMargin
+
+  /** L111 Zipf rank–frequency fit per language: ln(count) regressed on
+    * ln(rank) over the top-500 head — slope ≈ −1 is Zipf's law; the
+    * deviation is a corpus-health signal (too flat = shuffled/duplicated
+    * boilerplate, too steep = tiny effective vocabulary). Rank ties
+    * break on the word itself (deterministic on both engines).
+    *
+    * Scale: the rank window partitions by language over the |vocab|-sized
+    * census (corpus-sublinear — the q41 justification); the regression
+    * itself runs on ≤500 rows per language via the builtin codegen
+    * regr_* aggregates. */
+  def q173Zipf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wc = d.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+    wc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 500)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_ranks"),
+        round(regr_slope(log(col("cnt")), log(col("rnk"))), 4).as("zipf_slope"),
+        round(regr_intercept(log(col("cnt")), log(col("rnk"))), 4).as("zipf_intercept"),
+        round(regr_r2(log(col("cnt")), log(col("rnk"))), 4).as("r2"))
+      .orderBy("lang")
+  }
+
+  val q173ZipfSql: String =
+    """WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS cnt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY lang, w),
+      |r AS (
+      |  SELECT lang, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rnk
+      |  FROM wc)
+      |SELECT lang, COUNT(*) AS n_ranks,
+      |  ROUND(regr_slope(LN(cnt), LN(rnk)), 4) AS zipf_slope,
+      |  ROUND(regr_intercept(LN(cnt), LN(rnk)), 4) AS zipf_intercept,
+      |  ROUND(regr_r2(LN(cnt), LN(rnk)), 4) AS r2
+      |FROM r WHERE rnk <= 500 GROUP BY lang ORDER BY lang""".stripMargin
 }
