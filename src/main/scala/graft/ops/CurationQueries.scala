@@ -1381,65 +1381,4 @@ object CurationQueries {
       |  ((rows_at_risk * 20000 + total) // (total * 2)) / 10000.0 AS risk_share
       |FROM lv ORDER BY level""".stripMargin
 
-  /** L110 MAD robust outlier census: per event type, the median of
-    * `value`, the median absolute deviation from it, and the count/share
-    * of points outside the 3×MAD fence — the robust-statistics outlier
-    * screen that, unlike z-scores (q132's winsorize companion), is not
-    * itself dragged by the outliers it hunts. Medians use the exact
-    * interpolating percentile on both engines (q15 parity discipline);
-    * the fence compares UNROUNDED doubles on both sides — identical
-    * inputs and identical IEEE arithmetic make the comparison
-    * deterministic (boundary collision at the last ulp is the residual
-    * risk, negligible on random data).
-    *
-    * Scale: two grouped exact-percentile passes over a
-    * |event_types|-group keyed agg plus two broadcast joins back
-    * (the medians table is |types|-sized). Exact medians at 100 TB are
-    * a real shuffle of the value column per group — that is inherent to
-    * EXACT; the approximate path is L67's t-digest rollup. */
-  def q172MadOutliers(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.events(s, dir)
-      .filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"))
-    val med = v.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = v.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    val f = dev.join(broadcast(mad), "event_type")
-      .withColumn("is_out",
-        when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(max(col("med")), 4).as("med"),
-        round(max(col("mad")), 4).as("mad"), sum(col("is_out")).as("n_outliers"))
-    val h = col("n_outliers") * 20000L + col("n")
-    val d2 = col("n") * 2L
-    f.select(col("event_type"), col("n"), col("med"), col("mad"),
-        col("n_outliers"),
-        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("outlier_share"))
-      .orderBy("event_type")
-  }
-
-  val q172MadOutliersSql: String =
-    """WITH v AS (
-      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
-      |m AS (
-      |  SELECT event_type, quantile_cont(value, 0.5) AS med
-      |  FROM v GROUP BY event_type),
-      |d AS (
-      |  SELECT v.event_type, m.med, ABS(v.value - m.med) AS adev
-      |  FROM v JOIN m USING (event_type)),
-      |md AS (
-      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
-      |  FROM d GROUP BY event_type),
-      |f AS (
-      |  SELECT d.event_type, COUNT(*) AS n, ROUND(MAX(d.med), 4) AS med,
-      |    ROUND(MAX(md.mad), 4) AS mad,
-      |    CAST(SUM(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS n_outliers
-      |  FROM d JOIN md USING (event_type) GROUP BY d.event_type)
-      |SELECT event_type, n, med, mad, n_outliers,
-      |  ((n_outliers * 20000 + n) // (n * 2)) / 10000.0 AS outlier_share
-      |FROM f ORDER BY event_type""".stripMargin
 }

@@ -1006,54 +1006,146 @@ object EventQueries {
        |FROM a WHERE rn = 1
        |GROUP BY 1 ORDER BY campaign""".stripMargin
 
-  /** L109 cohort retention triangle: users cohorted by the Monday-start
-    * week of their FIRST event; for each (cohort week, week offset) the
-    * count of cohort members active that week and the retention share
-    * vs the cohort size — the classic "week-N retention" matrix. Week
-    * truncation and the day-difference arithmetic are identical on both
-    * engines (date_trunc('week') = Monday 00:00; both stamps midnight,
-    * so the day diff is an exact multiple of 7). Share is half-up 4dp
-    * in exact integer arithmetic (q167 discipline).
+  /** L110 two-proportion z-test — the experimentation readout: users
+    * deterministically split into variants by `user_id % 2`, conversion
+    * = at least one purchase of value ≥ 150 (plain "any purchase" is
+    * degenerate on this fixture — every user converts, the pooled
+    * variance is 0, and ANSI division-by-zero aborts; the threshold
+    * keeps both rates interior at every SF); the pooled-variance z
+    * statistic
+    * (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) decides whether the
+    * conversion-rate gap is noise. Complements q133's per-item Wilson
+    * bound (a CI on ONE proportion) with the classic A-vs-B TEST.
     *
-    * Scale: one distinct over (user, week) — a keyed shuffle that
-    * collapses the event stream to user-weeks; the cohort table is
-    * |users|-sized and the final census is |weeks|²-sized. No windows,
-    * no skew (time is naturally balanced). */
-  def q171Retention(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-      .distinct()
-    val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
-    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
-    val cell = act.join(first, "user_id")
-      .withColumn("week_offset",
-        (datediff(col("wk"), col("cohort")).cast("long") / lit(7L)).cast("int"))
-      .groupBy("cohort", "week_offset")
-      .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort")
-    val h = col("n_active") * 20000L + col("cohort_users")
-    val d2 = col("cohort_users") * 2L
-    cell.select(col("cohort"), col("week_offset"), col("cohort_users"),
-        col("n_active"),
-        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("retention"))
-      .orderBy("cohort", "week_offset")
+    * Parity: all counts are exact int64 conditional sums; rates and z
+    * are a fixed chain of int64→double IEEE ops, identical on both
+    * engines, rounded 6/4dp.
+    *
+    * Scale: per-user conversion is one map-side-combinable keyed agg;
+    * the final global agg exchanges four longs. Nothing grows with the
+    * event count. */
+  def q172AbZtest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val perUser = e.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val agg = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pp = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
   }
 
-  val q171RetentionSql: String =
-    """WITH act AS (
-      |  SELECT DISTINCT user_id,
-      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
-      |f AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id),
-      |sz AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY cohort),
-      |cell AS (
-      |  SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
-      |    COUNT(*) AS n_active
-      |  FROM act a JOIN f USING (user_id)
-      |  GROUP BY 1, 2)
-      |SELECT c.cohort, CAST(c.week_offset AS INTEGER) AS week_offset,
-      |  s.cohort_users, c.n_active,
-      |  ((c.n_active * 20000 + s.cohort_users) // (s.cohort_users * 2)) / 10000.0
-      |    AS retention
-      |FROM cell c JOIN sz s USING (cohort)
-      |ORDER BY cohort, week_offset""".stripMargin
+  val q172AbZtestSql: String =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM u)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+      |    SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z
+      |FROM a""".stripMargin
+
+  /** L111 LINEAR multi-touch attribution — q169's last-touch rule gives
+    * the whole conversion to one click; here each purchase's value is
+    * split EQUALLY across every click by the same user in the 6-hour
+    * lookback, penny-exact: value is first pinned to int64 4dp units
+    * (⌊v·10⁴+0.5⌋, the q103 micro-unit discipline), each click gets the
+    * integer quotient, and the remainder goes to the EARLIEST clicks
+    * (ts, event_id order) — largest-remainder proration (q117's rule),
+    * so per-campaign credits sum to exactly the purchase value.
+    * Purchases with no qualifying click credit campaign −1 in full.
+    *
+    * Parity: everything after the 4dp pin is int64 arithmetic — the
+    * cross-engine hash is exact by construction, no double sums.
+    *
+    * Scale: the pair join is user-keyed with a 6-hour band — candidate
+    * volume ∝ clicks-per-user-per-6h (bounded by activity rate, not
+    * corpus size); the two purchase-partitioned windows (count + rank)
+    * ride one shuffle on purchase_id; the rollup is ≤|campaigns|+1
+    * groups, map-side combinable. */
+  def q173LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("cid"),
+        col("ts").as("cts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val pairs = p.join(c,
+      col("user_id") === col("c_user") && col("cts") <= col("pts") &&
+        unix_micros(col("pts")) - unix_micros(col("cts")) <= 21600L * 1000000L,
+      "left")
+    val wp = Window.partitionBy(col("pid"))
+    val kt = count(col("cid")).over(wp)
+    val rn = row_number().over(wp.orderBy(col("cts").asc_nulls_first, col("cid")))
+    val credited = pairs
+      .withColumn("kt", kt).withColumn("rn", rn)
+      .select(
+        when(col("kt") === 0, lit(-1)).otherwise(coalesce(col("k"), lit(-1)))
+          .as("campaign"),
+        col("pid"),
+        when(col("kt") === 0, col("v4"))
+          .otherwise(expr("v4 div kt") +
+            when(col("rn") <= expr("v4 % kt"), 1L).otherwise(0L))
+          .as("credit4"))
+    credited.groupBy("campaign")
+      .agg(countDistinct(col("pid")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        (sum(col("credit4")) / 10000.0).as("revenue"))
+      .orderBy("campaign")
+  }
+
+  val q173LinearAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts,
+      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |c AS (
+      |  SELECT user_id, event_id AS cid, ts AS cts,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.pid, p.v4, c.cid, c.cts, c.k
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+      |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 21600000000),
+      |win AS (
+      |  SELECT pid, v4, k,
+      |    COUNT(cid) OVER (PARTITION BY pid) AS kt,
+      |    ROW_NUMBER() OVER (PARTITION BY pid
+      |      ORDER BY cts ASC NULLS FIRST, cid) AS rn
+      |  FROM pairs),
+      |cr AS (
+      |  SELECT CASE WHEN kt = 0 THEN -1 ELSE COALESCE(k, -1) END AS campaign,
+      |    pid,
+      |    CASE WHEN kt = 0 THEN v4
+      |         ELSE v4 // kt + CASE WHEN rn <= v4 % kt THEN 1 ELSE 0 END
+      |    END AS credit4
+      |  FROM win)
+      |SELECT campaign, COUNT(DISTINCT pid) AS n_purchases,
+      |  COUNT(*) AS n_touches,
+      |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
+      |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
 }

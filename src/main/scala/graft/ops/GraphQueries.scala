@@ -241,4 +241,72 @@ object GraphQueries {
       |JOIN bc cb ON cb.brand = pairs.brand_b
       |CROSS JOIN n
       |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** L112 degree assortativity of the part co-purchase graph (q105's
+    * edge set): the Pearson correlation of endpoint degrees over the
+    * symmetric edge list — positive = hubs link hubs (social-network
+    * shape), negative = hubs link leaves (technological/star shape)
+    * (Newman 2002). The one-number mixing diagnostic that triangle
+    * counts (local clustering) don't capture. Also emits node/edge
+    * counts and mean degree.
+    *
+    * Parity: degrees and counts are exact int64; the correlation is the
+    * builtin corr over int64→double casts rounded 4dp (the q14/A9
+    * discipline — both engines' one-pass co-moment forms agree far
+    * below the grid).
+    *
+    * Scale: same bounded map-side pair build as q105 (quadratic only in
+    * basket size ≤ 7); degrees are a map-side-combinable keyed agg on
+    * the edge list; the two one-row summary frames combine via a
+    * deliberate one-row cross join (the q110/q43 allowlisted shape).
+    * Everything is bounded by |edges|, never corpus². */
+  def q174Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val canon = baskets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .select(col("u").as("id"), col("d"))
+    val j = sym
+      .join(deg.select(col("id").as("u"), col("d").as("ds")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dt")), "v")
+    val edgeStats = j.agg(
+      (count(lit(1)) / 2).cast("long").as("n_edges"),
+      round(corr(col("ds").cast("double"), col("dt").cast("double")), 4)
+        .as("assortativity"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_d"))
+    nodeStats.crossJoin(edgeStats)
+      .select(col("n_nodes"), col("n_edges"),
+        round(col("sum_d").cast("double") / col("n_nodes"), 4).as("avg_degree"),
+        col("assortativity"))
+  }
+
+  val q174AssortativitySql: String =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |canon AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |sym AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
+      |deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u),
+      |j AS (
+      |  SELECT du.d AS ds, dv.d AS dt
+      |  FROM sym JOIN deg du ON du.id = sym.u JOIN deg dv ON dv.id = sym.v),
+      |es AS (
+      |  SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+      |    ROUND(corr(CAST(ds AS DOUBLE), CAST(dt AS DOUBLE)), 4) AS assortativity
+      |  FROM j),
+      |ns AS (
+      |  SELECT COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS sum_d FROM deg)
+      |SELECT ns.n_nodes, es.n_edges,
+      |  ROUND(CAST(ns.sum_d AS DOUBLE) / ns.n_nodes, 4) AS avg_degree,
+      |  es.assortativity
+      |FROM ns CROSS JOIN es""".stripMargin
 }

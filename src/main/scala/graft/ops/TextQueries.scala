@@ -907,44 +907,7 @@ object TextQueries {
       |  ((n_novel * 20000 + n_grams) // (n_grams * 2)) / 10000.0 AS novelty
       |FROM per ORDER BY doc_id""".stripMargin
 
-  /** L108 unigram-LM surprisal per document — the perplexity-proxy
-    * quality filter (CCNet-style: score each document by how surprising
-    * its tokens are under a corpus-level language model; here the
-    * model is the corpus unigram distribution itself, so no OOV mass is
-    * needed). surprisal = mean −ln p(w) = ln N − (Σ ln n_w)/n_tokens.
-    * Outliers on BOTH ends are curation signal: high = rare-vocabulary
-    * junk, low = boilerplate.
-    *
-    * Scale: one corpus word census (map-side combinable, |vocab|-sized
-    * result joined back to the token stream — vocab is corpus-sublinear
-    * so the join build side stays broadcastable far past 100 TB), one
-    * per-doc agg. ln N rides as a driver scalar (q121 discipline).
-    * Double sums round at 4dp (Parity.rnd residual-risk note). */
-  def q170Surprisal(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
-    val nTotal = vocab.agg(sum("n_w")).head().getLong(0)
-    tok.join(vocab, "w")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(log(col("n_w"))).as("sum_ln"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(lit(math.log(nTotal.toDouble)) - col("sum_ln") / col("n_tokens"), 4)
-          .as("surprisal"))
-      .orderBy("doc_id")
-  }
-
-  val q170SurprisalSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |v AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
-      |t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM v)
-      |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  ROUND(LN(t.n) - SUM(LN(v.n_w)) / COUNT(*), 4) AS surprisal
-      |FROM tok JOIN v USING (w) CROSS JOIN t
-      |GROUP BY doc_id, t.n ORDER BY doc_id""".stripMargin
-
-  /** L111 Zipf rank–frequency fit per language: ln(count) regressed on
+  /** L108 Zipf rank–frequency fit per language: ln(count) regressed on
     * ln(rank) over the top-500 head — slope ≈ −1 is Zipf's law; the
     * deviation is a corpus-health signal (too flat = shuffled/duplicated
     * boilerplate, too steep = tiny effective vocabulary). Rank ties
@@ -954,7 +917,7 @@ object TextQueries {
     * census (corpus-sublinear — the q41 justification); the regression
     * itself runs on ≤500 rows per language via the builtin codegen
     * regr_* aggregates. */
-  def q173Zipf(s: SparkSession, dir: String): DataFrame = {
+  def q170Zipf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val wc = d.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
@@ -969,7 +932,7 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  val q173ZipfSql: String =
+  val q170ZipfSql: String =
     """WITH wc AS (
       |  SELECT lang, w, COUNT(*) AS cnt
       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -983,4 +946,64 @@ object TextQueries {
       |  ROUND(regr_intercept(LN(cnt), LN(rnk)), 4) AS zipf_intercept,
       |  ROUND(regr_r2(LN(cnt), LN(rnk)), 4) AS r2
       |FROM r WHERE rnk <= 500 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** L109 reciprocal-rank fusion: merge two per-language document
+    * rankings (by raw length, by distinct-word richness) into one list
+    * via RRF score Σ 1/(60+rank) and keep the fused top-10 — the
+    * standard way hybrid retrieval (BM25 ⊕ dense) combines rankers
+    * without score calibration (Cormack et al., SIGIR 2009; k=60).
+    *
+    * Parity: ranks are integer row_numbers with doc_id tie-breaks;
+    * 1/(60+r) is one IEEE division per ranker and their sum is
+    * commutative-safe (two terms) — bit-identical on both engines, so
+    * ordering by the UNROUNDED score is deterministic; output rounds
+    * at 6dp.
+    *
+    * Scale: both rankings and the fusion ride lang-partitioned windows
+    * over the document census (one shuffle on lang; same sort
+    * machinery serves r1/r2). Real fleets fuse per query id — the
+    * partition key becomes (query_id) with per-query candidate pools,
+    * same plan shape. */
+  def q171RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sig = d.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(array_distinct(tokens(col("text")))).as("n_uniq"))
+    val w1 = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("lang"))
+      .orderBy(col("n_uniq").desc, col("doc_id"))
+    val ranked = sig
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("r1")) + lit(1.0) / (lit(60.0) + col("r2")))
+    val wf = Window.partitionBy(col("lang"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    ranked.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("r1"), col("r2"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q171RrfFusionSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r1,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_uniq DESC, doc_id) AS r2
+      |  FROM sig),
+      |f AS (
+      |  SELECT lang, doc_id, r1, r2,
+      |    CAST(1 AS DOUBLE)/(60 + r1) + CAST(1 AS DOUBLE)/(60 + r2) AS rrf
+      |  FROM r),
+      |t AS (
+      |  SELECT lang, doc_id, r1, r2, rrf,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rrf DESC, doc_id) AS rnk
+      |  FROM f)
+      |SELECT lang, rnk, doc_id, r1, r2, ROUND(rrf, 6) AS rrf
+      |FROM t WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 }
