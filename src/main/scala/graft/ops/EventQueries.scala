@@ -1148,4 +1148,95 @@ object EventQueries {
       |  COUNT(*) AS n_touches,
       |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
       |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
+
+  /** L113 Kaplan–Meier survival of user lifetimes — the
+    * retention-analytics estimator under RIGHT CENSORING: lifetime =
+    * calendar days between a user's first and last event; a user whose
+    * last event is within 7 days of corpus end is CENSORED (still
+    * active when observation stopped), not churned. Per lifetime day t:
+    * users at risk n_t, churn events d_t, censored c_t, and
+    * S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) — the estimator that plain
+    * "average lifetime" gets wrong by treating censored users as
+    * churned.
+    *
+    * Parity: counts are exact int64; the survival product runs as a
+    * cumulative Σ ln((n−d)/n) over the ≤|days|-row day table in one
+    * ascending window — BOTH engines accumulate the identical doubles
+    * in the identical row order, so the sum is bit-deterministic (the
+    * q167 tiny-global-window shape); exp + 4dp round on output. Once a
+    * day has d = n (everyone at risk churns) survival pins to exactly
+    * 0 via a cumulative flag — no ln(0) is ever evaluated (ANSI-safe
+    * on Spark, error-free on DuckDB).
+    *
+    * Scale: one user-keyed agg collapses events to |users| lifetimes;
+    * the day census is a ≤|days|-group hash agg; only the day table
+    * (dozens of rows at any corpus size — lifetimes are calendar-
+    * bounded) rides the global window. Corpus end and the user total
+    * are driver scalars (q121 discipline). */
+  def q175KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
+      countDistinct("user_id").as("nu")).head()
+    val endUs = bounds.getAs[Long]("end_us")
+    val nUsers = bounds.getAs[Long]("nu")
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+          .otherwise(0L).as("churn"))
+    val day = peru.groupBy("t")
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = day.withColumn("n_risk",
+      lit(nUsers) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
+    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
+      .otherwise(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")))
+    withRisk
+      .withColumn("dead", dead)
+      .withColumn("ln_s", sum(lnTerm).over(wCum))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("ln_s")), 4)).as("survival"))
+      .orderBy("t_days")
+  }
+
+  val q175KaplanMeierSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
+      |peru AS (
+      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT epoch_us(fin) - 604800000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(SUM(1 - churn) AS BIGINT) AS c
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_risk
+      |  FROM day),
+      |cum AS (
+      |  SELECT t, n_risk, d, c,
+      |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS dead,
+      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
+      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS ln_s
+      |  FROM risk)
+      |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
+      |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END AS survival
+      |FROM cum ORDER BY t_days""".stripMargin
 }
