@@ -257,9 +257,12 @@ object GraphQueries {
     *
     * Scale: same bounded map-side pair build as q105 (quadratic only in
     * basket size ≤ 7); degrees are a map-side-combinable keyed agg on
-    * the edge list; the two one-row summary frames combine via a
-    * deliberate one-row cross join (the q110/q43 allowlisted shape).
-    * Everything is bounded by |edges|, never corpus². */
+    * the edge list; node count, edge count, mean degree, and the
+    * correlation all come from ONE aggregation over the joined edge
+    * list (each directed edge contributes once to its source's degree
+    * sum, so Σd = count(*) and no second summary frame — and no
+    * one-row cross join — is needed). Everything is bounded by
+    * |edges|, never corpus². */
   def q174Assortativity(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -277,15 +280,14 @@ object GraphQueries {
     val j = sym
       .join(deg.select(col("id").as("u"), col("d").as("ds")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dt")), "v")
-    val edgeStats = j.agg(
-      (count(lit(1)) / 2).cast("long").as("n_edges"),
-      round(corr(col("ds").cast("double"), col("dt").cast("double")), 4)
-        .as("assortativity"))
-    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_d"))
-    nodeStats.crossJoin(edgeStats)
-      .select(col("n_nodes"), col("n_edges"),
-        round(col("sum_d").cast("double") / col("n_nodes"), 4).as("avg_degree"),
-        col("assortativity"))
+    j.agg(
+        countDistinct(col("u")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(count(lit(1)).cast("double") / countDistinct(col("u")), 4)
+          .as("avg_degree"),
+        round(corr(col("ds").cast("double"), col("dt").cast("double")), 4)
+          .as("assortativity"))
+      .select("n_nodes", "n_edges", "avg_degree", "assortativity")
   }
 
   val q174AssortativitySql: String =
@@ -297,16 +299,11 @@ object GraphQueries {
       |sym AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
       |deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u),
       |j AS (
-      |  SELECT du.d AS ds, dv.d AS dt
-      |  FROM sym JOIN deg du ON du.id = sym.u JOIN deg dv ON dv.id = sym.v),
-      |es AS (
-      |  SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
-      |    ROUND(corr(CAST(ds AS DOUBLE), CAST(dt AS DOUBLE)), 4) AS assortativity
-      |  FROM j),
-      |ns AS (
-      |  SELECT COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS sum_d FROM deg)
-      |SELECT ns.n_nodes, es.n_edges,
-      |  ROUND(CAST(ns.sum_d AS DOUBLE) / ns.n_nodes, 4) AS avg_degree,
-      |  es.assortativity
-      |FROM ns CROSS JOIN es""".stripMargin
+      |  SELECT sym.u, du.d AS ds, dv.d AS dt
+      |  FROM sym JOIN deg du ON du.id = sym.u JOIN deg dv ON dv.id = sym.v)
+      |SELECT COUNT(DISTINCT u) AS n_nodes,
+      |  CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT u), 4) AS avg_degree,
+      |  ROUND(corr(CAST(ds AS DOUBLE), CAST(dt AS DOUBLE)), 4) AS assortativity
+      |FROM j""".stripMargin
 }
