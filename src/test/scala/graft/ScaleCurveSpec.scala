@@ -48,12 +48,18 @@ class ScaleCurveSpec extends SparkSpec {
       ("documents", Seq("doc_id"), Seq("text"), Some("n_chars")),
       ("part", Seq("p_partkey"), Seq("p_name"), None),
       ("orders", Seq("o_orderkey"), Seq.empty[String], None),
-      ("embeddings", Seq("vec_id"), Seq.empty[String], None))
+      ("embeddings", Seq("vec_id"), Seq.empty[String], None),
+      ("lineitem", Seq("l_orderkey", "l_partkey"), Seq.empty[String], None),
+      ("events", Seq("event_id", "user_id"), Seq.empty[String], None))
     specs.foreach { case (table, idCols, textCols, lenCol) =>
       val src = Tables.load(spark, base, table)
-      (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
+      val out = (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
         .reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
+      // events.ts must be written back as the raw nanosecond long the
+      // Tables.events reader expects (the fixtures' physical layout)
+      val phys = if (table == "events")
+        out.withColumn("ts", expr("unix_micros(ts) * 1000")) else out
+      phys.write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
     }
   }
 
@@ -69,7 +75,12 @@ class ScaleCurveSpec extends SparkSpec {
     gen(s"$root/x10", 10)
     val heavy = Seq("q49_token_jaccard", "q100_dup_passages",
       "q135_sparse_cosine", "q138_covariance", "q147_ks",
-      "q155_containment", "q161_jaro_names")
+      "q155_containment", "q161_jaro_names",
+      // round-8 additions: the lookback band join (candidates ∝
+      // clicks/user/6h — per-copy density is constant, so growth must
+      // be ~linear) and the co-purchase graph build (pairs bounded by
+      // basket size; disjoint per-copy subgraphs)
+      "q173_linear_attribution", "q174_assortativity")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
