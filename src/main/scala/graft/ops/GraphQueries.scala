@@ -306,4 +306,91 @@ object GraphQueries {
       |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT u), 4) AS avg_degree,
       |  ROUND(corr(CAST(ds AS DOUBLE), CAST(dt AS DOUBLE)), 4) AS assortativity
       |FROM j""".stripMargin
+
+  /** L114 modularity of a vertex partition (Newman–Girvan Q): score the
+    * BRAND partition of the part co-purchase graph — per community c,
+    * internal edges e_c, total endpoint degree d_c, and the
+    * contribution e_c/m − (d_c/2m)²; Σ contributions is Q, the standard
+    * "is this grouping real community structure?" yardstick for any
+    * clustering the pipeline produces (label prop L66, k-means, CC).
+    *
+    * Parity: e_c, d_c, m are exact int64; each contribution is the
+    * single-expression double chain (e_c·4m − d_c²)/(4m²) from exactly
+    * representable int64 products (m ≤ ~10⁶ here, products < 2⁵³),
+    * rounded 6dp.
+    *
+    * Scale: q105's bounded pair build; brand lookup is a broadcast
+    * dimension join; both censuses are ≤|brands|-group map-side
+    * combinable aggs; m rides as a driver scalar (q121 discipline). */
+  def q176Modularity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val canon = baskets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    val brand = Tables.part(s, dir)
+      .select(col("p_partkey").as("id"), col("p_brand").as("b"))
+    val m = canon.count()
+    val withB = canon
+      .join(broadcast(brand.select(col("id").as("u"), col("b").as("bu"))), "u")
+      .join(broadcast(brand.select(col("id").as("v"), col("b").as("bv"))), "v")
+    val eIn = withB.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("e_c"))
+    val degB = withB.select(col("bu").as("brand"))
+      .union(withB.select(col("bv").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("d_c"))
+    val nodesB = canon.select(col("u").as("id")).union(canon.select(col("v")))
+      .distinct()
+      .join(broadcast(brand), "id")
+      .groupBy(col("b").as("brand")).agg(count(lit(1)).as("n_nodes"))
+    nodesB
+      .join(degB, Seq("brand"), "left")
+      .join(eIn, Seq("brand"), "left")
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+      .withColumn("contribution", round(
+        (col("e_c") * lit(4L * m) - col("d_c") * col("d_c")).cast("double") /
+          lit(4.0 * m.toDouble * m.toDouble), 6))
+      .orderBy("brand")
+  }
+
+  val q176ModularitySql: String =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |canon AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |m AS (SELECT COUNT(*) AS m FROM canon),
+      |br AS (SELECT p_partkey AS id, p_brand AS b FROM part),
+      |wb AS (
+      |  SELECT bu.b AS bu, bv.b AS bv FROM canon
+      |  JOIN br bu ON bu.id = canon.u JOIN br bv ON bv.id = canon.v),
+      |ein AS (
+      |  SELECT bu AS brand, COUNT(*) AS e_c FROM wb
+      |  WHERE bu = bv GROUP BY bu),
+      |degb AS (
+      |  SELECT brand, COUNT(*) AS d_c FROM (
+      |    SELECT bu AS brand FROM wb UNION ALL SELECT bv FROM wb)
+      |  GROUP BY brand),
+      |nodesb AS (
+      |  SELECT br.b AS brand, COUNT(*) AS n_nodes FROM (
+      |    SELECT u AS id FROM canon UNION SELECT v FROM canon) n
+      |  JOIN br ON br.id = n.id GROUP BY br.b)
+      |SELECT nb.brand, nb.n_nodes,
+      |  CAST(COALESCE(e.e_c, 0) AS BIGINT) AS e_c,
+      |  CAST(COALESCE(d.d_c, 0) AS BIGINT) AS d_c,
+      |  ROUND(CAST(COALESCE(e.e_c, 0) * 4 * m.m
+      |      - COALESCE(d.d_c, 0) * COALESCE(d.d_c, 0) AS DOUBLE)
+      |    / (4.0 * m.m * m.m), 6) AS contribution
+      |FROM nodesb nb
+      |LEFT JOIN degb d USING (brand)
+      |LEFT JOIN ein e ON e.brand = nb.brand
+      |CROSS JOIN m
+      |ORDER BY brand""".stripMargin
 }

@@ -1006,4 +1006,60 @@ object TextQueries {
       |  FROM f)
       |SELECT lang, rnk, doc_id, r1, r2, ROUND(rrf, 6) AS rrf
       |FROM t WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
+  /** L115 Spearman rank correlation between two per-language document
+    * rankings (the q171 pair: raw length vs distinct-word richness) —
+    * the ranker-agreement diagnostic run before fusing rankers: ρ near
+    * 1 means the second signal is redundant, near 0 orthogonal. Ranks
+    * are row_numbers with doc_id tie-breaks, hence PERMUTATIONS (no
+    * ties), so ρ = 1 − 6Σd²/(n(n²−1)) exactly — Σd² is an exact int64
+    * and the final expression is one int64→double division chain
+    * (rounded 6dp), a stronger parity guarantee than Pearson-on-ranks
+    * via the corr() co-moment kernel.
+    *
+    * Scale: two lang-partitioned rank windows on one shuffle (the q171
+    * shape), then a ≤|langs|-group map-side-combinable agg; n³ stays
+    * within int64 up to ~2M docs per language — past that, lift Σd²
+    * and n(n²−1) to double with a documented precision trade or
+    * decimal(38). */
+  def q177Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sig = d.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(array_distinct(tokens(col("text")))).as("n_uniq"))
+    val w1 = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("lang"))
+      .orderBy(col("n_uniq").desc, col("doc_id"))
+    sig
+      .withColumn("dd",
+        (row_number().over(w1) - row_number().over(w2)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dd") * col("dd")).as("sum_d2"))
+      .select(col("lang"), col("n_docs"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n_docs") * (col("n_docs") * col("n_docs") - 1L)).cast("double"),
+          6).as("rho"))
+      .orderBy("lang")
+  }
+
+  val q177SpearmanSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+      |       - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_uniq DESC, doc_id)
+      |      AS BIGINT) AS dd
+      |  FROM sig),
+      |a AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(dd * dd) AS BIGINT) AS sum_d2
+      |  FROM r GROUP BY lang)
+      |SELECT lang, n_docs, sum_d2,
+      |  ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+      |    / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 6) AS rho
+      |FROM a ORDER BY lang""".stripMargin
 }
