@@ -393,4 +393,77 @@ object GraphQueries {
       |LEFT JOIN ein e ON e.brand = nb.brand
       |CROSS JOIN m
       |ORDER BY brand""".stripMargin
+
+  /** L116 multi-source BFS hop distance: shortest hop count from a seed
+    * set (every part of one brand) to every reachable part over the
+    * SUPPORT-THRESHOLDED co-purchase graph (pairs co-bought in ≥ 2
+    * orders — the raw graph at fixture density is diameter ≤ 2, the
+    * thresholded one has real structure: hop levels 0..6 both SFs).
+    * Emits the per-level census (n first reached at hop h + an exact
+    * id-sum witness) — the "proximity to a trusted/contaminated seed
+    * set" primitive that CC (q84) and PageRank (q101) don't give.
+    *
+    * Oracle: DuckDB's recursive CTE with UNION-distinct semantics keeps
+    * (id, hop) rows, so MIN(hop) per id is exactly the Spark side's
+    * first-reach level; the working set is bounded by nodes × maxHops,
+    * never path-enumeration (which would be combinatorial here).
+    *
+    * Scale: the edge build is the one fact-table shuffle (q105's
+    * bounded per-basket pair expansion, then a map-side-combinable
+    * support count); each of the ≤ 6 iterations is frontier ⋈ edges
+    * (equi-join on the edge key) plus an anti-join against visited —
+    * the Pregel step shape, frontier-sized, never all-pairs.
+    * localCheckpoint per round cuts the iterative lineage (q84/q101
+    * discipline); all counts/sums exact int64. */
+  def q178BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val canon = baskets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).drop("c")
+    val edges = canon.union(canon.select(col("v"), col("u")))
+      .localCheckpoint()
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey").as("id"))
+    var visited = seeds.withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited.select("id")
+    var h = 1
+    while (h <= 6) {
+      frontier = frontier.select(col("id").as("fid"))
+        .join(edges, col("fid") === col("u"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(frontier.withColumn("hop", lit(h)))
+        .localCheckpoint()
+      h += 1
+    }
+    visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("id").as("sum_id"))
+      .orderBy("hop")
+  }
+
+  val q178BfsHopsSql: String =
+    """WITH RECURSIVE lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |canon AS (
+      |  SELECT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+      |bfs(id, hop) AS (
+      |  SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#11'
+      |  UNION
+      |  SELECT e.v, b.hop + 1 FROM bfs b JOIN edges e ON e.u = b.id
+      |  WHERE b.hop < 6),
+      |d AS (SELECT id, MIN(hop) AS hop FROM bfs GROUP BY id)
+      |SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(id) AS BIGINT) AS sum_id
+      |FROM d GROUP BY hop ORDER BY hop""".stripMargin
 }

@@ -1062,4 +1062,85 @@ object TextQueries {
       |  ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
       |    / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 6) AS rho
       |FROM a ORDER BY lang""".stripMargin
+
+  /** L117 log-likelihood-ratio keyness (Dunning 1993): which tokens are
+    * significantly over/under-represented in one source's documents vs
+    * the rest of the corpus — the corpus-comparison statistic PMI
+    * (q121, association WITHIN a corpus) and TV drift (q160, whole
+    * -distribution distance) don't give: a per-term G² significance
+    * ranking, the standard "what characterizes this source?" probe
+    * before up/down-weighting it in a training mix.
+    *
+    * G² = 2·Σ O·ln(O/E) over the focus/rest cells of each token's 2×2
+    * table; zero cells contribute 0 (x·ln x → 0). Cross-engine parity
+    * by the q103 recipe: every ln argument is a division of two exact
+    * int64 products (< 2⁵³ through sf ~10; lift to DECIMAL(38) ratios
+    * past that), the two terms sum in fixed order, and the statistic is
+    * quantized once to integer micro-units floor(g2·2e6 + 0.5) — so
+    * ORDERING and the top-20 cut are exact-integer decisions on both
+    * engines, never a last-ulp coin flip. Direction (over vs under) is
+    * the exact integer cross-product sign a·NB vs b·NA.
+    *
+    * Scale: explode → vocab-sized map-side-combinable count (shuffle ∝
+    * vocab, Heaps-sublinear); corpus totals are ONE two-long driver row
+    * off the vocab table (q121/q176 discipline — no one-row join in the
+    * plan); top-20 via TakeOrdered + a 20-row rank window (q105
+    * pattern). */
+  def q179Keyness(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)).as("f"),
+        explode(tokens(col("text"))).as("w"))
+    val c = tok.groupBy("w")
+      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+    val t = c.agg(sum(col("a")), sum(col("b"))).collect()(0)
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    val scored = c.filter(col("a") + col("b") >= 5)
+      .withColumn("k", floor((
+        when(col("a") > 0, col("a").cast("double") *
+          log((col("a") * lit(na + nb)).cast("double") /
+              (lit(na) * (col("a") + col("b"))).cast("double")))
+          .otherwise(lit(0.0)) +
+        when(col("b") > 0, col("b").cast("double") *
+          log((col("b") * lit(na + nb)).cast("double") /
+              (lit(nb) * (col("a") + col("b"))).cast("double")))
+          .otherwise(lit(0.0))) * lit(2000000.0) + lit(0.5)).cast("long"))
+      .withColumn("direction",
+        when(col("a") * lit(nb) > col("b") * lit(na), lit(1))
+          .when(col("a") * lit(nb) < col("b") * lit(na), lit(-1))
+          .otherwise(lit(0)))
+    scored.orderBy(col("k").desc, col("w")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("k").desc, col("w"))))
+      .select(col("rnk"), col("w").as("token"), col("a").as("n_focus"),
+        col("b").as("n_rest"), col("direction"),
+        (col("k").cast("double") / 1000000.0).as("g2"))
+      .orderBy("rnk")
+  }
+
+  val q179KeynessSql: String =
+    """WITH tok AS (
+      |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT w, CAST(SUM(f) AS BIGINT) AS a, CAST(SUM(1 - f) AS BIGINT) AS b
+      |  FROM tok GROUP BY w),
+      |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      |      FROM c),
+      |sc AS (
+      |  SELECT w, a, b,
+      |    CAST(FLOOR((
+      |      CASE WHEN a > 0 THEN a * ln(CAST(a * (t.na + t.nb) AS DOUBLE)
+      |        / CAST(t.na * (a + b) AS DOUBLE)) ELSE 0.0 END +
+      |      CASE WHEN b > 0 THEN b * ln(CAST(b * (t.na + t.nb) AS DOUBLE)
+      |        / CAST(t.nb * (a + b) AS DOUBLE)) ELSE 0.0 END
+      |    ) * 2000000.0 + 0.5) AS BIGINT) AS k,
+      |    CASE WHEN a * t.nb > b * t.na THEN 1
+      |         WHEN a * t.nb < b * t.na THEN -1 ELSE 0 END AS direction
+      |  FROM c CROSS JOIN t
+      |  WHERE a + b >= 5)
+      |SELECT ROW_NUMBER() OVER (ORDER BY k DESC, w) AS rnk, w AS token,
+      |  a AS n_focus, b AS n_rest, direction,
+      |  CAST(k AS DOUBLE) / 1000000.0 AS g2
+      |FROM sc ORDER BY k DESC, w LIMIT 20""".stripMargin
 }
