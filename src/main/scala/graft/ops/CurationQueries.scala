@@ -1381,4 +1381,96 @@ object CurationQueries {
       |  ((rows_at_risk * 20000 + total) // (total * 2)) / 10000.0 AS risk_share
       |FROM lv ORDER BY level""".stripMargin
 
+  /** L118 quantile normalization (Bolstad et al. 2003): force every
+    * source's n_chars distribution onto the pooled reference — each
+    * document's value is replaced by the MEAN across sources of the
+    * value at its within-source rank. The batch-effect corrector for
+    * multi-source corpora: after it, every source has literally the
+    * same marginal distribution, so downstream length filters can't
+    * favor one feed. Distinct from winsorize (L58: clips tails
+    * per-group) and PSI (L75: measures drift, doesn't fix it).
+    *
+    * Parity: ranks are tie-broken row_numbers (exact), the reference
+    * is one double division of exact int64 sum/count per rank, rounded
+    * 4dp — no float accumulation across rows.
+    *
+    * Scale: the within-source rank is a per-source sort — at fixture
+    * scale one |sources|-partition window; at 100 TB the same rank
+    * comes from the L35/L77 range-partitioned machinery (RangedNtile's
+    * sampled cutpoints + per-range offsets), same semantics. The
+    * reference table is rank-keyed (rows = max group size, corpus/
+    * |sources|) and joins back as the small side. */
+  def q180QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = d.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+    val ref = ranked.groupBy("rnk")
+      .agg(sum(col("n_chars")).as("s"), count(lit(1)).as("c"))
+    ranked.join(ref, "rnk")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("s").cast("double") / col("c").cast("double"), 4).as("qn"))
+      .orderBy("doc_id")
+  }
+
+  val q180QuantileNormSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rnk
+      |  FROM documents),
+      |ref AS (
+      |  SELECT rnk, CAST(SUM(n_chars) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM ranked GROUP BY rnk)
+      |SELECT doc_id, source, n_chars,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 4) AS qn
+      |FROM ranked JOIN ref USING (rnk)
+      |ORDER BY doc_id""".stripMargin
+
+  /** L119 exact ROC AUC via the Mann–Whitney rank statistic: how well
+    * does n_chars separate the q179 focus source from the rest? AUC =
+    * P(score_pos > score_neg) + ½P(=) — the threshold-free evaluation
+    * every quality-classifier pipeline reports, computed EXACTLY with
+    * tie handling (no trapezoid approximation): over distinct scores,
+    * numerator·2 = Σ 2·p_s·(negs strictly below s) + p_s·q_s, an exact
+    * int64; AUC is one final division by 2·n_pos·n_neg, rounded 6dp.
+    *
+    * Scale: the q147 KS shape — a distinct-score census (map-side
+    * combinable, rows bounded by the VALUE DOMAIN, not the corpus)
+    * then [[PrefixSum]]'s distributed running sum over it and a single
+    * global aggregate; the corpus is never globally sorted or ranked. */
+  def q181Auc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars").as("sc"),
+      (col("source") === "src0").as("pos"))
+    val h = d.groupBy("sc")
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("q"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
+      Seq((col("q"), "cumq")))
+    c.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * (col("cumq") - col("q")) * lit(2L) +
+          col("p") * col("q")).as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("num2"),
+        round(col("num2").cast("double") /
+          (col("n_pos") * col("n_neg") * lit(2L)).cast("double"), 6).as("auc"))
+  }
+
+  val q181AucSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS sc, source = 'src0' AS pos FROM documents),
+      |h AS (
+      |  SELECT sc, COUNT(*) FILTER (WHERE pos) AS p,
+      |    COUNT(*) FILTER (WHERE NOT pos) AS q
+      |  FROM d GROUP BY sc),
+      |c AS (
+      |  SELECT sc, p, q,
+      |    SUM(q) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+      |  FROM h)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(q) AS BIGINT) AS n_neg,
+      |  CAST(SUM(p * (cumq - q) * 2 + p * q) AS BIGINT) AS num2,
+      |  ROUND(CAST(SUM(p * (cumq - q) * 2 + p * q) AS DOUBLE)
+      |    / CAST(SUM(p) * SUM(q) * 2 AS DOUBLE), 6) AS auc
+      |FROM c""".stripMargin
 }
