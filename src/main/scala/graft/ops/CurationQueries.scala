@@ -1589,4 +1589,77 @@ object CurationQueries {
       |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
       |      AS DOUBLE), 6) AS kappa
       |FROM cts""".stripMargin
+
+  /** L122 distributed Poisson bootstrap: a 95 % percentile confidence
+    * interval for mean n_chars from B = 200 resamples — THE resampling
+    * scheme that works at fact scale (Efron's classic bootstrap needs a
+    * global sample per replicate; the Poisson approximation gives every
+    * row an independent Poisson(1) replication count, so each replicate
+    * is one map-side-combinable weighted aggregate — Chamandy et al.'s
+    * streaming-scale estimator). Deterministic by construction: the
+    * replication count comes from the q127 LCG hash of (doc_id, b)
+    * against exact integer CDF thresholds ⌊P·CDF_Pois(1)(k)⌋, so both
+    * engines draw literally the same resamples — no RNG state anywhere.
+    *
+    * Parity: each replicate mean is ONE int64/int64 division (exact
+    * IEEE bits), so the rank ordering of the 200 means and the rank-5 /
+    * rank-196 percentile picks are engine-independent; the point mean
+    * rides as driver scalars (q121 discipline).
+    *
+    * Scale: corpus × B rows exist only between the generate and the
+    * partial agg in the same stage — the shuffle carries ≤ B·tasks
+    * partial rows into B groups; the rank window sees exactly B rows. */
+  def q184Bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val totRow = d.agg(sum("n_chars"), count(lit(1))).head
+    val (sx, n) = (totRow.getLong(0), totRow.getLong(1))
+    val reps = d.select(col("doc_id"), col("n_chars"),
+      explode(expr("sequence(0L, 199L)")).as("b"))
+    val h = pmod(col("doc_id") * lit(1103515245L) +
+      col("b") * lit(2654435761L) + lit(12345L), lit(1000000007L))
+    val w = when(h < 367879443L, 0L).when(h < 735758887L, 1L)
+      .when(h < 919698609L, 2L).when(h < 981011849L, 3L)
+      .when(h < 996340160L, 4L).when(h < 999405822L, 5L)
+      .when(h < 999916765L, 6L).otherwise(7L)
+    val repMeans = reps.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val ranked = repMeans.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    ranked.agg(
+        round(min(when(col("rn") === 5, col("m"))), 6).as("ci_lo"),
+        round(min(when(col("rn") === 196, col("m"))), 6).as("ci_hi"))
+      .select(lit(n).as("n_docs"), lit(200).as("n_reps"),
+        round(lit(sx.toDouble / n.toDouble), 6).as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val q184BootstrapSql: String =
+    """WITH reps AS (
+      |  SELECT b.b, d.n_chars,
+      |    ((d.doc_id * 1103515245 + b.b * 2654435761 + 12345)
+      |      % 1000000007 + 1000000007) % 1000000007 AS h
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(0, 200)) AS b) b),
+      |w AS (
+      |  SELECT b, n_chars,
+      |    CASE WHEN h < 367879443 THEN 0 WHEN h < 735758887 THEN 1
+      |         WHEN h < 919698609 THEN 2 WHEN h < 981011849 THEN 3
+      |         WHEN h < 996340160 THEN 4 WHEN h < 999405822 THEN 5
+      |         WHEN h < 999916765 THEN 6 ELSE 7 END AS w
+      |  FROM reps),
+      |rm AS (
+      |  SELECT b, CAST(SUM(w * n_chars) AS DOUBLE)
+      |    / CAST(SUM(w) AS DOUBLE) AS m
+      |  FROM w GROUP BY b),
+      |r AS (SELECT b, m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM rm),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+      |        FROM documents)
+      |SELECT tot.n AS n_docs, 200 AS n_reps,
+      |  ROUND(CAST(tot.s AS DOUBLE) / tot.n, 6) AS mean,
+      |  ROUND(MIN(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo,
+      |  ROUND(MIN(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi
+      |FROM r, tot GROUP BY tot.n, tot.s""".stripMargin
 }
