@@ -274,6 +274,10 @@ object GraphQueries {
         |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
+      // one materialization of the bounded edge set: the degree census
+      // and both join probes otherwise re-run the fact-sized pair build
+      // (q176/q178 lineage discipline)
+      .localCheckpoint()
     val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("id"), col("d"))
