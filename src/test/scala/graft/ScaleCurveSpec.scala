@@ -80,7 +80,11 @@ class ScaleCurveSpec extends SparkSpec {
       // clicks/user/6h — per-copy density is constant, so growth must
       // be ~linear) and the co-purchase graph build (pairs bounded by
       // basket size; disjoint per-copy subgraphs)
-      "q173_linear_attribution", "q174_assortativity")
+      "q173_linear_attribution", "q174_assortativity",
+      // the co-purchase pair build feeding disjoint per-copy subgraphs:
+      // modularity's censuses and BFS's ≤6 frontier expansions must
+      // both grow with the copies, never with copies²
+      "q176_modularity", "q178_bfs_hops")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
