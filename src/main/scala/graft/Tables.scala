@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * Schemas are declared explicitly (ground truth: FIXTURES.md, dumped from
   * the parquet files themselves) so a misread fails fast instead of being
   * silently inferred — SURVEY.md §1.2. All fields nullable to match parquet
-  * defaults. `events.ts` is stored as timestamp[ns]; Spark truncates to µs
-  * on read (same truncation DuckDB 1.0.0 applies — FIXTURES.md hazard #1).
+  * defaults. `events.ts` has shipped as both timestamp[ns] (rounds 5–8)
+  * and timestamp[us] (round 9+): its unit is detected from the parquet
+  * footer per [[eventsTsUnit]], never assumed (FIXTURES.md hazard #1).
   */
 object Tables {
   private def st(fields: (String, DataType)*): StructType =
@@ -67,11 +68,11 @@ object Tables {
     "events" -> eventsSchema, "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
-  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to map to
-    * its µs TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a raw
-    * nanosecond long (legacy conf, runtime-mutable so it works on any
-    * driver-provided session) and floor-divide to µs — the identical
-    * truncation DuckDB applies on read (FIXTURES.md hazard #1). */
+  /** Raw-long read schema for the historical timestamp[ns] fixture
+    * layout, which Spark 4 refuses to map to its µs TimestampType
+    * (PARQUET_TYPE_ILLEGAL). Used only when [[eventsTsUnit]] detects
+    * NANOS in the footer; the ns long is floor-divided to µs — the
+    * identical truncation DuckDB applies on read. */
   private val eventsRawSchema: StructType = st(
     "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
@@ -153,14 +154,69 @@ object Tables {
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        eventsTsUnit(spark, s"$dir/$name.parquet") match {
+          case TimeUnit.NANOS =>
+            // Spark 4 refuses TIMESTAMP(NANOS) → TimestampType
+            // (PARQUET_TYPE_ILLEGAL): read the raw ns long and
+            // floor-divide to µs — the same truncation DuckDB applies.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+              .withColumn("ts",
+                org.apache.spark.sql.functions.timestamp_micros(
+                  org.apache.spark.sql.functions.expr("ts div 1000")))
+          case _ =>
+            // MICROS and MILLIS both map natively to Spark's µs
+            // TimestampType via the declared schema.
+            spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+        }
       } else {
         spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
       }
+  }
+
+  /** The physical unit of `events.ts`, read from one parquet footer.
+    *
+    * The fixture generator has changed this once already (timestamp[ns]
+    * through round 8's regeneration, timestamp[us] after), so the unit is
+    * a property of the files on disk, not of this codebase: detect it,
+    * never assume it. A bare INT64 with no logical annotation is treated
+    * as the historical raw-nanosecond layout. FixtureContractSpec pins
+    * both branches. */
+  private[graft] def eventsTsUnit(
+      spark: SparkSession,
+      path: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .headOption
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val field = schema.getType(schema.getFieldIndex("ts"))
+      field.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+        case _
+            if field.asPrimitiveType().getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+          // Legacy Spark/Hive INT96 timestamp (no annotation): Spark's
+          // reader maps it to TimestampType natively — take the µs path.
+          TimeUnit.MICROS
+        case _ => TimeUnit.NANOS // bare INT64: the historical raw-ns layout
+      }
+    } finally reader.close()
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

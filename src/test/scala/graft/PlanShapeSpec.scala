@@ -225,6 +225,18 @@ class PlanShapeSpec extends SparkSpec {
       "both sides must co-partition on the key")
   }
 
+  test("q169: last-touch attribution routes through the native as-of exec") {
+    // The attribution join must plan as AsofJoinExec's tolerance path
+    // (two-pointer merge, one buffered right row per partition), never
+    // fall back to the window rewrite (left join + row_number over every
+    // candidate click pair — candidate-count state instead of O(1)).
+    val df = SparkEntry.queries("q169_attribution")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin "), s"native as-of exec missing:\n$p")
+    assert(!p.contains("row_number"),
+      s"window-rewrite fallback must not reappear:\n$p")
+  }
+
   test("runtime bloom-filter join pruning engages on a selective fact join") {
     // The cluster-scale shuffle reducer Catalyst provides for free:
     // when one join side carries a selective predicate, InjectRuntimeFilter

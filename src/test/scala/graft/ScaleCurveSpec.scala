@@ -55,11 +55,11 @@ class ScaleCurveSpec extends SparkSpec {
       val src = Tables.load(spark, base, table)
       val out = (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
         .reduce(_.unionByName(_))
-      // events.ts must be written back as the raw nanosecond long the
-      // Tables.events reader expects (the fixtures' physical layout)
-      val phys = if (table == "events")
-        out.withColumn("ts", expr("unix_micros(ts) * 1000")) else out
-      phys.write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
+      // events.ts round-trips as Spark's native µs timestamp; the
+      // loader detects the unit from each directory's parquet footer
+      // (Tables.eventsTsUnit), so no physical-layout rewrite is needed
+      // — the replicas follow whatever unit the writer produces.
+      out.write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
     }
   }
 

@@ -16,6 +16,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    // write modern annotated µs timestamps, not legacy INT96 — fixture
+    // replicas (ScaleCurveSpec) must carry the unit in their footers
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", false)
     // managed-table home for the bucketed-join suite (in-memory catalog)
     .config("spark.sql.warehouse.dir",
