@@ -84,7 +84,14 @@ class ScaleCurveSpec extends SparkSpec {
       // the co-purchase pair build feeding disjoint per-copy subgraphs:
       // modularity's censuses and BFS's ≤6 frontier expansions must
       // both grow with the copies, never with copies²
-      "q176_modularity", "q178_bfs_hops")
+      "q176_modularity", "q178_bfs_hops",
+      // round-9 additions: the window/join-heavy event family never got
+      // a real exponent before — round 8's collapsed timestamps made
+      // their work trivial. Sessions, rolling actives, the ordered
+      // funnel, and entry attribution are all per-user keyed windows;
+      // copies multiply users, so growth must stay ~linear
+      "q59_sessions", "q151_entry_attribution", "q152_rolling_active",
+      "q168_funnel3")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
