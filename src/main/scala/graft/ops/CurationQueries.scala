@@ -1662,4 +1662,85 @@ object CurationQueries {
       |  ROUND(MIN(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo,
       |  ROUND(MIN(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi
       |FROM r, tot GROUP BY tot.n, tot.s""".stripMargin
+
+  /** L124 chi-square test of independence (Pearson [PK]) on the
+    * lang × source contingency table — "is the language mix the same
+    * across sources?", the categorical-association readout the family
+    * still lacked: q172 tests ONE proportion pair, q183 agreement on a
+    * shared key, q146/q185 continuous/vocab distributions; this is the
+    * R×C categorical test plus its effect size (Cramér's V), the
+    * standard screen before stratifying a training mix by (source,
+    * lang).
+    *
+    * Includes EMPTY cells: the grid is the cross join of the observed
+    * margins (R×C ≤ 100 rows), left-joined with observed counts, so a
+    * source with zero docs in some language still contributes its
+    * (0−E)²/E term — dropping those understates χ² exactly where the
+    * association is strongest.
+    *
+    * Parity: O and margins are exact int64; each cell's term is
+    * quantized once to micro-units before the integer SUM (q185
+    * discipline); χ² and V are then one fixed int→double chain, and
+    * sqrt is IEEE-correctly-rounded in both engines.
+    *
+    * Scale: three map-side-combinable counts over the corpus plus a
+    * ≤|langs|·|sources| driver-free grid agg. The two margin counts
+    * broadcast; nothing shuffles more than the (lang, source) census. */
+  def q186Chi2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val langs = d.groupBy("lang").agg(count(lit(1)).as("rl"))
+    // N rides the |sources|-row margin via a tiny window (Σcs = N), so
+    // the plan needs exactly ONE deliberate broadcast cross join — the
+    // R×C grid — and no one-row join (PLANS.md BNLJ allowlist).
+    val srcs = d.groupBy("source").agg(count(lit(1)).as("cs"))
+      .withColumn("n", sum(col("cs")).over(Window.partitionBy()))
+    val grid = broadcast(langs).crossJoin(broadcast(srcs))
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+    val e = (col("rl") * col("cs")).cast("double") / col("n").cast("double")
+    val dev = col("o").cast("double") - e
+    grid
+      .select(col("lang"), col("source"), col("n"),
+        floor(dev * dev / e * lit(1.0e6) + lit(0.5)).cast("long").as("cq"))
+      .agg(max(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"),
+        sum("cq").as("sq"))
+      .select(
+        col("n_docs"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("df"),
+        (col("sq").cast("double") / lit(1.0e6)).as("chi2"),
+        sqrt((col("sq").cast("double") / lit(1.0e6)) /
+          (col("n_docs") * least(col("r") - 1L, col("c") - 1L)).cast("double"))
+          .as("cramers_v"))
+  }
+
+  val q186Chi2Sql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |l AS (SELECT lang, COUNT(*) AS rl FROM documents GROUP BY 1),
+      |s AS (SELECT source, COUNT(*) AS cs,
+      |             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      |      FROM documents GROUP BY 1),
+      |grid AS (
+      |  SELECT l.lang, s.source, rl, cs, n, COALESCE(o, 0) AS o
+      |  FROM l CROSS JOIN s
+      |  LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source),
+      |q AS (
+      |  SELECT lang, source, n,
+      |    CAST(FLOOR(
+      |      (CAST(o AS DOUBLE) - CAST(rl * cs AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) - CAST(rl * cs AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(rl * cs AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS cq
+      |  FROM grid),
+      |a AS (SELECT MAX(n) AS n_docs, COUNT(DISTINCT lang) AS r,
+      |             COUNT(DISTINCT source) AS c, CAST(SUM(cq) AS BIGINT) AS sq
+      |      FROM q)
+      |SELECT n_docs, (r - 1) * (c - 1) AS df,
+      |  CAST(sq AS DOUBLE) / 1e6 AS chi2,
+      |  sqrt((CAST(sq AS DOUBLE) / 1e6)
+      |    / CAST(n_docs * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+      |FROM a""".stripMargin
 }

@@ -706,4 +706,63 @@ object DedupQueries {
       |   AND length(a.p_name) // 8 = length(b.p_name) // 8
       |   AND a.p_name < b.p_name)
       |WHERE lev <= 6 ORDER BY name_a, name_b""".stripMargin
+
+  /** L127 content-defined chunk dedup — Rabin-style CDC boundaries
+    * ([[graft.functions.CdcChunks]], LBFS [PK]) make chunk identity
+    * robust to edits: a prefix insertion shifts every fixed-stride
+    * chunk (q102) but leaves content-defined boundaries after the edit
+    * in place, so shared passages still collide on their chunk STRING.
+    * Emits the most-duplicated substantial chunks with their document
+    * reach — the passage-level dedup census q100 computes via shingle
+    * grams, here via O(1)-state boundary detection (no k-gram blowup).
+    *
+    * Parity: the rolling-hash boundary rule is replicated in the
+    * oracle as a direct 8-term weighted sum per position (same value
+    * mod 1e9+7 — see CdcChunks header); chunks compare as raw strings,
+    * never engine hashes. Ordering is (count desc, chunk) — total.
+    *
+    * Scale: the kernel is one codegen'd O(len) loop per document;
+    * explode → chunk-keyed map-side-combinable count; the ≥2-occurrence
+    * filter drops the unique-chunk long tail before the final top-k
+    * (TakeOrdered, no global sort). */
+  def q189CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks.cdcChunks(col("text"))).as("chunk"))
+      .filter(length(col("chunk")) >= 16)
+    chunks.groupBy("chunk")
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occur") >= 2)
+      .orderBy(col("n_occur").desc, col("chunk"))
+      .limit(20)
+  }
+
+  val q189CdcChunksSql: String =
+    """WITH pw AS (
+      |  SELECT [CAST(1 AS BIGINT), 131, 17161, 2248091, 294499921,
+      |          579489385, 913108910, 617266377] AS p),
+      |ch AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    [i FOR i IN range(8, length(text) + 1)
+      |       IF i < length(text) AND
+      |         (list_sum([CAST(unicode(substr(text, i - j, 1)) AS BIGINT) * p[j + 1]
+      |                    FOR j IN range(0, 8)]) % 1000000007) % 64 = 0]
+      |      AS bs
+      |  FROM documents CROSS JOIN pw),
+      |pieces AS (
+      |  SELECT doc_id,
+      |    [substr(text,
+      |       list_prepend(1, list_transform(bs, b -> b + 1))[k],
+      |       list_append(bs, n)[k]
+      |         - list_prepend(1, list_transform(bs, b -> b + 1))[k] + 1)
+      |     FOR k IN range(1, len(bs) + 2)] AS chunks
+      |  FROM ch),
+      |e AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk FROM pieces),
+      |f AS (
+      |  SELECT doc_id, chunk FROM e WHERE length(chunk) >= 16)
+      |SELECT chunk, COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM f GROUP BY chunk HAVING COUNT(*) >= 2
+      |ORDER BY n_occur DESC, chunk LIMIT 20""".stripMargin
 }

@@ -1239,4 +1239,53 @@ object EventQueries {
       |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
       |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END AS survival
       |FROM cum ORDER BY t_days""".stripMargin
+
+  /** L126 debounce dedup — tolerance-based event suppression: within
+    * each (user, event_type), an event arriving ≤ 5 s after its
+    * predecessor is a bounce (double-click, retry storm, duplicate
+    * webhook) and is dropped; only burst STARTS survive. This is the
+    * time-tolerant sibling of L2's exact keep-latest (equality keys
+    * can't catch near-simultaneous duplicates with distinct ids) and
+    * the batch analog of T5's streaming dropDuplicates-within-watermark.
+    *
+    * A burst start is simply a row whose gap to the previous same-key
+    * event is NULL or > the tolerance — one lag window, no burst-id
+    * cumsum needed when only counts per key are emitted.
+    *
+    * Parity: gaps are exact µs int64 (unix_micros / epoch_us); ties on
+    * ts break by event_id, so the lag order is total on both engines.
+    *
+    * Scale: one keyed window, partitioned by (user, event_type) — the
+    * same per-user-bounded state as the session operators; no global
+    * sort anywhere. */
+  def q188Debounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val tolMicros = 5000000L
+    Tables.events(s, dir)
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        when(col("gap").isNull || col("gap") > tolMicros, 1L)
+          .otherwise(0L).as("keep"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("keep").as("n_kept"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q188DebounceSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |k AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN gap IS NULL OR gap > 5000000 THEN 1 ELSE 0 END AS keep
+      |  FROM g)
+      |SELECT user_id, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept
+      |FROM k GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
 }

@@ -1143,4 +1143,141 @@ object TextQueries {
       |  a AS n_focus, b AS n_rest, direction,
       |  CAST(k AS DOUBLE) / 1000000.0 AS g2
       |FROM sc ORDER BY k DESC, w LIMIT 20""".stripMargin
+
+  /** L123 Jensen–Shannon divergence between source unigram
+    * distributions (Lin 1991 [PK]) — the bounded, symmetric "how
+    * different are these two corpora?" statistic that completes the
+    * drift family: PSI (q146) needs binning choices, TV (q160) ignores
+    * magnitude structure, G² (q179) ranks individual terms; JS is the
+    * single-number pairwise distance the mixture-weighting literature
+    * actually reports (and √JS is a metric).
+    *
+    * Identity that keeps it one equi-join: with f(x) = −x·ln x and
+    * Σp = Σq = 1,  JS(p,q) = ln 2 + Σ_{w ∈ supp(p)∩supp(q)}
+    * [f((p+q)/2) − f(p/2) − f(q/2)] — the disjoint-support mass
+    * contributes exactly ln 2 · (its probability), which telescopes
+    * into the constant. So ONLY the vocabulary intersection is ever
+    * joined; words private to either source never produce a row.
+    *
+    * Parity (q179 recipe): probabilities are divisions of exact int64
+    * counts; each word's term is quantized once to nano-units
+    * floor(term·1e9 + 0.5) so the cross-pair SUM is an exact integer in
+    * both engines (partition-order independent), and the output is the
+    * same int-over-1e9 division plus the ln 2 literal — identical bits.
+    *
+    * Scale: one vocab-sized map-side-combinable count, a vocab-keyed
+    * self-equi-join whose fan-out is bounded by |sources|² per word,
+    * and a ≤C(|sources|,2)-group agg. Nothing grows with corpus size
+    * past the vocabulary (Heaps-sublinear). */
+  def q185JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wc = d.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val tot = d.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("tot"))
+    val p = wc.join(broadcast(tot), "source")
+      .select(col("source"), col("w"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    def f(x: Column): Column = -x * log(x)
+    val a = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
+    val b = p.select(col("source").as("src_b"), col("w"), col("p").as("pb"))
+    val two = lit(2.0)
+    val term = f((col("pa") + col("pb")) / two) -
+      f(col("pa") / two) - f(col("pb") / two)
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        floor(term * lit(1.0e9) + lit(0.5)).cast("long").as("tq"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum("tq").as("sq"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("sq").cast("double") / lit(1.0e9) +
+          lit(0.6931471805599453)).as("js"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q185JsDivergenceSql: String =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |tot AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT wc.source, w, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |  FROM wc JOIN tot ON wc.source = tot.source),
+      |t AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(FLOOR((
+      |      -((a.p + b.p) / 2.0) * ln((a.p + b.p) / 2.0)
+      |      - (-(a.p / 2.0) * ln(a.p / 2.0))
+      |      - (-(b.p / 2.0) * ln(b.p / 2.0))
+      |    ) * 1e9 + 0.5) AS BIGINT) AS tq
+      |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source)
+      |SELECT src_a, src_b, COUNT(*) AS n_shared,
+      |  CAST(SUM(tq) AS DOUBLE) / 1e9 + 0.6931471805599453 AS js
+      |FROM t GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  /** L125 per-document token entropy — the unigram Shannon entropy
+    * quality signal (low entropy ⇔ repetitive/templated text; the
+    * Gopher rules in q162 screen symptoms like repeated lines, this
+    * scores the underlying distribution directly). Emits raw entropy
+    * and the [0,1] normalized form H / ln(n_unique) used for
+    * length-independent thresholding.
+    *
+    * Parity: per-(doc, word) terms quantized to nano-units before the
+    * per-doc integer SUM (partition-order independent, the q185
+    * discipline); normalization divides that exact integer's /1e9
+    * double by ln of an exact int64 — one deterministic IEEE chain.
+    *
+    * Scale: explode → (doc, word) count → per-doc agg, all map-side
+    * combinable; state per doc is its distinct-token count, never the
+    * corpus vocabulary. */
+  def q187TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wc = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val nt = wc.groupBy("doc_id").agg(sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_unique"))
+    val term = -(col("cnt").cast("double") / col("n_tokens").cast("double")) *
+      log(col("cnt").cast("double") / col("n_tokens").cast("double"))
+    wc.join(nt, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        floor(term * lit(1.0e9) + lit(0.5)).cast("long").as("tq"))
+      .groupBy("doc_id", "n_tokens", "n_unique")
+      .agg(sum("tq").as("sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        (col("sq").cast("double") / lit(1.0e9)).as("entropy"),
+        when(col("n_unique") > 1L,
+          (col("sq").cast("double") / lit(1.0e9)) /
+            log(col("n_unique").cast("double")))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val q187TokenEntropySql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY doc_id, w),
+      |nt AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_unique
+      |  FROM wc GROUP BY doc_id),
+      |q AS (
+      |  SELECT wc.doc_id, n_tokens, n_unique,
+      |    CAST(FLOOR(
+      |      -(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |        * ln(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS tq
+      |  FROM wc JOIN nt ON wc.doc_id = nt.doc_id)
+      |SELECT doc_id, n_tokens, n_unique,
+      |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS entropy,
+      |  CASE WHEN n_unique > 1
+      |    THEN (CAST(SUM(tq) AS DOUBLE) / 1e9)
+      |      / ln(CAST(n_unique AS DOUBLE))
+      |    ELSE 0.0 END AS norm_entropy
+      |FROM q GROUP BY doc_id, n_tokens, n_unique ORDER BY doc_id""".stripMargin
 }

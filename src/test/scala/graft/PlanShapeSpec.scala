@@ -324,7 +324,10 @@ class PlanShapeSpec extends SparkSpec {
     val allowedBnlj = Set("q10_cross_matrix", "q43_tfidf", "q52_cosine",
       "q53_topk_nn", "q79_date_spine", "q88_histogram", "q95_forward_fill",
       "q96_interpolate", "q99_bm25", "q103_lm_score", "q110_brand_basket",
-      "q146_psi")
+      "q146_psi",
+      // r9: the chi-square contingency grid — R×C ≤ 100 rows from two
+      // broadcast margins; the corpus itself never enters the cross join
+      "q186_chi2")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

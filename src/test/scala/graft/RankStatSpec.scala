@@ -120,4 +120,40 @@ class RankStatSpec extends SparkSpec {
       assert(dir == (if (cross > 0) 1 else if (cross < 0) -1 else 0))
     }
   }
+
+  test("q185 JS divergence equals brute-force full-support computation") {
+    // The query uses the intersection-only identity (disjoint-support
+    // mass telescopes into ln 2); this recomputes JS from the DEFINING
+    // full-support formula on collected counts for two source pairs.
+    import org.apache.spark.sql.functions._
+    val wc = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def dist(src: String): Map[String, Double] = {
+      val rows = wc.filter(_._1 == src)
+      val tot = rows.map(_._3).sum.toDouble
+      rows.map { case (_, w, c) => w -> c / tot }.toMap
+    }
+    def js(p: Map[String, Double], q: Map[String, Double]): Double = {
+      val support = p.keySet ++ q.keySet
+      def f(x: Double) = if (x > 0) -x * math.log(x) else 0.0
+      support.toSeq.map { w =>
+        val (pw, qw) = (p.getOrElse(w, 0.0), q.getOrElse(w, 0.0))
+        f((pw + qw) / 2) - f(pw) / 2 - f(qw) / 2
+      }.sum
+    }
+    val got = SparkEntry.queries("q185_js_divergence")(spark, sf0001)
+      .filter(col("src_a").isin("src0", "src1") &&
+        col("src_b").isin("src1", "src2"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+      .toMap
+    for (((a, b), v) <- got) {
+      val brute = js(dist(a), dist(b))
+      assert(math.abs(v - brute) < 1e-5, s"($a,$b): query=$v brute=$brute")
+      assert(v >= 0.0 && v <= 0.6931471805599453 + 1e-12, s"JS out of [0, ln2]: $v")
+    }
+    assert(got.size == 3, "expected the 3 pairs over src0..src2")
+  }
 }
