@@ -624,4 +624,63 @@ object AggQueries {
       |  ROUND(CAST(SUM(pc) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_price
       |FROM o GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** L128 Herfindahl–Hirschman concentration index — supplier revenue
+    * concentration within each nation: HHI = Σ share², the
+    * antitrust-standard market-concentration statistic that completes
+    * the inequality family (q150 Gini orders the whole distribution,
+    * q167 Lorenz cuts deciles; HHI weights LARGE shares quadratically,
+    * which is what "is this training-data source mix dominated by one
+    * supplier?" actually asks).
+    *
+    * Parity: per-supplier revenue is an exact decimal SUM (the q2
+    * discipline); shares divide two exact-decimal-cast doubles; each
+    * share² is quantized to nano-units before the per-nation integer
+    * SUM (q185 discipline).
+    *
+    * Scale: fact-side broadcast joins to the two dims, one keyed agg to
+    * |suppliers| rows, a |nation|-partitioned window over those rows
+    * (≤ suppliers-per-nation each), and a ≤|nations|-group agg. */
+  def q190Hhi(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val sup = broadcast(Tables.supplier(s, dir))
+    val nat = broadcast(Tables.nation(s, dir))
+    val revenue = dm(col("l_extendedprice")) * (one - df(col("l_discount")))
+    val perSup = l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(revenue).as("rev"))
+    val w = Window.partitionBy("n_name")
+    val share = col("rev").cast("double") /
+      sum(col("rev")).over(w).cast("double")
+    perSup
+      .select(col("n_name"),
+        floor(share * share * lit(1.0e9) + lit(0.5)).cast("long").as("tq"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum("tq").cast("double") / lit(1.0e9)).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  val q190HhiSql: String =
+    s"""WITH r AS (
+       |  SELECT n_name, s_suppkey,
+       |    SUM(CAST(l_extendedprice AS $DM)
+       |        * (CAST(1 AS $DF) - CAST(l_discount AS $DF))) AS rev
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name, s_suppkey),
+       |sh AS (
+       |  SELECT n_name,
+       |    CAST(FLOOR(
+       |      (CAST(rev AS DOUBLE)
+       |        / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE))
+       |      * (CAST(rev AS DOUBLE)
+       |        / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE))
+       |      * 1e9 + 0.5) AS BIGINT) AS tq
+       |  FROM r)
+       |SELECT n_name, COUNT(*) AS n_suppliers,
+       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS hhi
+       |FROM sh GROUP BY n_name ORDER BY n_name""".stripMargin
 }

@@ -1743,4 +1743,85 @@ object CurationQueries {
       |  sqrt((CAST(sq AS DOUBLE) / 1e6)
       |    / CAST(n_docs * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
       |FROM a""".stripMargin
+
+  /** L129 Theil T inequality decomposition (Theil 1967 [PK]) of order
+    * values by priority class — the inequality statistic Gini (q150)
+    * can't give: Theil decomposes EXACTLY into within-group +
+    * between-group terms (T = Σ_g w_g·T_g + Σ_g w_g·ln(μ_g/μ),
+    * w_g = (n_g/N)(μ_g/μ)), so "is order-value inequality driven by
+    * priority mix or within-class spread?" is answerable from the
+    * emitted per-group rows alone; RankStatSpec pins the decomposition
+    * identity against a driver brute force.
+    *
+    * Parity: group sums are exact decimals; means divide exact casts;
+    * each row's (x/μ_g)ln(x/μ_g) term is nano-quantized before the
+    * per-group integer SUM; the between/weight terms are a fixed
+    * int→double chain off the ≤|priorities|-row aggregate.
+    *
+    * Scale: one keyed window for μ_g (partitioned on priority), one
+    * keyed agg, then a ≤5-row unpartitioned window for the global
+    * totals — the only single-partition window in the plan runs over
+    * five rows. */
+  def q191Theil(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        dm(col("o_totalprice")).as("x"))
+    val wg = Window.partitionBy("priority")
+    val mug = sum(col("x")).over(wg).cast("double") /
+      count(lit(1)).over(wg).cast("double")
+    val xr = col("x").cast("double") / col("mug")
+    val perGroup = o.withColumn("mug", mug)
+      .select(col("priority"), col("mug"),
+        floor(xr * log(xr) * lit(1.0e9) + lit(0.5)).cast("long").as("tq"),
+        col("x"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), max(col("mug")).as("mu_g"),
+        sum(col("x")).as("sum_g"), sum("tq").as("sq"))
+    val wAll = Window.partitionBy()
+    val bigN = sum(col("n")).over(wAll)
+    val mu = sum(col("sum_g")).over(wAll).cast("double") /
+      sum(col("n")).over(wAll).cast("double")
+    perGroup
+      .withColumn("mu", mu).withColumn("big_n", bigN)
+      .select(col("priority"), col("n"), col("mu_g"),
+        ((col("sq").cast("double") / lit(1.0e9)) /
+          col("n").cast("double")).as("theil_within"),
+        ((col("n").cast("double") / col("big_n").cast("double")) *
+          (col("mu_g") / col("mu"))).as("weight"),
+        (((col("n").cast("double") / col("big_n").cast("double")) *
+          (col("mu_g") / col("mu"))) *
+          log(col("mu_g") / col("mu"))).as("between_term"))
+      .orderBy("priority")
+  }
+
+  val q191TheilSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(o_totalprice AS ${Parity.DM}) AS x
+       |  FROM orders),
+       |r AS (
+       |  SELECT priority, x,
+       |    CAST(SUM(x) OVER (PARTITION BY priority) AS DOUBLE)
+       |      / CAST(COUNT(*) OVER (PARTITION BY priority) AS DOUBLE) AS mug
+       |  FROM o),
+       |g AS (
+       |  SELECT priority, COUNT(*) AS n, MAX(mug) AS mu_g,
+       |    SUM(x) AS sum_g,
+       |    CAST(SUM(CAST(FLOOR(
+       |      (CAST(x AS DOUBLE) / mug) * ln(CAST(x AS DOUBLE) / mug)
+       |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM r GROUP BY priority),
+       |t AS (
+       |  SELECT priority, n, mu_g, sq,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS big_n,
+       |    CAST(SUM(sum_g) OVER () AS DOUBLE)
+       |      / CAST(SUM(n) OVER () AS DOUBLE) AS mu
+       |  FROM g)
+       |SELECT priority, n, mu_g,
+       |  (CAST(sq AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS theil_within,
+       |  (CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu) AS weight,
+       |  ((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
+       |    * ln(mu_g / mu) AS between_term
+       |FROM t ORDER BY priority""".stripMargin
 }

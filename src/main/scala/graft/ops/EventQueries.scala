@@ -1288,4 +1288,75 @@ object EventQueries {
       |  CAST(SUM(keep) AS BIGINT) AS n_kept
       |FROM k GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** L131 inter-event burstiness (Goh & Barabási 2008 [PK]) — per-user
+    * B = (σ−μ)/(σ+μ) over inter-arrival gaps: −1 = metronome, 0 =
+    * Poisson, →1 = bursty. The temporal-signature statistic the event
+    * family still lacked (q59 sessionizes, q141 streaks daily activity,
+    * q188 suppresses bursts — none MEASURES burstiness), and the
+    * standard screen for bot-like vs human cadence before trusting
+    * per-user engagement features.
+    *
+    * Parity: gaps floor to whole seconds (exact int64 `div`, so Σg² ≤
+    * (2.6e6)²·|events| stays far under 2^63); μ, σ and B are one fixed
+    * int→double chain (population variance Σg²/n − μ², clamped at 0
+    * before the IEEE-exact sqrt); gap ties order by event_id.
+    *
+    * Scale: one (user)-keyed lag window + one keyed agg of three int64
+    * partials — per-user-bounded state, the q59 shape. */
+  def q193Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("user_id"), expr("gap_us div 1000000").as("g"))
+    val mean = col("sg").cast("double") / col("n").cast("double")
+    val variance = col("sq").cast("double") / col("n").cast("double") -
+      (col("sg").cast("double") / col("n").cast("double")) *
+      (col("sg").cast("double") / col("n").cast("double"))
+    val std = sqrt(greatest(variance, lit(0.0)))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sq"))
+      .select(col("user_id"), col("n").as("n_gaps"), mean.as("mean_s"),
+        std.as("std_s"),
+        when(std + mean > 0.0, (std - mean) / (std + mean))
+          .otherwise(lit(0.0)).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  val q193BurstinessSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+      |       PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sq
+      |  FROM g WHERE g IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n AS n_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_s,
+      |  sqrt(GREATEST(
+      |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std_s,
+      |  CASE WHEN sqrt(GREATEST(
+      |      CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+      |      + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+      |    THEN (sqrt(GREATEST(
+      |      CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+      |      - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (sqrt(GREATEST(
+      |      CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+      |      + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |    ELSE 0.0 END AS burstiness
+      |FROM a ORDER BY user_id""".stripMargin
 }

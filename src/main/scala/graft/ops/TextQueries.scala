@@ -1280,4 +1280,68 @@ object TextQueries {
       |      / ln(CAST(n_unique AS DOUBLE))
       |    ELSE 0.0 END AS norm_entropy
       |FROM q GROUP BY doc_id, n_tokens, n_unique ORDER BY doc_id""".stripMargin
+
+  /** L130 bigram conditional entropy per language — H(w₂|w₁) =
+    * −Σ p(w₁w₂)·ln(p(w₁w₂)/p(w₁·)), the corpus PREDICTABILITY
+    * statistic: how much does knowing the previous word tell you about
+    * the next? Complements q187 (per-doc unigram entropy — no sequence
+    * structure) and q121 PMI (per-pair association, not a corpus
+    * total); low H(w₂|w₁) relative to unigram entropy flags templated /
+    * boilerplate corpora before they flood a training mix.
+    *
+    * Parity: all counts exact int64 (bigram census; the w₁ marginal is
+    * the SUM of bigram counts, no second tokenize pass); per-bigram
+    * terms nano-quantized before the per-lang integer SUM.
+    *
+    * Scale: explode → bigram-keyed map-side-combinable count; marginal
+    * join is bigram-table × (lang, w₁) equi-join (vocab-keyed); the
+    * ≤|langs|-row totals broadcast. Nothing exceeds the bigram-type
+    * table, which Heaps-caps well below the corpus. */
+  def q192CondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val c12 = d.select(col("lang"),
+        explode(graft.functions.SimFns.wordBigrams(col("text"))).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c12.groupBy("lang", "w1").agg(sum("c12").as("c1"))
+    val nb = c12.groupBy("lang").agg(sum("c12").as("nb"))
+    val term = -(col("c12").cast("double") / col("nb").cast("double")) *
+      log(col("c12").cast("double") / col("c1").cast("double"))
+    c12.join(c1, Seq("lang", "w1")).join(broadcast(nb), "lang")
+      .select(col("lang"), col("nb"),
+        floor(term * lit(1.0e9) + lit(0.5)).cast("long").as("tq"))
+      .groupBy("lang")
+      .agg(max(col("nb")).as("n_bigrams"),
+        count(lit(1)).as("n_bigram_types"),
+        (sum("tq").cast("double") / lit(1.0e9)).as("h_cond"))
+      .orderBy("lang")
+  }
+
+  val q192CondEntropySql: String =
+    """WITH bg AS (
+      |  SELECT lang, unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |    ELSE list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) END)
+      |    AS bg
+      |  FROM documents),
+      |c12 AS (
+      |  SELECT lang, bg, COUNT(*) AS c12, string_split(bg, ' ')[1] AS w1
+      |  FROM bg GROUP BY lang, bg),
+      |c1 AS (
+      |  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+      |  FROM c12 GROUP BY lang, w1),
+      |nb AS (
+      |  SELECT lang, CAST(SUM(c12) AS BIGINT) AS nb FROM c12 GROUP BY lang),
+      |q AS (
+      |  SELECT c12.lang, nb,
+      |    CAST(FLOOR(
+      |      -(CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE))
+      |        * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS tq
+      |  FROM c12
+      |  JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+      |  JOIN nb ON c12.lang = nb.lang)
+      |SELECT lang, MAX(nb) AS n_bigrams, COUNT(*) AS n_bigram_types,
+      |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS h_cond
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -156,4 +156,22 @@ class RankStatSpec extends SparkSpec {
     }
     assert(got.size == 3, "expected the 3 pairs over src0..src2")
   }
+
+  test("q191 Theil decomposition: within + between terms sum to brute-force total T") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.orders(spark, sf0001)
+      .select(col("o_totalprice").cast("decimal(13,4)").cast("double"))
+      .collect().map(_.getDouble(0))
+    val mu = xs.sum / xs.length
+    val bruteT = xs.map { x => (x / mu) * math.log(x / mu) }.sum / xs.length
+    val rows = SparkEntry.queries("q191_theil")(spark, sf0001).collect()
+    val total = rows.map { r =>
+      val (weight, within, between) =
+        (r.getDouble(4), r.getDouble(3), r.getDouble(5))
+      weight * within + between
+    }.sum
+    assert(math.abs(total - bruteT) < 1e-5,
+      s"decomposed=$total brute=$bruteT")
+    assert(rows.map(_.getLong(1)).sum == xs.length)
+  }
 }
