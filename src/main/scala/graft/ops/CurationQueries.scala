@@ -1824,4 +1824,72 @@ object CurationQueries {
        |  ((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
        |    * ln(mu_g / mu) AS between_term
        |FROM t ORDER BY priority""".stripMargin
+
+  /** L133 l-diversity audit (Machanavajjhala et al. 2007 [PK]) — the
+    * privacy check k-anonymity (q164) misses: a group can be large (k
+    * safe) yet expose its members because the SENSITIVE attribute is
+    * near-constant inside it. Per quasi-identifier group
+    * (nation, order priority), measures distinct l, the entropy form
+    * exp(H(sensitive)) (effective number of sensitive values — robust
+    * to 99:1 skew that distinct-l calls diverse), and flags groups
+    * below l = 3 with the row count at risk.
+    *
+    * Parity: counts exact int64; entropy terms nano-quantized before
+    * the per-group integer SUM (q185 discipline); exp of the resulting
+    * fixed double is IEEE-identical.
+    *
+    * Scale: two keyed map-side-combinable counts (group×sensitive,
+    * then group) — the k-anon census shape with one extra key level. */
+  def q195LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+    val cell = joined.groupBy("nation", "priority", "status")
+      .agg(count(lit(1)).as("cs"))
+    val wg = Window.partitionBy("nation", "priority")
+    val n = sum(col("cs")).over(wg)
+    val term = -(col("cs").cast("double") / col("n").cast("double")) *
+      log(col("cs").cast("double") / col("n").cast("double"))
+    cell.withColumn("n", n)
+      .select(col("nation"), col("priority"), col("n"),
+        floor(term * lit(1.0e9) + lit(0.5)).cast("long").as("tq"))
+      .groupBy("nation", "priority", "n")
+      .agg(count(lit(1)).as("l_distinct"), sum("tq").as("sq"))
+      .select(col("nation"), col("priority"), col("n").as("n_rows"),
+        col("l_distinct"),
+        // exp is the one op in this chain where the two libms disagree
+        // by 1 ulp — round to 6dp (the Parity.rnd residual-risk trade)
+        round(exp(col("sq").cast("double") / lit(1.0e9)), 6).as("l_entropy"),
+        when(col("l_distinct") < 3L, lit(1L)).otherwise(lit(0L))
+          .as("below_l3"))
+      .orderBy("nation", "priority")
+  }
+
+  val q195LDiversitySql: String =
+    """WITH j AS (
+      |  SELECT c_nationkey AS nation, o_orderpriority AS priority,
+      |    o_orderstatus AS status
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cell AS (
+      |  SELECT nation, priority, status, COUNT(*) AS cs
+      |  FROM j GROUP BY nation, priority, status),
+      |w AS (
+      |  SELECT nation, priority, cs,
+      |    CAST(SUM(cs) OVER (PARTITION BY nation, priority) AS BIGINT) AS n
+      |  FROM cell),
+      |q AS (
+      |  SELECT nation, priority, n,
+      |    CAST(FLOOR(
+      |      -(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS tq
+      |  FROM w)
+      |SELECT nation, priority, n AS n_rows, COUNT(*) AS l_distinct,
+      |  ROUND(exp(CAST(SUM(tq) AS DOUBLE) / 1e9), 6) AS l_entropy,
+      |  CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS below_l3
+      |FROM q GROUP BY nation, priority, n
+      |ORDER BY nation, priority""".stripMargin
 }

@@ -1359,4 +1359,114 @@ object EventQueries {
       |      + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
       |    ELSE 0.0 END AS burstiness
       |FROM a ORDER BY user_id""".stripMargin
+
+  /** L134 time-decay multi-touch attribution — the third standard
+    * credit model, completing the family: q169 last-touch (all credit
+    * to the final click), q173 linear (equal split); time-decay weights
+    * each click by 2^(−Δt/halflife) (1-hour half-life, 6-hour
+    * lookback), the model ad platforms default to because recency
+    * predicts influence.
+    *
+    * Parity: weights are exp of one fixed double chain on exact
+    * whole-second int64 ages, then nano-quantized to int64; per-touch
+    * revenue credit is the q117/q173 penny-exact largest-remainder
+    * apportionment of the 4dp-scaled purchase value by integer weight —
+    * every credit is an exact integer decision, and per-campaign sums
+    * are int64 (partition-order independent by construction).
+    *
+    * Scale: the q173 shape exactly — user-keyed band join (candidates ∝
+    * clicks/user/6h), two purchase-keyed windows sharing one exchange,
+    * ≤|campaigns|-group rollup. */
+  def q196TimeDecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("cid"),
+        col("ts").as("cts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val pairs = p.join(c,
+      col("user_id") === col("c_user") && col("cts") <= col("pts") &&
+        unix_micros(col("pts")) - unix_micros(col("cts")) <= 21600L * 1000000L,
+      "left")
+    val ageS = expr("(unix_micros(pts) - unix_micros(cts)) div 1000000")
+    val wq = floor(
+      exp(-ageS.cast("double") * (lit(0.6931471805599453) / lit(3600.0))) *
+        lit(1.0e9) + lit(0.5)).cast("long")
+    val wp = Window.partitionBy(col("pid"))
+    val withW = pairs.withColumn("wq",
+      when(col("cid").isNull, lit(0L)).otherwise(wq))
+    val swq = sum(col("wq")).over(wp)
+    val base = expr("(v4 * wq) div swq")
+    val rem = expr("(v4 * wq) % swq")
+    val rn = row_number().over(
+      wp.orderBy(col("rem").desc, col("cid").asc_nulls_first))
+    val credited = withW.withColumn("swq", swq)
+      .withColumn("base", when(col("swq") > 0L, base).otherwise(lit(0L)))
+      .withColumn("rem", when(col("swq") > 0L, rem).otherwise(lit(0L)))
+      .withColumn("shortfall",
+        col("v4") - sum(when(col("swq") > 0L, base).otherwise(lit(0L)))
+          .over(wp))
+      .withColumn("rn", rn)
+      .select(
+        when(col("cid").isNull, lit(-1)).otherwise(coalesce(col("k"), lit(-1)))
+          .as("campaign"),
+        col("pid"),
+        when(col("swq") === 0L, col("v4"))
+          .otherwise(col("base") +
+            when(col("rn") <= col("shortfall"), 1L).otherwise(0L))
+          .as("credit4"))
+    credited.groupBy("campaign")
+      .agg(countDistinct(col("pid")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        (sum(col("credit4")) / 10000.0).as("revenue"))
+      .orderBy("campaign")
+  }
+
+  val q196TimeDecayAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid, ts AS pts,
+      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |c AS (
+      |  SELECT user_id, event_id AS cid, ts AS cts,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.pid, p.v4, c.cid, c.k,
+      |    CASE WHEN c.cid IS NULL THEN 0 ELSE
+      |      CAST(FLOOR(
+      |        exp(-CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 1000000 AS DOUBLE)
+      |            * (0.6931471805599453 / 3600.0))
+      |        * 1e9 + 0.5) AS BIGINT) END AS wq
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+      |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 21600000000),
+      |win AS (
+      |  SELECT pid, v4, cid, k, wq,
+      |    CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) AS swq,
+      |    CASE WHEN CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) > 0
+      |      THEN (v4 * wq) // CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT)
+      |      ELSE 0 END AS base,
+      |    CASE WHEN CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) > 0
+      |      THEN (v4 * wq) % CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT)
+      |      ELSE 0 END AS rem
+      |  FROM pairs),
+      |win2 AS (
+      |  SELECT pid, v4, cid, k, swq, base,
+      |    v4 - CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT) AS shortfall,
+      |    ROW_NUMBER() OVER (PARTITION BY pid
+      |      ORDER BY rem DESC, cid ASC NULLS FIRST) AS rn
+      |  FROM win),
+      |cr AS (
+      |  SELECT CASE WHEN cid IS NULL THEN -1 ELSE COALESCE(k, -1) END AS campaign,
+      |    pid,
+      |    CASE WHEN swq = 0 THEN v4
+      |      ELSE base + CASE WHEN rn <= shortfall THEN 1 ELSE 0 END
+      |    END AS credit4
+      |  FROM win2)
+      |SELECT campaign, COUNT(DISTINCT pid) AS n_purchases,
+      |  COUNT(*) AS n_touches,
+      |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
+      |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
 }

@@ -487,4 +487,69 @@ object GraphQueries {
       |d AS (SELECT id, MIN(hop) AS hop FROM bfs GROUP BY id)
       |SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(id) AS BIGINT) AS sum_id
       |FROM d GROUP BY hop ORDER BY hop""".stripMargin
+
+  /** L132 local clustering coefficient (Watts–Strogatz 1998 [PK]) over
+    * the co-purchase graph — cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), the
+    * per-node "how clique-like is my neighborhood" score that the
+    * global statistics don't give: q105 counts triangles, q176 scores a
+    * PARTITION, q174 correlates degrees; cc ranks individual products
+    * by neighborhood cohesion (bundle detection). Nodes with deg ≥ 2
+    * and ZERO triangles must appear with cc = 0 — dropping them would
+    * bias every aggregate downstream.
+    *
+    * Parity: tri and deg are exact int64 from the q105 edge build; cc
+    * is one (2·tri)::double / (deg·(deg−1))::double division. Top-25 by
+    * (cc desc, id) is an exact-rational ordering decided on identical
+    * doubles.
+    *
+    * Scale: the bounded basket-pair build (≤C(7,2)/order), the q105
+    * triangle machinery (degree-ordered wedge join), and two keyed
+    * aggs. Nothing beyond what q105 already pays. */
+  def q194ClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val edges = baskets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = Triangles.perVertex(edges, "u", "v", broadcastAdj = true)
+    val cc = (col("n_tri") * 2L).cast("double") /
+      (col("deg") * (col("deg") - 1L)).cast("double")
+    deg.filter(col("deg") >= 2L)
+      .join(tri, Seq("id"), "left").na.fill(0L, Seq("n_tri"))
+      .select(col("id").as("p_partkey"), col("deg"), col("n_tri"),
+        cc.as("cc"))
+      .orderBy(col("cc").desc, col("p_partkey")).limit(25)
+  }
+
+  val q194ClusteringCoefSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |canon AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM
+      |  (SELECT u AS id FROM canon UNION ALL SELECT v FROM canon) GROUP BY id),
+      |o AS (SELECT
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b,
+      |    greatest(du.deg, dv.deg) AS db
+      |  FROM canon JOIN deg du ON du.id = canon.u JOIN deg dv ON dv.id = canon.v),
+      |tri AS (SELECT e1.a, e1.b AS w1, e2.b AS w2
+      |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+      |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      |  JOIN o c ON c.a = e1.b AND c.b = e2.b),
+      |pv AS (SELECT id, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS id FROM tri UNION ALL SELECT w1 FROM tri
+      |  UNION ALL SELECT w2 FROM tri) GROUP BY id)
+      |SELECT deg.id AS p_partkey, deg, COALESCE(n_tri, 0) AS n_tri,
+      |  CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+      |    / CAST(deg * (deg - 1) AS DOUBLE) AS cc
+      |FROM deg LEFT JOIN pv ON pv.id = deg.id
+      |WHERE deg >= 2
+      |ORDER BY cc DESC, p_partkey LIMIT 25""".stripMargin
 }
