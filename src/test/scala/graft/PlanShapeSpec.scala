@@ -237,6 +237,25 @@ class PlanShapeSpec extends SparkSpec {
       s"window-rewrite fallback must not reappear:\n$p")
   }
 
+  test("q188: debounce rides ONE keyed exchange for both the lag and the count") {
+    // the lag window and the (user, type) aggregate share the same
+    // hash partitioning — a second exchange would mean the groupBy
+    // stopped reusing the window's clustering
+    val p = planOf("q188_debounce")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"debounce must not re-shuffle between window and agg:\n$p")
+  }
+
+  test("q196: all three attribution windows share one purchase-keyed exchange") {
+    // weight sum, base-credit sum, and remainder rank are all
+    // pid-partitioned — the q117 proration discipline; a second
+    // pid exchange would double the fact shuffle
+    val p = planOf("q196_time_decay")
+    assert("Exchange hashpartitioning\\(pid".r.findAllIn(p).size == 1,
+      s"attribution windows must share the pid exchange:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3, "expected the three windows")
+  }
+
   test("runtime bloom-filter join pruning engages on a selective fact join") {
     // The cluster-scale shuffle reducer Catalyst provides for free:
     // when one join side carries a selective predicate, InjectRuntimeFilter
