@@ -515,6 +515,11 @@ object GraphQueries {
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
         |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+      // the distinct edge set feeds the degree census AND the wedge
+      // join's three self-references — cut the lineage once so the
+      // fact-sized basket-pair build runs a single time (the q176
+      // pattern, measured 3.9→2.3 s there)
+      .localCheckpoint()
     val deg = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
