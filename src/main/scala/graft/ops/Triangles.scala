@@ -49,6 +49,11 @@ object Triangles {
       .filter(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
       .select(least(col("s"), col("t")).as("u"), greatest(col("s"), col("t")).as("v"))
       .distinct()
+      // canon feeds the degree census AND the orientation join — cut
+      // the lineage here too, or the caller's whole edge build (q105's
+      // fact-sized basket-pair explode) re-executes once per consumer;
+      // the later `oriented` checkpoint can't help with that
+      .localCheckpoint()
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
