@@ -1892,4 +1892,85 @@ object CurationQueries {
       |  CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS below_l3
       |FROM q GROUP BY nation, priority, n
       |ORDER BY nation, priority""".stripMargin
+
+  /** L135 calibration / reliability table — the eval readout AUC
+    * (q181) deliberately ignores: AUC scores RANKING, calibration asks
+    * whether predicted probabilities MEAN what they say. Toy length
+    * classifier for src0 membership: p̂ = (n_chars−min)/(max−min),
+    * binned into 10 equal-width probability bins; per bin the mean
+    * prediction, observed src0 rate, their absolute gap, and the bin's
+    * weight — the table ECE = Σ (n_b/N)·|gap| summarizes (pinned
+    * brute-force in RankStatSpec).
+    *
+    * Parity: bin assignment is an exact INT decision
+    * ((sc−mn)·10 div (mx−mn+1), the q88 bounds discipline) so a 1-ulp
+    * divergence can never flip a row's bin; p̂ is nano-quantized per
+    * distinct length and summed as int64; every per-bin output is one
+    * fixed int→double chain. Bounds ride a window over the
+    * distinct-length census (≤ |lengths| rows), not a one-row join.
+    *
+    * Scale: one map-side-combinable length census, a tiny unpartitioned
+    * window over it, a ≤10-group agg. */
+  def q197Calibration(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+    val wAll = Window.partitionBy()
+    val withB = h
+      .withColumn("mn", min(col("sc")).over(wAll))
+      .withColumn("mx", max(col("sc")).over(wAll))
+    val span = col("mx") - col("mn")
+    val bin = expr("(sc - mn) * 10 div (mx - mn + 1)")
+    val phat = when(span > 0L,
+      (col("sc") - col("mn")).cast("double") / span.cast("double"))
+      .otherwise(lit(0.0))
+    withB
+      .select(bin.as("bin"), col("n"), col("pos"),
+        (col("n") * floor(phat * lit(1.0e9) + lit(0.5)).cast("long"))
+          .as("pq"))
+      .groupBy("bin")
+      .agg(sum("n").as("n_docs"), sum("pos").as("n_pos"),
+        sum("pq").as("spq"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        ((col("spq").cast("double") / lit(1.0e9)) /
+          col("n_docs").cast("double")).as("avg_pred"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("obs_rate"),
+        abs((col("spq").cast("double") / lit(1.0e9)) /
+          col("n_docs").cast("double") -
+          col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("abs_gap"))
+      .orderBy("bin")
+  }
+
+  val q197CalibrationSql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS sc, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos
+      |  FROM documents GROUP BY n_chars),
+      |b AS (
+      |  SELECT sc, n, pos,
+      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
+      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
+      |  FROM h),
+      |q AS (
+      |  SELECT (sc - mn) * 10 // (mx - mn + 1) AS bin, n, pos,
+      |    n * CAST(FLOOR(
+      |      CASE WHEN mx - mn > 0
+      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
+      |  FROM b),
+      |a AS (
+      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(pq) AS BIGINT) AS spq
+      |  FROM q GROUP BY bin)
+      |SELECT bin, n_docs, n_pos,
+      |  (CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE) AS avg_pred,
+      |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS obs_rate,
+      |  abs((CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE)
+      |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS abs_gap
+      |FROM a ORDER BY bin""".stripMargin
 }

@@ -247,4 +247,37 @@ class PropertySpec extends SparkSpec {
       assert(maxDev < 1.0 + 1e-9)
     }
   }
+
+  test("CDC chunks: concat-identity and brute-force equality on random ASCII") {
+    // random printable-ASCII strings (incl. spaces and repeats) — the
+    // kernel's rolling update must equal the direct per-window hash at
+    // every length, including < W, == W, and boundary-at-last-char
+    import graft.functions.CdcKernels
+    val asciiGen: Gen[String] = for {
+      n <- Gen.choose(0, 300)
+      cs <- Gen.listOfN(n, Gen.choose(32.toChar, 121.toChar))
+    } yield cs.mkString
+    def brute(s: String): Seq[String] = {
+      import CdcKernels.{B, D, M, W}
+      if (s.isEmpty) return Seq("")
+      val pw = Array.iterate(1L, W)(p => p * B % M)
+      val bounds = (W to s.length - 1).filter { i =>
+        (0 until W).map(j => s.charAt(i - 1 - j) * pw(j) % M).sum % M % D == 0
+      }
+      val starts = 0 +: bounds
+      val ends = bounds :+ s.length
+      starts.zip(ends).map { case (a, b) => s.substring(a, b) }
+    }
+    def kernel(s: String): Seq[String] = {
+      val arr = CdcKernels.cdcChunks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    for (s <- samples(asciiGen, 200)) {
+      val k = kernel(s)
+      assert(k == brute(s), s"mismatch on ${s.take(60)}")
+      assert(k.mkString("") == s, "chunks must concatenate to the input")
+      assert(k.forall(_.nonEmpty) || s.isEmpty, "no empty chunk for non-empty input")
+    }
+  }
 }

@@ -174,4 +174,33 @@ class RankStatSpec extends SparkSpec {
       s"decomposed=$total brute=$bruteT")
     assert(rows.map(_.getLong(1)).sum == xs.length)
   }
+
+  test("q197 calibration bins match a brute-force driver recomputation") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), (col("source") === "src0").cast("int").as("y"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (mn, mx) = (raw.map(_._1).min, raw.map(_._1).max)
+    val brute = raw.groupBy { case (sc, _) => (sc - mn) * 10 / (mx - mn + 1) }
+      .map { case (b, rows) =>
+        val n = rows.length
+        val pred = rows.map { case (sc, _) =>
+          math.floor((sc - mn).toDouble / (mx - mn).toDouble * 1e9 + 0.5) / 1e9
+        }.sum / n
+        val obs = rows.map(_._2).sum.toDouble / n
+        b -> (n, pred, obs)
+      }
+    val got = SparkEntry.queries("q197_calibration")(spark, sf0001).collect()
+    assert(got.length == brute.size)
+    var ece = 0.0
+    val total = raw.length.toDouble
+    for (r <- got) {
+      val (n, pred, obs) = brute(r.getLong(0))
+      assert(r.getLong(1) == n, s"bin ${r.getLong(0)} count")
+      assert(math.abs(r.getDouble(3) - pred) < 1e-6, s"bin ${r.getLong(0)} pred")
+      assert(math.abs(r.getDouble(4) - obs) < 1e-12, s"bin ${r.getLong(0)} obs")
+      ece += n / total * r.getDouble(5)
+    }
+    assert(ece >= 0.0 && ece <= 1.0, s"table ECE out of range: $ece")
+  }
 }
