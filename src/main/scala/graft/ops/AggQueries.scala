@@ -683,4 +683,81 @@ object AggQueries {
        |SELECT n_name, COUNT(*) AS n_suppliers,
        |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS hhi
        |FROM sh GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** L137 frequent 3-itemsets with lift (Agrawal–Srikant Apriori
+    * lineage [PK]) — the depth the pair-level basket analysis (q110)
+    * stops short of: triples of brands co-bought in one order, ranked
+    * by support, with lift = P(abc)/(P(a)P(b)P(c)) against the
+    * independence assumption. Pairwise lift can be high while the
+    * triple is pure coincidence (and vice versa — the classic
+    * "diapers, beer, chips" case); depth-3 is where bundle structure
+    * becomes visible.
+    *
+    * Parity: all counts exact int64; the triple census explodes ≤C(b,3)
+    * combinations per basket map-side from the sorted distinct-brand
+    * array (b ≤ brands-per-order, fixture-bounded like q105's pairs);
+    * lift is an exact rational n_abc·N²/(n_a·n_b·n_c) whose int64
+    * numerator would overflow at sf ≳ 0.1 — so it's emitted as one
+    * identical double chain rounded 4dp (the rnd() residual-risk
+    * trade), with the exact integer counts alongside for any consumer
+    * that wants the rational.
+    *
+    * Scale: one basket agg (the q105 shuffle), map-side triple
+    * explosion bounded by C(7,3)=35/order, a ≤|brands|³ census that
+    * Apriori-style support pruning (HAVING n ≥ 3) keeps tiny, and a
+    * broadcast of the |brands|-row singleton census. */
+  def q199Itemsets3(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = broadcast(Tables.part(s, dir))
+    val ob = l.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+    val baskets = ob.groupBy("ok")
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+    val n = baskets.count()
+    val singles = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val triples = baskets.select(explode(expr(
+      """flatten(transform(bs, (x, i) ->
+        |  flatten(transform(slice(bs, i + 2, size(bs) - i - 1), (y, j) ->
+        |    transform(slice(bs, i + j + 3, size(bs) - i - j - 2),
+        |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin))
+        .as("t"))
+      .select(col("t.a"), col("t.b"), col("t.c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= 3L)
+    val lift = round(
+      col("n_abc").cast("double") * lit(n.toDouble) * lit(n.toDouble) /
+        (col("na").cast("double") * col("nb").cast("double") *
+          col("nc").cast("double")), 4)
+    triples
+      .join(broadcast(singles.select(col("b").as("a"), col("nb").as("na"))), "a")
+      .join(broadcast(singles.select(col("b").as("b"), col("nb").as("nb"))), "b")
+      .join(broadcast(singles.select(col("b").as("c"), col("nb").as("nc"))), "c")
+      .select(col("a"), col("b"), col("c"), col("n_abc"),
+        col("na"), col("nb"), col("nc"), lift.as("lift"))
+      .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
+  val q199Itemsets3Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+      |singles AS (SELECT b, COUNT(*) AS nb FROM ob GROUP BY b),
+      |tri AS (
+      |  SELECT t1.b AS a, t2.b AS b, t3.b AS c, COUNT(*) AS n_abc
+      |  FROM ob t1 JOIN ob t2 ON t1.ok = t2.ok AND t1.b < t2.b
+      |  JOIN ob t3 ON t2.ok = t3.ok AND t2.b < t3.b
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+      |SELECT tri.a, tri.b, tri.c, n_abc,
+      |  sa.nb AS na, sb.nb AS nb, sc.nb AS nc,
+      |  ROUND(CAST(n_abc AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |    / (CAST(sa.nb AS DOUBLE) * CAST(sb.nb AS DOUBLE)
+      |       * CAST(sc.nb AS DOUBLE)), 4) AS lift
+      |FROM tri
+      |JOIN singles sa ON sa.b = tri.a
+      |JOIN singles sb ON sb.b = tri.b
+      |JOIN singles sc ON sc.b = tri.c
+      |CROSS JOIN n
+      |ORDER BY n_abc DESC, tri.a, tri.b, tri.c LIMIT 20""".stripMargin
 }

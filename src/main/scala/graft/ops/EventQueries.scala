@@ -1469,4 +1469,69 @@ object EventQueries {
       |  COUNT(*) AS n_touches,
       |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
       |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
+
+  /** L136 sequential-pattern support — adjacent event-type TRIGRAMS
+    * ranked by USER support (the share of users whose stream contains
+    * the pattern at least once): the second-order sequence census that
+    * q166's first-order transition matrix cannot express (a→b and b→c
+    * being common says nothing about a→b→c; the trigram table is where
+    * funnels and scripted-bot signatures actually show). Support
+    * counting is per-user EXISTENCE, not occurrence count — the
+    * sequence-mining convention, so one hyperactive user can't promote
+    * a pattern.
+    *
+    * Parity: two lag windows over the (user, ts, event_id)-ordered
+    * stream (total order), exact distinct-user counts, and support as
+    * the q166 half-up integer-division trick — no floating point until
+    * the final exact division. Top-20 cut decided on (support_users
+    * desc, pattern) — an exact-integer ordering.
+    *
+    * Scale: one keyed window pass (two lags share the sort), a
+    * (user, trigram)-distinct map-side-combinable agg bounded by
+    * |users|·|types|³, then a ≤125-row pattern census. */
+  def q198SeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = e
+      .withColumn("p1", lag(col("event_type"), 2).over(w))
+      .withColumn("p2", lag(col("event_type"), 1).over(w))
+      .filter(col("p1").isNotNull)
+      .select(col("user_id"), concat_ws(">", col("p1"), col("p2"),
+        col("event_type")).as("pattern"))
+    val users = tri.select("user_id").distinct().count()
+    tri.groupBy("pattern")
+      .agg(countDistinct(col("user_id")).as("support_users"),
+        count(lit(1)).as("n_occurrences"))
+      .select(col("pattern"), col("support_users"), col("n_occurrences"),
+        (((col("support_users") * 20000L + lit(users)) -
+          pmod(col("support_users") * 20000L + lit(users), lit(users * 2L))) /
+          lit(users * 2L)).cast("long").cast("double")./(10000.0)
+          .as("support"))
+      .orderBy(col("support_users").desc, col("pattern"))
+      .limit(20)
+  }
+
+  val q198SeqPatternsSql: String =
+    """WITH tri AS (
+      |  SELECT user_id,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS p1,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS p2,
+      |    event_type AS p3
+      |  FROM events),
+      |pat AS (
+      |  SELECT user_id, p1 || '>' || p2 || '>' || p3 AS pattern
+      |  FROM tri WHERE p1 IS NOT NULL),
+      |u AS (SELECT COUNT(DISTINCT user_id) AS users FROM pat),
+      |c AS (
+      |  SELECT pattern, COUNT(DISTINCT user_id) AS support_users,
+      |    COUNT(*) AS n_occurrences
+      |  FROM pat GROUP BY pattern)
+      |SELECT pattern, support_users, n_occurrences,
+      |  CAST(((support_users * 20000 + u.users)
+      |    - (support_users * 20000 + u.users) % (u.users * 2))
+      |    // (u.users * 2) AS BIGINT) / 10000.0 AS support
+      |FROM c CROSS JOIN u
+      |ORDER BY support_users DESC, pattern LIMIT 20""".stripMargin
 }
