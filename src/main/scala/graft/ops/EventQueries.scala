@@ -1534,4 +1534,90 @@ object EventQueries {
       |    // (u.users * 2) AS BIGINT) / 10000.0 AS support
       |FROM c CROSS JOIN u
       |ORDER BY support_users DESC, pattern LIMIT 20""".stripMargin
+
+  /** L138 Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978
+    * [PK]) — the survival family's second estimator, over the same
+    * churn construction as q175: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
+    * Fleming–Harrington survival exp(−H). Where KM's product-limit
+    * survival multiplies conditional survivals (unstable when any nᵢ
+    * is small), NA SUMS hazard increments — the estimator of choice
+    * for hazard-RATE readouts and for small risk sets, and the pair's
+    * disagreement is itself a small-sample diagnostic.
+    *
+    * Parity: the (t, d, n_risk) day table is exact int64 (q175's
+    * construction); each day's d/n increment is nano-quantized and
+    * prefix-summed as int64 (exact, order-independent), so H is the
+    * same integer-over-1e9 on both engines; exp(−H) rounds 4dp (the
+    * q195 libm note). The only unkeyed window runs over the ≤|days|
+    * day table, not the events.
+    *
+    * Scale: one keyed per-user agg, a ≤|days|-row census + two tiny
+    * windows — the q175 shape exactly. */
+  def q200NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
+      countDistinct("user_id").as("nu")).head()
+    val endUs = bounds.getAs[Long]("end_us")
+    val nUsers = bounds.getAs[Long]("nu")
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+          .otherwise(0L).as("churn"))
+    val day = peru.groupBy("t")
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = day.withColumn("n_risk",
+      lit(nUsers) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val incQ = when(col("d") === 0L || col("n_risk") <= 0L, lit(0L))
+      .otherwise(floor(col("d").cast("double") / col("n_risk").cast("double") *
+        lit(1.0e9) + lit(0.5)).cast("long"))
+    withRisk
+      .withColumn("hq", sum(incQ).over(wCum))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_churn"),
+        col("c").as("n_censored"),
+        (col("hq").cast("double") / lit(1.0e9)).as("cum_hazard"),
+        round(exp(-(col("hq").cast("double") / lit(1.0e9))), 4)
+          .as("survival_fh"))
+      .orderBy("t_days")
+  }
+
+  val q200NelsonAalenSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
+      |peru AS (
+      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT epoch_us(fin) - 604800000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(SUM(1 - churn) AS BIGINT) AS c
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_risk
+      |  FROM day),
+      |q AS (
+      |  SELECT t, n_risk, d, c,
+      |    CASE WHEN d = 0 OR n_risk <= 0 THEN 0
+      |      ELSE CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |        * 1e9 + 0.5) AS BIGINT) END AS incq
+      |  FROM risk),
+      |cum AS (
+      |  SELECT t, n_risk, d, c,
+      |    CAST(SUM(incq) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hq
+      |  FROM q)
+      |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
+      |  CAST(hq AS DOUBLE) / 1e9 AS cum_hazard,
+      |  ROUND(exp(-(CAST(hq AS DOUBLE) / 1e9)), 4) AS survival_fh
+      |FROM cum ORDER BY t_days""".stripMargin
 }
