@@ -175,14 +175,18 @@ object Tables {
       }
   }
 
-  /** The physical unit of `events.ts`, read from one parquet footer.
+  /** The physical unit of `events.ts`, read from the parquet footers.
     *
     * The fixture generator has changed this once already (timestamp[ns]
     * through round 8's regeneration, timestamp[us] after), so the unit is
     * a property of the files on disk, not of this codebase: detect it,
     * never assume it. A bare INT64 with no logical annotation is treated
-    * as the historical raw-nanosecond layout. FixtureContractSpec pins
-    * both branches. */
+    * as the historical raw-nanosecond layout. For a directory, EVERY
+    * part-file footer is inspected (footers only — no data pages) and
+    * they must agree: a mixed-unit directory (partial fixture
+    * regeneration, appended writes from a different writer) would
+    * otherwise be silently mis-read on whichever single branch was
+    * detected. FixtureContractSpec pins both branches. */
   private[graft] def eventsTsUnit(
       spark: SparkSession,
       path: String): org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit = {
@@ -194,29 +198,40 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .headOption
-          .getOrElse(throw new IllegalStateException(
-            s"no parquet part files under $path"))
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      val field = schema.getType(schema.getFieldIndex("ts"))
-      field.getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
-        case _
-            if field.asPrimitiveType().getPrimitiveTypeName ==
-              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
-          // Legacy Spark/Hive INT96 timestamp (no annotation): Spark's
-          // reader maps it to TimestampType natively — take the µs path.
-          TimeUnit.MICROS
-        case _ => TimeUnit.NANOS // bare INT64: the historical raw-ns layout
-      }
-    } finally reader.close()
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"no parquet part files under $path")
+        parts.toSeq
+      } else Seq(p)
+    def unitOf(file: Path): TimeUnit = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val field = schema.getType(schema.getFieldIndex("ts"))
+        field.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit
+          case _
+              if field.asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+            // Legacy Spark/Hive INT96 timestamp (no annotation): Spark's
+            // reader maps it to TimestampType natively — take the µs path.
+            TimeUnit.MICROS
+          case _ => TimeUnit.NANOS // bare INT64: the historical raw-ns layout
+        }
+      } finally reader.close()
+    }
+    val units = files.map(f => f -> unitOf(f))
+    val distinct = units.map(_._2).distinct
+    if (distinct.size != 1)
+      throw new IllegalStateException(
+        s"mixed ts units across part files of $path: " +
+          units.map { case (f, u) => s"${f.getName}=$u" }.mkString(", ") +
+          " — refusing to pick one; regenerate the fixture with a single writer")
+    distinct.head
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

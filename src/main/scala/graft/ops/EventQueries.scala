@@ -1368,7 +1368,12 @@ object EventQueries {
     * predicts influence.
     *
     * Parity: weights are exp of one fixed double chain on exact
-    * whole-second int64 ages, then nano-quantized to int64; per-touch
+    * whole-second int64 ages, then micro-quantized (1e6) to int64 — a
+    * coarse enough quantum that the 1-ulp divergence allowed between
+    * JVM Math.exp and DuckDB's libm (neither is correctly rounded)
+    * cannot flip the quantized weight: a 1-ulp error in exp(x)≤1 is
+    * ≤2⁻⁵², or ~2e-16, nine orders of magnitude below the 5e-7
+    * half-quantum rounding boundary; per-touch
     * revenue credit is the q117/q173 penny-exact largest-remainder
     * apportionment of the 4dp-scaled purchase value by integer weight —
     * every credit is an exact integer decision, and per-campaign sums
@@ -1393,7 +1398,7 @@ object EventQueries {
     val ageS = expr("(unix_micros(pts) - unix_micros(cts)) div 1000000")
     val wq = floor(
       exp(-ageS.cast("double") * (lit(0.6931471805599453) / lit(3600.0))) *
-        lit(1.0e9) + lit(0.5)).cast("long")
+        lit(1.0e6) + lit(0.5)).cast("long")
     val wp = Window.partitionBy(col("pid"))
     val withW = pairs.withColumn("wq",
       when(col("cid").isNull, lit(0L)).otherwise(wq))
@@ -1439,7 +1444,7 @@ object EventQueries {
       |      CAST(FLOOR(
       |        exp(-CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 1000000 AS DOUBLE)
       |            * (0.6931471805599453 / 3600.0))
-      |        * 1e9 + 0.5) AS BIGINT) END AS wq
+      |        * 1e6 + 0.5) AS BIGINT) END AS wq
       |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
       |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 21600000000),
       |win AS (

@@ -49,11 +49,16 @@ object Triangles {
       .filter(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
       .select(least(col("s"), col("t")).as("u"), greatest(col("s"), col("t")).as("v"))
       .distinct()
-      // canon feeds the degree census AND the orientation join — cut
-      // the lineage here too, or the caller's whole edge build (q105's
-      // fact-sized basket-pair explode) re-executes once per consumer;
-      // the later `oriented` checkpoint can't help with that
-      .localCheckpoint()
+      // canon feeds the degree census AND the orientation join — cache
+      // it, or the caller's whole edge build (q105's fact-sized
+      // basket-pair explode) re-executes once per consumer; the later
+      // `oriented` cache can't help with that. persist (not
+      // localCheckpoint): lazy, so plan-only consumers never run the
+      // edge build, and lineage is retained, so a lost executor
+      // recomputes the partition instead of failing the query —
+      // localCheckpoint blocks die with their executor under
+      // decommission/dynamic allocation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -71,13 +76,14 @@ object Triangles {
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
       // the oriented edge list feeds BOTH sides of the intersect stage
-      // (adjacency build + probe); without a lineage cut the whole
+      // (adjacency build + probe); without a cache the whole
       // canon + degree subtree — the edge-build shuffles included —
       // re-executes once per consumer. O(m) rows of two longs: the same
       // materialize-the-collapsed-edges pattern as PageRank/CC, and the
       // round-5 driver bench showed the re-derivation is exactly where a
-      // contended host doubles the bill (21 s vs 4 s local on q105)
-      .localCheckpoint()
+      // contended host doubles the bill (21 s vs 4 s local on q105).
+      // MEMORY_AND_DISK with lineage retained, same rationale as canon
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // packed out-neighborhoods; sort_array makes rows deterministic AND
     // feeds the merge-scan intersect kernel below
     val adjBase = oriented.groupBy(col("a"))

@@ -70,6 +70,35 @@ class FixtureContractSpec extends SparkSpec {
     assert(tsType == TimestampType, s"unit=$unit but loaded ts is $tsType")
   }
 
+  test("the documents corpus is pure ASCII at every scale factor") {
+    // CDC chunking (CdcChunks: UTF-16 code units vs the oracle's
+    // unicode() codepoints vs DuckDB's character-based substr), the
+    // hash kernels, and the BPE oracles are all byte/char-parity
+    // constructions whose DuckDB equivalence holds ONLY while the
+    // corpus is ASCII (1 byte = 1 UTF-16 unit = 1 codepoint = 1
+    // character). The schema tests above can't see corpus content, and
+    // the driver has regenerated fixtures between rounds before — so
+    // pin the assumption itself: max codepoint over documents.text
+    // (and the other string columns those kernels touch) must be <128.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+        if new java.io.File(s"$sf/documents.parquet").exists) {
+      val doc = Tables.documents(spark, sf)
+      val strCols = doc.schema.fields
+        .filter(_.dataType == StringType).map(_.name).toSeq
+      assert(strCols.contains("text"), "documents.text missing?")
+      // pure ASCII ⟺ every char is one UTF-8 byte ⟺ octet_length ==
+      // char length (cheap full-scan predicate, no per-char explode)
+      val nonAscii = doc.filter(strCols.map(c =>
+          octet_length(col(c)) =!= length(col(c))).reduce(_ || _))
+        .count()
+      assert(nonAscii == 0L,
+        s"$sf documents has $nonAscii rows with non-ASCII content — " +
+          "CDC/HashKernels/BPE oracle parity assumptions are void; " +
+          "revisit CdcChunks.scala and the byte-level kernels")
+    }
+  }
+
   test("the NANOS fallback branch still reads a raw-long ns fixture") {
     // Re-create the historical layout: INT64 ts with no logical
     // annotation (eventsTsUnit treats it as ns). The loader must divide
