@@ -696,16 +696,22 @@ object AggQueries {
     * Parity: all counts exact int64; the triple census explodes ≤C(b,3)
     * combinations per basket map-side from the sorted distinct-brand
     * array (b ≤ brands-per-order, fixture-bounded like q105's pairs);
-    * lift is an exact rational n_abc·N²/(n_a·n_b·n_c) whose int64
-    * numerator would overflow at sf ≳ 0.1 — so it's emitted as one
-    * identical double chain rounded 4dp (the rnd() residual-risk
-    * trade), with the exact integer counts alongside for any consumer
-    * that wants the rational.
+    * lift = n_abc·N²/(n_a·n_b·n_c) is emitted BOTH as the exact reduced
+    * rational (lift_num/lift_den, int64, lowest terms via one gcd —
+    * every factor is ≤ N, so num and den are ≤ N³, which fits int64
+    * while N ≤ ⌊2⁶³^⅓⌋ ≈ 2.09e6 baskets; past that, switch the
+    * reduction to per-factor pairwise gcds or DECIMAL(38) — the
+    * REDUCED terms stay small, only this unreduced intermediate grows)
+    * AND as the 4dp double both engines compute with one identical
+    * chain. The rational is computed after the top-20 cut (decided on
+    * exact integers only), so it prices at 20 rows.
     *
-    * Scale: one basket agg (the q105 shuffle), map-side triple
-    * explosion bounded by C(7,3)=35/order, a ≤|brands|³ census that
-    * Apriori-style support pruning (HAVING n ≥ 3) keeps tiny, and a
-    * broadcast of the |brands|-row singleton census. */
+    * Scale: one basket agg (the q105 shuffle) whose exchange also
+    * feeds the basket count N as a 1-row broadcast cross join — one
+    * Spark job, no separate count() action; map-side triple explosion
+    * bounded by C(7,3)=35/order, a ≤|brands|³ census that Apriori-style
+    * support pruning (HAVING n ≥ 3) keeps tiny, and a broadcast of the
+    * |brands|-row singleton census. */
   def q199Itemsets3(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = broadcast(Tables.part(s, dir))
@@ -713,7 +719,7 @@ object AggQueries {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
     val baskets = ob.groupBy("ok")
       .agg(sort_array(collect_set(col("b"))).as("bs"))
-    val n = baskets.count()
+    val nDf = ob.agg(countDistinct(col("ok")).as("n_total"))
     val singles = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val triples = baskets.select(explode(expr(
       """flatten(transform(bs, (x, i) ->
@@ -724,18 +730,30 @@ object AggQueries {
       .select(col("t.a"), col("t.b"), col("t.c"))
       .groupBy("a", "b", "c").agg(count(lit(1)).as("n_abc"))
       .filter(col("n_abc") >= 3L)
-    val lift = round(
-      col("n_abc").cast("double") * lit(n.toDouble) * lit(n.toDouble) /
-        (col("na").cast("double") * col("nb").cast("double") *
-          col("nc").cast("double")), 4)
-    triples
+    val top = triples
       .join(broadcast(singles.select(col("b").as("a"), col("nb").as("na"))), "a")
       .join(broadcast(singles.select(col("b").as("b"), col("nb").as("nb"))), "b")
       .join(broadcast(singles.select(col("b").as("c"), col("nb").as("nc"))), "c")
+      .crossJoin(broadcast(nDf))
       .select(col("a"), col("b"), col("c"), col("n_abc"),
-        col("na"), col("nb"), col("nc"), lift.as("lift"))
+        col("na"), col("nb"), col("nc"), col("n_total"))
       .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
       .limit(20)
+    val lift = round(
+      col("n_abc").cast("double") * col("n_total").cast("double") *
+        col("n_total").cast("double") /
+        (col("na").cast("double") * col("nb").cast("double") *
+          col("nc").cast("double")), 4)
+    top
+      .withColumn("num", col("n_abc") * col("n_total") * col("n_total"))
+      .withColumn("den", col("na") * col("nb") * col("nc"))
+      .withColumn("g", graft.functions.MathFns.gcd(col("num"), col("den")))
+      .select(col("a"), col("b"), col("c"), col("n_abc"),
+        col("na"), col("nb"), col("nc"),
+        expr("num div g").as("lift_num"),
+        expr("den div g").as("lift_den"),
+        lift.as("lift"))
+      .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
   }
 
   val q199Itemsets3Sql: String =
@@ -748,16 +766,28 @@ object AggQueries {
       |  SELECT t1.b AS a, t2.b AS b, t3.b AS c, COUNT(*) AS n_abc
       |  FROM ob t1 JOIN ob t2 ON t1.ok = t2.ok AND t1.b < t2.b
       |  JOIN ob t3 ON t2.ok = t3.ok AND t2.b < t3.b
-      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
-      |SELECT tri.a, tri.b, tri.c, n_abc,
-      |  sa.nb AS na, sb.nb AS nb, sc.nb AS nc,
-      |  ROUND(CAST(n_abc AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
-      |    / (CAST(sa.nb AS DOUBLE) * CAST(sb.nb AS DOUBLE)
-      |       * CAST(sc.nb AS DOUBLE)), 4) AS lift
-      |FROM tri
-      |JOIN singles sa ON sa.b = tri.a
-      |JOIN singles sb ON sb.b = tri.b
-      |JOIN singles sc ON sc.b = tri.c
-      |CROSS JOIN n
-      |ORDER BY n_abc DESC, tri.a, tri.b, tri.c LIMIT 20""".stripMargin
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+      |top AS (
+      |  SELECT tri.a, tri.b, tri.c, n_abc,
+      |    sa.nb AS na, sb.nb AS nb, sc.nb AS nc, n.n AS n_total
+      |  FROM tri
+      |  JOIN singles sa ON sa.b = tri.a
+      |  JOIN singles sb ON sb.b = tri.b
+      |  JOIN singles sc ON sc.b = tri.c
+      |  CROSS JOIN n
+      |  ORDER BY n_abc DESC, tri.a, tri.b, tri.c LIMIT 20),
+      |red AS (
+      |  SELECT a, b, c, n_abc, na, nb, nc, n_total,
+      |    n_abc * n_total * n_total AS num, na * nb * nc AS den,
+      |    gcd(n_abc * n_total * n_total, na * nb * nc) AS g
+      |  FROM top)
+      |SELECT a, b, c, n_abc, na, nb, nc,
+      |  CAST(num // g AS BIGINT) AS lift_num,
+      |  CAST(den // g AS BIGINT) AS lift_den,
+      |  ROUND(CAST(n_abc AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |      * CAST(n_total AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |       * CAST(nc AS DOUBLE)), 4) AS lift
+      |FROM red
+      |ORDER BY n_abc DESC, a, b, c""".stripMargin
 }

@@ -49,7 +49,10 @@ object QualityClassifier {
       .select(features(col("text"), dim).as("x"),
         col("label").cast("double").as("y"))
       .localCheckpoint() // features computed once, reused every iteration
-    val n = feat.count().toDouble
+    // n rides the first iteration's gradient agg (each feature-index
+    // group sees every row, so any group's count IS the row count) —
+    // no separate count() action
+    var n = 0.0
     var w = Array.fill(dim)(0.0)
     var b = 0.0
     val losses = Seq.newBuilder[Double]
@@ -68,7 +71,8 @@ object QualityClassifier {
         .groupBy("i")
         .agg(sum(col("xi") * col("err")).as("gw"),
           // bias/loss sums replicate per feature index — divide out later
-          sum(col("err")).as("gb"), sum(col("loss")).as("l"))
+          sum(col("err")).as("gb"), sum(col("loss")).as("l"),
+          count(lit(1)).as("cnt"))
         .collect()
       val gw = Array.fill(dim)(0.0)
       var gb = 0.0
@@ -76,6 +80,7 @@ object QualityClassifier {
       g.foreach { r =>
         gw(r.getInt(0)) = r.getDouble(1)
         gb = r.getDouble(2); loss = r.getDouble(3)
+        n = r.getLong(4).toDouble
       }
       w = w.indices.map(i => w(i) - lr * gw(i) / n).toArray
       b = b - lr * gb / n
