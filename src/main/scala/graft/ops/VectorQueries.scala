@@ -253,4 +253,152 @@ object VectorQueries {
       |    / 1e12, 8) AS cov
       |FROM pairs p JOIN marg mi ON p.i = mi.i JOIN marg mj ON p.j = mj.i
       |ORDER BY p.i, p.j""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q201: the Pca.project kernel under the hash gate. The eigensolve is
+  // driver-side float iteration (not SQL-expressible bit-for-bit), but
+  // the projection — the part that runs over the corpus at scale — is a
+  // pure codegen HOF, so pin IT with a FIXED deterministic model: exact
+  // binary-fraction mean and component literals (multiples of 2⁻³/2⁻⁴/
+  // 2⁻⁵ — every value exact in both binary and decimal, so the SQL
+  // literal round-trips bit-identically). The fold order of
+  // Pca.project's `aggregate(sequence(...))` matches DuckDB's
+  // list_aggregate(list_transform(...), 'sum') — the q52-proven chain.
+  // ---------------------------------------------------------------------
+
+  private[graft] val pcaFixedMean: Array[Double] =
+    Array.tabulate(64)(i => ((i % 7) - 3) * 0.125)
+  private[graft] val pcaFixedC1: Array[Double] =
+    Array.tabulate(64)(i => (((i * 3) % 11) - 5) * 0.0625)
+  private[graft] val pcaFixedC2: Array[Double] =
+    Array.tabulate(64)(i => (((i * 5) % 13) - 6) * 0.03125)
+
+  private def sqlDoubleList(a: Array[Double]): String =
+    a.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** L90 PCA projection (fixed 2-component model) — see Pca.scala for
+    * the fitted path; this query oracle-gates the projection kernel. */
+  def q201PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val model = Pca.PcaModel(pcaFixedMean,
+      Array(pcaFixedC1, pcaFixedC2), Array(2.0, 1.0))
+    Pca.project(Tables.embeddings(s, dir), "embedding", model, "pc")
+      .select(col("vec_id"),
+        (round(element_at(col("pc"), 1), 4) + 0.0).as("pc1"),
+        (round(element_at(col("pc"), 2), 4) + 0.0).as("pc2"))
+      .orderBy("vec_id")
+  }
+
+  val q201PcaProjectSql: String = {
+    def proj(c: String) =
+      "ROUND(list_aggregate(list_transform(generate_series(1, 64), i -> " +
+        s"(CAST(embedding[i] AS DOUBLE) - k.m[i]) * k.$c[i]), 'sum'), 4) + 0"
+    s"""SELECT vec_id, ${proj("c1")} AS pc1, ${proj("c2")} AS pc2
+       |FROM embeddings CROSS JOIN (SELECT
+       |  ${sqlDoubleList(pcaFixedMean)} AS m,
+       |  ${sqlDoubleList(pcaFixedC1)} AS c1,
+       |  ${sqlDoubleList(pcaFixedC2)} AS c2) k
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q202: the Mmr batch greedy under the hash gate. The greedy argmax
+  // loop runs in mapGroups on the executor; with k fixed at 4 it unrolls
+  // into 4 SQL stages (pick = argmax of 0.7·rel − (1.0−0.7)·maxsim over
+  // already-picked, ties by id — the exact JVM comparison). Every float
+  // chain matches bit-for-bit: the JVM cos accumulates dot/na/nb in
+  // index order exactly like the list_aggregate chain, floats widen to
+  // double exactly, and 0.7 / (1.0 − 0.7) are the same IEEE literals
+  // both sides — so raw-double argmax decisions agree and only the
+  // DISPLAYED relevance/marginal are rounded.
+  // ---------------------------------------------------------------------
+
+  /** L91 MMR diversified retrieval: 3 query vectors (vec_id < 3), pool
+    * 50, k = 4, λ = 0.7 — the diversifiedTopKBatch serving shape. */
+  def q202MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 3)
+    Mmr.diversifiedTopKBatch(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 4, lambda = 0.7, poolSize = 50)
+      .select(col("q_id"), col("pick"), col("id"),
+        (round(col("relevance"), 4) + 0.0).as("relevance"),
+        (round(col("marginal"), 4) + 0.0).as("marginal"))
+      .orderBy("q_id", "pick")
+  }
+
+  val q202MmrRerankSql: String = {
+    // index-ordered dot fold, shared by both cos forms
+    def d(a: String, x: String, y: String) =
+      s"list_aggregate(list_transform(generate_series(1, len($a)), " +
+        s"i -> $x[i] * $y[i]), 'sum')"
+    // relevance chain = the CosineSimExpr kernel: dot / (sqrt(aa)*sqrt(bb))
+    def cosK(a: String, b: String) =
+      s"(${d(a, a, b)} / (sqrt(${d(a, a, a)}) * sqrt(${d(a, b, b)})))"
+    // redundancy chain = Mmr.greedy's JVM cos: dot / sqrt(aa*bb) —
+    // a DIFFERENT IEEE chain (one rounding, not two); mirror it exactly
+    def cosG(a: String, b: String) =
+      s"(${d(a, a, b)} / sqrt(${d(a, a, a)} * ${d(a, b, b)}))"
+    // stage n: candidates = pool minus picks, marginal vs picked vecs
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 3),
+       |c AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id >= 3),
+       |scored AS (
+       |  SELECT q_id, id, v, ${cosK("v", "qv")} AS rel FROM c CROSS JOIN q),
+       |pool AS (
+       |  SELECT q_id, id, v, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, id) AS rnk FROM scored) WHERE rnk <= 50),
+       |p1 AS (
+       |  SELECT q_id, id, v, rel, 0.7 * rel AS marg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY 0.7 * rel DESC, id) AS r FROM pool) WHERE r = 1),
+       |c2 AS (
+       |  SELECT pool.q_id, pool.id, pool.v, pool.rel,
+       |    0.7 * pool.rel - (1.0 - 0.7) * ${cosG("pool.v", "p1.v")} AS marg
+       |  FROM pool JOIN p1 ON pool.q_id = p1.q_id AND pool.id <> p1.id),
+       |p2 AS (
+       |  SELECT q_id, id, v, rel, marg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY marg DESC, id) AS r FROM c2) WHERE r = 1),
+       |c3 AS (
+       |  SELECT pool.q_id, pool.id, pool.v, pool.rel,
+       |    0.7 * pool.rel - (1.0 - 0.7) * GREATEST(
+       |      ${cosG("pool.v", "p1.v")}, ${cosG("pool.v", "p2.v")}) AS marg
+       |  FROM pool
+       |  JOIN p1 ON pool.q_id = p1.q_id
+       |  JOIN p2 ON pool.q_id = p2.q_id
+       |  WHERE pool.id <> p1.id AND pool.id <> p2.id),
+       |p3 AS (
+       |  SELECT q_id, id, v, rel, marg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY marg DESC, id) AS r FROM c3) WHERE r = 1),
+       |c4 AS (
+       |  SELECT pool.q_id, pool.id, pool.v, pool.rel,
+       |    0.7 * pool.rel - (1.0 - 0.7) * GREATEST(
+       |      ${cosG("pool.v", "p1.v")}, ${cosG("pool.v", "p2.v")},
+       |      ${cosG("pool.v", "p3.v")}) AS marg
+       |  FROM pool
+       |  JOIN p1 ON pool.q_id = p1.q_id
+       |  JOIN p2 ON pool.q_id = p2.q_id
+       |  JOIN p3 ON pool.q_id = p3.q_id
+       |  WHERE pool.id <> p1.id AND pool.id <> p2.id AND pool.id <> p3.id),
+       |p4 AS (
+       |  SELECT q_id, id, v, rel, marg FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY marg DESC, id) AS r FROM c4) WHERE r = 1),
+       |picks AS (
+       |  SELECT q_id, 1 AS pick, id, rel, marg FROM p1
+       |  UNION ALL SELECT q_id, 2, id, rel, marg FROM p2
+       |  UNION ALL SELECT q_id, 3, id, rel, marg FROM p3
+       |  UNION ALL SELECT q_id, 4, id, rel, marg FROM p4)
+       |SELECT q_id, pick, id,
+       |  ROUND(rel, 4) + 0 AS relevance, ROUND(marg, 4) + 0 AS marginal
+       |FROM picks ORDER BY q_id, pick""".stripMargin
+  }
 }
