@@ -6,11 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY.md / north-star: "multimodal
   * columns"): image/audio/video travel as opaque `binary` columns with a
-  * typed metadata struct. The Spark-side mechanics — schema, partition-
-  * wise batch processing, explode shapes — are real and tested; the
-  * decode kernels are DETERMINISTIC STUBS (clearly marked) because no
-  * image/audio codec library ships in this environment. Swapping a stub
-  * for a real codec changes only the function body, not the plan shape.
+  * typed metadata struct. All three decode kernels are REAL and
+  * JDK-only: images via `javax.imageio` ([[decodeImages]] /
+  * [[resizeImages]]), audio via `javax.sound.sampled`
+  * ([[decodeAudio]]), video via a byte-exact MJPEG / RIFF-AVI demux +
+  * imageio per-frame decode ([[sampleVideoFrames]]). The two remaining
+  * stubs are labeled demo shapes: [[decodeImageStub]] (the
+  * pure-`Column` codegen variant kept for plan-shape comparison) and
+  * [[featurizeStub]] (a real featurizer needs an encoder model, out of
+  * scope by design — the plumbing around it is the deliverable).
   *
   * Scale notes: payload bytes stay columnar end-to-end (no
   * driver collection); decode runs per-partition so a real codec would
@@ -280,16 +284,141 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB frame sampling for `kind = video`: emits `n` (frame_no,
-    * frame_sig) rows per video via posexplode — the UDTF shape real
-    * frame extraction would use. Non-video rows pass through with a
-    * single frame 0. */
-  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
-    val frames = when(col("media_meta.kind") === "video",
-      sequence(lit(0), lit(n - 1))).otherwise(sequence(lit(0), lit(0)))
-    df.withColumn("frame_no", explode(frames))
-      // STUB: per-frame signature = hash(payload, frame index)
-      .withColumn("frame_sig", abs(xxhash64(col("media"), col("frame_no"))))
+  /** Little-endian u32 at offset `i` (RIFF/AVI sizes). */
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** REAL video demux, no codec library needed — two layouts a JVM can
+    * parse byte-exactly:
+    *
+    *  - bare MJPEG stream: concatenated baseline JPEGs. In baseline
+    *    entropy-coded data every 0xFF byte is stuffed as FF 00 (ITU
+    *    T.81 §B.1.1.5), so scanning SOI (FFD8) → EOI (FFD9) finds true
+    *    frame boundaries (restart markers FFD0–D7 never match D9).
+    *  - MJPEG-in-AVI: RIFF chunk walk ("RIFF"<size>"AVI " then
+    *    fourcc/size chunks, LISTs recursed, chunks padded to even) —
+    *    every video-stream chunk ('##dc' compressed / '##db'
+    *    uncompressed) payload is one frame. The 'idx1' index and
+    *    'hdrl' headers are plain chunks, never recursed into, so their
+    *    interior bytes can't fake a frame.
+    *
+    * Frames then decode with `javax.imageio` (JPEG ships in the JDK). */
+  private[graft] def demuxVideoFrames(bytes: Array[Byte]): Vector[Array[Byte]] =
+    if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ')
+      demuxAvi(bytes)
+    else demuxMjpeg(bytes)
+
+  private def demuxAvi(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = u32le(bytes, i + 4).toInt
+        val dataStart = i + 8
+        val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
+        val isList = bytes(i) == 'L' && bytes(i + 1) == 'I' &&
+          bytes(i + 2) == 'S' && bytes(i + 3) == 'T'
+        if (isList && sz >= 4) {
+          walk(dataStart + 4, dataEnd) // first 4 bytes = list type fourcc
+        } else if (!isList && sz > 0 && dataEnd > dataStart &&
+            ((bytes(i + 2) == 'd' && (bytes(i + 3) == 'c' || bytes(i + 3) == 'b')))) {
+          out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        }
+        i = dataStart + sz + (sz & 1) // chunks pad to even length
+      }
+    }
+    walk(12, bytes.length)
+    out.result()
+  }
+
+  private def demuxMjpeg(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    val n = bytes.length
+    var i = 0
+    while (i + 1 < n) {
+      if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < n) {
+          if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte) end = j + 2
+          j += 1
+        }
+        if (end > 0) {
+          out += java.util.Arrays.copyOfRange(bytes, i, end)
+          i = end
+        } else i = n // truncated trailing frame: drop, don't loop
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL frame sampling for video payloads (the former stub, deleted):
+    * demuxes [[demuxVideoFrames]] containers, decodes every `stride`-th
+    * frame with `javax.imageio`, and emits one row per sampled frame —
+    * the UDTF shape — carrying `n_frames` (total in the container),
+    * `frame_no`, `frame_w`/`frame_h`, and `frame_luma` (mean Rec.601
+    * luma over all pixels, 4dp). A payload that demuxes to zero frames
+    * (non-video, junk) emits a single row with n_frames = 0 and null
+    * frame fields, so rows are never silently dropped; a frame that
+    * demuxes but fails to decode keeps its row with null dimensions.
+    * Same per-partition batch shape as [[decodeImages]]. */
+  def sampleVideoFrames(df: DataFrame, payloadCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride >= 1, got $stride")
+    val schema = df.schema
+      .add("n_frames", IntegerType).add("frame_no", IntegerType)
+      .add("frame_w", IntegerType).add("frame_h", IntegerType)
+      .add("frame_luma", DoubleType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val frames =
+          if (bytes == null) Vector.empty
+          else try demuxVideoFrames(bytes)
+          catch { case _: Exception => Vector.empty[Array[Byte]] }
+        if (frames.isEmpty)
+          Iterator.single(org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(0, null, null, null, null)))
+        else {
+          val n = frames.length
+          Iterator.range(0, n, stride).map { fi =>
+            val dec: Seq[Any] =
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frames(fi)))
+                if (img == null) Seq(null, null, null)
+                else {
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var sum = 0.0
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sum += 0.299 * ((p >> 16) & 0xff) +
+                        0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  // Seq[Any] with explicit boxes — a bare Seq(w, h, d)
+                  // numeric-widens the Ints to Double and breaks the
+                  // row encoder's INT slots
+                  Seq[Any](Int.box(w), Int.box(h), Double.box(
+                    math.rint(sum / (w.toLong * h.toLong) * 10000) / 10000))
+                }
+              } catch { case _: Exception => Seq(null, null, null) }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (Seq(n, fi) ++ dec))
+          }
+        }
+      }
+    }(enc)
   }
 
   /** STUB featurize: payload → fixed-dim fake embedding (hash-seeded),

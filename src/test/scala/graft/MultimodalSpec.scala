@@ -125,13 +125,83 @@ class MultimodalSpec extends SparkSpec {
       "junk bytes must decode to nulls, not fail the task")
   }
 
-  test("sampleFrames explodes n frames per video, 1 per non-video") {
-    val frames = Multimodal.sampleFrames(media, 4)
-    val perKind = frames.groupBy("media_meta.kind")
-      .agg((count(lit(1)) / countDistinct(col("doc_id"))).as("frames_per_doc"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(perKind("video") == 4.0)
-    assert(perKind("image") == 1.0 && perKind("audio") == 1.0)
+  /** One solid-gray JPEG frame at the given level, built in-test. */
+  private def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG-AVI container around the given frames: RIFF("AVI ")
+    * with an empty hdrl LIST (headers irrelevant to the demux contract)
+    * and a movi LIST of 00dc chunks, each padded to even length. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); b.write(u32le(data.length))
+      b.write(data)
+      if ((data.length & 1) == 1) b.write(0) // even padding
+      b.toByteArray
+    }
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+      chunk("avih", Array.fill[Byte](56)(0)))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(u32le(payload.length))
+    bos.write(payload)
+    bos.toByteArray
+  }
+
+  test("sampleVideoFrames demuxes real MJPEG streams and AVI containers") {
+    import spark.implicits._
+    // three gray levels: luma must come out ordered and ≈ the fill level
+    // (JPEG is lossy — solid frames survive within a few levels)
+    val levels = Seq(40, 128, 220)
+    val frames = levels.map(l => jpegFrame(16, 8, l))
+    val mjpeg = frames.reduce(_ ++ _)
+    val avi = mjpegAvi(frames)
+    val df = Seq(
+      (1L, mjpeg), (2L, avi), (3L, "not a video at all".getBytes("UTF-8")))
+      .toDF("vid", "payload")
+    val out = Multimodal.sampleVideoFrames(df, "payload")
+      .select("vid", "n_frames", "frame_no", "frame_w", "frame_h", "frame_luma")
+      .collect().groupBy(_.getLong(0))
+    for (vid <- Seq(1L, 2L)) {
+      val rows = out(vid).sortBy(_.getInt(2))
+      assert(rows.length == 3, s"vid=$vid must demux 3 frames")
+      rows.zip(levels).foreach { case (r, lvl) =>
+        assert(r.getInt(1) == 3, "n_frames")
+        assert(r.getInt(3) == 16 && r.getInt(4) == 8, "decoded dimensions")
+        assert(math.abs(r.getDouble(5) - lvl) < 8.0,
+          s"vid=$vid frame ${r.getInt(2)}: luma ${r.getDouble(5)} vs fill $lvl")
+      }
+      // strictly increasing luma across the three frames
+      assert(rows.map(_.getDouble(5)).sliding(2).forall(p => p(0) < p(1)))
+    }
+    val junk = out(3L)
+    assert(junk.length == 1 && junk(0).getInt(1) == 0 && junk(0).isNullAt(3),
+      "non-video payload yields one n_frames=0 row with null frame fields")
+  }
+
+  test("sampleVideoFrames stride samples every k-th frame") {
+    import spark.implicits._
+    val frames = (0 until 7).map(i => jpegFrame(8, 8, 30 + 20 * i))
+    val df = Seq((1L, frames.reduce(_ ++ _))).toDF("vid", "payload")
+    val out = Multimodal.sampleVideoFrames(df, "payload", stride = 3)
+      .select("n_frames", "frame_no").collect()
+    assert(out.map(_.getInt(1)).sorted.toSeq == Seq(0, 3, 6))
+    assert(out.forall(_.getInt(0) == 7), "n_frames counts ALL demuxed frames")
   }
 
   test("featurizeStub emits fixed-dim vectors in [0,1)") {
