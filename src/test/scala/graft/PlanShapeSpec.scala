@@ -328,6 +328,43 @@ class PlanShapeSpec extends SparkSpec {
       s"top-n-per-group must push a group limit, not full-sort:\n$p")
   }
 
+  test("triangle family: edge caches present, exchange budget pinned") {
+    // The round-9 lineage cut (Triangles caches canon + oriented; the
+    // q176/q194 edge sets cut their basket-pair build) halved the
+    // family's bench cost. This pins it executably: if a refactor drops
+    // a cache or re-derives the edge build per consumer, the exchange
+    // count grows or the cache scan disappears and this fails — the
+    // regression shows here instead of as a silent 2× in BENCH_r{N}.
+    val pins = Seq(
+      // (query, cache marker, max hash exchanges)
+      // q105/q194 ride Triangles' lazy persist → InMemoryTableScan
+      ("q105_triangles", "InMemoryTableScan", 3),
+      ("q194_clustering_coef", "InMemoryTableScan", 3),
+      // q176 cuts lineage with an eager localCheckpoint (the scalar m
+      // needs the materialization anyway) → Scan ExistingRDD
+      ("q176_modularity", "Scan ExistingRDD", 5))
+    for ((q, marker, maxEx) <- pins) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan
+      // tree-walk, not toString counting: InMemoryTableScan PRINTS its
+      // whole cached plan (exchanges included), but the cached subtree
+      // is not an operator child, so collect() sees only work this
+      // query actually schedules beyond the caches
+      val ex = plan.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      }.size
+      val nodeNames = plan.collect { case n => n.nodeName }.mkString(" ")
+      assert(plan.toString.contains(marker),
+        s"$q: expected the edge-set cache ($marker) in the plan:\n$plan")
+      assert(ex <= maxEx,
+        s"$q: $ex hash exchanges (pinned ≤ $maxEx) — an edge-build " +
+          s"subtree is probably re-executing per consumer:\n$plan")
+      assert(!nodeNames.contains("CartesianProduct") &&
+          !nodeNames.contains("SortMergeJoin"),
+        s"$q: triangle family must stay broadcast equi-joins:\n$plan")
+    }
+  }
+
   test("nested-loop joins appear ONLY on the PLANS.md-enumerated allowlist") {
     // the PLANS.md header contract as an executable guard: cartesian /
     // broadcast-nested-loop plans are expected ONLY where a deliberate
@@ -346,7 +383,11 @@ class PlanShapeSpec extends SparkSpec {
       "q146_psi",
       // r9: the chi-square contingency grid — R×C ≤ 100 rows from two
       // broadcast margins; the corpus itself never enters the cross join
-      "q186_chi2")
+      "q186_chi2",
+      // r10: q199's basket count N (1-row broadcast, replacing the old
+      // separate count() action) and q202's 3-row broadcast query fleet
+      // (the q52/q53 pattern)
+      "q199_itemsets3", "q202_mmr_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
