@@ -27,6 +27,8 @@ case class TypeCount(user_id: Long, event_type: String, n_type: Long,
     n_types: Long)
 
 /** A closed session: [start, end] span and its event count (T6 timers). */
+case class TtlCount(user_id: Long, n: Long)
+
 case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
     n_events: Long)
 
@@ -391,6 +393,60 @@ object StreamOps {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TypeCountProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Per-key running event counter whose state EXPIRES after `ttl` of
+    * key inactivity — the §2.9 state-TTL surface: TTLConfig hands
+    * expiry to the state store (RocksDB column-family native), so idle
+    * keys cost nothing to reap — no timers, no scan — which is what
+    * bounds state size on a 100 TB stream with an unbounded key space
+    * (the alternative, per-key event-time timers, is the
+    * SessionProcessor pattern and costs a timer entry per key).
+    *
+    * Semantics under TTL: a key seen again within `ttl` continues its
+    * count; a key idle past `ttl` has its state reaped and restarts
+    * from zero. `pureTtlCount` below is the same fold in plain Scala —
+    * the batch-parity form the spec checks the processor against. */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Ev, TtlCount] {
+    @transient private var st: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TtlCount] = {
+      val prev = if (st.exists()) st.get() else 0L // expired ⇒ 0
+      val n = prev + rows.size
+      st.update(n)
+      Iterator.single(TtlCount(key, n))
+    }
+  }
+
+  /** [[TtlCountProcessor]] through `transformWithState` (TTL requires
+    * processing-time mode — expiry is measured from the last update's
+    * batch timestamp). */
+  def ttlCountsTws(events: Dataset[Ev],
+      ttl: java.time.Duration): Dataset[TtlCount] = {
+    implicit val outEnc = Encoders.product[TtlCount]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Batch-parity reference for the TTL fold: given per-batch counts
+    * for one key and the batch processing times, the emitted counter
+    * per batch — state carries forward iff the gap since the LAST
+    * UPDATE is ≤ ttl (TTL is measured from update time, not read
+    * time). */
+  def pureTtlCount(batches: Seq[(Long, Long)], ttlMs: Long): Seq[Long] = {
+    var last = Long.MinValue
+    var n = 0L
+    batches.map { case (tMs, cnt) =>
+      if (last != Long.MinValue && tMs - last > ttlMs) n = 0L
+      n += cnt
+      last = tMs
+      n
+    }
   }
 
   /** Per-key streaming EWMA through `transformWithState`. */

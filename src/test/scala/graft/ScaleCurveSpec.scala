@@ -43,7 +43,14 @@ class ScaleCurveSpec extends SparkSpec {
     d
   }
 
+  /** Generate the replicated fixture ONLY if absent: the replicas are
+    * deterministic, and overwriting a dir that a memoized Tables plan
+    * (or a Triangles cache) already file-indexed leaves stale part-file
+    * lists behind → FAILED_READ_FILE on the next consumer. Delete
+    * $TMPDIR/graft-scale to force regeneration. */
   private def gen(outRoot: String, copies: Int): Unit = {
+    val marker = new java.io.File(s"$outRoot/events.parquet/_SUCCESS")
+    if (marker.exists()) return
     val specs = Seq(
       ("documents", Seq("doc_id"), Seq("text"), Some("n_chars")),
       ("part", Seq("p_partkey"), Seq("p_name"), None),
@@ -108,5 +115,44 @@ class ScaleCurveSpec extends SparkSpec {
     val bad = rows.filter(_._4 > 1.4)
     assert(bad.isEmpty,
       s"superlinear growth: ${bad.map(r => f"${r._1} exp=${r._4}%.2f").mkString(", ")}")
+  }
+
+  test("decade-scale: top spenders hold their exponent from 10x to 100x",
+      SlowScale) {
+    // One decade (the test above) is thin evidence for a 100 TB design
+    // claim: a Σ|bucket|² or Σdf² term with a small constant hides at
+    // 10× and owns the bill at 100×. So the six heaviest bench queries
+    // (BENCH_r09 ranking) get a second decade — 100 copies of sf0.01 ≈
+    // sf1 — and BOTH the per-decade exponent log₁₀(t₁₀₀/t₁₀) and the
+    // two-decade slope log₁₀₀(t₁₀₀/t₁) must stay ≤ 1.4. The per-decade
+    // bound is the sharp one: fixed overhead that deflated the 1×→10×
+    // ratio is amortized away by 10×, so a bending curve shows here
+    // first.
+    val root = s"${sys.props("java.io.tmpdir")}/graft-scale"
+    gen(s"$root/x1", 1)
+    gen(s"$root/x10", 10)
+    gen(s"$root/x100", 100)
+    val heavy = Seq("q176_modularity", "q138_covariance",
+      "q100_dup_passages", "q155_containment", "q135_sparse_cosine",
+      "q105_triangles", "q194_clustering_coef")
+    val rows = heavy.map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, s"$root/x1").count()                    // codegen warm-up
+      val t1 = math.min(timeQ(fn, s"$root/x1"), timeQ(fn, s"$root/x1"))
+      val t10 = timeQ(fn, s"$root/x10")
+      var t100 = timeQ(fn, s"$root/x100")
+      var expHi = math.log(t100 / math.max(t10, 0.05)) / math.log(10.0)
+      if (expHi > 1.4) {                                // one noise retry
+        t100 = math.min(t100, timeQ(fn, s"$root/x100"))
+        expHi = math.log(t100 / math.max(t10, 0.05)) / math.log(10.0)
+      }
+      val expAll = math.log(t100 / math.max(t1, 0.05)) / math.log(100.0)
+      info(f"$name%-22s t1=$t1%6.2fs t10=$t10%6.2fs t100=$t100%7.2fs " +
+        f"exp10to100=$expHi%5.2f exp1to100=$expAll%5.2f")
+      (name, expHi, expAll)
+    }
+    val bad = rows.filter(r => r._2 > 1.4 || r._3 > 1.4)
+    assert(bad.isEmpty, "superlinear at the second decade: " +
+      bad.map(r => f"${r._1} hi=${r._2}%.2f all=${r._3}%.2f").mkString(", "))
   }
 }

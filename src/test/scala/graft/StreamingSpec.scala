@@ -526,6 +526,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pureTtlCount reference: carry within ttl, restart past it") {
+    // the batch-parity form of the TTL fold — pinned independently of
+    // the streaming engine so the semantics stay spec'd even where the
+    // live TTL test can't run
+    assert(StreamOps.pureTtlCount(
+      Seq((0L, 2L), (100L, 1L), (5000L, 1L)), 800L) == Seq(2L, 3L, 1L))
+    assert(StreamOps.pureTtlCount(
+      Seq((0L, 2L), (700L, 1L), (1400L, 1L)), 800L) == Seq(2L, 3L, 4L),
+      "ttl measures from the LAST UPDATE, so a steadily-active key never expires")
+    assert(StreamOps.pureTtlCount(Seq((0L, 1L)), 800L) == Seq(1L))
+  }
+
+  test("ValueState TTL reaps idle keys between micro-batches") {
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: org.scalatest.concurrent.Signaler =
+      org.scalatest.concurrent.ThreadSignaler
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = newStream()
+    // 5 s TTL: generous against batch-scheduling jitter (a batch that
+    // stalls longer than the TTL would false-expire an active key), but
+    // far below the 8 s idle gap that must expire. failAfter timeboxes
+    // the whole query — prior rounds saw TTL queries hang under other
+    // trigger setups, and a hang here should fail loudly, not stall CI.
+    val ttl = java.time.Duration.ofSeconds(5)
+    val q = StreamOps.ttlCountsTws(in.toDS(), ttl)
+      .writeStream.format("memory").queryName("ttl_counts")
+      .outputMode("append").start()
+    // HARNESS NOTE (this was rounds 5–9's "TTL tests hang"): in
+    // TimeMode.ProcessingTime the microbatch engine runs CONTINUOUS
+    // empty batches so TTL expiry can advance without input — the
+    // stream never goes idle, so processAllAvailable() never returns
+    // (verified: batchId climbs ~3/s with numInputRows 0). Poll the
+    // sink for the expected row count instead; data is picked up by
+    // the next rolling batch within ~300 ms anyway.
+    def awaitRows(n: Int): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("ttl_counts").count() < n) {
+        assert(System.currentTimeMillis() - t0 < 60000,
+          s"timed out waiting for $n sink rows")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      failAfter(Span(120, Seconds)) {
+        in.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+          Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+          Ev(3, ts("2024-01-01 10:02:00"), 2, "view", 1.0))
+        awaitRows(2)
+        // immediately inside the TTL window: state carries
+        in.addData(Ev(4, ts("2024-01-01 10:03:00"), 1, "view", 1.0))
+        awaitRows(3)
+        Thread.sleep(8000) // > ttl: both keys idle past expiry
+        in.addData(
+          Ev(5, ts("2024-01-01 10:04:00"), 1, "view", 1.0),
+          Ev(6, ts("2024-01-01 10:05:00"), 2, "view", 1.0))
+        awaitRows(5)
+      }
+      val byUser = spark.table("ttl_counts").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // u1: 2 (batch1), 3 (carried), 1 (restarted) — u2: 1, then 1 again
+      assert(byUser(1L) == Seq(1L, 2L, 3L),
+        s"user 1 counts must be {2 carried-to 3, then restart 1}: $byUser")
+      assert(byUser(2L) == Seq(1L, 1L),
+        s"user 2 must restart at 1 after idling past the TTL: $byUser")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("allowed-late events extend and bridge not-yet-proven sessions") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
