@@ -759,4 +759,60 @@ object PipelineQueries {
       |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS DOUBLE)
       |    / 10000.0 AS share
       |FROM r ORDER BY source""".stripMargin
+
+  /** L34 z-order Morton kernel under the hash gate: the quantile-rank
+    * step is approxQuantile (not oracle-able by design), so the pin
+    * uses FIXED modulo ranks — what stays under oracle control is the
+    * bit-interleave itself ([[ZOrder.interleaveBits]], bit b of column
+    * c -> output bit b*n+c), mirrored in DuckDB with shift/mask
+    * arithmetic. The census groups by z so the hash covers every code
+    * path of the interleave over the full fixture.
+    *
+    * Scale: one map-side expression + a <=256-group agg. */
+  def q203ZOrder(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val z = graft.ops.ZOrder.interleaveBits(
+      Seq(pmod(col("l_partkey"), lit(16)), pmod(col("l_suppkey"), lit(16))),
+      bits = 4)
+    l.withColumn("z", z)
+      .groupBy("z")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("z")
+  }
+
+  val q203ZOrderSql: String = {
+    // bit b of rank 0 -> bit 2b; bit b of rank 1 -> bit 2b+1
+    val terms = (0 until 4).flatMap(b => Seq(
+      s"((((l_partkey % 16) >> $b) & 1) << ${2 * b})",
+      s"((((l_suppkey % 16) >> $b) & 1) << ${2 * b + 1})"))
+    s"""SELECT ${terms.mkString(" + ")} AS z,
+       |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |FROM lineitem GROUP BY 1 ORDER BY z""".stripMargin
+  }
+
+  /** L77 distributed prefix sums under the hash gate: exact global
+    * running totals of the 4dp-scaled order price over the o_orderkey
+    * total order, via [[PrefixSum.withPrefixSums]] — range partition,
+    * per-partition local cumsum, per-partition offsets added back
+    * (partition-count driver state, never row data). The oracle is the
+    * single-partition SQL window the operator refuses to plan; int64
+    * money units make every cumulative value an exact integer, so the
+    * hash proves the two-phase decomposition exactly equals the
+    * sequential window. */
+  def q204PrefixSum(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 10000.0 + 0.5).cast("long").as("v4"))
+    graft.ops.PrefixSum.withPrefixSums(o,
+        Seq(col("o_orderkey")), Seq((col("v4"), "cum4")))
+      .select(col("o_orderkey"), col("v4"), col("cum4"))
+      .orderBy("o_orderkey")
+  }
+
+  val q204PrefixSumSql: String =
+    """SELECT o_orderkey,
+      |  CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS v4,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+      |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum4
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
