@@ -557,4 +557,66 @@ object GraphQueries {
       |FROM deg LEFT JOIN pv ON pv.id = deg.id
       |WHERE deg >= 2
       |ORDER BY cc DESC, p_partkey LIMIT 25""".stripMargin
+
+  /** L142 Adamic–Adar link prediction over the customer–brand
+    * bipartite graph: for every brand pair sharing customers, the
+    * common-neighbor count and the Adamic–Adar score Σ_c 1/ln(deg c)
+    * (Adamic & Adar 2003 [PK]) — shared rare customers predict a link,
+    * shared hub customers barely count. The standard
+    * recommendation/link-prediction primitive at its natural blocked
+    * shape: wedges enumerate per CUSTOMER from the sorted brand
+    * basket, bounded by C(|brands|, 2) = C(25,2) = 300 per customer,
+    * never all-pairs over customers.
+    *
+    * Parity: each customer's AA term is quantized to int64 micro-units
+    * BEFORE summing (floor(1e6/ln n + 0.5) — the q196 quantum, coarse
+    * enough that a 1-ulp libm ln divergence cannot flip it), so the
+    * per-pair sums are exact-integer and partition-order independent;
+    * the top-30 cut orders on (cn desc, a, b) — all exact.
+    *
+    * Scale: one distinct + one basket agg (customer-keyed shuffles),
+    * map-side bounded wedge explode, ≤C(25,2)-group census. */
+  def q207AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .distinct()
+    val baskets = cb.groupBy("c")
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+    val wq = floor(lit(1.0e6) / log(size(col("bs")).cast("double")) +
+      lit(0.5)).cast("long")
+    baskets.withColumn("wq", wq)
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"),
+        col("wq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("wq")).as("aaq"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(30)
+      .select(col("a"), col("b"), col("cn"), col("aaq"),
+        (round(col("aaq") / 1.0e6, 6) + 0.0).as("aa"))
+  }
+
+  val q207AdamicAdarSql: String =
+    """WITH cb AS (
+      |  SELECT DISTINCT o_custkey AS c, p_brand AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |degc AS (SELECT c, COUNT(*) AS n FROM cb GROUP BY c),
+      |w AS (
+      |  SELECT x.b AS a, y.b AS b, x.c
+      |  FROM cb x JOIN cb y ON x.c = y.c AND x.b < y.b),
+      |t AS (
+      |  SELECT a, b, COUNT(*) AS cn,
+      |    CAST(SUM(CAST(FLOOR(1e6 / ln(CAST(n AS DOUBLE)) + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS aaq
+      |  FROM w JOIN degc USING (c) WHERE n >= 2 GROUP BY a, b)
+      |SELECT a, b, cn, aaq, ROUND(CAST(aaq AS DOUBLE) / 1e6, 6) + 0 AS aa
+      |FROM t ORDER BY cn DESC, a, b LIMIT 30""".stripMargin
 }

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series robustness statistics over the daily order-revenue
+  * series (L139–L141): exact rolling median (outlier-immune smoothing,
+  * the robust counterpart to q115's EWMA / q143's Holt), Theil–Sen
+  * slope (the robust trend estimate — median of all pairwise slopes,
+  * 29.3% breakdown point vs least-squares' zero), and the exact
+  * autocorrelation function (seasonality detection, the dependence
+  * diagnostic behind every forecasting model choice).
+  *
+  * Shared base: one `orders` scan → per-day int64 revenue sums (whole
+  * dollars — exact, and products of two daily values stay far inside
+  * int64; cross-engine sums that could exceed int64 at sf ≫ 1 ride
+  * DECIMAL(38,0)). The fixture's date range is fixed (~2,400 days at
+  * every SF), so the day-level series — and therefore q206's pairwise
+  * O(days²) and q208's lag joins — are CONSTANT in scale factor: only
+  * the one map-side day aggregation grows with the data.
+  *
+  * Parity discipline: every ordering/median decision happens on exact
+  * integers (or on doubles produced by one identical chain with exact
+  * int tie-breaks); float division appears only in final displayed
+  * values.
+  */
+object SeriesStats {
+
+  /** (day date, rev int64 whole dollars) — the shared series. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+
+  private val dailySql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  /** L139 exact rolling median: 7-day (6 preceding + current) median of
+    * daily revenue. Implemented as collect_list over the row frame +
+    * sort_array + exact middle selection — k is a small constant, so
+    * the per-row cost is O(k log k) inside one keyed window pass, and
+    * the even-count case averages the two int64 middles exactly like
+    * DuckDB's interpolating median ((a+b)/2 in double — exact for
+    * values < 2⁵²). */
+  def q205RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    // single global series (~2,400 rows) — the one place a
+    // non-partitioned window is the honest plan; at fact scale the same
+    // op runs per key (q115's shape) or through RangedNtile machinery
+    daily(s, dir)
+      .withColumn("ws", sort_array(collect_list(col("rev")).over(w)))
+      .withColumn("k", size(col("ws")))
+      .select(col("day"), col("rev"),
+        when(col("k") % 2 === 1,
+          element_at(col("ws"),
+            expr("cast((k + 1) div 2 as int)")).cast("double"))
+          .otherwise(
+            (element_at(col("ws"), expr("cast(k div 2 as int)")) +
+              element_at(col("ws"), expr("cast(k div 2 + 1 as int)"))) / 2.0)
+          .as("med7"))
+      .orderBy("day")
+  }
+
+  val q205RollingMedianSql: String =
+    s"""WITH d AS ($dailySql)
+       |SELECT day, rev,
+       |  median(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+       |    AND CURRENT ROW) AS med7
+       |FROM d ORDER BY day""".stripMargin
+
+  /** L140 Theil–Sen slope over the trailing 365 days: the median of
+    * all C(365, 2) ≈ 66k pairwise slopes (dy/dx, dollars per day) —
+    * the robust trend line (Theil 1950, Sen 1968 [PK], 29.3% breakdown
+    * vs least-squares' 0%). Pair slopes are one double division of two
+    * exact ints; the median rank is decided on (slope, dy, dx) — the
+    * int tie-break keeps the order identical across engines even where
+    * two distinct rationals collide in double. The 365-day window
+    * bounds the pair build to a scale-CONSTANT 66k rows (localCheck-
+    * pointed so the one all-pairs join materializes once and the
+    * rank/count consumers read the cut); the only SF-growing stage is
+    * the day aggregation. */
+  def q206TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select((col("b.rev") - col("a.rev")).as("dy"),
+        (col("b.t") - col("a.t")).as("dx"))
+      .withColumn("slope",
+        col("dy").cast("double") / col("dx").cast("double"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("slope"), col("dy"), col("dx"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n"))))
+      .filter(
+        when(col("n") % 2 === 1, col("rn") === (col("n") + 1) / 2)
+          .otherwise(col("rn") === col("n") / 2 ||
+            col("rn") === col("n") / 2 + 1))
+      .agg(max(col("n")).as("n_pairs"),
+        (round(avg(col("slope")), 6) + 0.0).as("sen_slope"))
+  }
+
+  val q206TheilSenSql: String =
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT b.rev - a.rev AS dy, b.t - a.t AS dx,
+       |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+       |      AS slope
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |r AS (
+       |  SELECT slope,
+       |    ROW_NUMBER() OVER (ORDER BY slope, dy, dx) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM p)
+       |SELECT MAX(n) AS n_pairs, ROUND(AVG(slope), 6) + 0 AS sen_slope
+       |FROM r
+       |WHERE CASE WHEN n % 2 = 1 THEN rn = (n + 1) // 2
+       |  ELSE rn = n // 2 OR rn = n // 2 + 1 END""".stripMargin
+
+  /** L141 exact autocorrelation function, lags 1–7: Pearson r of the
+    * daily series against itself shifted k days (missing days make
+    * pairs by ROW shift — lag over the day-ordered series, the
+    * convention statsmodels' acf(adjusted) matches for gapless daily
+    * data). The five moment sums ride DECIMAL(38,0) end-to-end — terms
+    * are cast BEFORE multiplying, so neither the per-term product nor
+    * the sum can overflow while values fit 38 digits — and the r chain
+    * is one identical double expression on both engines, 6dp
+    * displayed. Lag shifts are row windows over the scale-constant
+    * series. */
+  def q208Acf(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+    val w = Window.orderBy("day")
+    val lags = (1 to 7).map(k =>
+      d.withColumn("x", lag(col("rev"), k).over(w))
+        .filter(col("x").isNotNull)
+        .select(lit(k).cast("long").as("lag"), col("x"), col("rev").as("y")))
+      .reduce(_.unionByName(_))
+    // cast to decimal BEFORE multiplying: a daily total past ~$3B would
+    // overflow an int64 per-term product; (38,0)x(38,0) stays exact for
+    // any value that fits 38 digits
+    val dec = "decimal(38,0)"
+    lags.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("lag"), col("n"),
+        (round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+          + 0.0).as("acf"))
+      .orderBy("lag")
+  }
+
+  val q208AcfSql: String =
+    s"""WITH d AS ($dailySql),
+       |lg AS (
+       |  SELECT k.lag, LAG(rev, k.lag) OVER (PARTITION BY k.lag
+       |      ORDER BY day) AS x, rev AS y
+       |  FROM d CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+       |  FROM lg WHERE x IS NOT NULL GROUP BY lag)
+       |SELECT lag, n,
+       |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+       |    AS acf
+       |FROM m ORDER BY lag""".stripMargin
+}

@@ -387,7 +387,12 @@ class PlanShapeSpec extends SparkSpec {
       // r10: q199's basket count N (1-row broadcast, replacing the old
       // separate count() action) and q202's 3-row broadcast query fleet
       // (the q52/q53 pattern)
-      "q199_itemsets3", "q202_mmr_rerank")
+      "q199_itemsets3", "q202_mmr_rerank",
+      // r10: q206's 1-row pair-count broadcast over the checkpointed
+      // 66k-pair set (the day-pair build itself — a bounded all-pairs
+      // over a scale-constant ≤365-day series — is under the
+      // checkpoint and never re-plans)
+      "q206_theil_sen")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
