@@ -145,11 +145,16 @@ object SeriesStats {
   def q208Acf(s: SparkSession, dir: String): DataFrame = {
     val d = daily(s, dir)
     val w = Window.orderBy("day")
-    val lags = (1 to 7).map(k =>
-      d.withColumn("x", lag(col("rev"), k).over(w))
-        .filter(col("x").isNotNull)
-        .select(lit(k).cast("long").as("lag"), col("x"), col("rev").as("y")))
-      .reduce(_.unionByName(_))
+    // all 7 lags share ONE window spec → one sort, one exchange (the
+    // per-lag union form paid 7 re-sorts); stack unpivots to rows
+    val withLags = d.select(
+      (col("rev") +: (1 to 7).map(k =>
+        lag(col("rev"), k).over(w).as(s"x$k"))): _*)
+    val stackExpr = (1 to 7)
+      .map(k => s"${k}L, x$k").mkString("stack(7, ", ", ", ")")
+    val lags = withLags
+      .select(col("rev").as("y"), expr(s"$stackExpr as (lag, x)"))
+      .filter(col("x").isNotNull)
     // cast to decimal BEFORE multiplying: a daily total past ~$3B would
     // overflow an int64 per-term product; (38,0)x(38,0) stays exact for
     // any value that fits 38 digits
