@@ -619,4 +619,69 @@ object GraphQueries {
       |  FROM w JOIN degc USING (c) WHERE n >= 2 GROUP BY a, b)
       |SELECT a, b, cn, aaq, ROUND(CAST(aaq AS DOUBLE) / 1e6, 6) + 0 AS aa
       |FROM t ORDER BY cn DESC, a, b LIMIT 30""".stripMargin
+
+  /** L146 HITS hubs & authorities (Kleinberg 1999 [PK]) over the
+    * weighted customer→brand bipartite graph (weight = lineitem count):
+    * two full mutual-reinforcement iterations — authority a₁ = in-weight
+    * degree, hub h₁(c) = Σ_b w·a₁(b), authority a₂(b) = Σ_c w·h₁(c) —
+    * the "good hubs point at good authorities" counterpart to
+    * PageRank's random surfer (q101).
+    *
+    * Parity: unnormalized scores ride exact 128-bit integer arithmetic
+    * (Spark DECIMAL(38,0) with casts BEFORE each multiply / DuckDB
+    * HUGEINT — the q208 discipline; a₂ ≤ Σw·(Σw)² overflows int64 past
+    * sf≈0.3 but fits 38 digits through sf 10⁶). Only the DISPLAYED
+    * authority divides by max(a₂) — one identical double chain, 6dp;
+    * output order is (rounded authority desc, brand) — the q53
+    * rank-on-ROUNDED-value discipline (hazard #4).
+    *
+    * Scale: one fact join collapses to the ≤|customers|·|brands| edge
+    * list (eager localCheckpoint — the q101/q176 fixed-point lineage
+    * discipline: e feeds all three iteration levels of one plan tree);
+    * each iteration is a broadcast (≤|brands| census) or customer-keyed
+    * equi-join + map-side-combinable agg; the final window runs over
+    * the ≤|brands| census. */
+  def q209Hits(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val a1 = e.groupBy("b").agg(sum(col("w")).as("wdeg"))
+    val h1 = e.join(broadcast(a1), "b")
+      .groupBy("c")
+      .agg(sum(col("w").cast(dec) * col("wdeg").cast(dec)).as("h"))
+    val a2 = e.join(h1, "c")
+      .groupBy("b")
+      .agg(sum(col("w").cast(dec) * col("h")).as("a2"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    a2.join(broadcast(a1), "b")
+      .withColumn("mx", max(col("a2")).over(w))
+      .select(col("b").as("brand"), col("wdeg"),
+        (round(col("a2").cast("double") / col("mx").cast("double"), 6)
+          + 0.0).as("authority"))
+      .orderBy(col("authority").desc, col("brand"))
+  }
+
+  val q209HitsSql: String =
+    """WITH e AS (
+      |  SELECT o_custkey AS c, p_brand AS b, COUNT(*) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |a1 AS (SELECT b, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY b),
+      |h1 AS (
+      |  SELECT c, SUM(CAST(w AS HUGEINT) * CAST(wdeg AS HUGEINT)) AS h
+      |  FROM e JOIN a1 USING (b) GROUP BY c),
+      |a2 AS (
+      |  SELECT b, SUM(CAST(w AS HUGEINT) * h) AS a2
+      |  FROM e JOIN h1 USING (c) GROUP BY b)
+      |SELECT a2.b AS brand, wdeg,
+      |  ROUND(CAST(a2 AS DOUBLE) / CAST(MAX(a2) OVER () AS DOUBLE), 6) + 0
+      |    AS authority
+      |FROM a2 JOIN a1 USING (b)
+      |ORDER BY authority DESC, brand""".stripMargin
 }

@@ -177,6 +177,195 @@ object SeriesStats {
       .orderBy("lag")
   }
 
+  /** (day, rev int64, cnt int64) — the two-series daily base for the
+    * dependence diagnostics (q211/q213). */
+  private def daily2(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+
+  private val daily2Sql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  /** L143 Kendall rank correlation (τ-b) between daily revenue and
+    * daily order count over the trailing 365 days — the robust
+    * dependence measure (Kendall 1938 [PK]; Spearman q177's rank-ρ
+    * cousin, but defined directly on concordant/discordant PAIRS, so
+    * ties get the exact τ-b correction instead of a rank fudge).
+    *
+    * Every count is an exact integer decided by int64 sign tests
+    * (dx·dy products of bounded daily values — no float enters until
+    * the final τ); n₁ = Σ C(tx,2) and n₂ = Σ C(ty,2) fall out of the
+    * pair build as the x-tied / y-tied pair counts, no separate tie
+    * census needed. τ-b = (nc − nd)/√((n0 − n1)(n0 − n2)) is one
+    * identical double chain, 6dp.
+    *
+    * Scale: the q206 shape — the C(365,2) ≈ 66k pair build is CONSTANT
+    * in SF (the date range is fixture-fixed); only the day aggregation
+    * scans fact data. The pair BNLJ sits under the same eager
+    * localCheckpoint as q206's, so the one visible plan is a single
+    * exact aggregate. */
+  def q211KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val d = daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"), col("cnt"))
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select((col("b.rev") - col("a.rev")).as("dx"),
+        (col("b.cnt") - col("a.cnt")).as("dy"))
+      .localCheckpoint()
+    val agg = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"))
+    agg.select(col("n0").as("n_pairs"), col("nc"), col("nd"),
+      col("ties_x"), col("ties_y"),
+      (round((col("nc") - col("nd")).cast("double") /
+        sqrt((col("n0") - col("ties_x")).cast("double") *
+          (col("n0") - col("ties_y")).cast("double")), 6) + 0.0)
+        .as("tau_b"))
+  }
+
+  val q211KendallTauSql: String =
+    s"""WITH d AS ($daily2Sql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev, cnt FROM d),
+       |rc AS (SELECT t, rev, cnt FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT b.rev - a.rev AS dx, b.cnt - a.cnt AS dy
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |g AS (
+       |  SELECT COUNT(*) AS n0,
+       |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+       |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+       |  FROM p)
+       |SELECT n0 AS n_pairs, nc, nd, ties_x, ties_y,
+       |  ROUND(CAST(nc - nd AS DOUBLE) /
+       |    SQRT(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)),
+       |    6) + 0 AS tau_b
+       |FROM g""".stripMargin
+
+  /** L144 day-of-week seasonal profile: the multiplicative seasonal
+    * index (dow mean ÷ grand mean) over the daily revenue series — the
+    * first factor of every classical seasonal decomposition, and the
+    * denominator a seasonal-adjustment divides by. ISO day numbering
+    * (1 = Monday) on both engines.
+    *
+    * Parity: per-dow sums and counts are exact int64; mean and index
+    * are single double chains (4dp / 6dp). The grand totals ride a
+    * window over the ≤7-row census, never a second fact scan.
+    *
+    * Scale: one map-side-combinable day agg (the q205 base) → ≤7-group
+    * census; everything downstream is census-sized. */
+  def q212DowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val g = daily(s, dir)
+      .select((weekday(col("day")) + 1).as("isodow"), col("rev"))
+      .groupBy("isodow")
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("sr"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.withColumn("tot_sr", sum(col("sr")).over(w))
+      .withColumn("tot_n", sum(col("n_days")).over(w))
+      .select(col("isodow"), col("n_days"),
+        (round(col("sr").cast("double") / col("n_days"), 4) + 0.0)
+          .as("mean_rev"),
+        (round((col("sr").cast("double") / col("n_days")) /
+          (col("tot_sr").cast("double") / col("tot_n")), 6) + 0.0)
+          .as("seasonal_idx"))
+      .orderBy("isodow")
+  }
+
+  val q212DowSeasonalitySql: String =
+    s"""WITH d AS ($dailySql),
+       |g AS (
+       |  SELECT CAST(date_part('isodow', day) AS INT) AS isodow,
+       |    COUNT(*) AS n_days,
+       |    CAST(SUM(rev) AS BIGINT) AS sr
+       |  FROM d GROUP BY 1)
+       |SELECT isodow, n_days,
+       |  ROUND(CAST(sr AS DOUBLE) / n_days, 4) + 0 AS mean_rev,
+       |  ROUND((CAST(sr AS DOUBLE) / n_days) /
+       |    (CAST(SUM(sr) OVER () AS DOUBLE) / SUM(n_days) OVER ()), 6) + 0
+       |    AS seasonal_idx
+       |FROM g ORDER BY isodow""".stripMargin
+
+  /** L145 cross-correlation function, lags 0–7: Pearson r of daily
+    * revenue against the daily ORDER COUNT shifted k days — the
+    * lead/lag dependence between two series (does volume lead
+    * revenue?), the two-series generalization of q208's ACF and the
+    * diagnostic behind transfer-function / leading-indicator models.
+    * Same parity discipline as q208: all five moment sums ride
+    * DECIMAL(38,0) with casts BEFORE the multiply, one identical
+    * double r chain, 6dp. Lag shifts are row windows over the
+    * scale-constant day series; all 8 lags share one window sort. */
+  def q213CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val d = daily2(s, dir)
+    val w = Window.orderBy("day")
+    val withLags = d.select(
+      (col("rev") +: (0 to 7).map(k =>
+        lag(col("cnt"), k).over(w).as(s"x$k"))): _*)
+    val stackExpr = (0 to 7)
+      .map(k => s"${k}L, x$k").mkString("stack(8, ", ", ", ")")
+    val lags = withLags
+      .select(col("rev").as("y"), expr(s"$stackExpr as (lag, x)"))
+      .filter(col("x").isNotNull)
+    val dec = "decimal(38,0)"
+    lags.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("lag"), col("n"),
+        (round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+          + 0.0).as("ccf"))
+      .orderBy("lag")
+  }
+
+  val q213CrossCorrSql: String =
+    s"""WITH d AS ($daily2Sql),
+       |lg AS (
+       |  SELECT k.lag, LAG(cnt, k.lag) OVER (PARTITION BY k.lag
+       |      ORDER BY day) AS x, rev AS y
+       |  FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) k),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+       |  FROM lg WHERE x IS NOT NULL GROUP BY lag)
+       |SELECT lag, n,
+       |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+       |    AS ccf
+       |FROM m ORDER BY lag""".stripMargin
+
   val q208AcfSql: String =
     s"""WITH d AS ($dailySql),
        |lg AS (

@@ -52,13 +52,21 @@ object Triangles {
       // canon feeds the degree census AND the orientation join — cache
       // it, or the caller's whole edge build (q105's fact-sized
       // basket-pair explode) re-executes once per consumer; the later
-      // `oriented` cache can't help with that. persist (not
-      // localCheckpoint): lazy, so plan-only consumers never run the
-      // edge build, and lineage is retained, so a lost executor
-      // recomputes the partition instead of failing the query —
-      // localCheckpoint blocks die with their executor under
-      // decommission/dynamic allocation
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // `oriented` cache can't help with that. LAZY localCheckpoint,
+      // not Dataset.persist: both are lazy (plan-only consumers never
+      // run the edge build), but persist pins a CacheManager entry that
+      // nothing can ever unpersist (the operator returns a DataFrame;
+      // there is no after-the-consumer hook), so every invocation leaks
+      // pinned storage for the life of the JVM — across a 208-query
+      // bench or the full test suite that crowds the unified-memory
+      // store and was measured turning the ScaleCurve 10× runs 3–24×
+      // slower. Checkpoint blocks are instead reclaimed by the
+      // ContextCleaner as soon as the query's RDDs go unreachable.
+      // Caveat (cluster scale): lineage is truncated once materialized,
+      // so executor decommission fails the query into a retry instead
+      // of recomputing one partition — under heavy dynamic allocation
+      // wrap the call in explicit persist/unpersist instead.
+      .localCheckpoint(eager = false)
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -82,8 +90,8 @@ object Triangles {
       // materialize-the-collapsed-edges pattern as PageRank/CC, and the
       // round-5 driver bench showed the re-derivation is exactly where a
       // contended host doubles the bill (21 s vs 4 s local on q105).
-      // MEMORY_AND_DISK with lineage retained, same rationale as canon
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Lazy localCheckpoint, same leak-vs-lineage rationale as canon
+      .localCheckpoint(eager = false)
     // packed out-neighborhoods; sort_array makes rows deterministic AND
     // feeds the merge-scan intersect kernel below
     val adjBase = oriented.groupBy(col("a"))

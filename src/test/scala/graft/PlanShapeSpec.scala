@@ -337,9 +337,11 @@ class PlanShapeSpec extends SparkSpec {
     // regression shows here instead of as a silent 2× in BENCH_r{N}.
     val pins = Seq(
       // (query, cache marker, max hash exchanges)
-      // q105/q194 ride Triangles' lazy persist → InMemoryTableScan
-      ("q105_triangles", "InMemoryTableScan", 3),
-      ("q194_clustering_coef", "InMemoryTableScan", 3),
+      // q105/q194 ride Triangles' lazy localCheckpoints (NOT persist —
+      // a CacheManager entry with no unpersist hook leaks for the JVM's
+      // life; see Triangles.scala) → Scan ExistingRDD
+      ("q105_triangles", "Scan ExistingRDD", 3),
+      ("q194_clustering_coef", "Scan ExistingRDD", 3),
       // q176 cuts lineage with an eager localCheckpoint (the scalar m
       // needs the materialization anyway) → Scan ExistingRDD
       ("q176_modularity", "Scan ExistingRDD", 5))
