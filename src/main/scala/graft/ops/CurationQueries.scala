@@ -1973,4 +1973,319 @@ object CurationQueries {
       |  abs((CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE)
       |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS abs_gap
       |FROM a ORDER BY bin""".stripMargin
+
+  /** L147 Mann–Whitney U rank-sum test (Mann & Whitney 1947 [PK]):
+    * does the URGENT order population spend differently from the LOW
+    * one? The NONPARAMETRIC two-sample location test — q172's z-test
+    * compares binomial rates, this compares whole DISTRIBUTIONS by
+    * rank, robust to the heavy price tails that invalidate a t-test.
+    *
+    * Exactness: prices pin to int64 cents; the value census carries
+    * per-value n and group-1 n₁; average ranks ride DOUBLED units
+    * (2·r̄ = 2·cum − n + 1 — integer even where the average is x.5),
+    * so 2·U₁ = Σn₁·(2r̄) − n₁(n₁+1) is exact 128-bit integer on both
+    * engines (Spark DECIMAL(38,0) / DuckDB HUGEINT), as is the tie
+    * term Σ(t³−t). The normal-approximation z (tie-corrected variance)
+    * is one identical double chain, 4dp.
+    *
+    * Scale: the census is a map-side-combinable value group-by; the
+    * global cumulative over it runs through [[PrefixSum]]'s two-phase
+    * kernel (range partition + per-partition offsets) — NO
+    * single-partition window anywhere; the oracle SQL's sequential
+    * window is the semantic mirror only. */
+  def q210MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val f = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+    val cen = f.groupBy("c")
+      .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")))
+    val g = cum.agg(
+      sum(col("n1")).as("n1t"),
+      sum(col("n") - col("n1")).as("n2t"),
+      sum(col("n1").cast(dec) *
+        (col("cumn") * 2 - col("n") + 1).cast(dec)).as("r2s"),
+      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec)).as("tie"))
+    val u2 = col("r2s") - col("n1t").cast(dec) * (col("n1t") + 1).cast(dec)
+    val nt = (col("n1t") + col("n2t")).cast("double")
+    g.select(col("n1t").as("n_urgent"), col("n2t").as("n_low"),
+      u2.cast("long").as("u2_urgent"),
+      col("tie").cast("long").as("tie_term"),
+      (round((u2.cast("double") / 2.0 -
+        col("n1t").cast("double") * col("n2t").cast("double") / 2.0) /
+        sqrt((col("n1t").cast("double") * col("n2t").cast("double") / 12.0) *
+          ((nt + 1.0) - col("tie").cast("double") / (nt * (nt - 1.0)))), 4)
+        + 0.0).as("z"))
+  }
+
+  val q210MannWhitneySql: String =
+    """WITH f AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |cen AS (
+      |  SELECT c, COUNT(*) AS n, CAST(SUM(g1) AS BIGINT) AS n1
+      |  FROM f GROUP BY c),
+      |cum AS (
+      |  SELECT c, n, n1,
+      |    SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cumn
+      |  FROM cen),
+      |g AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
+      |    CAST(SUM(n - n1) AS BIGINT) AS n2t,
+      |    SUM(CAST(n1 AS HUGEINT) * (2 * cumn - n + 1)) AS r2s,
+      |    SUM(CAST(n AS HUGEINT) * n * n - n) AS tie
+      |  FROM cum)
+      |SELECT n1t AS n_urgent, n2t AS n_low,
+      |  CAST(r2s - CAST(n1t AS HUGEINT) * (n1t + 1) AS BIGINT) AS u2_urgent,
+      |  CAST(tie AS BIGINT) AS tie_term,
+      |  ROUND((CAST(r2s - CAST(n1t AS HUGEINT) * (n1t + 1) AS DOUBLE) / 2.0
+      |      - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0)
+      |    / SQRT((CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
+      |      * ((CAST(n1t + n2t AS DOUBLE) + 1.0)
+      |        - CAST(tie AS DOUBLE) / (CAST(n1t + n2t AS DOUBLE)
+      |          * (CAST(n1t + n2t AS DOUBLE) - 1.0)))), 4) + 0 AS z
+      |FROM g""".stripMargin
+
+  /** L148 Tukey-fence outlier audit (Tukey 1977 [PK], the boxplot
+    * rule): per market segment, the quartiles of order value and the
+    * count/share of orders outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the
+    * standard first-pass anomaly screen before any model-based scoring
+    * (q97's z-score screen assumes normality; this doesn't).
+    *
+    * Parity: quartiles interpolate on int64 cents, so Q1/Q3 are exact
+    * multiples of 0.25 (representable), 1.5·IQR is an exact multiple
+    * of 0.125 (3·iqr ≤ 2⁵³ then halved — no rounding anywhere), and
+    * the fences pin to integer cents with half-up floor(x+0.5) — the
+    * outlier decision is then an INT comparison that can never flip
+    * across engines. Displayed quartiles round 4dp (q15 discipline).
+    *
+    * Scale: one exact-percentile agg per segment (driver-bounded ≤5
+    * rows; at fact scale the same quartiles come from q98's
+    * [[RangedNtile]] machinery), broadcast back over one fact scan. */
+  def q214TukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val q = o.groupBy("seg")
+      .agg(percentile(col("c"), lit(0.25)).as("q1"),
+        percentile(col("c"), lit(0.75)).as("q3"))
+      .select(col("seg"), col("q1"), col("q3"),
+        floor(col("q1") - (col("q3") - col("q1")) * 1.5 + 0.5)
+          .cast("long").as("flo"),
+        floor(col("q3") + (col("q3") - col("q1")) * 1.5 + 0.5)
+          .cast("long").as("fhi"))
+    o.join(broadcast(q), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        max(round(col("q1") / 100.0, 4) + 0.0).as("q1_price"),
+        max(round(col("q3") / 100.0, 4) + 0.0).as("q3_price"),
+        sum(when(col("c") < col("flo"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("c") > col("fhi"), 1L).otherwise(0L)).as("n_out_hi"))
+      .select(col("seg").as("c_mktsegment"), col("n"),
+        col("q1_price"), col("q3_price"), col("n_out_lo"), col("n_out_hi"),
+        (round((col("n_out_lo") + col("n_out_hi")).cast("double") /
+          col("n").cast("double"), 6) + 0.0).as("outlier_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q214TukeyFencesSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |q AS (
+      |  SELECT seg, quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3,
+      |    CAST(FLOOR(quantile_cont(c, 0.25)
+      |      - 1.5 * (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
+      |      + 0.5) AS BIGINT) AS flo,
+      |    CAST(FLOOR(quantile_cont(c, 0.75)
+      |      + 1.5 * (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
+      |      + 0.5) AS BIGINT) AS fhi
+      |  FROM o GROUP BY seg)
+      |SELECT o.seg AS c_mktsegment, COUNT(*) AS n,
+      |  MAX(ROUND(q1 / 100.0, 4) + 0) AS q1_price,
+      |  MAX(ROUND(q3 / 100.0, 4) + 0) AS q3_price,
+      |  CAST(SUM(CASE WHEN c < flo THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |  CAST(SUM(CASE WHEN c > fhi THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+      |  ROUND(CAST(SUM(CASE WHEN c < flo OR c > fhi THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) + 0 AS outlier_share
+      |FROM o JOIN q USING (seg)
+      |GROUP BY o.seg ORDER BY o.seg""".stripMargin
+
+  /** L149 MAD robust z-score outlier screen: per segment, the median
+    * and the Median Absolute Deviation of order value, flagging
+    * |x − med| > 3·1.4826·MAD (the Hampel rule; 1.4826 ≈ 1/Φ⁻¹(3/4)
+    * makes MAD a consistent σ estimate [PK: Hampel 1974]) — the
+    * robust counterpart to q97's mean/stddev screen: one 50%-corrupted
+    * cell can't move this threshold, where a single bad value owns a
+    * z-score's σ.
+    *
+    * Exactness: everything is integer until display. The median of
+    * DOUBLED cents is an exact int (interpolation (a+b)/2 on doubled
+    * units = a+b); deviations dev2 = |2c − m2| are int64; MAD rides
+    * QUADRUPLED units the same way; the flag decision
+    * 20000·dev2 > 44478·mad4 (3·1.4826 = 44478/10⁴ exact) is a pure
+    * int64 comparison — no float ever decides an outlier.
+    *
+    * Scale: two exact-percentile censuses (≤5 segments) broadcast back
+    * over fact scans — the q214 shape, one extra pass for the
+    * deviation median. */
+  def q215MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val med = o.groupBy("seg")
+      .agg(percentile(col("c") * 2, lit(0.5)).cast("long").as("m2"))
+    val dev = o.join(broadcast(med), "seg")
+      .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+    val mad = dev.groupBy("seg")
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        max(round(col("m2") / 200.0, 4) + 0.0).as("median_price"),
+        max(round(col("mad4") / 400.0, 4) + 0.0).as("mad_price"),
+        sum(when(col("dev2") * 20000L > col("mad4") * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("seg").as("c_mktsegment"), col("n"), col("median_price"),
+        col("mad_price"), col("n_outliers"),
+        (round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          + 0.0).as("outlier_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q215MadOutliersSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |med AS (
+      |  SELECT seg, CAST(quantile_cont(c * 2, 0.5) AS BIGINT) AS m2
+      |  FROM o GROUP BY seg),
+      |dev AS (
+      |  SELECT seg, c, m2, abs(c * 2 - m2) AS dev2
+      |  FROM o JOIN med USING (seg)),
+      |mad AS (
+      |  SELECT seg, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY seg)
+      |SELECT dev.seg AS c_mktsegment, COUNT(*) AS n,
+      |  MAX(ROUND(m2 / 200.0, 4) + 0) AS median_price,
+      |  MAX(ROUND(mad4 / 400.0, 4) + 0) AS mad_price,
+      |  CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  ROUND(CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0
+      |    END) AS DOUBLE) / COUNT(*), 6) + 0 AS outlier_share
+      |FROM dev JOIN mad USING (seg)
+      |GROUP BY dev.seg ORDER BY dev.seg""".stripMargin
+
+  /** L150 Benjamini–Hochberg FDR control over a family of per-brand
+    * proportion tests (Benjamini & Hochberg 1995 [PK]): each brand's
+    * high-quantity share vs the pooled rate (one-sample z), two-sided
+    * p via the classical Abramowitz–Stegun 26.2.17 polynomial normal
+    * CDF (|ε| < 7.5·10⁻⁸ — the p VALUE is defined as this
+    * approximation, identically on both engines), then the BH step-up:
+    * reject the k smallest p-values where p₍ₖ₎ ≤ α·k/m, α = 0.05.
+    * The multiple-comparisons discipline q172's single test doesn't
+    * need but any per-segment screen (q146/q186) does.
+    *
+    * Parity: z is a double chain from exact int64 counts; p quantizes
+    * to int64 1e-8 units BEFORE every BH comparison, so the step-up
+    * decision pq·m ≤ 5·10⁶·k is pure integer — a 1-ulp exp()
+    * divergence moves p by ~10⁻¹⁶ and cannot flip a 1e-8-quantized
+    * threshold unless p sits within 10⁻¹⁶ of a boundary (the q196
+    * accepted-residual class, documented there).
+    *
+    * Scale: one map-side-combinable brand census (≤25 rows); every
+    * window below it runs over that census. */
+  def q216BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("x"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g.withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("xt", sum(col("x")).over(wAll))
+    val p0 = col("xt").cast("double") / col("nt")
+    val zv = (col("x").cast("double") / col("n") - p0) /
+      sqrt(p0 * (lit(1.0) - p0) / col("n"))
+    val za = abs(col("zv"))
+    val tInv = lit(1.0) / (lit(1.0) + lit(0.2316419) * za)
+    val phi = exp(-za * za / 2.0) / lit(2.5066282746310002)
+    val pTail = phi * (lit(0.319381530) * tInv
+      - lit(0.356563782) * pow(tInv, 2)
+      + lit(1.781477937) * pow(tInv, 3)
+      - lit(1.821255978) * pow(tInv, 4)
+      + lit(1.330274429) * pow(tInv, 5))
+    val p = t.withColumn("zv", zv)
+      .withColumn("pq", floor(lit(2.0) * pTail * 1e8 + 0.5).cast("long"))
+    val wRank = Window.orderBy(col("pq"), col("brand"))
+    val r = p.withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("cutoff",
+        max(when(col("pq") * col("m") <= col("rk") * 5000000L, col("rk"))
+          .otherwise(0L)).over(wAll))
+    r.select(col("brand"), col("n"), col("x"),
+      (round(col("zv"), 4) + 0.0).as("z"),
+      (col("pq").cast("double") / 1e8).as("p"),
+      col("rk"),
+      when(col("rk") <= col("cutoff"), 1).otherwise(0).as("significant"))
+      .orderBy("rk")
+  }
+
+  val q216BhFdrSql: String =
+    """WITH g AS (
+      |  SELECT p_brand AS brand, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT brand, n, x,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(x) OVER () AS BIGINT) AS xt
+      |  FROM g),
+      |z AS (
+      |  SELECT brand, n, x,
+      |    (CAST(x AS DOUBLE) / n - CAST(xt AS DOUBLE) / nt)
+      |      / SQRT((CAST(xt AS DOUBLE) / nt) * (1.0 - CAST(xt AS DOUBLE) / nt)
+      |        / n) AS zv
+      |  FROM t),
+      |p AS (
+      |  SELECT brand, n, x, zv,
+      |    CAST(FLOOR(2.0 * (exp(-abs(zv) * abs(zv) / 2.0)
+      |        / 2.5066282746310002)
+      |      * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(zv)))
+      |       - 0.356563782 * POWER(1.0 / (1.0 + 0.2316419 * abs(zv)), 2)
+      |       + 1.781477937 * POWER(1.0 / (1.0 + 0.2316419 * abs(zv)), 3)
+      |       - 1.821255978 * POWER(1.0 / (1.0 + 0.2316419 * abs(zv)), 4)
+      |       + 1.330274429 * POWER(1.0 / (1.0 + 0.2316419 * abs(zv)), 5))
+      |      * 1e8 + 0.5) AS BIGINT) AS pq
+      |  FROM z),
+      |r AS (
+      |  SELECT brand, n, x, zv, pq,
+      |    ROW_NUMBER() OVER (ORDER BY pq, brand) AS rk,
+      |    COUNT(*) OVER () AS m
+      |  FROM p),
+      |c AS (
+      |  SELECT *, MAX(CASE WHEN pq * m <= 5000000 * rk THEN rk ELSE 0 END)
+      |    OVER () AS cutoff
+      |  FROM r)
+      |SELECT brand, n, x, ROUND(zv, 4) + 0 AS z,
+      |  CAST(pq AS DOUBLE) / 1e8 AS p, rk,
+      |  CAST(CASE WHEN rk <= cutoff THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM c ORDER BY rk""".stripMargin
 }

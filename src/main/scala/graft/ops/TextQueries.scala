@@ -1344,4 +1344,56 @@ object TextQueries {
       |SELECT lang, MAX(nb) AS n_bigrams, COUNT(*) AS n_bigram_types,
       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS h_cond
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** L151 Flesch reading-ease readability (Flesch 1948 [PK]; the
+    * Kincaid recalibration powers every "grade level" readout): per
+    * English document, word / sentence / syllable counts and
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
+    * classical curation signal the Gopher/C4 rules (q162) don't carry:
+    * HOW HARD a passage reads, not just whether it's boilerplate.
+    *
+    * Syllables use the standard regex surrogate — maximal vowel runs
+    * [aeiouyAEIOUY]+ per word — which is deterministic and engine-
+    * identical for the ASCII fixture corpus (FixtureContractSpec pins
+    * ASCII-ness; Java and DuckDB RE2 regexes agree on pure-ASCII
+    * character classes). Sentences = maximal [.!?]+ runs, floored at 1.
+    *
+    * Parity: three exact int64 counts per row; the score is one
+    * identical double chain, 4dp. Scale: embarrassingly parallel row
+    * map over the codegen'd regexp_count kernel — no shuffle until the
+    * final order. */
+  def q217Flesch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+    d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      (round(lit(206.835)
+        - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+        - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 4)
+        + 0.0).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val q217FleschSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+      |      AS n_words,
+      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+      |      1) AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents WHERE lang = 'en')
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  ROUND(206.835
+      |    - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+      |    - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) + 0 AS flesch
+      |FROM d WHERE n_words > 0
+      |ORDER BY doc_id""".stripMargin
 }

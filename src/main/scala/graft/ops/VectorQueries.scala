@@ -401,4 +401,78 @@ object VectorQueries {
        |  ROUND(rel, 4) + 0 AS relevance, ROUND(marg, 4) + 0 AS marginal
        |FROM picks ORDER BY q_id, pick""".stripMargin
   }
+
+  /** L152 random-hyperplane LSH over DENSE embeddings (SimHash for
+    * vectors — Charikar, STOC 2002 [PK]): an 8-bit sign signature per
+    * vector (bit j = sign⟨w_j, x⟩), equality-bucketed candidate pairs,
+    * exact-cosine verification, top-20 pairs. The dense counterpart of
+    * q51's MinHash banding and the LSH leg of the ANN family
+    * (q53 brute / IVF / PQ): candidates ∝ same-signature collisions —
+    * P[bit collision] = 1 − θ/π — never all-pairs.
+    *
+    * The hyperplane fleet is a DETERMINISTIC ±1 matrix derived from an
+    * LCG bit (w_ij = 1 − 2·bit16(lcg(i·8+j))) so both engines build
+    * bit-identical planes from pure int64 arithmetic; production would
+    * draw seeded gaussians — the bucketing math is identical. Sign
+    * decisions are EXACT: coordinates pin to int64 micro-units first,
+    * so ⟨w, xq⟩ is an integer sum, immune to float association.
+    *
+    * Scale: signature = one codegen HOF pass per row; the bucket join
+    * is a plain equi-join on sig (skew = bucket population, bounded by
+    * signature balance; more bits → smaller buckets); verification
+    * cost ∝ candidates. Top-20 rides TakeOrderedAndProject on the
+    * ROUNDED cosine (hazard #4 tie-break a, b). */
+  def q218DenseLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bitTerms = (0 to 7).map { j =>
+      s"""(CASE WHEN aggregate(sequence(0, size(xq) - 1), 0L,
+         |  (acc, i) -> acc + (1L - 2L * ((((i * 8L + ${j}L) * 1103515245L
+         |    + 12345L) div 65536L) % 2L)) * element_at(xq, i + 1))
+         |  >= 0L THEN ${1 << j}L ELSE 0L END)""".stripMargin
+    }
+    val sigExpr = bitTerms.mkString(" + ")
+    val sigs = e.select(col("vec_id"), col("embedding"),
+        expr("""transform(embedding,
+          |  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+          |""".stripMargin).as("xq"))
+      .select(col("vec_id"), col("embedding"), expr(sigExpr).as("sig"))
+    val a = sigs.select(col("sig"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val b = sigs.select(col("sig"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig"),
+        (round(cosine(col("va"), col("vb")), 4) + 0.0).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val q218DenseLshSql: String = {
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |ij AS (
+       |  SELECT vec_id, j, i, xq[i + 1] AS v
+       |  FROM e,
+       |    LATERAL (SELECT unnest(range(0, 8)) AS j) jj,
+       |    LATERAL (SELECT unnest(range(0, len(xq))) AS i) ii),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN SUM(
+       |      (1 - 2 * ((((i * 8 + j) * 1103515245 + 12345) // 65536) % 2))
+       |        * v) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM ij GROUP BY vec_id, j),
+       |sig AS (
+       |  SELECT vec_id, CAST(SUM(bit * (1 << j)) AS BIGINT) AS sig
+       |  FROM bits GROUP BY vec_id),
+       |sv AS (
+       |  SELECT s.vec_id, s.sig, e.embedding
+       |  FROM sig s JOIN e ON s.vec_id = e.vec_id)
+       |SELECT x.vec_id AS a, y.vec_id AS b, x.sig AS sig,
+       |  ROUND(${cosineSql("x.embedding", "y.embedding")}, 4) + 0 AS cos_sim
+       |FROM sv x JOIN sv y ON x.sig = y.sig AND x.vec_id < y.vec_id
+       |ORDER BY cos_sim DESC, a, b LIMIT 20""".stripMargin
+  }
 }
