@@ -2288,4 +2288,116 @@ object CurationQueries {
       |  CAST(pq AS DOUBLE) / 1e8 AS p, rk,
       |  CAST(CASE WHEN rk <= cutoff THEN 1 ELSE 0 END AS INT) AS significant
       |FROM c ORDER BY rk""".stripMargin
+
+  /** L155 TOPSIS multi-criteria supplier ranking (Hwang & Yoon 1981
+    * [PK]): each supplier scored on three criteria — quoted revenue
+    * (benefit), lineitems served (benefit), total late-days (cost) —
+    * vector-normalized, equal-weighted, then ranked by relative
+    * closeness d⁻/(d⁺+d⁻) to the ideal/anti-ideal points. (The fixture
+    * lineitem carries no commit/receipt dates, so the cost criterion
+    * is discount conceded, not lateness.) The
+    * standard "rank alternatives under competing criteria" operator a
+    * procurement/vendor scorecard runs; q118's skyline returns the
+    * undominated SET, TOPSIS produces the total ORDER.
+    *
+    * Parity: the three criteria are exact int64 (cents pinned per item
+    * before summing; late days are int datediffs); squared-norm sums
+    * ride DECIMAL(38,0)/HUGEINT; everything after is one fixed double
+    * chain per column (normalize → ·⅓ weight → distances → closeness),
+    * displayed 6dp, ranked on the ROUNDED closeness with suppkey
+    * tie-break (hazard #4).
+    *
+    * Scale: one map-side-combinable supplier agg over the fact scan;
+    * ideal/anti-ideal and norms ride windows over the supplier census
+    * (dimension-sized; at 10⁸ suppliers the same bounds come from a
+    * 1-row agg broadcast). Top-25 via TakeOrderedAndProject. */
+  def q220Topsis(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
+          .cast("long").as("disc_cents"))
+    val g = li.groupBy("sk")
+      .agg(sum(col("cents")).as("c1"), count(lit(1)).as("c2"),
+        sum(col("disc_cents")).as("c3"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val n = g
+      .withColumn("s1", sum(col("c1").cast(dec) * col("c1").cast(dec)).over(wAll))
+      .withColumn("s2", sum(col("c2").cast(dec) * col("c2").cast(dec)).over(wAll))
+      .withColumn("s3", sum(col("c3").cast(dec) * col("c3").cast(dec)).over(wAll))
+      .withColumn("v1",
+        when(col("s1") > 0, col("c1").cast("double") / sqrt(col("s1").cast("double")) / 3.0)
+          .otherwise(0.0))
+      .withColumn("v2",
+        when(col("s2") > 0, col("c2").cast("double") / sqrt(col("s2").cast("double")) / 3.0)
+          .otherwise(0.0))
+      .withColumn("v3",
+        when(col("s3") > 0, col("c3").cast("double") / sqrt(col("s3").cast("double")) / 3.0)
+          .otherwise(0.0))
+    val b = n
+      .withColumn("i1", max(col("v1")).over(wAll))
+      .withColumn("i2", max(col("v2")).over(wAll))
+      .withColumn("i3", min(col("v3")).over(wAll))
+      .withColumn("a1", min(col("v1")).over(wAll))
+      .withColumn("a2", min(col("v2")).over(wAll))
+      .withColumn("a3", max(col("v3")).over(wAll))
+    val dp = sqrt((col("v1") - col("i1")) * (col("v1") - col("i1")) +
+      (col("v2") - col("i2")) * (col("v2") - col("i2")) +
+      (col("v3") - col("i3")) * (col("v3") - col("i3")))
+    val dm = sqrt((col("v1") - col("a1")) * (col("v1") - col("a1")) +
+      (col("v2") - col("a2")) * (col("v2") - col("a2")) +
+      (col("v3") - col("a3")) * (col("v3") - col("a3")))
+    b.select(col("sk").as("s_suppkey"), col("c1").as("cents_quoted"),
+        col("c2").as("n_items"), col("c3").as("disc_cents"),
+        (round(dm / (dp + dm), 6) + 0.0).as("closeness"))
+      .orderBy(col("closeness").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val q220TopsisSql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey AS sk,
+      |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
+      |      AS disc_cents
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT sk, CAST(SUM(cents) AS BIGINT) AS c1, COUNT(*) AS c2,
+      |    CAST(SUM(disc_cents) AS BIGINT) AS c3
+      |  FROM li GROUP BY sk),
+      |n AS (
+      |  SELECT sk, c1, c2, c3,
+      |    SUM(CAST(c1 AS HUGEINT) * c1) OVER () AS s1,
+      |    SUM(CAST(c2 AS HUGEINT) * c2) OVER () AS s2,
+      |    SUM(CAST(c3 AS HUGEINT) * c3) OVER () AS s3
+      |  FROM g),
+      |v AS (
+      |  SELECT sk, c1, c2, c3,
+      |    CASE WHEN s1 > 0
+      |      THEN CAST(c1 AS DOUBLE) / sqrt(CAST(s1 AS DOUBLE)) / 3.0
+      |      ELSE 0.0 END AS v1,
+      |    CASE WHEN s2 > 0
+      |      THEN CAST(c2 AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)) / 3.0
+      |      ELSE 0.0 END AS v2,
+      |    CASE WHEN s3 > 0
+      |      THEN CAST(c3 AS DOUBLE) / sqrt(CAST(s3 AS DOUBLE)) / 3.0
+      |      ELSE 0.0 END AS v3
+      |  FROM n),
+      |b AS (
+      |  SELECT sk, c1, c2, c3, v1, v2, v3,
+      |    MAX(v1) OVER () AS i1, MAX(v2) OVER () AS i2, MIN(v3) OVER () AS i3,
+      |    MIN(v1) OVER () AS a1, MIN(v2) OVER () AS a2, MAX(v3) OVER () AS a3
+      |  FROM v)
+      |SELECT sk AS s_suppkey, c1 AS cents_quoted, c2 AS n_items,
+      |  c3 AS disc_cents,
+      |  ROUND(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+      |      + (v3 - a3) * (v3 - a3))
+      |    / (sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2)
+      |        + (v3 - i3) * (v3 - i3))
+      |      + sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+      |        + (v3 - a3) * (v3 - a3))), 6) + 0 AS closeness
+      |FROM b
+      |ORDER BY closeness DESC, s_suppkey LIMIT 25""".stripMargin
 }

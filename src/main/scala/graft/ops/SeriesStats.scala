@@ -366,6 +366,177 @@ object SeriesStats {
        |    AS ccf
        |FROM m ORDER BY lag""".stripMargin
 
+  /** L153 partial autocorrelation (PACF), lags 1–3, via the
+    * Durbin–Levinson recursion [PK: Durbin 1960] applied to the q208
+    * lag-Pearson ACF values: φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    * φ₃₃ from the level-2 coefficients — the AR-order diagnostic (an
+    * AR(p) series cuts off after lag p) that complements q208's raw
+    * dependence readout.
+    *
+    * Parity: the rₖ are the same DECIMAL(38,0)-moment double chains as
+    * q208 (UNROUNDED — rounding first would feed the recursion
+    * different inputs than the classical definition); the recursion is
+    * a fixed unrolled double chain, identical text on both engines,
+    * 6dp displayed. Scale: identical cost to q208 — one shared window
+    * sort over the scale-constant day series, ≤3-row census algebra. */
+  def q219Pacf(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+    val w = Window.orderBy("day")
+    val withLags = d.select(
+      (col("rev") +: (1 to 3).map(k =>
+        lag(col("rev"), k).over(w).as(s"x$k"))): _*)
+    val lags = withLags
+      .select(col("rev").as("y"),
+        expr("stack(3, 1L, x1, 2L, x2, 3L, x3) as (lag, x)"))
+      .filter(col("x").isNotNull)
+    val dec = "decimal(38,0)"
+    val m = lags.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val r = (col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+        sqrt(col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")))
+    val piv = m.withColumn("r", r).agg(
+      max(when(col("lag") === 1, col("r"))).as("r1"),
+      max(when(col("lag") === 2, col("r"))).as("r2"),
+      max(when(col("lag") === 3, col("r"))).as("r3"))
+    val p = piv
+      .withColumn("p22",
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("p21", col("r1") - col("p22") * col("r1"))
+      .withColumn("p33",
+        (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+    p.select(expr("""stack(3,
+        |  1, round(r1, 6) + 0.0d,
+        |  2, round(p22, 6) + 0.0d,
+        |  3, round(p33, 6) + 0.0d) as (lag, pacf)""".stripMargin))
+      .orderBy("lag")
+  }
+
+  val q219PacfSql: String =
+    s"""WITH d AS ($dailySql),
+       |lg AS (
+       |  SELECT k.lag, LAG(rev, k.lag) OVER (PARTITION BY k.lag
+       |      ORDER BY day) AS x, rev AS y
+       |  FROM d CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) k),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n,
+       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+       |  FROM lg WHERE x IS NOT NULL GROUP BY lag),
+       |rr AS (
+       |  SELECT lag,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+       |  FROM m),
+       |piv AS (
+       |  SELECT MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+       |    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+       |    MAX(CASE WHEN lag = 3 THEN r END) AS r3
+       |  FROM rr),
+       |dl AS (
+       |  SELECT r1, r2, r3,
+       |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+       |  FROM piv),
+       |dl2 AS (
+       |  SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM dl),
+       |dl3 AS (
+       |  SELECT r1, p22,
+       |    (r3 - p21 * r2 - p22 * r1)
+       |      / (1.0 - p21 * r1 - p22 * r2) AS p33
+       |  FROM dl2)
+       |SELECT lag, pacf FROM (
+       |  SELECT 1 AS lag, ROUND(r1, 6) + 0 AS pacf FROM dl3
+       |  UNION ALL SELECT 2, ROUND(p22, 6) + 0 FROM dl3
+       |  UNION ALL SELECT 3, ROUND(p33, 6) + 0 FROM dl3)
+       |ORDER BY lag""".stripMargin
+
+  /** L154 Gumbel block-maxima fit + return levels [PK: Gumbel 1958]:
+    * monthly maxima of the daily revenue series, method-of-moments
+    * Gumbel parameters (β = s·√6/π, μ = m̄ − γβ) and the 12-month /
+    * 120-month return levels μ − β·ln(−ln(1−1/T)) — the extreme-value
+    * "what peak should we provision for" readout that q97/q214's
+    * outlier screens (central-distribution tools) cannot answer.
+    *
+    * Parity: block maxima are exact int64; the two moment sums ride
+    * DECIMAL(38,0)/HUGEINT; mean/sd/β/μ/levels are one fixed double
+    * chain with shared literals (√6/π, Euler γ), 4dp. The ln() calls
+    * sit in the q196 accepted-residual class (1-ulp libm divergence
+    * cannot flip a 4dp rounding away from a boundary).
+    *
+    * Scale: day agg → ≤|months| census (scale-constant); single-row
+    * output. */
+  def q221Gumbel(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val blocks = daily(s, dir)
+      .groupBy(trunc(col("day"), "month").as("m"))
+      .agg(max(col("rev")).as("mx"))
+    val g = blocks.agg(count(lit(1)).as("n"),
+      sum(col("mx").cast(dec)).as("s1"),
+      sum(col("mx").cast(dec) * col("mx").cast(dec)).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val sd = sqrt((nD * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (nD * (nD - 1.0)))
+    val beta = sd * 0.7796968012336761
+    val mu = mean - beta * 0.5772156649015329
+    g.select(col("n").as("n_months"),
+      (round(mean, 4) + 0.0).as("mean_max"),
+      (round(sd, 4) + 0.0).as("sd_max"),
+      (round(beta, 4) + 0.0).as("beta"),
+      (round(mu, 4) + 0.0).as("mu"),
+      (round(mu - beta * log(-log(lit(1.0) - 1.0 / 12.0)), 4) + 0.0)
+        .as("rl_12m"),
+      (round(mu - beta * log(-log(lit(1.0) - 1.0 / 120.0)), 4) + 0.0)
+        .as("rl_120m"))
+  }
+
+  val q221GumbelSql: String =
+    s"""WITH d AS ($dailySql),
+       |b AS (
+       |  SELECT date_trunc('month', day) AS m, CAST(MAX(rev) AS BIGINT) AS mx
+       |  FROM d GROUP BY 1),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(mx) AS DECIMAL(38,0)) AS s1,
+       |    CAST(SUM(mx * mx) AS DECIMAL(38,0)) AS s2
+       |  FROM b),
+       |c AS (
+       |  SELECT n,
+       |    CAST(s1 AS DOUBLE) / n AS mean,
+       |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+       |  FROM g),
+       |p AS (
+       |  SELECT n, mean, sd, sd * 0.7796968012336761 AS beta,
+       |    mean - sd * 0.7796968012336761 * 0.5772156649015329 AS mu
+       |  FROM c)
+       |SELECT n AS n_months,
+       |  ROUND(mean, 4) + 0 AS mean_max,
+       |  ROUND(sd, 4) + 0 AS sd_max,
+       |  ROUND(beta, 4) + 0 AS beta,
+       |  ROUND(mu, 4) + 0 AS mu,
+       |  ROUND(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 4) + 0 AS rl_12m,
+       |  ROUND(mu - beta * ln(-ln(1.0 - 1.0 / 120.0)), 4) + 0 AS rl_120m
+       |FROM p""".stripMargin
+
   val q208AcfSql: String =
     s"""WITH d AS ($dailySql),
        |lg AS (

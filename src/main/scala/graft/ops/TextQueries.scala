@@ -1380,6 +1380,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** L156 Yule's characteristic K (Yule 1944 [PK]): per-language
+    * lexical repetitiveness 10⁴·(Σ c_w² − N)/N² over the word-frequency
+    * census — the size-robust repetition constant (unlike raw TTR, K is
+    * approximately text-length invariant), the single-number cousin of
+    * the q145 vocabulary-coverage curve and a standard template/spam
+    * signal beside q91's within-document repetition filter.
+    *
+    * Parity: the frequency census is exact int64; Σ c² rides
+    * DECIMAL(38,0)/HUGEINT (a 10⁹-token corpus with a 10⁸-count stop
+    * word overflows int64); K is one double chain, 4dp.
+    *
+    * Scale: the same map-side-combinable (lang, word) census as
+    * q40/q170; the K algebra runs on ≤|langs| rows. */
+  def q222YuleK(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wc = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    wc.groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("s2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        (round(lit(1.0e4) *
+          (col("s2").cast("double") - col("n_tokens").cast("double")) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+          4) + 0.0).as("yule_k"))
+      .orderBy("lang")
+  }
+
+  val q222YuleKSql: String =
+    """WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS cnt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY lang, w)
+      |SELECT lang,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  ROUND(1e4 * (CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
+      |      - CAST(SUM(cnt) AS DOUBLE))
+      |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)), 4) + 0
+      |    AS yule_k
+      |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
+
   val q217FleschSql: String =
     """WITH d AS (
       |  SELECT doc_id,
