@@ -115,13 +115,19 @@ object Triangles {
         greatest(col("a"), col("b"), col("c")).as("z"))
   }
 
-  /** Per-vertex triangle participation counts (id, n_tri). */
+  /** Per-vertex triangle participation counts (id, n_tri).
+    *
+    * One explode over a 3-element array, NOT a 3-way union of the
+    * triples plan: the union form evaluates the wedge-intersect
+    * subtree (the operator's hot loop) once per branch — 3× the whole
+    * triangle enumeration — where the explode keeps a single plan
+    * branch and only triples the row count into the partial agg
+    * (r10: q105 plan showed the intersect join duplicated 3× under
+    * the union; BHJ count 6 → 2 after this change). */
   def perVertex(edges: DataFrame, srcCol: String, dstCol: String,
       broadcastAdj: Boolean = false): DataFrame = {
-    val t = triples(edges, srcCol, dstCol, broadcastAdj)
-    t.select(col("x").as("id"))
-      .union(t.select(col("y").as("id")))
-      .union(t.select(col("z").as("id")))
+    triples(edges, srcCol, dstCol, broadcastAdj)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 }
