@@ -281,9 +281,13 @@ object GraphQueries {
     val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("id"), col("d"))
+    // the degree census is VERTEX-sized (the same executor-fits class
+    // as q194's broadcastAdj adjacency, which is strictly larger) —
+    // broadcast both probes so the 2·m-row sym stream joins in one
+    // pass with zero extra exchanges
     val j = sym
-      .join(deg.select(col("id").as("u"), col("d").as("ds")), "u")
-      .join(deg.select(col("id").as("v"), col("d").as("dt")), "v")
+      .join(broadcast(deg.select(col("id").as("u"), col("d").as("ds"))), "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dt"))), "v")
     j.agg(
         countDistinct(col("u")).as("n_nodes"),
         (count(lit(1)) / 2).cast("long").as("n_edges"),
