@@ -1625,4 +1625,123 @@ object EventQueries {
       |  CAST(hq AS DOUBLE) / 1e9 AS cum_hazard,
       |  ROUND(exp(-(CAST(hq AS DOUBLE) / 1e9)), 4) AS survival_fh
       |FROM cum ORDER BY t_days""".stripMargin
+
+  /** L158 log-rank test (Mantel 1966 [PK]): do the two user cohorts
+    * (user_id parity — the q172 variant convention) have the SAME
+    * churn-survival curve? At each event time the observed group-1
+    * churn count is compared to its hypergeometric expectation given
+    * the pooled risk set; z = (O₁−E₁)/√V summarizes. This is the
+    * inferential companion to q175/q200's KM/NA CURVES — those
+    * describe, this one tests.
+    *
+    * Parity: per-user lifetimes/churn flags and the per-day group
+    * censuses are exact int64 (the q175 construction); E and V terms
+    * are rationals, so each is quantized to int64 micro-units BEFORE
+    * summing (floor(1e6·x + 0.5), the q196/q207 quantum — coarse
+    * enough that a 1-ulp division divergence cannot flip a term) and
+    * the partial-agg sum is exact-integer, partition-order free. Group
+    * totals ride windows over the ≤|days| census — no 1-row broadcast,
+    * no BNLJ.
+    *
+    * Scale: one per-user keyed agg over the fact scan; everything
+    * after is the bounded day census. */
+  def q224LogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us")).head()
+    val endUs = bounds.getAs[Long]("end_us")
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        pmod(col("user_id"), lit(2L)).as("g"))
+    val day = peru.groupBy("t")
+      .agg(sum(when(col("g") === 0, col("churn")).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0, lit(1L) - col("churn")).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1, col("churn")).otherwise(0L)).as("d2"),
+        sum(when(col("g") === 1, lit(1L) - col("churn")).otherwise(0L)).as("c2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = day
+      .withColumn("nu1", sum(col("d1") + col("c1")).over(wAll))
+      .withColumn("nu2", sum(col("d2") + col("c2")).over(wAll))
+      .withColumn("n1r", col("nu1") -
+        coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n2r", col("nu2") -
+        coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
+      .filter(col("d1") + col("d2") > 0)
+    val n = (col("n1r") + col("n2r")).cast("double")
+    val d = (col("d1") + col("d2")).cast("double")
+    val p1 = col("n1r").cast("double") / n
+    val eTerm = d * p1
+    val vTerm = when(col("n1r") + col("n2r") > 1,
+      d * p1 * (lit(1.0) - p1) * (n - d) / (n - 1.0)).otherwise(lit(0.0))
+    val g = risk
+      .withColumn("eq", floor(eTerm * 1e6 + 0.5).cast("long"))
+      .withColumn("vq", floor(vTerm * 1e6 + 0.5).cast("long"))
+      .agg(max(col("nu1")).as("n_users_g0"), max(col("nu2")).as("n_users_g1"),
+        sum(col("d1")).as("o1"), sum(col("eq")).as("e1q"),
+        sum(col("vq")).as("v1q"))
+    g.select(col("n_users_g0"), col("n_users_g1"), col("o1"),
+      (round(col("e1q").cast("double") / 1e6, 4) + 0.0).as("e1"),
+      (round((col("o1").cast("double") - col("e1q").cast("double") / 1e6) /
+        sqrt(col("v1q").cast("double") / 1e6), 4) + 0.0).as("z"))
+  }
+
+  val q224LogRankSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(epoch_us(ts)) AS end_us FROM e),
+      |peru AS (
+      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT end_us - 604800000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn,
+      |    user_id % 2 AS g
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN g = 0 THEN churn ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN g = 1 THEN churn ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c2
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d1, d2,
+      |    CAST(SUM(d1 + c1) OVER () AS BIGINT) AS nu1,
+      |    CAST(SUM(d2 + c2) OVER () AS BIGINT) AS nu2,
+      |    CAST(SUM(d1 + c1) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n1r,
+      |    CAST(SUM(d2 + c2) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n2r
+      |  FROM day),
+      |terms AS (
+      |  SELECT nu1, nu2, d1,
+      |    CAST(FLOOR(CAST(d1 + d2 AS DOUBLE)
+      |      * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS eq,
+      |    CAST(FLOOR(CASE WHEN n1r + n2r > 1
+      |      THEN CAST(d1 + d2 AS DOUBLE)
+      |        * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
+      |        * (1.0 - CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
+      |        * (CAST(n1r + n2r AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+      |        / (CAST(n1r + n2r AS DOUBLE) - 1.0)
+      |      ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS vq
+      |  FROM risk WHERE d1 + d2 > 0),
+      |g AS (
+      |  SELECT MAX(nu1) AS n_users_g0, MAX(nu2) AS n_users_g1,
+      |    CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(eq) AS BIGINT) AS e1q, CAST(SUM(vq) AS BIGINT) AS v1q
+      |  FROM terms)
+      |SELECT n_users_g0, n_users_g1, o1,
+      |  ROUND(CAST(e1q AS DOUBLE) / 1e6, 4) + 0 AS e1,
+      |  ROUND((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
+      |    / SQRT(CAST(v1q AS DOUBLE) / 1e6), 4) + 0 AS z
+      |FROM g""".stripMargin
 }

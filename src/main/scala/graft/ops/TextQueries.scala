@@ -1425,6 +1425,87 @@ object TextQueries {
       |    AS yule_k
       |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** L157 Good–Turing frequency smoothing (Good 1953 [PK]; the
+    * count-of-counts estimator behind Katz back-off): per language,
+    * the frequency-of-frequencies census V_r for r = 1..5, the
+    * smoothed counts r* = (r+1)·V_{r+1}/V_r, and the unseen-mass
+    * estimate P₀ = V₁/N — "how much probability belongs to words we
+    * have never seen", the vocabulary-openness readout behind the
+    * q145 coverage curve and any LM perplexity the corpus feeds.
+    * Measured over word BIGRAMS (the Katz back-off unit — and the
+    * fixture's unigram vocabulary is CLOSED, so every unigram exceeds
+    * r = 5 past sf0.01 and the unigram ladder is empty; the bigram
+    * space stays open).
+    *
+    * Parity: the double census (bigram counts → count-of-counts) is
+    * exact int64 end-to-end; r* and P₀ are single double chains, 4/6dp
+    * (NULL r* where V_{r+1} = 0 — DuckDB and Spark agree on NULL
+    * arithmetic here because the CASE guards it explicitly).
+    *
+    * Scale: two map-side-combinable censuses (the q192 bigram census
+    * collapsed again by count); the V_{r+1} lookup is a lag over the
+    * ≤5-row-per-language frequency ladder. */
+  def q223GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(graft.functions.SimFns.wordBigrams(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val tot = wc.groupBy("lang")
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val coc = wc.filter(col("cnt") <= 6)
+      .groupBy(col("lang"), col("cnt").as("r"))
+      .agg(count(lit(1)).as("v_r"))
+    val wNext = Window.partitionBy("lang").orderBy("r")
+    coc
+      .withColumn("v_r1",
+        when(lead(col("r"), 1).over(wNext) === col("r") + 1,
+          lead(col("v_r"), 1).over(wNext)).otherwise(lit(0L)))
+      .filter(col("r") <= 5)
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("r"), col("v_r"), col("v_r1"),
+        when(col("v_r1") > 0,
+          round((col("r") + 1).cast("double") * col("v_r1") / col("v_r"), 4)
+            + 0.0).as("r_star"),
+        when(col("r") === 1,
+          round(col("v_r").cast("double") / col("n_tokens"), 6) + 0.0)
+          .as("p_unseen"))
+      .orderBy("lang", "r")
+  }
+
+  val q223GoodTuringSql: String =
+    """WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS cnt
+      |  FROM (SELECT lang,
+      |      unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
+      |        ELSE list_transform(
+      |          generate_series(1, len(string_split(text,' ')) - 1),
+      |          i -> string_split(text,' ')[i] || ' '
+      |            || string_split(text,' ')[i+1]) END) AS w
+      |    FROM documents)
+      |  GROUP BY lang, w),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types
+      |  FROM wc GROUP BY lang),
+      |coc AS (
+      |  SELECT lang, cnt AS r, COUNT(*) AS v_r
+      |  FROM wc WHERE cnt <= 6 GROUP BY lang, cnt),
+      |lk AS (
+      |  SELECT lang, r, v_r,
+      |    CASE WHEN LEAD(r, 1) OVER (PARTITION BY lang ORDER BY r) = r + 1
+      |      THEN LEAD(v_r, 1) OVER (PARTITION BY lang ORDER BY r)
+      |      ELSE 0 END AS v_r1
+      |  FROM coc)
+      |SELECT lk.lang, r, v_r, CAST(v_r1 AS BIGINT) AS v_r1,
+      |  CASE WHEN v_r1 > 0
+      |    THEN ROUND(CAST(r + 1 AS DOUBLE) * v_r1 / v_r, 4) + 0 END
+      |    AS r_star,
+      |  CASE WHEN r = 1
+      |    THEN ROUND(CAST(v_r AS DOUBLE) / n_tokens, 6) + 0 END AS p_unseen
+      |FROM lk JOIN tot ON lk.lang = tot.lang
+      |WHERE r <= 5
+      |ORDER BY lk.lang, r""".stripMargin
+
   val q217FleschSql: String =
     """WITH d AS (
       |  SELECT doc_id,
