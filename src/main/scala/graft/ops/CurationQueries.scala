@@ -2400,4 +2400,147 @@ object CurationQueries {
       |        + (v3 - a3) * (v3 - a3))), 6) + 0 AS closeness
       |FROM b
       |ORDER BY closeness DESC, s_suppkey LIMIT 25""".stripMargin
+
+  /** L159 odds ratio + Woolf 95% CI per brand (Woolf 1955 [PK]): the
+    * 2×2 association readout — odds of a high-quantity lineitem for
+    * the brand vs all other brands, with the log-scale confidence
+    * interval ln OR ± 1.96·√(1/a+1/b+1/c+1/d). The effect-SIZE
+    * companion to q216's BH-FDR decisions (a tiny p with OR ≈ 1 is
+    * noise at scale; the CI says so), and the classic epidemiology/
+    * feature-association primitive.
+    *
+    * Parity: the 2×2 cells a/b/c/d are exact int64 from one census
+    * (the "rest" margin = windowed total − brand row, no second
+    * scan); OR and the CI bounds are single double chains, 4dp. The
+    * ln/exp pair sits in the q196 accepted-residual class.
+    *
+    * Scale: one map-side-combinable brand census; windows over ≤25
+    * rows. */
+  def q225OddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") >= 30, 0L).otherwise(1L)).as("b"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("c", sum(col("a")).over(wAll) - col("a"))
+      .withColumn("d", sum(col("b")).over(wAll) - col("b"))
+    val orr = (col("a").cast("double") * col("d")) /
+      (col("b").cast("double") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    t.select(col("brand"), col("a"), col("b"), col("c"), col("d"),
+        (round(orr, 4) + 0.0).as("odds_ratio"),
+        (round(exp(log(orr) - lit(1.96) * se), 4) + 0.0).as("ci_lo"),
+        (round(exp(log(orr) + lit(1.96) * se), 4) + 0.0).as("ci_hi"))
+      .orderBy("brand")
+  }
+
+  val q225OddsRatioSql: String =
+    """WITH g AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a,
+      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT brand, a, b,
+      |    CAST(SUM(a) OVER () AS BIGINT) - a AS c,
+      |    CAST(SUM(b) OVER () AS BIGINT) - b AS d
+      |  FROM g)
+      |SELECT brand, a, b, c, d,
+      |  ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 4) + 0
+      |    AS odds_ratio,
+      |  ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |    - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 4) + 0
+      |    AS ci_lo,
+      |  ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |    + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 4) + 0
+      |    AS ci_hi
+      |FROM t ORDER BY brand""".stripMargin
+
+  /** L160 Pettitt changepoint test (Pettitt 1979 [PK]): the rank-based
+    * single-changepoint locator over the daily revenue series —
+    * U_t = 2·Σ_{i≤t} r_i − t(n+1), K = max|U_t|, with the classical
+    * significance approximation p ≈ 2·exp(−6K²/(n³+n²)). The
+    * distribution-free companion to q148's CUSUM (which needs a known
+    * in-control mean): Pettitt asks WHERE the level shifted without
+    * assuming any distribution.
+    *
+    * Parity: ranks are exact (doubled-unit average ranks over the day
+    * census — 2·r̄ is an integer even under ties, the q210 discipline),
+    * so every U_t is exact int64; K and its argmax day are integer
+    * decisions; only the displayed p is a double chain, 6dp.
+    *
+    * Scale: the series is the scale-constant day census; the rank and
+    * prefix windows run over it (at fact scale the same ranks come
+    * from [[RangedNtile]]/[[PrefixSum]]). */
+  def q226Pettitt(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    // doubled average ranks via the census trick: rows with equal rev
+    // share rank (2·cum − n + 1) in doubled units
+    val cen = d.groupBy("rev").agg(count(lit(1)).as("n"))
+    val wV = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = cen.withColumn("cum", sum(col("n")).over(wV))
+      .select(col("rev"), (col("cum") * 2 - col("n") + 1).as("r2"))
+    val wT = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val u = d.join(r2, "rev")
+      .withColumn("t", count(lit(1)).over(wT))
+      .withColumn("s2", sum(col("r2")).over(wT))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      // s2 = Σ 2r̄_i exactly, so s2 − t(n+1) IS the standard
+      // U_t = 2Σr_i − t(n+1) — integer even under tied (x.5) ranks
+      .withColumn("ut", col("s2") - col("t") * (col("nn") + 1))
+      .withColumn("k", max(abs(col("ut"))).over(wAll))
+    u.filter(abs(col("ut")) === col("k"))
+      .orderBy("day").limit(1)
+      .select(col("day").as("change_day"), col("k").as("k_stat"),
+        col("nn").as("n_days"),
+        (round(
+          exp(lit(-6.0) * col("k").cast("double") * col("k") /
+            (col("nn").cast("double") * col("nn") * col("nn") +
+              col("nn").cast("double") * col("nn"))) * 2.0, 6) + 0.0)
+          .as("p_approx"))
+  }
+
+  val q226PettittSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |cen AS (SELECT rev, COUNT(*) AS n FROM d GROUP BY rev),
+      |r2 AS (
+      |  SELECT rev,
+      |    2 * SUM(n) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+      |      - n + 1 AS r2
+      |  FROM cen),
+      |u AS (
+      |  SELECT day,
+      |    COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS t,
+      |    SUM(r2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s2,
+      |    COUNT(*) OVER () AS nn
+      |  FROM d JOIN r2 USING (rev)),
+      |v AS (
+      |  SELECT day, CAST(s2 - t * (nn + 1) AS BIGINT) AS ut, nn,
+      |    MAX(abs(s2 - t * (nn + 1))) OVER () AS k
+      |  FROM u)
+      |SELECT day AS change_day, CAST(k AS BIGINT) AS k_stat,
+      |  CAST(nn AS BIGINT) AS n_days,
+      |  ROUND(exp(-6.0 * CAST(k AS DOUBLE) * k
+      |    / (CAST(nn AS DOUBLE) * nn * nn + CAST(nn AS DOUBLE) * nn))
+      |    * 2.0, 6) + 0 AS p_approx
+      |FROM v WHERE abs(ut) = k
+      |ORDER BY day LIMIT 1""".stripMargin
 }
