@@ -581,14 +581,16 @@ object GraphQueries {
     * Scale: one distinct + one basket agg (customer-keyed shuffles),
     * map-side bounded wedge explode, ≤C(25,2)-group census. */
   def q207AdamicAdar(s: SparkSession, dir: String): DataFrame = {
-    val cb = Tables.orders(s, dir)
+    // no pre-distinct: collect_set dedups inside ONE customer-keyed
+    // shuffle (with partial aggregation map-side), where distinct +
+    // collect_set paid two
+    val baskets = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir),
         col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.part(s, dir)),
         col("l_partkey") === col("p_partkey"))
       .select(col("o_custkey").as("c"), col("p_brand").as("b"))
-      .distinct()
-    val baskets = cb.groupBy("c")
+      .groupBy("c")
       .agg(sort_array(collect_set(col("b"))).as("bs"))
       .filter(size(col("bs")) >= 2)
     val wq = floor(lit(1.0e6) / log(size(col("bs")).cast("double")) +
