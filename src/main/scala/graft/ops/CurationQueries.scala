@@ -2543,4 +2543,269 @@ object CurationQueries {
       |    * 2.0, 6) + 0 AS p_approx
       |FROM v WHERE abs(ut) = k
       |ORDER BY day LIMIT 1""".stripMargin
+
+  /** L161 Kruskal–Wallis H (Kruskal & Wallis 1952 [PK]): the k-group
+    * generalization of q210's two-sample rank test — do the five
+    * market segments draw order values from the same distribution?
+    * Tie-corrected H = [12/(N(N+1))·Σ Rⱼ²/nⱼ − 3(N+1)] / C with
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Parity: global average ranks ride the q210 doubled-unit census
+    * (2r̄ integer under ties); per-group rank sums R2ⱼ are exact
+    * 128-bit; each group's Rⱼ²/nⱼ term is pinned to an int64 by ONE
+    * identical floor(x+0.5) double chain before the 5-term sum, so the
+    * cross-group summation is exact-integer and order-free (the q224
+    * discipline; magnitudes stay < 2⁵³ through sf ≈ 3 — documented
+    * headroom, DECIMAL beyond).
+    *
+    * Scale: value census + [[PrefixSum]] cumulative (no
+    * single-partition window); per-(value, segment) census collapses
+    * map-side; everything after is ≤5-row algebra. */
+  def q227KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(count(lit(1)).as("n"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")))
+      .select(col("c"), col("n"), (col("cumn") * 2 - col("n") + 1).as("r2"))
+    val bySeg = o.groupBy("seg", "c").agg(count(lit(1)).as("ncs"))
+      .join(cum, "c")
+      .groupBy("seg")
+      .agg(sum(col("ncs")).as("nj"),
+        sum(col("ncs").cast(dec) * col("r2").cast(dec)).as("r2j"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val tie = cen.agg(
+      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec)).as("tie")).select(col("tie").cast("long"))
+      .head().getLong(0)
+    val t = bySeg
+      // Rⱼ²/nⱼ = (R2ⱼ/2)²/nⱼ = R2ⱼ²/(4nⱼ), pinned to int64 once
+      .withColumn("vq",
+        floor((col("r2j").cast("double") * col("r2j").cast("double")) /
+          (col("nj").cast("double") * 4.0) + 0.5).cast("long"))
+      .withColumn("nt", sum(col("nj")).over(wAll))
+      .withColumn("sv", sum(col("vq")).over(wAll))
+    val nD = col("nt").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("sv").cast("double") -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - lit(tie.toDouble) / (nD * nD * nD - nD)
+    t.select(col("seg").as("c_mktsegment"), col("nj"),
+        (round(col("r2j").cast("double") / (col("nj").cast("double") * 2.0),
+          4) + 0.0).as("mean_rank"),
+        (round(h / corr, 4) + 0.0).as("h_corrected"),
+        lit(4).as("df"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q227KruskalWallisSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cen AS (SELECT c, COUNT(*) AS n FROM o GROUP BY c),
+      |cum AS (
+      |  SELECT c, n,
+      |    2 * SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+      |      - n + 1 AS r2
+      |  FROM cen),
+      |tie AS (
+      |  SELECT CAST(SUM(CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS tie
+      |  FROM cen),
+      |bseg AS (
+      |  SELECT seg, SUM(ncs) AS nj,
+      |    SUM(CAST(ncs AS HUGEINT) * r2) AS r2j
+      |  FROM (SELECT seg, c, COUNT(*) AS ncs FROM o GROUP BY seg, c) g
+      |  JOIN cum USING (c)
+      |  GROUP BY seg),
+      |t AS (
+      |  SELECT seg, CAST(nj AS BIGINT) AS nj, r2j,
+      |    CAST(FLOOR((CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE))
+      |      / (CAST(nj AS DOUBLE) * 4.0) + 0.5) AS BIGINT) AS vq,
+      |    CAST(SUM(nj) OVER () AS BIGINT) AS nt
+      |  FROM bseg),
+      |t2 AS (SELECT *, CAST(SUM(vq) OVER () AS BIGINT) AS sv FROM t)
+      |SELECT seg AS c_mktsegment, nj,
+      |  ROUND(CAST(r2j AS DOUBLE) / (CAST(nj AS DOUBLE) * 2.0), 4) + 0
+      |    AS mean_rank,
+      |  ROUND((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+      |      * CAST(sv AS DOUBLE)
+      |      - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+      |    / (1.0 - CAST((SELECT tie FROM tie) AS DOUBLE)
+      |      / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+      |        - CAST(nt AS DOUBLE))), 4) + 0 AS h_corrected,
+      |  4 AS df
+      |FROM t2 ORDER BY seg""".stripMargin
+
+  /** L162 one-way ANOVA F (Fisher [PK], textbook decomposition): the
+    * parametric companion to q227 on the same 5-segment design —
+    * between/within sum-of-squares decomposition of order value and
+    * F = (SSB/(k−1))/(SSW/(N−k)). Reading both: a significant H with a
+    * mild F flags non-normal location shift.
+    *
+    * Parity: values ride whole DOLLARS (the q205 pin) so Σx and Σx²
+    * stay far inside DECIMAL(38,0)/HUGEINT; each group's Sⱼ²/nⱼ is
+    * pinned to int64 by one identical floor chain before the 5-term
+    * sum (q227 discipline); SSB/SSW are then exact int64 differences
+    * and F is one double chain 4dp.
+    *
+    * Scale: one map-side-combinable (segment) moment agg; ≤5-row
+    * algebra after. */
+  def q228AnovaF(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("seg")
+      .agg(count(lit(1)).as("nj"), sum(col("v").cast(dec)).as("sj"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qj"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("vq",
+        floor((col("sj").cast("double") * col("sj").cast("double")) /
+          col("nj").cast("double") + 0.5).cast("long"))
+      .withColumn("nt", sum(col("nj")).over(wAll))
+      .withColumn("st", sum(col("sj")).over(wAll))
+      .withColumn("qt", sum(col("qj")).over(wAll))
+      .withColumn("sv", sum(col("vq")).over(wAll))
+    val grand = floor((col("st").cast("double") * col("st").cast("double")) /
+      col("nt").cast("double") + 0.5).cast("long")
+    val ssb = col("sv") - grand
+    val ssw = col("qt").cast("long") - col("sv")
+    val f = (ssb.cast("double") / 4.0) /
+      (ssw.cast("double") / (col("nt").cast("double") - 5.0))
+    t.select(col("seg").as("c_mktsegment"), col("nj"),
+        (round(col("sj").cast("double") / col("nj"), 4) + 0.0)
+          .as("mean_value"),
+        ssb.as("ss_between"), ssw.as("ss_within"),
+        (round(f, 4) + 0.0).as("f_stat"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q228AnovaFSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nj,
+      |    SUM(CAST(v AS HUGEINT)) AS sj,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qj
+      |  FROM o GROUP BY seg),
+      |t AS (
+      |  SELECT seg, nj, sj, qj,
+      |    CAST(FLOOR((CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+      |      / CAST(nj AS DOUBLE) + 0.5) AS BIGINT) AS vq,
+      |    CAST(SUM(nj) OVER () AS BIGINT) AS nt,
+      |    SUM(sj) OVER () AS st,
+      |    SUM(qj) OVER () AS qt
+      |  FROM g),
+      |t2 AS (
+      |  SELECT *,
+      |    CAST(SUM(vq) OVER () AS BIGINT) AS sv,
+      |    CAST(FLOOR((CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+      |      / CAST(nt AS DOUBLE) + 0.5) AS BIGINT) AS grand
+      |  FROM t)
+      |SELECT seg AS c_mktsegment, nj,
+      |  ROUND(CAST(sj AS DOUBLE) / nj, 4) + 0 AS mean_value,
+      |  sv - grand AS ss_between,
+      |  CAST(qt AS BIGINT) - sv AS ss_within,
+      |  ROUND((CAST(sv - grand AS DOUBLE) / 4.0)
+      |    / (CAST(CAST(qt AS BIGINT) - sv AS DOUBLE)
+      |      / (CAST(nt AS DOUBLE) - 5.0)), 4) + 0 AS f_stat
+      |FROM t2 ORDER BY seg""".stripMargin
+
+  /** L163 Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959
+    * [PK]): the stratified 2×2 combiner — per market segment, the
+    * association between URGENT priority (exposure) and high order
+    * value (outcome), pooled as OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). The
+    * confounding-aware companion to q225: a marginal OR can invert
+    * (Simpson, cf. q64's paradox demo) when strata differ; MH pools
+    * WITHIN strata.
+    *
+    * Parity: the 2×2 cells per stratum are exact int64; each
+    * stratum's ad/n and bc/n terms are pinned to int64 micro-units by
+    * one floor(1e6·x+0.5) chain before the cross-stratum sums (q224
+    * discipline); the pooled ratio is one double division, 4dp.
+    *
+    * Scale: one map-side-combinable (segment) census; ≤5-row algebra
+    * + windows. */
+  def q229MantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_orderpriority") === "1-URGENT").as("exp"),
+        (col("o_totalprice") >= 200000.0).as("hi"))
+    val g = o.groupBy("seg").agg(
+      sum(when(col("exp") && col("hi"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("exp") && !col("hi"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("exp") && col("hi"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("exp") && !col("hi"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("adq",
+        floor(col("a").cast("double") * col("d") / n * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("bcq",
+        floor(col("b").cast("double") * col("c") / n * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("sad", sum(col("adq")).over(wAll))
+      .withColumn("sbc", sum(col("bcq")).over(wAll))
+    t.select(col("seg").as("c_mktsegment"),
+        col("a"), col("b"), col("c"), col("d"),
+        (round(col("a").cast("double") * col("d") /
+          (col("b").cast("double") * col("c")), 4) + 0.0)
+          .as("or_stratum"),
+        (round(col("sad").cast("double") / col("sbc").cast("double"), 4)
+          + 0.0).as("or_mh"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q229MantelHaenszelSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    o_orderpriority = '1-URGENT' AS expo,
+      |    o_totalprice >= 200000.0 AS hi
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |g AS (
+      |  SELECT seg,
+      |    CAST(SUM(CASE WHEN expo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN expo AND NOT hi THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b,
+      |    CAST(SUM(CASE WHEN NOT expo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c,
+      |    CAST(SUM(CASE WHEN NOT expo AND NOT hi THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM o GROUP BY seg),
+      |t AS (
+      |  SELECT seg, a, b, c, d,
+      |    CAST(FLOOR(CAST(a AS DOUBLE) * d
+      |      / CAST(a + b + c + d AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS adq,
+      |    CAST(FLOOR(CAST(b AS DOUBLE) * c
+      |      / CAST(a + b + c + d AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS bcq
+      |  FROM g),
+      |t2 AS (
+      |  SELECT *, CAST(SUM(adq) OVER () AS BIGINT) AS sad,
+      |    CAST(SUM(bcq) OVER () AS BIGINT) AS sbc
+      |  FROM t)
+      |SELECT seg AS c_mktsegment, a, b, c, d,
+      |  ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 4) + 0
+      |    AS or_stratum,
+      |  ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 4) + 0 AS or_mh
+      |FROM t2 ORDER BY seg""".stripMargin
 }

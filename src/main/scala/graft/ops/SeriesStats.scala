@@ -537,6 +537,71 @@ object SeriesStats {
        |  ROUND(mu - beta * ln(-ln(1.0 - 1.0 / 120.0)), 4) + 0 AS rl_120m
        |FROM p""".stripMargin
 
+  /** L164 Durbin–Watson statistic (Durbin & Watson 1950 [PK]) on the
+    * seasonally-adjusted daily revenue series: residuals e_t = rev_t −
+    * dow-mean(rev) (the q212 seasonal factor removed), DW =
+    * Σ(e_t−e_{t−1})²/Σe_t² — the serial-correlation diagnostic (DW ≈ 2
+    * ⇒ independent residuals; → 0 positive, → 4 negative
+    * autocorrelation) that says whether q208's raw-series dependence
+    * survives deseasonalizing.
+    *
+    * Parity: residuals are pinned to int64 micro-units by one
+    * identical double chain (rev − Σdow/ndow is a rational; the 1e6
+    * quantum is the q196 class), so both quadratic sums ride
+    * DECIMAL(38,0)/HUGEINT exactly; DW is one double division, 4dp.
+    *
+    * Scale: day agg → ≤7-row dow census broadcast back → one lag
+    * window over the scale-constant series. */
+  def q230DurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily(s, dir)
+      .select(col("day"), col("rev"), (weekday(col("day")) + 1).as("dw"))
+    val seas = d.groupBy("dw")
+      .agg(sum(col("rev")).as("sr"), count(lit(1)).as("nd"))
+    val e = d.join(broadcast(seas), "dw")
+      .select(col("day"),
+        floor((col("rev").cast("double") -
+          col("sr").cast("double") / col("nd")) * 1e6 + 0.5)
+          .cast("long").as("eq"))
+    val w = Window.orderBy("day")
+    val lagd = e.withColumn("ep", lag(col("eq"), 1).over(w))
+    lagd.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("eq").cast(dec) * col("eq").cast(dec)).as("see"),
+        sum(when(col("ep").isNotNull,
+          (col("eq") - col("ep")).cast(dec) * (col("eq") - col("ep")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("sdd"))
+      .select(col("n_days"),
+        (round(col("sdd").cast("double") / col("see").cast("double"), 4)
+          + 0.0).as("dw_stat"))
+  }
+
+  val q230DurbinWatsonSql: String =
+    s"""WITH d AS ($dailySql),
+       |dd AS (
+       |  SELECT day, rev, CAST(date_part('isodow', day) AS INT) AS dw
+       |  FROM d),
+       |seas AS (
+       |  SELECT dw, CAST(SUM(rev) AS BIGINT) AS sr, COUNT(*) AS nd
+       |  FROM dd GROUP BY dw),
+       |e AS (
+       |  SELECT day,
+       |    CAST(FLOOR((CAST(rev AS DOUBLE) - CAST(sr AS DOUBLE) / nd)
+       |      * 1e6 + 0.5) AS BIGINT) AS eq
+       |  FROM dd JOIN seas USING (dw)),
+       |lagd AS (
+       |  SELECT eq, LAG(eq, 1) OVER (ORDER BY day) AS ep FROM e),
+       |g AS (
+       |  SELECT COUNT(*) AS n_days,
+       |    SUM(CAST(eq AS HUGEINT) * eq) AS see,
+       |    SUM(CASE WHEN ep IS NOT NULL
+       |      THEN CAST(eq - ep AS HUGEINT) * (eq - ep)
+       |      ELSE 0 END) AS sdd
+       |  FROM lagd)
+       |SELECT n_days,
+       |  ROUND(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 4) + 0 AS dw_stat
+       |FROM g""".stripMargin
+
   val q208AcfSql: String =
     s"""WITH d AS ($dailySql),
        |lg AS (
