@@ -1151,9 +1151,14 @@ object EventQueries {
 
   /** L113 Kaplan–Meier survival of user lifetimes — the
     * retention-analytics estimator under RIGHT CENSORING: lifetime =
-    * calendar days between a user's first and last event; a user whose
-    * last event is within 7 days of corpus end is CENSORED (still
-    * active when observation stopped), not churned. Per lifetime day t:
+    * whole HOURS between a user's first and last event; a user whose
+    * last event is within 12 hours of corpus end is CENSORED (still
+    * active when observation stopped), not churned. (Hour resolution
+    * and a 12 h horizon, not days: the events fixture spans 29 days
+    * and every user's last-event gap is ≤ 2 days, so any day-scale
+    * horizon classifies ZERO churners and the whole survival family
+    * measures nothing — r10 found exactly that vacuity via the q224
+    * brute-force reference.) Per lifetime hour t:
     * users at risk n_t, churn events d_t, censored c_t, and
     * S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) — the estimator that plain
     * "average lifetime" gets wrong by treating censored users as
@@ -1181,8 +1186,9 @@ object EventQueries {
     val nUsers = bounds.getAs[Long]("nu")
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
           .otherwise(0L).as("churn"))
     val day = peru.groupBy("t")
       .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
@@ -1199,11 +1205,11 @@ object EventQueries {
     withRisk
       .withColumn("dead", dead)
       .withColumn("ln_s", sum(lnTerm).over(wCum))
-      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_churn"),
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
         col("c").as("n_censored"),
         when(col("dead") === 1L, lit(0.0))
           .otherwise(round(exp(col("ln_s")), 4)).as("survival"))
-      .orderBy("t_days")
+      .orderBy("t_hours")
   }
 
   val q175KaplanMeierSql: String =
@@ -1211,9 +1217,10 @@ object EventQueries {
       |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
       |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
       |peru AS (
-      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
       |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT epoch_us(fin) - 604800000000 FROM b)
+      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
       |      THEN 1 ELSE 0 END AS churn
       |  FROM e GROUP BY user_id),
       |day AS (
@@ -1236,9 +1243,9 @@ object EventQueries {
       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS ln_s
       |  FROM risk)
-      |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
+      |SELECT t AS t_hours, n_risk, d AS n_churn, c AS n_censored,
       |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END AS survival
-      |FROM cum ORDER BY t_days""".stripMargin
+      |FROM cum ORDER BY t_hours""".stripMargin
 
   /** L126 debounce dedup — tolerance-based event suppression: within
     * each (user, event_type), an event arriving ≤ 5 s after its
@@ -1566,8 +1573,9 @@ object EventQueries {
     val nUsers = bounds.getAs[Long]("nu")
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
           .otherwise(0L).as("churn"))
     val day = peru.groupBy("t")
       .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
@@ -1582,12 +1590,12 @@ object EventQueries {
         lit(1.0e9) + lit(0.5)).cast("long"))
     withRisk
       .withColumn("hq", sum(incQ).over(wCum))
-      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_churn"),
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
         col("c").as("n_censored"),
         (col("hq").cast("double") / lit(1.0e9)).as("cum_hazard"),
         round(exp(-(col("hq").cast("double") / lit(1.0e9))), 4)
           .as("survival_fh"))
-      .orderBy("t_days")
+      .orderBy("t_hours")
   }
 
   val q200NelsonAalenSql: String =
@@ -1595,9 +1603,10 @@ object EventQueries {
       |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
       |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
       |peru AS (
-      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
       |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT epoch_us(fin) - 604800000000 FROM b)
+      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
       |      THEN 1 ELSE 0 END AS churn
       |  FROM e GROUP BY user_id),
       |day AS (
@@ -1621,10 +1630,10 @@ object EventQueries {
       |    CAST(SUM(incq) OVER (ORDER BY t
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hq
       |  FROM q)
-      |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
+      |SELECT t AS t_hours, n_risk, d AS n_churn, c AS n_censored,
       |  CAST(hq AS DOUBLE) / 1e9 AS cum_hazard,
       |  ROUND(exp(-(CAST(hq AS DOUBLE) / 1e9)), 4) AS survival_fh
-      |FROM cum ORDER BY t_days""".stripMargin
+      |FROM cum ORDER BY t_hours""".stripMargin
 
   /** L158 log-rank test (Mantel 1966 [PK]): do the two user cohorts
     * (user_id parity — the q172 variant convention) have the SAME
@@ -1651,8 +1660,9 @@ object EventQueries {
     val endUs = bounds.getAs[Long]("end_us")
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .select(datediff(col("last_ts"), col("first_ts")).cast("long").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 7L * 86400L * 1000000L, 1L)
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
           .otherwise(0L).as("churn"),
         pmod(col("user_id"), lit(2L)).as("g"))
     val day = peru.groupBy("t")
@@ -1695,9 +1705,10 @@ object EventQueries {
       |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
       |b AS (SELECT MAX(epoch_us(ts)) AS end_us FROM e),
       |peru AS (
-      |  SELECT date_diff('day', MIN(ts), MAX(ts)) AS t,
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
       |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT end_us - 604800000000 FROM b)
+      |      (SELECT end_us - 43200000000 FROM b)
       |      THEN 1 ELSE 0 END AS churn,
       |    user_id % 2 AS g
       |  FROM e GROUP BY user_id),

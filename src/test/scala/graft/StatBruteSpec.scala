@@ -87,6 +87,93 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("tau_b") - tau) < 5e-6)
   }
 
+  test("q227 Kruskal-Wallis H matches a sequential tie-corrected computation") {
+    val rows = SparkEntry.queries("q227_kruskal_wallis")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("nj"), r.getAs[Double]("mean_rank"),
+        r.getAs[Double]("h_corrected")))
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = data.length
+    val sorted = data.map(_._2).zipWithIndex.sortBy(_._1)
+    val rank = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && sorted(j + 1)._1 == sorted(i)._1) j += 1
+      val avg = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(k => rank(sorted(k)._2) = avg)
+      i = j + 1
+    }
+    val groups = data.map(_._1).zip(rank).groupBy(_._1)
+    val sumR = groups.map { case (g, xs) => g -> xs.map(_._2).sum }
+    val nj = groups.map { case (g, xs) => g -> xs.length.toLong }
+    val hRaw = 12.0 / (n.toDouble * (n + 1)) *
+      sumR.map { case (g, r) => r * r / nj(g) }.sum - 3.0 * (n + 1)
+    val tie = data.map(_._2).groupBy(identity).values
+      .map(_.length.toLong).map(t => t * t * t - t).sum
+    val h = hRaw / (1.0 - tie.toDouble / (n.toDouble * n * n - n))
+
+    rows.foreach { case (seg, njQ, mr, hQ) =>
+      assert(njQ === nj(seg))
+      assert(math.abs(mr - sumR(seg) / nj(seg)) < 5e-4)
+      assert(math.abs(hQ - h) < 5e-3, s"H $hQ vs brute $h")
+    }
+  }
+
+  test("q224 log-rank O/E/z match a sequential risk-set walk") {
+    // sf0.01, not sf0.001: the tiny fixture has no churned users at all
+    // (every last event falls inside the 7-day censoring window), so the
+    // event-time table is empty and the statistic is degenerate-null on
+    // both engines — true but vacuous. sf0.01 has real churn.
+    val sf001 = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("q224_log_rank")(spark, sf001).head()
+
+    val ev = Tables.events(spark, sf001).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val endUs = ev.map(_._3).max
+    val users = ev.map { case (uid, f, l) =>
+      ((l - f) / 3600000000L,
+        if (l <= endUs - 12L * 3600L * 1000000L) 1 else 0, (uid % 2).toInt)
+    }
+    val n1Tot = users.count(_._3 == 0).toLong
+    val n2Tot = users.length - n1Tot
+    val byT = users.groupBy(_._1).toSeq.sortBy(_._1)
+    var n1r = n1Tot; var n2r = n2Tot
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    for ((_, xs) <- byT) {
+      val d1 = xs.count(x => x._2 == 1 && x._3 == 0).toLong
+      val d2 = xs.count(x => x._2 == 1 && x._3 == 1).toLong
+      val d = d1 + d2
+      val nr = n1r + n2r
+      if (d > 0) {
+        o1 += d1
+        e1 += d.toDouble * n1r / nr
+        if (nr > 1)
+          v += d.toDouble * (n1r.toDouble / nr) * (1.0 - n1r.toDouble / nr) *
+            (nr - d).toDouble / (nr - 1)
+      }
+      n1r -= xs.count(_._3 == 0)
+      n2r -= xs.count(_._3 == 1)
+    }
+    val z = (o1 - e1) / math.sqrt(v)
+
+    assert(row.getAs[Long]("n_users_g0") === n1Tot)
+    assert(row.getAs[Long]("n_users_g1") === n2Tot)
+    assert(row.getAs[Long]("o1") === o1)
+    assert(math.abs(row.getAs[Double]("e1") - e1) < 5e-3)
+    assert(math.abs(row.getAs[Double]("z") - z) < 5e-3,
+      s"z ${row.getAs[Double]("z")} vs brute $z")
+  }
+
   test("q226 Pettitt K, changepoint day, and p match a rank prefix scan") {
     val row = SparkEntry.queries("q226_pettitt")(spark, sf0001).head()
 
