@@ -2552,15 +2552,19 @@ object CurationQueries {
     *
     * Parity: global average ranks ride the q210 doubled-unit census
     * (2r̄ integer under ties); per-group rank sums R2ⱼ are exact
-    * 128-bit; each group's Rⱼ²/nⱼ term is pinned to an int64 by ONE
-    * identical floor(x+0.5) double chain before the 5-term sum, so the
-    * cross-group summation is exact-integer and order-free (the q224
-    * discipline; magnitudes stay < 2⁵³ through sf ≈ 3 — documented
-    * headroom, DECIMAL beyond).
+    * 128-bit; each group's Rⱼ²/nⱼ term is pinned by ONE identical
+    * floor(x+0.5) double chain before the 5-term sum, so the
+    * cross-group summation is order-free (the q224 discipline). Note
+    * the pinned term itself exceeds 2⁵³ well before sf 1 (R2ⱼ² ~ 1e17
+    * at sf 1), so the floor lands on a double-rounded value, NOT an
+    * exact integer — parity rests on both engines running the
+    * IDENTICAL double chain, not on sub-2⁵³ exactness.
     *
     * Scale: value census + [[PrefixSum]] cumulative (no
     * single-partition window); per-(value, segment) census collapses
-    * map-side; everything after is ≤5-row algebra. */
+    * map-side; the tie term is a 1-row aggregate of the census
+    * broadcast back in-plan (q211's tmax pattern — no driver action at
+    * DataFrame-build time); everything after is ≤5-row algebra. */
   def q227KruskalWallis(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val o = Tables.orders(s, dir)
@@ -2580,10 +2584,9 @@ object CurationQueries {
         sum(col("ncs").cast(dec) * col("r2").cast(dec)).as("r2j"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val tie = cen.agg(
+    val tieDf = cen.agg(
       sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
-        col("n").cast(dec)).as("tie")).select(col("tie").cast("long"))
-      .head().getLong(0)
+        col("n").cast(dec)).cast("long").as("tie"))
     val t = bySeg
       // Rⱼ²/nⱼ = (R2ⱼ/2)²/nⱼ = R2ⱼ²/(4nⱼ), pinned to int64 once
       .withColumn("vq",
@@ -2591,10 +2594,11 @@ object CurationQueries {
           (col("nj").cast("double") * 4.0) + 0.5).cast("long"))
       .withColumn("nt", sum(col("nj")).over(wAll))
       .withColumn("sv", sum(col("vq")).over(wAll))
+      .crossJoin(broadcast(tieDf))
     val nD = col("nt").cast("double")
     val h = lit(12.0) / (nD * (nD + 1.0)) * col("sv").cast("double") -
       lit(3.0) * (nD + 1.0)
-    val corr = lit(1.0) - lit(tie.toDouble) / (nD * nD * nD - nD)
+    val corr = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
     t.select(col("seg").as("c_mktsegment"), col("nj"),
         (round(col("r2j").cast("double") / (col("nj").cast("double") * 2.0),
           4) + 0.0).as("mean_rank"),

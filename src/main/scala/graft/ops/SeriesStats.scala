@@ -98,7 +98,10 @@ object SeriesStats {
         (col("b.t") - col("a.t")).as("dx"))
       .withColumn("slope",
         col("dy").cast("double") / col("dx").cast("double"))
-      .localCheckpoint()
+      // LAZY: plan-only consumers (Plans.scala, PlanShapeSpec) must not
+      // execute the pair build at DataFrame-construction time, and the
+      // block still materializes once on first action (Triangles rule).
+      .localCheckpoint(eager = false)
     val w = Window.orderBy(col("slope"), col("dy"), col("dx"))
     pairs
       .withColumn("rn", row_number().over(w))
@@ -207,9 +210,9 @@ object SeriesStats {
     *
     * Scale: the q206 shape — the C(365,2) ≈ 66k pair build is CONSTANT
     * in SF (the date range is fixture-fixed); only the day aggregation
-    * scans fact data. The pair BNLJ sits under the same eager
-    * localCheckpoint as q206's, so the one visible plan is a single
-    * exact aggregate. */
+    * scans fact data. The pair BNLJ sits under the same LAZY
+    * localCheckpoint as q206's (no job at plan-build time), so the one
+    * visible plan is a single exact aggregate. */
   def q211KendallTau(s: SparkSession, dir: String): DataFrame = {
     val d = daily2(s, dir)
       .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
@@ -222,7 +225,7 @@ object SeriesStats {
       .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
       .select((col("b.rev") - col("a.rev")).as("dx"),
         (col("b.cnt") - col("a.cnt")).as("dy"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val agg = pairs.agg(
       count(lit(1)).as("n0"),
       sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),

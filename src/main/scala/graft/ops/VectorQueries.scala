@@ -431,7 +431,11 @@ object VectorQueries {
          |  >= 0L THEN ${1 << j}L ELSE 0L END)""".stripMargin
     }
     val sigExpr = bitTerms.mkString(" + ")
-    val sigs = e.select(col("vec_id"), col("embedding"),
+    // Guard empty vectors explicitly: Spark's sequence(0, -1) yields
+    // [0, -1] and element_at on an empty array throws, while DuckDB's
+    // range(0, 0) silently drops — both engines must drop identically.
+    val sigs = e.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"),
         expr("""transform(embedding,
           |  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
           |""".stripMargin).as("xq"))
@@ -452,7 +456,7 @@ object VectorQueries {
        |  SELECT vec_id, embedding,
        |    list_transform(embedding,
        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xq
-       |  FROM embeddings),
+       |  FROM embeddings WHERE len(embedding) > 0),
        |ij AS (
        |  SELECT vec_id, j, i, xq[i + 1] AS v
        |  FROM e,

@@ -127,10 +127,12 @@ class StatBruteSpec extends SparkSpec {
   }
 
   test("q224 log-rank O/E/z match a sequential risk-set walk") {
-    // sf0.01, not sf0.001: the tiny fixture has no churned users at all
-    // (every last event falls inside the 7-day censoring window), so the
-    // event-time table is empty and the statistic is degenerate-null on
-    // both engines — true but vacuous. sf0.01 has real churn.
+    // sf0.01, not sf0.001: under the 12-hour censor horizon (commit
+    // 8fbf72c de-vacuified the survival family) sf0.001 is no longer
+    // degenerate (5 churners / 15 users, re-verified round 11), but 15
+    // users give the risk-set walk almost nothing to walk — sf0.01's
+    // 150 users / 40 churners exercise real tied event times and both
+    // groups' depletion, so the brute reference stays there.
     val sf001 = "/root/testdata/sf0.01"
     val row = SparkEntry.queries("q224_log_rank")(spark, sf001).head()
 
