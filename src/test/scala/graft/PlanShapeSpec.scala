@@ -409,6 +409,44 @@ class PlanShapeSpec extends SparkSpec {
       s"nested-loop plans outside the allowlist:\n${offenders.mkString("\n")}")
   }
 
+  test("q205/q206: unpartitioned windows only ever see census-sized input") {
+    // q205/q206 document "single global series" as the honest plan for
+    // a scale-constant day census — this pin makes the claim
+    // executable: count the rows that actually ENTER each
+    // unpartitioned WindowExec. If a refactor ever feeds a fact-sized
+    // frame (orders rows, pair blowup) into those windows, the counts
+    // jump orders of magnitude and this fails loudly.
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dayCensus = Tables.orders(spark, sf0001)
+        .select(to_date(col("o_orderdate"))).distinct().count()
+      val factRows = Tables.orders(spark, sf0001).count()
+      assert(factRows > dayCensus, "fixture sanity: facts exceed days")
+
+      def windowInputCounts(q: String): Seq[Long] = {
+        val plan = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan
+        val wins = plan.collect { case w: WindowExec => w }
+        assert(wins.nonEmpty, s"$q expected at least one WindowExec")
+        wins.map(_.child.execute().count())
+      }
+
+      // q205: the rolling-median window runs over exactly the day census
+      windowInputCounts("q205_rolling_median").foreach { n =>
+        assert(n == dayCensus,
+          s"q205 window input $n != day census $dayCensus")
+      }
+      // q206: the rank window runs over the trailing-365-day pair set —
+      // bounded by C(365, 2) = 66,430 regardless of SF
+      windowInputCounts("q206_theil_sen").foreach { n =>
+        assert(n <= 66430L,
+          s"q206 window input $n exceeds the C(365,2) pair bound")
+        assert(n > dayCensus, "q206 window should see the pair set")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q139/q153: the two-path salted join pays replication ONLY under skew") {
     // q139's join key has no hot key → the degenerate plain-join plan:
     // no Generate (explode) node may appear anywhere
