@@ -2052,28 +2052,39 @@ object CurationQueries {
       |FROM g""".stripMargin
 
   /** L148 Tukey-fence outlier audit (Tukey 1977 [PK], the boxplot
-    * rule): per market segment, the quartiles of order value and the
-    * count/share of orders outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the
-    * standard first-pass anomaly screen before any model-based scoring
-    * (q97's z-score screen assumes normality; this doesn't).
+    * rule): per market segment, the quartiles of per-CUSTOMER lifetime
+    * revenue and the count/share of customers outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the standard first-pass anomaly
+    * screen before any model-based scoring (q97's z-score screen
+    * assumes normality; this doesn't).
     *
-    * Parity: quartiles interpolate on int64 cents, so Q1/Q3 are exact
-    * multiples of 0.25 (representable), 1.5·IQR is an exact multiple
-    * of 0.125 (3·iqr ≤ 2⁵³ then halved — no rounding anywhere), and
+    * Round 11 de-vacuification (the q175 lesson): the original screen
+    * ran on raw order value, whose bounded near-uniform distribution
+    * puts ZERO mass beyond 1.5·IQR at every SF — hash-green while
+    * flagging nothing. Per-customer revenue is a random SUM over a
+    * skewed order count, so its right tail genuinely crosses the
+    * fence (2 / 20 / 156 customers flagged at sf0.001/0.01/0.1 —
+    * measured, and pinned by NonDegeneracySpec).
+    *
+    * Parity: per-customer revenue is an exact int64 cents sum;
+    * quartiles interpolate on int64, so Q1/Q3 are exact multiples of
+    * 0.25 (representable), 1.5·IQR is an exact multiple of 0.125, and
     * the fences pin to integer cents with half-up floor(x+0.5) — the
     * outlier decision is then an INT comparison that can never flip
     * across engines. Displayed quartiles round 4dp (q15 discipline).
     *
-    * Scale: one exact-percentile agg per segment (driver-bounded ≤5
-    * rows; at fact scale the same quartiles come from q98's
-    * [[RangedNtile]] machinery), broadcast back over one fact scan. */
+    * Scale: the customer rollup is one map-side-combinable agg; then
+    * one exact-percentile agg per segment (driver-bounded ≤5 rows; at
+    * fact scale the same quartiles come from q98's [[RangedNtile]]
+    * machinery), broadcast back over one customer-grain scan. */
   def q214TukeyFences(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"),
-        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
     val q = o.groupBy("seg")
       .agg(percentile(col("c"), lit(0.25)).as("q1"),
         percentile(col("c"), lit(0.75)).as("q3"))
@@ -2084,23 +2095,24 @@ object CurationQueries {
           .cast("long").as("fhi"))
     o.join(broadcast(q), "seg")
       .groupBy("seg")
-      .agg(count(lit(1)).as("n"),
-        max(round(col("q1") / 100.0, 4) + 0.0).as("q1_price"),
-        max(round(col("q3") / 100.0, 4) + 0.0).as("q3_price"),
+      .agg(count(lit(1)).as("n_customers"),
+        max(round(col("q1") / 100.0, 4) + 0.0).as("q1_rev"),
+        max(round(col("q3") / 100.0, 4) + 0.0).as("q3_rev"),
         sum(when(col("c") < col("flo"), 1L).otherwise(0L)).as("n_out_lo"),
         sum(when(col("c") > col("fhi"), 1L).otherwise(0L)).as("n_out_hi"))
-      .select(col("seg").as("c_mktsegment"), col("n"),
-        col("q1_price"), col("q3_price"), col("n_out_lo"), col("n_out_hi"),
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("q1_rev"), col("q3_rev"), col("n_out_lo"), col("n_out_hi"),
         (round((col("n_out_lo") + col("n_out_hi")).cast("double") /
-          col("n").cast("double"), 6) + 0.0).as("outlier_share"))
+          col("n_customers").cast("double"), 6) + 0.0).as("outlier_share"))
       .orderBy("c_mktsegment")
   }
 
   val q214TukeyFencesSql: String =
     """WITH o AS (
-      |  SELECT c_mktsegment AS seg,
-      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
       |q AS (
       |  SELECT seg, quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3,
       |    CAST(FLOOR(quantile_cont(c, 0.25)
@@ -2110,9 +2122,9 @@ object CurationQueries {
       |      + 1.5 * (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
       |      + 0.5) AS BIGINT) AS fhi
       |  FROM o GROUP BY seg)
-      |SELECT o.seg AS c_mktsegment, COUNT(*) AS n,
-      |  MAX(ROUND(q1 / 100.0, 4) + 0) AS q1_price,
-      |  MAX(ROUND(q3 / 100.0, 4) + 0) AS q3_price,
+      |SELECT o.seg AS c_mktsegment, COUNT(*) AS n_customers,
+      |  MAX(ROUND(q1 / 100.0, 4) + 0) AS q1_rev,
+      |  MAX(ROUND(q3 / 100.0, 4) + 0) AS q3_rev,
       |  CAST(SUM(CASE WHEN c < flo THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
       |  CAST(SUM(CASE WHEN c > fhi THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
       |  ROUND(CAST(SUM(CASE WHEN c < flo OR c > fhi THEN 1 ELSE 0 END)
@@ -2127,6 +2139,13 @@ object CurationQueries {
     * robust counterpart to q97's mean/stddev screen: one 50%-corrupted
     * cell can't move this threshold, where a single bad value owns a
     * z-score's σ.
+    *
+    * Round 11 de-vacuification (the q175 lesson, same as q214): raw
+    * order value has no tail beyond the Hampel threshold at any SF —
+    * the screen was hash-green while flagging nothing. The screen now
+    * runs on per-customer lifetime revenue, whose skewed sum
+    * distribution genuinely trips the fence (1 / 9 / 77 flagged at
+    * sf0.001/0.01/0.1 — measured, pinned by NonDegeneracySpec).
     *
     * Exactness: everything is integer until display. The median of
     * DOUBLED cents is an exact int (interpolation (a+b)/2 on doubled
@@ -2143,8 +2162,9 @@ object CurationQueries {
       .join(broadcast(Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"),
-        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
     val med = o.groupBy("seg")
       .agg(percentile(col("c") * 2, lit(0.5)).cast("long").as("m2"))
     val dev = o.join(broadcast(med), "seg")
@@ -2153,23 +2173,25 @@ object CurationQueries {
       .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
     dev.join(broadcast(mad), "seg")
       .groupBy("seg")
-      .agg(count(lit(1)).as("n"),
-        max(round(col("m2") / 200.0, 4) + 0.0).as("median_price"),
-        max(round(col("mad4") / 400.0, 4) + 0.0).as("mad_price"),
+      .agg(count(lit(1)).as("n_customers"),
+        max(round(col("m2") / 200.0, 4) + 0.0).as("median_rev"),
+        max(round(col("mad4") / 400.0, 4) + 0.0).as("mad_rev"),
         sum(when(col("dev2") * 20000L > col("mad4") * 44478L, 1L)
           .otherwise(0L)).as("n_outliers"))
-      .select(col("seg").as("c_mktsegment"), col("n"), col("median_price"),
-        col("mad_price"), col("n_outliers"),
-        (round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("median_rev"), col("mad_rev"), col("n_outliers"),
+        (round(col("n_outliers").cast("double") /
+          col("n_customers").cast("double"), 6)
           + 0.0).as("outlier_share"))
       .orderBy("c_mktsegment")
   }
 
   val q215MadOutliersSql: String =
     """WITH o AS (
-      |  SELECT c_mktsegment AS seg,
-      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
       |med AS (
       |  SELECT seg, CAST(quantile_cont(c * 2, 0.5) AS BIGINT) AS m2
       |  FROM o GROUP BY seg),
@@ -2179,9 +2201,9 @@ object CurationQueries {
       |mad AS (
       |  SELECT seg, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
       |  FROM dev GROUP BY seg)
-      |SELECT dev.seg AS c_mktsegment, COUNT(*) AS n,
-      |  MAX(ROUND(m2 / 200.0, 4) + 0) AS median_price,
-      |  MAX(ROUND(mad4 / 400.0, 4) + 0) AS mad_price,
+      |SELECT dev.seg AS c_mktsegment, COUNT(*) AS n_customers,
+      |  MAX(ROUND(m2 / 200.0, 4) + 0) AS median_rev,
+      |  MAX(ROUND(mad4 / 400.0, 4) + 0) AS mad_rev,
       |  CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_outliers,
       |  ROUND(CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0
@@ -2189,15 +2211,26 @@ object CurationQueries {
       |FROM dev JOIN mad USING (seg)
       |GROUP BY dev.seg ORDER BY dev.seg""".stripMargin
 
-  /** L150 Benjamini–Hochberg FDR control over a family of per-brand
-    * proportion tests (Benjamini & Hochberg 1995 [PK]): each brand's
-    * high-quantity share vs the pooled rate (one-sample z), two-sided
-    * p via the classical Abramowitz–Stegun 26.2.17 polynomial normal
-    * CDF (|ε| < 7.5·10⁻⁸ — the p VALUE is defined as this
-    * approximation, identically on both engines), then the BH step-up:
-    * reject the k smallest p-values where p₍ₖ₎ ≤ α·k/m, α = 0.05.
-    * The multiple-comparisons discipline q172's single test doesn't
-    * need but any per-segment screen (q146/q186) does.
+  /** L150 Benjamini–Hochberg FDR control over a family of per-source
+    * composition tests (Benjamini & Hochberg 1995 [PK]): each corpus
+    * source's share of English documents vs the five-language uniform
+    * design null p₀ = 0.2 (one-sample z), two-sided p via the
+    * classical Abramowitz–Stegun 26.2.17 polynomial normal CDF
+    * (|ε| < 7.5·10⁻⁸ — the p VALUE is defined as this approximation,
+    * identically on both engines), then the BH step-up: reject the k
+    * smallest p-values where p₍ₖ₎ ≤ α·k/m, α = 0.05. The
+    * multiple-comparisons discipline q172's single test doesn't need
+    * but any per-segment screen (q146/q186) does.
+    *
+    * Round 11 de-vacuification (the q175 lesson): the original family
+    * tested per-brand high-quantity shares against the POOLED rate —
+    * a null that is TRUE by fixture construction, so the step-up
+    * rejected nothing at any SF (the machinery was hash-green while
+    * never once stepping up). English is construction-boosted to
+    * ~0.4 of the corpus, so per-source tests against the uniform
+    * design spec carry genuine sparse signal: 10 / 14 / 20 of ~20
+    * sources rejected at sf0.001/0.01/0.1 (measured, pinned by
+    * NonDegeneracySpec) — the adaptive threshold does real work.
     *
     * Parity: z is a double chain from exact int64 counts; p quantizes
     * to int64 1e-8 units BEFORE every BH comparison, so the step-up
@@ -2206,20 +2239,16 @@ object CurationQueries {
     * threshold unless p sits within 10⁻¹⁶ of a boundary (the q196
     * accepted-residual class, documented there).
     *
-    * Scale: one map-side-combinable brand census (≤25 rows); every
+    * Scale: one map-side-combinable source census (≤20 rows); every
     * window below it runs over that census. */
   def q216BhFdr(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand").as("brand"))
+    val g = Tables.documents(s, dir)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("x"))
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("x"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val t = g.withColumn("nt", sum(col("n")).over(wAll))
-      .withColumn("xt", sum(col("x")).over(wAll))
-    val p0 = col("xt").cast("double") / col("nt")
+    val p0 = lit(0.2)
     val zv = (col("x").cast("double") / col("n") - p0) /
       sqrt(p0 * (lit(1.0) - p0) / col("n"))
     val za = abs(col("zv"))
@@ -2230,15 +2259,15 @@ object CurationQueries {
       + lit(1.781477937) * pow(tInv, 3)
       - lit(1.821255978) * pow(tInv, 4)
       + lit(1.330274429) * pow(tInv, 5))
-    val p = t.withColumn("zv", zv)
+    val p = g.withColumn("zv", zv)
       .withColumn("pq", floor(lit(2.0) * pTail * 1e8 + 0.5).cast("long"))
-    val wRank = Window.orderBy(col("pq"), col("brand"))
+    val wRank = Window.orderBy(col("pq"), col("source"))
     val r = p.withColumn("rk", row_number().over(wRank))
       .withColumn("m", count(lit(1)).over(wAll))
       .withColumn("cutoff",
         max(when(col("pq") * col("m") <= col("rk") * 5000000L, col("rk"))
           .otherwise(0L)).over(wAll))
-    r.select(col("brand"), col("n"), col("x"),
+    r.select(col("source"), col("n"), col("x"),
       (round(col("zv"), 4) + 0.0).as("z"),
       (col("pq").cast("double") / 1e8).as("p"),
       col("rk"),
@@ -2248,24 +2277,18 @@ object CurationQueries {
 
   val q216BhFdrSql: String =
     """WITH g AS (
-      |  SELECT p_brand AS brand, COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
       |      AS x
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  FROM documents
       |  GROUP BY 1),
-      |t AS (
-      |  SELECT brand, n, x,
-      |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
-      |    CAST(SUM(x) OVER () AS BIGINT) AS xt
-      |  FROM g),
       |z AS (
-      |  SELECT brand, n, x,
-      |    (CAST(x AS DOUBLE) / n - CAST(xt AS DOUBLE) / nt)
-      |      / SQRT((CAST(xt AS DOUBLE) / nt) * (1.0 - CAST(xt AS DOUBLE) / nt)
-      |        / n) AS zv
-      |  FROM t),
+      |  SELECT source, n, x,
+      |    (CAST(x AS DOUBLE) / n - 0.2)
+      |      / SQRT(0.2 * (1.0 - 0.2) / n) AS zv
+      |  FROM g),
       |p AS (
-      |  SELECT brand, n, x, zv,
+      |  SELECT source, n, x, zv,
       |    CAST(FLOOR(2.0 * (exp(-abs(zv) * abs(zv) / 2.0)
       |        / 2.5066282746310002)
       |      * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(zv)))
@@ -2276,15 +2299,15 @@ object CurationQueries {
       |      * 1e8 + 0.5) AS BIGINT) AS pq
       |  FROM z),
       |r AS (
-      |  SELECT brand, n, x, zv, pq,
-      |    ROW_NUMBER() OVER (ORDER BY pq, brand) AS rk,
+      |  SELECT source, n, x, zv, pq,
+      |    ROW_NUMBER() OVER (ORDER BY pq, source) AS rk,
       |    COUNT(*) OVER () AS m
       |  FROM p),
       |c AS (
       |  SELECT *, MAX(CASE WHEN pq * m <= 5000000 * rk THEN rk ELSE 0 END)
       |    OVER () AS cutoff
       |  FROM r)
-      |SELECT brand, n, x, ROUND(zv, 4) + 0 AS z,
+      |SELECT source, n, x, ROUND(zv, 4) + 0 AS z,
       |  CAST(pq AS DOUBLE) / 1e8 AS p, rk,
       |  CAST(CASE WHEN rk <= cutoff THEN 1 ELSE 0 END AS INT) AS significant
       |FROM c ORDER BY rk""".stripMargin
