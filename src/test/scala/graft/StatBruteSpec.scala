@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Independent brute-force references for the round-10 rank/robust
-  * statistics (q210 Mann–Whitney, q211 Kendall τ-b, q226 Pettitt).
+/** Independent brute-force references for the mirror-constructed
+  * statistics: q210 Mann–Whitney, q211 Kendall τ-b, q216 BH step-up,
+  * q219 Durbin–Levinson PACF, q224 log-rank, q225 Woolf CIs, q226
+  * Pettitt, q227 Kruskal–Wallis, q228 ANOVA, q229 Mantel–Haenszel.
   *
   * The DuckDB oracle mirrors share each query's CONSTRUCTION (the same
   * census algebra, the same quantization), so a formula error would
@@ -209,5 +211,186 @@ class StatBruteSpec extends SparkSpec {
     assert(row.getAs[java.sql.Date]("change_day").toString === bestDay.toString)
     assert(row.getAs[Long]("n_days") === n.toLong)
     assert(math.abs(row.getAs[Double]("p_approx") - p) < 5e-6)
+  }
+
+  /** Abramowitz–Stegun 26.2.17 two-sided normal p — the same polynomial
+    * the queries define their p-values by, recomputed sequentially. */
+  private def pTwoSided(z: Double): Double = {
+    val za = math.abs(z)
+    val t = 1.0 / (1.0 + 0.2316419 * za)
+    val phi = math.exp(-za * za / 2.0) / 2.5066282746310002
+    2.0 * phi * (0.319381530 * t - 0.356563782 * t * t +
+      1.781477937 * math.pow(t, 3) - 1.821255978 * math.pow(t, 4) +
+      1.330274429 * math.pow(t, 5))
+  }
+
+  test("q216 BH step-up matches a sequential sort-and-cutoff walk") {
+    val rows = SparkEntry.queries("q216_bh_fdr")(spark, sf0001)
+      .orderBy("rk").collect()
+
+    val cells = Tables.documents(spark, sf0001)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val scored = cells.map { case (src, n, x) =>
+      val z = (x.toDouble / n - 0.2) / math.sqrt(0.2 * 0.8 / n)
+      (src, n, x, z, pTwoSided(z))
+    }.sortBy(t => (t._5, t._1))
+    val m = scored.length
+    // BH: the LARGEST k with p(k) <= alpha*k/m; everything at or below
+    // rank k is rejected (including any non-monotone smaller p)
+    val cutoff = (1 to m).filter(k => scored(k - 1)._5 <= 0.05 * k / m)
+      .lastOption.getOrElse(0)
+
+    assert(rows.length === m)
+    rows.zip(scored).zipWithIndex.foreach {
+      case ((row, (src, n, x, z, p)), idx) =>
+        assert(row.getAs[String]("source") === src)
+        assert(row.getAs[Long]("n") === n)
+        assert(row.getAs[Long]("x") === x)
+        assert(math.abs(row.getAs[Double]("z") - z) < 5e-4)
+        assert(math.abs(row.getAs[Double]("p") - p) < 1e-6)
+        assert(row.getAs[Int]("rk") === idx + 1)
+        assert(row.getAs[Int]("significant") ===
+          (if (idx + 1 <= cutoff) 1 else 0),
+          s"rank ${idx + 1}: step-up decision diverges from brute cutoff $cutoff")
+    }
+    assert(cutoff > 0, "brute cutoff itself degenerate — fixture drifted?")
+  }
+
+  test("q219 PACF lags 1-3 match a sequential Durbin-Levinson recursion") {
+    val rows = SparkEntry.queries("q219_pacf")(spark, sf0001)
+      .orderBy("lag").collect().map(_.getAs[Double]("pacf"))
+
+    val rev = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    // lag-k Pearson r over the (x_{t-k}, x_t) pair set — the lagged
+    // sample correlation convention the query documents
+    def rLag(k: Int): Double = {
+      val xs = rev.dropRight(k); val ys = rev.drop(k)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(b => b * b).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val (r1, r2, r3) = (rLag(1), rLag(2), rLag(3))
+    // Durbin–Levinson: phi_11 = r1; phi_22 = (r2 - r1^2)/(1 - r1^2);
+    // phi_21 = phi_11 - phi_22*phi_11; phi_33 closes over both
+    val p11 = r1
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = p11 - p22 * p11
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+
+    assert(rows.length === 3)
+    Seq(p11, p22, p33).zip(rows).zipWithIndex.foreach {
+      case ((brute, got), k) =>
+        assert(math.abs(got - brute) < 2e-6,
+          s"pacf lag ${k + 1}: $got vs brute $brute")
+    }
+  }
+
+  test("q225 odds ratios and Woolf CIs match a sequential 2x2 walk") {
+    val rows = SparkEntry.queries("q225_odds_ratio")(spark, sf0001)
+      .orderBy("brand").collect()
+
+    val cells = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") >= 30, 0L).otherwise(1L)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (totA, totB) = (cells.map(_._2).sum, cells.map(_._3).sum)
+
+    assert(rows.length === cells.length)
+    rows.zip(cells).foreach { case (row, (brand, a, b)) =>
+      val c = totA - a; val d = totB - b
+      val orr = a.toDouble * d / (b.toDouble * c)
+      val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+      assert(row.getAs[String]("brand") === brand)
+      assert(row.getAs[Long]("a") === a && row.getAs[Long]("b") === b)
+      assert(row.getAs[Long]("c") === c && row.getAs[Long]("d") === d)
+      assert(math.abs(row.getAs[Double]("odds_ratio") - orr) < 5e-4)
+      assert(math.abs(row.getAs[Double]("ci_lo") -
+        math.exp(math.log(orr) - 1.96 * se)) < 5e-4)
+      assert(math.abs(row.getAs[Double]("ci_hi") -
+        math.exp(math.log(orr) + 1.96 * se)) < 5e-4)
+    }
+  }
+
+  test("q228 ANOVA F matches a sequential sum-of-squares decomposition") {
+    val rows = SparkEntry.queries("q228_anova_f")(spark, sf0001).collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2.toDouble)
+    }
+    val grand = data.map(_._2.toDouble).sum / data.length
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val k = groups.size
+    val f = (ssb / (k - 1)) / (ssw / (data.length - k))
+
+    assert(rows.length === k)
+    rows.foreach { row =>
+      // the query pins each Sj^2/nj to int64 with one floor(x+0.5) —
+      // at most 0.5 absolute error per group, so compare relative
+      assert(math.abs(row.getAs[Long]("ss_between") - ssb) / ssb < 1e-6,
+        s"SSB ${row.getAs[Long]("ss_between")} vs brute $ssb")
+      assert(math.abs(row.getAs[Long]("ss_within") - ssw) / ssw < 1e-6,
+        s"SSW ${row.getAs[Long]("ss_within")} vs brute $ssw")
+      assert(math.abs(row.getAs[Double]("f_stat") - f) < 5e-3,
+        s"F ${row.getAs[Double]("f_stat")} vs brute $f")
+    }
+  }
+
+  test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
+    val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
+      .orderBy("c_mktsegment").collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("c_mktsegment"),
+        (col("o_orderpriority") === "1-URGENT"),
+        (col("o_totalprice") >= 200000.0))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    val strata = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, xs) =>
+      val a = xs.count(t => t._2 && t._3).toDouble
+      val b = xs.count(t => t._2 && !t._3).toDouble
+      val c = xs.count(t => !t._2 && t._3).toDouble
+      val d = xs.count(t => !t._2 && !t._3).toDouble
+      (g, a, b, c, d)
+    }
+    val sumAd = strata.map { case (_, a, b, c, d) => a * d / (a + b + c + d) }.sum
+    val sumBc = strata.map { case (_, a, b, c, d) => b * c / (a + b + c + d) }.sum
+    val orMh = sumAd / sumBc
+
+    assert(rows.length === strata.length)
+    rows.zip(strata).foreach { case (row, (g, a, b, c, d)) =>
+      assert(row.getAs[String]("c_mktsegment") === g)
+      assert(row.getAs[Long]("a").toDouble === a)
+      assert(row.getAs[Long]("d").toDouble === d)
+      assert(math.abs(row.getAs[Double]("or_stratum") - a * d / (b * c)) < 5e-4)
+      assert(math.abs(row.getAs[Double]("or_mh") - orMh) < 5e-4,
+        s"OR_MH ${row.getAs[Double]("or_mh")} vs brute $orMh")
+    }
   }
 }
