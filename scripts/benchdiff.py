@@ -1,25 +1,42 @@
 #!/usr/bin/env python3
-"""Per-query bench regression tripwire.
+"""Per-query bench regression tripwire with host-drift normalization.
 
 Diffs two bench artifacts — BENCH_r{N}.json wrappers (whose `tail` may
 be front-truncated) or raw `graft.Bench` stdout files — and flags
-queries whose time grew by more than THRESHOLD (default 1.5x). Only
-queries visible in BOTH tails are comparable; the count of each side's
-visible queries is printed so a silent truncation never reads as "no
-regressions".
+queries whose NORMALIZED time grew by more than THRESHOLD (default
+1.5x). Only queries visible in BOTH tails are comparable; the count of
+each side's visible queries is printed so a silent truncation never
+reads as "no regressions".
+
+Host-drift normalization (the round-10 lesson, automated per the
+round-10 verdict): artifact hosts drift — r10's driver host ran
+code-frozen queries a median 1.20x slower than r9's, which manual
+triage had to divide out before any flag meant anything. The tripwire
+now does that division itself: the YARDSTICK ratio is the median
+new/old ratio over three queries frozen since round 1
+(q1_pricing_summary, q32_date_funcs, q25_moving_avg — pure CPU-bound
+plans nobody edits), and every per-query ratio is divided by it before
+flagging. Output shows BOTH raw and normalized ratios; the exit gate
+uses the normalized one.
 
 Usage:
   python3 scripts/benchdiff.py BENCH_r07.json BENCH_r08.json [threshold]
   python3 scripts/benchdiff.py /tmp/bench_a.json /tmp/bench_b.json 1.3
 
-Exit code 1 if any regression above threshold (for use as a gate).
+Exit code 1 if any normalized regression above threshold (for use as a
+gate).
 """
 import json
 import re
+import statistics
 import sys
 
 QUERY_RE = re.compile(r'"(q[0-9][^"]*)":([0-9.]+)')
 TOTAL_RE = re.compile(r'"n_queries":(\d+),"value":([0-9.]+)')
+
+# Frozen since round 1; if one is ever edited, replace it here and note
+# the swap in README's bench-noise protocol.
+YARDSTICK = ("q1_pricing_summary", "q32_date_funcs", "q25_moving_avg")
 
 
 def load(path):
@@ -53,21 +70,40 @@ def main():
           + (f", total {old_total[1]:.1f}s/{old_total[0]}" if old_total else ""))
     print(f"new: {len(new)} queries visible"
           + (f", total {new_total[1]:.1f}s/{new_total[0]}" if new_total else ""))
-    print(f"comparable: {len(common)}  (threshold {threshold}x, "
+
+    yard_ratios = [new[q] / old[q] for q in YARDSTICK
+                   if q in old and q in new and old[q] > 0]
+    if yard_ratios:
+        yard = statistics.median(yard_ratios)
+        detail = ", ".join(
+            f"{q}={new[q] / old[q]:.2f}x" for q in YARDSTICK
+            if q in old and q in new and old[q] > 0)
+        print(f"yardstick (host drift): {yard:.2f}x  [{detail}] — "
+              f"per-query ratios below are divided by this before flagging")
+    else:
+        yard = 1.0
+        print("yardstick: no frozen queries visible in both artifacts — "
+              "ratios NOT normalized (treat flags with suspicion)")
+
+    print(f"comparable: {len(common)}  (threshold {threshold}x normalized, "
           f"floor 0.2s — sub-floor queries are JVM noise)")
     regressions, improvements = [], []
     for q in common:
         a, b = old[q], new[q]
-        if b > a * threshold and b > 0.2:
-            regressions.append((b / a, q, a, b))
-        elif a > b * threshold and a > 0.2:
-            improvements.append((a / b, q, a, b))
-    for ratio, q, a, b in sorted(regressions, reverse=True):
-        print(f"REGRESSION {q}: {a:.3f}s -> {b:.3f}s ({ratio:.2f}x)")
-    for ratio, q, a, b in sorted(improvements, reverse=True):
-        print(f"improved   {q}: {a:.3f}s -> {b:.3f}s ({ratio:.2f}x faster)")
+        raw_ratio = b / a if a > 0 else float("inf")
+        norm = raw_ratio / yard
+        if norm > threshold and b > 0.2:
+            regressions.append((norm, raw_ratio, q, a, b))
+        elif 1 / norm > threshold and a > 0.2:
+            improvements.append((1 / norm, raw_ratio, q, a, b))
+    for norm, raw_ratio, q, a, b in sorted(regressions, reverse=True):
+        print(f"REGRESSION {q}: {a:.3f}s -> {b:.3f}s "
+              f"(raw {raw_ratio:.2f}x, normalized {norm:.2f}x)")
+    for norm, raw_ratio, q, a, b in sorted(improvements, reverse=True):
+        print(f"improved   {q}: {a:.3f}s -> {b:.3f}s "
+              f"(raw {raw_ratio:.2f}x, normalized {norm:.2f}x faster)")
     if not regressions:
-        print("no regressions above threshold")
+        print("no normalized regressions above threshold")
     sys.exit(1 if regressions else 0)
 
 
