@@ -2835,4 +2835,338 @@ object CurationQueries {
       |    AS or_stratum,
       |  ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 4) + 0 AS or_mh
       |FROM t2 ORDER BY seg""".stripMargin
+
+  /** Abramowitz–Stegun 26.2.17 two-sided normal p for a z column — the
+    * q216 machinery factored out for the round-11 test family. The p
+    * VALUE is defined as this polynomial (|ε| < 7.5·10⁻⁸), identically
+    * on both engines; callers quantize to 1e-8 units (q216 discipline)
+    * so a 1-ulp exp() divergence cannot flip a displayed digit. */
+  private def asTwoSidedP(z: Column): Column = {
+    val za = abs(z)
+    val tInv = lit(1.0) / (lit(1.0) + lit(0.2316419) * za)
+    val phi = exp(-za * za / 2.0) / lit(2.5066282746310002)
+    lit(2.0) * phi * (lit(0.319381530) * tInv
+      - lit(0.356563782) * pow(tInv, 2)
+      + lit(1.781477937) * pow(tInv, 3)
+      - lit(1.821255978) * pow(tInv, 4)
+      + lit(1.330274429) * pow(tInv, 5))
+  }
+
+  /** The same A-S 26.2.17 chain as SQL text over a z expression. */
+  private def asTwoSidedPSql(z: String): String =
+    s"""(2.0 * (exp(-abs($z) * abs($z) / 2.0) / 2.5066282746310002)
+       |  * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs($z)))
+       |   - 0.356563782 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 2)
+       |   + 1.781477937 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 3)
+       |   - 1.821255978 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 4)
+       |   + 1.330274429 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 5)))
+       |""".stripMargin.replace("\n", " ")
+
+  /** L165 Welch's unequal-variance t-test (Welch 1947 [PK]): BUILDING
+    * vs FURNITURE order values — the two-sample location test that
+    * does NOT assume equal variances (q228's pooled ANOVA does), with
+    * the Welch–Satterthwaite effective df. The robust default for
+    * comparing two segments' spend.
+    *
+    * Parity: values ride whole dollars (q228 pin); per-group n/Σv/Σv²
+    * are exact int64/DECIMAL(38,0); means, variances, t, and df are
+    * ONE identical double chain on both engines (S² exceeds 2⁵³ at
+    * large SF, so parity rests on the identical chain, not exactness —
+    * the q227 doc discipline), 4dp displayed.
+    *
+    * Scale: one map-side-combinable 2-group moment agg; everything
+    * after is 1-row algebra. */
+  def q231WelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select((col("c_mktsegment") === "BUILDING").as("ga"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("ga")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val piv = g.agg(
+      max(when(col("ga"), col("n"))).as("n_a"),
+      max(when(col("ga"), col("sv"))).as("s_a"),
+      max(when(col("ga"), col("qv"))).as("q_a"),
+      max(when(!col("ga"), col("n"))).as("n_b"),
+      max(when(!col("ga"), col("sv"))).as("s_b"),
+      max(when(!col("ga"), col("qv"))).as("q_b"))
+    def m(sv: String, n: String) = col(sv).cast("double") / col(n)
+    def va(qv: String, sv: String, n: String) =
+      (col(qv).cast("double") -
+        col(sv).cast("double") * col(sv).cast("double") / col(n)) /
+        (col(n) - lit(1.0))
+    val (ma, mb) = (m("s_a", "n_a"), m("s_b", "n_b"))
+    val (sea, seb) = (va("q_a", "s_a", "n_a") / col("n_a"),
+      va("q_b", "s_b", "n_b") / col("n_b"))
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("n_a") - lit(1.0)) +
+        seb * seb / (col("n_b") - lit(1.0)))
+    piv.select(col("n_a"), col("n_b"),
+      (round(ma, 4) + 0.0).as("mean_a"),
+      (round(mb, 4) + 0.0).as("mean_b"),
+      (round(t, 4) + 0.0).as("t_stat"),
+      (round(df, 4) + 0.0).as("df"))
+  }
+
+  val q231WelchTtestSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment = 'BUILDING' AS ga,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'FURNITURE')),
+      |g AS (
+      |  SELECT ga, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM o GROUP BY ga),
+      |piv AS (
+      |  SELECT
+      |    MAX(CASE WHEN ga THEN n END) AS n_a,
+      |    MAX(CASE WHEN ga THEN sv END) AS s_a,
+      |    MAX(CASE WHEN ga THEN qv END) AS q_a,
+      |    MAX(CASE WHEN NOT ga THEN n END) AS n_b,
+      |    MAX(CASE WHEN NOT ga THEN sv END) AS s_b,
+      |    MAX(CASE WHEN NOT ga THEN qv END) AS q_b
+      |  FROM g),
+      |c AS (
+      |  SELECT n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / n_a AS ma,
+      |    CAST(s_b AS DOUBLE) / n_b AS mb,
+      |    (CAST(q_a AS DOUBLE)
+      |      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+      |      / (n_a - 1.0) / n_a AS sea,
+      |    (CAST(q_b AS DOUBLE)
+      |      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+      |      / (n_b - 1.0) / n_b AS seb
+      |  FROM piv)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(ma, 4) + 0 AS mean_a, ROUND(mb, 4) + 0 AS mean_b,
+      |  ROUND((ma - mb) / SQRT(sea + seb), 4) + 0 AS t_stat,
+      |  ROUND((sea + seb) * (sea + seb)
+      |    / (sea * sea / (n_a - 1.0) + seb * seb / (n_b - 1.0)), 4) + 0
+      |    AS df
+      |FROM c""".stripMargin
+
+  /** L166 Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    * 1974 [PK], the median-centered Levene): one-way ANOVA on
+    * |v − median_g| across the 5 segments — the assumption check
+    * q228's pooled-variance F silently makes. Median-centering (vs
+    * Levene's mean) keeps the 50% breakdown point.
+    *
+    * Parity: group medians ride DOUBLED whole dollars so the
+    * interpolated median is an exact int (q215 discipline); deviations
+    * dev2 = |2v − m2| are exact int64; the F decomposition then
+    * follows the q228 chain verbatim on dev2 (per-group Sⱼ²/nⱼ pinned
+    * by one identical floor; F scale-invariant so doubled units cancel).
+    *
+    * Scale: one exact-percentile census (≤5 groups) broadcast back,
+    * one moment agg, ≤5-row algebra — two fact passes total. */
+  def q232BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val med = o.groupBy("seg")
+      .agg(percentile(col("v") * 2, lit(0.5)).cast("long").as("m2"))
+    val dev = o.join(broadcast(med), "seg")
+      .select(col("seg"), abs(col("v") * 2 - col("m2")).as("dev2"))
+    val g = dev.groupBy("seg")
+      .agg(count(lit(1)).as("nj"), sum(col("dev2").cast(dec)).as("sj"),
+        sum(col("dev2").cast(dec) * col("dev2").cast(dec)).as("qj"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("vq",
+        floor((col("sj").cast("double") * col("sj").cast("double")) /
+          col("nj").cast("double") + 0.5).cast("long"))
+      .withColumn("nt", sum(col("nj")).over(wAll))
+      .withColumn("st", sum(col("sj")).over(wAll))
+      .withColumn("qt", sum(col("qj")).over(wAll))
+      .withColumn("sv", sum(col("vq")).over(wAll))
+    val grand = floor((col("st").cast("double") * col("st").cast("double")) /
+      col("nt").cast("double") + 0.5).cast("long")
+    val ssb = col("sv") - grand
+    val ssw = col("qt").cast("long") - col("sv")
+    val f = (ssb.cast("double") / 4.0) /
+      (ssw.cast("double") / (col("nt").cast("double") - 5.0))
+    t.select(col("seg").as("c_mktsegment"), col("nj"),
+        (round(col("sj").cast("double") / (col("nj") * lit(2.0)), 4) + 0.0)
+          .as("mean_absdev"),
+        (round(f, 4) + 0.0).as("bf_stat"),
+        lit(4).as("df1"),
+        (col("nt") - 5).as("df2"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q232BrownForsytheSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |med AS (
+      |  SELECT seg, CAST(quantile_cont(v * 2, 0.5) AS BIGINT) AS m2
+      |  FROM o GROUP BY seg),
+      |dev AS (
+      |  SELECT o.seg, abs(v * 2 - m2) AS dev2
+      |  FROM o JOIN med ON o.seg = med.seg),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nj,
+      |    SUM(CAST(dev2 AS HUGEINT)) AS sj,
+      |    SUM(CAST(dev2 AS HUGEINT) * dev2) AS qj
+      |  FROM dev GROUP BY seg),
+      |t AS (
+      |  SELECT seg, nj, sj, qj,
+      |    CAST(FLOOR((CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+      |      / CAST(nj AS DOUBLE) + 0.5) AS BIGINT) AS vq,
+      |    CAST(SUM(nj) OVER () AS BIGINT) AS nt,
+      |    SUM(sj) OVER () AS st,
+      |    SUM(qj) OVER () AS qt
+      |  FROM g),
+      |t2 AS (
+      |  SELECT *,
+      |    CAST(SUM(vq) OVER () AS BIGINT) AS sv,
+      |    CAST(FLOOR((CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+      |      / CAST(nt AS DOUBLE) + 0.5) AS BIGINT) AS grand
+      |  FROM t)
+      |SELECT seg AS c_mktsegment, nj,
+      |  ROUND(CAST(sj AS DOUBLE) / (nj * 2.0), 4) + 0 AS mean_absdev,
+      |  ROUND((CAST(sv - grand AS DOUBLE) / 4.0)
+      |    / (CAST(CAST(qt AS BIGINT) - sv AS DOUBLE)
+      |      / (CAST(nt AS DOUBLE) - 5.0)), 4) + 0 AS bf_stat,
+      |  4 AS df1, nt - 5 AS df2
+      |FROM t2 ORDER BY seg""".stripMargin
+
+  /** L167 McNemar's paired test (McNemar 1947 [PK], continuity-
+    * corrected): per customer, the paired binary traits "ever placed an
+    * URGENT order" vs "ever placed a 5-LOW order" — marginal
+    * homogeneity decided ONLY by the discordant cells,
+    * χ² = (|b−c|−1)²/(b+c). The paired complement to q172's
+    * independent-samples z (independent tests are WRONG for paired
+    * designs — this is the one to reach for).
+    *
+    * Parity: the 2×2 is an exact int64 census; χ² is one double chain
+    * 4dp; p rides the A-S polynomial on √χ², quantized 1e-8 (q216
+    * discipline).
+    *
+    * Scale: one map-side-combinable per-customer agg (bool_or is
+    * max-combinable) → one 1-row census. */
+  def q233McNemar(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .as("u"),
+        max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
+          .as("l"))
+    val cen = per.agg(
+      sum(when(col("u") === 1 && col("l") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("u") === 1 && col("l") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("u") === 0 && col("l") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("u") === 0 && col("l") === 0, 1L).otherwise(0L)).as("d"))
+    val chi = pow(abs(col("b") - col("c")).cast("double") - lit(1.0), 2) /
+      (col("b") + col("c")).cast("double")
+    cen.select(col("a"), col("b"), col("c"), col("d"),
+      (round(chi, 4) + 0.0).as("chi2_cc"),
+      (floor(asTwoSidedP(sqrt(chi)) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q233McNemarSql: String = {
+    val chi = "(POWER(abs(b - c) - 1.0, 2) / CAST(b + c AS DOUBLE))"
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       |      AS u,
+       |    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS l
+       |  FROM orders GROUP BY 1),
+       |cen AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN u = 1 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a,
+       |    CAST(SUM(CASE WHEN u = 1 AND l = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS b,
+       |    CAST(SUM(CASE WHEN u = 0 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c,
+       |    CAST(SUM(CASE WHEN u = 0 AND l = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS d
+       |  FROM per)
+       |SELECT a, b, c, d,
+       |  ROUND($chi, 4) + 0 AS chi2_cc,
+       |  FLOOR(${asTwoSidedPSql(s"SQRT($chi)")} * 1e8 + 0.5) / 1e8 AS p
+       |FROM cen""".stripMargin
+  }
+
+  /** L168 Cochran–Armitage trend test (Cochran 1954, Armitage 1955
+    * [PK]): is the high-value-order rate monotone across the FIVE
+    * ORDERED priority levels (scores 1..5 from the priority prefix)?
+    * z = Σsᵢ(xᵢ − nᵢp̄) / √(p̄(1−p̄)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)) — the
+    * dose-response test a flat chi-square (q186) can't see direction
+    * in.
+    *
+    * Parity: the per-level (nᵢ, xᵢ) census and all score sums are
+    * exact int64 (scores are literal ints); z is one double chain; p
+    * rides A-S quantized 1e-8 (q216 discipline).
+    *
+    * Scale: one map-side-combinable 5-row census; the trend algebra
+    * runs over that census via an unpartitioned window of 5 rows. */
+  def q234CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+        col("o_orderpriority").as("priority"),
+        when(col("o_totalprice") >= 200000.0, 1L).otherwise(0L).as("hi"))
+    val g = o.groupBy("sc", "priority")
+      .agg(count(lit(1)).as("n_i"), sum(col("hi")).as("x_i"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("nt", sum(col("n_i")).over(wAll))
+      .withColumn("xt", sum(col("x_i")).over(wAll))
+      .withColumn("ssx", sum(col("sc") * col("x_i")).over(wAll))
+      .withColumn("ssn", sum(col("sc") * col("n_i")).over(wAll))
+      .withColumn("ss2n", sum(col("sc") * col("sc") * col("n_i")).over(wAll))
+    val pBar = col("xt").cast("double") / col("nt")
+    val tNum = col("ssx").cast("double") - pBar * col("ssn")
+    val tVar = pBar * (lit(1.0) - pBar) *
+      (col("ss2n").cast("double") -
+        col("ssn").cast("double") * col("ssn") / col("nt"))
+    val z = tNum / sqrt(tVar)
+    t.select(col("priority"), col("sc").as("score"), col("n_i"), col("x_i"),
+        (round(col("x_i").cast("double") / col("n_i"), 4) + 0.0).as("rate"),
+        (round(z, 4) + 0.0).as("z_trend"),
+        (floor(asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+      .orderBy("score")
+  }
+
+  val q234CochranArmitageSql: String = {
+    val z = "((CAST(ssx AS DOUBLE) - pbar * ssn) / SQRT(pbar * (1.0 - pbar)" +
+      " * (CAST(ss2n AS DOUBLE) - CAST(ssn AS DOUBLE) * ssn / nt)))"
+    s"""WITH o AS (
+       |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+       |    o_orderpriority AS priority,
+       |    CASE WHEN o_totalprice >= 200000.0 THEN 1 ELSE 0 END AS hi
+       |  FROM orders),
+       |g AS (
+       |  SELECT sc, priority, COUNT(*) AS n_i,
+       |    CAST(SUM(hi) AS BIGINT) AS x_i
+       |  FROM o GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(SUM(n_i) OVER () AS BIGINT) AS nt,
+       |    CAST(SUM(x_i) OVER () AS BIGINT) AS xt,
+       |    CAST(SUM(sc * x_i) OVER () AS BIGINT) AS ssx,
+       |    CAST(SUM(sc * n_i) OVER () AS BIGINT) AS ssn,
+       |    CAST(SUM(sc * sc * n_i) OVER () AS BIGINT) AS ss2n
+       |  FROM g),
+       |t2 AS (SELECT *, CAST(xt AS DOUBLE) / nt AS pbar FROM t)
+       |SELECT priority, sc AS score, n_i, x_i,
+       |  ROUND(CAST(x_i AS DOUBLE) / n_i, 4) + 0 AS rate,
+       |  ROUND($z, 4) + 0 AS z_trend,
+       |  FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
+       |FROM t2 ORDER BY score""".stripMargin
+  }
 }

@@ -203,6 +203,40 @@ class NonDegeneracySpec extends SparkSpec {
     assert(r.getAs[Double]("f_stat") > 0.0)
   }
 
+  test("q231: both Welch arms populated, t finite, df plausible") {
+    val r = run("q231_welch_ttest").head()
+    assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    assert(!r.getAs[Double]("t_stat").isNaN)
+    assert(r.getAs[Double]("df") > 1.0)
+  }
+
+  test("q232: every segment has positive median absolute deviation") {
+    val rows = run("q232_brown_forsythe").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_absdev") > 0.0,
+        "zero spread — degenerate deviation census")
+      assert(r.getAs[Double]("bf_stat") >= 0.0)
+    }
+  }
+
+  test("q233: McNemar sees discordant pairs (b + c > 0)") {
+    val r = run("q233_mcnemar").head()
+    assert(r.getAs[Long]("b") + r.getAs[Long]("c") > 0L,
+      "no discordant pairs — the test statistic is undefined")
+    Seq("a", "b", "c", "d").foreach(cell =>
+      assert(r.getAs[Long](cell) > 0L, s"empty paired cell $cell"))
+  }
+
+  test("q234: all five ordered levels feed the trend test") {
+    val rows = run("q234_cochran_armitage").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_i") > 0L && r.getAs[Long]("x_i") > 0L)
+      assert(!r.getAs[Double]("z_trend").isNaN)
+    }
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

@@ -360,6 +360,129 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q231 Welch t and Satterthwaite df match a sequential computation") {
+    val row = SparkEntry.queries("q231_welch_ttest")(spark, sf0001).head()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val a = data.filter(_._1 == "BUILDING").map(_._2)
+    val b = data.filter(_._1 == "FURNITURE").map(_._2)
+    def meanVar(xs: Array[Double]): (Double, Double) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+    val (sea, seb) = (va / a.length, vb / b.length)
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (a.length - 1) + seb * seb / (b.length - 1))
+
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    assert(math.abs(row.getAs[Double]("mean_a") - ma) < 5e-4)
+    assert(math.abs(row.getAs[Double]("t_stat") - t) < 5e-3,
+      s"t ${row.getAs[Double]("t_stat")} vs brute $t")
+    assert(math.abs(row.getAs[Double]("df") - df) / df < 1e-4,
+      s"df ${row.getAs[Double]("df")} vs brute $df")
+  }
+
+  test("q232 Brown-Forsythe F matches a sequential median-deviation ANOVA") {
+    val rows = SparkEntry.queries("q232_brown_forsythe")(spark, sf0001)
+      .collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // interpolated median on doubled units == exact integer (a + b)
+    def med2(xs: Array[Long]): Long = {
+      val s = xs.map(_ * 2).sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val devs = data.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+      val m2 = med2(xs.map(_._2))
+      xs.map(x => (g, math.abs(x._2 * 2 - m2).toDouble))
+    }
+    val groups = devs.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val grand = devs.map(_._2).sum / devs.length
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (groups.size - 1)) / (ssw / (devs.length - groups.size))
+
+    assert(rows.length === groups.size)
+    rows.foreach { row =>
+      assert(math.abs(row.getAs[Double]("bf_stat") - f) < 5e-3,
+        s"BF ${row.getAs[Double]("bf_stat")} vs brute $f")
+      val g = row.getAs[String]("c_mktsegment")
+      val expMad = groups(g).sum / groups(g).length / 2.0
+      assert(math.abs(row.getAs[Double]("mean_absdev") - expMad) < 5e-4)
+    }
+  }
+
+  test("q233 McNemar chi2 and p match a sequential paired-census walk") {
+    val row = SparkEntry.queries("q233_mcnemar")(spark, sf0001).head()
+
+    val per = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .as("u"),
+        max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
+          .as("l"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val b = per.count(t => t._1 == 1 && t._2 == 0).toLong
+    val c = per.count(t => t._1 == 0 && t._2 == 1).toLong
+    val chi = math.pow(math.abs(b - c) - 1.0, 2) / (b + c)
+    val p = pTwoSided(math.sqrt(chi))
+
+    assert(row.getAs[Long]("b") === b && row.getAs[Long]("c") === c)
+    assert(math.abs(row.getAs[Double]("chi2_cc") - chi) < 5e-3)
+    assert(math.abs(row.getAs[Double]("p") - p) < 1e-6,
+      s"p ${row.getAs[Double]("p")} vs brute $p")
+  }
+
+  test("q234 Cochran-Armitage z matches a sequential score-sum walk") {
+    val rows = SparkEntry.queries("q234_cochran_armitage")(spark, sf0001)
+      .collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long"),
+        when(col("o_totalprice") >= 200000.0, 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val levels = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum)
+    }
+    val nT = levels.map(_._2).sum
+    val xT = levels.map(_._3).sum
+    val pBar = xT.toDouble / nT
+    val tNum = levels.map { case (s, _, x) => s * x.toDouble }.sum -
+      pBar * levels.map { case (s, n, _) => s * n.toDouble }.sum
+    val sn = levels.map { case (s, n, _) => s * n.toDouble }.sum
+    val tVar = pBar * (1.0 - pBar) *
+      (levels.map { case (s, n, _) => s * s * n.toDouble }.sum - sn * sn / nT)
+    val z = tNum / math.sqrt(tVar)
+
+    assert(rows.length === levels.length)
+    rows.zip(levels).foreach { case (row, (s, n, x)) =>
+      assert(row.getAs[Long]("score") === s)
+      assert(row.getAs[Long]("n_i") === n && row.getAs[Long]("x_i") === x)
+      assert(math.abs(row.getAs[Double]("z_trend") - z) < 5e-3,
+        s"z ${row.getAs[Double]("z_trend")} vs brute $z")
+      assert(math.abs(row.getAs[Double]("p") - pTwoSided(z)) < 1e-6)
+    }
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
