@@ -2836,31 +2836,9 @@ object CurationQueries {
       |  ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 4) + 0 AS or_mh
       |FROM t2 ORDER BY seg""".stripMargin
 
-  /** Abramowitz–Stegun 26.2.17 two-sided normal p for a z column — the
-    * q216 machinery factored out for the round-11 test family. The p
-    * VALUE is defined as this polynomial (|ε| < 7.5·10⁻⁸), identically
-    * on both engines; callers quantize to 1e-8 units (q216 discipline)
-    * so a 1-ulp exp() divergence cannot flip a displayed digit. */
-  private def asTwoSidedP(z: Column): Column = {
-    val za = abs(z)
-    val tInv = lit(1.0) / (lit(1.0) + lit(0.2316419) * za)
-    val phi = exp(-za * za / 2.0) / lit(2.5066282746310002)
-    lit(2.0) * phi * (lit(0.319381530) * tInv
-      - lit(0.356563782) * pow(tInv, 2)
-      + lit(1.781477937) * pow(tInv, 3)
-      - lit(1.821255978) * pow(tInv, 4)
-      + lit(1.330274429) * pow(tInv, 5))
-  }
-
-  /** The same A-S 26.2.17 chain as SQL text over a z expression. */
-  private def asTwoSidedPSql(z: String): String =
-    s"""(2.0 * (exp(-abs($z) * abs($z) / 2.0) / 2.5066282746310002)
-       |  * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs($z)))
-       |   - 0.356563782 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 2)
-       |   + 1.781477937 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 3)
-       |   - 1.821255978 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 4)
-       |   + 1.330274429 * POWER(1.0 / (1.0 + 0.2316419 * abs($z)), 5)))
-       |""".stripMargin.replace("\n", " ")
+  // A-S 26.2.17 two-sided p — shared kernel, see [[StatFns]]
+  private def asTwoSidedP(z: Column): Column = StatFns.asTwoSidedP(z)
+  private def asTwoSidedPSql(z: String): String = StatFns.asTwoSidedPSql(z)
 
   /** L165 Welch's unequal-variance t-test (Welch 1947 [PK]): BUILDING
     * vs FURNITURE order values — the two-sample location test that
@@ -3169,4 +3147,94 @@ object CurationQueries {
        |  FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
        |FROM t2 ORDER BY score""".stripMargin
   }
+
+  /** L170 t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007
+    * [PK]): per (nation, segment) quasi-group, the Earth Mover's
+    * Distance between the group's sensitive-attribute distribution
+    * (order priority) and the global one — for a NOMINAL attribute
+    * with unit ground distance, EMD = total-variation = ½Σ|p−q|,
+    * INCLUDING the mass of priorities absent from the group (the full
+    * 5-cell grid is materialized; a missing cell contributes its
+    * whole global share). Completes the privacy ladder: k-anonymity
+    * (q164) bounds group SIZE, l-diversity (q195) bounds sensitive
+    * VARIETY, t-closeness bounds sensitive DISTRIBUTION SKEW.
+    *
+    * Reported as the ranked worst-10 audit rather than a fixed-t flag:
+    * TV concentrates as 1/√(group size), so any fixed t that fires at
+    * one SF is silent at another (measured: max TV 0.372 / 0.149 /
+    * 0.048 at the three SFs) — a fixed flag would be exactly the
+    * vacuous screen NonDegeneracySpec exists to forbid. The ranked
+    * form is non-degenerate by construction and is how t is chosen in
+    * practice (read the tail, pick the cutoff).
+    *
+    * Parity: all censuses exact int64; per-cell |p−q| quantized to
+    * micro-units before the integer sum; ordering decides on the
+    * QUANTIZED tv (int) with (nation, segment) tie-break — no double
+    * ever orders the result.
+    *
+    * Scale: one (nation, seg, priority) census (map-side combinable);
+    * the grid is |groups|×5 built from broadcast censuses; top-10 is
+    * a TakeOrderedAndProject. */
+  def q236TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pr"))
+    val g = o.groupBy("n_name", "seg", "pr").agg(count(lit(1)).as("n"))
+    val grp = g.groupBy("n_name", "seg").agg(sum(col("n")).as("ng"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val glob = o.groupBy("pr").agg(count(lit(1)).as("ngl"))
+      .withColumn("nt", sum(col("ngl")).over(wAll))
+    val grid = grp.crossJoin(broadcast(glob))
+      .join(g, Seq("n_name", "seg", "pr"), "left")
+      .withColumn("nc", coalesce(col("n"), lit(0L)))
+    val cell = abs(col("nc").cast("double") / col("ng") -
+      col("ngl").cast("double") / col("nt"))
+    grid
+      .select(col("n_name"), col("seg"), col("ng"),
+        floor(cell * 1e6 + 0.5).cast("long").as("cq"))
+      .groupBy("n_name", "seg", "ng")
+      .agg(sum(col("cq")).as("tvq"))
+      .orderBy(col("tvq").desc, col("n_name"), col("seg"))
+      .limit(10)
+      .select(col("n_name"), col("seg").as("c_mktsegment"),
+        col("ng").as("n_orders"),
+        (round(col("tvq").cast("double") / 2e6, 6) + 0.0).as("tv_emd"))
+  }
+
+  val q236TClosenessSql: String =
+    """WITH o AS (
+      |  SELECT n_name, c_mktsegment AS seg, o_orderpriority AS pr
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (SELECT n_name, seg, pr, COUNT(*) AS n FROM o GROUP BY 1, 2, 3),
+      |grp AS (SELECT n_name, seg, CAST(SUM(n) AS BIGINT) AS ng
+      |  FROM g GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT pr, COUNT(*) AS ngl, CAST(SUM(COUNT(*)) OVER () AS BIGINT)
+      |    AS nt
+      |  FROM o GROUP BY 1),
+      |grid AS (
+      |  SELECT grp.n_name, grp.seg, grp.ng, gl.pr, gl.ngl, gl.nt,
+      |    COALESCE(g.n, 0) AS nc
+      |  FROM grp CROSS JOIN gl
+      |  LEFT JOIN g ON g.n_name = grp.n_name AND g.seg = grp.seg
+      |    AND g.pr = gl.pr),
+      |tv AS (
+      |  SELECT n_name, seg, ng,
+      |    CAST(SUM(CAST(FLOOR(abs(CAST(nc AS DOUBLE) / ng
+      |      - CAST(ngl AS DOUBLE) / nt) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS tvq
+      |  FROM grid GROUP BY 1, 2, 3)
+      |SELECT n_name, seg AS c_mktsegment, ng AS n_orders,
+      |  ROUND(CAST(tvq AS DOUBLE) / 2e6, 6) + 0 AS tv_emd
+      |FROM tv
+      |ORDER BY tvq DESC, n_name, seg LIMIT 10""".stripMargin
 }

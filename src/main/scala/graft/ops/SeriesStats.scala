@@ -628,4 +628,88 @@ object SeriesStats {
        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
        |    AS acf
        |FROM m ORDER BY lag""".stripMargin
+
+  /** L171 Wald–Wolfowitz runs test (Wald & Wolfowitz 1940 [PK]) on the
+    * SIGNS of q230's seasonally-adjusted residuals: with n₊ positive
+    * and n₋ negative residuals in R runs, E[R] = 2n₊n₋/n + 1 and
+    * Var[R] = 2n₊n₋(2n₊n₋−n)/(n²(n−1)) — the distribution-free
+    * independence check beside q230's DW (DW sees lag-1 magnitude
+    * correlation; runs sees ANY sign clustering). Zero residuals count
+    * as positive (eq ≥ 0 — the convention is pinned identically in
+    * both engines; eq is an exact int so the decision can't straddle).
+    *
+    * Parity: residuals pin to int64 micro-units (q230 chain); run
+    * boundaries, n₊/n₋, and R are integer decisions; z is one double
+    * chain 4dp; p rides the A-S polynomial quantized 1e-8.
+    *
+    * Scale: the q230 shape — day agg, ≤7-row dow census broadcast,
+    * one lag window over the scale-constant series, 1-row algebra. */
+  def q237RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(col("day"), col("rev"), (weekday(col("day")) + 1).as("dw"))
+    val seas = d.groupBy("dw")
+      .agg(sum(col("rev")).as("sr"), count(lit(1)).as("nd"))
+    val e = d.join(broadcast(seas), "dw")
+      .select(col("day"),
+        when(floor((col("rev").cast("double") -
+          col("sr").cast("double") / col("nd")) * 1e6 + 0.5)
+          .cast("long") >= 0L, 1).otherwise(0).as("sgn"))
+    val w = Window.orderBy("day")
+    val lagd = e.withColumn("sp", lag(col("sgn"), 1).over(w))
+    val agg = lagd.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("sgn").cast("long")).as("n_pos"),
+      sum(when(col("sp").isNotNull && col("sp") =!= col("sgn"), 1L)
+        .otherwise(0L)).as("switches"))
+    val nP = col("n_pos").cast("double")
+    val nN = (col("n_days") - col("n_pos")).cast("double")
+    val n = col("n_days").cast("double")
+    val r = (col("switches") + 1).cast("double")
+    val eR = lit(2.0) * nP * nN / n + lit(1.0)
+    val vR = lit(2.0) * nP * nN * (lit(2.0) * nP * nN - n) /
+      (n * n * (n - lit(1.0)))
+    val z = (r - eR) / sqrt(vR)
+    agg.select(col("n_days"), col("n_pos"),
+      (col("n_days") - col("n_pos")).as("n_neg"),
+      (col("switches") + 1).as("runs"),
+      (round(z, 4) + 0.0).as("z_runs"),
+      (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q237RunsTestSql: String = {
+    val z = "((CAST(switches + 1 AS DOUBLE) " +
+      "- (2.0 * np * nn / n + 1.0)) " +
+      "/ SQRT(2.0 * np * nn * (2.0 * np * nn - n) / (n * n * (n - 1.0))))"
+    s"""WITH d AS ($dailySql),
+       |dd AS (
+       |  SELECT day, rev, isodow(day) AS dw FROM d),
+       |seas AS (
+       |  SELECT dw, CAST(SUM(rev) AS BIGINT) AS sr, COUNT(*) AS nd
+       |  FROM dd GROUP BY dw),
+       |e AS (
+       |  SELECT day,
+       |    CASE WHEN CAST(FLOOR((CAST(rev AS DOUBLE)
+       |      - CAST(sr AS DOUBLE) / nd) * 1e6 + 0.5) AS BIGINT) >= 0
+       |      THEN 1 ELSE 0 END AS sgn
+       |  FROM dd JOIN seas ON dd.dw = seas.dw),
+       |l AS (
+       |  SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS sp FROM e),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_days,
+       |    CAST(SUM(sgn) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN sp IS NOT NULL AND sp <> sgn THEN 1 ELSE 0
+       |      END) AS BIGINT) AS switches
+       |  FROM l),
+       |c AS (
+       |  SELECT n_days, n_pos, switches,
+       |    CAST(n_pos AS DOUBLE) AS np,
+       |    CAST(n_days - n_pos AS DOUBLE) AS nn,
+       |    CAST(n_days AS DOUBLE) AS n
+       |  FROM agg)
+       |SELECT n_days, n_pos, n_days - n_pos AS n_neg,
+       |  switches + 1 AS runs,
+       |  ROUND($z, 4) + 0 AS z_runs,
+       |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
+       |FROM c""".stripMargin
+  }
 }

@@ -1522,4 +1522,73 @@ object TextQueries {
       |    - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) + 0 AS flesch
       |FROM d WHERE n_words > 0
       |ORDER BY doc_id""".stripMargin
+
+  /** L169 Bhattacharyya coefficient + Hellinger distance between
+    * source unigram distributions (Bhattacharyya 1943, Hellinger [PK]):
+    * BC = Σ√(p·q) over the shared vocabulary (disjoint-support terms
+    * are exactly 0, so the inner join IS the full sum — cheaper than
+    * q185's JS, whose disjoint mass telescopes into a constant), and
+    * H = √(1 − BC) — a proper metric in [0,1], the drift family's
+    * geometry-respecting member beside PSI (q146), KS (q147), EMD
+    * (q182), TV (q160), and JS (q185).
+    *
+    * Parity: p = cnt/tot is an exact-int division; √(p·q) is IEEE
+    * sqrt (correctly rounded, engine-identical); per-term values
+    * quantize to nano-units before the integer SUM (q185 discipline,
+    * partition-order independent); H = √(max(1−BC, 0)) guards the
+    * ≤ n_shared·5e-10 quantization overshoot past BC = 1 identically
+    * on both engines.
+    *
+    * Scale: ONE vocab-keyed self-equi-join with |sources|²-bounded
+    * fan-out per word; censuses map-side combinable. */
+  def q235Hellinger(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wc = d.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val tot = d.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("tot"))
+    val p = wc.join(broadcast(tot), "source")
+      .select(col("source"), col("w"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    val a = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
+    val b = p.select(col("source").as("src_b"), col("w"), col("p").as("pb"))
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        floor(sqrt(col("pa") * col("pb")) * lit(1.0e9) + lit(0.5))
+          .cast("long").as("tq"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum("tq").as("sq"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (round(col("sq").cast("double") / lit(1.0e9), 6) + 0.0).as("bc"),
+        (round(sqrt(greatest(lit(1.0) -
+          col("sq").cast("double") / lit(1.0e9), lit(0.0))), 6) + 0.0)
+          .as("hellinger"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q235HellingerSql: String =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |tot AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT wc.source, w, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |  FROM wc JOIN tot ON wc.source = tot.source),
+      |t AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(FLOOR(SQRT(a.p * b.p) * 1e9 + 0.5) AS BIGINT) AS tq
+      |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source),
+      |g AS (
+      |  SELECT src_a, src_b, COUNT(*) AS n_shared,
+      |    CAST(SUM(tq) AS BIGINT) AS sq
+      |  FROM t GROUP BY src_a, src_b)
+      |SELECT src_a, src_b, n_shared,
+      |  ROUND(CAST(sq AS DOUBLE) / 1e9, 6) + 0 AS bc,
+      |  ROUND(SQRT(GREATEST(1.0 - CAST(sq AS DOUBLE) / 1e9, 0.0)), 6) + 0
+      |    AS hellinger
+      |FROM g ORDER BY src_a, src_b""".stripMargin
 }

@@ -237,6 +237,34 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q235: every source pair shares vocabulary and separates") {
+    val rows = run("q235_hellinger").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") > 0L, "disjoint vocabularies")
+      val bc = r.getAs[Double]("bc")
+      val h = r.getAs[Double]("hellinger")
+      assert(bc > 0.0 && bc <= 1.0)
+      assert(h > 0.0 && h < 1.0,
+        "H at a boundary — identical or disjoint distributions")
+    }
+  }
+
+  test("q236: the worst-10 audit reports strictly positive EMD") {
+    val rows = run("q236_t_closeness").collect()
+    assert(rows.length === 10, "ranked audit must fill its 10 slots")
+    rows.foreach(r => assert(r.getAs[Double]("tv_emd") > 0.0,
+      "zero EMD in the WORST groups — degenerate distribution"))
+  }
+
+  test("q237: the sign sequence actually alternates (runs > 1, both signs)") {
+    val r = run("q237_runs_test").head()
+    assert(r.getAs[Long]("n_pos") > 0L && r.getAs[Long]("n_neg") > 0L,
+      "one-sided residuals — the runs statistic is undefined")
+    assert(r.getAs[Long]("runs") > 1L)
+    assert(!r.getAs[Double]("z_runs").isNaN)
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

@@ -483,6 +483,99 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q235 Hellinger distances match a sequential full-support computation") {
+    // brute uses the DEFINING full-support formula (every word in
+    // either vocab), not the intersection identity the query exploits
+    val rows = SparkEntry.queries("q235_hellinger")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Double]("bc"), r.getAs[Double]("hellinger")))).toMap
+
+    val wc = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = wc.groupBy(_._1).map { case (s, xs) =>
+      val tot = xs.map(_._3).sum.toDouble
+      s -> xs.map(t => t._2 -> t._3 / tot).toMap
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    // spot-check 5 deterministic pairs across the ordered list
+    val pairs = srcs.zip(srcs.drop(7)).take(5)
+    pairs.foreach { case (sa, sb) =>
+      val (pa, pb) = (bySrc(sa), bySrc(sb))
+      val bc = (pa.keySet ++ pb.keySet).toSeq.map { w =>
+        math.sqrt(pa.getOrElse(w, 0.0) * pb.getOrElse(w, 0.0))
+      }.sum
+      val h = math.sqrt(math.max(1.0 - bc, 0.0))
+      val key = if (sa < sb) (sa, sb) else (sb, sa)
+      val (gotBc, gotH) = rows(key)
+      assert(math.abs(gotBc - bc) < 5e-5, s"$key BC $gotBc vs brute $bc")
+      assert(math.abs(gotH - h) < 5e-5, s"$key H $gotH vs brute $h")
+    }
+  }
+
+  test("q236 worst-group TV distances match a sequential grid walk") {
+    val rows = SparkEntry.queries("q236_t_closeness")(spark, sf0001)
+      .collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    val nT = data.length.toDouble
+    val glob = data.groupBy(_._2).map { case (p, xs) => p -> xs.length / nT }
+    val tv = data.groupBy(_._1).map { case (g, xs) =>
+      val ng = xs.length.toDouble
+      val local = xs.groupBy(_._2).map { case (p, ys) => p -> ys.length / ng }
+      // full grid: absent priorities contribute their whole global mass
+      g -> 0.5 * glob.keys.map(p =>
+        math.abs(local.getOrElse(p, 0.0) - glob(p))).sum
+    }
+    val worst = tv.toSeq.sortBy { case ((n, s), t) => (-t, n, s) }
+
+    rows.zipWithIndex.foreach { case (row, i) =>
+      val got = row.getAs[Double]("tv_emd")
+      // the query ranks on quantized tv; the top-10 VALUES must match
+      // the brute top-10 values (identity can swap within quantization
+      // ties, so compare the sorted distances)
+      assert(math.abs(got - worst(i)._2) < 5e-6,
+        s"rank ${i + 1}: tv $got vs brute ${worst(i)._2}")
+    }
+  }
+
+  test("q237 runs count and z match a sequential sign walk") {
+    val row = SparkEntry.queries("q237_runs_test")(spark, sf0001).head()
+
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDow = daily.groupBy(_._1.getDayOfWeek.getValue)
+      .map { case (dw, xs) => dw -> (xs.map(_._2).sum, xs.length) }
+    val signs = daily.map { case (d, rev) =>
+      val (sr, nd) = byDow(d.getDayOfWeek.getValue)
+      val eq = math.floor((rev.toDouble - sr.toDouble / nd) * 1e6 + 0.5).toLong
+      if (eq >= 0L) 1 else 0
+    }
+    val runs = 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val nP = signs.count(_ == 1).toDouble
+    val nN = signs.length - nP
+    val n = signs.length.toDouble
+    val eR = 2.0 * nP * nN / n + 1.0
+    val vR = 2.0 * nP * nN * (2.0 * nP * nN - n) / (n * n * (n - 1.0))
+    val z = (runs - eR) / math.sqrt(vR)
+
+    assert(row.getAs[Long]("n_pos") === nP.toLong)
+    assert(row.getAs[Long]("runs") === runs.toLong)
+    assert(math.abs(row.getAs[Double]("z_runs") - z) < 5e-3,
+      s"z ${row.getAs[Double]("z_runs")} vs brute $z")
+    assert(math.abs(row.getAs[Double]("p") - pTwoSided(z)) < 1e-6)
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
