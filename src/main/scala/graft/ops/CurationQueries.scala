@@ -3237,4 +3237,171 @@ object CurationQueries {
       |  ROUND(CAST(tvq AS DOUBLE) / 2e6, 6) + 0 AS tv_emd
       |FROM tv
       |ORDER BY tvq DESC, n_name, seg LIMIT 10""".stripMargin
+
+  /** L173 Neyman optimal allocation (Neyman 1934 [PK]): design a
+    * stratified sample of n = 1,000 orders across the 5 segments with
+    * per-stratum allocation ∝ Nₕ·Sₕ (size × spread — minimum-variance
+    * for a fixed total), integerized by largest remainder so the
+    * allocations sum to EXACTLY n (the q117/q165 penny-exact
+    * discipline). The sample-DESIGN complement to the executed
+    * samplers (q127 weighted, q134 stratified split).
+    *
+    * Parity: Sₕ comes from exact int64/DECIMAL moments through one
+    * identical double chain, then the weight Nₕ·Sₕ pins to an int64
+    * unit (floor(x+0.5), dollar·row units — headroom to sf ≈ 10⁴);
+    * base shares and remainders are exact integer div/mod; the
+    * remainder ranking is an integer decision with segment tie-break.
+    *
+    * Scale: one map-side moment agg; everything after runs on the
+    * ≤5-row census via windows. */
+  def q239NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val n = 1000L
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("seg")
+      .agg(count(lit(1)).as("nh"), sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val sh = sqrt((col("qv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") / col("nh")) /
+      (col("nh") - lit(1.0)))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g.withColumn("wq",
+        floor(col("nh").cast("double") * sh + 0.5).cast("long"))
+      .withColumn("wt", sum(col("wq")).over(wAll))
+      .withColumn("base", expr(s"wq * ${n}L div wt"))
+      .withColumn("rem", expr(s"(wq * ${n}L) % wt"))
+      .withColumn("deficit", lit(n) - sum(col("base")).over(wAll))
+    val wr = Window.orderBy(col("rem").desc, col("seg"))
+    t.withColumn("rk", row_number().over(wr))
+      .select(col("seg").as("c_mktsegment"), col("nh").as("n_h"),
+        (round(sh, 4) + 0.0).as("s_h"),
+        (col("base") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q239NeymanAllocationSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nh,
+      |    SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM o GROUP BY seg),
+      |t AS (
+      |  SELECT seg, nh,
+      |    SQRT((CAST(qv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1.0)) AS sh
+      |  FROM g),
+      |q AS (
+      |  SELECT seg, nh, sh,
+      |    CAST(FLOOR(CAST(nh AS DOUBLE) * sh + 0.5) AS BIGINT) AS wq
+      |  FROM t),
+      |a AS (
+      |  SELECT *, CAST(SUM(wq) OVER () AS BIGINT) AS wt FROM q),
+      |b AS (
+      |  SELECT *, wq * 1000 // wt AS base, (wq * 1000) % wt AS rem
+      |  FROM a),
+      |c AS (
+      |  SELECT *,
+      |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS deficit,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, seg) AS rk
+      |  FROM b)
+      |SELECT seg AS c_mktsegment, nh AS n_h,
+      |  ROUND(sh, 4) + 0 AS s_h,
+      |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM c ORDER BY seg""".stripMargin
+
+  /** L175 Friedman test (Friedman 1937 [PK]): the rank-based
+    * repeated-measures design — blocks = MONTHS (kept only when all 5
+    * priorities transact in the month; days are too sparse — at
+    * sf0.001 no day sees all 5 priorities and the statistic would be
+    * vacuously empty, the exact failure NonDegeneracySpec exists to
+    * forbid; months are 69/79/80-complete at the three SFs),
+    * treatments = the 5 priorities, monthly revenue ranked WITHIN each
+    * month with average ranks under ties, χ²_F = 12/(bk(k+1))·ΣRⱼ² −
+    * 3b(k+1), df = k−1. The blocked complement to q227's pooled
+    * Kruskal–Wallis: month-level revenue shifts cancel inside each
+    * block instead of inflating the denominator.
+    *
+    * Parity: within-month average ranks ride DOUBLED units (2·avg is
+    * the integer 2·RANK() + ties − 1 — exact under ties, the q210
+    * census trick applied per block); Rⱼ2 sums and Rⱼ2² stay inside
+    * int64 by block-count bounds (Rⱼ2 ≤ 2k·b ≈ 800 at 80 blocks, so
+    * Rⱼ2² is EXACT int64 — no floor pinning needed, unlike q227); χ²
+    * is one double chain 4dp.
+    *
+    * Scale: one (month, priority) census; complete-block filter and
+    * per-month ranks run on month-partitioned 5-row windows; ≤5-row
+    * algebra after. */
+  def q241Friedman(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val wDay = Window.partitionBy("mon")
+    val complete = d.withColumn("npr", count(lit(1)).over(wDay))
+      .filter(col("npr") === 5)
+    // doubled average rank: 2*RANK + (#ties at this rev) - 1
+    val wRank = Window.partitionBy("mon").orderBy("rev")
+    val wTies = Window.partitionBy("mon", "rev")
+    val ranked = complete
+      .withColumn("r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+    val g = ranked.groupBy("pr")
+      .agg(count(lit(1)).as("b"), sum(col("r2").cast("long")).as("rj2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      // ΣRⱼ² = Σ(Rⱼ2/2)² = ΣRⱼ2²/4 — exact int64 at fixture block counts
+      .withColumn("sr2", sum(col("rj2") * col("rj2")).over(wAll))
+    val bD = col("b").cast("double")
+    val chi = lit(12.0) / (bD * lit(5.0) * lit(6.0)) *
+      (col("sr2").cast("double") / 4.0) - lit(3.0) * bD * lit(6.0)
+    t.select(col("pr").as("o_orderpriority"), col("b").as("n_blocks"),
+        (round(col("rj2").cast("double") / (bD * 2.0), 4) + 0.0)
+          .as("mean_rank"),
+        (round(chi, 4) + 0.0).as("chi2_f"),
+        lit(4).as("df"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q241FriedmanSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+      |    o_orderpriority AS pr,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (
+      |  SELECT * FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY mon) AS npr FROM d)
+      |  WHERE npr = 5),
+      |ranked AS (
+      |  SELECT pr,
+      |    2 * RANK() OVER (PARTITION BY mon ORDER BY rev)
+      |      + COUNT(*) OVER (PARTITION BY mon, rev) - 1 AS r2
+      |  FROM complete),
+      |g AS (
+      |  SELECT pr, COUNT(*) AS b, CAST(SUM(r2) AS BIGINT) AS rj2
+      |  FROM ranked GROUP BY pr),
+      |t AS (
+      |  SELECT *, CAST(SUM(rj2 * rj2) OVER () AS BIGINT) AS sr2 FROM g)
+      |SELECT pr AS o_orderpriority, b AS n_blocks,
+      |  ROUND(CAST(rj2 AS DOUBLE) / (b * 2.0), 4) + 0 AS mean_rank,
+      |  ROUND(12.0 / (CAST(b AS DOUBLE) * 5.0 * 6.0)
+      |    * (CAST(sr2 AS DOUBLE) / 4.0)
+      |    - 3.0 * CAST(b AS DOUBLE) * 6.0, 4) + 0 AS chi2_f,
+      |  4 AS df
+      |FROM t ORDER BY pr""".stripMargin
 }

@@ -1755,4 +1755,79 @@ object EventQueries {
       |  ROUND((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
       |    / SQRT(CAST(v1q AS DOUBLE) / 1e6), 4) + 0 AS z
       |FROM g""".stripMargin
+
+  /** L174 exponential inter-arrival fit + KS goodness-of-fit: the MLE
+    * rate λ̂ = n/Σg over whole-second user inter-event gaps (q193's gap
+    * construction) and the exact KS distance between the empirical gap
+    * CDF and Exp(λ̂) — "are arrivals Poisson?" is the first question a
+    * capacity model asks, and the KS distance (vs the two-SAMPLE q147)
+    * is the one-sample parametric-fit version.
+    *
+    * Parity: the gap census and its prefix counts are exact int64
+    * ([[PrefixSum]] — no single-partition window); F(g) = 1−e^(−λ̂g)
+    * is one identical double chain; per-step D candidates quantize to
+    * nano-units before the integer MAX, so a 1-ulp exp() divergence
+    * cannot flip the maximum (q195's accepted-residual class at the
+    * 1e-9 grid).
+    *
+    * Scale: keyed lag window → map-side-combinable census → prefix
+    * sums → one max agg. Census size = distinct gap values, bounded by
+    * the time span, not the event count. */
+  def q240ExpFitKs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(expr("gap_us div 1000000").as("g"))
+    val cen = gaps.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("g")), Seq((col("cnt"), "cum")))
+    val tot = cen.agg(sum(col("cnt")).as("n"),
+      sum(col("g") * col("cnt")).as("sg"))
+    val lam = col("n").cast("double") / col("sg")
+    val fT = lit(1.0) - exp(-lam * col("g"))
+    val fHi = col("cum").cast("double") / col("n")
+    val fLo = (col("cum") - col("cnt")).cast("double") / col("n")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("sg"),
+        floor(greatest(abs(fHi - fT), abs(fT - fLo)) * 1e9 + 0.5)
+          .cast("long").as("dq"))
+      .groupBy("n", "sg")
+      .agg(max(col("dq")).as("dmax"))
+      .select(col("n").as("n_gaps"),
+        (round(col("sg").cast("double") / col("n"), 4) + 0.0)
+          .as("mean_gap_s"),
+        (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
+  }
+
+  val q240ExpFitKsSql: String =
+    """WITH gg AS (
+      |  SELECT (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+      |  FROM events WHERE user_id IS NOT NULL),
+      |cen AS (
+      |  SELECT g, COUNT(*) AS cnt FROM gg WHERE g IS NOT NULL GROUP BY g),
+      |cum AS (
+      |  SELECT g, cnt,
+      |    SUM(cnt) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM cen),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(g * cnt) AS BIGINT) AS sg
+      |  FROM cen),
+      |d AS (
+      |  SELECT n, sg,
+      |    CAST(FLOOR(GREATEST(
+      |      abs(CAST(cum AS DOUBLE) / n
+      |        - (1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g))),
+      |      abs((1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g))
+      |        - CAST(cum - cnt AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT)
+      |      AS dq
+      |  FROM cum, tot)
+      |SELECT n AS n_gaps,
+      |  ROUND(CAST(sg AS DOUBLE) / n, 4) + 0 AS mean_gap_s,
+      |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
+      |FROM d GROUP BY n, sg""".stripMargin
 }

@@ -1591,4 +1591,97 @@ object TextQueries {
       |  ROUND(SQRT(GREATEST(1.0 - CAST(sq AS DOUBLE) / 1e9, 0.0)), 6) + 0
       |    AS hellinger
       |FROM g ORDER BY src_a, src_b""".stripMargin
+
+  /** L172 retrieval rank evaluation — nDCG\@10, MRR, MAP (Järvelin &
+    * Kekäläinen 2002; classical IR [PK]): the metric side every
+    * retrieval stack (BM25 q99, ANN q53/IVF/PQ, RRF q171) needs to be
+    * judged by. Queries = the five languages; the system under test is
+    * the deterministic length-biased ranker (n_chars desc, doc_id
+    * asc); relevance = the doc's language matches the query. Binary
+    * gains: DCG\@10 = Σ rel_k/log₂(k+1), IDCG from the ideal prefix,
+    * AP = mean of precision\@k at relevant ranks, MRR = 1/first
+    * relevant rank.
+    *
+    * Parity: ranks are integer decisions ((n_chars, doc_id) total
+    * order); precision\@k and 1/log₂(k+1) terms are quantized to
+    * nano-units BEFORE their integer sums (q185 discipline) — the
+    * ideal prefix is the same quantized term summed k = 1..min(10,R)
+    * via an aggregate HOF on both engines; final ratios round 6dp.
+    *
+    * Scale: queries × candidates ride a per-query window (partitioned
+    * by query — at fleet scale candidate lists are top-k bounded by
+    * the retriever, so the window input is per-query constant); metric
+    * aggregation is map-side combinable. */
+  def q238RankEval(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val langs = d.select(col("lang").as("ql")).distinct()
+    val w = Window.partitionBy("ql")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = d.crossJoin(broadcast(langs))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("rel", (col("lang") === col("ql")).cast("long"))
+    val wc = Window.partitionBy("ql").orderBy("rk")
+    val t = ranked.withColumn("cumrel", sum("rel").over(wc))
+    val apTerm = when(col("rel") === 1L,
+      floor(col("cumrel").cast("double") / col("rk") * 1e9 + 0.5)
+        .cast("long")).otherwise(0L)
+    val dcgTerm = when(col("rel") === 1L && col("rk") <= 10,
+      floor(lit(0.6931471805599453) / log(col("rk") + 1.0) * 1e9 + 0.5)
+        .cast("long")).otherwise(0L)
+    val g = t.groupBy("ql").agg(
+      count(lit(1)).as("n_docs"),
+      sum("rel").as("n_rel"),
+      min(when(col("rel") === 1L, col("rk"))).as("first_rel"),
+      sum(apTerm).as("apq"),
+      sum(dcgTerm).as("dcgq"))
+    val idcgq = expr(
+      """aggregate(sequence(1, cast(least(n_rel, 10L) as int)), 0L,
+        |  (acc, k) -> acc + cast(floor(0.6931471805599453
+        |    / ln(cast(k as double) + 1.0) * 1e9 + 0.5) as long))
+        |""".stripMargin)
+    g.select(col("ql").as("query_lang"), col("n_docs"), col("n_rel"),
+        (round(lit(1.0) / col("first_rel"), 6) + 0.0).as("mrr"),
+        (round(col("apq").cast("double") / 1e9 / col("n_rel"), 6) + 0.0)
+          .as("map"),
+        (round(col("dcgq").cast("double") / idcgq.cast("double"), 6) + 0.0)
+          .as("ndcg10"))
+      .orderBy("query_lang")
+  }
+
+  val q238RankEvalSql: String =
+    """WITH langs AS (SELECT DISTINCT lang AS ql FROM documents),
+      |ranked AS (
+      |  SELECT ql, doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY ql
+      |      ORDER BY n_chars DESC, doc_id) AS rk,
+      |    CASE WHEN lang = ql THEN 1 ELSE 0 END AS rel
+      |  FROM documents CROSS JOIN langs),
+      |t AS (
+      |  SELECT *, SUM(rel) OVER (PARTITION BY ql ORDER BY rk
+      |    ROWS UNBOUNDED PRECEDING) AS cumrel
+      |  FROM ranked),
+      |g AS (
+      |  SELECT ql, COUNT(*) AS n_docs,
+      |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+      |    MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+      |    CAST(SUM(CASE WHEN rel = 1 THEN CAST(FLOOR(CAST(cumrel AS DOUBLE)
+      |      / rk * 1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS apq,
+      |    CAST(SUM(CASE WHEN rel = 1 AND rk <= 10 THEN
+      |      CAST(FLOOR(0.6931471805599453 / ln(CAST(rk AS DOUBLE) + 1.0)
+      |        * 1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcgq
+      |  FROM t GROUP BY ql),
+      |i AS (
+      |  SELECT *, CAST(list_sum(list_transform(
+      |      range(1, CAST(LEAST(n_rel, 10) AS BIGINT) + 1),
+      |      k -> CAST(FLOOR(0.6931471805599453
+      |        / ln(CAST(k AS DOUBLE) + 1.0) * 1e9 + 0.5) AS BIGINT)))
+      |    AS BIGINT) AS idcgq
+      |  FROM g)
+      |SELECT ql AS query_lang, n_docs, n_rel,
+      |  ROUND(1.0 / first_rel, 6) + 0 AS mrr,
+      |  ROUND(CAST(apq AS DOUBLE) / 1e9 / n_rel, 6) + 0 AS map,
+      |  ROUND(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE), 6) + 0
+      |    AS ndcg10
+      |FROM i ORDER BY query_lang""".stripMargin
 }

@@ -265,6 +265,47 @@ class NonDegeneracySpec extends SparkSpec {
     assert(!r.getAs[Double]("z_runs").isNaN)
   }
 
+  test("q238: every query finds relevant docs and metrics stay in (0, 1]") {
+    val rows = run("q238_rank_eval").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rel") > 0L, "query with zero relevant docs")
+      Seq("mrr", "map", "ndcg10").foreach { m =>
+        val v = r.getAs[Double](m)
+        assert(v > 0.0 && v <= 1.0, s"$m = $v out of (0, 1]")
+      }
+    }
+  }
+
+  test("q239: allocations are all positive and sum to exactly 1000") {
+    val rows = run("q239_neyman_alloc").collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getAs[Long]("alloc") > 0L))
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 1000L,
+      "largest-remainder integerization must hit the total exactly")
+  }
+
+  test("q240: the exponential fit measures a real, non-trivial distance") {
+    val r = run("q240_expfit_ks").head()
+    assert(r.getAs[Long]("n_gaps") > 0L)
+    val d = r.getAs[Double]("ks_d")
+    assert(d > 0.0 && d < 1.0, s"KS D $d at a degenerate boundary")
+  }
+
+  test("q241: complete blocks exist and ranks average to (k+1)/2") {
+    val rows = run("q241_friedman").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") > 0L, "no complete blocks")
+      val mr = r.getAs[Double]("mean_rank")
+      assert(mr >= 1.0 && mr <= 5.0)
+      assert(r.getAs[Double]("chi2_f") >= 0.0)
+    }
+    // per-block ranks must sum to k(k+1)/2 = 15 → means average to 3
+    val grand = rows.map(_.getAs[Double]("mean_rank")).sum
+    assert(math.abs(grand - 15.0) < 5e-3, s"rank means sum $grand != 15")
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

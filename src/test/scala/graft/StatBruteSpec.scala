@@ -576,6 +576,142 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("p") - pTwoSided(z)) < 1e-6)
   }
 
+  test("q238 nDCG/MRR/MAP match a sequential IR-metric walk") {
+    val rows = SparkEntry.queries("q238_rank_eval")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("query_lang") -> r).toMap
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val langs = docs.map(_._2).distinct.sorted
+    langs.foreach { ql =>
+      val ranked = docs.sortBy(d => (-d._3, d._1))
+      val rels = ranked.map(_._2 == ql)
+      val nRel = rels.count(identity)
+      val mrr = 1.0 / (rels.indexOf(true) + 1)
+      var cum = 0; var apSum = 0.0; var dcg = 0.0
+      rels.zipWithIndex.foreach { case (rel, i) =>
+        if (rel) {
+          cum += 1
+          apSum += cum.toDouble / (i + 1)
+          if (i < 10) dcg += math.log(2.0) / math.log(i + 2.0)
+        }
+      }
+      val idcg = (1 to math.min(10, nRel))
+        .map(k => math.log(2.0) / math.log(k + 1.0)).sum
+      val row = rows(ql)
+      assert(row.getAs[Long]("n_rel") === nRel.toLong)
+      assert(math.abs(row.getAs[Double]("mrr") - mrr) < 1e-6)
+      assert(math.abs(row.getAs[Double]("map") - apSum / nRel) < 1e-5,
+        s"$ql MAP ${row.getAs[Double]("map")} vs brute ${apSum / nRel}")
+      assert(math.abs(row.getAs[Double]("ndcg10") - dcg / idcg) < 1e-5,
+        s"$ql nDCG ${row.getAs[Double]("ndcg10")} vs brute ${dcg / idcg}")
+    }
+  }
+
+  test("q239 Neyman allocations match a sequential largest-remainder walk") {
+    val rows = SparkEntry.queries("q239_neyman_alloc")(spark, sf0001)
+      .orderBy("c_mktsegment").collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val strata = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2)
+      val m = vs.sum / vs.length
+      val sh = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.length - 1))
+      (g, vs.length.toLong, sh, math.floor(vs.length * sh + 0.5).toLong)
+    }
+    val wt = strata.map(_._4).sum
+    val based = strata.map { case (g, nh, sh, wq) =>
+      (g, nh, sh, wq * 1000L / wt, wq * 1000L % wt)
+    }
+    val deficit = 1000L - based.map(_._4).sum
+    val extras = based.sortBy(t => (-t._5, t._1)).take(deficit.toInt)
+      .map(_._1).toSet
+    val alloc = based.map { case (g, nh, sh, base, _) =>
+      (g, nh, sh, base + (if (extras.contains(g)) 1L else 0L))
+    }
+
+    assert(rows.length === alloc.length)
+    rows.zip(alloc).foreach { case (row, (g, nh, sh, a)) =>
+      assert(row.getAs[String]("c_mktsegment") === g)
+      assert(row.getAs[Long]("n_h") === nh)
+      assert(math.abs(row.getAs[Double]("s_h") - sh) < 5e-4)
+      assert(row.getAs[Long]("alloc") === a, s"$g alloc mismatch")
+    }
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 1000L)
+  }
+
+  test("q240 lambda-hat and KS distance match a sequential CDF walk") {
+    val row = SparkEntry.queries("q240_expfit_ks")(spark, sf0001).head()
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(expr("gap_us div 1000000"))
+      .collect().map(_.getLong(0)).sorted
+    val n = gaps.length
+    val lam = n.toDouble / gaps.sum
+    var d = 0.0; var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && gaps(j + 1) == gaps(i)) j += 1
+      val f = 1.0 - math.exp(-lam * gaps(i))
+      d = math.max(d, math.max(math.abs((j + 1).toDouble / n - f),
+        math.abs(f - i.toDouble / n)))
+      i = j + 1
+    }
+
+    assert(row.getAs[Long]("n_gaps") === n.toLong)
+    assert(math.abs(row.getAs[Double]("mean_gap_s") -
+      gaps.sum.toDouble / n) < 5e-4)
+    assert(math.abs(row.getAs[Double]("ks_d") - d) < 5e-6,
+      s"D ${row.getAs[Double]("ks_d")} vs brute $d")
+  }
+
+  test("q241 Friedman chi2 matches a sequential blocked-rank walk") {
+    val rows = SparkEntry.queries("q241_friedman")(spark, sf0001).collect()
+
+    val monthly = Tables.orders(spark, sf0001)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val complete = monthly.groupBy(_._1).filter(_._2.length == 5)
+    val rj = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    complete.values.foreach { block =>
+      val sorted = block.sortBy(_._3)
+      var i = 0
+      while (i < 5) {
+        var j = i
+        while (j + 1 < 5 && sorted(j + 1)._3 == sorted(i)._3) j += 1
+        val avg = (i + 1 + j + 1) / 2.0
+        (i to j).foreach(k => rj(sorted(k)._2) += avg)
+        i = j + 1
+      }
+    }
+    val b = complete.size
+    val chi = 12.0 / (b * 5 * 6) * rj.values.map(r => r * r).sum - 3.0 * b * 6
+
+    assert(rows.length === 5)
+    rows.foreach { row =>
+      val pr = row.getAs[String]("o_orderpriority")
+      assert(row.getAs[Long]("n_blocks") === b.toLong)
+      assert(math.abs(row.getAs[Double]("mean_rank") - rj(pr) / b) < 5e-4)
+      assert(math.abs(row.getAs[Double]("chi2_f") - chi) < 5e-3,
+        s"chi2 ${row.getAs[Double]("chi2_f")} vs brute $chi")
+    }
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
