@@ -394,7 +394,15 @@ class PlanShapeSpec extends SparkSpec {
       // 66k-pair set (the day-pair build itself — a bounded all-pairs
       // over a scale-constant ≤365-day series — is under the
       // checkpoint and never re-plans)
-      "q206_theil_sen")
+      "q206_theil_sen",
+      // r11: four more deliberate tiny-side broadcasts — q227's 1-row
+      // tie-census (the in-plan replacement for its old driver-side
+      // .head()), q236's 5-row global priority census under the
+      // quasi-group grid, q238's 5-row query-language fleet (the
+      // q52/q53 broadcast-query pattern), and q240's 1-row λ̂
+      // aggregate joined onto the gap census
+      "q227_kruskal_wallis", "q236_t_closeness", "q238_rank_eval",
+      "q240_expfit_ks")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
