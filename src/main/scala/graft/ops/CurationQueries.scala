@@ -3404,4 +3404,182 @@ object CurationQueries {
       |    - 3.0 * CAST(b AS DOUBLE) * 6.0, 4) + 0 AS chi2_f,
       |  4 AS df
       |FROM t ORDER BY pr""".stripMargin
+
+  /** L177 Page's trend test (Page 1963 [PK]): the ORDERED alternative
+    * inside q241's blocked design — is monthly revenue rank MONOTONE
+    * in priority level? L = Σⱼ j·Rⱼ against E[L] = bk(k+1)²/4,
+    * Var[L] = bk²(k+1)²(k−1)/144. Friedman answers "any difference";
+    * Page answers "a trend in the stated order" — strictly more power
+    * when the ordering is real (the q234 dose-response idea lifted to
+    * the blocked design).
+    *
+    * Parity: the q241 doubled-rank construction verbatim (exact under
+    * ties); L2 = Σ j·Rⱼ2 is exact int64; z and p are one double chain
+    * on both engines (p A-S quantized 1e-8).
+    *
+    * Scale: identical to q241 — census windows and ≤5-row algebra. */
+  def q243PageTrend(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val wMon = Window.partitionBy("mon")
+    val complete = d.withColumn("npr", count(lit(1)).over(wMon))
+      .filter(col("npr") === 5)
+    val wRank = Window.partitionBy("mon").orderBy("rev")
+    val wTies = Window.partitionBy("mon", "rev")
+    val ranked = complete
+      .withColumn("r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+      .withColumn("sc", substring(col("pr"), 1, 1).cast("long"))
+    val g = ranked.groupBy("pr", "sc")
+      .agg(count(lit(1)).as("b"), sum(col("r2").cast("long")).as("rj2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g.withColumn("l2", sum(col("sc") * col("rj2")).over(wAll))
+    val bD = col("b").cast("double")
+    // doubled: E[L2] = 2·b·k(k+1)²/4 = 90b, SD[L2] = 2·√(25b) = 10√b
+    val z = (col("l2").cast("double") - lit(90.0) * bD) /
+      (lit(10.0) * sqrt(bD))
+    t.select(col("pr").as("o_orderpriority"), col("sc").as("score"),
+        col("b").as("n_blocks"),
+        (round(col("rj2").cast("double") / (bD * 2.0), 4) + 0.0)
+          .as("mean_rank"),
+        (col("l2").cast("double") / 2.0).as("l_stat"),
+        (round(z, 4) + 0.0).as("z_trend"),
+        (floor(asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+      .orderBy("score")
+  }
+
+  val q243PageTrendSql: String = {
+    val z = "((CAST(l2 AS DOUBLE) - 90.0 * b) / (10.0 * SQRT(CAST(b AS DOUBLE))))"
+    s"""WITH d AS (
+       |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+       |    o_orderpriority AS pr,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |complete AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY mon) AS npr FROM d)
+       |  WHERE npr = 5),
+       |ranked AS (
+       |  SELECT pr, CAST(SUBSTRING(pr, 1, 1) AS BIGINT) AS sc,
+       |    2 * RANK() OVER (PARTITION BY mon ORDER BY rev)
+       |      + COUNT(*) OVER (PARTITION BY mon, rev) - 1 AS r2
+       |  FROM complete),
+       |g AS (
+       |  SELECT pr, sc, COUNT(*) AS b, CAST(SUM(r2) AS BIGINT) AS rj2
+       |  FROM ranked GROUP BY pr, sc),
+       |t AS (
+       |  SELECT *, CAST(SUM(sc * rj2) OVER () AS BIGINT) AS l2 FROM g)
+       |SELECT pr AS o_orderpriority, sc AS score, b AS n_blocks,
+       |  ROUND(CAST(rj2 AS DOUBLE) / (b * 2.0), 4) + 0 AS mean_rank,
+       |  CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+       |  ROUND($z, 4) + 0 AS z_trend,
+       |  FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
+       |FROM t ORDER BY score""".stripMargin
+  }
+
+  /** L178 two-sample Cramér–von Mises (Anderson 1962 [PK], the
+    * rank-sum form): BUILDING vs FURNITURE order values again (q231's
+    * design), but comparing the WHOLE distributions:
+    * U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)², T = U/(nmN) − (4nm−1)/(6N). KS
+    * (q147) sees the single largest CDF gap; CvM integrates ALL of
+    * it — more power against diffuse shape differences.
+    *
+    * Parity: combined average ranks and within-sample indices both
+    * ride DOUBLED units from exact censuses ([[PrefixSum]] twice — no
+    * single-partition window); each observation's (r2−2i)² lands in
+    * DECIMAL(38,0)/HUGEINT, so U is exact through sf ≫ 1; T is one
+    * double chain 6dp. Each distinct value's observations explode
+    * their within-sample index range from the census (linear in rows,
+    * the same cost as scanning them).
+    *
+    * Scale: two censuses + prefix sums + one linear explode; no
+    * sort of fact data beyond the census ranks. */
+  def q244CramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select((col("c_mktsegment") === "BUILDING").as("gx"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("gx"), 1L).otherwise(0L)).as("nx"),
+      sum(when(col("gx"), 0L).otherwise(1L)).as("ny"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen, Seq(col("c")),
+      Seq((col("n_all"), "cum_all"), (col("nx"), "cum_x"),
+        (col("ny"), "cum_y")))
+      .withColumn("r2", col("cum_all") * 2 - col("n_all") + 1)
+    def sumSq(nCol: Column, cumCol: Column): Column = {
+      // Σ_{i=a..b} (r2 − 2i)² for the consecutive within-sample index
+      // range a..b of this value's observations, via explode
+      val a = cumCol - nCol + 1
+      explode(when(nCol > 0, sequence(a, cumCol))
+        .otherwise(array().cast("array<long>")))
+    }
+    val xs = cum.select(col("r2"), sumSq(col("nx"), col("cum_x")).as("i"))
+      .select(((col("r2") - col("i") * 2).cast(dec) *
+        (col("r2") - col("i") * 2).cast(dec)).as("sq"))
+      .agg(sum("sq").as("ux2"), count(lit(1)).as("n"))
+    val ys = cum.select(col("r2"), sumSq(col("ny"), col("cum_y")).as("i"))
+      .select(((col("r2") - col("i") * 2).cast(dec) *
+        (col("r2") - col("i") * 2).cast(dec)).as("sq"))
+      .agg(sum("sq").as("uy2"), count(lit(1)).as("m"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val bigN = nD + mD
+    val u = (nD * col("ux2").cast("double") +
+      mD * col("uy2").cast("double")) / 4.0
+    val t = u / (nD * mD * bigN) -
+      (lit(4.0) * nD * mD - 1.0) / (lit(6.0) * bigN)
+    xs.crossJoin(broadcast(ys))
+      .select(col("n").as("n_x"), col("m").as("n_y"),
+        (round(t, 6) + 0.0).as("t_cvm"))
+  }
+
+  val q244CramerVonMisesSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment = 'BUILDING' AS gx,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'FURNITURE')),
+      |cen AS (
+      |  SELECT c, COUNT(*) AS n_all,
+      |    CAST(SUM(CASE WHEN gx THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+      |    CAST(SUM(CASE WHEN gx THEN 0 ELSE 1 END) AS BIGINT) AS ny
+      |  FROM o GROUP BY c),
+      |cum AS (
+      |  SELECT c, n_all, nx, ny,
+      |    CAST(SUM(n_all) OVER w AS BIGINT) AS cum_all,
+      |    CAST(SUM(nx) OVER w AS BIGINT) AS cum_x,
+      |    CAST(SUM(ny) OVER w AS BIGINT) AS cum_y,
+      |    CAST(2 * SUM(n_all) OVER w - n_all + 1 AS BIGINT) AS r2
+      |  FROM cen
+      |  WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)),
+      |xs AS (
+      |  SELECT CAST(SUM(CAST((r2 - 2 * i) AS HUGEINT)
+      |      * (r2 - 2 * i)) AS HUGEINT) AS ux2,
+      |    COUNT(*) AS n
+      |  FROM cum, LATERAL (SELECT unnest(range(cum_x - nx + 1, cum_x + 1))
+      |    AS i) ii
+      |  WHERE nx > 0),
+      |ys AS (
+      |  SELECT CAST(SUM(CAST((r2 - 2 * i) AS HUGEINT)
+      |      * (r2 - 2 * i)) AS HUGEINT) AS uy2,
+      |    COUNT(*) AS m
+      |  FROM cum, LATERAL (SELECT unnest(range(cum_y - ny + 1, cum_y + 1))
+      |    AS i) ii
+      |  WHERE ny > 0)
+      |SELECT n AS n_x, m AS n_y,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(ux2 AS DOUBLE)
+      |      + CAST(m AS DOUBLE) * CAST(uy2 AS DOUBLE)) / 4.0
+      |    / (CAST(n AS DOUBLE) * m * (n + m))
+      |    - (4.0 * CAST(n AS DOUBLE) * m - 1.0) / (6.0 * (n + m)), 6) + 0
+      |    AS t_cvm
+      |FROM xs, ys""".stripMargin
 }

@@ -1802,6 +1802,123 @@ object EventQueries {
         (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
   }
 
+  /** L176 Kaplan–Meier with Greenwood confidence bands (Greenwood 1926
+    * [PK]): q175's survival curve plus its pointwise variance
+    * Var(Ŝ) = Ŝ²·Σ d/(n(n−d)) and the clamped 95% linear CI — the
+    * uncertainty q175 reports without. A survival estimate quoted
+    * without its band is exactly the overconfidence a churn model
+    * inherits silently.
+    *
+    * Parity: the q175 construction verbatim (hour lifetimes, 12-hour
+    * censor horizon, in-plan 1-row bounds broadcast — no build-time
+    * driver action); Greenwood terms d/(n(n−d)) quantize to nano-units
+    * before the cumulative integer sum, so the variance prefix is
+    * bit-identical; Ŝ and the band are one double chain, 4dp, CI
+    * clamped to [0, 1] with GREATEST/LEAST on both engines.
+    *
+    * Scale: the q175 shape — per-user agg, lifetime census,
+    * census-sized cumulative windows. */
+  def q242KmGreenwood(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
+      countDistinct("user_id").as("nu"))
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        col("nu"))
+    val day = peru.groupBy("t")
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
+        max(col("nu")).as("nu"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = day.withColumn("n_risk",
+      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
+    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
+      .otherwise(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")))
+    val gwTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
+      .otherwise(floor(col("d").cast("double") /
+        (col("n_risk").cast("double") * (col("n_risk") - col("d"))) * 1e9
+        + 0.5).cast("long"))
+    val surv = exp(col("ln_s"))
+    val se = surv * sqrt(col("gw").cast("double") / 1e9)
+    withRisk
+      .withColumn("dead", dead)
+      .withColumn("ln_s", sum(lnTerm).over(wCum))
+      .withColumn("gw", sum(gwTerm).over(wCum))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(surv, 4)).as("survival"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(se, 4) + 0.0).as("se_greenwood"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(greatest(surv - lit(1.96) * se, lit(0.0)), 4)
+            + 0.0).as("ci_lo"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(least(surv + lit(1.96) * se, lit(1.0)), 4)
+            + 0.0).as("ci_hi"))
+      .orderBy("t_hours")
+  }
+
+  val q242KmGreenwoodSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
+      |peru AS (
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(SUM(1 - churn) AS BIGINT) AS c
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_risk
+      |  FROM day),
+      |cum AS (
+      |  SELECT t, n_risk, d, c,
+      |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS dead,
+      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
+      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS ln_s,
+      |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN 0
+      |      ELSE CAST(FLOOR(CAST(d AS DOUBLE)
+      |        / (CAST(n_risk AS DOUBLE) * (n_risk - d)) * 1e9 + 0.5)
+      |        AS BIGINT) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS gw
+      |  FROM risk)
+      |SELECT t AS t_hours, n_risk, d AS n_churn,
+      |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END
+      |    AS survival,
+      |  CASE WHEN dead = 1 THEN 0.0
+      |    ELSE ROUND(EXP(ln_s) * SQRT(CAST(gw AS DOUBLE) / 1e9), 4) + 0 END
+      |    AS se_greenwood,
+      |  CASE WHEN dead = 1 THEN 0.0
+      |    ELSE ROUND(GREATEST(EXP(ln_s) - 1.96 * EXP(ln_s)
+      |      * SQRT(CAST(gw AS DOUBLE) / 1e9), 0.0), 4) + 0 END AS ci_lo,
+      |  CASE WHEN dead = 1 THEN 0.0
+      |    ELSE ROUND(LEAST(EXP(ln_s) + 1.96 * EXP(ln_s)
+      |      * SQRT(CAST(gw AS DOUBLE) / 1e9), 1.0), 4) + 0 END AS ci_hi
+      |FROM cum ORDER BY t_hours""".stripMargin
+
   val q240ExpFitKsSql: String =
     """WITH gg AS (
       |  SELECT (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (

@@ -690,4 +690,92 @@ object GraphQueries {
       |    AS authority
       |FROM a2 JOIN a1 USING (b)
       |ORDER BY authority DESC, brand""".stripMargin
+
+  /** L179 rich-club coefficient (Zhou & Mondragón 2004 [PK]) over the
+    * co-purchase graph: for each degree threshold k in the ladder
+    * {2, 4, 8, 16}, the density φ(k) = 2E_k/(N_k(N_k−1)) of the
+    * subgraph induced by nodes with degree > k — do the hubs trade
+    * with EACH OTHER? The hub-interconnection diagnostic beside
+    * assortativity (q174: correlation across ALL edges) and
+    * clustering (q194: local wedges).
+    *
+    * Parity: degrees, N_k, and E_k are exact integer censuses
+    * (an edge survives threshold k iff min(deg_u, deg_v) > k); φ is
+    * one double division, 6dp; φ is 0 by convention when N_k < 2.
+    *
+    * Scale: the q194 edge set (distinct, checkpointed once); degree
+    * census broadcast onto edges (the q174 pattern); the 4-row ladder
+    * broadcasts over two small censuses — fact data is scanned once. */
+  def q245RichClub(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val edges = baskets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val me = edges
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))),
+        "v")
+      .select(least(col("du"), col("dv")).as("md"))
+      .groupBy("md").agg(count(lit(1)).as("ne"))
+    val ladder = s.range(1).select(
+      explode(array(lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
+    // one tagged census union → ONE non-equi ladder join (two separate
+    // joins would double the plan's nested-loop budget)
+    val items = deg
+      .select(col("deg").as("v"), lit(1L).as("nodes"), lit(0L).as("edges"))
+      .unionAll(me.select(col("md").as("v"), lit(0L).as("nodes"),
+        col("ne").as("edges")))
+    ladder.join(items, col("v") > col("k"), "left")
+      .groupBy("k")
+      .agg(coalesce(sum(col("nodes")), lit(0L)).as("n_nodes"),
+        coalesce(sum(col("edges")), lit(0L)).as("n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") > 1,
+          round(col("n_edges").cast("double") * 2.0 /
+            (col("n_nodes").cast("double") * (col("n_nodes") - 1)), 6)
+            + 0.0)
+          .otherwise(0.0).as("phi"))
+      .orderBy("k")
+  }
+
+  val q245RichClubSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem),
+      |canon AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM
+      |  (SELECT u AS id FROM canon UNION ALL SELECT v FROM canon)
+      |  GROUP BY id),
+      |me AS (
+      |  SELECT LEAST(du.deg, dv.deg) AS md, COUNT(*) AS ne
+      |  FROM canon JOIN deg du ON du.id = canon.u
+      |  JOIN deg dv ON dv.id = canon.v
+      |  GROUP BY 1),
+      |ladder AS (SELECT unnest([2, 4, 8, 16]) AS k),
+      |items AS (
+      |  SELECT deg AS v, 1 AS nodes, 0 AS edges FROM deg
+      |  UNION ALL
+      |  SELECT md AS v, 0 AS nodes, ne AS edges FROM me),
+      |g AS (
+      |  SELECT k,
+      |    CAST(COALESCE(SUM(nodes), 0) AS BIGINT) AS n_nodes,
+      |    CAST(COALESCE(SUM(edges), 0) AS BIGINT) AS n_edges
+      |  FROM ladder LEFT JOIN items ON v > k GROUP BY k)
+      |SELECT k, n_nodes, n_edges,
+      |  CASE WHEN n_nodes > 1 THEN
+      |    ROUND(CAST(n_edges AS DOUBLE) * 2.0
+      |      / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)), 6) + 0
+      |  ELSE 0.0 END AS phi
+      |FROM g
+      |ORDER BY k""".stripMargin
 }

@@ -306,6 +306,46 @@ class NonDegeneracySpec extends SparkSpec {
     assert(math.abs(grand - 15.0) < 5e-3, s"rank means sum $grand != 15")
   }
 
+  test("q242: Greenwood bands have positive width once churn accrues") {
+    val rows = run("q242_km_greenwood").orderBy("t_hours").collect()
+    assert(rows.nonEmpty)
+    val seen = rows.filter(_.getAs[Long]("n_churn") > 0L)
+    assert(seen.nonEmpty, "no churn events — the r10 vacuity is back")
+    val last = rows.last
+    assert(last.getAs[Double]("se_greenwood") > 0.0,
+      "zero variance after real churn")
+    assert(last.getAs[Double]("ci_lo") < last.getAs[Double]("ci_hi"),
+      "zero-width confidence band")
+  }
+
+  test("q243: the ordered trend test sees all five levels with finite z") {
+    val rows = run("q243_page_trend").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") > 0L)
+      assert(!r.getAs[Double]("z_trend").isNaN)
+      assert(r.getAs[Double]("l_stat") > 0.0)
+    }
+  }
+
+  test("q244: both CvM samples are populated and T is finite") {
+    val r = run("q244_cramer_von_mises").head()
+    assert(r.getAs[Long]("n_x") > 0L && r.getAs[Long]("n_y") > 0L)
+    assert(!r.getAs[Double]("t_cvm").isNaN)
+  }
+
+  test("q245: the rich-club ladder sees real clubs at the low rungs") {
+    val rows = run("q245_rich_club").orderBy("k").collect()
+    assert(rows.length === 4)
+    val first = rows.head
+    assert(first.getAs[Long]("n_nodes") > 1L, "no club even at k=2")
+    assert(first.getAs[Double]("phi") > 0.0, "hubs never interconnect")
+    rows.foreach { r =>
+      val phi = r.getAs[Double]("phi")
+      assert(phi >= 0.0 && phi <= 1.0)
+    }
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

@@ -402,7 +402,12 @@ class PlanShapeSpec extends SparkSpec {
       // q52/q53 broadcast-query pattern), and q240's 1-row λ̂
       // aggregate joined onto the gap census
       "q227_kruskal_wallis", "q236_t_closeness", "q238_rank_eval",
-      "q240_expfit_ks")
+      "q240_expfit_ks",
+      // r11 batch 4: q242's 1-row bounds broadcast (replacing q175's
+      // driver-side .head() pattern), q244's 1-row × 1-row aggregate
+      // join, and q245's single 4-row degree-ladder range join over
+      // the tagged census union
+      "q242_km_greenwood", "q244_cramer_von_mises", "q245_rich_club")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

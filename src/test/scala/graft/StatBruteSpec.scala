@@ -712,6 +712,159 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q242 Greenwood bands match a sequential KM walk (sf0.01)") {
+    // sf0.01 like q224: the survival fixture is thin at sf0.001
+    val sf001 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q242_km_greenwood")(spark, sf001)
+      .orderBy("t_hours").collect()
+
+    val ev = Tables.events(spark, sf001).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val endUs = ev.map(_._2).max
+    val users = ev.map { case (f, l) =>
+      ((l - f) / 3600000000L,
+        if (l <= endUs - 12L * 3600L * 1000000L) 1 else 0)
+    }
+    val byT = users.groupBy(_._1).toSeq.sortBy(_._1)
+    var nRisk = users.length.toLong
+    var s = 1.0; var gw = 0.0
+    val expected = byT.map { case (t, xs) =>
+      val d = xs.count(_._2 == 1).toLong
+      val c = xs.size - d
+      val out = (t, nRisk, d)
+      if (d > 0 && d < nRisk) {
+        s *= (nRisk - d).toDouble / nRisk
+        gw += d.toDouble / (nRisk.toDouble * (nRisk - d))
+      } else if (d >= nRisk) s = 0.0
+      val se = s * math.sqrt(gw)
+      nRisk -= d + c
+      (out, s, se)
+    }
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (row, ((t, nr, d), sv, se)) =>
+      assert(row.getAs[Long]("t_hours") === t)
+      assert(row.getAs[Long]("n_risk") === nr)
+      assert(row.getAs[Long]("n_churn") === d)
+      assert(math.abs(row.getAs[Double]("survival") - sv) < 5e-4)
+      assert(math.abs(row.getAs[Double]("se_greenwood") - se) < 5e-4,
+        s"t=$t se ${row.getAs[Double]("se_greenwood")} vs brute $se")
+      assert(math.abs(row.getAs[Double]("ci_lo") -
+        math.max(sv - 1.96 * se, 0.0)) < 5e-4)
+      assert(math.abs(row.getAs[Double]("ci_hi") -
+        math.min(sv + 1.96 * se, 1.0)) < 5e-4)
+    }
+  }
+
+  /** Shared brute construction for the blocked-rank family
+    * (q241/q243): complete month blocks → average ranks per block. */
+  private def monthlyRankSums: (Map[String, Double], Int) = {
+    val monthly = Tables.orders(spark, sf0001)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val complete = monthly.groupBy(_._1).filter(_._2.length == 5)
+    val rj = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    complete.values.foreach { block =>
+      val sorted = block.sortBy(_._3)
+      var i = 0
+      while (i < 5) {
+        var j = i
+        while (j + 1 < 5 && sorted(j + 1)._3 == sorted(i)._3) j += 1
+        val avg = (i + 1 + j + 1) / 2.0
+        (i to j).foreach(k => rj(sorted(k)._2) += avg)
+        i = j + 1
+      }
+    }
+    (rj.toMap, complete.size)
+  }
+
+  test("q243 Page L and z match a sequential ordered-rank walk") {
+    val rows = SparkEntry.queries("q243_page_trend")(spark, sf0001)
+      .collect()
+    val (rj, b) = monthlyRankSums
+    val l = rj.map { case (pr, r) => pr.substring(0, 1).toInt * r }.sum
+    val z = (l - 90.0 * b / 2.0) / (5.0 * math.sqrt(b.toDouble))
+
+    assert(rows.length === 5)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_blocks") === b.toLong)
+      assert(math.abs(row.getAs[Double]("l_stat") - l) < 5e-4)
+      assert(math.abs(row.getAs[Double]("z_trend") - z) < 5e-3,
+        s"z ${row.getAs[Double]("z_trend")} vs brute $z")
+    }
+  }
+
+  test("q244 CvM T matches a sequential combined-rank walk") {
+    val row = SparkEntry.queries("q244_cramer_von_mises")(spark, sf0001)
+      .head()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select((col("c_mktsegment") === "BUILDING"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val all = data.map(_._2).zipWithIndex.sortBy(_._1)
+    val rank = new Array[Double](all.length)
+    var i = 0
+    while (i < all.length) {
+      var j = i
+      while (j + 1 < all.length && all(j + 1)._1 == all(i)._1) j += 1
+      val avg = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(k => rank(all(k)._2) = avg)
+      i = j + 1
+    }
+    val xr = data.zipWithIndex.filter(_._1._1).map(t => rank(t._2))
+      .sorted
+    val yr = data.zipWithIndex.filterNot(_._1._1).map(t => rank(t._2))
+      .sorted
+    val n = xr.length; val m = yr.length
+    val u = n * xr.zipWithIndex.map { case (r, k) =>
+      (r - (k + 1)) * (r - (k + 1))
+    }.sum + m * yr.zipWithIndex.map { case (r, k) =>
+      (r - (k + 1)) * (r - (k + 1))
+    }.sum
+    val bigN = (n + m).toDouble
+    val t = u / (n.toDouble * m * bigN) - (4.0 * n * m - 1.0) / (6.0 * bigN)
+
+    assert(row.getAs[Long]("n_x") === n.toLong)
+    assert(row.getAs[Long]("n_y") === m.toLong)
+    assert(math.abs(row.getAs[Double]("t_cvm") - t) < 5e-5,
+      s"T ${row.getAs[Double]("t_cvm")} vs brute $t")
+  }
+
+  test("q245 rich-club densities match a sequential subgraph walk") {
+    val rows = SparkEntry.queries("q245_rich_club")(spark, sf0001)
+      .orderBy("k").collect()
+
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { xs =>
+        val ps = xs.map(_._2).sorted
+        for (a <- ps.indices; b <- a + 1 until ps.length)
+          yield (ps(a), ps(b))
+      }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (id, xs) => id -> xs.length }
+    Seq(2, 4, 8, 16).zip(rows).foreach { case (k, row) =>
+      val nodes = deg.filter(_._2 > k).keySet
+      val e = edges.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val nN = nodes.size.toLong
+      val phi = if (nN > 1) 2.0 * e / (nN.toDouble * (nN - 1)) else 0.0
+      assert(row.getAs[Long]("k") === k.toLong)
+      assert(row.getAs[Long]("n_nodes") === nN, s"k=$k node count")
+      assert(row.getAs[Long]("n_edges") === e, s"k=$k edge count")
+      assert(math.abs(row.getAs[Double]("phi") - phi) < 5e-6)
+    }
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
