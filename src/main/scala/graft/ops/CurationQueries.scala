@@ -3481,6 +3481,151 @@ object CurationQueries {
        |FROM t ORDER BY score""".stripMargin
   }
 
+  /** L181 standardized effect sizes (Cohen 1988, Hedges 1981 [PK]):
+    * Cohen's d on the q231 two-segment design (pooled SD), Hedges'
+    * small-sample correction g = J·d with J = 1 − 3/(4N−9), and the
+    * 95% CI of d — the "is it LARGE, not just significant" companion
+    * every q231/q172-style test needs at fixture-to-fleet scale,
+    * where p-values saturate long before effects matter.
+    *
+    * Parity: the q231 exact moments verbatim; d/J/g/CI are one
+    * identical double chain, 6dp.
+    *
+    * Scale: the q231 shape — one 2-group moment agg, 1-row algebra. */
+  def q247EffectSize(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select((col("c_mktsegment") === "BUILDING").as("ga"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("ga")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val piv = g.agg(
+      max(when(col("ga"), col("n"))).as("n_a"),
+      max(when(col("ga"), col("sv"))).as("s_a"),
+      max(when(col("ga"), col("qv"))).as("q_a"),
+      max(when(!col("ga"), col("n"))).as("n_b"),
+      max(when(!col("ga"), col("sv"))).as("s_b"),
+      max(when(!col("ga"), col("qv"))).as("q_b"))
+    def ss(qv: String, sv: String, n: String) =
+      col(qv).cast("double") -
+        col(sv).cast("double") * col(sv).cast("double") / col(n)
+    val nT = (col("n_a") + col("n_b")).cast("double")
+    val sp = sqrt((ss("q_a", "s_a", "n_a") + ss("q_b", "s_b", "n_b")) /
+      (nT - 2.0))
+    val dEff = (col("s_a").cast("double") / col("n_a") -
+      col("s_b").cast("double") / col("n_b")) / sp
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * nT - 9.0)
+    val seD = sqrt(nT / (col("n_a").cast("double") * col("n_b")) +
+      dEff * dEff / (lit(2.0) * nT))
+    piv.select(col("n_a"), col("n_b"),
+      (round(sp, 4) + 0.0).as("pooled_sd"),
+      (round(dEff, 6) + 0.0).as("cohens_d"),
+      (round(j * dEff, 6) + 0.0).as("hedges_g"),
+      (round(dEff - lit(1.96) * seD, 6) + 0.0).as("d_ci_lo"),
+      (round(dEff + lit(1.96) * seD, 6) + 0.0).as("d_ci_hi"))
+  }
+
+  val q247EffectSizeSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment = 'BUILDING' AS ga,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'FURNITURE')),
+      |g AS (
+      |  SELECT ga, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM o GROUP BY ga),
+      |piv AS (
+      |  SELECT
+      |    MAX(CASE WHEN ga THEN n END) AS n_a,
+      |    MAX(CASE WHEN ga THEN sv END) AS s_a,
+      |    MAX(CASE WHEN ga THEN qv END) AS q_a,
+      |    MAX(CASE WHEN NOT ga THEN n END) AS n_b,
+      |    MAX(CASE WHEN NOT ga THEN sv END) AS s_b,
+      |    MAX(CASE WHEN NOT ga THEN qv END) AS q_b
+      |  FROM g),
+      |c AS (
+      |  SELECT n_a, n_b,
+      |    SQRT(((CAST(q_a AS DOUBLE)
+      |        - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+      |      + (CAST(q_b AS DOUBLE)
+      |        - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b))
+      |      / (CAST(n_a + n_b AS DOUBLE) - 2.0)) AS sp,
+      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md,
+      |    CAST(n_a + n_b AS DOUBLE) AS nt
+      |  FROM piv),
+      |e AS (
+      |  SELECT n_a, n_b, sp, nt, md / sp AS d,
+      |    SQRT(nt / (CAST(n_a AS DOUBLE) * n_b)
+      |      + (md / sp) * (md / sp) / (2.0 * nt)) AS sed
+      |  FROM c)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(sp, 4) + 0 AS pooled_sd,
+      |  ROUND(d, 6) + 0 AS cohens_d,
+      |  ROUND((1.0 - 3.0 / (4.0 * nt - 9.0)) * d, 6) + 0 AS hedges_g,
+      |  ROUND(d - 1.96 * sed, 6) + 0 AS d_ci_lo,
+      |  ROUND(d + 1.96 * sed, 6) + 0 AS d_ci_hi
+      |FROM e""".stripMargin
+
+  /** L183 Atkinson inequality index, ε = 1 (Atkinson 1970 [PK]):
+    * A₁ = 1 − geomean/mean over per-customer lifetime revenue within
+    * each segment — the welfare-founded inequality member beside the
+    * descriptive Gini (q150), Lorenz deciles (q167), HHI (q190), and
+    * Theil (q191): A₁ is the fraction of total revenue that could be
+    * given up with no welfare loss under log utility if revenue were
+    * equal.
+    *
+    * Parity: revenue is an exact int64 cents sum (always > 0, so ln is
+    * total); per-customer ln terms quantize to nano-units before the
+    * integer sum (q185 discipline), the mean is an exact-int division,
+    * and A₁ = 1 − exp(Σln/n)/mean is one double chain 6dp.
+    *
+    * Scale: customer rollup + one map-side-combinable segment agg. */
+  def q249Atkinson(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
+    val g = cust.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(floor(log(col("c").cast("double")) * 1e9 + 0.5).cast("long"))
+          .as("lnq"))
+    val mean = col("sc").cast("double") / col("n")
+    val geo = exp(col("lnq").cast("double") / 1e9 / col("n"))
+    g.select(col("seg").as("c_mktsegment"), col("n").as("n_customers"),
+        (round(mean / 100.0, 4) + 0.0).as("mean_rev"),
+        (round(geo / 100.0, 4) + 0.0).as("geomean_rev"),
+        (round(lit(1.0) - geo / mean, 6) + 0.0).as("atkinson_1"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q249AtkinsonSql: String =
+    """WITH cust AS (
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS lnq
+      |  FROM cust GROUP BY seg)
+      |SELECT seg AS c_mktsegment, n AS n_customers,
+      |  ROUND(CAST(sc AS DOUBLE) / n / 100.0, 4) + 0 AS mean_rev,
+      |  ROUND(EXP(CAST(lnq AS DOUBLE) / 1e9 / n) / 100.0, 4) + 0
+      |    AS geomean_rev,
+      |  ROUND(1.0 - EXP(CAST(lnq AS DOUBLE) / 1e9 / n)
+      |    / (CAST(sc AS DOUBLE) / n), 6) + 0 AS atkinson_1
+      |FROM g ORDER BY seg""".stripMargin
+
   /** L178 two-sample Cramér–von Mises (Anderson 1962 [PK], the
     * rank-sum form): BUILDING vs FURNITURE order values again (q231's
     * design), but comparing the WHOLE distributions:

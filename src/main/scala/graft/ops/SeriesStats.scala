@@ -676,6 +676,185 @@ object SeriesStats {
       (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
   }
 
+  /** L180 Haar wavelet energy decomposition (Haar 1910, Mallat [PK]):
+    * detail energies at dyadic scales 1–3 over the daily revenue
+    * series — how much revenue variation lives at the 2-day, 4-day,
+    * and 8-day scales. The multiresolution complement to q208's ACF
+    * (correlation at a lag) and q212's fixed weekly factor: energy
+    * concentrating at level 3 ≈ weekly structure, at level 1 ≈
+    * day-to-day noise.
+    *
+    * Parity: EXACT arithmetic throughout — the orthonormal detail
+    * d_{l,k} = (S_{l−1,2k} − S_{l−1,2k+1})/√(2^l) has energy
+    * Σd² = Σ(S_even − S_odd)²/2^l where the pair sums S are exact
+    * int64 whole dollars, so each level's energy is an exact integer
+    * divided by a power of two (exactly representable); shares are
+    * one double chain 6dp. Trailing incomplete pairs at each level
+    * are dropped (documented, identical on both engines via the same
+    * div/parity arithmetic).
+    *
+    * Scale: three groupBy passes over the scale-constant day census
+    * (the census row number rides [[PrefixSum]], not a global
+    * window); everything is map-side combinable. */
+  def q246HaarEnergy(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select((col("rn") - 1).as("idx"), col("rev").as("x"))
+    def level(in: DataFrame): (DataFrame, DataFrame) = {
+      val paired = in.groupBy((col("idx") / 2).cast("long").as("idx"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("x")).as("x"),
+          sum(when(col("idx") % 2 === 0, col("x")).otherwise(-col("x")))
+            .as("dd"))
+      val complete = paired.filter(col("np") === 2)
+      (complete.select(col("idx"), col("x")),
+        complete.agg(count(lit(1)).as("n_pairs"),
+          sum(col("dd").cast(dec) * col("dd").cast(dec)).as("e2")))
+    }
+    val (s1, e1) = level(d0)
+    val (s2, e2) = level(s1)
+    val (_, e3) = level(s2)
+    val lvls = e1.select(lit(1).as("level"), col("n_pairs"),
+        (col("e2").cast("double") / 2.0).as("energy"))
+      .unionAll(e2.select(lit(2).as("level"), col("n_pairs"),
+        (col("e2").cast("double") / 4.0).as("energy")))
+      .unionAll(e3.select(lit(3).as("level"), col("n_pairs"),
+        (col("e2").cast("double") / 8.0).as("energy")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    lvls.withColumn("tot", sum(col("energy")).over(wAll))
+      .select(col("level"), col("n_pairs"),
+        (round(col("energy") / 1e6, 4) + 0.0).as("energy_m"),
+        (round(col("energy") / col("tot"), 6) + 0.0).as("share"))
+      .orderBy("level")
+  }
+
+  val q246HaarEnergySql: String =
+    s"""WITH d AS ($dailySql),
+       |d0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx, rev AS x
+       |  FROM d),
+       |l1 AS (
+       |  SELECT idx // 2 AS idx, COUNT(*) AS np,
+       |    CAST(SUM(x) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN idx % 2 = 0 THEN x ELSE -x END) AS BIGINT)
+       |      AS dd
+       |  FROM d0 GROUP BY 1),
+       |l2 AS (
+       |  SELECT idx // 2 AS idx, COUNT(*) AS np,
+       |    CAST(SUM(x) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN idx % 2 = 0 THEN x ELSE -x END) AS BIGINT)
+       |      AS dd
+       |  FROM l1 WHERE np = 2 GROUP BY 1),
+       |l3 AS (
+       |  SELECT idx // 2 AS idx, COUNT(*) AS np,
+       |    CAST(SUM(x) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN idx % 2 = 0 THEN x ELSE -x END) AS BIGINT)
+       |      AS dd
+       |  FROM l2 WHERE np = 2 GROUP BY 1),
+       |lv AS (
+       |  SELECT 1 AS level, COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE) / 2.0 AS energy
+       |  FROM l1 WHERE np = 2
+       |  UNION ALL
+       |  SELECT 2, COUNT(*),
+       |    CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE) / 4.0
+       |  FROM l2 WHERE np = 2
+       |  UNION ALL
+       |  SELECT 3, COUNT(*),
+       |    CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE) / 8.0
+       |  FROM l3 WHERE np = 2),
+       |t AS (SELECT *, SUM(energy) OVER () AS tot FROM lv)
+       |SELECT level, n_pairs,
+       |  ROUND(energy / 1e6, 4) + 0 AS energy_m,
+       |  ROUND(energy / tot, 6) + 0 AS share
+       |FROM t ORDER BY level""".stripMargin
+
+  /** L182 Mann–Kendall trend test (Mann 1945, Kendall [PK]) on the
+    * trailing-365-day revenue series: S = Σ_{i<j} sign(x_j − x_i),
+    * tie-corrected Var[S] = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18,
+    * continuity-corrected z. The TEST companion to q206's Theil–Sen
+    * SLOPE (same pair set): Theil–Sen says how steep, Mann–Kendall
+    * says whether the monotone trend is significant at all.
+    *
+    * Parity: the q206/q211 pair build (lazy localCheckpoint, constant
+    * C(365,2) pairs); S and the tie census are exact int64; z is one
+    * double chain; p rides A-S quantized 1e-8.
+    *
+    * Scale: only the day aggregation scans fact data — the q206
+    * shape exactly. */
+  def q248MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    // lazy checkpoint: BOTH consumers (pair build and tie census) read
+    // the cut, so the scale-constant window materializes once and the
+    // plan's nested-loop budget stays at the single final 1-row join
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select(signum((col("b.rev") - col("a.rev")).cast("double"))
+        .cast("long").as("sgn"))
+      .localCheckpoint(eager = false)
+    val sAgg = pairs.agg(sum(col("sgn")).as("s_stat"))
+    val ties = recent.groupBy("rev").agg(count(lit(1)).as("tc"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("tc")).as("n"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tie_term"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_term").cast("double")) / 18.0
+    val z = when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s_stat"),
+        (round(z, 4) + 0.0).as("z_mk"),
+        (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"),
+        when(col("s_stat") > 0, lit("increasing"))
+          .when(col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  val q248MannKendallSql: String = {
+    val z = """(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+      | / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * CAST(n AS DOUBLE) + 5)
+      |   - CAST(tie_term AS DOUBLE)) / 18.0)
+      | WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+      | / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * CAST(n AS DOUBLE) + 5)
+      |   - CAST(tie_term AS DOUBLE)) / 18.0)
+      | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |sa AS (
+       |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+       |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |ties AS (
+       |  SELECT COUNT(*) AS n_distinct,
+       |    CAST(SUM(tc) AS BIGINT) AS n,
+       |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT rev, COUNT(*) AS tc FROM rc GROUP BY rev))
+       |SELECT n AS n_days, s_stat,
+       |  ROUND($z, 4) + 0 AS z_mk,
+       |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p,
+       |  CASE WHEN s_stat > 0 THEN 'increasing'
+       |    WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM sa, ties""".stripMargin
+  }
+
   val q237RunsTestSql: String = {
     val z = "((CAST(switches + 1 AS DOUBLE) " +
       "- (2.0 * np * nn / n + 1.0)) " +

@@ -346,6 +346,43 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q246: all three wavelet levels carry real energy") {
+    val rows = run("q246_haar_energy").orderBy("level").collect()
+    assert(rows.length === 3)
+    var shareSum = 0.0
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0L)
+      assert(r.getAs[Double]("energy_m") > 0.0, "a silent dyadic scale")
+      shareSum += r.getAs[Double]("share")
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+  }
+
+  test("q247: the effect-size machinery produces a finite d with a real CI") {
+    val r = run("q247_effect_size").head()
+    assert(r.getAs[Double]("pooled_sd") > 0.0)
+    assert(!r.getAs[Double]("cohens_d").isNaN)
+    assert(r.getAs[Double]("d_ci_lo") < r.getAs[Double]("d_ci_hi"))
+  }
+
+  test("q248: Mann-Kendall sees a real pair set and finite z") {
+    val r = run("q248_mann_kendall").head()
+    assert(r.getAs[Long]("n_days") > 100L, "trailing window unexpectedly thin")
+    assert(!r.getAs[Double]("z_mk").isNaN)
+  }
+
+  test("q249: inequality is strictly positive in every segment") {
+    val rows = run("q249_atkinson").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("atkinson_1")
+      assert(a > 0.0 && a < 1.0,
+        "A1 at a boundary — all-equal or degenerate revenues")
+      assert(r.getAs[Double]("geomean_rev") < r.getAs[Double]("mean_rev"),
+        "AM-GM inequality violated?!")
+    }
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

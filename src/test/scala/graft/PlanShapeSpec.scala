@@ -407,7 +407,10 @@ class PlanShapeSpec extends SparkSpec {
       // driver-side .head() pattern), q244's 1-row × 1-row aggregate
       // join, and q245's single 4-row degree-ladder range join over
       // the tagged census union
-      "q242_km_greenwood", "q244_cramer_von_mises", "q245_rich_club")
+      "q242_km_greenwood", "q244_cramer_von_mises", "q245_rich_club",
+      // r11 batch 5: q248's 1-row tie-census join (the pair build and
+      // the trailing-window cut both sit under lazy checkpoints)
+      "q248_mann_kendall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -865,6 +865,116 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q246 Haar energies match a sequential pyramid walk") {
+    val rows = SparkEntry.queries("q246_haar_energy")(spark, sf0001)
+      .orderBy("level").collect()
+
+    var series = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val energies = (1 to 3).map { l =>
+      val pairs = series.grouped(2).filter(_.length == 2).toArray
+      val e = pairs.map { p =>
+        val d = (p(0) - p(1)).toDouble; d * d
+      }.sum / math.pow(2.0, l)
+      series = pairs.map(p => p(0) + p(1))
+      (pairs.length, e)
+    }
+    val tot = energies.map(_._2).sum
+
+    assert(rows.length === 3)
+    rows.zip(energies).foreach { case (row, (np, e)) =>
+      assert(row.getAs[Long]("n_pairs") === np.toLong)
+      assert(math.abs(row.getAs[Double]("energy_m") - e / 1e6) < 5e-4,
+        s"level ${row.getAs[Int]("level")}: ${row.getAs[Double]("energy_m")}" +
+          s" vs brute ${e / 1e6}")
+      assert(math.abs(row.getAs[Double]("share") - e / tot) < 5e-6)
+    }
+  }
+
+  test("q247 effect sizes match a sequential pooled-SD computation") {
+    val row = SparkEntry.queries("q247_effect_size")(spark, sf0001).head()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val a = data.filter(_._1 == "BUILDING").map(_._2)
+    val b = data.filter(_._1 == "FURNITURE").map(_._2)
+    def mss(xs: Array[Double]): (Double, Double) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum)
+    }
+    val ((ma, ssa), (mb, ssb)) = (mss(a), mss(b))
+    val nT = (a.length + b.length).toDouble
+    val sp = math.sqrt((ssa + ssb) / (nT - 2.0))
+    val d = (ma - mb) / sp
+    val j = 1.0 - 3.0 / (4.0 * nT - 9.0)
+
+    assert(math.abs(row.getAs[Double]("pooled_sd") - sp) < 5e-3)
+    assert(math.abs(row.getAs[Double]("cohens_d") - d) < 1e-5,
+      s"d ${row.getAs[Double]("cohens_d")} vs brute $d")
+    assert(math.abs(row.getAs[Double]("hedges_g") - j * d) < 1e-5)
+    assert(row.getAs[Double]("d_ci_lo") < d && d < row.getAs[Double]("d_ci_hi"))
+  }
+
+  test("q248 Mann-Kendall S and z match an O(n^2) pair loop") {
+    val row = SparkEntry.queries("q248_mann_kendall")(spark, sf0001).head()
+
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val tmax = daily.map(_._1).max
+    val recent = daily.filter(_._1 > tmax - 365).sortBy(_._1).map(_._2)
+    var s = 0L
+    for (i <- recent.indices; j <- i + 1 until recent.length)
+      s += java.lang.Long.signum(recent(j) - recent(i))
+    val n = recent.length.toDouble
+    val tie = recent.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    val z = if (s > 0) (s - 1.0) / math.sqrt(varS)
+      else if (s < 0) (s + 1.0) / math.sqrt(varS) else 0.0
+
+    assert(row.getAs[Long]("n_days") === recent.length.toLong)
+    assert(row.getAs[Long]("s_stat") === s)
+    assert(math.abs(row.getAs[Double]("z_mk") - z) < 5e-3,
+      s"z ${row.getAs[Double]("z_mk")} vs brute $z")
+    assert(math.abs(row.getAs[Double]("p") - pTwoSided(z)) < 1e-6)
+  }
+
+  test("q249 Atkinson indices match a sequential geometric-mean walk") {
+    val rows = SparkEntry.queries("q249_atkinson")(spark, sf0001)
+      .orderBy("c_mktsegment").collect()
+
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val strata = data.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(rows.length === strata.length)
+    rows.zip(strata).foreach { case (row, (seg, xs)) =>
+      val cs = xs.map(_._2.toDouble)
+      val mean = cs.sum / cs.length
+      val geo = math.exp(cs.map(math.log).sum / cs.length)
+      assert(row.getAs[String]("c_mktsegment") === seg)
+      assert(math.abs(row.getAs[Double]("mean_rev") - mean / 100.0) < 5e-3)
+      assert(math.abs(row.getAs[Double]("geomean_rev") - geo / 100.0) < 5e-3)
+      assert(math.abs(row.getAs[Double]("atkinson_1") -
+        (1.0 - geo / mean)) < 1e-5,
+        s"$seg A1 ${row.getAs[Double]("atkinson_1")} vs brute ${1.0 - geo / mean}")
+    }
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
