@@ -3481,6 +3481,77 @@ object CurationQueries {
        |FROM t ORDER BY score""".stripMargin
   }
 
+  /** L184 Cliff's delta (Cliff 1993 [PK]; Romano magnitude bands):
+    * the ordinal effect size for q210's URGENT-vs-LOW design —
+    * δ = P(X>Y) − P(X<Y) = 2U/(n₁n₂) − 1, read straight off the
+    * doubled-rank U. q210 says whether the groups differ; q247's d
+    * assumes intervals; δ is the assumption-free magnitude on ranks
+    * (the pair q210 should always be reported with).
+    *
+    * Parity: U2 = 2U is exact int64/DECIMAL from the doubled-rank
+    * census (average ranks make ties count half, the standard δ tie
+    * convention); δ is one exact-int division displayed 6dp; the
+    * Romano band is an integer decision on micro-quantized |δ|.
+    *
+    * Scale: the q210 shape verbatim — census + [[PrefixSum]], no
+    * fact-data sort. */
+  def q250CliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val f = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+    val cen = f.groupBy("c")
+      .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")))
+    val g = cum.agg(
+      sum(col("n1")).as("n1t"),
+      sum(col("n") - col("n1")).as("n2t"),
+      sum(col("n1").cast(dec) *
+        (col("cumn") * 2 - col("n") + 1).cast(dec)).as("r2s"))
+    val u2 = col("r2s") - col("n1t").cast(dec) * (col("n1t") + 1).cast(dec)
+    val delta = u2.cast("double") /
+      (col("n1t").cast("double") * col("n2t")) - lit(1.0)
+    val adq = floor(abs(delta) * 1e6 + 0.5)
+    g.select(col("n1t").as("n_urgent"), col("n2t").as("n_low"),
+      (round(delta, 6) + 0.0).as("cliffs_delta"),
+      when(adq < 147000L, "negligible")
+        .when(adq < 330000L, "small")
+        .when(adq < 474000L, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  val q250CliffsDeltaSql: String =
+    """WITH f AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |cen AS (
+      |  SELECT c, COUNT(*) AS n, CAST(SUM(g1) AS BIGINT) AS n1
+      |  FROM f GROUP BY c),
+      |cum AS (
+      |  SELECT *, CAST(SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cumn
+      |  FROM cen),
+      |g AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
+      |    CAST(SUM(n - n1) AS BIGINT) AS n2t,
+      |    SUM(CAST(n1 AS HUGEINT) * (cumn * 2 - n + 1)) AS r2s
+      |  FROM cum),
+      |d AS (
+      |  SELECT n1t, n2t,
+      |    CAST(r2s - CAST(n1t AS HUGEINT) * (n1t + 1) AS DOUBLE)
+      |      / (CAST(n1t AS DOUBLE) * n2t) - 1.0 AS delta
+      |  FROM g)
+      |SELECT n1t AS n_urgent, n2t AS n_low,
+      |  ROUND(delta, 6) + 0 AS cliffs_delta,
+      |  CASE WHEN FLOOR(abs(delta) * 1e6 + 0.5) < 147000 THEN 'negligible'
+      |    WHEN FLOOR(abs(delta) * 1e6 + 0.5) < 330000 THEN 'small'
+      |    WHEN FLOOR(abs(delta) * 1e6 + 0.5) < 474000 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM d""".stripMargin
+
   /** L181 standardized effect sizes (Cohen 1988, Hedges 1981 [PK]):
     * Cohen's d on the q231 two-segment design (pooled SD), Hedges'
     * small-sample correction g = J·d with J = 1 − 3/(4N−9), and the

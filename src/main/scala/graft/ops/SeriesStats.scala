@@ -676,6 +676,285 @@ object SeriesStats {
       (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
   }
 
+  /** L185 Goodman–Kruskal γ and Somers' D (Goodman & Kruskal 1954,
+    * Somers 1962 [PK]): the ordinal-association companions to q211's
+    * τ-b over the same (day revenue, day order-count) pair set —
+    * γ = (nc−nd)/(nc+nd) ignores ties entirely, Somers'
+    * D_yx = (nc−nd)/(nc+nd+ties_y) penalizes ties in the DEPENDENT
+    * variable only (the asymmetric "does x predict y" form), and the
+    * three together bracket τ-b.
+    *
+    * Parity: the q211 pair build verbatim (lazy-checkpointed constant
+    * 66k pair set); nc/nd/tie counts exact int64; the ratios are one
+    * double chain 6dp.
+    *
+    * Scale: the q206/q211 shape — only the day aggregation scans
+    * fact data. */
+  def q251OrdinalAssoc(s: SparkSession, dir: String): DataFrame = {
+    val d = daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"), col("cnt"))
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select((col("b.rev") - col("a.rev")).as("dx"),
+        (col("b.cnt") - col("a.cnt")).as("dy"))
+      .localCheckpoint(eager = false)
+    val agg = pairs.agg(
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+    val diff = (col("nc") - col("nd")).cast("double")
+    agg.select(col("nc"), col("nd"), col("tx").as("ties_x"),
+      col("ty").as("ties_y"),
+      (round(diff / (col("nc") + col("nd")).cast("double"), 6) + 0.0)
+        .as("gamma"),
+      (round(diff / (col("nc") + col("nd") + col("ty")).cast("double"), 6)
+        + 0.0).as("somers_dyx"),
+      (round(diff / (col("nc") + col("nd") + col("tx")).cast("double"), 6)
+        + 0.0).as("somers_dxy"))
+  }
+
+  val q251OrdinalAssocSql: String =
+    s"""WITH d AS ($daily2Sql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev, cnt FROM d),
+       |rc AS (SELECT t, rev, cnt FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT b.rev - a.rev AS dx, b.cnt - a.cnt AS dy
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc,
+       |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nd,
+       |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+       |  FROM p)
+       |SELECT nc, nd, tx AS ties_x, ty AS ties_y,
+       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd), 6) + 0 AS gamma,
+       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + ty), 6) + 0
+       |    AS somers_dyx,
+       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + tx), 6) + 0
+       |    AS somers_dxy
+       |FROM g""".stripMargin
+
+  /** L186 Hurst exponent by rescaled range (Hurst 1951, Mandelbrot &
+    * Wallis [PK]): mean R/S over non-overlapping blocks of w ∈ {8, 16,
+    * 32, 64} days, H = the log₂-log₂ least-squares slope. H ≈ 0.5 ⇒
+    * short memory; H → 1 ⇒ long-range dependence the ACF/PACF
+    * (q208/q219) family underestimates. The long-memory diagnostic of
+    * the series toolkit.
+    *
+    * Parity: per-block cumulative deviations ride EXACT integers —
+    * W_t = w·(running Σx) − t·S_block so R = (maxW − minW)/w and
+    * S² = (w·Q − S²)/w² are exact-int expressions; per-block R/S is
+    * one double chain, nano-quantized before the cross-block integer
+    * MEAN; H is a 4-point least-squares slope in doubles 6dp.
+    *
+    * Scale: block ids are integer div of the [[PrefixSum]] row index;
+    * per-block windows partition BY block (parallel, bounded width);
+    * ≤4-row algebra after. */
+  def q252HurstRs(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select((col("rn") - 1).as("idx"), col("rev").as("x"))
+      .localCheckpoint(eager = false)
+    val ws = Seq(8, 16, 32, 64)
+    val perW = ws.map { w =>
+      val blocks = d0.withColumn("b", expr(s"idx div $w"))
+        .withColumn("t", expr(s"idx % $w") + 1)
+      val wB = Window.partitionBy("b").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.partitionBy("b")
+      val full = blocks
+        .withColumn("np", count(lit(1)).over(wBlk))
+        .filter(col("np") === w)
+        .withColumn("sb", sum(col("x")).over(wBlk))
+        .withColumn("qb", sum(col("x").cast(dec) * col("x").cast(dec))
+          .over(wBlk))
+        .withColumn("cum", sum(col("x")).over(wB))
+        .withColumn("wt",
+          lit(w.toLong) * col("cum") - col("t") * col("sb"))
+      val rs = full.groupBy("b", "sb", "qb")
+        .agg(max(col("wt")).as("wmax"), min(col("wt")).as("wmin"))
+        .select(
+          ((col("wmax") - col("wmin")).cast("double") /
+            sqrt((lit(w.toLong) * col("qb").cast("double") -
+              col("sb").cast("double") * col("sb")))).as("rs"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(floor(col("rs") * 1e9 + 0.5).cast("long")).as("rsq"))
+      rs.select(lit(w).as("w"), col("n_blocks"),
+        (col("rsq").cast("double") / 1e9 / col("n_blocks")).as("rs_mean"))
+    }
+    val lvls = perW.reduce(_ unionAll _)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // least squares of ln(rs_mean) on ln(w) over the 4 points
+    val lx = log(col("w").cast("double"))
+    val ly = log(col("rs_mean"))
+    val t = lvls
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(lx).over(wAll))
+      .withColumn("sy", sum(ly).over(wAll))
+      .withColumn("sxy", sum(lx * ly).over(wAll))
+      .withColumn("sxx", sum(lx * lx).over(wAll))
+    val h = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    t.select(col("w"), col("n_blocks"),
+        (round(col("rs_mean"), 6) + 0.0).as("rs_mean"),
+        (round(h, 6) + 0.0).as("hurst_h"))
+      .orderBy("w")
+  }
+
+  val q252HurstRsSql: String = {
+    def lvl(w: Int): String =
+      s"""SELECT $w AS w, COUNT(*) AS n_blocks,
+         |  CAST(SUM(CAST(FLOOR(rs * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 / COUNT(*) AS rs_mean
+         |FROM (
+         |  SELECT b,
+         |    CAST(MAX(wt) - MIN(wt) AS DOUBLE)
+         |      / SQRT($w * CAST(MAX(qb) AS DOUBLE)
+         |        - CAST(MAX(sb) AS DOUBLE) * MAX(sb)) AS rs
+         |  FROM (
+         |    SELECT b, t, sb, qb,
+         |      $w * SUM(x) OVER (PARTITION BY b ORDER BY t
+         |        ROWS UNBOUNDED PRECEDING) - t * sb AS wt
+         |    FROM (
+         |      SELECT idx // $w AS b, idx % $w + 1 AS t, x,
+         |        COUNT(*) OVER (PARTITION BY idx // $w) AS np,
+         |        CAST(SUM(x) OVER (PARTITION BY idx // $w) AS BIGINT)
+         |          AS sb,
+         |        CAST(SUM(CAST(x AS HUGEINT) * x) OVER
+         |          (PARTITION BY idx // $w) AS HUGEINT) AS qb
+         |      FROM d0) q WHERE np = $w) q2
+         |  GROUP BY b) q3""".stripMargin
+    s"""WITH d AS ($dailySql),
+       |d0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx, rev AS x
+       |  FROM d),
+       |lv AS (
+       |${lvl(8)}
+       |UNION ALL
+       |${lvl(16)}
+       |UNION ALL
+       |${lvl(32)}
+       |UNION ALL
+       |${lvl(64)}),
+       |t AS (
+       |  SELECT *, COUNT(*) OVER () AS k,
+       |    SUM(LN(CAST(w AS DOUBLE))) OVER () AS sx,
+       |    SUM(LN(rs_mean)) OVER () AS sy,
+       |    SUM(LN(CAST(w AS DOUBLE)) * LN(rs_mean)) OVER () AS sxy,
+       |    SUM(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE))) OVER ()
+       |      AS sxx
+       |  FROM lv)
+       |SELECT w, n_blocks,
+       |  ROUND(rs_mean, 6) + 0 AS rs_mean,
+       |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0
+       |    AS hurst_h
+       |FROM t ORDER BY w""".stripMargin
+  }
+
+  /** L187 KPSS level-stationarity statistic (Kwiatkowski, Phillips,
+    * Schmidt & Shin 1992 [PK]): η = Σ_t P_t² / (n²·σ̂²_lr) where P_t
+    * are partial sums of demeaned daily revenue and σ̂²_lr is the
+    * Bartlett-weighted long-run variance with bandwidth m = 7 (one
+    * week). The null here is STATIONARITY — the reverse orientation
+    * of every other trend test in the suite (q206/q226/q248 hunt for
+    * trends; KPSS asks whether treating the series as stationary is
+    * even defensible).
+    *
+    * Parity: demeaned values ride n-SCALED exact integers
+    * (E_t = n·x_t − S), so partial sums and Σ P_t² are exact
+    * DECIMAL/HUGEINT; autocovariance lag sums likewise; η is one
+    * double chain on the common n-scale (the n² factors cancel
+    * algebraically — documented in the chain), 6dp.
+    *
+    * Scale: day census + [[PrefixSum]] for P_t (no global window on
+    * fact data); the m = 7 lag windows run over the scale-constant
+    * series. */
+  def q253Kpss(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = 7
+    val tot = daily(s, dir).agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("sr"))
+    // E_t = n·x_t − S  (n-scaled demeaned value, exact int64)
+    val e = daily(s, dir).crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        (col("n") * col("rev") - col("sr")).as("et"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(e, Seq(col("day")),
+      Seq((col("et"), "pt")))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy("day")
+    val lags = cum.select(
+      (col("et").cast(dec) * col("et").cast(dec)).as("g0") +:
+        (col("pt").cast(dec) * col("pt").cast(dec)).as("p2") +:
+        (1 to m).map(j =>
+          (col("et").cast(dec) * lag(col("et"), j).over(w).cast(dec))
+            .as(s"g$j")): _*)
+    val aggCols = sum(col("g0")).as("sg0") +: sum(col("p2")).as("sp2") +:
+      (1 to m).map(j => sum(col(s"g$j")).as(s"sg$j"))
+    val agg = lags.agg(aggCols.head, aggCols.tail: _*)
+      .crossJoin(broadcast(tot.select(col("n"))))
+    // scale algebra: with E = n·e, ΣP'² = n²ΣP², S_lr = n²·(n·σ̂²_lr),
+    // so η = n⁻²ΣP²/σ̂²_lr = ΣP'² / (n · S_lr) — one factor of n
+    val sLr = (1 to m).foldLeft(col("sg0").cast("double")) {
+      case (acc, j) =>
+        acc + lit(2.0 * (1.0 - j.toDouble / (m + 1))) *
+          col(s"sg$j").cast("double")
+    }
+    agg.select(col("n").as("n_days"), lit(m).as("bandwidth"),
+      (round(col("sp2").cast("double") /
+        (col("n").cast("double") * sLr), 6) + 0.0).as("kpss_eta"))
+  }
+
+  val q253KpssSql: String = {
+    val m = 7
+    val bart = (1 to m).map(j =>
+      s"2.0 * (1.0 - $j.0 / ${m + 1}.0) * CAST(sg$j AS DOUBLE)")
+      .mkString(" + ")
+    val lagCols = (1 to m).map(j =>
+      s"LAG(et, $j) OVER (ORDER BY day) AS el$j")
+      .mkString(",\n       |    ")
+    val lagSums = (1 to m).map(j =>
+      s"CAST(SUM(CAST(et AS HUGEINT) * el$j) AS HUGEINT) AS sg$j")
+      .mkString(",\n       |    ")
+    s"""WITH d AS ($dailySql),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS sr
+       |  FROM d),
+       |e AS (
+       |  SELECT day, (SELECT n FROM tot) * rev - (SELECT sr FROM tot)
+       |    AS et
+       |  FROM d),
+       |cum AS (
+       |  SELECT day, et,
+       |    CAST(SUM(et) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS pt,
+       |    $lagCols
+       |  FROM e),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CAST(et AS HUGEINT) * et) AS HUGEINT) AS sg0,
+       |    CAST(SUM(CAST(pt AS HUGEINT) * pt) AS HUGEINT) AS sp2,
+       |    $lagSums
+       |  FROM cum)
+       |SELECT (SELECT n FROM tot) AS n_days, $m AS bandwidth,
+       |  ROUND(CAST(sp2 AS DOUBLE)
+       |    / (CAST((SELECT n FROM tot) AS DOUBLE)
+       |      * (CAST(sg0 AS DOUBLE) + $bart)), 6) + 0 AS kpss_eta
+       |FROM agg""".stripMargin
+  }
+
   /** L180 Haar wavelet energy decomposition (Haar 1910, Mallat [PK]):
     * detail energies at dyadic scales 1–3 over the daily revenue
     * series — how much revenue variation lives at the 2-day, 4-day,

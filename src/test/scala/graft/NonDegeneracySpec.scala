@@ -383,6 +383,41 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q250: Cliff's delta is in [-1, 1] with both groups populated") {
+    val r = run("q250_cliffs_delta").head()
+    assert(r.getAs[Long]("n_urgent") > 0L && r.getAs[Long]("n_low") > 0L)
+    val d = r.getAs[Double]("cliffs_delta")
+    assert(d >= -1.0 && d <= 1.0 && !d.isNaN)
+    assert(r.getAs[String]("magnitude") != null)
+  }
+
+  test("q251: concordant/discordant pairs exist and gamma bounds Somers' D") {
+    val r = run("q251_ordinal_assoc").head()
+    assert(r.getAs[Long]("nc") + r.getAs[Long]("nd") > 0L)
+    val g = math.abs(r.getAs[Double]("gamma"))
+    assert(g <= 1.0)
+    assert(g >= math.abs(r.getAs[Double]("somers_dyx")) - 1e-9,
+      "gamma's tie-free denominator must dominate Somers' D")
+  }
+
+  test("q252: every block width populates and H lands in (0, 1)") {
+    val rows = run("q252_hurst_rs").orderBy("w").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") > 0L)
+      assert(r.getAs[Double]("rs_mean") > 0.0)
+      val h = r.getAs[Double]("hurst_h")
+      assert(h > 0.0 && h < 1.0, s"H $h outside (0, 1)")
+    }
+  }
+
+  test("q253: the KPSS statistic is strictly positive and finite") {
+    val r = run("q253_kpss").head()
+    assert(r.getAs[Long]("n_days") > 0L)
+    val eta = r.getAs[Double]("kpss_eta")
+    assert(eta > 0.0 && !eta.isInfinite)
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

@@ -410,7 +410,11 @@ class PlanShapeSpec extends SparkSpec {
       "q242_km_greenwood", "q244_cramer_von_mises", "q245_rich_club",
       // r11 batch 5: q248's 1-row tie-census join (the pair build and
       // the trailing-window cut both sit under lazy checkpoints)
-      "q248_mann_kendall")
+      "q248_mann_kendall",
+      // r11 batch 6: q253's 1-row day-count broadcast onto the moment
+      // aggregate (the demeaning broadcast hides under PrefixSum's
+      // internal checkpoint)
+      "q253_kpss")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

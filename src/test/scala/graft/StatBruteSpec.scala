@@ -975,6 +975,125 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q250 Cliff's delta matches an O(n*m) dominance loop") {
+    val row = SparkEntry.queries("q250_cliffs_delta")(spark, sf0001).head()
+
+    val data = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val xs = data.filter(_._1 == "1-URGENT").map(_._2)
+    val ys = data.filter(_._1 == "5-LOW").map(_._2)
+    var dom = 0L
+    for (x <- xs; y <- ys)
+      dom += java.lang.Long.signum(x - y)
+    val delta = dom.toDouble / (xs.length.toLong * ys.length)
+
+    assert(row.getAs[Long]("n_urgent") === xs.length.toLong)
+    assert(row.getAs[Long]("n_low") === ys.length.toLong)
+    assert(math.abs(row.getAs[Double]("cliffs_delta") - delta) < 1e-6,
+      s"delta ${row.getAs[Double]("cliffs_delta")} vs brute $delta")
+    val ad = math.abs(delta)
+    val mag = if (ad < 0.147) "negligible" else if (ad < 0.33) "small"
+      else if (ad < 0.474) "medium" else "large"
+    assert(row.getAs[String]("magnitude") === mag)
+  }
+
+  test("q251 gamma and Somers' D match an O(n^2) pair loop") {
+    val row = SparkEntry.queries("q251_ordinal_assoc")(spark, sf0001).head()
+
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1),
+        r.getLong(2)))
+    val tmax = daily.map(_._1).max
+    val rc = daily.filter(_._1 > tmax - 365).sortBy(_._1)
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- rc.indices; j <- i + 1 until rc.length) {
+      val dx = rc(j)._2 - rc(i)._2
+      val dy = rc(j)._3 - rc(i)._3
+      if (dx == 0) tx += 1
+      if (dy == 0) ty += 1
+      if (dx * dy > 0) nc += 1 else if (dx * dy < 0) nd += 1
+    }
+
+    assert(row.getAs[Long]("nc") === nc && row.getAs[Long]("nd") === nd)
+    assert(math.abs(row.getAs[Double]("gamma") -
+      (nc - nd).toDouble / (nc + nd)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("somers_dyx") -
+      (nc - nd).toDouble / (nc + nd + ty)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("somers_dxy") -
+      (nc - nd).toDouble / (nc + nd + tx)) < 1e-6)
+  }
+
+  test("q252 R/S means and H match a sequential block walk") {
+    val rows = SparkEntry.queries("q252_hurst_rs")(spark, sf0001)
+      .orderBy("w").collect()
+
+    val series = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val pts = Seq(8, 16, 32, 64).map { w =>
+      val blocks = series.grouped(w).filter(_.length == w).toArray
+      val rsVals = blocks.map { b =>
+        val mean = b.sum / w
+        val devs = b.scanLeft(0.0)((acc, x) => acc + (x - mean)).drop(1)
+        val r = devs.max - devs.min
+        val sd = math.sqrt(b.map(x => (x - mean) * (x - mean)).sum / w)
+        r / sd
+      }
+      // mirror the query's nano-quantization before the mean
+      val rsMean = rsVals.map(v => math.floor(v * 1e9 + 0.5)).sum /
+        1e9 / rsVals.length
+      (w, blocks.length, rsMean)
+    }
+    val k = pts.length
+    val (sx, sy) = (pts.map(p => math.log(p._1.toDouble)).sum,
+      pts.map(p => math.log(p._3)).sum)
+    val sxy = pts.map(p => math.log(p._1.toDouble) * math.log(p._3)).sum
+    val sxx = pts.map(p => math.pow(math.log(p._1.toDouble), 2)).sum
+    val h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+
+    assert(rows.length === 4)
+    rows.zip(pts).foreach { case (row, (w, nb, rs)) =>
+      assert(row.getAs[Int]("w") === w)
+      assert(row.getAs[Long]("n_blocks") === nb.toLong)
+      assert(math.abs(row.getAs[Double]("rs_mean") - rs) < 5e-6,
+        s"w=$w rs ${row.getAs[Double]("rs_mean")} vs brute $rs")
+      assert(math.abs(row.getAs[Double]("hurst_h") - h) < 5e-6)
+    }
+  }
+
+  test("q253 KPSS eta matches a sequential partial-sum walk") {
+    val row = SparkEntry.queries("q253_kpss")(spark, sf0001).head()
+
+    val series = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = series.length
+    val mean = series.sum / n
+    val e = series.map(_ - mean)
+    val p = e.scanLeft(0.0)(_ + _).drop(1)
+    val g0 = e.map(x => x * x).sum / n
+    val m = 7
+    val sLr = g0 + 2.0 * (1 to m).map { j =>
+      (1.0 - j.toDouble / (m + 1)) *
+        e.drop(j).zip(e.dropRight(j)).map { case (a, b) => a * b }.sum / n
+    }.sum
+    val eta = p.map(x => x * x).sum / (n.toDouble * n * sLr)
+
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Int]("bandwidth") === m)
+    assert(math.abs(row.getAs[Double]("kpss_eta") - eta) < 5e-6,
+      s"eta ${row.getAs[Double]("kpss_eta")} vs brute $eta")
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
