@@ -3481,6 +3481,191 @@ object CurationQueries {
        |FROM t ORDER BY score""".stripMargin
   }
 
+  /** L188 Jonckheere–Terpstra test (Jonckheere 1954, Terpstra 1952
+    * [PK]): the ordered-alternative k-group rank test —
+    * J = Σ_{g<h} U_gh over the 5 priority levels in score order, ties
+    * half-counted, z against E[J] = (N²−Σnⱼ²)/4 and the classical
+    * no-tie Var[J] = [N²(2N+3) − Σnⱼ²(2nⱼ+3)]/72 (cent-grain values
+    * make ties negligible; the half-count keeps J itself exact — the
+    * variance convention is pinned identically on both engines). The
+    * k-group ordered analog of what Page (q243) does for blocks:
+    * Kruskal–Wallis (q227) answers "any difference", J-T answers "a
+    * trend in the stated order".
+    *
+    * Parity: per-(value, level) census + 5 per-level [[PrefixSum]]
+    * columns; each U_gh term is exact DECIMAL arithmetic (2·U to keep
+    * half-counts integral); z is one double chain; p A-S quantized.
+    *
+    * Scale: one value census, ONE multi-column prefix pass, map-side
+    * aggregation of the 10 ordered-pair terms — no pair blow-up. */
+  def q254JonckheereTerpstra(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("g"))
+    val nAggs = (1 to 5).map(g =>
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$g"))
+    val cen = o.groupBy("c").agg(nAggs.head, nAggs.tail: _*)
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen, Seq(col("c")),
+      (1 to 5).map(g => (col(s"n$g"), s"cum$g")))
+    // 2·U_gh summed over g<h: for each value row, group h's count
+    // meets group g's strictly-smaller mass (cum_g − n_g) twice plus
+    // its tied mass n_g once
+    val u2Terms = (for {
+      g <- 1 to 4; h <- (g + 1) to 5
+    } yield col(s"n$h").cast(dec) *
+      ((col(s"cum$g") - col(s"n$g")).cast(dec) * 2 +
+        col(s"n$g").cast(dec))).reduce(_ + _)
+    val aggCols = sum(u2Terms).as("j2") +:
+      (1 to 5).map(g => sum(col(s"n$g")).as(s"nt$g"))
+    val agg = cum.agg(aggCols.head, aggCols.tail: _*)
+    val nTot = (1 to 5).map(g => col(s"nt$g")).reduce(_ + _).cast("double")
+    val sumSq = (1 to 5).map(g =>
+      col(s"nt$g").cast("double") * col(s"nt$g")).reduce(_ + _)
+    val sumSq23 = (1 to 5).map(g =>
+      col(s"nt$g").cast("double") * col(s"nt$g") *
+        (lit(2.0) * col(s"nt$g") + 3.0)).reduce(_ + _)
+    val j = col("j2").cast("double") / 2.0
+    val eJ = (nTot * nTot - sumSq) / 4.0
+    val varJ = (nTot * nTot * (lit(2.0) * nTot + 3.0) - sumSq23) / 72.0
+    val z = (j - eJ) / sqrt(varJ)
+    agg.select(nTot.cast("long").as("n_orders"),
+      (col("j2") / 2).cast("double").as("j_stat"),
+      (round(z, 4) + 0.0).as("z_jt"),
+      (floor(asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q254JonckheereTerpstraSql: String = {
+    val nCols = (1 to 5).map(g =>
+      s"CAST(SUM(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g")
+      .mkString(",\n      |    ")
+    val cumCols = (1 to 5).map(g =>
+      s"CAST(SUM(n$g) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)" +
+        s" AS BIGINT) AS cum$g").mkString(",\n      |    ")
+    val u2 = (for { g <- 1 to 4; h <- (g + 1) to 5 } yield
+      s"CAST(n$h AS HUGEINT) * ((cum$g - n$g) * 2 + n$g)")
+      .mkString(" + ")
+    val ntCols = (1 to 5).map(g =>
+      s"CAST(SUM(n$g) AS BIGINT) AS nt$g").mkString(",\n      |    ")
+    val nTot = (1 to 5).map(g => s"nt$g").mkString(" + ")
+    val sumSq = (1 to 5).map(g =>
+      s"CAST(nt$g AS DOUBLE) * nt$g").mkString(" + ")
+    val sumSq23 = (1 to 5).map(g =>
+      s"CAST(nt$g AS DOUBLE) * nt$g * (2.0 * nt$g + 3.0)").mkString(" + ")
+    val z = s"((CAST(j2 AS DOUBLE) / 2.0 " +
+      s"- ((nt + 0.0) * nt - ($sumSq)) / 4.0) " +
+      s"/ SQRT(((nt + 0.0) * nt * (2.0 * nt + 3.0) - ($sumSq23)) / 72.0))"
+    s"""WITH o AS (
+       |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+       |    CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS g
+       |  FROM orders),
+       |cen AS (
+       |  SELECT c,
+       |    $nCols
+       |  FROM o GROUP BY c),
+       |cum AS (
+       |  SELECT *,
+       |    $cumCols
+       |  FROM cen),
+       |agg AS (
+       |  SELECT CAST(SUM($u2) AS HUGEINT) AS j2,
+       |    $ntCols
+       |  FROM cum),
+       |t AS (SELECT *, $nTot AS nt FROM agg)
+       |SELECT CAST(nt AS BIGINT) AS n_orders,
+       |  CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+       |  ROUND($z, 4) + 0 AS z_jt,
+       |  FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
+       |FROM t""".stripMargin
+  }
+
+  /** L189 normal-fit KS (Lilliefors-style distance; Lilliefors 1967
+    * [PK]): the exact KS distance between the order-value empirical
+    * CDF and N(μ̂, σ̂²) fitted from the same data — "is spend even
+    * approximately normal?" is the assumption q228/q231/q247 lean on,
+    * and this measures exactly how false it is (the normal-null
+    * sibling of q240's exponential fit; critical values differ from
+    * plain KS because the parameters are estimated — the DISTANCE is
+    * what's reported).
+    *
+    * Parity: μ̂/σ̂ from exact int64/DECIMAL moments; Φ is DEFINED as
+    * the A-S 26.2.17 polynomial (Φ(z) = 1 − p₂(z)/2 for z ≥ 0,
+    * p₂(z)/2 below — the same kernel as every p in the suite);
+    * empirical CDF steps ride the value census + [[PrefixSum]];
+    * per-step D candidates nano-quantize before the integer MAX
+    * (q240 discipline).
+    *
+    * Scale: the q240 shape — census, prefix sums, one max agg. */
+  def q255NormalFitKs(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("cnt"), "cum")))
+    val tot = cen.agg(sum(col("cnt")).as("n"),
+      sum(col("c").cast(dec) * col("cnt").cast(dec)).as("sv"),
+      sum(col("c").cast(dec) * col("c").cast(dec) * col("cnt").cast(dec))
+        .as("qv"))
+    val mu = col("sv").cast("double") / col("n")
+    val sd = sqrt((col("qv").cast("double") - col("sv").cast("double") *
+      mu) / (col("n") - lit(1.0)))
+    val zv = (col("c").cast("double") - mu) / sd
+    val phi = when(zv >= 0, lit(1.0) - StatFns.asTwoSidedP(zv) / 2.0)
+      .otherwise(StatFns.asTwoSidedP(zv) / 2.0)
+    val fHi = col("cum").cast("double") / col("n")
+    val fLo = (col("cum") - col("cnt")).cast("double") / col("n")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n"), mu.as("muv"), sd.as("sdv"),
+        floor(greatest(abs(fHi - phi), abs(phi - fLo)) * 1e9 + 0.5)
+          .cast("long").as("dq"))
+      .groupBy("n")
+      .agg(max(col("muv")).as("muv"), max(col("sdv")).as("sdv"),
+        max(col("dq")).as("dmax"))
+      .select(col("n").as("n_orders"),
+        (round(col("muv") / 100.0, 4) + 0.0).as("mean_price"),
+        (round(col("sdv") / 100.0, 4) + 0.0).as("sd_price"),
+        (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
+  }
+
+  val q255NormalFitKsSql: String = {
+    val phi = s"(CASE WHEN zv >= 0 THEN 1.0 - ${asTwoSidedPSql("zv")} / 2.0" +
+      s" ELSE ${asTwoSidedPSql("zv")} / 2.0 END)"
+    s"""WITH o AS (
+       |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |cen AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
+       |cum AS (
+       |  SELECT c, cnt,
+       |    CAST(SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum
+       |  FROM cen),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |    SUM(CAST(c AS HUGEINT) * cnt) AS sv,
+       |    SUM(CAST(c AS HUGEINT) * c * cnt) AS qv
+       |  FROM cen),
+       |m AS (
+       |  SELECT n, CAST(sv AS DOUBLE) / n AS mu,
+       |    SQRT((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)
+       |      * (CAST(sv AS DOUBLE) / n)) / (n - 1.0)) AS sd
+       |  FROM tot),
+       |d AS (
+       |  SELECT n, mu, sd,
+       |    CAST(FLOOR(GREATEST(
+       |      abs(CAST(cum AS DOUBLE) / n - $phi),
+       |      abs($phi - CAST(cum - cnt AS DOUBLE) / n)) * 1e9 + 0.5)
+       |      AS BIGINT) AS dq
+       |  FROM (SELECT cum.*, m.n, m.mu, m.sd,
+       |      (CAST(c AS DOUBLE) - mu) / sd AS zv
+       |    FROM cum, m) q)
+       |SELECT n AS n_orders,
+       |  ROUND(MAX(mu) / 100.0, 4) + 0 AS mean_price,
+       |  ROUND(MAX(sd) / 100.0, 4) + 0 AS sd_price,
+       |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
+       |FROM d GROUP BY n""".stripMargin
+  }
+
   /** L184 Cliff's delta (Cliff 1993 [PK]; Romano magnitude bands):
     * the ordinal effect size for q210's URGENT-vs-LOW design —
     * δ = P(X>Y) − P(X<Y) = 2U/(n₁n₂) − 1, read straight off the

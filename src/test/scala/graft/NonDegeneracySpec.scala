@@ -418,6 +418,22 @@ class NonDegeneracySpec extends SparkSpec {
     assert(eta > 0.0 && !eta.isInfinite)
   }
 
+  test("q254: the ordered-pair statistic is populated and z finite") {
+    val r = run("q254_jonckheere").head()
+    assert(r.getAs[Long]("n_orders") > 0L)
+    assert(r.getAs[Double]("j_stat") > 0.0, "no cross-group pairs at all")
+    assert(!r.getAs[Double]("z_jt").isNaN)
+  }
+
+  test("q255: the normal-fit distance is real (spend is NOT normal)") {
+    val r = run("q255_normal_ks").head()
+    assert(r.getAs[Double]("sd_price") > 0.0)
+    val d = r.getAs[Double]("ks_d")
+    // the near-uniform spend distribution must measurably deviate from
+    // the fitted normal — a tiny D would mean the screen tests nothing
+    assert(d > 0.01 && d < 1.0, s"KS D $d suspiciously small/degenerate")
+  }
+
   test("q229: every Mantel-Haenszel stratum cell is populated") {
     val rows = run("q229_mantel_haenszel").collect()
     assert(rows.length === 5)

@@ -413,8 +413,9 @@ class PlanShapeSpec extends SparkSpec {
       "q248_mann_kendall",
       // r11 batch 6: q253's 1-row day-count broadcast onto the moment
       // aggregate (the demeaning broadcast hides under PrefixSum's
-      // internal checkpoint)
-      "q253_kpss")
+      // internal checkpoint) and q255's 1-row fitted-moments broadcast
+      // onto the value census (the q240 shape)
+      "q253_kpss", "q255_normal_ks")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

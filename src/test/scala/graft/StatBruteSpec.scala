@@ -1094,6 +1094,63 @@ class StatBruteSpec extends SparkSpec {
       s"eta ${row.getAs[Double]("kpss_eta")} vs brute $eta")
   }
 
+  test("q254 Jonckheere-Terpstra J and z match an O(n^2) ordered-pair loop") {
+    val row = SparkEntry.queries("q254_jonckheere")(spark, sf0001).head()
+
+    val data = Tables.orders(spark, sf0001)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val groups = (1 to 5).map(g => data.filter(_._1 == g).map(_._2))
+    var j2 = BigInt(0)
+    for (g <- 0 until 4; h <- (g + 1) until 5; x <- groups(g);
+         y <- groups(h)) {
+      if (x < y) j2 += 2 else if (x == y) j2 += 1
+    }
+    val j = j2.toDouble / 2.0
+    val ns = groups.map(_.length.toDouble)
+    val n = ns.sum
+    val eJ = (n * n - ns.map(x => x * x).sum) / 4.0
+    val varJ = (n * n * (2 * n + 3) -
+      ns.map(x => x * x * (2 * x + 3)).sum) / 72.0
+    val z = (j - eJ) / math.sqrt(varJ)
+
+    assert(row.getAs[Long]("n_orders") === n.toLong)
+    assert(math.abs(row.getAs[Double]("j_stat") - j) < 0.5,
+      s"J ${row.getAs[Double]("j_stat")} vs brute $j")
+    assert(math.abs(row.getAs[Double]("z_jt") - z) < 5e-3,
+      s"z ${row.getAs[Double]("z_jt")} vs brute $z")
+    assert(math.abs(row.getAs[Double]("p") - pTwoSided(z)) < 1e-6)
+  }
+
+  test("q255 normal-fit KS distance matches a sequential CDF walk") {
+    val row = SparkEntry.queries("q255_normal_ks")(spark, sf0001).head()
+
+    val vals = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    val mu = vals.map(_.toDouble).sum / n
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    def phi(z: Double): Double =
+      if (z >= 0) 1.0 - pTwoSided(z) / 2.0 else pTwoSided(z) / 2.0
+    var d = 0.0; var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && vals(j + 1) == vals(i)) j += 1
+      val f = phi((vals(i) - mu) / sd)
+      d = math.max(d, math.max(math.abs((j + 1).toDouble / n - f),
+        math.abs(f - i.toDouble / n)))
+      i = j + 1
+    }
+
+    assert(row.getAs[Long]("n_orders") === n.toLong)
+    assert(math.abs(row.getAs[Double]("mean_price") - mu / 100.0) < 5e-3)
+    assert(math.abs(row.getAs[Double]("sd_price") - sd / 100.0) < 5e-3)
+    assert(math.abs(row.getAs[Double]("ks_d") - d) < 5e-6,
+      s"D ${row.getAs[Double]("ks_d")} vs brute $d")
+  }
+
   test("q229 Mantel-Haenszel pooled OR matches a sequential stratum walk") {
     val rows = SparkEntry.queries("q229_mantel_haenszel")(spark, sf0001)
       .orderBy("c_mktsegment").collect()
