@@ -19,17 +19,37 @@ plans nobody edits), and every per-query ratio is divided by it before
 flagging. Output shows BOTH raw and normalized ratios; the exit gate
 uses the normalized one.
 
+When an argument is a driver artifact BENCH_r{N}.json and a sibling
+BENCH_LOCAL_r{N}.json exists (the builder's own clean-host bench stdout
+with ALL per-query timings — the driver artifact's tail is
+front-truncated to ~60 queries), the LOCAL file is preferred
+automatically, so the diff covers the full query surface (r11 verdict
+mandate #2).
+
+Uniform-regression tripwire (r11 ADVICE, medium): normalization divides
+out host drift, but it would also divide out a GENUINE uniform slowdown
+(shared-infra change slowing every query including the yardstick trio).
+So the exit gate additionally fails when the yardstick ratio itself, or
+the raw total-time ratio, exceeds YARD_BOUND (default 1.75 — above any
+host drift observed across rounds 1-11, max 1.20x). Pass --allow-drift
+to downgrade that failure to a warning when the hosts are known to
+differ (e.g. comparing a driver artifact against a local run).
+
 Usage:
   python3 scripts/benchdiff.py BENCH_r07.json BENCH_r08.json [threshold]
   python3 scripts/benchdiff.py /tmp/bench_a.json /tmp/bench_b.json 1.3
+  python3 scripts/benchdiff.py BENCH_r11.json BENCH_r12.json --allow-drift
 
-Exit code 1 if any normalized regression above threshold (for use as a
-gate).
+Exit code 1 if any normalized regression above threshold, or (without
+--allow-drift) on a uniform-slowdown tripwire hit.
 """
 import json
+import os
 import re
 import statistics
 import sys
+
+YARD_BOUND = float(os.environ.get("GRAFT_YARD_BOUND", "1.75"))
 
 QUERY_RE = re.compile(r'"(q[0-9][^"]*)":([0-9.]+)')
 TOTAL_RE = re.compile(r'"n_queries":(\d+),"value":([0-9.]+)')
@@ -37,6 +57,17 @@ TOTAL_RE = re.compile(r'"n_queries":(\d+),"value":([0-9.]+)')
 # Frozen since round 1; if one is ever edited, replace it here and note
 # the swap in README's bench-noise protocol.
 YARDSTICK = ("q1_pricing_summary", "q32_date_funcs", "q25_moving_avg")
+
+
+def prefer_local(path):
+    """BENCH_r{N}.json → sibling BENCH_LOCAL_r{N}.json when present."""
+    m = re.match(r"^(.*?)BENCH_(r\d+\.json)$", path)
+    if m:
+        local = f"{m.group(1)}BENCH_LOCAL_{m.group(2)}"
+        if os.path.exists(local):
+            print(f"using {local} (full per-query map) instead of {path}")
+            return local
+    return path
 
 
 def load(path):
@@ -59,10 +90,12 @@ def load(path):
 
 
 def main():
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if a != "--allow-drift"]
+    allow_drift = "--allow-drift" in sys.argv[1:]
+    if len(args) < 2:
         sys.exit(__doc__)
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old_path, new_path = prefer_local(args[0]), prefer_local(args[1])
+    threshold = float(args[2]) if len(args) > 2 else 1.5
     old, old_total = load(old_path)
     new, new_total = load(new_path)
     common = sorted(set(old) & set(new))
@@ -104,7 +137,25 @@ def main():
               f"(raw {raw_ratio:.2f}x, normalized {norm:.2f}x faster)")
     if not regressions:
         print("no normalized regressions above threshold")
-    sys.exit(1 if regressions else 0)
+
+    # Uniform-slowdown tripwire: a shared-infra regression inflates the
+    # yardstick and divides itself out of every normalized ratio, so the
+    # yardstick and the raw total get their own bound.
+    uniform = []
+    if yard > YARD_BOUND:
+        uniform.append(f"yardstick ratio {yard:.2f}x exceeds bound "
+                       f"{YARD_BOUND}x — either severe host drift or a "
+                       f"UNIFORM regression in shared code paths")
+    if old_total and new_total and old_total[1] > 0:
+        total_ratio = new_total[1] / old_total[1]
+        if total_ratio > YARD_BOUND and old_total[0] == new_total[0]:
+            uniform.append(f"raw total {old_total[1]:.1f}s -> "
+                           f"{new_total[1]:.1f}s ({total_ratio:.2f}x) exceeds "
+                           f"bound {YARD_BOUND}x at equal query count")
+    for msg in uniform:
+        print(f"{'WARNING' if allow_drift else 'FAILURE'} (uniform tripwire): "
+              f"{msg}")
+    sys.exit(1 if regressions or (uniform and not allow_drift) else 0)
 
 
 if __name__ == "__main__":

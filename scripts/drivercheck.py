@@ -29,6 +29,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # timestamp/date outputs) shows the driver coerces these — mirror it.
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            # Spark-written fuzz fixtures carry isAdjustedToUTC=true, so
+            # DuckDB emits tz-aware outputs where the driver fixture
+            # (pyarrow-naive) emits naive ones: same instant, different
+            # dtype. Normalize to naive UTC before unit coercion.
+            if getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
         elif df[c].dtype == object and df[c].map(
                 lambda v: v is None or hasattr(v, "toordinal")).all() \
@@ -51,7 +57,11 @@ def main():
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # fixture tables are single files; fuzz fixtures (Spark-written)
+            # are directories of part files — glob those
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:

@@ -67,7 +67,11 @@ def main():
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # fixture tables are single files; fuzz fixtures (Spark-written)
+            # are directories of part files — glob those
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:

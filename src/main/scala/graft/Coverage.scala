@@ -31,17 +31,25 @@ object Coverage {
 
     // locate each `def <method>` across the main source tree
     val srcRoot = repo.resolve("src/main/scala/graft")
-    val files = Files.walk(srcRoot).iterator().asScala
-      .filter(_.toString.endsWith(".scala")).toSeq
-    val defIndex: Map[String, String] = files.flatMap { p =>
+    val walk = Files.walk(srcRoot)
+    val files =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+      finally walk.close()
+    val defSites: Seq[(String, String)] = files.flatMap { p =>
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       val rel = srcRoot.relativize(p).toString
       lines.zipWithIndex.collect {
-        case (l, i) if l.matches(""".*\bdef (q\w+)[(\[ :].*""") =>
-          val name = """\bdef (q\w+)""".r.findFirstMatchIn(l).get.group(1)
+        case (l, i) if l.matches(""".*\bdef (q\d+\w*)[(\[ :].*""") =>
+          val name = """\bdef (q\d+\w*)""".r.findFirstMatchIn(l).get.group(1)
           name -> s"$rel:${i + 1}"
       }
-    }.toMap
+    }
+    // a duplicate qNNN def in two files would silently mis-attribute the
+    // index (last-wins Map) — fail instead
+    val dups = defSites.groupBy(_._1).filter(_._2.size > 1)
+    require(dups.isEmpty,
+      s"duplicate query def names: ${dups.map { case (n, s) => s"$n at ${s.map(_._2).mkString(", ")}" }.mkString("; ")}")
+    val defIndex: Map[String, String] = defSites.toMap
 
     val names = SparkEntry.queries.keySet.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

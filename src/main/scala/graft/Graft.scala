@@ -30,7 +30,8 @@ object Graft {
   def tables: Tables.type = Tables
 
   /** Binary media columns: schema, partition-batched decode (real
-    * image/audio kernels, stub video), resize, features. */
+    * image/audio/video kernels — MJPEG/RIFF-AVI demux included since
+    * the video stub was replaced), resize, features. */
   def media: multimodal.Multimodal.type = multimodal.Multimodal
 
   // -- similarity / text kernels (codegen'd custom expressions) --

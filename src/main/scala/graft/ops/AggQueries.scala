@@ -58,19 +58,32 @@ object AggQueries {
     * (no (custkey,totalprice) ties in the fixtures → deterministic). */
   def q13ArgMinMax(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
+    // tie-break on orderkey (r12 fuzz find: bare min/max_by is
+    // under-specified under price ties and the engines legitimately
+    // disagree) — max side keeps the LARGEST key among tied maxima,
+    // min side the smallest, matching the mirror's ROW_NUMBER order
     o.groupBy("o_custkey")
-      .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
         dec4(max(dm(col("o_totalprice")))).as("best_price"))
       .orderBy("o_custkey")
   }
 
   val q13ArgMinMaxSql: String =
-    s"""SELECT o_custkey,
-       |  arg_max(o_orderkey, o_totalprice) AS best_order,
-       |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+    s"""WITH r AS (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+       |  FROM orders)
+       |SELECT o_custkey,
+       |  MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+       |  MAX(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
        |  ${out4(s"MAX(CAST(o_totalprice AS $DM))")} AS best_price
-       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+       |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** A9 statistical aggregates (rounded doubles — decimal impossible). */
   def q14Stats(s: SparkSession, dir: String): DataFrame = {
@@ -152,7 +165,9 @@ object AggQueries {
     e.groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0)
+      // fill ONLY the pivot columns: a blanket fill(0) also rewrote a
+      // NULL user_id key to user 0 (r12 fuzz find)
+      .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
   }
 

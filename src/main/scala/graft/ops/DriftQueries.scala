@@ -1,0 +1,964 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-profiling and drift operators, split out of
+  * CurationQueries in round 12: column entropy, PSI, exact KS/EMD,
+  * quantile normalization, ROC AUC, calibration, agreement (kappa),
+  * inequality (Theil, Atkinson), outlier screens (Tukey, MAD), Poisson
+  * bootstrap CIs, and Neyman allocation. All are census-collapsed
+  * before any window (the q147 discipline); the unpartitioned windows
+  * ride value censuses, never fact rows.
+  */
+object DriftQueries {
+  /** Categorical column profiling with Shannon entropy — the
+    * value-distribution half of data profiling ([[DataQuality.profile]]
+    * is the one-pass count/null/HLL half): per column, row count,
+    * distinct values (null counted as a value), null mass, entropy in
+    * nats, and the modal value's share. Low entropy or a top-share near
+    * 1 flags a near-constant column; entropy near ln(k) flags uniform
+    * codes — the screens a schema-mapping step runs before trusting a
+    * field.
+    *
+    * Parity: counts are exact; entropy = −Σ p·ln p sums ≤ 5 doubles per
+    * column whose partition-order jitter (~1e−16) sits twelve orders
+    * below the round(4) grid; `+ 0.0` normalizes the single-value
+    * column's −0.0 (q111 discipline). p = n/tot is int64→double
+    * division, IEEE-identical.
+    *
+    * Scale: stack → one (column, value) hash agg, map-side combinable;
+    * the entropy window runs over ≤ |values| rows per column. Columns
+    * profiled in one pass regardless of table count — unions, not
+    * joins. */
+  def q122ColumnEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, dir).selectExpr(
+      "stack(2, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus) as (col_name, val)")
+    val o = Tables.orders(s, dir).selectExpr(
+      "stack(2, 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority) as (col_name, val)")
+    val c = l.unionAll(o).groupBy("col_name", "val")
+      .agg(count(lit(1)).as("n"))
+    val t = c.withColumn("tot",
+      sum(col("n")).over(Window.partitionBy("col_name")))
+    t.groupBy("col_name")
+      .agg(max(col("tot")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("val").isNull, col("n"))), lit(0L)).as("n_null"),
+        (round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
+          + 0.0).as("entropy"),
+        round(max(col("n")).cast("double") / max(col("tot")), 4).as("top_share"))
+      .orderBy("col_name")
+  }
+
+  val q122ColumnEntropySql: String =
+    """WITH v AS (
+      |  SELECT 'l_returnflag' AS col_name, l_returnflag AS val FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      |c AS (SELECT col_name, val, COUNT(*) AS n FROM v GROUP BY col_name, val),
+      |t AS (SELECT col_name, val, n,
+      |        CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT) AS tot
+      |      FROM c)
+      |SELECT col_name,
+      |  MAX(tot) AS n_rows,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(COALESCE(SUM(n) FILTER (WHERE val IS NULL), 0) AS BIGINT) AS n_null,
+      |  ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 4)
+      |    + 0 AS entropy,
+      |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share
+      |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  /** Population Stability Index — THE production drift metric: bin the
+    * monitored feature by the BASE period's exact deciles, compare the
+    * comparison period's bin shares, PSI = Σ (p_b − p_a)·ln(p_b/p_a).
+    * Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 act. Here:
+    * order prices, pre-1999 as base vs 1999+ as comparison, one row per
+    * decile with its PSI term (the total is the sum — emitting terms
+    * localizes WHERE the distribution moved, which is the part a
+    * monitoring dashboard actually shows).
+    *
+    * Parity: cut points are exact decile percentiles on int64 cents
+    * (the A10 `percentile` == `quantile_cont` contract); bin assignment
+    * counts cuts below the value (identical comparison semantics);
+    * counts exact; the ln tree is identical-association (the
+    * q121/q43 ln precedent) and rounds at 6.
+    *
+    * Scale: one agg for cuts (9-value array broadcast, the q88
+    * one-row-bounds pattern — allowlisted BNLJ), one map-side bin
+    * projection, one ≤10-group agg. No windows over fact rows. */
+  def q146Psi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val cuts = o.filter(!col("is_new"))
+      .agg(expr(
+        "percentile(pc, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("c"))
+    val binned = o.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        lit(1) + size(filter(col("c"),
+          x => col("pc").cast("double") > x)))
+    val t = binned.groupBy("bin")
+      .agg(count(when(!col("is_new"), 1)).as("na"),
+        count(when(col("is_new"), 1)).as("nb"))
+    // period totals as driver scalars (q121/q133 discipline) — the
+    // second one-row broadcast would exceed the one-BNLJ-per-plan cap
+    val totRow = o.agg(count(when(!col("is_new"), 1)),
+      count(when(col("is_new"), 1))).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    // Fuzz hardening (r12): an EMPTY bin on either side makes the raw
+    // term ln(0) — a DuckDB error and a Spark null. Standard PSI
+    // zero-bin handling: clamp each proportion to ≥ 1e-9 (no-op
+    // whenever the bin is populated — the smallest real proportion is
+    // 1/|period|, orders of magnitude above the clamp until periods
+    // exceed 1e9 rows, where a zero bin is the only sub-clamp case).
+    // An empty PERIOD (ta or tb = 0) leaves PSI undefined → null terms.
+    val pa = greatest(col("na").cast("double") / math.max(ta, 1L),
+      lit(1e-9))
+    val pb = greatest(col("nb").cast("double") / math.max(tb, 1L),
+      lit(1e-9))
+    val term = if (ta == 0L || tb == 0L) lit(null).cast("double")
+    else round((pb - pa) * log(pb / pa), 6)
+    t.select(col("bin"), col("na"), col("nb"), term.as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val q146PsiSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |cuts AS (
+      |  SELECT list_transform(
+      |    quantile_cont(pc, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    x -> CAST(x AS DOUBLE)) AS c
+      |  FROM o WHERE NOT is_new),
+      |t AS (
+      |  SELECT 1 + len(list_filter((SELECT c FROM cuts),
+      |           x -> CAST(pc AS DOUBLE) > x)) AS bin,
+      |    COUNT(*) FILTER (WHERE NOT is_new) AS na,
+      |    COUNT(*) FILTER (WHERE is_new) AS nb
+      |  FROM o GROUP BY 1),
+      |tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM t),
+      |p AS (
+      |  SELECT bin, na, nb,
+      |    GREATEST(CAST(na AS DOUBLE) / GREATEST(ta, 1), 1e-9) AS pa,
+      |    GREATEST(CAST(nb AS DOUBLE) / GREATEST(tb, 1), 1e-9) AS pb,
+      |    ta, tb
+      |  FROM t, tot)
+      |SELECT bin, na, nb,
+      |  CASE WHEN ta = 0 OR tb = 0 THEN NULL
+      |       ELSE ROUND((pb - pa) * LN(pb / pa), 6) END AS psi_term
+      |FROM p ORDER BY bin""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the base and
+    * comparison price distributions — the nonparametric partner of
+    * q146's binned PSI: KS = max |CDF_a − CDF_b| over the merged value
+    * domain, computed EXACTLY in integers by cross-multiplying the
+    * cumulative counts (|cum_a·n_b − cum_b·n_a|, divided once at the
+    * end) — no floating-point CDFs, no binning approximation.
+    *
+    * Scale: the fact table collapses to the distinct-cents histogram in
+    * a map-side agg; the cumulative counts then come from [[PrefixSum]]
+    * — range-partitioned local cumsums + partition-count offsets — so
+    * the global CDF needs NO single-partition window even though its
+    * order spans the whole value domain (DuckDB states the same thing
+    * with a plain window, fine for an oracle). The final max is one
+    * scan. Int64 budget: cum·n ≤ n², safe through ~3·10⁹ rows/side.
+    *
+    * Parity: everything before the final division is exact int64; ties
+    * are immaterial because the CDF is read per distinct value (the
+    * PrefixSum tie contract). */
+  def q147Ks(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val h = o.groupBy("pc")
+      .agg(count(when(!col("is_new"), 1)).as("ca"),
+        count(when(col("is_new"), 1)).as("cb"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
+      Seq((col("ca"), "cuma"), (col("cb"), "cumb")))
+    // side totals as driver scalars (q121/q133 discipline) so the
+    // per-row cross-multiplication needs no one-row broadcast join
+    val totRow = h.agg(sum("ca"), sum("cb")).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    // Fuzz hardening (r12): an empty side leaves the KS distance
+    // undefined — null, not a divide-by-zero crash
+    val ks = if (ta == 0L || tb == 0L) lit(null).cast("double")
+    else round(col("ks_num").cast("double") / (ta * tb), 6)
+    c.agg(max(abs(col("cuma") * tb - col("cumb") * ta)).as("ks_num"))
+      .select(col("ks_num"), lit(ta * tb).as("ks_den"), ks.as("ks"))
+  }
+
+  val q147KsSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |h AS (
+      |  SELECT pc, COUNT(*) FILTER (WHERE NOT is_new) AS ca,
+      |    COUNT(*) FILTER (WHERE is_new) AS cb
+      |  FROM o GROUP BY pc),
+      |c AS (
+      |  SELECT pc,
+      |    SUM(ca) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM h),
+      |tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM h)
+      |SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS BIGINT) AS ks_num,
+      |  CAST(MAX(ta * tb) AS BIGINT) AS ks_den,
+      |  CASE WHEN MAX(ta * tb) = 0 THEN NULL
+      |       ELSE ROUND(CAST(MAX(ABS(cuma * tb - cumb * ta)) AS DOUBLE)
+      |         / MAX(ta * tb), 6) END AS ks
+      |FROM c, tot""".stripMargin
+
+  /** L118 quantile normalization (Bolstad et al. 2003): force every
+    * source's n_chars distribution onto the pooled reference — each
+    * document's value is replaced by the MEAN across sources of the
+    * value at its within-source rank. The batch-effect corrector for
+    * multi-source corpora: after it, every source has literally the
+    * same marginal distribution, so downstream length filters can't
+    * favor one feed. Distinct from winsorize (L58: clips tails
+    * per-group) and PSI (L75: measures drift, doesn't fix it).
+    *
+    * Parity: ranks are tie-broken row_numbers (exact), the reference
+    * is one double division of exact int64 sum/count per rank, rounded
+    * 4dp — no float accumulation across rows.
+    *
+    * Scale: the within-source rank is a per-source sort — at fixture
+    * scale one |sources|-partition window; at 100 TB the same rank
+    * comes from the L35/L77 range-partitioned machinery (RangedNtile's
+    * sampled cutpoints + per-range offsets), same semantics. The
+    * reference table is rank-keyed (rows = max group size, corpus/
+    * |sources|) and joins back as the small side. */
+  def q180QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = d.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+    val ref = ranked.groupBy("rnk")
+      .agg(sum(col("n_chars")).as("s"), count(lit(1)).as("c"))
+    ranked.join(ref, "rnk")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("s").cast("double") / col("c").cast("double"), 4).as("qn"))
+      .orderBy("doc_id")
+  }
+
+  val q180QuantileNormSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rnk
+      |  FROM documents),
+      |ref AS (
+      |  SELECT rnk, CAST(SUM(n_chars) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM ranked GROUP BY rnk)
+      |SELECT doc_id, source, n_chars,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 4) AS qn
+      |FROM ranked JOIN ref USING (rnk)
+      |ORDER BY doc_id""".stripMargin
+
+  /** L119 exact ROC AUC via the Mann–Whitney rank statistic: how well
+    * does n_chars separate the q179 focus source from the rest? AUC =
+    * P(score_pos > score_neg) + ½P(=) — the threshold-free evaluation
+    * every quality-classifier pipeline reports, computed EXACTLY with
+    * tie handling (no trapezoid approximation): over distinct scores,
+    * numerator·2 = Σ 2·p_s·(negs strictly below s) + p_s·q_s, an exact
+    * int64; AUC is one final division by 2·n_pos·n_neg, rounded 6dp.
+    *
+    * Scale: the q147 KS shape — a distinct-score census (map-side
+    * combinable, rows bounded by the VALUE DOMAIN, not the corpus)
+    * then [[PrefixSum]]'s distributed running sum over it and a single
+    * global aggregate; the corpus is never globally sorted or ranked. */
+  def q181Auc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars").as("sc"),
+      (col("source") === "src0").as("pos"))
+    val h = d.groupBy("sc")
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("q"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
+      Seq((col("q"), "cumq")))
+    c.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * (col("cumq") - col("q")) * lit(2L) +
+          col("p") * col("q")).as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("num2"),
+        round(col("num2").cast("double") /
+          (col("n_pos") * col("n_neg") * lit(2L)).cast("double"), 6).as("auc"))
+  }
+
+  val q181AucSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS sc, source = 'src0' AS pos FROM documents),
+      |h AS (
+      |  SELECT sc, COUNT(*) FILTER (WHERE pos) AS p,
+      |    COUNT(*) FILTER (WHERE NOT pos) AS q
+      |  FROM d GROUP BY sc),
+      |c AS (
+      |  SELECT sc, p, q,
+      |    SUM(q) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+      |  FROM h)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(q) AS BIGINT) AS n_neg,
+      |  CAST(SUM(p * (cumq - q) * 2 + p * q) AS BIGINT) AS num2,
+      |  ROUND(CAST(SUM(p * (cumq - q) * 2 + p * q) AS DOUBLE)
+      |    / CAST(SUM(p) * SUM(q) * 2 AS DOUBLE), 6) AS auc
+      |FROM c""".stripMargin
+
+  /** L120 exact 1-D Wasserstein distance (earth mover's): W₁ between
+    * the focus source's n_chars distribution and the rest — the
+    * INTEGRATED CDF deviation ∫|F₁−F₂|dx, the drift measure that sees
+    * magnitude where KS (L76, max deviation) sees only the worst point
+    * and PSI (L75) sees only bin occupancy. num = Σ_s |cuma·tb −
+    * cumb·ta|·Δ_s stays an exact int64 (sf ≲ 10³; DECIMAL(38) lift
+    * documented past that); W₁ is one final division by ta·tb.
+    *
+    * Scale: the q147 shape end-to-end — value-domain-bounded census,
+    * [[PrefixSum]] running counts, and the "next distinct value" gap
+    * WITHOUT a global lead window: the row index is just a prefix sum
+    * of ones, so Δ comes from an equi-join on idx+1. */
+  def q182Emd(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars").as("sc"),
+      (col("source") === "src0").as("pos"))
+    val h = d.groupBy("sc")
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("q"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
+      Seq((lit(1L), "idx"), (col("p"), "cuma"), (col("q"), "cumb")))
+    val totRow = h.agg(sum("p"), sum("q")).head
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    val nxt = c.select((col("idx") - 1L).as("idx"), col("sc").as("next_sc"))
+    c.join(nxt, Seq("idx"), "left")
+      .agg(sum(abs(col("cuma") * tb - col("cumb") * ta) *
+        (coalesce(col("next_sc"), col("sc")) - col("sc"))).as("w1_num"))
+      .select(col("w1_num"), lit(ta * tb).as("w1_den"),
+        round(col("w1_num").cast("double") / (ta * tb).toDouble, 6).as("w1"))
+  }
+
+  val q182EmdSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS sc, source = 'src0' AS pos FROM documents),
+      |h AS (
+      |  SELECT sc, COUNT(*) FILTER (WHERE pos) AS p,
+      |    COUNT(*) FILTER (WHERE NOT pos) AS q
+      |  FROM d GROUP BY sc),
+      |c AS (
+      |  SELECT sc, p, q,
+      |    SUM(p) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(q) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    LEAD(sc) OVER (ORDER BY sc) AS next_sc
+      |  FROM h),
+      |tot AS (SELECT SUM(p) AS ta, SUM(q) AS tb FROM h)
+      |SELECT
+      |  CAST(SUM(ABS(cuma * tb - cumb * ta)
+      |    * (COALESCE(next_sc, sc) - sc)) AS BIGINT) AS w1_num,
+      |  CAST(MAX(ta * tb) AS BIGINT) AS w1_den,
+      |  ROUND(CAST(SUM(ABS(cuma * tb - cumb * ta)
+      |    * (COALESCE(next_sc, sc) - sc)) AS DOUBLE)
+      |    / MAX(ta * tb), 6) AS w1
+      |FROM c, tot""".stripMargin
+
+  /** L121 Cohen's kappa: chance-corrected agreement between two
+    * independent quality raters — here the q162 Gopher mean-word-length
+    * rule vs the stopword-absence rule — the inter-annotator statistic
+    * a labeling pipeline reports before trusting auto-labels (raw
+    * percent agreement is inflated when both raters mostly say "keep").
+    * κ = (n·(n₁₁+n₀₀) − pe_num)/(n² − pe_num) with pe_num = r₁c₁+r₀c₀
+    * — every term an exact int64 product from the 2×2 confusion
+    * census; one final division, 6dp.
+    *
+    * Scale: two codegen'd boolean columns, one map-side-combinable
+    * 4-counter aggregate, one output row — no shuffle beyond the
+    * single partial/final exchange. */
+  def q183Kappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nw = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val ra = (sumLen * 10 < nw * 42 || sumLen * 10 > nw * 48)
+    val rb = !arrays_overlap(split(col("text"), " "),
+      array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to")))
+    val cts = d.select(ra.as("ra"), rb.as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+    val r1 = col("n11") + col("n10")
+    val c1 = col("n11") + col("n01")
+    val peNum = r1 * c1 + (col("n") - r1) * (col("n") - c1)
+    cts.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round((col("n") * (col("n11") + col("n00")) - peNum).cast("double") /
+        (col("n") * col("n") - peNum).cast("double"), 6).as("kappa"))
+  }
+
+  val q183KappaSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    length(replace(text, ' ', '')) * 10
+      |        < (length(text) - length(replace(text, ' ', '')) + 1) * 42
+      |      OR length(replace(text, ' ', '')) * 10
+      |        > (length(text) - length(replace(text, ' ', '')) + 1) * 48 AS ra,
+      |    len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to'])) = 0 AS rb
+      |  FROM documents),
+      |cts AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM f)
+      |SELECT n, n11, n10, n01, n00,
+      |  ROUND(CAST(n * (n11 + n00)
+      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
+      |      AS DOUBLE)
+      |    / CAST(n * n
+      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
+      |      AS DOUBLE), 6) AS kappa
+      |FROM cts""".stripMargin
+
+  /** L122 distributed Poisson bootstrap: a 95 % percentile confidence
+    * interval for mean n_chars from B = 200 resamples — THE resampling
+    * scheme that works at fact scale (Efron's classic bootstrap needs a
+    * global sample per replicate; the Poisson approximation gives every
+    * row an independent Poisson(1) replication count, so each replicate
+    * is one map-side-combinable weighted aggregate — Chamandy et al.'s
+    * streaming-scale estimator). Deterministic by construction: the
+    * replication count comes from the q127 LCG hash of (doc_id, b)
+    * against exact integer CDF thresholds ⌊P·CDF_Pois(1)(k)⌋, so both
+    * engines draw literally the same resamples — no RNG state anywhere.
+    *
+    * Parity: each replicate mean is ONE int64/int64 division (exact
+    * IEEE bits), so the rank ordering of the 200 means and the rank-5 /
+    * rank-196 percentile picks are engine-independent; the point mean
+    * rides as driver scalars (q121 discipline).
+    *
+    * Scale: corpus × B rows exist only between the generate and the
+    * partial agg in the same stage — the shuffle carries ≤ B·tasks
+    * partial rows into B groups; the rank window sees exactly B rows. */
+  def q184Bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val totRow = d.agg(sum("n_chars"), count(lit(1))).head
+    val (sx, n) = (totRow.getLong(0), totRow.getLong(1))
+    val reps = d.select(col("doc_id"), col("n_chars"),
+      explode(expr("sequence(0L, 199L)")).as("b"))
+    val h = pmod(col("doc_id") * lit(1103515245L) +
+      col("b") * lit(2654435761L) + lit(12345L), lit(1000000007L))
+    val w = when(h < 367879443L, 0L).when(h < 735758887L, 1L)
+      .when(h < 919698609L, 2L).when(h < 981011849L, 3L)
+      .when(h < 996340160L, 4L).when(h < 999405822L, 5L)
+      .when(h < 999916765L, 6L).otherwise(7L)
+    val repMeans = reps.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val ranked = repMeans.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    ranked.agg(
+        round(min(when(col("rn") === 5, col("m"))), 6).as("ci_lo"),
+        round(min(when(col("rn") === 196, col("m"))), 6).as("ci_hi"))
+      .select(lit(n).as("n_docs"), lit(200).as("n_reps"),
+        round(lit(sx.toDouble / n.toDouble), 6).as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val q184BootstrapSql: String =
+    """WITH reps AS (
+      |  SELECT b.b, d.n_chars,
+      |    ((d.doc_id * 1103515245 + b.b * 2654435761 + 12345)
+      |      % 1000000007 + 1000000007) % 1000000007 AS h
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(0, 200)) AS b) b),
+      |w AS (
+      |  SELECT b, n_chars,
+      |    CASE WHEN h < 367879443 THEN 0 WHEN h < 735758887 THEN 1
+      |         WHEN h < 919698609 THEN 2 WHEN h < 981011849 THEN 3
+      |         WHEN h < 996340160 THEN 4 WHEN h < 999405822 THEN 5
+      |         WHEN h < 999916765 THEN 6 ELSE 7 END AS w
+      |  FROM reps),
+      |rm AS (
+      |  SELECT b, CAST(SUM(w * n_chars) AS DOUBLE)
+      |    / CAST(SUM(w) AS DOUBLE) AS m
+      |  FROM w GROUP BY b),
+      |r AS (SELECT b, m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM rm),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+      |        FROM documents)
+      |SELECT tot.n AS n_docs, 200 AS n_reps,
+      |  ROUND(CAST(tot.s AS DOUBLE) / tot.n, 6) AS mean,
+      |  ROUND(MIN(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo,
+      |  ROUND(MIN(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi
+      |FROM r, tot GROUP BY tot.n, tot.s""".stripMargin
+
+  /** L129 Theil T inequality decomposition (Theil 1967 [PK]) of order
+    * values by priority class — the inequality statistic Gini (q150)
+    * can't give: Theil decomposes EXACTLY into within-group +
+    * between-group terms (T = Σ_g w_g·T_g + Σ_g w_g·ln(μ_g/μ),
+    * w_g = (n_g/N)(μ_g/μ)), so "is order-value inequality driven by
+    * priority mix or within-class spread?" is answerable from the
+    * emitted per-group rows alone; RankStatSpec pins the decomposition
+    * identity against a driver brute force.
+    *
+    * Parity: group sums are exact decimals; means divide exact casts;
+    * each row's (x/μ_g)ln(x/μ_g) term is nano-quantized before the
+    * per-group integer SUM; the between/weight terms are a fixed
+    * int→double chain off the ≤|priorities|-row aggregate.
+    *
+    * Scale: one keyed window for μ_g (partitioned on priority), one
+    * keyed agg, then a ≤5-row unpartitioned window for the global
+    * totals — the only single-partition window in the plan runs over
+    * five rows. */
+  def q191Theil(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        dm(col("o_totalprice")).as("x"))
+    val wg = Window.partitionBy("priority")
+    val mug = sum(col("x")).over(wg).cast("double") /
+      count(lit(1)).over(wg).cast("double")
+    val xr = col("x").cast("double") / col("mug")
+    val perGroup = o.withColumn("mug", mug)
+      .select(col("priority"), col("mug"),
+        floor(xr * log(xr) * lit(1.0e9) + lit(0.5)).cast("long").as("tq"),
+        col("x"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), max(col("mug")).as("mu_g"),
+        sum(col("x")).as("sum_g"), sum("tq").as("sq"))
+    val wAll = Window.partitionBy()
+    val bigN = sum(col("n")).over(wAll)
+    val mu = sum(col("sum_g")).over(wAll).cast("double") /
+      sum(col("n")).over(wAll).cast("double")
+    perGroup
+      .withColumn("mu", mu).withColumn("big_n", bigN)
+      .select(col("priority"), col("n"), col("mu_g"),
+        ((col("sq").cast("double") / lit(1.0e9)) /
+          col("n").cast("double")).as("theil_within"),
+        ((col("n").cast("double") / col("big_n").cast("double")) *
+          (col("mu_g") / col("mu"))).as("weight"),
+        (((col("n").cast("double") / col("big_n").cast("double")) *
+          (col("mu_g") / col("mu"))) *
+          log(col("mu_g") / col("mu"))).as("between_term"))
+      .orderBy("priority")
+  }
+
+  val q191TheilSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(o_totalprice AS ${Parity.DM}) AS x
+       |  FROM orders),
+       |r AS (
+       |  SELECT priority, x,
+       |    CAST(SUM(x) OVER (PARTITION BY priority) AS DOUBLE)
+       |      / CAST(COUNT(*) OVER (PARTITION BY priority) AS DOUBLE) AS mug
+       |  FROM o),
+       |g AS (
+       |  SELECT priority, COUNT(*) AS n, MAX(mug) AS mu_g,
+       |    SUM(x) AS sum_g,
+       |    CAST(SUM(CAST(FLOOR(
+       |      (CAST(x AS DOUBLE) / mug) * ln(CAST(x AS DOUBLE) / mug)
+       |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM r GROUP BY priority),
+       |t AS (
+       |  SELECT priority, n, mu_g, sq,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS big_n,
+       |    CAST(SUM(sum_g) OVER () AS DOUBLE)
+       |      / CAST(SUM(n) OVER () AS DOUBLE) AS mu
+       |  FROM g)
+       |SELECT priority, n, mu_g,
+       |  (CAST(sq AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS theil_within,
+       |  (CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu) AS weight,
+       |  ((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
+       |    * ln(mu_g / mu) AS between_term
+       |FROM t ORDER BY priority""".stripMargin
+
+  /** L135 calibration / reliability table — the eval readout AUC
+    * (q181) deliberately ignores: AUC scores RANKING, calibration asks
+    * whether predicted probabilities MEAN what they say. Toy length
+    * classifier for src0 membership: p̂ = (n_chars−min)/(max−min),
+    * binned into 10 equal-width probability bins; per bin the mean
+    * prediction, observed src0 rate, their absolute gap, and the bin's
+    * weight — the table ECE = Σ (n_b/N)·|gap| summarizes (pinned
+    * brute-force in RankStatSpec).
+    *
+    * Parity: bin assignment is an exact INT decision
+    * ((sc−mn)·10 div (mx−mn+1), the q88 bounds discipline) so a 1-ulp
+    * divergence can never flip a row's bin; p̂ is nano-quantized per
+    * distinct length and summed as int64; every per-bin output is one
+    * fixed int→double chain. Bounds ride a window over the
+    * distinct-length census (≤ |lengths| rows), not a one-row join.
+    *
+    * Scale: one map-side-combinable length census, a tiny unpartitioned
+    * window over it, a ≤10-group agg. */
+  def q197Calibration(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+    val wAll = Window.partitionBy()
+    val withB = h
+      .withColumn("mn", min(col("sc")).over(wAll))
+      .withColumn("mx", max(col("sc")).over(wAll))
+    val span = col("mx") - col("mn")
+    val bin = expr("(sc - mn) * 10 div (mx - mn + 1)")
+    val phat = when(span > 0L,
+      (col("sc") - col("mn")).cast("double") / span.cast("double"))
+      .otherwise(lit(0.0))
+    withB
+      .select(bin.as("bin"), col("n"), col("pos"),
+        (col("n") * floor(phat * lit(1.0e9) + lit(0.5)).cast("long"))
+          .as("pq"))
+      .groupBy("bin")
+      .agg(sum("n").as("n_docs"), sum("pos").as("n_pos"),
+        sum("pq").as("spq"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        ((col("spq").cast("double") / lit(1.0e9)) /
+          col("n_docs").cast("double")).as("avg_pred"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("obs_rate"),
+        abs((col("spq").cast("double") / lit(1.0e9)) /
+          col("n_docs").cast("double") -
+          col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("abs_gap"))
+      .orderBy("bin")
+  }
+
+  val q197CalibrationSql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS sc, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos
+      |  FROM documents GROUP BY n_chars),
+      |b AS (
+      |  SELECT sc, n, pos,
+      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
+      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
+      |  FROM h),
+      |q AS (
+      |  SELECT (sc - mn) * 10 // (mx - mn + 1) AS bin, n, pos,
+      |    n * CAST(FLOOR(
+      |      CASE WHEN mx - mn > 0
+      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
+      |  FROM b),
+      |a AS (
+      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(pq) AS BIGINT) AS spq
+      |  FROM q GROUP BY bin)
+      |SELECT bin, n_docs, n_pos,
+      |  (CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE) AS avg_pred,
+      |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS obs_rate,
+      |  abs((CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE)
+      |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS abs_gap
+      |FROM a ORDER BY bin""".stripMargin
+
+  /** L148 Tukey-fence outlier audit (Tukey 1977 [PK], the boxplot
+    * rule): per market segment, the quartiles of per-CUSTOMER lifetime
+    * revenue and the count/share of customers outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the standard first-pass anomaly
+    * screen before any model-based scoring (q97's z-score screen
+    * assumes normality; this doesn't).
+    *
+    * Round 11 de-vacuification (the q175 lesson): the original screen
+    * ran on raw order value, whose bounded near-uniform distribution
+    * puts ZERO mass beyond 1.5·IQR at every SF — hash-green while
+    * flagging nothing. Per-customer revenue is a random SUM over a
+    * skewed order count, so its right tail genuinely crosses the
+    * fence (2 / 20 / 156 customers flagged at sf0.001/0.01/0.1 —
+    * measured, and pinned by NonDegeneracySpec).
+    *
+    * Parity: per-customer revenue is an exact int64 cents sum;
+    * quartiles interpolate on int64, so Q1/Q3 are exact multiples of
+    * 0.25 (representable), 1.5·IQR is an exact multiple of 0.125, and
+    * the fences pin to integer cents with half-up floor(x+0.5) — the
+    * outlier decision is then an INT comparison that can never flip
+    * across engines. Displayed quartiles round 4dp (q15 discipline).
+    *
+    * Scale: the customer rollup is one map-side-combinable agg; then
+    * one exact-percentile agg per segment (driver-bounded ≤5 rows; at
+    * fact scale the same quartiles come from q98's [[RangedNtile]]
+    * machinery), broadcast back over one customer-grain scan. */
+  def q214TukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
+    val q = o.groupBy("seg")
+      .agg(percentile(col("c"), lit(0.25)).as("q1"),
+        percentile(col("c"), lit(0.75)).as("q3"))
+      .select(col("seg"), col("q1"), col("q3"),
+        floor(col("q1") - (col("q3") - col("q1")) * 1.5 + 0.5)
+          .cast("long").as("flo"),
+        floor(col("q3") + (col("q3") - col("q1")) * 1.5 + 0.5)
+          .cast("long").as("fhi"))
+    o.join(broadcast(q), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_customers"),
+        max(round(col("q1") / 100.0, 4) + 0.0).as("q1_rev"),
+        max(round(col("q3") / 100.0, 4) + 0.0).as("q3_rev"),
+        sum(when(col("c") < col("flo"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("c") > col("fhi"), 1L).otherwise(0L)).as("n_out_hi"))
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("q1_rev"), col("q3_rev"), col("n_out_lo"), col("n_out_hi"),
+        (round((col("n_out_lo") + col("n_out_hi")).cast("double") /
+          col("n_customers").cast("double"), 6) + 0.0).as("outlier_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q214TukeyFencesSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |q AS (
+      |  SELECT seg, quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3,
+      |    CAST(FLOOR(quantile_cont(c, 0.25)
+      |      - 1.5 * (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
+      |      + 0.5) AS BIGINT) AS flo,
+      |    CAST(FLOOR(quantile_cont(c, 0.75)
+      |      + 1.5 * (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
+      |      + 0.5) AS BIGINT) AS fhi
+      |  FROM o GROUP BY seg)
+      |SELECT o.seg AS c_mktsegment, COUNT(*) AS n_customers,
+      |  MAX(ROUND(q1 / 100.0, 4) + 0) AS q1_rev,
+      |  MAX(ROUND(q3 / 100.0, 4) + 0) AS q3_rev,
+      |  CAST(SUM(CASE WHEN c < flo THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |  CAST(SUM(CASE WHEN c > fhi THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+      |  ROUND(CAST(SUM(CASE WHEN c < flo OR c > fhi THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) + 0 AS outlier_share
+      |FROM o JOIN q USING (seg)
+      |GROUP BY o.seg ORDER BY o.seg""".stripMargin
+
+  /** L149 MAD robust z-score outlier screen: per segment, the median
+    * and the Median Absolute Deviation of order value, flagging
+    * |x − med| > 3·1.4826·MAD (the Hampel rule; 1.4826 ≈ 1/Φ⁻¹(3/4)
+    * makes MAD a consistent σ estimate [PK: Hampel 1974]) — the
+    * robust counterpart to q97's mean/stddev screen: one 50%-corrupted
+    * cell can't move this threshold, where a single bad value owns a
+    * z-score's σ.
+    *
+    * Round 11 de-vacuification (the q175 lesson, same as q214): raw
+    * order value has no tail beyond the Hampel threshold at any SF —
+    * the screen was hash-green while flagging nothing. The screen now
+    * runs on per-customer lifetime revenue, whose skewed sum
+    * distribution genuinely trips the fence (1 / 9 / 77 flagged at
+    * sf0.001/0.01/0.1 — measured, pinned by NonDegeneracySpec).
+    *
+    * Exactness: everything is integer until display. The median of
+    * DOUBLED cents is an exact int (interpolation (a+b)/2 on doubled
+    * units = a+b); deviations dev2 = |2c − m2| are int64; MAD rides
+    * QUADRUPLED units the same way; the flag decision
+    * 20000·dev2 > 44478·mad4 (3·1.4826 = 44478/10⁴ exact) is a pure
+    * int64 comparison — no float ever decides an outlier.
+    *
+    * Scale: two exact-percentile censuses (≤5 segments) broadcast back
+    * over fact scans — the q214 shape, one extra pass for the
+    * deviation median. */
+  def q215MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
+    val med = o.groupBy("seg")
+      .agg(percentile(col("c") * 2, lit(0.5)).cast("long").as("m2"))
+    val dev = o.join(broadcast(med), "seg")
+      .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+    val mad = dev.groupBy("seg")
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_customers"),
+        max(round(col("m2") / 200.0, 4) + 0.0).as("median_rev"),
+        max(round(col("mad4") / 400.0, 4) + 0.0).as("mad_rev"),
+        sum(when(col("dev2") * 20000L > col("mad4") * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("seg").as("c_mktsegment"), col("n_customers"),
+        col("median_rev"), col("mad_rev"), col("n_outliers"),
+        (round(col("n_outliers").cast("double") /
+          col("n_customers").cast("double"), 6)
+          + 0.0).as("outlier_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q215MadOutliersSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |med AS (
+      |  SELECT seg, CAST(quantile_cont(c * 2, 0.5) AS BIGINT) AS m2
+      |  FROM o GROUP BY seg),
+      |dev AS (
+      |  SELECT seg, c, m2, abs(c * 2 - m2) AS dev2
+      |  FROM o JOIN med USING (seg)),
+      |mad AS (
+      |  SELECT seg, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY seg)
+      |SELECT dev.seg AS c_mktsegment, COUNT(*) AS n_customers,
+      |  MAX(ROUND(m2 / 200.0, 4) + 0) AS median_rev,
+      |  MAX(ROUND(mad4 / 400.0, 4) + 0) AS mad_rev,
+      |  CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  ROUND(CAST(SUM(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0
+      |    END) AS DOUBLE) / COUNT(*), 6) + 0 AS outlier_share
+      |FROM dev JOIN mad USING (seg)
+      |GROUP BY dev.seg ORDER BY dev.seg""".stripMargin
+
+  /** L173 Neyman optimal allocation (Neyman 1934 [PK]): design a
+    * stratified sample of n = 1,000 orders across the 5 segments with
+    * per-stratum allocation ∝ Nₕ·Sₕ (size × spread — minimum-variance
+    * for a fixed total), integerized by largest remainder so the
+    * allocations sum to EXACTLY n (the q117/q165 penny-exact
+    * discipline). The sample-DESIGN complement to the executed
+    * samplers (q127 weighted, q134 stratified split).
+    *
+    * Parity: Sₕ comes from exact int64/DECIMAL moments through one
+    * identical double chain, then the weight Nₕ·Sₕ pins to an int64
+    * unit (floor(x+0.5), dollar·row units — headroom to sf ≈ 10⁴);
+    * base shares and remainders are exact integer div/mod; the
+    * remainder ranking is an integer decision with segment tie-break.
+    *
+    * Scale: one map-side moment agg; everything after runs on the
+    * ≤5-row census via windows. */
+  def q239NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val n = 1000L
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("seg")
+      .agg(count(lit(1)).as("nh"), sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val sh = sqrt((col("qv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") / col("nh")) /
+      (col("nh") - lit(1.0)))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g.withColumn("wq",
+        floor(col("nh").cast("double") * sh + 0.5).cast("long"))
+      .withColumn("wt", sum(col("wq")).over(wAll))
+      .withColumn("base", expr(s"wq * ${n}L div wt"))
+      .withColumn("rem", expr(s"(wq * ${n}L) % wt"))
+      .withColumn("deficit", lit(n) - sum(col("base")).over(wAll))
+    val wr = Window.orderBy(col("rem").desc, col("seg"))
+    t.withColumn("rk", row_number().over(wr))
+      .select(col("seg").as("c_mktsegment"), col("nh").as("n_h"),
+        (round(sh, 4) + 0.0).as("s_h"),
+        (col("base") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q239NeymanAllocationSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nh,
+      |    SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM o GROUP BY seg),
+      |t AS (
+      |  SELECT seg, nh,
+      |    SQRT((CAST(qv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1.0)) AS sh
+      |  FROM g),
+      |q AS (
+      |  SELECT seg, nh, sh,
+      |    CAST(FLOOR(CAST(nh AS DOUBLE) * sh + 0.5) AS BIGINT) AS wq
+      |  FROM t),
+      |a AS (
+      |  SELECT *, CAST(SUM(wq) OVER () AS BIGINT) AS wt FROM q),
+      |b AS (
+      |  SELECT *, wq * 1000 // wt AS base, (wq * 1000) % wt AS rem
+      |  FROM a),
+      |c AS (
+      |  SELECT *,
+      |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS deficit,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, seg) AS rk
+      |  FROM b)
+      |SELECT seg AS c_mktsegment, nh AS n_h,
+      |  ROUND(sh, 4) + 0 AS s_h,
+      |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM c ORDER BY seg""".stripMargin
+
+  /** L183 Atkinson inequality index, ε = 1 (Atkinson 1970 [PK]):
+    * A₁ = 1 − geomean/mean over per-customer lifetime revenue within
+    * each segment — the welfare-founded inequality member beside the
+    * descriptive Gini (q150), Lorenz deciles (q167), HHI (q190), and
+    * Theil (q191): A₁ is the fraction of total revenue that could be
+    * given up with no welfare loss under log utility if revenue were
+    * equal.
+    *
+    * Parity: revenue is an exact int64 cents sum (always > 0, so ln is
+    * total); per-customer ln terms quantize to nano-units before the
+    * integer sum (q185 discipline), the mean is an exact-int division,
+    * and A₁ = 1 − exp(Σln/n)/mean is one double chain 6dp.
+    *
+    * Scale: customer rollup + one map-side-combinable segment agg. */
+  def q249Atkinson(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("c"))
+    val g = cust.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(floor(log(col("c").cast("double")) * 1e9 + 0.5).cast("long"))
+          .as("lnq"))
+    val mean = col("sc").cast("double") / col("n")
+    val geo = exp(col("lnq").cast("double") / 1e9 / col("n"))
+    g.select(col("seg").as("c_mktsegment"), col("n").as("n_customers"),
+        (round(mean / 100.0, 4) + 0.0).as("mean_rev"),
+        (round(geo / 100.0, 4) + 0.0).as("geomean_rev"),
+        (round(lit(1.0) - geo / mean, 6) + 0.0).as("atkinson_1"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q249AtkinsonSql: String =
+    """WITH cust AS (
+      |  SELECT c_mktsegment AS seg, c_custkey,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS lnq
+      |  FROM cust GROUP BY seg)
+      |SELECT seg AS c_mktsegment, n AS n_customers,
+      |  ROUND(CAST(sc AS DOUBLE) / n / 100.0, 4) + 0 AS mean_rev,
+      |  ROUND(EXP(CAST(lnq AS DOUBLE) / 1e9 / n) / 100.0, 4) + 0
+      |    AS geomean_rev,
+      |  ROUND(1.0 - EXP(CAST(lnq AS DOUBLE) / 1e9 / n)
+      |    / (CAST(sc AS DOUBLE) / n), 6) + 0 AS atkinson_1
+      |FROM g ORDER BY seg""".stripMargin
+}

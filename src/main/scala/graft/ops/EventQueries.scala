@@ -29,6 +29,10 @@ object EventQueries {
   def q56AsofViewPurchase(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .filter(col("event_type").isin("view", "purchase"))
+      // fuzz hardening (r12): drop anonymous events — the window's NULL
+      // partition would attribute views across unrelated null-user rows
+      // (and the mirror's NULL-rejecting equi-join disagrees)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "view", 0).otherwise(1).as("tag"))
     val w = Window.partitionBy(col("user_id"))
@@ -47,8 +51,10 @@ object EventQueries {
   }
 
   val q56AsofViewPurchaseSql: String =
-    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-      |     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+      |          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |     v AS (SELECT user_id, event_id, ts FROM events
+      |          WHERE event_type = 'view' AND user_id IS NOT NULL)
       |SELECT user_id, purchase_id, purchase_ts, view_id, view_ts FROM (
       |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
       |    v.event_id AS view_id, v.ts AS view_ts,
@@ -77,7 +83,22 @@ object EventQueries {
       .orderBy("user_id", "purchase_id")
   }
 
-  val q62AsofNativeSql: String = q56AsofViewPurchaseSql
+  /** q62's own mirror (r12): q56 now drops anonymous events because its
+    * window-based rewrite pools NULL users into one pseudo-partition;
+    * the NATIVE as-of op follows SQL join semantics (NULL keys match
+    * nothing → purchase kept, view columns null), so its mirror keeps
+    * them — the fuzz gate pins that the custom operator treats NULL
+    * keys exactly like the equi-join it replaces. */
+  val q62AsofNativeSql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+      |SELECT user_id, purchase_id, purchase_ts, view_id, view_ts FROM (
+      |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |    v.event_id AS view_id, v.ts AS view_ts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+      |WHERE rn = 1
+      |ORDER BY user_id, purchase_id""".stripMargin
 
   /** T1 tumbling window: hourly event counts + value sums per type.
     * Spark `window()` aligns 1-hour buckets to epoch hours, i.e. exactly
@@ -160,7 +181,8 @@ object EventQueries {
   /** T6 funnel: first signup per user, first purchase at-or-after it,
     * conversion latency in whole seconds (exact µs integer floor). */
   def q60Funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    // fuzz hardening (r12): drop anonymous events (q56 rationale)
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
     val w = Window.partitionBy(col("user_id"))
     val firstSignup = min(when(col("event_type") === "signup", col("ts"))).over(w)
     e.withColumn("signup_ts", firstSignup)
@@ -176,7 +198,7 @@ object EventQueries {
   val q60FunnelSql: String =
     """WITH f AS (
       |  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
-      |  FROM events GROUP BY user_id)
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
       |SELECT user_id, signup_ts, conv_ts,
       |  (epoch_us(conv_ts) - epoch_us(signup_ts)) // 1000000 AS conv_sec
       |FROM (
@@ -1177,27 +1199,30 @@ object EventQueries {
     * the day census is a ≤|days|-group hash agg; only the day table
     * (dozens of rows at any corpus size — lifetimes are calendar-
     * bounded) rides the global window. Corpus end and the user total
-    * are driver scalars (q121 discipline). */
+    * ride an in-plan 1-row broadcast (the q242 form, backported r12 —
+    * no build-time driver action). */
   def q175KaplanMeier(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
     val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
-      countDistinct("user_id").as("nu")).head()
-    val endUs = bounds.getAs[Long]("end_us")
-    val nUsers = bounds.getAs[Long]("nu")
+      countDistinct("user_id").as("nu"))
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
       .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
         " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"))
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        col("nu"))
     val day = peru.groupBy("t")
-      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
+        max(col("nu")).as("nu"))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRisk = day.withColumn("n_risk",
-      lit(nUsers) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
     val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
     val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
       .otherwise(log((col("n_risk") - col("d")).cast("double") /
@@ -1510,7 +1535,10 @@ object EventQueries {
       .filter(col("p1").isNotNull)
       .select(col("user_id"), concat_ws(">", col("p1"), col("p2"),
         col("event_type")).as("pattern"))
-    val users = tri.select("user_id").distinct().count()
+    // fuzz hardening (r12): distinct().count() counted the NULL-user
+    // pseudo-group that countDistinct (numerator, both engines) and the
+    // mirror's COUNT(DISTINCT user_id) exclude — drop nulls to match
+    val users = tri.select("user_id").na.drop().distinct().count()
     tri.groupBy("pattern")
       .agg(countDistinct(col("user_id")).as("support_users"),
         count(lit(1)).as("n_occurrences"))
@@ -1567,24 +1595,27 @@ object EventQueries {
     * windows — the q175 shape exactly. */
   def q200NelsonAalen(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    // in-plan 1-row bounds broadcast (q242 form, backported r12)
     val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
-      countDistinct("user_id").as("nu")).head()
-    val endUs = bounds.getAs[Long]("end_us")
-    val nUsers = bounds.getAs[Long]("nu")
+      countDistinct("user_id").as("nu"))
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
       .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
         " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"))
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        col("nu"))
     val day = peru.groupBy("t")
-      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"))
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
+        max(col("nu")).as("nu"))
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRisk = day.withColumn("n_risk",
-      lit(nUsers) - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
     val incQ = when(col("d") === 0L || col("n_risk") <= 0L, lit(0L))
       .otherwise(floor(col("d").cast("double") / col("n_risk").cast("double") *
         lit(1.0e9) + lit(0.5)).cast("long"))
@@ -1656,13 +1687,15 @@ object EventQueries {
     * after is the bounded day census. */
   def q224LogRank(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us")).head()
-    val endUs = bounds.getAs[Long]("end_us")
+    // in-plan 1-row bounds broadcast (q242 form, backported r12)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"))
     val peru = e.groupBy("user_id")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
       .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
         " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <= endUs - 12L * 3600L * 1000000L, 1L)
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
           .otherwise(0L).as("churn"),
         pmod(col("user_id"), lit(2L)).as("g"))
     val day = peru.groupBy("t")

@@ -232,11 +232,15 @@ object SeriesStats {
       sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
       sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
       sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"))
+    // fuzz hardening (r12): a window where one variable is ALL ties
+    // zeroes a denominator factor — tau-b undefined, not a crash
     agg.select(col("n0").as("n_pairs"), col("nc"), col("nd"),
       col("ties_x"), col("ties_y"),
-      (round((col("nc") - col("nd")).cast("double") /
-        sqrt((col("n0") - col("ties_x")).cast("double") *
-          (col("n0") - col("ties_y")).cast("double")), 6) + 0.0)
+      when(col("n0") - col("ties_x") === 0 ||
+          col("n0") - col("ties_y") === 0, lit(null).cast("double"))
+        .otherwise(round((col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("ties_x")).cast("double") *
+            (col("n0") - col("ties_y")).cast("double")), 6) + 0.0)
         .as("tau_b"))
   }
 
@@ -257,9 +261,10 @@ object SeriesStats {
        |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
        |  FROM p)
        |SELECT n0 AS n_pairs, nc, nd, ties_x, ties_y,
-       |  ROUND(CAST(nc - nd AS DOUBLE) /
-       |    SQRT(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)),
-       |    6) + 0 AS tau_b
+       |  CASE WHEN n0 - ties_x = 0 OR n0 - ties_y = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) /
+       |      SQRT(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)),
+       |      6) + 0 END AS tau_b
        |FROM g""".stripMargin
 
   /** L144 day-of-week seasonal profile: the multiplicative seasonal
@@ -494,9 +499,12 @@ object SeriesStats {
       sum(col("mx").cast(dec) * col("mx").cast(dec)).as("s2"))
     val nD = col("n").cast("double")
     val mean = col("s1").cast("double") / nD
-    val sd = sqrt((nD * col("s2").cast("double") -
-      col("s1").cast("double") * col("s1").cast("double")) /
-      (nD * (nD - 1.0)))
+    // fuzz hardening (r12): a single-month corpus leaves sd (and the
+    // whole fit) undefined — null, not a divide-by-zero crash
+    val sd = when(col("n") < 2, lit(null).cast("double"))
+      .otherwise(sqrt((nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (nD * (nD - 1.0))))
     val beta = sd * 0.7796968012336761
     val mu = mean - beta * 0.5772156649015329
     g.select(col("n").as("n_months"),
@@ -523,9 +531,10 @@ object SeriesStats {
        |c AS (
        |  SELECT n,
        |    CAST(s1 AS DOUBLE) / n AS mean,
-       |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-       |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+       |    CASE WHEN n < 2 THEN NULL ELSE
+       |      sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sd
        |  FROM g),
        |p AS (
        |  SELECT n, mean, sd, sd * 0.7796968012336761 AS beta,
@@ -680,9 +689,13 @@ object SeriesStats {
     * Somers 1962 [PK]): the ordinal-association companions to q211's
     * τ-b over the same (day revenue, day order-count) pair set —
     * γ = (nc−nd)/(nc+nd) ignores ties entirely, Somers'
-    * D_yx = (nc−nd)/(nc+nd+ties_y) penalizes ties in the DEPENDENT
+    * D_yx = (nc−nd)/(nc+nd+T_Y) penalizes ties in the DEPENDENT
     * variable only (the asymmetric "does x predict y" form), and the
-    * three together bracket τ-b.
+    * three together bracket τ-b. Textbook convention (the r11 ADVICE
+    * fix): T_Y counts pairs tied on Y but NOT also on X (and T_X the
+    * mirror) — both-tied pairs belong to neither denominator. The
+    * reported ties_x/ties_y columns stay the raw dx=0 / dy=0 totals
+    * (q211's tie counts); ties_both makes the exclusion auditable.
     *
     * Parity: the q211 pair build verbatim (lazy-checkpointed constant
     * 66k pair set); nc/nd/tie counts exact int64; the ratios are one
@@ -707,16 +720,22 @@ object SeriesStats {
       sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
       sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
       sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
-      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("txy"))
     val diff = (col("nc") - col("nd")).cast("double")
+    // fuzz hardening (r12): degenerate (all-tied / empty) pair sets
+    // zero the denominators — the coefficients go null, not crash
+    def safe(den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(diff / den.cast("double"), 6) + 0.0)
     agg.select(col("nc"), col("nd"), col("tx").as("ties_x"),
-      col("ty").as("ties_y"),
-      (round(diff / (col("nc") + col("nd")).cast("double"), 6) + 0.0)
-        .as("gamma"),
-      (round(diff / (col("nc") + col("nd") + col("ty")).cast("double"), 6)
-        + 0.0).as("somers_dyx"),
-      (round(diff / (col("nc") + col("nd") + col("tx")).cast("double"), 6)
-        + 0.0).as("somers_dxy"))
+      col("ty").as("ties_y"), col("txy").as("ties_both"),
+      safe(col("nc") + col("nd")).as("gamma"),
+      safe(col("nc") + col("nd") + col("ty") - col("txy"))
+        .as("somers_dyx"),
+      safe(col("nc") + col("nd") + col("tx") - col("txy"))
+        .as("somers_dxy"))
   }
 
   val q251OrdinalAssocSql: String =
@@ -735,14 +754,19 @@ object SeriesStats {
        |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS nd,
        |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-       |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+       |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+       |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS txy
        |  FROM p)
-       |SELECT nc, nd, tx AS ties_x, ty AS ties_y,
-       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd), 6) + 0 AS gamma,
-       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + ty), 6) + 0
-       |    AS somers_dyx,
-       |  ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + tx), 6) + 0
-       |    AS somers_dxy
+       |SELECT nc, nd, tx AS ties_x, ty AS ties_y, txy AS ties_both,
+       |  CASE WHEN nc + nd = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd), 6) + 0 END AS gamma,
+       |  CASE WHEN nc + nd + ty - txy = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + ty - txy), 6) + 0
+       |    END AS somers_dyx,
+       |  CASE WHEN nc + nd + tx - txy = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + tx - txy), 6) + 0
+       |    END AS somers_dxy
        |FROM g""".stripMargin
 
   /** L186 Hurst exponent by rescaled range (Hurst 1951, Mandelbrot &

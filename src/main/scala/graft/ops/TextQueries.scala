@@ -1250,8 +1250,11 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("n_unique"),
         (col("sq").cast("double") / lit(1.0e9)).as("entropy"),
         when(col("n_unique") > 1L,
-          (col("sq").cast("double") / lit(1.0e9)) /
-            log(col("n_unique").cast("double")))
+          // nano-quantize: the ln(n_unique) division is the one
+          // cross-libm double in the chain (r12 fuzz find: a 300-token
+          // adversarial doc diverged in the 16th digit)
+          floor((col("sq").cast("double") / lit(1.0e9)) /
+            log(col("n_unique").cast("double")) * 1e9 + 0.5) / 1e9)
           .otherwise(lit(0.0)).as("norm_entropy"))
       .orderBy("doc_id")
   }
@@ -1276,8 +1279,8 @@ object TextQueries {
       |SELECT doc_id, n_tokens, n_unique,
       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS entropy,
       |  CASE WHEN n_unique > 1
-      |    THEN (CAST(SUM(tq) AS DOUBLE) / 1e9)
-      |      / ln(CAST(n_unique AS DOUBLE))
+      |    THEN FLOOR((CAST(SUM(tq) AS DOUBLE) / 1e9)
+      |      / ln(CAST(n_unique AS DOUBLE)) * 1e9 + 0.5) / 1e9
       |    ELSE 0.0 END AS norm_entropy
       |FROM q GROUP BY doc_id, n_tokens, n_unique ORDER BY doc_id""".stripMargin
 

@@ -415,7 +415,11 @@ class PlanShapeSpec extends SparkSpec {
       // aggregate (the demeaning broadcast hides under PrefixSum's
       // internal checkpoint) and q255's 1-row fitted-moments broadcast
       // onto the value census (the q240 shape)
-      "q253_kpss", "q255_normal_ks")
+      "q253_kpss", "q255_normal_ks",
+      // r12: q242's in-plan 1-row bounds broadcast backported to its
+      // siblings q175/q200/q224 (the last build-time .head() bounds
+      // fetches in any query builder, per the r11 verdict mandate)
+      "q175_kaplan_meier", "q200_nelson_aalen", "q224_log_rank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -109,7 +109,15 @@ class ScaleCurveSpec extends SparkSpec {
       // funnel, and entry attribution are all per-user keyed windows;
       // copies multiply users, so growth must stay ~linear
       "q59_sessions", "q151_entry_attribution", "q152_rolling_active",
-      "q168_funnel3")
+      "q168_funnel3",
+      // round-12 additions (r11 verdict mandate #3): the round-11
+      // heavies — q240 is the #3 bench spender (gap census + PrefixSum
+      // cumulative; census bounded by the time span so growth must be
+      // ~linear in events), q246's per-level block windows partition BY
+      // block, q236's quasi-group grid is |groups|×5, and q244's rank
+      // prefix rides PrefixSum like q147
+      "q240_expfit_ks", "q246_haar_energy", "q236_t_closeness",
+      "q244_cramer_von_mises")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

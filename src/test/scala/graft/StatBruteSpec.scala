@@ -1012,22 +1012,26 @@ class StatBruteSpec extends SparkSpec {
         r.getLong(2)))
     val tmax = daily.map(_._1).max
     val rc = daily.filter(_._1 > tmax - 365).sortBy(_._1)
-    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    // textbook T_X/T_Y exclude pairs tied on BOTH variables (the r11
+    // ADVICE fix) — count the exclusive tie sets directly
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L; var txy = 0L
     for (i <- rc.indices; j <- i + 1 until rc.length) {
       val dx = rc(j)._2 - rc(i)._2
       val dy = rc(j)._3 - rc(i)._3
       if (dx == 0) tx += 1
       if (dy == 0) ty += 1
+      if (dx == 0 && dy == 0) txy += 1
       if (dx * dy > 0) nc += 1 else if (dx * dy < 0) nd += 1
     }
 
     assert(row.getAs[Long]("nc") === nc && row.getAs[Long]("nd") === nd)
+    assert(row.getAs[Long]("ties_both") === txy)
     assert(math.abs(row.getAs[Double]("gamma") -
       (nc - nd).toDouble / (nc + nd)) < 1e-6)
     assert(math.abs(row.getAs[Double]("somers_dyx") -
-      (nc - nd).toDouble / (nc + nd + ty)) < 1e-6)
+      (nc - nd).toDouble / (nc + nd + ty - txy)) < 1e-6)
     assert(math.abs(row.getAs[Double]("somers_dxy") -
-      (nc - nd).toDouble / (nc + nd + tx)) < 1e-6)
+      (nc - nd).toDouble / (nc + nd + tx - txy)) < 1e-6)
   }
 
   test("q252 R/S means and H match a sequential block walk") {
