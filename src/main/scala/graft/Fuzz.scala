@@ -178,8 +178,16 @@ object Fuzz {
     }
 
     // ---- part / supplier / nation / region
+    // p_name stays ASCII (heavily duplicated — hostile for the blocked
+    // fuzzy self-joins): Spark's levenshtein counts CODEPOINTS while
+    // DuckDB 1.0's counts BYTES, so any multi-byte character in a
+    // levenshtein-thresholded query (q48/q163) shifts distances and
+    // legitimately changes the result set — a documented cross-engine
+    // divergence (r12 fuzz seed-3 find), excluded by construction like
+    // the İ case above. documents.text keeps full unicode: the hash/
+    // token kernels are codepoint-faithful on both engines.
     val parts = (1 to nPart).map { i =>
-      Row(i.toLong, s"${word(rng, unicodeDocs)} widget",
+      Row(i.toLong, s"${word(rng, unicode = false)} widget",
         s"Brand#${1 + rng.nextInt(5)}", partTypes(rng.nextInt(5)),
         1 + rng.nextInt(50), math.floor(rng.nextDouble() * 2000 * 100) / 100)
     }

@@ -19,10 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics contract (bit-identical to the HOF path, t2-gate verified):
   *  - tokens = text split on every single space, empty tokens kept
   *    (matches `split(text, " ")` = Java `split(" ", -1)`)
-  *  - tokenHash = fold chars c: h -> (h*31 + c) mod P, empty token -> 0.
-  *    Char value stands in for `ascii(c)`: the corpus is ASCII-only
-  *    (codepoints 32..121, verified against the fixtures), where the
-  *    two agree.
+  *  - tokenHash = fold CODEPOINTS c: h -> (h*31 + c) mod P, empty
+  *    token -> 0. Codepoints, not UTF-16 chars: DuckDB's `ascii(c)`
+  *    and Spark's own `split('')`/`ascii` HOF reference are both
+  *    codepoint-based, so a UTF-16 fold silently diverged on
+  *    astral-plane input (r12 fuzz find: emoji tokens flipped q47's
+  *    doc hashes). The two units agree on every BMP character, which
+  *    is why the ASCII fixtures never showed it.
   *  - shingle/doc hash = fold hashes x: h -> (h*131 + x) mod P
   *  - minhash_j = min over x of (a_j*x + b_j) mod P
   *  - band key b = ((sig[2b] * 1000003 + sig[2b+1]) mod bigP) * nBands + b
@@ -46,10 +49,10 @@ object HashKernels {
     var t = 0
     i = 0
     while (i < n) {
-      val c = s.charAt(i)
+      val c = s.codePointAt(i)
       if (c == ' ') { out(t) = h; t += 1; h = 0L }
       else h = (h * 31L + c) % P
-      i += 1
+      i += Character.charCount(c)
     }
     out(t) = h
     UnsafeArrayData.fromPrimitiveArray(out)

@@ -341,8 +341,13 @@ object CurationQueries {
         datediff(nextDay, prevDay).cast("double"))
     spine.crossJoin(prios)
       .join(daily, Seq("day", "o_orderpriority"), "left")
-      .withColumn("rev_interp", round(
-        when(col("rev").isNotNull, col("rev")).otherwise(lerp), 4))
+      // floor-quantize, not round(,4): Spark rounds the double's
+      // shortest DECIMAL repr half-up while DuckDB rounds the BINARY
+      // value, so an interpolated .xxxx5 boundary flips between them
+      // (r12 fuzz find); the floor grid is identical on both
+      .withColumn("rev_interp", floor(
+        (when(col("rev").isNotNull, col("rev")).otherwise(lerp)) * 1e4
+          + 0.5) / 1e4)
       .select("day", "o_orderpriority", "rev_interp")
       .orderBy("day", "o_orderpriority")
   }
@@ -378,11 +383,11 @@ object CurationQueries {
       |    fw AS (PARTITION BY o_orderpriority ORDER BY day
       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT day, o_orderpriority,
-      |  ROUND(CASE WHEN rev IS NOT NULL THEN rev
+      |  FLOOR((CASE WHEN rev IS NOT NULL THEN rev
       |    ELSE prev_rev + (next_rev - prev_rev) *
       |      (CAST(date_diff('day', prev_day, day) AS DOUBLE) /
-      |       CAST(date_diff('day', prev_day, next_day) AS DOUBLE)) END, 4)
-      |    AS rev_interp
+      |       CAST(date_diff('day', prev_day, next_day) AS DOUBLE)) END)
+      |    * 1e4 + 0.5) / 1e4 AS rev_interp
       |FROM ctx
       |ORDER BY day, o_orderpriority""".stripMargin
 
@@ -589,11 +594,14 @@ object CurationQueries {
     folded
       .select(col("o_orderpriority"),
         explode(arrays_zip(col("s"), col("hs"))).as("z"))
+      // floor-quantized at 4dp (q96 rationale — the smoothing recursion
+      // lands on .xxxx5 decimal boundaries under hostile inputs)
       .select(col("z.s.day").as("day"), col("o_orderpriority"),
-        round(col("z.s.rev"), 4).as("rev"),
-        round(col("z.hs.l"), 4).as("level"),
-        round(col("z.hs.b"), 4).as("trend"),
-        round(col("z.hs.l") + col("z.hs.b"), 4).as("forecast"))
+        (floor(col("z.s.rev") * 1e4 + 0.5) / 1e4).as("rev"),
+        (floor(col("z.hs.l") * 1e4 + 0.5) / 1e4).as("level"),
+        (floor(col("z.hs.b") * 1e4 + 0.5) / 1e4).as("trend"),
+        (floor((col("z.hs.l") + col("z.hs.b")) * 1e4 + 0.5) / 1e4)
+          .as("forecast"))
       .orderBy("day", "o_orderpriority")
   }
 
@@ -618,9 +626,11 @@ object CurationQueries {
       |        + CAST(0.7 AS DOUBLE) * (h.lvl + h.tr)) - h.lvl)
       |      + CAST(0.9 AS DOUBLE) * h.tr
       |  FROM s JOIN h ON s.pr = h.pr AND s.rn = h.rn + 1)
-      |SELECT day, pr AS o_orderpriority, ROUND(rev, 4) AS rev,
-      |  ROUND(lvl, 4) AS level, ROUND(tr, 4) AS trend,
-      |  ROUND(lvl + tr, 4) AS forecast
+      |SELECT day, pr AS o_orderpriority,
+      |  FLOOR(rev * 1e4 + 0.5) / 1e4 AS rev,
+      |  FLOOR(lvl * 1e4 + 0.5) / 1e4 AS level,
+      |  FLOOR(tr * 1e4 + 0.5) / 1e4 AS trend,
+      |  FLOOR((lvl + tr) * 1e4 + 0.5) / 1e4 AS forecast
       |FROM h ORDER BY day, o_orderpriority""".stripMargin
 
   /** Robust outlier detection by median absolute deviation — q97's

@@ -547,9 +547,12 @@ object DriftQueries {
           col("n").cast("double")).as("theil_within"),
         ((col("n").cast("double") / col("big_n").cast("double")) *
           (col("mu_g") / col("mu"))).as("weight"),
-        (((col("n").cast("double") / col("big_n").cast("double")) *
+        // nano-quantized: the weight·ln(mu_g/mu) chain was the one
+        // unquantized cross-libm double here (r12 fuzz find, 1 ulp)
+        (floor((((col("n").cast("double") / col("big_n").cast("double")) *
           (col("mu_g") / col("mu"))) *
-          log(col("mu_g") / col("mu"))).as("between_term"))
+          log(col("mu_g") / col("mu"))) * 1e9 + 0.5) / 1e9)
+          .as("between_term"))
       .orderBy("priority")
   }
 
@@ -579,8 +582,8 @@ object DriftQueries {
        |SELECT priority, n, mu_g,
        |  (CAST(sq AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS theil_within,
        |  (CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu) AS weight,
-       |  ((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
-       |    * ln(mu_g / mu) AS between_term
+       |  FLOOR(((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
+       |    * ln(mu_g / mu) * 1e9 + 0.5) / 1e9 AS between_term
        |FROM t ORDER BY priority""".stripMargin
 
   /** L135 calibration / reliability table — the eval readout AUC
@@ -961,4 +964,186 @@ object DriftQueries {
       |  ROUND(1.0 - EXP(CAST(lnq AS DOUBLE) / 1e9 / n)
       |    / (CAST(sc AS DOUBLE) / n), 6) + 0 AS atkinson_1
       |FROM g ORDER BY seg""".stripMargin
+
+  /** L194 Goodman–Kruskal lambda (Goodman & Kruskal 1954 [PK]):
+    * proportional-reduction-in-error association for the nominal pair
+    * (market segment → order priority) and its reverse — "how much
+    * better do I predict priority knowing the segment than by always
+    * guessing the modal priority". The nominal complement of q186's
+    * Cramér's V (V measures departure from independence symmetrically;
+    * λ measures DIRECTED predictive value, and a skewed margin can
+    * legitimately zero it while V stays positive).
+    *
+    * Parity: everything is exact int64 — cell counts, per-row modal
+    * maxima, modal margins; the two λ ratios are single divisions 6dp.
+    *
+    * Scale: one broadcast-dim join, one (segment, priority) cell agg
+    * (≤ 25 rows), ≤25-row grouped maxima after. Guards: a
+    * single-valued outcome margin (N = modal margin) nulls that
+    * direction's λ. */
+  def q267GkLambda(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+    // join-free: margins and modal maxima by windows over the ≤25-row
+    // cell table, one representative row per margin via row_number
+    // (Catalyst folds constant-key 1-row equi-joins back into BNLJs,
+    // which the PLANS.md allowlist caps at one per plan)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wSeg = Window.partitionBy("seg")
+    val wPri = Window.partitionBy("pri")
+    val t0 = cells
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("mseg", max(col("n")).over(wSeg))
+      .withColumn("tseg", sum(col("n")).over(wSeg))
+      .withColumn("rseg",
+        row_number().over(Window.partitionBy("seg").orderBy("pri")))
+      .withColumn("mpri", max(col("n")).over(wPri))
+      .withColumn("tpri", sum(col("n")).over(wPri))
+      .withColumn("rpri",
+        row_number().over(Window.partitionBy("pri").orderBy("seg")))
+    val g = t0.agg(max(col("nt")).as("nt"),
+      countDistinct(col("seg")).as("k_seg"),
+      countDistinct(col("pri")).as("k_pri"),
+      sum(when(col("rseg") === 1, col("mseg")).otherwise(0L))
+        .as("sum_max_seg"),
+      max(col("tseg")).as("mode_seg"),
+      sum(when(col("rpri") === 1, col("mpri")).otherwise(0L))
+        .as("sum_max_pri"),
+      max(col("tpri")).as("mode_pri"))
+    def lam(sumMax: org.apache.spark.sql.Column,
+        mode: org.apache.spark.sql.Column) =
+      when(col("nt") - mode === 0, lit(null).cast("double"))
+        .otherwise(round((sumMax - mode).cast("double") /
+          (col("nt") - mode).cast("double"), 6) + 0.0)
+    g.select(col("nt").as("n_orders"), col("k_seg"), col("k_pri"),
+      lam(col("sum_max_seg"), col("mode_pri")).as("lambda_pri_given_seg"),
+      lam(col("sum_max_pri"), col("mode_seg")).as("lambda_seg_given_pri"))
+  }
+
+  val q267GkLambdaSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+      |    COUNT(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |bs AS (
+      |  SELECT CAST(SUM(mx) AS BIGINT) AS sum_max_seg,
+      |    CAST(MAX(tot) AS BIGINT) AS mode_seg, COUNT(*) AS k_seg
+      |  FROM (SELECT seg, MAX(n) AS mx, SUM(n) AS tot
+      |        FROM cells GROUP BY seg)),
+      |bp AS (
+      |  SELECT CAST(SUM(mx) AS BIGINT) AS sum_max_pri,
+      |    CAST(MAX(tot) AS BIGINT) AS mode_pri, COUNT(*) AS k_pri
+      |  FROM (SELECT pri, MAX(n) AS mx, SUM(n) AS tot
+      |        FROM cells GROUP BY pri)),
+      |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells)
+      |SELECT nt AS n_orders, k_seg, k_pri,
+      |  CASE WHEN nt - mode_pri = 0 THEN NULL ELSE
+      |    ROUND(CAST(sum_max_seg - mode_pri AS DOUBLE)
+      |      / CAST(nt - mode_pri AS DOUBLE), 6) + 0 END
+      |    AS lambda_pri_given_seg,
+      |  CASE WHEN nt - mode_seg = 0 THEN NULL ELSE
+      |    ROUND(CAST(sum_max_pri - mode_seg AS DOUBLE)
+      |      / CAST(nt - mode_seg AS DOUBLE), 6) + 0 END
+      |    AS lambda_seg_given_pri
+      |FROM nt, bs, bp""".stripMargin
+
+  /** L195 exact mutual information + normalized variants (Shannon 1948,
+    * Strehl & Ghosh 2002 [PK]) for (order status, order priority):
+    * I = Σ (n_xy/N)·ln(N·n_xy/(n_x·n_y)) with NMI = I/√(H_x·H_y) and
+    * the uncertainty coefficient U(x|y) = I/H_x — the
+    * information-theoretic association ladder beside q186 (χ² measures
+    * deviation mass; MI measures CODING value, the quantity feature
+    * selection actually optimizes).
+    *
+    * Parity: per-cell and per-margin ln terms quantize to nano units
+    * before the exact integer sums (the q187/q191 discipline), so the
+    * cross-libm ln never reaches a displayed digit; the three ratios
+    * are one double chain 6dp.
+    *
+    * Scale: one (status, priority) cell agg (≤ 15 rows), margins by
+    * ≤15-row windows. Guards: a degenerate margin (H = 0) nulls the
+    * normalized forms; I itself is always defined. */
+  def q268MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wX = Window.partitionBy("x")
+    val wY = Window.partitionBy("y")
+    val t0 = cells
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("nx", sum(col("n")).over(wX))
+      .withColumn("ny", sum(col("n")).over(wY))
+    val nD = col("nt").cast("double")
+    val miTerm = col("n").cast("double") / nD *
+      log(nD * col("n") / (col("nx").cast("double") * col("ny")))
+    // margin entropies: each distinct margin contributes once — divide
+    // the per-cell margin term by the number of cells sharing it
+    val hxTerm = -(col("nx").cast("double") / nD) *
+      log(col("nx").cast("double") / nD) / count(lit(1)).over(wX)
+    val hyTerm = -(col("ny").cast("double") / nD) *
+      log(col("ny").cast("double") / nD) / count(lit(1)).over(wY)
+    val q = t0.select(col("nt"),
+      floor(miTerm * 1e9 + 0.5).cast("long").as("miq"),
+      floor(hxTerm * 1e9 + 0.5).cast("long").as("hxq"),
+      floor(hyTerm * 1e9 + 0.5).cast("long").as("hyq"))
+      .groupBy("nt")
+      .agg(sum(col("miq")).as("miq"), sum(col("hxq")).as("hxq"),
+        sum(col("hyq")).as("hyq"))
+    val mi = col("miq").cast("double") / 1e9
+    val hx = col("hxq").cast("double") / 1e9
+    val hy = col("hyq").cast("double") / 1e9
+    q.select(col("nt").as("n_orders"),
+      (round(mi, 6) + 0.0).as("mi_nats"),
+      (round(hx, 6) + 0.0).as("h_status"),
+      (round(hy, 6) + 0.0).as("h_priority"),
+      when(col("hxq") <= 0 || col("hyq") <= 0, lit(null).cast("double"))
+        .otherwise(round(mi / sqrt(hx * hy), 6) + 0.0).as("nmi"),
+      when(col("hxq") <= 0, lit(null).cast("double"))
+        .otherwise(round(mi / hx, 6) + 0.0).as("u_status_given_priority"))
+  }
+
+  val q268MutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(n) OVER (PARTITION BY x) AS BIGINT) AS nx,
+      |    CAST(SUM(n) OVER (PARTITION BY y) AS BIGINT) AS ny,
+      |    COUNT(*) OVER (PARTITION BY x) AS cx,
+      |    COUNT(*) OVER (PARTITION BY y) AS cy
+      |  FROM cells),
+      |q AS (
+      |  SELECT nt,
+      |    CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) / nt
+      |      * ln(CAST(nt AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))
+      |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS miq,
+      |    CAST(SUM(CAST(FLOOR(-(CAST(nx AS DOUBLE) / nt)
+      |      * ln(CAST(nx AS DOUBLE) / nt) / cx * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS hxq,
+      |    CAST(SUM(CAST(FLOOR(-(CAST(ny AS DOUBLE) / nt)
+      |      * ln(CAST(ny AS DOUBLE) / nt) / cy * 1e9 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS hyq
+      |  FROM t GROUP BY nt)
+      |SELECT nt AS n_orders,
+      |  ROUND(CAST(miq AS DOUBLE) / 1e9, 6) + 0 AS mi_nats,
+      |  ROUND(CAST(hxq AS DOUBLE) / 1e9, 6) + 0 AS h_status,
+      |  ROUND(CAST(hyq AS DOUBLE) / 1e9, 6) + 0 AS h_priority,
+      |  CASE WHEN hxq <= 0 OR hyq <= 0 THEN NULL ELSE
+      |    ROUND(CAST(miq AS DOUBLE) / 1e9
+      |      / SQRT(CAST(hxq AS DOUBLE) / 1e9 * (CAST(hyq AS DOUBLE) / 1e9)),
+      |      6) + 0 END AS nmi,
+      |  CASE WHEN hxq <= 0 THEN NULL ELSE
+      |    ROUND((CAST(miq AS DOUBLE) / 1e9) / (CAST(hxq AS DOUBLE) / 1e9),
+      |      6) + 0 END AS u_status_given_priority
+      |FROM q""".stripMargin
 }

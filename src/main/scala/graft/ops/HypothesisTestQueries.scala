@@ -1622,4 +1622,194 @@ object HypothesisTestQueries {
       |    - (4.0 * CAST(n AS DOUBLE) * m - 1.0) / (6.0 * (n + m)), 6) + 0
       |    AS t_cvm
       |FROM xs, ys""".stripMargin
+
+  /** L190 Jarque–Bera normality test (Jarque & Bera 1980 [PK]) on
+    * order prices: JB = n/6·(S² + K²/4) from the sample skewness S and
+    * excess kurtosis K — the moment-based normality screen beside
+    * q255's Lilliefors distance (KS sees the worst CDF gap; JB sees
+    * tail/asymmetry shape). p = exp(−JB/2), the exact χ²₂ tail.
+    *
+    * Parity: prices ride the cent census; the mean is centered to the
+    * FLOOR-integer m (identical double division + floor on both
+    * engines), so every central power sum Σcnt·(c−m)^k is an EXACT
+    * DECIMAL/HUGEINT (bounded by n·range⁴ < 10³⁸ — holds to ~10⁹ rows
+    * at a 10⁶-dollar price spread, documented bound); S/K/JB are one
+    * identical double chain, p quantized at 1e-8 (q216 discipline).
+    *
+    * Scale: one map-side census collapse, one census agg, 1-row
+    * algebra — the q255 shape minus the CDF pass. Fuzz-hardened at
+    * birth: n < 2 or zero variance → null statistics. */
+  def q256JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val s1 = cen.agg(sum(col("cnt")).as("n"),
+      sum(col("c").cast(dec) * col("cnt").cast(dec)).as("sv"))
+      .select(col("n"),
+        floor(col("sv").cast("double") / col("n").cast("double"))
+          .cast("long").as("m"))
+    val d = col("c") - col("m")
+    val pw = cen.crossJoin(broadcast(s1))
+      .select(col("n"),
+        (d.cast(dec) * d.cast(dec) * col("cnt").cast(dec)).as("d2"),
+        (d.cast(dec) * d.cast(dec) * d.cast(dec) * col("cnt").cast(dec))
+          .as("d3"),
+        (d.cast(dec) * d.cast(dec) * d.cast(dec) * d.cast(dec) *
+          col("cnt").cast(dec)).as("d4"))
+      .groupBy("n")
+      .agg(sum(col("d2")).as("s2"), sum(col("d3")).as("s3"),
+        sum(col("d4")).as("s4"))
+    val nD = col("n").cast("double")
+    val m2 = col("s2").cast("double") / nD
+    val skew = (col("s3").cast("double") / nD) / pow(m2, 1.5)
+    val exk = (col("s4").cast("double") / nD) / (m2 * m2) - 3.0
+    val jb = nD / 6.0 * (skew * skew + exk * exk / 4.0)
+    val bad = col("n") < 2 || col("s2") <= 0
+    pw.select(col("n").as("n_orders"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(skew, 6) + 0.0).as("skewness"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(exk, 6) + 0.0).as("excess_kurtosis"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(jb, 4) + 0.0).as("jb_stat"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(exp(-jb / 2.0) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q256JarqueBeraSql: String =
+    """WITH o AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |cen AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
+      |s1 AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(FLOOR(CAST(SUM(CAST(c AS HUGEINT) * cnt) AS DOUBLE)
+      |      / CAST(SUM(cnt) AS DOUBLE)) AS BIGINT) AS m
+      |  FROM cen),
+      |pw AS (
+      |  SELECT n,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * cnt) AS s2,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * (c - m) * cnt) AS s3,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * (c - m) * (c - m) * cnt)
+      |      AS s4
+      |  FROM cen, s1 GROUP BY n),
+      |st AS (
+      |  SELECT n,
+      |    CAST(s2 AS DOUBLE) / n AS m2,
+      |    (CAST(s3 AS DOUBLE) / n)
+      |      / POWER(CAST(s2 AS DOUBLE) / n, 1.5) AS skew,
+      |    (CAST(s4 AS DOUBLE) / n)
+      |      / ((CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) - 3.0
+      |      AS exk,
+      |    n < 2 OR s2 <= 0 AS bad
+      |  FROM pw)
+      |SELECT n AS n_orders,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(skew, 6) + 0 END AS skewness,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(exk, 6) + 0 END
+      |    AS excess_kurtosis,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    ROUND(CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0),
+      |      4) + 0 END AS jb_stat,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(exp(-(CAST(n AS DOUBLE) / 6.0
+      |      * (skew * skew + exk * exk / 4.0)) / 2.0) * 1e8 + 0.5) / 1e8
+      |    END AS p
+      |FROM st""".stripMargin
+
+  /** L193 Mood's median test (Mood 1950, Brown & Mood 1951 [PK]):
+    * classify every order as above / not-above the GRAND median price,
+    * then χ² on the resulting 2×k priority table — the median-based
+    * k-sample location test that, unlike q227's rank sums, is robust
+    * to arbitrary tail shape (it only looks at the median split).
+    * χ²₄ tail via the exact Wilson–Hilferty-free series: p = exp(−x/2)
+    * ·(1 + x/2) for df = 4 (the even-df closed form).
+    *
+    * Parity: the grand median is the A10 exact-percentile contract
+    * (Spark `percentile` == DuckDB `quantile_cont`); above-counts are
+    * exact int64; χ² terms quantize to 1e-8 units before the integer
+    * sum; p is one exp chain quantized 1e-8.
+    *
+    * Scale: one cent-census percentile (the q98/q132 exact-quantile
+    * path), one broadcast of the 1-row median, one ≤5-group agg with
+    * census-sized windows. Guards: a group with zero expectation (all
+    * values tied at the median) nulls the statistic. */
+  def q259MoodMedian(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val med = o.agg(expr("percentile(c, 0.5)").as("med"))
+    val g = o.crossJoin(broadcast(med))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_i"),
+        sum(when(col("c").cast("double") > col("med"), 1L).otherwise(0L))
+          .as("a_i"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val tbl = g.withColumn("nt", sum(col("n_i")).over(wAll))
+      .withColumn("at", sum(col("a_i")).over(wAll))
+    val ea = col("n_i").cast("double") * col("at") / col("nt")
+    val eb = col("n_i").cast("double") * (col("nt") - col("at")) / col("nt")
+    val termQ = when(ea <= 0 || eb <= 0, lit(null).cast("long"))
+      .otherwise((floor(
+        (col("a_i") - ea) * (col("a_i") - ea) / ea * 1e8 + 0.5) +
+        floor((col("n_i") - col("a_i") - eb) *
+          (col("n_i") - col("a_i") - eb) / eb * 1e8 + 0.5)).cast("long"))
+    val t2 = tbl.withColumn("tq", termQ)
+      .withColumn("chiq", sum(col("tq")).over(wAll))
+      .withColumn("anybad",
+        max(when(col("tq").isNull, 1L).otherwise(0L)).over(wAll))
+    val chi = col("chiq").cast("double") / 1e8
+    t2.select(col("priority"), col("n_i"), col("a_i").as("n_above"),
+        (round(col("a_i").cast("double") / col("n_i"), 4) + 0.0)
+          .as("share_above"),
+        when(col("anybad") === 1, lit(null).cast("double"))
+          .otherwise(round(chi, 4) + 0.0).as("chi2"),
+        when(col("anybad") === 1, lit(null).cast("double"))
+          .otherwise(floor(exp(-chi / 2.0) * (lit(1.0) + chi / 2.0) * 1e8
+            + 0.5) / 1e8).as("p"))
+      .orderBy("priority")
+  }
+
+  val q259MoodMedianSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |med AS (SELECT quantile_cont(c, 0.5) AS med FROM o),
+      |g AS (
+      |  SELECT priority, COUNT(*) AS n_i,
+      |    CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > (SELECT med FROM med)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a_i
+      |  FROM o GROUP BY priority),
+      |tbl AS (
+      |  SELECT *, CAST(SUM(n_i) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(a_i) OVER () AS BIGINT) AS at
+      |  FROM g),
+      |q AS (
+      |  SELECT *,
+      |    CASE WHEN CAST(n_i AS DOUBLE) * at / nt <= 0
+      |           OR CAST(n_i AS DOUBLE) * (nt - at) / nt <= 0 THEN NULL
+      |    ELSE CAST(
+      |      FLOOR((a_i - CAST(n_i AS DOUBLE) * at / nt)
+      |          * (a_i - CAST(n_i AS DOUBLE) * at / nt)
+      |          / (CAST(n_i AS DOUBLE) * at / nt) * 1e8 + 0.5)
+      |      + FLOOR((n_i - a_i - CAST(n_i AS DOUBLE) * (nt - at) / nt)
+      |          * (n_i - a_i - CAST(n_i AS DOUBLE) * (nt - at) / nt)
+      |          / (CAST(n_i AS DOUBLE) * (nt - at) / nt) * 1e8 + 0.5)
+      |      AS BIGINT) END AS tq
+      |  FROM tbl),
+      |w AS (
+      |  SELECT *, CAST(SUM(tq) OVER () AS BIGINT) AS chiq,
+      |    MAX(CASE WHEN tq IS NULL THEN 1 ELSE 0 END) OVER () AS anybad
+      |  FROM q)
+      |SELECT priority, n_i, a_i AS n_above,
+      |  ROUND(CAST(a_i AS DOUBLE) / n_i, 4) + 0 AS share_above,
+      |  CASE WHEN anybad = 1 THEN NULL
+      |    ELSE ROUND(CAST(chiq AS DOUBLE) / 1e8, 4) + 0 END AS chi2,
+      |  CASE WHEN anybad = 1 THEN NULL
+      |    ELSE FLOOR(exp(-(CAST(chiq AS DOUBLE) / 1e8) / 2.0)
+      |      * (1.0 + (CAST(chiq AS DOUBLE) / 1e8) / 2.0) * 1e8 + 0.5) / 1e8
+      |    END AS p
+      |FROM w ORDER BY priority""".stripMargin
 }

@@ -169,7 +169,14 @@ object SeriesStats {
         sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
         sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
       .select(col("lag"), col("n"),
-        (round(
+        // fuzz hardening (r12): a single-pair lag or constant series
+        // zeroes a variance factor — correlation undefined, not a crash
+        when(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") <= 0 ||
+            col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") <= 0,
+          lit(null).cast("double"))
+        .otherwise(round(
           (col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (sqrt(col("n").cast("double") * col("sxx").cast("double") -
@@ -339,7 +346,14 @@ object SeriesStats {
         sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
         sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
       .select(col("lag"), col("n"),
-        (round(
+        // fuzz hardening (r12): a single-pair lag or constant series
+        // zeroes a variance factor — correlation undefined, not a crash
+        when(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") <= 0 ||
+            col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") <= 0,
+          lit(null).cast("double"))
+        .otherwise(round(
           (col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (sqrt(col("n").cast("double") * col("sxx").cast("double") -
@@ -365,12 +379,16 @@ object SeriesStats {
        |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
        |  FROM lg WHERE x IS NOT NULL GROUP BY lag)
        |SELECT lag, n,
-       |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+       |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0 THEN NULL
+       |  ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0 END
        |    AS ccf
        |FROM m ORDER BY lag""".stripMargin
 
@@ -629,12 +647,16 @@ object SeriesStats {
        |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
        |  FROM lg WHERE x IS NOT NULL GROUP BY lag)
        |SELECT lag, n,
-       |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+       |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0 THEN NULL
+       |  ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0 END
        |    AS acf
        |FROM m ORDER BY lag""".stripMargin
 
@@ -1193,5 +1215,135 @@ object SeriesStats {
        |  ROUND($z, 4) + 0 AS z_runs,
        |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
        |FROM c""".stripMargin
+  }
+
+  /** L191 Cox–Stuart trend test (Cox & Stuart 1955 [PK]) on daily
+    * revenue: pair day i with day i+m (m = ⌈n/2⌉; the middle day of an
+    * odd series is unpaired), count increases S⁺ and decreases S⁻
+    * (ties dropped), and z = (S⁺ − S⁻)/√(S⁺+S⁻) — the sign-test trend
+    * check that needs NO distributional assumption at all, the crude
+    * robust sibling of q206's Theil–Sen slope and q248's Mann–Kendall
+    * (M-K weighs all pairs; Cox–Stuart only the half-spaced ones, so
+    * it is immune to seasonal short-range wiggle of period < m).
+    *
+    * Parity: pair differences are exact int64 off the day census;
+    * S⁺/S⁻ exact; z one double chain 4dp; p the shared A-S kernel
+    * quantized 1e-8.
+    *
+    * Scale: the day census rides ONE [[PrefixSum]] index pass; the
+    * half-offset pairing is a census self-join on rn = rn+m (tiny);
+    * no fact-sized window. Guards: S⁺+S⁻ = 0 (all pairs tied) → null. */
+  def q263CoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select(col("rn"), col("rev"))
+      .localCheckpoint(eager = false)
+    val n = d0.agg(max(col("rn")).as("n"))
+    val m = expr("(n + 1) div 2") // integer div — `/` on Columns is double
+    val a = d0.select(col("rn").as("i"), col("rev").as("x1"))
+    val b = d0.select(col("rn").as("j"), col("rev").as("x2"))
+    val pairs = a.crossJoin(broadcast(n))
+      .withColumn("m", m)
+      .filter(col("i") <= col("n") - col("m"))
+      .join(b, col("j") === col("i") + col("m"))
+    val g = pairs.agg(max(col("n")).as("n_days"), max(col("m")).as("m"),
+      sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("s_up"),
+      sum(when(col("x2") < col("x1"), 1L).otherwise(0L)).as("s_dn"))
+    val tot = (col("s_up") + col("s_dn")).cast("double")
+    val z = (col("s_up") - col("s_dn")).cast("double") / sqrt(tot)
+    g.select(col("n_days"), col("m").as("half_offset"),
+      col("s_up"), col("s_dn"),
+      when(tot === 0, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(tot === 0, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q263CoxStuartSql: String = {
+    val z = "(CAST(s_up - s_dn AS DOUBLE) / SQRT(CAST(s_up + s_dn AS DOUBLE)))"
+    s"""WITH d AS ($dailySql),
+       |r AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, rev FROM d),
+       |n AS (SELECT CAST(MAX(rn) AS BIGINT) AS n,
+       |  CAST((MAX(rn) + 1) // 2 AS BIGINT) AS m FROM r),
+       |g AS (
+       |  SELECT (SELECT n FROM n) AS n_days, (SELECT m FROM n) AS m,
+       |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_up,
+       |    CAST(SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_dn
+       |  FROM r a JOIN r b ON b.rn = a.rn + (SELECT m FROM n)
+       |  WHERE a.rn <= (SELECT n - m FROM n))
+       |SELECT n_days, m AS half_offset, s_up, s_dn,
+       |  CASE WHEN s_up + s_dn = 0 THEN NULL
+       |    ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN s_up + s_dn = 0 THEN NULL
+       |    ELSE FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END
+       |    AS p
+       |FROM g""".stripMargin
+  }
+
+  /** L192 turning-points randomness test (Kendall [PK], the classic
+    * "peaks and troughs" check): count STRICT local extrema of the
+    * daily-revenue series (a day beating or undercutting both
+    * neighbors; plateau edges are not turning points — the tie
+    * convention is pinned identically in both engines), with
+    * E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 under the IID null.
+    * Complements q237's runs test (runs sees sign clustering of
+    * residuals; turning points see local oscillation rate of the raw
+    * series — too FEW points means trend/momentum, too many means
+    * antithetic noise).
+    *
+    * Parity: extremum flags are exact int comparisons on the census;
+    * T/E/Var/z one double chain; p the shared A-S kernel at 1e-8.
+    *
+    * Scale: one day-census window (lag/lead over ≤|days| rows), 1-row
+    * algebra. Guards: n < 3 → null. */
+  def q264TurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val d0 = daily(s, dir)
+      .withColumn("xp", lag(col("rev"), 1).over(w))
+      .withColumn("xn", lead(col("rev"), 1).over(w))
+    val tp = when(col("xp").isNotNull && col("xn").isNotNull &&
+      ((col("rev") > col("xp") && col("rev") > col("xn")) ||
+        (col("rev") < col("xp") && col("rev") < col("xn"))), 1L)
+      .otherwise(0L)
+    val g = d0.agg(count(lit(1)).as("n_days"), sum(tp).as("t_points"))
+    val nD = col("n_days").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    val z = (col("t_points").cast("double") - e) / sqrt(v)
+    g.select(col("n_days"), col("t_points"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(round(e, 4) + 0.0).as("expected"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q264TurningPointsSql: String = {
+    val z = "((CAST(t_points AS DOUBLE) - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)" +
+      " / SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0))"
+    s"""WITH d AS ($dailySql),
+       |l AS (
+       |  SELECT rev,
+       |    LAG(rev) OVER (ORDER BY day) AS xp,
+       |    LEAD(rev) OVER (ORDER BY day) AS xn
+       |  FROM d),
+       |g AS (
+       |  SELECT COUNT(*) AS n_days,
+       |    CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+       |      AND ((rev > xp AND rev > xn) OR (rev < xp AND rev < xn))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+       |  FROM l)
+       |SELECT n_days, t_points,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE
+       |    ROUND(2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0, 4) + 0 END
+       |    AS expected,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE
+       |    FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END AS p
+       |FROM g""".stripMargin
   }
 }

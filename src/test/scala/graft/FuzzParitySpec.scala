@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
+/** Differential fuzzing vs DuckDB, in-suite (r11 verdict mandate #1):
+  * ten seeded ADVERSARIAL fixtures ([[Fuzz]] — ties, skew, null keys,
+  * unicode, orphan FKs, empty/huge docs, same-microsecond bursts), each
+  * run through twenty operator kernels spanning the query families
+  * (aggregation, window, pivot, as-of join, histogram, drift, rank
+  * statistics, survival-adjacent censuses, text entropy), compared
+  * against DuckDB executing the same oracle mirror over the same
+  * parquet with the driver-replica hasher (scripts/drivercheck.py —
+  * sorts rows like the driver's gate; the fixed fixtures can't exercise
+  * any of these value regimes).
+  *
+  * Seed-1 triage at birth caught twelve real defects the fixture gate
+  * had never touched: seven ANSI divide-by-zero crashes on degenerate
+  * input, q17's blanket na.fill rewriting NULL keys, q198's
+  * NULL-group-counting denominator, q13's tie-unstable min/max_by,
+  * q56/q60's NULL-partition pooling, and q187's unquantized cross-libm
+  * division — each fixed as a no-op on the driver fixtures. One
+  * documented engine-semantics divergence: Spark lowercases U+0130 İ by
+  * full Unicode case mapping (i + combining dot), DuckDB 1.0 by simple
+  * mapping (bare i) — [[Fuzz]] excludes the character by construction.
+  *
+  * The whole 255-query surface runs per-seed via `scripts/fuzz.sh
+  * <seed>`; this spec pins a 20-query cross-family cut on every seed so
+  * the harness cannot rot. Skips (does not fail) when python3 with
+  * duckdb+pandas is absent — the harness is a dev/CI asset, not a
+  * library dependency.
+  */
+class FuzzParitySpec extends SparkSpec {
+
+  private val queriesUnderFuzz = Seq(
+    "q1_pricing_summary", "q13_argminmax", "q17_pivot_events",
+    "q56_asof_view_purchase", "q62_asof_native", "q88_histogram",
+    "q146_psi", "q147_ks", "q187_token_entropy", "q198_seq_patterns",
+    "q210_mann_whitney", "q211_kendall", "q214_tukey_fences",
+    "q215_mad_outliers", "q221_gumbel", "q226_pettitt",
+    "q229_mantel_haenszel", "q234_cochran_armitage", "q251_ordinal_assoc",
+    "q255_normal_ks")
+
+  private lazy val pythonOk =
+    scala.util.Try(
+      Seq("python3", "-c", "import duckdb, pandas").! == 0).getOrElse(false)
+
+  private val repoRoot = Paths.get(".").toAbsolutePath.normalize.toString
+
+  // the Verify JSON escaper, test-side: control chars in builder SQL
+  // must not break drivercheck's json.load
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def runSeed(seed: Long): (Int, String) = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft-fuzz-spec"
+    val dir = s"$base/seed$seed"
+    val out = s"$base/out$seed"
+    Fuzz.generate(spark, seed, dir)
+    queriesUnderFuzz.foreach { name =>
+      SparkEntry.queries(name)(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    }
+    val json = queriesUnderFuzz
+      .map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
+      .mkString("{", ",", "}")
+    Files.write(Paths.get(s"$out/oracle_sql.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    val buf = new StringBuilder
+    val rc = (Seq("python3", s"$repoRoot/scripts/drivercheck.py", dir, out)
+      ++ queriesUnderFuzz).!(ProcessLogger(l => buf.append(l).append('\n')))
+    (rc, buf.toString)
+  }
+
+  (1L to 10L).foreach { seed =>
+    test(s"fuzz seed $seed: 20 kernels hash-match DuckDB on adversarial data") {
+      assume(pythonOk, "python3 with duckdb+pandas not available")
+      val (rc, log) = runSeed(seed)
+      assert(rc === 0, s"drivercheck failures on fuzz seed $seed:\n" +
+        log.linesIterator.filterNot(_.startsWith("PASS")).mkString("\n"))
+    }
+  }
+}

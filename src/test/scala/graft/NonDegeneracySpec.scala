@@ -443,4 +443,55 @@ class NonDegeneracySpec extends SparkSpec {
       assert(r.getAs[Double]("or_mh") > 0.0)
     }
   }
+
+  test("q256: Jarque-Bera sees real non-normality in the spend distribution") {
+    val r = run("q256_jarque_bera").head()
+    assert(r.getAs[Long]("n_orders") > 0L)
+    // near-uniform spend: flat tails (negative excess kurtosis), JB
+    // decisively rejects — a tiny JB would mean the test sees nothing
+    val jb = r.getAs[Double]("jb_stat")
+    assert(jb > 1.0, s"JB $jb suspiciously small")
+    assert(r.getAs[Double]("p") < 0.05, "JB must reject normality here")
+  }
+
+  test("q259: the median split populates both sides of every priority") {
+    val rows = run("q259_mood_median").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_i"); val a = r.getAs[Long]("n_above")
+      assert(a > 0L && a < n, s"degenerate median split: $a of $n")
+    }
+    assert(rows.head.getAs[Double]("chi2") > 0.0)
+  }
+
+  test("q263: Cox-Stuart pairs are populated and mostly untied") {
+    val r = run("q263_cox_stuart").head()
+    assert(r.getAs[Long]("s_up") + r.getAs[Long]("s_dn") >
+      r.getAs[Long]("n_days") / 4, "most half-spaced pairs tied — vacuous")
+    assert(r.getAs[Double]("p") != null)
+  }
+
+  test("q264: turning points exist and z is finite") {
+    val r = run("q264_turning_points").head()
+    assert(r.getAs[Long]("t_points") > 0L)
+    val z = r.getAs[Double]("z")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("q267: both lambdas are defined and the margins are plural") {
+    val r = run("q267_gk_lambda").head()
+    assert(r.getAs[Long]("k_seg") === 5L && r.getAs[Long]("k_pri") === 5L)
+    val l1 = r.getAs[java.lang.Double]("lambda_pri_given_seg")
+    val l2 = r.getAs[java.lang.Double]("lambda_seg_given_pri")
+    assert(l1 != null && l2 != null)
+    assert(l1 >= 0.0 && l1 <= 1.0 && l2 >= 0.0 && l2 <= 1.0)
+  }
+
+  test("q268: entropies are positive and NMI lands strictly inside [0, 1)") {
+    val r = run("q268_mutual_info").head()
+    assert(r.getAs[Double]("h_status") > 0.0)
+    assert(r.getAs[Double]("h_priority") > 0.0)
+    val nmi = r.getAs[java.lang.Double]("nmi")
+    assert(nmi != null && nmi >= 0.0 && nmi < 1.0)
+  }
 }

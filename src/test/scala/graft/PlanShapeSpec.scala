@@ -419,7 +419,11 @@ class PlanShapeSpec extends SparkSpec {
       // r12: q242's in-plan 1-row bounds broadcast backported to its
       // siblings q175/q200/q224 (the last build-time .head() bounds
       // fetches in any query builder, per the r11 verdict mandate)
-      "q175_kaplan_meier", "q200_nelson_aalen", "q224_log_rank")
+      "q175_kaplan_meier", "q200_nelson_aalen", "q224_log_rank",
+      // r12 batch 2: q256's 1-row centered-mean broadcast onto the cent
+      // census (the q255 shape), q259's 1-row grand-median broadcast,
+      // and q263's 1-row day-count broadcast onto the indexed census
+      "q256_jarque_bera", "q259_mood_median", "q263_cox_stuart")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -1188,4 +1188,132 @@ class StatBruteSpec extends SparkSpec {
         s"OR_MH ${row.getAs[Double]("or_mh")} vs brute $orMh")
     }
   }
+
+  test("q256 Jarque-Bera matches a sequential moment computation") {
+    val row = SparkEntry.queries("q256_jarque_bera")(spark, sf0001).head()
+    val xs = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    val n = xs.length
+    val m = math.floor(xs.map(BigInt(_)).sum.toDouble / n).toLong
+    val d = xs.map(_ - m)
+    val s2 = d.map(v => BigInt(v) * v).sum.toDouble / n
+    val skew = (d.map(v => BigInt(v) * v * v).sum.toDouble / n) /
+      math.pow(s2, 1.5)
+    val exk = (d.map(v => BigInt(v) * v * v * v).sum.toDouble / n) /
+      (s2 * s2) - 3.0
+    val jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    assert(row.getAs[Long]("n_orders") === n.toLong)
+    assert(math.abs(row.getAs[Double]("skewness") - skew) < 1e-5)
+    assert(math.abs(row.getAs[Double]("excess_kurtosis") - exk) < 1e-5)
+    assert(math.abs(row.getAs[Double]("jb_stat") - jb) < 1e-3)
+  }
+
+  test("q259 Mood median chi2 matches a sequential 2xk computation") {
+    val rows = SparkEntry.queries("q259_mood_median")(spark, sf0001)
+      .orderBy("priority").collect()
+    val data = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vs = data.map(_._2).sorted
+    val n = vs.length
+    // quantile_cont(0.5) linear interpolation
+    val h = (n - 1) * 0.5
+    val med = vs(h.toInt) + (h - h.toInt) *
+      (vs(math.min(h.toInt + 1, n - 1)) - vs(h.toInt))
+    val groups = data.groupBy(_._1).toSeq.sortBy(_._1)
+    val aT = data.count(_._2.toDouble > med).toLong
+    var chi = 0.0
+    groups.foreach { case (_, g) =>
+      val ni = g.length.toDouble
+      val ai = g.count(_._2.toDouble > med).toDouble
+      val ea = ni * aT / n
+      val eb = ni * (n - aT) / n
+      chi += (ai - ea) * (ai - ea) / ea +
+        (ni - ai - eb) * (ni - ai - eb) / eb
+    }
+    assert(rows.length === 5)
+    assert(math.abs(rows.head.getAs[Double]("chi2") - chi) < 1e-3,
+      s"chi2 ${rows.head.getAs[Double]("chi2")} vs brute $chi")
+  }
+
+  test("q263 Cox-Stuart signs match a sequential half-pairing") {
+    val row = SparkEntry.queries("q263_cox_stuart")(spark, sf0001).head()
+    val series = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = series.length
+    val m = (n + 1) / 2
+    var up = 0L; var dn = 0L
+    (0 until n - m).foreach { i =>
+      if (series(i + m) > series(i)) up += 1
+      else if (series(i + m) < series(i)) dn += 1
+    }
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("s_up") === up)
+    assert(row.getAs[Long]("s_dn") === dn)
+    val z = (up - dn).toDouble / math.sqrt((up + dn).toDouble)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("q264 turning points match a sequential scan") {
+    val row = SparkEntry.queries("q264_turning_points")(spark, sf0001).head()
+    val series = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = series.length
+    var tp = 0L
+    (1 until n - 1).foreach { i =>
+      if ((series(i) > series(i - 1) && series(i) > series(i + 1)) ||
+        (series(i) < series(i - 1) && series(i) < series(i + 1))) tp += 1
+    }
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("t_points") === tp)
+    val e = 2.0 * (n - 2) / 3.0
+    val v = (16.0 * n - 29.0) / 90.0
+    assert(math.abs(row.getAs[Double]("z") - (tp - e) / math.sqrt(v)) < 1e-3)
+  }
+
+  test("q267 lambdas match a sequential PRE computation") {
+    val row = SparkEntry.queries("q267_gk_lambda")(spark, sf0001).head()
+    val pairs = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    def lambda(xs: Seq[(String, String)]): Double = {
+      val sumMax = xs.groupBy(_._1).values
+        .map(g => g.groupBy(_._2).values.map(_.size).max).sum
+      val modeY = xs.groupBy(_._2).values.map(_.size).max
+      (sumMax - modeY) / (n - modeY)
+    }
+    assert(math.abs(row.getAs[Double]("lambda_pri_given_seg") -
+      lambda(pairs.toSeq)) < 1e-5)
+    assert(math.abs(row.getAs[Double]("lambda_seg_given_pri") -
+      lambda(pairs.toSeq.map(_.swap))) < 1e-5)
+  }
+
+  test("q268 mutual information matches a sequential computation") {
+    val row = SparkEntry.queries("q268_mutual_info")(spark, sf0001).head()
+    val pairs = Tables.orders(spark, sf0001)
+      .select("o_orderstatus", "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    val nxy = pairs.groupBy(identity).view.mapValues(_.size).toMap
+    val nx = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+    val ny = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    val mi = nxy.map { case ((x, y), c) =>
+      c / n * math.log(n * c / (nx(x).toDouble * ny(y))) }.sum
+    val hx = -nx.values.map(c => c / n * math.log(c / n)).sum
+    val hy = -ny.values.map(c => c / n * math.log(c / n)).sum
+    assert(math.abs(row.getAs[Double]("mi_nats") - mi) < 1e-5)
+    assert(math.abs(row.getAs[Double]("h_status") - hx) < 1e-5)
+    assert(math.abs(row.getAs[Double]("h_priority") - hy) < 1e-5)
+    assert(math.abs(row.getAs[Double]("nmi") - mi / math.sqrt(hx * hy))
+      < 1e-5)
+  }
 }
