@@ -1146,4 +1146,93 @@ object DriftQueries {
       |    ROUND((CAST(miq AS DOUBLE) / 1e9) / (CAST(hxq AS DOUBLE) / 1e9),
       |      6) + 0 END AS u_status_given_priority
       |FROM q""".stripMargin
+
+  /** L203 empirical-Bayes beta-binomial shrinkage (Robbins 1956;
+    * Robinson's MoM recipe [PK]) of per-part return rates: fit a
+    * Beta(α, β) prior to the observed k/n return fractions by method
+    * of moments over parts with n ≥ 5, then report each part's raw
+    * rate beside its shrunken posterior mean (k+α)/(n+α+β). THE
+    * small-sample ranking fix for rate leaderboards — a 1/1 part no
+    * longer beats a 40/50 one — and the estimator behind every
+    * "quality score with a prior" curation rule; the Bayesian sibling
+    * of q133's Wilson bound (Wilson widens intervals; EB moves the
+    * point estimate).
+    *
+    * Parity: per-part rates quantize to nano int64 BEFORE the moment
+    * sums (distributed double summation would be order-dependent);
+    * mean/variance ride exact DECIMAL sums; α/β/posterior one double
+    * chain 6dp. Top-15 by |shrinkage| with a total order.
+    *
+    * Scale: one lineitem hash agg to parts, one 1-row moment agg
+    * broadcast back (allowlisted 1-row BNLJ). Guards: MoM variance 0
+    * (or below binomial noise ⇒ α,β ≤ 0) nulls the shrunken column —
+    * the raw column always survives. */
+  def q261EbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+    val rq = floor(col("k").cast("double") / col("n") * 1e9 + 0.5)
+      .cast("long")
+    val withR = li.withColumn("rq", rq)
+    val mom = withR.filter(col("n") >= 5)
+      .agg(count(lit(1)).as("g"), sum(col("rq").cast(dec)).as("sr"),
+        sum(col("rq").cast(dec) * col("rq").cast(dec)).as("qr"))
+    val gD = col("g").cast("double")
+    val m1 = col("sr").cast("double") / gD / 1e9
+    val m2 = (col("qr").cast("double") -
+      col("sr").cast("double") * (col("sr").cast("double") / gD)) /
+      (gD - 1.0) / 1e18
+    val common = m1 * (lit(1.0) - m1) / m2 - 1.0
+    val alpha = m1 * common
+    val beta = (lit(1.0) - m1) * common
+    val bad = col("g") < 2 || m2 <= 0.0 || alpha <= 0.0 || beta <= 0.0
+    val j = withR.crossJoin(broadcast(mom))
+    val raw = col("k").cast("double") / col("n")
+    val post = (col("k") + alpha) / (col("n") + alpha + beta)
+    j.select(col("l_partkey"), col("n"), col("k"),
+        (round(raw, 4) + 0.0).as("raw_rate"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round(post, 4) + 0.0).as("eb_rate"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(floor(abs(post - raw) * 1e9 + 0.5) / 1e9)
+          .as("shrinkage"))
+      .orderBy(col("shrinkage").desc_nulls_last, col("l_partkey"))
+      .limit(15)
+  }
+
+  val q261EbShrinkageSql: String = {
+    val m1 = "(CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e9)"
+    val m2 = "((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)" +
+      " * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)))" +
+      " / (CAST(g AS DOUBLE) - 1.0) / 1e18)"
+    val common = s"($m1 * (1.0 - $m1) / $m2 - 1.0)"
+    val alpha = s"($m1 * $common)"
+    val beta = s"((1.0 - $m1) * $common)"
+    val bad = s"(g < 2 OR $m2 <= 0.0 OR $alpha <= 0.0 OR $beta <= 0.0)"
+    val post = s"((k + $alpha) / (n + $alpha + $beta))"
+    s"""WITH li AS (
+       |  SELECT l_partkey, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM lineitem GROUP BY l_partkey),
+       |wr AS (
+       |  SELECT *, CAST(FLOOR(CAST(k AS DOUBLE) / n * 1e9 + 0.5)
+       |    AS BIGINT) AS rq
+       |  FROM li),
+       |mom AS (
+       |  SELECT COUNT(*) AS g, SUM(CAST(rq AS HUGEINT)) AS sr,
+       |    SUM(CAST(rq AS HUGEINT) * rq) AS qr
+       |  FROM wr WHERE n >= 5)
+       |SELECT l_partkey, n, k,
+       |  ROUND(CAST(k AS DOUBLE) / n, 4) + 0 AS raw_rate,
+       |  CASE WHEN $bad THEN NULL
+       |    ELSE ROUND($post, 4) + 0 END AS eb_rate,
+       |  CASE WHEN $bad THEN NULL
+       |    ELSE FLOOR(ABS($post - CAST(k AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+       |    END AS shrinkage
+       |FROM wr, mom
+       |ORDER BY shrinkage DESC NULLS LAST, l_partkey LIMIT 15""".stripMargin
+  }
 }

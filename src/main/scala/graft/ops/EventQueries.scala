@@ -1980,4 +1980,120 @@ object EventQueries {
       |  ROUND(CAST(sg AS DOUBLE) / n, 4) + 0 AS mean_gap_s,
       |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
       |FROM d GROUP BY n, sg""".stripMargin
+
+  /** L204 CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013
+    * [PK]): the standard A/B readout accelerator — per user, outcome
+    * Y = spend in the experiment window (last 14 days of the corpus)
+    * and covariate X = spend in the pre-window before it;
+    * θ = cov(X,Y)/var(X) pooled, and Ŷ_cuped = Y − θ(X − X̄) keeps each
+    * arm's mean unbiased while removing the pre-period component of
+    * the variance (fraction removed = ρ²). Arms = user_id parity (the
+    * q224 assignment). Without CUPED the q172-style z-test needs
+    * 1/(1−ρ²)× the traffic for the same power.
+    *
+    * Parity: spend quantizes to cents int64 per event; all moment sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL/HUGEINT; θ/ρ²/means one
+    * double chain; the window split rides the in-plan 1-row bounds
+    * broadcast (q242 form — no build-time driver action).
+    *
+    * Scale: one per-user agg, one 1-row pooled-moment agg, one ≤2-row
+    * arm agg. Guards: var(X) = 0 → θ undefined → null CUPED columns,
+    * raw means survive. */
+  def q273Cuped(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val cut = col("end_us") - 14L * 86400L * 1000000L
+    val peru = e.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) >= cut,
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("yv"),
+        when(unix_micros(col("ts")) < cut,
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("xv"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(col("yv")), lit(0L)).as("y"),
+        coalesce(sum(col("xv")), lit(0L)).as("x"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      .localCheckpoint(eager = false)
+    val mom = peru.agg(count(lit(1)).as("nu"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val nD = col("nu").cast("double")
+    val vx = col("sxx").cast("double") -
+      col("sx").cast("double") * (col("sx").cast("double") / nD)
+    val vy = col("syy").cast("double") -
+      col("sy").cast("double") * (col("sy").cast("double") / nD)
+    val cxy = col("sxy").cast("double") -
+      col("sx").cast("double") * (col("sy").cast("double") / nD)
+    val theta = cxy / vx
+    val rho2 = cxy * cxy / (vx * vy)
+    val xbar = col("sx").cast("double") / nD
+    val bad = col("nu") < 2 || vx <= 0.0 || vy <= 0.0
+    val arm = peru.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("y").cast(dec)).as("asy"),
+        sum(col("x").cast(dec)).as("asx"))
+    arm.crossJoin(broadcast(mom))
+      .select(col("arm"), col("n_users"),
+        (round(col("asy").cast("double") / col("n_users") / 100.0, 4)
+          + 0.0).as("mean_y"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round((col("asy").cast("double") / col("n_users") -
+            theta * (col("asx").cast("double") / col("n_users") - xbar))
+            / 100.0, 4) + 0.0).as("mean_y_cuped"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round(theta, 6) + 0.0).as("theta"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round(rho2, 6) + 0.0).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  val q273CupedSql: String = {
+    val vx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+      " * (CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE)))"
+    val vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)" +
+      " * (CAST(sy AS DOUBLE) / CAST(nu AS DOUBLE)))"
+    val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)" +
+      " * (CAST(sy AS DOUBLE) / CAST(nu AS DOUBLE)))"
+    val theta = s"($cxy / $vx)"
+    val bad = s"(nu < 2 OR $vx <= 0.0 OR $vy <= 0.0)"
+    s"""WITH e AS (
+       |  SELECT user_id, ts,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |b AS (SELECT MAX(epoch_us(ts)) - CAST(14 AS BIGINT) * 86400 * 1000000
+       |        AS cut
+       |      FROM e),
+       |peru AS (
+       |  SELECT user_id,
+       |    COALESCE(SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b)
+       |      THEN vc END), 0) AS y,
+       |    COALESCE(SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b)
+       |      THEN vc END), 0) AS x,
+       |    user_id % 2 AS arm
+       |  FROM e GROUP BY user_id),
+       |mom AS (
+       |  SELECT COUNT(*) AS nu,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM peru),
+       |arm AS (
+       |  SELECT arm, COUNT(*) AS n_users,
+       |    SUM(CAST(y AS HUGEINT)) AS asy, SUM(CAST(x AS HUGEINT)) AS asx
+       |  FROM peru GROUP BY arm)
+       |SELECT arm, n_users,
+       |  ROUND(CAST(asy AS DOUBLE) / n_users / 100.0, 4) + 0 AS mean_y,
+       |  CASE WHEN $bad THEN NULL ELSE
+       |    ROUND((CAST(asy AS DOUBLE) / n_users
+       |      - $theta * (CAST(asx AS DOUBLE) / n_users
+       |        - CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))) / 100.0, 4) + 0
+       |    END AS mean_y_cuped,
+       |  CASE WHEN $bad THEN NULL ELSE ROUND($theta, 6) + 0 END AS theta,
+       |  CASE WHEN $bad THEN NULL ELSE
+       |    ROUND($cxy * $cxy / ($vx * $vy), 6) + 0 END AS var_reduction
+       |FROM arm, mom ORDER BY arm""".stripMargin
+  }
 }

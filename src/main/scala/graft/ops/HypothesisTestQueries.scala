@@ -1812,4 +1812,106 @@ object HypothesisTestQueries {
       |      * (1.0 + (CAST(chiq AS DOUBLE) / 1e8) / 2.0) * 1e8 + 0.5) / 1e8
       |    END AS p
       |FROM w ORDER BY priority""".stripMargin
+
+  /** L199 Wilcoxon signed-rank test (Wilcoxon 1945 [PK]) on paired
+    * customer spend: each customer active in BOTH halves of the corpus
+    * (orders before and after 1998-01-01) contributes one integer
+    * difference d = round(late mean cents) − round(early mean cents);
+    * zero differences drop (the standard convention), |d| gets average
+    * ranks, W⁺ = Σ ranks of positive d, z with the tie-corrected
+    * variance. The PAIRED location test the q210/q231 two-sample tests
+    * cannot replace — the customer is their own control, so
+    * between-customer spread cancels.
+    *
+    * Parity: the q210/q250 doubled-rank census discipline — |d| census
+    * + one [[PrefixSum]], doubled average ranks exact int64,
+    * 2W⁺ and the ×12-scaled variance numerator exact DECIMAL/HUGEINT;
+    * z one double chain; p the shared A-S kernel at 1e-8.
+    *
+    * Scale: per-customer agg → |d| census (≤ distinct |d| rows) →
+    * PrefixSum → 1-row algebra. Guards: no nonzero pairs, or an
+    * all-tied |d| census (variance numerator ≤ 0), → null. */
+  def q260WilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .as("late"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val peru = o.groupBy("o_custkey")
+      .agg(sum(when(!col("late"), col("c"))).as("se"),
+        count(when(!col("late"), 1)).as("ne"),
+        sum(when(col("late"), col("c"))).as("sl"),
+        count(when(col("late"), 1)).as("nl"))
+      .filter(col("ne") > 0 && col("nl") > 0)
+      .select((floor(col("sl").cast("double") / col("nl") + 0.5) -
+        floor(col("se").cast("double") / col("ne") + 0.5))
+        .cast("long").as("d"))
+      .filter(col("d") =!= 0)
+    val cen = peru.groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("ad")), Seq((col("cnt"), "cum")))
+    val g = cum.agg(sum(col("cnt")).as("n"),
+      sum(col("pos").cast(dec) *
+        (col("cum") * 2 - col("cnt") + 1).cast(dec)).as("w2"),
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec) *
+        col("cnt").cast(dec) - col("cnt").cast(dec)).as("ties"))
+    val nD = col("n").cast("double")
+    val num2 = col("w2").cast("double") - nD * (nD + 1.0) / 2.0
+    val var4x12 = nD * (nD + 1.0) * (nD * 2.0 + 1.0) * 2.0 -
+      col("ties").cast("double")
+    val z = num2 / sqrt(var4x12 / 12.0)
+    val bad = col("n") < 2 || var4x12 <= 0.0
+    g.select(col("n").as("n_pairs"),
+      (col("w2").cast("double") / 2.0).as("w_plus"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q260WilcoxonSignedRankSql: String = {
+    val num2 = "(CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1.0) / 2.0)"
+    val v12 = "(CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0) * 2.0" +
+      " - CAST(ties AS DOUBLE))"
+    val z = s"($num2 / SQRT($v12 / 12.0))"
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    o_orderdate >= TIMESTAMP '1998-01-01' AS late,
+       |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |peru AS (
+       |  SELECT
+       |    CAST(FLOOR(CAST(SUM(CASE WHEN late THEN c END) AS DOUBLE)
+       |        / COUNT(CASE WHEN late THEN 1 END) + 0.5)
+       |      - FLOOR(CAST(SUM(CASE WHEN NOT late THEN c END) AS DOUBLE)
+       |        / COUNT(CASE WHEN NOT late THEN 1 END) + 0.5) AS BIGINT)
+       |      AS d
+       |  FROM o GROUP BY o_custkey
+       |  HAVING COUNT(CASE WHEN late THEN 1 END) > 0
+       |     AND COUNT(CASE WHEN NOT late THEN 1 END) > 0),
+       |nz AS (SELECT d FROM peru WHERE d <> 0),
+       |cen AS (
+       |  SELECT ABS(d) AS ad, COUNT(*) AS cnt,
+       |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM nz GROUP BY ABS(d)),
+       |cum AS (
+       |  SELECT *, CAST(SUM(cnt) OVER (ORDER BY ad
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM cen),
+       |g AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |    SUM(CAST(pos AS HUGEINT) * (cum * 2 - cnt + 1)) AS w2,
+       |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+       |  FROM cum)
+       |SELECT n AS n_pairs,
+       |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+       |  CASE WHEN n < 2 OR $v12 <= 0.0 THEN NULL
+       |    ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN n < 2 OR $v12 <= 0.0 THEN NULL
+       |    ELSE FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END AS p
+       |FROM g""".stripMargin
+  }
 }

@@ -1346,4 +1346,355 @@ object SeriesStats {
        |    FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END AS p
        |FROM g""".stripMargin
   }
+
+  /** L200 Lo–MacKinlay variance-ratio test, q = 5 (Lo & MacKinlay 1988
+    * [PK]): on daily log-revenue returns r_t, VR(5) =
+    * Var(x_t − x_{t−5}) / (5·Var(r_t)) — a random walk gives VR ≈ 1,
+    * momentum VR > 1, mean-reversion VR < 1. The aggregation-horizon
+    * consistency check beside q252's Hurst R/S (H and VR must tell the
+    * same long-memory story; disagreement flags a scale-localized
+    * artifact). z under homoskedasticity: (VR−1)/√(2(2q−1)(q−1)/(3qn)).
+    *
+    * Parity: per-day ln(rev) quantizes to nano-units ONCE (int64); both
+    * return series are exact integer differences of those; variances
+    * ride exact integer power sums (HUGEINT/decimal); VR/z one double
+    * chain. The shared quantized-log base means the two variances can
+    * never drift apart in the last ulp.
+    *
+    * Scale: day census + two lag windows over it; 1-row algebra.
+    * Guards: n < q+2 or zero base variance → null. */
+  def q265VarianceRatio(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = 5
+    val w = Window.orderBy("day")
+    val d0 = daily(s, dir)
+      .withColumn("lx",
+        floor(log(col("rev").cast("double")) * 1e9 + 0.5).cast("long"))
+      .withColumn("r1", col("lx") - lag(col("lx"), 1).over(w))
+      .withColumn("rq", col("lx") - lag(col("lx"), q).over(w))
+    val g = d0.agg(
+      sum(when(col("r1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(col("r1").cast(dec)).as("s1"),
+      sum(col("r1").cast(dec) * col("r1").cast(dec)).as("q1"),
+      sum(when(col("rq").isNotNull, 1L).otherwise(0L)).as("nq"),
+      sum(col("rq").cast(dec)).as("sq"),
+      sum(col("rq").cast(dec) * col("rq").cast(dec)).as("qq"))
+    val n1 = col("n1").cast("double")
+    val nq = col("nq").cast("double")
+    val v1 = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n1) / n1
+    val vq = (col("qq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double") / nq) / nq
+    val vr = vq / (lit(q.toDouble) * v1)
+    val z = (vr - 1.0) / sqrt(lit(2.0 * (2 * q - 1) * (q - 1)) /
+      (lit(3.0 * q) * n1))
+    val bad = col("n1") < q + 2 || v1 <= 0.0 || col("nq") < 2
+    g.select(col("n1").as("n_returns"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(vr, 6) + 0.0).as("vr5"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q265VarianceRatioSql: String = {
+    val v1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+      " / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE))"
+    val vq = "((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)" +
+      " / CAST(nq AS DOUBLE)) / CAST(nq AS DOUBLE))"
+    val vr = s"($vq / (5.0 * $v1))"
+    val z = s"(($vr - 1.0) / SQRT(2.0 * 9.0 * 4.0 / (15.0 * CAST(n1 AS DOUBLE))))"
+    s"""WITH d AS ($dailySql),
+       |l AS (
+       |  SELECT CAST(FLOOR(ln(CAST(rev AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |    AS lx, day
+       |  FROM d),
+       |r AS (
+       |  SELECT lx - LAG(lx, 1) OVER (ORDER BY day) AS r1,
+       |    lx - LAG(lx, 5) OVER (ORDER BY day) AS rq
+       |  FROM l),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    SUM(CAST(r1 AS HUGEINT)) AS s1,
+       |    SUM(CAST(r1 AS HUGEINT) * r1) AS q1,
+       |    CAST(SUM(CASE WHEN rq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nq,
+       |    SUM(CAST(rq AS HUGEINT)) AS sq,
+       |    SUM(CAST(rq AS HUGEINT) * rq) AS qq
+       |  FROM r)
+       |SELECT n1 AS n_returns,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE ROUND($vr, 6) + 0 END AS vr5,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END
+       |    AS p
+       |FROM g""".stripMargin
+  }
+
+  /** L201 periodogram at calendar periods {7, 14, 30} days + spectral
+    * share (Schuster 1898 [PK]): P(ω) = (Σε_t cos ωt)² + (Σε_t sin ωt)²
+    * over the demeaned day series, reported as the share of total
+    * variance each period carries — the frequency-domain seasonality
+    * readout beside q212's day-of-week means (q212 asks "which weekday";
+    * the periodogram asks "is 7 days even the right period").
+    *
+    * Parity: demeaning rides the q253 n-scaling trick (ε_t = n·x_t − S
+    * is EXACT int64); each cos/sin product quantizes to nano units
+    * before its exact integer sum, so the one cross-libm trig call per
+    * term sits behind a quantizer (boundary flips are measure-zero, the
+    * q121 ln precedent); the final share is one double chain 6dp.
+    *
+    * Scale: day census + [[PrefixSum]] index; the three periods ride
+    * ONE census pass (explode, not a 3-branch union — a union would
+    * re-plan the scan and the totals broadcast once per period),
+    * map-side summed. Guards: n < 2·period or zero variance → null
+    * share for that period. */
+  def q266Periodogram(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select((col("rn") - 1).as("tt"), col("rev"))
+      .localCheckpoint(eager = false)
+    val tot = d0.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+      sum(col("rev").cast(dec) * col("rev").cast(dec)).as("q"))
+    val e = d0.crossJoin(broadcast(tot))
+      .select(col("tt"), col("n"), col("s"), col("q"),
+        (col("rev").cast(dec) * col("n").cast(dec) - col("s").cast(dec))
+          .as("eps"))
+    val ang = col("tt").cast("double") *
+      (lit(2.0 * math.Pi) / col("period_days").cast("double"))
+    val perP = e
+      .select(col("*"),
+        explode(array(lit(7L), lit(14L), lit(30L))).as("period_days"))
+      .select(col("period_days"), col("n"), col("s"), col("q"),
+        floor(col("eps").cast("double") * cos(ang) / 1e6 + 0.5)
+          .cast("long").as("cq"),
+        floor(col("eps").cast("double") * sin(ang) / 1e6 + 0.5)
+          .cast("long").as("sq2"))
+      .groupBy("period_days", "n", "s", "q")
+      .agg(sum(col("cq")).as("sc"), sum(col("sq2")).as("ss"))
+    val nD = col("n").cast("double")
+    // ε is n-scaled, and the quantizer already divided by 1e6: power in
+    // natural units = ((sc·1e6)² + (ss·1e6)²) / n²; total variance
+    // Σε²/n² = (n·q − s²)/n
+    val power = (col("sc").cast("double") * col("sc") +
+      col("ss").cast("double") * col("ss")) * 1e12 / (nD * nD)
+    val totVar = (nD * col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) / nD
+    val share = power / (nD * totVar) * 2.0
+    val bad = col("n") < col("period_days") * 2 || totVar <= 0.0
+    perP.select(col("period_days"), col("n").as("n_days"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(share, 6) + 0.0).as("spectral_share"))
+      .orderBy("period_days")
+  }
+
+  val q266PeriodogramSql: String =
+    s"""WITH d AS ($dailySql),
+       |r AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS tt, rev
+       |      FROM d),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s,
+       |  SUM(CAST(rev AS HUGEINT) * rev) AS q FROM r),
+       |e AS (
+       |  SELECT tt, n, s, q,
+       |    CAST(rev AS HUGEINT) * n - s AS eps
+       |  FROM r, tot),
+       |p AS (
+       |  SELECT per, n, s, q,
+       |    CAST(SUM(CAST(FLOOR(CAST(eps AS DOUBLE)
+       |      * cos(CAST(tt AS DOUBLE) * (2.0 * pi() / per)) / 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS sc,
+       |    CAST(SUM(CAST(FLOOR(CAST(eps AS DOUBLE)
+       |      * sin(CAST(tt AS DOUBLE) * (2.0 * pi() / per)) / 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS ss
+       |  FROM e CROSS JOIN (SELECT unnest([7, 14, 30]) AS per)
+       |  GROUP BY per, n, s, q)
+       |SELECT CAST(per AS BIGINT) AS period_days, n AS n_days,
+       |  CASE WHEN n < per * 2
+       |      OR (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+       |        / CAST(n AS DOUBLE) <= 0.0 THEN NULL
+       |    ELSE ROUND(
+       |      (CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss) * 1e12
+       |        / (CAST(n AS DOUBLE) * n)
+       |      / (CAST(n AS DOUBLE)
+       |         * ((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+       |            / CAST(n AS DOUBLE))) * 2.0, 6) + 0 END
+       |    AS spectral_share
+       |FROM p ORDER BY period_days""".stripMargin
+
+  /** L202 Hodges–Lehmann location estimate (Hodges & Lehmann 1963
+    * [PK]) of recent daily revenue: the median of all Walsh averages
+    * (xᵢ+xⱼ)/2, i ≤ j, over the trailing-365-day window — the
+    * estimator the Wilcoxon family (q260) inverts, ~30% more
+    * efficient than the plain median under near-normal noise and
+    * still 29%-breakdown robust. Reported beside the plain median so
+    * the gap itself is the skew diagnostic.
+    *
+    * Parity: Walsh sums xᵢ+xⱼ are exact int64; both medians are the
+    * A10 exact-percentile contract (quantile_cont), displayed /2 at
+    * 2dp. The plain median reads the DIAGONAL pairs (i = j, where
+    * walsh = 2·rev) out of the same pair set — no separate
+    * median-attach join.
+    *
+    * Scale: the q211/q251 checkpointed bounded pair build (≤365-day
+    * census → ≤67k pairs — scale-constant); one exact percentile over
+    * it. */
+  def q262HodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") <= col("b.t"))
+      .select((col("a.rev") + col("b.rev")).as("walsh"),
+        (col("a.t") === col("b.t")).as("diag"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(walsh, 0.5)").as("wmed"),
+      expr("percentile(CASE WHEN diag THEN walsh END, 0.5)").as("dmed"))
+      .select(col("n_pairs"),
+        (round(col("wmed") / 2.0, 2) + 0.0).as("hodges_lehmann"),
+        (round(col("dmed") / 2.0, 2) + 0.0).as("plain_median"))
+  }
+
+  val q262HodgesLehmannSql: String =
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT a.rev + b.rev AS walsh, a.t = b.t AS diag
+       |  FROM rc a JOIN rc b ON a.t <= b.t),
+       |g AS (SELECT COUNT(*) AS n_pairs,
+       |  quantile_cont(walsh, 0.5) AS wmed,
+       |  quantile_cont(CASE WHEN diag THEN walsh END, 0.5) AS dmed
+       |  FROM p)
+       |SELECT n_pairs,
+       |  ROUND(wmed / 2.0, 2) + 0 AS hodges_lehmann,
+       |  ROUND(dmed / 2.0, 2) + 0 AS plain_median
+       |FROM g""".stripMargin
+
+  /** L205 Ljung–Box portmanteau Q on the DIFFERENCED daily revenue
+    * series, lags 1–6 (Ljung & Box 1978 [PK]): Q = n(n+2)Σρ̂ₖ²/(n−k)
+    * with the STANDARD ACF estimator (global mean, global denominator
+    * — not q208's per-lag Pearson, whose denominators re-center per
+    * lag and would decalibrate the χ² reference). The one-number
+    * "is anything left after differencing" white-noise gate a
+    * forecasting pipeline runs before trusting residuals; q208 shows
+    * WHERE dependence sits, Ljung–Box says WHETHER it is jointly
+    * significant. Six lags, not seven, so df = 6 stays even and the
+    * χ² tail keeps the exact closed form exp(−q/2)·Σ(q/2)ⁱ/i!.
+    *
+    * Parity: differences are exact int64; deviations ride the q253
+    * n-scaling trick (εₜ = n·dₜ − S is EXACT int64 — no float mean);
+    * per-lag products Σεₜεₜ₋ₖ and the denominator Σεₜ² are exact
+    * DECIMAL(38,0)/HUGEINT sums; ρ̂ₖ, Q and the tail are one identical
+    * double chain, Q 4dp / p 1e-8-quantized (q216 discipline).
+    *
+    * Scale: the day census (~2,400 rows, CONSTANT in SF — only the
+    * map-side day agg scans fact data); all six lags share ONE ordered
+    * window pass via stack (the q208 one-sort trick); the 1-row totals
+    * broadcast is the allowlisted BNLJ class. Guards: Σε² = 0
+    * (constant diffs) or n < 10 → null Q/p. */
+  def q275LjungBox(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy("day")
+    val diffs = daily(s, dir)
+      .withColumn("dx", col("rev") - lag(col("rev"), 1).over(w))
+      .filter(col("dx").isNotNull)
+    val tot = diffs.agg(count(lit(1)).as("n"),
+      sum(col("dx").cast(dec)).as("sx"))
+    val eps = diffs.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        (col("dx").cast(dec) * col("n").cast(dec) - col("sx")).as("e"))
+    val withLags = eps.select(
+      (Seq(col("n"), col("e")) ++ (1 to 6).map(k =>
+        lag(col("e"), k).over(w).as(s"e$k"))): _*)
+    val stackExpr = (1 to 6)
+      .map(k => s"${k}L, e$k").mkString("stack(6, ", ", ", ")")
+    val lagged = withLags
+      .select(col("n"), col("e").as("y"), expr(s"$stackExpr as (lag, x)"))
+    // denominator Σε² rides lag 1's rows plus its own head row, so sum
+    // it from the eps census directly (one extra 1-row agg, no rescan:
+    // eps is census-sized)
+    val den = eps.agg(sum(col("e") * col("e")).as("see"),
+      max(col("n")).as("nn"))
+    val perLag = lagged.filter(col("x").isNotNull)
+      .groupBy("lag").agg(sum(col("x") * col("y")).as("sxy"))
+    val qSum = perLag.crossJoin(broadcast(den))
+      .select(col("nn"), col("see"),
+        ((col("sxy").cast("double") / col("see").cast("double")) *
+          (col("sxy").cast("double") / col("see").cast("double")) /
+          (col("nn").cast("double") - col("lag").cast("double"))).as("term"))
+      .groupBy("nn").agg(sum(col("term")).as("tsum"),
+        max(col("see")).as("see"))
+    val q = col("nn").cast("double") * (col("nn").cast("double") + 2.0) *
+      col("tsum")
+    val p = exp(-q / 2.0) * (lit(1.0) + q / 2.0 + q * q / 8.0)
+    qSum
+      .select(col("nn").as("n_diffs"),
+        when(col("see") <= 0 || col("nn") < 10, lit(null).cast("double"))
+          .otherwise(round(q, 4) + 0.0).as("lb_q"),
+        lit(6L).as("df"),
+        when(col("see") <= 0 || col("nn") < 10, lit(null).cast("double"))
+          .otherwise(floor(p * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q275LjungBoxSql: String =
+    s"""WITH d AS ($dailySql),
+       |df0 AS (
+       |  SELECT day, rev - LAG(rev, 1) OVER (ORDER BY day) AS dx FROM d),
+       |df AS (SELECT day, dx FROM df0 WHERE dx IS NOT NULL),
+       |t AS (SELECT COUNT(*) AS n, SUM(CAST(dx AS HUGEINT)) AS sx FROM df),
+       |e AS (
+       |  SELECT day, t.n,
+       |    CAST(dx AS HUGEINT) * t.n - t.sx AS e
+       |  FROM df CROSS JOIN t),
+       |den AS (SELECT SUM(e * e) AS see, MAX(n) AS nn FROM e),
+       |wide AS (
+       |  SELECT n, e,
+       |    LAG(e, 1) OVER (ORDER BY day) AS e1,
+       |    LAG(e, 2) OVER (ORDER BY day) AS e2,
+       |    LAG(e, 3) OVER (ORDER BY day) AS e3,
+       |    LAG(e, 4) OVER (ORDER BY day) AS e4,
+       |    LAG(e, 5) OVER (ORDER BY day) AS e5,
+       |    LAG(e, 6) OVER (ORDER BY day) AS e6
+       |  FROM e),
+       |lagged AS (
+       |  SELECT e AS y, 1 AS lag, e1 AS x FROM wide
+       |  UNION ALL SELECT e, 2, e2 FROM wide
+       |  UNION ALL SELECT e, 3, e3 FROM wide
+       |  UNION ALL SELECT e, 4, e4 FROM wide
+       |  UNION ALL SELECT e, 5, e5 FROM wide
+       |  UNION ALL SELECT e, 6, e6 FROM wide),
+       |perlag AS (
+       |  SELECT lag, SUM(x * y) AS sxy FROM lagged
+       |  WHERE x IS NOT NULL GROUP BY lag),
+       |qs AS (
+       |  SELECT den.nn,
+       |    SUM((CAST(sxy AS DOUBLE) / CAST(see AS DOUBLE))
+       |      * (CAST(sxy AS DOUBLE) / CAST(see AS DOUBLE))
+       |      / (CAST(nn AS DOUBLE) - CAST(lag AS DOUBLE))) AS tsum,
+       |    MAX(CAST(see AS DOUBLE)) AS seed
+       |  FROM perlag CROSS JOIN den GROUP BY den.nn)
+       |SELECT CAST(nn AS BIGINT) AS n_diffs,
+       |  CASE WHEN seed <= 0 OR nn < 10 THEN NULL ELSE
+       |    ROUND(CAST(nn AS DOUBLE) * (nn + 2.0) * tsum, 4) + 0 END AS lb_q,
+       |  CAST(6 AS BIGINT) AS df,
+       |  CASE WHEN seed <= 0 OR nn < 10 THEN NULL ELSE
+       |    FLOOR(exp(-(CAST(nn AS DOUBLE) * (nn + 2.0) * tsum) / 2.0)
+       |      * (1.0 + (nn * (nn + 2.0) * tsum) / 2.0
+       |        + (nn * (nn + 2.0) * tsum) * (nn * (nn + 2.0) * tsum) / 8.0)
+       |      * 1e8 + 0.5) / 1e8 END AS p
+       |FROM qs""".stripMargin
 }

@@ -1687,4 +1687,211 @@ object TextQueries {
       |  ROUND(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE), 6) + 0
       |    AS ndcg10
       |FROM i ORDER BY query_lang""".stripMargin
+
+  /** L196 Chao1 richness + Good's coverage (Chao 1984, Good 1953 [PK]):
+    * from the word-TRIGRAM frequency spectrum — V observed types, f₁
+    * singletons, f₂ doubletons — estimate the UNSEEN phrase inventory
+    * (Chao1 = V + f₁(f₁−1)/(2(f₂+1)), bias-corrected form, defined even
+    * at f₂ = 0) and the sample coverage C = 1 − f₁/N. The "how much of
+    * the language have we actually crawled" diagnostic that turns L74's
+    * observed vocabulary curve into an asymptote estimate, on the same
+    * spectrum q223's Good–Turing smooths.
+    *
+    * Parity: V/N/f₁/f₂ exact int64 off the type-count census; the two
+    * estimates are one double chain 4dp/6dp.
+    *
+    * Scale: explode → type-count hash agg (map-side combined) → a
+    * 2-level ≤|counts| spectrum agg. Guards: an empty corpus nulls
+    * both estimates. */
+  def q269Chao1(s: SparkSession, dir: String): DataFrame = {
+    // word-TRIGRAM spectrum, not unigrams: the synthetic corpus closes
+    // its unigram vocabulary even at sf0.001 (zero singletons — the
+    // estimator would be vacuous, the q175 lesson), while the trigram
+    // space stays open at every SF (f1 = 9,402 / 9,424 / 207 at
+    // sf0.001/0.01/0.1 — measured)
+    val tri = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("ts"))
+      // docs under 3 tokens contribute no trigrams; the filter (not a
+      // greatest() clamp) matters because Spark's sequence(1, 0) counts
+      // DOWN and would fabricate ghost windows on short/empty docs
+      .filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("w"))
+    val wc = tri.groupBy("w").agg(count(lit(1)).as("c"))
+    val g = wc.agg(count(lit(1)).as("v"), sum(col("c")).as("n"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+    val chao = col("v").cast("double") +
+      col("f1").cast("double") * (col("f1") - 1).cast("double") /
+        (lit(2.0) * (col("f2") + 1).cast("double"))
+    val cov = lit(1.0) - col("f1").cast("double") / col("n").cast("double")
+    g.select(col("v").as("n_types"), col("n").as("n_tokens"),
+      col("f1").as("singletons"), col("f2").as("doubletons"),
+      when(col("n").isNull || col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(chao, 4) + 0.0).as("chao1"),
+      when(col("n").isNull || col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(cov, 6) + 0.0).as("good_coverage"))
+  }
+
+  val q269Chao1Sql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |tri AS (
+      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+      |  FROM (SELECT ts AS t,
+      |          unnest(range(1, greatest(len(ts) - 1, 1))) AS i
+      |        FROM toks)),
+      |wc AS (SELECT w, COUNT(*) AS c FROM tri GROUP BY w),
+      |g AS (
+      |  SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM wc)
+      |SELECT v AS n_types, n AS n_tokens, f1 AS singletons,
+      |  f2 AS doubletons,
+      |  CASE WHEN n IS NULL OR n = 0 THEN NULL ELSE
+      |    ROUND(CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * (f1 - 1)
+      |      / (2.0 * (f2 + 1)), 4) + 0 END AS chao1,
+      |  CASE WHEN n IS NULL OR n = 0 THEN NULL ELSE
+      |    ROUND(1.0 - CAST(f1 AS DOUBLE) / n, 6) + 0 END AS good_coverage
+      |FROM g""".stripMargin
+
+  /** L197 term dispersion DP (Gries 2008 [PK]): for each frequent term,
+    * DP = Σᵢ|vᵢ − sᵢ|/2 over corpus parts (sources) — vᵢ the term's
+    * occurrence share in part i, sᵢ the part's token share. DP ≈ 0 ⇒
+    * the term is spread as the corpus is; DP → 1 ⇒ it lives in one
+    * part — the burstiness screen that separates topical spike terms
+    * from core vocabulary, which raw frequency (L10) cannot see.
+    *
+    * Parity: shares are exact int64 ratios; the |v−s| sum quantizes to
+    * nano units per (term, part) before the integer sum per term.
+    *
+    * Scale: one (term, source) hash agg; source totals by a ≤|sources|
+    * window; top-20 by TakeOrdered. Parts ABSENT for a term contribute
+    * |0 − sᵢ| = sᵢ, handled in closed form: DP = Σ_present(|vᵢ−sᵢ|−sᵢ)/2
+    * + Σ_all sᵢ/2 where the second term is exactly 1/2 — no dense
+    * term×part grid is ever built (the sparse-completion identity). */
+  def q271TermDispersion(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val cell = tok.groupBy("w", "source").agg(count(lit(1)).as("nws"))
+    val wSrc = Window.partitionBy("source")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wTerm = Window.partitionBy("w")
+    val t0 = cell
+      .withColumn("ns", sum(col("nws")).over(wSrc))
+      .withColumn("nt", sum(col("nws")).over(wAll))
+      .withColumn("nw", sum(col("nws")).over(wTerm))
+    val vi = col("nws").cast("double") / col("nw").cast("double")
+    val si = col("ns").cast("double") / col("nt").cast("double")
+    val termQ = floor((abs(vi - si) - si) * 1e9 + 0.5).cast("long")
+    t0.select(col("w"), col("nw"), termQ.as("tq"))
+      .groupBy("w", "nw").agg(sum(col("tq")).as("sq"))
+      .filter(col("nw") >= 50)
+      .select(col("w").as("term"), col("nw").as("n_occurrences"),
+        (round((col("sq").cast("double") / 1e9 + 1.0) / 2.0, 6) + 0.0)
+          .as("dp"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(20)
+  }
+
+  val q271TermDispersionSql: String =
+    """WITH tok AS (
+      |  SELECT source, w
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |cell AS (
+      |  SELECT w, source, COUNT(*) AS nws FROM tok GROUP BY w, source),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(nws) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |    CAST(SUM(nws) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(nws) OVER (PARTITION BY w) AS BIGINT) AS nw
+      |  FROM cell),
+      |q AS (
+      |  SELECT w, nw,
+      |    CAST(SUM(CAST(FLOOR((ABS(CAST(nws AS DOUBLE) / nw
+      |      - CAST(ns AS DOUBLE) / nt) - CAST(ns AS DOUBLE) / nt) * 1e9
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM t GROUP BY w, nw)
+      |SELECT w AS term, nw AS n_occurrences,
+      |  ROUND((CAST(sq AS DOUBLE) / 1e9 + 1.0) / 2.0, 6) + 0 AS dp
+      |FROM q WHERE nw >= 50
+      |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin
+
+  /** L198 Fleiss' kappa (Fleiss 1971 [PK]) over a 3-rater quality
+    * ensemble: three deterministic document screens — length (n_chars ≥
+    * 100), verbosity (≥ 20 tokens), stopword presence — each "rate"
+    * every document good/bad; κ measures their agreement beyond chance.
+    * The ensemble-agreement readout an LLM-data pipeline needs before
+    * majority-voting quality raters (q183's Cohen κ compares exactly
+    * two raters; Fleiss generalizes to m).
+    *
+    * Parity: per-doc agreement P_i = (Σⱼ nᵢⱼ(nᵢⱼ−1))/(m(m−1)) rides
+    * exact int64 vote counts (m = 3); P̄ and P_e are exact-int ratios in
+    * one double chain 6dp.
+    *
+    * Scale: one per-doc map (3 boolean screens), one 1-row agg.
+    * Guards: P_e = 1 (all raters constant) nulls κ. */
+  def q274FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(
+        when(col("n_chars") >= 100, 1L).otherwise(0L).as("r1"),
+        when(size(tokens(col("text"))) >= 20, 1L).otherwise(0L).as("r2"),
+        when(arrays_overlap(tokens(col("text")),
+          typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))),
+          1L).otherwise(0L).as("r3"))
+      .withColumn("g", col("r1") + col("r2") + col("r3"))
+    val m = 3.0
+    val g = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("g")).as("votes_good"),
+      // Σ_i [n_good(n_good−1) + n_bad(n_bad−1)] with n_bad = 3 − n_good
+      sum(col("g") * (col("g") - 1) +
+        (lit(3L) - col("g")) * (lit(2L) - col("g"))).as("agree_q"))
+    val nD = col("n_docs").cast("double")
+    val pbar = col("agree_q").cast("double") / (nD * m * (m - 1.0))
+    val pGood = col("votes_good").cast("double") / (nD * m)
+    val pe = pGood * pGood + (lit(1.0) - pGood) * (lit(1.0) - pGood)
+    g.select(col("n_docs"), col("votes_good"),
+      (round(pbar, 6) + 0.0).as("p_bar"),
+      (round(pe, 6) + 0.0).as("p_e"),
+      when(pe >= 1.0, lit(null).cast("double"))
+        .otherwise(round((pbar - pe) / (lit(1.0) - pe), 6) + 0.0)
+          .as("fleiss_kappa"))
+  }
+
+  val q274FleissKappaSql: String =
+    s"""WITH d AS (
+       |  SELECT
+       |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0
+       |       END)
+       |    + (CASE WHEN len(list_intersect(string_split(text, ' '),
+       |        ['the','a','of','and','to','in','is','on'])) > 0
+       |       THEN 1 ELSE 0 END) AS g
+       |  FROM documents),
+       |t AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(g) AS BIGINT) AS votes_good,
+       |    CAST(SUM(g * (g - 1) + (3 - g) * (2 - g)) AS BIGINT) AS agree_q
+       |  FROM d),
+       |c AS (
+       |  SELECT n_docs, votes_good,
+       |    CAST(agree_q AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0 * 2.0)
+       |      AS pbar,
+       |    CAST(votes_good AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)
+       |      AS pg
+       |  FROM t)
+       |SELECT n_docs, votes_good,
+       |  ROUND(pbar, 6) + 0 AS p_bar,
+       |  ROUND(pg * pg + (1.0 - pg) * (1.0 - pg), 6) + 0 AS p_e,
+       |  CASE WHEN pg * pg + (1.0 - pg) * (1.0 - pg) >= 1.0 THEN NULL
+       |    ELSE ROUND((pbar - (pg * pg + (1.0 - pg) * (1.0 - pg)))
+       |      / (1.0 - (pg * pg + (1.0 - pg) * (1.0 - pg))), 6) + 0 END
+       |    AS fleiss_kappa
+       |FROM c""".stripMargin
 }

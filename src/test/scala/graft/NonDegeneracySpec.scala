@@ -494,4 +494,80 @@ class NonDegeneracySpec extends SparkSpec {
     val nmi = r.getAs[java.lang.Double]("nmi")
     assert(nmi != null && nmi >= 0.0 && nmi < 1.0)
   }
+
+  test("q269: the spectrum has singletons AND doubletons; coverage inside (0,1)") {
+    val r = run("q269_chao1").head()
+    assert(r.getAs[Long]("singletons") > 0L)
+    assert(r.getAs[Long]("doubletons") > 0L)
+    val c = r.getAs[Double]("good_coverage")
+    assert(c > 0.0 && c < 1.0)
+    assert(r.getAs[Double]("chao1") > r.getAs[Long]("n_types").toDouble)
+  }
+
+  test("q271: dispersion separates terms (not all DP equal)") {
+    val rows = run("q271_term_dispersion").collect()
+    assert(rows.length === 20)
+    val dps = rows.map(_.getAs[Double]("dp"))
+    assert(dps.forall(d => d >= 0.0 && d <= 1.0))
+    assert(dps.distinct.length > 5, "DP column is near-constant — vacuous")
+  }
+
+  test("q274: all three raters discriminate (kappa strictly inside (-1,1))") {
+    val r = run("q274_fleiss_kappa").head()
+    val k = r.getAs[java.lang.Double]("fleiss_kappa")
+    assert(k != null && k > -1.0 && k < 1.0)
+    val pbar = r.getAs[Double]("p_bar")
+    assert(pbar > 0.34 && pbar < 1.0, "per-doc agreement degenerate")
+  }
+
+  test("q260: both-half customers exist and signs are mixed") {
+    val r = run("q260_wilcoxon_sr").head()
+    val n = r.getAs[Long]("n_pairs")
+    assert(n > 10L)
+    val w = r.getAs[Double]("w_plus")
+    assert(w > 0.0 && w < n.toDouble * (n + 1) / 2.0,
+      "all differences share one sign — the paired design sees nothing")
+  }
+
+  test("q261: shrinkage actually moves small-n parts") {
+    val rows = run("q261_eb_shrinkage").collect()
+    assert(rows.length === 15)
+    assert(rows.forall(_.getAs[java.lang.Double]("eb_rate") != null))
+    assert(rows.head.getAs[Double]("shrinkage") > 0.01,
+      "top shrinkage negligible — the prior is doing nothing")
+  }
+
+  test("q262: the Walsh pair set is populated and HL is near the median") {
+    val r = run("q262_hodges_lehmann").head()
+    assert(r.getAs[Long]("n_pairs") > 1000L)
+    val hl = r.getAs[Double]("hodges_lehmann")
+    val med = r.getAs[Double]("plain_median")
+    assert(hl > 0.0 && math.abs(hl - med) / med < 0.5)
+  }
+
+  test("q265: VR is defined and the returns series is long enough") {
+    val r = run("q265_variance_ratio").head()
+    assert(r.getAs[Long]("n_returns") > 50L)
+    val vr = r.getAs[java.lang.Double]("vr5")
+    assert(vr != null && vr > 0.0)
+  }
+
+  test("q266: all three periods report a share; weekly is non-degenerate") {
+    val rows = run("q266_periodogram").orderBy("period_days").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val sh = r.getAs[java.lang.Double]("spectral_share")
+      assert(sh != null && sh >= 0.0, s"share $sh")
+    }
+    assert(rows.map(_.getAs[Double]("spectral_share")).max > 1e-6,
+      "every period carries zero power — the spectrum sees nothing")
+  }
+
+  test("q273: both arms populated; CUPED reduces variance (rho2 > 0)") {
+    val rows = run("q273_cuped").orderBy("arm").collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getAs[Long]("n_users") > 0L))
+    val r2 = rows.head.getAs[java.lang.Double]("var_reduction")
+    assert(r2 != null && r2 > 0.0 && r2 < 1.0)
+  }
 }

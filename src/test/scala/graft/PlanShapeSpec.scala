@@ -423,7 +423,22 @@ class PlanShapeSpec extends SparkSpec {
       // r12 batch 2: q256's 1-row centered-mean broadcast onto the cent
       // census (the q255 shape), q259's 1-row grand-median broadcast,
       // and q263's 1-row day-count broadcast onto the indexed census
-      "q256_jarque_bera", "q259_mood_median", "q263_cox_stuart")
+      "q256_jarque_bera", "q259_mood_median", "q263_cox_stuart",
+      // r12 batch 3: q261's 1-row MoM-prior broadcast onto the part
+      // census, q262's 1-row tmax cut PLUS its ≤365-row Walsh pair
+      // build (two irreducible nested loops — see bnljMax), q266's
+      // 1-row totals broadcast onto the day census (the three periods
+      // share it via explode, not a per-period union), and q273's
+      // 1-row pooled-moment broadcast onto the 2-row arm table (the
+      // corpus-end bounds each ride the q242 in-plan form)
+      "q261_eb_shrinkage", "q262_hodges_lehmann", "q266_periodogram",
+      "q273_cuped")
+    // Queries whose plan legitimately carries MORE than one allowlisted
+    // nested loop. Currently empty: q262's tmax cut sits under its lazy
+    // checkpoint (only the ≤365-row Walsh pair build surfaces), and
+    // q266's three periods share ONE totals broadcast via explode
+    // (a per-period union would have re-planned it ×3).
+    val bnljMax = Map.empty[String, Int].withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -431,7 +446,8 @@ class PlanShapeSpec extends SparkSpec {
         val bnlj = "BroadcastNestedLoop".r.findAllIn(p).size
         if (cart > 0) Some(s"$name: CartesianProduct x$cart")
         else if (bnlj > 0 && !allowedBnlj(name)) Some(s"$name: BNLJ x$bnlj")
-        else if (bnlj > 1) Some(s"$name: BNLJ x$bnlj (allowlist permits 1)")
+        else if (bnlj > bnljMax(name))
+          Some(s"$name: BNLJ x$bnlj (allowlist permits ${bnljMax(name)})")
         else None
     }
     assert(offenders.isEmpty,

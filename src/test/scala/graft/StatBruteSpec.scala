@@ -1316,4 +1316,238 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("nmi") - mi / math.sqrt(hx * hy))
       < 1e-5)
   }
+
+  test("q269 Chao1 and coverage match a sequential spectrum count") {
+    val row = SparkEntry.queries("q269_chao1")(spark, sf0001).head()
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = counts.size.toLong
+    val n = counts.values.map(_.toLong).sum
+    val f1 = counts.values.count(_ == 1).toLong
+    val f2 = counts.values.count(_ == 2).toLong
+    assert(row.getAs[Long]("n_types") === v)
+    assert(row.getAs[Long]("n_tokens") === n)
+    assert(row.getAs[Long]("singletons") === f1)
+    assert(row.getAs[Long]("doubletons") === f2)
+    assert(math.abs(row.getAs[Double]("chao1") -
+      (v + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1)))) < 1e-3)
+    assert(math.abs(row.getAs[Double]("good_coverage") -
+      (1.0 - f1.toDouble / n)) < 1e-5)
+  }
+
+  test("q271 DP dispersion matches a sequential Gries computation") {
+    val rows = SparkEntry.queries("q271_term_dispersion")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("term") ->
+        r.getAs[Double]("dp")).toMap
+    val data = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (w, r.getString(0))))
+    val nt = data.length.toDouble
+    val bySrc = data.groupBy(_._2).view.mapValues(_.size).toMap
+    val sources = bySrc.keys.toSeq
+    rows.foreach { case (term, dpGot) =>
+      val occ = data.filter(_._1 == term)
+      val nw = occ.length.toDouble
+      val dp = sources.map { src =>
+        val vi = occ.count(_._2 == src) / nw
+        val si = bySrc(src) / nt
+        math.abs(vi - si)
+      }.sum / 2.0
+      assert(math.abs(dpGot - dp) < 1e-4, s"$term dp $dpGot vs brute $dp")
+    }
+  }
+
+  test("q274 Fleiss kappa matches a sequential rater walk") {
+    val row = SparkEntry.queries("q274_fleiss_kappa")(spark, sf0001).head()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val gs = Tables.documents(spark, sf0001)
+      .select(col("text"), col("n_chars")).collect().map { r =>
+        val toks = r.getString(0).split(" ", -1)
+        (if (r.getLong(1) >= 100) 1 else 0) +
+          (if (toks.length >= 20) 1 else 0) +
+          (if (toks.exists(stop)) 1 else 0)
+      }
+    val n = gs.length.toDouble
+    val pbar = gs.map(g => g * (g - 1) + (3 - g) * (2 - g)).sum / (n * 6.0)
+    val pg = gs.sum / (n * 3.0)
+    val pe = pg * pg + (1 - pg) * (1 - pg)
+    val kappa = (pbar - pe) / (1 - pe)
+    assert(row.getAs[Long]("n_docs") === gs.length.toLong)
+    assert(math.abs(row.getAs[Double]("fleiss_kappa") - kappa) < 1e-5)
+  }
+
+  test("q260 Wilcoxon signed-rank matches a sequential rank walk") {
+    val row = SparkEntry.queries("q260_wilcoxon_sr")(spark, sf0001).head()
+    val cut = java.time.LocalDate.parse("1998-01-01")
+    val byCust = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    val ds = byCust.values.flatMap { os =>
+      val (late, early) = os.partition(_._2.compareTo(cut) >= 0)
+      if (late.isEmpty || early.isEmpty) None
+      else {
+        val d = math.floor(late.map(_._3).sum.toDouble / late.size + 0.5)
+          .toLong -
+          math.floor(early.map(_._3).sum.toDouble / early.size + 0.5).toLong
+        if (d == 0) None else Some(d)
+      }
+    }.toArray
+    val n = ds.length
+    val sorted = ds.sortBy(math.abs)
+    val ranks = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n &&
+        math.abs(sorted(j + 1)) == math.abs(sorted(i))) j += 1
+      val avg = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(k => ranks(k) = avg)
+      i = j + 1
+    }
+    val wPlus = sorted.zip(ranks).filter(_._1 > 0).map(_._2).sum
+    val ties = sorted.map(math.abs).groupBy(identity).values
+      .map(g => { val c = g.length.toLong; c * c * c - c }).sum
+    val varW = n.toDouble * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    val z = (wPlus - n.toDouble * (n + 1) / 4.0) / math.sqrt(varW)
+    assert(row.getAs[Long]("n_pairs") === n.toLong)
+    assert(math.abs(row.getAs[Double]("w_plus") - wPlus) < 1e-9)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("q262 Hodges-Lehmann matches a sequential Walsh-median") {
+    val row = SparkEntry.queries("q262_hodges_lehmann")(spark, sf0001).head()
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val tmax = daily.map(_._1).max
+    val rc = daily.filter(_._1 > tmax - 365).map(_._2)
+    val walsh = (for (i <- rc.indices; j <- i until rc.length)
+      yield rc(i) + rc(j)).sorted
+    def medInterp(xs: Seq[Long]): Double = {
+      val h = (xs.length - 1) * 0.5
+      xs(h.toInt) + (h - h.toInt) *
+        (xs(math.min(h.toInt + 1, xs.length - 1)) - xs(h.toInt))
+    }
+    assert(row.getAs[Long]("n_pairs") === walsh.length.toLong)
+    assert(math.abs(row.getAs[Double]("hodges_lehmann") -
+      medInterp(walsh) / 2.0) < 0.02)
+  }
+
+  test("q265 variance ratio matches a sequential quantized-log walk") {
+    val row = SparkEntry.queries("q265_variance_ratio")(spark, sf0001).head()
+    val revs = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val lx = revs.map(r => math.floor(math.log(r.toDouble) * 1e9 + 0.5)
+      .toLong)
+    def varOf(xs: Seq[Long]): Double = {
+      val n = xs.length.toDouble
+      val s = xs.map(BigInt(_)).sum.toDouble
+      val q = xs.map(x => BigInt(x) * x).sum.toDouble
+      (q - s * s / n) / n
+    }
+    val r1 = lx.sliding(2).map(p => p(1) - p(0)).toSeq
+    val rq = lx.indices.drop(5).map(i => lx(i) - lx(i - 5))
+    val vr = varOf(rq) / (5.0 * varOf(r1))
+    assert(row.getAs[Long]("n_returns") === r1.length.toLong)
+    assert(math.abs(row.getAs[Double]("vr5") - vr) < 1e-4,
+      s"vr ${row.getAs[Double]("vr5")} vs brute $vr")
+  }
+
+  test("q266 periodogram shares match a sequential quantized DFT") {
+    val rows = SparkEntry.queries("q266_periodogram")(spark, sf0001)
+      .orderBy("period_days").collect()
+    val revs = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = revs.length
+    val sSum = revs.map(BigInt(_)).sum
+    val qSum = revs.map(r => BigInt(r) * r).sum
+    val eps = revs.map(r => (BigInt(r) * n - sSum).toDouble)
+    val totVar = (n.toDouble * qSum.toDouble - sSum.toDouble *
+      sSum.toDouble) / n
+    Seq(7, 14, 30).zip(rows).foreach { case (per, got) =>
+      val w = 2.0 * math.Pi / per
+      val sc = eps.zipWithIndex.map { case (e, tt) =>
+        math.floor(e * math.cos(w * tt) / 1e6 + 0.5).toLong }.sum
+      val ss = eps.zipWithIndex.map { case (e, tt) =>
+        math.floor(e * math.sin(w * tt) / 1e6 + 0.5).toLong }.sum
+      val power = (sc.toDouble * sc + ss.toDouble * ss) * 1e12 /
+        (n.toDouble * n)
+      val share = power / (n * totVar) * 2.0
+      assert(got.getAs[Long]("period_days") === per.toLong)
+      assert(math.abs(got.getAs[Double]("spectral_share") - share) < 1e-4,
+        s"period $per share ${got.getAs[Double]("spectral_share")}" +
+          s" vs brute $share")
+    }
+  }
+
+  test("q273 CUPED theta and adjusted means match a sequential walk") {
+    val rows = SparkEntry.queries("q273_cuped")(spark, sf0001)
+      .orderBy("arm").collect()
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = evs.map(_._2).max - 14L * 86400L * 1000000L
+    val peru = evs.groupBy(_._1).map { case (u, es) =>
+      (u % 2, es.filter(_._2 < cut).map(_._3).sum,
+        es.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    val nu = peru.length.toDouble
+    val sx = peru.map(p => BigInt(p._2)).sum.toDouble
+    val sy = peru.map(p => BigInt(p._3)).sum.toDouble
+    val sxy = peru.map(p => BigInt(p._2) * p._3).sum.toDouble
+    val sxx = peru.map(p => BigInt(p._2) * p._2).sum.toDouble
+    val theta = (sxy - sx * (sy / nu)) / (sxx - sx * (sx / nu))
+    val xbar = sx / nu
+    rows.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val g = peru.filter(_._1 == arm)
+      val my = g.map(p => BigInt(p._3)).sum.toDouble / g.length
+      val mx = g.map(p => BigInt(p._2)).sum.toDouble / g.length
+      assert(r.getAs[Long]("n_users") === g.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_y") - my / 100.0) < 0.01)
+      assert(math.abs(r.getAs[Double]("mean_y_cuped") -
+        (my - theta * (mx - xbar)) / 100.0) < 0.01)
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4)
+    }
+  }
+
+  test("q261 EB shrinkage matches a sequential MoM fit") {
+    val rows = SparkEntry.queries("q261_eb_shrinkage")(spark, sf0001)
+      .collect()
+    val li = Tables.lineitem(spark, sf0001)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rqs = li.filter(_._2 >= 5)
+      .map(p => math.floor(p._3.toDouble / p._2 * 1e9 + 0.5).toLong)
+    val g = rqs.length.toDouble
+    val sr = rqs.map(BigInt(_)).sum.toDouble
+    val qr = rqs.map(x => BigInt(x) * x).sum.toDouble
+    val m1 = sr / g / 1e9
+    val m2 = (qr - sr * (sr / g)) / (g - 1.0) / 1e18
+    val common = m1 * (1.0 - m1) / m2 - 1.0
+    val (alpha, beta) = (m1 * common, (1.0 - m1) * common)
+    val byKey = li.map(p => p._1 -> p).toMap
+    rows.foreach { r =>
+      val (_, n, k) = byKey(r.getAs[Long]("l_partkey"))
+      val post = (k + alpha) / (n + alpha + beta)
+      assert(math.abs(r.getAs[Double]("eb_rate") - post) < 1e-3)
+    }
+  }
 }
