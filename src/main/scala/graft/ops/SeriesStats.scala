@@ -1243,17 +1243,30 @@ object SeriesStats {
     val m = expr("(n + 1) div 2") // integer div — `/` on Columns is double
     val a = d0.select(col("rn").as("i"), col("rev").as("x1"))
     val b = d0.select(col("rn").as("j"), col("rev").as("x2"))
+    // LEFT join + in-agg pair mask, not an inner-filtered pair set: on a
+    // degenerate ≤1-pair-free corpus (n=1 ⇒ i ≤ n−m never holds) an agg
+    // over the EMPTY inner join would null n_days/half_offset while the
+    // mirror's scalar subqueries still report the real census values
+    // (r12 ADVICE). The left form keeps every census row in the agg, so
+    // max(n)/max(m) always carry, and s_up/s_dn are pinned to the
+    // mirror's SUM-over-empty NULL via the pair count.
     val pairs = a.crossJoin(broadcast(n))
       .withColumn("m", m)
-      .filter(col("i") <= col("n") - col("m"))
-      .join(b, col("j") === col("i") + col("m"))
+      .join(b, col("j") === col("i") + col("m") &&
+        col("i") <= col("n") - col("m"), "left")
+    val inPair = col("j").isNotNull
     val g = pairs.agg(max(col("n")).as("n_days"), max(col("m")).as("m"),
-      sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("s_up"),
-      sum(when(col("x2") < col("x1"), 1L).otherwise(0L)).as("s_dn"))
-    val tot = (col("s_up") + col("s_dn")).cast("double")
-    val z = (col("s_up") - col("s_dn")).cast("double") / sqrt(tot)
+      sum(when(inPair, 1L).otherwise(0L)).as("np"),
+      sum(when(inPair && col("x2") > col("x1"), 1L).otherwise(0L)).as("su"),
+      sum(when(inPair && col("x2") < col("x1"), 1L).otherwise(0L)).as("sd"))
+    val sUp = when(col("np") === 0, lit(null).cast("long"))
+      .otherwise(col("su"))
+    val sDn = when(col("np") === 0, lit(null).cast("long"))
+      .otherwise(col("sd"))
+    val tot = (sUp + sDn).cast("double")
+    val z = (sUp - sDn).cast("double") / sqrt(tot)
     g.select(col("n_days"), col("m").as("half_offset"),
-      col("s_up"), col("s_dn"),
+      sUp.as("s_up"), sDn.as("s_dn"),
       when(tot === 0, lit(null).cast("double"))
         .otherwise(round(z, 4) + 0.0).as("z"),
       when(tot === 0, lit(null).cast("double"))
@@ -1614,9 +1627,14 @@ object SeriesStats {
       .filter(col("dx").isNotNull)
     val tot = diffs.agg(count(lit(1)).as("n"),
       sum(col("dx").cast(dec)).as("sx"))
+    // census-sized (~2,400 rows) and read by BOTH the lag stack and the
+    // denominator agg — the lazy checkpoint computes the daily agg +
+    // diff window once and keeps the 1-row totals broadcast from
+    // surfacing once per consumer subtree (q262's plan discipline)
     val eps = diffs.crossJoin(broadcast(tot))
       .select(col("day"), col("n"),
         (col("dx").cast(dec) * col("n").cast(dec) - col("sx")).as("e"))
+      .localCheckpoint(eager = false)
     val withLags = eps.select(
       (Seq(col("n"), col("e")) ++ (1 to 6).map(k =>
         lag(col("e"), k).over(w).as(s"e$k"))): _*)

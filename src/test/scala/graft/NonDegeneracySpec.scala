@@ -570,4 +570,15 @@ class NonDegeneracySpec extends SparkSpec {
     val r2 = rows.head.getAs[java.lang.Double]("var_reduction")
     assert(r2 != null && r2 > 0.0 && r2 < 1.0)
   }
+
+  test("q275: Ljung-Box Q defined on a long series; p is a probability") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q275_ljung_box", sf).head()
+      assert(r.getAs[Long]("n_diffs") > 100L, s"series too short at $sf")
+      val q = r.getAs[java.lang.Double]("lb_q")
+      val p = r.getAs[java.lang.Double]("p")
+      assert(q != null && q > 0.0, s"degenerate Q at $sf")
+      assert(p != null && p >= 0.0 && p <= 1.0, s"p out of range at $sf")
+    }
+  }
 }

@@ -432,7 +432,11 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row pooled-moment broadcast onto the 2-row arm table (the
       // corpus-end bounds each ride the q242 in-plan form)
       "q261_eb_shrinkage", "q262_hodges_lehmann", "q266_periodogram",
-      "q273_cuped")
+      "q273_cuped",
+      // r13: q275's 1-row Σε²/n denominator broadcast onto the ≤6-row
+      // per-lag aggregate (its other totals broadcast sits under the
+      // eps lazy checkpoint, q262-style)
+      "q275_ljung_box")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -43,30 +43,47 @@ class ScaleCurveSpec extends SparkSpec {
     d
   }
 
-  /** Generate the replicated fixture ONLY if absent: the replicas are
+  /** Generate each replicated table ONLY if absent: the replicas are
     * deterministic, and overwriting a dir that a memoized Tables plan
     * (or a Triangles cache) already file-indexed leaves stale part-file
-    * lists behind → FAILED_READ_FILE on the next consumer. Delete
-    * $TMPDIR/graft-scale to force regeneration. */
+    * lists behind → FAILED_READ_FILE on the next consumer. The marker
+    * check is PER TABLE (r12 verdict: a whole-dir `events` marker let a
+    * stale /tmp dir survive with `customer` missing after the spec list
+    * grew), so adding a table here regenerates just that table. Delete
+    * $TMPDIR/graft-scale to force full regeneration. */
   private def gen(outRoot: String, copies: Int): Unit = {
-    val marker = new java.io.File(s"$outRoot/events.parquet/_SUCCESS")
-    if (marker.exists()) return
+    // Fact tables replicate with id-shift (customer joins like orders:
+    // keys shift, its c_nationkey FK stays valid against the constant
+    // dims below). nation/region/supplier are constant dims in this
+    // harness — copied through once so FKs from replicated facts (which
+    // keep their dim keys un-shifted) always resolve.
     val specs = Seq(
       ("documents", Seq("doc_id"), Seq("text"), Some("n_chars")),
       ("part", Seq("p_partkey"), Seq("p_name"), None),
       ("orders", Seq("o_orderkey"), Seq.empty[String], None),
+      ("customer", Seq("c_custkey"), Seq.empty[String], None),
       ("embeddings", Seq("vec_id"), Seq.empty[String], None),
       ("lineitem", Seq("l_orderkey", "l_partkey"), Seq.empty[String], None),
       ("events", Seq("event_id", "user_id"), Seq.empty[String], None))
+    val dims = Seq("nation", "region", "supplier")
+    def missing(table: String): Boolean =
+      !new java.io.File(s"$outRoot/$table.parquet/_SUCCESS").exists()
     specs.foreach { case (table, idCols, textCols, lenCol) =>
-      val src = Tables.load(spark, base, table)
-      val out = (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
-        .reduce(_.unionByName(_))
-      // events.ts round-trips as Spark's native µs timestamp; the
-      // loader detects the unit from each directory's parquet footer
-      // (Tables.eventsTsUnit), so no physical-layout rewrite is needed
-      // — the replicas follow whatever unit the writer produces.
-      out.write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
+      if (missing(table)) {
+        val src = Tables.load(spark, base, table)
+        val out = (0 until copies).map(k => copyK(src, k, idCols, textCols, lenCol))
+          .reduce(_.unionByName(_))
+        // events.ts round-trips as Spark's native µs timestamp; the
+        // loader detects the unit from each directory's parquet footer
+        // (Tables.eventsTsUnit), so no physical-layout rewrite is needed
+        // — the replicas follow whatever unit the writer produces.
+        out.write.mode("overwrite").parquet(s"$outRoot/$table.parquet")
+      }
+    }
+    dims.foreach { table =>
+      if (missing(table))
+        Tables.load(spark, base, table).write.mode("overwrite")
+          .parquet(s"$outRoot/$table.parquet")
     }
   }
 
@@ -117,7 +134,13 @@ class ScaleCurveSpec extends SparkSpec {
       // block, q236's quasi-group grid is |groups|×5, and q244's rank
       // prefix rides PrefixSum like q147
       "q240_expfit_ks", "q246_haar_energy", "q236_t_closeness",
-      "q244_cramer_von_mises")
+      "q244_cramer_von_mises",
+      // round-13 additions (r12 verdict mandate #7): the r12 heavies —
+      // q262's Walsh pair build is a ≤365-row broadcast self-join
+      // (scale-constant work after the daily census), q266 pushes three
+      // periods through ONE census pass via explode, q268's MI contingency
+      // is |cells| ≤ priorities×statuses — all must stay census-bounded
+      "q262_hodges_lehmann", "q266_periodogram", "q268_mutual_info")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

@@ -54,9 +54,16 @@ class SeriesOpsSpec extends SparkSpec {
       .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
     val sparse = spine.crossJoin(o.select("o_orderpriority").distinct())
       .join(daily, Seq("day", "o_orderpriority"), "left")
+    // Contract decision (r12 fuzz fallout): SeriesOps.interpolate
+    // returns the RAW lerp — output quantization is the caller's
+    // concern. q96 floor-quantizes (floor(x*1e4+0.5)/1e4) for
+    // cross-engine parity (Spark's round(,4) HALF_UPs the shortest
+    // decimal repr while DuckDB rounds the binary value), so this
+    // parity check applies the same grid to the operator's output.
     val viaOp = SeriesOps.interpolate(sparse, Seq("o_orderpriority"), "day",
         "rev", "day")
-      .select(col("day"), col("o_orderpriority"), round(col("rev"), 4).as("rev_interp"))
+      .select(col("day"), col("o_orderpriority"),
+        (floor(col("rev") * 1e4 + 0.5) / 1e4).as("rev_interp"))
     val viaQuery = SparkEntry.queries("q96_interpolate")(spark, sf0001)
     assert(viaOp.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaOp).isEmpty,
       "library operator and oracle query diverged")

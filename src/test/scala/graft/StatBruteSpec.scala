@@ -1550,4 +1550,35 @@ class StatBruteSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("eb_rate") - post) < 1e-3)
     }
   }
+
+  test("q275 Ljung-Box Q matches a sequential autocorrelation walk") {
+    val row = SparkEntry.queries("q275_ljung_box")(spark, sf0001).head()
+
+    val revs = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day")
+      .collect().map(_.getLong(1))
+    val dx = revs.sliding(2).map(p => p(1) - p(0)).toArray
+    val n = dx.length
+    // exact centering via the q253 n-scaling trick: e_t = n·dx_t − Σdx
+    val s = dx.map(BigInt(_)).sum
+    val e = dx.map(x => BigInt(x) * n - s)
+    val see = e.map(x => x * x).sum
+    var tsum = 0.0
+    (1 to 6).foreach { k =>
+      val sxy = (k until n).map(t => e(t) * e(t - k)).sum
+      val rho = sxy.toDouble / see.toDouble
+      tsum += rho * rho / (n.toDouble - k)
+    }
+    val q = n.toDouble * (n + 2.0) * tsum
+    val p = math.exp(-q / 2.0) * (1.0 + q / 2.0 + q * q / 8.0)
+
+    assert(row.getAs[Long]("n_diffs") === n.toLong)
+    assert(row.getAs[Long]("df") === 6L)
+    assert(math.abs(row.getAs[Double]("lb_q") - q) < 5e-4,
+      s"Q ${row.getAs[Double]("lb_q")} vs brute $q")
+    assert(math.abs(row.getAs[Double]("p") - p) < 1e-6,
+      s"p ${row.getAs[Double]("p")} vs brute $p")
+  }
 }
