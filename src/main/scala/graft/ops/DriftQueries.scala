@@ -106,11 +106,14 @@ object DriftQueries {
     val t = binned.groupBy("bin")
       .agg(count(when(!col("is_new"), 1)).as("na"),
         count(when(col("is_new"), 1)).as("nb"))
-    // period totals as driver scalars (q121/q133 discipline) — the
-    // second one-row broadcast would exceed the one-BNLJ-per-plan cap
-    val totRow = o.agg(count(when(!col("is_new"), 1)),
-      count(when(col("is_new"), 1))).head
-    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    // period totals in-plan (r13, closing the .head() sweep): the
+    // mirror already sums them FROM the bin table, so a whole-frame
+    // window over the ≤10-row bin census carries them without a second
+    // orders scan OR a second nested-loop broadcast
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ta = sum(col("na")).over(whole)
+    val tb = sum(col("nb")).over(whole)
     // Fuzz hardening (r12): an EMPTY bin on either side makes the raw
     // term ln(0) — a DuckDB error and a Spark null. Standard PSI
     // zero-bin handling: clamp each proportion to ≥ 1e-9 (no-op
@@ -118,12 +121,12 @@ object DriftQueries {
     // 1/|period|, orders of magnitude above the clamp until periods
     // exceed 1e9 rows, where a zero bin is the only sub-clamp case).
     // An empty PERIOD (ta or tb = 0) leaves PSI undefined → null terms.
-    val pa = greatest(col("na").cast("double") / math.max(ta, 1L),
+    val pa = greatest(col("na").cast("double") / greatest(ta, lit(1L)),
       lit(1e-9))
-    val pb = greatest(col("nb").cast("double") / math.max(tb, 1L),
+    val pb = greatest(col("nb").cast("double") / greatest(tb, lit(1L)),
       lit(1e-9))
-    val term = if (ta == 0L || tb == 0L) lit(null).cast("double")
-    else round((pb - pa) * log(pb / pa), 6)
+    val term = when(ta === 0L || tb === 0L, lit(null).cast("double"))
+      .otherwise(round((pb - pa) * log(pb / pa), 6))
     t.select(col("bin"), col("na"), col("nb"), term.as("psi_term"))
       .orderBy("bin")
   }
@@ -184,16 +187,22 @@ object DriftQueries {
         count(when(col("is_new"), 1)).as("cb"))
     val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
       Seq((col("ca"), "cuma"), (col("cb"), "cumb")))
-    // side totals as driver scalars (q121/q133 discipline) so the
-    // per-row cross-multiplication needs no one-row broadcast join
-    val totRow = h.agg(sum("ca"), sum("cb")).head
-    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    // side totals in-plan (r13, closing the .head() sweep): counts are
+    // non-negative so each side's total IS the max of its cumulative —
+    // read it back from PrefixSum's already-checkpointed frame (no
+    // second orders scan) and broadcast the 1-row result (q242 form)
+    val tot = c.agg(max(col("cuma")).as("ta"), max(col("cumb")).as("tb"))
     // Fuzz hardening (r12): an empty side leaves the KS distance
     // undefined — null, not a divide-by-zero crash
-    val ks = if (ta == 0L || tb == 0L) lit(null).cast("double")
-    else round(col("ks_num").cast("double") / (ta * tb), 6)
-    c.agg(max(abs(col("cuma") * tb - col("cumb") * ta)).as("ks_num"))
-      .select(col("ks_num"), lit(ta * tb).as("ks_den"), ks.as("ks"))
+    c.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+          .as("ks_num"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("ks_num"), (col("ta") * col("tb")).as("ks_den"),
+        when(col("ta") === 0L || col("tb") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("ks_num").cast("double") /
+            (col("ta") * col("tb")), 6)).as("ks"))
   }
 
   val q147KsSql: String =
@@ -333,14 +342,19 @@ object DriftQueries {
         count(when(!col("pos"), 1)).as("q"))
     val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
       Seq((lit(1L), "idx"), (col("p"), "cuma"), (col("q"), "cumb")))
-    val totRow = h.agg(sum("p"), sum("q")).head
-    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    // side totals in-plan (r13, the q147 pattern): max of each
+    // cumulative count over PrefixSum's checkpointed frame, broadcast
+    // back as the 1-row cross-multiplier — no second documents scan
+    val tot = c.agg(max(col("cuma")).as("ta"), max(col("cumb")).as("tb"))
     val nxt = c.select((col("idx") - 1L).as("idx"), col("sc").as("next_sc"))
     c.join(nxt, Seq("idx"), "left")
-      .agg(sum(abs(col("cuma") * tb - col("cumb") * ta) *
-        (coalesce(col("next_sc"), col("sc")) - col("sc"))).as("w1_num"))
-      .select(col("w1_num"), lit(ta * tb).as("w1_den"),
-        round(col("w1_num").cast("double") / (ta * tb).toDouble, 6).as("w1"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(abs(col("cuma") * col("tb") - col("cumb") * col("ta")) *
+          (coalesce(col("next_sc"), col("sc")) - col("sc"))).as("w1_num"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("w1_num"), (col("ta") * col("tb")).as("w1_den"),
+        round(col("w1_num").cast("double") /
+          (col("ta") * col("tb")).cast("double"), 6).as("w1"))
   }
 
   val q182EmdSql: String =
@@ -443,15 +457,18 @@ object DriftQueries {
     * Parity: each replicate mean is ONE int64/int64 division (exact
     * IEEE bits), so the rank ordering of the 200 means and the rank-5 /
     * rank-196 percentile picks are engine-independent; the point mean
-    * rides as driver scalars (q121 discipline).
+    * rides an in-plan 1-row moment broadcast (q242 form, r13).
     *
     * Scale: corpus × B rows exist only between the generate and the
     * partial agg in the same stage — the shuffle carries ≤ B·tasks
     * partial rows into B groups; the rank window sees exactly B rows. */
   def q184Bootstrap(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val totRow = d.agg(sum("n_chars"), count(lit(1))).head
-    val (sx, n) = (totRow.getLong(0), totRow.getLong(1))
+    // point-estimate moments in-plan (r13, closing the .head() sweep):
+    // a 1-row broadcast onto the 1-row CI aggregate (q242 form); one
+    // map-side-combinable scan, same as the old driver fetch, minus
+    // the build-time action
+    val tot = d.agg(sum("n_chars").as("sx"), count(lit(1)).as("n"))
     val reps = d.select(col("doc_id"), col("n_chars"),
       explode(expr("sequence(0L, 199L)")).as("b"))
     val h = pmod(col("doc_id") * lit(1103515245L) +
@@ -470,8 +487,10 @@ object DriftQueries {
     ranked.agg(
         round(min(when(col("rn") === 5, col("m"))), 6).as("ci_lo"),
         round(min(when(col("rn") === 196, col("m"))), 6).as("ci_hi"))
-      .select(lit(n).as("n_docs"), lit(200).as("n_reps"),
-        round(lit(sx.toDouble / n.toDouble), 6).as("mean"),
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_docs"), lit(200).as("n_reps"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
         col("ci_lo"), col("ci_hi"))
   }
 

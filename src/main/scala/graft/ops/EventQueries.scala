@@ -487,14 +487,21 @@ object EventQueries {
     * scan-level aggregate. */
   def q133WilsonReach(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val n = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    // in-plan 1-row reach broadcast (q242 form, r13: the last build-time
+    // .head() bounds fetches left any builder path); the double chain
+    // reproduces the old literal-interpolated arithmetic op-for-op
+    val tot = e.select(countDistinct(col("user_id")).cast("double").as("n"))
     val k = e.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("k"))
-    val z2 = 1.96 * 1.96
-    k.withColumn("p", col("k").cast("double") / n)
-      .withColumn("wilson_lo", expr(
-        s"round((p + $z2 / (2.0 * $n) - 1.96 * sqrt(p * (1.0 - p) / $n " +
-          s"+ $z2 / (4.0 * $n * $n))) / (1.0 + $z2 / $n), 4)"))
+    val z2 = lit(1.96 * 1.96)
+    val nn = col("n")
+    val p = col("p")
+    k.crossJoin(broadcast(tot))
+      .withColumn("p", col("k").cast("double") / nn)
+      .withColumn("wilson_lo", round(
+        (p + z2 / (lit(2.0) * nn) - lit(1.96) *
+          sqrt(p * (lit(1.0) - p) / nn + z2 / (lit(4.0) * nn * nn))) /
+          (lit(1.0) + z2 / nn), 4))
       .select(col("event_type"), col("k"), round(col("p"), 4).as("p"),
         col("wilson_lo"))
       .orderBy("event_type")

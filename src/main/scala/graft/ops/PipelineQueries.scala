@@ -707,31 +707,36 @@ object PipelineQueries {
     * before sampling; naive per-source rounding over- or under-shoots.
     *
     * Parity: quotas are integer div/mod against the corpus total
-    * (driver scalar, q121/q133 discipline — all quantities positive,
-    * so Spark's truncating `div` equals DuckDB's flooring `//`);
+    * (carried in-plan by whole-frame windows over the ≤|sources|
+    * census, r13 — all quantities positive, so Spark's truncating
+    * `div` equals DuckDB's flooring `//`);
     * the remainder rank is a window over the ≤|sources| census rows
     * (bounded, corpus-independent); share = slots/10⁴ is the same
     * two-integer double division on both engines. Scale: one
     * map-side-combinable token count per source; everything after
     * runs on census-sized data. */
   def q165Apportion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     val toks = d.select(col("source"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
           .cast("long").as("nw"))
       .groupBy("source").agg(sum("nw").as("tok"))
-    val tot = toks.agg(sum("tok")).head.getLong(0)
-    val n = 10000L
+    // corpus total and floor-quota deficit in-plan (r13, closing the
+    // .head() sweep): whole-frame windows over the source census —
+    // no driver action, no extra scan, no nested loop
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val based = toks
-      .withColumn("base", expr(s"tok * $n div $tot"))
-      .withColumn("rem", expr(s"(tok * $n) % $tot"))
-    val deficit = n - based.agg(sum("base")).head.getLong(0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rem").desc, col("source"))
+      .withColumn("tot", sum(col("tok")).over(whole))
+      .withColumn("base", expr("tok * 10000L div tot"))
+      .withColumn("rem", expr("(tok * 10000L) % tot"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
     based
+      .withColumn("deficit", lit(10000L) - sum(col("base")).over(whole))
       .withColumn("rk", row_number().over(w))
       .withColumn("slots",
-        col("base") + when(col("rk") <= deficit, 1L).otherwise(0L))
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
       .select(col("source"), col("tok"), col("slots"),
         (col("slots") / 10000.0).as("share"))
       .orderBy("source")

@@ -597,8 +597,8 @@ object TextQueries {
     * tokenizer/vocab construction.
     *
     * Parity: all counts are exact integers; the totals are computed
-    * once (one scan-level agg, collected as two driver scalars — the
-    * PageRank dangling-mass class) and inlined as literals, so both
+    * once (one scan-level agg riding an in-plan 1-row broadcast onto
+    * the filtered bigram table, q242 form since r13), so both
     * engines evaluate ln on the identically-associated double
     * expression; ln's cross-libm divergence is ≤ ulps, eight orders
     * below the round(4) grid except at measure-zero boundaries. The
@@ -615,11 +615,13 @@ object TextQueries {
   def q121Pmi(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFns
     val d = Tables.documents(s, dir)
-    val totRow = d.select(size(tokens(col("text"))).as("nw"))
+    // corpus totals in-plan (r13, closing the .head() sweep): a 1-row
+    // broadcast onto the filtered bigram table (q242 form) — the ln
+    // argument keeps the identical association, nb/nu now read from
+    // columns instead of interpolated literals
+    val tot = d.select(size(tokens(col("text"))).as("nw"))
       .agg(sum(greatest(col("nw") - 1, lit(0))).as("nb"),
         sum(col("nw")).as("nu"))
-      .head()
-    val (nb, nu) = (totRow.getLong(0), totRow.getLong(1))
     val bi = d.select(explode(SimFns.wordBigrams(col("text"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= 5)
@@ -631,9 +633,10 @@ object TextQueries {
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
       .join(w1, "w1")
       .join(w2, "w2")
+      .crossJoin(broadcast(tot))
       .withColumn("pmi", expr(
-        s"round(ln((cast(n_xy as double) * $nu * $nu) / " +
-          s"(cast($nb as double) * n_w1 * n_w2)), 4)"))
+        "round(ln((cast(n_xy as double) * nu * nu) / " +
+          "(cast(nb as double) * n_w1 * n_w2)), 4)"))
       .select("bigram", "n_xy", "pmi")
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(25)

@@ -417,8 +417,8 @@ class PlanShapeSpec extends SparkSpec {
       // onto the value census (the q240 shape)
       "q253_kpss", "q255_normal_ks",
       // r12: q242's in-plan 1-row bounds broadcast backported to its
-      // siblings q175/q200/q224 (the last build-time .head() bounds
-      // fetches in any query builder, per the r11 verdict mandate)
+      // siblings q175/q200/q224 (r11 verdict mandate; the REST of the
+      // builder-path .head() fetches went in r13 — see below)
       "q175_kaplan_meier", "q200_nelson_aalen", "q224_log_rank",
       // r12 batch 2: q256's 1-row centered-mean broadcast onto the cent
       // census (the q255 shape), q259's 1-row grand-median broadcast,
@@ -436,7 +436,17 @@ class PlanShapeSpec extends SparkSpec {
       // r13: q275's 1-row Σε²/n denominator broadcast onto the ≤6-row
       // per-lag aggregate (its other totals broadcast sits under the
       // eps lazy checkpoint, q262-style)
-      "q275_ljung_box")
+      "q275_ljung_box",
+      // r13: the FINAL .head() sweep — every remaining build-time
+      // bounds/totals fetch in a query builder became the q242 in-plan
+      // 1-row broadcast: q133's reach count onto the 5-row event-type
+      // table, q147/q182's side totals (max of PrefixSum's cumulative
+      // counts, read from the already-checkpointed frame), q184's
+      // point-estimate moments onto the 1-row CI aggregate, and q121's
+      // corpus bigram/unigram totals onto the filtered bigram table.
+      // (q146/q165 went window-over-census instead — no nested loop.)
+      "q133_wilson_reach", "q147_ks", "q182_emd", "q184_bootstrap",
+      "q121_pmi")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and
@@ -508,5 +518,44 @@ class PlanShapeSpec extends SparkSpec {
     val hot = planOf("q153_skew_attribution")
     assert(hot.contains("Generate") && hot.contains("Union"),
       s"q153 must route through the salted (explode + union) path:\n$hot")
+  }
+
+  test("driver-side .head() actions exist ONLY in documented iterative/ANN state") {
+    // The r11-r13 sweep's durable form: a build-time .head() in a query
+    // builder forces a full job at PLAN-CONSTRUCTION time (before the
+    // caller even subscribes), serializes otherwise-parallel stages at
+    // the driver, and hides work from the one plan the optimizer sees.
+    // Every such fetch was converted to an in-plan 1-row broadcast
+    // (q242 form) or a window over a bounded census. The three
+    // survivors are genuine bounded DRIVER STATE, documented at the
+    // site: PageRank's per-iteration 1-row convergence probe, Pca's
+    // 1-row count feeding the driver-built covariance solve, and
+    // AnnPq's dimension probe feeding codebook training. New driver
+    // actions must justify themselves here.
+    val allowed = Set("ops/PageRank.scala", "ops/Pca.scala",
+      "ops/AnnPq.scala")
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val headAction = """\.head\(\)|\.head\.get""".r
+    val walk = java.nio.file.Files.walk(root)
+    val offenders = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val rel = root.relativize(p).toString
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // strip line comments so prose mentioning ".head()" doesn't count
+          val code = src.linesIterator
+            .map(l => l.indexOf("//") match {
+              case -1 => l
+              case i => l.substring(0, i)
+            }).mkString("\n")
+          if (headAction.findFirstIn(code).isDefined && !allowed(rel))
+            Some(rel)
+          else None
+        }.toList
+    } finally walk.close()
+    assert(offenders.isEmpty,
+      s"undocumented driver-side .head() action in: ${offenders.mkString(", ")}")
   }
 }
