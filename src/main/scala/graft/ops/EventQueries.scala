@@ -612,77 +612,6 @@ object EventQueries {
       |FROM dau d JOIN wau w2 USING (day)
       |ORDER BY d.day""".stripMargin
 
-  /** Session entry-point attribution — which event type OPENS sessions,
-    * and how often those sessions convert: sessionize by an 8-hour
-    * inactivity gap (q59's gaps-and-islands machinery), take each
-    * session's first event as its entry, flag sessions containing a
-    * purchase, and report conversion per entry type. First-touch
-    * attribution at session granularity — the funnel-entry view a
-    * growth dashboard leads with.
-    *
-    * Parity: the session id is an integer running sum of gap flags
-    * over the total (ts, event_id) order; entry = first_value over the
-    * same order within the session; conversion is an exact max-flag;
-    * one division at output.
-    *
-    * Scale: ONE user_id shuffle serves the lag window, the running
-    * sum, the per-session window and the session agg (all share the
-    * user_id partitioning; the final ≤|types|-group agg is map-side).
-    * No self-joins, no fact-sized windows without keys. */
-  def q151EntryAttribution(s: SparkSession, dir: String): DataFrame = {
-    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val e = Tables.events(s, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 28800000000L,
-          1L).otherwise(0L))
-      .withColumn("sid", sum("is_new").over(
-        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bySession = Window.partitionBy("user_id", "sid")
-      .orderBy("ts", "event_id")
-    val sessions = e
-      .withColumn("entry_type", first("event_type").over(bySession))
-      .groupBy("user_id", "sid")
-      .agg(min("entry_type").as("entry_type"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("converted"))
-    sessions.groupBy("entry_type")
-      .agg(count(lit(1)).as("n_sessions"),
-        sum("converted").as("n_converted"))
-      .withColumn("conv_rate",
-        round(col("n_converted").cast("double") / col("n_sessions"), 4))
-      .orderBy("entry_type")
-  }
-
-  val q151EntryAttributionSql: String =
-    """WITH e AS (
-      |  SELECT user_id, event_id, event_type, ts,
-      |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 28800000000
-      |         THEN 1 ELSE 0 END AS is_new
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |s AS (
-      |  SELECT user_id, event_id, event_type, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      |  FROM e),
-      |fe AS (
-      |  SELECT user_id, sid, event_type,
-      |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid
-      |      ORDER BY ts, event_id) AS entry_type
-      |  FROM s),
-      |agg AS (
-      |  SELECT user_id, sid, MIN(entry_type) AS entry_type,
-      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-      |      AS converted
-      |  FROM fe GROUP BY user_id, sid)
-      |SELECT entry_type, COUNT(*) AS n_sessions,
-      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
-      |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS conv_rate
-      |FROM agg GROUP BY entry_type ORDER BY entry_type""".stripMargin
-
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands date variant behind retention/engagement
     * dashboards ("current streak", "best streak"): distinct active
@@ -813,51 +742,6 @@ object EventQueries {
       |  LAG(n_active) OVER (ORDER BY wk) - n_retained AS n_churned
       |FROM weekly ORDER BY wk""".stripMargin
 
-  /** Markov transition matrix between consecutive event types per user
-    * — the user-journey model a recommendation / funnel team fits
-    * first: P(next = b | current = a) from every adjacent event pair in
-    * each user's (ts, event_id)-ordered stream. Session-agnostic by
-    * design (the session-scoped variant composes q151's sid first).
-    *
-    * Parity: pair ordering is the q151 (ts, event_id) total order;
-    * counts are exact int64; probabilities are the half-up 4-decimal
-    * integer division against the per-prev-type row total. Scale: one
-    * user-partition lag window (the §2.5 backbone) then a
-    * |types|²-group map-side-combinable count; the row-total join is
-    * a broadcast of ≤|types| rows. */
-  def q166Transitions(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = e
-      .withColumn("prev_et", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_et").isNotNull)
-      .groupBy(col("prev_et"), col("event_type").as("next_et"))
-      .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("prev_et").agg(sum("n").as("tot"))
-    val h = col("n") * 20000L + col("tot")
-    val d2 = col("tot") * 2L
-    pairs.join(broadcast(totals), "prev_et")
-      .select(col("prev_et"), col("next_et"), col("n"),
-        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("p"))
-      .orderBy("prev_et", "next_et")
-  }
-
-  val q166TransitionsSql: String =
-    """WITH pr AS (
-      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
-      |           ORDER BY ts, event_id) AS prev_et,
-      |         event_type AS next_et
-      |  FROM events),
-      |pairs AS (
-      |  SELECT prev_et, next_et, COUNT(*) AS n
-      |  FROM pr WHERE prev_et IS NOT NULL GROUP BY prev_et, next_et),
-      |tt AS (SELECT prev_et, CAST(SUM(n) AS BIGINT) AS tot
-      |       FROM pairs GROUP BY prev_et)
-      |SELECT p.prev_et, p.next_et, p.n,
-      |  ((p.n * 20000 + t.tot) // (t.tot * 2)) / 10000.0 AS p
-      |FROM pairs p JOIN tt t ON p.prev_et = t.prev_et
-      |ORDER BY p.prev_et, p.next_et""".stripMargin
-
   /** Engagement-concentration Lorenz table: users ranked into activity
     * deciles (most-active first), with each decile's user count, event
     * count, event share, and CUMULATIVE share — the "top 10% of users
@@ -916,368 +800,6 @@ object EventQueries {
       |  ((n_events * 20000 + tot) // (tot * 2)) / 10000.0 AS share,
       |  ((cum_events * 20000 + tot) // (tot * 2)) / 10000.0 AS cum_share
       |FROM c ORDER BY decile""".stripMargin
-
-  /** Strict-order WINDOWED 3-step funnel (view → click within 6 h →
-    * purchase within 6 h of the click): a user reaches stage k only
-    * via events in TIME ORDER and inside the per-step conversion
-    * window — the MATCH_RECOGNIZE-class ordered-sequence semantic that
-    * plain per-type mins get wrong (q60 is the 2-step unwindowed
-    * special case). Census output: users reaching each stage + half-up
-    * conversion share vs stage 1. Window arithmetic is exact µs
-    * integers (`unix_micros`, the q151 discipline).
-    *
-    * Scale: each stage is one filtered scan joined to the previous
-    * stage's USER-keyed aggregate (monotonically shrinking), then a
-    * min — hash equi-joins and map-side-combinable aggs throughout;
-    * the stage-1 total rides as a driver scalar (q121/q133 discipline)
-    * so the census needs no one-row broadcast join. */
-  def q168Funnel3(s: SparkSession, dir: String): DataFrame = {
-    val winUs = 21600L * 1000000L
-    val e = Tables.events(s, dir)
-    val t1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val t2 = e.filter(col("event_type") === "click")
-      .join(t1, "user_id").filter(col("ts") >= col("t1") &&
-        expr("unix_micros(ts) - unix_micros(t1)") <= winUs)
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val t3 = e.filter(col("event_type") === "purchase")
-      .join(t2, "user_id").filter(col("ts") >= col("t2") &&
-        expr("unix_micros(ts) - unix_micros(t2)") <= winUs)
-      .groupBy("user_id").agg(min("ts").as("t3"))
-    val n1 = t1.count()
-    def stage(name: String, d: DataFrame) =
-      d.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
-        col("n_users"))
-    val census = stage("1_view", t1)
-      .unionByName(stage("2_click", t2))
-      .unionByName(stage("3_purchase", t3))
-    val h = col("n_users") * 20000L + lit(n1)
-    val d2 = lit(n1) * 2L
-    census.select(col("stage"), col("n_users"),
-        (((h - pmod(h, d2)) / d2).cast("long") / 10000.0).as("share"))
-      .orderBy("stage")
-  }
-
-  val q168Funnel3Sql: String =
-    """WITH t1 AS (
-      |  SELECT user_id, MIN(ts) AS t1 FROM events
-      |  WHERE event_type = 'view' GROUP BY user_id),
-      |t2 AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t1
-      |   AND epoch_us(e.ts) - epoch_us(t1.t1) <= 21600000000
-      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
-      |t3 AS (
-      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.t2
-      |   AND epoch_us(e.ts) - epoch_us(t2.t2) <= 21600000000
-      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM t1),
-      |census AS (
-      |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
-      |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
-      |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
-      |SELECT stage, n_users,
-      |  ((n_users * 20000 + n.n1) // (n.n1 * 2)) / 10000.0 AS share
-      |FROM census, n ORDER BY stage""".stripMargin
-
-  /** Last-touch marketing attribution through the NATIVE as-of join:
-    * each purchase is attributed to the user's latest click at-or-before
-    * it within a 6-hour lookback (tolerance), ties among equal-ts clicks
-    * to the highest event_id (the q56/q62 rule); revenue then rolls up
-    * per campaign (the click's `props.k`), campaign −1 = unattributed
-    * (no qualifying click — COALESCE'd so null group ordering can never
-    * diverge between engines, the q157 hazard).
-    *
-    * This is AsofJoinExec's tolerance path under the oracle gate with a
-    * downstream aggregate on top — the attribution join IS the ad-tech /
-    * conversion-credit workload as-of joins exist for. Scale: the
-    * native two-pointer merge runs co-partitioned on user (one
-    * exchange+sort per side, one buffered right row per partition);
-    * the rollup is a ≤|campaigns|-group map-side-combinable agg. */
-  def q169Attribution(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"), col("value").as("revenue"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-    graft.plans.AsofJoinOp.asofJoin(purchases, clicks,
-        leftKey = "user_id", rightKey = "c_user_id",
-        leftTs = "purchase_ts", rightTs = "click_ts", tie = Some("click_id"),
-        tolerance = Some(21600L * 1000000L))
-      .select(coalesce(col("k"), lit(-1)).as("campaign"), col("revenue"))
-      .groupBy("campaign")
-      .agg(count(lit(1)).as("n_purchases"),
-        dec4(sum(dm(col("revenue")))).as("revenue"))
-      .orderBy("campaign")
-  }
-
-  val q169AttributionSql: String =
-    s"""WITH p AS (
-       |  SELECT user_id, event_id, ts, value FROM events
-       |  WHERE event_type = 'purchase'),
-       |c AS (
-       |  SELECT user_id, event_id, ts,
-       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
-       |  FROM events WHERE event_type = 'click'),
-       |a AS (
-       |  SELECT p.event_id AS pid, p.value, c.k,
-       |    ROW_NUMBER() OVER (PARTITION BY p.event_id
-       |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
-       |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
-       |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000)
-       |SELECT COALESCE(k, -1) AS campaign,
-       |  COUNT(*) AS n_purchases,
-       |  ${out4(s"SUM(CAST(value AS $DM))")} AS revenue
-       |FROM a WHERE rn = 1
-       |GROUP BY 1 ORDER BY campaign""".stripMargin
-
-  /** L110 two-proportion z-test — the experimentation readout: users
-    * deterministically split into variants by `user_id % 2`, conversion
-    * = at least one purchase of value ≥ 150 (plain "any purchase" is
-    * degenerate on this fixture — every user converts, the pooled
-    * variance is 0, and ANSI division-by-zero aborts; the threshold
-    * keeps both rates interior at every SF); the pooled-variance z
-    * statistic
-    * (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) decides whether the
-    * conversion-rate gap is noise. Complements q133's per-item Wilson
-    * bound (a CI on ONE proportion) with the classic A-vs-B TEST.
-    *
-    * Parity: all counts are exact int64 conditional sums; rates and z
-    * are a fixed chain of int64→double IEEE ops, identical on both
-    * engines, rounded 6/4dp.
-    *
-    * Scale: per-user conversion is one map-side-combinable keyed agg;
-    * the final global agg exchanges four longs. Nothing grows with the
-    * event count. */
-  def q172AbZtest(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val perUser = e.groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
-        1L).otherwise(0L)).as("conv"))
-      .withColumn("variant", pmod(col("user_id"), lit(2L)))
-    val agg = perUser.agg(
-      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
-      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
-    val pa = col("x_a").cast("double") / col("n_a")
-    val pb = col("x_b").cast("double") / col("n_b")
-    val pp = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
-    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
-      round((pa - pb) /
-        sqrt(pp * (lit(1.0) - pp) *
-          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
-  }
-
-  val q172AbZtestSql: String =
-    """WITH u AS (
-      |  SELECT user_id, user_id % 2 AS variant,
-      |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
-      |        THEN 1 ELSE 0 END) AS conv
-      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-      |a AS (
-      |  SELECT
-      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
-      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
-      |  FROM u)
-      |SELECT n_a, x_a, n_b, x_b,
-      |  ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
-      |  ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
-      |  ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
-      |    SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
-      |         (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
-      |         (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z
-      |FROM a""".stripMargin
-
-  /** L111 LINEAR multi-touch attribution — q169's last-touch rule gives
-    * the whole conversion to one click; here each purchase's value is
-    * split EQUALLY across every click by the same user in the 6-hour
-    * lookback, penny-exact: value is first pinned to int64 4dp units
-    * (⌊v·10⁴+0.5⌋, the q103 micro-unit discipline), each click gets the
-    * integer quotient, and the remainder goes to the EARLIEST clicks
-    * (ts, event_id order) — largest-remainder proration (q117's rule),
-    * so per-campaign credits sum to exactly the purchase value.
-    * Purchases with no qualifying click credit campaign −1 in full.
-    *
-    * Parity: everything after the 4dp pin is int64 arithmetic — the
-    * cross-engine hash is exact by construction, no double sums.
-    *
-    * Scale: the pair join is user-keyed with a 6-hour band — candidate
-    * volume ∝ clicks-per-user-per-6h (bounded by activity rate, not
-    * corpus size); the two purchase-partitioned windows (count + rank)
-    * ride one shuffle on purchase_id; the rollup is ≤|campaigns|+1
-    * groups, map-side combinable. */
-  def q173LinearAttribution(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val p = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
-        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("cid"),
-        col("ts").as("cts"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-    val pairs = p.join(c,
-      col("user_id") === col("c_user") && col("cts") <= col("pts") &&
-        unix_micros(col("pts")) - unix_micros(col("cts")) <= 21600L * 1000000L,
-      "left")
-    val wp = Window.partitionBy(col("pid"))
-    val kt = count(col("cid")).over(wp)
-    val rn = row_number().over(wp.orderBy(col("cts").asc_nulls_first, col("cid")))
-    val credited = pairs
-      .withColumn("kt", kt).withColumn("rn", rn)
-      .select(
-        when(col("kt") === 0, lit(-1)).otherwise(coalesce(col("k"), lit(-1)))
-          .as("campaign"),
-        col("pid"),
-        when(col("kt") === 0, col("v4"))
-          .otherwise(expr("v4 div kt") +
-            when(col("rn") <= expr("v4 % kt"), 1L).otherwise(0L))
-          .as("credit4"))
-    credited.groupBy("campaign")
-      .agg(countDistinct(col("pid")).as("n_purchases"),
-        count(lit(1)).as("n_touches"),
-        (sum(col("credit4")) / 10000.0).as("revenue"))
-      .orderBy("campaign")
-  }
-
-  val q173LinearAttributionSql: String =
-    """WITH p AS (
-      |  SELECT user_id, event_id AS pid, ts AS pts,
-      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
-      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
-      |c AS (
-      |  SELECT user_id, event_id AS cid, ts AS cts,
-      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-      |  FROM events WHERE event_type = 'click'),
-      |pairs AS (
-      |  SELECT p.pid, p.v4, c.cid, c.cts, c.k
-      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
-      |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 21600000000),
-      |win AS (
-      |  SELECT pid, v4, k,
-      |    COUNT(cid) OVER (PARTITION BY pid) AS kt,
-      |    ROW_NUMBER() OVER (PARTITION BY pid
-      |      ORDER BY cts ASC NULLS FIRST, cid) AS rn
-      |  FROM pairs),
-      |cr AS (
-      |  SELECT CASE WHEN kt = 0 THEN -1 ELSE COALESCE(k, -1) END AS campaign,
-      |    pid,
-      |    CASE WHEN kt = 0 THEN v4
-      |         ELSE v4 // kt + CASE WHEN rn <= v4 % kt THEN 1 ELSE 0 END
-      |    END AS credit4
-      |  FROM win)
-      |SELECT campaign, COUNT(DISTINCT pid) AS n_purchases,
-      |  COUNT(*) AS n_touches,
-      |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
-      |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
-
-  /** L113 Kaplan–Meier survival of user lifetimes — the
-    * retention-analytics estimator under RIGHT CENSORING: lifetime =
-    * whole HOURS between a user's first and last event; a user whose
-    * last event is within 12 hours of corpus end is CENSORED (still
-    * active when observation stopped), not churned. (Hour resolution
-    * and a 12 h horizon, not days: the events fixture spans 29 days
-    * and every user's last-event gap is ≤ 2 days, so any day-scale
-    * horizon classifies ZERO churners and the whole survival family
-    * measures nothing — r10 found exactly that vacuity via the q224
-    * brute-force reference.) Per lifetime hour t:
-    * users at risk n_t, churn events d_t, censored c_t, and
-    * S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) — the estimator that plain
-    * "average lifetime" gets wrong by treating censored users as
-    * churned.
-    *
-    * Parity: counts are exact int64; the survival product runs as a
-    * cumulative Σ ln((n−d)/n) over the ≤|days|-row day table in one
-    * ascending window — BOTH engines accumulate the identical doubles
-    * in the identical row order, so the sum is bit-deterministic (the
-    * q167 tiny-global-window shape); exp + 4dp round on output. Once a
-    * day has d = n (everyone at risk churns) survival pins to exactly
-    * 0 via a cumulative flag — no ln(0) is ever evaluated (ANSI-safe
-    * on Spark, error-free on DuckDB).
-    *
-    * Scale: one user-keyed agg collapses events to |users| lifetimes;
-    * the day census is a ≤|days|-group hash agg; only the day table
-    * (dozens of rows at any corpus size — lifetimes are calendar-
-    * bounded) rides the global window. Corpus end and the user total
-    * ride an in-plan 1-row broadcast (the q242 form, backported r12 —
-    * no build-time driver action). */
-  def q175KaplanMeier(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
-      countDistinct("user_id").as("nu"))
-    val peru = e.groupBy("user_id")
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .crossJoin(broadcast(bounds))
-      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
-        " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <=
-          col("end_us") - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"),
-        col("nu"))
-    val day = peru.groupBy("t")
-      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
-        max(col("nu")).as("nu"))
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRisk = day.withColumn("n_risk",
-      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-    val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
-    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
-      .otherwise(log((col("n_risk") - col("d")).cast("double") /
-        col("n_risk").cast("double")))
-    withRisk
-      .withColumn("dead", dead)
-      .withColumn("ln_s", sum(lnTerm).over(wCum))
-      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
-        col("c").as("n_censored"),
-        when(col("dead") === 1L, lit(0.0))
-          .otherwise(round(exp(col("ln_s")), 4)).as("survival"))
-      .orderBy("t_hours")
-  }
-
-  val q175KaplanMeierSql: String =
-    """WITH e AS (
-      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
-      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
-      |peru AS (
-      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
-      |      AS BIGINT) AS t,
-      |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
-      |      THEN 1 ELSE 0 END AS churn
-      |  FROM e GROUP BY user_id),
-      |day AS (
-      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
-      |    CAST(SUM(1 - churn) AS BIGINT) AS c
-      |  FROM peru GROUP BY t),
-      |risk AS (
-      |  SELECT t, d, c,
-      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0) AS BIGINT) AS n_risk
-      |  FROM day),
-      |cum AS (
-      |  SELECT t, n_risk, d, c,
-      |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS dead,
-      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
-      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS ln_s
-      |  FROM risk)
-      |SELECT t AS t_hours, n_risk, d AS n_churn, c AS n_censored,
-      |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END AS survival
-      |FROM cum ORDER BY t_hours""".stripMargin
 
   /** L126 debounce dedup — tolerance-based event suppression: within
     * each (user, event_type), an event arriving ≤ 5 s after its
@@ -1399,708 +921,4 @@ object EventQueries {
       |    ELSE 0.0 END AS burstiness
       |FROM a ORDER BY user_id""".stripMargin
 
-  /** L134 time-decay multi-touch attribution — the third standard
-    * credit model, completing the family: q169 last-touch (all credit
-    * to the final click), q173 linear (equal split); time-decay weights
-    * each click by 2^(−Δt/halflife) (1-hour half-life, 6-hour
-    * lookback), the model ad platforms default to because recency
-    * predicts influence.
-    *
-    * Parity: weights are exp of one fixed double chain on exact
-    * whole-second int64 ages, then micro-quantized (1e6) to int64 — a
-    * coarse enough quantum that the 1-ulp divergence allowed between
-    * JVM Math.exp and DuckDB's libm (neither is correctly rounded)
-    * cannot flip the quantized weight: a 1-ulp error in exp(x)≤1 is
-    * ≤2⁻⁵², or ~2e-16, nine orders of magnitude below the 5e-7
-    * half-quantum rounding boundary; per-touch
-    * revenue credit is the q117/q173 penny-exact largest-remainder
-    * apportionment of the 4dp-scaled purchase value by integer weight —
-    * every credit is an exact integer decision, and per-campaign sums
-    * are int64 (partition-order independent by construction).
-    *
-    * Scale: the q173 shape exactly — user-keyed band join (candidates ∝
-    * clicks/user/6h), two purchase-keyed windows sharing one exchange,
-    * ≤|campaigns|-group rollup. */
-  def q196TimeDecayAttribution(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val p = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
-        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("cid"),
-        col("ts").as("cts"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-    val pairs = p.join(c,
-      col("user_id") === col("c_user") && col("cts") <= col("pts") &&
-        unix_micros(col("pts")) - unix_micros(col("cts")) <= 21600L * 1000000L,
-      "left")
-    val ageS = expr("(unix_micros(pts) - unix_micros(cts)) div 1000000")
-    val wq = floor(
-      exp(-ageS.cast("double") * (lit(0.6931471805599453) / lit(3600.0))) *
-        lit(1.0e6) + lit(0.5)).cast("long")
-    val wp = Window.partitionBy(col("pid"))
-    val withW = pairs.withColumn("wq",
-      when(col("cid").isNull, lit(0L)).otherwise(wq))
-    val swq = sum(col("wq")).over(wp)
-    val base = expr("(v4 * wq) div swq")
-    val rem = expr("(v4 * wq) % swq")
-    val rn = row_number().over(
-      wp.orderBy(col("rem").desc, col("cid").asc_nulls_first))
-    val credited = withW.withColumn("swq", swq)
-      .withColumn("base", when(col("swq") > 0L, base).otherwise(lit(0L)))
-      .withColumn("rem", when(col("swq") > 0L, rem).otherwise(lit(0L)))
-      .withColumn("shortfall",
-        col("v4") - sum(when(col("swq") > 0L, base).otherwise(lit(0L)))
-          .over(wp))
-      .withColumn("rn", rn)
-      .select(
-        when(col("cid").isNull, lit(-1)).otherwise(coalesce(col("k"), lit(-1)))
-          .as("campaign"),
-        col("pid"),
-        when(col("swq") === 0L, col("v4"))
-          .otherwise(col("base") +
-            when(col("rn") <= col("shortfall"), 1L).otherwise(0L))
-          .as("credit4"))
-    credited.groupBy("campaign")
-      .agg(countDistinct(col("pid")).as("n_purchases"),
-        count(lit(1)).as("n_touches"),
-        (sum(col("credit4")) / 10000.0).as("revenue"))
-      .orderBy("campaign")
-  }
-
-  val q196TimeDecayAttributionSql: String =
-    """WITH p AS (
-      |  SELECT user_id, event_id AS pid, ts AS pts,
-      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
-      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
-      |c AS (
-      |  SELECT user_id, event_id AS cid, ts AS cts,
-      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-      |  FROM events WHERE event_type = 'click'),
-      |pairs AS (
-      |  SELECT p.pid, p.v4, c.cid, c.k,
-      |    CASE WHEN c.cid IS NULL THEN 0 ELSE
-      |      CAST(FLOOR(
-      |        exp(-CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 1000000 AS DOUBLE)
-      |            * (0.6931471805599453 / 3600.0))
-      |        * 1e6 + 0.5) AS BIGINT) END AS wq
-      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
-      |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 21600000000),
-      |win AS (
-      |  SELECT pid, v4, cid, k, wq,
-      |    CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) AS swq,
-      |    CASE WHEN CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) > 0
-      |      THEN (v4 * wq) // CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT)
-      |      ELSE 0 END AS base,
-      |    CASE WHEN CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT) > 0
-      |      THEN (v4 * wq) % CAST(SUM(wq) OVER (PARTITION BY pid) AS BIGINT)
-      |      ELSE 0 END AS rem
-      |  FROM pairs),
-      |win2 AS (
-      |  SELECT pid, v4, cid, k, swq, base,
-      |    v4 - CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT) AS shortfall,
-      |    ROW_NUMBER() OVER (PARTITION BY pid
-      |      ORDER BY rem DESC, cid ASC NULLS FIRST) AS rn
-      |  FROM win),
-      |cr AS (
-      |  SELECT CASE WHEN cid IS NULL THEN -1 ELSE COALESCE(k, -1) END AS campaign,
-      |    pid,
-      |    CASE WHEN swq = 0 THEN v4
-      |      ELSE base + CASE WHEN rn <= shortfall THEN 1 ELSE 0 END
-      |    END AS credit4
-      |  FROM win2)
-      |SELECT campaign, COUNT(DISTINCT pid) AS n_purchases,
-      |  COUNT(*) AS n_touches,
-      |  CAST(SUM(credit4) AS BIGINT) / 10000.0 AS revenue
-      |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin
-
-  /** L136 sequential-pattern support — adjacent event-type TRIGRAMS
-    * ranked by USER support (the share of users whose stream contains
-    * the pattern at least once): the second-order sequence census that
-    * q166's first-order transition matrix cannot express (a→b and b→c
-    * being common says nothing about a→b→c; the trigram table is where
-    * funnels and scripted-bot signatures actually show). Support
-    * counting is per-user EXISTENCE, not occurrence count — the
-    * sequence-mining convention, so one hyperactive user can't promote
-    * a pattern.
-    *
-    * Parity: two lag windows over the (user, ts, event_id)-ordered
-    * stream (total order), exact distinct-user counts, and support as
-    * the q166 half-up integer-division trick — no floating point until
-    * the final exact division. Top-20 cut decided on (support_users
-    * desc, pattern) — an exact-integer ordering.
-    *
-    * Scale: one keyed window pass (two lags share the sort), a
-    * (user, trigram)-distinct map-side-combinable agg bounded by
-    * |users|·|types|³, then a ≤125-row pattern census. */
-  def q198SeqPatterns(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val tri = e
-      .withColumn("p1", lag(col("event_type"), 2).over(w))
-      .withColumn("p2", lag(col("event_type"), 1).over(w))
-      .filter(col("p1").isNotNull)
-      .select(col("user_id"), concat_ws(">", col("p1"), col("p2"),
-        col("event_type")).as("pattern"))
-    // fuzz hardening (r12): distinct().count() counted the NULL-user
-    // pseudo-group that countDistinct (numerator, both engines) and the
-    // mirror's COUNT(DISTINCT user_id) exclude — drop nulls to match
-    val users = tri.select("user_id").na.drop().distinct().count()
-    tri.groupBy("pattern")
-      .agg(countDistinct(col("user_id")).as("support_users"),
-        count(lit(1)).as("n_occurrences"))
-      .select(col("pattern"), col("support_users"), col("n_occurrences"),
-        (((col("support_users") * 20000L + lit(users)) -
-          pmod(col("support_users") * 20000L + lit(users), lit(users * 2L))) /
-          lit(users * 2L)).cast("long").cast("double")./(10000.0)
-          .as("support"))
-      .orderBy(col("support_users").desc, col("pattern"))
-      .limit(20)
-  }
-
-  val q198SeqPatternsSql: String =
-    """WITH tri AS (
-      |  SELECT user_id,
-      |    LAG(event_type, 2) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS p1,
-      |    LAG(event_type, 1) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS p2,
-      |    event_type AS p3
-      |  FROM events),
-      |pat AS (
-      |  SELECT user_id, p1 || '>' || p2 || '>' || p3 AS pattern
-      |  FROM tri WHERE p1 IS NOT NULL),
-      |u AS (SELECT COUNT(DISTINCT user_id) AS users FROM pat),
-      |c AS (
-      |  SELECT pattern, COUNT(DISTINCT user_id) AS support_users,
-      |    COUNT(*) AS n_occurrences
-      |  FROM pat GROUP BY pattern)
-      |SELECT pattern, support_users, n_occurrences,
-      |  CAST(((support_users * 20000 + u.users)
-      |    - (support_users * 20000 + u.users) % (u.users * 2))
-      |    // (u.users * 2) AS BIGINT) / 10000.0 AS support
-      |FROM c CROSS JOIN u
-      |ORDER BY support_users DESC, pattern LIMIT 20""".stripMargin
-
-  /** L138 Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978
-    * [PK]) — the survival family's second estimator, over the same
-    * churn construction as q175: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
-    * Fleming–Harrington survival exp(−H). Where KM's product-limit
-    * survival multiplies conditional survivals (unstable when any nᵢ
-    * is small), NA SUMS hazard increments — the estimator of choice
-    * for hazard-RATE readouts and for small risk sets, and the pair's
-    * disagreement is itself a small-sample diagnostic.
-    *
-    * Parity: the (t, d, n_risk) day table is exact int64 (q175's
-    * construction); each day's d/n increment is nano-quantized and
-    * prefix-summed as int64 (exact, order-independent), so H is the
-    * same integer-over-1e9 on both engines; exp(−H) rounds 4dp (the
-    * q195 libm note). The only unkeyed window runs over the ≤|days|
-    * day table, not the events.
-    *
-    * Scale: one keyed per-user agg, a ≤|days|-row census + two tiny
-    * windows — the q175 shape exactly. */
-  def q200NelsonAalen(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    // in-plan 1-row bounds broadcast (q242 form, backported r12)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
-      countDistinct("user_id").as("nu"))
-    val peru = e.groupBy("user_id")
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .crossJoin(broadcast(bounds))
-      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
-        " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <=
-          col("end_us") - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"),
-        col("nu"))
-    val day = peru.groupBy("t")
-      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
-        max(col("nu")).as("nu"))
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRisk = day.withColumn("n_risk",
-      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-    val incQ = when(col("d") === 0L || col("n_risk") <= 0L, lit(0L))
-      .otherwise(floor(col("d").cast("double") / col("n_risk").cast("double") *
-        lit(1.0e9) + lit(0.5)).cast("long"))
-    withRisk
-      .withColumn("hq", sum(incQ).over(wCum))
-      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
-        col("c").as("n_censored"),
-        (col("hq").cast("double") / lit(1.0e9)).as("cum_hazard"),
-        round(exp(-(col("hq").cast("double") / lit(1.0e9))), 4)
-          .as("survival_fh"))
-      .orderBy("t_hours")
-  }
-
-  val q200NelsonAalenSql: String =
-    """WITH e AS (
-      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
-      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
-      |peru AS (
-      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
-      |      AS BIGINT) AS t,
-      |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
-      |      THEN 1 ELSE 0 END AS churn
-      |  FROM e GROUP BY user_id),
-      |day AS (
-      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
-      |    CAST(SUM(1 - churn) AS BIGINT) AS c
-      |  FROM peru GROUP BY t),
-      |risk AS (
-      |  SELECT t, d, c,
-      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0) AS BIGINT) AS n_risk
-      |  FROM day),
-      |q AS (
-      |  SELECT t, n_risk, d, c,
-      |    CASE WHEN d = 0 OR n_risk <= 0 THEN 0
-      |      ELSE CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
-      |        * 1e9 + 0.5) AS BIGINT) END AS incq
-      |  FROM risk),
-      |cum AS (
-      |  SELECT t, n_risk, d, c,
-      |    CAST(SUM(incq) OVER (ORDER BY t
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hq
-      |  FROM q)
-      |SELECT t AS t_hours, n_risk, d AS n_churn, c AS n_censored,
-      |  CAST(hq AS DOUBLE) / 1e9 AS cum_hazard,
-      |  ROUND(exp(-(CAST(hq AS DOUBLE) / 1e9)), 4) AS survival_fh
-      |FROM cum ORDER BY t_hours""".stripMargin
-
-  /** L158 log-rank test (Mantel 1966 [PK]): do the two user cohorts
-    * (user_id parity — the q172 variant convention) have the SAME
-    * churn-survival curve? At each event time the observed group-1
-    * churn count is compared to its hypergeometric expectation given
-    * the pooled risk set; z = (O₁−E₁)/√V summarizes. This is the
-    * inferential companion to q175/q200's KM/NA CURVES — those
-    * describe, this one tests.
-    *
-    * Parity: per-user lifetimes/churn flags and the per-day group
-    * censuses are exact int64 (the q175 construction); E and V terms
-    * are rationals, so each is quantized to int64 micro-units BEFORE
-    * summing (floor(1e6·x + 0.5), the q196/q207 quantum — coarse
-    * enough that a 1-ulp division divergence cannot flip a term) and
-    * the partial-agg sum is exact-integer, partition-order free. Group
-    * totals ride windows over the ≤|days| census — no 1-row broadcast,
-    * no BNLJ.
-    *
-    * Scale: one per-user keyed agg over the fact scan; everything
-    * after is the bounded day census. */
-  def q224LogRank(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    // in-plan 1-row bounds broadcast (q242 form, backported r12)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"))
-    val peru = e.groupBy("user_id")
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .crossJoin(broadcast(bounds))
-      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
-        " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <=
-          col("end_us") - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"),
-        pmod(col("user_id"), lit(2L)).as("g"))
-    val day = peru.groupBy("t")
-      .agg(sum(when(col("g") === 0, col("churn")).otherwise(0L)).as("d1"),
-        sum(when(col("g") === 0, lit(1L) - col("churn")).otherwise(0L)).as("c1"),
-        sum(when(col("g") === 1, col("churn")).otherwise(0L)).as("d2"),
-        sum(when(col("g") === 1, lit(1L) - col("churn")).otherwise(0L)).as("c2"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val risk = day
-      .withColumn("nu1", sum(col("d1") + col("c1")).over(wAll))
-      .withColumn("nu2", sum(col("d2") + col("c2")).over(wAll))
-      .withColumn("n1r", col("nu1") -
-        coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
-      .withColumn("n2r", col("nu2") -
-        coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
-      .filter(col("d1") + col("d2") > 0)
-    val n = (col("n1r") + col("n2r")).cast("double")
-    val d = (col("d1") + col("d2")).cast("double")
-    val p1 = col("n1r").cast("double") / n
-    val eTerm = d * p1
-    val vTerm = when(col("n1r") + col("n2r") > 1,
-      d * p1 * (lit(1.0) - p1) * (n - d) / (n - 1.0)).otherwise(lit(0.0))
-    val g = risk
-      .withColumn("eq", floor(eTerm * 1e6 + 0.5).cast("long"))
-      .withColumn("vq", floor(vTerm * 1e6 + 0.5).cast("long"))
-      .agg(max(col("nu1")).as("n_users_g0"), max(col("nu2")).as("n_users_g1"),
-        sum(col("d1")).as("o1"), sum(col("eq")).as("e1q"),
-        sum(col("vq")).as("v1q"))
-    g.select(col("n_users_g0"), col("n_users_g1"), col("o1"),
-      (round(col("e1q").cast("double") / 1e6, 4) + 0.0).as("e1"),
-      (round((col("o1").cast("double") - col("e1q").cast("double") / 1e6) /
-        sqrt(col("v1q").cast("double") / 1e6), 4) + 0.0).as("z"))
-  }
-
-  val q224LogRankSql: String =
-    """WITH e AS (
-      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
-      |b AS (SELECT MAX(epoch_us(ts)) AS end_us FROM e),
-      |peru AS (
-      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
-      |      AS BIGINT) AS t,
-      |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT end_us - 43200000000 FROM b)
-      |      THEN 1 ELSE 0 END AS churn,
-      |    user_id % 2 AS g
-      |  FROM e GROUP BY user_id),
-      |day AS (
-      |  SELECT t,
-      |    CAST(SUM(CASE WHEN g = 0 THEN churn ELSE 0 END) AS BIGINT) AS d1,
-      |    CAST(SUM(CASE WHEN g = 0 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c1,
-      |    CAST(SUM(CASE WHEN g = 1 THEN churn ELSE 0 END) AS BIGINT) AS d2,
-      |    CAST(SUM(CASE WHEN g = 1 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c2
-      |  FROM peru GROUP BY t),
-      |risk AS (
-      |  SELECT t, d1, d2,
-      |    CAST(SUM(d1 + c1) OVER () AS BIGINT) AS nu1,
-      |    CAST(SUM(d2 + c2) OVER () AS BIGINT) AS nu2,
-      |    CAST(SUM(d1 + c1) OVER () AS BIGINT)
-      |      - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |        AS BIGINT) AS n1r,
-      |    CAST(SUM(d2 + c2) OVER () AS BIGINT)
-      |      - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |        AS BIGINT) AS n2r
-      |  FROM day),
-      |terms AS (
-      |  SELECT nu1, nu2, d1,
-      |    CAST(FLOOR(CAST(d1 + d2 AS DOUBLE)
-      |      * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
-      |      * 1e6 + 0.5) AS BIGINT) AS eq,
-      |    CAST(FLOOR(CASE WHEN n1r + n2r > 1
-      |      THEN CAST(d1 + d2 AS DOUBLE)
-      |        * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
-      |        * (1.0 - CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
-      |        * (CAST(n1r + n2r AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
-      |        / (CAST(n1r + n2r AS DOUBLE) - 1.0)
-      |      ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS vq
-      |  FROM risk WHERE d1 + d2 > 0),
-      |g AS (
-      |  SELECT MAX(nu1) AS n_users_g0, MAX(nu2) AS n_users_g1,
-      |    CAST(SUM(d1) AS BIGINT) AS o1,
-      |    CAST(SUM(eq) AS BIGINT) AS e1q, CAST(SUM(vq) AS BIGINT) AS v1q
-      |  FROM terms)
-      |SELECT n_users_g0, n_users_g1, o1,
-      |  ROUND(CAST(e1q AS DOUBLE) / 1e6, 4) + 0 AS e1,
-      |  ROUND((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
-      |    / SQRT(CAST(v1q AS DOUBLE) / 1e6), 4) + 0 AS z
-      |FROM g""".stripMargin
-
-  /** L174 exponential inter-arrival fit + KS goodness-of-fit: the MLE
-    * rate λ̂ = n/Σg over whole-second user inter-event gaps (q193's gap
-    * construction) and the exact KS distance between the empirical gap
-    * CDF and Exp(λ̂) — "are arrivals Poisson?" is the first question a
-    * capacity model asks, and the KS distance (vs the two-SAMPLE q147)
-    * is the one-sample parametric-fit version.
-    *
-    * Parity: the gap census and its prefix counts are exact int64
-    * ([[PrefixSum]] — no single-partition window); F(g) = 1−e^(−λ̂g)
-    * is one identical double chain; per-step D candidates quantize to
-    * nano-units before the integer MAX, so a 1-ulp exp() divergence
-    * cannot flip the maximum (q195's accepted-residual class at the
-    * 1e-9 grid).
-    *
-    * Scale: keyed lag window → map-side-combinable census → prefix
-    * sums → one max agg. Census size = distinct gap values, bounded by
-    * the time span, not the event count. */
-  def q240ExpFitKs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gaps = Tables.events(s, dir)
-      .filter(col("user_id").isNotNull)
-      .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .filter(col("gap_us").isNotNull)
-      .select(expr("gap_us div 1000000").as("g"))
-    val cen = gaps.groupBy("g").agg(count(lit(1)).as("cnt"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
-      Seq(col("g")), Seq((col("cnt"), "cum")))
-    val tot = cen.agg(sum(col("cnt")).as("n"),
-      sum(col("g") * col("cnt")).as("sg"))
-    val lam = col("n").cast("double") / col("sg")
-    val fT = lit(1.0) - exp(-lam * col("g"))
-    val fHi = col("cum").cast("double") / col("n")
-    val fLo = (col("cum") - col("cnt")).cast("double") / col("n")
-    cum.crossJoin(broadcast(tot))
-      .select(col("n"), col("sg"),
-        floor(greatest(abs(fHi - fT), abs(fT - fLo)) * 1e9 + 0.5)
-          .cast("long").as("dq"))
-      .groupBy("n", "sg")
-      .agg(max(col("dq")).as("dmax"))
-      .select(col("n").as("n_gaps"),
-        (round(col("sg").cast("double") / col("n"), 4) + 0.0)
-          .as("mean_gap_s"),
-        (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
-  }
-
-  /** L176 Kaplan–Meier with Greenwood confidence bands (Greenwood 1926
-    * [PK]): q175's survival curve plus its pointwise variance
-    * Var(Ŝ) = Ŝ²·Σ d/(n(n−d)) and the clamped 95% linear CI — the
-    * uncertainty q175 reports without. A survival estimate quoted
-    * without its band is exactly the overconfidence a churn model
-    * inherits silently.
-    *
-    * Parity: the q175 construction verbatim (hour lifetimes, 12-hour
-    * censor horizon, in-plan 1-row bounds broadcast — no build-time
-    * driver action); Greenwood terms d/(n(n−d)) quantize to nano-units
-    * before the cumulative integer sum, so the variance prefix is
-    * bit-identical; Ŝ and the band are one double chain, 4dp, CI
-    * clamped to [0, 1] with GREATEST/LEAST on both engines.
-    *
-    * Scale: the q175 shape — per-user agg, lifetime census,
-    * census-sized cumulative windows. */
-  def q242KmGreenwood(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
-      countDistinct("user_id").as("nu"))
-    val peru = e.groupBy("user_id")
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-      .crossJoin(broadcast(bounds))
-      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
-        " div 3600000000").as("t"),
-        when(unix_micros(col("last_ts")) <=
-          col("end_us") - 12L * 3600L * 1000000L, 1L)
-          .otherwise(0L).as("churn"),
-        col("nu"))
-    val day = peru.groupBy("t")
-      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
-        max(col("nu")).as("nu"))
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withRisk = day.withColumn("n_risk",
-      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-    val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
-    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
-      .otherwise(log((col("n_risk") - col("d")).cast("double") /
-        col("n_risk").cast("double")))
-    val gwTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
-      .otherwise(floor(col("d").cast("double") /
-        (col("n_risk").cast("double") * (col("n_risk") - col("d"))) * 1e9
-        + 0.5).cast("long"))
-    val surv = exp(col("ln_s"))
-    val se = surv * sqrt(col("gw").cast("double") / 1e9)
-    withRisk
-      .withColumn("dead", dead)
-      .withColumn("ln_s", sum(lnTerm).over(wCum))
-      .withColumn("gw", sum(gwTerm).over(wCum))
-      .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
-        when(col("dead") === 1L, lit(0.0))
-          .otherwise(round(surv, 4)).as("survival"),
-        when(col("dead") === 1L, lit(0.0))
-          .otherwise(round(se, 4) + 0.0).as("se_greenwood"),
-        when(col("dead") === 1L, lit(0.0))
-          .otherwise(round(greatest(surv - lit(1.96) * se, lit(0.0)), 4)
-            + 0.0).as("ci_lo"),
-        when(col("dead") === 1L, lit(0.0))
-          .otherwise(round(least(surv + lit(1.96) * se, lit(1.0)), 4)
-            + 0.0).as("ci_hi"))
-      .orderBy("t_hours")
-  }
-
-  val q242KmGreenwoodSql: String =
-    """WITH e AS (
-      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
-      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
-      |peru AS (
-      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
-      |      AS BIGINT) AS t,
-      |    CASE WHEN epoch_us(MAX(ts)) <=
-      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
-      |      THEN 1 ELSE 0 END AS churn
-      |  FROM e GROUP BY user_id),
-      |day AS (
-      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
-      |    CAST(SUM(1 - churn) AS BIGINT) AS c
-      |  FROM peru GROUP BY t),
-      |risk AS (
-      |  SELECT t, d, c,
-      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0) AS BIGINT) AS n_risk
-      |  FROM day),
-      |cum AS (
-      |  SELECT t, n_risk, d, c,
-      |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS dead,
-      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
-      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS ln_s,
-      |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN 0
-      |      ELSE CAST(FLOOR(CAST(d AS DOUBLE)
-      |        / (CAST(n_risk AS DOUBLE) * (n_risk - d)) * 1e9 + 0.5)
-      |        AS BIGINT) END) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS BIGINT) AS gw
-      |  FROM risk)
-      |SELECT t AS t_hours, n_risk, d AS n_churn,
-      |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END
-      |    AS survival,
-      |  CASE WHEN dead = 1 THEN 0.0
-      |    ELSE ROUND(EXP(ln_s) * SQRT(CAST(gw AS DOUBLE) / 1e9), 4) + 0 END
-      |    AS se_greenwood,
-      |  CASE WHEN dead = 1 THEN 0.0
-      |    ELSE ROUND(GREATEST(EXP(ln_s) - 1.96 * EXP(ln_s)
-      |      * SQRT(CAST(gw AS DOUBLE) / 1e9), 0.0), 4) + 0 END AS ci_lo,
-      |  CASE WHEN dead = 1 THEN 0.0
-      |    ELSE ROUND(LEAST(EXP(ln_s) + 1.96 * EXP(ln_s)
-      |      * SQRT(CAST(gw AS DOUBLE) / 1e9), 1.0), 4) + 0 END AS ci_hi
-      |FROM cum ORDER BY t_hours""".stripMargin
-
-  val q240ExpFitKsSql: String =
-    """WITH gg AS (
-      |  SELECT (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
-      |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
-      |  FROM events WHERE user_id IS NOT NULL),
-      |cen AS (
-      |  SELECT g, COUNT(*) AS cnt FROM gg WHERE g IS NOT NULL GROUP BY g),
-      |cum AS (
-      |  SELECT g, cnt,
-      |    SUM(cnt) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM cen),
-      |tot AS (
-      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-      |    CAST(SUM(g * cnt) AS BIGINT) AS sg
-      |  FROM cen),
-      |d AS (
-      |  SELECT n, sg,
-      |    CAST(FLOOR(GREATEST(
-      |      abs(CAST(cum AS DOUBLE) / n
-      |        - (1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g))),
-      |      abs((1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g))
-      |        - CAST(cum - cnt AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT)
-      |      AS dq
-      |  FROM cum, tot)
-      |SELECT n AS n_gaps,
-      |  ROUND(CAST(sg AS DOUBLE) / n, 4) + 0 AS mean_gap_s,
-      |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
-      |FROM d GROUP BY n, sg""".stripMargin
-
-  /** L204 CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013
-    * [PK]): the standard A/B readout accelerator — per user, outcome
-    * Y = spend in the experiment window (last 14 days of the corpus)
-    * and covariate X = spend in the pre-window before it;
-    * θ = cov(X,Y)/var(X) pooled, and Ŷ_cuped = Y − θ(X − X̄) keeps each
-    * arm's mean unbiased while removing the pre-period component of
-    * the variance (fraction removed = ρ²). Arms = user_id parity (the
-    * q224 assignment). Without CUPED the q172-style z-test needs
-    * 1/(1−ρ²)× the traffic for the same power.
-    *
-    * Parity: spend quantizes to cents int64 per event; all moment sums
-    * (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL/HUGEINT; θ/ρ²/means one
-    * double chain; the window split rides the in-plan 1-row bounds
-    * broadcast (q242 form — no build-time driver action).
-    *
-    * Scale: one per-user agg, one 1-row pooled-moment agg, one ≤2-row
-    * arm agg. Guards: var(X) = 0 → θ undefined → null CUPED columns,
-    * raw means survive. */
-  def q273Cuped(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"))
-    val cut = col("end_us") - 14L * 86400L * 1000000L
-    val peru = e.crossJoin(broadcast(bounds))
-      .select(col("user_id"),
-        when(unix_micros(col("ts")) >= cut,
-          floor(col("value") * 100.0 + 0.5).cast("long")).as("yv"),
-        when(unix_micros(col("ts")) < cut,
-          floor(col("value") * 100.0 + 0.5).cast("long")).as("xv"))
-      .groupBy("user_id")
-      .agg(coalesce(sum(col("yv")), lit(0L)).as("y"),
-        coalesce(sum(col("xv")), lit(0L)).as("x"))
-      .withColumn("arm", pmod(col("user_id"), lit(2L)))
-      .localCheckpoint(eager = false)
-    val mom = peru.agg(count(lit(1)).as("nu"),
-      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
-      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
-      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
-    val nD = col("nu").cast("double")
-    val vx = col("sxx").cast("double") -
-      col("sx").cast("double") * (col("sx").cast("double") / nD)
-    val vy = col("syy").cast("double") -
-      col("sy").cast("double") * (col("sy").cast("double") / nD)
-    val cxy = col("sxy").cast("double") -
-      col("sx").cast("double") * (col("sy").cast("double") / nD)
-    val theta = cxy / vx
-    val rho2 = cxy * cxy / (vx * vy)
-    val xbar = col("sx").cast("double") / nD
-    val bad = col("nu") < 2 || vx <= 0.0 || vy <= 0.0
-    val arm = peru.groupBy("arm")
-      .agg(count(lit(1)).as("n_users"), sum(col("y").cast(dec)).as("asy"),
-        sum(col("x").cast(dec)).as("asx"))
-    arm.crossJoin(broadcast(mom))
-      .select(col("arm"), col("n_users"),
-        (round(col("asy").cast("double") / col("n_users") / 100.0, 4)
-          + 0.0).as("mean_y"),
-        when(bad, lit(null).cast("double"))
-          .otherwise(round((col("asy").cast("double") / col("n_users") -
-            theta * (col("asx").cast("double") / col("n_users") - xbar))
-            / 100.0, 4) + 0.0).as("mean_y_cuped"),
-        when(bad, lit(null).cast("double"))
-          .otherwise(round(theta, 6) + 0.0).as("theta"),
-        when(bad, lit(null).cast("double"))
-          .otherwise(round(rho2, 6) + 0.0).as("var_reduction"))
-      .orderBy("arm")
-  }
-
-  val q273CupedSql: String = {
-    val vx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
-      " * (CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE)))"
-    val vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)" +
-      " * (CAST(sy AS DOUBLE) / CAST(nu AS DOUBLE)))"
-    val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)" +
-      " * (CAST(sy AS DOUBLE) / CAST(nu AS DOUBLE)))"
-    val theta = s"($cxy / $vx)"
-    val bad = s"(nu < 2 OR $vx <= 0.0 OR $vy <= 0.0)"
-    s"""WITH e AS (
-       |  SELECT user_id, ts,
-       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
-       |  FROM events WHERE user_id IS NOT NULL),
-       |b AS (SELECT MAX(epoch_us(ts)) - CAST(14 AS BIGINT) * 86400 * 1000000
-       |        AS cut
-       |      FROM e),
-       |peru AS (
-       |  SELECT user_id,
-       |    COALESCE(SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b)
-       |      THEN vc END), 0) AS y,
-       |    COALESCE(SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b)
-       |      THEN vc END), 0) AS x,
-       |    user_id % 2 AS arm
-       |  FROM e GROUP BY user_id),
-       |mom AS (
-       |  SELECT COUNT(*) AS nu,
-       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
-       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
-       |    SUM(CAST(y AS HUGEINT) * y) AS syy
-       |  FROM peru),
-       |arm AS (
-       |  SELECT arm, COUNT(*) AS n_users,
-       |    SUM(CAST(y AS HUGEINT)) AS asy, SUM(CAST(x AS HUGEINT)) AS asx
-       |  FROM peru GROUP BY arm)
-       |SELECT arm, n_users,
-       |  ROUND(CAST(asy AS DOUBLE) / n_users / 100.0, 4) + 0 AS mean_y,
-       |  CASE WHEN $bad THEN NULL ELSE
-       |    ROUND((CAST(asy AS DOUBLE) / n_users
-       |      - $theta * (CAST(asx AS DOUBLE) / n_users
-       |        - CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))) / 100.0, 4) + 0
-       |    END AS mean_y_cuped,
-       |  CASE WHEN $bad THEN NULL ELSE ROUND($theta, 6) + 0 END AS theta,
-       |  CASE WHEN $bad THEN NULL ELSE
-       |    ROUND($cxy * $cxy / ($vx * $vy), 6) + 0 END AS var_reduction
-       |FROM arm, mom ORDER BY arm""".stripMargin
-  }
 }

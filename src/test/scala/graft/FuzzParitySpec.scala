@@ -26,22 +26,34 @@ import scala.sys.process._
   * full Unicode case mapping (i + combining dot), DuckDB 1.0 by simple
   * mapping (bare i) — [[Fuzz]] excludes the character by construction.
   *
-  * The whole 255-query surface runs per-seed via `scripts/fuzz.sh
-  * <seed>`; this spec pins a 20-query cross-family cut on every seed so
-  * the harness cannot rot. Skips (does not fail) when python3 with
+  * The whole query surface (271 as of r13) runs per-seed via
+  * `scripts/fuzz.sh <seed>` — persisted each round as FUZZ_r{N}.json
+  * (`scripts/fuzz_round.sh`); this spec pins a 20-query cut on every
+  * seed so the harness cannot rot. The cut ROTATES with the seed (r12
+  * verdict mandate #4): eight historically-bitten kernels anchor every
+  * seed, and the remaining twelve slots walk the full sorted query list
+  * at a seed-striped offset, so over the ten seeds 120 further queries
+  * get standing adversarial coverage, and the window shifts as the
+  * surface grows. Skips (does not fail) when python3 with
   * duckdb+pandas is absent — the harness is a dev/CI asset, not a
   * library dependency.
   */
 class FuzzParitySpec extends SparkSpec {
 
-  private val queriesUnderFuzz = Seq(
-    "q1_pricing_summary", "q13_argminmax", "q17_pivot_events",
-    "q56_asof_view_purchase", "q62_asof_native", "q88_histogram",
-    "q146_psi", "q147_ks", "q187_token_entropy", "q198_seq_patterns",
-    "q210_mann_whitney", "q211_kendall", "q214_tukey_fences",
-    "q215_mad_outliers", "q221_gumbel", "q226_pettitt",
-    "q229_mantel_haenszel", "q234_cochran_armitage", "q251_ordinal_assoc",
-    "q255_normal_ks")
+  // every one of these was actually BITTEN by seed-1 triage (or pins a
+  // custom-operator/kernel family) — they anchor every seed
+  private val coreKernels = Seq(
+    "q13_argminmax", "q17_pivot_events", "q56_asof_view_purchase",
+    "q62_asof_native", "q146_psi", "q187_token_entropy",
+    "q198_seq_patterns", "q251_ordinal_assoc")
+
+  private def queriesUnderFuzz(seed: Long): Seq[String] = {
+    val all = SparkEntry.oracleSql.keys.toSeq.sorted
+    val rest = all.filterNot(coreKernels.contains)
+    val rotated = (0 until 12).map(i =>
+      rest(((seed - 1) * 12 + i).toInt % rest.size))
+    coreKernels ++ rotated.distinct
+  }
 
   private lazy val pythonOk =
     scala.util.Try(
@@ -62,27 +74,29 @@ class FuzzParitySpec extends SparkSpec {
   } + "\""
 
   private def runSeed(seed: Long): (Int, String) = {
+    val cut = queriesUnderFuzz(seed)
     val base = s"${sys.props("java.io.tmpdir")}/graft-fuzz-spec"
     val dir = s"$base/seed$seed"
     val out = s"$base/out$seed"
     Fuzz.generate(spark, seed, dir)
-    queriesUnderFuzz.foreach { name =>
+    cut.foreach { name =>
       SparkEntry.queries(name)(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
     }
-    val json = queriesUnderFuzz
+    val json = cut
       .map(n => s"${jq(n)}: ${jq(SparkEntry.oracleSql(n))}")
       .mkString("{", ",", "}")
     Files.write(Paths.get(s"$out/oracle_sql.json"),
       json.getBytes(StandardCharsets.UTF_8))
     val buf = new StringBuilder
     val rc = (Seq("python3", s"$repoRoot/scripts/drivercheck.py", dir, out)
-      ++ queriesUnderFuzz).!(ProcessLogger(l => buf.append(l).append('\n')))
+      ++ cut).!(ProcessLogger(l => buf.append(l).append('\n')))
     (rc, buf.toString)
   }
 
   (1L to 10L).foreach { seed =>
-    test(s"fuzz seed $seed: 20 kernels hash-match DuckDB on adversarial data") {
+    test(s"fuzz seed $seed: rotating 20-kernel cut hash-matches DuckDB " +
+        "on adversarial data") {
       assume(pythonOk, "python3 with duckdb+pandas not available")
       val (rc, log) = runSeed(seed)
       assert(rc === 0, s"drivercheck failures on fuzz seed $seed:\n" +
