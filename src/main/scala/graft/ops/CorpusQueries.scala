@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-growth and retrieval-quality metrics (round 13): the two
+  * query ids reserved-and-dropped in round 12 (COVERAGE.md Round-12
+  * section), now built — Heaps'-law vocabulary growth (q270, SURVEY
+  * L206) and the cascade-model Expected Reciprocal Rank (q272, L207).
+  *
+  * Both ride existing backbones: q270 is the q154 first-occurrence
+  * census + the [[PrefixSum]] running totals + a q256-style
+  * exact-DECIMAL moment fit; q272 is q238's broadcast query fleet with
+  * an exactly-dyadic cascade product.
+  */
+object CorpusQueries {
+
+  /** L206 Heaps'-law fit V(n) = K·n^β ([PK] Heaps 1978): how fast
+    * VOCABULARY grows with corpus size — the "how much new language is
+    * left to crawl" planning curve (β near 1 = every shard brings new
+    * types, dedup/normalization is underperforming; β ≪ 1 = the crawl
+    * is saturating; complements q269's Chao1 which estimates the
+    * asymptote while β measures the approach). Fit: OLS of ln V on
+    * ln n over ten LOG-SPACED ingest-order checkpoints (doc counts
+    * N/2⁹, N/2⁸, …, N/2, N): evenly-spaced checkpoints would be
+    * vacuous on a saturating corpus — the fixture's fixed vocabulary
+    * is fully seen inside the first decile, putting β ≡ 0 with zero
+    * information (caught by NonDegeneracySpec at birth); log spacing
+    * samples the growth phase at every corpus size.
+    *
+    * Parity: per-checkpoint (n, V) are exact int64 (PrefixSum running
+    * token counts + first-occurrence novelty counts); ln is the one
+    * libm call, nano-quantized at the source (the q191 discipline);
+    * the OLS moment sums over quantized lns ride DECIMAL(38,0)/HUGEINT
+    * (Σx·y ~ 10·(2·10¹⁰)² needs >64 bits); β and ln K are one double
+    * chain from exact sums, 6dp/4dp.
+    *
+    * Scale: the (word → min doc_id) first-occurrence census is the
+    * q154 inverted-index shuffle (vocab-sized); the per-doc census
+    * rides [[PrefixSum]] (no single-partition window); checkpoint
+    * selection is the allowlisted 1-row count broadcast (q242 form).
+    * Nothing touches the pair space; driver state is zero. */
+  def q270HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), size(tokens(col("text")))
+      .cast("long").as("nw"))
+    val novel = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
+    val c = PrefixSum.withPrefixSums(
+      toks.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nw"), coalesce(col("nv"), lit(0L)).as("nv")),
+      Seq(col("doc_id")),
+      Seq((lit(1L), "rn"), (col("nw"), "cum_n"), (col("nv"), "cum_v")))
+    val nck = c.agg(max(col("rn")).as("nck"))
+    val ck = c.crossJoin(broadcast(nck))
+      .filter(expr("exists(sequence(1, 10), " +
+        "k -> rn = greatest(cast(1 as bigint), " +
+        "nck div cast(shiftleft(1, 10 - k) as bigint)))"))
+      .filter(col("cum_n") > 0 && col("cum_v") > 0)
+      .select(
+        floor(log(col("cum_n").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("cum_v").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("y"),
+        col("cum_n"), col("cum_v"))
+    val g = ck.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      max(col("cum_n")).as("n_tokens"), max(col("cum_v")).as("n_vocab"))
+    val num = col("m").cast(dec) * col("sxy") - col("sx") * col("sy")
+    val den = col("m").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val beta = num.cast("double") / den.cast("double")
+    g.select(col("m").as("n_checkpoints"), col("n_tokens"), col("n_vocab"),
+      when(den === 0 || col("m") < 3, lit(null).cast("double"))
+        .otherwise(round(beta, 6) + 0.0).as("heaps_beta"),
+      when(den === 0 || col("m") < 3, lit(null).cast("double"))
+        .otherwise(round(
+          (col("sy").cast("double") / 1e9 -
+            beta * (col("sx").cast("double") / 1e9)) /
+            col("m").cast("double"), 4) + 0.0).as("heaps_lnk"))
+  }
+
+  val q270HeapsLawSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |  FROM documents),
+      |occ AS (
+      |  SELECT w, MIN(doc_id) AS fd
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |novel AS (SELECT fd AS doc_id, COUNT(*) AS nv FROM occ GROUP BY fd),
+      |c AS (
+      |  SELECT t.doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY t.doc_id) AS rn,
+      |    SUM(t.nw) OVER (ORDER BY t.doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |    SUM(COALESCE(n.nv, 0)) OVER (ORDER BY t.doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_v
+      |  FROM toks t LEFT JOIN novel n USING (doc_id)),
+      |nn AS (SELECT MAX(rn) AS nck FROM c),
+      |ck AS (
+      |  SELECT CAST(FLOOR(LN(CAST(cum_n AS DOUBLE)) * 1e9 + 0.5)
+      |      AS HUGEINT) AS x,
+      |    CAST(FLOOR(LN(CAST(cum_v AS DOUBLE)) * 1e9 + 0.5)
+      |      AS HUGEINT) AS y,
+      |    cum_n, cum_v
+      |  FROM c, nn
+      |  WHERE rn IN (SELECT GREATEST(1, nck // (1 << (10 - k)))
+      |               FROM (SELECT unnest(generate_series(1, 10)) AS k), nn)
+      |    AND cum_n > 0 AND cum_v > 0),
+      |g AS (
+      |  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+      |    MAX(cum_n) AS n_tokens, MAX(cum_v) AS n_vocab
+      |  FROM ck)
+      |SELECT CAST(m AS BIGINT) AS n_checkpoints,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_vocab AS BIGINT) AS n_vocab,
+      |  CASE WHEN m * sxx - sx * sx = 0 OR m < 3 THEN NULL
+      |    ELSE ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+      |      / CAST(m * sxx - sx * sx AS DOUBLE), 6) + 0 END AS heaps_beta,
+      |  CASE WHEN m * sxx - sx * sx = 0 OR m < 3 THEN NULL
+      |    ELSE ROUND((CAST(sy AS DOUBLE) / 1e9
+      |      - (CAST(m * sxy - sx * sy AS DOUBLE)
+      |         / CAST(m * sxx - sx * sx AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / 1e9))
+      |      / CAST(m AS DOUBLE), 4) + 0 END AS heaps_lnk
+      |FROM g""".stripMargin
+
+  /** L207 Expected Reciprocal Rank at 20 ([PK] Chapelle et al. 2009,
+    * the cascade click model): ERR@20 = Σᵣ (1/r)·Rᵣ·Π_{i<r}(1−Rᵢ) —
+    * unlike q238's MRR (first hit only) and nDCG (position discount
+    * only), ERR discounts each later hit by the probability every
+    * EARLIER hit already satisfied the user, so a ranking that stacks
+    * near-duplicates of one answer scores lower than a diverse one:
+    * the retrieval-quality number that detects redundancy, same fleet
+    * and ranking as q238 (per-language query over the n_chars-desc
+    * ranking, binary relevance ⇒ R = 1/2).
+    *
+    * Parity: with R = 1/2 the cascade product is (1/2)^cumrel —
+    * exactly-representable dyadic doubles; each term (1/r)·2^−cumrel
+    * is one exact division, pico-quantized (1e12, terms ≥ 2⁻²⁰/20) to
+    * an int64 so the cross-row SUM is order-independent.
+    *
+    * Scale: the q238 shape — one |langs|-row broadcast, one window
+    * rank per query arm, one hash agg; nothing pairwise. */
+  def q272Err20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val langs = d.select(col("lang").as("ql")).distinct()
+    val w = Window.partitionBy("ql")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = d.crossJoin(broadcast(langs))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("rel", (col("lang") === col("ql")).cast("long"))
+    val wc = Window.partitionBy("ql").orderBy("rk")
+    val t = ranked.withColumn("cumrel", sum("rel").over(wc))
+    val errTerm = when(col("rel") === 1L && col("rk") <= 20,
+      floor(pow(lit(0.5), col("cumrel").cast("double")) /
+        col("rk").cast("double") * 1e12 + 0.5).cast("long")).otherwise(0L)
+    t.groupBy("ql").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rel") === 1L && col("rk") <= 20, 1L).otherwise(0L))
+          .as("n_rel20"),
+        sum(errTerm).as("errq"))
+      .select(col("ql").as("query_lang"), col("n_docs"), col("n_rel20"),
+        (round(col("errq").cast("double") / 1e12, 6) + 0.0).as("err20"))
+      .orderBy("query_lang")
+  }
+
+  val q272Err20Sql: String =
+    """WITH langs AS (SELECT DISTINCT lang AS ql FROM documents),
+      |ranked AS (
+      |  SELECT ql, doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY ql
+      |      ORDER BY n_chars DESC, doc_id) AS rk,
+      |    CASE WHEN lang = ql THEN 1 ELSE 0 END AS rel
+      |  FROM documents CROSS JOIN langs),
+      |t AS (
+      |  SELECT *, SUM(rel) OVER (PARTITION BY ql ORDER BY rk
+      |    ROWS UNBOUNDED PRECEDING) AS cumrel
+      |  FROM ranked)
+      |SELECT ql AS query_lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_rel20,
+      |  ROUND(CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN
+      |      CAST(FLOOR(POWER(0.5, cumrel) / rk * 1e12 + 0.5) AS BIGINT)
+      |    ELSE 0 END) AS DOUBLE) / 1e12, 6) + 0 AS err20
+      |FROM t GROUP BY ql ORDER BY query_lang""".stripMargin
+}

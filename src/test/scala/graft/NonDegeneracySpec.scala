@@ -571,6 +571,36 @@ class NonDegeneracySpec extends SparkSpec {
     assert(r2 != null && r2 > 0.0 && r2 < 1.0)
   }
 
+  test("q270: populated log-spaced checkpoints; vocabulary genuinely sublinear") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q270_heaps_law", sf).head()
+      // log spacing collapses the deepest cuts on small corpora
+      // (N/2⁹ = N/2⁸ = 1): ≥8 distinct checkpoints at the fixture SFs
+      assert(r.getAs[Long]("n_checkpoints") >= 8L, s"checkpoints at $sf")
+      assert(r.getAs[Long]("n_vocab") > 0L &&
+        r.getAs[Long]("n_vocab") < r.getAs[Long]("n_tokens"),
+        s"vocab/token degeneracy at $sf")
+      val b = r.getAs[java.lang.Double]("heaps_beta")
+      assert(b != null && b > 0.0 && b < 1.0,
+        s"beta $b outside (0,1) at $sf — growth curve sees nothing")
+    }
+  }
+
+  test("q272: every query arm scores; ERR respects the cascade bound") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q272_err20", sf).collect()
+      assert(rows.length === 5, s"query fleet at $sf")
+      rows.foreach { r =>
+        val e = r.getAs[java.lang.Double]("err20")
+        val k = r.getAs[Long]("n_rel20")
+        assert(k >= 1L && k <= 20L, s"${r.getString(0)} n_rel20=$k at $sf")
+        // Σ_{r≤20} (1/r)(1/2)^r < ln 2 — the all-relevant ceiling
+        assert(e != null && e > 0.0 && e <= 0.6932,
+          s"${r.getString(0)} err20=$e at $sf")
+      }
+    }
+  }
+
   test("q275: Ljung-Box Q defined on a long series; p is a probability") {
     Seq(sf001, sf0001).foreach { sf =>
       val r = run("q275_ljung_box", sf).head()

@@ -446,7 +446,11 @@ class PlanShapeSpec extends SparkSpec {
       // corpus bigram/unigram totals onto the filtered bigram table.
       // (q146/q165 went window-over-census instead — no nested loop.)
       "q133_wilson_reach", "q147_ks", "q182_emd", "q184_bootstrap",
-      "q121_pmi")
+      "q121_pmi",
+      // r13: q270's 1-row checkpoint-count broadcast onto the doc
+      // census (the q242 form) and q272's 5-row query-language fleet
+      // (the q238 broadcast-query pattern)
+      "q270_heaps_law", "q272_err20")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -1581,4 +1581,74 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("p") - p) < 1e-6,
       s"p ${row.getAs[Double]("p")} vs brute $p")
   }
+
+  test("q270 Heaps fit matches a sequential vocabulary walk") {
+    val row = SparkEntry.queries("q270_heaps_law")(spark, sf0001).head()
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var cumN = 0L
+    val walk = docs.map { case (_, text) =>
+      val ws = text.split(" ", -1)
+      cumN += ws.length
+      ws.foreach(seen += _)
+      (cumN, seen.size.toLong)
+    }
+    val nDocs = walk.length
+    // log-spaced checkpoints N/2⁹..N — the query's saturation-resistant
+    // sampling (see q270's scaladoc)
+    val cks = (1 to 10).map(k => math.max(1, nDocs >> (10 - k))).distinct
+      .filter(i => walk(i - 1)._1 > 0 && walk(i - 1)._2 > 0)
+      .map(i => walk(i - 1))
+    val xs = cks.map(c => math.floor(math.log(c._1.toDouble) * 1e9 + 0.5).toLong)
+    val ys = cks.map(c => math.floor(math.log(c._2.toDouble) * 1e9 + 0.5).toLong)
+    val m = cks.size
+    val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val beta = (m * sxy - sx * sy).toDouble / (m * sxx - sx * sx).toDouble
+    val lnk = (sy.toDouble / 1e9 - beta * (sx.toDouble / 1e9)) / m
+
+    assert(row.getAs[Long]("n_checkpoints") === m.toLong)
+    assert(row.getAs[Long]("n_tokens") === cks.map(_._1).max)
+    assert(row.getAs[Long]("n_vocab") === cks.map(_._2).max)
+    assert(math.abs(row.getAs[Double]("heaps_beta") - beta) < 1e-5,
+      s"beta ${row.getAs[Double]("heaps_beta")} vs brute $beta")
+    assert(math.abs(row.getAs[Double]("heaps_lnk") - lnk) < 1e-3,
+      s"lnK ${row.getAs[Double]("heaps_lnk")} vs brute $lnk")
+  }
+
+  test("q272 ERR@20 matches a sequential cascade walk per query") {
+    val rows = SparkEntry.queries("q272_err20")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    docs.map(_._2).distinct.sorted.foreach { ql =>
+      val ranking = docs.sortBy(d => (-d._3, d._1))
+      var cumrel = 0L
+      var errq = 0L
+      var nRel20 = 0L
+      ranking.zipWithIndex.foreach { case ((_, lang, _), idx) =>
+        val rk = idx + 1
+        if (lang == ql) {
+          cumrel += 1
+          if (rk <= 20) {
+            nRel20 += 1
+            errq += math.floor(
+              math.pow(0.5, cumrel.toDouble) / rk * 1e12 + 0.5).toLong
+          }
+        }
+      }
+      val r = rows(ql)
+      assert(r.getAs[Long]("n_rel20") === nRel20, s"$ql n_rel20")
+      // the query rounds to 6dp — compare on that grid
+      assert(math.abs(r.getAs[Double]("err20") - errq / 1e12) < 5e-7,
+        s"$ql err20 ${r.getAs[Double]("err20")} vs brute ${errq / 1e12}")
+    }
+  }
 }
