@@ -195,4 +195,78 @@ object CorpusQueries {
       |      CAST(FLOOR(POWER(0.5, cumrel) / rk * 1e12 + 0.5) AS BIGINT)
       |    ELSE 0 END) AS DOUBLE) / 1e12, 6) + 0 AS err20
       |FROM t GROUP BY ql ORDER BY query_lang""".stripMargin
+
+  /** L209 lexical diversity profile per source ([PK] Simpson 1949;
+    * Shannon 1948; Pielou 1966): Simpson concentration λ =
+    * Σnᵢ(nᵢ−1)/(N(N−1)) (the probability two random tokens are the
+    * same type — q190's HHI with the unbiased finite-sample
+    * correction), Shannon H = ln N − (1/N)Σnᵢ ln nᵢ, and Pielou
+    * evenness J = H/ln S — the per-feed "is this source template spam
+    * or genuine language" triage that q144's distinct-n windows and
+    * q122's column entropy don't give at source granularity: λ spikes
+    * and J collapses on boilerplate feeds even when raw vocabulary
+    * counts look healthy.
+    *
+    * Parity: nᵢ(nᵢ−1) sums are exact DECIMAL(38,0)/HUGEINT; the
+    * H entropy terms nᵢ·ln nᵢ are nano-quantized per TYPE before the
+    * integer sum (the q191 discipline), and the two standalone lns
+    * (ln N, ln S) are nano-quantized the same way, so every libm call
+    * happens on an identical integer in both engines.
+    *
+    * Scale: one (source, word) hash agg — map-side combinable — then a
+    * |sources|-row census; no joins, no windows over fact data. */
+  def q277Diversity(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val occ = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val g = occ.groupBy("source").agg(
+      sum(col("n")).as("nt"), count(lit(1)).as("st"),
+      sum(col("n").cast(dec) * (col("n") - 1).cast(dec)).as("rep"),
+      sum(floor(col("n").cast("double") * log(col("n").cast("double")) *
+        1e9 + 0.5).cast("long").cast(dec)).as("snln"))
+    val nD = col("nt").cast("double")
+    val qln = (c: org.apache.spark.sql.Column) =>
+      floor(log(c) * 1e9 + 0.5) / 1e9
+    val shannon = qln(nD) -
+      (col("snln").cast("double") / 1e9) / nD
+    val lnS = qln(col("st").cast("double"))
+    g.select(col("source"), col("nt").as("n_tokens"),
+        col("st").as("n_types"),
+        when(col("nt") < 2, lit(null).cast("double"))
+          .otherwise(round(col("rep").cast("double") /
+            (nD * (nD - 1.0)), 6) + 0.0).as("simpson"),
+        (round(shannon, 6) + 0.0).as("shannon"),
+        when(col("st") < 2, lit(null).cast("double"))
+          .otherwise(round(shannon / lnS, 6) + 0.0).as("evenness"))
+      .orderBy("source")
+  }
+
+  val q277DiversitySql: String =
+    """WITH occ AS (
+      |  SELECT source, w, COUNT(*) AS n
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |g AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS nt,
+      |    COUNT(*) AS st,
+      |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS rep,
+      |    SUM(CAST(CAST(FLOOR(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS HUGEINT)) AS snln
+      |  FROM occ GROUP BY source)
+      |SELECT source, nt AS n_tokens, CAST(st AS BIGINT) AS n_types,
+      |  CASE WHEN nt < 2 THEN NULL ELSE
+      |    ROUND(CAST(rep AS DOUBLE)
+      |      / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)), 6) + 0
+      |    END AS simpson,
+      |  ROUND(FLOOR(LN(CAST(nt AS DOUBLE)) * 1e9 + 0.5) / 1e9
+      |    - (CAST(snln AS DOUBLE) / 1e9) / CAST(nt AS DOUBLE), 6) + 0
+      |    AS shannon,
+      |  CASE WHEN st < 2 THEN NULL ELSE
+      |    ROUND((FLOOR(LN(CAST(nt AS DOUBLE)) * 1e9 + 0.5) / 1e9
+      |      - (CAST(snln AS DOUBLE) / 1e9) / CAST(nt AS DOUBLE))
+      |      / (FLOOR(LN(CAST(st AS DOUBLE)) * 1e9 + 0.5) / 1e9), 6) + 0
+      |    END AS evenness
+      |FROM g ORDER BY source""".stripMargin
 }

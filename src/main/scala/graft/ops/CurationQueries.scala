@@ -1254,4 +1254,79 @@ object CurationQueries {
       |        + (v3 - a3) * (v3 - a3))), 6) + 0 AS closeness
       |FROM b
       |ORDER BY closeness DESC, s_suppkey LIMIT 25""".stripMargin
+
+  /** L210 forecast evaluation — MAE / MASE / sMAPE of q143's Holt
+    * one-step-ahead forecasts per priority series ([PK] Hyndman &
+    * Koehler 2006): MASE divides the forecast MAE by the in-sample
+    * naive (random-walk) MAE, so "is the smoother beating last-known-
+    * value" reads directly (< 1 = yes) and is unit-free across series
+    * of different revenue scale — the evaluation operator the L72
+    * smoother family shipped without; sMAPE is the bounded (0,2)
+    * percentage companion.
+    *
+    * Parity: q143's outputs are already floor-quantized on the 1e-4
+    * grid, so |error| terms re-quantize to exact 1e-4-unit int64s;
+    * sMAPE terms are nano-quantized per day before the integer sum;
+    * each output is one double division of exact int64s, 4dp.
+    *
+    * Scale: rides q143's census (days × 5 priorities) — one keyed
+    * window for the two lags, one hash agg; fact data is touched only
+    * by q143's daily rollup. */
+  def q278ForecastEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = q143Holt(s, dir)
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+    val e = h.select(col("o_orderpriority"), col("day"), col("rev"),
+        lag(col("forecast"), 1).over(w).as("f"),
+        lag(col("rev"), 1).over(w).as("prev"))
+      .filter(col("f").isNotNull)
+    val errq = floor(abs(col("rev") - col("f")) * 1e4 + 0.5).cast("long")
+    val naiq = floor(abs(col("rev") - col("prev")) * 1e4 + 0.5).cast("long")
+    val smq = when(abs(col("f")) + abs(col("rev")) > 0.0,
+      floor(lit(2.0) * abs(col("rev") - col("f")) /
+        (abs(col("f")) + abs(col("rev"))) * 1e9 + 0.5).cast("long"))
+      .otherwise(0L)
+    e.select(col("o_orderpriority"), errq.as("eq"), naiq.as("nq"),
+        smq.as("sq"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_days"), sum("eq").as("se"),
+        sum("nq").as("sn"), sum("sq").as("ss"))
+      .select(col("o_orderpriority"), col("n_days"),
+        (round(col("se").cast("double") / 1e4 /
+          col("n_days").cast("double"), 4) + 0.0).as("mae"),
+        when(col("sn") === 0, lit(null).cast("double"))
+          .otherwise(round(col("se").cast("double") /
+            col("sn").cast("double"), 4) + 0.0).as("mase"),
+        (round(col("ss").cast("double") / 1e9 /
+          col("n_days").cast("double"), 4) + 0.0).as("smape"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q278ForecastEvalSql: String =
+    s"""WITH e AS (
+       |  SELECT o_orderpriority, rev,
+       |    LAG(forecast) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY day) AS f,
+       |    LAG(rev) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY day) AS prev
+       |  FROM ($q143HoltSql) base),
+       |q AS (
+       |  SELECT o_orderpriority,
+       |    CAST(FLOOR(ABS(rev - f) * 1e4 + 0.5) AS BIGINT) AS eq,
+       |    CAST(FLOOR(ABS(rev - prev) * 1e4 + 0.5) AS BIGINT) AS nq,
+       |    CASE WHEN ABS(f) + ABS(rev) > 0.0 THEN
+       |      CAST(FLOOR(2.0 * ABS(rev - f) / (ABS(f) + ABS(rev))
+       |        * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS sq
+       |  FROM e WHERE f IS NOT NULL),
+       |g AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n_days,
+       |    CAST(SUM(eq) AS BIGINT) AS se, CAST(SUM(nq) AS BIGINT) AS sn,
+       |    CAST(SUM(sq) AS BIGINT) AS ss
+       |  FROM q GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
+       |  ROUND(CAST(se AS DOUBLE) / 1e4 / n_days, 4) + 0 AS mae,
+       |  CASE WHEN sn = 0 THEN NULL
+       |    ELSE ROUND(CAST(se AS DOUBLE) / sn, 4) + 0 END AS mase,
+       |  ROUND(CAST(ss AS DOUBLE) / 1e9 / n_days, 4) + 0 AS smape
+       |FROM g ORDER BY o_orderpriority""".stripMargin
 }

@@ -1254,4 +1254,143 @@ object DriftQueries {
        |FROM wr, mom
        |ORDER BY shrinkage DESC NULLS LAST, l_partkey LIMIT 15""".stripMargin
   }
+
+  /** L208 Brier score + Murphy decomposition ([PK] Brier 1950; Murphy
+    * 1973): the PROPER score behind q197's calibration table — B =
+    * (1/N)Σ(p̂−y)² split into reliability (Σn_k(p̄_k−ō_k)²/N — how far
+    * each forecast bin sits from its observed rate; q197's abs_gap,
+    * squared and mass-weighted), resolution (Σn_k(ō_k−ō)²/N — how much
+    * the bins separate outcomes; the part a useful classifier EARNS),
+    * and uncertainty ō(1−ō) (the data's irreducible floor). The
+    * residual B − (REL − RES + UNC) is the within-bin variance term
+    * (forecasts vary inside a bin), reported rather than hidden so the
+    * identity is auditable.
+    *
+    * Parity: same length-derived forecast as q197 (nano-quantized long
+    * per distinct n_chars); the raw-Brier sum expands to
+    * pos·(pq−10⁹)² + (n−pos)·pq² — exact DECIMAL(38,0)/HUGEINT in
+    * 10⁻¹⁸ units; per-bin REL/RES terms are pico-quantized (1e12)
+    * int64 so the ≤10-bin sums are order-free; ō rides a whole-frame
+    * window over the bin census (the q146 pattern, no second scan).
+    *
+    * Scale: the q197 shape end-to-end — value-domain census, ≤10-bin
+    * table, 1-row algebra. Guards: an empty period or single-value
+    * span degenerates to bin 0 with zero reliability — still defined. */
+  def q276BrierMurphy(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+    val wAll = Window.partitionBy()
+    val withB = h
+      .withColumn("mn", min(col("sc")).over(wAll))
+      .withColumn("mx", max(col("sc")).over(wAll))
+    val span = col("mx") - col("mn")
+    val phat = when(span > 0L,
+      (col("sc") - col("mn")).cast("double") / span.cast("double"))
+      .otherwise(lit(0.0))
+    val q = withB.select(
+      expr("(sc - mn) * 10 div (mx - mn + 1)").as("bin"),
+      col("n"), col("pos"),
+      floor(phat * lit(1.0e9) + lit(0.5)).cast("long").as("pq"))
+    // raw Brier in 1e-18 units: Σ pos·(pq−1e9)² + (n−pos)·pq²
+    val bnum = (col("pos").cast(dec) *
+        ((col("pq") - lit(1000000000L)).cast(dec) *
+          (col("pq") - lit(1000000000L)).cast(dec))) +
+      ((col("n") - col("pos")).cast(dec) *
+        (col("pq").cast(dec) * col("pq").cast(dec)))
+    val bins = q.withColumn("bn", bnum)
+      .groupBy("bin")
+      .agg(sum("n").as("nk"), sum("pos").as("pk"),
+        sum(col("n").cast(dec) * col("pq").cast(dec)).as("spq"),
+        sum(col("bn")).as("bnk"))
+    val wholeN = sum(col("nk")).over(wAll)
+    val wholeP = sum(col("pk")).over(wAll)
+    val pbar = col("spq").cast("double") / 1e9 / col("nk").cast("double")
+    val obar = col("pk").cast("double") / col("nk").cast("double")
+    val obarAll = col("np").cast("double") / col("nn").cast("double")
+    val terms = bins
+      .withColumn("nn", wholeN).withColumn("np", wholeP)
+      .select(col("nn"), col("np"), col("bnk"),
+        floor(col("nk").cast("double") * (pbar - obar) * (pbar - obar) *
+          1e12 + 0.5).cast("long").as("relq"),
+        floor(col("nk").cast("double") * (obar - obarAll) *
+          (obar - obarAll) * 1e12 + 0.5).cast("long").as("resq"))
+    val g = terms.groupBy("nn", "np")
+      .agg(sum(col("bnk")).as("bsum"),
+        sum(col("relq")).as("rels"), sum(col("resq")).as("ress"))
+    val nD = col("nn").cast("double")
+    val brier = col("bsum").cast("double") / 1e18 / nD
+    val rel = col("rels").cast("double") / 1e12 / nD
+    val res = col("ress").cast("double") / 1e12 / nD
+    val unc = (col("np").cast("double") / nD) *
+      (lit(1.0) - col("np").cast("double") / nD)
+    g.select(col("nn").as("n_docs"),
+      (round(brier, 6) + 0.0).as("brier"),
+      (round(rel, 6) + 0.0).as("reliability"),
+      (round(res, 6) + 0.0).as("resolution"),
+      (round(unc, 6) + 0.0).as("uncertainty"),
+      (round(brier - (rel - res + unc), 6) + 0.0).as("within_resid"))
+  }
+
+  val q276BrierMurphySql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS sc, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos
+      |  FROM documents GROUP BY n_chars),
+      |b AS (
+      |  SELECT sc, n, pos,
+      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
+      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
+      |  FROM h),
+      |q AS (
+      |  SELECT (sc - mn) * 10 // (mx - mn + 1) AS bin, n, pos,
+      |    CAST(FLOOR(
+      |      CASE WHEN mx - mn > 0
+      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
+      |  FROM b),
+      |bins AS (
+      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS nk,
+      |    CAST(SUM(pos) AS BIGINT) AS pk,
+      |    SUM(CAST(n AS HUGEINT) * pq) AS spq,
+      |    SUM(CAST(pos AS HUGEINT)
+      |          * ((pq - 1000000000) * CAST(pq - 1000000000 AS HUGEINT))
+      |        + CAST(n - pos AS HUGEINT) * (CAST(pq AS HUGEINT) * pq))
+      |      AS bnk
+      |  FROM q GROUP BY bin),
+      |t AS (
+      |  SELECT bnk,
+      |    CAST(SUM(nk) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(pk) OVER () AS BIGINT) AS np,
+      |    CAST(FLOOR(CAST(nk AS DOUBLE)
+      |      * (CAST(spq AS DOUBLE) / 1e9 / nk - CAST(pk AS DOUBLE) / nk)
+      |      * (CAST(spq AS DOUBLE) / 1e9 / nk - CAST(pk AS DOUBLE) / nk)
+      |      * 1e12 + 0.5) AS BIGINT) AS relq,
+      |    CAST(FLOOR(CAST(nk AS DOUBLE)
+      |      * (CAST(pk AS DOUBLE) / nk
+      |         - CAST(SUM(pk) OVER () AS DOUBLE) / SUM(nk) OVER ())
+      |      * (CAST(pk AS DOUBLE) / nk
+      |         - CAST(SUM(pk) OVER () AS DOUBLE) / SUM(nk) OVER ())
+      |      * 1e12 + 0.5) AS BIGINT) AS resq
+      |  FROM bins),
+      |g AS (
+      |  SELECT nn, np, SUM(bnk) AS bsum,
+      |    CAST(SUM(relq) AS BIGINT) AS rels,
+      |    CAST(SUM(resq) AS BIGINT) AS ress
+      |  FROM t GROUP BY nn, np)
+      |SELECT nn AS n_docs,
+      |  ROUND(CAST(bsum AS DOUBLE) / 1e18 / nn, 6) + 0 AS brier,
+      |  ROUND(CAST(rels AS DOUBLE) / 1e12 / nn, 6) + 0 AS reliability,
+      |  ROUND(CAST(ress AS DOUBLE) / 1e12 / nn, 6) + 0 AS resolution,
+      |  ROUND((CAST(np AS DOUBLE) / nn) * (1.0 - CAST(np AS DOUBLE) / nn),
+      |    6) + 0 AS uncertainty,
+      |  ROUND(CAST(bsum AS DOUBLE) / 1e18 / nn
+      |    - (CAST(rels AS DOUBLE) / 1e12 / nn
+      |       - CAST(ress AS DOUBLE) / 1e12 / nn
+      |       + (CAST(np AS DOUBLE) / nn)
+      |         * (1.0 - CAST(np AS DOUBLE) / nn)), 6) + 0 AS within_resid
+      |FROM g""".stripMargin
 }

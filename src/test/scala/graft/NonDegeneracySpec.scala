@@ -601,6 +601,48 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q276: the decomposition is populated and near-closes") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q276_brier_murphy", sf).head()
+      val (b, rel, res, unc) = (r.getAs[Double]("brier"),
+        r.getAs[Double]("reliability"), r.getAs[Double]("resolution"),
+        r.getAs[Double]("uncertainty"))
+      assert(b > 0.0 && b < 1.0, s"brier $b at $sf")
+      assert(rel >= 0.0 && res >= 0.0, s"negative component at $sf")
+      assert(unc > 0.0 && unc <= 0.25, s"uncertainty $unc at $sf")
+      assert(res > 0.0, s"zero resolution at $sf — bins separate nothing")
+    }
+  }
+
+  test("q277: every source profiled; diversity strictly inside (0,1)") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q277_diversity", sf).collect()
+      assert(rows.length === 20, s"source fleet at $sf")
+      rows.foreach { r =>
+        val (si, h, j) = (r.getAs[java.lang.Double]("simpson"),
+          r.getAs[java.lang.Double]("shannon"),
+          r.getAs[java.lang.Double]("evenness"))
+        assert(si != null && si > 0.0 && si < 1.0, s"simpson $si at $sf")
+        assert(h != null && h > 0.0, s"shannon $h at $sf")
+        assert(j != null && j > 0.0 && j < 1.0, s"evenness $j at $sf")
+      }
+    }
+  }
+
+  test("q278: all five series eval'd; sMAPE bounded; MASE defined") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q278_forecast_eval", sf).collect()
+      assert(rows.length === 5, s"priority fleet at $sf")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_days") > 50L)
+        val m = r.getAs[java.lang.Double]("mase")
+        val sm = r.getAs[java.lang.Double]("smape")
+        assert(m != null && m > 0.0, s"mase $m at $sf")
+        assert(sm != null && sm > 0.0 && sm < 2.0, s"smape $sm at $sf")
+      }
+    }
+  }
+
   test("q275: Ljung-Box Q defined on a long series; p is a probability") {
     Seq(sf001, sf0001).foreach { sf =>
       val r = run("q275_ljung_box", sf).head()

@@ -1651,4 +1651,132 @@ class StatBruteSpec extends SparkSpec {
         s"$ql err20 ${r.getAs[Double]("err20")} vs brute ${errq / 1e12}")
     }
   }
+
+  test("q276 Brier + Murphy terms match a sequential binned walk") {
+    val row = SparkEntry.queries("q276_brier_murphy")(spark, sf0001).head()
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), (col("source") === "src0").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val census = docs.groupBy(_._1).map { case (sc, g) =>
+      (sc, g.length.toLong, g.count(_._2).toLong)
+    }.toSeq
+    val (mn, mx) = (census.map(_._1).min, census.map(_._1).max)
+    val span = mx - mn
+    val q = census.map { case (sc, n, pos) =>
+      val phat = if (span > 0) (sc - mn).toDouble / span else 0.0
+      val pq = math.floor(phat * 1e9 + 0.5).toLong
+      val bin = (sc - mn) * 10 / (mx - mn + 1)
+      (bin, n, pos, pq)
+    }
+    val nAll = q.map(_._2).sum
+    val pAll = q.map(_._3).sum
+    val bsum = q.map { case (_, n, pos, pq) =>
+      BigInt(pos) * (BigInt(pq - 1000000000L) * (pq - 1000000000L)) +
+        BigInt(n - pos) * (BigInt(pq) * pq)
+    }.sum
+    val obarAll = pAll.toDouble / nAll
+    var rels, ress = 0L
+    q.groupBy(_._1).foreach { case (_, g) =>
+      val nk = g.map(_._2).sum
+      val pk = g.map(_._3).sum
+      val spq = g.map(c => BigInt(c._2) * c._4).sum
+      val pbar = spq.toDouble / 1e9 / nk
+      val obar = pk.toDouble / nk
+      rels += math.floor(nk.toDouble * (pbar - obar) * (pbar - obar) *
+        1e12 + 0.5).toLong
+      ress += math.floor(nk.toDouble * (obar - obarAll) * (obar - obarAll) *
+        1e12 + 0.5).toLong
+    }
+    val brier = bsum.toDouble / 1e18 / nAll
+    val rel = rels.toDouble / 1e12 / nAll
+    val res = ress.toDouble / 1e12 / nAll
+    val unc = obarAll * (1.0 - obarAll)
+    assert(row.getAs[Long]("n_docs") === nAll)
+    assert(math.abs(row.getAs[Double]("brier") - brier) < 5e-6)
+    assert(math.abs(row.getAs[Double]("reliability") - rel) < 5e-6)
+    assert(math.abs(row.getAs[Double]("resolution") - res) < 5e-6)
+    assert(math.abs(row.getAs[Double]("uncertainty") - unc) < 5e-6)
+    assert(math.abs(row.getAs[Double]("within_resid") -
+      (brier - (rel - res + unc))) < 1e-5)
+  }
+
+  test("q277 diversity profile matches a sequential type census") {
+    val rows = SparkEntry.queries("q277_diversity")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, g) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      g.foreach(_._2.split(" ", -1).foreach(w =>
+        counts(w) = counts.getOrElse(w, 0L) + 1))
+      val nt = counts.values.sum
+      val st = counts.size.toLong
+      val rep = counts.values.map(n => BigInt(n) * (n - 1)).sum
+      val snln = counts.values.map(n =>
+        BigInt(math.floor(n.toDouble * math.log(n.toDouble) * 1e9 + 0.5)
+          .toLong)).sum
+      val simpson = rep.toDouble / (nt.toDouble * (nt.toDouble - 1.0))
+      val shannon = math.floor(math.log(nt.toDouble) * 1e9 + 0.5) / 1e9 -
+        (snln.toDouble / 1e9) / nt
+      val even = shannon /
+        (math.floor(math.log(st.toDouble) * 1e9 + 0.5) / 1e9)
+      val r = rows(src)
+      assert(r.getAs[Long]("n_tokens") === nt, s"$src tokens")
+      assert(r.getAs[Long]("n_types") === st, s"$src types")
+      assert(math.abs(r.getAs[Double]("simpson") - simpson) < 5e-6, src)
+      assert(math.abs(r.getAs[Double]("shannon") - shannon) < 5e-6, src)
+      assert(math.abs(r.getAs[Double]("evenness") - even) < 5e-6, src)
+    }
+  }
+
+  test("q278 MASE/sMAPE match a sequential Holt walk over the daily census") {
+    val rows = SparkEntry.queries("q278_forecast_eval")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // daily census exactly as q143 builds it (trivial rollup), then the
+    // Holt recursion + the eval walk sequentially from the textbook
+    import graft.ops.Parity._
+    val daily = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(1), r.getDate(0).toString, r.getDouble(2)))
+    daily.groupBy(_._1).foreach { case (pr, g) =>
+      val series = g.sortBy(_._2).map(_._3)
+      var l = 0.0; var b = 0.0; var init = false
+      val fq = series.map { x =>
+        if (!init) { l = x; b = 0.0; init = true }
+        else {
+          val l2 = 0.3 * x + 0.7 * (l + b)
+          b = 0.1 * (l2 - l) + 0.9 * b
+          l = l2
+        }
+        (math.floor(x * 1e4 + 0.5) / 1e4,
+          math.floor((l + b) * 1e4 + 0.5) / 1e4)
+      }
+      var se, sn, ss = 0L; var n = 0L
+      fq.sliding(2).foreach { p =>
+        val (prevA, prevF) = p(0); val (a, _) = p(1)
+        n += 1
+        se += math.floor(math.abs(a - prevF) * 1e4 + 0.5).toLong
+        sn += math.floor(math.abs(a - prevA) * 1e4 + 0.5).toLong
+        if (math.abs(prevF) + math.abs(a) > 0.0)
+          ss += math.floor(2.0 * math.abs(a - prevF) /
+            (math.abs(prevF) + math.abs(a)) * 1e9 + 0.5).toLong
+      }
+      val r = rows(pr)
+      assert(r.getAs[Long]("n_days") === n, s"$pr n_days")
+      assert(math.abs(r.getAs[Double]("mae") - se.toDouble / 1e4 / n) < 1e-3,
+        s"$pr mae")
+      assert(math.abs(r.getAs[Double]("mase") - se.toDouble / sn) < 1e-3,
+        s"$pr mase")
+      assert(math.abs(r.getAs[Double]("smape") - ss.toDouble / 1e9 / n) < 1e-3,
+        s"$pr smape")
+    }
+  }
 }
