@@ -1329,4 +1329,96 @@ object CurationQueries {
        |    ELSE ROUND(CAST(se AS DOUBLE) / sn, 4) + 0 END AS mase,
        |  ROUND(CAST(ss AS DOUBLE) / 1e9 / n_days, 4) + 0 AS smape
        |FROM g ORDER BY o_orderpriority""".stripMargin
+
+  /** L212 leakage-safe K-fold assignment: evaluation folds keyed on the
+    * NEAR-DUP CLUSTER (q51's LSH pairs → L23 connected components), not
+    * the document — the train/test-contamination fix every dedup paper
+    * warns about: hashing doc_ids spreads near-duplicate pairs across
+    * folds, so the model is tested on paraphrases of its own training
+    * data and the eval lies high. Fold = deterministic LCG hash of the
+    * cluster canonical (q127's engine-exact integer recipe, no RNG
+    * state); the `naive_straddle` column counts the clusters that a
+    * doc-level split WOULD have torn across folds — the measured
+    * leakage this operator removes (non-vacuity: > 0 on the fixtures).
+    *
+    * Parity: fold arithmetic is exact int64 on both engines (canonical
+    * ids bounded well under the 2⁶³/LCG-multiplier overflow line,
+    * documented at q184); cluster labels ride the q90 CC construction
+    * (Spark iterative components == DuckDB recursive closure).
+    *
+    * Scale: the q90 shape — LSH pair table (banded, never all-pairs),
+    * component labels broadcast onto the corpus, one hash agg per
+    * grain; the 1-row straddle summary broadcasts onto the 5-row fold
+    * census (allowlisted BNLJ). */
+  def q279LeakageFolds(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.q51MinHashLsh(s, dir).select("doc_a", "doc_b")
+    val comp = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+    val lab = Tables.documents(s, dir).select(col("doc_id"))
+      .join(broadcast(comp), col("doc_id") === col("id"), "left")
+      .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+    def lcgFold(c: org.apache.spark.sql.Column) =
+      pmod(c * lit(1103515245L) + lit(12345L), lit(1000000007L)) % 5
+    val folds = lab
+      .groupBy(lcgFold(col("canonical")).as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_clusters"))
+    val straddle = lab.filter(col("component").isNotNull)
+      .groupBy("canonical")
+      .agg(countDistinct(lcgFold(col("doc_id"))).as("nf"))
+      .agg(count(lit(1)).as("n_dup_clusters"),
+        sum(when(col("nf") > 1, 1L).otherwise(0L)).as("naive_straddle"))
+    folds.crossJoin(broadcast(straddle))
+      .select(col("fold"), col("n_docs"), col("n_clusters"),
+        col("n_dup_clusters"), col("naive_straddle"))
+      .orderBy("fold")
+  }
+
+  /** DuckDB mirror: the q90 recursive-closure labeling, then identical
+    * integer fold arithmetic on both grains. */
+  val q279LeakageFoldsSql: String =
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |""".stripMargin +
+      DedupQueries.q51MinHashLshSql.linesIterator
+        .filter(!_.startsWith("ORDER BY")).mkString("\n") +
+    """
+      |  )),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |closure(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src),
+      |lbl AS (
+      |  SELECT src AS id, MIN(r) AS component FROM (
+      |    SELECT src, dst AS r FROM closure
+      |    UNION ALL SELECT src, src FROM edges)
+      |  GROUP BY src),
+      |lab AS (
+      |  SELECT d.doc_id, l.component,
+      |    COALESCE(l.component, d.doc_id) AS canonical
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+      |folds AS (
+      |  SELECT ((canonical * 1103515245 + 12345) % 1000000007
+      |          + 1000000007) % 1000000007 % 5 AS fold,
+      |    COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT canonical) AS n_clusters
+      |  FROM lab GROUP BY 1),
+      |strad AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_clusters,
+      |    CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS naive_straddle
+      |  FROM (
+      |    SELECT canonical,
+      |      COUNT(DISTINCT ((doc_id * 1103515245 + 12345) % 1000000007
+      |        + 1000000007) % 1000000007 % 5) AS nf
+      |    FROM lab WHERE component IS NOT NULL
+      |    GROUP BY canonical))
+      |SELECT CAST(fold AS BIGINT) AS fold,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_clusters AS BIGINT) AS n_clusters,
+      |  n_dup_clusters, naive_straddle
+      |FROM folds, strad ORDER BY fold""".stripMargin
 }

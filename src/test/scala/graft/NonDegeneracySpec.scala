@@ -643,6 +643,23 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q279: all folds populated; the naive split would genuinely leak") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q279_leakage_folds", sf).collect()
+      assert(rows.length === 5, s"fold census at $sf")
+      rows.foreach(r => assert(r.getAs[Long]("n_docs") > 0L &&
+        r.getAs[Long]("n_clusters") > 0L, s"empty fold at $sf"))
+      val r0 = rows.head
+      assert(r0.getAs[Long]("n_dup_clusters") > 0L,
+        s"no near-dup clusters at $sf — LSH side went vacuous")
+      assert(r0.getAs[Long]("naive_straddle") > 0L,
+        s"doc-level folds would not leak at $sf — the operator " +
+          "demonstrates nothing")
+      // cluster-keyed folds cannot straddle BY CONSTRUCTION; the
+      // interesting invariant is the counterfactual above
+    }
+  }
+
   test("q275: Ljung-Box Q defined on a long series; p is a probability") {
     Seq(sf001, sf0001).foreach { sf =>
       val r = run("q275_ljung_box", sf).head()

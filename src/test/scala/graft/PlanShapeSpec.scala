@@ -450,7 +450,11 @@ class PlanShapeSpec extends SparkSpec {
       // r13: q270's 1-row checkpoint-count broadcast onto the doc
       // census (the q242 form) and q272's 5-row query-language fleet
       // (the q238 broadcast-query pattern)
-      "q270_heaps_law", "q272_err20")
+      "q270_heaps_law", "q272_err20",
+      // r13: q279's 1-row straddle-audit broadcast onto the 5-row
+      // fold census (the q242 form; the CC labels broadcast is a
+      // plain BroadcastHashJoin)
+      "q279_leakage_folds")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

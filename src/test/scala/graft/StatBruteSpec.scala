@@ -1732,6 +1732,44 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q279 fold census matches a sequential union-find + LCG walk") {
+    val rows = SparkEntry.queries("q279_leakage_folds")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val pairs = SparkEntry.queries("q51_minhash_lsh")(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf0001).select("doc_id")
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = docs.map(d => d -> find(d)).toMap
+    def fold(c: Long) =
+      (((c * 1103515245L + 12345L) % 1000000007L + 1000000007L)
+        % 1000000007L) % 5
+    val byFold = docs.groupBy(d => fold(canon(d)))
+    val dupClusters = pairs.flatMap(p => Seq(p._1, p._2)).map(find)
+      .distinct
+    val straddle = dupClusters.count { c =>
+      docs.filter(d => canon(d) == c).map(d => fold(d)).distinct.size > 1
+    }
+    (0L to 4L).foreach { f =>
+      val r = rows(f)
+      assert(r.getAs[Long]("n_docs") === byFold(f).length.toLong, s"fold $f")
+      assert(r.getAs[Long]("n_clusters") ===
+        byFold(f).map(canon).distinct.length.toLong, s"fold $f clusters")
+      assert(r.getAs[Long]("n_dup_clusters") === dupClusters.length.toLong)
+      assert(r.getAs[Long]("naive_straddle") === straddle.toLong)
+    }
+  }
+
   test("q278 MASE/sMAPE match a sequential Holt walk over the daily census") {
     val rows = SparkEntry.queries("q278_forecast_eval")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
