@@ -269,4 +269,85 @@ object CorpusQueries {
       |      / (FLOOR(LN(CAST(st AS DOUBLE)) * 1e9 + 0.5) / 1e9), 6) + 0
       |    END AS evenness
       |FROM g ORDER BY source""".stripMargin
+
+  /** L214 Cochran's Q ([PK] Cochran 1950): do q274's three binary
+    * quality raters (length / verbosity / stopword screens) PASS at
+    * the same rate? The k-rater marginal-homogeneity test — Fleiss' κ
+    * (L198) asks "do the raters agree per document"; Cochran's Q asks
+    * "is one screen systematically stricter", the question that
+    * decides whether an ensemble's thresholds need recalibrating
+    * before majority-voting labels (it generalizes L167's McNemar
+    * from 2 correlated proportions to k). Q = (k−1)(kΣC_j² − T²) /
+    * (kT − ΣR_i²) with per-doc row sums R and per-rater columns C;
+    * under H₀, Q ~ χ²_{k−1}.
+    *
+    * Parity: every sum is exact int64/DECIMAL (votes are 0/1, row
+    * sums ≤ 3); Q is one double division of exact ints, 4dp; the
+    * χ²₂ tail has the exact closed form exp(−Q/2) (even df, the q275
+    * convention), floor-quantized 1e-8.
+    *
+    * Scale: one map-side-combinable agg over the corpus — no joins,
+    * no windows. Guards: zero discordance (kT = ΣR²: every doc
+    * unanimous) → null Q/p. */
+  def q281CochranQ(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = Tables.documents(s, dir)
+      .select(
+        when(col("n_chars") >= 100, 1L).otherwise(0L).as("r1"),
+        when(size(tokens(col("text"))) >= 20, 1L).otherwise(0L).as("r2"),
+        when(arrays_overlap(tokens(col("text")),
+          typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))),
+          1L).otherwise(0L).as("r3"))
+      .withColumn("g", col("r1") + col("r2") + col("r3"))
+    val a = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("r1")).as("c1"), sum(col("r2")).as("c2"),
+      sum(col("r3")).as("c3"), sum(col("g")).as("t"),
+      sum(col("g") * col("g")).as("sr2"))
+    val qNum = (lit(2L).cast(dec) *
+      (lit(3L).cast(dec) * (col("c1").cast(dec) * col("c1").cast(dec) +
+        col("c2").cast(dec) * col("c2").cast(dec) +
+        col("c3").cast(dec) * col("c3").cast(dec)) -
+        col("t").cast(dec) * col("t").cast(dec))).cast("double")
+    val qDen = (lit(3L) * col("t") - col("sr2")).cast("double")
+    val q = qNum / qDen
+    val degenerate = (lit(3L) * col("t") - col("sr2")) === 0L
+    a.select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(q, 4) + 0.0).as("cochran_q"),
+      lit(2L).as("df"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(floor(exp(-q / 2.0) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q281CochranQSql: String =
+    """WITH d AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS r1,
+      |    CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+      |      AS r2,
+      |    CASE WHEN len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on'])) > 0
+      |      THEN 1 ELSE 0 END AS r3
+      |  FROM documents),
+      |a AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(r1) AS BIGINT) AS c1, CAST(SUM(r2) AS BIGINT) AS c2,
+      |    CAST(SUM(r3) AS BIGINT) AS c3,
+      |    CAST(SUM(r1 + r2 + r3) AS BIGINT) AS t,
+      |    CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+      |  FROM d)
+      |SELECT n_docs, c1, c2, c3,
+      |  CASE WHEN 3 * t - sr2 = 0 THEN NULL
+      |    ELSE ROUND(CAST(2 * (3 * (CAST(c1 AS HUGEINT) * c1
+      |        + CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3)
+      |        - CAST(t AS HUGEINT) * t) AS DOUBLE)
+      |      / CAST(3 * t - sr2 AS DOUBLE), 4) + 0 END AS cochran_q,
+      |  CAST(2 AS BIGINT) AS df,
+      |  CASE WHEN 3 * t - sr2 = 0 THEN NULL
+      |    ELSE FLOOR(EXP(-(CAST(2 * (3 * (CAST(c1 AS HUGEINT) * c1
+      |        + CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3)
+      |        - CAST(t AS HUGEINT) * t) AS DOUBLE)
+      |      / CAST(3 * t - sr2 AS DOUBLE)) / 2.0) * 1e8 + 0.5) / 1e8
+      |    END AS p
+      |FROM a""".stripMargin
 }

@@ -1334,6 +1334,105 @@ object DriftQueries {
       (round(brier - (rel - res + unc), 6) + 0.0).as("within_resid"))
   }
 
+  /** L213 two-sample Anderson–Darling distance ([PK] Pettitt 1976;
+    * Scholz & Stephens 1987 ties form) between the base and comparison
+    * price distributions — completes the drift quartet on the q147
+    * input: KS (max deviation), Cramér–von Mises (integrated), EMD
+    * (mass moved), and now AD — the TAIL-WEIGHTED integral
+    * Σ l·(M·N − n·F)²/(F(N−F))/(nm): the 1/(F(N−F)) weight blows up
+    * at the distribution edges, so AD flags tail drift (price cap
+    * changes, truncation bugs) that mid-mass statistics dilute. This
+    * is also the parity-safe member of the AD family: the ONE-sample
+    * normal-fit AD was reserved as q257 in round 12 and dropped (its
+    * per-order-statistic lnΦ terms are a cross-libm risk, COVERAGE.md
+    * Round-12); the two-sample form needs NO distribution — ranks and
+    * counts only.
+    *
+    * Parity: M·N − n·F rides DECIMAL(38,0) (overflow-safe products);
+    * each distinct-value term is one double chain from exact ints,
+    * nano-quantized before the integer sum (q191 discipline); side
+    * totals read back as max-of-cumulative from PrefixSum's
+    * checkpointed frame (the r13 q147 pattern).
+    *
+    * Scale: the q147 shape end-to-end — distinct-cents census,
+    * PrefixSum cumulatives, no single-partition window, 1-row
+    * broadcast. Guards: an empty side → null statistic. */
+  def q280AdTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val h = o.groupBy("pc")
+      .agg(count(lit(1)).as("l"),
+        count(when(!col("is_new"), 1)).as("cx"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
+    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // A² = (1/(n·m)) Σ_j l_j·(M_jN − nF_j)²/(F_j(N−F_j)) — the Pettitt
+    // normalization with the ECDF read at distinct-value block ends
+    // (the only well-defined ties form); each term is pre-divided by
+    // n·m so the nano grid quantizes an O(l/N) quantity
+    val num = col("cum_x").cast(dec) * col("nn").cast(dec) -
+      col("nx").cast(dec) * col("cum_all").cast(dec)
+    val den = (col("cum_all").cast(dec) *
+      (col("nn") - col("cum_all")).cast(dec)).cast("double")
+    val nxD = col("nx").cast("double")
+    val nyD = (col("nn") - col("nx")).cast("double")
+    val termq = floor(col("l").cast("double") *
+      (num.cast("double") * num.cast("double") /
+        (den * (nxD * nyD))) * 1e9 + 0.5).cast("long")
+    val g = c.crossJoin(broadcast(tot))
+      .filter(col("cum_all") < col("nn"))
+      .agg(max(col("nn")).as("nn"), max(col("nx")).as("nx"),
+        sum(termq).as("tq"))
+    g.select(col("nx").as("n_base"),
+      (col("nn") - col("nx")).as("n_new"),
+      when(col("nx") === 0 || col("nx") === col("nn"),
+        lit(null).cast("double"))
+        .otherwise(round(col("tq").cast("double") / 1e9, 6) + 0.0)
+        .as("a2"))
+  }
+
+  val q280AdTwoSampleSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |h AS (
+      |  SELECT pc, COUNT(*) AS l,
+      |    COUNT(*) FILTER (WHERE NOT is_new) AS cx
+      |  FROM o GROUP BY pc),
+      |c AS (
+      |  SELECT pc, l, cx,
+      |    CAST(SUM(l) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_all,
+      |    CAST(SUM(cx) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_x
+      |  FROM h),
+      |tot AS (SELECT MAX(cum_all) AS nn, MAX(cum_x) AS nx FROM c),
+      |t AS (
+      |  SELECT CAST(FLOOR(CAST(l AS DOUBLE)
+      |    * (CAST(CAST(cum_x AS HUGEINT) * nn
+      |         - CAST(nx AS HUGEINT) * cum_all AS DOUBLE)
+      |       * CAST(CAST(cum_x AS HUGEINT) * nn
+      |         - CAST(nx AS HUGEINT) * cum_all AS DOUBLE)
+      |       / (CAST(CAST(cum_all AS HUGEINT) * (nn - cum_all) AS DOUBLE)
+      |          * (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE))))
+      |    * 1e9 + 0.5) AS BIGINT) AS termq, nn, nx
+      |  FROM c, tot WHERE cum_all < nn),
+      |g AS (
+      |  SELECT MAX(nn) AS nn, MAX(nx) AS nx,
+      |    CAST(SUM(termq) AS BIGINT) AS tq
+      |  FROM t)
+      |SELECT nx AS n_base, nn - nx AS n_new,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE ROUND(CAST(tq AS DOUBLE) / 1e9, 6) + 0
+      |    END AS a2
+      |FROM g""".stripMargin
+
   val q276BrierMurphySql: String =
     """WITH h AS (
       |  SELECT n_chars AS sc, COUNT(*) AS n,

@@ -660,6 +660,30 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q280: both periods populated; AD distance strictly positive") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q280_ad_two_sample", sf).head()
+      assert(r.getAs[Long]("n_base") > 0L && r.getAs[Long]("n_new") > 0L)
+      val a2 = r.getAs[java.lang.Double]("a2")
+      assert(a2 != null && a2 > 0.0, s"AD sees nothing at $sf")
+    }
+  }
+
+  test("q281: Q defined with real discordance; p is a probability") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q281_cochran_q", sf).head()
+      val q = r.getAs[java.lang.Double]("cochran_q")
+      val p = r.getAs[java.lang.Double]("p")
+      assert(q != null && q > 0.0, s"degenerate Q at $sf — no discordance")
+      assert(p != null && p >= 0.0 && p <= 1.0, s"p out of range at $sf")
+      // the three screens must not be identical columns
+      val (c1, c2, c3) = (r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+        r.getAs[Long]("c3"))
+      assert(Set(c1, c2, c3).size > 1,
+        s"all raters identical at $sf — the test has nothing to compare")
+    }
+  }
+
   test("q275: Ljung-Box Q defined on a long series; p is a probability") {
     Seq(sf001, sf0001).foreach { sf =>
       val r = run("q275_ljung_box", sf).head()

@@ -454,7 +454,10 @@ class PlanShapeSpec extends SparkSpec {
       // r13: q279's 1-row straddle-audit broadcast onto the 5-row
       // fold census (the q242 form; the CC labels broadcast is a
       // plain BroadcastHashJoin)
-      "q279_leakage_folds")
+      "q279_leakage_folds",
+      // r13: q280's 1-row side-totals broadcast onto the distinct-cents
+      // census (the q147 max-of-cumulative pattern)
+      "q280_ad_two_sample")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -1732,6 +1732,66 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q280 two-sample AD matches a sequential pooled-census walk") {
+    val row = SparkEntry.queries("q280_ad_two_sample")(spark, sf0001).head()
+
+    val vals = Tables.orders(spark, sf0001)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .as("is_new"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val census = vals.groupBy(_._1).toSeq.sortBy(_._1).map { case (pc, g) =>
+      (pc, g.length.toLong, g.count(!_._2).toLong)
+    }
+    val nn = census.map(_._2).sum
+    val nx = census.map(_._3).sum
+    val ny = nn - nx
+    var (fa, fx) = (0L, 0L)
+    var tq = 0L
+    census.foreach { case (_, l, cx) =>
+      fa += l; fx += cx
+      if (fa < nn) {
+        val num = (BigInt(fx) * nn - BigInt(nx) * fa).toDouble
+        val den = (BigInt(fa) * (nn - fa)).toDouble
+        tq += math.floor(l.toDouble *
+          (num * num / (den * (nx.toDouble * ny.toDouble))) *
+          1e9 + 0.5).toLong
+      }
+    }
+    assert(row.getAs[Long]("n_base") === nx)
+    assert(row.getAs[Long]("n_new") === ny)
+    assert(math.abs(row.getAs[Double]("a2") - tq / 1e9) < 5e-6,
+      s"a2 ${row.getAs[Double]("a2")} vs brute ${tq / 1e9}")
+  }
+
+  test("q281 Cochran's Q matches a sequential three-rater walk") {
+    val row = SparkEntry.queries("q281_cochran_q")(spark, sf0001).head()
+
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val votes = docs.map { case (nc, text) =>
+      val ws = text.split(" ", -1)
+      (if (nc >= 100) 1L else 0L,
+        if (ws.length >= 20) 1L else 0L,
+        if (ws.exists(stop)) 1L else 0L)
+    }
+    val (c1, c2, c3) = (votes.map(_._1).sum, votes.map(_._2).sum,
+      votes.map(_._3).sum)
+    val t = c1 + c2 + c3
+    val sr2 = votes.map { case (a, b, c) =>
+      val g = a + b + c; g * g
+    }.sum
+    val q = (2.0 * (3.0 * (c1.toDouble * c1 + c2.toDouble * c2 +
+      c3.toDouble * c3) - t.toDouble * t)) / (3.0 * t - sr2)
+    val p = math.exp(-q / 2.0)
+    assert(row.getAs[Long]("c1") === c1 && row.getAs[Long]("c2") === c2 &&
+      row.getAs[Long]("c3") === c3)
+    assert(math.abs(row.getAs[Double]("cochran_q") - q) < 5e-4)
+    assert(math.abs(row.getAs[Double]("p") - p) < 1e-6)
+  }
+
   test("q279 fold census matches a sequential union-find + LCG walk") {
     val rows = SparkEntry.queries("q279_leakage_folds")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r).toMap
