@@ -88,6 +88,14 @@ object Graft {
       targetRowsPerFile: Long, bits: Int = 8): Int =
     ops.ZOrder.writeZOrdered(df, path, zCols, targetRowsPerFile, bits)
 
+  /** Hilbert-clustered sink: the locality-tighter 2-D sibling of
+    * [[writeZOrdered]] (continuous curve — consecutive indices are
+    * grid neighbours, so files tile compact regions). */
+  def writeHilbertClustered(df: DataFrame, path: String, xCol: String,
+      yCol: String, targetRowsPerFile: Long, bits: Int = 8): Int =
+    ops.Hilbert.writeHilbertClustered(df, path, xCol, yCol,
+      targetRowsPerFile, bits)
+
   /** Embedding utilities: unit-norm and seeded JL projection. */
   def l2Normalize(v: Column): Column = ops.EmbeddingOps.l2Normalize(v)
   def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
@@ -220,6 +228,10 @@ object Graft {
   def skyline(df: DataFrame, minimize: Column, maximize: Column): DataFrame =
     ops.Skyline.skyline2(df, minimize, maximize)
   def kcore(edges: DataFrame, k: Int): DataFrame = ops.KCore.kcore(edges, k)
+  /** Edges of the k-truss (every surviving edge closes ≥ k−2
+    * triangles) — the edge-grade sibling of [[kcore]]. */
+  def ktruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = ops.KTruss.ktruss(edges, srcCol, dstCol, k)
   /** Deterministic synchronous label-propagation communities. */
   def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 10): DataFrame =

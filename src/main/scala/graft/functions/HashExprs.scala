@@ -180,6 +180,13 @@ private[functions] object KernelTypeCheck {
       s"$fn requires a string argument, got ${other.simpleString}")
   }
 
+  def longInputs(fn: String, dts: DataType*): TypeCheckResult =
+    dts.zipWithIndex.collectFirst {
+      case (dt, i) if dt != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} requires bigint, got ${dt.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   def arrayOf(fn: String, elem: DataType, dts: DataType*): TypeCheckResult =
     dts.zipWithIndex.collectFirst {
       case (dt, i) if !dt.isInstanceOf[ArrayType] ||

@@ -805,4 +805,95 @@ object AggQueries {
       |       * CAST(nc AS DOUBLE)), 4) AS lift
       |FROM red
       |ORDER BY n_abc DESC, a, b, c""".stripMargin
+
+  /** L216 Hoover index + Palma / 20:20 inequality ratios over the
+    * per-customer revenue distribution — the headline-number siblings
+    * of q150's Gini and q167's Lorenz table ([PK] Hoover 1936; Palma
+    * 2011; Cobham & Sumner 2013). Hoover ("Robin Hood" index) =
+    * Σ|xᵢ·n − T| / (2nT): the share of total revenue that would have
+    * to move to equalize all customers — the L1 distance to equality,
+    * where Gini is the rank-weighted form. Palma = top-decile share /
+    * bottom-four-deciles share; 20:20 = top-quintile / bottom-quintile
+    * (deciles via [[RangedNtile]] on (revenue desc, custkey) — the
+    * exact-NTILE machinery of q98/q167, no single-reducer sort).
+    *
+    * Parity: cents int64; |xᵢ·n − T| exact DECIMAL per customer (the
+    * n/T census rides the q242 in-plan 1-row broadcast — BNLJ
+    * allowlisted); each ratio is ONE double division of exact sums,
+    * 6dp/4dp. NTILE tie placement is total-ordered by (x desc,
+    * custkey), the q98 contract.
+    *
+    * Scale: per-customer agg → ntile (range-partitioned) → one final
+    * agg; the only broadcast is 1 row. Guards: bottom shares of 0
+    * (degenerate concentration) → null ratios. */
+  def q283Inequality(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perCust = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+      .groupBy("o_custkey").agg(sum(col("pc")).as("x"))
+    val tot = perCust.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("t"))
+    val dc = RangedNtile.withNtile(perCust, 10,
+      Seq(col("x").desc, col("o_custkey")), "decile")
+    val a = dc.crossJoin(broadcast(tot))
+      .select(col("x"), col("decile"), col("n"), col("t"))
+      .agg(max(col("n")).as("n_customers"), max(col("t")).as("tot"),
+        sum(abs(col("x").cast(dec) * col("n").cast(dec) -
+          col("t"))).as("sabs"),
+        sum(when(col("decile") === 1, col("x").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("top10"),
+        sum(when(col("decile") >= 7, col("x").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("bot40"),
+        sum(when(col("decile") <= 2, col("x").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("top20"),
+        sum(when(col("decile") >= 9, col("x").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("bot20"))
+    a.select(col("n_customers"),
+      (round(col("tot").cast("double") / 100.0, 2) + 0.0).as("total_rev"),
+      (round(col("sabs").cast("double") /
+        (lit(2.0) * col("n_customers").cast("double") *
+          col("tot").cast("double")), 6) + 0.0).as("hoover"),
+      when(col("bot40").cast("double") <= 0.0, lit(null).cast("double"))
+        .otherwise(round(col("top10").cast("double") /
+          col("bot40").cast("double"), 4) + 0.0).as("palma"),
+      when(col("bot20").cast("double") <= 0.0, lit(null).cast("double"))
+        .otherwise(round(col("top20").cast("double") /
+          col("bot20").cast("double"), 4) + 0.0).as("ratio_2020"))
+  }
+
+  val q283InequalitySql: String =
+    """WITH u AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY o_custkey),
+      |tt AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS t FROM u),
+      |d AS (
+      |  SELECT x, NTILE(10) OVER (ORDER BY x DESC, o_custkey) AS decile
+      |  FROM u),
+      |a AS (
+      |  SELECT MAX(n) AS n_customers, MAX(t) AS tot,
+      |    SUM(ABS(CAST(x AS HUGEINT) * n - t)) AS sabs,
+      |    SUM(CASE WHEN decile = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+      |      AS top10,
+      |    SUM(CASE WHEN decile >= 7 THEN CAST(x AS HUGEINT) ELSE 0 END)
+      |      AS bot40,
+      |    SUM(CASE WHEN decile <= 2 THEN CAST(x AS HUGEINT) ELSE 0 END)
+      |      AS top20,
+      |    SUM(CASE WHEN decile >= 9 THEN CAST(x AS HUGEINT) ELSE 0 END)
+      |      AS bot20
+      |  FROM d CROSS JOIN tt)
+      |SELECT n_customers,
+      |  ROUND(CAST(tot AS DOUBLE) / 100.0, 2) + 0 AS total_rev,
+      |  ROUND(CAST(sabs AS DOUBLE)
+      |    / (2.0 * n_customers * CAST(tot AS DOUBLE)), 6) + 0 AS hoover,
+      |  CASE WHEN CAST(bot40 AS DOUBLE) <= 0 THEN NULL
+      |    ELSE ROUND(CAST(top10 AS DOUBLE) / CAST(bot40 AS DOUBLE), 4) + 0
+      |    END AS palma,
+      |  CASE WHEN CAST(bot20 AS DOUBLE) <= 0 THEN NULL
+      |    ELSE ROUND(CAST(top20 AS DOUBLE) / CAST(bot20 AS DOUBLE), 4) + 0
+      |    END AS ratio_2020
+      |FROM a""".stripMargin
 }

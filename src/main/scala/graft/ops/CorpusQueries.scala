@@ -350,4 +350,204 @@ object CorpusQueries {
       |      / CAST(3 * t - sr2 AS DOUBLE)) / 2.0) * 1e8 + 0.5) / 1e8
       |    END AS p
       |FROM a""".stripMargin
+
+  /** L217 rank-biased overlap RBO@10, p = 0.9 ([PK] Webber, Moffat &
+    * Zobel 2010): how similar are two TOP-10 rankings of the part
+    * catalog — by revenue (Σ extendedprice) vs by units moved
+    * (Σ quantity)? RBO is the top-weighted list-similarity measure
+    * retrieval evaluation uses where Kendall/Spearman (q177/q211)
+    * would weight depth 10 equally with depth 1: RBO@k =
+    * (1−p) Σ_{d≤k} p^{d−1}·X_d/d with X_d the prefix-overlap at
+    * depth d.
+    *
+    * Parity: with p = 9/10 every term is RATIONAL — over the common
+    * denominator D = 10¹⁰·lcm(1..10) = 2.52e13 the per-depth weight
+    * is the exact int64 9^{d−1}·10^{10−d}·(2520/d), so the cumulative
+    * RBO is an exact-integer half-up division (the q167 share trick),
+    * never a float sum. Both top-10 lists are total-ordered by
+    * (measure desc, partkey).
+    *
+    * Scale: one lineitem agg → two TakeOrdered(10) frames; everything
+    * after operates on ≤ 20 rows (the depth-grid cross join is a
+    * 10×≤10 literal — BNLJ allowlisted).
+    *
+    * Output: one row per depth d with the overlap X_d and RBO@d. */
+  def q284Rbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("rev"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("qty"))
+    def top10(m: String, tieKey: String = "l_partkey") = {
+      val ordered = per.orderBy(col(m).desc, col(tieKey)).limit(10)
+      ordered.select(col("l_partkey"),
+        row_number().over(
+          Window.orderBy(col(m).desc, col(tieKey))).as("r"))
+    }
+    val a = top10("rev").withColumnRenamed("r", "ra")
+    val b = top10("qty").withColumnRenamed("r", "rb")
+    val joined = a.join(b, Seq("l_partkey"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    // exact per-depth weights w_d = 9^(d-1) * 10^(10-d) * (2520/d)
+    val weights: Seq[Long] = (1 to 10).map { d =>
+      var w = 2520L / d
+      for (_ <- 1 until d) w *= 9L
+      for (_ <- d until 10) w *= 10L
+      w
+    }
+    val dGrid = s.range(1, 11).select(col("id").cast("int").as("d"))
+    val dec = "decimal(38,0)"
+    val terms = dGrid.join(joined, lit(true), "left")
+      .groupBy("d")
+      .agg(coalesce(sum(when(col("m") <= col("d"), 1L).otherwise(0L)),
+        lit(0L)).as("x_d"))
+      .withColumn("w",
+        element_at(typedlit(weights), col("d")))
+    val cum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dTot = lit(25200000000000L) // 10^10 * 2520
+    terms
+      .withColumn("num", sum(col("x_d").cast(dec) * col("w").cast(dec))
+        .over(cum))
+      .select(col("d"), col("x_d"),
+        // exact half-up integer division: (num*2e6 + D) div (2D) / 1e6
+        (((col("num") * lit(2000000L).cast(dec) + dTot.cast(dec)) -
+          pmod(col("num") * lit(2000000L).cast(dec) + dTot.cast(dec),
+            dTot.cast(dec) * 2L)) / (dTot.cast(dec) * 2L))
+          .cast("long").cast("double").divide(1e6).as("rbo"))
+      .orderBy("d")
+  }
+
+  val q284RboSql: String =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY l_partkey),
+      |a AS (
+      |  SELECT l_partkey,
+      |    ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS ra
+      |  FROM per ORDER BY rev DESC, l_partkey LIMIT 10),
+      |b AS (
+      |  SELECT l_partkey,
+      |    ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS rb
+      |  FROM per ORDER BY qty DESC, l_partkey LIMIT 10),
+      |j AS (
+      |  SELECT GREATEST(ra, rb) AS m
+      |  FROM a JOIN b USING (l_partkey)),
+      |w AS (
+      |  SELECT d,
+      |    [2520000000000, 1134000000000, 680400000000, 459270000000,
+      |     330674400000, 248005800000, 191318760000, 150663523500,
+      |     120530818800, 97629963228][d] AS wt
+      |  FROM generate_series(1, 10) AS t(d)),
+      |terms AS (
+      |  SELECT w.d, COALESCE(SUM(CASE WHEN j.m <= w.d THEN 1 ELSE 0 END),
+      |      0) AS x_d, MAX(w.wt) AS wt
+      |  FROM w LEFT JOIN j ON TRUE
+      |  GROUP BY w.d),
+      |c AS (
+      |  SELECT d, x_d,
+      |    SUM(CAST(x_d AS HUGEINT) * wt) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num
+      |  FROM terms)
+      |SELECT CAST(d AS INT) AS d, CAST(x_d AS BIGINT) AS x_d,
+      |  CAST((num * 2000000 + 25200000000000)
+      |    // (CAST(25200000000000 AS HUGEINT) * 2) AS BIGINT) / 1e6
+      |    AS rbo
+      |FROM c ORDER BY d""".stripMargin
+
+  /** L219 bigram-LM cross-entropy scoring ([PK] CCNet, Wenzek et al.
+    * 2020; Jurafsky & Martin ch. 3): train an add-1-smoothed bigram
+    * language model ON the corpus itself and score each SOURCE by
+    * average negative log-likelihood — the perplexity-proxy quality
+    * filter of LLM data pipelines (a source whose text surprises the
+    * corpus LM is boilerplate, markup soup, or a different register;
+    * CCNet buckets documents by exactly this statistic). P(w₂|w₁) =
+    * (C(w₁w₂)+1)/(C(w₁)+V) with context counts C(w₁) = Σ bigrams
+    * starting at w₁ and V the corpus vocabulary.
+    *
+    * Parity: −ln P = ln(C₁+V) − ln(C₁₂+1) — BOTH libm calls take
+    * exact-integer arguments and are floor-quantized to 1e-9 quanta
+    * (the q187 convention), so the per-source sum is an exact int64/
+    * DECIMAL sum of quantized terms; the final ppl = exp(avg) takes
+    * the 6dp-ROUNDED average (identical double both engines) and
+    * floor-quantizes 1e-4.
+    *
+    * Scale: the model IS a distributed table (bigram counts — no
+    * driver state, unlike a real LM); scoring is two equi-joins on
+    * (bigram, context) + one 1-row vocab broadcast (BNLJ
+    * allowlisted). The per-source bigram census rides one lazy
+    * localCheckpoint (it feeds the model AND the scoring join). */
+  def q286LmScore(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val occ = Tables.documents(s, dir).select(col("source"),
+      explode(graft.functions.SimFns.wordBigrams(col("text"))).as("bg"))
+    val srcbg = occ.groupBy("source", "bg").agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false)
+    val glob = srcbg.groupBy("bg").agg(sum(col("k")).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val ctx = glob.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    def qln9(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val scored = srcbg.join(glob.select("bg", "c12", "w1"), "bg")
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("k"), col("v"),
+        (qln9(col("c1") + col("v")) - qln9(col("c12") + lit(1L)))
+          .as("nll9"))
+    val g = scored.groupBy("source")
+      .agg(sum(col("k")).as("n_bigrams"),
+        count(lit(1)).as("bigram_types"),
+        max(col("v")).as("vocab"),
+        sum(col("k").cast(dec) * col("nll9").cast(dec)).as("snll"))
+    val avg = round(col("snll").cast("double") / 1e9 /
+      col("n_bigrams").cast("double"), 6) + 0.0
+    g.select(col("source"), col("n_bigrams"), col("bigram_types"),
+        col("vocab"), avg.as("avg_nll"),
+        (floor(exp(avg) * 1e4 + 0.5) / 1e4).as("ppl"))
+      .orderBy("source")
+  }
+
+  val q286LmScoreSql: String =
+    """WITH bgx AS (
+      |  SELECT source,
+      |    unnest(CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+      |      ELSE list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' '
+      |          || string_split(text, ' ')[i + 1]) END) AS bg
+      |  FROM documents),
+      |sb AS (
+      |  SELECT source, bg, COUNT(*) AS k FROM bgx GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
+      |    string_split(bg, ' ')[1] AS w1
+      |  FROM sb GROUP BY bg),
+      |cx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM gl GROUP BY w1),
+      |vv AS (
+      |  SELECT COUNT(DISTINCT w) AS v FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |sc AS (
+      |  SELECT source, k, v,
+      |    CAST(FLOOR(LN(CAST(c1 + v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |      - CAST(FLOOR(LN(CAST(c12 + 1 AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT) AS nll9
+      |  FROM sb JOIN gl USING (bg) JOIN cx USING (w1) CROSS JOIN vv),
+      |g AS (
+      |  SELECT source, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+      |    COUNT(*) AS bigram_types, CAST(MAX(v) AS BIGINT) AS vocab,
+      |    CAST(SUM(CAST(k AS HUGEINT) * nll9) AS HUGEINT) AS snll
+      |  FROM sc GROUP BY source)
+      |SELECT source, n_bigrams, bigram_types, vocab,
+      |  ROUND(CAST(snll AS DOUBLE) / 1e9 / n_bigrams, 6) + 0 AS avg_nll,
+      |  FLOOR(EXP(ROUND(CAST(snll AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
+      |    * 1e4 + 0.5) / 1e4 AS ppl
+      |FROM g ORDER BY source""".stripMargin
 }

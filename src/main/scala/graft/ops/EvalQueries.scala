@@ -1,0 +1,403 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation & experiment tooling (round 13, batch 2): the agreement /
+  * concordance finishers and the ratio-metric readout an A/B platform
+  * needs on top of the q172/q231/q273 family.
+  *
+  * - q282 Krippendorff's α — the small-sample-corrected sibling of
+  *   Fleiss' κ (q274) over the same three-rater quality ensemble.
+  * - q285 Kendall's W — concordance of the 7 weekday "judges" ranking
+  *   event types, the multi-judge generalization of Spearman (q177)
+  *   and the effect-size companion of Friedman (q241).
+  * - q287 delta-method ratio-metric CI — per-arm revenue-per-event
+  *   with a linearization variance, the Deng et al. 2018-style [PK]
+  *   answer to "a ratio of sums has no per-unit mean".
+  */
+object EvalQueries {
+
+  private val dec = "decimal(38,0)"
+
+  /** The q274/q281 three-screen rater table: one row per document with
+    * 0/1 verdicts from the length / verbosity / stopword screens. */
+  private def raters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        when(col("n_chars") >= 100, 1L).otherwise(0L).as("r1"),
+        when(size(tokens(col("text"))) >= 20, 1L).otherwise(0L).as("r2"),
+        when(arrays_overlap(tokens(col("text")),
+          typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))),
+          1L).otherwise(0L).as("r3"))
+      .withColumn("g", col("r1") + col("r2") + col("r3"))
+
+  /** L215 Krippendorff's α, nominal, 3 raters ([PK] Krippendorff 1970):
+    * the same ensemble-agreement question as Fleiss' κ (q274) under
+    * the coincidence-matrix chance model — expected disagreement is
+    * computed WITHOUT replacement over the N = 3n pairable values
+    * (the (N−1) in D_e), which is why α ≠ κ on finite corpora and why
+    * α is the convention content-analysis reports. Binary nominal:
+    * per-doc observed disagreement Σ 2g(3−g) over n·m(m−1) pairs;
+    * D_e = 2G(N−G)/(N(N−1)) with G total good votes.
+    *
+    * Parity: both D's are ratios of exact int64/DECIMAL sums; α is
+    * computed from the EXACT rational cross-product (not the rounded
+    * D's), one double division, 6dp.
+    *
+    * Scale: one map-side-combinable agg — no joins, no windows.
+    * Guards: D_e = 0 (all 3n values identical) → null α. */
+  def q282KrippAlpha(s: SparkSession, dir: String): DataFrame = {
+    val a = raters(s, dir).agg(count(lit(1)).as("n_docs"),
+      sum(col("g")).as("votes_good"),
+      sum(col("g") * (lit(3L) - col("g")) * 2L).as("dis_pairs"))
+    val n = col("n_docs")
+    val nv = n * 3L // pairable values
+    val g = col("votes_good")
+    // α = 1 − (dis_pairs / (6n)) / (2G(N−G) / (N(N−1)))
+    //   = 1 − dis_pairs·N·(N−1) / (6n · 2G(N−G)), exact cross-products
+    val num = col("dis_pairs").cast(dec) * nv.cast(dec) * (nv - 1L).cast(dec)
+    val den = lit(12L).cast(dec) * n.cast(dec) * g.cast(dec) *
+      (nv - g).cast(dec)
+    val degenerate = g === 0L || g === nv
+    a.select(n.as("n_docs"), nv.as("n_values"), g.as("votes_good"),
+      (round(col("dis_pairs").cast("double") / (n.cast("double") * 6.0), 6)
+        + 0.0).as("d_o"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * g.cast("double") *
+          (nv - g).cast("double") /
+          (nv.cast("double") * (nv - 1L).cast("double")), 6) + 0.0)
+        .as("d_e"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) -
+          num.cast("double") / den.cast("double"), 6) + 0.0)
+        .as("kripp_alpha"))
+  }
+
+  val q282KrippAlphaSql: String =
+    """WITH d AS (
+      |  SELECT
+      |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0
+      |       END)
+      |    + (CASE WHEN len(list_intersect(string_split(text, ' '),
+      |        ['the','a','of','and','to','in','is','on'])) > 0
+      |       THEN 1 ELSE 0 END) AS g
+      |  FROM documents),
+      |a AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(g) AS BIGINT) AS votes_good,
+      |    CAST(SUM(g * (3 - g) * 2) AS BIGINT) AS dis_pairs
+      |  FROM d)
+      |SELECT n_docs, 3 * n_docs AS n_values, votes_good,
+      |  ROUND(CAST(dis_pairs AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0),
+      |    6) + 0 AS d_o,
+      |  CASE WHEN votes_good = 0 OR votes_good = 3 * n_docs THEN NULL
+      |    ELSE ROUND(2.0 * CAST(votes_good AS DOUBLE)
+      |      * CAST(3 * n_docs - votes_good AS DOUBLE)
+      |      / (CAST(3 * n_docs AS DOUBLE)
+      |         * CAST(3 * n_docs - 1 AS DOUBLE)), 6) + 0 END AS d_e,
+      |  CASE WHEN votes_good = 0 OR votes_good = 3 * n_docs THEN NULL
+      |    ELSE ROUND(1.0
+      |      - CAST(CAST(dis_pairs AS HUGEINT) * (3 * n_docs)
+      |          * (3 * n_docs - 1) AS DOUBLE)
+      |        / CAST(12 * CAST(n_docs AS HUGEINT) * votes_good
+      |          * (3 * n_docs - votes_good) AS DOUBLE), 6) + 0 END
+      |    AS kripp_alpha
+      |FROM a""".stripMargin
+
+  /** L218 Kendall's coefficient of concordance W ([PK] Kendall &
+    * Babington Smith 1939), tie-corrected: do the 7 ISO weekdays
+    * agree on how the event types rank by traffic? Each weekday
+    * "judges" the event-type field by its event count that weekday;
+    * W ∈ [0,1] measures concordance of the k = 7 rankings (W = 1:
+    * weekday never changes the ordering — the type mix is stationary
+    * across the week; W → 0: the mix reshuffles daily). The
+    * effect-size companion of the Friedman test (q241) and the
+    * k-judge generalization of Spearman's ρ (q177).
+    *
+    * Midranks ride the integer-exact doubled form 2·midrank =
+    * 2·rank + ties − 1 (the q211/q251 convention); the tie correction
+    * subtracts k·ΣT_j, T_j = Σ(t³−t) per weekday.
+    *
+    * Parity: every sum is exact int64 on a ≤(7×|event types|) census;
+    * W is one double division of exact ints, 6dp.
+    *
+    * Scale: one corpus agg to the (weekday, type) census, then windows
+    * over ≤ 7n rows. Guards: n < 2 objects or a fully-tied panel
+    * (denominator 0) → null W. */
+  def q285KendallW(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(s, dir)
+      .select((weekday(col("ts").cast("date")) + 1).as("isodow"),
+        col("event_type"))
+      .groupBy("isodow", "event_type").agg(count(lit(1)).as("cnt"))
+    // 2·midrank = 2·rank(cnt asc) + ties − 1 within each weekday judge
+    val wj = Window.partitionBy("isodow").orderBy(col("cnt"))
+    val ranked = cell
+      .withColumn("r2",
+        lit(2L) * rank().over(wj) +
+          count(lit(1)).over(wj.rangeBetween(0, 0)) - 1L)
+      .withColumn("ties", count(lit(1)).over(wj.rangeBetween(0, 0)))
+    // per-object doubled rank sums R2_i = Σ_j 2·midrank_ij
+    val perObj = ranked.groupBy("event_type")
+      .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("k"))
+    // tie correction: ΣT_j counts each size-t tie group t times via
+    // the per-row (t²−1) form: Σ_rows (ties²−1) = Σ_groups t(t²−1)
+    val tiesAgg = ranked.agg(
+      sum(col("ties") * col("ties") - 1L).as("tt"))
+    val objAgg = perObj.agg(count(lit(1)).as("n_objects"),
+      max(col("k")).as("k_judges"),
+      sum(col("r2sum") * col("r2sum")).as("sr2sq"),
+      sum(col("r2sum")).as("sr2"))
+    val n = col("n_objects")
+    val k = col("k_judges")
+    // 4·S = Σ(R2)² − (ΣR2)²/n → numerator of W uses 12·(n·Σ(R2)²−(ΣR2)²)
+    // over n·4·(k²(n³−n) − kΣT)
+    val wNum = lit(12L).cast(dec) *
+      (n.cast(dec) * col("sr2sq").cast(dec) -
+        col("sr2").cast(dec) * col("sr2").cast(dec))
+    val wDen = lit(4L).cast(dec) * n.cast(dec) *
+      (k.cast(dec) * k.cast(dec) * (n.cast(dec) * n.cast(dec) * n.cast(dec)
+        - n.cast(dec)) - k.cast(dec) * col("tt").cast(dec))
+    val wStat = wNum.cast("double") / wDen.cast("double")
+    objAgg.crossJoin(broadcast(tiesAgg))
+      .select(n.as("n_objects"), k.as("k_judges"), col("tt").as("tie_term"),
+        when(n < 2L || wDen.cast("double") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(wStat, 6) + 0.0).as("kendall_w"),
+        when(n < 2L || wDen.cast("double") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(k.cast("double") * (n.cast("double") - 1.0) *
+            wStat, 4) + 0.0).as("friedman_chi2"))
+  }
+
+  val q285KendallWSql: String =
+    """WITH cell AS (
+      |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT)
+      |      AS isodow,
+      |    event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type,
+      |    2 * RANK() OVER (PARTITION BY isodow ORDER BY cnt)
+      |      + COUNT(*) OVER (PARTITION BY isodow, cnt) - 1 AS r2,
+      |    COUNT(*) OVER (PARTITION BY isodow, cnt) AS ties
+      |  FROM cell),
+      |perobj AS (
+      |  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2sum,
+      |    COUNT(*) AS k
+      |  FROM ranked GROUP BY event_type),
+      |oa AS (
+      |  SELECT COUNT(*) AS n, CAST(MAX(k) AS BIGINT) AS k,
+      |    CAST(SUM(CAST(r2sum AS HUGEINT) * r2sum) AS HUGEINT) AS sr2sq,
+      |    CAST(SUM(r2sum) AS BIGINT) AS sr2
+      |  FROM perobj),
+      |ta AS (
+      |  SELECT CAST(SUM(CAST(ties AS HUGEINT) * ties - 1) AS BIGINT) AS tt
+      |  FROM ranked),
+      |f AS (
+      |  SELECT n, k, tt,
+      |    CAST(12 * (n * sr2sq - CAST(sr2 AS HUGEINT) * sr2) AS DOUBLE)
+      |      AS wnum,
+      |    CAST(4 * CAST(n AS HUGEINT)
+      |      * (k * k * (CAST(n AS HUGEINT) * n * n - n) - k * tt)
+      |      AS DOUBLE) AS wden
+      |  FROM oa CROSS JOIN ta)
+      |SELECT n AS n_objects, k AS k_judges, tt AS tie_term,
+      |  CASE WHEN n < 2 OR wden <= 0 THEN NULL
+      |    ELSE ROUND(wnum / wden, 6) + 0 END AS kendall_w,
+      |  CASE WHEN n < 2 OR wden <= 0 THEN NULL
+      |    ELSE ROUND(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      |      * wnum / wden, 4) + 0 END AS friedman_chi2
+      |FROM f""".stripMargin
+
+  /** L220 delta-method ratio-metric CI ([PK] Cochran 1977 ratio
+    * estimation; Deng, Knoblich & Lu 2018 for the A/B framing):
+    * revenue-per-event per experiment arm. The metric is a ratio of
+    * SUMS R = ΣY/ΣN (not a mean of per-user ratios), so its sampling
+    * variance needs the linearization var(R̂) ≈ Σ(y_i − R n_i)² /
+    * (n(n−1) n̄²) over per-USER totals (users are the randomization
+    * unit — the q273 arm assignment, user_id parity). The per-arm
+    * 95% CI is R ± 1.96·se.
+    *
+    * Parity: Σ(y−Rn)² expands algebraically to Σy² − 2RΣyn + R²Σn² —
+    * the five moment sums are exact cents-int64/DECIMAL, so the
+    * double chain (division, multiply, IEEE-exact sqrt) is
+    * order-independent; outputs 6dp (4dp for the cents-scaled means).
+    *
+    * Scale: one per-user agg, one 2-row arm agg — no joins beyond the
+    * final 2-row frame. Guards: arms with < 2 users or zero event
+    * mass → null CI. */
+  def q287RatioCi(s: SparkSession, dir: String): DataFrame = {
+    val peru = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(coalesce(sum(floor(col("value") * 100.0 + 0.5).cast("long")),
+        lit(0L)).as("y"),
+        count(lit(1)).as("m"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val a = peru.groupBy("arm").agg(count(lit(1)).as("n_users"),
+      sum(col("y").cast(dec)).as("sy"), sum(col("m").cast(dec)).as("sm"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("y").cast(dec) * col("m").cast(dec)).as("sym"),
+      sum(col("m").cast(dec) * col("m").cast(dec)).as("smm"))
+    val nD = col("n_users").cast("double")
+    val r = col("sy").cast("double") / col("sm").cast("double")
+    val mbar = col("sm").cast("double") / nD
+    val ssq = col("syy").cast("double") - lit(2.0) * r *
+      col("sym").cast("double") + r * r * col("smm").cast("double")
+    val varR = ssq / (nD * (nD - 1.0) * mbar * mbar)
+    val se = sqrt(varR)
+    val bad = col("n_users") < 2L || col("sm").cast("double") <= 0.0
+    a.select(col("arm"), col("n_users"),
+        col("sm").cast("long").as("n_events"),
+        (round(r / 100.0, 6) + 0.0).as("rev_per_event"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round(se / 100.0, 6) + 0.0).as("se"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round((r - lit(1.96) * se) / 100.0, 6) + 0.0)
+          .as("ci_lo"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(round((r + lit(1.96) * se) / 100.0, 6) + 0.0)
+          .as("ci_hi"))
+      .orderBy("arm")
+  }
+
+  val q287RatioCiSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(COALESCE(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)),
+      |      0) AS BIGINT) AS y,
+      |    COUNT(*) AS m,
+      |    user_id % 2 AS arm
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |a AS (
+      |  SELECT arm, COUNT(*) AS n_users,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(m) AS HUGEINT) AS sm,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(CAST(y AS HUGEINT) * m) AS HUGEINT) AS sym,
+      |    CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm
+      |  FROM u GROUP BY arm),
+      |c AS (
+      |  SELECT arm, n_users, sm,
+      |    CAST(sy AS DOUBLE) / CAST(sm AS DOUBLE) AS r,
+      |    (CAST(syy AS DOUBLE)
+      |      - 2.0 * (CAST(sy AS DOUBLE) / CAST(sm AS DOUBLE))
+      |        * CAST(sym AS DOUBLE)
+      |      + (CAST(sy AS DOUBLE) / CAST(sm AS DOUBLE))
+      |        * (CAST(sy AS DOUBLE) / CAST(sm AS DOUBLE))
+      |        * CAST(smm AS DOUBLE))
+      |    / (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0)
+      |       * (CAST(sm AS DOUBLE) / n_users)
+      |       * (CAST(sm AS DOUBLE) / n_users)) AS varr
+      |  FROM a)
+      |SELECT arm, n_users, CAST(sm AS BIGINT) AS n_events,
+      |  ROUND(r / 100.0, 6) + 0 AS rev_per_event,
+      |  CASE WHEN n_users < 2 OR sm <= 0 THEN NULL
+      |    ELSE ROUND(SQRT(varr) / 100.0, 6) + 0 END AS se,
+      |  CASE WHEN n_users < 2 OR sm <= 0 THEN NULL
+      |    ELSE ROUND((r - 1.96 * SQRT(varr)) / 100.0, 6) + 0 END AS ci_lo,
+      |  CASE WHEN n_users < 2 OR sm <= 0 THEN NULL
+      |    ELSE ROUND((r + 1.96 * SQRT(varr)) / 100.0, 6) + 0 END AS ci_hi
+      |FROM c ORDER BY arm""".stripMargin
+
+  /** L222 Ansari–Bradley scale test ([PK] Ansari & Bradley 1960): do
+    * URGENT and LOW-priority orders differ in price DISPERSION (not
+    * location)? Ranks are assigned from BOTH ends of the pooled sample
+    * inward — a = min(rank, N+1−rank) — so small scores mean extreme
+    * values; the rank-based member of the scale family next to the
+    * moment-based Brown–Forsythe (L166). The z uses the
+    * permutation-conditional moments GIVEN the observed (tie-adjusted)
+    * scores — E = m·ā, Var = mn·Σ(a−ā)²/(N(N−1)) — which absorbs ties
+    * without the separate even/odd-N textbook cases.
+    *
+    * Parity: the value census carries doubled midranks 2r = 2·cumBelow
+    * + cnt + 1 (exact int64); doubled scores a2 = min(2r, 2(N+1)−2r);
+    * AB, Σa2·cnt, Σa2²·cnt all exact int64/DECIMAL; z is one double
+    * chain with IEEE-exact sqrt, 4dp. No p column (no closed-form
+    * normal tail — the q172 z-only convention).
+    *
+    * Scale: one agg to the distinct-cents census, one window over it,
+    * one 1-row reduce. Guards: zero score variance (all values tied)
+    * → null z. */
+  def q288AnsariBradley(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+      .groupBy("pc")
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    // distributed rank backbone (q210 shape) + the r13 max-of-cumulative
+    // 1-row totals broadcast (q147 form) for the from-both-ends fold
+    val cum = PrefixSum.withPrefixSums(cell, Seq(col("pc")),
+      Seq((col("cnt"), "cumn")))
+    val tot = cum.agg(max(col("cumn")).as("nn"))
+    val ranked = cum.crossJoin(broadcast(tot))
+      .withColumn("r2", lit(2L) * col("cumn") - col("cnt") + 1L)
+      .withColumn("a2",
+        least(col("r2"), lit(2L) * (col("nn") + 1L) - col("r2")))
+    val dec = "decimal(38,0)"
+    val a = ranked.agg(max(col("nn")).as("n"),
+      sum(col("c1")).as("m"),
+      sum(col("c1").cast(dec) * col("a2").cast(dec)).as("ab2"),
+      sum(col("cnt").cast(dec) * col("a2").cast(dec)).as("s1"),
+      sum(col("cnt").cast(dec) * col("a2").cast(dec) * col("a2").cast(dec))
+        .as("s2"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val ss4 = col("s2").cast("double") -
+      col("s1").cast("double") * (col("s1").cast("double") / nD)
+    val varAb4 = mD * (nD - mD) * ss4 / (nD * (nD - 1.0))
+    val z = (col("ab2").cast("double") - mD *
+      (col("s1").cast("double") / nD)) / sqrt(varAb4)
+    val bad = col("m") === 0L || col("m") === col("n") || ss4 <= 0.0
+    a.select(col("m").cast("long").as("n_urgent"),
+      (col("n") - col("m")).cast("long").as("n_low"),
+      (col("ab2").cast("double") / 2.0).as("ab_stat"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"))
+  }
+
+  val q288AnsariBradleySql: String =
+    """WITH cell AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    COUNT(*) AS cnt,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c1
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY pc),
+      |r AS (
+      |  SELECT pc, cnt, c1,
+      |    SUM(cnt) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS below,
+      |    SUM(cnt) OVER () AS nn
+      |  FROM cell),
+      |sc AS (
+      |  SELECT cnt, c1, nn,
+      |    LEAST(2 * below + cnt + 1,
+      |      2 * (nn + 1) - (2 * below + cnt + 1)) AS a2
+      |  FROM r),
+      |a AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * a2) AS HUGEINT) AS ab2,
+      |    CAST(SUM(CAST(cnt AS HUGEINT) * a2) AS HUGEINT) AS s1,
+      |    CAST(SUM(CAST(cnt AS HUGEINT) * a2 * a2) AS HUGEINT) AS s2
+      |  FROM sc),
+      |c AS (
+      |  SELECT n, m, ab2, s1,
+      |    CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n) AS ss4
+      |  FROM a)
+      |SELECT m AS n_urgent, n - m AS n_low,
+      |  CAST(ab2 AS DOUBLE) / 2.0 AS ab_stat,
+      |  CASE WHEN m = 0 OR m = n OR ss4 <= 0 THEN NULL
+      |    ELSE ROUND((CAST(ab2 AS DOUBLE)
+      |        - CAST(m AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+      |      / SQRT(CAST(m AS DOUBLE) * (n - m) * ss4
+      |        / (CAST(n AS DOUBLE) * (n - 1.0))), 4) + 0 END AS z
+      |FROM c""".stripMargin
+}

@@ -694,4 +694,90 @@ class NonDegeneracySpec extends SparkSpec {
       assert(p != null && p >= 0.0 && p <= 1.0, s"p out of range at $sf")
     }
   }
+
+  test("q282: real disagreement and a defined, non-perfect alpha") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q282_kripp_alpha", sf).head()
+      assert(r.getAs[Double]("d_o") > 0.0, s"no disagreement at $sf")
+      val a = r.getAs[java.lang.Double]("kripp_alpha")
+      assert(a != null && a > -1.0 && a < 1.0,
+        s"degenerate alpha at $sf")
+    }
+  }
+
+  test("q283: Hoover strictly inside (0,1); both ratios defined") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q283_inequality", sf).head()
+      val h = r.getAs[Double]("hoover")
+      assert(h > 0.0 && h < 1.0, s"degenerate Hoover at $sf")
+      val palma = r.getAs[java.lang.Double]("palma")
+      val r2020 = r.getAs[java.lang.Double]("ratio_2020")
+      assert(palma != null && palma > 0.0, s"palma undefined at $sf")
+      // the top quintile must out-earn the bottom (real concentration)
+      assert(r2020 != null && r2020 > 1.0, s"no concentration at $sf")
+    }
+  }
+
+  test("q284: partial prefix overlap — the rankers correlate but differ") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q284_rbo", sf).collect()
+      assert(rows.length === 10, s"depth grid incomplete at $sf")
+      val x10 = rows.map(_.getAs[Long]("x_d")).max
+      assert(x10 >= 1L && x10 <= 9L,
+        s"vacuous overlap $x10 at $sf — rankers identical or disjoint")
+      val rbo10 = rows.map(_.getAs[Double]("rbo")).max
+      assert(rbo10 > 0.0 && rbo10 < 1.0, s"degenerate RBO at $sf")
+    }
+  }
+
+  test("q285: concordance defined with a real tie correction") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q285_kendall_w", sf).head()
+      assert(r.getAs[Long]("n_objects") >= 3L, s"too few objects at $sf")
+      assert(r.getAs[Long]("k_judges") === 7L, s"missing weekdays at $sf")
+      val w = r.getAs[java.lang.Double]("kendall_w")
+      assert(w != null && w > 0.0 && w <= 1.0, s"degenerate W at $sf")
+    }
+  }
+
+  test("q286: the LM discriminates sources; vocabulary is real") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q286_lm_score", sf).collect()
+      assert(rows.length >= 2, s"too few sources at $sf")
+      val nlls = rows.map(_.getAs[Double]("avg_nll")).toSet
+      assert(nlls.size > 1, s"all sources score identically at $sf")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("ppl") > 1.0, s"ppl <= 1 at $sf")
+        assert(r.getAs[Long]("vocab") > 10L, s"vocab degenerate at $sf")
+        assert(r.getAs[Long]("n_bigrams") > 100L, s"thin corpus at $sf")
+      }
+    }
+  }
+
+  test("q288: both groups populated; z defined and finite") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q288_ansari_bradley", sf).head()
+      assert(r.getAs[Long]("n_urgent") > 10L, s"thin urgent group at $sf")
+      assert(r.getAs[Long]("n_low") > 10L, s"thin low group at $sf")
+      assert(r.getAs[Double]("ab_stat") > 0.0, s"zero AB at $sf")
+      val z = r.getAs[java.lang.Double]("z")
+      assert(z != null && !z.isNaN && !z.isInfinite,
+        s"degenerate z at $sf")
+    }
+  }
+
+  test("q287: both arms populated with bracketing CIs") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q287_ratio_ci", sf).collect()
+      assert(rows.length === 2, s"missing arm at $sf")
+      rows.foreach { r =>
+        val rpe = r.getAs[Double]("rev_per_event")
+        val lo = r.getAs[java.lang.Double]("ci_lo")
+        val hi = r.getAs[java.lang.Double]("ci_hi")
+        assert(lo != null && hi != null && lo < rpe && rpe < hi,
+          s"CI fails to bracket at $sf")
+        assert(r.getAs[java.lang.Double]("se") > 0.0, s"zero se at $sf")
+      }
+    }
+  }
 }

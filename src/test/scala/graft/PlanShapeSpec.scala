@@ -457,7 +457,17 @@ class PlanShapeSpec extends SparkSpec {
       "q279_leakage_folds",
       // r13: q280's 1-row side-totals broadcast onto the distinct-cents
       // census (the q147 max-of-cumulative pattern)
-      "q280_ad_two_sample")
+      "q280_ad_two_sample",
+      // r13 batch 2: q283's 1-row n/T census broadcast onto the
+      // per-customer frame (the q242 form), q284's 10-row depth grid
+      // joined onto the ≤10-row overlap frame (both sides literal-
+      // bounded), q285's 1-row tie-census broadcast onto the 1-row
+      // object aggregate, and q286's 1-row vocabulary-size broadcast
+      // onto the bigram-model join
+      "q283_inequality", "q284_rbo", "q285_kendall_w", "q286_lm_score",
+      // r13 batch 2: q288's 1-row pooled-N broadcast read back as the
+      // max of PrefixSum's cumulative counts (the q147 form)
+      "q288_ansari_bradley")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -140,7 +140,12 @@ class ScaleCurveSpec extends SparkSpec {
       // (scale-constant work after the daily census), q266 pushes three
       // periods through ONE census pass via explode, q268's MI contingency
       // is |cells| ≤ priorities×statuses — all must stay census-bounded
-      "q262_hodges_lehmann", "q266_periodogram", "q268_mutual_info")
+      "q262_hodges_lehmann", "q266_periodogram", "q268_mutual_info",
+      // round-13 batch 2: the bigram-LM scorer is the only new operator
+      // whose joins grow with the corpus (bigram census ⋈ model ⋈
+      // context); copies multiply bigram occurrences, types saturate,
+      // so growth must stay ~linear
+      "q286_lm_score")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

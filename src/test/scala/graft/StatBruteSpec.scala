@@ -1877,4 +1877,228 @@ class StatBruteSpec extends SparkSpec {
         s"$pr smape")
     }
   }
+
+  test("q282 Krippendorff alpha matches a sequential coincidence walk") {
+    val row = SparkEntry.queries("q282_kripp_alpha")(spark, sf0001).head()
+
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val gs = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), col("text"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        (if (r.getLong(0) >= 100) 1 else 0) +
+          (if (ws.length >= 20) 1 else 0) +
+          (if (ws.exists(stop)) 1 else 0)
+      }
+    val n = gs.length.toLong
+    val nv = 3L * n
+    val g = gs.map(_.toLong).sum
+    val disPairs = gs.map(x => 2L * x * (3L - x)).sum
+    val dO = disPairs.toDouble / (6.0 * n)
+    val dE = 2.0 * g * (nv - g) / (nv.toDouble * (nv - 1))
+    val alpha = 1.0 - dO / dE
+    assert(row.getAs[Long]("n_docs") === n)
+    assert(row.getAs[Long]("votes_good") === g)
+    assert(math.abs(row.getAs[Double]("d_o") - dO) < 1e-6)
+    assert(math.abs(row.getAs[Double]("d_e") - dE) < 1e-6)
+    assert(math.abs(row.getAs[Double]("kripp_alpha") - alpha) < 1e-6)
+  }
+
+  test("q283 Hoover/Palma match a sequential sorted-census walk") {
+    val row = SparkEntry.queries("q283_inequality")(spark, sf0001).head()
+
+    val xs = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = xs.length
+    val t = xs.map(x => BigInt(x._2)).sum
+    val hoover = xs.map(x => (BigInt(x._2) * n - t).abs).sum.toDouble /
+      (2.0 * n * t.toDouble)
+    // NTILE(10) over (x desc, custkey): first (n mod 10) buckets get
+    // ceil(n/10)
+    val sorted = xs.sortBy(p => (-p._2, p._1)).map(_._2)
+    val base = n / 10; val extra = n % 10
+    var idx = 0
+    val decSums = (1 to 10).map { d =>
+      val sz = base + (if (d <= extra) 1 else 0)
+      val sl = sorted.slice(idx, idx + sz); idx += sz
+      sl.map(BigInt(_)).sum
+    }
+    val palma = decSums(0).toDouble / decSums.drop(6).sum.toDouble
+    val r2020 = decSums.take(2).sum.toDouble / decSums.drop(8).sum.toDouble
+    assert(row.getAs[Long]("n_customers") === n.toLong)
+    assert(math.abs(row.getAs[Double]("hoover") - hoover) < 1e-6)
+    assert(math.abs(row.getAs[Double]("palma") - palma) < 1e-4)
+    assert(math.abs(row.getAs[Double]("ratio_2020") - r2020) < 1e-4)
+  }
+
+  test("q284 RBO matches a sequential prefix-overlap walk") {
+    val rows = SparkEntry.queries("q284_rbo")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_partkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("rev"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topA = per.sortBy(p => (-p._2, p._1)).take(10).map(_._1)
+    val topB = per.sortBy(p => (-p._3, p._1)).take(10).map(_._1)
+    val p = 0.9
+    var acc = 0.0
+    (1 to 10).foreach { d =>
+      val xd = topA.take(d).toSet.intersect(topB.take(d).toSet).size
+      acc += (1 - p) * math.pow(p, d - 1) * xd / d
+      val r = rows(d)
+      assert(r.getAs[Long]("x_d") === xd.toLong, s"depth $d overlap")
+      assert(math.abs(r.getAs[Double]("rbo") - acc) < 1e-6, s"depth $d rbo")
+    }
+  }
+
+  test("q285 Kendall W matches a sequential midrank walk") {
+    val row = SparkEntry.queries("q285_kendall_w")(spark, sf0001).head()
+
+    val cells = Tables.events(spark, sf0001)
+      .select((weekday(col("ts").cast("date")) + 1).as("isodow"),
+        col("event_type"))
+      .groupBy("isodow", "event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val judges = cells.groupBy(_._1)
+    val k = judges.size
+    val objs = cells.map(_._2).distinct.sorted
+    val n = objs.length
+    // midranks per judge (ascending cnt), tie term Σ t(t²−1)
+    var tieTerm = 0L
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+    judges.values.foreach { cs =>
+      val sorted = cs.sortBy(_._3)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._3 == sorted(i)._3)
+          j += 1
+        val mid = (i + 1 + j + 1) / 2.0
+        val t = (j - i + 1).toLong
+        tieTerm += t * (t * t - 1L)
+        (i to j).foreach(x => rankSums(sorted(x)._2) += mid)
+        i = j + 1
+      }
+    }
+    val rs = objs.map(rankSums)
+    val rbar = rs.sum / n
+    val sDev = rs.map(r => (r - rbar) * (r - rbar)).sum
+    val den = k.toDouble * k * (n.toDouble * n * n - n) / 12.0 -
+      k * tieTerm / 12.0
+    val w = sDev / den
+    assert(row.getAs[Long]("n_objects") === n.toLong)
+    assert(row.getAs[Long]("k_judges") === k.toLong)
+    assert(math.abs(row.getAs[Double]("kendall_w") - w) < 1e-4)
+    assert(math.abs(row.getAs[Double]("friedman_chi2") -
+      k * (n - 1) * w) < 5e-3)
+  }
+
+  test("q286 LM score matches a sequential bigram-model walk") {
+    val rows = SparkEntry.queries("q286_lm_score")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val srcBig = scala.collection.mutable.Map
+      .empty[(String, (String, String)), Long].withDefaultValue(0L)
+    val vocabSet = scala.collection.mutable.Set.empty[String]
+    docs.foreach { case (src, text) =>
+      val ws = text.split(" ", -1)
+      vocabSet ++= ws
+      ws.sliding(2).filter(_.length == 2).foreach { pr =>
+        val b = (pr(0), pr(1))
+        big(b) += 1; srcBig((src, b)) += 1
+      }
+    }
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = vocabSet.size.toLong
+    def qln9(x: Long) = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+    val bySrc = srcBig.groupBy(_._1._1)
+    bySrc.foreach { case (src, m) =>
+      val nB = m.values.sum
+      val types = m.size.toLong
+      val snll = m.map { case ((_, b), cnt) =>
+        BigInt(cnt) * (qln9(ctx(b._1) + v) - qln9(big(b) + 1L))
+      }.sum
+      val avg = snll.toDouble / 1e9 / nB
+      val r = rows(src)
+      assert(r.getAs[Long]("n_bigrams") === nB, s"$src n_bigrams")
+      assert(r.getAs[Long]("bigram_types") === types, s"$src types")
+      assert(r.getAs[Long]("vocab") === v, s"$src vocab")
+      assert(math.abs(r.getAs[Double]("avg_nll") - avg) < 1e-5, s"$src nll")
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(avg)) < 1e-2,
+        s"$src ppl")
+    }
+  }
+
+  test("q288 Ansari-Bradley matches a sequential both-ends-rank walk") {
+    val row = SparkEntry.queries("q288_ansari_bradley")(spark, sf0001)
+      .head()
+
+    val vals = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sorted = vals.sortBy(_._1)
+    val nTot = sorted.length
+    val scores = new Array[Double](nTot)
+    var i = 0
+    while (i < nTot) {
+      var j = i
+      while (j + 1 < nTot && sorted(j + 1)._1 == sorted(i)._1) j += 1
+      val mid = (i + 1 + j + 1) / 2.0
+      val a = math.min(mid, nTot + 1 - mid)
+      (i to j).foreach(x => scores(x) = a)
+      i = j + 1
+    }
+    val m = sorted.count(_._2)
+    val ab = sorted.zip(scores).filter(_._1._2).map(_._2).sum
+    val abar = scores.sum / nTot
+    val ss = scores.map(a => (a - abar) * (a - abar)).sum
+    val z = (ab - m * abar) /
+      math.sqrt(m.toDouble * (nTot - m) * ss / (nTot.toDouble * (nTot - 1)))
+    assert(row.getAs[Long]("n_urgent") === m.toLong)
+    assert(row.getAs[Long]("n_low") === (nTot - m).toLong)
+    assert(math.abs(row.getAs[Double]("ab_stat") - ab) < 1e-9)
+    assert(math.abs(row.getAs[Double]("z") - z) < 5e-4)
+  }
+
+  test("q287 ratio CI matches a sequential linearization walk") {
+    val rows = SparkEntry.queries("q287_ratio_ci")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val perU = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(coalesce(sum(floor(col("value") * 100.0 + 0.5).cast("long")),
+        lit(0L)).as("y"), count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1), r.getLong(2)))
+    perU.groupBy(_._1).foreach { case (arm, us) =>
+      val n = us.length
+      val sy = us.map(_._2).sum.toDouble
+      val sm = us.map(_._3).sum.toDouble
+      val r0 = sy / sm
+      val ssq = us.map(u => math.pow(u._2 - r0 * u._3, 2)).sum
+      val se = math.sqrt(ssq / (n.toDouble * (n - 1) * (sm / n) * (sm / n)))
+      val r = rows(arm)
+      assert(r.getAs[Long]("n_users") === n.toLong, s"arm $arm n")
+      assert(r.getAs[Long]("n_events") === sm.toLong, s"arm $arm events")
+      assert(math.abs(r.getAs[Double]("rev_per_event") - r0 / 100.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("se") - se / 100.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("ci_lo") - (r0 - 1.96 * se) / 100.0)
+        < 1e-4)
+      assert(math.abs(r.getAs[Double]("ci_hi") - (r0 + 1.96 * se) / 100.0)
+        < 1e-4)
+    }
+  }
 }
