@@ -400,4 +400,390 @@ object EvalQueries {
       |      / SQRT(CAST(m AS DOUBLE) * (n - m) * ss4
       |        / (CAST(n AS DOUBLE) * (n - 1.0))), 4) + 0 END AS z
       |FROM c""".stripMargin
+
+  /** L225 Cucconi joint location-scale test ([PK] Cucconi 1968;
+    * Marozzi 2009): do URGENT and LOW orders differ in price location
+    * OR dispersion — one test, not a Bonferroni pair of
+    * Mann–Whitney (L147) + Ansari–Bradley (L222)? U standardizes the
+    * group-1 sum of SQUARED ranks, V the sum of squared CONTRARY
+    * ranks (N+1−R); the quadratic form C = (U²+V²−2ρUV)/(2(1−ρ²))
+    * has the remarkably simple asymptotic null tail P(C>c) = e^{−c}
+    * — an exact closed form, no chi-square table.
+    *
+    * Parity: doubled midranks on the PrefixSum backbone (the q288
+    * census); Σc₁·r2² and Σc₁·s2² exact DECIMAL; U, V, ρ, C one
+    * deterministic double chain from exact ints (IEEE sqrt), 4dp;
+    * p floor-quantized 1e-8.
+    *
+    * Scale: identical to q288 — census agg + 1-row N broadcast.
+    * Guards: an empty group or N < 5 → null statistics. */
+  def q289Cucconi(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+      .groupBy("pc")
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+    val cum = PrefixSum.withPrefixSums(cell, Seq(col("pc")),
+      Seq((col("cnt"), "cumn")))
+    val tot = cum.agg(max(col("cumn")).as("nn"))
+    val ranked = cum.crossJoin(broadcast(tot))
+      .withColumn("r2", lit(2L) * col("cumn") - col("cnt") + 1L)
+      .withColumn("s2", lit(2L) * (col("nn") + 1L) - col("r2"))
+    val a = ranked.agg(max(col("nn")).as("n"), sum(col("c1")).as("m"),
+      sum(col("c1").cast(dec) * col("r2").cast(dec) * col("r2").cast(dec))
+        .as("sr2sq"),
+      sum(col("c1").cast(dec) * col("s2").cast(dec) * col("s2").cast(dec))
+        .as("ss2sq"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val n2D = nD - mD
+    val mean = mD * (nD + 1.0) * (nD * 2.0 + 1.0)
+    val sd = sqrt(mD * n2D * (nD + 1.0) * (nD * 2.0 + 1.0) *
+      (nD * 8.0 + 11.0) / 5.0)
+    // ΣR² = Σr2²/4 exactly; 6ΣR² = 1.5·Σr2²
+    val u = (lit(1.5) * col("sr2sq").cast("double") - mean) / sd
+    val v = (lit(1.5) * col("ss2sq").cast("double") - mean) / sd
+    val rho = lit(2.0) * (nD * nD - 4.0) /
+      ((nD * 2.0 + 1.0) * (nD * 8.0 + 11.0)) - 1.0
+    val cStat = (u * u + v * v - lit(2.0) * rho * u * v) /
+      (lit(2.0) * (lit(1.0) - rho * rho))
+    val bad = col("m") === 0L || col("m") === col("n") || col("n") < 5L
+    a.select(col("m").cast("long").as("n_urgent"),
+      (col("n") - col("m")).cast("long").as("n_low"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(u, 4) + 0.0).as("u"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(v, 4) + 0.0).as("v"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(cStat, 4) + 0.0).as("c"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(exp(-cStat) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q289CucconiSql: String =
+    """WITH cell AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    COUNT(*) AS cnt,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c1
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY pc),
+      |r AS (
+      |  SELECT pc, cnt, c1,
+      |    SUM(cnt) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+      |    SUM(cnt) OVER () AS nn
+      |  FROM cell),
+      |sc AS (
+      |  SELECT cnt, c1, nn,
+      |    2 * cumn - cnt + 1 AS r2,
+      |    2 * (nn + 1) - (2 * cumn - cnt + 1) AS s2
+      |  FROM r),
+      |a AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * r2 * r2) AS HUGEINT) AS sr2sq,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * s2 * s2) AS HUGEINT) AS ss2sq
+      |  FROM sc),
+      |c0 AS (
+      |  SELECT n, m,
+      |    (1.5 * CAST(sr2sq AS DOUBLE)
+      |      - CAST(m AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0))
+      |    / SQRT(CAST(m AS DOUBLE) * (n - CAST(m AS DOUBLE)) * (n + 1.0)
+      |      * (2.0 * n + 1.0) * (8.0 * n + 11.0) / 5.0) AS u,
+      |    (1.5 * CAST(ss2sq AS DOUBLE)
+      |      - CAST(m AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0))
+      |    / SQRT(CAST(m AS DOUBLE) * (n - CAST(m AS DOUBLE)) * (n + 1.0)
+      |      * (2.0 * n + 1.0) * (8.0 * n + 11.0) / 5.0) AS v,
+      |    2.0 * (CAST(n AS DOUBLE) * n - 4.0)
+      |      / ((2.0 * n + 1.0) * (8.0 * n + 11.0)) - 1.0 AS rho
+      |  FROM a),
+      |c1x AS (
+      |  SELECT n, m, u, v,
+      |    (u * u + v * v - 2.0 * rho * u * v)
+      |      / (2.0 * (1.0 - rho * rho)) AS c
+      |  FROM c0)
+      |SELECT m AS n_urgent, n - m AS n_low,
+      |  CASE WHEN m = 0 OR m = n OR n < 5 THEN NULL
+      |    ELSE ROUND(u, 4) + 0 END AS u,
+      |  CASE WHEN m = 0 OR m = n OR n < 5 THEN NULL
+      |    ELSE ROUND(v, 4) + 0 END AS v,
+      |  CASE WHEN m = 0 OR m = n OR n < 5 THEN NULL
+      |    ELSE ROUND(c, 4) + 0 END AS c,
+      |  CASE WHEN m = 0 OR m = n OR n < 5 THEN NULL
+      |    ELSE FLOOR(EXP(-c) * 1e8 + 0.5) / 1e8 END AS p
+      |FROM c1x""".stripMargin
+
+  /** L226 D'Agostino–Pearson K² omnibus normality test ([PK]
+    * D'Agostino 1970; Anscombe & Glynn 1983; D'Agostino, Belanger &
+    * D'Agostino 1990): the small-sample-calibrated omnibus — where
+    * Jarque–Bera (L190) plugs raw g₁/g₂ into an asymptotic χ², K²
+    * first maps each through its exact-moment normalizing transform
+    * (Johnson S_U for skewness, Anscombe–Glynn cube-root for
+    * kurtosis), so Z_skew/Z_kurt are ~N(0,1) even at modest n.
+    * K² = Z₁² + Z₂² ~ χ²₂, whose tail is the exact closed form
+    * e^{−K²/2}.
+    *
+    * Moments ride q256's census construction (floored-cent centering —
+    * the documented exact-sum convention). Parity: the double chain is
+    * deterministic from exact ints; the two non-IEEE libm calls (ln,
+    * cbrt) are floor-quantized (1e-9 / 1e-12); sqrt/divisions are
+    * IEEE-exact; p floor-quantized 1e-8.
+    *
+    * Scale: one cents-census agg + 1-row moment broadcast (the q256
+    * shape). Guards: n < 20 (transforms uncalibrated), zero variance,
+    * W ≤ 1, or A ≤ 4 → null. */
+  def q291DagostinoK2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val s1 = cen.agg(sum(col("cnt")).as("n"),
+      sum(col("c").cast(dec) * col("cnt").cast(dec)).as("sv"))
+      .select(col("n"),
+        floor(col("sv").cast("double") / col("n").cast("double"))
+          .cast("long").as("m"))
+    val d = col("c") - col("m")
+    val pw = cen.crossJoin(broadcast(s1))
+      .select(col("n"),
+        (d.cast(dec) * d.cast(dec) * col("cnt").cast(dec)).as("d2"),
+        (d.cast(dec) * d.cast(dec) * d.cast(dec) * col("cnt").cast(dec))
+          .as("d3"),
+        (d.cast(dec) * d.cast(dec) * d.cast(dec) * d.cast(dec) *
+          col("cnt").cast(dec)).as("d4"))
+      .groupBy("n")
+      .agg(sum(col("d2")).as("s2"), sum(col("d3")).as("s3"),
+        sum(col("d4")).as("s4"))
+    def qln(x: Column) = floor(log(x) * 1e9 + 0.5) / 1e9
+    val nD = col("n").cast("double")
+    val m2 = col("s2").cast("double") / nD
+    val g1 = (col("s3").cast("double") / nD) / (m2 * sqrt(m2))
+    val b2 = (col("s4").cast("double") / nD) / (m2 * m2)
+    // Z1: Johnson S_U transform of g1 (D'Agostino 1970)
+    val y = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
+    val beta2 = lit(3.0) * (nD * nD + nD * 27.0 - 70.0) * (nD + 1.0) *
+      (nD + 3.0) / ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
+    val delta = lit(1.0) / sqrt(qln(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+    val z1 = delta * qln(y / alpha + sqrt((y / alpha) * (y / alpha) + 1.0))
+    // Z2: Anscombe–Glynn cube-root transform of b2
+    val eb2 = lit(3.0) * (nD - 1.0) / (nD + 1.0)
+    val vb2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
+    val xx = (b2 - eb2) / sqrt(vb2)
+    val sb = (lit(6.0) * (nD * nD - nD * 5.0 + 2.0) /
+      ((nD + 7.0) * (nD + 9.0))) *
+      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) /
+        (nD * (nD - 2.0) * (nD - 3.0)))
+    val aA = lit(6.0) + lit(8.0) / sb *
+      (lit(2.0) / sb + sqrt(lit(1.0) + lit(4.0) / (sb * sb)))
+    val qc = floor(cbrt((lit(1.0) - lit(2.0) / aA) /
+      (lit(1.0) + xx * sqrt(lit(2.0) / (aA - 4.0)))) * 1e12 + 0.5) / 1e12
+    val z2 = (lit(1.0) - lit(2.0) / (lit(9.0) * aA) - qc) *
+      sqrt(lit(9.0) * aA / 2.0)
+    val k2 = z1 * z1 + z2 * z2
+    val bad = col("n") < 20L || col("s2") <= 0L || w2 <= 1.0 || aA <= 4.0
+    pw.select(col("n").as("n_orders"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z1, 4) + 0.0).as("z_skew"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z2, 4) + 0.0).as("z_kurt"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(k2, 4) + 0.0).as("k2"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(exp(-k2 / 2.0) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q291DagostinoK2Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |cen AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
+      |s1 AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(FLOOR(CAST(SUM(CAST(c AS HUGEINT) * cnt) AS DOUBLE)
+      |      / SUM(cnt)) AS BIGINT) AS m
+      |  FROM cen),
+      |pw AS (
+      |  SELECT n,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * cnt) AS s2,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * (c - m) * cnt) AS s3,
+      |    SUM(CAST(c - m AS HUGEINT) * (c - m) * (c - m) * (c - m) * cnt)
+      |      AS s4
+      |  FROM cen, s1 GROUP BY n),
+      |mm AS (
+      |  SELECT n, s2,
+      |    (CAST(s3 AS DOUBLE) / n)
+      |      / ((CAST(s2 AS DOUBLE) / n) * SQRT(CAST(s2 AS DOUBLE) / n))
+      |      AS g1,
+      |    (CAST(s4 AS DOUBLE) / n)
+      |      / ((CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) AS b2
+      |  FROM pw),
+      |t1 AS (
+      |  SELECT n, s2, g1, b2,
+      |    g1 * SQRT((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+      |    SQRT(2.0 * (3.0 * (CAST(n AS DOUBLE) * n + 27.0 * n - 70.0)
+      |      * (n + 1.0) * (n + 3.0)
+      |      / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) - 1.0))
+      |      - 1.0 AS w2
+      |  FROM mm),
+      |t2 AS (
+      |  SELECT n, s2, b2, w2,
+      |    (1.0 / SQRT(FLOOR(LN(SQRT(w2)) * 1e9 + 0.5) / 1e9))
+      |    * (FLOOR(LN(y / SQRT(2.0 / (w2 - 1.0))
+      |        + SQRT((y / SQRT(2.0 / (w2 - 1.0)))
+      |          * (y / SQRT(2.0 / (w2 - 1.0))) + 1.0)) * 1e9 + 0.5)
+      |      / 1e9) AS z1
+      |  FROM t1),
+      |t3 AS (
+      |  SELECT n, s2, w2, z1,
+      |    (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+      |      / SQRT(24.0 * CAST(n AS DOUBLE) * (n - 2.0) * (n - 3.0)
+      |        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))) AS xx,
+      |    (6.0 * (CAST(n AS DOUBLE) * n - 5.0 * n + 2.0)
+      |      / ((n + 7.0) * (n + 9.0)))
+      |    * SQRT(6.0 * (n + 3.0) * (n + 5.0)
+      |        / (CAST(n AS DOUBLE) * (n - 2.0) * (n - 3.0))) AS sb
+      |  FROM t2),
+      |t4 AS (
+      |  SELECT n, s2, w2, z1, xx,
+      |    6.0 + 8.0 / sb * (2.0 / sb + SQRT(1.0 + 4.0 / (sb * sb))) AS a
+      |  FROM t3),
+      |t5 AS (
+      |  SELECT n, s2, w2, z1, a,
+      |    (1.0 - 2.0 / (9.0 * a)
+      |      - FLOOR(CBRT((1.0 - 2.0 / a)
+      |          / (1.0 + xx * SQRT(2.0 / (a - 4.0)))) * 1e12 + 0.5) / 1e12)
+      |    * SQRT(9.0 * a / 2.0) AS z2
+      |  FROM t4)
+      |SELECT n AS n_orders,
+      |  CASE WHEN n < 20 OR s2 <= 0 OR w2 <= 1 OR a <= 4 THEN NULL
+      |    ELSE ROUND(z1, 4) + 0 END AS z_skew,
+      |  CASE WHEN n < 20 OR s2 <= 0 OR w2 <= 1 OR a <= 4 THEN NULL
+      |    ELSE ROUND(z2, 4) + 0 END AS z_kurt,
+      |  CASE WHEN n < 20 OR s2 <= 0 OR w2 <= 1 OR a <= 4 THEN NULL
+      |    ELSE ROUND(z1 * z1 + z2 * z2, 4) + 0 END AS k2,
+      |  CASE WHEN n < 20 OR s2 <= 0 OR w2 <= 1 OR a <= 4 THEN NULL
+      |    ELSE FLOOR(EXP(-(z1 * z1 + z2 * z2) / 2.0) * 1e8 + 0.5) / 1e8
+      |    END AS p
+      |FROM t5""".stripMargin
+
+  /** L227 partial correlation r_xy·z over the per-ORDER census ([PK]
+    * Fisher 1924; any regression text): order revenue and order units
+    * correlate strongly (r ≈ 0.74 on the fixtures) — but does price
+    * still track quantity once the number of LINES per order is
+    * controlled for? The first-order partial
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) answers: it collapses
+    * to ≈ −0.01 (measured at both SFs) — the raw association is
+    * ENTIRELY the shared line-count driver. The feature-selection
+    * primitive that separates direct association from a confounder,
+    * next to the zero-order Pearson the engine already ships (q14/A9).
+    *
+    * Parity: x = order cents, y = order units, z = line count — ten
+    * moment sums exact int64/DECIMAL in one agg over the per-order
+    * census; every r is a deterministic double chain (variance
+    * cross-products multiplied as doubles — their DECIMAL product
+    * would overflow 38 digits at scale); IEEE sqrt; 6dp.
+    *
+    * Scale: one per-order agg (map-side combinable) + one 1-row
+    * reduce — no joins, no windows. Guards: any zero variance or
+    * |r_xz|,|r_yz| = 1 → null partial. */
+  def q293PartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("x"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("y"),
+        count(lit(1)).as("z"))
+    val a = li.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("z").cast(dec)).as("sz"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("z").cast(dec) * col("z").cast(dec)).as("szz"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("z").cast(dec)).as("sxz"),
+      sum(col("y").cast(dec) * col("z").cast(dec)).as("syz"))
+    val nD = col("n").cast("double")
+    def vr(saa: String, sa: String) = nD * col(saa).cast("double") -
+      col(sa).cast("double") * col(sa).cast("double")
+    def cv(sab: String, sa: String, sb: String) =
+      nD * col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double")
+    val rxy = cv("sxy", "sx", "sy") /
+      sqrt(vr("sxx", "sx") * vr("syy", "sy"))
+    val rxz = cv("sxz", "sx", "sz") /
+      sqrt(vr("sxx", "sx") * vr("szz", "sz"))
+    val ryz = cv("syz", "sy", "sz") /
+      sqrt(vr("syy", "sy") * vr("szz", "sz"))
+    val part = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    val badAny = col("n") < 3L || vr("sxx", "sx") <= 0.0 ||
+      vr("syy", "sy") <= 0.0 || vr("szz", "sz") <= 0.0
+    val badPart = badAny || rxz * rxz >= 1.0 || ryz * ryz >= 1.0
+    a.select(col("n").as("n_orders"),
+      when(badAny, lit(null).cast("double"))
+        .otherwise(round(rxy, 6) + 0.0).as("r_xy"),
+      when(badAny, lit(null).cast("double"))
+        .otherwise(round(rxz, 6) + 0.0).as("r_xz"),
+      when(badAny, lit(null).cast("double"))
+        .otherwise(round(ryz, 6) + 0.0).as("r_yz"),
+      when(badPart, lit(null).cast("double"))
+        .otherwise(round(part, 6) + 0.0).as("r_xy_z"))
+  }
+
+  val q293PartialCorrSql: String =
+    """WITH li AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS y,
+      |    COUNT(*) AS z
+      |  FROM lineitem GROUP BY l_orderkey),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(z) AS HUGEINT) AS sz,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+      |    CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      |  FROM li),
+      |r AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+      |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy,
+      |    (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+      |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS vz,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cxy,
+      |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) AS cxz,
+      |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) AS cyz
+      |  FROM a),
+      |rr AS (
+      |  SELECT n, vx, vy, vz,
+      |    cxy / SQRT(vx * vy) AS rxy,
+      |    cxz / SQRT(vx * vz) AS rxz,
+      |    cyz / SQRT(vy * vz) AS ryz
+      |  FROM r)
+      |SELECT n AS n_orders,
+      |  CASE WHEN n < 3 OR vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |    ELSE ROUND(rxy, 6) + 0 END AS r_xy,
+      |  CASE WHEN n < 3 OR vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |    ELSE ROUND(rxz, 6) + 0 END AS r_xz,
+      |  CASE WHEN n < 3 OR vx <= 0 OR vy <= 0 OR vz <= 0 THEN NULL
+      |    ELSE ROUND(ryz, 6) + 0 END AS r_yz,
+      |  CASE WHEN n < 3 OR vx <= 0 OR vy <= 0 OR vz <= 0
+      |      OR rxz * rxz >= 1 OR ryz * ryz >= 1 THEN NULL
+      |    ELSE ROUND((rxy - rxz * ryz)
+      |      / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0 END
+      |    AS r_xy_z
+      |FROM rr""".stripMargin
 }

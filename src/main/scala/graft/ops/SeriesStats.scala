@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1715,4 +1715,248 @@ object SeriesStats {
        |        + (nn * (nn + 2.0) * tsum) * (nn * (nn + 2.0) * tsum) / 8.0)
        |      * 1e8 + 0.5) / 1e8 END AS p
        |FROM qs""".stripMargin
+
+  /** L223 spectral entropy of the daily-revenue series ([PK] Inouye et
+    * al. 1991; Goerg 2013 for the forecastability reading): Shannon
+    * entropy of the NORMALIZED periodogram over all Fourier
+    * frequencies k = 1..⌊n/2⌋ — the "how forecastable is this series"
+    * scalar that q266's three fixed periods cannot give (H_norm → 0:
+    * one frequency carries everything, a pure cycle; → 1: white noise,
+    * nothing to forecast). Also reports the peak period n/k*.
+    *
+    * Parity: the q266 kernel generalized — demeaned ε = rev·n − s in
+    * exact DECIMAL, per-term cos/sin products floor-quantized /1e6,
+    * per-frequency power (sc² + ss²) exact DECIMAL, shares p_k =
+    * P_k/ΣP exact-integer ratios; each −p·ln p term floor-quantized
+    * 1e-9 and int-summed. Peak k breaks power ties toward the lowest
+    * frequency.
+    *
+    * Scale: the frequency explosion is census × ⌊n/2⌋ — bounded by
+    * the SQUARE of the (time-span-bounded) daily census, never by the
+    * corpus; one window over the ≤n/2-row power census. Guards: n < 4
+    * or zero variance → null entropy. */
+  def q290SpectralEntropy(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select((col("rn") - 1).as("tt"), col("rev"))
+      .localCheckpoint(eager = false)
+    val tot = d0.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"))
+    val e = d0.crossJoin(broadcast(tot))
+      .select(col("tt"), col("n"),
+        (col("rev").cast(dec) * col("n").cast(dec) - col("s").cast(dec))
+          .as("eps"))
+    val ang = col("tt").cast("double") * col("k").cast("double") *
+      (lit(2.0 * math.Pi) / col("n").cast("double"))
+    val perK = e
+      .select(col("*"), explode(when(col("n") >= 4L,
+        sequence(lit(1L), (col("n") / lit(2L)).cast("long")))
+        .otherwise(array().cast("array<bigint>"))).as("k"))
+      .select(col("k"), col("n"),
+        floor(col("eps").cast("double") * cos(ang) / 1e6 + 0.5)
+          .cast("long").as("cq"),
+        floor(col("eps").cast("double") * sin(ang) / 1e6 + 0.5)
+          .cast("long").as("sq2"))
+      .groupBy("k", "n")
+      .agg(sum(col("cq")).as("sc"), sum(col("sq2")).as("ss"))
+      .select(col("k"), col("n"),
+        (col("sc").cast(dec) * col("sc").cast(dec) +
+          col("ss").cast(dec) * col("ss").cast(dec)).as("pw"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val shared = perK
+      .withColumn("tp", sum(col("pw")).over(w))
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("pmax", max(col("pw")).over(w))
+    val p = col("pw").cast("double") / col("tp").cast("double")
+    val g = shared
+      .select(col("n"), col("nf"), col("tp"),
+        when(col("pw") > 0L,
+          floor(-p * log(p) * 1e9 + 0.5).cast("long")).otherwise(0L)
+          .as("tq"),
+        when(col("pw") === col("pmax"), col("k")).as("pk"))
+      .groupBy("n", "nf", "tp")
+      .agg(sum(col("tq")).as("hq"), min(col("pk")).as("peak_k"))
+    val h = col("hq").cast("double") / 1e9
+    val lnf = floor(log(col("nf").cast("double")) * 1e9 + 0.5) / 1e9
+    val bad = col("tp") <= 0L || col("nf") < 2L
+    g.select(col("n").as("n_days"), col("nf").as("n_freqs"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(h, 6) + 0.0).as("spectral_entropy"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(h / lnf, 6) + 0.0).as("h_norm"),
+      when(bad, lit(null).cast("long")).otherwise(col("peak_k"))
+        .as("peak_k"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(col("n").cast("double") /
+          col("peak_k").cast("double"), 4) + 0.0).as("peak_period"))
+  }
+
+  val q290SpectralEntropySql: String =
+    s"""WITH d AS ($dailySql),
+       |r AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS tt, rev
+       |      FROM d),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s
+       |        FROM r),
+       |e AS (
+       |  SELECT tt, n, CAST(rev AS HUGEINT) * n - s AS eps
+       |  FROM r, tot),
+       |f AS (
+       |  SELECT tt, n, eps,
+       |    unnest(generate_series(1,
+       |      CASE WHEN n >= 4 THEN n // 2 ELSE 0 END)) AS k
+       |  FROM e),
+       |p1 AS (
+       |  SELECT k, n,
+       |    CAST(SUM(CAST(FLOOR(CAST(eps AS DOUBLE)
+       |      * cos(CAST(tt AS DOUBLE) * CAST(k AS DOUBLE)
+       |        * (2.0 * pi() / CAST(n AS DOUBLE))) / 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS sc,
+       |    CAST(SUM(CAST(FLOOR(CAST(eps AS DOUBLE)
+       |      * sin(CAST(tt AS DOUBLE) * CAST(k AS DOUBLE)
+       |        * (2.0 * pi() / CAST(n AS DOUBLE))) / 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS ss
+       |  FROM f GROUP BY k, n),
+       |p2 AS (
+       |  SELECT k, n,
+       |    CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS pw
+       |  FROM p1),
+       |sh AS (
+       |  SELECT k, n, pw, SUM(pw) OVER () AS tp, COUNT(*) OVER () AS nf,
+       |    MAX(pw) OVER () AS pmax
+       |  FROM p2),
+       |t AS (
+       |  SELECT n, nf, tp,
+       |    CASE WHEN pw > 0 THEN CAST(FLOOR(
+       |      -(CAST(pw AS DOUBLE) / CAST(tp AS DOUBLE))
+       |      * ln(CAST(pw AS DOUBLE) / CAST(tp AS DOUBLE)) * 1e9 + 0.5)
+       |      AS BIGINT) ELSE 0 END AS tq,
+       |    CASE WHEN pw = pmax THEN k END AS pk
+       |  FROM sh),
+       |g AS (
+       |  SELECT n, CAST(nf AS BIGINT) AS nf, tp,
+       |    CAST(SUM(tq) AS BIGINT) AS hq, MIN(pk) AS peak_k
+       |  FROM t GROUP BY n, nf, tp)
+       |SELECT n AS n_days, nf AS n_freqs,
+       |  CASE WHEN tp <= 0 OR nf < 2 THEN NULL
+       |    ELSE ROUND(CAST(hq AS DOUBLE) / 1e9, 6) + 0 END
+       |    AS spectral_entropy,
+       |  CASE WHEN tp <= 0 OR nf < 2 THEN NULL
+       |    ELSE ROUND((CAST(hq AS DOUBLE) / 1e9)
+       |      / (FLOOR(LN(CAST(nf AS DOUBLE)) * 1e9 + 0.5) / 1e9), 6) + 0
+       |    END AS h_norm,
+       |  CASE WHEN tp <= 0 OR nf < 2 THEN NULL
+       |    ELSE CAST(peak_k AS BIGINT) END AS peak_k,
+       |  CASE WHEN tp <= 0 OR nf < 2 THEN NULL
+       |    ELSE ROUND(CAST(n AS DOUBLE) / peak_k, 4) + 0 END
+       |    AS peak_period
+       |FROM g""".stripMargin
+
+  /** L224 sample entropy SampEn(m=2, r=0.2σ) of the last 365 daily
+    * revenues ([PK] Richman & Moorman 2000): the regularity/complexity
+    * scalar — the negative log conditional probability that two
+    * observation windows matching for m=2 points (componentwise within
+    * r) still match at the 3rd. Low SampEn = self-similar, repeating
+    * dynamics; high = irregular. Complements q252 Hurst (long-range
+    * dependence) and q290 spectral entropy (frequency spread) on the
+    * same series; unlike approximate entropy it excludes self-matches,
+    * so it is unbiased at this window size.
+    *
+    * Parity: the tolerance is pinned to INTEGER dollars r =
+    * ⌊0.2σ̂+0.5⌋ (σ̂ from exact int moments, one deterministic double
+    * chain + IEEE sqrt), so every template comparison is exact int64;
+    * A and B are exact pair counts; SampEn = (qln B − qln A)/1e9 on
+    * integer args (the q187 convention), 6dp.
+    *
+    * Scale: the 365-row recency cut and tolerance broadcasts hide
+    * under the lazy checkpoint (q262 form); the one surfacing
+    * nested-loop is the ≤364×364 broadcast pair build over the
+    * embedded census — scale-constant work however large the corpus.
+    * Guards: A = 0 or B = 0 → null SampEn (counts still reported). */
+  def q292SampleEntropy(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select(col("rn"), col("rev"))
+      .localCheckpoint(eager = false)
+    val nmax = d0.agg(max(col("rn")).as("nmax"))
+    val rc = d0.crossJoin(broadcast(nmax))
+      .filter(col("rn") > col("nmax") - 365L)
+      .select(col("rn"), col("rev"))
+    val st = rc.agg(count(lit(1)).as("nw"), sum(col("rev")).as("s"),
+      sum(col("rev").cast(dec) * col("rev").cast(dec)).as("q"))
+    val nD = col("nw").cast("double")
+    val sd = sqrt(nD * col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) / nD
+    val rc2 = rc.crossJoin(broadcast(st))
+      .select(col("rn"), col("rev"), col("nw"),
+        floor(lit(0.2) * sd + 0.5).cast("long").as("rl"))
+      .localCheckpoint(eager = false)
+    val wo = Window.orderBy("rn")
+    val emb = rc2
+      .withColumn("x1", lead(col("rev"), 1).over(wo))
+      .withColumn("x2", lead(col("rev"), 2).over(wo))
+      .filter(col("x1").isNotNull)
+      .withColumnRenamed("rev", "x0")
+    val bm = abs(col("a.x0") - col("b.x0")) <= col("a.rl") &&
+      abs(col("a.x1") - col("b.x1")) <= col("a.rl")
+    val am = bm && col("a.x2").isNotNull && col("b.x2").isNotNull &&
+      abs(col("a.x2") - col("b.x2")) <= col("a.rl")
+    val g = emb.as("a").join(broadcast(emb.as("b")),
+        col("a.rn") < col("b.rn"))
+      .agg(max(col("a.nw")).as("n_days"), max(col("a.rl")).as("r_dollars"),
+        sum(when(bm, 1L).otherwise(0L)).as("b_pairs"),
+        sum(when(am, 1L).otherwise(0L)).as("a_pairs"))
+    def qln9(c: Column) =
+      floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    g.select(col("n_days"), col("r_dollars"), col("b_pairs"),
+      col("a_pairs"),
+      when(col("a_pairs") === 0L || col("b_pairs") === 0L,
+        lit(null).cast("double"))
+        .otherwise(round((qln9(col("b_pairs")) - qln9(col("a_pairs")))
+          .cast("double") / 1e9, 6) + 0.0).as("sampen"))
+  }
+
+  val q292SampleEntropySql: String =
+    s"""WITH d AS ($dailySql),
+       |r0 AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, rev FROM d),
+       |rc AS (SELECT rn, rev FROM r0
+       |  WHERE rn > (SELECT MAX(rn) FROM r0) - 365),
+       |st AS (SELECT COUNT(*) AS nw, CAST(SUM(rev) AS BIGINT) AS s,
+       |  SUM(CAST(rev AS HUGEINT) * rev) AS q FROM rc),
+       |rc2 AS (
+       |  SELECT rn, rev, nw,
+       |    CAST(FLOOR(0.2 * (SQRT(CAST(nw AS DOUBLE) * CAST(q AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(nw AS DOUBLE))
+       |      + 0.5) AS BIGINT) AS rl
+       |  FROM rc, st),
+       |emb AS (
+       |  SELECT rn, rev AS x0, nw, rl,
+       |    LEAD(rev, 1) OVER (ORDER BY rn) AS x1,
+       |    LEAD(rev, 2) OVER (ORDER BY rn) AS x2
+       |  FROM rc2),
+       |m AS (SELECT * FROM emb WHERE x1 IS NOT NULL),
+       |p AS (
+       |  SELECT a.nw, a.rl,
+       |    CASE WHEN ABS(a.x0 - b.x0) <= a.rl AND ABS(a.x1 - b.x1) <= a.rl
+       |      THEN 1 ELSE 0 END AS bm,
+       |    CASE WHEN ABS(a.x0 - b.x0) <= a.rl AND ABS(a.x1 - b.x1) <= a.rl
+       |      AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+       |      AND ABS(a.x2 - b.x2) <= a.rl THEN 1 ELSE 0 END AS am
+       |  FROM m a JOIN m b ON a.rn < b.rn),
+       |g AS (
+       |  SELECT CAST(MAX(nw) AS BIGINT) AS n_days,
+       |    CAST(MAX(rl) AS BIGINT) AS r_dollars,
+       |    CAST(SUM(bm) AS BIGINT) AS b_pairs,
+       |    CAST(SUM(am) AS BIGINT) AS a_pairs
+       |  FROM p)
+       |SELECT n_days, r_dollars, b_pairs, a_pairs,
+       |  CASE WHEN a_pairs = 0 OR b_pairs = 0 THEN NULL
+       |    ELSE ROUND(CAST(CAST(FLOOR(LN(CAST(b_pairs AS DOUBLE)) * 1e9
+       |        + 0.5) AS BIGINT)
+       |      - CAST(FLOOR(LN(CAST(a_pairs AS DOUBLE)) * 1e9 + 0.5)
+       |        AS BIGINT) AS DOUBLE) / 1e9, 6) + 0 END AS sampen
+       |FROM g""".stripMargin
 }

@@ -766,6 +766,69 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q289: joint location-scale statistic defined; p a probability") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q289_cucconi", sf).head()
+      assert(r.getAs[Long]("n_urgent") > 10L && r.getAs[Long]("n_low") > 10L,
+        s"thin groups at $sf")
+      val c = r.getAs[java.lang.Double]("c")
+      val p = r.getAs[java.lang.Double]("p")
+      assert(c != null && c > 0.0, s"degenerate C at $sf")
+      assert(p != null && p >= 0.0 && p <= 1.0, s"p out of range at $sf")
+    }
+  }
+
+  test("q290: entropy strictly inside (0,1) normalized; real spectrum") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q290_spectral_entropy", sf).head()
+      assert(r.getAs[Long]("n_freqs") > 100L, s"thin spectrum at $sf")
+      val hn = r.getAs[java.lang.Double]("h_norm")
+      assert(hn != null && hn > 0.0 && hn < 1.0,
+        s"degenerate normalized entropy at $sf")
+      assert(r.getAs[java.lang.Long]("peak_k") != null &&
+        r.getAs[Long]("peak_k") >= 1L, s"no peak at $sf")
+    }
+  }
+
+  test("q291: the omnibus flags the fixture's platykurtic prices") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q291_dagostino_k2", sf).head()
+      val k2 = r.getAs[java.lang.Double]("k2")
+      val zk = r.getAs[java.lang.Double]("z_kurt")
+      val p = r.getAs[java.lang.Double]("p")
+      assert(k2 != null && k2 > 0.0, s"degenerate K2 at $sf")
+      // uniform-ish synthetic prices are strongly platykurtic — the
+      // transform must actually see it (z_kurt measured -37/-115)
+      assert(zk != null && math.abs(zk) > 1.0, s"vacuous z_kurt at $sf")
+      assert(p != null && p >= 0.0 && p <= 1.0, s"p out of range at $sf")
+    }
+  }
+
+  test("q292: real template matches at both lengths; SampEn positive") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q292_sample_entropy", sf).head()
+      assert(r.getAs[Long]("r_dollars") > 0L, s"zero tolerance at $sf")
+      val (b, a) = (r.getAs[Long]("b_pairs"), r.getAs[Long]("a_pairs"))
+      assert(b > a && a > 0L, s"degenerate match counts ($b,$a) at $sf")
+      val se = r.getAs[java.lang.Double]("sampen")
+      assert(se != null && se > 0.0, s"degenerate SampEn at $sf")
+    }
+  }
+
+  test("q293: a real confounder collapse — raw r strong, partial ~0") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q293_partial_corr", sf).head()
+      assert(r.getAs[Long]("n_orders") > 100L, s"thin census at $sf")
+      val rxy = r.getAs[java.lang.Double]("r_xy")
+      val part = r.getAs[java.lang.Double]("r_xy_z")
+      // the demonstration IS the collapse: price-quantity association
+      // (0.74 measured) is entirely the shared line-count driver
+      assert(rxy != null && rxy > 0.3, s"no raw association at $sf")
+      assert(part != null && math.abs(part) < 0.2,
+        s"controlling the confounder failed to collapse r at $sf")
+    }
+  }
+
   test("q287: both arms populated with bracketing CIs") {
     Seq(sf001, sf0001).foreach { sf =>
       val rows = run("q287_ratio_ci", sf).collect()

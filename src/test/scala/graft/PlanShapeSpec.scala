@@ -467,7 +467,14 @@ class PlanShapeSpec extends SparkSpec {
       "q283_inequality", "q284_rbo", "q285_kendall_w", "q286_lm_score",
       // r13 batch 2: q288's 1-row pooled-N broadcast read back as the
       // max of PrefixSum's cumulative counts (the q147 form)
-      "q288_ansari_bradley")
+      "q288_ansari_bradley",
+      // r13 batch 3: q289 shares q288's 1-row N broadcast; q290/q291's
+      // 1-row totals/moment broadcasts onto their censuses (the
+      // q266/q256 shapes); q292's ≤364-row embedded-census pair build
+      // (the q262 Walsh shape — recency cut + tolerance broadcasts sit
+      // under the lazy checkpoint)
+      "q289_cucconi", "q290_spectral_entropy", "q291_dagostino_k2",
+      "q292_sample_entropy")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -2073,6 +2073,176 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("z") - z) < 5e-4)
   }
 
+  test("q289 Cucconi U/V/C match a sequential squared-rank walk") {
+    val row = SparkEntry.queries("q289_cucconi")(spark, sf0001).head()
+
+    val vals = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sorted = vals.sortBy(_._1)
+    val nTot = sorted.length
+    val ranks = new Array[Double](nTot)
+    var i = 0
+    while (i < nTot) {
+      var j = i
+      while (j + 1 < nTot && sorted(j + 1)._1 == sorted(i)._1) j += 1
+      val mid = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(x => ranks(x) = mid)
+      i = j + 1
+    }
+    val m = sorted.count(_._2)
+    val sr2 = sorted.zip(ranks).filter(_._1._2).map(p => p._2 * p._2).sum
+    val ss2 = sorted.zip(ranks).filter(_._1._2)
+      .map(p => (nTot + 1 - p._2) * (nTot + 1 - p._2)).sum
+    val nD = nTot.toDouble
+    val mean = m * (nD + 1) * (2 * nD + 1)
+    val sd = math.sqrt(m.toDouble * (nTot - m) * (nD + 1) * (2 * nD + 1) *
+      (8 * nD + 11) / 5.0)
+    val u = (6.0 * sr2 - mean) / sd
+    val v = (6.0 * ss2 - mean) / sd
+    val rho = 2.0 * (nD * nD - 4.0) / ((2 * nD + 1) * (8 * nD + 11)) - 1.0
+    val c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert(row.getAs[Long]("n_urgent") === m.toLong)
+    assert(math.abs(row.getAs[Double]("u") - u) < 5e-4)
+    assert(math.abs(row.getAs[Double]("v") - v) < 5e-4)
+    assert(math.abs(row.getAs[Double]("c") - c) < 5e-4)
+    assert(math.abs(row.getAs[Double]("p") - math.exp(-c)) < 1e-6)
+  }
+
+  test("q290 spectral entropy matches a sequential DFT walk") {
+    val row = SparkEntry.queries("q290_spectral_entropy")(spark, sf0001)
+      .head()
+
+    val rev = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = rev.length
+    val mean = rev.sum.toDouble / n
+    val powers = (1 to n / 2).map { k =>
+      var (sc, ss) = (0.0, 0.0)
+      rev.zipWithIndex.foreach { case (x, t) =>
+        val ang = t.toDouble * k * (2.0 * math.Pi / n)
+        sc += (x - mean) * math.cos(ang)
+        ss += (x - mean) * math.sin(ang)
+      }
+      sc * sc + ss * ss
+    }
+    val tot = powers.sum
+    val h = -powers.filter(_ > 0).map(p => p / tot * math.log(p / tot)).sum
+    val peakK = powers.indexOf(powers.max) + 1
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("n_freqs") === (n / 2).toLong)
+    assert(math.abs(row.getAs[Double]("spectral_entropy") - h) < 5e-3)
+    assert(math.abs(row.getAs[Double]("h_norm") - h / math.log(n / 2))
+      < 5e-3)
+    assert(row.getAs[Long]("peak_k") === peakK.toLong)
+  }
+
+  test("q291 D'Agostino K2 matches a sequential textbook transform") {
+    val row = SparkEntry.queries("q291_dagostino_k2")(spark, sf0001)
+      .head()
+
+    val cs = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    val n = cs.length
+    val m = math.floor(cs.map(BigInt(_)).sum.toDouble / n).toLong
+    val d = cs.map(c => (c - m).toDouble)
+    val nD = n.toDouble
+    val m2 = d.map(x => x * x).sum / n
+    val g1 = (d.map(x => x * x * x).sum / n) / math.pow(m2, 1.5)
+    val b2 = (d.map(x => x * x * x * x).sum / n) / (m2 * m2)
+    val y = g1 * math.sqrt((nD + 1) * (nD + 3) / (6 * (nD - 2)))
+    val beta2 = 3.0 * (nD * nD + 27 * nD - 70) * (nD + 1) * (nD + 3) /
+      ((nD - 2) * (nD + 5) * (nD + 7) * (nD + 9))
+    val w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    val delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2.0 / (w2 - 1))
+    val z1 = delta *
+      math.log(y / alpha + math.sqrt((y / alpha) * (y / alpha) + 1))
+    val eb2 = 3.0 * (nD - 1) / (nD + 1)
+    val vb2 = 24.0 * nD * (nD - 2) * (nD - 3) /
+      ((nD + 1) * (nD + 1) * (nD + 3) * (nD + 5))
+    val xx = (b2 - eb2) / math.sqrt(vb2)
+    val sb = (6.0 * (nD * nD - 5 * nD + 2) / ((nD + 7) * (nD + 9))) *
+      math.sqrt(6.0 * (nD + 3) * (nD + 5) / (nD * (nD - 2) * (nD - 3)))
+    val aA = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1 + 4.0 / (sb * sb)))
+    val z2 = (1 - 2.0 / (9 * aA) -
+      math.cbrt((1 - 2.0 / aA) /
+        (1 + xx * math.sqrt(2.0 / (aA - 4))))) * math.sqrt(9 * aA / 2)
+    val k2 = z1 * z1 + z2 * z2
+    assert(row.getAs[Long]("n_orders") === n.toLong)
+    assert(math.abs(row.getAs[Double]("z_skew") - z1) < 1e-3)
+    assert(math.abs(row.getAs[Double]("z_kurt") - z2) < 1e-3)
+    assert(math.abs(row.getAs[Double]("k2") - k2) / k2 < 1e-4)
+  }
+
+  test("q292 SampEn matches a sequential template-match walk") {
+    val row = SparkEntry.queries("q292_sample_entropy")(spark, sf0001)
+      .head()
+
+    val all = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val rev = all.takeRight(365)
+    val n = rev.length
+    val s0 = rev.sum.toDouble
+    val q0 = rev.map(x => BigInt(x) * x).sum.toDouble
+    val sd = math.sqrt(n * q0 - s0 * s0) / n
+    val r = math.floor(0.2 * sd + 0.5).toLong
+    var (a, b) = (0L, 0L)
+    for (i <- 0 until n - 1; j <- i + 1 until n - 1) {
+      if (math.abs(rev(i) - rev(j)) <= r &&
+          math.abs(rev(i + 1) - rev(j + 1)) <= r) {
+        b += 1
+        if (i < n - 2 && j < n - 2 &&
+            math.abs(rev(i + 2) - rev(j + 2)) <= r) a += 1
+      }
+    }
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("r_dollars") === r)
+    assert(row.getAs[Long]("b_pairs") === b)
+    assert(row.getAs[Long]("a_pairs") === a)
+    assert(math.abs(row.getAs[Double]("sampen") -
+      math.log(b.toDouble / a)) < 1e-5)
+  }
+
+  test("q293 partial correlation matches a sequential moment walk") {
+    val row = SparkEntry.queries("q293_partial_corr")(spark, sf0001)
+      .head()
+
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("x"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("y"),
+        count(lit(1)).as("z"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map(p => p._1 * p._2).sum
+      (n * sab - sa * sb) /
+        math.sqrt((n * a.map(x => x * x).sum - sa * sa) *
+          (n * b.map(x => x * x).sum - sb * sb))
+    }
+    val (xs, ys, zs) = (per.map(_._1).toSeq, per.map(_._2).toSeq,
+      per.map(_._3).toSeq)
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(row.getAs[Long]("n_orders") === per.length.toLong)
+    assert(math.abs(row.getAs[Double]("r_xy") - rxy) < 1e-5)
+    assert(math.abs(row.getAs[Double]("r_xz") - rxz) < 1e-5)
+    assert(math.abs(row.getAs[Double]("r_yz") - ryz) < 1e-5)
+    assert(math.abs(row.getAs[Double]("r_xy_z") - part) < 1e-5)
+  }
+
   test("q287 ratio CI matches a sequential linearization walk") {
     val rows = SparkEntry.queries("q287_ratio_ci")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r).toMap
