@@ -786,4 +786,104 @@ object EvalQueries {
       |      / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0 END
       |    AS r_xy_z
       |FROM rr""".stripMargin
+
+  /** L231 Cronbach's α internal-consistency reliability ([PK] Cronbach
+    * 1951): do four integer "document richness" items — char-length
+    * decile (≤10), token-count score, stopword-count score,
+    * sentence-mark score — measure ONE underlying construct? The
+    * interval-scale reliability coefficient next to the nominal
+    * agreement family (κ q183/q274, α_K q282): those score RATERS on a
+    * shared verdict; Cronbach scores ITEMS on a shared latent scale,
+    * the pre-flight for combining sub-scores into one quality number
+    * (q162's composite implicitly assumes this).
+    *
+    * α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σᵢ itemᵢ)); with every
+    * item an exact small integer, each variance is the exact-integer
+    * form n·ΣX² − (ΣX)² (the common n²/(n(n−1)) factor cancels in the
+    * ratio), so α is ONE double division + affine map from exact
+    * DECIMAL sums, floor-quantized 1e-6. The variance-share ratio is
+    * reported alongside; Σvar < var_total (positive average
+    * inter-item covariance) is the non-degeneracy invariant.
+    *
+    * Scale: one per-doc map (4 integer screens) + one
+    * map-side-combinable agg — no joins, no windows, no broadcasts.
+    * Guards: var_total ≤ 0 (constant totals) → null α. */
+  def q297CronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is",
+      "on"))
+    val d = Tables.documents(s, dir).select(
+      least(floor(col("n_chars") / 100.0), lit(10L)).as("i1"),
+      least(floor(size(tokens(col("text"))) / 20.0), lit(10L)).as("i2"),
+      least(floor(size(filter(tokens(col("text")),
+        t => array_contains(stop, t))) / 5.0), lit(10L)).as("i3"),
+      least(floor((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.", ""))) / 2.0),
+        lit(10L)).as("i4"))
+      .withColumn("t", col("i1") + col("i2") + col("i3") + col("i4"))
+    val a = d.agg(count(lit(1)).as("n"),
+      sum(col("i1")).as("s1"), sum(col("i1").cast(dec) * col("i1")).as("q1"),
+      sum(col("i2")).as("s2"), sum(col("i2").cast(dec) * col("i2")).as("q2"),
+      sum(col("i3")).as("s3"), sum(col("i3").cast(dec) * col("i3")).as("q3"),
+      sum(col("i4")).as("s4"), sum(col("i4").cast(dec) * col("i4")).as("q4"),
+      sum(col("t")).as("st"), sum(col("t").cast(dec) * col("t")).as("qt"))
+    val nDec = col("n").cast(dec)
+    def v(sc: Column, qc: Column): Column = nDec * qc - sc.cast(dec) * sc
+    val sumVar = v(col("s1"), col("q1")) + v(col("s2"), col("q2")) +
+      v(col("s3"), col("q3")) + v(col("s4"), col("q4"))
+    val varT = v(col("st"), col("qt"))
+    val ratio = sumVar.cast("double") / varT.cast("double")
+    val bad = col("n") < 2L || varT <= lit(0L).cast(dec)
+    a.select(col("n").cast("long").as("n_docs"),
+      lit(4L).as("k_items"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(ratio * 1e6 + 0.5) / 1e6).as("var_share"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(lit(4.0) / 3.0 * (lit(1.0) - ratio) * 1e6 + 0.5)
+          / 1e6).as("cronbach_alpha"))
+  }
+
+  val q297CronbachAlphaSql: String =
+    """WITH d AS (
+      |  SELECT
+      |    LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 10) AS i1,
+      |    LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 20.0) AS BIGINT),
+      |      10) AS i2,
+      |    LEAST(CAST(FLOOR(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','a','of','and','to','in','is','on'],
+      |      t))) / 5.0) AS BIGINT), 10) AS i3,
+      |    LEAST(CAST(FLOOR((len(text) - len(replace(text, '.', '')))
+      |      / 2.0) AS BIGINT), 10) AS i4
+      |  FROM documents),
+      |dt AS (SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS t FROM d),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(i1) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(i1 AS HUGEINT) * i1) AS HUGEINT) AS q1,
+      |    CAST(SUM(i2) AS BIGINT) AS s2,
+      |    CAST(SUM(CAST(i2 AS HUGEINT) * i2) AS HUGEINT) AS q2,
+      |    CAST(SUM(i3) AS BIGINT) AS s3,
+      |    CAST(SUM(CAST(i3 AS HUGEINT) * i3) AS HUGEINT) AS q3,
+      |    CAST(SUM(i4) AS BIGINT) AS s4,
+      |    CAST(SUM(CAST(i4 AS HUGEINT) * i4) AS HUGEINT) AS q4,
+      |    CAST(SUM(t) AS BIGINT) AS st,
+      |    CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS qt
+      |  FROM dt),
+      |c0 AS (
+      |  SELECT n,
+      |    CAST((CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+      |      + (CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+      |      + (CAST(n AS HUGEINT) * q3 - CAST(s3 AS HUGEINT) * s3)
+      |      + (CAST(n AS HUGEINT) * q4 - CAST(s4 AS HUGEINT) * s4)
+      |      AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st
+      |        AS DOUBLE) AS ratio,
+      |    CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS vt
+      |  FROM a)
+      |SELECT n AS n_docs, CAST(4 AS BIGINT) AS k_items,
+      |  CASE WHEN n < 2 OR vt <= 0 THEN NULL
+      |    ELSE FLOOR(ratio * 1e6 + 0.5) / 1e6 END AS var_share,
+      |  CASE WHEN n < 2 OR vt <= 0 THEN NULL
+      |    ELSE FLOOR(4.0 / 3.0 * (1.0 - ratio) * 1e6 + 0.5) / 1e6 END
+      |    AS cronbach_alpha
+      |FROM c0""".stripMargin
 }

@@ -1,0 +1,306 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial autocorrelation statistics (round 13, batch 4): the global
+  * and local cluster screens a geo-keyed corpus needs on top of the
+  * grid-density HOTSPOT counts of q149 — "are the counts spatially
+  * clustered AT ALL, and where, with what significance" rather than
+  * "which cells are locally dense".
+  *
+  * - q294 Moran's I — the global autocorrelation coefficient
+  *   (cross-product form) with its normality z.
+  * - q295 Geary's C — the difference-based sibling (sensitive to
+  *   LOCAL deviation where Moran sees global covariance).
+  * - q296 Getis–Ord Gi* — the per-cell hot/cold-spot z-surface.
+  *
+  * All three ride ONE backbone: the q149 10° grid census (cells ∝
+  * area — ≤ 612 cells at ANY corpus scale) augmented with queen
+  * (8-neighbour) occupied-adjacency sums via an exploded-offset
+  * equi-join. Every cross-pair quantity is folded per-CELL first
+  * (deg_i, Σ_j x_j, Σ_j x_j²), so no pair table is ever wider than
+  * the cell census × 8 and the statistics reduce to ONE
+  * map-side-combinable aggregate over ≤ 612 rows — the same
+  * cells-not-points scale discipline as q149.
+  *
+  * Parity: every sum is exact int64/DECIMAL (counts, cross-products,
+  * squared differences); each statistic is ONE deterministic double
+  * chain from exact integers (IEEE divide/sqrt), floor-quantized for
+  * display (the r12 round-vs-floor lesson — no engine round()).
+  */
+object SpatialStats {
+
+  private val dec = "decimal(38,0)"
+
+  private def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def q4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
+  /** The q149 synthetic geo-grid: customers hashed to (lat, lon) with
+    * the q149 multiplicative hashes, bucketed to 10° cells, counted.
+    * Spatially RANDOM by construction (the hash has no spatial
+    * structure) — so the global tests should sit in the null band,
+    * which NonDegeneracySpec pins; the structured-field behaviour
+    * (I→1, C→0 on a ramp) is pinned by StatBruteSpec through the same
+    * [[moransI]]/[[gearysC]] kernels on an in-test grid. */
+  private def customerCells(s: SparkSession, dir: String): DataFrame = {
+    def lat(key: Column): Column =
+      pmod(key * 2654435761L, lit(1700L)).cast("double") / 10.0 - 85.0
+    def lon(key: Column): Column =
+      pmod(key * 1103515245L + 12345L, lit(3600L)).cast("double") / 10.0 - 180.0
+    val cell = 10.0
+    Tables.customer(s, dir)
+      .select(floor(lon(col("c_custkey")) / cell).cast("int").as("cx"),
+        floor(lat(col("c_custkey")) / cell).cast("int").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+  }
+
+  /** Queen-adjacency augmentation: for each occupied cell, the count
+    * of occupied 8-neighbours (deg), their value sum (ns) and value
+    * square-sum (ns2) — the per-cell folds from which every directed
+    * pair sum in Moran/Geary/Gi* is recovered without materializing
+    * pairs: Σ_pairs x_i·x_j = Σ_i x_i·ns_i, Σ_pairs (x_i−x_j)² =
+    * Σ_i (deg_i·x_i² − 2·x_i·ns_i + ns2_i), W = Σ deg_i. */
+  private[ops] def augmented(cells: DataFrame): DataFrame = {
+    val offs = typedlit(for {
+      dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+    } yield (dx, dy))
+    val nbr = cells.withColumn("o", explode(offs))
+      .select((col("cx") + col("o._1")).as("cx"),
+        (col("cy") + col("o._2")).as("cy"), col("x").as("nx"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("deg"), sum(col("nx")).as("ns"),
+        sum(col("nx").cast(dec) * col("nx")).as("ns2"))
+    cells.join(nbr, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), col("x"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("ns"), lit(0L)).as("ns"),
+        coalesce(col("ns2"), lit(0L).cast(dec)).as("ns2"))
+  }
+
+  /** Global Moran's I over an integer-valued cell grid (cx, cy, x),
+    * binary queen weights, with E[I] = −1/(N−1) and the
+    * normality-assumption z ([PK] Moran 1950; Cliff & Ord 1981).
+    * Exact-integer numerator/denominator: with S = Σx, N cells,
+    * I = (N²·Σwxx' − N·S·(Σdeg·x + Σns) + W·S²) / (W·(N·Σx² − S²)).
+    * For binary symmetric weights S1 = 2W and S2 = 4·Σdeg². */
+  def moransI(cells: DataFrame): DataFrame = {
+    val a = augmented(cells).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x").cast(dec) * col("x")).as("ss"),
+      sum(col("deg")).as("w"),
+      sum(col("x").cast(dec) * col("ns")).as("p"),
+      sum(col("deg").cast(dec) * col("x")).as("degn"),
+      sum(col("ns").cast(dec)).as("sns"),
+      sum(col("deg").cast(dec) * col("deg")).as("degsq"))
+    val nDec = col("n").cast(dec)
+    val num = nDec * col("n") * col("p") -
+      nDec * col("s") * (col("degn") + col("sns")) +
+      col("w").cast(dec) * col("s") * col("s")
+    val varPart = nDec * col("ss") - col("s").cast(dec) * col("s")
+    val i = num.cast("double") /
+      (col("w").cast("double") * varPart.cast("double"))
+    val nD = col("n").cast("double")
+    val wD = col("w").cast("double")
+    val e = lit(-1.0) / (nD - 1.0)
+    val s1 = lit(2.0) * wD
+    val s2 = lit(4.0) * col("degsq").cast("double")
+    val varI = (nD * nD * s1 - nD * s2 + lit(3.0) * wD * wD) /
+      (wD * wD * (nD * nD - 1.0)) -
+      lit(1.0) / ((nD - 1.0) * (nD - 1.0))
+    val bad = col("n") < 3L || col("w") === 0L ||
+      varPart <= lit(0L).cast(dec)
+    a.select(col("n").cast("long").as("n_cells"),
+      col("w").cast("long").as("w_pairs"),
+      when(bad, lit(null).cast("double")).otherwise(q6(i)).as("morans_i"),
+      when(col("n") < 2L, lit(null).cast("double")).otherwise(q6(e))
+        .as("e_i"),
+      when(bad || varI <= 0.0, lit(null).cast("double"))
+        .otherwise(q4((i - e) / sqrt(varI))).as("z"))
+  }
+
+  /** Global Geary's C over the same grid/weights, E[C] = 1,
+    * normality z = (C−1)/sd with
+    * Var(C) = ((2S1+S2)(N−1) − 4W²) / (2(N+1)W²)
+    * ([PK] Geary 1954; Cliff & Ord 1981). Exact integers:
+    * C = N·(N−1)·Σw(x−x')² / (2W·(N·Σx² − S²)). */
+  def gearysC(cells: DataFrame): DataFrame = {
+    val a = augmented(cells).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x").cast(dec) * col("x")).as("ss"),
+      sum(col("deg")).as("w"),
+      sum(col("deg").cast(dec) * col("x") * col("x") -
+        col("x").cast(dec) * col("ns") * 2L + col("ns2")).as("d2"),
+      sum(col("deg").cast(dec) * col("deg")).as("degsq"))
+    val nDec = col("n").cast(dec)
+    val varPart = nDec * col("ss") - col("s").cast(dec) * col("s")
+    val num = nDec * (col("n") - 1L) * col("d2")
+    val cStat = num.cast("double") /
+      (lit(2.0) * col("w").cast("double") * varPart.cast("double"))
+    val nD = col("n").cast("double")
+    val wD = col("w").cast("double")
+    val s1 = lit(2.0) * wD
+    val s2 = lit(4.0) * col("degsq").cast("double")
+    val varC = ((lit(2.0) * s1 + s2) * (nD - 1.0) -
+      lit(4.0) * wD * wD) / (lit(2.0) * (nD + 1.0) * wD * wD)
+    val bad = col("n") < 3L || col("w") === 0L ||
+      varPart <= lit(0L).cast(dec)
+    a.select(col("n").cast("long").as("n_cells"),
+      col("w").cast("long").as("w_pairs"),
+      when(bad, lit(null).cast("double")).otherwise(q6(cStat))
+        .as("gearys_c"),
+      when(bad || varC <= 0.0, lit(null).cast("double"))
+        .otherwise(q4((cStat - 1.0) / sqrt(varC))).as("z"))
+  }
+
+  /** Per-cell Getis–Ord Gi* (self-inclusive 9-cell window,
+    * [PK] Getis & Ord 1992; Ord & Getis 1995): the z-surface of local
+    * hot/cold spots. For binary weights W_i = deg_i+1,
+    * Gi* = (Σ_{j∈N9(i)} x_j − x̄·W_i) /
+    *       (s·√((N·W_i − W_i²)/(N−1))), population s over ALL cells.
+    * The 1-row global-moment broadcast onto the cell table is the
+    * q242 in-plan form (PlanShapeSpec allowlist). */
+  def getisGiStar(cells: DataFrame): DataFrame = {
+    val aug = augmented(cells)
+    val glob = cells.agg(count(lit(1)).as("gn"), sum(col("x")).as("gs"),
+      sum(col("x").cast(dec) * col("x")).as("gss"))
+    val nD = col("gn").cast("double")
+    val mean = col("gs").cast("double") / nD
+    val variance = col("gss").cast("double") / nD - mean * mean
+    val w9 = (col("deg") + 1L).cast("double")
+    val ns9 = (col("ns") + col("x")).cast("double")
+    val denom = sqrt(variance) *
+      sqrt((nD * w9 - w9 * w9) / (nD - 1.0))
+    val bad = col("gn") < 2L || variance <= 0.0 || nD === w9
+    aug.crossJoin(broadcast(glob))
+      .select(col("cx"), col("cy"), col("x").as("n"),
+        (col("ns") + col("x")).as("nbhd"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(q4((ns9 - mean * w9) / denom)).as("gi_z"))
+      .orderBy("cx", "cy")
+  }
+
+  def q294MoransI(s: SparkSession, dir: String): DataFrame =
+    moransI(customerCells(s, dir))
+
+  def q295GearysC(s: SparkSession, dir: String): DataFrame =
+    gearysC(customerCells(s, dir))
+
+  def q296GetisGi(s: SparkSession, dir: String): DataFrame =
+    getisGiStar(customerCells(s, dir))
+
+  /** Shared mirror CTEs: the q149 grid hash, queen offsets, and the
+    * per-cell augmentation (deg/ns/ns2) — HUGEINT exact. */
+  private val cellCtes: String =
+    """WITH pts AS (
+      |  SELECT
+      |    CAST(FLOOR((CAST(((c_custkey * 1103515245 + 12345) % 3600 + 3600) % 3600 AS DOUBLE)
+      |      / 10.0 - 180.0) / 10.0) AS INTEGER) AS cx,
+      |    CAST(FLOOR((CAST(((c_custkey * 2654435761) % 1700 + 1700) % 1700 AS DOUBLE)
+      |      / 10.0 - 85.0) / 10.0) AS INTEGER) AS cy
+      |  FROM customer),
+      |cells AS (SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY cx, cy),
+      |offs AS (
+      |  SELECT dx.dx, dy.dy
+      |  FROM (SELECT unnest([-1, 0, 1]) AS dx) dx,
+      |       (SELECT unnest([-1, 0, 1]) AS dy) dy
+      |  WHERE NOT (dx.dx = 0 AND dy.dy = 0)),
+      |nbrv AS (
+      |  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS nx
+      |  FROM cells c CROSS JOIN offs o),
+      |aug AS (
+      |  SELECT c.cx, c.cy, c.x,
+      |    CAST(COUNT(v.nx) AS BIGINT) AS deg,
+      |    CAST(COALESCE(SUM(v.nx), 0) AS BIGINT) AS ns,
+      |    CAST(COALESCE(SUM(CAST(v.nx AS HUGEINT) * v.nx), 0) AS HUGEINT) AS ns2
+      |  FROM cells c LEFT JOIN nbrv v ON c.cx = v.cx AND c.cy = v.cy
+      |  GROUP BY c.cx, c.cy, c.x)""".stripMargin
+
+  val q294MoransISql: String =
+    cellCtes +
+      """,
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss,
+        |    CAST(SUM(deg) AS BIGINT) AS w,
+        |    CAST(SUM(CAST(x AS HUGEINT) * ns) AS HUGEINT) AS p,
+        |    CAST(SUM(CAST(deg AS HUGEINT) * x) AS HUGEINT) AS degn,
+        |    CAST(SUM(CAST(ns AS HUGEINT)) AS HUGEINT) AS sns,
+        |    CAST(SUM(CAST(deg AS HUGEINT) * deg) AS HUGEINT) AS degsq
+        |  FROM aug),
+        |c0 AS (
+        |  SELECT n, w,
+        |    CAST(CAST(n AS HUGEINT) * n * p
+        |      - CAST(n AS HUGEINT) * s * (degn + sns)
+        |      + CAST(w AS HUGEINT) * s * s AS DOUBLE)
+        |      / (CAST(w AS DOUBLE)
+        |         * CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)) AS i,
+        |    CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS HUGEINT) AS vp,
+        |    -1.0 / (n - 1.0) AS e,
+        |    (CAST(n AS DOUBLE) * n * (2.0 * w)
+        |      - CAST(n AS DOUBLE) * (4.0 * degsq) + 3.0 * CAST(w AS DOUBLE) * w)
+        |      / (CAST(w AS DOUBLE) * w * (CAST(n AS DOUBLE) * n - 1.0))
+        |      - 1.0 / ((n - 1.0) * (n - 1.0)) AS vi
+        |  FROM a)
+        |SELECT n AS n_cells, w AS w_pairs,
+        |  CASE WHEN n < 3 OR w = 0 OR vp <= 0 THEN NULL
+        |    ELSE FLOOR(i * 1e6 + 0.5) / 1e6 END AS morans_i,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE FLOOR(e * 1e6 + 0.5) / 1e6 END AS e_i,
+        |  CASE WHEN n < 3 OR w = 0 OR vp <= 0 OR vi <= 0 THEN NULL
+        |    ELSE FLOOR((i - e) / SQRT(vi) * 1e4 + 0.5) / 1e4 END AS z
+        |FROM c0""".stripMargin
+
+  val q295GearysCSql: String =
+    cellCtes +
+      """,
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss,
+        |    CAST(SUM(deg) AS BIGINT) AS w,
+        |    CAST(SUM(CAST(deg AS HUGEINT) * x * x
+        |      - CAST(x AS HUGEINT) * ns * 2 + ns2) AS HUGEINT) AS d2,
+        |    CAST(SUM(CAST(deg AS HUGEINT) * deg) AS HUGEINT) AS degsq
+        |  FROM aug),
+        |c0 AS (
+        |  SELECT n, w,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) * d2 AS DOUBLE)
+        |      / (2.0 * CAST(w AS DOUBLE)
+        |         * CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)) AS c,
+        |    CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS HUGEINT) AS vp,
+        |    ((2.0 * (2.0 * w) + 4.0 * degsq) * (n - 1.0)
+        |      - 4.0 * CAST(w AS DOUBLE) * w)
+        |      / (2.0 * (n + 1.0) * CAST(w AS DOUBLE) * w) AS vc
+        |  FROM a)
+        |SELECT n AS n_cells, w AS w_pairs,
+        |  CASE WHEN n < 3 OR w = 0 OR vp <= 0 THEN NULL
+        |    ELSE FLOOR(c * 1e6 + 0.5) / 1e6 END AS gearys_c,
+        |  CASE WHEN n < 3 OR w = 0 OR vp <= 0 OR vc <= 0 THEN NULL
+        |    ELSE FLOOR((c - 1.0) / SQRT(vc) * 1e4 + 0.5) / 1e4 END AS z
+        |FROM c0""".stripMargin
+
+  val q296GetisGiSql: String =
+    cellCtes +
+      """,
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+        |    CAST(SUM(x) AS BIGINT) AS gs,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS gss
+        |  FROM cells),
+        |m AS (
+        |  SELECT gn, CAST(gs AS DOUBLE) / gn AS mean,
+        |    CAST(gss AS DOUBLE) / gn
+        |      - (CAST(gs AS DOUBLE) / gn) * (CAST(gs AS DOUBLE) / gn) AS var
+        |  FROM g)
+        |SELECT a.cx, a.cy, a.x AS n, a.ns + a.x AS nbhd,
+        |  CASE WHEN m.gn < 2 OR m.var <= 0 OR m.gn = a.deg + 1 THEN NULL
+        |    ELSE FLOOR(((a.ns + a.x) - m.mean * (a.deg + 1))
+        |      / (SQRT(m.var)
+        |         * SQRT((m.gn * (a.deg + 1.0) - (a.deg + 1.0) * (a.deg + 1.0))
+        |                / (m.gn - 1.0))) * 1e4 + 0.5) / 1e4 END AS gi_z
+        |FROM aug a CROSS JOIN m
+        |ORDER BY a.cx, a.cy""".stripMargin
+}

@@ -843,4 +843,65 @@ class NonDegeneracySpec extends SparkSpec {
       }
     }
   }
+
+  test("q294: Moran grid populated; the sf0.01 LCG lattice is detected") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q294_morans_i", sf).head()
+      assert(r.getAs[Long]("n_cells") > 100L, s"thin grid at $sf")
+      assert(r.getAs[Long]("w_pairs") > 50L, s"no adjacency at $sf")
+      val i = r.getAs[java.lang.Double]("morans_i")
+      val z = r.getAs[java.lang.Double]("z")
+      assert(i != null && math.abs(i) < 2.0, s"I out of range at $sf")
+      assert(z != null && !z.isNaN && !z.isInfinite, s"bad z at $sf")
+    }
+    // the hash grid is an LCG lattice (lon steps 45/3600 per key), so
+    // at sf0.01 neighbouring cells are systematically DISSIMILAR — the
+    // statistic must see it (z measured −5.13; a shuffled field would
+    // sit in ±2). This is the discriminating half of the screen; the
+    // structured-ramp/checkerboard halves live in SpatialStatsSpec.
+    val z01 = run("q294_morans_i", sf001).head().getAs[Double]("z")
+    assert(z01 < -3.0, s"lattice anti-correlation not detected: z=$z01")
+  }
+
+  test("q295: Geary sees the lattice decisively at BOTH SFs") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q295_gearys_c", sf).head()
+      val c = r.getAs[java.lang.Double]("gearys_c")
+      val z = r.getAs[java.lang.Double]("z")
+      assert(c != null && c >= 0.0, s"C negative at $sf")
+      // sf0.01: adjacent lattice cells dissimilar → C > 1 (z +4.54);
+      // sf0.001: the sparse lattice's occupied neighbours carry EQUAL
+      // counts → C = 0 (z −6.97). Both are real structure; both must
+      // be decisive.
+      assert(z != null && math.abs(z) > 3.0, s"vacuous Geary z at $sf")
+    }
+  }
+
+  test("q296: Gi* surface fully populated with a real hot/cold spread") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q296_getis_gi", sf).collect()
+      assert(rows.length > 100L, s"thin surface at $sf")
+      val zs = rows.map(_.getAs[java.lang.Double]("gi_z"))
+      assert(zs.forall(z => z != null && !z.isNaN), s"null z cells at $sf")
+      val vs = zs.map(_.doubleValue)
+      assert(vs.max > 1.5, s"no hot spot at $sf (max ${vs.max})")
+      assert(vs.max - vs.min > 2.0, s"flat Gi* surface at $sf")
+    }
+  }
+
+  test("q297: items share a construct — alpha real, covariance positive") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q297_cronbach_alpha", sf).head()
+      assert(r.getAs[Long]("n_docs") > 100L, s"thin corpus at $sf")
+      val a = r.getAs[java.lang.Double]("cronbach_alpha")
+      val vs = r.getAs[java.lang.Double]("var_share")
+      // Σvar_i < var_total ⟺ positive average inter-item covariance —
+      // the items genuinely co-measure (measured α 0.75 both SFs);
+      // α < 1 keeps the scale from being a degenerate single item.
+      assert(vs != null && vs > 0.0 && vs < 1.0,
+        s"no positive inter-item covariance at $sf")
+      assert(a != null && a > 0.5 && a < 0.95,
+        s"alpha out of the real band at $sf: $a")
+    }
+  }
 }

@@ -474,7 +474,11 @@ class PlanShapeSpec extends SparkSpec {
       // (the q262 Walsh shape — recency cut + tolerance broadcasts sit
       // under the lazy checkpoint)
       "q289_cucconi", "q290_spectral_entropy", "q291_dagostino_k2",
-      "q292_sample_entropy")
+      "q292_sample_entropy",
+      // r13 batch 4: q296's 1-row global-moment broadcast onto the
+      // ≤612-cell grid census (the q242 form — Gi* needs corpus mean/sd
+      // at every cell)
+      "q296_getis_gi")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

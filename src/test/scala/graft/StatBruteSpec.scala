@@ -2271,4 +2271,33 @@ class StatBruteSpec extends SparkSpec {
         < 1e-4)
     }
   }
+
+  test("q297 Cronbach alpha matches a sequential item-variance walk") {
+    val row = SparkEntry.queries("q297_cronbach_alpha")(spark, sf0001)
+      .head()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val items = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val nc = r.getLong(0); val text = r.getString(1)
+        val toks = text.split(" ", -1)
+        val i1 = math.min(nc / 100, 10L)
+        val i2 = math.min(math.floor(toks.length / 20.0).toLong, 10L)
+        val i3 = math.min(toks.count(stop.contains) / 5L, 10L)
+        val i4 = math.min(text.count(_ == '.') / 2L, 10L)
+        Array(i1, i2, i3, i4)
+      }
+    val n = items.length.toDouble
+    def variance(v: Array[Double]): Double = {
+      val m = v.sum / n; v.map(x => (x - m) * (x - m)).sum / n
+    }
+    val itemVars = (0 until 4).map(k =>
+      variance(items.map(_(k).toDouble)))
+    val totVar = variance(items.map(_.sum.toDouble))
+    val alpha = 4.0 / 3.0 * (1.0 - itemVars.sum / totVar)
+    assert(row.getAs[Long]("n_docs") === items.length.toLong)
+    assert(math.abs(row.getAs[Double]("var_share") -
+      itemVars.sum / totVar) < 1e-5)
+    assert(math.abs(row.getAs[Double]("cronbach_alpha") - alpha) < 1e-5,
+      s"alpha ${row.getAs[Double]("cronbach_alpha")} vs brute $alpha")
+  }
 }
