@@ -550,4 +550,127 @@ object CorpusQueries {
       |  FLOOR(EXP(ROUND(CAST(snll AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
       |    * 1e4 + 0.5) / 1e4 AS ppl
       |FROM g ORDER BY source""".stripMargin
+
+  /** L235 interpolated Kneser–Ney bigram LM ([PK] Kneser & Ney 1995;
+    * Chen & Goodman 1999): the smoother real LM-quality pipelines
+    * (KenLM, CCNet-class filters) actually ship, next to q286's add-1
+    * baseline. Two ideas add-1 lacks: (a) absolute DISCOUNTING — mass
+    * is moved off observed bigrams by a fixed D estimated from the
+    * count-of-counts (D = n₁/(n₁+2n₂), the Ney–Essen–Kneser leave-one-
+    * out estimate), not by inflating the denominator, so frequent
+    * bigrams keep nearly all their mass where add-1 butchers them on
+    * Heaps-tailed vocabularies; (b) the CONTINUATION back-off — the
+    * unigram fallback weighs how many distinct CONTEXTS a word follows
+    * (N1+(•w)/T), not its raw frequency ("francisco" is frequent but
+    * only ever follows "san"). Per-language cross-entropy of the
+    * corpus under its own KN model: the register-coherence readout
+    * (high H = that language slice is a grab-bag of registers).
+    *
+    * P(w₂|w₁) = max(c₁₂−D,0)/c₁ + D·N1+(w₁•)/c₁ · N1+(•w₂)/T.
+    *
+    * Parity: all counts exact int64; D is one double division of exact
+    * ints; each bigram's log₂P is a deterministic double chain
+    * nano-quantized at the source (q187/q286 convention), then
+    * Σ c₁₂·log₂P rides DECIMAL(38,0)/HUGEINT exactly; ppl = 2^H takes
+    * the 6dp-rounded H and floor-quantizes 1e-4.
+    *
+    * Scale: the model is distributed tables keyed by vocab — the
+    * (lang,w₁) context census and (lang,w₂) continuation census are
+    * both Heaps-capped; the per-lang (T, N, n₁, n₂, D) census is a
+    * ≤|langs|-row broadcast. One lazy localCheckpoint on the bigram
+    * census (feeds all three marginals + the scoring join). */
+  def q300KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c12 = Tables.documents(s, dir).select(col("lang"),
+        explode(graft.functions.SimFns.wordBigrams(col("text"))).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .localCheckpoint(eager = false)
+    val fw = c12.groupBy("lang", "w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val bw = c12.groupBy("lang", "w2").agg(count(lit(1)).as("n1bw"))
+    val gl = c12.groupBy("lang").agg(
+      count(lit(1)).as("tt"), sum(col("c12")).as("nn"),
+      sum(when(col("c12") === 1L, 1L).otherwise(0L)).as("k1"),
+      sum(when(col("c12") === 2L, 1L).otherwise(0L)).as("k2"))
+    val dD = when(col("k1") + col("k2") * 2L > 0L,
+      col("k1").cast("double") / (col("k1") + col("k2") * 2L)
+        .cast("double")).otherwise(lit(0.5))
+    val p = greatest(col("c12").cast("double") - col("d"), lit(0.0)) /
+      col("c1").cast("double") +
+      col("d") * col("n1fw").cast("double") / col("c1").cast("double") *
+        (col("n1bw").cast("double") / col("tt").cast("double"))
+    val scored = c12.join(fw, Seq("lang", "w1"))
+      .join(bw, Seq("lang", "w2"))
+      .join(broadcast(gl.withColumn("d", dD)), "lang")
+      .select(col("lang"), col("c12"), col("nn"), col("tt"), col("d"),
+        floor(log2(p) * 1e9 + 0.5).cast("long").as("t9"))
+    val g = scored.groupBy("lang").agg(
+      max(col("nn")).as("n_bigrams"), count(lit(1)).as("bigram_types"),
+      max(col("d")).as("d0"),
+      sum(col("c12").cast(dec) * col("t9").cast(dec)).as("st"))
+    val h = round(-col("st").cast("double") / 1e9 /
+      col("n_bigrams").cast("double"), 6) + 0.0
+    g.select(col("lang"), col("n_bigrams"), col("bigram_types"),
+        (round(col("d0"), 6) + 0.0).as("discount"),
+        h.as("h_bits"),
+        (floor(pow(lit(2.0), h) * 1e4 + 0.5) / 1e4).as("ppl"))
+      .orderBy("lang")
+  }
+
+  val q300KneserNeySql: String =
+    """WITH bgx AS (
+      |  SELECT lang,
+      |    unnest(CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+      |      ELSE list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' '
+      |          || string_split(text, ' ')[i + 1]) END) AS bg
+      |  FROM documents),
+      |c12 AS (
+      |  SELECT lang, bg, COUNT(*) AS c12,
+      |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      |  FROM bgx GROUP BY lang, bg),
+      |fw AS (
+      |  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    COUNT(*) AS n1fw
+      |  FROM c12 GROUP BY lang, w1),
+      |bw AS (
+      |  SELECT lang, w2, COUNT(*) AS n1bw FROM c12 GROUP BY lang, w2),
+      |gl AS (
+      |  SELECT lang, COUNT(*) AS tt, CAST(SUM(c12) AS BIGINT) AS nn,
+      |    CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      |    CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+      |  FROM c12 GROUP BY lang),
+      |gld AS (
+      |  SELECT lang, tt, nn,
+      |    CASE WHEN k1 + 2 * k2 > 0
+      |      THEN CAST(k1 AS DOUBLE) / CAST(k1 + 2 * k2 AS DOUBLE)
+      |      ELSE 0.5 END AS d
+      |  FROM gl),
+      |sc AS (
+      |  SELECT c12.lang, c12.c12, nn, tt, d,
+      |    CAST(FLOOR(LOG2(
+      |      GREATEST(CAST(c12.c12 AS DOUBLE) - d, 0.0)
+      |        / CAST(c1 AS DOUBLE)
+      |      + d * CAST(n1fw AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |        * (CAST(n1bw AS DOUBLE) / CAST(tt AS DOUBLE)))
+      |      * 1e9 + 0.5) AS BIGINT) AS t9
+      |  FROM c12
+      |  JOIN fw ON c12.lang = fw.lang AND c12.w1 = fw.w1
+      |  JOIN bw ON c12.lang = bw.lang AND c12.w2 = bw.w2
+      |  JOIN gld ON c12.lang = gld.lang),
+      |g AS (
+      |  SELECT lang, CAST(MAX(nn) AS BIGINT) AS n_bigrams,
+      |    COUNT(*) AS bigram_types, MAX(d) AS d0,
+      |    CAST(SUM(CAST(c12 AS HUGEINT) * t9) AS HUGEINT) AS st
+      |  FROM sc GROUP BY lang)
+      |SELECT lang, n_bigrams, bigram_types,
+      |  ROUND(d0, 6) + 0 AS discount,
+      |  ROUND(-CAST(st AS DOUBLE) / 1e9 / n_bigrams, 6) + 0 AS h_bits,
+      |  FLOOR(POWER(2.0,
+      |    ROUND(-CAST(st AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
+      |    * 1e4 + 0.5) / 1e4 AS ppl
+      |FROM g ORDER BY lang""".stripMargin
 }

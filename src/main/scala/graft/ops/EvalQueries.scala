@@ -886,4 +886,355 @@ object EvalQueries {
       |    ELSE FLOOR(4.0 / 3.0 * (1.0 - ratio) * 1e6 + 0.5) / 1e6 END
       |    AS cronbach_alpha
       |FROM c0""".stripMargin
+
+  /** L232 distributed OLS via the Gram matrix ([PK] normal equations;
+    * the classic scalable form — e.g. Spark MLlib's normal-equation
+    * solver): regress order revenue (cents) on order units and line
+    * count jointly. q293 showed the PAIRWISE story (raw r_xy ≈ 0.74
+    * collapses to ≈ −0.01 given z); the regression gives the JOINT
+    * readout — the line-count coefficient carries essentially all the
+    * fit (R² ≈ 0.55 at sf0.01) while the units coefficient sits near
+    * zero, the multivariable restatement of the same confounder.
+    *
+    * Construction: the 100 TB-safe shape — ONE map-side-combinable agg
+    * of the 10 Gram moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y,
+    * Σx₂y, Σy²) as exact DECIMAL(38,0)/HUGEINT, then the 3×3 normal
+    * system solved in closed form by Cramer's rule as one deterministic
+    * double chain (same expression tree both engines → identical bits;
+    * X'X never materializes per-row state and no iteration happens).
+    * SSE = Σy² − β'X'y, R² = 1 − SSE/SST, adj-R² over n−3 df.
+    *
+    * Guards: n < 4, zero exact variance in either regressor, or
+    * det(X'X) = 0 (collinear) → null coefficients. */
+  def q298OlsGram(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+    def d(c: String) = col(c).cast(dec)
+    val a = per.agg(count(lit(1)).as("n"),
+      sum(d("x1")).as("s1"), sum(d("x2")).as("s2"), sum(d("y")).as("sy"),
+      sum(d("x1") * d("x1")).as("s11"), sum(d("x2") * d("x2")).as("s22"),
+      sum(d("x1") * d("x2")).as("s12"), sum(d("x1") * d("y")).as("s1y"),
+      sum(d("x2") * d("y")).as("s2y"), sum(d("y") * d("y")).as("syy"))
+    def f(c: String) = col(c).cast("double")
+    val (n, s1, s2, sy) = (f("n"), f("s1"), f("s2"), f("sy"))
+    val (s11, s22, s12) = (f("s11"), f("s22"), f("s12"))
+    val (s1y, s2y, syy) = (f("s1y"), f("s2y"), f("syy"))
+    val m11 = s11 * s22 - s12 * s12
+    val m12 = s1 * s22 - s12 * s2
+    val m13 = s1 * s12 - s11 * s2
+    val det = n * m11 - s1 * m12 + s2 * m13
+    val det0 = sy * m11 - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * m12 +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * m13
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    val r2 = lit(1.0) - sse / sst
+    // exact singularity guards (DECIMAL cross-products, no FP noise)
+    val nD = col("n").cast(dec)
+    val v1 = nD * col("s11") - col("s1") * col("s1")
+    val v2 = nD * col("s22") - col("s2") * col("s2")
+    val zero = lit(0L).cast(dec)
+    val bad = col("n") < 4L || v1 <= zero || v2 <= zero || det === 0.0 ||
+      sst <= 0.0
+    def out(c: Column, nm: String) =
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(c, 6) + 0.0).as(nm)
+    a.select(col("n").cast("long").as("n_orders"),
+      out(b0, "intercept_cents"), out(b1, "beta_units"),
+      out(b2, "beta_lines"), out(r2, "r2"),
+      out(lit(1.0) - (lit(1.0) - r2) * (n - 1.0) / (n - 3.0), "adj_r2"))
+  }
+
+  val q298OlsGramSql: String =
+    """WITH per AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS x1,
+      |    COUNT(*) AS x2
+      |  FROM lineitem GROUP BY l_orderkey),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM per),
+      |f AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) AS nf, CAST(s1 AS DOUBLE) AS s1,
+      |    CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+      |    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+      |    CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+      |    CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+      |    (CAST(n AS HUGEINT) * s11 - s1 * s1) AS v1,
+      |    (CAST(n AS HUGEINT) * s22 - s2 * s2) AS v2
+      |  FROM a),
+      |m AS (
+      |  SELECT *,
+      |    (s11 * s22 - s12 * s12) AS m11,
+      |    (s1 * s22 - s12 * s2) AS m12,
+      |    (s1 * s12 - s11 * s2) AS m13
+      |  FROM f),
+      |dets AS (
+      |  SELECT *,
+      |    (nf * m11 - s1 * m12 + s2 * m13) AS det,
+      |    (sy * m11 - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+      |    (nf * (s1y * s22 - s12 * s2y) - sy * m12
+      |      + s2 * (s1 * s2y - s1y * s2)) AS det1,
+      |    (nf * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * m13) AS det2,
+      |    (syy - sy * sy / nf) AS sst
+      |  FROM m),
+      |b AS (
+      |  SELECT *,
+      |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+      |    (n < 4 OR v1 <= 0 OR v2 <= 0 OR det = 0 OR
+      |      syy - sy * sy / nf <= 0) AS bad
+      |  FROM dets),
+      |r AS (
+      |  SELECT *,
+      |    1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst AS r2
+      |  FROM b)
+      |SELECT n AS n_orders,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(b0, 6) + 0 END
+      |    AS intercept_cents,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(b1, 6) + 0 END AS beta_units,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(b2, 6) + 0 END AS beta_lines,
+      |  CASE WHEN bad THEN NULL ELSE ROUND(r2, 6) + 0 END AS r2,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE ROUND(1.0 - (1.0 - r2) * (nf - 1.0) / (nf - 3.0), 6) + 0
+      |    END AS adj_r2
+      |FROM r""".stripMargin
+
+  /** L233 isotonic calibration via the minimax formula ([PK] Ayer et
+    * al. 1955; Barlow & Brunk 1972; the monotone fit behind isotonic
+    * probability calibration): fit the best monotone non-decreasing
+    * rate curve over the token-count score bins for the outcome "doc
+    * contains 'the'". The raw bin rates rise with local violations
+    * (0.846→0.841 at sf0.01 bins 5→6; 0.927→0.902 at sf0.001 6→7);
+    * the PAV solution pools exactly those neighbours. This is the
+    * CALIBRATED counterpart of q197's raw reliability table — the
+    * monotone re-map a score pipeline applies before thresholding.
+    *
+    * Construction: the corpus collapses to a ≤20-row (bin, n, Σy)
+    * census map-side; the isotonic fit uses the closed-form
+    * m_i = max_{j≤i} min_{k≥i} avg(y over bins j..k) — NOT the
+    * sequential PAV sweep — so it is a bounded O(B³) computation over
+    * census rows: one ≤20×20 non-equi self-join (BNLJ, allowlisted) +
+    * a running-min window per start-bin + one max-group-by. The exact
+    * PAV equivalence is pinned by StatBruteSpec's sequential pooler.
+    *
+    * Parity: every interval average is ONE double division of exact
+    * int64 prefix sums; running min / group max over those doubles are
+    * order-free; 6dp floor-quantized. */
+  def q299IsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bin")
+    val census = Tables.documents(s, dir)
+      .select(least(floor(size(tokens(col("text"))) / 10.0), lit(19L))
+        .as("bin"),
+        when(array_contains(tokens(col("text")), "the"), 1L)
+          .otherwise(0L).as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("nb"), sum("y").as("sb"))
+      .withColumn("pn", sum("nb").over(w))
+      .withColumn("ps", sum("sb").over(w))
+    val pairs = census.select(col("bin").as("jb"), col("nb").as("jn"),
+        col("sb").as("js"), col("pn").as("jpn"), col("ps").as("jps"))
+      .join(census.select(col("bin").as("kb"), col("pn").as("kpn"),
+        col("ps").as("kps")), col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        ((col("kps") - col("jps") + col("js")).cast("double") /
+          (col("kpn") - col("jpn") + col("jn")).cast("double")).as("a"))
+    val wj = Window.partitionBy("jb").orderBy(col("kb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = pairs.withColumn("bmin", min("a").over(wj))
+      .groupBy("kb").agg(max("bmin").as("iso"))
+    census.join(iso, col("bin") === col("kb"))
+      .select(col("bin"), col("nb").as("n_docs"),
+        (floor(col("sb").cast("double") / col("nb").cast("double") *
+          1e6 + 0.5) / 1e6).as("raw_rate"),
+        (floor(col("iso") * 1e6 + 0.5) / 1e6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
+  val q299IsotonicFitSql: String =
+    """WITH c0 AS (
+      |  SELECT
+      |    LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 10.0)
+      |      AS BIGINT), 19) AS bin,
+      |    CASE WHEN list_contains(string_split(text, ' '), 'the')
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |census AS (
+      |  SELECT bin, COUNT(*) AS nb, CAST(SUM(y) AS BIGINT) AS sb
+      |  FROM c0 GROUP BY bin),
+      |pre AS (
+      |  SELECT bin, nb, sb,
+      |    CAST(SUM(nb) OVER (ORDER BY bin) AS BIGINT) AS pn,
+      |    CAST(SUM(sb) OVER (ORDER BY bin) AS BIGINT) AS ps
+      |  FROM census),
+      |pairs AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST(k.ps - j.ps + j.sb AS DOUBLE)
+      |      / CAST(k.pn - j.pn + j.nb AS DOUBLE) AS a
+      |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+      |bmin AS (
+      |  SELECT jb, kb,
+      |    MIN(a) OVER (PARTITION BY jb ORDER BY kb DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bmin
+      |  FROM pairs),
+      |iso AS (SELECT kb, MAX(bmin) AS iso FROM bmin GROUP BY kb)
+      |SELECT bin, nb AS n_docs,
+      |  FLOOR(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS raw_rate,
+      |  FLOOR(iso * 1e6 + 0.5) / 1e6 AS iso_rate
+      |FROM pre JOIN iso ON pre.bin = iso.kb
+      |ORDER BY bin""".stripMargin
+
+  /** L234 intraclass correlation ICC(2,1)/(2,k)/(3,1) ([PK] Shrout &
+    * Fleiss 1979; McGraw & Wong 1996): the two-way ANOVA reliability
+    * decomposition over the SAME 4-item richness table as q297 —
+    * Cronbach's α answers "is the item SUM reliable"; the ICCs answer
+    * "is a SINGLE item interchangeable with another" (ICC(2,1), items
+    * as random draws), "is the 4-item average reliable under that
+    * model" (ICC(2,k)), and "how consistent are single items ignoring
+    * their level offsets" (ICC(3,1)). ICC(3,k) ≡ Cronbach's α — that
+    * identity is pinned cross-query by NonDegeneracySpec against
+    * q297's output.
+    *
+    * Construction: each doc is one row, so ALL sums are map-side — n,
+    * ΣΣx² (Q), Σ_d rowsum² (R2, computed per-row before the agg), and
+    * the 4 column sums; SS_rows = R2/k − G²/(nk), SS_cols = ΣC²/n −
+    * G²/(nk), SS_e by subtraction, then the Shrout–Fleiss forms are
+    * one deterministic double chain from the exact DECIMAL sums, 6dp.
+    * No joins, no windows — ONE agg at any scale.
+    *
+    * Guards: n < 2 or zero between-doc mean square → null. */
+  def q301Icc(s: SparkSession, dir: String): DataFrame = {
+    val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is",
+      "on"))
+    val d = Tables.documents(s, dir).select(
+      least(floor(col("n_chars") / 100.0), lit(10L)).as("i1"),
+      least(floor(size(tokens(col("text"))) / 20.0), lit(10L)).as("i2"),
+      least(floor(size(filter(tokens(col("text")),
+        t => array_contains(stop, t))) / 5.0), lit(10L)).as("i3"),
+      least(floor((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.", ""))) / 2.0),
+        lit(10L)).as("i4"))
+      .withColumn("t", col("i1") + col("i2") + col("i3") + col("i4"))
+    val a = d.agg(count(lit(1)).as("n"),
+      sum(col("t")).as("g"),
+      sum(col("t").cast(dec) * col("t")).as("r2"),
+      (sum(col("i1").cast(dec) * col("i1")) +
+        sum(col("i2").cast(dec) * col("i2")) +
+        sum(col("i3").cast(dec) * col("i3")) +
+        sum(col("i4").cast(dec) * col("i4"))).as("q"),
+      sum(col("i1")).as("c1"), sum(col("i2")).as("c2"),
+      sum(col("i3")).as("c3"), sum(col("i4")).as("c4"))
+    val k = lit(4.0)
+    val n = col("n").cast("double")
+    val g = col("g").cast("double")
+    val cm = g * g / (n * k) // correction for the mean, G²/(nk)
+    val ssr = col("r2").cast("double") / k - cm
+    val ssc = (col("c1").cast("double") * col("c1").cast("double") +
+      col("c2").cast("double") * col("c2").cast("double") +
+      col("c3").cast("double") * col("c3").cast("double") +
+      col("c4").cast("double") * col("c4").cast("double")) / n - cm
+    val sst = col("q").cast("double") - cm
+    val sse = sst - ssr - ssc
+    val msr = ssr / (n - 1.0)
+    val msc = ssc / (k - 1.0)
+    val mse = sse / ((n - 1.0) * (k - 1.0))
+    val icc21 = (msr - mse) /
+      (msr + (k - 1.0) * mse + k * (msc - mse) / n)
+    val icc2k = (msr - mse) / (msr + (msc - mse) / n)
+    val icc31 = (msr - mse) / (msr + (k - 1.0) * mse)
+    val icc3k = (msr - mse) / msr
+    val bad = col("n") < 2L || msr <= 0.0
+    def out(c: Column, nm: String) =
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(c * 1e6 + 0.5) / 1e6).as(nm)
+    a.select(col("n").cast("long").as("n_docs"),
+      out(msr, "ms_rows"), out(msc, "ms_cols"), out(mse, "ms_err"),
+      out(icc21, "icc_2_1"), out(icc2k, "icc_2_k"),
+      out(icc31, "icc_3_1"), out(icc3k, "icc_3_k"))
+  }
+
+  val q301IccSql: String =
+    """WITH d AS (
+      |  SELECT
+      |    LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 10) AS i1,
+      |    LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 20.0) AS BIGINT),
+      |      10) AS i2,
+      |    LEAST(CAST(FLOOR(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','a','of','and','to','in','is','on'],
+      |      t))) / 5.0) AS BIGINT), 10) AS i3,
+      |    LEAST(CAST(FLOOR((len(text) - len(replace(text, '.', '')))
+      |      / 2.0) AS BIGINT), 10) AS i4
+      |  FROM documents),
+      |dt AS (SELECT *, i1 + i2 + i3 + i4 AS t FROM d),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(t) AS BIGINT) AS g,
+      |    CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS r2,
+      |    CAST(SUM(CAST(i1 AS HUGEINT) * i1) + SUM(CAST(i2 AS HUGEINT) * i2)
+      |      + SUM(CAST(i3 AS HUGEINT) * i3) + SUM(CAST(i4 AS HUGEINT) * i4)
+      |      AS HUGEINT) AS q,
+      |    CAST(SUM(i1) AS BIGINT) AS c1, CAST(SUM(i2) AS BIGINT) AS c2,
+      |    CAST(SUM(i3) AS BIGINT) AS c3, CAST(SUM(i4) AS BIGINT) AS c4
+      |  FROM dt),
+      |s AS (
+      |  SELECT n,
+      |    CAST(r2 AS DOUBLE) / 4.0
+      |      - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * 4.0) AS ssr,
+      |    (CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+      |      + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)
+      |      + CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE)
+      |      + CAST(c4 AS DOUBLE) * CAST(c4 AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * 4.0) AS ssc,
+      |    CAST(q AS DOUBLE)
+      |      - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * 4.0) AS sst
+      |  FROM a),
+      |ms AS (
+      |  SELECT n,
+      |    ssr / (CAST(n AS DOUBLE) - 1.0) AS msr,
+      |    ssc / 3.0 AS msc,
+      |    (sst - ssr - ssc) / ((CAST(n AS DOUBLE) - 1.0) * 3.0) AS mse
+      |  FROM s)
+      |SELECT n AS n_docs,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR(msr * 1e6 + 0.5) / 1e6 END AS ms_rows,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR(msc * 1e6 + 0.5) / 1e6 END AS ms_cols,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR(mse * 1e6 + 0.5) / 1e6 END AS ms_err,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR((msr - mse)
+      |      / (msr + 3.0 * mse + 4.0 * (msc - mse) / CAST(n AS DOUBLE))
+      |      * 1e6 + 0.5) / 1e6 END AS icc_2_1,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR((msr - mse)
+      |      / (msr + (msc - mse) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+      |    END AS icc_2_k,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR((msr - mse) / (msr + 3.0 * mse) * 1e6 + 0.5) / 1e6
+      |    END AS icc_3_1,
+      |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
+      |    ELSE FLOOR((msr - mse) / msr * 1e6 + 0.5) / 1e6 END AS icc_3_k
+      |FROM ms""".stripMargin
 }

@@ -904,4 +904,85 @@ class NonDegeneracySpec extends SparkSpec {
         s"alpha out of the real band at $sf: $a")
     }
   }
+
+  test("q298: OLS restates the q293 confounder — lines carry the fit") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q298_ols_gram", sf).head()
+      val r2 = r.getAs[java.lang.Double]("r2")
+      val bl = r.getAs[java.lang.Double]("beta_lines")
+      val bu = r.getAs[java.lang.Double]("beta_units")
+      val adj = r.getAs[java.lang.Double]("adj_r2")
+      assert(r2 != null && r2 > 0.5 && r2 < 0.95,
+        s"no real joint fit at $sf: $r2")
+      // the line-count coefficient carries the regression (~$54k/line);
+      // the units coefficient is comparatively nil — the multivariable
+      // form of q293's partial-correlation collapse
+      assert(bl != null && bl > 1e6, s"lines coefficient flat at $sf")
+      assert(bu != null && math.abs(bu) < 0.01 * bl,
+        s"units coefficient not collapsed at $sf: $bu vs $bl")
+      assert(adj != null && adj <= r2 && adj > 0.5, s"adj-R2 odd at $sf")
+    }
+  }
+
+  test("q299: isotonic fit is monotone AND actually pooled violations") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q299_isotonic_fit", sf).collect()
+      assert(rows.length >= 5, s"degenerate bin census at $sf")
+      val iso = rows.map(_.getAs[Double]("iso_rate"))
+      val raw = rows.map(_.getAs[Double]("raw_rate"))
+      iso.sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b + 1e-12, s"iso fit not monotone at $sf")
+      }
+      // the raw curve must have a real violation (else PAV is vacuous)
+      assert(raw.sliding(2).exists { case Array(a, b) => a > b + 1e-9 },
+        s"raw rates already monotone at $sf — fixture vacuous")
+      assert(iso.zip(raw).exists { case (i, rr) =>
+        math.abs(i - rr) > 1e-9 }, s"no pooling happened at $sf")
+      assert(iso.last - iso.head > 0.3, s"flat iso curve at $sf")
+    }
+  }
+
+  test("q300: KN model separates languages with real discounts") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q300_kneser_ney", sf).collect()
+      assert(rows.length >= 3, s"too few language slices at $sf")
+      val ds = rows.map(_.getAs[Double]("discount"))
+      assert(ds.forall(d => d > 0.0 && d < 1.0), s"discount out of (0,1)")
+      assert(ds.distinct.length > 1, s"all languages share one D at $sf")
+      rows.foreach { r =>
+        val h = r.getAs[Double]("h_bits"); val p = r.getAs[Double]("ppl")
+        assert(h > 1.0 && h < 16.0, s"cross-entropy out of band: $h")
+        // ppl must be 2^h (the published pairing, not an unrelated col)
+        assert(math.abs(p - math.pow(2.0, h)) < 0.01 * p,
+          s"ppl/h_bits inconsistent at $sf: $p vs 2^$h")
+      }
+      // 'en' docs are the longest/most register-diverse slice in the
+      // fixture: its self-perplexity tops the table at both SFs
+      val byLang = rows.map(r => r.getString(0) ->
+        r.getAs[Double]("ppl")).toMap
+      assert(byLang("en") == byLang.values.max,
+        s"en not the high-perplexity slice at $sf")
+    }
+  }
+
+  test("q301: ICC ladder ordered and ICC(3,k) IS q297's alpha") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q301_icc", sf).head()
+      val i21 = r.getAs[java.lang.Double]("icc_2_1")
+      val i2k = r.getAs[java.lang.Double]("icc_2_k")
+      val i31 = r.getAs[java.lang.Double]("icc_3_1")
+      val i3k = r.getAs[java.lang.Double]("icc_3_k")
+      assert(i21 != null && i21 > 0.0 && i21 < 1.0, s"icc21 band at $sf")
+      // averaging k items always helps; consistency ≥ agreement (the
+      // item-level offsets the items carry are real, so ICC(2,·)<ICC(3,·))
+      assert(i21 < i2k, s"Spearman-Brown direction broken at $sf")
+      assert(i31 != null && i21 < i31, s"agreement ≥ consistency at $sf")
+      // the Shrout–Fleiss identity: ICC(3,k) ≡ Cronbach's α — pinned
+      // cross-query against q297's independently-built output
+      val alpha = run("q297_cronbach_alpha", sf).head()
+        .getAs[java.lang.Double]("cronbach_alpha")
+      assert(math.abs(i3k - alpha) < 2e-6,
+        s"ICC(3,k) != Cronbach alpha at $sf: $i3k vs $alpha")
+    }
+  }
 }

@@ -478,7 +478,11 @@ class PlanShapeSpec extends SparkSpec {
       // r13 batch 4: q296's 1-row global-moment broadcast onto the
       // ≤612-cell grid census (the q242 form — Gi* needs corpus mean/sd
       // at every cell)
-      "q296_getis_gi")
+      "q296_getis_gi",
+      // r13 batch 5: q299's minimax isotonic fit — the ≤20-row score-bin
+      // census self-joined on bin ≤ bin (the O(B³) closed form; bounded
+      // by construction, never by data volume)
+      "q299_isotonic_fit")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. Currently empty: q262's tmax cut sits under its lazy
     // checkpoint (only the ≤365-row Walsh pair build surfaces), and

@@ -2300,4 +2300,154 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("cronbach_alpha") - alpha) < 1e-5,
       s"alpha ${row.getAs[Double]("cronbach_alpha")} vs brute $alpha")
   }
+
+  test("q298 OLS matches a sequential normal-equation solve") {
+    val row = SparkEntry.queries("q298_ols_gram")(spark, sf0001).head()
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    // sequential textbook solve: X'X \ X'y via explicit 3x3 inverse
+    val s1 = per.map(_._2).sum; val s2 = per.map(_._3).sum
+    val sy = per.map(_._1).sum
+    val s11 = per.map(p => p._2 * p._2).sum
+    val s22 = per.map(p => p._3 * p._3).sum
+    val s12 = per.map(p => p._2 * p._3).sum
+    val s1y = per.map(p => p._2 * p._1).sum
+    val s2y = per.map(p => p._3 * p._1).sum
+    val syy = per.map(p => p._1 * p._1).sum
+    def det3(a: Array[Double]): Double =
+      a(0) * (a(4) * a(8) - a(5) * a(7)) -
+        a(1) * (a(3) * a(8) - a(5) * a(6)) +
+        a(2) * (a(3) * a(7) - a(4) * a(6))
+    val d = det3(Array(n, s1, s2, s1, s11, s12, s2, s12, s22))
+    val b0 = det3(Array(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)) / d
+    val b1 = det3(Array(n, sy, s2, s1, s1y, s12, s2, s2y, s22)) / d
+    val b2 = det3(Array(n, s1, sy, s1, s11, s1y, s2, s12, s2y)) / d
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val r2 = 1.0 - sse / (syy - sy * sy / n)
+    def ck(name: String, exp: Double): Unit = {
+      val got = row.getAs[Double](name)
+      assert(math.abs(got - exp) < 1e-4 * math.max(1.0, math.abs(exp)),
+        s"$name $got vs brute $exp")
+    }
+    assert(row.getAs[Long]("n_orders") === per.length.toLong)
+    ck("intercept_cents", b0); ck("beta_units", b1)
+    ck("beta_lines", b2); ck("r2", r2)
+    ck("adj_r2", 1.0 - (1.0 - r2) * (n - 1.0) / (n - 3.0))
+  }
+
+  test("q299 minimax isotonic fit matches the sequential PAV sweep") {
+    val rows = SparkEntry.queries("q299_isotonic_fit")(spark, sf0001)
+      .collect()
+    // exact census straight from the corpus (not the rounded output)
+    val census = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0)).map { text =>
+        val toks = text.split(" ", -1)
+        (math.min(toks.length / 10, 19).toLong,
+          if (toks.contains("the")) 1L else 0L)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (bin, ds) => (bin, ds.length.toLong, ds.map(_._2).sum) }
+    // sequential pool-adjacent-violators over the bins
+    var blocks = List.empty[(Long, Long, Int)] // (n, sum, nbins) newest 1st
+    census.foreach { case (_, nb, sb) =>
+      var b = (nb, sb, 1)
+      while (blocks.nonEmpty && blocks.head._2.toDouble * b._1 >
+        b._2.toDouble * blocks.head._1) { // head avg > new avg: pool
+        b = (blocks.head._1 + b._1, blocks.head._2 + b._2,
+          blocks.head._3 + b._3)
+        blocks = blocks.tail
+      }
+      blocks = b :: blocks
+    }
+    val fit = blocks.reverse.flatMap { case (w, s, nbins) =>
+      Seq.fill(nbins)(s.toDouble / w)
+    }
+    assert(rows.length === census.length)
+    rows.zip(fit).foreach { case (r, exp) =>
+      assert(math.abs(r.getAs[Double]("iso_rate") - exp) < 2e-6,
+        s"bin ${r.getAs[Long]("bin")}: ${r.getAs[Double]("iso_rate")} " +
+          s"vs PAV $exp")
+    }
+  }
+
+  test("q300 Kneser-Ney matches a sequential count walk") {
+    val rows = SparkEntry.queries("q300_kneser_ney")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val bigrams = ds.flatMap { case (_, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < 2) Array.empty[(String, String)]
+        else t.sliding(2).map(p => (p(0), p(1))).toArray
+      }
+      if (bigrams.nonEmpty) {
+        val c12 = bigrams.groupBy(identity).map { case (k, v) =>
+          k -> v.length.toLong }
+        val c1 = c12.groupBy(_._1._1).map { case (w, m) =>
+          w -> m.values.sum }
+        val n1fw = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size }
+        val n1bw = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+        val tt = c12.size.toDouble
+        val nn = c12.values.sum.toDouble
+        val k1 = c12.values.count(_ == 1L).toDouble
+        val k2 = c12.values.count(_ == 2L).toDouble
+        val dd = if (k1 + 2 * k2 > 0) k1 / (k1 + 2 * k2) else 0.5
+        val hSum = c12.map { case ((w1, w2), c) =>
+          val p = math.max(c - dd, 0.0) / c1(w1) +
+            dd * n1fw(w1) / c1(w1) * (n1bw(w2) / tt)
+          c * (math.log(p) / math.log(2.0))
+        }.sum
+        val h = -hSum / nn
+        val r = rows(lang)
+        assert(r.getAs[Long]("n_bigrams") === nn.toLong, s"$lang N")
+        assert(r.getAs[Long]("bigram_types") === tt.toLong, s"$lang T")
+        assert(math.abs(r.getAs[Double]("discount") - dd) < 1e-5,
+          s"$lang D")
+        assert(math.abs(r.getAs[Double]("h_bits") - h) < 1e-4,
+          s"$lang H ${r.getAs[Double]("h_bits")} vs brute $h")
+      }
+    }
+  }
+
+  test("q301 ICC matches a sequential two-way ANOVA walk") {
+    val row = SparkEntry.queries("q301_icc")(spark, sf0001).head()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val items = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val nc = r.getLong(0); val text = r.getString(1)
+        val toks = text.split(" ", -1)
+        Array(math.min(nc / 100, 10L).toDouble,
+          math.min(math.floor(toks.length / 20.0).toLong, 10L).toDouble,
+          math.min(toks.count(stop.contains) / 5L, 10L).toDouble,
+          math.min(text.count(_ == '.') / 2L, 10L).toDouble)
+      }
+    val n = items.length.toDouble; val k = 4.0
+    val g = items.map(_.sum).sum
+    val cm = g * g / (n * k)
+    val ssr = items.map(r => math.pow(r.sum, 2)).sum / k - cm
+    val ssc = (0 until 4).map(j =>
+      math.pow(items.map(_(j)).sum, 2)).sum / n - cm
+    val sst = items.map(_.map(x => x * x).sum).sum - cm
+    val sse = sst - ssr - ssc
+    val msr = ssr / (n - 1); val msc = ssc / (k - 1)
+    val mse = sse / ((n - 1) * (k - 1))
+    def ck(name: String, exp: Double): Unit =
+      assert(math.abs(row.getAs[Double](name) - exp) <
+        1e-4 * math.max(1.0, math.abs(exp)), s"$name vs brute $exp")
+    ck("ms_rows", msr); ck("ms_cols", msc); ck("ms_err", mse)
+    ck("icc_2_1", (msr - mse) / (msr + (k - 1) * mse +
+      k * (msc - mse) / n))
+    ck("icc_2_k", (msr - mse) / (msr + (msc - mse) / n))
+    ck("icc_3_1", (msr - mse) / (msr + (k - 1) * mse))
+    ck("icc_3_k", (msr - mse) / msr)
+  }
 }
