@@ -673,4 +673,113 @@ object CorpusQueries {
       |    ROUND(-CAST(st AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
       |    * 1e4 + 0.5) / 1e4 AS ppl
       |FROM g ORDER BY lang""".stripMargin
+
+  /** L238 Burrows' Delta stylometry ([PK] Burrows 2002; Argamon 2008):
+    * the classical authorship/register distance between the 20 source
+    * slices — z-score each source's relative frequency of the corpus's
+    * top-30 words against the across-source distribution, then
+    * Delta(i,j) = mean |z_i − z_j| over the word panel. In a training
+    * pipeline this is the SOURCE-level style-drift matrix: a source
+    * pair with tiny Delta is near-duplicate register (collapse their
+    * mixing weights); an outlier row is a source whose function-word
+    * profile diverges from the rest (scraper fault or genre shift).
+    * Complements q124's n-gram OVERLAP matrix (shared content) — Delta
+    * sees shared STYLE even with zero content overlap.
+    *
+    * Parity: per-cell relative frequencies are quantized at source —
+    * fq = ⌊c/t·10¹²⌋ computed in IEEE doubles (identical bits both
+    * engines), giving exact int64 cells; across-source moments Σfq,
+    * Σfq² are then exact int64/DECIMAL, σ_w one sqrt; each pair-word
+    * |Δfq|/σ_w term is nano-quantized before the exact per-pair sum
+    * (the q192 discipline — a 30-term double sum would be
+    * order-hazardous). Constant words (σ_w = 0, exact test) drop from
+    * the panel for every pair alike.
+    *
+    * Scale: the word panel is fixed (top-30 by global count, ties by
+    * word — deterministic TakeOrdered); the dense grid is 30×|sources|
+    * (one tiny broadcast cross join, allowlisted), pairs are
+    * |sources|² — everything after the per-source term census is
+    * bounded by the SOURCE count, never the corpus. */
+  def q304BurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val stot = cnt.groupBy("source").agg(sum(col("c")).as("t"))
+    val topk = cnt.groupBy("w").agg(sum(col("c")).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(30).select("w")
+    val grid = broadcast(topk).crossJoin(broadcast(stot))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        floor(coalesce(col("c"), lit(0L)).cast("double") * 1e12 /
+          col("t").cast("double")).cast("long").as("fq"))
+      .localCheckpoint(eager = false)
+    val stats = grid.groupBy("w").agg(count(lit(1)).as("ns"),
+      sum(col("fq")).as("sf"),
+      sum(col("fq").cast(dec) * col("fq").cast(dec)).as("sff"))
+      .withColumn("vw", col("ns").cast(dec) * col("sff") -
+        col("sf").cast(dec) * col("sf").cast(dec))
+      .withColumn("sigma",
+        sqrt(col("vw").cast("double")) / col("ns").cast("double"))
+    val pairs = grid.select(col("w"), col("source").as("src_a"),
+        col("fq").as("fa"))
+      .join(grid.select(col("w"), col("source").as("src_b"),
+        col("fq").as("fb")), "w")
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(stats.select("w", "vw", "sigma")), "w")
+      .select(col("src_a"), col("src_b"),
+        when(col("vw") > lit(0L).cast(dec),
+          floor(abs(col("fa") - col("fb")).cast("double") /
+            col("sigma") * 1e9 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("t9"),
+        when(col("vw") > lit(0L).cast(dec), 1L).otherwise(0L).as("k1"))
+    pairs.groupBy("src_a", "src_b")
+      .agg(sum(col("k1")).as("n_words"),
+        (floor(sum(col("t9")).cast("double") / 1e9 /
+          sum(col("k1")).cast("double") * 1e6 + 0.5) / 1e6).as("delta"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q304BurrowsDeltaSql: String =
+    """WITH cnt AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |cc AS (SELECT source, w, COUNT(*) AS c FROM cnt GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cc
+      |  GROUP BY source),
+      |topk AS (SELECT w FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS cw
+      |  FROM cc GROUP BY w) ORDER BY cw DESC, w LIMIT 30),
+      |grid AS (
+      |  SELECT stot.source, topk.w,
+      |    CAST(FLOOR(CAST(COALESCE(cc.c, 0) AS DOUBLE) * 1e12
+      |      / CAST(stot.t AS DOUBLE)) AS BIGINT) AS fq
+      |  FROM topk CROSS JOIN stot
+      |  LEFT JOIN cc ON cc.source = stot.source AND cc.w = topk.w),
+      |stats AS (
+      |  SELECT w, COUNT(*) AS ns, CAST(SUM(fq) AS BIGINT) AS sf,
+      |    CAST(SUM(CAST(fq AS HUGEINT) * fq) AS HUGEINT) AS sff
+      |  FROM grid GROUP BY w),
+      |st2 AS (
+      |  SELECT w,
+      |    CAST(ns AS HUGEINT) * sff - CAST(sf AS HUGEINT) * sf AS vw,
+      |    SQRT(CAST(CAST(ns AS HUGEINT) * sff
+      |      - CAST(sf AS HUGEINT) * sf AS DOUBLE)) / CAST(ns AS DOUBLE)
+      |      AS sigma
+      |  FROM stats),
+      |pr AS (
+      |  SELECT a.src_a, b.src_b,
+      |    CASE WHEN vw > 0
+      |      THEN CAST(FLOOR(CAST(ABS(a.fa - b.fb) AS DOUBLE) / sigma
+      |        * 1e9 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS t9,
+      |    CASE WHEN vw > 0 THEN 1 ELSE 0 END AS k1
+      |  FROM (SELECT w, source AS src_a, fq AS fa FROM grid) a
+      |  JOIN (SELECT w, source AS src_b, fq AS fb FROM grid) b
+      |    ON a.w = b.w AND a.src_a < b.src_b
+      |  JOIN st2 ON st2.w = a.w)
+      |SELECT src_a, src_b, CAST(SUM(k1) AS BIGINT) AS n_words,
+      |  FLOOR(CAST(SUM(t9) AS DOUBLE) / 1e9 / CAST(SUM(k1) AS DOUBLE)
+      |    * 1e6 + 0.5) / 1e6 AS delta
+      |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 }

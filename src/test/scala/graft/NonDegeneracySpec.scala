@@ -985,4 +985,62 @@ class NonDegeneracySpec extends SparkSpec {
         s"ICC(3,k) != Cronbach alpha at $sf: $i3k vs $alpha")
     }
   }
+
+  test("q302: DF rejects decisively AND agrees with q253's KPSS") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q302_dickey_fuller", sf).head()
+      val rho = r.getAs[java.lang.Double]("rho_hat")
+      val t = r.getAs[java.lang.Double]("df_t")
+      assert(r.getAs[Long]("m_pairs") > 300L, s"thin series at $sf")
+      // fresh-draw daily revenue mean-reverts hard: rho near -1
+      assert(rho != null && rho < -0.5 && rho > -1.5,
+        s"rho out of the mean-reversion band at $sf: $rho")
+      assert(t != null && t < -10.0, s"DF not decisive at $sf: $t")
+      assert(r.getAs[Long]("reject_unit_root_5pct") === 1L)
+      // the two-test trichotomy: DF rejects unit root AND KPSS accepts
+      // stationarity (eta below the 5% critical value 0.463) — the
+      // confident-stationary corner, from two INDEPENDENT constructions
+      val eta = run("q253_kpss", sf).head().getAs[Double]("kpss_eta")
+      assert(eta < 0.463, s"KPSS disagrees with DF at $sf: eta $eta")
+    }
+  }
+
+  test("q303: trimming is real and the Yuen verdict matches Welch") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q303_yuen_trimmed", sf).head()
+      val welch = run("q231_welch_ttest", sf).head()
+      assert(r.getAs[Long]("g_building") > 50L &&
+        r.getAs[Long]("g_furniture") > 50L, s"no real trimming at $sf")
+      val (mta, mtb) = (r.getAs[java.lang.Double]("tmean_building"),
+        r.getAs[java.lang.Double]("tmean_furniture"))
+      assert(mta != null && mta > 1e5 && mta < 4e5, s"tmean band $sf")
+      // trimming must actually MOVE the estimator off the raw mean
+      // (the tails carry real mass in the fixture pricing)
+      assert(math.abs(mta - welch.getAs[Double]("mean_a")) > 1.0,
+        s"trimmed mean identical to raw mean at $sf — vacuous trim")
+      // both segments draw from one pricing distribution: the robust
+      // test must AGREE with Welch that there is no location difference
+      // (|t| in the null band on both) — a disagreement would flag a
+      // tail-manufactured verdict
+      val yt = r.getAs[java.lang.Double]("yuen_t")
+      val wt = welch.getAs[Double]("t_stat")
+      assert(yt != null && math.abs(yt) < 2.5,
+        s"Yuen manufactured a difference at $sf: $yt")
+      assert(math.abs(wt) < 2.5, s"Welch baseline moved at $sf: $wt")
+      assert(r.getAs[java.lang.Double]("yuen_df") > 100.0)
+    }
+  }
+
+  test("q304: the style matrix is complete with a real spread") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q304_burrows_delta", sf).collect()
+      assert(rows.length === 190, s"pair matrix incomplete at $sf")
+      assert(rows.forall(_.getAs[Long]("n_words") === 30L),
+        s"word panel degenerate at $sf")
+      val ds = rows.map(_.getAs[Double]("delta"))
+      assert(ds.forall(_ > 0.3), s"near-zero style distance at $sf")
+      assert(ds.max - ds.min > 0.4,
+        s"flat Delta matrix at $sf: [${ds.min}, ${ds.max}]")
+    }
+  }
 }

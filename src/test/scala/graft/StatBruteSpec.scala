@@ -2450,4 +2450,104 @@ class StatBruteSpec extends SparkSpec {
     ck("icc_3_1", (msr - mse) / (msr + (k - 1) * mse))
     ck("icc_3_k", (msr - mse) / msr)
   }
+
+  test("q302 Dickey-Fuller matches a sequential lag-pair regression") {
+    val row = SparkEntry.queries("q302_dickey_fuller")(spark, sf0001)
+      .head()
+    val days = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val pairs = days.sliding(2).map(p => (p(0).toDouble,
+      (p(1) - p(0)).toDouble)).toArray
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sz = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val sxz = pairs.map(p => p._1 * p._2).sum
+    val szz = pairs.map(p => p._2 * p._2).sum
+    val den = m * sxx - sx * sx
+    val rho = (m * sxz - sx * sz) / den
+    val alpha = (sz - rho * sx) / m
+    val sse = szz - alpha * sz - rho * sxz
+    val t = rho / math.sqrt(sse / (m - 2.0) * m / den)
+    assert(row.getAs[Long]("m_pairs") === pairs.length.toLong)
+    assert(math.abs(row.getAs[Double]("rho_hat") - rho) < 1e-5)
+    assert(math.abs(row.getAs[Double]("df_t") - t) < 1e-3,
+      s"df_t ${row.getAs[Double]("df_t")} vs brute $t")
+  }
+
+  test("q303 Yuen trimmed t matches a sequential sort-and-trim walk") {
+    val row = SparkEntry.queries("q303_yuen_trimmed")(spark, sf0001)
+      .head()
+    val vals = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") + 0.5)
+        .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def side(seg: String): (Long, Long, Double, Double, Double) = {
+      val xs = vals.filter(_._1 == seg).map(_._2).sorted
+      val n = xs.length; val g = n / 5; val h = n - 2 * g
+      val trimmed = xs.slice(g, n - g)
+      val tmean = trimmed.map(_.toDouble).sum / h
+      val wins = xs.map(x => math.min(math.max(x, xs(g)), xs(n - g - 1)))
+        .map(_.toDouble)
+      val wm = wins.sum / n
+      val s2w = wins.map(x => (x - wm) * (x - wm)).sum / (n - 1)
+      val d = (n - 1).toDouble * s2w / (h.toDouble * (h - 1))
+      (n.toLong, g.toLong, tmean, d, h.toDouble)
+    }
+    val (na, ga, mta, da, ha) = side("BUILDING")
+    val (nb, gb, mtb, db, hb) = side("FURNITURE")
+    val t = (mta - mtb) / math.sqrt(da + db)
+    val df = (da + db) * (da + db) /
+      (da * da / (ha - 1) + db * db / (hb - 1))
+    assert(row.getAs[Long]("n_building") === na)
+    assert(row.getAs[Long]("g_building") === ga)
+    assert(row.getAs[Long]("n_furniture") === nb)
+    assert(math.abs(row.getAs[Double]("tmean_building") - mta) < 1e-3)
+    assert(math.abs(row.getAs[Double]("tmean_furniture") - mtb) < 1e-3)
+    assert(math.abs(row.getAs[Double]("yuen_t") - t) < 1e-3,
+      s"yuen_t ${row.getAs[Double]("yuen_t")} vs brute $t")
+    assert(math.abs(row.getAs[Double]("yuen_df") - df) < 0.02)
+  }
+
+  test("q304 Burrows Delta matches a sequential z-profile walk") {
+    val rows = SparkEntry.queries("q304_burrows_delta")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cnt = docs.flatMap { case (src, text) =>
+      text.split(" ", -1).map(w => (src, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val stot = cnt.groupBy(_._1._1).map { case (s0, m) =>
+      s0 -> m.values.sum }
+    val sources = stot.keys.toSeq.sorted
+    val top = cnt.groupBy(_._1._2).map { case (w, m) =>
+      w -> m.values.sum }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(30).map(_._1)
+    val fq = (for (s0 <- sources; w <- top) yield (s0, w) ->
+      math.floor(cnt.getOrElse((s0, w), 0L).toDouble * 1e12 /
+        stot(s0).toDouble).toLong).toMap
+    val ns = sources.length.toDouble
+    val sigma = top.map { w =>
+      val xs = sources.map(s0 => BigInt(fq((s0, w))))
+      val sf = xs.sum; val sff = xs.map(x => x * x).sum
+      w -> math.sqrt((BigInt(sources.length) * sff - sf * sf).toDouble) /
+        ns
+    }.toMap
+    for (i <- sources.indices; j <- (i + 1) until sources.length) {
+      val exp = top.map { w =>
+        if (sigma(w) > 0)
+          math.abs(fq((sources(i), w)) - fq((sources(j), w))) / sigma(w)
+        else 0.0
+      }.sum / top.count(w => sigma(w) > 0)
+      val r = rows((sources(i), sources(j)))
+      assert(math.abs(r.getAs[Double]("delta") - exp) < 1e-4,
+        s"${sources(i)}/${sources(j)}: ${r.getAs[Double]("delta")} " +
+          s"vs brute $exp")
+    }
+  }
 }
