@@ -1172,6 +1172,204 @@ object EvalQueries {
       out(icc31, "icc_3_1"), out(icc3k, "icc_3_k"))
   }
 
+  /** L240 Breusch–Pagan heteroscedasticity test ([PK] Breusch & Pagan
+    * 1979; Koenker 1981 studentized form): does the VARIANCE of
+    * q298's regression residuals move with the regressors? The
+    * diagnostic that decides whether q298's classical standard errors
+    * can be trusted — order revenue dispersion obviously grows with
+    * line count, so the test fires decisively (pinned), which is
+    * exactly why a real pipeline would switch to robust (HC) errors.
+    * Koenker's studentized LM = n·R²_aux of the auxiliary regression
+    * of squared residuals on (units, lines); LM ~ χ²₂ under
+    * homoscedasticity, whose tail is EXACTLY e^{−LM/2} (even df — no
+    * erf needed).
+    *
+    * Construction: the q298 Gram solve runs in-plan (1-row broadcast
+    * of the 10 moments onto the per-order census — the q242 form,
+    * allowlisted); residuals are floor-quantized to whole cents
+    * (exact int64, the perturbation is ~10⁻⁹ of a typical residual)
+    * so the auxiliary Gram moments are again exact DECIMAL/HUGEINT,
+    * and the aux R² reuses the same Cramer chain. TWO census passes
+    * total over one lazily-checkpointed frame — no iteration, no
+    * driver action.
+    *
+    * Guards: q298's own singularity guards, aux SST ≤ 0, or n < 5 →
+    * null. */
+  def q306BreuschPagan(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .localCheckpoint(eager = false)
+    def d(c: String) = col(c).cast(dec)
+    val gram = per.agg(count(lit(1)).as("n"),
+      sum(d("x1")).as("s1"), sum(d("x2")).as("s2"), sum(d("y")).as("sy"),
+      sum(d("x1") * d("x1")).as("s11"), sum(d("x2") * d("x2")).as("s22"),
+      sum(d("x1") * d("x2")).as("s12"), sum(d("x1") * d("y")).as("s1y"),
+      sum(d("x2") * d("y")).as("s2y"))
+    def f(c: String) = col(c).cast("double")
+    def cramer(sy: String, s1y: String, s2y: String)
+        : (Column, Column, Column, Column) = {
+      val (n, s1, s2) = (f("n"), f("s1"), f("s2"))
+      val (s11, s22, s12) = (f("s11"), f("s22"), f("s12"))
+      val m11 = s11 * s22 - s12 * s12
+      val m12 = s1 * s22 - s12 * s2
+      val m13 = s1 * s12 - s11 * s2
+      val det = n * m11 - s1 * m12 + s2 * m13
+      val det0 = f(sy) * m11 - s1 * (f(s1y) * s22 - s12 * f(s2y)) +
+        s2 * (f(s1y) * s12 - s11 * f(s2y))
+      val det1 = n * (f(s1y) * s22 - s12 * f(s2y)) - f(sy) * m12 +
+        s2 * (s1 * f(s2y) - f(s1y) * s2)
+      val det2 = n * (s11 * f(s2y) - f(s1y) * s12) -
+        s1 * (s1 * f(s2y) - f(s1y) * s2) + f(sy) * m13
+      (det0 / det, det1 / det, det2 / det, det)
+    }
+    val (b0, b1, b2, det) = cramer("sy", "s1y", "s2y")
+    // residuals, cent-quantized → exact aux moments
+    val resid = per.crossJoin(broadcast(gram.select(col("n"),
+        col("s1"), col("s2"), col("sy"), col("s11"), col("s22"),
+        col("s12"), col("s1y"), col("s2y"),
+        b0.as("b0"), b1.as("b1"), b2.as("b2"), det.as("det"))))
+      .select(col("x1"), col("x2"), col("n"), col("s1"), col("s2"),
+        col("s11"), col("s22"), col("s12"), col("det"),
+        floor(col("y").cast("double") - col("b0") -
+          col("b1") * col("x1").cast("double") -
+          col("b2") * col("x2").cast("double") + 0.5).cast("long")
+          .as("e"))
+    val aux = resid.groupBy("n", "s1", "s2", "s11", "s22", "s12", "det")
+      .agg(sum(col("e").cast(dec) * col("e")).as("su"),
+        sum(col("e").cast(dec) * col("e") * d("x1")).as("s1u"),
+        sum(col("e").cast(dec) * col("e") * d("x2")).as("s2u"),
+        sum(col("e").cast(dec) * col("e") * col("e").cast(dec) *
+          col("e")).as("suu"))
+    // aux R² via the same closed form, response u = e². Precision
+    // budget: suu rides cents⁴ (≤ ~10³⁵ at sf0.1 — inside DECIMAL(38)/
+    // HUGEINT); at ≥10⁹ orders switch the residuals to whole dollars
+    // before squaring to keep the quartic sum inside 38 digits.
+    def fa(c: String) = col(c).cast("double")
+    val (n, s1, s2) = (fa("n"), fa("s1"), fa("s2"))
+    val (s11, s22, s12) = (fa("s11"), fa("s22"), fa("s12"))
+    val m11 = s11 * s22 - s12 * s12
+    val m12 = s1 * s22 - s12 * s2
+    val m13 = s1 * s12 - s11 * s2
+    val detA = n * m11 - s1 * m12 + s2 * m13
+    val a0 = (fa("su") * m11 - s1 * (fa("s1u") * s22 - s12 * fa("s2u")) +
+      s2 * (fa("s1u") * s12 - s11 * fa("s2u"))) / detA
+    val a1 = (n * (fa("s1u") * s22 - s12 * fa("s2u")) - fa("su") * m12 +
+      s2 * (s1 * fa("s2u") - fa("s1u") * s2)) / detA
+    val a2 = (n * (s11 * fa("s2u") - fa("s1u") * s12) -
+      s1 * (s1 * fa("s2u") - fa("s1u") * s2) + fa("su") * m13) / detA
+    val sseA = fa("suu") - a0 * fa("su") - a1 * fa("s1u") -
+      a2 * fa("s2u")
+    val sstA = fa("suu") - fa("su") * fa("su") / n
+    val r2a = lit(1.0) - sseA / sstA
+    val lm = n * r2a
+    val bad = col("n") < 5L || col("det") === 0.0 || detA === 0.0 ||
+      sstA <= 0.0
+    aux.select(col("n").cast("long").as("n_orders"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(lm, 4) + 0.0).as("bp_lm"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(exp(-lm / 2.0), 6) + 0.0).as("p_value"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(exp(-lm / 2.0) < 0.05, 1L).otherwise(0L))
+        .as("heteroscedastic_5pct"))
+  }
+
+  val q306BreuschPaganSql: String =
+    """WITH per AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS x1,
+      |    COUNT(*) AS x2
+      |  FROM lineitem GROUP BY l_orderkey),
+      |g AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      |  FROM per),
+      |gf AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) AS nf, CAST(s1 AS DOUBLE) AS s1f,
+      |    CAST(s2 AS DOUBLE) AS s2f, CAST(sy AS DOUBLE) AS syf,
+      |    CAST(s11 AS DOUBLE) AS s11f, CAST(s22 AS DOUBLE) AS s22f,
+      |    CAST(s12 AS DOUBLE) AS s12f, CAST(s1y AS DOUBLE) AS s1yf,
+      |    CAST(s2y AS DOUBLE) AS s2yf
+      |  FROM g),
+      |bb AS (
+      |  SELECT *,
+      |    (nf * (s11f * s22f - s12f * s12f)
+      |      - s1f * (s1f * s22f - s12f * s2f)
+      |      + s2f * (s1f * s12f - s11f * s2f)) AS det
+      |  FROM gf),
+      |bcoef AS (
+      |  SELECT *,
+      |    (syf * (s11f * s22f - s12f * s12f)
+      |      - s1f * (s1yf * s22f - s12f * s2yf)
+      |      + s2f * (s1yf * s12f - s11f * s2yf)) / det AS b0,
+      |    (nf * (s1yf * s22f - s12f * s2yf)
+      |      - syf * (s1f * s22f - s12f * s2f)
+      |      + s2f * (s1f * s2yf - s1yf * s2f)) / det AS b1,
+      |    (nf * (s11f * s2yf - s1yf * s12f)
+      |      - s1f * (s1f * s2yf - s1yf * s2f)
+      |      + syf * (s1f * s12f - s11f * s2f)) / det AS b2
+      |  FROM bb),
+      |res AS (
+      |  SELECT per.x1, per.x2, bcoef.n, bcoef.nf, bcoef.s1f, bcoef.s2f,
+      |    bcoef.s11f, bcoef.s22f, bcoef.s12f, bcoef.det,
+      |    CAST(FLOOR(CAST(per.y AS DOUBLE) - b0
+      |      - b1 * CAST(per.x1 AS DOUBLE)
+      |      - b2 * CAST(per.x2 AS DOUBLE) + 0.5) AS BIGINT) AS e
+      |  FROM per CROSS JOIN bcoef),
+      |aux AS (
+      |  SELECT MAX(n) AS n, MAX(nf) AS nf, MAX(s1f) AS s1f,
+      |    MAX(s2f) AS s2f, MAX(s11f) AS s11f, MAX(s22f) AS s22f,
+      |    MAX(s12f) AS s12f, MAX(det) AS det,
+      |    CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS su,
+      |    CAST(SUM(CAST(e AS HUGEINT) * e * x1) AS DOUBLE) AS s1u,
+      |    CAST(SUM(CAST(e AS HUGEINT) * e * x2) AS DOUBLE) AS s2u,
+      |    CAST(SUM(CAST(e AS HUGEINT) * e * e * e) AS DOUBLE) AS suu
+      |  FROM res),
+      |ac AS (
+      |  SELECT *,
+      |    (nf * (s11f * s22f - s12f * s12f)
+      |      - s1f * (s1f * s22f - s12f * s2f)
+      |      + s2f * (s1f * s12f - s11f * s2f)) AS detA
+      |  FROM aux),
+      |a2 AS (
+      |  SELECT *,
+      |    (su * (s11f * s22f - s12f * s12f)
+      |      - s1f * (s1u * s22f - s12f * s2u)
+      |      + s2f * (s1u * s12f - s11f * s2u)) / detA AS c0,
+      |    (nf * (s1u * s22f - s12f * s2u) - su * (s1f * s22f - s12f * s2f)
+      |      + s2f * (s1f * s2u - s1u * s2f)) / detA AS c1,
+      |    (nf * (s11f * s2u - s1u * s12f)
+      |      - s1f * (s1f * s2u - s1u * s2f)
+      |      + su * (s1f * s12f - s11f * s2f)) / detA AS c2
+      |  FROM ac),
+      |fin AS (
+      |  SELECT n, nf, det, detA,
+      |    suu - su * su / nf AS sstA,
+      |    nf * (1.0 - (suu - c0 * su - c1 * s1u - c2 * s2u)
+      |      / (suu - su * su / nf)) AS lm
+      |  FROM a2)
+      |SELECT n AS n_orders,
+      |  CASE WHEN n < 5 OR det = 0 OR detA = 0 OR sstA <= 0 THEN NULL
+      |    ELSE ROUND(lm, 4) + 0 END AS bp_lm,
+      |  CASE WHEN n < 5 OR det = 0 OR detA = 0 OR sstA <= 0 THEN NULL
+      |    ELSE ROUND(EXP(-lm / 2.0), 6) + 0 END AS p_value,
+      |  CASE WHEN n < 5 OR det = 0 OR detA = 0 OR sstA <= 0 THEN NULL
+      |    WHEN EXP(-lm / 2.0) < 0.05 THEN 1 ELSE 0 END
+      |    AS heteroscedastic_5pct
+      |FROM fin""".stripMargin
+
   val q301IccSql: String =
     """WITH d AS (
       |  SELECT

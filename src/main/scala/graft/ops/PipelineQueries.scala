@@ -820,4 +820,169 @@ object PipelineQueries {
       |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT)
       |    AS cum4
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** L239 PPS systematic sampling ([PK] Madow 1949; Hansen–Hurwitz;
+    * Särndal et al. 1992 §3.6): allocate k = 200 audit slots across
+    * SUPPLIERS with inclusion probability PROPORTIONAL TO SIZE
+    * (revenue cents), by the deterministic systematic rule —
+    * thresholds t_i = (2i+1)·T/(2k) walk the cumulative weight line,
+    * and a supplier is hit once per threshold inside its weight
+    * interval (cum−w, cum]. Every unit with w ≥ T/k is hit with
+    * CERTAINTY and proportionally often (n_hits tracks revenue share
+    * to ±1 — the textbook PPS multiplicity), so the slot allocation
+    * is usable directly as an audit/eval quota. Unlike q127's A-Res
+    * (randomized, weight-ordered), this is the fully DETERMINISTIC,
+    * replayable design — same data, same sample.
+    *
+    * Exactness: hits(row) = f(cum) − f(cum−w) with f(c) = #thresholds
+    * ≤ c = ⌊(2kc − T)/(2T)⌋ + 1 for 2kc ≥ T (else 0) — pure int64
+    * arithmetic (2k·T < 2⁶³ up to ~10¹⁴ revenue cents), no doubles
+    * anywhere. The cumulative line rides [[PrefixSum]] over the
+    * supplier-keyed revenue census (no single-partition window); T is
+    * max-of-cumulative read back as a 1-row broadcast (the q147/q242
+    * in-plan form, allowlisted).
+    *
+    * Scale: one fact-table census + one range-partitioned prefix pass
+    * + a map — the sample predicate is local once cum and T are
+    * known; output ≤ min(k, |suppliers|) rows. */
+  def q307PpsSystematic(s: SparkSession, dir: String): DataFrame = {
+    val k = 200L
+    val o = Tables.lineitem(s, dir).groupBy("l_suppkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("w"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(o,
+      Seq(col("l_suppkey")), Seq((col("w"), "cum")))
+    val tot = cum.agg(max(col("cum")).as("t"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("f1", when(col("cum") * (2L * k) < col("t"), 0L)
+        .otherwise(expr(s"(cum * ${2 * k} - t) div (2 * t)") + 1L))
+      .withColumn("f0", when((col("cum") - col("w")) * (2L * k) <
+        col("t"), 0L)
+        .otherwise(expr(s"((cum - w) * ${2 * k} - t) div (2 * t)") + 1L))
+      .withColumn("n_hits", col("f1") - col("f0"))
+      .filter(col("n_hits") > 0L)
+    j.select(col("l_suppkey"), col("w").as("weight"),
+        col("n_hits"), col("f0").as("first_slot"))
+      .orderBy("l_suppkey")
+  }
+
+  val q307PpsSystematicSql: String =
+    """WITH o AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS w
+      |  FROM lineitem GROUP BY l_suppkey),
+      |c AS (
+      |  SELECT l_suppkey, w,
+      |    CAST(SUM(w) OVER (ORDER BY l_suppkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM o),
+      |tot AS (SELECT MAX(cum) AS t FROM c),
+      |h AS (
+      |  SELECT l_suppkey, w, cum, t,
+      |    CASE WHEN cum * 400 < t THEN 0
+      |      ELSE (cum * 400 - t) // (2 * t) + 1 END AS f1,
+      |    CASE WHEN (cum - w) * 400 < t THEN 0
+      |      ELSE ((cum - w) * 400 - t) // (2 * t) + 1 END AS f0
+      |  FROM c CROSS JOIN tot)
+      |SELECT l_suppkey, w AS weight,
+      |  CAST(f1 - f0 AS BIGINT) AS n_hits, CAST(f0 AS BIGINT)
+      |    AS first_slot
+      |FROM h WHERE f1 - f0 > 0 ORDER BY l_suppkey""".stripMargin
+
+  /** L241 water-filling token-budget allocation ([PK] the classic
+    * water-filling / reservoir argument — Boyd & Vandenberghe 2004
+    * §5.5 example; data-mixing practice e.g. The Pile / LLaMA report
+    * their per-source token budgets): given a 90% token budget B,
+    * allocate to each LANGUAGE slice min(cap_l, λ) where the water
+    * level λ makes the total exactly B — small slices keep everything
+    * (their caps sit under the water line), oversized slices are
+    * clipped at a COMMON level (the max-min fair mix; a proportional
+    * cut would starve small slices). On the fixture the four ~4k-token
+    * languages keep their full caps and the ~3× larger `en` slice
+    * absorbs the whole cut — both regimes live, pinned. The integer exact
+    * finish reuses q165's largest-remainder discipline: uncapped
+    * sources get ⌊λ⌋ = (B−P_m)/(S−m) each, the first r = (B−P_m) mod
+    * (S−m) of them (by source name) one extra token, so Σalloc = B
+    * EXACTLY (pinned).
+    *
+    * Construction: per-source token caps (one count agg), the
+    * water-level search over the ≤|sources|-row sorted census via one
+    * window (find m* = #capped by the exact cross-multiplied test
+    * c_m·(S−m) ≤ B−P_m — no division), a 1-row broadcast of
+    * (m*, base, r) back onto the census. All integer, no doubles.
+    *
+    * Scale: everything after the token count is census-sized. */
+  def q308WaterFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long")
+        .as("tk"))
+      .groupBy("lang").agg(sum(col("tk")).as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("tt"),
+      count(lit(1)).as("ns"))
+      .select(col("tt"), col("ns"), expr("tt * 9 div 10").as("b"))
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val sorted = caps.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("pc", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false)
+    // m* = number of CAPPED (smallest) sources: the largest prefix
+    // where the cap fits under the water level of the remainder
+    val mstar = sorted
+      .agg(coalesce(max(when(
+        col("cap") * (col("ns") - col("idx")) <=
+          col("b") - col("pc"), col("idx"))), lit(0L)).as("m"))
+    // P_m (capped prefix mass) as a second 1-row broadcast — window-free
+    val pmRow = sorted.crossJoin(broadcast(mstar))
+      .agg(max(col("m")).as("m"),
+        coalesce(max(when(col("idx") <= col("m"), col("pc"))), lit(0L))
+          .as("pm"))
+    val fin = sorted.crossJoin(broadcast(pmRow))
+      .withColumn("base", expr("(b - pm) div (ns - m)"))
+      .withColumn("r", expr("(b - pm) % (ns - m)"))
+      .withColumn("alloc",
+        when(col("idx") <= col("m"), col("cap"))
+          .otherwise(col("base") +
+            when(col("idx") - col("m") <= col("r"), 1L).otherwise(0L)))
+    fin.select(col("lang"), col("cap").as("cap_tokens"),
+        col("alloc").as("alloc_tokens"),
+        when(col("idx") <= col("m"), 1L).otherwise(0L).as("capped"))
+      .orderBy("lang")
+  }
+
+  val q308WaterFillSql: String =
+    """WITH caps AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(SUM(cap) AS BIGINT) AS tt, COUNT(*) AS ns,
+      |    CAST(SUM(cap) AS BIGINT) * 9 // 10 AS b
+      |  FROM caps),
+      |sorted AS (
+      |  SELECT caps.*, tt, ns, b,
+      |    ROW_NUMBER() OVER (ORDER BY cap, lang) AS idx,
+      |    CAST(SUM(cap) OVER (ORDER BY cap, lang
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pc
+      |  FROM caps CROSS JOIN tot),
+      |m AS (
+      |  SELECT COALESCE(MAX(CASE WHEN cap * (ns - idx) <= b - pc
+      |    THEN idx END), 0) AS m
+      |  FROM sorted),
+      |pm AS (
+      |  SELECT COALESCE(MAX(CASE WHEN idx <= m.m THEN pc END), 0) AS pm
+      |  FROM sorted CROSS JOIN m),
+      |fin AS (
+      |  SELECT sorted.*, m.m, pm.pm,
+      |    (b - pm.pm) // (ns - m.m) AS base,
+      |    (b - pm.pm) % (ns - m.m) AS r
+      |  FROM sorted CROSS JOIN m CROSS JOIN pm)
+      |SELECT lang, cap AS cap_tokens,
+      |  CAST(CASE WHEN idx <= m THEN cap
+      |    ELSE base + CASE WHEN idx - m <= r THEN 1 ELSE 0 END END
+      |    AS BIGINT) AS alloc_tokens,
+      |  CASE WHEN idx <= m THEN 1 ELSE 0 END AS capped
+      |FROM fin ORDER BY lang""".stripMargin
 }

@@ -181,6 +181,81 @@ object SpatialStats {
       .orderBy("cx", "cy")
   }
 
+  /** Join-count statistics over a BINARY field ([PK] Cliff & Ord 1981
+    * ch. 1; Moran 1948): classify each occupied cell black (count
+    * strictly above the grid mean) or white, then count BB / BW / WW
+    * queen-adjacent pairs and z-score BB and BW against free sampling
+    * with the plug-in p̂ = n₁/N. The NOMINAL-field sibling of Moran/
+    * Geary (which need interval values): "do above-average cells
+    * touch each other more than chance" — the first screen when the
+    * field is a flag, not a count.
+    *
+    * Derivation used for the variances (documented because the free-
+    * sampling forms are stated many ways): with directed weight sums
+    * S1 = 2W, S2 = 4Σdeg² and q = 1−p,
+    *   4·Var(BB) = S1(p²−p⁴) + (S2−2S1)(p³−p⁴)
+    *   4·Var(BW) = S1(2pq−4p²q²) + (S2−2S1)(pq−4p²q²)
+    * — identical-pair terms use E[b²]=p (E[u²]=E[u]=2pq for the BW
+    * indicator), one-shared-node terms use E[b_ib_jb_k]=p³ (P(b_i≠b_j
+    * ∧ b_i≠b_k)=pq), disjoint pairs are independent. The brute spec
+    * re-counts every pair and re-derives both z's sequentially.
+    *
+    * Scale: the binary field is ONE exact-integer comparison per cell
+    * (x·N > S — no double mean), the folds are the same 8-offset
+    * equi-join as Moran/Geary, and the statistics are ONE agg over
+    * ≤612 cells. The 1-row (N,S) broadcast is the q242 in-plan form. */
+  def joinCounts(cells: DataFrame): DataFrame = {
+    val glob = cells.agg(count(lit(1)).as("gn"), sum(col("x")).as("gs"))
+    // lazy checkpoint: the binary frame feeds BOTH branches of the
+    // adjacency fold (cells + neighbour explode) — without it the
+    // 1-row threshold broadcast re-plans per branch (BNLJ ×2)
+    val bin = cells.crossJoin(broadcast(glob))
+      .select(col("cx"), col("cy"),
+        when(col("x").cast(dec) * col("gn") > col("gs").cast(dec),
+          1L).otherwise(0L).as("x"))
+      .localCheckpoint(eager = false)
+    val a = augmented(bin).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("n1"),
+      sum(col("deg")).as("w"),
+      sum(col("x").cast(dec) * col("ns")).as("bns"),
+      sum(col("x").cast(dec) * col("deg")).as("bdeg"),
+      sum(col("ns").cast(dec)).as("sns"),
+      sum(col("deg").cast(dec) * col("deg")).as("degsq"))
+    // exact-integer pair counts from the folds (each unordered pair
+    // appears twice in the directed sums)
+    val bb2 = col("bns") // Σ b_i·ns_i = 2·BB
+    val bw2 = col("bdeg") + col("sns") - col("bns") * 2L // = 2·BW
+    val nD = col("n").cast("double")
+    val wD = col("w").cast("double")
+    val p = col("n1").cast("double") / nD
+    val q = lit(1.0) - p
+    val s1 = lit(2.0) * wD
+    val s2 = lit(4.0) * col("degsq").cast("double")
+    val eBb = wD / 2.0 * p * p
+    val eBw = wD * p * q
+    val varBb = (s1 * (p * p - p * p * p * p) +
+      (s2 - lit(2.0) * s1) * (p * p * p - p * p * p * p)) / 4.0
+    val varBw = (s1 * (lit(2.0) * p * q - lit(4.0) * p * p * q * q) +
+      (s2 - lit(2.0) * s1) * (p * q - lit(4.0) * p * p * q * q)) / 4.0
+    val bb = bb2.cast("double") / 2.0
+    val bw = bw2.cast("double") / 2.0
+    val bad = col("n") < 3L || col("w") === 0L || col("n1") === 0L ||
+      col("n1") === col("n")
+    def outZ(obs: Column, e: Column, v: Column, nm: String) =
+      when(bad || v <= 0.0, lit(null).cast("double"))
+        .otherwise(q4((obs - e) / sqrt(v))).as(nm)
+    a.select(col("n").cast("long").as("n_cells"),
+      col("n1").cast("long").as("n_black"),
+      (col("w") / 2L).cast("long").as("j_links"),
+      (bb2 / 2L).cast("long").as("bb"),
+      (bw2 / 2L).cast("long").as("bw"),
+      ((col("w") - bb2 - bw2) / 2L).cast("long").as("ww"),
+      when(bad, lit(null).cast("double")).otherwise(q4(eBb)).as("e_bb"),
+      outZ(bb, eBb, varBb, "z_bb"),
+      when(bad, lit(null).cast("double")).otherwise(q4(eBw)).as("e_bw"),
+      outZ(bw, eBw, varBw, "z_bw"))
+  }
+
   def q294MoransI(s: SparkSession, dir: String): DataFrame =
     moransI(customerCells(s, dir))
 
@@ -189,6 +264,9 @@ object SpatialStats {
 
   def q296GetisGi(s: SparkSession, dir: String): DataFrame =
     getisGiStar(customerCells(s, dir))
+
+  def q305JoinCounts(s: SparkSession, dir: String): DataFrame =
+    joinCounts(customerCells(s, dir))
 
   /** Shared mirror CTEs: the q149 grid hash, queen offsets, and the
     * per-cell augmentation (deg/ns/ns2) — HUGEINT exact. */
@@ -303,4 +381,68 @@ object SpatialStats {
         |                / (m.gn - 1.0))) * 1e4 + 0.5) / 1e4 END AS gi_z
         |FROM aug a CROSS JOIN m
         |ORDER BY a.cx, a.cy""".stripMargin
+
+  val q305JoinCountsSql: String =
+    cellCtes +
+      """,
+        |gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+        |    CAST(SUM(x) AS BIGINT) AS gs
+        |  FROM cells),
+        |bin AS (
+        |  SELECT cx, cy,
+        |    CASE WHEN CAST(x AS HUGEINT) * gn > gs THEN 1 ELSE 0 END AS b
+        |  FROM cells CROSS JOIN gtot),
+        |bnbr AS (
+        |  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.b AS nb
+        |  FROM bin c CROSS JOIN offs o),
+        |baug AS (
+        |  SELECT c.cx, c.cy, c.b,
+        |    CAST(COUNT(v.nb) AS BIGINT) AS deg,
+        |    CAST(COALESCE(SUM(v.nb), 0) AS BIGINT) AS ns
+        |  FROM bin c LEFT JOIN bnbr v ON c.cx = v.cx AND c.cy = v.cy
+        |  GROUP BY c.cx, c.cy, c.b),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(b) AS BIGINT) AS n1,
+        |    CAST(SUM(deg) AS BIGINT) AS w,
+        |    CAST(SUM(CAST(b AS HUGEINT) * ns) AS HUGEINT) AS bns,
+        |    CAST(SUM(CAST(b AS HUGEINT) * deg) AS HUGEINT) AS bdeg,
+        |    CAST(SUM(CAST(ns AS HUGEINT)) AS HUGEINT) AS sns,
+        |    CAST(SUM(CAST(deg AS HUGEINT) * deg) AS HUGEINT) AS degsq
+        |  FROM baug),
+        |c0 AS (
+        |  SELECT n, n1, w, bns, bdeg + sns - bns * 2 AS bw2, degsq,
+        |    CAST(n1 AS DOUBLE) / n AS p,
+        |    1.0 - CAST(n1 AS DOUBLE) / n AS q,
+        |    2.0 * CAST(w AS DOUBLE) AS s1,
+        |    4.0 * CAST(degsq AS DOUBLE) AS s2,
+        |    (n < 3 OR w = 0 OR n1 = 0 OR n1 = n) AS bad
+        |  FROM a),
+        |c1 AS (
+        |  SELECT *,
+        |    CAST(w AS DOUBLE) / 2.0 * p * p AS e_bb0,
+        |    CAST(w AS DOUBLE) * p * q AS e_bw0,
+        |    (s1 * (p * p - p * p * p * p)
+        |      + (s2 - 2.0 * s1) * (p * p * p - p * p * p * p)) / 4.0
+        |      AS v_bb,
+        |    (s1 * (2.0 * p * q - 4.0 * p * p * q * q)
+        |      + (s2 - 2.0 * s1) * (p * q - 4.0 * p * p * q * q)) / 4.0
+        |      AS v_bw
+        |  FROM c0)
+        |SELECT n AS n_cells, n1 AS n_black,
+        |  CAST(w // 2 AS BIGINT) AS j_links,
+        |  CAST(bns // 2 AS BIGINT) AS bb,
+        |  CAST(bw2 // 2 AS BIGINT) AS bw,
+        |  CAST((w - bns - bw2) // 2 AS BIGINT) AS ww,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE FLOOR(e_bb0 * 1e4 + 0.5) / 1e4 END AS e_bb,
+        |  CASE WHEN bad OR v_bb <= 0 THEN NULL
+        |    ELSE FLOOR((CAST(bns AS DOUBLE) / 2.0 - e_bb0) / SQRT(v_bb)
+        |      * 1e4 + 0.5) / 1e4 END AS z_bb,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE FLOOR(e_bw0 * 1e4 + 0.5) / 1e4 END AS e_bw,
+        |  CASE WHEN bad OR v_bw <= 0 THEN NULL
+        |    ELSE FLOOR((CAST(bw2 AS DOUBLE) / 2.0 - e_bw0) / SQRT(v_bw)
+        |      * 1e4 + 0.5) / 1e4 END AS z_bw
+        |FROM c1""".stripMargin
 }

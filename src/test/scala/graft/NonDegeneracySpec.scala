@@ -1043,4 +1043,82 @@ class NonDegeneracySpec extends SparkSpec {
         s"flat Delta matrix at $sf: [${ds.min}, ${ds.max}]")
     }
   }
+
+  test("q305: binary field mixed and both z's live at both SFs") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q305_join_counts", sf).head()
+      val n = r.getAs[Long]("n_cells"); val n1 = r.getAs[Long]("n_black")
+      assert(n1 > n / 20 && n1 < n - n / 20, s"degenerate field at $sf")
+      assert(r.getAs[Long]("j_links") > 0L, s"no adjacency at $sf")
+      assert(r.getAs[java.lang.Double]("z_bb") != null &&
+        r.getAs[java.lang.Double]("z_bw") != null, s"null z at $sf")
+      assert(r.getAs[Long]("bb") + r.getAs[Long]("bw") +
+        r.getAs[Long]("ww") === r.getAs[Long]("j_links"),
+        s"join counts don't partition the links at $sf")
+    }
+    // the denser grid must populate all three pair classes
+    val r1 = run("q305_join_counts", sf001).head()
+    assert(r1.getAs[Long]("bb") > 0L && r1.getAs[Long]("bw") > 0L &&
+      r1.getAs[Long]("ww") > 0L, "sf0.01 grid missing a pair class")
+  }
+
+  test("q306: heteroscedasticity is real and decisively detected") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q306_breusch_pagan", sf).head()
+      val lm = r.getAs[java.lang.Double]("bp_lm")
+      // revenue dispersion grows with line count by construction —
+      // the diagnostic must FIRE (LM far beyond the χ²₂ null), which
+      // is what licenses robust errors downstream
+      assert(lm != null && lm > 50.0, s"BP did not fire at $sf: $lm")
+      assert(r.getAs[java.lang.Double]("p_value") < 0.05)
+      assert(r.getAs[Long]("heteroscedastic_5pct") === 1L)
+    }
+  }
+
+  test("q307: every slot lands and multiplicity tracks revenue share") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q307_pps_systematic", sf).collect()
+      val hits = rows.map(_.getAs[Long]("n_hits"))
+      assert(hits.sum === 200L, s"slots lost at $sf: ${hits.sum}")
+      assert(hits.forall(_ >= 1L))
+      // the systematic-design guarantee: every unit's hit count is
+      // within 1 of its exact PPS share k·w/T
+      val t = rows.map(_.getAs[Long]("weight")).map(BigInt(_)).sum
+      rows.foreach { r =>
+        val share = BigDecimal(BigInt(200) * r.getAs[Long]("weight")) /
+          BigDecimal(t)
+        assert((BigDecimal(r.getAs[Long]("n_hits")) - share).abs <= 1,
+          s"supplier ${r.getLong(0)} hits ${r.getAs[Long]("n_hits")} " +
+            s"vs share $share at $sf")
+      }
+      // multiplicity must actually vary or exceed 1 somewhere —
+      // otherwise the threshold walk degenerates to uniform sampling
+      assert(hits.max > 1L, s"multiplicity never exercised at $sf")
+    }
+  }
+
+  test("q308: both water-filling regimes live and the budget is exact") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q308_water_fill", sf).collect()
+      val capped = rows.filter(_.getAs[Long]("capped") === 1L)
+      val clipped = rows.filter(_.getAs[Long]("capped") === 0L)
+      assert(capped.length >= 3, s"no under-water slices at $sf")
+      assert(clipped.nonEmpty, s"nothing clipped at $sf — budget vacuous")
+      // the oversized slice is en (3× the others in the fixture)
+      assert(clipped.exists(_.getString(0) == "en"), s"en not clipped")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("alloc_tokens") <=
+          r.getAs[Long]("cap_tokens"), "alloc exceeds cap")
+      }
+      // water property: every clipped allocation sits ABOVE every
+      // capped slice's full cap (common water level)
+      val maxCap = capped.map(_.getAs[Long]("cap_tokens")).max
+      assert(clipped.forall(_.getAs[Long]("alloc_tokens") >= maxCap),
+        s"water level below a kept cap at $sf")
+      // exact budget: Σalloc = ⌊9T/10⌋
+      val total = rows.map(_.getAs[Long]("cap_tokens")).sum
+      assert(rows.map(_.getAs[Long]("alloc_tokens")).sum ===
+        total * 9 / 10, s"budget not exhausted exactly at $sf")
+    }
+  }
 }

@@ -482,13 +482,24 @@ class PlanShapeSpec extends SparkSpec {
       // r13 batch 5: q299's minimax isotonic fit — the ≤20-row score-bin
       // census self-joined on bin ≤ bin (the O(B³) closed form; bounded
       // by construction, never by data volume)
-      "q299_isotonic_fit")
+      "q299_isotonic_fit",
+      // r13 batch 7: q305's 1-row (N,S) binary-threshold broadcast onto
+      // the grid census; q306's 1-row Gram-solution broadcast onto the
+      // per-order census (the q242 form — residuals need the betas at
+      // every row); q307's 1-row total-mass broadcast onto the supplier
+      // prefix frame (the q147 form); q308's census-sized water-level
+      // broadcasts (see bnljMax)
+      "q305_join_counts", "q306_breusch_pagan", "q307_pps_systematic",
+      "q308_water_fill")
     // Queries whose plan legitimately carries MORE than one allowlisted
-    // nested loop. Currently empty: q262's tmax cut sits under its lazy
-    // checkpoint (only the ≤365-row Walsh pair build surfaces), and
-    // q266's three periods share ONE totals broadcast via explode
-    // (a per-period union would have re-planned it ×3).
-    val bnljMax = Map.empty[String, Int].withDefaultValue(1)
+    // nested loop. q262's tmax cut sits under its lazy checkpoint (only
+    // the ≤365-row Walsh pair build surfaces), and q266's three periods
+    // share ONE totals broadcast via explode (a per-period union would
+    // have re-planned it ×3). q308's water-level search needs THREE
+    // 1-row broadcasts onto the ≤|langs|-row census: the (total, budget)
+    // row, the m* row, and the (m*, P_m) row — all census-side, nothing
+    // fact-sized.
+    val bnljMax = Map("q308_water_fill" -> 3).withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

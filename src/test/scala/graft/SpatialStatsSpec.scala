@@ -150,6 +150,64 @@ class SpatialStatsSpec extends SparkSpec {
     assert(c.getAs[Double]("z") > 5.0)
   }
 
+  test("q305 join counts match the O(cells^2) pair loop and z algebra") {
+    val row = SparkEntry.queries("q305_join_counts")(spark, sf0001)
+      .head()
+    val cells = customerCellsCollected()
+    val n = cells.length
+    val s = cells.map(_._3).sum
+    // binary field exactly as the query: x·N > S
+    val b = cells.map(c => if (BigInt(c._3) * n > BigInt(s)) 1 else 0)
+    var bb = 0L; var bw = 0L; var ww = 0L; var w2 = 0L
+    val deg = new Array[Long](n)
+    for (i <- 0 until n; j <- 0 until n if i != j) {
+      val adj = math.abs(cells(i)._1 - cells(j)._1) <= 1 &&
+        math.abs(cells(i)._2 - cells(j)._2) <= 1
+      if (adj) {
+        w2 += 1; deg(i) += 1
+        if (b(i) == 1 && b(j) == 1) bb += 1
+        else if (b(i) != b(j)) bw += 1
+        else ww += 1
+      }
+    }
+    assert(row.getAs[Long]("n_cells") === n.toLong)
+    assert(row.getAs[Long]("n_black") === b.sum.toLong)
+    assert(row.getAs[Long]("j_links") === w2 / 2)
+    assert(row.getAs[Long]("bb") === bb / 2)
+    assert(row.getAs[Long]("bw") === bw / 2)
+    assert(row.getAs[Long]("ww") === ww / 2)
+    val nD = n.toDouble; val wD = w2.toDouble
+    val p = b.sum.toDouble / nD; val q = 1.0 - p
+    val s1 = 2.0 * wD; val s2 = 4.0 * deg.map(d => d.toDouble * d).sum
+    val vBb = (s1 * (p * p - math.pow(p, 4)) +
+      (s2 - 2 * s1) * (p * p * p - math.pow(p, 4))) / 4.0
+    val vBw = (s1 * (2 * p * q - 4 * p * p * q * q) +
+      (s2 - 2 * s1) * (p * q - 4 * p * p * q * q)) / 4.0
+    val zBb = (bb / 2.0 - wD / 2.0 * p * p) / math.sqrt(vBb)
+    val zBw = (bw / 2.0 - wD * p * q) / math.sqrt(vBw)
+    assert(math.abs(row.getAs[Double]("z_bb") - zBb) < 5e-4,
+      s"z_bb ${row.getAs[Double]("z_bb")} vs brute $zBb")
+    assert(math.abs(row.getAs[Double]("z_bw") - zBw) < 5e-4,
+      s"z_bw ${row.getAs[Double]("z_bw")} vs brute $zBw")
+  }
+
+  test("structure: join counts see the half-plane as segregation") {
+    // left half black (count 10 > mean), right half white: BW pairs
+    // exist only along the seam → BB far above free-sampling chance
+    val half = grid((cx, _) => if (cx < 10) 10L else 1L)
+    val r = SpatialStats.joinCounts(half).head()
+    assert(r.getAs[Long]("n_black") === 200L)
+    assert(r.getAs[Double]("z_bb") > 3.0,
+      s"half-plane z_bb = ${r.getAs[Double]("z_bb")}")
+    assert(r.getAs[Double]("z_bw") < -3.0,
+      s"half-plane z_bw = ${r.getAs[Double]("z_bw")}")
+    // stripes: the opposite sign — mixing far above chance
+    val stripes = grid((cx, _) => (cx % 2).toLong * 10L)
+    val r2 = SpatialStats.joinCounts(stripes).head()
+    assert(r2.getAs[Double]("z_bw") > 3.0,
+      s"stripe z_bw = ${r2.getAs[Double]("z_bw")}")
+  }
+
   test("structure: Gi* flags the hot corner of a plateau field") {
     // a 5×5 hot plateau in the top-right of an otherwise flat grid
     val plateau = grid((cx, cy) => if (cx >= 15 && cy >= 15) 100L else 10L)

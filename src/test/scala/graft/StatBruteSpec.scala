@@ -2513,6 +2513,116 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("yuen_df") - df) < 0.02)
   }
 
+  test("q306 Breusch-Pagan matches a sequential two-stage OLS walk") {
+    val row = SparkEntry.queries("q306_breusch_pagan")(spark, sf0001)
+      .head()
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    def ols(rows: Array[(Double, Double, Double)])
+        : (Double, Double, Double, Double) = {
+      val n = rows.length.toDouble
+      val s1 = rows.map(_._2).sum; val s2 = rows.map(_._3).sum
+      val sy = rows.map(_._1).sum
+      val s11 = rows.map(r => r._2 * r._2).sum
+      val s22 = rows.map(r => r._3 * r._3).sum
+      val s12 = rows.map(r => r._2 * r._3).sum
+      val s1y = rows.map(r => r._2 * r._1).sum
+      val s2y = rows.map(r => r._3 * r._1).sum
+      def det3(a: Array[Double]) =
+        a(0) * (a(4) * a(8) - a(5) * a(7)) -
+          a(1) * (a(3) * a(8) - a(5) * a(6)) +
+          a(2) * (a(3) * a(7) - a(4) * a(6))
+      val d = det3(Array(n, s1, s2, s1, s11, s12, s2, s12, s22))
+      val b0 = det3(Array(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)) / d
+      val b1 = det3(Array(n, sy, s2, s1, s1y, s12, s2, s2y, s22)) / d
+      val b2 = det3(Array(n, s1, sy, s1, s11, s1y, s2, s12, s2y)) / d
+      val syy = rows.map(r => r._1 * r._1).sum
+      val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+      (b0, b1, b2, 1.0 - sse / (syy - sy * sy / n))
+    }
+    val (b0, b1, b2, _) = ols(per)
+    // cent-quantized residuals, exactly as the query
+    val aux = per.map { case (y, x1, x2) =>
+      val e = math.floor(y - b0 - b1 * x1 - b2 * x2 + 0.5)
+      (e * e, x1, x2)
+    }
+    val (_, _, _, r2aux) = ols(aux)
+    val lm = per.length * r2aux
+    assert(row.getAs[Long]("n_orders") === per.length.toLong)
+    assert(math.abs(row.getAs[Double]("bp_lm") - lm) <
+      1e-4 * math.max(1.0, lm),
+      s"LM ${row.getAs[Double]("bp_lm")} vs brute $lm")
+  }
+
+  test("q307 PPS systematic sample matches a sequential threshold walk") {
+    val rows = SparkEntry.queries("q307_pps_systematic")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val sup = Tables.lineitem(spark, sf0001)
+      .groupBy("l_suppkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val t = sup.map(_._2).sum
+    val k = 200
+    var cum = 0L
+    var slot = 0
+    sup.foreach { case (key, w) =>
+      val lo = cum; cum += w
+      // thresholds (2i+1)·T/(2k) inside (lo, cum]
+      var hits = 0L; var first = -1L
+      while (slot < k && BigInt(2 * slot + 1) * t <= BigInt(2 * k) * cum) {
+        if (first < 0) first = slot
+        hits += 1; slot += 1
+      }
+      if (hits > 0) {
+        val r = rows(key)
+        assert(r.getAs[Long]("n_hits") === hits, s"supplier $key hits")
+        assert(r.getAs[Long]("first_slot") === first, s"supplier $key slot")
+      } else assert(!rows.contains(key), s"supplier $key sampled")
+      require(lo <= cum)
+    }
+    assert(rows.values.map(_.getAs[Long]("n_hits")).sum === k.toLong)
+  }
+
+  test("q308 water-filling matches a sequential level search") {
+    val rows = SparkEntry.queries("q308_water_fill")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val caps = Tables.documents(spark, sf0001)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long")
+        .as("tk"))
+      .groupBy("lang").agg(sum("tk").as("cap"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(c => (c._2, c._1))
+    val total = caps.map(_._2).sum
+    val b = total * 9 / 10
+    val s0 = caps.length
+    // sequential water-level search
+    var m = 0; var pm = 0L
+    var pc = 0L
+    caps.zipWithIndex.foreach { case ((_, c), i) =>
+      pc += c
+      if (c * (s0 - i - 1) <= b - pc) { m = i + 1; pm = pc }
+    }
+    val base = (b - pm) / (s0 - m); val r = (b - pm) % (s0 - m)
+    var allocSum = 0L
+    caps.zipWithIndex.foreach { case ((lang, c), i) =>
+      val exp = if (i < m) c
+        else base + (if (i - m < r) 1L else 0L)
+      val row = rows(lang)
+      assert(row.getAs[Long]("alloc_tokens") === exp, s"$lang alloc")
+      assert(row.getAs[Long]("capped") === (if (i < m) 1L else 0L))
+      allocSum += exp
+    }
+    assert(allocSum === b, "allocation does not exhaust the budget")
+  }
+
   test("q304 Burrows Delta matches a sequential z-profile walk") {
     val rows = SparkEntry.queries("q304_burrows_delta")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
