@@ -1172,6 +1172,73 @@ object EvalQueries {
       out(icc31, "icc_3_1"), out(icc3k, "icc_3_k"))
   }
 
+  /** L246 Gwet's AC1 chance-corrected agreement ([PK] Gwet 2008): the
+    * prevalence-robust member of the agreement family over the SAME
+    * three-screen rater ensemble as Fleiss' κ (q274) and
+    * Krippendorff's α (q282). κ and α compute chance agreement from
+    * the OBSERVED category prevalence, so a skewed corpus (π ≈ 0.91
+    * "good" here) makes chance ≈ 0.84 and crushes κ even when raters
+    * almost always agree — the "kappa paradox". AC1's chance model
+    * uses 2π(1−π) (the probability BOTH raters guess the rare
+    * category at random), which stays small under skew; on this
+    * fixture AC1 ≈ 0.91 while κ sits far lower — the gap is pinned
+    * cross-query, making the paradox itself the executable invariant.
+    *
+    * Parity: Pa and π are exact int64 ratios (pair-agreement counts
+    * g(g−1)/2 + (3−g)(2−g)/2 per doc); AC1 is one double chain from
+    * the exact sums, 6dp.
+    *
+    * Scale: one map-side-combinable agg — no joins, no windows. */
+  def q310GwetAc1(s: SparkSession, dir: String): DataFrame = {
+    val a = raters(s, dir).agg(count(lit(1)).as("n"),
+      sum(col("g")).as("gg"),
+      // g(g−1)/2 + (3−g)(2−g)/2 simplifies to g²−3g+3 — integer exact
+      sum(col("g") * col("g") - col("g") * 3L + 3L).as("agr"))
+    val n = col("n").cast("double")
+    val pa = col("agr").cast("double") / (n * 3.0)
+    val pi = col("gg").cast("double") / (n * 3.0)
+    val pe = lit(2.0) * pi * (lit(1.0) - pi)
+    val bad = col("n") < 2L || pe >= 1.0
+    def out(c: Column, nm: String) =
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(c, 6) + 0.0).as(nm)
+    a.select(col("n").cast("long").as("n_docs"),
+      out(pa, "p_agree"), out(pi, "prevalence"), out(pe, "p_chance"),
+      out((pa - pe) / (lit(1.0) - pe), "gwet_ac1"))
+  }
+
+  val q310GwetAc1Sql: String =
+    """WITH d AS (
+      |  SELECT
+      |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0
+      |       END)
+      |    + (CASE WHEN len(list_intersect(string_split(text, ' '),
+      |        ['the','a','of','and','to','in','is','on'])) > 0
+      |       THEN 1 ELSE 0 END) AS g
+      |  FROM documents),
+      |a AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS gg,
+      |    CAST(SUM(g * g - g * 3 + 3) AS BIGINT) AS agr
+      |  FROM d),
+      |c0 AS (
+      |  SELECT n,
+      |    CAST(agr AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0) AS pa,
+      |    CAST(gg AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0) AS pi
+      |  FROM a),
+      |c1 AS (
+      |  SELECT n, pa, pi, 2.0 * pi * (1.0 - pi) AS pe FROM c0)
+      |SELECT n AS n_docs,
+      |  CASE WHEN n < 2 OR pe >= 1 THEN NULL
+      |    ELSE ROUND(pa, 6) + 0 END AS p_agree,
+      |  CASE WHEN n < 2 OR pe >= 1 THEN NULL
+      |    ELSE ROUND(pi, 6) + 0 END AS prevalence,
+      |  CASE WHEN n < 2 OR pe >= 1 THEN NULL
+      |    ELSE ROUND(pe, 6) + 0 END AS p_chance,
+      |  CASE WHEN n < 2 OR pe >= 1 THEN NULL
+      |    ELSE ROUND((pa - pe) / (1.0 - pe), 6) + 0 END AS gwet_ac1
+      |FROM c1""".stripMargin
+
   /** L240 Breusch–Pagan heteroscedasticity test ([PK] Breusch & Pagan
     * 1979; Koenker 1981 studentized form): does the VARIANCE of
     * q298's regression residuals move with the regressors? The

@@ -132,6 +132,143 @@ object RobustTests {
        |    WHEN t < -2.86 THEN 1 ELSE 0 END AS reject_unit_root_5pct
        |FROM c3""".stripMargin
 
+  /** L245 Chow structural-break test ([PK] Chow 1960): did the
+    * daily-revenue TREND regression y_t = a + b·t change regime at the
+    * series midpoint? F = ((SSE_p − SSE₁ − SSE₂)/k) /
+    * ((SSE₁+SSE₂)/(n−2k)) with k = 2 parameters per regime; under H₀
+    * and large n, k·F → χ²₂, whose tail is exactly e^{−F·k/2}... for
+    * k = 2: p ≈ e^{−F} (documented large-n form; the 5% cut is
+    * F(2,∞) = 2.996, applied as 3.0). Completes the q253/q302 series
+    * triptych: KPSS (level stationarity), DF (unit root), Chow
+    * (parameter stability). The fixture DISCRIMINATES by SF — the
+    * 3-year sf0.001 series carries a real trend break (F ≈ 6.8),
+    * the sf0.01 series does not (F ≈ 0.19); both verdicts are pinned
+    * as measured.
+    *
+    * Parity: day index t and the regime indicator come from ONE
+    * row-number window over the calendar-bounded census + a 1-row n
+    * broadcast; per-regime moments are exact DECIMAL/HUGEINT
+    * conditional sums in ONE agg; the three SSEs and F are one double
+    * chain. Guards: either regime < 3 days or zero t-variance → null. */
+  def q309ChowBreak(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val idx = daily(s, dir)
+      .withColumn("t", row_number().over(w).cast("long") - 1L)
+    val tot = idx.agg(count(lit(1)).as("n"))
+    val g = idx.crossJoin(broadcast(tot))
+      .withColumn("g1", col("t") * 2L < col("n"))
+      .groupBy("g1")
+      .agg(count(lit(1)).as("m"), sum(col("t")).as("st"),
+        sum(col("rev")).as("sr"),
+        sum(col("t").cast(dec) * col("t")).as("stt"),
+        sum(col("t").cast(dec) * col("rev")).as("str"),
+        sum(col("rev").cast(dec) * col("rev")).as("srr"))
+    def side(p: String) = Seq("m", "st", "sr", "stt", "str", "srr")
+      .map(c => max(when(if (p == "a") col("g1") else !col("g1"),
+        col(c))).as(s"${c}_$p"))
+    val piv = g.agg(side("a").head, (side("a").tail ++ side("b")): _*)
+    def f(c: String) = col(c).cast("double")
+    def sse(p: String): Column = {
+      val (m, st, sr) = (f(s"m_$p"), f(s"st_$p"), f(s"sr_$p"))
+      val (stt, str, srr) = (f(s"stt_$p"), f(s"str_$p"), f(s"srr_$p"))
+      val b = (m * str - st * sr) / (m * stt - st * st)
+      srr - (sr - b * st) / m * sr - b * str
+    }
+    def pooled(c: String): Column = f(s"${c}_a") + f(s"${c}_b")
+    val sseP = {
+      val (m, st, sr) = (pooled("m"), pooled("st"), pooled("sr"))
+      val (stt, str, srr) = (pooled("stt"), pooled("str"),
+        pooled("srr"))
+      val b = (m * str - st * sr) / (m * stt - st * st)
+      srr - (sr - b * st) / m * sr - b * str
+    }
+    val s12 = sse("a") + sse("b")
+    val n = pooled("m")
+    val fStat = ((sseP - s12) / 2.0) / (s12 / (n - 4.0))
+    val bad = col("m_a") < 3L || col("m_b") < 3L
+    def out(c: Column, sc: Int, nm: String) =
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(c, sc) + 0.0).as(nm)
+    piv.select((col("m_a") + col("m_b")).cast("long").as("n_days"),
+      col("m_a").cast("long").as("m_regime1"),
+      col("m_b").cast("long").as("m_regime2"),
+      out(fStat, 4, "chow_f"), out(exp(-fStat), 6, "p_asym"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(fStat > 3.0, 1L).otherwise(0L))
+        .as("break_5pct"))
+  }
+
+  val q309ChowBreakSql: String =
+    s"""WITH d AS ($dailySql),
+       |idx AS (
+       |  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+       |    COUNT(*) OVER () AS n
+       |  FROM d),
+       |g AS (
+       |  SELECT t * 2 < n AS g1, COUNT(*) AS m,
+       |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(rev) AS BIGINT) AS sr,
+       |    CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+       |    CAST(SUM(CAST(t AS HUGEINT) * rev) AS HUGEINT) AS str,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS srr
+       |  FROM idx GROUP BY 1),
+       |piv AS (
+       |  SELECT
+       |    MAX(CASE WHEN g1 THEN m END) AS m_a,
+       |    MAX(CASE WHEN g1 THEN st END) AS st_a,
+       |    MAX(CASE WHEN g1 THEN sr END) AS sr_a,
+       |    MAX(CASE WHEN g1 THEN stt END) AS stt_a,
+       |    MAX(CASE WHEN g1 THEN str END) AS str_a,
+       |    MAX(CASE WHEN g1 THEN srr END) AS srr_a,
+       |    MAX(CASE WHEN NOT g1 THEN m END) AS m_b,
+       |    MAX(CASE WHEN NOT g1 THEN st END) AS st_b,
+       |    MAX(CASE WHEN NOT g1 THEN sr END) AS sr_b,
+       |    MAX(CASE WHEN NOT g1 THEN stt END) AS stt_b,
+       |    MAX(CASE WHEN NOT g1 THEN str END) AS str_b,
+       |    MAX(CASE WHEN NOT g1 THEN srr END) AS srr_b
+       |  FROM g),
+       |ch AS (
+       |  SELECT *,
+       |    CAST(m_a AS DOUBLE) AS ma, CAST(m_b AS DOUBLE) AS mb,
+       |    CAST(st_a AS DOUBLE) AS sta, CAST(st_b AS DOUBLE) AS stb,
+       |    CAST(sr_a AS DOUBLE) AS sra, CAST(sr_b AS DOUBLE) AS srb,
+       |    CAST(stt_a AS DOUBLE) AS stta, CAST(stt_b AS DOUBLE) AS sttb,
+       |    CAST(str_a AS DOUBLE) AS stra, CAST(str_b AS DOUBLE) AS strb,
+       |    CAST(srr_a AS DOUBLE) AS srra, CAST(srr_b AS DOUBLE) AS srrb
+       |  FROM piv),
+       |ss AS (
+       |  SELECT *,
+       |    srra - (sra - ((ma * stra - sta * sra) / (ma * stta - sta * sta))
+       |        * sta) / ma * sra
+       |      - ((ma * stra - sta * sra) / (ma * stta - sta * sta)) * stra
+       |      AS sse_a,
+       |    srrb - (srb - ((mb * strb - stb * srb) / (mb * sttb - stb * stb))
+       |        * stb) / mb * srb
+       |      - ((mb * strb - stb * srb) / (mb * sttb - stb * stb)) * strb
+       |      AS sse_b,
+       |    (srra + srrb)
+       |      - ((sra + srb) - (((ma + mb) * (stra + strb)
+       |            - (sta + stb) * (sra + srb))
+       |          / ((ma + mb) * (stta + sttb) - (sta + stb) * (sta + stb)))
+       |        * (sta + stb)) / (ma + mb) * (sra + srb)
+       |      - (((ma + mb) * (stra + strb) - (sta + stb) * (sra + srb))
+       |          / ((ma + mb) * (stta + sttb) - (sta + stb) * (sta + stb)))
+       |        * (stra + strb) AS sse_p
+       |  FROM ch),
+       |ff AS (
+       |  SELECT *,
+       |    ((sse_p - sse_a - sse_b) / 2.0)
+       |      / ((sse_a + sse_b) / (ma + mb - 4.0)) AS f,
+       |    (m_a < 3 OR m_b < 3) AS bad
+       |  FROM ss)
+       |SELECT CAST(m_a + m_b AS BIGINT) AS n_days,
+       |  m_a AS m_regime1, m_b AS m_regime2,
+       |  CASE WHEN bad THEN NULL ELSE ROUND(f, 4) + 0 END AS chow_f,
+       |  CASE WHEN bad THEN NULL ELSE ROUND(EXP(-f), 6) + 0 END
+       |    AS p_asym,
+       |  CASE WHEN bad THEN NULL WHEN f > 3.0 THEN 1 ELSE 0 END
+       |    AS break_5pct
+       |FROM ff""".stripMargin
+
   /** L237 Yuen's trimmed-means t-test ([PK] Yuen 1974; Wilcox 2012):
     * the 20%-trimmed robust companion of q231's Welch test on the SAME
     * contrast — BUILDING vs FURNITURE whole-dollar order values. Welch

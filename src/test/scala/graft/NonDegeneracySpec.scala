@@ -1121,4 +1121,75 @@ class NonDegeneracySpec extends SparkSpec {
         total * 9 / 10, s"budget not exhausted exactly at $sf")
     }
   }
+
+  test("q309: Chow discriminates — break at sf0.001, stability at sf0.01") {
+    // the 3-year sf0.001 revenue series carries a real trend break;
+    // the denser sf0.01 series does not — BOTH verdicts pinned, so the
+    // test provably discriminates rather than always (or never) firing
+    val r1 = run("q309_chow_break", sf0001).head()
+    assert(r1.getAs[Long]("m_regime1") > 300L)
+    assert(r1.getAs[java.lang.Double]("chow_f") > 3.0,
+      s"sf0.001 break lost: ${r1.getAs[java.lang.Double]("chow_f")}")
+    assert(r1.getAs[Long]("break_5pct") === 1L)
+    val r2 = run("q309_chow_break", sf001).head()
+    assert(r2.getAs[Long]("m_regime1") > 1000L)
+    assert(r2.getAs[java.lang.Double]("chow_f") < 1.0,
+      s"sf0.01 false break: ${r2.getAs[java.lang.Double]("chow_f")}")
+    assert(r2.getAs[Long]("break_5pct") === 0L)
+  }
+
+  test("q310: the kappa paradox is live — AC1 high where kappa is crushed") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q310_gwet_ac1", sf).head()
+      val ac1 = r.getAs[java.lang.Double]("gwet_ac1")
+      val pc = r.getAs[java.lang.Double]("p_chance")
+      assert(ac1 != null && ac1 > 0.8 && ac1 < 0.99,
+        s"AC1 out of band at $sf: $ac1")
+      assert(pc < 0.3, s"chance model not prevalence-robust at $sf")
+      // the paradox itself, cross-query: same ensemble, same corpus —
+      // Fleiss' kappa sits far below AC1 because its chance term rides
+      // the 0.91 prevalence
+      val kappa = run("q274_fleiss_kappa", sf).head()
+        .getAs[java.lang.Double]("fleiss_kappa")
+      assert(ac1 - kappa > 0.2,
+        s"kappa paradox vanished at $sf: AC1 $ac1 vs kappa $kappa")
+    }
+  }
+
+  test("q311: robust errors repair, not replace — collapse story intact") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q311_white_hc1", sf).head()
+      // units: the q293/q298 collapse survives robustification
+      assert(math.abs(r.getAs[java.lang.Double]("t_hc1_units")) < 2.5,
+        s"units coefficient became significant at $sf")
+      // lines: decisively significant under HC1
+      assert(r.getAs[java.lang.Double]("t_hc1_lines") > 10.0,
+        s"lines slope lost significance at $sf")
+      // HC1 must MOVE the units SE (q306 proved heteroscedasticity);
+      // direction measured: wider at both SFs
+      val (cl, rb) = (r.getAs[java.lang.Double]("se_cl_units"),
+        r.getAs[java.lang.Double]("se_hc1_units"))
+      assert(rb > cl, s"HC1 did not widen the units SE at $sf")
+      assert(rb / cl < 1.5, s"HC1 inflation implausible at $sf")
+    }
+  }
+
+  test("q312: influence screen finds real movers with sane leverage") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q312_cooks_distance", sf).collect()
+      assert(rows.length === 20, s"top-k short at $sf")
+      val ds = rows.map(_.getAs[Double]("cooks_d"))
+      assert(ds.head > 0.0 && ds.head === ds.max)
+      // a real influence SPREAD, not a flat tail (the top-20 window is
+      // a thinner tail slice at the denser SF, compressing the ratio —
+      // measured 6.4× at sf0.001, 2.7× at sf0.01)
+      assert(ds.head > 2.0 * ds.last,
+        s"no influence concentration at $sf: ${ds.head} vs ${ds.last}")
+      rows.foreach { r =>
+        val h = r.getAs[Double]("leverage")
+        assert(h > 0.0 && h < 0.2, s"leverage out of band at $sf: $h")
+        assert(r.getAs[Long]("resid_cents") !== 0L)
+      }
+    }
+  }
 }

@@ -490,7 +490,12 @@ class PlanShapeSpec extends SparkSpec {
       // prefix frame (the q147 form); q308's census-sized water-level
       // broadcasts (see bnljMax)
       "q305_join_counts", "q306_breusch_pagan", "q307_pps_systematic",
-      "q308_water_fill")
+      "q308_water_fill",
+      // r13 batch 8: q309's 1-row day-count broadcast onto the calendar
+      // census; q311/q312's 1-row Gram-solution broadcast onto the
+      // per-order census (the q306 shape — residuals/leverage need the
+      // adjugate at every row)
+      "q309_chow_break", "q311_white_hc1", "q312_cooks_distance")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

@@ -2591,6 +2591,146 @@ class StatBruteSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("n_hits")).sum === k.toLong)
   }
 
+  test("q309 Chow test matches a sequential two-regime OLS walk") {
+    val row = SparkEntry.queries("q309_chow_break")(spark, sf0001)
+      .head()
+    val days = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = days.length
+    def sse(seg: Seq[(Double, Double)]): Double = {
+      val m = seg.length.toDouble
+      val st = seg.map(_._1).sum; val sr = seg.map(_._2).sum
+      val stt = seg.map(p => p._1 * p._1).sum
+      val str = seg.map(p => p._1 * p._2).sum
+      val srr = seg.map(p => p._2 * p._2).sum
+      val b = (m * str - st * sr) / (m * stt - st * st)
+      srr - (sr - b * st) / m * sr - b * str
+    }
+    val pts = days.zipWithIndex.map { case (r, t) => (t.toDouble, r) }
+    val (g1, g2) = pts.partition(p => p._1 * 2 < n)
+    val s12 = sse(g1.toSeq) + sse(g2.toSeq)
+    val f = ((sse(pts.toSeq) - s12) / 2.0) / (s12 / (n - 4.0))
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("m_regime1") === g1.length.toLong)
+    assert(math.abs(row.getAs[Double]("chow_f") - f) < 1e-3,
+      s"F ${row.getAs[Double]("chow_f")} vs brute $f")
+  }
+
+  test("q310 Gwet AC1 matches a sequential agreement walk") {
+    val row = SparkEntry.queries("q310_gwet_ac1")(spark, sf0001).head()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val gs = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (if (r.getLong(0) >= 100) 1 else 0) +
+          (if (toks.length >= 20) 1 else 0) +
+          (if (toks.exists(stop.contains)) 1 else 0)
+      }
+    val n = gs.length.toDouble
+    val pa = gs.map(g => g * (g - 1) / 2 + (3 - g) * (2 - g) / 2).sum /
+      (3.0 * n)
+    val pi = gs.sum / (3.0 * n)
+    val pe = 2.0 * pi * (1.0 - pi)
+    val ac1 = (pa - pe) / (1.0 - pe)
+    assert(row.getAs[Long]("n_docs") === gs.length.toLong)
+    assert(math.abs(row.getAs[Double]("p_agree") - pa) < 1e-5)
+    assert(math.abs(row.getAs[Double]("gwet_ac1") - ac1) < 1e-5,
+      s"AC1 ${row.getAs[Double]("gwet_ac1")} vs brute $ac1")
+  }
+
+  test("q311 HC1 sandwich matches a sequential matrix walk") {
+    val row = SparkEntry.queries("q311_white_hc1")(spark, sf0001)
+      .head()
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    val s1 = per.map(_._2).sum; val s2 = per.map(_._3).sum
+    val sy = per.map(_._1).sum
+    val s11 = per.map(p => p._2 * p._2).sum
+    val s22 = per.map(p => p._3 * p._3).sum
+    val s12 = per.map(p => p._2 * p._3).sum
+    val s1y = per.map(p => p._2 * p._1).sum
+    val s2y = per.map(p => p._3 * p._1).sum
+    val c00 = s11 * s22 - s12 * s12; val c01 = -(s1 * s22 - s12 * s2)
+    val c02 = s1 * s12 - s11 * s2; val c11 = n * s22 - s2 * s2
+    val c12 = -(n * s12 - s1 * s2); val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    val b0 = (c00 * sy + c01 * s1y + c02 * s2y) / det
+    val b1 = (c01 * sy + c11 * s1y + c12 * s2y) / det
+    val b2 = (c02 * sy + c12 * s1y + c22 * s2y) / det
+    val es = per.map { case (y, x1, x2) =>
+      (math.floor(y - b0 - b1 * x1 - b2 * x2 + 0.5), x1, x2) }
+    def mm(fx: ((Double, Double, Double)) => Double) =
+      es.map { case (e, x1, x2) => e * e * fx((e, x1, x2)) }.sum
+    val (m00, m01, m02) = (mm(_ => 1.0), mm(_._2), mm(_._3))
+    val (m11, m12, m22) = (mm(p => p._2 * p._2), mm(p => p._2 * p._3),
+      mm(p => p._3 * p._3))
+    def vjj(cj0: Double, cj1: Double, cj2: Double) =
+      (cj0 * cj0 * m00 + cj1 * cj1 * m11 + cj2 * cj2 * m22 +
+        2 * cj0 * cj1 * m01 + 2 * cj0 * cj2 * m02 +
+        2 * cj1 * cj2 * m12) / (det * det) * (n / (n - 3.0))
+    val seR1 = math.sqrt(vjj(c01, c11, c12))
+    val seR2 = math.sqrt(vjj(c02, c12, c22))
+    def ck(nm: String, exp: Double): Unit =
+      assert(math.abs(row.getAs[Double](nm) - exp) <
+        1e-3 * math.max(1.0, math.abs(exp)), s"$nm vs brute $exp")
+    ck("se_hc1_units", seR1); ck("se_hc1_lines", seR2)
+    ck("t_hc1_units", b1 / seR1); ck("t_hc1_lines", b2 / seR2)
+  }
+
+  test("q312 Cook's distance matches a sequential hat-matrix walk") {
+    val rows = SparkEntry.queries("q312_cooks_distance")(spark, sf0001)
+      .collect()
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    val s1 = per.map(_._3).sum; val s2 = per.map(_._4).sum
+    val sy = per.map(_._2).sum
+    val s11 = per.map(p => p._3 * p._3).sum
+    val s22 = per.map(p => p._4 * p._4).sum
+    val s12 = per.map(p => p._3 * p._4).sum
+    val s1y = per.map(p => p._3 * p._2).sum
+    val s2y = per.map(p => p._4 * p._2).sum
+    val syy = per.map(p => p._2 * p._2).sum
+    val c00 = s11 * s22 - s12 * s12; val c01 = -(s1 * s22 - s12 * s2)
+    val c02 = s1 * s12 - s11 * s2; val c11 = n * s22 - s2 * s2
+    val c12 = -(n * s12 - s1 * s2); val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    val b0 = (c00 * sy + c01 * s1y + c02 * s2y) / det
+    val b1 = (c01 * sy + c11 * s1y + c12 * s2y) / det
+    val b2 = (c02 * sy + c12 * s1y + c22 * s2y) / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val s2hat = sse / (n - 3.0)
+    val all = per.map { case (k, y, x1, x2) =>
+      val e = math.floor(y - b0 - b1 * x1 - b2 * x2 + 0.5)
+      val h = (c00 + 2 * c01 * x1 + 2 * c02 * x2 + c11 * x1 * x1 +
+        2 * c12 * x1 * x2 + c22 * x2 * x2) / det
+      (k, e, h, e * e * h / (3.0 * s2hat * (1 - h) * (1 - h)))
+    }
+    val top = all.sortBy(t => (-t._4, t._1)).take(20)
+    assert(rows.length === 20)
+    rows.zip(top).foreach { case (r, (k, e, h, d)) =>
+      assert(r.getLong(0) === k, s"rank order: ${r.getLong(0)} vs $k")
+      assert(r.getAs[Long]("resid_cents") === e.toLong)
+      assert(math.abs(r.getAs[Double]("leverage") - h) < 1e-5)
+      assert(math.abs(r.getAs[Double]("cooks_d") - d) < 1e-5)
+    }
+  }
+
   test("q308 water-filling matches a sequential level search") {
     val rows = SparkEntry.queries("q308_water_fill")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
