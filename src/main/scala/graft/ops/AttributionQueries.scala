@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
@@ -698,4 +698,108 @@ object AttributionQueries {
        |    ROUND($cxy * $cxy / ($vx * $vy), 6) + 0 END AS var_reduction
        |FROM arm, mom ORDER BY arm""".stripMargin
   }
+
+  /** L248 SPRT sequential monitor ([PK] Wald 1945; the always-valid
+    * monitoring idea behind modern "peeking-safe" A/B platforms):
+    * the day-by-day log-likelihood-ratio walk of the TEST arm's
+    * purchase rate against H₀: p = p₀ (the control arm's full-period
+    * rate) vs H₁: p = 1.1·p₀, with Wald boundaries ±ln 19
+    * (α = β = 0.05). The output is the whole decision WALK — cum
+    * conversions, trials, LLR, and per-day state — so the "when could
+    * we have stopped" question is answerable from the table; the
+    * fixture's arms are identical by construction (user_id parity),
+    * so the walk must drift DOWN and accept H₀ (pinned) — the
+    * monitor's ability to EARLY-STOP a true null is exactly its
+    * value.
+    *
+    * Parity: LLR_t = C_t·(ln9(11) − ln9(10)) + (N_t−C_t)·(ln9(10·n₀ −
+    * 11·c₀) − ln9(10·(n₀−c₀))) — every ln takes an exact integer
+    * (rates never materialize as doubles), nano-quantized (q286
+    * convention); cumulative C/N ride [[PrefixSum]]. Boundaries are
+    * the quantized ±ln9(19).
+    *
+    * Scale: daily census per arm (calendar-bounded) + a 1-row
+    * control-totals broadcast; the walk is |days| rows. Guards: c₀=0,
+    * c₀≥n₀·10/11 (p₁ ≥ 1), or empty test arm → no rows decided. */
+  def q314SprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("conv"))
+    val ctrl = e.filter(col("arm") === 0L)
+      .agg(sum(col("conv")).as("c0"), count(lit(1)).as("n0"))
+    val daily = e.filter(col("arm") === 1L)
+      .groupBy("day")
+      .agg(sum(col("conv")).as("cd"), count(lit(1)).as("nd"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(daily,
+      Seq(col("day")), Seq((col("cd"), "ct"), (col("nd"), "nt")))
+    def qln9(c: Column) = floor(log(c.cast("double")) * 1e9 + 0.5)
+      .cast("long")
+    val j = cum.crossJoin(broadcast(ctrl))
+      .withColumn("lp9", qln9(lit(11L)) - qln9(lit(10L)))
+      .withColumn("lq9",
+        qln9(col("n0") * 10L - col("c0") * 11L) -
+          qln9((col("n0") - col("c0")) * 10L))
+      .withColumn("llr9", col("ct").cast(dec) * col("lp9") +
+        (col("nt") - col("ct")).cast(dec) * col("lq9"))
+    val a9 = floor(log(lit(19.0)) * 1e9 + 0.5).cast("long").cast(dec)
+    val bad = col("c0") === 0L || col("c0") * 11L >= col("n0") * 10L ||
+      col("n0") === 0L
+    j.select(col("day"), col("ct").as("cum_conv"),
+        col("nt").as("cum_trials"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(floor(col("llr9").cast("double") / 1e9 * 1e6 + 0.5)
+            / 1e6).as("llr"),
+        when(bad, lit(null).cast("string"))
+          .otherwise(when(col("llr9") >= a9, "reject_h0")
+            .when(col("llr9") <= -a9, "accept_h0")
+            .otherwise("continue")).as("state"))
+      .orderBy("day")
+  }
+
+  val q314SprtMonitorSql: String =
+    """WITH e AS (
+      |  SELECT ((user_id % 2) + 2) % 2 AS arm, CAST(ts AS DATE) AS day,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |ctrl AS (
+      |  SELECT CAST(SUM(conv) AS BIGINT) AS c0, COUNT(*) AS n0
+      |  FROM e WHERE arm = 0),
+      |daily AS (
+      |  SELECT day, CAST(SUM(conv) AS BIGINT) AS cd, COUNT(*) AS nd
+      |  FROM e WHERE arm = 1 GROUP BY day),
+      |cum AS (
+      |  SELECT day,
+      |    CAST(SUM(cd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS ct,
+      |    CAST(SUM(nd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS nt
+      |  FROM daily),
+      |j AS (
+      |  SELECT day, ct, nt, c0, n0,
+      |    CAST(FLOOR(LN(11.0) * 1e9 + 0.5) AS BIGINT)
+      |      - CAST(FLOOR(LN(10.0) * 1e9 + 0.5) AS BIGINT) AS lp9,
+      |    CAST(FLOOR(LN(CAST(n0 * 10 - c0 * 11 AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT)
+      |      - CAST(FLOOR(LN(CAST((n0 - c0) * 10 AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT) AS lq9
+      |  FROM cum CROSS JOIN ctrl),
+      |w AS (
+      |  SELECT day, ct, nt, c0, n0,
+      |    CAST(ct AS HUGEINT) * lp9 + CAST(nt - ct AS HUGEINT) * lq9
+      |      AS llr9,
+      |    CAST(FLOOR(LN(19.0) * 1e9 + 0.5) AS BIGINT) AS a9,
+      |    (c0 = 0 OR c0 * 11 >= n0 * 10 OR n0 = 0) AS bad
+      |  FROM j)
+      |SELECT day, ct AS cum_conv, nt AS cum_trials,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(CAST(llr9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 END
+      |    AS llr,
+      |  CASE WHEN bad THEN NULL
+      |    WHEN llr9 >= a9 THEN 'reject_h0'
+      |    WHEN llr9 <= -a9 THEN 'accept_h0'
+      |    ELSE 'continue' END AS state
+      |FROM w ORDER BY day""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-growth and retrieval-quality metrics (round 13): the two
@@ -782,4 +782,94 @@ object CorpusQueries {
       |  FLOOR(CAST(SUM(t9) AS DOUBLE) / 1e9 / CAST(SUM(k1) AS DOUBLE)
       |    * 1e6 + 0.5) / 1e6 AS delta
       |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  /** L247 DSIR-style hashed importance weights ([PK] Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling";
+    * the hashed-n-gram variant is their production recipe): score
+    * every document by how much more likely its tokens are under the
+    * TARGET distribution (the `en` slice) than under the raw corpus —
+    * log w(d) = Σ_tokens ln(P_target(bucket)/P_raw(bucket)) over 1024
+    * hashed token buckets with add-1 smoothing. The domain-matching
+    * primitive of LLM data curation: resample raw data by these
+    * weights and the mix shifts toward the target domain without a
+    * trained classifier (q49's trainable scorer is the alternative).
+    *
+    * Features are WORDS, not hash buckets: the 1024-bucket hashed
+    * variant was built first and measured VACUOUS on this corpus
+    * (bucket collisions across languages erased the en-vs-rest
+    * separation — mean Δlogw ≈ 0.01); the word-level census keeps the
+    * signal (en mean logw > 0 > every other language's mean, both
+    * SFs, pinned) and is equally scale-safe because the vocabulary is
+    * Heaps-capped — the per-word ratio table is a vocab-keyed SHUFFLE
+    * join, never a broadcast.
+    *
+    * Parity: every ln takes an EXACT integer argument ((c+1) counts,
+    * (T+V) totals — add-1 over the shared vocabulary) and is
+    * nano-quantized at source (q286 convention), so each doc's
+    * Σ c_w·Δln9 is an exact int64/DECIMAL sum; display /1e9, 6dp. */
+  def q313DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .localCheckpoint(eager = false)
+    val db = tok.groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("c"))
+    val ws = tok.groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = ws.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    def qln9(c: Column) = floor(log(c.cast("double")) * 1e9 + 0.5)
+      .cast("long")
+    val lnq = ws.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (qln9(col("ct") + 1L) - qln9(col("tt") + col("v")) -
+          qln9(col("cr") + 1L) + qln9(col("tr") + col("v"))).as("d9"))
+    val perDoc = db.join(lnq, "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast(dec) * col("d9").cast(dec)).as("w9"))
+    perDoc.select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (floor(col("w9").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+          .as("dsir_logw"),
+        when(col("w9") > lit(0L).cast(dec), 1L).otherwise(0L)
+          .as("target_like"))
+      .orderBy("doc_id")
+  }
+
+  val q313DsirWeightsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |db AS (
+      |  SELECT doc_id, lang, w, COUNT(*) AS c
+      |  FROM tok GROUP BY doc_id, lang, w),
+      |ws AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ct,
+      |    COUNT(*) AS cr
+      |  FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+      |    CAST(SUM(cr) AS BIGINT) AS tr, COUNT(*) AS v FROM ws),
+      |lnq AS (
+      |  SELECT w,
+      |    CAST(FLOOR(LN(CAST(ct + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |    - CAST(FLOOR(LN(CAST(tt + v AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT)
+      |    - CAST(FLOOR(LN(CAST(cr + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |    + CAST(FLOOR(LN(CAST(tr + v AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT) AS d9
+      |  FROM ws CROSS JOIN tot),
+      |pd AS (
+      |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(c AS HUGEINT) * d9) AS HUGEINT) AS w9
+      |  FROM db JOIN lnq USING (w)
+      |  GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tokens,
+      |  FLOOR(CAST(w9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS dsir_logw,
+      |  CASE WHEN w9 > 0 THEN 1 ELSE 0 END AS target_like
+      |FROM pd ORDER BY doc_id""".stripMargin
 }

@@ -318,4 +318,134 @@ object RegressionQueries {
         |    FLOOR(cook * 1e6 + 0.5) / 1e6 AS cooks_d
         |  FROM dd ORDER BY cook DESC, l_orderkey LIMIT 20)
         |ORDER BY cooks_d DESC, l_orderkey""".stripMargin
+
+  /** L249 Mahalanobis multivariate outlier screen ([PK] Mahalanobis
+    * 1936; the χ²_p calibration is the classical multivariate QC
+    * rule): top-20 orders by D² = (x−μ)'Σ⁻¹(x−μ) over the
+    * (revenue, units, lines) triple. The JOINT-geometry companion of
+    * q312: Cook's distance sees only what moves the regression fit —
+    * an order whose huge units and huge revenue sit ON the fitted
+    * plane has a tiny residual but an extreme D²; conversely q215's
+    * univariate MAD screen misses in-range values in an impossible
+    * COMBINATION. D² against χ²₃ quantiles (99.9% = 16.27) calibrates
+    * the screen.
+    *
+    * Parity: with u = n·x − S (exact ints) and V = [n·S_ij − S_i·S_j]
+    * (exact-sum doubles, n²·cov), D² = u'·adj(V)·u / det(V) — the
+    * n-scalings cancel, so no mean or covariance ever materializes as
+    * a rounded intermediate; one fixed double chain, raw-D² ranking
+    * with key tiebreak (deterministic cut), display rounding after.
+    *
+    * Scale: one census pass + the 1-row moment broadcast +
+    * TakeOrdered(20). */
+  def q315Mahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val per = perOrder(s, dir).localCheckpoint(eager = false)
+    def d(c: String) = col(c).cast(dec)
+    val g = per.agg(count(lit(1)).as("n"),
+      sum(d("y")).as("sy"), sum(d("x1")).as("s1"), sum(d("x2")).as("s2"),
+      sum(d("y") * d("y")).as("syy"), sum(d("x1") * d("x1")).as("s11"),
+      sum(d("x2") * d("x2")).as("s22"), sum(d("y") * d("x1")).as("sy1"),
+      sum(d("y") * d("x2")).as("sy2"), sum(d("x1") * d("x2")).as("s12"))
+    def f(c: String) = col(c).cast("double")
+    val n = f("n")
+    // V = n²·cov (symmetric): v00=yy, v01=y·x1, v02=y·x2, v11, v12, v22
+    val v00 = n * f("syy") - f("sy") * f("sy")
+    val v01 = n * f("sy1") - f("sy") * f("s1")
+    val v02 = n * f("sy2") - f("sy") * f("s2")
+    val v11 = n * f("s11") - f("s1") * f("s1")
+    val v12 = n * f("s12") - f("s1") * f("s2")
+    val v22 = n * f("s22") - f("s2") * f("s2")
+    // symmetric adjugate + determinant of V
+    val a00 = v11 * v22 - v12 * v12
+    val a01 = -(v01 * v22 - v12 * v02)
+    val a02 = v01 * v12 - v11 * v02
+    val a11 = v00 * v22 - v02 * v02
+    val a12 = -(v00 * v12 - v01 * v02)
+    val a22 = v00 * v11 - v01 * v01
+    val detV = v00 * a00 + v01 * a01 + v02 * a02
+    val sv = g.select(col("n"), col("sy"), col("s1"), col("s2"),
+      a00.as("a00"), a01.as("a01"), a02.as("a02"), a11.as("a11"),
+      a12.as("a12"), a22.as("a22"), detV.as("detv"))
+    val j = per.crossJoin(broadcast(sv))
+      .withColumn("u0", col("n") * col("y") - col("sy"))
+      .withColumn("u1", col("n") * col("x1") - col("s1"))
+      .withColumn("u2", col("n") * col("x2") - col("s2"))
+    def fu(c: String) = col(c).cast("double")
+    val d2 = (fu("u0") * fu("u0") * col("a00") +
+      fu("u1") * fu("u1") * col("a11") +
+      fu("u2") * fu("u2") * col("a22") +
+      lit(2.0) * fu("u0") * fu("u1") * col("a01") +
+      lit(2.0) * fu("u0") * fu("u2") * col("a02") +
+      lit(2.0) * fu("u1") * fu("u2") * col("a12")) / col("detv")
+    j.withColumn("d2", d2)
+      .orderBy(col("d2").desc, col("l_orderkey"))
+      .limit(20)
+      .select(col("l_orderkey"), col("y").as("rev_cents"),
+        col("x1").as("units"), col("x2").as("n_lines"),
+        (floor(col("d2") * 1e4 + 0.5) / 1e4).as("mahal_d2"))
+      .orderBy(col("mahal_d2").desc, col("l_orderkey"))
+  }
+
+  val q315MahalanobisSql: String =
+    s"""WITH per AS ($perOrderSql),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x1) AS HUGEINT) AS s1,
+       |    CAST(SUM(x2) AS HUGEINT) AS s2,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+       |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+       |    CAST(SUM(CAST(y AS HUGEINT) * x1) AS HUGEINT) AS sy1,
+       |    CAST(SUM(CAST(y AS HUGEINT) * x2) AS HUGEINT) AS sy2,
+       |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12
+       |  FROM per),
+       |vv AS (
+       |  SELECT n, sy, s1, s2,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS v00,
+       |    CAST(n AS DOUBLE) * CAST(sy1 AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(s1 AS DOUBLE) AS v01,
+       |    CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(s2 AS DOUBLE) AS v02,
+       |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS v11,
+       |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS v12,
+       |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+       |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS v22
+       |  FROM g),
+       |aa AS (
+       |  SELECT *,
+       |    (v11 * v22 - v12 * v12) AS a00,
+       |    -(v01 * v22 - v12 * v02) AS a01,
+       |    (v01 * v12 - v11 * v02) AS a02,
+       |    (v00 * v22 - v02 * v02) AS a11,
+       |    -(v00 * v12 - v01 * v02) AS a12,
+       |    (v00 * v11 - v01 * v01) AS a22
+       |  FROM vv),
+       |dd0 AS (
+       |  SELECT *, (v00 * a00 + v01 * a01 + v02 * a02) AS detv
+       |  FROM aa),
+       |u AS (
+       |  SELECT per.l_orderkey, per.y, per.x1, per.x2, dd0.*,
+       |    CAST(dd0.n AS HUGEINT) * per.y - dd0.sy AS u0,
+       |    CAST(dd0.n AS HUGEINT) * per.x1 - dd0.s1 AS u1,
+       |    CAST(dd0.n AS HUGEINT) * per.x2 - dd0.s2 AS u2
+       |  FROM per CROSS JOIN dd0),
+       |dd AS (
+       |  SELECT l_orderkey, y, x1, x2,
+       |    (CAST(u0 AS DOUBLE) * CAST(u0 AS DOUBLE) * a00
+       |      + CAST(u1 AS DOUBLE) * CAST(u1 AS DOUBLE) * a11
+       |      + CAST(u2 AS DOUBLE) * CAST(u2 AS DOUBLE) * a22
+       |      + 2.0 * CAST(u0 AS DOUBLE) * CAST(u1 AS DOUBLE) * a01
+       |      + 2.0 * CAST(u0 AS DOUBLE) * CAST(u2 AS DOUBLE) * a02
+       |      + 2.0 * CAST(u1 AS DOUBLE) * CAST(u2 AS DOUBLE) * a12)
+       |      / detv AS d2
+       |  FROM u)
+       |SELECT l_orderkey, rev_cents, units, n_lines, mahal_d2
+       |FROM (
+       |  SELECT l_orderkey, y AS rev_cents, x1 AS units, x2 AS n_lines,
+       |    FLOOR(d2 * 1e4 + 0.5) / 1e4 AS mahal_d2
+       |  FROM dd ORDER BY d2 DESC, l_orderkey LIMIT 20)
+       |ORDER BY mahal_d2 DESC, l_orderkey""".stripMargin
 }

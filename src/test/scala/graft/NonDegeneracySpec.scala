@@ -1192,4 +1192,62 @@ class NonDegeneracySpec extends SparkSpec {
       }
     }
   }
+
+  test("q313: importance weights order the languages — en above zero") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q313_dsir_weights", sf).collect()
+      val byLang = rows.groupBy(_.getString(1)).map { case (l, rs) =>
+        l -> rs.map(_.getAs[Double]("dsir_logw")).sum / rs.length }
+      // the target slice must sit above zero and above EVERY other
+      // language's mean — the screen orders, not just computes
+      assert(byLang("en") > 0.0, s"en mean not positive at $sf")
+      byLang.filterKeys(_ != "en").foreach { case (l, m) =>
+        assert(m < 0.0, s"$l mean not negative at $sf: $m")
+        assert(byLang("en") - m > 0.08, s"en-$l gap thin at $sf")
+      }
+      // resampling enrichment: en's share of the top-100 weights must
+      // exceed its corpus share (measured 50/100 vs 38.6% and 62/100
+      // vs 43.6%)
+      val enBase = rows.count(_.getString(1) == "en").toDouble /
+        rows.length
+      val top = rows.sortBy(-_.getAs[Double]("dsir_logw")).take(100)
+      val enTop = top.count(_.getString(1) == "en") / 100.0
+      assert(enTop > enBase + 0.05,
+        s"no resampling enrichment at $sf: $enTop vs base $enBase")
+    }
+  }
+
+  test("q314: the SPRT walk decides at sf0.01 and holds at sf0.001") {
+    // the arms differ slightly by construction at sf0.01 (deterministic
+    // user parity, not randomization), so the monitor CROSSES the
+    // reject boundary there; the sf0.001 walk stays inside the
+    // continue band for all 30 days — both regimes of the decision
+    // rule exercised, both pinned as measured
+    val w1 = run("q314_sprt_monitor", sf0001).collect()
+    assert(w1.length >= 28, "calendar walk short at sf0.001")
+    assert(w1.forall(_.getAs[String]("state") === "continue"))
+    assert(math.abs(w1.last.getAs[Double]("llr")) < 2.944339)
+    val w2 = run("q314_sprt_monitor", sf001).collect()
+    assert(w2.exists(_.getAs[String]("state") === "reject_h0"),
+      "sf0.01 walk never crossed")
+    // trials accumulate strictly — the walk is a real cumulative line
+    Seq(w1, w2).foreach { w =>
+      w.map(_.getAs[Long]("cum_trials")).sliding(2).foreach {
+        case Array(a, b) => assert(a < b, "trials not increasing")
+      }
+    }
+  }
+
+  test("q315: multivariate outliers clear the chi-square calibration") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q315_mahalanobis", sf).collect()
+      assert(rows.length === 20, s"top-k short at $sf")
+      val ds = rows.map(_.getAs[Double]("mahal_d2"))
+      // chi2(3) 99.9% quantile = 16.27: the top joint outliers are
+      // REAL outliers under the classical calibration, not tail noise
+      assert(ds.head > 16.27, s"no calibrated outlier at $sf: ${ds.head}")
+      assert(ds.forall(_ > 0.0))
+      assert(ds.head > 1.4 * ds.last, s"flat D2 tail at $sf")
+    }
+  }
 }

@@ -495,7 +495,12 @@ class PlanShapeSpec extends SparkSpec {
       // census; q311/q312's 1-row Gram-solution broadcast onto the
       // per-order census (the q306 shape — residuals/leverage need the
       // adjugate at every row)
-      "q309_chow_break", "q311_white_hc1", "q312_cooks_distance")
+      "q309_chow_break", "q311_white_hc1", "q312_cooks_distance",
+      // r13 batch 9: q313's 1-row vocab-totals broadcast onto the
+      // Heaps-capped word-ratio census; q314's 1-row control-arm
+      // broadcast onto the calendar walk; q315's 1-row moment/adjugate
+      // broadcast onto the per-order census (the q312 shape)
+      "q313_dsir_weights", "q314_sprt_monitor", "q315_mahalanobis")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

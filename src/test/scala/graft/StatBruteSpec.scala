@@ -2731,6 +2731,106 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q313 DSIR weights match a sequential word-ratio walk") {
+    val rows = SparkEntry.queries("q313_dsir_weights")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokens = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(w => (id, lang, w)) }
+    val ws = tokens.groupBy(_._3).map { case (w, ts) =>
+      w -> (ts.count(_._2 == "en").toLong, ts.length.toLong) }
+    val tt = ws.values.map(_._1).sum; val tr = ws.values.map(_._2).sum
+    val v = ws.size.toLong
+    def q9(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5)
+      .toLong
+    val d9 = ws.map { case (w, (ct, cr)) =>
+      w -> (q9(ct + 1) - q9(tt + v) - q9(cr + 1) + q9(tr + v)) }
+    tokens.groupBy(_._1).foreach { case (id, ts) =>
+      val w9 = ts.groupBy(_._3).map { case (w, g) =>
+        g.length.toLong * d9(w) }.sum
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") === ts.length.toLong)
+      assert(math.abs(r.getAs[Double]("dsir_logw") - w9 / 1e9) < 2e-6,
+        s"doc $id: ${r.getAs[Double]("dsir_logw")} vs ${w9 / 1e9}")
+      assert(r.getAs[Long]("target_like") === (if (w9 > 0) 1L else 0L))
+    }
+  }
+
+  test("q314 SPRT walk matches a sequential daily LLR accumulation") {
+    val rows = SparkEntry.queries("q314_sprt_monitor")(spark, sf0001)
+      .collect()
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        to_date(col("ts")).as("day"),
+        (col("event_type") === "purchase").as("conv"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getBoolean(2)))
+    val ctrl = ev.filter(_._1 == 0L)
+    val c0 = ctrl.count(_._3).toLong; val n0 = ctrl.length.toLong
+    def q9(x: Double): Long = math.floor(math.log(x) * 1e9 + 0.5).toLong
+    val lp9 = q9(11.0) - q9(10.0)
+    val lq9 = q9((n0 * 10 - c0 * 11).toDouble) - q9(((n0 - c0) * 10)
+      .toDouble)
+    val daily = ev.filter(_._1 == 1L).groupBy(_._2).map { case (d, g) =>
+      (d, g.count(_._3).toLong, g.length.toLong) }.toSeq.sortBy(_._1)
+    var ct = 0L; var nt = 0L
+    val a9 = q9(19.0)
+    rows.zip(daily).foreach { case (r, (d, cd, nd)) =>
+      ct += cd; nt += nd
+      assert(r.getDate(0).toString === d)
+      assert(r.getAs[Long]("cum_conv") === ct)
+      assert(r.getAs[Long]("cum_trials") === nt)
+      val llr9 = ct * lp9 + (nt - ct) * lq9
+      assert(math.abs(r.getAs[Double]("llr") - llr9 / 1e9) < 2e-6,
+        s"day $d: ${r.getAs[Double]("llr")} vs ${llr9 / 1e9}")
+      val state = if (llr9 >= a9) "reject_h0"
+        else if (llr9 <= -a9) "accept_h0" else "continue"
+      assert(r.getAs[String]("state") === state, s"day $d state")
+    }
+  }
+
+  test("q315 Mahalanobis matches a sequential adjugate walk") {
+    val rows = SparkEntry.queries("q315_mahalanobis")(spark, sf0001)
+      .collect()
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    val sy = per.map(_._2).sum; val s1 = per.map(_._3).sum
+    val s2 = per.map(_._4).sum
+    val v00 = n * per.map(p => p._2 * p._2).sum - sy * sy
+    val v01 = n * per.map(p => p._2 * p._3).sum - sy * s1
+    val v02 = n * per.map(p => p._2 * p._4).sum - sy * s2
+    val v11 = n * per.map(p => p._3 * p._3).sum - s1 * s1
+    val v12 = n * per.map(p => p._3 * p._4).sum - s1 * s2
+    val v22 = n * per.map(p => p._4 * p._4).sum - s2 * s2
+    val a00 = v11 * v22 - v12 * v12; val a01 = -(v01 * v22 - v12 * v02)
+    val a02 = v01 * v12 - v11 * v02; val a11 = v00 * v22 - v02 * v02
+    val a12 = -(v00 * v12 - v01 * v02); val a22 = v00 * v11 - v01 * v01
+    val det = v00 * a00 + v01 * a01 + v02 * a02
+    val all = per.map { case (k, y, x1, x2) =>
+      val (u0, u1, u2) = (n * y - sy, n * x1 - s1, n * x2 - s2)
+      val d2 = (u0 * u0 * a00 + u1 * u1 * a11 + u2 * u2 * a22 +
+        2 * u0 * u1 * a01 + 2 * u0 * u2 * a02 + 2 * u1 * u2 * a12) / det
+      (k, d2)
+    }
+    val top = all.sortBy(t => (-t._2, t._1)).take(20)
+    assert(rows.length === 20)
+    rows.zip(top).foreach { case (r, (k, d2)) =>
+      assert(r.getLong(0) === k, s"rank: ${r.getLong(0)} vs $k")
+      assert(math.abs(r.getAs[Double]("mahal_d2") - d2) < 1e-3,
+        s"order $k: ${r.getAs[Double]("mahal_d2")} vs $d2")
+    }
+  }
+
   test("q308 water-filling matches a sequential level search") {
     val rows = SparkEntry.queries("q308_water_fill")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
