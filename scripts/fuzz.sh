@@ -12,7 +12,7 @@
 #
 # Usage: scripts/fuzz.sh <seed> [query...]   (see fuzz_round.sh for the
 #        per-round whole-surface evidence artifact FUZZ_r{N}.json)
-#   scripts/fuzz.sh 7                 # whole query surface (271 as of r13), seed 7
+#   scripts/fuzz.sh 7                 # whole query surface (313 as of r13), seed 7
 #   scripts/fuzz.sh 7 q210_mann_whitney q228_anova_f
 set -e
 cd "$(dirname "$0")/.."

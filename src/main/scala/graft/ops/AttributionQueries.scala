@@ -706,11 +706,14 @@ object AttributionQueries {
     * rate) vs H₁: p = 1.1·p₀, with Wald boundaries ±ln 19
     * (α = β = 0.05). The output is the whole decision WALK — cum
     * conversions, trials, LLR, and per-day state — so the "when could
-    * we have stopped" question is answerable from the table; the
-    * fixture's arms are identical by construction (user_id parity),
-    * so the walk must drift DOWN and accept H₀ (pinned) — the
-    * monitor's ability to EARLY-STOP a true null is exactly its
-    * value.
+    * we have stopped" question is answerable from the table. The
+    * fixture's arms carry a REAL deterministic imbalance (user-parity
+    * correlates with behaviour: test-arm purchase rate ≈ 1.09× the
+    * control's at both SFs), so the monitor behaves exactly as a
+    * correct SPRT should: with sf0.01's 5k trials it crosses the
+    * reject boundary (detects the ≈10% lift), while sf0.001's 438
+    * trials are insufficient inside 30 days and the walk stays in the
+    * continue band — BOTH regimes pinned as measured.
     *
     * Parity: LLR_t = C_t·(ln9(11) − ln9(10)) + (N_t−C_t)·(ln9(10·n₀ −
     * 11·c₀) − ln9(10·(n₀−c₀))) — every ln takes an exact integer
@@ -758,6 +761,110 @@ object AttributionQueries {
             .otherwise("continue")).as("state"))
       .orderBy("day")
   }
+
+  /** L252 Newcombe–Wilson difference CI ([PK] Wilson 1927; Newcombe
+    * 1998 method 10, the "MOVER" square-and-add): the fixed-horizon
+    * 95% interval for the arm purchase-rate difference, from two
+    * Wilson score intervals — the small-sample-honest companion of
+    * q172's Wald z and the cross-check of q314's sequential verdict:
+    * at sf0.01 the CI EXCLUDES zero exactly where the SPRT crossed
+    * its reject boundary, and at sf0.001 it INCLUDES zero exactly
+    * where the SPRT stayed in the continue band — two independent
+    * constructions agreeing at both SFs, pinned.
+    *
+    * Parity: per-arm (c, n) exact ints; the Wilson bounds and the
+    * MOVER combination are ONE deterministic double chain (z = 1.96
+    * literal), floor-quantized 6dp. Scale: one 2-group map-side agg. */
+  def q318NewcombeCi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("conv"))
+    val g = e.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(col("conv")).as("c"))
+    val piv = g.agg(
+      max(when(col("arm") === 0L, col("n"))).as("n0"),
+      max(when(col("arm") === 0L, col("c"))).as("c0"),
+      max(when(col("arm") === 1L, col("n"))).as("n1"),
+      max(when(col("arm") === 1L, col("c"))).as("c1"))
+    val z = lit(1.96)
+    def wilson(c: String, n: String): (Column, Column, Column) = {
+      val nf = col(n).cast("double"); val p = col(c).cast("double") / nf
+      val z2 = z * z
+      val center = (p + z2 / (nf * 2.0)) / (lit(1.0) + z2 / nf)
+      val half = z * sqrt(p * (lit(1.0) - p) / nf +
+        z2 / (nf * nf * 4.0)) / (lit(1.0) + z2 / nf)
+      (p, center - half, center + half)
+    }
+    val (p0, l0, u0) = wilson("c0", "n0")
+    val (p1, l1, u1) = wilson("c1", "n1")
+    val d = p1 - p0
+    val lo = d - sqrt((p1 - l1) * (p1 - l1) + (u0 - p0) * (u0 - p0))
+    val hi = d + sqrt((u1 - p1) * (u1 - p1) + (p0 - l0) * (p0 - l0))
+    val bad = col("n0") < 1L || col("n1") < 1L
+    def out(c: Column, nm: String) =
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(c * 1e6 + 0.5) / 1e6).as(nm)
+    piv.select(col("n0").cast("long").as("n_ctrl"),
+      col("c0").cast("long").as("conv_ctrl"),
+      col("n1").cast("long").as("n_test"),
+      col("c1").cast("long").as("conv_test"),
+      out(d, "rate_diff"), out(lo, "ci_lo"), out(hi, "ci_hi"),
+      when(bad, lit(null).cast("long"))
+        .otherwise(when(lo > 0.0 || hi < 0.0, 1L).otherwise(0L))
+        .as("excludes_zero"))
+  }
+
+  val q318NewcombeCiSql: String =
+    """WITH e AS (
+      |  SELECT ((user_id % 2) + 2) % 2 AS arm,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      |  FROM e GROUP BY arm),
+      |piv AS (
+      |  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+      |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN arm = 1 THEN c END) AS c1
+      |  FROM g),
+      |w AS (
+      |  SELECT *,
+      |    CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+      |    (CAST(c0 AS DOUBLE) / n0 + 1.96 * 1.96 / (CAST(n0 AS DOUBLE)
+      |      * 2.0)) / (1.0 + 1.96 * 1.96 / CAST(n0 AS DOUBLE)) AS ce0,
+      |    1.96 * SQRT(CAST(c0 AS DOUBLE) / n0
+      |        * (1.0 - CAST(c0 AS DOUBLE) / n0) / CAST(n0 AS DOUBLE)
+      |      + 1.96 * 1.96 / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+      |        * 4.0)) / (1.0 + 1.96 * 1.96 / CAST(n0 AS DOUBLE)) AS hw0,
+      |    (CAST(c1 AS DOUBLE) / n1 + 1.96 * 1.96 / (CAST(n1 AS DOUBLE)
+      |      * 2.0)) / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE)) AS ce1,
+      |    1.96 * SQRT(CAST(c1 AS DOUBLE) / n1
+      |        * (1.0 - CAST(c1 AS DOUBLE) / n1) / CAST(n1 AS DOUBLE)
+      |      + 1.96 * 1.96 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |        * 4.0)) / (1.0 + 1.96 * 1.96 / CAST(n1 AS DOUBLE)) AS hw1
+      |  FROM piv),
+      |b AS (
+      |  SELECT *, p1 - p0 AS d,
+      |    ce0 - hw0 AS l0, ce0 + hw0 AS u0,
+      |    ce1 - hw1 AS l1, ce1 + hw1 AS u1,
+      |    (n0 < 1 OR n1 < 1) AS bad
+      |  FROM w),
+      |f AS (
+      |  SELECT *,
+      |    d - SQRT((p1 - l1) * (p1 - l1) + (u0 - p0) * (u0 - p0)) AS lo,
+      |    d + SQRT((u1 - p1) * (u1 - p1) + (p0 - l0) * (p0 - l0)) AS hi
+      |  FROM b)
+      |SELECT n0 AS n_ctrl, c0 AS conv_ctrl, n1 AS n_test, c1 AS conv_test,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(d * 1e6 + 0.5) / 1e6 END AS rate_diff,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(lo * 1e6 + 0.5) / 1e6 END AS ci_lo,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(hi * 1e6 + 0.5) / 1e6 END AS ci_hi,
+      |  CASE WHEN bad THEN NULL
+      |    WHEN lo > 0 OR hi < 0 THEN 1 ELSE 0 END AS excludes_zero
+      |FROM f""".stripMargin
 
   val q314SprtMonitorSql: String =
     """WITH e AS (

@@ -172,7 +172,8 @@ object CorpusQueries {
           .as("n_rel20"),
         sum(errTerm).as("errq"))
       .select(col("ql").as("query_lang"), col("n_docs"), col("n_rel20"),
-        (round(col("errq").cast("double") / 1e12, 6) + 0.0).as("err20"))
+        (floor(col("errq").cast("double") / 1e12 * 1e6 + 0.5) / 1e6)
+          .as("err20"))
       .orderBy("query_lang")
   }
 
@@ -191,9 +192,9 @@ object CorpusQueries {
       |SELECT ql AS query_lang, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_rel20,
-      |  ROUND(CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN
+      |  FLOOR(CAST(SUM(CASE WHEN rel = 1 AND rk <= 20 THEN
       |      CAST(FLOOR(POWER(0.5, cumrel) / rk * 1e12 + 0.5) AS BIGINT)
-      |    ELSE 0 END) AS DOUBLE) / 1e12, 6) + 0 AS err20
+      |    ELSE 0 END) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS err20
       |FROM t GROUP BY ql ORDER BY query_lang""".stripMargin
 
   /** L209 lexical diversity profile per source ([PK] Simpson 1949;
@@ -506,8 +507,8 @@ object CorpusQueries {
         count(lit(1)).as("bigram_types"),
         max(col("v")).as("vocab"),
         sum(col("k").cast(dec) * col("nll9").cast(dec)).as("snll"))
-    val avg = round(col("snll").cast("double") / 1e9 /
-      col("n_bigrams").cast("double"), 6) + 0.0
+    val avg = floor(col("snll").cast("double") / 1e9 /
+      col("n_bigrams").cast("double") * 1e6 + 0.5) / 1e6
     g.select(col("source"), col("n_bigrams"), col("bigram_types"),
         col("vocab"), avg.as("avg_nll"),
         (floor(exp(avg) * 1e4 + 0.5) / 1e4).as("ppl"))
@@ -546,8 +547,10 @@ object CorpusQueries {
       |    CAST(SUM(CAST(k AS HUGEINT) * nll9) AS HUGEINT) AS snll
       |  FROM sc GROUP BY source)
       |SELECT source, n_bigrams, bigram_types, vocab,
-      |  ROUND(CAST(snll AS DOUBLE) / 1e9 / n_bigrams, 6) + 0 AS avg_nll,
-      |  FLOOR(EXP(ROUND(CAST(snll AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
+      |  FLOOR(CAST(snll AS DOUBLE) / 1e9 / n_bigrams * 1e6 + 0.5) / 1e6
+      |    AS avg_nll,
+      |  FLOOR(EXP(FLOOR(CAST(snll AS DOUBLE) / 1e9 / n_bigrams * 1e6
+      |      + 0.5) / 1e6)
       |    * 1e4 + 0.5) / 1e4 AS ppl
       |FROM g ORDER BY source""".stripMargin
 
@@ -610,10 +613,10 @@ object CorpusQueries {
       max(col("nn")).as("n_bigrams"), count(lit(1)).as("bigram_types"),
       max(col("d")).as("d0"),
       sum(col("c12").cast(dec) * col("t9").cast(dec)).as("st"))
-    val h = round(-col("st").cast("double") / 1e9 /
-      col("n_bigrams").cast("double"), 6) + 0.0
+    val h = floor(-col("st").cast("double") / 1e9 /
+      col("n_bigrams").cast("double") * 1e6 + 0.5) / 1e6
     g.select(col("lang"), col("n_bigrams"), col("bigram_types"),
-        (round(col("d0"), 6) + 0.0).as("discount"),
+        (floor(col("d0") * 1e6 + 0.5) / 1e6).as("discount"),
         h.as("h_bits"),
         (floor(pow(lit(2.0), h) * 1e4 + 0.5) / 1e4).as("ppl"))
       .orderBy("lang")
@@ -667,10 +670,11 @@ object CorpusQueries {
       |    CAST(SUM(CAST(c12 AS HUGEINT) * t9) AS HUGEINT) AS st
       |  FROM sc GROUP BY lang)
       |SELECT lang, n_bigrams, bigram_types,
-      |  ROUND(d0, 6) + 0 AS discount,
-      |  ROUND(-CAST(st AS DOUBLE) / 1e9 / n_bigrams, 6) + 0 AS h_bits,
+      |  FLOOR(d0 * 1e6 + 0.5) / 1e6 AS discount,
+      |  FLOOR(-CAST(st AS DOUBLE) / 1e9 / n_bigrams * 1e6 + 0.5) / 1e6
+      |    AS h_bits,
       |  FLOOR(POWER(2.0,
-      |    ROUND(-CAST(st AS DOUBLE) / 1e9 / n_bigrams, 6) + 0)
+      |    FLOOR(-CAST(st AS DOUBLE) / 1e9 / n_bigrams * 1e6 + 0.5) / 1e6)
       |    * 1e4 + 0.5) / 1e4 AS ppl
       |FROM g ORDER BY lang""".stripMargin
 
@@ -782,6 +786,78 @@ object CorpusQueries {
       |  FLOOR(CAST(SUM(t9) AS DOUBLE) / 1e9 / CAST(SUM(k1) AS DOUBLE)
       |    * 1e6 + 0.5) / 1e6 AS delta
       |FROM pr GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  /** L253 tokenizer fertility panel ([PK] the chars/bytes-per-token
+    * budgeting arithmetic every multilingual tokenizer report tabulates
+    * — e.g. the XLM-R / BLOOM fertility tables): per language —
+    * characters per token, BYTES per token (the number that actually
+    * prices storage and context windows; diverges from chars/token the
+    * moment text leaves ASCII), tokens per document, and the
+    * type-token ratio. The capacity-planning census a data pipeline
+    * consults before fixing per-language token budgets (q308's water
+    * filling takes these as input).
+    *
+    * Parity: all four ratios are exact-integer half-up divisions at
+    * 4dp ((x·2·10⁴ + y) div (2y) — the q166 discipline), so no float
+    * division ever happens. Scale: one map-side per-doc census + one
+    * vocab-keyed distinct count per language. */
+  def q319FertilityPanel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("text"),
+        size(tokens(col("text"))).cast("long").as("tk"),
+        length(col("text")).cast("long").as("ch"),
+        octet_length(col("text")).cast("long").as("by"))
+    val base = d.groupBy("lang").agg(count(lit(1)).as("nd"),
+      sum(col("tk")).as("stk"), sum(col("ch")).as("sch"),
+      sum(col("by")).as("sby"))
+    val types = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang").agg(count_distinct(col("w")).as("tt"))
+    def hu4(num: Column, den: Column): Column = {
+      // exact half-up integer division at 4dp (the q166 discipline)
+      val h = num * 20000L + den
+      val d2 = den * 2L
+      ((h - pmod(h, d2)) / d2).cast("long").cast("double") / 1e4
+    }
+    base.join(types, "lang")
+      .select(col("lang"), col("nd").cast("long").as("n_docs"),
+        col("stk").cast("long").as("n_tokens"),
+        col("tt").cast("long").as("n_types"),
+        hu4(col("sch"), col("stk")).as("chars_per_token"),
+        hu4(col("sby"), col("stk")).as("bytes_per_token"),
+        hu4(col("stk"), col("nd")).as("tokens_per_doc"),
+        hu4(col("tt"), col("stk")).as("type_token_ratio"))
+      .orderBy("lang")
+  }
+
+  val q319FertilityPanelSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+      |    CAST(length(text) AS BIGINT) AS ch,
+      |    CAST(strlen(text) AS BIGINT) AS by
+      |  FROM documents),
+      |base AS (
+      |  SELECT lang, COUNT(*) AS nd, CAST(SUM(tk) AS BIGINT) AS stk,
+      |    CAST(SUM(ch) AS BIGINT) AS sch, CAST(SUM(by) AS BIGINT) AS sby
+      |  FROM d GROUP BY lang),
+      |types AS (
+      |  SELECT lang, COUNT(DISTINCT w) AS tt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY lang)
+      |SELECT base.lang, nd AS n_docs, stk AS n_tokens,
+      |  CAST(tt AS BIGINT) AS n_types,
+      |  CAST((sch * 20000 + stk) // (stk * 2) AS DOUBLE) / 1e4
+      |    AS chars_per_token,
+      |  CAST((sby * 20000 + stk) // (stk * 2) AS DOUBLE) / 1e4
+      |    AS bytes_per_token,
+      |  CAST((stk * 20000 + nd) // (nd * 2) AS DOUBLE) / 1e4
+      |    AS tokens_per_doc,
+      |  CAST((tt * 20000 + stk) // (stk * 2) AS DOUBLE) / 1e4
+      |    AS type_token_ratio
+      |FROM base JOIN types ON base.lang = types.lang
+      |ORDER BY base.lang""".stripMargin
 
   /** L247 DSIR-style hashed importance weights ([PK] Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling";

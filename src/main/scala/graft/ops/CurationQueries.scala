@@ -1292,13 +1292,13 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_days"), sum("eq").as("se"),
         sum("nq").as("sn"), sum("sq").as("ss"))
       .select(col("o_orderpriority"), col("n_days"),
-        (round(col("se").cast("double") / 1e4 /
-          col("n_days").cast("double"), 4) + 0.0).as("mae"),
+        (floor(col("se").cast("double") / 1e4 /
+          col("n_days").cast("double") * 1e4 + 0.5) / 1e4).as("mae"),
         when(col("sn") === 0, lit(null).cast("double"))
-          .otherwise(round(col("se").cast("double") /
-            col("sn").cast("double"), 4) + 0.0).as("mase"),
-        (round(col("ss").cast("double") / 1e9 /
-          col("n_days").cast("double"), 4) + 0.0).as("smape"))
+          .otherwise(floor(col("se").cast("double") /
+            col("sn").cast("double") * 1e4 + 0.5) / 1e4).as("mase"),
+        (floor(col("ss").cast("double") / 1e9 /
+          col("n_days").cast("double") * 1e4 + 0.5) / 1e4).as("smape"))
       .orderBy("o_orderpriority")
   }
 
@@ -1324,10 +1324,10 @@ object CurationQueries {
        |    CAST(SUM(sq) AS BIGINT) AS ss
        |  FROM q GROUP BY o_orderpriority)
        |SELECT o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
-       |  ROUND(CAST(se AS DOUBLE) / 1e4 / n_days, 4) + 0 AS mae,
+       |  FLOOR(CAST(se AS DOUBLE) / 1e4 / n_days * 1e4 + 0.5) / 1e4 AS mae,
        |  CASE WHEN sn = 0 THEN NULL
-       |    ELSE ROUND(CAST(se AS DOUBLE) / sn, 4) + 0 END AS mase,
-       |  ROUND(CAST(ss AS DOUBLE) / 1e9 / n_days, 4) + 0 AS smape
+       |    ELSE FLOOR(CAST(se AS DOUBLE) / sn * 1e4 + 0.5) / 1e4 END AS mase,
+       |  FLOOR(CAST(ss AS DOUBLE) / 1e9 / n_days * 1e4 + 0.5) / 1e4 AS smape
        |FROM g ORDER BY o_orderpriority""".stripMargin
 
   /** L212 leakage-safe K-fold assignment: evaluation folds keyed on the

@@ -1390,7 +1390,7 @@ object DriftQueries {
       (col("nn") - col("nx")).as("n_new"),
       when(col("nx") === 0 || col("nx") === col("nn"),
         lit(null).cast("double"))
-        .otherwise(round(col("tq").cast("double") / 1e9, 6) + 0.0)
+        .otherwise(floor(col("tq").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
         .as("a2"))
   }
 
@@ -1429,7 +1429,7 @@ object DriftQueries {
       |  FROM t)
       |SELECT nx AS n_base, nn - nx AS n_new,
       |  CASE WHEN nx = 0 OR nx = nn THEN NULL
-      |    ELSE ROUND(CAST(tq AS DOUBLE) / 1e9, 6) + 0
+      |    ELSE FLOOR(CAST(tq AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
       |    END AS a2
       |FROM g""".stripMargin
 

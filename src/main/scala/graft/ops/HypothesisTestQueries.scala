@@ -1318,7 +1318,8 @@ object HypothesisTestQueries {
       .select(col("n").as("n_orders"),
         (round(col("muv") / 100.0, 4) + 0.0).as("mean_price"),
         (round(col("sdv") / 100.0, 4) + 0.0).as("sd_price"),
-        (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
+        (floor(col("dmax").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+        .as("ks_d"))
   }
 
   val q255NormalFitKsSql: String = {
@@ -1355,7 +1356,7 @@ object HypothesisTestQueries {
        |SELECT n AS n_orders,
        |  ROUND(MAX(mu) / 100.0, 4) + 0 AS mean_price,
        |  ROUND(MAX(sd) / 100.0, 4) + 0 AS sd_price,
-       |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
+       |  FLOOR(CAST(MAX(dq) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS ks_d
        |FROM d GROUP BY n""".stripMargin
   }
 

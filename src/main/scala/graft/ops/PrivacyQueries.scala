@@ -203,7 +203,12 @@ object PrivacyQueries {
       .limit(10)
       .select(col("n_name"), col("seg").as("c_mktsegment"),
         col("ng").as("n_orders"),
-        (round(col("tvq").cast("double") / 2e6, 6) + 0.0).as("tv_emd"))
+        // tvq/2 at 6dp: odd tvq lands exactly on .xxxxxx5, where
+        // round(double, 6) half-ups the SHORTEST-DECIMAL repr in Spark
+        // but the BINARY value in DuckDB (the q96/q143 class — caught
+        // by fuzz seed 101). tvq is an exact integer, so do the
+        // half-up in integer arithmetic: (tvq+1) div 2 quanta.
+        (expr("(tvq + 1) div 2").cast("double") / 1e6).as("tv_emd"))
   }
 
   val q236TClosenessSql: String =
@@ -232,7 +237,7 @@ object PrivacyQueries {
       |      AS tvq
       |  FROM grid GROUP BY 1, 2, 3)
       |SELECT n_name, seg AS c_mktsegment, ng AS n_orders,
-      |  ROUND(CAST(tvq AS DOUBLE) / 2e6, 6) + 0 AS tv_emd
+      |  CAST((tvq + 1) // 2 AS DOUBLE) / 1e6 AS tv_emd
       |FROM tv
       |ORDER BY tvq DESC, n_name, seg LIMIT 10""".stripMargin
 }

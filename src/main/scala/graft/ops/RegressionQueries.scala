@@ -386,6 +386,93 @@ object RegressionQueries {
       .orderBy(col("mahal_d2").desc, col("l_orderkey"))
   }
 
+  /** L250 split-conformal prediction quantiles ([PK] Vovk et al. 2005;
+    * Lei et al. 2018; Angelopoulos & Bates 2021 tutorial): the
+    * distribution-free prediction-interval radius for q298's
+    * regression — q̂_α = the ⌈(n+1)(1−α)⌉-th smallest absolute
+    * residual, reported for α ∈ {10%, 5%, 1%} with the EXACT
+    * empirical coverage each radius achieves. The modern uncertainty
+    * finisher of the inference stack: q311 fixed the SEs, q312/q315
+    * found the outliers, this turns the residuals into calibrated
+    * "±q̂ covers ≥ 1−α of orders" bands with no normality assumption.
+    *
+    * Exactness: |e| is cent-quantized (exact int64); the order
+    * statistic comes off the value census + running counts (the q303
+    * machinery — no per-row sort), k = ⌈(n+1)(10000−α_bps)/10000⌉ in
+    * pure integer arithmetic, and coverage is the exact integer
+    * division (cum·10⁶) div n. No doubles anywhere after the
+    * residual.
+    *
+    * Scale: census pass + one in-group running count over the
+    * domain-bounded |e| census + a 3-row α broadcast. */
+  def q316ConformalQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = perOrder(s, dir).localCheckpoint(eager = false)
+    val sv = solved(gram(per))
+    val absE = per.crossJoin(broadcast(sv))
+      .select(abs(floor(col("y").cast("double") - col("b0") -
+        col("b1") * col("x1").cast("double") -
+        col("b2") * col("x2").cast("double") + 0.5).cast("long"))
+        .as("ae"), col("n"))
+    // lazy checkpoint: the census feeds BOTH the quantile search and
+    // the coverage read-back — without it the Gram broadcast re-plans
+    // per branch (BNLJ ×3)
+    val census = absE.groupBy("n", "ae").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("ae")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false)
+    val al = s.range(1)
+      .select(explode(typedlit(Seq(1000L, 500L, 100L))).as("alpha_bps"))
+    val j = census.crossJoin(broadcast(al))
+      .withColumn("k",
+        expr("((n + 1) * (10000 - alpha_bps) + 9999) div 10000"))
+    val g = j.groupBy("alpha_bps")
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_rank"),
+        min(when(col("cum") >= col("k"), col("ae"))).as("q_hat"))
+    val cov = census.select(col("ae"), col("cum"))
+    g.join(cov, g("q_hat") === cov("ae"))
+      .select(col("alpha_bps"), col("n").cast("long").as("n_orders"),
+        col("k_rank").cast("long").as("k_rank"),
+        col("q_hat").as("q_hat_cents"),
+        (expr("cum * 1000000 div n").cast("double") / 1e6)
+          .as("coverage"))
+      .orderBy("alpha_bps")
+  }
+
+  val q316ConformalQuantileSql: String =
+    s"""WITH per AS ($perOrderSql),
+       |g AS ($gramSql),
+       |sv0 AS ($solvedSql),
+       |sv1 AS ($solved2Sql),
+       |sv AS ($solved3Sql),
+       |ae AS (
+       |  SELECT ABS(CAST(FLOOR(CAST(per.y AS DOUBLE) - sv.b0
+       |      - sv.b1 * CAST(per.x1 AS DOUBLE)
+       |      - sv.b2 * CAST(per.x2 AS DOUBLE) + 0.5) AS BIGINT)) AS ae,
+       |    sv.n
+       |  FROM per CROSS JOIN sv),
+       |census AS (
+       |  SELECT n, ae, COUNT(*) AS c,
+       |    CAST(SUM(COUNT(*)) OVER (ORDER BY ae
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM ae GROUP BY n, ae),
+       |al AS (SELECT unnest([1000, 500, 100]) AS alpha_bps),
+       |j AS (
+       |  SELECT census.*, al.alpha_bps,
+       |    ((n + 1) * (10000 - al.alpha_bps) + 9999) // 10000 AS k
+       |  FROM census CROSS JOIN al),
+       |gq AS (
+       |  SELECT alpha_bps, MAX(n) AS n, MAX(k) AS k_rank,
+       |    MIN(CASE WHEN cum >= k THEN ae END) AS q_hat
+       |  FROM j GROUP BY alpha_bps)
+       |SELECT CAST(gq.alpha_bps AS BIGINT) AS alpha_bps,
+       |  CAST(gq.n AS BIGINT) AS n_orders,
+       |  CAST(gq.k_rank AS BIGINT) AS k_rank,
+       |  CAST(gq.q_hat AS BIGINT) AS q_hat_cents,
+       |  CAST(census.cum * 1000000 // gq.n AS DOUBLE) / 1e6 AS coverage
+       |FROM gq JOIN census ON gq.q_hat = census.ae
+       |ORDER BY alpha_bps""".stripMargin
+
   val q315MahalanobisSql: String =
     s"""WITH per AS ($perOrderSql),
        |g AS (

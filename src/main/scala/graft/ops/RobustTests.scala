@@ -132,6 +132,82 @@ object RobustTests {
        |    WHEN t < -2.86 THEN 1 ELSE 0 END AS reject_unit_root_5pct
        |FROM c3""".stripMargin
 
+  /** L251 Fisher dispersion index ([PK] Fisher 1950 §57; "index of
+    * dispersion test"): is the daily ORDER-COUNT process Poisson per
+    * priority? D = (n−1)·s²/x̄ ~ χ²_{n−1} under Poisson, reported with
+    * the large-df normal z = (D−(n−1))/√(2(n−1)). The fixture's
+    * answer is decisively UNDER-dispersed (z ≈ −11 at sf0.001, −14 at
+    * sf0.01, all five priorities — pinned): conditional on a day
+    * having orders, counts are far more REGULAR than Poisson — the
+    * arrival-regularity screen that q193's inter-event burstiness
+    * asks of timestamps, asked of daily counts. (Counts are
+    * conditional on ACTIVE days — the day spine is not densified with
+    * zeros; documented because it is exactly why the fixture reads
+    * sub-Poisson.)
+    *
+    * Parity: per-priority n/Σc/Σc² exact int64; D and z one double
+    * chain, floor-quantized 4dp. Scale: one date-truncated census +
+    * one 5-group map-side agg. */
+  def q317DispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val g = d.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c").cast(dec) * col("c")).as("scc"))
+    def f(c: String) = col(c).cast("double")
+    val n = f("n")
+    // (n−1)s² = n·Σc²−(Σc)² over n; D = that / (Σc/n)·(1/n)… expand:
+    // D = (n·Σc² − (Σc)²) / Σc  (the n's cancel exactly)
+    val disp = (n * f("scc") - f("sc") * f("sc")) / f("sc")
+    val z = (disp - (n - 1.0)) / sqrt((n - 1.0) * 2.0)
+    val bad = col("n") < 3L || col("sc") === 0L
+    g.select(col("o_orderpriority"), col("n").cast("long").as("n_days"),
+        col("sc").cast("long").as("n_orders"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(floor(disp * 1e4 + 0.5) / 1e4).as("dispersion"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(floor(z * 1e4 + 0.5) / 1e4).as("z"),
+        when(bad, lit(null).cast("string"))
+          .otherwise(when(z > 1.6449, "overdispersed")
+            .when(z < -1.6449, "underdispersed").otherwise("poisson"))
+          .as("verdict"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q317DispersionIndexSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS dd,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |g AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+      |  FROM d GROUP BY 1),
+      |c0 AS (
+      |  SELECT *,
+      |    (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+      |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+      |      / CAST(sc AS DOUBLE) AS disp,
+      |    (n < 3 OR sc = 0) AS bad
+      |  FROM g),
+      |c1 AS (
+      |  SELECT *,
+      |    (disp - (CAST(n AS DOUBLE) - 1.0))
+      |      / SQRT((CAST(n AS DOUBLE) - 1.0) * 2.0) AS z
+      |  FROM c0)
+      |SELECT o_orderpriority, n AS n_days, sc AS n_orders,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(disp * 1e4 + 0.5) / 1e4 END AS dispersion,
+      |  CASE WHEN bad THEN NULL ELSE FLOOR(z * 1e4 + 0.5) / 1e4 END AS z,
+      |  CASE WHEN bad THEN NULL
+      |    WHEN z > 1.6449 THEN 'overdispersed'
+      |    WHEN z < -1.6449 THEN 'underdispersed'
+      |    ELSE 'poisson' END AS verdict
+      |FROM c1 ORDER BY o_orderpriority""".stripMargin
+
   /** L245 Chow structural-break test ([PK] Chow 1960): did the
     * daily-revenue TREND regression y_t = a + b·t change regime at the
     * series midpoint? F = ((SSE_p − SSE₁ − SSE₂)/k) /

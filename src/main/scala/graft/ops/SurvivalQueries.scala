@@ -275,9 +275,9 @@ object SurvivalQueries {
         sum(col("d1")).as("o1"), sum(col("eq")).as("e1q"),
         sum(col("vq")).as("v1q"))
     g.select(col("n_users_g0"), col("n_users_g1"), col("o1"),
-      (round(col("e1q").cast("double") / 1e6, 4) + 0.0).as("e1"),
-      (round((col("o1").cast("double") - col("e1q").cast("double") / 1e6) /
-        sqrt(col("v1q").cast("double") / 1e6), 4) + 0.0).as("z"))
+      (floor(col("e1q").cast("double") / 1e6 * 1e4 + 0.5) / 1e4).as("e1"),
+      (floor((col("o1").cast("double") - col("e1q").cast("double") / 1e6) /
+        sqrt(col("v1q").cast("double") / 1e6) * 1e4 + 0.5) / 1e4).as("z"))
   }
 
   val q224LogRankSql: String =
@@ -331,9 +331,9 @@ object SurvivalQueries {
       |    CAST(SUM(eq) AS BIGINT) AS e1q, CAST(SUM(vq) AS BIGINT) AS v1q
       |  FROM terms)
       |SELECT n_users_g0, n_users_g1, o1,
-      |  ROUND(CAST(e1q AS DOUBLE) / 1e6, 4) + 0 AS e1,
-      |  ROUND((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
-      |    / SQRT(CAST(v1q AS DOUBLE) / 1e6), 4) + 0 AS z
+      |  FLOOR(CAST(e1q AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS e1,
+      |  FLOOR((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e6)
+      |    / SQRT(CAST(v1q AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4 AS z
       |FROM g""".stripMargin
 
   /** L174 exponential inter-arrival fit + KS goodness-of-fit: the MLE
@@ -379,7 +379,8 @@ object SurvivalQueries {
       .select(col("n").as("n_gaps"),
         (round(col("sg").cast("double") / col("n"), 4) + 0.0)
           .as("mean_gap_s"),
-        (round(col("dmax").cast("double") / 1e9, 6) + 0.0).as("ks_d"))
+        (floor(col("dmax").cast("double") / 1e9 * 1e6 + 0.5) / 1e6)
+        .as("ks_d"))
   }
 
   /** L176 Kaplan–Meier with Greenwood confidence bands (Greenwood 1926
@@ -525,6 +526,6 @@ object SurvivalQueries {
       |  FROM cum, tot)
       |SELECT n AS n_gaps,
       |  ROUND(CAST(sg AS DOUBLE) / n, 4) + 0 AS mean_gap_s,
-      |  ROUND(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) + 0 AS ks_d
+      |  FLOOR(CAST(MAX(dq) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS ks_d
       |FROM d GROUP BY n, sg""".stripMargin
 }

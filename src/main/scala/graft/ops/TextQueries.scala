@@ -1565,7 +1565,8 @@ object TextQueries {
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared"), sum("tq").as("sq"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        (round(col("sq").cast("double") / lit(1.0e9), 6) + 0.0).as("bc"),
+        (floor(col("sq").cast("double") / lit(1.0e9) * 1e6 + 0.5) / 1e6)
+          .as("bc"),
         (round(sqrt(greatest(lit(1.0) -
           col("sq").cast("double") / lit(1.0e9), lit(0.0))), 6) + 0.0)
           .as("hellinger"))
@@ -1593,7 +1594,7 @@ object TextQueries {
       |    CAST(SUM(tq) AS BIGINT) AS sq
       |  FROM t GROUP BY src_a, src_b)
       |SELECT src_a, src_b, n_shared,
-      |  ROUND(CAST(sq AS DOUBLE) / 1e9, 6) + 0 AS bc,
+      |  FLOOR(CAST(sq AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS bc,
       |  ROUND(SQRT(GREATEST(1.0 - CAST(sq AS DOUBLE) / 1e9, 0.0)), 6) + 0
       |    AS hellinger
       |FROM g ORDER BY src_a, src_b""".stripMargin
@@ -1647,11 +1648,12 @@ object TextQueries {
         |    / ln(cast(k as double) + 1.0) * 1e9 + 0.5) as long))
         |""".stripMargin)
     g.select(col("ql").as("query_lang"), col("n_docs"), col("n_rel"),
-        (round(lit(1.0) / col("first_rel"), 6) + 0.0).as("mrr"),
-        (round(col("apq").cast("double") / 1e9 / col("n_rel"), 6) + 0.0)
+        (floor(lit(1.0) / col("first_rel") * 1e6 + 0.5) / 1e6).as("mrr"),
+        (floor(col("apq").cast("double") / 1e9 / col("n_rel") * 1e6 + 0.5)
+          / 1e6)
           .as("map"),
-        (round(col("dcgq").cast("double") / idcgq.cast("double"), 6) + 0.0)
-          .as("ndcg10"))
+        (floor(col("dcgq").cast("double") / idcgq.cast("double") * 1e6 +
+          0.5) / 1e6).as("ndcg10"))
       .orderBy("query_lang")
   }
 
@@ -1685,10 +1687,10 @@ object TextQueries {
       |    AS BIGINT) AS idcgq
       |  FROM g)
       |SELECT ql AS query_lang, n_docs, n_rel,
-      |  ROUND(1.0 / first_rel, 6) + 0 AS mrr,
-      |  ROUND(CAST(apq AS DOUBLE) / 1e9 / n_rel, 6) + 0 AS map,
-      |  ROUND(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE), 6) + 0
-      |    AS ndcg10
+      |  FLOOR(1.0 / first_rel * 1e6 + 0.5) / 1e6 AS mrr,
+      |  FLOOR(CAST(apq AS DOUBLE) / 1e9 / n_rel * 1e6 + 0.5) / 1e6 AS map,
+      |  FLOOR(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE) * 1e6 + 0.5)
+      |    / 1e6 AS ndcg10
       |FROM i ORDER BY query_lang""".stripMargin
 
   /** L196 Chao1 richness + Good's coverage (Chao 1984, Good 1953 [PK]):
@@ -1795,7 +1797,8 @@ object TextQueries {
       .groupBy("w", "nw").agg(sum(col("tq")).as("sq"))
       .filter(col("nw") >= 50)
       .select(col("w").as("term"), col("nw").as("n_occurrences"),
-        (round((col("sq").cast("double") / 1e9 + 1.0) / 2.0, 6) + 0.0)
+        (floor((col("sq").cast("double") / 1e9 + 1.0) / 2.0 * 1e6 + 0.5)
+          / 1e6)
           .as("dp"))
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(20)
@@ -1822,7 +1825,7 @@ object TextQueries {
       |      + 0.5) AS BIGINT)) AS BIGINT) AS sq
       |  FROM t GROUP BY w, nw)
       |SELECT w AS term, nw AS n_occurrences,
-      |  ROUND((CAST(sq AS DOUBLE) / 1e9 + 1.0) / 2.0, 6) + 0 AS dp
+      |  FLOOR((CAST(sq AS DOUBLE) / 1e9 + 1.0) / 2.0 * 1e6 + 0.5) / 1e6 AS dp
       |FROM q WHERE nw >= 50
       |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin
 

@@ -26,7 +26,7 @@ import scala.sys.process._
   * full Unicode case mapping (i + combining dot), DuckDB 1.0 by simple
   * mapping (bare i) — [[Fuzz]] excludes the character by construction.
   *
-  * The whole query surface (271 as of r13) runs per-seed via
+  * The whole query surface (313 as of r13) runs per-seed via
   * `scripts/fuzz.sh <seed>` — persisted each round as FUZZ_r{N}.json
   * (`scripts/fuzz_round.sh`); this spec pins a 20-query cut on every
   * seed so the harness cannot rot. The cut ROTATES with the seed (r12

@@ -1218,11 +1218,12 @@ class NonDegeneracySpec extends SparkSpec {
   }
 
   test("q314: the SPRT walk decides at sf0.01 and holds at sf0.001") {
-    // the arms differ slightly by construction at sf0.01 (deterministic
-    // user parity, not randomization), so the monitor CROSSES the
-    // reject boundary there; the sf0.001 walk stays inside the
-    // continue band for all 30 days — both regimes of the decision
-    // rule exercised, both pinned as measured
+    // the arms carry a real deterministic imbalance (test-arm purchase
+    // rate ≈ 1.09× control at both SFs — user parity correlates with
+    // behaviour in the fixture), so the monitor detects the lift once
+    // it has enough trials (sf0.01: 5k trials → crosses reject) and
+    // correctly withholds when it does not (sf0.001: 438 trials in 30
+    // days → continue) — both regimes of a CORRECT sequential test
     val w1 = run("q314_sprt_monitor", sf0001).collect()
     assert(w1.length >= 28, "calendar walk short at sf0.001")
     assert(w1.forall(_.getAs[String]("state") === "continue"))
@@ -1248,6 +1249,82 @@ class NonDegeneracySpec extends SparkSpec {
       assert(ds.head > 16.27, s"no calibrated outlier at $sf: ${ds.head}")
       assert(ds.forall(_ > 0.0))
       assert(ds.head > 1.4 * ds.last, s"flat D2 tail at $sf")
+    }
+  }
+
+  test("q316: the conformal guarantee holds at every level") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q316_conformal", sf).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      Seq(1000L, 500L, 100L).foreach { bps =>
+        val r = rows(bps)
+        val target = 1.0 - bps / 10000.0
+        val cov = r.getAs[Double]("coverage")
+        // split-conformal marginal validity: coverage ≥ 1−α, and not
+        // vacuously 1.0 (the radius actually discriminates)
+        assert(cov >= target, s"coverage broken at $sf bps=$bps: $cov")
+        assert(cov < target + 0.02, s"radius vacuous at $sf bps=$bps")
+        assert(r.getAs[Long]("q_hat_cents") > 0L)
+      }
+      // radii strictly widen as alpha tightens
+      assert(rows(100L).getAs[Long]("q_hat_cents") >
+        rows(500L).getAs[Long]("q_hat_cents"))
+      assert(rows(500L).getAs[Long]("q_hat_cents") >
+        rows(1000L).getAs[Long]("q_hat_cents"))
+    }
+  }
+
+  test("q317: the arrival process is decisively non-Poisson") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q317_dispersion", sf).collect()
+      assert(rows.length === 5, s"priority census short at $sf")
+      rows.foreach { r =>
+        // active-day order counts are far MORE regular than Poisson in
+        // the fixture (z ≈ −11 / −14) — every priority flags
+        assert(r.getAs[Double]("z") < -5.0,
+          s"${r.getString(0)} not decisive at $sf: ${r.getAs[Double]("z")}")
+        assert(r.getAs[String]("verdict") === "underdispersed")
+      }
+    }
+  }
+
+  test("q318: the fixed-horizon CI agrees with q314's sequential verdict") {
+    // two INDEPENDENT constructions of the same question: at sf0.01 the
+    // Newcombe CI excludes zero exactly where the SPRT crossed reject;
+    // at sf0.001 it includes zero exactly where the SPRT stayed in the
+    // continue band
+    val r1 = run("q318_newcombe_ci", sf0001).head()
+    assert(r1.getAs[Long]("excludes_zero") === 0L)
+    assert(r1.getAs[Double]("ci_lo") < 0.0 &&
+      r1.getAs[Double]("ci_hi") > 0.0)
+    val r2 = run("q318_newcombe_ci", sf001).head()
+    assert(r2.getAs[Long]("excludes_zero") === 1L)
+    assert(r2.getAs[Double]("ci_lo") > 0.0,
+      s"sf0.01 lift lost: ${r2.getAs[Double]("ci_lo")}")
+    // interval sanity: lo < diff < hi, width real
+    Seq(r1, r2).foreach { r =>
+      val (lo, d, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("rate_diff"), r.getAs[Double]("ci_hi"))
+      assert(lo < d && d < hi && hi - lo > 0.01 && hi - lo < 0.2)
+    }
+  }
+
+  test("q319: the fertility panel is populated and ASCII-consistent") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q319_fertility", sf).collect()
+      assert(rows.length === 5, s"language census short at $sf")
+      rows.foreach { r =>
+        val (cpt, bpt) = (r.getAs[Double]("chars_per_token"),
+          r.getAs[Double]("bytes_per_token"))
+        assert(cpt > 3.0 && cpt < 10.0, s"cpt band at $sf: $cpt")
+        // the fixture corpus is ASCII (FixtureContractSpec) — bytes
+        // and chars MUST agree; any divergence means the fixture (or
+        // the byte accounting) changed under us
+        assert(cpt === bpt, s"ASCII fixture violated at $sf")
+        val tpd = r.getAs[Double]("tokens_per_doc")
+        assert(tpd > 20.0 && tpd < 120.0, s"tpd band at $sf: $tpd")
+        assert(r.getAs[Long]("n_types") > 10L)
+      }
     }
   }
 }

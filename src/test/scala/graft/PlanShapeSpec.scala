@@ -500,7 +500,11 @@ class PlanShapeSpec extends SparkSpec {
       // Heaps-capped word-ratio census; q314's 1-row control-arm
       // broadcast onto the calendar walk; q315's 1-row moment/adjugate
       // broadcast onto the per-order census (the q312 shape)
-      "q313_dsir_weights", "q314_sprt_monitor", "q315_mahalanobis")
+      "q313_dsir_weights", "q314_sprt_monitor", "q315_mahalanobis",
+      // r13 batch 10: q316's Gram-solution broadcast onto the residual
+      // census plus the 3-row alpha-level broadcast onto the |e| census
+      // (see bnljMax); q317 is join-free
+      "q316_conformal")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -509,7 +513,8 @@ class PlanShapeSpec extends SparkSpec {
     // 1-row broadcasts onto the ≤|langs|-row census: the (total, budget)
     // row, the m* row, and the (m*, P_m) row — all census-side, nothing
     // fact-sized.
-    val bnljMax = Map("q308_water_fill" -> 3).withDefaultValue(1)
+    val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2)
+      .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -2831,6 +2831,120 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q316 conformal quantiles match a sequential sort walk") {
+    val rows = SparkEntry.queries("q316_conformal")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val per = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("y"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
+        count(lit(1)).as("x2"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    val n = per.length.toDouble
+    val s1 = per.map(_._2).sum; val s2 = per.map(_._3).sum
+    val sy = per.map(_._1).sum
+    val s11 = per.map(p => p._2 * p._2).sum
+    val s22 = per.map(p => p._3 * p._3).sum
+    val s12 = per.map(p => p._2 * p._3).sum
+    val s1y = per.map(p => p._2 * p._1).sum
+    val s2y = per.map(p => p._3 * p._1).sum
+    val c00 = s11 * s22 - s12 * s12; val c01 = -(s1 * s22 - s12 * s2)
+    val c02 = s1 * s12 - s11 * s2; val c11 = n * s22 - s2 * s2
+    val c12 = -(n * s12 - s1 * s2); val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    val b0 = (c00 * sy + c01 * s1y + c02 * s2y) / det
+    val b1 = (c01 * sy + c11 * s1y + c12 * s2y) / det
+    val b2 = (c02 * sy + c12 * s1y + c22 * s2y) / det
+    val ae = per.map { case (y, x1, x2) =>
+      math.abs(math.floor(y - b0 - b1 * x1 - b2 * x2 + 0.5).toLong)
+    }.sorted
+    Seq(1000L, 500L, 100L).foreach { bps =>
+      val k = ((ae.length + 1) * (10000 - bps) + 9999) / 10000
+      val qhat = ae(k.toInt - 1)
+      val covCnt = ae.count(_ <= qhat).toLong
+      val r = rows(bps)
+      assert(r.getAs[Long]("k_rank") === k, s"bps $bps k")
+      assert(r.getAs[Long]("q_hat_cents") === qhat, s"bps $bps qhat")
+      assert(math.abs(r.getAs[Double]("coverage") -
+        covCnt * 1000000L / ae.length / 1e6) < 2e-6, s"bps $bps cov")
+    }
+  }
+
+  test("q317 dispersion index matches a sequential moment walk") {
+    val rows = SparkEntry.queries("q317_dispersion")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val days = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    days.groupBy(_._1).foreach { case (p, ds) =>
+      val n = ds.length.toDouble
+      val cs = ds.map(_._2.toDouble)
+      val disp = (n * cs.map(c => c * c).sum - math.pow(cs.sum, 2)) /
+        cs.sum
+      val z = (disp - (n - 1)) / math.sqrt(2 * (n - 1))
+      val r = rows(p)
+      assert(r.getAs[Long]("n_days") === ds.length.toLong)
+      assert(math.abs(r.getAs[Double]("dispersion") - disp) < 1e-3)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-3, s"$p z")
+    }
+  }
+
+  test("q318 Newcombe CI matches a sequential Wilson walk") {
+    val row = SparkEntry.queries("q318_newcombe_ci")(spark, sf0001)
+      .head()
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        (col("event_type") === "purchase").as("conv"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    def wilson(c: Long, n: Long): (Double, Double, Double) = {
+      val z = 1.96; val nf = n.toDouble; val p = c.toDouble / nf
+      val z2 = z * z
+      val ce = (p + z2 / (2 * nf)) / (1 + z2 / nf)
+      val hw = z * math.sqrt(p * (1 - p) / nf + z2 / (4 * nf * nf)) /
+        (1 + z2 / nf)
+      (p, ce - hw, ce + hw)
+    }
+    val a0 = ev.filter(_._1 == 0L); val a1 = ev.filter(_._1 == 1L)
+    val (p0, l0, u0) = wilson(a0.count(_._2), a0.length)
+    val (p1, l1, u1) = wilson(a1.count(_._2), a1.length)
+    val d = p1 - p0
+    val lo = d - math.sqrt(math.pow(p1 - l1, 2) + math.pow(u0 - p0, 2))
+    val hi = d + math.sqrt(math.pow(u1 - p1, 2) + math.pow(p0 - l0, 2))
+    assert(row.getAs[Long]("n_ctrl") === a0.length.toLong)
+    assert(math.abs(row.getAs[Double]("rate_diff") - d) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ci_lo") - lo) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ci_hi") - hi) < 1e-5)
+  }
+
+  test("q319 fertility panel matches a sequential census walk") {
+    val rows = SparkEntry.queries("q319_fertility")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val toks = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val chars = ds.map(_._2.length.toLong).sum
+      val bytes = ds.map(_._2.getBytes("UTF-8").length.toLong).sum
+      val types = ds.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+      def hu4(num: Long, den: Long): Double =
+        ((num * 20000L + den) / (den * 2L)).toDouble / 1e4
+      val r = rows(lang)
+      assert(r.getAs[Long]("n_tokens") === toks, s"$lang tokens")
+      assert(r.getAs[Long]("n_types") === types, s"$lang types")
+      assert(r.getAs[Double]("chars_per_token") === hu4(chars, toks))
+      assert(r.getAs[Double]("bytes_per_token") === hu4(bytes, toks))
+      assert(r.getAs[Double]("tokens_per_doc") ===
+        hu4(toks, ds.length.toLong))
+      assert(r.getAs[Double]("type_token_ratio") === hu4(types, toks))
+    }
+  }
+
   test("q308 water-filling matches a sequential level search") {
     val rows = SparkEntry.queries("q308_water_fill")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
