@@ -145,7 +145,13 @@ class ScaleCurveSpec extends SparkSpec {
       // whose joins grow with the corpus (bigram census ⋈ model ⋈
       // context); copies multiply bigram occurrences, types saturate,
       // so growth must stay ~linear
-      "q286_lm_score")
+      "q286_lm_score",
+      // round-13 batches 5-10: the corpus-joining heavies — q300's
+      // three KN marginal censuses grow with bigram OCCURRENCES (types
+      // saturate under copying); q313's word-ratio join is vocab-keyed
+      // (Heaps-capped — the per-doc side grows linearly); q304's grid
+      // stays 30×|sources| so only the term census scales
+      "q300_kneser_ney", "q313_dsir_weights", "q304_burrows_delta")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
