@@ -128,19 +128,38 @@ object EvalQueries {
     *
     * Scale: one corpus agg to the (weekday, type) census, then windows
     * over ≤ 7n rows. Guards: n < 2 objects or a fully-tied panel
-    * (denominator 0) → null W. */
+    * (denominator 0) → null W.
+    *
+    * Panel completeness (r14, advisor fix): W assumes every judge
+    * ranks the SAME n objects. An event type with zero events on some
+    * weekday used to vanish from that judge's census, so judges ranked
+    * different object sets while k_judges = max(k) masked the gap.
+    * The observed (isodow, event_type) census is now densified to the
+    * full distinct-days × distinct-types grid with zero-count cells
+    * (a ≤7×|types| cross join — bounded by the type vocabulary, never
+    * by corpus size), and a defensive min(k) ≠ max(k) null guards the
+    * statistic should the invariant ever break again. */
   def q285KendallW(s: SparkSession, dir: String): DataFrame = {
-    val cell = Tables.events(s, dir)
+    val raw = Tables.events(s, dir)
       .select((weekday(col("ts").cast("date")) + 1).as("isodow"),
         col("event_type"))
-      .groupBy("isodow", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("isodow", "event_type").agg(count(lit(1)).as("cnt0"))
+    val cell = raw.select("isodow").distinct()
+      .crossJoin(broadcast(raw.select("event_type").distinct()))
+      .join(raw, Seq("isodow", "event_type"), "left")
+      .select(col("isodow"), col("event_type"),
+        coalesce(col("cnt0"), lit(0L)).as("cnt"))
     // 2·midrank = 2·rank(cnt asc) + ties − 1 within each weekday judge
     val wj = Window.partitionBy("isodow").orderBy(col("cnt"))
+    // lazy checkpoint: ranked feeds BOTH the per-object rank sums and
+    // the tie census — without it the grid-densify cross join re-plans
+    // per branch (BNLJ ×3, q316-census pattern)
     val ranked = cell
       .withColumn("r2",
         lit(2L) * rank().over(wj) +
           count(lit(1)).over(wj.rangeBetween(0, 0)) - 1L)
       .withColumn("ties", count(lit(1)).over(wj.rangeBetween(0, 0)))
+      .localCheckpoint(eager = false)
     // per-object doubled rank sums R2_i = Σ_j 2·midrank_ij
     val perObj = ranked.groupBy("event_type")
       .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("k"))
@@ -150,6 +169,7 @@ object EvalQueries {
       sum(col("ties") * col("ties") - 1L).as("tt"))
     val objAgg = perObj.agg(count(lit(1)).as("n_objects"),
       max(col("k")).as("k_judges"),
+      min(col("k")).as("k_min"),
       sum(col("r2sum") * col("r2sum")).as("sr2sq"),
       sum(col("r2sum")).as("sr2"))
     val n = col("n_objects")
@@ -163,23 +183,29 @@ object EvalQueries {
       (k.cast(dec) * k.cast(dec) * (n.cast(dec) * n.cast(dec) * n.cast(dec)
         - n.cast(dec)) - k.cast(dec) * col("tt").cast(dec))
     val wStat = wNum.cast("double") / wDen.cast("double")
+    val undef = n < 2L || wDen.cast("double") <= 0.0 ||
+      col("k_min") =!= k
     objAgg.crossJoin(broadcast(tiesAgg))
       .select(n.as("n_objects"), k.as("k_judges"), col("tt").as("tie_term"),
-        when(n < 2L || wDen.cast("double") <= 0.0,
-          lit(null).cast("double"))
+        when(undef, lit(null).cast("double"))
           .otherwise(round(wStat, 6) + 0.0).as("kendall_w"),
-        when(n < 2L || wDen.cast("double") <= 0.0,
-          lit(null).cast("double"))
+        when(undef, lit(null).cast("double"))
           .otherwise(round(k.cast("double") * (n.cast("double") - 1.0) *
             wStat, 4) + 0.0).as("friedman_chi2"))
   }
 
   val q285KendallWSql: String =
-    """WITH cell AS (
+    """WITH raw AS (
       |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT)
       |      AS isodow,
       |    event_type, COUNT(*) AS cnt
       |  FROM events GROUP BY 1, 2),
+      |cell AS (
+      |  SELECT d.isodow, t.event_type, COALESCE(r.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT isodow FROM raw) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM raw) t
+      |  LEFT JOIN raw r
+      |    ON r.isodow = d.isodow AND r.event_type = t.event_type),
       |ranked AS (
       |  SELECT event_type,
       |    2 * RANK() OVER (PARTITION BY isodow ORDER BY cnt)
@@ -192,6 +218,7 @@ object EvalQueries {
       |  FROM ranked GROUP BY event_type),
       |oa AS (
       |  SELECT COUNT(*) AS n, CAST(MAX(k) AS BIGINT) AS k,
+      |    CAST(MIN(k) AS BIGINT) AS k_min,
       |    CAST(SUM(CAST(r2sum AS HUGEINT) * r2sum) AS HUGEINT) AS sr2sq,
       |    CAST(SUM(r2sum) AS BIGINT) AS sr2
       |  FROM perobj),
@@ -199,7 +226,7 @@ object EvalQueries {
       |  SELECT CAST(SUM(CAST(ties AS HUGEINT) * ties - 1) AS BIGINT) AS tt
       |  FROM ranked),
       |f AS (
-      |  SELECT n, k, tt,
+      |  SELECT n, k, k_min, tt,
       |    CAST(12 * (n * sr2sq - CAST(sr2 AS HUGEINT) * sr2) AS DOUBLE)
       |      AS wnum,
       |    CAST(4 * CAST(n AS HUGEINT)
@@ -207,9 +234,9 @@ object EvalQueries {
       |      AS DOUBLE) AS wden
       |  FROM oa CROSS JOIN ta)
       |SELECT n AS n_objects, k AS k_judges, tt AS tie_term,
-      |  CASE WHEN n < 2 OR wden <= 0 THEN NULL
+      |  CASE WHEN n < 2 OR wden <= 0 OR k_min <> k THEN NULL
       |    ELSE ROUND(wnum / wden, 6) + 0 END AS kendall_w,
-      |  CASE WHEN n < 2 OR wden <= 0 THEN NULL
+      |  CASE WHEN n < 2 OR wden <= 0 OR k_min <> k THEN NULL
       |    ELSE ROUND(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
       |      * wnum / wden, 4) + 0 END AS friedman_chi2
       |FROM f""".stripMargin

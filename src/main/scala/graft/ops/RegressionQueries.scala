@@ -430,7 +430,12 @@ object RegressionQueries {
       .agg(max(col("n")).as("n"), max(col("k")).as("k_rank"),
         min(when(col("cum") >= col("k"), col("ae"))).as("q_hat"))
     val cov = census.select(col("ae"), col("cum"))
-    g.join(cov, g("q_hat") === cov("ae"))
+    // LEFT join (r14, advisor fix): when k_rank > n (tiny corpora,
+    // n < 99 for α = 1%), the empirical quantile is undefined → q_hat
+    // null — the α row must still appear, with null q_hat/coverage,
+    // so the output is always exactly three rows regardless of data
+    // size. (Null cum propagates to null coverage through the div.)
+    g.join(cov, g("q_hat") === cov("ae"), "left")
       .select(col("alpha_bps"), col("n").cast("long").as("n_orders"),
         col("k_rank").cast("long").as("k_rank"),
         col("q_hat").as("q_hat_cents"),
@@ -470,7 +475,7 @@ object RegressionQueries {
        |  CAST(gq.k_rank AS BIGINT) AS k_rank,
        |  CAST(gq.q_hat AS BIGINT) AS q_hat_cents,
        |  CAST(census.cum * 1000000 // gq.n AS DOUBLE) / 1e6 AS coverage
-       |FROM gq JOIN census ON gq.q_hat = census.ae
+       |FROM gq LEFT JOIN census ON gq.q_hat = census.ae
        |ORDER BY alpha_bps""".stripMargin
 
   val q315MahalanobisSql: String =

@@ -1895,15 +1895,20 @@ object SeriesStats {
         floor(lit(0.2) * sd + 0.5).cast("long").as("rl"))
       .localCheckpoint(eager = false)
     val wo = Window.orderBy("rn")
+    // r14 (advisor fix): Richman–Moorman counts BOTH A and B over the
+    // same N−m templates — restricting to rows with x2 keeps the last
+    // window (which could only ever B-match) out of the B census, so
+    // the two counts share a template set and SampEn loses its slight
+    // upward bias. The brute reference in StatBruteSpec is re-pinned
+    // to the same N−2 walk.
     val emb = rc2
       .withColumn("x1", lead(col("rev"), 1).over(wo))
       .withColumn("x2", lead(col("rev"), 2).over(wo))
-      .filter(col("x1").isNotNull)
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
       .withColumnRenamed("rev", "x0")
     val bm = abs(col("a.x0") - col("b.x0")) <= col("a.rl") &&
       abs(col("a.x1") - col("b.x1")) <= col("a.rl")
-    val am = bm && col("a.x2").isNotNull && col("b.x2").isNotNull &&
-      abs(col("a.x2") - col("b.x2")) <= col("a.rl")
+    val am = bm && abs(col("a.x2") - col("b.x2")) <= col("a.rl")
     val g = emb.as("a").join(broadcast(emb.as("b")),
         col("a.rn") < col("b.rn"))
       .agg(max(col("a.nw")).as("n_days"), max(col("a.rl")).as("r_dollars"),
@@ -1937,13 +1942,12 @@ object SeriesStats {
        |    LEAD(rev, 1) OVER (ORDER BY rn) AS x1,
        |    LEAD(rev, 2) OVER (ORDER BY rn) AS x2
        |  FROM rc2),
-       |m AS (SELECT * FROM emb WHERE x1 IS NOT NULL),
+       |m AS (SELECT * FROM emb WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
        |p AS (
        |  SELECT a.nw, a.rl,
        |    CASE WHEN ABS(a.x0 - b.x0) <= a.rl AND ABS(a.x1 - b.x1) <= a.rl
        |      THEN 1 ELSE 0 END AS bm,
        |    CASE WHEN ABS(a.x0 - b.x0) <= a.rl AND ABS(a.x1 - b.x1) <= a.rl
-       |      AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
        |      AND ABS(a.x2 - b.x2) <= a.rl THEN 1 ELSE 0 END AS am
        |  FROM m a JOIN m b ON a.rn < b.rn),
        |g AS (

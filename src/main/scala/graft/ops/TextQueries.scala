@@ -1085,31 +1085,43 @@ object TextQueries {
     * the exact integer cross-product sign a·NB vs b·NA.
     *
     * Scale: explode → vocab-sized map-side-combinable count (shuffle ∝
-    * vocab, Heaps-sublinear); corpus totals are ONE two-long driver row
-    * off the vocab table (q121/q176 discipline — no one-row join in the
-    * plan); top-20 via TakeOrdered + a 20-row rank window (q105
+    * vocab, Heaps-sublinear); corpus totals are an IN-PLAN 1-row
+    * broadcast (q121/q242 form, r14 — this was the last build-time
+    * driver action in any query builder): na/nb are per-class token
+    * totals, computed straight off documents with a cheap size() agg
+    * (no second vocab shuffle) and cross-joined onto the census, so
+    * the optimizer sees one plan and nothing runs at construction
+    * time; top-20 via TakeOrdered + a 20-row rank window (q105
     * pattern). */
   def q179Keyness(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    val d = Tables.documents(s, dir)
+    val tok = d
       .select(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)).as("f"),
         explode(tokens(col("text"))).as("w"))
     val c = tok.groupBy("w")
       .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
-    val t = c.agg(sum(col("a")), sum(col("b"))).collect()(0)
-    val (na, nb) = (t.getLong(0), t.getLong(1))
+    // per-class corpus totals: sum of per-doc token counts ≡ sum over
+    // the vocab census of a/b, but costs one documents scan instead of
+    // a second pass over the exploded tokens
+    val tot = d.agg(
+      sum(when(col("source") === "src0", size(tokens(col("text"))))
+        .otherwise(lit(0))).cast("long").as("na"),
+      sum(when(col("source") =!= "src0", size(tokens(col("text"))))
+        .otherwise(lit(0))).cast("long").as("nb"))
     val scored = c.filter(col("a") + col("b") >= 5)
+      .crossJoin(broadcast(tot))
       .withColumn("k", floor((
         when(col("a") > 0, col("a").cast("double") *
-          log((col("a") * lit(na + nb)).cast("double") /
-              (lit(na) * (col("a") + col("b"))).cast("double")))
+          log((col("a") * (col("na") + col("nb"))).cast("double") /
+              (col("na") * (col("a") + col("b"))).cast("double")))
           .otherwise(lit(0.0)) +
         when(col("b") > 0, col("b").cast("double") *
-          log((col("b") * lit(na + nb)).cast("double") /
-              (lit(nb) * (col("a") + col("b"))).cast("double")))
+          log((col("b") * (col("na") + col("nb"))).cast("double") /
+              (col("nb") * (col("a") + col("b"))).cast("double")))
           .otherwise(lit(0.0))) * lit(2000000.0) + lit(0.5)).cast("long"))
       .withColumn("direction",
-        when(col("a") * lit(nb) > col("b") * lit(na), lit(1))
-          .when(col("a") * lit(nb) < col("b") * lit(na), lit(-1))
+        when(col("a") * col("nb") > col("b") * col("na"), lit(1))
+          .when(col("a") * col("nb") < col("b") * col("na"), lit(-1))
           .otherwise(lit(0)))
     scored.orderBy(col("k").desc, col("w")).limit(20)
       .withColumn("rnk", row_number().over(

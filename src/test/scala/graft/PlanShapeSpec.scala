@@ -504,7 +504,11 @@ class PlanShapeSpec extends SparkSpec {
       // r13 batch 10: q316's Gram-solution broadcast onto the residual
       // census plus the 3-row alpha-level broadcast onto the |e| census
       // (see bnljMax); q317 is join-free
-      "q316_conformal")
+      "q316_conformal",
+      // r14: q179's per-class corpus-token totals — the LAST build-time
+      // .collect()(0) in any query builder, converted to the q121/q242
+      // in-plan 1-row broadcast form (verdict r13 mandate #1)
+      "q179_keyness")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -513,7 +517,11 @@ class PlanShapeSpec extends SparkSpec {
     // 1-row broadcasts onto the ≤|langs|-row census: the (total, budget)
     // row, the m* row, and the (m*, P_m) row — all census-side, nothing
     // fact-sized.
-    val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2)
+    // r14: q285 gained the ≤7-row × |types|-row grid-densify cross
+    // join (advisor fix — zero-count cells so every judge ranks the
+    // same object set) on top of its 1-row tie-census broadcast.
+    val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
+      "q285_kendall_w" -> 2)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -598,6 +606,19 @@ class PlanShapeSpec extends SparkSpec {
       "ops/AnnPq.scala")
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val headAction = """\.head\(\)|\.head\.get""".r
+    // r14 (verdict mandate #1): q179's build-time `.collect()(0)` walked
+    // straight through the `.head()`-only regex above. Builder files —
+    // every `ops/*Queries.scala` — declare plans; they must contain NO
+    // driver action of ANY spelling. Library operators with documented
+    // bounded driver state (Pca codebooks, AnnIvf/AnnPq centroids,
+    // SkewJoin hot-key census, Mmr pool, RangedNtile group counts,
+    // PrefixSum per-partition totals, BpeTrain merge loop, …) live in
+    // non-Queries files and are out of this rule's scope by
+    // construction — adding driver state to a builder means first
+    // moving it into a library operator with a justification comment.
+    val anyAction =
+      """\.collect\(\)|\.collectAsList\(|\.first\(\)|\.head\(\)|\.head\.get|\.take\(""".r
+    val builderFile = """ops/\w*Queries\.scala""".r
     val walk = java.nio.file.Files.walk(root)
     val offenders = try {
       import scala.jdk.CollectionConverters._
@@ -612,12 +633,14 @@ class PlanShapeSpec extends SparkSpec {
               case -1 => l
               case i => l.substring(0, i)
             }).mkString("\n")
-          if (headAction.findFirstIn(code).isDefined && !allowed(rel))
-            Some(rel)
-          else None
+          val isBuilder = builderFile.findFirstIn(rel).isDefined
+          val hit =
+            if (isBuilder) anyAction.findFirstIn(code).isDefined
+            else headAction.findFirstIn(code).isDefined && !allowed(rel)
+          if (hit) Some(rel) else None
         }.toList
     } finally walk.close()
     assert(offenders.isEmpty,
-      s"undocumented driver-side .head() action in: ${offenders.mkString(", ")}")
+      s"undocumented driver-side action in: ${offenders.mkString(", ")}")
   }
 }

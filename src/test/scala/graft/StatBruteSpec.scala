@@ -2194,13 +2194,15 @@ class StatBruteSpec extends SparkSpec {
     val q0 = rev.map(x => BigInt(x) * x).sum.toDouble
     val sd = math.sqrt(n * q0 - s0 * s0) / n
     val r = math.floor(0.2 * sd + 0.5).toLong
+    // Richman–Moorman: A and B both range over the SAME N−m = n−2
+    // templates (r14 advisor fix — the last length-2 window, which can
+    // only ever B-match, is excluded from both counts)
     var (a, b) = (0L, 0L)
-    for (i <- 0 until n - 1; j <- i + 1 until n - 1) {
+    for (i <- 0 until n - 2; j <- i + 1 until n - 2) {
       if (math.abs(rev(i) - rev(j)) <= r &&
           math.abs(rev(i + 1) - rev(j + 1)) <= r) {
         b += 1
-        if (i < n - 2 && j < n - 2 &&
-            math.abs(rev(i + 2) - rev(j + 2)) <= r) a += 1
+        if (math.abs(rev(i + 2) - rev(j + 2)) <= r) a += 1
       }
     }
     assert(row.getAs[Long]("n_days") === n.toLong)
