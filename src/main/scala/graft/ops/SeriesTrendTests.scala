@@ -1,0 +1,557 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SeriesStats.{daily, dailySql, daily2, daily2Sql}
+
+/** Trend / randomness / location tests on the daily order-revenue
+  * series — the SeriesStats split (r14, the EventQueries discipline:
+  * the file crossed the ~2,000-line review threshold). Shares the
+  * exact int64 daily series and its parity rules with
+  * [[SeriesStats]] (see that file's scale/parity header): runs test
+  * (q237), Mann–Kendall (q248), gamma + Somers' D (q251),
+  * Hodges–Lehmann (q262), Cox–Stuart (q263), turning points (q264),
+  * Lo–MacKinlay variance ratio (q265).
+  */
+object SeriesTrendTests {
+  /** L171 Wald–Wolfowitz runs test (Wald & Wolfowitz 1940 [PK]) on the
+    * SIGNS of q230's seasonally-adjusted residuals: with n₊ positive
+    * and n₋ negative residuals in R runs, E[R] = 2n₊n₋/n + 1 and
+    * Var[R] = 2n₊n₋(2n₊n₋−n)/(n²(n−1)) — the distribution-free
+    * independence check beside q230's DW (DW sees lag-1 magnitude
+    * correlation; runs sees ANY sign clustering). Zero residuals count
+    * as positive (eq ≥ 0 — the convention is pinned identically in
+    * both engines; eq is an exact int so the decision can't straddle).
+    *
+    * Parity: residuals pin to int64 micro-units (q230 chain); run
+    * boundaries, n₊/n₋, and R are integer decisions; z is one double
+    * chain 4dp; p rides the A-S polynomial quantized 1e-8.
+    *
+    * Scale: the q230 shape — day agg, ≤7-row dow census broadcast,
+    * one lag window over the scale-constant series, 1-row algebra. */
+  def q237RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(col("day"), col("rev"), (weekday(col("day")) + 1).as("dw"))
+    val seas = d.groupBy("dw")
+      .agg(sum(col("rev")).as("sr"), count(lit(1)).as("nd"))
+    val e = d.join(broadcast(seas), "dw")
+      .select(col("day"),
+        when(floor((col("rev").cast("double") -
+          col("sr").cast("double") / col("nd")) * 1e6 + 0.5)
+          .cast("long") >= 0L, 1).otherwise(0).as("sgn"))
+    val w = Window.orderBy("day")
+    val lagd = e.withColumn("sp", lag(col("sgn"), 1).over(w))
+    val agg = lagd.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("sgn").cast("long")).as("n_pos"),
+      sum(when(col("sp").isNotNull && col("sp") =!= col("sgn"), 1L)
+        .otherwise(0L)).as("switches"))
+    val nP = col("n_pos").cast("double")
+    val nN = (col("n_days") - col("n_pos")).cast("double")
+    val n = col("n_days").cast("double")
+    val r = (col("switches") + 1).cast("double")
+    val eR = lit(2.0) * nP * nN / n + lit(1.0)
+    val vR = lit(2.0) * nP * nN * (lit(2.0) * nP * nN - n) /
+      (n * n * (n - lit(1.0)))
+    val z = (r - eR) / sqrt(vR)
+    agg.select(col("n_days"), col("n_pos"),
+      (col("n_days") - col("n_pos")).as("n_neg"),
+      (col("switches") + 1).as("runs"),
+      (round(z, 4) + 0.0).as("z_runs"),
+      (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  /** L185 Goodman–Kruskal γ and Somers' D (Goodman & Kruskal 1954,
+    * Somers 1962 [PK]): the ordinal-association companions to q211's
+    * τ-b over the same (day revenue, day order-count) pair set —
+    * γ = (nc−nd)/(nc+nd) ignores ties entirely, Somers'
+    * D_yx = (nc−nd)/(nc+nd+T_Y) penalizes ties in the DEPENDENT
+    * variable only (the asymmetric "does x predict y" form), and the
+    * three together bracket τ-b. Textbook convention (the r11 ADVICE
+    * fix): T_Y counts pairs tied on Y but NOT also on X (and T_X the
+    * mirror) — both-tied pairs belong to neither denominator. The
+    * reported ties_x/ties_y columns stay the raw dx=0 / dy=0 totals
+    * (q211's tie counts); ties_both makes the exclusion auditable.
+    *
+    * Parity: the q211 pair build verbatim (lazy-checkpointed constant
+    * 66k pair set); nc/nd/tie counts exact int64; the ratios are one
+    * double chain 6dp.
+    *
+    * Scale: the q206/q211 shape — only the day aggregation scans
+    * fact data. */
+  def q251OrdinalAssoc(s: SparkSession, dir: String): DataFrame = {
+    val d = daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"), col("cnt"))
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select((col("b.rev") - col("a.rev")).as("dx"),
+        (col("b.cnt") - col("a.cnt")).as("dy"))
+      .localCheckpoint(eager = false)
+    val agg = pairs.agg(
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("txy"))
+    val diff = (col("nc") - col("nd")).cast("double")
+    // fuzz hardening (r12): degenerate (all-tied / empty) pair sets
+    // zero the denominators — the coefficients go null, not crash
+    def safe(den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(diff / den.cast("double"), 6) + 0.0)
+    agg.select(col("nc"), col("nd"), col("tx").as("ties_x"),
+      col("ty").as("ties_y"), col("txy").as("ties_both"),
+      safe(col("nc") + col("nd")).as("gamma"),
+      safe(col("nc") + col("nd") + col("ty") - col("txy"))
+        .as("somers_dyx"),
+      safe(col("nc") + col("nd") + col("tx") - col("txy"))
+        .as("somers_dxy"))
+  }
+
+  val q251OrdinalAssocSql: String =
+    s"""WITH d AS ($daily2Sql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev, cnt FROM d),
+       |rc AS (SELECT t, rev, cnt FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT b.rev - a.rev AS dx, b.cnt - a.cnt AS dy
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nc,
+       |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nd,
+       |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+       |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS txy
+       |  FROM p)
+       |SELECT nc, nd, tx AS ties_x, ty AS ties_y, txy AS ties_both,
+       |  CASE WHEN nc + nd = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd), 6) + 0 END AS gamma,
+       |  CASE WHEN nc + nd + ty - txy = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + ty - txy), 6) + 0
+       |    END AS somers_dyx,
+       |  CASE WHEN nc + nd + tx - txy = 0 THEN NULL ELSE
+       |    ROUND(CAST(nc - nd AS DOUBLE) / (nc + nd + tx - txy), 6) + 0
+       |    END AS somers_dxy
+       |FROM g""".stripMargin
+
+  /** L182 Mann–Kendall trend test (Mann 1945, Kendall [PK]) on the
+    * trailing-365-day revenue series: S = Σ_{i<j} sign(x_j − x_i),
+    * tie-corrected Var[S] = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18,
+    * continuity-corrected z. The TEST companion to q206's Theil–Sen
+    * SLOPE (same pair set): Theil–Sen says how steep, Mann–Kendall
+    * says whether the monotone trend is significant at all.
+    *
+    * Parity: the q206/q211 pair build (lazy localCheckpoint, constant
+    * C(365,2) pairs); S and the tie census are exact int64; z is one
+    * double chain; p rides A-S quantized 1e-8.
+    *
+    * Scale: only the day aggregation scans fact data — the q206
+    * shape exactly. */
+  def q248MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    // lazy checkpoint: BOTH consumers (pair build and tie census) read
+    // the cut, so the scale-constant window materializes once and the
+    // plan's nested-loop budget stays at the single final 1-row join
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select(signum((col("b.rev") - col("a.rev")).cast("double"))
+        .cast("long").as("sgn"))
+      .localCheckpoint(eager = false)
+    val sAgg = pairs.agg(sum(col("sgn")).as("s_stat"))
+    val ties = recent.groupBy("rev").agg(count(lit(1)).as("tc"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("tc")).as("n"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tie_term"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_term").cast("double")) / 18.0
+    val z = when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s_stat"),
+        (round(z, 4) + 0.0).as("z_mk"),
+        (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"),
+        when(col("s_stat") > 0, lit("increasing"))
+          .when(col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  val q248MannKendallSql: String = {
+    val z = """(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+      | / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * CAST(n AS DOUBLE) + 5)
+      |   - CAST(tie_term AS DOUBLE)) / 18.0)
+      | WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+      | / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * CAST(n AS DOUBLE) + 5)
+      |   - CAST(tie_term AS DOUBLE)) / 18.0)
+      | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |sa AS (
+       |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+       |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |ties AS (
+       |  SELECT COUNT(*) AS n_distinct,
+       |    CAST(SUM(tc) AS BIGINT) AS n,
+       |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT rev, COUNT(*) AS tc FROM rc GROUP BY rev))
+       |SELECT n AS n_days, s_stat,
+       |  ROUND($z, 4) + 0 AS z_mk,
+       |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p,
+       |  CASE WHEN s_stat > 0 THEN 'increasing'
+       |    WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM sa, ties""".stripMargin
+  }
+
+  val q237RunsTestSql: String = {
+    val z = "((CAST(switches + 1 AS DOUBLE) " +
+      "- (2.0 * np * nn / n + 1.0)) " +
+      "/ SQRT(2.0 * np * nn * (2.0 * np * nn - n) / (n * n * (n - 1.0))))"
+    s"""WITH d AS ($dailySql),
+       |dd AS (
+       |  SELECT day, rev, isodow(day) AS dw FROM d),
+       |seas AS (
+       |  SELECT dw, CAST(SUM(rev) AS BIGINT) AS sr, COUNT(*) AS nd
+       |  FROM dd GROUP BY dw),
+       |e AS (
+       |  SELECT day,
+       |    CASE WHEN CAST(FLOOR((CAST(rev AS DOUBLE)
+       |      - CAST(sr AS DOUBLE) / nd) * 1e6 + 0.5) AS BIGINT) >= 0
+       |      THEN 1 ELSE 0 END AS sgn
+       |  FROM dd JOIN seas ON dd.dw = seas.dw),
+       |l AS (
+       |  SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS sp FROM e),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_days,
+       |    CAST(SUM(sgn) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN sp IS NOT NULL AND sp <> sgn THEN 1 ELSE 0
+       |      END) AS BIGINT) AS switches
+       |  FROM l),
+       |c AS (
+       |  SELECT n_days, n_pos, switches,
+       |    CAST(n_pos AS DOUBLE) AS np,
+       |    CAST(n_days - n_pos AS DOUBLE) AS nn,
+       |    CAST(n_days AS DOUBLE) AS n
+       |  FROM agg)
+       |SELECT n_days, n_pos, n_days - n_pos AS n_neg,
+       |  switches + 1 AS runs,
+       |  ROUND($z, 4) + 0 AS z_runs,
+       |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p
+       |FROM c""".stripMargin
+  }
+
+  /** L191 Cox–Stuart trend test (Cox & Stuart 1955 [PK]) on daily
+    * revenue: pair day i with day i+m (m = ⌈n/2⌉; the middle day of an
+    * odd series is unpaired), count increases S⁺ and decreases S⁻
+    * (ties dropped), and z = (S⁺ − S⁻)/√(S⁺+S⁻) — the sign-test trend
+    * check that needs NO distributional assumption at all, the crude
+    * robust sibling of q206's Theil–Sen slope and q248's Mann–Kendall
+    * (M-K weighs all pairs; Cox–Stuart only the half-spaced ones, so
+    * it is immune to seasonal short-range wiggle of period < m).
+    *
+    * Parity: pair differences are exact int64 off the day census;
+    * S⁺/S⁻ exact; z one double chain 4dp; p the shared A-S kernel
+    * quantized 1e-8.
+    *
+    * Scale: the day census rides ONE [[PrefixSum]] index pass; the
+    * half-offset pairing is a census self-join on rn = rn+m (tiny);
+    * no fact-sized window. Guards: S⁺+S⁻ = 0 (all pairs tied) → null. */
+  def q263CoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val d0 = graft.ops.PrefixSum.withPrefixSums(
+      daily(s, dir).select(col("day"), col("rev")),
+      Seq(col("day")), Seq((lit(1L), "rn")))
+      .select(col("rn"), col("rev"))
+      .localCheckpoint(eager = false)
+    val n = d0.agg(max(col("rn")).as("n"))
+    val m = expr("(n + 1) div 2") // integer div — `/` on Columns is double
+    val a = d0.select(col("rn").as("i"), col("rev").as("x1"))
+    val b = d0.select(col("rn").as("j"), col("rev").as("x2"))
+    // LEFT join + in-agg pair mask, not an inner-filtered pair set: on a
+    // degenerate ≤1-pair-free corpus (n=1 ⇒ i ≤ n−m never holds) an agg
+    // over the EMPTY inner join would null n_days/half_offset while the
+    // mirror's scalar subqueries still report the real census values
+    // (r12 ADVICE). The left form keeps every census row in the agg, so
+    // max(n)/max(m) always carry, and s_up/s_dn are pinned to the
+    // mirror's SUM-over-empty NULL via the pair count.
+    val pairs = a.crossJoin(broadcast(n))
+      .withColumn("m", m)
+      .join(b, col("j") === col("i") + col("m") &&
+        col("i") <= col("n") - col("m"), "left")
+    val inPair = col("j").isNotNull
+    val g = pairs.agg(max(col("n")).as("n_days"), max(col("m")).as("m"),
+      sum(when(inPair, 1L).otherwise(0L)).as("np"),
+      sum(when(inPair && col("x2") > col("x1"), 1L).otherwise(0L)).as("su"),
+      sum(when(inPair && col("x2") < col("x1"), 1L).otherwise(0L)).as("sd"))
+    val sUp = when(col("np") === 0, lit(null).cast("long"))
+      .otherwise(col("su"))
+    val sDn = when(col("np") === 0, lit(null).cast("long"))
+      .otherwise(col("sd"))
+    val tot = (sUp + sDn).cast("double")
+    val z = (sUp - sDn).cast("double") / sqrt(tot)
+    g.select(col("n_days"), col("m").as("half_offset"),
+      sUp.as("s_up"), sDn.as("s_dn"),
+      when(tot === 0, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(tot === 0, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q263CoxStuartSql: String = {
+    val z = "(CAST(s_up - s_dn AS DOUBLE) / SQRT(CAST(s_up + s_dn AS DOUBLE)))"
+    s"""WITH d AS ($dailySql),
+       |r AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, rev FROM d),
+       |n AS (SELECT CAST(MAX(rn) AS BIGINT) AS n,
+       |  CAST((MAX(rn) + 1) // 2 AS BIGINT) AS m FROM r),
+       |g AS (
+       |  SELECT (SELECT n FROM n) AS n_days, (SELECT m FROM n) AS m,
+       |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_up,
+       |    CAST(SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_dn
+       |  FROM r a JOIN r b ON b.rn = a.rn + (SELECT m FROM n)
+       |  WHERE a.rn <= (SELECT n - m FROM n))
+       |SELECT n_days, m AS half_offset, s_up, s_dn,
+       |  CASE WHEN s_up + s_dn = 0 THEN NULL
+       |    ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN s_up + s_dn = 0 THEN NULL
+       |    ELSE FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END
+       |    AS p
+       |FROM g""".stripMargin
+  }
+
+  /** L192 turning-points randomness test (Kendall [PK], the classic
+    * "peaks and troughs" check): count STRICT local extrema of the
+    * daily-revenue series (a day beating or undercutting both
+    * neighbors; plateau edges are not turning points — the tie
+    * convention is pinned identically in both engines), with
+    * E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 under the IID null.
+    * Complements q237's runs test (runs sees sign clustering of
+    * residuals; turning points see local oscillation rate of the raw
+    * series — too FEW points means trend/momentum, too many means
+    * antithetic noise).
+    *
+    * Parity: extremum flags are exact int comparisons on the census;
+    * T/E/Var/z one double chain; p the shared A-S kernel at 1e-8.
+    *
+    * Scale: one day-census window (lag/lead over ≤|days| rows), 1-row
+    * algebra. Guards: n < 3 → null. */
+  def q264TurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val d0 = daily(s, dir)
+      .withColumn("xp", lag(col("rev"), 1).over(w))
+      .withColumn("xn", lead(col("rev"), 1).over(w))
+    val tp = when(col("xp").isNotNull && col("xn").isNotNull &&
+      ((col("rev") > col("xp") && col("rev") > col("xn")) ||
+        (col("rev") < col("xp") && col("rev") < col("xn"))), 1L)
+      .otherwise(0L)
+    val g = d0.agg(count(lit(1)).as("n_days"), sum(tp).as("t_points"))
+    val nD = col("n_days").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    val z = (col("t_points").cast("double") - e) / sqrt(v)
+    g.select(col("n_days"), col("t_points"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(round(e, 4) + 0.0).as("expected"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(col("n_days") < 3, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q264TurningPointsSql: String = {
+    val z = "((CAST(t_points AS DOUBLE) - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)" +
+      " / SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0))"
+    s"""WITH d AS ($dailySql),
+       |l AS (
+       |  SELECT rev,
+       |    LAG(rev) OVER (ORDER BY day) AS xp,
+       |    LEAD(rev) OVER (ORDER BY day) AS xn
+       |  FROM d),
+       |g AS (
+       |  SELECT COUNT(*) AS n_days,
+       |    CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+       |      AND ((rev > xp AND rev > xn) OR (rev < xp AND rev < xn))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+       |  FROM l)
+       |SELECT n_days, t_points,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE
+       |    ROUND(2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0, 4) + 0 END
+       |    AS expected,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN n_days < 3 THEN NULL ELSE
+       |    FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END AS p
+       |FROM g""".stripMargin
+  }
+
+  /** L200 Lo–MacKinlay variance-ratio test, q = 5 (Lo & MacKinlay 1988
+    * [PK]): on daily log-revenue returns r_t, VR(5) =
+    * Var(x_t − x_{t−5}) / (5·Var(r_t)) — a random walk gives VR ≈ 1,
+    * momentum VR > 1, mean-reversion VR < 1. The aggregation-horizon
+    * consistency check beside q252's Hurst R/S (H and VR must tell the
+    * same long-memory story; disagreement flags a scale-localized
+    * artifact). z under homoskedasticity: (VR−1)/√(2(2q−1)(q−1)/(3qn)).
+    *
+    * Parity: per-day ln(rev) quantizes to nano-units ONCE (int64); both
+    * return series are exact integer differences of those; variances
+    * ride exact integer power sums (HUGEINT/decimal); VR/z one double
+    * chain. The shared quantized-log base means the two variances can
+    * never drift apart in the last ulp.
+    *
+    * Scale: day census + two lag windows over it; 1-row algebra.
+    * Guards: n < q+2 or zero base variance → null. */
+  def q265VarianceRatio(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = 5
+    val w = Window.orderBy("day")
+    val d0 = daily(s, dir)
+      .withColumn("lx",
+        floor(log(col("rev").cast("double")) * 1e9 + 0.5).cast("long"))
+      .withColumn("r1", col("lx") - lag(col("lx"), 1).over(w))
+      .withColumn("rq", col("lx") - lag(col("lx"), q).over(w))
+    val g = d0.agg(
+      sum(when(col("r1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(col("r1").cast(dec)).as("s1"),
+      sum(col("r1").cast(dec) * col("r1").cast(dec)).as("q1"),
+      sum(when(col("rq").isNotNull, 1L).otherwise(0L)).as("nq"),
+      sum(col("rq").cast(dec)).as("sq"),
+      sum(col("rq").cast(dec) * col("rq").cast(dec)).as("qq"))
+    val n1 = col("n1").cast("double")
+    val nq = col("nq").cast("double")
+    val v1 = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n1) / n1
+    val vq = (col("qq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double") / nq) / nq
+    val vr = vq / (lit(q.toDouble) * v1)
+    val z = (vr - 1.0) / sqrt(lit(2.0 * (2 * q - 1) * (q - 1)) /
+      (lit(3.0 * q) * n1))
+    val bad = col("n1") < q + 2 || v1 <= 0.0 || col("nq") < 2
+    g.select(col("n1").as("n_returns"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(vr, 6) + 0.0).as("vr5"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(z, 4) + 0.0).as("z"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"))
+  }
+
+  val q265VarianceRatioSql: String = {
+    val v1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+      " / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE))"
+    val vq = "((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)" +
+      " / CAST(nq AS DOUBLE)) / CAST(nq AS DOUBLE))"
+    val vr = s"($vq / (5.0 * $v1))"
+    val z = s"(($vr - 1.0) / SQRT(2.0 * 9.0 * 4.0 / (15.0 * CAST(n1 AS DOUBLE))))"
+    s"""WITH d AS ($dailySql),
+       |l AS (
+       |  SELECT CAST(FLOOR(ln(CAST(rev AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |    AS lx, day
+       |  FROM d),
+       |r AS (
+       |  SELECT lx - LAG(lx, 1) OVER (ORDER BY day) AS r1,
+       |    lx - LAG(lx, 5) OVER (ORDER BY day) AS rq
+       |  FROM l),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    SUM(CAST(r1 AS HUGEINT)) AS s1,
+       |    SUM(CAST(r1 AS HUGEINT) * r1) AS q1,
+       |    CAST(SUM(CASE WHEN rq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nq,
+       |    SUM(CAST(rq AS HUGEINT)) AS sq,
+       |    SUM(CAST(rq AS HUGEINT) * rq) AS qq
+       |  FROM r)
+       |SELECT n1 AS n_returns,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE ROUND($vr, 6) + 0 END AS vr5,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE ROUND($z, 4) + 0 END AS z,
+       |  CASE WHEN n1 < 7 OR $v1 <= 0.0 OR nq < 2 THEN NULL
+       |    ELSE FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END
+       |    AS p
+       |FROM g""".stripMargin
+  }
+
+  /** L202 Hodges–Lehmann location estimate (Hodges & Lehmann 1963
+    * [PK]) of recent daily revenue: the median of all Walsh averages
+    * (xᵢ+xⱼ)/2, i ≤ j, over the trailing-365-day window — the
+    * estimator the Wilcoxon family (q260) inverts, ~30% more
+    * efficient than the plain median under near-normal noise and
+    * still 29%-breakdown robust. Reported beside the plain median so
+    * the gap itself is the skew diagnostic.
+    *
+    * Parity: Walsh sums xᵢ+xⱼ are exact int64; both medians are the
+    * A10 exact-percentile contract (quantile_cont), displayed /2 at
+    * 2dp. The plain median reads the DIAGONAL pairs (i = j, where
+    * walsh = 2·rev) out of the same pair set — no separate
+    * median-attach join.
+    *
+    * Scale: the q211/q251 checkpointed bounded pair build (≤365-day
+    * census → ≤67k pairs — scale-constant); one exact percentile over
+    * it. */
+  def q262HodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") <= col("b.t"))
+      .select((col("a.rev") + col("b.rev")).as("walsh"),
+        (col("a.t") === col("b.t")).as("diag"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(walsh, 0.5)").as("wmed"),
+      expr("percentile(CASE WHEN diag THEN walsh END, 0.5)").as("dmed"))
+      .select(col("n_pairs"),
+        (round(col("wmed") / 2.0, 2) + 0.0).as("hodges_lehmann"),
+        (round(col("dmed") / 2.0, 2) + 0.0).as("plain_median"))
+  }
+
+  val q262HodgesLehmannSql: String =
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |p AS (
+       |  SELECT a.rev + b.rev AS walsh, a.t = b.t AS diag
+       |  FROM rc a JOIN rc b ON a.t <= b.t),
+       |g AS (SELECT COUNT(*) AS n_pairs,
+       |  quantile_cont(walsh, 0.5) AS wmed,
+       |  quantile_cont(CASE WHEN diag THEN walsh END, 0.5) AS dmed
+       |  FROM p)
+       |SELECT n_pairs,
+       |  ROUND(wmed / 2.0, 2) + 0 AS hodges_lehmann,
+       |  ROUND(dmed / 2.0, 2) + 0 AS plain_median
+       |FROM g""".stripMargin
+}
