@@ -1327,4 +1327,20 @@ class NonDegeneracySpec extends SparkSpec {
       }
     }
   }
+
+  test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
+    // r14 backport of the non-degeneracy rule to the r1 set (verdict
+    // mandate #3): the original q7 "customers but no suppliers" was 0
+    // rows at EVERY SF, and q8's whole-table intersect returned the
+    // full 25-nation domain — each proved its operator ran but not
+    // that it selected anything. The top-20 form is scale-invariant
+    // (constant-size input sets); both results must be non-empty AND
+    // proper subsets of the nation domain at both fixture SFs.
+    Seq(sf001, sf0001).foreach { sf =>
+      val ex = run("q7_nation_except", sf).count()
+      assert(ex > 0L && ex < 25L, s"degenerate EXCEPT at $sf: $ex rows")
+      val in = run("q8_nation_intersect", sf).count()
+      assert(in > 0L && in < 25L, s"degenerate INTERSECT at $sf: $in rows")
+    }
+  }
 }
