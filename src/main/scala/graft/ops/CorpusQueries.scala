@@ -948,4 +948,101 @@ object CorpusQueries {
       |  FLOOR(CAST(w9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS dsir_logw,
       |  CASE WHEN w9 > 0 THEN 1 ELSE 0 END AS target_like
       |FROM pd ORDER BY doc_id""".stripMargin
+
+  /** L254 script-aware fertility panel: the q319 byte/char fertility
+    * statistics over a MULTI-BYTE corpus — the round-13 verdict's
+    * mandate #4. The fixture text is ASCII by construction (q319 pins
+    * `bytes ≡ chars` as the fixture contract), so the bytes-vs-chars
+    * distinction the fertility panel exists to measure was vacuous in
+    * every oracle-gated path. This query restores the distinction
+    * END-TO-END: a deterministic per-language transliteration layer
+    * (the `lang` column already CLAIMS de/es/fr/zh — the text just
+    * never matched) maps a fixed character set into each language's
+    * script — umlauts/ß for de, acute-accented vowels + ñ for es,
+    * grave/cedilla for fr, and an 18-consonant-and-vowel CJK mapping
+    * for zh (3-byte UTF-8) — then computes the fertility panel on the
+    * transliterated text in BOTH engines, so tokenizer, char-length,
+    * and byte-length semantics on multi-byte input are all
+    * oracle-checked at both SFs.
+    *
+    * The mappings are codepoint-1:1 and space-free, so token counts
+    * and char counts are IDENTICAL to the ASCII corpus — only bytes
+    * inflate, by a per-script factor the NonDegeneracySpec pin orders:
+    * en = 1.0 < {de, es, fr} < 2.0 < zh. Injective per language
+    * (distinct targets outside the ASCII source alphabet), so type
+    * counts are preserved too.
+    *
+    * Parity: Spark `translate` and DuckDB `translate` both map per
+    * codepoint; `length` counts codepoints and `octet_length`/
+    * `strlen` count UTF-8 bytes in both engines. Ratios ride the q319
+    * exact half-up integer division at 4dp.
+    *
+    * Scale: one map-side transliteration + one ≤|langs|-group agg —
+    * the q319 plan with a codegen'd string map fused into the scan. */
+  def q320ScriptFertility(s: SparkSession, dir: String): DataFrame = {
+    val xt = when(col("lang") === "de",
+        translate(col("text"), "aous", "\u00e4\u00f6\u00fc\u00df"))
+      .when(col("lang") === "es",
+        translate(col("text"), "aeion", "\u00e1\u00e9\u00ed\u00f3\u00f1"))
+      .when(col("lang") === "fr",
+        translate(col("text"), "aeicu", "\u00e0\u00e9\u00e8\u00e7\u00fb"))
+      .when(col("lang") === "zh",
+        translate(col("text"), "aeioubcdfghlmnprst",
+          "\u4e00\u4e8c\u4e09\u56db\u4e94\u516d\u4e03\u516b\u4e5d\u5341" +
+          "\u4eba\u5927\u5c0f\u4e2d\u4e0a\u4e0b\u5de6\u53f3"))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(tokens(xt)).cast("long").as("tk"),
+        length(xt).cast("long").as("ch"),
+        octet_length(xt).cast("long").as("by"))
+    val base = d.groupBy("lang").agg(count(lit(1)).as("nd"),
+      sum(col("tk")).as("stk"), sum(col("ch")).as("sch"),
+      sum(col("by")).as("sby"))
+    def hu4(num: Column, den: Column): Column = {
+      val h = num * 20000L + den
+      val d2 = den * 2L
+      ((h - pmod(h, d2)) / d2).cast("long").cast("double") / 1e4
+    }
+    base.select(col("lang"), col("nd").cast("long").as("n_docs"),
+        col("stk").cast("long").as("n_tokens"),
+        hu4(col("sch"), col("stk")).as("chars_per_token"),
+        hu4(col("sby"), col("stk")).as("bytes_per_token"),
+        hu4(col("sby"), col("sch")).as("bytes_per_char"))
+      .orderBy("lang")
+  }
+
+  val q320ScriptFertilitySql: String =
+    """WITH xd AS (
+      |  SELECT lang,
+      |    CASE lang
+      |      WHEN 'de' THEN translate(text, 'aous',
+      |        '\u00e4\u00f6\u00fc\u00df')
+      |      WHEN 'es' THEN translate(text, 'aeion',
+      |        '\u00e1\u00e9\u00ed\u00f3\u00f1')
+      |      WHEN 'fr' THEN translate(text, 'aeicu',
+      |        '\u00e0\u00e9\u00e8\u00e7\u00fb')
+      |      WHEN 'zh' THEN translate(text, 'aeioubcdfghlmnprst',
+      |        '\u4e00\u4e8c\u4e09\u56db\u4e94\u516d\u4e03\u516b\u4e5d\u5341\u4eba\u5927\u5c0f\u4e2d\u4e0a\u4e0b\u5de6\u53f3')
+      |      ELSE text END AS xt
+      |  FROM documents),
+      |d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(xt, ' ')) AS BIGINT) AS tk,
+      |    CAST(length(xt) AS BIGINT) AS ch,
+      |    CAST(strlen(xt) AS BIGINT) AS by
+      |  FROM xd),
+      |base AS (
+      |  SELECT lang, COUNT(*) AS nd, CAST(SUM(tk) AS BIGINT) AS stk,
+      |    CAST(SUM(ch) AS BIGINT) AS sch, CAST(SUM(by) AS BIGINT) AS sby
+      |  FROM d GROUP BY lang)
+      |SELECT lang, nd AS n_docs, stk AS n_tokens,
+      |  CAST((sch * 20000 + stk) // (stk * 2) AS DOUBLE) / 1e4
+      |    AS chars_per_token,
+      |  CAST((sby * 20000 + stk) // (stk * 2) AS DOUBLE) / 1e4
+      |    AS bytes_per_token,
+      |  CAST((sby * 20000 + sch) // (sch * 2) AS DOUBLE) / 1e4
+      |    AS bytes_per_char
+      |FROM base
+      |ORDER BY lang""".stripMargin
 }

@@ -1328,6 +1328,29 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q320: the multi-byte corpus genuinely separates bytes from chars") {
+    // r14 (verdict mandate #4): q319 pins bytes ≡ chars as the ASCII
+    // fixture contract — which makes the statistic it exists to
+    // measure vacuous. q320's transliteration layer must RESTORE the
+    // distinction with the designed per-script ordering: the ASCII
+    // control at exactly 1.0, the 2-byte Latin scripts strictly
+    // between, and the 3-byte CJK mapping past 2 bytes/char.
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q320_script_fertility", sf).collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Double]("bytes_per_char"))
+        .toMap
+      assert(rows.keySet === Set("de", "en", "es", "fr", "zh"),
+        s"language census short at $sf: ${rows.keySet}")
+      assert(rows("en") === 1.0, s"ASCII control drifted at $sf")
+      Seq("de", "es", "fr").foreach { l =>
+        assert(rows(l) > 1.1 && rows(l) < 2.0,
+          s"$l byte inflation out of the 2-byte Latin band at $sf: ${rows(l)}")
+      }
+      assert(rows("zh") > 2.0 && rows("zh") <= 3.0,
+        s"zh byte inflation out of the CJK band at $sf: ${rows("zh")}")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0
