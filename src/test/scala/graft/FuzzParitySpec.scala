@@ -28,13 +28,16 @@ import scala.sys.process._
   *
   * The whole query surface (313 as of r13) runs per-seed via
   * `scripts/fuzz.sh <seed>` — persisted each round as FUZZ_r{N}.json
-  * (`scripts/fuzz_round.sh`); this spec pins a 20-query cut on every
+  * (`scripts/fuzz_round.sh`); this spec pins a 32-query cut on every
   * seed so the harness cannot rot. The cut ROTATES with the seed (r12
   * verdict mandate #4): eight historically-bitten kernels anchor every
-  * seed, and the remaining twelve slots walk the full sorted query list
-  * at a seed-striped offset, so over the ten seeds 120 further queries
-  * get standing adversarial coverage, and the window shifts as the
-  * surface grows. Skips (does not fail) when python3 with
+  * seed, and the remaining TWENTY-FOUR slots (r14, doubled per the r13
+  * verdict — at 12 a new query waited ~25 seeds for standing coverage;
+  * the suite already runs ~26 min so the marginal cost is small) walk
+  * the full sorted query list at a seed-striped offset, so over the
+  * ten seeds 240 further queries get standing adversarial coverage,
+  * and the window shifts as the surface grows. Skips (does not fail)
+  * when python3 with
   * duckdb+pandas is absent — the harness is a dev/CI asset, not a
   * library dependency.
   */
@@ -50,8 +53,8 @@ class FuzzParitySpec extends SparkSpec {
   private def queriesUnderFuzz(seed: Long): Seq[String] = {
     val all = SparkEntry.oracleSql.keys.toSeq.sorted
     val rest = all.filterNot(coreKernels.contains)
-    val rotated = (0 until 12).map(i =>
-      rest(((seed - 1) * 12 + i).toInt % rest.size))
+    val rotated = (0 until 24).map(i =>
+      rest(((seed - 1) * 24 + i).toInt % rest.size))
     coreKernels ++ rotated.distinct
   }
 
@@ -95,7 +98,7 @@ class FuzzParitySpec extends SparkSpec {
   }
 
   (1L to 10L).foreach { seed =>
-    test(s"fuzz seed $seed: rotating 20-kernel cut hash-matches DuckDB " +
+    test(s"fuzz seed $seed: rotating 32-kernel cut hash-matches DuckDB " +
         "on adversarial data") {
       assume(pythonOk, "python3 with duckdb+pandas not available")
       val (rc, log) = runSeed(seed)

@@ -151,7 +151,14 @@ class ScaleCurveSpec extends SparkSpec {
       // saturate under copying); q313's word-ratio join is vocab-keyed
       // (Heaps-capped — the per-doc side grows linearly); q304's grid
       // stays 30×|sources| so only the term census scales
-      "q300_kneser_ney", "q313_dsir_weights", "q304_burrows_delta")
+      "q300_kneser_ney", "q313_dsir_weights", "q304_burrows_delta",
+      // round-14 (r13 verdict mandate #6): the regression-inference
+      // stack's scale story — exact DECIMAL Gram moments + a 1-row
+      // adjugate broadcast back onto the per-order census — was argued
+      // in comments but never measured. q316 is the family's heaviest
+      // member (census + running count + 3-row α broadcast); its only
+      // data-sized stage is the |e|-census, so growth must stay ~linear
+      "q316_conformal")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
