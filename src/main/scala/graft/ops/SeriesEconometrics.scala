@@ -1,0 +1,708 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SeriesStats.{daily, dailySql, daily2, daily2Sql}
+
+/** Econometric screens on the daily order series (round 14): Granger
+  * causality (q321), Newey–West HAC inference (q322), classical
+  * seasonal decomposition (q323), Diebold–Mariano forecast comparison
+  * (q324), and Engle's ARCH LM volatility-clustering test (q325).
+  *
+  * All five ride the [[SeriesStats]] base: the day-level census is
+  * scale-CONSTANT (the fixture date range is fixed), so every
+  * statistic here is one fact-scan day aggregation followed by
+  * bounded-census windows/aggregates — the only SF-growing stage is
+  * the map-side day rollup. Regressions reuse the q298 discipline:
+  * exact DECIMAL(38) moment sums, closed-form 2×2 / symmetric-adjugate
+  * 3×3 solves in ONE fixed double chain, outputs floor-quantized at
+  * 6dp (4dp for revenue-unit values) so both engines emit identical
+  * bits. No matrix library, no iteration, no driver action.
+  */
+object SeriesEconometrics {
+
+  private val dec = "decimal(38,0)"
+  private def rnd6(c: Column): Column =
+    (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+  private def rnd4(c: Column): Column =
+    (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+
+  /** L255 Granger-causality screen, lag 1, both directions ([PK]
+    * Granger 1969): does yesterday's ORDER COUNT improve today's
+    * revenue forecast beyond yesterday's revenue (and vice versa)?
+    * For each direction, F = ((RSS_r − RSS_u)/1)/(RSS_u/(n−3))
+    * comparing the unrestricted a_t = β₀ + β₁·a_{t−1} + β₂·x_{t−1}
+    * against the own-lag-only restriction — the standard bivariate
+    * lead–lag screen run before trusting a covariate in a forecasting
+    * mix.
+    *
+    * Parity: the 14 cross-moments of (rev_t, cnt_t, rev_{t−1},
+    * cnt_{t−1}) are exact DECIMAL(38) sums over the day census; both
+    * RSS come from the closed-form moment identities (RSS = Syy −
+    * β'X'y — no residual pass), the 3×3 solve is the q298 symmetric
+    * adjugate, and each F/β is one fixed double chain quantized 6dp.
+    *
+    * Scale: one fact-scan day rollup; a single ROW lag window and one
+    * 14-moment agg over the ~2,400-row census. Guards: n < 5,
+    * singular Gram, or RSS_u ≤ 0 → null F. */
+  def q321Granger(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val l = daily2(s, dir)
+      .select(col("day"), col("rev").as("a"), col("cnt").as("b"),
+        lag(col("rev"), 1).over(w).as("p"),
+        lag(col("cnt"), 1).over(w).as("q"))
+      .filter(col("p").isNotNull)
+    def d(c: String) = col(c).cast(dec)
+    val m = l.agg(count(lit(1)).as("n"),
+      sum(d("a")).as("sa"), sum(d("b")).as("sb"),
+      sum(d("p")).as("sp"), sum(d("q")).as("sq"),
+      sum(d("a") * d("a")).as("saa"), sum(d("b") * d("b")).as("sbb"),
+      sum(d("p") * d("p")).as("spp"), sum(d("q") * d("q")).as("sqq"),
+      sum(d("a") * d("p")).as("sap"), sum(d("a") * d("q")).as("saq"),
+      sum(d("b") * d("p")).as("sbp"), sum(d("b") * d("q")).as("sbq"),
+      sum(d("p") * d("q")).as("spq"))
+    def f(c: String) = col(c).cast("double")
+    val (n, sp, sq) = (f("n"), f("sp"), f("sq"))
+    val (spp, sqq, spq) = (f("spp"), f("sqq"), f("spq"))
+    // shared regressor adjugate (intercept, p, q) — q298 form
+    val c00 = spp * sqq - spq * spq
+    val c01 = -(sp * sqq - spq * sq)
+    val c02 = sp * spq - spp * sq
+    val c11 = n * sqq - sq * sq
+    val c12 = -(n * spq - sp * sq)
+    val c22 = n * spp - sp * sp
+    val det = n * c00 + sp * c01 + sq * c02
+    // unrestricted RSS for target (sy, syP, syQ, syy); restricted RSS
+    // for the own-lag simple regression (sx, sxx, syx cross-moment)
+    def rssU(sy: Column, syp: Column, syq: Column, syy: Column) = {
+      val b0 = (c00 * sy + c01 * syp + c02 * syq) / det
+      val b1 = (c01 * sy + c11 * syp + c12 * syq) / det
+      val b2 = (c02 * sy + c12 * syp + c22 * syq) / det
+      (syy - (b0 * sy + b1 * syp + b2 * syq), b2)
+    }
+    def rssR(sy: Column, sx: Column, sxx: Column, syx: Column,
+        syy: Column) = {
+      val den = n * sxx - sx * sx
+      val b = (n * syx - sx * sy) / den
+      val a0 = (sy - b * sx) / n
+      syy - a0 * sy - b * syx
+    }
+    // direction 1: lagged COUNT helps revenue (target a; own lag p)
+    val (u1, beta1) = rssU(f("sa"), f("sap"), f("saq"), f("saa"))
+    val r1 = rssR(f("sa"), sp, spp, f("sap"), f("saa"))
+    // direction 2: lagged REVENUE helps count (target b; own lag q)
+    val u2 = rssU(f("sb"), f("sbp"), f("sbq"), f("sbb"))._1
+    val r2 = rssR(f("sb"), sq, sqq, f("sbq"), f("sbb"))
+    // direction 2's cross coefficient is the P (lagged revenue) one
+    val beta2 = (c01 * f("sb") + c11 * f("sbp") + c12 * f("sbq")) / det
+    val bad1 = col("n") < 5L || det === 0.0 || u1 <= 0.0
+    val bad2 = col("n") < 5L || det === 0.0 || u2 <= 0.0
+    m.select(col("n").cast("long").as("n_eff"),
+      when(bad1, lit(null).cast("double"))
+        .otherwise(rnd6((r1 - u1) / (u1 / (n - 3.0)))).as("f_cnt_to_rev"),
+      when(bad1, lit(null).cast("double"))
+        .otherwise(rnd6(beta1)).as("beta_lag_cnt"),
+      when(bad2, lit(null).cast("double"))
+        .otherwise(rnd6((r2 - u2) / (u2 / (n - 3.0)))).as("f_rev_to_cnt"),
+      when(bad2, lit(null).cast("double"))
+        .otherwise(rnd6(beta2 * 1e6)).as("beta_lag_rev_ppm"))
+  }
+
+  val q321GrangerSql: String =
+    s"""WITH d AS ($daily2Sql),
+       |l0 AS (
+       |  SELECT rev AS a, cnt AS b,
+       |    LAG(rev) OVER (ORDER BY day) AS p,
+       |    LAG(cnt) OVER (ORDER BY day) AS q
+       |  FROM d),
+       |l AS (SELECT * FROM l0 WHERE p IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(a) AS HUGEINT) AS sa, CAST(SUM(b) AS HUGEINT) AS sb,
+       |    CAST(SUM(p) AS HUGEINT) AS sp, CAST(SUM(q) AS HUGEINT) AS sq,
+       |    CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+       |    CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+       |    CAST(SUM(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+       |    CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+       |    CAST(SUM(CAST(a AS HUGEINT) * p) AS HUGEINT) AS sap,
+       |    CAST(SUM(CAST(a AS HUGEINT) * q) AS HUGEINT) AS saq,
+       |    CAST(SUM(CAST(b AS HUGEINT) * p) AS HUGEINT) AS sbp,
+       |    CAST(SUM(CAST(b AS HUGEINT) * q) AS HUGEINT) AS sbq,
+       |    CAST(SUM(CAST(p AS HUGEINT) * q) AS HUGEINT) AS spq
+       |  FROM l),
+       |adj AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nf,
+       |    CAST(spp AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(spq AS DOUBLE) * CAST(spq AS DOUBLE) AS c00,
+       |    -(CAST(sp AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(spq AS DOUBLE) * CAST(sq AS DOUBLE)) AS c01,
+       |    CAST(sp AS DOUBLE) * CAST(spq AS DOUBLE)
+       |      - CAST(spp AS DOUBLE) * CAST(sq AS DOUBLE) AS c02,
+       |    CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS c11,
+       |    -(CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+       |      - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE)) AS c12,
+       |    CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+       |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS c22
+       |  FROM m),
+       |dt AS (
+       |  SELECT *, nf * c00 + CAST(sp AS DOUBLE) * c01
+       |    + CAST(sq AS DOUBLE) * c02 AS det
+       |  FROM adj),
+       |fs AS (
+       |  SELECT *,
+       |    CAST(saa AS DOUBLE)
+       |      - ((c00 * CAST(sa AS DOUBLE) + c01 * CAST(sap AS DOUBLE)
+       |          + c02 * CAST(saq AS DOUBLE)) / det * CAST(sa AS DOUBLE)
+       |        + (c01 * CAST(sa AS DOUBLE) + c11 * CAST(sap AS DOUBLE)
+       |          + c12 * CAST(saq AS DOUBLE)) / det * CAST(sap AS DOUBLE)
+       |        + (c02 * CAST(sa AS DOUBLE) + c12 * CAST(sap AS DOUBLE)
+       |          + c22 * CAST(saq AS DOUBLE)) / det * CAST(saq AS DOUBLE))
+       |      AS u1,
+       |    (c02 * CAST(sa AS DOUBLE) + c12 * CAST(sap AS DOUBLE)
+       |      + c22 * CAST(saq AS DOUBLE)) / det AS beta1,
+       |    CAST(saa AS DOUBLE)
+       |      - (CAST(sa AS DOUBLE) - (nf * CAST(sap AS DOUBLE)
+       |          - CAST(sp AS DOUBLE) * CAST(sa AS DOUBLE))
+       |          / (nf * CAST(spp AS DOUBLE)
+       |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+       |          * CAST(sp AS DOUBLE)) / nf * CAST(sa AS DOUBLE)
+       |      - (nf * CAST(sap AS DOUBLE)
+       |          - CAST(sp AS DOUBLE) * CAST(sa AS DOUBLE))
+       |        / (nf * CAST(spp AS DOUBLE)
+       |          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+       |        * CAST(sap AS DOUBLE) AS r1,
+       |    CAST(sbb AS DOUBLE)
+       |      - ((c00 * CAST(sb AS DOUBLE) + c01 * CAST(sbp AS DOUBLE)
+       |          + c02 * CAST(sbq AS DOUBLE)) / det * CAST(sb AS DOUBLE)
+       |        + (c01 * CAST(sb AS DOUBLE) + c11 * CAST(sbp AS DOUBLE)
+       |          + c12 * CAST(sbq AS DOUBLE)) / det * CAST(sbp AS DOUBLE)
+       |        + (c02 * CAST(sb AS DOUBLE) + c12 * CAST(sbp AS DOUBLE)
+       |          + c22 * CAST(sbq AS DOUBLE)) / det * CAST(sbq AS DOUBLE))
+       |      AS u2,
+       |    (c01 * CAST(sb AS DOUBLE) + c11 * CAST(sbp AS DOUBLE)
+       |      + c12 * CAST(sbq AS DOUBLE)) / det AS beta2,
+       |    CAST(sbb AS DOUBLE)
+       |      - (CAST(sb AS DOUBLE) - (nf * CAST(sbq AS DOUBLE)
+       |          - CAST(sq AS DOUBLE) * CAST(sb AS DOUBLE))
+       |          / (nf * CAST(sqq AS DOUBLE)
+       |            - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+       |          * CAST(sq AS DOUBLE)) / nf * CAST(sb AS DOUBLE)
+       |      - (nf * CAST(sbq AS DOUBLE)
+       |          - CAST(sq AS DOUBLE) * CAST(sb AS DOUBLE))
+       |        / (nf * CAST(sqq AS DOUBLE)
+       |          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+       |        * CAST(sbq AS DOUBLE) AS r2
+       |  FROM dt)
+       |SELECT CAST(n AS BIGINT) AS n_eff,
+       |  CASE WHEN n < 5 OR det = 0 OR u1 <= 0 THEN NULL
+       |    ELSE FLOOR((r1 - u1) / (u1 / (nf - 3.0)) * 1e6 + 0.5) / 1e6 + 0
+       |    END AS f_cnt_to_rev,
+       |  CASE WHEN n < 5 OR det = 0 OR u1 <= 0 THEN NULL
+       |    ELSE FLOOR(beta1 * 1e6 + 0.5) / 1e6 + 0 END AS beta_lag_cnt,
+       |  CASE WHEN n < 5 OR det = 0 OR u2 <= 0 THEN NULL
+       |    ELSE FLOOR((r2 - u2) / (u2 / (nf - 3.0)) * 1e6 + 0.5) / 1e6 + 0
+       |    END AS f_rev_to_cnt,
+       |  CASE WHEN n < 5 OR det = 0 OR u2 <= 0 THEN NULL
+       |    ELSE FLOOR(beta2 * 1e6 * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS beta_lag_rev_ppm
+       |FROM fs""".stripMargin
+
+  /** L256 Newey–West HAC inference for the daily-revenue mean ([PK]
+    * Newey & West 1987): the long-run variance γ₀ + 2Σ_{l≤7} w_l·γ_l
+    * with Bartlett weights w_l = 1 − l/8, reported beside the naive
+    * iid variance so the autocorrelation-driven SE inflation of the
+    * "average daily revenue" KPI is visible — the number every
+    * day-aggregated dashboard quotes with the WRONG error bar when
+    * days are serially dependent (q208 measures the ACF; this prices
+    * it).
+    *
+    * Parity: each γ_l rides the q208 exact-moment identity — the
+    * lag-overlap sums Σy_t·y_{t−l}, the two boundary sums and the
+    * overlap count are exact DECIMAL/HUGEINT; the demeaning, Bartlett
+    * combination, and t-statistics are one fixed double chain,
+    * quantized 6dp (mean 4dp).
+    *
+    * Scale: one day rollup; 7 lag columns from ONE window sort
+    * (q208's stack form) and a ≤8-group agg. */
+  def q322NeweyWest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val d0 = daily(s, dir)
+    val withLags = d0.select(
+      (col("rev") +: (1 to 7).map(k =>
+        lag(col("rev"), k).over(w).as(s"x$k"))): _*)
+    val stackExpr = (1 to 7)
+      .map(k => s"${k}L, x$k").mkString("stack(7, ", ", ", ")")
+    val lags = withLags
+      .select(col("rev").as("y"), expr(s"$stackExpr as (lag, x)"))
+      .filter(col("x").isNotNull)
+    def d(c: Column) = c.cast(dec)
+    val perLag = lags.groupBy("lag").agg(count(lit(1)).as("m"),
+      sum(d(col("y")) * d(col("x"))).as("sxy"),
+      sum(d(col("y"))).as("syh"), sum(d(col("x"))).as("sxt"))
+    val tot = d0.agg(count(lit(1)).as("n"), sum(d(col("rev"))).as("s"),
+      sum(d(col("rev")) * d(col("rev"))).as("q"))
+    def f(c: String) = col(c).cast("double")
+    val j = perLag.crossJoin(broadcast(tot))
+    val mean = f("s") / f("n")
+    // γ_l = (Σxy − ȳ(Σy_head + Σx_tail) + m·ȳ²)/n  (statsmodels'
+    // 1/n convention); Bartlett weight 1 − l/8
+    val gamma = (f("sxy") - mean * (f("syh") + f("sxt")) +
+      f("m") * mean * mean) / f("n")
+    val wl = lit(1.0) - f("lag") / 8.0
+    // quantize each lag's Bartlett term RELATIVE to γ₀ at nano-units
+    // before the cross-lag sum (q179/q185 convention, normalized:
+    // Spark's floor(double) returns LONG and saturates at ±2⁶³ on the
+    // raw covariance scale — γ_l/γ₀ is O(1) at every SF, so the
+    // 7-term tail is an exact integer sum in both engines)
+    val g0j = (f("q") - f("s") * f("s") / f("n")) / f("n")
+    val term9 = floor(gamma / g0j * wl * 2.0 * 1e9 + 0.5).cast("long")
+    val g = j.agg(max(col("n")).as("n"), max(col("s")).as("s"),
+      max(col("q")).as("q"),
+      (sum(term9).cast("double") / 1e9).as("relTail"))
+    val n = f("n")
+    val mu = f("s") / n
+    val g0 = (f("q") - f("s") * f("s") / n) / n
+    val lrv = g0 * (lit(1.0) + col("relTail"))
+    val seIid = sqrt(g0 / n)
+    val seHac = sqrt(lrv / n)
+    g.select(col("n").cast("long").as("n_days"), rnd4(mu).as("mean_rev"),
+      rnd6(g0).as("gamma0"),
+      when(lrv <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd6(lrv)).as("long_run_var"),
+      when(g0 <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd6(mu / seIid)).as("t_iid"),
+      when(lrv <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd6(mu / seHac)).as("t_hac"))
+  }
+
+  val q322NeweyWestSql: String =
+    s"""WITH d AS ($dailySql),
+       |lg AS (
+       |  SELECT l.lag, rev AS y,
+       |    LAG(rev, l.lag) OVER (PARTITION BY l.lag ORDER BY day) AS x
+       |  FROM d CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l),
+       |pl AS (
+       |  SELECT lag, COUNT(*) AS m,
+       |    CAST(SUM(CAST(y AS HUGEINT) * x) AS HUGEINT) AS sxy,
+       |    CAST(SUM(y) AS HUGEINT) AS syh, CAST(SUM(x) AS HUGEINT) AS sxt
+       |  FROM lg WHERE x IS NOT NULL GROUP BY lag),
+       |tot AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(rev) AS HUGEINT) AS s,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS q
+       |  FROM d),
+       |g AS (
+       |  SELECT MAX(n) AS n, MAX(s) AS s, MAX(q) AS q,
+       |    CAST(SUM(CAST(FLOOR((CAST(sxy AS DOUBLE)
+       |        - CAST(s AS DOUBLE) / n * (CAST(syh AS DOUBLE)
+       |          + CAST(sxt AS DOUBLE))
+       |        + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+       |      / n
+       |      / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |        * CAST(s AS DOUBLE) / n) / n)
+       |      * (1.0 - lag / 8.0) * 2.0 * 1e9 + 0.5) AS HUGEINT))
+       |      AS DOUBLE) / 1e9 AS rel_tail
+       |  FROM pl CROSS JOIN tot),
+       |g2 AS (
+       |  SELECT n, s, rel_tail,
+       |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |      * CAST(s AS DOUBLE) / n) / n AS g0,
+       |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |      * CAST(s AS DOUBLE) / n) / n * (1.0 + rel_tail) AS lrv
+       |  FROM g)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  FLOOR(CAST(s AS DOUBLE) / n * 1e4 + 0.5) / 1e4 + 0 AS mean_rev,
+       |  FLOOR(g0 * 1e6 + 0.5) / 1e6 + 0 AS gamma0,
+       |  CASE WHEN lrv <= 0 THEN NULL
+       |    ELSE FLOOR(lrv * 1e6 + 0.5) / 1e6 + 0 END AS long_run_var,
+       |  CASE WHEN g0 <= 0 THEN NULL
+       |    ELSE FLOOR(CAST(s AS DOUBLE) / n / SQRT(g0 / n) * 1e6 + 0.5)
+       |      / 1e6 + 0 END AS t_iid,
+       |  CASE WHEN lrv <= 0 THEN NULL
+       |    ELSE FLOOR(CAST(s AS DOUBLE) / n / SQRT(lrv / n) * 1e6 + 0.5)
+       |      / 1e6 + 0 END AS t_hac
+       |FROM g2""".stripMargin
+
+  /** L257 classical additive seasonal decomposition ([PK] the
+    * centered-moving-average method behind `decompose()`; strength
+    * per Wang, Smith & Hyndman 2006): trend = centered 7-day MA,
+    * seasonal = day-of-week means of the detrended series, and the
+    * seasonality STRENGTH 1 − var(remainder)/var(detrended). Because
+    * the per-dow seasonal estimate IS the dow group mean, the
+    * remainder variance is EXACTLY the within-dow variance, so the
+    * strength is the ANOVA decomposition 1 − SSW/SST on the
+    * (dow, detrended) census — no per-row remainder pass needed.
+    * Output: 7 ISO-weekday rows (seasonal index in dollars, days
+    * observed) with the strength repeated — the standing "is this
+    * series worth a seasonal model?" census. (The textbook re-centers
+    * the 7 indices to sum to zero; the centered-MA detrending already
+    * leaves their mean ≈ 0, and skipping the re-centering keeps every
+    * output a SINGLE exact-integer division — the grand detrended
+    * mean is reported instead so the reader can re-center at will.)
+    *
+    * Parity: the full-window MA keeps sums exact int64; the detrended
+    * series is held in EXACT SEVENTHS — d7 = 7·rev − Σwindow is an
+    * integer — so per-dow (count, Σd7, Σd7²) are exact DECIMAL and
+    * each output is one double chain on exact ints. The 7 within-dow
+    * SS terms are quantized to integer milli-units BEFORE the
+    * cross-dow sum (the q179/q185 convention), keeping the strength
+    * partition-order independent.
+    *
+    * Scale: one day rollup; one 7-row centered window pass and a
+    * 7-row dow census. */
+  def q323SeasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily(s, dir)
+      .withColumn("k", count(lit(1)).over(w7))
+      .withColumn("sw", sum(col("rev")).over(w7))
+      .filter(col("k") === 7L)
+      .select((weekday(col("day")) + 1).as("isodow"),
+        (col("rev") * 7L - col("sw")).as("d7"))
+    def d(c: Column) = c.cast(dec)
+    def f(c: Column) = c.cast("double")
+    val dow = det.groupBy("isodow")
+      .agg(count(lit(1)).as("m"), sum(d(col("d7"))).as("sd7"),
+        sum(d(col("d7")) * d(col("d7"))).as("sdd7"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = sum(col("m")).over(whole).cast("double")
+    val sd = sum(col("sd7")).over(whole).cast("double")
+    val sdd = sum(col("sdd7")).over(whole).cast("double")
+    val sst = sdd - sd * sd / n
+    // within-dow SS quantized RELATIVE to SST at nano-units (the q322
+    // normalization — Spark's floor(double) is LONG-typed and the raw
+    // SS scale overflows it past sf0.001), summed exactly across the
+    // 7 dows in a second window pass
+    val withRel = dow
+      .withColumn("sst", sst).withColumn("n", n).withColumn("sd", sd)
+      .withColumn("rel9", floor((f(col("sdd7")) -
+        f(col("sd7")) * f(col("sd7")) / f(col("m"))) / col("sst") *
+        1e9 + 0.5).cast("long"))
+      .withColumn("sswRel",
+        sum(col("rel9")).over(whole).cast("double") / 1e9)
+    val strength = greatest(lit(0.0), lit(1.0) - col("sswRel"))
+    withRel.select(col("isodow").cast("long").as("isodow"),
+        col("m").cast("long").as("n_days"),
+        rnd4(f(col("sd7")) / f(col("m")) / 7.0).as("seasonal"),
+        rnd4(col("sd") / col("n") / 7.0).as("grand_detrended_mean"),
+        when(col("sst") <= 0.0, lit(null).cast("double"))
+          .otherwise(rnd6(strength)).as("seasonal_strength"))
+      .orderBy("isodow")
+  }
+
+  val q323SeasonalDecompSql: String =
+    s"""WITH d AS ($dailySql),
+       |ma AS (
+       |  SELECT day, rev,
+       |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+       |      AND 3 FOLLOWING) AS k,
+       |    CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+       |      AND 3 FOLLOWING) AS BIGINT) AS sw
+       |  FROM d),
+       |det AS (
+       |  SELECT CAST(date_part('isodow', day) AS BIGINT) AS isodow,
+       |    rev * 7 - sw AS d7
+       |  FROM ma WHERE k = 7),
+       |dow AS (
+       |  SELECT isodow, COUNT(*) AS m, CAST(SUM(d7) AS HUGEINT) AS sd7,
+       |    CAST(SUM(CAST(d7 AS HUGEINT) * d7) AS HUGEINT) AS sdd7
+       |  FROM det GROUP BY isodow),
+       |w0 AS (
+       |  SELECT *,
+       |    CAST(SUM(m) OVER () AS DOUBLE) AS n,
+       |    CAST(SUM(sd7) OVER () AS DOUBLE) AS sd,
+       |    CAST(SUM(sdd7) OVER () AS DOUBLE) AS sdd
+       |  FROM dow),
+       |w1 AS (
+       |  SELECT *, sdd - sd * sd / n AS sst,
+       |    CAST(FLOOR((CAST(sdd7 AS DOUBLE) - CAST(sd7 AS DOUBLE)
+       |      * CAST(sd7 AS DOUBLE) / m) / (sdd - sd * sd / n) * 1e9
+       |      + 0.5) AS BIGINT) AS rel9
+       |  FROM w0),
+       |w AS (
+       |  SELECT *, CAST(SUM(rel9) OVER () AS DOUBLE) / 1e9 AS ssw_rel
+       |  FROM w1)
+       |SELECT isodow, CAST(m AS BIGINT) AS n_days,
+       |  FLOOR(CAST(sd7 AS DOUBLE) / m / 7.0 * 1e4 + 0.5) / 1e4 + 0
+       |    AS seasonal,
+       |  FLOOR(sd / n / 7.0 * 1e4 + 0.5) / 1e4 + 0
+       |    AS grand_detrended_mean,
+       |  CASE WHEN sst <= 0 THEN NULL
+       |    ELSE FLOOR(GREATEST(0.0, 1.0 - ssw_rel) * 1e6 + 0.5) / 1e6 + 0
+       |    END AS seasonal_strength
+       |FROM w
+       |ORDER BY isodow""".stripMargin
+
+  /** L258 Diebold–Mariano forecast comparison ([PK] Diebold & Mariano
+    * 1995): is the seasonal-naive forecast (rev_{t−7}) significantly
+    * better than the naive one (rev_{t−1}) under squared loss? DM =
+    * d̄ / √(lrv_d/n) on the loss differential d_t = e₁² − e₂², with
+    * the same Bartlett-weighted HAC long-run variance as q322 (L = 7)
+    * — the standard test run before swapping forecasting methods in a
+    * capacity-planning pipeline, and the q278 accuracy panel's
+    * significance companion.
+    *
+    * Parity: both forecast errors and d_t are exact int64 (DECIMAL
+    * sums — d_t is a difference of squared daily-revenue errors);
+    * every γ_l rides the q322/q208 exact-moment identity; the DM
+    * chain is one fixed double expression, 6dp.
+    *
+    * Scale: one day rollup, two lag columns and 7 differential lags
+    * from ONE window sort, ≤8-group agg. */
+  def q324DieboldMariano(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val base = daily(s, dir)
+      .withColumn("f1", lag(col("rev"), 1).over(w))
+      .withColumn("f7", lag(col("rev"), 7).over(w))
+      .filter(col("f7").isNotNull)
+      .select(col("day"),
+        ((col("rev") - col("f1")) * (col("rev") - col("f1")) -
+          (col("rev") - col("f7")) * (col("rev") - col("f7"))).as("dt"))
+      .localCheckpoint(eager = false)
+    val wd = Window.orderBy("day")
+    val withLags = base.select(
+      (col("dt") +: (1 to 7).map(k =>
+        lag(col("dt"), k).over(wd).as(s"x$k"))): _*)
+    val stackExpr = (1 to 7)
+      .map(k => s"${k}L, x$k").mkString("stack(7, ", ", ", ")")
+    val lags = withLags
+      .select(col("dt").as("y"), expr(s"$stackExpr as (lag, x)"))
+      .filter(col("x").isNotNull)
+    def d(c: Column) = c.cast(dec)
+    val perLag = lags.groupBy("lag").agg(count(lit(1)).as("m"),
+      sum(d(col("y")) * d(col("x"))).as("sxy"),
+      sum(d(col("y"))).as("syh"), sum(d(col("x"))).as("sxt"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(d(col("dt"))).as("s"),
+      sum(d(col("dt")) * d(col("dt"))).as("q"))
+    def f(c: String) = col(c).cast("double")
+    val j = perLag.crossJoin(broadcast(tot))
+    val mean = f("s") / f("n")
+    val gamma = (f("sxy") - mean * (f("syh") + f("sxt")) +
+      f("m") * mean * mean) / f("n")
+    val wl = lit(1.0) - f("lag") / 8.0
+    // per-lag terms quantized RELATIVE to γ₀ (q322 form — see there)
+    val g0j = (f("q") - f("s") * f("s") / f("n")) / f("n")
+    val term9 = floor(gamma / g0j * wl * 2.0 * 1e9 + 0.5).cast("long")
+    val g = j.agg(max(col("n")).as("n"), max(col("s")).as("s"),
+      max(col("q")).as("q"),
+      (sum(term9).cast("double") / 1e9).as("relTail"))
+    val n = f("n")
+    val mu = f("s") / n
+    val g0 = (f("q") - f("s") * f("s") / n) / n
+    val lrv = g0 * (lit(1.0) + col("relTail"))
+    g.select(col("n").cast("long").as("n_days"),
+      rnd4(mu).as("mean_loss_diff"),
+      when(lrv <= 0.0, lit(null).cast("double"))
+        .otherwise(rnd6(mu / sqrt(lrv / n))).as("dm_stat"),
+      when(lrv <= 0.0, lit(null).cast("long"))
+        .otherwise(signum(mu).cast("long")).as("naive_worse"))
+  }
+
+  val q324DieboldMarianoSql: String =
+    s"""WITH d AS ($dailySql),
+       |b AS (
+       |  SELECT day,
+       |    (rev - LAG(rev, 1) OVER (ORDER BY day))
+       |      * (rev - LAG(rev, 1) OVER (ORDER BY day))
+       |    - (rev - LAG(rev, 7) OVER (ORDER BY day))
+       |      * (rev - LAG(rev, 7) OVER (ORDER BY day)) AS dt
+       |  FROM d QUALIFY LAG(rev, 7) OVER (ORDER BY day) IS NOT NULL),
+       |lg AS (
+       |  SELECT l.lag, dt AS y,
+       |    LAG(dt, l.lag) OVER (PARTITION BY l.lag ORDER BY day) AS x
+       |  FROM b CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l),
+       |pl AS (
+       |  SELECT lag, COUNT(*) AS m,
+       |    CAST(SUM(CAST(y AS HUGEINT) * x) AS HUGEINT) AS sxy,
+       |    CAST(SUM(y) AS HUGEINT) AS syh, CAST(SUM(x) AS HUGEINT) AS sxt
+       |  FROM lg WHERE x IS NOT NULL GROUP BY lag),
+       |tot AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(dt) AS HUGEINT) AS s,
+       |    CAST(SUM(CAST(dt AS HUGEINT) * dt) AS HUGEINT) AS q
+       |  FROM b),
+       |g AS (
+       |  SELECT MAX(n) AS n, MAX(s) AS s, MAX(q) AS q,
+       |    CAST(SUM(CAST(FLOOR((CAST(sxy AS DOUBLE)
+       |        - CAST(s AS DOUBLE) / n * (CAST(syh AS DOUBLE)
+       |          + CAST(sxt AS DOUBLE))
+       |        + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+       |      / n
+       |      / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |        * CAST(s AS DOUBLE) / n) / n)
+       |      * (1.0 - lag / 8.0) * 2.0 * 1e9 + 0.5) AS HUGEINT))
+       |      AS DOUBLE) / 1e9 AS rel_tail
+       |  FROM pl CROSS JOIN tot),
+       |g2 AS (
+       |  SELECT n, s,
+       |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |      * CAST(s AS DOUBLE) / n) / n * (1.0 + rel_tail) AS lrv
+       |  FROM g)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  FLOOR(CAST(s AS DOUBLE) / n * 1e4 + 0.5) / 1e4 + 0
+       |    AS mean_loss_diff,
+       |  CASE WHEN lrv <= 0 THEN NULL
+       |    ELSE FLOOR(CAST(s AS DOUBLE) / n / SQRT(lrv / n) * 1e6 + 0.5)
+       |      / 1e6 + 0 END AS dm_stat,
+       |  CASE WHEN lrv <= 0 THEN NULL
+       |    ELSE CAST(SIGN(CAST(s AS DOUBLE)) AS BIGINT) END
+       |    AS naive_worse
+       |FROM g2""".stripMargin
+
+  /** L259 Engle's ARCH LM test ([PK] Engle 1982), order 2: after an
+    * AR(1) mean fit of daily revenue, do SQUARED residuals predict
+    * tomorrow's squared residual? LM = n·R² of e²_t on (e²_{t−1},
+    * e²_{t−2}) — the volatility-clustering screen that decides whether
+    * a variance-stabilizing transform (or a GARCH-class monitor) is
+    * needed before alerting on the series. Complements q253 KPSS
+    * (level stationarity) and q230 Durbin–Watson (mean-equation
+    * autocorrelation) on the same series.
+    *
+    * Parity: the AR(1) fit is the closed-form 2×2 on exact moments;
+    * residuals are floor-quantized to WHOLE DOLLARS (exact int64), so
+    * the e² series and all its cross-moments are exact DECIMAL; the
+    * auxiliary R² rides the same symmetric-adjugate 3×3 as q321, one
+    * double chain, 6dp.
+    *
+    * Scale: day rollup → 1-row AR(1) broadcast back onto the census
+    * (q242 form) → one lag window → one 9-moment agg. */
+  def q325ArchLm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    def dd(c: Column) = c.cast(dec)
+    val pairs = daily(s, dir)
+      .withColumn("x", lag(col("rev"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .localCheckpoint(eager = false)
+    val fit = pairs.agg(count(lit(1)).as("m"),
+      sum(dd(col("rev"))).as("sy"), sum(dd(col("x"))).as("sx"),
+      sum(dd(col("x")) * dd(col("x"))).as("sxx"),
+      sum(dd(col("x")) * dd(col("rev"))).as("sxy"))
+    def f(c: String) = col(c).cast("double")
+    val slope = (f("m") * f("sxy") - f("sx") * f("sy")) /
+      (f("m") * f("sxx") - f("sx") * f("sx"))
+    val icept = (f("sy") - slope * f("sx")) / f("m")
+    val e2 = pairs.crossJoin(broadcast(fit.select(slope.as("b"),
+        icept.as("a"))))
+      .select(col("day"),
+        pow(floor(col("rev").cast("double") - col("a") -
+          col("b") * col("x").cast("double") + 0.5), 2.0)
+          .cast("long").as("u"))
+    val l = e2
+      .withColumn("p", lag(col("u"), 1).over(w))
+      .withColumn("q", lag(col("u"), 2).over(w))
+      .filter(col("q").isNotNull)
+    val m = l.agg(count(lit(1)).as("n"),
+      sum(dd(col("u"))).as("su"), sum(dd(col("p"))).as("sp"),
+      sum(dd(col("q"))).as("sq"),
+      sum(dd(col("u")) * dd(col("u"))).as("suu"),
+      sum(dd(col("p")) * dd(col("p"))).as("spp"),
+      sum(dd(col("q")) * dd(col("q"))).as("sqq"),
+      sum(dd(col("u")) * dd(col("p"))).as("sup"),
+      sum(dd(col("u")) * dd(col("q"))).as("suq"),
+      sum(dd(col("p")) * dd(col("q"))).as("spq"))
+    val (n, sp, sq) = (f("n"), f("sp"), f("sq"))
+    val (spp, sqq, spq) = (f("spp"), f("sqq"), f("spq"))
+    val c00 = spp * sqq - spq * spq
+    val c01 = -(sp * sqq - spq * sq)
+    val c02 = sp * spq - spp * sq
+    val c11 = n * sqq - sq * sq
+    val c12 = -(n * spq - sp * sq)
+    val c22 = n * spp - sp * sp
+    val det = n * c00 + sp * c01 + sq * c02
+    val b0 = (c00 * f("su") + c01 * f("sup") + c02 * f("suq")) / det
+    val b1 = (c01 * f("su") + c11 * f("sup") + c12 * f("suq")) / det
+    val b2 = (c02 * f("su") + c12 * f("sup") + c22 * f("suq")) / det
+    val rss = f("suu") - (b0 * f("su") + b1 * f("sup") + b2 * f("suq"))
+    val tss = f("suu") - f("su") * f("su") / n
+    val r2 = lit(1.0) - rss / tss
+    val bad = col("n") < 5L || det === 0.0 || tss <= 0.0
+    m.select(col("n").cast("long").as("n_eff"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(r2)).as("aux_r2"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(rnd6(n * r2)).as("arch_lm"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((n * r2 > 5.991).cast("long")).as("reject_5pct"))
+  }
+
+  val q325ArchLmSql: String =
+    s"""WITH d AS ($dailySql),
+       |pr AS (
+       |  SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS x
+       |  FROM d QUALIFY x IS NOT NULL),
+       |ft AS (
+       |  SELECT (CAST(COUNT(*) AS DOUBLE)
+       |        * CAST(SUM(CAST(x AS HUGEINT) * rev) AS DOUBLE)
+       |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+       |    / (CAST(COUNT(*) AS DOUBLE)
+       |        * CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE)
+       |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS b,
+       |    COUNT(*) AS m, CAST(SUM(rev) AS HUGEINT) AS sy,
+       |    CAST(SUM(x) AS HUGEINT) AS sx
+       |  FROM pr),
+       |ft2 AS (
+       |  SELECT b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / m AS a
+       |  FROM ft),
+       |e2 AS (
+       |  SELECT day, CAST(POWER(FLOOR(CAST(rev AS DOUBLE) - a
+       |    - b * CAST(x AS DOUBLE) + 0.5), 2.0) AS BIGINT) AS u
+       |  FROM pr CROSS JOIN ft2),
+       |l AS (
+       |  SELECT u, LAG(u, 1) OVER (ORDER BY day) AS p,
+       |    LAG(u, 2) OVER (ORDER BY day) AS q
+       |  FROM e2 QUALIFY q IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(p) AS HUGEINT) AS sp,
+       |    CAST(SUM(q) AS HUGEINT) AS sq,
+       |    CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu,
+       |    CAST(SUM(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+       |    CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+       |    CAST(SUM(CAST(u AS HUGEINT) * p) AS HUGEINT) AS sup,
+       |    CAST(SUM(CAST(u AS HUGEINT) * q) AS HUGEINT) AS suq,
+       |    CAST(SUM(CAST(p AS HUGEINT) * q) AS HUGEINT) AS spq
+       |  FROM l),
+       |adj AS (
+       |  SELECT *, CAST(n AS DOUBLE) AS nf,
+       |    CAST(spp AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(spq AS DOUBLE) * CAST(spq AS DOUBLE) AS c00,
+       |    -(CAST(sp AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(spq AS DOUBLE) * CAST(sq AS DOUBLE)) AS c01,
+       |    CAST(sp AS DOUBLE) * CAST(spq AS DOUBLE)
+       |      - CAST(spp AS DOUBLE) * CAST(sq AS DOUBLE) AS c02,
+       |    CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+       |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS c11,
+       |    -(CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+       |      - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE)) AS c12,
+       |    CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+       |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS c22
+       |  FROM m),
+       |dt AS (
+       |  SELECT *, nf * c00 + CAST(sp AS DOUBLE) * c01
+       |    + CAST(sq AS DOUBLE) * c02 AS det
+       |  FROM adj),
+       |fin AS (
+       |  SELECT *,
+       |    CAST(suu AS DOUBLE)
+       |      - ((c00 * CAST(su AS DOUBLE) + c01 * CAST(sup AS DOUBLE)
+       |          + c02 * CAST(suq AS DOUBLE)) / det * CAST(su AS DOUBLE)
+       |        + (c01 * CAST(su AS DOUBLE) + c11 * CAST(sup AS DOUBLE)
+       |          + c12 * CAST(suq AS DOUBLE)) / det * CAST(sup AS DOUBLE)
+       |        + (c02 * CAST(su AS DOUBLE) + c12 * CAST(sup AS DOUBLE)
+       |          + c22 * CAST(suq AS DOUBLE)) / det * CAST(suq AS DOUBLE))
+       |      AS rss,
+       |    CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)
+       |      * CAST(su AS DOUBLE) / nf AS tss
+       |  FROM dt)
+       |SELECT CAST(n AS BIGINT) AS n_eff,
+       |  CASE WHEN n < 5 OR det = 0 OR tss <= 0 THEN NULL
+       |    ELSE FLOOR((1.0 - rss / tss) * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS aux_r2,
+       |  CASE WHEN n < 5 OR det = 0 OR tss <= 0 THEN NULL
+       |    ELSE FLOOR(nf * (1.0 - rss / tss) * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS arch_lm,
+       |  CASE WHEN n < 5 OR det = 0 OR tss <= 0 THEN NULL
+       |    ELSE CAST(CASE WHEN nf * (1.0 - rss / tss) > 5.991
+       |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+       |FROM fin""".stripMargin
+}

@@ -1351,6 +1351,35 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q321-q325: the econometric screens are all defined and discriminating") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val gr = run("q321_granger", sf).head()
+      assert(gr.getAs[Long]("n_eff") > 100L, s"thin series at $sf")
+      Seq("f_cnt_to_rev", "f_rev_to_cnt").foreach { c =>
+        val v = gr.getAs[java.lang.Double](c)
+        assert(v != null && v >= 0.0 && !v.isInfinite, s"$c bad at $sf: $v")
+      }
+      val nw = run("q322_newey_west", sf).head()
+      val (ti, th) = (nw.getAs[java.lang.Double]("t_iid"),
+        nw.getAs[java.lang.Double]("t_hac"))
+      assert(ti != null && th != null && ti != th,
+        s"HAC correction vacuous at $sf: $ti vs $th")
+      assert(nw.getAs[java.lang.Double]("long_run_var") > 0.0)
+      val sd = run("q323_seasonal_decomp", sf).collect()
+      assert(sd.length === 7, s"dow census short at $sf")
+      assert(sd.map(_.getAs[Double]("seasonal")).distinct.length > 1,
+        s"flat seasonal profile at $sf")
+      val st = sd.head.getAs[java.lang.Double]("seasonal_strength")
+      assert(st != null && st > 0.0 && st < 1.0, s"strength band at $sf: $st")
+      val dm = run("q324_diebold_mariano", sf).head()
+      assert(dm.getAs[java.lang.Double]("dm_stat") != null, s"DM null at $sf")
+      assert(dm.getAs[java.lang.Long]("naive_worse") != null)
+      val al = run("q325_arch_lm", sf).head()
+      val lm = al.getAs[java.lang.Double]("arch_lm")
+      assert(lm != null && lm >= 0.0, s"ARCH LM bad at $sf: $lm")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0

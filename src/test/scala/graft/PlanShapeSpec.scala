@@ -508,7 +508,12 @@ class PlanShapeSpec extends SparkSpec {
       // r14: q179's per-class corpus-token totals — the LAST build-time
       // .collect()(0) in any query builder, converted to the q121/q242
       // in-plan 1-row broadcast form (verdict r13 mandate #1)
-      "q179_keyness")
+      "q179_keyness",
+      // r14 batch A (econometrics on the day census): q322/q324's
+      // 1-row series-totals broadcast onto the ≤7-row lag census (the
+      // q275 shape) and q325's 1-row AR(1)-fit broadcast back onto the
+      // checkpointed day census (the q242 form)
+      "q322_newey_west", "q324_diebold_mariano", "q325_arch_lm")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

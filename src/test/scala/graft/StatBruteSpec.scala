@@ -3016,4 +3016,147 @@ class StatBruteSpec extends SparkSpec {
           s"vs brute $exp")
     }
   }
+  // ---- round 14 batch A: econometric screens on the daily census ----
+
+  private def dailySeries(): (Array[Long], Array[Long]) = {
+    val rows = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy("day").collect()
+    (rows.map(_.getLong(1)), rows.map(_.getLong(2)))
+  }
+
+  test("q321 Granger F matches a sequential OLS walk") {
+    val row = SparkEntry.queries("q321_granger")(spark, sf0001).head()
+    val (rev, cnt) = dailySeries()
+    val n = rev.length - 1
+    // OLS of y on (1, p, q) via normal equations, brute doubles
+    def ols(y: Array[Double], p: Array[Double], q: Array[Double])
+        : Double = {
+      val nn = y.length.toDouble
+      val (sp, sq, sy) = (p.sum, q.sum, y.sum)
+      val spp = p.map(x => x * x).sum
+      val sqq = q.map(x => x * x).sum
+      val spq = p.zip(q).map { case (a, b) => a * b }.sum
+      val syp = y.zip(p).map { case (a, b) => a * b }.sum
+      val syq = y.zip(q).map { case (a, b) => a * b }.sum
+      val syy = y.map(x => x * x).sum
+      val c00 = spp * sqq - spq * spq
+      val c01 = -(sp * sqq - spq * sq)
+      val c02 = sp * spq - spp * sq
+      val c11 = nn * sqq - sq * sq
+      val c12 = -(nn * spq - sp * sq)
+      val c22 = nn * spp - sp * sp
+      val det = nn * c00 + sp * c01 + sq * c02
+      val b0 = (c00 * sy + c01 * syp + c02 * syq) / det
+      val b1 = (c01 * sy + c11 * syp + c12 * syq) / det
+      val b2 = (c02 * sy + c12 * syp + c22 * syq) / det
+      syy - (b0 * sy + b1 * syp + b2 * syq)
+    }
+    def simple(y: Array[Double], x: Array[Double]): Double = {
+      val nn = y.length.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val syy = y.map(v => v * v).sum
+      val b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+      val a = (sy - b * sx) / nn
+      syy - a * sy - b * sxy
+    }
+    val a = rev.drop(1).map(_.toDouble)
+    val b = cnt.drop(1).map(_.toDouble)
+    val p = rev.dropRight(1).map(_.toDouble)
+    val q = cnt.dropRight(1).map(_.toDouble)
+    val u1 = ols(a, p, q); val r1 = simple(a, p)
+    val f1 = (r1 - u1) / (u1 / (n - 3.0))
+    val u2 = ols(b, p, q); val r2 = simple(b, q)
+    val f2 = (r2 - u2) / (u2 / (n - 3.0))
+    assert(row.getAs[Long]("n_eff") === n.toLong)
+    assert(math.abs(row.getAs[Double]("f_cnt_to_rev") - f1) < 1e-3,
+      s"${row.getAs[Double]("f_cnt_to_rev")} vs brute $f1")
+    assert(math.abs(row.getAs[Double]("f_rev_to_cnt") - f2) < 1e-3,
+      s"${row.getAs[Double]("f_rev_to_cnt")} vs brute $f2")
+  }
+
+  private def hacWalk(d: Array[Long]): (Double, Double, Double) = {
+    val n = d.length
+    val mean = d.map(BigInt(_)).sum.toDouble / n
+    def gamma(l: Int): Double =
+      (0 until n - l).map(t =>
+        (d(t + l) - mean) * (d(t) - mean)).sum / n
+    val g0 = gamma(0)
+    val tail = (1 to 7).map(l => 2.0 * (1.0 - l / 8.0) * gamma(l)).sum
+    (mean, g0, g0 + tail)
+  }
+
+  test("q322 Newey-West HAC matches a sequential autocovariance walk") {
+    val row = SparkEntry.queries("q322_newey_west")(spark, sf0001).head()
+    val (rev, _) = dailySeries()
+    val (mean, g0, lrv) = hacWalk(rev)
+    assert(row.getAs[Long]("n_days") === rev.length.toLong)
+    assert(math.abs(row.getAs[Double]("mean_rev") - mean) < 1e-2)
+    assert(math.abs(row.getAs[Double]("gamma0") - g0) / g0 < 1e-6)
+    assert(math.abs(row.getAs[Double]("long_run_var") - lrv) / lrv < 1e-4,
+      s"${row.getAs[Double]("long_run_var")} vs brute $lrv")
+    val tHac = mean / math.sqrt(lrv / rev.length)
+    assert(math.abs(row.getAs[Double]("t_hac") - tHac) < 1e-2)
+  }
+
+  test("q324 Diebold-Mariano matches a sequential loss-differential walk") {
+    val row = SparkEntry.queries("q324_diebold_mariano")(spark, sf0001)
+      .head()
+    val (rev, _) = dailySeries()
+    val d = (7 until rev.length).map { t =>
+      val e1 = rev(t) - rev(t - 1); val e7 = rev(t) - rev(t - 7)
+      e1 * e1 - e7 * e7
+    }.toArray
+    val (mean, _, lrv) = hacWalk(d)
+    assert(row.getAs[Long]("n_days") === d.length.toLong)
+    val dm = mean / math.sqrt(lrv / d.length)
+    assert(math.abs(row.getAs[Double]("dm_stat") - dm) < 1e-3,
+      s"${row.getAs[Double]("dm_stat")} vs brute $dm")
+  }
+
+  test("q325 ARCH LM matches a sequential residual walk") {
+    val row = SparkEntry.queries("q325_arch_lm")(spark, sf0001).head()
+    val (rev, _) = dailySeries()
+    val y = rev.drop(1).map(_.toDouble)
+    val x = rev.dropRight(1).map(_.toDouble)
+    val nn = y.length.toDouble
+    val (sx, sy) = (x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    val a = (sy - b * sx) / nn
+    val u = y.zip(x).map { case (yy, xx) =>
+      math.floor(yy - a - b * xx + 0.5) }.map(e => e * e)
+    val uu = (2 until u.length).map(t => (u(t), u(t - 1), u(t - 2)))
+    val (uy, up, uq) =
+      (uu.map(_._1).toArray, uu.map(_._2).toArray, uu.map(_._3).toArray)
+    val m = uy.length.toDouble
+    val (sp1, sq1, su1) = (up.sum, uq.sum, uy.sum)
+    val spp = up.map(v => v * v).sum
+    val sqq = uq.map(v => v * v).sum
+    val spq = up.zip(uq).map { case (p2, q2) => p2 * q2 }.sum
+    val sup = uy.zip(up).map { case (p2, q2) => p2 * q2 }.sum
+    val suq = uy.zip(uq).map { case (p2, q2) => p2 * q2 }.sum
+    val suu = uy.map(v => v * v).sum
+    val c00 = spp * sqq - spq * spq
+    val c01 = -(sp1 * sqq - spq * sq1)
+    val c02 = sp1 * spq - spp * sq1
+    val c11 = m * sqq - sq1 * sq1
+    val c12 = -(m * spq - sp1 * sq1)
+    val c22 = m * spp - sp1 * sp1
+    val det = m * c00 + sp1 * c01 + sq1 * c02
+    val b0 = (c00 * su1 + c01 * sup + c02 * suq) / det
+    val b1 = (c01 * su1 + c11 * sup + c12 * suq) / det
+    val b2 = (c02 * su1 + c12 * sup + c22 * suq) / det
+    val rss = suu - (b0 * su1 + b1 * sup + b2 * suq)
+    val tss = suu - su1 * su1 / m
+    val r2 = 1.0 - rss / tss
+    assert(row.getAs[Long]("n_eff") === uy.length.toLong)
+    assert(math.abs(row.getAs[Double]("arch_lm") - m * r2) < 1e-2,
+      s"${row.getAs[Double]("arch_lm")} vs brute ${m * r2}")
+  }
 }
