@@ -623,7 +623,7 @@ object GraphQueries {
       |    CAST(SUM(CAST(FLOOR(1e6 / ln(CAST(n AS DOUBLE)) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS aaq
       |  FROM w JOIN degc USING (c) WHERE n >= 2 GROUP BY a, b)
-      |SELECT a, b, cn, aaq, ROUND(CAST(aaq AS DOUBLE) / 1e6, 6) + 0 AS aa
+      |SELECT t.a, t.b, cn, aaq, ROUND(CAST(aaq AS DOUBLE) / 1e6, 6) + 0 AS aa
       |FROM t ORDER BY cn DESC, a, b LIMIT 30""".stripMargin
 
   /** L146 HITS hubs & authorities (Kleinberg 1999 [PK]) over the
@@ -778,4 +778,94 @@ object GraphQueries {
       |  ELSE 0.0 END AS phi
       |FROM g
       |ORDER BY k""".stripMargin
+  /** L261 link-prediction index panel ([PK] Liben-Nowell & Kleinberg
+    * 2003; Zhou, Lü & Zhang 2009 for resource allocation): Jaccard,
+    * preferential attachment, and resource-allocation scores for the
+    * top brand pairs of the q207 customer–brand graph — the three
+    * standard baselines reported NEXT TO Adamic–Adar before picking a
+    * candidate generator for a recommendation join. Jaccard penalizes
+    * hub pairs, PA ranks pure popularity, RA sharpens AA's
+    * discounting (1/deg instead of 1/ln deg); disagreement between
+    * the columns is the signal.
+    *
+    * Parity: cn and the brand degrees are exact ints off two keyed
+    * censuses; RA rides the q207 quantization (each customer's 1/deg
+    * term floored to int64 micro-units before summing); Jaccard is
+    * one exact-int division, 6dp; PA is an exact int64 product. The
+    * top-30 cut is the q207 (cn desc, a, b) exact-integer order.
+    *
+    * Scale: the q207 wedge shape (per-customer bounded explode, ≤
+    * C(25,2) pair census) plus one ≤25-row broadcast degree census —
+    * nothing new shuffles. */
+  def q327LinkPanel(s: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("c"), col("p_brand").as("b"))
+    val baskets = cb.groupBy("c")
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+      .localCheckpoint(eager = false)
+    // brand degree census (≤25 rows) straight off the baskets so both
+    // consumers share one shuffle
+    val deg = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("deg"))
+    val raq = floor(lit(1.0e6) / size(col("bs")).cast("double") +
+      lit(0.5)).cast("long")
+    val pairs = baskets.withColumn("raq", raq)
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"),
+        col("raq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("raq")).as("raqs"))
+    val da = deg.select(col("b").as("a"), col("deg").as("deg_a"))
+    val db = deg.select(col("b").as("b2"), col("deg").as("deg_b"))
+    pairs.join(broadcast(da), "a")
+      .join(broadcast(db), pairs("b") === col("b2"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(30)
+      .select(col("a"), col("b"), col("cn"),
+        col("deg_a").cast("long").as("deg_a"),
+        col("deg_b").cast("long").as("deg_b"),
+        (floor(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double") * 1e6
+          + 0.5).cast("long").cast("double") / 1e6 + 0.0).as("jaccard"),
+        (col("deg_a") * col("deg_b")).cast("long").as("pref_attach"),
+        (round(col("raqs") / 1.0e6, 6) + 0.0).as("res_alloc"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+  }
+
+  val q327LinkPanelSql: String =
+    """WITH cb AS (
+      |  SELECT DISTINCT o_custkey AS c, p_brand AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |degc AS (SELECT c, COUNT(*) AS n FROM cb GROUP BY c),
+      |cb2 AS (
+      |  SELECT cb.c, cb.b, degc.n FROM cb JOIN degc USING (c)
+      |  WHERE degc.n >= 2),
+      |deg AS (SELECT b, COUNT(*) AS deg FROM cb2 GROUP BY b),
+      |w AS (
+      |  SELECT x.b AS a, y.b AS b, x.n
+      |  FROM cb2 x JOIN cb2 y ON x.c = y.c AND x.b < y.b),
+      |t AS (
+      |  SELECT a, b, COUNT(*) AS cn,
+      |    CAST(SUM(CAST(FLOOR(1e6 / n + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS raqs
+      |  FROM w GROUP BY a, b)
+      |SELECT t.a, t.b, cn,
+      |  CAST(dega.deg AS BIGINT) AS deg_a, CAST(degb.deg AS BIGINT)
+      |    AS deg_b,
+      |  FLOOR(CAST(cn AS DOUBLE)
+      |    / (dega.deg + degb.deg - cn) * 1e6 + 0.5) / 1e6 + 0
+      |    AS jaccard,
+      |  CAST(dega.deg * degb.deg AS BIGINT) AS pref_attach,
+      |  ROUND(CAST(raqs AS DOUBLE) / 1e6, 6) + 0 AS res_alloc
+      |FROM t JOIN deg dega ON t.a = dega.b
+      |JOIN deg degb ON t.b = degb.b
+      |ORDER BY cn DESC, t.a, t.b LIMIT 30""".stripMargin
 }

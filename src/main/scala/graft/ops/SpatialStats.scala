@@ -445,4 +445,129 @@ object SpatialStats {
         |    ELSE FLOOR((CAST(bw2 AS DOUBLE) / 2.0 - e_bw0) / SQRT(v_bw)
         |      * 1e4 + 0.5) / 1e4 END AS z_bw
         |FROM c1""".stripMargin
+  /** L262 Ripley's K / L point-pattern statistics ([PK] Ripley 1976;
+    * Besag's L transform): for the synthetic customer point field,
+    * K̂(r) = A·Σ_{i≠j} 1[d_ij ≤ r]/n² at r ∈ {5°, 10°, 20°}, with
+    * L̂(r) = √(K̂/π) − r. Under complete spatial randomness L̂ ≈ 0;
+    * clustering pushes it positive at the cluster scale — the
+    * multi-scale companion to q294/q295's single-lag autocorrelation
+    * (which NonDegeneracySpec pins to the null band on this
+    * hash-scattered field; L̂ must sit near zero here for the same
+    * reason — but see below). Border-corrected variants exist; the
+    * uncorrected estimator is used and documented (the field has no
+    * privileged window edge).
+    *
+    * Point field: md5-derived coordinates, NOT the q149 linear
+    * multiplicative hash the cell-level statistics use — measured on
+    * the q149 field, the point pattern is a coarse LATTICE (key→key+1
+    * steps lon by exactly 4.5° and lat by −33.9°), with zero pairs
+    * inside 5° and an empty 10–20° annulus at both fixture SFs: every
+    * K̂ cell was vacuous or duplicated. md5 scatters points properly,
+    * and both engines compute it identically (the q326 hex-fold).
+    *
+    * Parity: the coordinates are the q131/q149 multiplicative-hash
+    * chains (identical IEEE ops from identical ints in both engines);
+    * pair predicates compare d² to r² — no sqrt before the final L
+    * chain; pair counts are exact ints; K/L are one double chain, 4dp.
+    *
+    * Scale: Spark side buckets points into 20° cells (= max radius)
+    * and joins only the 9 neighbour cells with an id < id cut — each
+    * unordered pair appears exactly once, candidates ∝ n·density, not
+    * n²; the DuckDB mirror brute-forces all pairs (0.1 s on the 15k
+    * sf0.01 customers — suppliers were tried first and measured
+    * VACUOUS: 10 points at sf0.001 give zero pairs at every radius).
+    * One 1-row point-count broadcast (q242 form). */
+  def q328RipleyK(s: SparkSession, dir: String): DataFrame = {
+    def hexSlice(key: Column, from: Int): Column =
+      conv(substring(md5(key.cast("string")), from, 6), 16, 10)
+        .cast("long")
+    def lat(key: Column): Column =
+      pmod(hexSlice(key, 1), lit(1700L)).cast("double") / 10.0 - 85.0
+    def lon(key: Column): Column =
+      pmod(hexSlice(key, 7), lit(3600L)).cast("double") / 10.0 - 180.0
+    val cell = 20.0
+    val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        lat(col("c_custkey")).as("y"), lon(col("c_custkey")).as("x"))
+      .withColumn("cx", floor(col("x") / cell).cast("int"))
+      .withColumn("cy", floor(col("y") / cell).cast("int"))
+      .localCheckpoint(eager = false)
+    val b = pts.select(col("id").as("id2"), col("x").as("x2"),
+      col("y").as("y2"), col("cx").as("cx2"), col("cy").as("cy2"))
+    val offsets = typedlit(for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield (dx, dy))
+    val d2 = (col("x") - col("x2")) * (col("x") - col("x2")) +
+      (col("y") - col("y2")) * (col("y") - col("y2"))
+    val cnts = pts.withColumn("o", explode(offsets))
+      .withColumn("jx", col("cx") + col("o._1"))
+      .withColumn("jy", col("cy") + col("o._2"))
+      .join(b, col("jx") === col("cx2") && col("jy") === col("cy2") &&
+        col("id") < col("id2"))
+      .agg(sum(when(d2 <= 25.0, 1L).otherwise(0L)).as("p5"),
+        sum(when(d2 <= 100.0, 1L).otherwise(0L)).as("p10"),
+        sum(when(d2 <= 400.0, 1L).otherwise(0L)).as("p20"))
+    val tot = pts.agg(count(lit(1)).as("n"))
+    val area = 360.0 * 170.0
+    def f(c: String) = col(c).cast("double")
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val rows = cnts.crossJoin(broadcast(tot))
+      .select(col("n"), explode(typedlit(Seq(5, 10, 20))).as("r"),
+        col("p5"), col("p10"), col("p20"))
+      .withColumn("p", when(col("r") === 5, col("p5"))
+        .when(col("r") === 10, col("p10")).otherwise(col("p20")))
+    val kHat = lit(area) * 2.0 * col("p").cast("double") /
+      (f("n") * f("n"))
+    rows.select(col("r").cast("long").as("r"),
+        col("n").cast("long").as("n_points"),
+        col("p").as("pairs_le_r"),
+        rnd4(kHat).as("k_hat"),
+        rnd4(sqrt(kHat / math.Pi) - col("r").cast("double")).as("l_hat"))
+      .orderBy("r")
+  }
+
+  val q328RipleyKSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey AS id,
+      |    CAST((list_sum(list_transform(range(6), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(c_custkey AS VARCHAR)),
+      |           CAST(i + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % 1700)
+      |      AS DOUBLE) / 10.0 - 85.0 AS y,
+      |    CAST((list_sum(list_transform(range(6), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(c_custkey AS VARCHAR)),
+      |           CAST(i + 7 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % 3600)
+      |      AS DOUBLE) / 10.0 - 180.0 AS x
+      |  FROM customer),
+      |pc AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN (a.x - c.x) * (a.x - c.x)
+      |      + (a.y - c.y) * (a.y - c.y) <= 25.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p5,
+      |    CAST(SUM(CASE WHEN (a.x - c.x) * (a.x - c.x)
+      |      + (a.y - c.y) * (a.y - c.y) <= 100.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p10,
+      |    CAST(SUM(CASE WHEN (a.x - c.x) * (a.x - c.x)
+      |      + (a.y - c.y) * (a.y - c.y) <= 400.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p20
+      |  FROM pts a JOIN pts c ON a.id < c.id),
+      |tot AS (SELECT COUNT(*) AS n FROM pts),
+      |r3 AS (
+      |  SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS r)
+      |SELECT r, CAST(n AS BIGINT) AS n_points,
+      |  CASE r WHEN 5 THEN p5 WHEN 10 THEN p10 ELSE p20 END
+      |    AS pairs_le_r,
+      |  FLOOR(61200.0 * 2.0
+      |    * (CASE r WHEN 5 THEN p5 WHEN 10 THEN p10 ELSE p20 END)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4
+      |    + 0 AS k_hat,
+      |  FLOOR((SQRT(61200.0 * 2.0
+      |    * (CASE r WHEN 5 THEN p5 WHEN 10 THEN p10 ELSE p20 END)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / PI()) - r) * 1e4
+      |    + 0.5) / 1e4 + 0 AS l_hat
+      |FROM r3 CROSS JOIN pc CROSS JOIN tot
+      |ORDER BY r""".stripMargin
 }

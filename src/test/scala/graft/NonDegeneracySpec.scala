@@ -1380,6 +1380,34 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q326-q328: sketch, link panel, and point pattern all discriminate") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val kmv = run("q326_kmv_distinct", sf).head()
+      val err = kmv.getAs[java.lang.Double]("rel_err")
+      assert(err != null && math.abs(err) < 0.25,
+        s"KMV error out of band at $sf: $err")
+      assert(kmv.getAs[Long]("k_used") > 100L, s"sketch underfilled at $sf")
+      val lp = run("q327_link_panel", sf).collect()
+      assert(lp.length === 30, s"link panel short at $sf")
+      val js = lp.map(_.getAs[Double]("jaccard"))
+      assert(js.forall(j => j > 0.0 && j < 1.0) && js.distinct.length > 1,
+        s"degenerate jaccard column at $sf")
+      assert(lp.map(_.getAs[Double]("res_alloc")).forall(_ > 0.0))
+      val rk = run("q328_ripley_k", sf).collect()
+      assert(rk.length === 3, s"radius panel short at $sf")
+      rk.foreach { r =>
+        assert(r.getAs[Long]("pairs_le_r") > 0L,
+          s"vacuous radius cell at $sf: r=${r.getAs[Long]("r")}")
+      }
+      // CSR-ish field: small-radius L̂ near zero (the md5 scatter), the
+      // uncorrected estimator's edge deficit growing with r
+      val l5 = rk.find(_.getAs[Long]("r") == 5L).get.getAs[Double]("l_hat")
+      assert(math.abs(l5) < 1.0, s"r=5 L-hat off the CSR band at $sf: $l5")
+      assert(rk.map(_.getAs[Long]("pairs_le_r")).distinct.length === 3,
+        s"duplicated pair counts across radii at $sf")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0

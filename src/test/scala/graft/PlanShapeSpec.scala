@@ -513,7 +513,11 @@ class PlanShapeSpec extends SparkSpec {
       // 1-row series-totals broadcast onto the ≤7-row lag census (the
       // q275 shape) and q325's 1-row AR(1)-fit broadcast back onto the
       // checkpointed day census (the q242 form)
-      "q322_newey_west", "q324_diebold_mariano", "q325_arch_lm")
+      "q322_newey_west", "q324_diebold_mariano", "q325_arch_lm",
+      // r14 batch B: q326's 1-row exact-count broadcast onto the 1-row
+      // sketch aggregate (the q244 aggregate-pair shape) and q328's
+      // 1-row point-count broadcast onto the 1-row pair census
+      "q326_kmv_distinct", "q328_ripley_k")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
