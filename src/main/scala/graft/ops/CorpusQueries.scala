@@ -1045,4 +1045,79 @@ object CorpusQueries {
       |    AS bytes_per_char
       |FROM base
       |ORDER BY lang""".stripMargin
+  /** L263 HD-D lexical diversity ([PK] McCarthy & Jarvis 2010 — the
+    * hypergeometric-distribution D): the probability-exact successor
+    * to TTR (q277's raw type-token ratio is length-confounded; HD-D
+    * asks "in a random 42-token sample from this document, how many
+    * TYPES do we expect?", which is length-invariant). Per document
+    * with N ≥ 42 tokens: HD-D = Σ_types (1 − P(type absent from a
+    * 42-sample))/42, P(absent) = Π_{i=0..41} (N−n_w−i)/(N−i); the
+    * panel reports the per-language mean.
+    *
+    * Parity: the 42-term product is a SEQUENTIAL LEFT FOLD in both
+    * engines (Spark `aggregate` HOF, DuckDB `list_reduce`) — the same
+    * 42 IEEE multiplications in the same order on exact-int-derived
+    * ratios, so the doubles agree bit-for-bit; each type's
+    * contribution is floor-quantized to nano-units BEFORE the
+    * within-doc sum (q179/q185 convention), and the per-language mean
+    * is one exact-int division, 6dp.
+    *
+    * Scale: one explode → (doc, type) census (map-side combinable),
+    * one doc census, a doc-keyed join, ≤|langs|-group agg. The
+    * 42-fold is per-ROW compute, no join. */
+  def q329HddDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+    val perType = tok.groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("nw"))
+    val perDoc = perType.groupBy("doc_id", "lang")
+      .agg(sum(col("nw")).as("nn"))
+      .filter(col("nn") >= 42L)
+    val nD = col("nn").cast("double")
+    val nwD = col("nw").cast("double")
+    val pAbsent = when(col("nn") - col("nw") < 42L, lit(0.0))
+      .otherwise(aggregate(sequence(lit(0), lit(41)), lit(1.0),
+        (acc, i) => acc *
+          ((nD - nwD - i.cast("double")) / (nD - i.cast("double")))))
+    val contrib9 = floor((lit(1.0) - pAbsent) * 1e9 + 0.5).cast("long")
+    val perDocHdd = perType.join(perDoc, Seq("doc_id", "lang"))
+      .withColumn("c9", contrib9)
+      .groupBy("doc_id", "lang").agg(sum(col("c9")).as("h9"))
+    perDocHdd.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("h9")).as("sh9"))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        (floor(col("sh9").cast("double") /
+          (col("n_docs").cast("double") * 42.0e9) * 1e6 + 0.5)
+          .cast("long").cast("double") / 1e6 + 0.0).as("mean_hdd"))
+      .orderBy("lang")
+  }
+
+  val q329HddDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |pt AS (
+      |  SELECT doc_id, lang, w, COUNT(*) AS nw
+      |  FROM tok GROUP BY doc_id, lang, w),
+      |pd AS (
+      |  SELECT doc_id, lang, CAST(SUM(nw) AS BIGINT) AS nn
+      |  FROM pt GROUP BY doc_id, lang
+      |  HAVING SUM(nw) >= 42),
+      |ct AS (
+      |  SELECT pt.doc_id, pt.lang,
+      |    CAST(FLOOR((1.0 - CASE WHEN pd.nn - pt.nw < 42 THEN 0.0
+      |      ELSE list_reduce(list_prepend(1.0, list_transform(range(42),
+      |        i -> (CAST(pd.nn AS DOUBLE) - pt.nw - i)
+      |          / (CAST(pd.nn AS DOUBLE) - i))), (a, b) -> a * b)
+      |      END) * 1e9 + 0.5) AS BIGINT) AS c9
+      |  FROM pt JOIN pd USING (doc_id, lang)),
+      |ph AS (
+      |  SELECT doc_id, lang, CAST(SUM(c9) AS BIGINT) AS h9
+      |  FROM ct GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  FLOOR(CAST(SUM(h9) AS DOUBLE)
+      |    / (COUNT(*) * 42.0e9) * 1e6 + 0.5) / 1e6 + 0 AS mean_hdd
+      |FROM ph GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

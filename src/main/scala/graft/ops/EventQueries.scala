@@ -921,4 +921,99 @@ object EventQueries {
       |    ELSE 0.0 END AS burstiness
       |FROM a ORDER BY user_id""".stripMargin
 
+  /** L264 prefix-covered session-path dedup census: how many DISTINCT
+    * session paths are strict step-prefixes of some longer observed
+    * path ("view" covered by "view>cart"), per depth — the
+    * funnel-compression statistic that says how much of the path
+    * census is redundant with its own continuations (the path-space
+    * analogue of L89's containment dedup).
+    *
+    * One global lexicographic sort decides EVERYTHING: if path P is a
+    * step-prefix of any later path, it is a step-prefix of its
+    * immediate lexicographic successor (proof in the standard way:
+    * any string between P+">" and a covering B shares the P+">"
+    * prefix; and no valid path sits strictly between P and P+">"
+    * because every event-type character sorts above '>'). So the
+    * census needs ADJACENT pairs only — computed distributedly by
+    * assigning a global order index with [[graft.ops.PrefixSum]]
+    * (range partition + per-partition counts, no single-partition
+    * window) and equi-joining rn with rn+1.
+    *
+    * Parity: pure string/integer logic — no doubles except the final
+    * 4dp coverage ratio of two exact counts.
+    *
+    * Scale: sessionize (user-keyed window) → distinct-path census
+    * (map-side combinable, heavily sublinear in events) → PrefixSum
+    * index → one rn-keyed self-join. */
+  def q330PrefixPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(w))
+    val newSession =
+      when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1).otherwise(0)
+    val paths = e.withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .select("path").distinct()
+    val indexed = graft.ops.PrefixSum.withPrefixSums(
+      paths, Seq(col("path")), Seq((lit(1L), "rn")))
+    val nxt = indexed.select((col("rn") - 1L).as("rn"),
+      col("path").as("next_path"))
+    indexed.join(nxt, Seq("rn"), "left")
+      .withColumn("covered",
+        when(col("next_path").isNotNull &&
+          col("next_path").startsWith(concat(col("path"), lit(">"))),
+          1L).otherwise(0L))
+      .groupBy(size(split(col("path"), ">")).as("depth"))
+      .agg(count(lit(1)).as("n_paths"), sum(col("covered")).as("n_covered"))
+      .select(col("depth").cast("long").as("depth"), col("n_paths"),
+        col("n_covered"),
+        (floor(col("n_covered").cast("double") /
+          col("n_paths").cast("double") * 1e4 + 0.5)
+          .cast("long").cast("double") / 1e4 + 0.0).as("coverage"))
+      .orderBy("depth")
+  }
+
+  val q330PrefixPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (
+      |  SELECT *, CASE WHEN LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    OR date_diff('microseconds', LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id), ts)
+      |      > 30 * 60 * 1000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sid AS (
+      |  SELECT *, SUM(new_s) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g),
+      |paths AS (
+      |  SELECT DISTINCT string_agg(event_type, '>'
+      |    ORDER BY ts, event_id) AS path
+      |  FROM sid GROUP BY user_id, session_id),
+      |adj AS (
+      |  SELECT path, LEAD(path) OVER (ORDER BY path) AS next_path
+      |  FROM paths)
+      |SELECT CAST(len(string_split(path, '>')) AS BIGINT) AS depth,
+      |  COUNT(*) AS n_paths,
+      |  CAST(SUM(CASE WHEN next_path IS NOT NULL
+      |    AND starts_with(next_path, path || '>') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_covered,
+      |  FLOOR(SUM(CASE WHEN next_path IS NOT NULL
+      |    AND starts_with(next_path, path || '>') THEN 1 ELSE 0 END)
+      |    * 1.0 / COUNT(*) * 1e4 + 0.5) / 1e4 + 0 AS coverage
+      |FROM adj GROUP BY 1
+      |ORDER BY depth""".stripMargin
 }

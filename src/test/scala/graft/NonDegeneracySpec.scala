@@ -1408,6 +1408,26 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q329/q330: HD-D spreads across languages; prefix cover is real") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val hdd = run("q329_hdd_diversity", sf).collect()
+      assert(hdd.length === 5, s"language census short at $sf")
+      hdd.foreach { r =>
+        val h = r.getAs[Double]("mean_hdd")
+        assert(h > 0.3 && h < 0.9, s"HD-D out of band at $sf: $h")
+        assert(r.getAs[Long]("n_docs") > 10L, s"thin eval set at $sf")
+      }
+      assert(hdd.map(_.getAs[Double]("mean_hdd")).distinct.length > 1,
+        s"HD-D constant across languages at $sf")
+      val pp = run("q330_prefix_paths", sf).collect()
+      assert(pp.map(_.getAs[Long]("n_covered")).sum > 0L,
+        s"zero prefix-covered paths at $sf — vacuous census")
+      assert(pp.map(_.getAs[Long]("n_paths")).sum >
+        pp.map(_.getAs[Long]("n_covered")).sum,
+        s"every path covered at $sf — degenerate census")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0
