@@ -79,4 +79,150 @@ object SketchQueries {
       |    ELSE FLOOR(((m - 1.0) * 2.81474976710656e14 / uk
       |      / n_exact - 1.0) * 1e6 + 0.5) / 1e6 + 0 END AS rel_err
       |FROM kth CROSS JOIN ex""".stripMargin
+  /** L265 consistent hash sampling + rate audit ([PK] the classic
+    * hash-mod/bottom-share Bernoulli sample — e.g. Broder 1997's
+    * min-wise framework; the "sticky sampling" every A/B holdout and
+    * debug-slice pipeline uses): a row is sampled iff its key's
+    * 48-bit md5 fraction < p — STABLE under data growth (a customer
+    * stays sampled forever, new data joins the same slice), unlike
+    * rand()-based sampling which reshuffles membership every run.
+    * p = 1/16 on o_custkey; the audit reports, per order-priority
+    * stratum, the realized rate and its deviation so drift from the
+    * nominal rate is visible.
+    *
+    * Parity: the q326 hex-fold — membership is an exact integer
+    * comparison (hv < 2⁴⁸/16) in both engines; rates are one double
+    * chain, 6dp.
+    *
+    * Scale: a map-side predicate — no shuffle at all beyond the
+    * stratum census; the whole point of the operator at 100 TB. */
+  def q331ConsistentSample(s: SparkSession, dir: String): DataFrame = {
+    val cut = 281474976710656L / 16L
+    val hv = conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
+      16, 10).cast("long")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), (hv < cut).as("in_sample"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("o_orderpriority"), col("n_rows"), col("n_sampled"),
+        (floor(col("n_sampled").cast("double") /
+          col("n_rows").cast("double") * 1e6 + 0.5)
+          .cast("long").cast("double") / 1e6 + 0.0).as("rate"),
+        (floor((col("n_sampled").cast("double") /
+          col("n_rows").cast("double") - 0.0625) * 1e6 + 0.5)
+          .cast("long").cast("double") / 1e6 + 0.0).as("rate_dev"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q331ConsistentSampleSql: String =
+    """WITH h AS (
+      |  SELECT o_orderpriority,
+      |    list_sum(list_transform(range(12), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(o_custkey AS VARCHAR)),
+      |           CAST(i + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT))))
+      |      < 281474976710656 // 16 AS in_sample
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  FLOOR(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) * 1.0
+      |    / COUNT(*) * 1e6 + 0.5) / 1e6 + 0 AS rate,
+      |  FLOOR((SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) * 1.0
+      |    / COUNT(*) - 0.0625) * 1e6 + 0.5) / 1e6 + 0 AS rate_dev
+      |FROM h GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** L266 KMV set-operation cardinalities ([PK] Beyer et al. 2007 —
+    * the reason KMV beats HLL for pipelines: sketches COMPOSE under
+    * set algebra): estimate the distinct-customer overlap of two
+    * order-date years from their KMV sketches — K = the k smallest
+    * union hashes, ρ̂ = |{h ∈ K : h ∈ A ∧ h ∈ B}|/k (Jaccard),
+    * |A∩B| ≈ ρ̂·D̂(A∪B) — beside the exact overlap, so the estimator
+    * error is measured, not assumed. The shape behind every
+    * "audience overlap" / cross-source contamination quick check at
+    * 100 TB.
+    *
+    * Parity: per-hash membership flags are exact (max of indicator
+    * over an exact-int group); the k-th-min cut, ρ̂ and D̂ are
+    * exact-int order statistics + one double chain, 4dp.
+    *
+    * Scale: one distinct-hash census with two membership flags, one
+    * TakeOrdered k — the exact overlap (for the error column) is the
+    * full-shuffle distinct-intersection the sketch replaces. */
+  def q332KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val o = Tables.orders(s, dir).select(
+      conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
+        16, 10).cast("long").as("hv"),
+      year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      .filter(col("yr") === 1995 || col("yr") === 1996)
+    val census = o.groupBy("hv")
+      .agg(max(when(col("yr") === 1995, 1L).otherwise(0L)).as("inA"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("inB"))
+      .localCheckpoint(eager = false)
+    val topk = census.orderBy("hv").limit(k)
+    val agg = topk.agg(count(lit(1)).as("m"), max(col("hv")).as("uk"),
+      sum(col("inA") * col("inB")).as("both"))
+    val exact = o.groupBy("o_custkey")
+      .agg(max(when(col("yr") === 1995, 1L).otherwise(0L)).as("a"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a") * col("b")).as("n_exact_overlap"))
+    def f(c: String) = col(c).cast("double")
+    val dUnion = (f("m") - 1.0) * 2.81474976710656e14 / f("uk")
+    val est = f("both") / f("m") * dUnion
+    agg.crossJoin(broadcast(exact))
+      .select(col("m").cast("long").as("k_used"),
+        col("both").cast("long").as("k_overlap"),
+        col("n_exact_overlap").cast("long").as("n_exact_overlap"),
+        when(col("uk") <= 0L || col("m") < 2L, lit(null).cast("double"))
+          .otherwise((floor(est * 1e4 + 0.5).cast("long")
+            .cast("double") / 1e4) + 0.0).as("kmv_overlap_est"),
+        when(col("uk") <= 0L || col("m") < 2L ||
+            col("n_exact_overlap") === 0L, lit(null).cast("double"))
+          .otherwise((floor((est / f("n_exact_overlap") - 1.0) * 1e6
+            + 0.5).cast("long").cast("double") / 1e6) + 0.0)
+          .as("rel_err"))
+  }
+
+  val q332KmvOverlapSql: String =
+    """WITH o AS (
+      |  SELECT list_sum(list_transform(range(12), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(o_custkey AS VARCHAR)),
+      |           CAST(i + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) AS hv,
+      |    date_part('year', o_orderdate) AS yr, o_custkey
+      |  FROM orders
+      |  WHERE date_part('year', o_orderdate) IN (1995, 1996)),
+      |census AS (
+      |  SELECT hv,
+      |    MAX(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS inA,
+      |    MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS inB
+      |  FROM o GROUP BY hv),
+      |topk AS (SELECT * FROM census ORDER BY hv LIMIT 256),
+      |ag AS (
+      |  SELECT COUNT(*) AS m, MAX(hv) AS uk,
+      |    CAST(SUM(inA * inB) AS BIGINT) AS kb
+      |  FROM topk),
+      |ex AS (
+      |  SELECT CAST(SUM(a * b) AS BIGINT) AS n_exact_overlap FROM (
+      |    SELECT o_custkey,
+      |      MAX(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS a,
+      |      MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS b
+      |    FROM o GROUP BY o_custkey))
+      |SELECT CAST(m AS BIGINT) AS k_used, CAST(kb AS BIGINT)
+      |    AS k_overlap,
+      |  CAST(n_exact_overlap AS BIGINT) AS n_exact_overlap,
+      |  CASE WHEN uk <= 0 OR m < 2 THEN NULL
+      |    ELSE FLOOR(kb * 1.0 / m * ((m - 1.0)
+      |      * 2.81474976710656e14 / uk) * 1e4 + 0.5) / 1e4 + 0 END
+      |    AS kmv_overlap_est,
+      |  CASE WHEN uk <= 0 OR m < 2 OR n_exact_overlap = 0 THEN NULL
+      |    ELSE FLOOR((kb * 1.0 / m * ((m - 1.0)
+      |      * 2.81474976710656e14 / uk) / n_exact_overlap - 1.0) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS rel_err
+      |FROM ag CROSS JOIN ex""".stripMargin
 }

@@ -1428,6 +1428,26 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q331/q332: the sample is a real slice; the overlap sketch lands") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val cs = run("q331_consistent_sample", sf).collect()
+      assert(cs.length === 5, s"priority census short at $sf")
+      val (tot, smp) = (cs.map(_.getAs[Long]("n_rows")).sum,
+        cs.map(_.getAs[Long]("n_sampled")).sum)
+      assert(smp > 0L && smp < tot / 4,
+        s"sample rate off at $sf: $smp of $tot")
+      // nominal 1/16 within a generous binomial band overall
+      val rate = smp.toDouble / tot
+      assert(rate > 0.03 && rate < 0.12, s"global rate $rate at $sf")
+      val ov = run("q332_kmv_overlap", sf).head()
+      assert(ov.getAs[Long]("n_exact_overlap") > 10L,
+        s"no real year overlap at $sf")
+      val err = ov.getAs[java.lang.Double]("rel_err")
+      assert(err != null && math.abs(err) < 0.35,
+        s"overlap estimate off-band at $sf: $err")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0

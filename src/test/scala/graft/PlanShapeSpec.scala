@@ -517,7 +517,10 @@ class PlanShapeSpec extends SparkSpec {
       // r14 batch B: q326's 1-row exact-count broadcast onto the 1-row
       // sketch aggregate (the q244 aggregate-pair shape) and q328's
       // 1-row point-count broadcast onto the 1-row pair census
-      "q326_kmv_distinct", "q328_ripley_k")
+      "q326_kmv_distinct", "q328_ripley_k",
+      // r14 batch D: q332's 1-row exact-overlap broadcast onto the
+      // 1-row sketch aggregate (the q326 shape)
+      "q332_kmv_overlap")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
