@@ -39,6 +39,8 @@ object GraftFunctions {
       es => NfcNormalizeExpr(es.head)),
     ("fold_accents", "fold_accents(text) - NFD-decompose, drop combining marks, NFC-recompose",
       es => FoldAccentsExpr(es.head)),
+    ("haversine_km", "haversine_km(lat1, lon1, lat2, lon2) - great-circle km, R = 6371.0088",
+      es => HaversineExpr(es(0), es(1), es(2), es(3))),
   )
 
   /** Register every graft function on a live session. */
