@@ -61,8 +61,9 @@ case class GcdExpr(left: Expression, right: Expression) extends BinaryExpression
 
 /** haversine_km(lat1, lon1, lat2, lon2) of four double columns — a
   * single static-kernel call inside whole-stage codegen (the
-  * HilbertIndexExpr discipline): the geo primitive q333's distance-band
-  * census runs per candidate pair, with no UDF deopt. */
+  * HilbertIndexExpr discipline): the geo primitive q333's hub
+  * distance-band census runs per (customer, hub) candidate row, with
+  * no UDF deopt. */
 case class HaversineExpr(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {

@@ -582,12 +582,20 @@ object SeriesEconometrics {
     val slope = (f("m") * f("sxy") - f("sx") * f("sy")) /
       (f("m") * f("sxx") - f("sx") * f("sx"))
     val icept = (f("sy") - slope * f("sx")) / f("m")
+    // Square by plain multiplication, NOT pow(x, 2.0) (r14 advisor):
+    // IEEE double multiply is correctly rounded and bit-identical
+    // across engines, while libm pow is not — and once |e| > 2^26.5
+    // the square exceeds 2^53, where a 1-ulp pow divergence can flip
+    // the long cast. floor() yields long in Spark / double in DuckDB;
+    // casting through double makes the multiply op-identical (exact
+    // below 2^53 either way).
     val e2 = pairs.crossJoin(broadcast(fit.select(slope.as("b"),
         icept.as("a"))))
       .select(col("day"),
-        pow(floor(col("rev").cast("double") - col("a") -
-          col("b") * col("x").cast("double") + 0.5), 2.0)
-          .cast("long").as("u"))
+        floor(col("rev").cast("double") - col("a") -
+          col("b") * col("x").cast("double") + 0.5)
+          .cast("double").as("e"))
+      .select(col("day"), (col("e") * col("e")).cast("long").as("u"))
     val l = e2
       .withColumn("p", lag(col("u"), 1).over(w))
       .withColumn("q", lag(col("u"), 2).over(w))
@@ -644,8 +652,10 @@ object SeriesEconometrics {
        |  SELECT b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / m AS a
        |  FROM ft),
        |e2 AS (
-       |  SELECT day, CAST(POWER(FLOOR(CAST(rev AS DOUBLE) - a
-       |    - b * CAST(x AS DOUBLE) + 0.5), 2.0) AS BIGINT) AS u
+       |  SELECT day, CAST(FLOOR(CAST(rev AS DOUBLE) - a
+       |      - b * CAST(x AS DOUBLE) + 0.5)
+       |    * FLOOR(CAST(rev AS DOUBLE) - a
+       |      - b * CAST(x AS DOUBLE) + 0.5) AS BIGINT) AS u
        |  FROM pr CROSS JOIN ft2),
        |l AS (
        |  SELECT u, LAG(u, 1) OVER (ORDER BY day) AS p,

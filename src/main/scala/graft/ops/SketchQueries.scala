@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * construction both engines can reproduce bit-for-bit — md5 is
   * standardized, so the k minimum hash values, the estimate, and the
   * error against the exact count are all one DuckDB-mirrored query.
+  *
+  * Since r15 the machinery lives in [[Kmv]] (r14 verdict mandate #4):
+  * one source of truth for the 48-bit hex fold on both engines
+  * (`Kmv.hashCol` / `Kmv.hashSql`), the sketch frame, the unbiased
+  * estimate, and the mergeable Aggregator + set algebra KmvSpec pins.
+  * These three queries COMPOSE it.
   */
 object SketchQueries {
 
@@ -36,17 +42,12 @@ object SketchQueries {
     * as the oracle's measuring stick. */
   def q326KmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val hv = Tables.orders(s, dir)
-      .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
-        16, 10).cast("long").as("hv"))
-      .groupBy("hv").agg(count(lit(1)).as("_dups"))
-      .select("hv")
-    val topk = hv.orderBy("hv").limit(k)
+    val topk = Kmv.sketchFrame(Tables.orders(s, dir), col("o_custkey"), k)
     val kth = topk.agg(count(lit(1)).as("m"), max(col("hv")).as("uk"))
     val exact = Tables.orders(s, dir)
       .agg(count_distinct(col("o_custkey")).as("n_exact"))
     def f(c: String) = col(c).cast("double")
-    val est = (f("m") - 1.0) * 2.81474976710656e14 / f("uk")
+    val est = Kmv.estimateCol(col("m"), col("uk"))
     kth.crossJoin(broadcast(exact))
       .select(col("n_exact").cast("long").as("n_exact"),
         col("m").cast("long").as("k_used"),
@@ -60,12 +61,8 @@ object SketchQueries {
   }
 
   val q326KmvDistinctSql: String =
-    """WITH hv AS (
-      |  SELECT DISTINCT list_sum(list_transform(range(12), i ->
-      |    (strpos('0123456789abcdef',
-      |       substr(md5(CAST(o_custkey AS VARCHAR)),
-      |         CAST(i + 1 AS INT), 1)) - 1)
-      |    * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) AS hv
+    s"""WITH hv AS (
+      |  SELECT DISTINCT ${Kmv.hashSql("o_custkey")} AS hv
       |  FROM orders),
       |topk AS (SELECT hv FROM hv ORDER BY hv LIMIT 256),
       |kth AS (SELECT COUNT(*) AS m, MAX(hv) AS uk FROM topk),
@@ -97,9 +94,8 @@ object SketchQueries {
     * Scale: a map-side predicate — no shuffle at all beyond the
     * stratum census; the whole point of the operator at 100 TB. */
   def q331ConsistentSample(s: SparkSession, dir: String): DataFrame = {
-    val cut = 281474976710656L / 16L
-    val hv = conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
-      16, 10).cast("long")
+    val cut = Kmv.HashSpace / 16L
+    val hv = Kmv.hashCol(col("o_custkey"))
     Tables.orders(s, dir)
       .select(col("o_orderpriority"), (hv < cut).as("in_sample"))
       .groupBy("o_orderpriority")
@@ -116,13 +112,9 @@ object SketchQueries {
   }
 
   val q331ConsistentSampleSql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT o_orderpriority,
-      |    list_sum(list_transform(range(12), i ->
-      |      (strpos('0123456789abcdef',
-      |         substr(md5(CAST(o_custkey AS VARCHAR)),
-      |           CAST(i + 1 AS INT), 1)) - 1)
-      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT))))
+      |    ${Kmv.hashSql("o_custkey")}
       |      < 281474976710656 // 16 AS in_sample
       |  FROM orders)
       |SELECT o_orderpriority, COUNT(*) AS n_rows,
@@ -155,8 +147,7 @@ object SketchQueries {
   def q332KmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val k = 256
     val o = Tables.orders(s, dir).select(
-      conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
-        16, 10).cast("long").as("hv"),
+      Kmv.hashCol(col("o_custkey")).as("hv"),
       year(col("o_orderdate")).as("yr"), col("o_custkey"))
       .filter(col("yr") === 1995 || col("yr") === 1996)
     val census = o.groupBy("hv")
@@ -171,7 +162,7 @@ object SketchQueries {
         max(when(col("yr") === 1996, 1L).otherwise(0L)).as("b"))
       .agg(sum(col("a") * col("b")).as("n_exact_overlap"))
     def f(c: String) = col(c).cast("double")
-    val dUnion = (f("m") - 1.0) * 2.81474976710656e14 / f("uk")
+    val dUnion = Kmv.estimateCol(col("m"), col("uk"))
     val est = f("both") / f("m") * dUnion
     agg.crossJoin(broadcast(exact))
       .select(col("m").cast("long").as("k_used"),
@@ -188,12 +179,8 @@ object SketchQueries {
   }
 
   val q332KmvOverlapSql: String =
-    """WITH o AS (
-      |  SELECT list_sum(list_transform(range(12), i ->
-      |      (strpos('0123456789abcdef',
-      |         substr(md5(CAST(o_custkey AS VARCHAR)),
-      |           CAST(i + 1 AS INT), 1)) - 1)
-      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) AS hv,
+    s"""WITH o AS (
+      |  SELECT ${Kmv.hashSql("o_custkey")} AS hv,
       |    date_part('year', o_orderdate) AS yr, o_custkey
       |  FROM orders
       |  WHERE date_part('year', o_orderdate) IN (1995, 1996)),

@@ -516,6 +516,14 @@ object SpatialStats {
         col("p5"), col("p10"), col("p20"))
       .withColumn("p", when(col("r") === 5, col("p5"))
         .when(col("r") === 10, col("p10")).otherwise(col("p20")))
+      // Sparse-field guard (r14 advisor, medium): the 9-neighbour
+      // candidate join can be EMPTY even when n >= 2 (no two points in
+      // the same or adjacent 20-degree cells), which leaves the pair
+      // sums NULL — but the mirror's all-pairs brute force returns 0
+      // there, and K-hat of a pairless field IS 0, not NULL. Coalesce
+      // to 0 when n >= 2; stay NULL when n < 2 (the mirror's empty
+      // self-join aggregates to NULL then, and K is undefined).
+      .withColumn("p", when(col("n") >= 2, coalesce(col("p"), lit(0L))))
     val kHat = lit(area) * 2.0 * col("p").cast("double") /
       (f("n") * f("n"))
     rows.select(col("r").cast("long").as("r"),
@@ -570,4 +578,102 @@ object SpatialStats {
       |    + 0.5) / 1e4 + 0 AS l_hat
       |FROM r3 CROSS JOIN pc CROSS JOIN tot
       |ORDER BY r""".stripMargin
+
+  /** L267 hub distance-band census ([PK] the haversine formula,
+    * R = 6371.0088 km IUGG mean radius): for each of the 25 nation
+    * "hub" points (md5-scattered like the q328 customer field), how
+    * many customers lie within 1,000 / 2,000 / 5,000 great-circle km,
+    * and how close is the nearest — the geo-reach panel behind
+    * "serviceable population per site" and geo-shard assignment. This
+    * is the gating consumer of the `haversine_km` codegen kernel
+    * (functions/MathExprs.scala) and its SQL registration.
+    *
+    * Parity: coordinates are the exact q328 md5 hex-fold chains; the
+    * haversine chain is ONE fixed IEEE op order spelled identically in
+    * the mirror (sin/cos/asin are the only libm ops, ≤1-ulp divergent;
+    * band counts flip only if a pair sits within ~1e-9 km of a band
+    * edge and min_km only within 1e-9 of a 1e-4 grid line —
+    * measure-zero on hash-scattered fields, the q187/q103 convention).
+    * Deliberately NO sum-of-distances column: a Σ over n ulp-divergent
+    * doubles is the one aggregate that CAN drift across engines.
+    *
+    * Scale: customers × hubs is a broadcast nested loop over a ≤25-row
+    * hub table — 25n candidate rows, fully map-side, then one
+    * map-side-combinable 25-group aggregate; no shuffle of the fact
+    * table, no pair blow-up. The kernel call itself stays inside
+    * whole-stage codegen (one static-method call, no UDF deopt). */
+  def q333HubBands(s: SparkSession, dir: String): DataFrame = {
+    def hexSlice(key: Column, from: Int): Column =
+      conv(substring(md5(key), from, 6), 16, 10).cast("long")
+    def lat(key: Column): Column =
+      pmod(hexSlice(key, 1), lit(1700L)).cast("double") / 10.0 - 85.0
+    def lon(key: Column): Column =
+      pmod(hexSlice(key, 7), lit(3600L)).cast("double") / 10.0 - 180.0
+    val pts = Tables.customer(s, dir).select(
+      lat(col("c_custkey").cast("string")).as("y"),
+      lon(col("c_custkey").cast("string")).as("x"))
+    // hub keys are SALTED ("hub:" prefix): nation key k and customer
+    // key k share the md5 of the bare digits, which would pin 24 hubs
+    // exactly onto customers 1..24 (min_km = 0 everywhere — measured)
+    val hubKey = concat(lit("hub:"), col("n_nationkey").cast("string"))
+    val hubs = Tables.nation(s, dir).select(
+      col("n_nationkey").as("hub"),
+      lat(hubKey).as("hy"), lon(hubKey).as("hx"))
+    val d = graft.functions.MathFns.haversineKm(
+      col("y"), col("x"), col("hy"), col("hx"))
+    pts.crossJoin(broadcast(hubs))
+      .select(col("hub"), d.as("km"))
+      .groupBy(col("hub").cast("long").as("hub"))
+      .agg(sum(when(col("km") <= 1000.0, 1L).otherwise(0L)).as("n_1000"),
+        sum(when(col("km") <= 2000.0, 1L).otherwise(0L)).as("n_2000"),
+        sum(when(col("km") <= 5000.0, 1L).otherwise(0L)).as("n_5000"),
+        (floor(min(col("km")) * 1e4 + 0.5) / 1e4 + 0.0).as("min_km"))
+      .orderBy("hub")
+  }
+
+  val q333HubBandsSql: String = {
+    // the q328 md5 coordinate fold, as a reusable text macro
+    def fold(keyExpr: String, from: Int, modulus: Int): String =
+      s"""(list_sum(list_transform(range(6), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5($keyExpr),
+         |           CAST(i + $from AS INT), 1)) - 1)
+         |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % $modulus)""".stripMargin
+    val ck = "CAST(c_custkey AS VARCHAR)"
+    val hk = "'hub:' || CAST(n_nationkey AS VARCHAR)"
+    s"""WITH pts AS (
+       |  SELECT
+       |    CAST(${fold(ck, 1, 1700)}
+       |      AS DOUBLE) / 10.0 - 85.0 AS y,
+       |    CAST(${fold(ck, 7, 3600)}
+       |      AS DOUBLE) / 10.0 - 180.0 AS x
+       |  FROM customer),
+       |hubs AS (
+       |  SELECT n_nationkey AS hub,
+       |    CAST(${fold(hk, 1, 1700)}
+       |      AS DOUBLE) / 10.0 - 85.0 AS hy,
+       |    CAST(${fold(hk, 7, 3600)}
+       |      AS DOUBLE) / 10.0 - 180.0 AS hx
+       |  FROM nation),
+       |dist AS (
+       |  SELECT hub,
+       |    2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+       |      SIN((hy - y) * (PI() / 180.0) / 2.0)
+       |        * SIN((hy - y) * (PI() / 180.0) / 2.0)
+       |      + COS(y * (PI() / 180.0)) * COS(hy * (PI() / 180.0))
+       |        * SIN((hx - x) * (PI() / 180.0) / 2.0)
+       |        * SIN((hx - x) * (PI() / 180.0) / 2.0)))) AS km
+       |  FROM pts CROSS JOIN hubs)
+       |SELECT CAST(hub AS BIGINT) AS hub,
+       |  CAST(SUM(CASE WHEN km <= 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_1000,
+       |  CAST(SUM(CASE WHEN km <= 2000.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_2000,
+       |  CAST(SUM(CASE WHEN km <= 5000.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_5000,
+       |  FLOOR(MIN(km) * 1e4 + 0.5) / 1e4 + 0 AS min_km
+       |FROM dist
+       |GROUP BY hub
+       |ORDER BY hub""".stripMargin
+  }
 }

@@ -14,7 +14,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS js,
         |  char_bigrams('abcd') AS cb,
         |  word_bigrams('x y z') AS wb,
-        |  doc_hash(token_hashes('hello world')) AS dh
+        |  doc_hash(token_hashes('hello world')) AS dh,
+        |  haversine_km(0.0d, 0.0d, 0.0d, 1.0d) AS hv
         |""".stripMargin).head()
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(row.getDouble(1) - 0.5) < 1e-12)
@@ -26,6 +27,9 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.TextFns.tokenHashes(lit("hello world"))).as("dh"))
       .head().getLong(0)
     assert(row.getLong(4) == viaColumn)
+    // haversine_km: SQL registration == static kernel, bit-for-bit
+    assert(row.getDouble(5) ==
+      graft.functions.MathKernels.haversineKm(0.0, 0.0, 0.0, 1.0))
   }
 
   test("wrong-typed SQL arguments fail analysis instead of reading garbage") {

@@ -1448,6 +1448,31 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q333: every hub is a real site — bands monotone, reach proper") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val hb = run("q333_hub_bands", sf).collect()
+      assert(hb.length === 25, s"hub census short at $sf")
+      val n = Tables.customer(spark, sf).count()
+      hb.foreach { r =>
+        val (b1, b2, b5) = (r.getAs[Long]("n_1000"),
+          r.getAs[Long]("n_2000"), r.getAs[Long]("n_5000"))
+        assert(b1 <= b2 && b2 <= b5,
+          s"non-monotone bands at $sf hub=${r.getAs[Long]("hub")}")
+        // a 5,000 km cap is ~15% of the sphere: populated, never all
+        assert(b5 > 0L && b5 < n,
+          s"degenerate 5000km band at $sf hub=${r.getAs[Long]("hub")}: $b5 of $n")
+        val mk = r.getAs[Double]("min_km")
+        assert(mk > 0.0 && mk < 5000.0,
+          s"nearest-customer distance off-band at $sf: $mk")
+      }
+      // hubs are scattered: reach and nearest must actually vary
+      assert(hb.map(_.getAs[Long]("n_5000")).distinct.length > 5,
+        s"constant reach across hubs at $sf")
+      assert(hb.map(_.getAs[Double]("min_km")).distinct.length > 5,
+        s"constant nearest across hubs at $sf")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0

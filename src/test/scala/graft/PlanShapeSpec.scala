@@ -520,7 +520,11 @@ class PlanShapeSpec extends SparkSpec {
       "q326_kmv_distinct", "q328_ripley_k",
       // r14 batch D: q332's 1-row exact-overlap broadcast onto the
       // 1-row sketch aggregate (the q326 shape)
-      "q332_kmv_overlap")
+      "q332_kmv_overlap",
+      // r15: q333's ≤25-row hub-table broadcast under the customer
+      // fact scan — the deliberate 25n candidate build the haversine
+      // kernel censuses map-side (no fact shuffle)
+      "q333_hub_bands")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

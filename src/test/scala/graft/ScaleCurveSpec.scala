@@ -158,7 +158,16 @@ class ScaleCurveSpec extends SparkSpec {
       // in comments but never measured. q316 is the family's heaviest
       // member (census + running count + 3-row α broadcast); its only
       // data-sized stage is the |e|-census, so growth must stay ~linear
-      "q316_conformal")
+      "q316_conformal",
+      // round-15 (r14 verdict mandate #3): the r14 heavies reason
+      // about scale in comments — measure them. q327's wedge pair
+      // build is bounded by the 25-brand vocabulary (≤C(25,2) pairs
+      // per customer — copies multiply customers, so linear); q329's
+      // 42-term HD-D fold is per-document (docs scale linearly, the
+      // per-language panel is 5 rows); q330's prefix census is one
+      // PrefixSum global order + adjacent-pair equi-join (paths scale
+      // with events)
+      "q327_link_panel", "q329_hdd_diversity", "q330_prefix_paths")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

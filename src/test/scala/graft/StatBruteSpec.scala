@@ -3159,4 +3159,46 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("arch_lm") - m * r2) < 1e-2,
       s"${row.getAs[Double]("arch_lm")} vs brute ${m * r2}")
   }
+
+  test("q333 hub bands match a sequential law-of-cosines walk") {
+    // Independent on BOTH axes: coordinates from java MessageDigest
+    // (not Spark's md5/conv/substring chain) and distance from the
+    // spherical law of cosines (not the haversine chain) — the two
+    // formulas agree to ~1e-9 km except near antipodes, far below the
+    // band widths, so exact count equality is required.
+    val rows = SparkEntry.queries("q333_hub_bands")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("hub") ->
+        (r.getAs[Long]("n_1000"), r.getAs[Long]("n_2000"),
+          r.getAs[Long]("n_5000"), r.getAs[Double]("min_km"))).toMap
+
+    def coords(key: String): (Double, Double) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val a = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      val b = java.lang.Long.parseLong(hex.substring(6, 12), 16)
+      ((a % 1700).toDouble / 10.0 - 85.0, (b % 3600).toDouble / 10.0 - 180.0)
+    }
+    def dist(p: (Double, Double), q: (Double, Double)): Double = {
+      val rad = math.Pi / 180.0
+      val c = math.sin(p._1 * rad) * math.sin(q._1 * rad) +
+        math.cos(p._1 * rad) * math.cos(q._1 * rad) *
+          math.cos((q._2 - p._2) * rad)
+      6371.0088 * math.acos(math.max(-1.0, math.min(1.0, c)))
+    }
+    val custs = Tables.customer(spark, sf0001).select("c_custkey")
+      .collect().map(r => coords(r.getLong(0).toString))
+    val hubs = Tables.nation(spark, sf0001).select("n_nationkey")
+      .collect().map(r => r.getInt(0).toLong)
+    assert(hubs.length === 25)
+    hubs.foreach { h =>
+      val hc = coords(s"hub:$h")
+      val ds = custs.map(c => dist(c, hc))
+      val (g1, g2, g5, gm) = rows(h)
+      assert(g1 === ds.count(_ <= 1000.0).toLong, s"hub $h band 1000")
+      assert(g2 === ds.count(_ <= 2000.0).toLong, s"hub $h band 2000")
+      assert(g5 === ds.count(_ <= 5000.0).toLong, s"hub $h band 5000")
+      assert(math.abs(gm - ds.min) < 1e-3, s"hub $h min ${ds.min} vs $gm")
+    }
+  }
 }
