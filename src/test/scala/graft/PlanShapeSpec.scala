@@ -623,18 +623,23 @@ class PlanShapeSpec extends SparkSpec {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val headAction = """\.head\(\)|\.head\.get""".r
     // r14 (verdict mandate #1): q179's build-time `.collect()(0)` walked
-    // straight through the `.head()`-only regex above. Builder files —
-    // every `ops/*Queries.scala` — declare plans; they must contain NO
-    // driver action of ANY spelling. Library operators with documented
-    // bounded driver state (Pca codebooks, AnnIvf/AnnPq centroids,
-    // SkewJoin hot-key census, Mmr pool, RangedNtile group counts,
-    // PrefixSum per-partition totals, BpeTrain merge loop, …) live in
-    // non-Queries files and are out of this rule's scope by
-    // construction — adding driver state to a builder means first
-    // moving it into a library operator with a justification comment.
+    // straight through the `.head()`-only regex above. Builder files
+    // declare plans; they must contain NO driver action of ANY
+    // spelling. Library operators with documented bounded driver state
+    // (Pca codebooks, AnnIvf/AnnPq centroids, SkewJoin hot-key census,
+    // Mmr pool, RangedNtile group counts, PrefixSum per-partition
+    // totals, BpeTrain merge loop, …) declare no oracle queries and
+    // are out of this rule's scope — adding driver state to a builder
+    // means first moving it into a library operator with a
+    // justification comment.
+    // r15: builder detection is CONTENT-based (any ops file declaring
+    // a `def qNNN` plan builder), not name-based — the r14/r15 file
+    // splits created builder files (SeriesEconometrics, SpatialStats,
+    // LocationTests, …) the old `ops/*Queries.scala` name pattern
+    // silently exempted from the strict rule.
     val anyAction =
       """\.collect\(\)|\.collectAsList\(|\.first\(\)|\.head\(\)|\.head\.get|\.take\(""".r
-    val builderFile = """ops/\w*Queries\.scala""".r
+    val builderDecl = """def q\d+\w*\(s: SparkSession""".r
     val walk = java.nio.file.Files.walk(root)
     val offenders = try {
       import scala.jdk.CollectionConverters._
@@ -649,7 +654,8 @@ class PlanShapeSpec extends SparkSpec {
               case -1 => l
               case i => l.substring(0, i)
             }).mkString("\n")
-          val isBuilder = builderFile.findFirstIn(rel).isDefined
+          val isBuilder = rel.startsWith("ops/") &&
+            builderDecl.findFirstIn(src).isDefined
           val hit =
             if (isBuilder) anyAction.findFirstIn(code).isDefined
             else headAction.findFirstIn(code).isDefined && !allowed(rel)
