@@ -113,6 +113,37 @@ object TextFns {
     }: _*)
   }
 
+  // ---- deterministic multi-byte transliteration (the q320 layer,
+  // ---- lifted in r15 so hash-kernel queries can reuse it) ----
+
+  private val xlitMap: Seq[(String, String, String)] = Seq(
+    ("de", "aous", "äöüß"),
+    ("es", "aeion", "áéíóñ"),
+    ("fr", "aeicu", "àéèçû"),
+    ("zh", "aeioubcdfghlmnprst",
+      "一二三四五六七八九十" +
+      "人大小中上下左右"))
+
+  /** Per-language script transliteration of the ASCII fixture text —
+    * codepoint-1:1 and space-free (token/char counts preserved, bytes
+    * inflate per script), injective per language. `en` and unknown
+    * langs pass through. Both engines' `translate` map per codepoint,
+    * so the layer is oracle-safe (proved end-to-end by q320). */
+  def scriptXlit(lang: Column, text: Column): Column =
+    xlitMap.foldRight(text) { case ((lg, from, to), acc) =>
+      when(lang === lg, translate(text, from, to)).otherwise(acc)
+    }
+
+  /** DuckDB mirror of [[scriptXlit]] for a `lang` / text expression
+    * (multi-byte targets embedded as literal UTF-8 — the oracle SQL
+    * travels as UTF-8 JSON, exactly like the q320 inline form did). */
+  def scriptXlitSql(lang: String, text: String): String = {
+    val cases = xlitMap.map { case (lg, from, to) =>
+      s"      WHEN '$lg' THEN translate($text, '$from', '$to')"
+    }.mkString("\n")
+    s"CASE $lang\n$cases\n      ELSE $text END"
+  }
+
   // ---- DuckDB SQL mirrors (string fragments for oracleSql) ----
 
   /** DuckDB: token hash of a string expression `t`. */

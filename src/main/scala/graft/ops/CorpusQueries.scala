@@ -980,17 +980,10 @@ object CorpusQueries {
     * Scale: one map-side transliteration + one ≤|langs|-group agg —
     * the q319 plan with a codegen'd string map fused into the scan. */
   def q320ScriptFertility(s: SparkSession, dir: String): DataFrame = {
-    val xt = when(col("lang") === "de",
-        translate(col("text"), "aous", "\u00e4\u00f6\u00fc\u00df"))
-      .when(col("lang") === "es",
-        translate(col("text"), "aeion", "\u00e1\u00e9\u00ed\u00f3\u00f1"))
-      .when(col("lang") === "fr",
-        translate(col("text"), "aeicu", "\u00e0\u00e9\u00e8\u00e7\u00fb"))
-      .when(col("lang") === "zh",
-        translate(col("text"), "aeioubcdfghlmnprst",
-          "\u4e00\u4e8c\u4e09\u56db\u4e94\u516d\u4e03\u516b\u4e5d\u5341" +
-          "\u4eba\u5927\u5c0f\u4e2d\u4e0a\u4e0b\u5de6\u53f3"))
-      .otherwise(col("text"))
+    // the transliteration layer lives in TextFns since r15 (shared
+    // with q334's hash-kernel path); values byte-identical to the
+    // original inline form
+    val xt = graft.functions.TextFns.scriptXlit(col("lang"), col("text"))
     val d = Tables.documents(s, dir)
       .select(col("lang"),
         size(tokens(xt)).cast("long").as("tk"),
@@ -1013,18 +1006,9 @@ object CorpusQueries {
   }
 
   val q320ScriptFertilitySql: String =
-    """WITH xd AS (
+    s"""WITH xd AS (
       |  SELECT lang,
-      |    CASE lang
-      |      WHEN 'de' THEN translate(text, 'aous',
-      |        '\u00e4\u00f6\u00fc\u00df')
-      |      WHEN 'es' THEN translate(text, 'aeion',
-      |        '\u00e1\u00e9\u00ed\u00f3\u00f1')
-      |      WHEN 'fr' THEN translate(text, 'aeicu',
-      |        '\u00e0\u00e9\u00e8\u00e7\u00fb')
-      |      WHEN 'zh' THEN translate(text, 'aeioubcdfghlmnprst',
-      |        '\u4e00\u4e8c\u4e09\u56db\u4e94\u516d\u4e03\u516b\u4e5d\u5341\u4eba\u5927\u5c0f\u4e2d\u4e0a\u4e0b\u5de6\u53f3')
-      |      ELSE text END AS xt
+      |    ${graft.functions.TextFns.scriptXlitSql("lang", "text")} AS xt
       |  FROM documents),
       |d AS (
       |  SELECT lang,
@@ -1045,6 +1029,63 @@ object CorpusQueries {
       |    AS bytes_per_char
       |FROM base
       |ORDER BY lang""".stripMargin
+  /** L268 multi-byte fingerprint census (r14 verdict mandate #5): the
+    * q47 hash-kernel fingerprint panel computed on TRANSLITERATED
+    * multi-byte text — doc hash, minimum 3-shingle hash, shingle
+    * count, and the first MinHash signature element, per document.
+    * q320 proved tokenizer/char/byte semantics on multi-byte input;
+    * the token-hash family (L3–L5, L11 — MinHash banding, SimHash,
+    * feature-hash embedding) still only ever saw ASCII through the
+    * oracle gate. This query closes that blind spot: every output
+    * value is a DIRECT function of multi-byte codepoints flowing
+    * through the codegen'd polynomial-hash kernels
+    * (`token_hashes` → `shingle_hashes` → `doc_hash` / min-hash), and
+    * the mirror recomputes the identical folds from DuckDB's
+    * `string_split(t, '')` + `ascii` (codepoint semantics in both
+    * engines — probed: ascii('ä') = 228, ascii('一') = 19968 in both).
+    *
+    * Parity: every value is an exact int64 polynomial fold mod 1e9+7;
+    * no doubles anywhere. min/count over exact ints.
+    *
+    * Scale: pure map-side per-row kernels + one TakeOrdered output
+    * sort — no join, no shuffle beyond the final order. */
+  def q334MultibyteFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val xt = scriptXlit(col("lang"), col("text"))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenHashes(xt).as("th"))
+      .withColumn("shd", array_distinct(shingleHashes(col("th"), 3)))
+    d.select(col("doc_id"), col("lang"),
+        docHash(col("th")).as("doc_hash"),
+        array_min(col("shd")).as("min_shingle"),
+        size(col("shd")).cast("long").as("n_shingles"),
+        when(size(col("shd")) > 0,
+          element_at(minHashSignature(col("shd"), Seq((37L, 17L))), 1))
+          .as("mh1"))
+      .orderBy("doc_id")
+  }
+
+  val q334MultibyteFingerprintSql: String =
+    s"""WITH xd AS (
+      |  SELECT doc_id, lang,
+      |    ${scriptXlitSql("lang", "text")} AS xt
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, lang, ${tokenHashesSql("xt")} AS th FROM xd),
+      |sh AS (
+      |  SELECT doc_id, lang, th,
+      |    list_distinct(CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+      |      ELSE list_transform(generate_series(1, len(th) - 2),
+      |             i -> ${docHashSql("th[i:i+2]")}) END) AS shd
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  ${docHashSql("th")} AS doc_hash,
+      |  list_min(shd) AS min_shingle,
+      |  CAST(len(shd) AS BIGINT) AS n_shingles,
+      |  CASE WHEN len(shd) > 0
+      |    THEN list_min(list_transform(shd, x -> (37 * x + 17) % $P))
+      |    ELSE NULL END AS mh1
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   /** L263 HD-D lexical diversity ([PK] McCarthy & Jarvis 2010 — the
     * hypergeometric-distribution D): the probability-exact successor
     * to TTR (q277's raw type-token ratio is length-confounded; HD-D

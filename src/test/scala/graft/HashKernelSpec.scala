@@ -84,6 +84,43 @@ class HashKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("kernels fold multi-byte codepoints: pinned values + HOF agreement (r15)") {
+    import spark.implicits._
+    // independent reference: h = fold chars c: (h*31 + codepoint) % P,
+    // computed outside the JVM (Python ord()) — 'ä' = 228, '一' = 19968.
+    // The kernel iterates by codePointAt; the HOF reference rides
+    // Spark's ascii() per split("") char; DuckDB's mirror rides
+    // ascii(string_split(t, '')) — q334 oracle-pins that third leg.
+    val df = Seq("hällö wörld 一二三").toDF("text")
+    val th = tokenHashes(col("text"))
+    val row = df.select(th.as("th"), docHash(th).as("dh"),
+        tokenHashesHof(col("text")).as("rth"),
+        element_at(minHashSignature(th, Seq((37L, 17L))), 1))
+      .head()
+    assert(row.getSeq[Long](0) == Seq(102945914L, 117340587L, 19832573L))
+    assert(row.getLong(1) == 46267150L)
+    assert(row.getSeq[Long](2) == row.getSeq[Long](0),
+      "HOF ascii() reference diverges from the codepoint kernel on multi-byte")
+    assert(row.getLong(3) == 341601708L)
+    // fuzzed multi-byte strings: kernel == HOF on mixed-script input
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      4 -> Gen.choose(33.toChar, 121.toChar),
+      2 -> Gen.oneOf("äöüßáéíóñàèçû一二三四五人大小中".toSeq),
+      1 -> Gen.const(' '))
+    val strGen = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 200)
+      .map(i => strGen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
+    val fz = texts.toDF("text")
+    val diff = fz
+      .withColumn("fT", tokenHashes(col("text")))
+      .withColumn("rT", tokenHashesHof(col("text")))
+      .filter(not(col("fT") <=> col("rT")))
+    assert(diff.count() === 0)
+  }
+
   test("kernel edge cases: empty text, repeated/leading/trailing spaces, short docs") {
     import spark.implicits._
     val edge = Seq("", " ", "a", "a b", "  double  space ", "one two",

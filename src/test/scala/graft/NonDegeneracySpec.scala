@@ -1473,6 +1473,41 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q334: the multi-byte path actually changes hashes per script") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val fp = run("q334_multibyte_fingerprint", sf).collect()
+      val docs = Tables.documents(spark, sf).count()
+      assert(fp.length.toLong === docs, s"fingerprint census short at $sf")
+      // every language present, and doc hashes vary within each
+      val byLang = fp.groupBy(_.getAs[String]("lang"))
+      assert(byLang.keySet === Set("en", "de", "es", "fr", "zh"),
+        s"language slice missing at $sf")
+      byLang.foreach { case (lg, rows) =>
+        assert(rows.map(_.getAs[Long]("doc_hash")).distinct.length > 1,
+          s"constant doc_hash for $lg at $sf")
+      }
+      // the transliteration MUST move the non-en hashes: recompute the
+      // ASCII (untransliterated) fingerprint and require divergence on
+      // every non-en doc that contains a mapped char (all do, at our
+      // fixture sizes) and IDENTITY on en
+      import graft.functions.TextFns._
+      val ascii = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"),
+          docHash(tokenHashes(col("text"))).as("ah")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("lang"), r.getAs[Long]("ah"))).toMap
+      val (same, moved) = fp.partition(r =>
+        ascii(r.getAs[Long]("doc_id"))._2 == r.getAs[Long]("doc_hash"))
+      assert(same.forall(_.getAs[String]("lang") == "en"),
+        s"a non-en doc_hash failed to move at $sf")
+      assert(moved.nonEmpty && same.nonEmpty,
+        s"degenerate transliteration split at $sf")
+      // minhash leg is populated (multi-token docs exist in every lang)
+      assert(fp.count(_.getAs[java.lang.Long]("mh1") != null) >
+        fp.length / 2, s"minhash leg mostly null at $sf")
+    }
+  }
+
   test("q7/q8: EXCEPT and INTERSECT each select a real, proper subset") {
     // r14 backport of the non-degeneracy rule to the r1 set (verdict
     // mandate #3): the original q7 "customers but no suppliers" was 0
