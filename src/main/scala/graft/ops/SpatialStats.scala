@@ -44,6 +44,34 @@ object SpatialStats {
     * which NonDegeneracySpec pins; the structured-field behaviour
     * (I→1, C→0 on a ramp) is pinned by StatBruteSpec through the same
     * [[moransI]]/[[gearysC]] kernels on an in-test grid. */
+  /** md5-scattered POINT coordinates (q328/q333/q335 family): lat from
+    * hex digits 1–6 of md5(key) mod 1700, lon from digits 7–12 mod
+    * 3600, each /10 − offset. Unlike the q149 multiplicative hash
+    * (which is a coarse LATTICE at point level — measured, see q328's
+    * Scaladoc), md5 scatters properly, and both engines reproduce the
+    * fold bit-for-bit (the q326 hex-fold family). `key` is a STRING
+    * column — salt before hashing when two tables must not collide
+    * (q333's `hub:` prefix). */
+  private def mdLat(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 6), 16, 10).cast("long"),
+      lit(1700L)).cast("double") / 10.0 - 85.0
+  private def mdLon(key: Column): Column =
+    pmod(conv(substring(md5(key), 7, 6), 16, 10).cast("long"),
+      lit(3600L)).cast("double") / 10.0 - 180.0
+
+  /** DuckDB mirrors of [[mdLat]]/[[mdLon]] — emitted without margin
+    * bars so a host string's later `.stripMargin` leaves them alone. */
+  private def mdFoldSql(keyExpr: String, from: Int, modulus: Int): String =
+    s"""(list_sum(list_transform(range(6), i ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5($keyExpr),
+       |           CAST(i + $from AS INT), 1)) - 1)
+       |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % $modulus)""".stripMargin
+  private def mdLatSql(keyExpr: String): String =
+    s"CAST(${mdFoldSql(keyExpr, 1, 1700)}\n      AS DOUBLE) / 10.0 - 85.0"
+  private def mdLonSql(keyExpr: String): String =
+    s"CAST(${mdFoldSql(keyExpr, 7, 3600)}\n      AS DOUBLE) / 10.0 - 180.0"
+
   private def customerCells(s: SparkSession, dir: String): DataFrame = {
     def lat(key: Column): Column =
       pmod(key * 2654435761L, lit(1700L)).cast("double") / 10.0 - 85.0
@@ -478,17 +506,11 @@ object SpatialStats {
     * VACUOUS: 10 points at sf0.001 give zero pairs at every radius).
     * One 1-row point-count broadcast (q242 form). */
   def q328RipleyK(s: SparkSession, dir: String): DataFrame = {
-    def hexSlice(key: Column, from: Int): Column =
-      conv(substring(md5(key.cast("string")), from, 6), 16, 10)
-        .cast("long")
-    def lat(key: Column): Column =
-      pmod(hexSlice(key, 1), lit(1700L)).cast("double") / 10.0 - 85.0
-    def lon(key: Column): Column =
-      pmod(hexSlice(key, 7), lit(3600L)).cast("double") / 10.0 - 180.0
     val cell = 20.0
+    val ck = col("c_custkey").cast("string")
     val pts = Tables.customer(s, dir).select(
         col("c_custkey").as("id"),
-        lat(col("c_custkey")).as("y"), lon(col("c_custkey")).as("x"))
+        mdLat(ck).as("y"), mdLon(ck).as("x"))
       .withColumn("cx", floor(col("x") / cell).cast("int"))
       .withColumn("cy", floor(col("y") / cell).cast("int"))
       .localCheckpoint(eager = false)
@@ -535,20 +557,10 @@ object SpatialStats {
   }
 
   val q328RipleyKSql: String =
-    """WITH pts AS (
+    s"""WITH pts AS (
       |  SELECT c_custkey AS id,
-      |    CAST((list_sum(list_transform(range(6), i ->
-      |      (strpos('0123456789abcdef',
-      |         substr(md5(CAST(c_custkey AS VARCHAR)),
-      |           CAST(i + 1 AS INT), 1)) - 1)
-      |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % 1700)
-      |      AS DOUBLE) / 10.0 - 85.0 AS y,
-      |    CAST((list_sum(list_transform(range(6), i ->
-      |      (strpos('0123456789abcdef',
-      |         substr(md5(CAST(c_custkey AS VARCHAR)),
-      |           CAST(i + 7 AS INT), 1)) - 1)
-      |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % 3600)
-      |      AS DOUBLE) / 10.0 - 180.0 AS x
+      |    ${mdLatSql("CAST(c_custkey AS VARCHAR)")} AS y,
+      |    ${mdLonSql("CAST(c_custkey AS VARCHAR)")} AS x
       |  FROM customer),
       |pc AS (
       |  SELECT
@@ -603,22 +615,16 @@ object SpatialStats {
     * table, no pair blow-up. The kernel call itself stays inside
     * whole-stage codegen (one static-method call, no UDF deopt). */
   def q333HubBands(s: SparkSession, dir: String): DataFrame = {
-    def hexSlice(key: Column, from: Int): Column =
-      conv(substring(md5(key), from, 6), 16, 10).cast("long")
-    def lat(key: Column): Column =
-      pmod(hexSlice(key, 1), lit(1700L)).cast("double") / 10.0 - 85.0
-    def lon(key: Column): Column =
-      pmod(hexSlice(key, 7), lit(3600L)).cast("double") / 10.0 - 180.0
+    val ck = col("c_custkey").cast("string")
     val pts = Tables.customer(s, dir).select(
-      lat(col("c_custkey").cast("string")).as("y"),
-      lon(col("c_custkey").cast("string")).as("x"))
+      mdLat(ck).as("y"), mdLon(ck).as("x"))
     // hub keys are SALTED ("hub:" prefix): nation key k and customer
     // key k share the md5 of the bare digits, which would pin 24 hubs
     // exactly onto customers 1..24 (min_km = 0 everywhere — measured)
     val hubKey = concat(lit("hub:"), col("n_nationkey").cast("string"))
     val hubs = Tables.nation(s, dir).select(
       col("n_nationkey").as("hub"),
-      lat(hubKey).as("hy"), lon(hubKey).as("hx"))
+      mdLat(hubKey).as("hy"), mdLon(hubKey).as("hx"))
     val d = graft.functions.MathFns.haversineKm(
       col("y"), col("x"), col("hy"), col("hx"))
     pts.crossJoin(broadcast(hubs))
@@ -632,28 +638,17 @@ object SpatialStats {
   }
 
   val q333HubBandsSql: String = {
-    // the q328 md5 coordinate fold, as a reusable text macro
-    def fold(keyExpr: String, from: Int, modulus: Int): String =
-      s"""(list_sum(list_transform(range(6), i ->
-         |      (strpos('0123456789abcdef',
-         |         substr(md5($keyExpr),
-         |           CAST(i + $from AS INT), 1)) - 1)
-         |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % $modulus)""".stripMargin
     val ck = "CAST(c_custkey AS VARCHAR)"
     val hk = "'hub:' || CAST(n_nationkey AS VARCHAR)"
     s"""WITH pts AS (
        |  SELECT
-       |    CAST(${fold(ck, 1, 1700)}
-       |      AS DOUBLE) / 10.0 - 85.0 AS y,
-       |    CAST(${fold(ck, 7, 3600)}
-       |      AS DOUBLE) / 10.0 - 180.0 AS x
+       |    ${mdLatSql(ck)} AS y,
+       |    ${mdLonSql(ck)} AS x
        |  FROM customer),
        |hubs AS (
        |  SELECT n_nationkey AS hub,
-       |    CAST(${fold(hk, 1, 1700)}
-       |      AS DOUBLE) / 10.0 - 85.0 AS hy,
-       |    CAST(${fold(hk, 7, 3600)}
-       |      AS DOUBLE) / 10.0 - 180.0 AS hx
+       |    ${mdLatSql(hk)} AS hy,
+       |    ${mdLonSql(hk)} AS hx
        |  FROM nation),
        |dist AS (
        |  SELECT hub,
@@ -675,5 +670,86 @@ object SpatialStats {
        |FROM dist
        |GROUP BY hub
        |ORDER BY hub""".stripMargin
+  }
+
+  /** L269 nearest-hub (Voronoi) assignment census: every customer is
+    * assigned to its great-circle-nearest hub (q333's 25 salted md5
+    * sites; ties broken by hub id — a total order, so the assignment
+    * is deterministic and partitioning-independent), and the census
+    * reports each hub's assigned population and its nearest/farthest
+    * assignment distance — the geo-shard / catchment-area partition
+    * behind "which site serves this row" at 100 TB.
+    *
+    * Scale — the operator's point: the argmin is an IN-ROW fold over
+    * a 1-row broadcast 25-element hub ARRAY (collect_list of the
+    * nation-derived hubs), so the fact table is NEVER shuffled — no
+    * per-customer window, no 25n candidate exchange; the only
+    * exchange is the final ≤25-group aggregate. The mirror brute-
+    * forces the same assignment via CROSS JOIN + QUALIFY row_number
+    * (the exact-definition form — fine at oracle SFs).
+    *
+    * Parity: the haversine chain is the q333 fixed IEEE op order; the
+    * lexicographic (km, hub) argmin is order-independent, so the
+    * collect_list's nondeterministic array order cannot change the
+    * result; an argmin flip needs two hubs within ~1 ulp of
+    * equidistance from a customer — measure-zero on md5-scattered
+    * sites (the q333 band-edge convention). min/max are selections of
+    * single kernel values, 4dp. */
+  def q335NearestHub(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey").cast("string")
+    val pts = Tables.customer(s, dir).select(
+      mdLat(ck).as("y"), mdLon(ck).as("x"))
+    val hubKey = concat(lit("hub:"), col("n_nationkey").cast("string"))
+    val hubArr = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("hub"),
+        mdLat(hubKey).as("hy"), mdLon(hubKey).as("hx"))
+      .agg(collect_list(struct(col("hub"), col("hy"), col("hx"))).as("hs"))
+    val init = struct(lit(Double.PositiveInfinity).as("km"),
+      lit(-1L).as("hub"))
+    val best = aggregate(col("hs"), init, (acc, h) => {
+      val d = graft.functions.MathFns.haversineKm(
+        col("y"), col("x"), h("hy"), h("hx"))
+      when(d < acc("km") || (d === acc("km") && h("hub") < acc("hub")),
+        struct(d.as("km"), h("hub").as("hub"))).otherwise(acc)
+    })
+    pts.crossJoin(broadcast(hubArr))
+      .select(best.as("b"))
+      .select(col("b.hub").as("hub"), col("b.km").as("km"))
+      .groupBy("hub")
+      .agg(count(lit(1)).as("n_assigned"),
+        (floor(min(col("km")) * 1e4 + 0.5) / 1e4 + 0.0).as("min_km"),
+        (floor(max(col("km")) * 1e4 + 0.5) / 1e4 + 0.0).as("max_km"))
+      .orderBy("hub")
+  }
+
+  val q335NearestHubSql: String = {
+    val ck = "CAST(c_custkey AS VARCHAR)"
+    val hk = "'hub:' || CAST(n_nationkey AS VARCHAR)"
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS id,
+       |    ${mdLatSql(ck)} AS y,
+       |    ${mdLonSql(ck)} AS x
+       |  FROM customer),
+       |hubs AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS hub,
+       |    ${mdLatSql(hk)} AS hy,
+       |    ${mdLonSql(hk)} AS hx
+       |  FROM nation),
+       |d AS (
+       |  SELECT id, hub,
+       |    2.0 * 6371.0088 * ASIN(LEAST(1.0, SQRT(
+       |      SIN((hy - y) * (PI() / 180.0) / 2.0)
+       |        * SIN((hy - y) * (PI() / 180.0) / 2.0)
+       |      + COS(y * (PI() / 180.0)) * COS(hy * (PI() / 180.0))
+       |        * SIN((hx - x) * (PI() / 180.0) / 2.0)
+       |        * SIN((hx - x) * (PI() / 180.0) / 2.0)))) AS km
+       |  FROM pts CROSS JOIN hubs),
+       |n AS (
+       |  SELECT id, hub, km FROM d
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY km, hub) = 1)
+       |SELECT hub, COUNT(*) AS n_assigned,
+       |  FLOOR(MIN(km) * 1e4 + 0.5) / 1e4 + 0 AS min_km,
+       |  FLOOR(MAX(km) * 1e4 + 0.5) / 1e4 + 0 AS max_km
+       |FROM n GROUP BY hub ORDER BY hub""".stripMargin
   }
 }

@@ -1473,6 +1473,27 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q335: the Voronoi partition is total, proper, and uneven") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val vh = run("q335_nearest_hub", sf).collect()
+      val n = Tables.customer(spark, sf).count()
+      // a partition: every customer assigned exactly once
+      assert(vh.map(_.getAs[Long]("n_assigned")).sum === n,
+        s"assignment not a partition at $sf")
+      assert(vh.length > 10 && vh.length <= 25,
+        s"degenerate hub spread at $sf: ${vh.length}")
+      vh.foreach { r =>
+        val (lo, hi) = (r.getAs[Double]("min_km"), r.getAs[Double]("max_km"))
+        assert(lo > 0.0 && lo <= hi,
+          s"catchment bounds off at $sf hub=${r.getAs[Long]("hub")}")
+      }
+      // md5 scatter is not uniform-by-construction across Voronoi
+      // cells: populations must actually vary
+      assert(vh.map(_.getAs[Long]("n_assigned")).distinct.length > 5,
+        s"constant catchment population at $sf")
+    }
+  }
+
   test("q334: the multi-byte path actually changes hashes per script") {
     Seq(sf001, sf0001).foreach { sf =>
       val fp = run("q334_multibyte_fingerprint", sf).collect()

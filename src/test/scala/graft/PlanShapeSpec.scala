@@ -524,7 +524,11 @@ class PlanShapeSpec extends SparkSpec {
       // r15: q333's ≤25-row hub-table broadcast under the customer
       // fact scan — the deliberate 25n candidate build the haversine
       // kernel censuses map-side (no fact shuffle)
-      "q333_hub_bands")
+      "q333_hub_bands",
+      // r15: q335's 1-row broadcast of the collect_list'd 25-hub
+      // ARRAY — the in-row argmin fold that keeps the fact table
+      // unshuffled (no per-customer window, no candidate exchange)
+      "q335_nearest_hub")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

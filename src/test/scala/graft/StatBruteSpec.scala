@@ -3200,5 +3200,24 @@ class StatBruteSpec extends SparkSpec {
       assert(g5 === ds.count(_ <= 5000.0).toLong, s"hub $h band 5000")
       assert(math.abs(gm - ds.min) < 1e-3, s"hub $h min ${ds.min} vs $gm")
     }
+
+    // q335: the same independent walk, argmin form — every customer to
+    // its (km, hub)-lexicographic nearest hub, then the census
+    val v = SparkEntry.queries("q335_nearest_hub")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("hub") ->
+        (r.getAs[Long]("n_assigned"), r.getAs[Double]("min_km"),
+          r.getAs[Double]("max_km"))).toMap
+    val hubCoords = hubs.map(h => h -> coords(s"hub:$h"))
+    val assigned = custs.map { c =>
+      hubCoords.map { case (h, hc) => (dist(c, hc), h) }.min
+    }
+    val byHub = assigned.groupBy(_._2)
+    assert(v.keySet === byHub.keySet, "assigned hub sets differ")
+    byHub.foreach { case (h, as) =>
+      val (cnt, lo, hi) = v(h)
+      assert(cnt === as.length.toLong, s"hub $h population")
+      assert(math.abs(lo - as.map(_._1).min) < 1e-3, s"hub $h min")
+      assert(math.abs(hi - as.map(_._1).max) < 1e-3, s"hub $h max")
+    }
   }
 }
