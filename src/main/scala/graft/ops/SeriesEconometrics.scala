@@ -715,4 +715,205 @@ object SeriesEconometrics {
        |    ELSE CAST(CASE WHEN nf * (1.0 - rss / tss) > 5.991
        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
        |FROM fin""".stripMargin
+
+  /** L270 Wald–Wolfowitz runs test ([PK] Wald & Wolfowitz 1940) on the
+    * daily revenue series dichotomized at its MEAN: too few runs of
+    * consecutive above/below-mean days ⇒ positive dependence (regime
+    * persistence), too many ⇒ oscillation — the distribution-free
+    * randomness screen beside q230's parametric Durbin–Watson and
+    * q263's Cox–Stuart trend sign test on the same census.
+    *
+    * Parity: the dichotomy is an EXACT integer comparison (rev·n >
+    * total — the mean never becomes a double); runs/n₁/n₂ are exact
+    * ints; E[R], Var[R], z are one fixed double chain from exact ints,
+    * 6dp.
+    *
+    * Scale: one fact-scan day rollup; a 1-row (n, total) broadcast
+    * back onto the ~2,400-row census (q242 form), one lag window, one
+    * count agg. */
+  def q336RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir).localCheckpoint(eager = false)
+    val tot = d.agg(count(lit(1)).as("n"),
+      sum(col("rev").cast(dec)).as("t"))
+    val w = Window.orderBy("day")
+    val signs = d.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        (col("rev").cast(dec) * col("n") > col("t")).as("up"))
+      .withColumn("chg",
+        when(lag(col("up"), 1).over(w).isNull, 1L)
+          .when(col("up") =!= lag(col("up"), 1).over(w), 1L)
+          .otherwise(0L))
+    val m = signs.agg(max(col("n")).as("n"),
+      sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("up"), 0L).otherwise(1L)).as("n2"),
+      sum(col("chg")).as("runs"))
+    def f(c: String) = col(c).cast("double")
+    val (n1, n2) = (f("n1"), f("n2"))
+    val nn = n1 + n2
+    val er = lit(2.0) * n1 * n2 / nn + 1.0
+    val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - 1.0))
+    val z = (f("runs") - er) / sqrt(vr)
+    val bad = col("n1") === 0L || col("n2") === 0L || col("n") < 20L
+    m.select(col("n").cast("long").as("n_days"),
+      col("n1").cast("long").as("n_above"),
+      col("n2").cast("long").as("n_below"),
+      col("runs").cast("long").as("n_runs"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(er)).as("e_runs"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(z)).as("z"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((abs(z) > 1.96).cast("long")).as("reject_5pct"))
+  }
+
+  val q336RunsTestSql: String =
+    s"""WITH d AS ($dailySql),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS HUGEINT) AS t
+       |  FROM d),
+       |sg AS (
+       |  SELECT day, n, CAST(rev AS HUGEINT) * n > t AS up
+       |  FROM d CROSS JOIN tot),
+       |ch AS (
+       |  SELECT n, up,
+       |    CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL THEN 1
+       |      WHEN up <> LAG(up) OVER (ORDER BY day) THEN 1
+       |      ELSE 0 END AS chg
+       |  FROM sg),
+       |m AS (
+       |  SELECT MAX(n) AS n,
+       |    CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(SUM(chg) AS BIGINT) AS runs
+       |  FROM ch),
+       |fin AS (
+       |  SELECT *,
+       |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+       |    2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0 AS er,
+       |    2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+       |      / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+       |        * (CAST(n1 AS DOUBLE) + n2 - 1.0)) AS vr
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_days, n1 AS n_above,
+       |  n2 AS n_below, runs AS n_runs,
+       |  CASE WHEN n1 = 0 OR n2 = 0 OR n < 20 THEN NULL
+       |    ELSE FLOOR(er * 1e6 + 0.5) / 1e6 + 0 END AS e_runs,
+       |  CASE WHEN n1 = 0 OR n2 = 0 OR n < 20 THEN NULL
+       |    ELSE FLOOR((runs - er) / SQRT(vr) * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS z,
+       |  CASE WHEN n1 = 0 OR n2 = 0 OR n < 20 THEN NULL
+       |    ELSE CAST(CASE WHEN ABS((runs - er) / SQRT(vr)) > 1.96
+       |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+       |FROM fin""".stripMargin
+
+  /** L271 variance-ratio random-walk test ([PK] Lo & MacKinlay 1988),
+    * q = 5, on day-over-day revenue CHANGES: under a random walk the
+    * variance of a 5-day change is 5× the 1-day variance, so
+    * VR = σ²(5)/(5·σ²(1)) ≈ 1; VR < 1 ⇒ mean reversion, VR > 1 ⇒
+    * trending. The homoscedastic z uses the overlapping-estimator
+    * asymptotics z = (VR−1)/√(2(2q−1)(q−1)/(3qn)) — the multi-horizon
+    * dependence screen beside q336's runs and q230's lag-1 DW.
+    *
+    * Both estimators on EXACT moments: d_t = rev_t − rev_{t−1} and
+    * y_t = rev_t − rev_{t−5} are exact int64 lags of the census;
+    * Σ(d−μ̂)² = (nΣd² − (Σd)²)/n and the overlapping
+    * Σ(y−qμ̂)² = Σy² − 2qμ̂Σy + Mq²μ̂² expand to one fixed double
+    * chain over exact DECIMAL sums (μ̂ enters as Σd/n, never a stored
+    * double). Unbiased forms: σ²(1) uses n−1; σ²(q) uses Lo–MacKinlay's
+    * m = q(n−q+1)(1−q/n). 6dp.
+    *
+    * Scale: one fact-scan day rollup, two lag windows over the
+    * ~2,400-row census, ONE 6-moment aggregate — no broadcast, no
+    * join. Consecutive means consecutive OBSERVED days (the census
+    * has no gaps at fixture SFs; the q230/q263 convention). */
+  def q337VarianceRatio(s: SparkSession, dir: String): DataFrame = {
+    val q = 5
+    val w = Window.orderBy("day")
+    val l = daily(s, dir)
+      .select(col("day"),
+        (col("rev") - lag(col("rev"), 1).over(w)).as("dd"),
+        (col("rev") - lag(col("rev"), q).over(w)).as("y"))
+      .filter(col("dd").isNotNull)
+    def d(c: String) = col(c).cast(dec)
+    val m = l.agg(count(lit(1)).as("n"),
+      sum(d("dd")).as("sd"), sum(d("dd") * d("dd")).as("sdd"),
+      sum(when(col("y").isNotNull, 1L).otherwise(0L)).as("ny"),
+      sum(d("y")).as("sy"), sum(d("y") * d("y")).as("syy"))
+    def f(c: String) = col(c).cast("double")
+    val (n, sd, sdd) = (f("n"), f("sd"), f("sdd"))
+    val (sy, syy) = (f("sy"), f("syy"))
+    val qd = q.toDouble
+    val mu = sd / n
+    val s1 = (n * sdd - sd * sd) / n / (n - 1.0)
+    // constant subchains fold exactly (2·q = 10, 3·q = 15, the z
+    // denominator's 2(2q−1)(q−1) = 72) — the SQL spells them unfolded;
+    // IEEE arithmetic on small-integer doubles is exact either way
+    val mDen = lit(qd) * (n - qd + 1.0) * (lit(1.0) - lit(qd) / n)
+    val sq = (syy - lit(2.0 * qd) * mu * sy +
+      f("ny") * qd * qd * mu * mu) / mDen
+    // NO further /q: Lo–MacKinlay's m = q(n−q+1)(1−q/n) already
+    // q-normalizes σ²(q) (an extra /q was caught by the iid-levels
+    // sanity value: VR must sit near 1/q = 0.2 on a stationary series,
+    // and measured 0.04 before the fix)
+    val vrat = sq / s1
+    val z = (vrat - 1.0) /
+      sqrt(lit(2.0 * (2.0 * qd - 1.0) * (qd - 1.0)) / (lit(3.0 * qd) * n))
+    val bad = col("n") < 30L || s1 <= 0.0
+    // var_1 is O(rev²) ≈ 1e13 at sf0.1 — a 6dp quantization would
+    // saturate the ×1e6 long cast (measured), so it reports WHOLE
+    // units; vr/z are O(1) and keep 6dp
+    val s1w = floor(s1 + 0.5).cast("long").cast("double") + 0.0
+    m.select(col("n").cast("long").as("n_diffs"),
+      lit(q.toLong).as("q"),
+      when(bad, lit(null).cast("double")).otherwise(s1w).as("var_1"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(vrat)).as("vr"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(z)).as("z"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((abs(z) > 1.96).cast("long")).as("reject_5pct"))
+  }
+
+  val q337VarianceRatioSql: String =
+    s"""WITH d AS ($dailySql),
+       |l0 AS (
+       |  SELECT rev - LAG(rev, 1) OVER (ORDER BY day) AS dd,
+       |    rev - LAG(rev, 5) OVER (ORDER BY day) AS y
+       |  FROM d),
+       |l AS (SELECT * FROM l0 WHERE dd IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(dd) AS HUGEINT) AS sd,
+       |    CAST(SUM(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sdd,
+       |    CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ny,
+       |    CAST(SUM(y) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM l),
+       |fin AS (
+       |  SELECT *,
+       |    CAST(n AS DOUBLE) AS nf,
+       |    CAST(sd AS DOUBLE) / n AS mu,
+       |    (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+       |      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+       |      / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS s1,
+       |    5.0 * (CAST(n AS DOUBLE) - 5.0 + 1.0)
+       |      * (1.0 - 5.0 / CAST(n AS DOUBLE)) AS mden
+       |  FROM m),
+       |fin2 AS (
+       |  SELECT *,
+       |    (CAST(syy AS DOUBLE) - 2.0 * 5.0 * mu * CAST(sy AS DOUBLE)
+       |      + CAST(ny AS DOUBLE) * 5.0 * 5.0 * mu * mu) / mden
+       |      / s1 AS vrat
+       |  FROM fin)
+       |SELECT CAST(n AS BIGINT) AS n_diffs, CAST(5 AS BIGINT) AS q,
+       |  CASE WHEN n < 30 OR s1 <= 0 THEN NULL
+       |    ELSE FLOOR(s1 + 0.5) + 0 END AS var_1,
+       |  CASE WHEN n < 30 OR s1 <= 0 THEN NULL
+       |    ELSE FLOOR(vrat * 1e6 + 0.5) / 1e6 + 0 END AS vr,
+       |  CASE WHEN n < 30 OR s1 <= 0 THEN NULL
+       |    ELSE FLOOR((vrat - 1.0) / SQRT(2.0 * (2.0 * 5.0 - 1.0)
+       |      * (5.0 - 1.0) / (3.0 * 5.0 * nf)) * 1e6 + 0.5) / 1e6 + 0
+       |    END AS z,
+       |  CASE WHEN n < 30 OR s1 <= 0 THEN NULL
+       |    ELSE CAST(CASE WHEN ABS((vrat - 1.0) / SQRT(2.0
+       |      * (2.0 * 5.0 - 1.0) * (5.0 - 1.0) / (3.0 * 5.0 * nf)))
+       |      > 1.96 THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+       |FROM fin2""".stripMargin
 }

@@ -1473,6 +1473,27 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q336/q337: the dependence screens discriminate on the day census") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rt = run("q336_runs_test", sf).head()
+      val (n1, n2) = (rt.getAs[Long]("n_above"), rt.getAs[Long]("n_below"))
+      assert(n1 > 100L && n2 > 100L, s"degenerate dichotomy at $sf")
+      val runs = rt.getAs[Long]("n_runs")
+      assert(runs > 1L && runs < n1 + n2, s"degenerate run count at $sf")
+      assert(rt.getAs[java.lang.Double]("z") != null)
+      val vr = run("q337_variance_ratio", sf).head()
+      val v = vr.getAs[java.lang.Double]("vr")
+      // stationary revenue levels ⇒ differenced series mean-reverts:
+      // VR(5) near 1/5, decisively below the random-walk null of 1
+      assert(v != null && v > 0.1 && v < 0.4,
+        s"VR off the stationary band at $sf: $v")
+      assert(vr.getAs[Long]("reject_5pct") === 1L,
+        s"mean reversion not detected at $sf")
+      assert(vr.getAs[java.lang.Double]("var_1") != null &&
+        vr.getAs[Double]("var_1") > 0.0)
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

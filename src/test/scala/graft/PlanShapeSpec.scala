@@ -528,7 +528,11 @@ class PlanShapeSpec extends SparkSpec {
       // r15: q335's 1-row broadcast of the collect_list'd 25-hub
       // ARRAY — the in-row argmin fold that keeps the fact table
       // unshuffled (no per-customer window, no candidate exchange)
-      "q335_nearest_hub")
+      "q335_nearest_hub",
+      // r15: q336's 1-row (n, total) mean broadcast back onto the
+      // checkpointed day census (the q242 form — the runs dichotomy
+      // needs the exact mean comparison at every day)
+      "q336_runs_test")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

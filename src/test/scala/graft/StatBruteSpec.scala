@@ -3160,6 +3160,50 @@ class StatBruteSpec extends SparkSpec {
       s"${row.getAs[Double]("arch_lm")} vs brute ${m * r2}")
   }
 
+  test("q336 runs test matches a sequential run count") {
+    val row = SparkEntry.queries("q336_runs_test")(spark, sf0001).head()
+    val (rev, _) = dailySeries()
+    val n = rev.length
+    val total = rev.map(BigInt(_)).sum
+    val up = rev.map(v => BigInt(v) * n > total)
+    val n1 = up.count(identity)
+    val n2 = n - n1
+    var runs = 1
+    (1 until n).foreach(i => if (up(i) != up(i - 1)) runs += 1)
+    val (d1, d2) = (n1.toDouble, n2.toDouble)
+    val er = 2.0 * d1 * d2 / (d1 + d2) + 1.0
+    val vr = 2.0 * d1 * d2 * (2.0 * d1 * d2 - d1 - d2) /
+      ((d1 + d2) * (d1 + d2) * (d1 + d2 - 1.0))
+    assert(row.getAs[Long]("n_above") === n1.toLong)
+    assert(row.getAs[Long]("n_runs") === runs.toLong)
+    assert(math.abs(row.getAs[Double]("z") - (runs - er) / math.sqrt(vr))
+      < 1e-5, s"z ${row.getAs[Double]("z")} vs brute")
+  }
+
+  test("q337 variance ratio matches a sequential overlapping-window walk") {
+    val row = SparkEntry.queries("q337_variance_ratio")(spark, sf0001)
+      .head()
+    val (rev, _) = dailySeries()
+    val q = 5
+    val d = (1 until rev.length).map(i => (rev(i) - rev(i - 1)).toDouble)
+    val n = d.length.toDouble
+    val mu = d.sum / n
+    val s1 = d.map(x => (x - mu) * (x - mu)).sum / (n - 1.0)
+    val y = (q until rev.length).map(i => (rev(i) - rev(i - q)).toDouble)
+    val mDen = q * (n - q + 1.0) * (1.0 - q / n)
+    val sq = y.map(v => (v - q * mu) * (v - q * mu)).sum / mDen
+    val vrat = sq / s1
+    val z = (vrat - 1.0) /
+      math.sqrt(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * n))
+    assert(row.getAs[Long]("n_diffs") === d.length.toLong)
+    assert(math.abs(row.getAs[Double]("vr") - vrat) < 1e-4,
+      s"vr ${row.getAs[Double]("vr")} vs brute $vrat")
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+    // the iid-levels sanity pin that caught the double-q bug: on a
+    // stationary series VR(q) must sit near 1/q, nowhere near 1
+    assert(vrat > 0.1 && vrat < 0.35, s"VR off the stationary band: $vrat")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
