@@ -916,4 +916,147 @@ object SeriesEconometrics {
        |      * (2.0 * 5.0 - 1.0) * (5.0 - 1.0) / (3.0 * 5.0 * nf)))
        |      > 1.96 THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
        |FROM fin2""".stripMargin
+
+  /** L272 Hurst exponent by rescaled-range analysis ([PK] Hurst 1951;
+    * Mandelbrot & Wallis 1969): split the daily revenue series into
+    * blocks of m ∈ {50, 100, 200} days, per block compute
+    * R/S = (max cumulative deviation − min)/(population sd), average
+    * per scale, and fit H as the slope of ln(mean R/S) on ln(m) —
+    * H ≈ 0.5 for independent data, > 0.5 long-range persistence,
+    * < 0.5 anti-persistence. The MULTI-SCALE memory screen beside
+    * q337's fixed-q variance ratio and q275's fixed-lag Ljung–Box.
+    *
+    * Parity: within a block, m·cum_t − t·ΣX is an EXACT integer
+    * (cumulative deviation × m — the mean never becomes a double), so
+    * R = (max − min)/m and S = √(m·ΣX² − (ΣX)²)/m reduce to
+    * R/S = (max − min)/√(m·ΣX² − (ΣX)²) — ONE double chain per block
+    * from exact DECIMAL sums, nano-quantized BEFORE the per-scale
+    * mean (q329 convention). The ln legs take EXACT INTEGER arguments
+    * (ln Σrs9, ln(b·1e9), ln m — the q320 libm convention), each
+    * nano-quantized; the 3-point slope is one double chain, 6dp.
+    *
+    * Scale: one fact-scan day rollup; ONE global row_number over the
+    * scale-constant ~2,400-row census (the q205 "honest plan" note),
+    * a ×3 scale explode, per-(m, block) windows — all census-bounded.
+    * Partial tail blocks are dropped (cnt = m only). */
+  def q338HurstRs(s: SparkSession, dir: String): DataFrame = {
+    val scales = Seq(50, 100, 200)
+    val rn = row_number().over(Window.orderBy("day"))
+    val base = daily(s, dir).withColumn("rn", rn)
+      .withColumn("m", explode(typedlit(scales)))
+      .withColumn("blk", ((col("rn") - 1) / col("m")).cast("long"))
+    val wb = Window.partitionBy("m", "blk").orderBy("rn")
+    val wall = Window.partitionBy("m", "blk")
+    def d(c: Column) = c.cast(dec)
+    val dev = base
+      .withColumn("cum", sum(d(col("rev"))).over(wb))
+      .withColumn("t", row_number().over(wb))
+      .withColumn("sb", sum(d(col("rev"))).over(wall))
+      .withColumn("sxx", sum(d(col("rev")) * d(col("rev"))).over(wall))
+      .withColumn("cnt", count(lit(1)).over(wall))
+      .filter(col("cnt") === col("m"))
+      .withColumn("dev", col("m") * col("cum") - col("t") * col("sb"))
+    val blocks = dev.groupBy("m", "blk")
+      .agg(max(col("dev")).as("mx"), min(col("dev")).as("mn"),
+        max(col("sb")).as("sb"), max(col("sxx")).as("sxx"),
+        max(col("rn")).as("mrn"))
+    def f(c: Column) = c.cast("double")
+    val rs = (f(col("mx")) - f(col("mn"))) /
+      sqrt(f(col("m")) * f(col("sxx")) - f(col("sb")) * f(col("sb")))
+    val perScale = blocks
+      .withColumn("rs9", floor(rs * 1e9 + 0.5).cast("long"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("b"), sum(col("rs9")).as("s9"),
+        max(col("mrn")).as("mrn"))
+      .withColumn("lx9",
+        floor(log(col("m").cast("double")) * 1e9 + 0.5).cast("long"))
+      .withColumn("ly9",
+        floor(log(col("s9").cast("double")) * 1e9 + 0.5).cast("long") -
+          floor(log(col("b").cast("double") * 1e9) * 1e9 + 0.5)
+            .cast("long"))
+    def g(c: String) = col(c).cast("double")
+    val mean6 = (floor(g("s9") / (g("b") * 1e9) * 1e6 + 0.5)
+      .cast("long").cast("double") / 1e6) + 0.0
+    // nano-scaled ln legs reach ~5e9, so their cross-products exceed
+    // int64 — cast to DECIMAL BEFORE the multiply (a long×long product
+    // would wrap silently). n_covered = the largest census index any
+    // full block reaches (NOT the census length: tail partials drop).
+    val fin = perScale
+      .withColumn("rs_mean", mean6)
+      .agg(max(col("mrn")).cast("long").as("n_covered"),
+        count(lit(1)).as("k"),
+        sum(when(col("m") === 50, col("rs_mean"))).as("rs_50"),
+        sum(when(col("m") === 100, col("rs_mean"))).as("rs_100"),
+        sum(when(col("m") === 200, col("rs_mean"))).as("rs_200"),
+        sum(col("lx9").cast(dec)).as("sx"),
+        sum(col("ly9").cast(dec)).as("sy"),
+        sum(col("lx9").cast(dec) * col("ly9").cast(dec)).as("sxy"),
+        sum(col("lx9").cast(dec) * col("lx9").cast(dec)).as("sxx"))
+    val (k, sx, sy) = (g("k"), g("sx"), g("sy"))
+    val slope = (k * g("sxy") - sx * sy) / (k * g("sxx") - sx * sx)
+    fin.select(col("n_covered"), col("rs_50"), col("rs_100"),
+      col("rs_200"),
+      when(col("k") < 3L, lit(null).cast("double"))
+        .otherwise(rnd6(slope)).as("hurst"))
+  }
+
+  val q338HurstRsSql: String =
+    s"""WITH d AS ($dailySql),
+       |ix AS (
+       |  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+       |e AS (
+       |  SELECT rev, rn, unnest([50, 100, 200]) AS m FROM ix),
+       |bw AS (
+       |  SELECT m, (rn - 1) // m AS blk, rn, rev,
+       |    SUM(CAST(rev AS HUGEINT)) OVER
+       |      (PARTITION BY m, (rn - 1) // m ORDER BY rn) AS cum,
+       |    ROW_NUMBER() OVER
+       |      (PARTITION BY m, (rn - 1) // m ORDER BY rn) AS t,
+       |    SUM(CAST(rev AS HUGEINT)) OVER
+       |      (PARTITION BY m, (rn - 1) // m) AS sb,
+       |    SUM(CAST(rev AS HUGEINT) * rev) OVER
+       |      (PARTITION BY m, (rn - 1) // m) AS sxx,
+       |    COUNT(*) OVER (PARTITION BY m, (rn - 1) // m) AS cnt
+       |  FROM e),
+       |blocks AS (
+       |  SELECT m, blk,
+       |    MAX(m * cum - t * sb) AS mx, MIN(m * cum - t * sb) AS mn,
+       |    MAX(sb) AS sb, MAX(sxx) AS sxx, MAX(rn) AS mrn
+       |  FROM bw WHERE cnt = m GROUP BY m, blk),
+       |ps AS (
+       |  SELECT m, COUNT(*) AS b,
+       |    CAST(SUM(CAST(FLOOR((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+       |      / SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) * 1e9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s9,
+       |    MAX(mrn) AS mrn
+       |  FROM blocks GROUP BY m),
+       |lg AS (
+       |  SELECT m, b, s9, mrn,
+       |    CAST(FLOOR(LN(CAST(m AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |      AS lx9,
+       |    CAST(FLOOR(LN(CAST(s9 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |    - CAST(FLOOR(LN(CAST(b AS DOUBLE) * 1e9) * 1e9 + 0.5)
+       |        AS BIGINT) AS ly9,
+       |    FLOOR(CAST(s9 AS DOUBLE) / (CAST(b AS DOUBLE) * 1e9) * 1e6
+       |      + 0.5) / 1e6 + 0 AS rs_mean
+       |  FROM ps),
+       |fin AS (
+       |  SELECT CAST(MAX(mrn) AS BIGINT) AS n_covered, COUNT(*) AS k,
+       |    SUM(CASE WHEN m = 50 THEN rs_mean END) AS rs_50,
+       |    SUM(CASE WHEN m = 100 THEN rs_mean END) AS rs_100,
+       |    SUM(CASE WHEN m = 200 THEN rs_mean END) AS rs_200,
+       |    CAST(SUM(CAST(lx9 AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(SUM(CAST(ly9 AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(lx9 AS HUGEINT) * ly9) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(lx9 AS HUGEINT) * lx9) AS HUGEINT) AS sxx
+       |  FROM lg)
+       |SELECT n_covered, rs_50, rs_100, rs_200,
+       |  CASE WHEN k < 3 THEN NULL
+       |    ELSE FLOOR((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+       |      / 1e6 + 0 END AS hurst
+       |FROM fin""".stripMargin
 }

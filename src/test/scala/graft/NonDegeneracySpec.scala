@@ -1494,6 +1494,22 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q338: R/S grows with scale and H sits in the iid band") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q338_hurst_rs", sf).head()
+      val (r50, r100, r200) = (r.getAs[Double]("rs_50"),
+        r.getAs[Double]("rs_100"), r.getAs[Double]("rs_200"))
+      assert(r50 > 1.0 && r50 < r100 && r100 < r200,
+        s"R/S not growing with scale at $sf: $r50 $r100 $r200")
+      val h = r.getAs[java.lang.Double]("hurst")
+      // iid daily revenue: H near 0.5 with the small-sample
+      // (Anis-Lloyd) upward bias — clustering would push toward 1,
+      // strict anti-persistence toward 0
+      assert(h != null && h > 0.35 && h < 0.75,
+        s"Hurst off the iid band at $sf: $h")
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

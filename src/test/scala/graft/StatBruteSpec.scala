@@ -3204,6 +3204,35 @@ class StatBruteSpec extends SparkSpec {
     assert(vrat > 0.1 && vrat < 0.35, s"VR off the stationary band: $vrat")
   }
 
+  test("q338 Hurst R/S matches a sequential block walk") {
+    val row = SparkEntry.queries("q338_hurst_rs")(spark, sf0001).head()
+    val (rev, _) = dailySeries()
+    def meanRs(m: Int): Double = {
+      val full = rev.length / m
+      val rss = (0 until full).map { b =>
+        val blk = rev.slice(b * m, b * m + m).map(_.toDouble)
+        val mean = blk.sum / m
+        var cum = 0.0
+        val devs = blk.map { v => cum += v - mean; cum }
+        val r = devs.max - devs.min
+        val s = math.sqrt(blk.map(v => (v - mean) * (v - mean)).sum / m)
+        math.floor(r / s * 1e9 + 0.5) / 1e9
+      }
+      rss.sum / rss.length
+    }
+    val ms = Seq(50, 100, 200)
+    val pts = ms.map(m => (math.log(m.toDouble), math.log(meanRs(m))))
+    val k = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("rs_50") - meanRs(50)) < 1e-4)
+    assert(math.abs(row.getAs[Double]("rs_200") - meanRs(200)) < 1e-4)
+    assert(math.abs(row.getAs[Double]("hurst") - h) < 1e-4,
+      s"hurst ${row.getAs[Double]("hurst")} vs brute $h")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
