@@ -1497,4 +1497,98 @@ object TextQueries {
        |      / (1.0 - (pg * pg + (1.0 - pg) * (1.0 - pg))), 6) + 0 END
        |    AS fleiss_kappa
        |FROM c""".stripMargin
+
+  /** L273 ACE richness estimator ([PK] Chao & Lee 1992 —
+    * abundance-based coverage estimator), on q269's word-TRIGRAM
+    * spectrum (the unigram vocabulary closes even at sf0.001 — q269's
+    * measured lesson): S_ACE = S_abund + S_rare/Ĉ + (F₁/Ĉ)·γ̂², with
+    * Ĉ = 1 − F₁/N_rare the sample coverage of the rare group
+    * (counts ≤ 10) and γ̂² the rare-group CV correction
+    * max(0, (S_rare/Ĉ)·Σi(i−1)Fᵢ/(N_rare(N_rare−1)) − 1). The
+    * abundance-weighted companion to q269's Chao1 (which uses only
+    * F₁/F₂): when the two disagree the rare tail is heterogeneous —
+    * the "how much vocabulary haven't we crawled yet" pair.
+    *
+    * Parity: the frequency-of-frequency census is exact int64
+    * (Σi(i−1)Fᵢ included); Ĉ, γ̂², ACE are one fixed double chain,
+    * coverage 6dp, ACE 4dp.
+    *
+    * Scale: the q269 shape — one explode → trigram hash agg (map-side
+    * combinable) → ONE ≤10-bin frequency census aggregate. */
+  def q339AceRichness(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("w"))
+    val wc = tri.groupBy("w").agg(count(lit(1)).as("c"))
+    val g = wc.agg(
+      sum(when(col("c") > 10L, 1L).otherwise(0L)).as("sa"),
+      sum(when(col("c") <= 10L, 1L).otherwise(0L)).as("sr"),
+      sum(when(col("c") <= 10L, col("c")).otherwise(0L)).as("nr"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") <= 10L, col("c") * (col("c") - 1L))
+        .otherwise(0L)).as("ssq"))
+    def f(c: String) = col(c).cast("double")
+    val cov = lit(1.0) - f("f1") / f("nr")
+    val g2raw = f("sr") / cov * f("ssq") /
+      (f("nr") * (f("nr") - 1.0)) - 1.0
+    val g2 = greatest(g2raw, lit(0.0))
+    val ace = f("sa") + f("sr") / cov + f("f1") / cov * g2
+    val bad = col("nr") < 2L || col("f1") === col("nr")
+    g.select(col("sa").cast("long").as("s_abund"),
+      col("sr").cast("long").as("s_rare"),
+      col("nr").cast("long").as("n_rare"),
+      col("f1").cast("long").as("singletons"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(rnd6c(cov)).as("coverage"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(rnd6c(g2)).as("gamma2"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(ace * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("ace"))
+  }
+
+  private def rnd6c(c: Column): Column =
+    (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+
+  val q339AceRichnessSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |tri AS (
+      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+      |  FROM (SELECT ts AS t,
+      |          unnest(range(1, greatest(len(ts) - 1, 1))) AS i
+      |        FROM toks)),
+      |wc AS (SELECT w, COUNT(*) AS c FROM tri GROUP BY w),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS sr,
+      |    CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
+      |      AS nr,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END)
+      |      AS BIGINT) AS ssq
+      |  FROM wc),
+      |fin AS (
+      |  SELECT *,
+      |    1.0 - CAST(f1 AS DOUBLE) / nr AS cov,
+      |    GREATEST(CAST(sr AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / nr)
+      |      * ssq / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0))
+      |      - 1.0, 0.0) AS g2
+      |  FROM g)
+      |SELECT sa AS s_abund, sr AS s_rare, nr AS n_rare,
+      |  f1 AS singletons,
+      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
+      |    ELSE FLOOR(cov * 1e6 + 0.5) / 1e6 + 0 END AS coverage,
+      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
+      |    ELSE FLOOR(g2 * 1e6 + 0.5) / 1e6 + 0 END AS gamma2,
+      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
+      |    ELSE FLOOR((CAST(sa AS DOUBLE) + CAST(sr AS DOUBLE) / cov
+      |      + CAST(f1 AS DOUBLE) / cov * g2) * 1e4 + 0.5) / 1e4 + 0 END
+      |    AS ace
+      |FROM fin""".stripMargin
 }

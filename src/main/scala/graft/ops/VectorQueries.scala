@@ -479,4 +479,86 @@ object VectorQueries {
        |FROM sv x JOIN sv y ON x.sig = y.sig AND x.vec_id < y.vec_id
        |ORDER BY cos_sim DESC, a, b LIMIT 20""".stripMargin
   }
+
+  /** L274 embedding-truncation retrieval agreement ([PK] Kusupati et
+    * al. 2022, Matryoshka representation learning — the evaluation,
+    * not the training): for each query vector, does the top-1
+    * brute-force neighbor under FULL 64-dim cosine survive truncation
+    * to the first 16 dims? Reports both top-1 ids, the agreement
+    * flag, the full winner's RANK under the truncated ordering (the
+    * slip), and both its scores — the decision panel for "can the ANN
+    * tier index a prefix and re-rank with full vectors" (store 4x
+    * less, recall the re-rank candidates).
+    *
+    * Parity: the q53 discipline — rank on ROUNDED similarity (6dp)
+    * with vec_id tie-break, so a sub-ulp cosine divergence cannot
+    * reorder; both sims one fused kernel (mirror spells the same
+    * double chain); slice is exact.
+    *
+    * Scale: the q52/q53 broadcast-query shape — 5-query fleet under
+    * the candidate scan; per-query ranking windows. The sub-quadratic
+    * path is the ANN family (AnnIvf/AnnPq, ScalaTest-gated); this is
+    * its exact-agreement yardstick. */
+  def q340TruncationAgreement(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cands = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("sim_f", round(cosine(col("cv"), col("qv")), 6) + 0.0)
+      .withColumn("sim_t", round(cosine(slice(col("cv"), 1, 16),
+        slice(col("qv"), 1, 16)), 6) + 0.0)
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_f").desc, col("c_id"))
+    val wt = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_t").desc, col("c_id"))
+    // both winners in ONE grouped pass (a full ⋈ trunc self-join
+    // would re-plan the crossJoin subtree — two BNLJs for no reason)
+    val ranked = scored.withColumn("rnk_f", row_number().over(wf))
+      .withColumn("rnk_t", row_number().over(wt))
+    ranked.groupBy("q_id")
+      .agg(max(when(col("rnk_f") === 1,
+          struct(col("c_id"), col("rnk_t").cast("long").as("rt"),
+            col("sim_f"), col("sim_t")))).as("fw"),
+        max(when(col("rnk_t") === 1, col("c_id"))).as("top1_trunc"))
+      .select(col("q_id"), col("fw.c_id").as("top1_full"),
+        col("top1_trunc"),
+        (col("fw.c_id") === col("top1_trunc")).cast("long").as("agree"),
+        col("fw.rt").as("full_in_trunc_rank"),
+        col("fw.sim_f").as("sim_full"), col("fw.sim_t").as("sim_trunc"))
+      .orderBy("q_id")
+  }
+
+  val q340TruncationAgreementSql: String = {
+    val simF = cosineSql("c.embedding", "q.embedding")
+    val simT = cosineSql("c.embedding[1:16]", "q.embedding[1:16]")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND($simF, 6) + 0 AS sim_f,
+       |    ROUND($simT, 6) + 0 AS sim_t
+       |  FROM embeddings c
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < 5) q
+       |  WHERE c.vec_id >= 5),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_f DESC, c_id) AS rnk_f,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_t DESC, c_id) AS rnk_t
+       |  FROM scored),
+       |f AS (
+       |  SELECT q_id, c_id AS top1_full,
+       |    CAST(rnk_t AS BIGINT) AS full_in_trunc_rank,
+       |    sim_f AS sim_full, sim_t AS sim_trunc
+       |  FROM ranked WHERE rnk_f = 1),
+       |t AS (SELECT q_id, c_id AS top1_trunc FROM ranked WHERE rnk_t = 1)
+       |SELECT f.q_id, top1_full, top1_trunc,
+       |  CAST(CASE WHEN top1_full = top1_trunc THEN 1 ELSE 0 END
+       |    AS BIGINT) AS agree,
+       |  full_in_trunc_rank, sim_full, sim_trunc
+       |FROM f JOIN t ON f.q_id = t.q_id
+       |ORDER BY f.q_id""".stripMargin
+  }
 }

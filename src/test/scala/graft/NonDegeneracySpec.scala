@@ -1510,6 +1510,37 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q339/q340: richness extrapolates; truncation panel discriminates") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val ace = run("q339_ace_richness", sf).head()
+      val (sr, f1) = (ace.getAs[Long]("s_rare"), ace.getAs[Long]("singletons"))
+      assert(sr > 100L && f1 > 10L, s"closed rare tail at $sf")
+      val a = ace.getAs[java.lang.Double]("ace")
+      val observed = (ace.getAs[Long]("s_abund") + sr).toDouble
+      assert(a != null && a > observed,
+        s"ACE $a does not extrapolate past observed $observed at $sf")
+      val cov = ace.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov < 1.0, s"coverage out of (0,1) at $sf: $cov")
+
+      val ta = run("q340_trunc_agreement", sf).collect()
+      assert(ta.length === 5, s"query fleet short at $sf")
+      // the fixture embeddings are UNSTRUCTURED (no energy compaction
+      // in the prefix), so top-1 agreement pins the NULL regime — the
+      // q294/q295 CSR-band convention; the screen's discrimination
+      // shows in the rank-slip column, which must be real and varied
+      // (the structured regime where agree fires is pinned in
+      // SimilarityKernelSpec on prefix-heavy vectors)
+      val slips = ta.map(_.getAs[Long]("full_in_trunc_rank"))
+      assert(slips.forall(_ >= 1L) && slips.max > 5L,
+        s"no real truncation slip at $sf: ${slips.mkString(",")}")
+      assert(slips.distinct.length > 2, s"constant slip at $sf")
+      ta.foreach { r =>
+        assert(r.getAs[Double]("sim_full") > 0.0 &&
+          r.getAs[Double]("sim_full") < 1.0)
+      }
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

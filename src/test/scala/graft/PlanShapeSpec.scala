@@ -532,7 +532,10 @@ class PlanShapeSpec extends SparkSpec {
       // r15: q336's 1-row (n, total) mean broadcast back onto the
       // checkpointed day census (the q242 form — the runs dichotomy
       // needs the exact mean comparison at every day)
-      "q336_runs_test")
+      "q336_runs_test",
+      // r15: q340's 5-row broadcast query fleet under the candidate
+      // scan (the q52/q53 pattern)
+      "q340_trunc_agreement")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

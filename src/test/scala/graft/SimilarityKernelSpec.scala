@@ -23,6 +23,35 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("truncation agreement FIRES on prefix-heavy vectors (q340's structured regime)") {
+    // The q340 oracle pins the null regime (the fixture embeddings are
+    // unstructured, so 16-dim truncation never preserves top-1). This
+    // pins the other regime: vectors whose energy is concentrated in
+    // the first 16 dims (the Matryoshka property) keep their top-1
+    // under the same truncated-cosine ranking.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(seed: Array[Float], scaleTail: Float): Seq[Float] =
+      (seed.map(v => v + rnd.nextFloat() * 0.01f) ++
+        Array.fill(48)(rnd.nextFloat() * scaleTail)).toSeq
+    val base = Array.fill(16)(rnd.nextFloat() + 0.5f)
+    val other = Array.fill(16)(rnd.nextFloat() - 1.5f)
+    // candidate 100 shares the query's prefix direction; 101..120 do not
+    val rows = (100L, vec(base, 0.05f)) +:
+      (101L to 120L).map(i => i -> vec(other, 0.05f))
+    val cands = rows.toDF("c_id", "cv")
+    val q = Seq((0L, vec(base, 0.05f))).toDF("q_id", "qv")
+    val scored = cands.crossJoin(broadcast(q))
+      .withColumn("sim_f",
+        VectorQueries.cosine(col("cv"), col("qv")))
+      .withColumn("sim_t", VectorQueries.cosine(
+        slice(col("cv"), 1, 16), slice(col("qv"), 1, 16)))
+    val top = scored.orderBy(col("sim_f").desc).select("c_id").head().getLong(0)
+    val topT = scored.orderBy(col("sim_t").desc).select("c_id").head().getLong(0)
+    assert(top === 100L && topT === 100L,
+      s"prefix-heavy top-1 must survive truncation: full=$top trunc=$topT")
+  }
+
   test("cosine kernel: self-similarity 1.0; zero vector -> NaN, not error") {
     import spark.implicits._
     // Unlike the HOF form (whose Divide raises DIVIDE_BY_ZERO under ANSI

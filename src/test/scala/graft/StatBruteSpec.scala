@@ -3233,6 +3233,31 @@ class StatBruteSpec extends SparkSpec {
       s"hurst ${row.getAs[Double]("hurst")} vs brute $h")
   }
 
+  test("q339 ACE matches a sequential frequency-spectrum walk") {
+    val row = SparkEntry.queries("q339_ace_richness")(spark, sf0001).head()
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t =>
+        val ts = t.split(" ", -1)
+        if (ts.length < 3) Array.empty[String]
+        else (0 to ts.length - 3).map(i =>
+          s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toArray
+      }
+      .groupBy(identity).map(_._2.length.toLong).toArray
+    val sa = counts.count(_ > 10L)
+    val rare = counts.filter(_ <= 10L)
+    val (sr, nr) = (rare.length, rare.sum)
+    val f1 = rare.count(_ == 1L)
+    val ssq = rare.map(c => c * (c - 1)).sum
+    val cov = 1.0 - f1.toDouble / nr
+    val g2 = math.max(sr / cov * ssq / (nr.toDouble * (nr - 1.0)) - 1.0, 0.0)
+    val ace = sa + sr / cov + f1 / cov * g2
+    assert(row.getAs[Long]("s_rare") === sr.toLong)
+    assert(row.getAs[Long]("singletons") === f1.toLong)
+    assert(math.abs(row.getAs[Double]("ace") - ace) < 1e-2,
+      s"ACE ${row.getAs[Double]("ace")} vs brute $ace")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
