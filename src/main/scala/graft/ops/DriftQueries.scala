@@ -1492,4 +1492,101 @@ object DriftQueries {
       |       + (CAST(np AS DOUBLE) / nn)
       |         * (1.0 - CAST(np AS DOUBLE) / nn)), 6) + 0 AS within_resid
       |FROM g""".stripMargin
+
+  /** L276 Spiegelhalter's calibration Z ([PK] Spiegelhalter 1986): the
+    * single-number companion to q197's reliability TABLE —
+    * Z = Σ(y−p̂)(1−2p̂) / √Σ(1−2p̂)²p̂(1−p̂) over the same toy length
+    * classifier (p̂ = (n_chars−min)/(max−min), target = src0
+    * membership). Unlike ECE it needs no binning, penalizes over- AND
+    * under-confidence symmetrically, and carries a proper null
+    * (N(0,1) when p̂ is calibrated) — the significance readout the
+    * table can't give.
+    *
+    * Parity: p̂ is nano-quantized per distinct length FIRST (the q197
+    * canonical value — both engines' doubles start from the same
+    * integer); each length's numerator/denominator term is one double
+    * chain nano-quantized before the int64 sum (q185 discipline); Z
+    * is one final double chain, 6dp.
+    *
+    * Scale: the q197 plan — one map-side length census, a tiny
+    * unpartitioned window over ≤|lengths| rows, one sum agg. */
+  def q342SpiegelhalterZ(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+    val wAll = Window.partitionBy()
+    val withB = h
+      .withColumn("mn", min(col("sc")).over(wAll))
+      .withColumn("mx", max(col("sc")).over(wAll))
+    val span = col("mx") - col("mn")
+    val phat = when(span > 0L,
+      (col("sc") - col("mn")).cast("double") / span.cast("double"))
+      .otherwise(lit(0.0))
+    val p = floor(phat * lit(1.0e9) + lit(0.5)).cast("long")
+      .cast("double") / 1.0e9
+    val oneM2p = lit(1.0) - lit(2.0) * p
+    val num = oneM2p * (col("pos").cast("double") -
+      col("n").cast("double") * p)
+    val den = col("n").cast("double") * (oneM2p * oneM2p) * p *
+      (lit(1.0) - p)
+    val m = withB
+      .select(col("n"),
+        floor(num * lit(1.0e9) + lit(0.5)).cast("long").as("t9"),
+        floor(den * lit(1.0e9) + lit(0.5)).cast("long").as("d9"))
+      .agg(sum(col("n")).as("nd"), count(lit(1)).as("nl"),
+        sum(col("t9")).as("st9"), sum(col("d9")).as("sd9"))
+    def f(c: String) = col(c).cast("double")
+    val z = (f("st9") / 1.0e9) / sqrt(f("sd9") / 1.0e9)
+    val bad = col("sd9") <= 0L
+    m.select(col("nd").cast("long").as("n_docs"),
+      col("nl").cast("long").as("n_lengths"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(z * 1e6 + 0.5).cast("long")
+          .cast("double") / 1e6) + 0.0).as("z"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((abs(z) > 1.96).cast("long")).as("reject_5pct"))
+  }
+
+  val q342SpiegelhalterZSql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS sc, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM documents GROUP BY n_chars),
+      |b AS (
+      |  SELECT sc, n, pos,
+      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
+      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
+      |  FROM h),
+      |q AS (
+      |  SELECT n, pos,
+      |    CAST(FLOOR(
+      |      CASE WHEN mx - mn > 0
+      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) / 1e9 AS p
+      |  FROM b),
+      |t AS (
+      |  SELECT n,
+      |    CAST(FLOOR((1.0 - 2.0 * p) * (CAST(pos AS DOUBLE)
+      |      - CAST(n AS DOUBLE) * p) * 1e9 + 0.5) AS BIGINT) AS t9,
+      |    CAST(FLOOR(CAST(n AS DOUBLE) * ((1.0 - 2.0 * p)
+      |      * (1.0 - 2.0 * p)) * p * (1.0 - p) * 1e9 + 0.5) AS BIGINT)
+      |      AS d9
+      |  FROM q),
+      |m AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nd, COUNT(*) AS nl,
+      |    CAST(SUM(t9) AS BIGINT) AS st9,
+      |    CAST(SUM(d9) AS BIGINT) AS sd9
+      |  FROM t)
+      |SELECT nd AS n_docs, CAST(nl AS BIGINT) AS n_lengths,
+      |  CASE WHEN sd9 <= 0 THEN NULL
+      |    ELSE FLOOR((CAST(st9 AS DOUBLE) / 1e9)
+      |      / SQRT(CAST(sd9 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS z,
+      |  CASE WHEN sd9 <= 0 THEN NULL
+      |    ELSE CAST(CASE WHEN ABS((CAST(st9 AS DOUBLE) / 1e9)
+      |      / SQRT(CAST(sd9 AS DOUBLE) / 1e9)) > 1.96
+      |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+      |FROM m""".stripMargin
 }

@@ -1059,4 +1059,73 @@ object SeriesEconometrics {
        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
        |      / 1e6 + 0 END AS hurst
        |FROM fin""".stripMargin
+
+  /** L275 turning-points randomness test ([PK] Kendall & Stuart; the
+    * classic "phase" test): count strict local maxima/minima of the
+    * daily revenue series — under independence E[T] = 2(n−2)/3,
+    * Var[T] = (16n−29)/90; too FEW turning points ⇒ trending/
+    * persistence, too many ⇒ alternation. The third leg of the
+    * distribution-free dependence triptych (q336 runs around the
+    * mean, q337 multi-horizon variance, this one local shape).
+    * Strictness makes ties (possible on int revenue) non-turning in
+    * both engines — no sign-of-zero hazard.
+    *
+    * Parity: T is an exact int count from two lag/lead comparisons;
+    * E/Var/z one fixed double chain from n, 6dp.
+    *
+    * Scale: day rollup + ONE lag/lead window over the ~2,400-row
+    * census + one count agg. No join, no broadcast. */
+  def q341TurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val t = daily(s, dir)
+      .select(col("day"), col("rev"),
+        lag(col("rev"), 1).over(w).as("p"),
+        lead(col("rev"), 1).over(w).as("f"))
+      .filter(col("p").isNotNull && col("f").isNotNull)
+      .select(((col("rev") > col("p") && col("rev") > col("f")) ||
+        (col("rev") < col("p") && col("rev") < col("f")))
+        .cast("long").as("turn"))
+    val m = t.agg(count(lit(1)).as("ni"), sum(col("turn")).as("tp"))
+    def f(c: String) = col(c).cast("double")
+    val n = f("ni") + 2.0 // interior points = n - 2
+    val et = lit(2.0) * (n - 2.0) / 3.0
+    val vt = (lit(16.0) * n - 29.0) / 90.0
+    val z = (f("tp") - et) / sqrt(vt)
+    val bad = col("ni") < 20L
+    m.select((col("ni") + 2L).cast("long").as("n_days"),
+      col("tp").cast("long").as("n_turning"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(et)).as("e_turning"),
+      when(bad, lit(null).cast("double")).otherwise(rnd6(z)).as("z"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((abs(z) > 1.96).cast("long")).as("reject_5pct"))
+  }
+
+  val q341TurningPointsSql: String =
+    s"""WITH d AS ($dailySql),
+       |l0 AS (
+       |  SELECT rev, LAG(rev) OVER (ORDER BY day) AS p,
+       |    LEAD(rev) OVER (ORDER BY day) AS f
+       |  FROM d),
+       |t AS (
+       |  SELECT CAST(CASE WHEN (rev > p AND rev > f)
+       |      OR (rev < p AND rev < f) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS turn
+       |  FROM l0 WHERE p IS NOT NULL AND f IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS ni, CAST(SUM(turn) AS BIGINT) AS tp FROM t),
+       |fin AS (
+       |  SELECT *, CAST(ni AS DOUBLE) + 2.0 AS n,
+       |    2.0 * (CAST(ni AS DOUBLE) + 2.0 - 2.0) / 3.0 AS et,
+       |    (16.0 * (CAST(ni AS DOUBLE) + 2.0) - 29.0) / 90.0 AS vt
+       |  FROM m)
+       |SELECT CAST(ni + 2 AS BIGINT) AS n_days, tp AS n_turning,
+       |  CASE WHEN ni < 20 THEN NULL
+       |    ELSE FLOOR(et * 1e6 + 0.5) / 1e6 + 0 END AS e_turning,
+       |  CASE WHEN ni < 20 THEN NULL
+       |    ELSE FLOOR((tp - et) / SQRT(vt) * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS z,
+       |  CASE WHEN ni < 20 THEN NULL
+       |    ELSE CAST(CASE WHEN ABS((tp - et) / SQRT(vt)) > 1.96
+       |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+       |FROM fin""".stripMargin
 }

@@ -1591,4 +1591,115 @@ object TextQueries {
       |      + CAST(f1 AS DOUBLE) / cov * g2) * 1e4 + 0.5) / 1e4 + 0 END
       |    AS ace
       |FROM fin""".stripMargin
+
+  /** L277 Theil's uncertainty coefficient ([PK] Theil 1970), both
+    * directions, on the (lang, source) contingency:
+    * U(X|Y) = (H(X) − H(X|Y))/H(X) — the NORMALIZED, DIRECTIONAL
+    * association readout q186's symmetric Cramér's V can't give
+    * ("knowing the source removes u% of the uncertainty about the
+    * language" ≠ the reverse). Composes the q192 entropy machinery at
+    * the column level instead of the token level — the
+    * mixture-balance screen run before stratifying a corpus by one of
+    * two correlated facets.
+    *
+    * Parity: the contingency census is exact int64; every entropy
+    * term −(c/N)ln(c/margin) is nano-quantized per CELL before the
+    * int64 sum (the q192 discipline — the ln argument is a ratio of
+    * exact ints); each U is one final double chain, 6dp.
+    *
+    * Scale: ONE map-side (lang, source) count census (≤ |langs|·
+    * |sources| rows); margins by windows over that census; one sum
+    * agg. Nothing fact-sized past the first aggregate. */
+  def q343TheilsU(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy()
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    def f(c: Column) = c.cast("double")
+    val aug = cells
+      .withColumn("nn", sum(col("c")).over(w))
+      .withColumn("cl", sum(col("c")).over(wl))
+      .withColumn("cs", sum(col("c")).over(ws))
+    def q9(c: Column) = floor(c * lit(1.0e9) + lit(0.5)).cast("long")
+    // H(lang) / H(source) from cell terms weighted into margins would
+    // double-count; instead fold the margin entropies from the SAME
+    // cell rows by dividing each cell's share across its margin: the
+    // term −(c/N)·ln(margin/N) sums per margin to −(margin/N)ln(…)
+    val hl9 = q9(-(f(col("c")) / f(col("nn"))) *
+      log(f(col("cl")) / f(col("nn"))))
+    val hs9 = q9(-(f(col("c")) / f(col("nn"))) *
+      log(f(col("cs")) / f(col("nn"))))
+    val hlGs9 = q9(-(f(col("c")) / f(col("nn"))) *
+      log(f(col("c")) / f(col("cs"))))
+    val hsGl9 = q9(-(f(col("c")) / f(col("nn"))) *
+      log(f(col("c")) / f(col("cl"))))
+    val m = aug.select(col("nn"), hl9.as("hl"), hs9.as("hs"),
+        hlGs9.as("hlgs"), hsGl9.as("hsgl"))
+      .agg(max(col("nn")).as("nd"), count(lit(1)).as("k"),
+        sum(col("hl")).as("shl"), sum(col("hs")).as("shs"),
+        sum(col("hlgs")).as("shlgs"), sum(col("hsgl")).as("shsgl"))
+    def g(c: String) = col(c).cast("double") / 1.0e9
+    def r6(c: Column) = (floor(c * 1e6 + 0.5).cast("long")
+      .cast("double") / 1e6) + 0.0
+    val uLS = (g("shl") - g("shlgs")) / g("shl")
+    val uSL = (g("shs") - g("shsgl")) / g("shs")
+    m.select(col("nd").cast("long").as("n_docs"),
+      col("k").cast("long").as("n_cells"),
+      r6(g("shl")).as("h_lang"), r6(g("shs")).as("h_source"),
+      r6(g("shlgs")).as("h_lang_given_source"),
+      when(col("shl") <= 0L, lit(null).cast("double"))
+        .otherwise(r6(uLS)).as("u_lang_source"),
+      when(col("shs") <= 0L, lit(null).cast("double"))
+        .otherwise(r6(uSL)).as("u_source_lang"))
+  }
+
+  val q343TheilsUSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS c
+      |  FROM documents GROUP BY lang, source),
+      |aug AS (
+      |  SELECT *,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cs
+      |  FROM cells),
+      |t AS (
+      |  SELECT nn,
+      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * ln(CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT) AS hl,
+      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * ln(CAST(cs AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT) AS hs,
+      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT) AS hlgs,
+      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(cl AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT) AS hsgl
+      |  FROM aug),
+      |m AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS nd, COUNT(*) AS k,
+      |    CAST(SUM(hl) AS BIGINT) AS shl,
+      |    CAST(SUM(hs) AS BIGINT) AS shs,
+      |    CAST(SUM(hlgs) AS BIGINT) AS shlgs,
+      |    CAST(SUM(hsgl) AS BIGINT) AS shsgl
+      |  FROM t)
+      |SELECT nd AS n_docs, CAST(k AS BIGINT) AS n_cells,
+      |  FLOOR(CAST(shl AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
+      |    AS h_lang,
+      |  FLOOR(CAST(shs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
+      |    AS h_source,
+      |  FLOOR(CAST(shlgs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
+      |    AS h_lang_given_source,
+      |  CASE WHEN shl <= 0 THEN NULL
+      |    ELSE FLOOR((CAST(shl AS DOUBLE) / 1e9
+      |      - CAST(shlgs AS DOUBLE) / 1e9) / (CAST(shl AS DOUBLE) / 1e9)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS u_lang_source,
+      |  CASE WHEN shs <= 0 THEN NULL
+      |    ELSE FLOOR((CAST(shs AS DOUBLE) / 1e9
+      |      - CAST(shsgl AS DOUBLE) / 1e9) / (CAST(shs AS DOUBLE) / 1e9)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS u_source_lang
+      |FROM m""".stripMargin
 }

@@ -1541,6 +1541,37 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q341-q343: phase test nulls, calibration Z fires, U is directional") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val tp = run("q341_turning_points", sf).head()
+      val t = tp.getAs[Long]("n_turning")
+      assert(t > 100L && t < tp.getAs[Long]("n_days"),
+        s"degenerate turning count at $sf: $t")
+      // iid-ish daily revenue: z in the null band (the q294 convention)
+      val z = tp.getAs[java.lang.Double]("z")
+      assert(z != null && math.abs(z) < 4.0, s"phase z off-band at $sf: $z")
+
+      val sz = run("q342_spiegelhalter_z", sf).head()
+      assert(sz.getAs[Long]("n_lengths") > 100L, s"thin census at $sf")
+      // the toy length classifier is badly calibrated (q197's gaps);
+      // the Z must FIRE, decisively
+      assert(sz.getAs[Double]("z") > 2.0 &&
+        sz.getAs[Long]("reject_5pct") === 1L,
+        s"calibration Z failed to fire at $sf: ${sz.getAs[Double]("z")}")
+
+      val u = run("q343_theils_u", sf).head()
+      assert(math.abs(u.getAs[Double]("h_source") - math.log(20.0)) < 0.1,
+        s"uniform 20-source entropy off at $sf")
+      val (uls, usl) = (u.getAs[Double]("u_lang_source"),
+        u.getAs[Double]("u_source_lang"))
+      assert(uls > 0.0 && uls < 0.2 && usl > 0.0 && usl < 0.2,
+        s"U out of the weak-association band at $sf: $uls $usl")
+      // structural asymmetry: same MI, H(lang) < H(source) ⇒
+      // U(lang|source) > U(source|lang) — the directional readout
+      assert(uls > usl, s"U asymmetry inverted at $sf: $uls <= $usl")
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

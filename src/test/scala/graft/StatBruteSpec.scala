@@ -3258,6 +3258,63 @@ class StatBruteSpec extends SparkSpec {
       s"ACE ${row.getAs[Double]("ace")} vs brute $ace")
   }
 
+  test("q341 turning points match a sequential triple scan") {
+    val row = SparkEntry.queries("q341_turning_points")(spark, sf0001)
+      .head()
+    val (rev, _) = dailySeries()
+    val turns = (1 until rev.length - 1).count(i =>
+      (rev(i) > rev(i - 1) && rev(i) > rev(i + 1)) ||
+        (rev(i) < rev(i - 1) && rev(i) < rev(i + 1)))
+    val n = rev.length.toDouble
+    val et = 2.0 * (n - 2.0) / 3.0
+    val vt = (16.0 * n - 29.0) / 90.0
+    assert(row.getAs[Long]("n_turning") === turns.toLong)
+    assert(math.abs(row.getAs[Double]("z") -
+      (turns - et) / math.sqrt(vt)) < 1e-5)
+  }
+
+  test("q342 Spiegelhalter Z matches a per-document walk") {
+    val row = SparkEntry.queries("q342_spiegelhalter_z")(spark, sf0001)
+      .head()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("n_chars"), (col("source") === "src0").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val (mn, mx) = (docs.map(_._1).min, docs.map(_._1).max)
+    def p(sc: Long): Double =
+      if (mx > mn)
+        math.floor((sc - mn).toDouble / (mx - mn) * 1e9 + 0.5) / 1e9
+      else 0.0
+    val num = docs.map { case (sc, y) =>
+      val pp = p(sc); ((if (y) 1.0 else 0.0) - pp) * (1.0 - 2.0 * pp)
+    }.sum
+    val den = docs.map { case (sc, _) =>
+      val pp = p(sc); (1.0 - 2.0 * pp) * (1.0 - 2.0 * pp) * pp * (1.0 - pp)
+    }.sum
+    val z = num / math.sqrt(den)
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3,
+      s"z ${row.getAs[Double]("z")} vs brute $z")
+  }
+
+  test("q343 Theil's U matches a sequential contingency walk") {
+    val row = SparkEntry.queries("q343_theils_u")(spark, sf0001).head()
+    val cells = Tables.documents(spark, sf0001)
+      .groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    def entropy(groups: Map[String, Long]): Double =
+      groups.values.map(c => -(c / n) * math.log(c / n)).sum
+    val hL = entropy(cells.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum })
+    val byS = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val hLgS = cells.map { case ((_, src), c) =>
+      -(c / n) * math.log(c.toDouble / byS(src)) }.sum
+    val u = (hL - hLgS) / hL
+    assert(math.abs(row.getAs[Double]("h_lang") - hL) < 1e-5)
+    assert(math.abs(row.getAs[Double]("u_lang_source") - u) < 1e-5,
+      s"U ${row.getAs[Double]("u_lang_source")} vs brute $u")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
