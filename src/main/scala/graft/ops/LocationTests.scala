@@ -1083,4 +1083,121 @@ object LocationTests {
        |    ELSE FLOOR(${asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 END AS p
        |FROM g""".stripMargin
   }
+
+  /** L279 Bartlett's test of variance homogeneity ([PK] Bartlett
+    * 1937), per market segment on whole-dollar order values — the
+    * CLASSICAL normal-theory companion to q232's robust
+    * Brown–Forsythe on the same grouping: Bartlett is the most
+    * powerful under normality but inflates under heavy tails, so the
+    * PAIR is the diagnostic (both fire ⇒ real variance differences;
+    * Bartlett alone ⇒ suspect non-normality).
+    * χ² = [(N−K)·ln s²_p − Σ(n_k−1)·ln s²_k] / C,
+    * C = 1 + (Σ1/(n_k−1) − 1/(N−K)) / (3(K−1)).
+    *
+    * Parity: every ln leg takes an argument both engines hold
+    * IDENTICALLY — (n_k−1)s²_k reduces to A_k = n_kΣv²−(Σv)² over
+    * B_k = n_k(n_k−1) (exact DECIMAL/int64; ln A − ln B, each leg
+    * nano-quantized), and the pooled numerator is the exact FLOOR-DIV
+    * Σ(A_k div n_k) (HUGEINT // in the mirror — a float division
+    * there would be lossy at 1e18). C is one double chain from exact
+    * ints; χ² 4dp.
+    *
+    * Scale: one broadcast-dim join + ONE map-side (segment) moment
+    * census (5 rows); everything after is census arithmetic. */
+  def q345Bartlett(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast(dec).as("v"))
+    val g = o.groupBy("seg")
+      .agg(count(lit(1)).as("nk"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("qv"))
+      .withColumn("ak", col("nk") * col("qv") - col("sv") * col("sv"))
+      .withColumn("bk", col("nk") * (col("nk") - 1L))
+      .withColumn("ek", (col("ak") - pmod(col("ak"),
+        col("nk").cast(dec))) / col("nk").cast(dec))
+    def ln9(c: Column) =
+      floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val lnk9 = ln9(col("ak")) - ln9(col("bk"))
+    val m = g.select(col("nk"), col("ek"),
+        ((col("nk") - 1L) * lnk9).as("termk"),
+        (lit(1.0) / (col("nk") - 1L).cast("double")).as("invk"))
+      .agg(sum(col("nk")).as("n"), count(lit(1)).as("k"),
+        sum(col("ek")).as("se"), sum(col("termk")).as("sterm"),
+        sum(col("invk")).as("sinv"))
+    def f(c: String) = col(c).cast("double")
+    val nmk = col("n") - col("k")
+    val lnp9 = ln9(col("se")) - ln9(nmk)
+    val mStat = (nmk.cast("double") * lnp9.cast("double") -
+      f("sterm")) / 1e9
+    val cFac = lit(1.0) + (f("sinv") - lit(1.0) / nmk.cast("double")) /
+      (lit(3.0) * (f("k") - 1.0))
+    val chi2 = mStat / cFac
+    val bad = col("k") < 2L || col("n") <= col("k")
+    m.select(col("n").cast("long").as("n_total"),
+      col("k").cast("long").as("k_groups"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(chi2 * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("bartlett_chi2"),
+      (col("k") - 1L).cast("long").as("df"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(cFac * 1e6 + 0.5).cast("long")
+          .cast("double") / 1e6) + 0.0).as("c_factor"),
+      when(bad || col("k") =!= 5L, lit(null).cast("long"))
+        .otherwise((chi2 > 9.4877).cast("long")).as("reject_5pct"))
+  }
+
+  val q345BartlettSql: String =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS HUGEINT) AS v
+      |  FROM orders JOIN customer c ON o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nk,
+      |    CAST(SUM(v) AS HUGEINT) AS sv,
+      |    CAST(SUM(v * v) AS HUGEINT) AS qv
+      |  FROM o GROUP BY seg),
+      |a AS (
+      |  SELECT nk, nk * qv - sv * sv AS ak,
+      |    CAST(nk AS HUGEINT) * (nk - 1) AS bk
+      |  FROM g),
+      |t AS (
+      |  SELECT nk, ak // nk AS ek,
+      |    (nk - 1) * (CAST(FLOOR(LN(CAST(ak AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT)
+      |      - CAST(FLOOR(LN(CAST(bk AS DOUBLE)) * 1e9 + 0.5)
+      |        AS BIGINT)) AS termk,
+      |    1.0 / (CAST(nk AS DOUBLE) - 1.0) AS invk
+      |  FROM a),
+      |m AS (
+      |  SELECT CAST(SUM(nk) AS BIGINT) AS n, COUNT(*) AS k,
+      |    CAST(SUM(ek) AS HUGEINT) AS se,
+      |    CAST(SUM(termk) AS BIGINT) AS sterm,
+      |    SUM(invk) AS sinv
+      |  FROM t),
+      |fin AS (
+      |  SELECT *,
+      |    ((CAST(n - k AS DOUBLE))
+      |        * CAST(CAST(FLOOR(LN(CAST(se AS DOUBLE)) * 1e9 + 0.5)
+      |            AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(n - k AS DOUBLE)) * 1e9 + 0.5)
+      |            AS BIGINT) AS DOUBLE)
+      |      - CAST(sterm AS DOUBLE)) / 1e9 AS mstat,
+      |    1.0 + (sinv - 1.0 / CAST(n - k AS DOUBLE))
+      |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS cfac
+      |  FROM m)
+      |SELECT n AS n_total, CAST(k AS BIGINT) AS k_groups,
+      |  CASE WHEN k < 2 OR n <= k THEN NULL
+      |    ELSE FLOOR(mstat / cfac * 1e4 + 0.5) / 1e4 + 0 END
+      |    AS bartlett_chi2,
+      |  CAST(k - 1 AS BIGINT) AS df,
+      |  CASE WHEN k < 2 OR n <= k THEN NULL
+      |    ELSE FLOOR(cfac * 1e6 + 0.5) / 1e6 + 0 END AS c_factor,
+      |  CASE WHEN k < 2 OR n <= k OR k <> 5 THEN NULL
+      |    ELSE CAST(CASE WHEN mstat / cfac > 9.4877 THEN 1 ELSE 0 END
+      |      AS BIGINT) END AS reject_5pct
+      |FROM fin""".stripMargin
 }

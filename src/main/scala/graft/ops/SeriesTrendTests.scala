@@ -554,4 +554,101 @@ object SeriesTrendTests {
        |  ROUND(wmed / 2.0, 2) + 0 AS hodges_lehmann,
        |  ROUND(dmed / 2.0, 2) + 0 AS plain_median
        |FROM g""".stripMargin
+
+  /** L278 seasonal Mann–Kendall ([PK] Hirsch & Slack 1984): the q248
+    * trend screen computed WITHIN each day-of-week and summed —
+    * S' = Σ_k S_k, Var' = Σ_k Var_k(tie-corrected) — so a genuine
+    * drift is detected even when weekly seasonality masks it from the
+    * whole-series statistic (cross-weekday pairs carry the seasonal
+    * signal, not the trend; this estimator never compares a Monday to
+    * a Sunday). Same recent-365-day cut as q248 so the two screens
+    * read the same window.
+    *
+    * Parity: per-weekday pair signs and tie censuses are exact ints;
+    * Var' is one double chain; z uses the q248 continuity correction,
+    * 4dp.
+    *
+    * Scale: the q248 bounded shape, 7× smaller pair sets — within-
+    * weekday pairs only (~7·(365/7)²/2 ≈ 9.5k candidates at ANY SF;
+    * the window is calendar-constant). Both consumers of the cut
+    * share one lazy checkpoint. */
+  def q344SeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        dayofweek(col("day")).cast("long").as("dow"), col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("dow"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")),
+        col("a.dow") === col("b.dow") && col("a.t") < col("b.t"))
+      .select(signum((col("b.rev") - col("a.rev")).cast("double"))
+        .cast("long").as("sgn"))
+    val sAgg = pairs.agg(sum(col("sgn")).as("s_stat"))
+    // per-weekday tie census → per-weekday variance term, summed
+    val ties = recent.groupBy("dow", "rev").agg(count(lit(1)).as("tc"))
+      .groupBy("dow")
+      .agg(sum(col("tc")).as("nk"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tie_k"))
+    val nkD = col("nk").cast("double")
+    val varK = (nkD * (nkD - 1.0) * (lit(2.0) * nkD + 5.0) -
+      col("tie_k").cast("double")) / 18.0
+    val vAgg = ties.select(col("nk"),
+        floor(varK * 1e6 + 0.5).cast("long").as("v6"))
+      .agg(sum(col("nk")).as("n"), count(lit(1)).as("k"),
+        sum(col("v6")).as("sv6"))
+    val varS = col("sv6").cast("double") / 1e6
+    val z = when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(broadcast(vAgg))
+      .select(col("n").cast("long").as("n_days"),
+        col("k").cast("long").as("n_seasons"),
+        col("s_stat"),
+        (round(z, 4) + 0.0).as("z_smk"),
+        (floor(StatFns.asTwoSidedP(z) * 1e8 + 0.5) / 1e8).as("p"),
+        when(col("s_stat") > 0, lit("increasing"))
+          .when(col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  val q344SeasonalMkSql: String = {
+    val z = """(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+      | / SQRT(CAST(sv6 AS DOUBLE) / 1e6)
+      | WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+      | / SQRT(CAST(sv6 AS DOUBLE) / 1e6)
+      | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t,
+       |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow, rev FROM d),
+       |rc AS (SELECT t, dow, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |sa AS (
+       |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+       |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM rc a JOIN rc b ON a.dow = b.dow AND a.t < b.t),
+       |tk AS (
+       |  SELECT dow, CAST(SUM(tc) AS BIGINT) AS nk,
+       |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_k
+       |  FROM (SELECT dow, rev, COUNT(*) AS tc FROM rc GROUP BY dow, rev)
+       |  GROUP BY dow),
+       |va AS (
+       |  SELECT CAST(SUM(nk) AS BIGINT) AS n, COUNT(*) AS k,
+       |    CAST(SUM(CAST(FLOOR((CAST(nk AS DOUBLE) * (nk - 1)
+       |      * (2 * CAST(nk AS DOUBLE) + 5) - CAST(tie_k AS DOUBLE))
+       |      / 18.0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sv6
+       |  FROM tk)
+       |SELECT n AS n_days, CAST(k AS BIGINT) AS n_seasons, s_stat,
+       |  ROUND($z, 4) + 0 AS z_smk,
+       |  FLOOR(${StatFns.asTwoSidedPSql(z)} * 1e8 + 0.5) / 1e8 AS p,
+       |  CASE WHEN s_stat > 0 THEN 'increasing'
+       |    WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM sa, va""".stripMargin
+  }
 }

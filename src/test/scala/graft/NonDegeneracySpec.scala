@@ -1572,6 +1572,31 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q344/q345: seasonal MK and Bartlett pin their null regimes") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val mk = run("q344_seasonal_mk", sf).head()
+      // sf0.001 observes only ~152 of the window's 365 days
+      assert(mk.getAs[Long]("n_days") > 100L &&
+        mk.getAs[Long]("n_days") <= 365L &&
+        mk.getAs[Long]("n_seasons") === 7L, s"window census off at $sf")
+      assert(mk.getAs[Long]("s_stat") !== 0L, s"degenerate S at $sf")
+      val z = mk.getAs[Double]("z_smk")
+      assert(math.abs(z) < 4.0, s"seasonal MK off the null band at $sf: $z")
+
+      val b = run("q345_bartlett", sf).head()
+      assert(b.getAs[Long]("k_groups") === 5L)
+      val chi = b.getAs[java.lang.Double]("bartlett_chi2")
+      // segments draw identical order-value distributions: the null
+      // band (the discrimination side — 4x-variance groups firing
+      // decisively — is pinned in StatBruteSpec's structured check)
+      assert(chi != null && chi >= 0.0 && chi < 9.4877,
+        s"Bartlett off the null band at $sf: $chi")
+      assert(b.getAs[Long]("reject_5pct") === 0L)
+      val c = b.getAs[Double]("c_factor")
+      assert(c > 1.0 && c < 1.01, s"C factor off at $sf: $c")
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

@@ -535,7 +535,11 @@ class PlanShapeSpec extends SparkSpec {
       "q336_runs_test",
       // r15: q340's 5-row broadcast query fleet under the candidate
       // scan (the q52/q53 pattern)
-      "q340_trunc_agreement")
+      "q340_trunc_agreement",
+      // r15: q344's 1-row S-statistic x 1-row variance-census join
+      // (the q248 shape; the trailing-window cut sits under the lazy
+      // checkpoint)
+      "q344_seasonal_mk")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

@@ -3315,6 +3315,71 @@ class StatBruteSpec extends SparkSpec {
       s"U ${row.getAs[Double]("u_lang_source")} vs brute $u")
   }
 
+  test("q344 seasonal MK matches a per-weekday pair walk") {
+    val row = SparkEntry.queries("q344_seasonal_mk")(spark, sf0001).head()
+    val rows = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        dayofweek(col("day")).cast("long").as("dow"), col("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tmax = rows.map(_._1).max
+    val recent = rows.filter(_._1 > tmax - 365)
+    var sTot = 0L
+    var varTot = 0.0
+    recent.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._1)
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        sTot += java.lang.Long.signum(sorted(j)._3 - sorted(i)._3)
+      val nk = g.length.toDouble
+      val tie = g.groupBy(_._3).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      varTot += math.floor((nk * (nk - 1.0) * (2.0 * nk + 5.0) - tie) /
+        18.0 * 1e6 + 0.5) / 1e6
+    }
+    val z = if (sTot > 0) (sTot - 1.0) / math.sqrt(varTot)
+      else if (sTot < 0) (sTot + 1.0) / math.sqrt(varTot) else 0.0
+    assert(row.getAs[Long]("s_stat") === sTot)
+    assert(math.abs(row.getAs[Double]("z_smk") - z) < 1e-3)
+  }
+
+  test("q345 Bartlett matches a sequential walk AND discriminates on 4x variance") {
+    val row = SparkEntry.queries("q345_bartlett")(spark, sf0001).head()
+    val segs = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2.toDouble) }
+    def bartlett(groups: Iterable[Array[Double]]): Double = {
+      val k = groups.size
+      val n = groups.map(_.length).sum
+      val s2 = groups.map { g =>
+        val m = g.sum / g.length
+        (g.length, g.map(x => (x - m) * (x - m)).sum / (g.length - 1))
+      }
+      val sp = s2.map { case (nk, v) => (nk - 1) * v }.sum / (n - k)
+      val mSt = (n - k) * math.log(sp) -
+        s2.map { case (nk, v) => (nk - 1) * math.log(v) }.sum
+      val c = 1.0 + (s2.map(g => 1.0 / (g._1 - 1)).sum - 1.0 / (n - k)) /
+        (3.0 * (k - 1))
+      mSt / c
+    }
+    val chi = bartlett(segs.values.map(_.toArray))
+    assert(math.abs(row.getAs[Double]("bartlett_chi2") - chi) < 0.05,
+      s"chi2 ${row.getAs[Double]("bartlett_chi2")} vs brute $chi")
+    // discrimination: double one group's spread (4x variance) — the
+    // statistic must fire decisively past the df=4 critical 9.4877
+    val stretched = segs.map { case (k, v) =>
+      if (k == segs.keySet.min)
+        v.map(x => (x - v.sum / v.length) * 2.0 + v.sum / v.length).toArray
+      else v.toArray
+    }
+    assert(bartlett(stretched) > 9.4877,
+      "Bartlett failed to fire on a 4x-variance group")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
