@@ -651,4 +651,97 @@ object SeriesTrendTests {
        |    WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
        |FROM sa, va""".stripMargin
   }
+
+  /** L281 Qn robust scale ([PK] Rousseeuw & Croux 1992): the k-th
+    * smallest pairwise |xᵢ−xⱼ| with k = h(h−1)/2, h = ⌊n/2⌋+1, scaled
+    * by the Gaussian-consistency constant 2.2219 — 50% breakdown AND
+    * 82% Gaussian efficiency (MAD has 37%), location-free (no
+    * median/mean subtraction at all). Reported beside the classical
+    * sd on the same recent-365-day revenue window; their ratio is the
+    * heavy-tail/contamination readout (≈1 Gaussian, ≪1 outlier-
+    * inflated sd).
+    *
+    * Parity: pairwise |diffs| are exact int64; the k-th order
+    * statistic is an exact selection (ties cannot change the value at
+    * rank k, so any tie order gives the same result); sd from exact
+    * DECIMAL moments, whole units; Qn and the ratio one double chain
+    * (4dp/6dp).
+    *
+    * Scale: the q262 bounded Walsh shape — the 365-day window caps
+    * pairs at ~66k at ANY SF; the single-partition rank window is
+    * over that bounded set (the q205 honest-plan note). One 1-row
+    * (n, k, sd) broadcast picks the rank (q242 form). */
+  def q347QnScale(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"))
+      .localCheckpoint(eager = false)
+    val pairs = recent.as("a")
+      .join(broadcast(recent.as("b")), col("a.t") < col("b.t"))
+      .select(abs(col("a.rev") - col("b.rev")).as("ad"))
+    def f(c: Column) = c.cast("double")
+    val meta = recent.agg(count(lit(1)).as("n"),
+        sum(col("rev").cast(dec)).as("sx"),
+        sum(col("rev").cast(dec) * col("rev").cast(dec)).as("qx"))
+      .select(col("n"),
+        // h(h-1)/2 with h = n div 2 + 1 — Spark's `/` on longs is a
+        // DOUBLE divide; `div` is the integer one
+        expr("((n div 2) + 1) * (n div 2) div 2").as("k"),
+        floor(sqrt((f(col("n")) * f(col("qx")) - f(col("sx")) *
+          f(col("sx"))) / (f(col("n")) * (f(col("n")) - 1.0))) + 0.5)
+          .cast("long").as("sd"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy(col("ad"))))
+      .crossJoin(broadcast(meta))
+      .filter(col("rn") === col("k"))
+    val qn = lit(2.2219) * f(col("ad"))
+    ranked.select(col("n").cast("long").as("n_days"),
+      expr("n * (n - 1) div 2").cast("long").as("n_pairs"),
+      col("k").cast("long").as("k_rank"),
+      col("ad").cast("long").as("qn_raw"),
+      (floor(qn * 1e4 + 0.5).cast("long").cast("double") / 1e4 + 0.0)
+        .as("qn"),
+      col("sd").cast("long").as("sd"),
+      (floor(qn / f(col("sd")) * 1e6 + 0.5).cast("long")
+        .cast("double") / 1e6 + 0.0).as("qn_over_sd"))
+  }
+
+  val q347QnScaleSql: String =
+    s"""WITH d AS ($dailySql),
+       |dd AS (SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+       |    AS BIGINT) AS t, rev FROM d),
+       |rc AS (SELECT t, rev FROM dd
+       |  WHERE t > (SELECT MAX(t) FROM dd) - 365),
+       |meta AS (
+       |  SELECT COUNT(*) AS n,
+       |    ((COUNT(*) // 2) + 1) * (COUNT(*) // 2) // 2 AS k,
+       |    CAST(FLOOR(SQRT((CAST(COUNT(*) AS DOUBLE)
+       |        * CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+       |      - CAST(SUM(CAST(rev AS HUGEINT)) AS DOUBLE)
+       |        * CAST(SUM(CAST(rev AS HUGEINT)) AS DOUBLE))
+       |      / (CAST(COUNT(*) AS DOUBLE)
+       |        * (CAST(COUNT(*) AS DOUBLE) - 1.0))) + 0.5) AS BIGINT)
+       |      AS sd
+       |  FROM rc),
+       |p AS (
+       |  SELECT ABS(a.rev - b.rev) AS ad,
+       |    ROW_NUMBER() OVER (ORDER BY ABS(a.rev - b.rev)) AS rn
+       |  FROM rc a JOIN rc b ON a.t < b.t),
+       |pick AS (
+       |  SELECT p.ad, meta.n, meta.k, meta.sd
+       |  FROM p CROSS JOIN meta WHERE p.rn = meta.k)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+       |  CAST(k AS BIGINT) AS k_rank, CAST(ad AS BIGINT) AS qn_raw,
+       |  FLOOR(2.2219 * CAST(ad AS DOUBLE) * 1e4 + 0.5) / 1e4 + 0
+       |    AS qn,
+       |  CAST(sd AS BIGINT) AS sd,
+       |  FLOOR(2.2219 * CAST(ad AS DOUBLE) / CAST(sd AS DOUBLE) * 1e6
+       |    + 0.5) / 1e6 + 0 AS qn_over_sd
+       |FROM pick""".stripMargin
 }

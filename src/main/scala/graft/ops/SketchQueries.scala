@@ -212,4 +212,87 @@ object SketchQueries {
       |      * 2.81474976710656e14 / uk) / n_exact_overlap - 1.0) * 1e6
       |      + 0.5) / 1e6 + 0 END AS rel_err
       |FROM ag CROSS JOIN ex""".stripMargin
+
+  /** L280 capture–recapture population estimate ([PK] Lincoln 1930 /
+    * Petersen; Chapman 1951 bias-corrected form): treat two order
+    * years as two CAPTURES of the customer population —
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with variance
+    * (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)) — beside the EXACT
+    * distinct-customer count, so the estimator error is measured. The
+    * complement of q332: KMV estimates what the two sets HOLD from
+    * their hashes; capture–recapture estimates what the POPULATION
+    * is, including customers neither year saw — the "how many
+    * entities exist that we haven't crawled" question (valid under
+    * equal-catchability; heterogeneous capture biases N̂ low, which
+    * the error column exposes).
+    *
+    * Parity: n₁, n₂, m, N are exact int64 (one distinct-customer
+    * census with two membership flags — the q332 shape); N̂/variance/
+    * error one fixed double chain, 4dp/6dp.
+    *
+    * Scale: ONE map-side distinct census; no sort, no window, one
+    * 1-row × 1-row aggregate join. */
+  def q346CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+    val census = o.groupBy("o_custkey")
+      .agg(max(when(col("yr") === 1995, 1L).otherwise(0L)).as("a"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("b"))
+    val m = census.agg(count(lit(1)).as("n_pop"),
+      sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+      sum(col("a") * col("b")).as("mm"))
+    def f(c: String) = col(c).cast("double")
+    val nHat = (f("n1") + 1.0) * (f("n2") + 1.0) / (f("mm") + 1.0) - 1.0
+    val varN = (f("n1") + 1.0) * (f("n2") + 1.0) *
+      (f("n1") - f("mm")) * (f("n2") - f("mm")) /
+      ((f("mm") + 1.0) * (f("mm") + 1.0) * (f("mm") + 2.0))
+    val bad = col("mm") < 10L
+    m.select(col("n_pop").cast("long").as("n_exact"),
+      col("n1").cast("long").as("n_year1"),
+      col("n2").cast("long").as("n_year2"),
+      col("mm").cast("long").as("n_both"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(nHat * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("chapman_est"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(sqrt(varN) * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("se"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor((nHat / f("n_pop") - 1.0) * 1e6 + 0.5)
+          .cast("long").cast("double") / 1e6) + 0.0).as("rel_err"))
+  }
+
+  val q346CaptureRecaptureSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, date_part('year', o_orderdate) AS yr
+      |  FROM orders),
+      |census AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS a,
+      |    MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS b
+      |  FROM o GROUP BY o_custkey),
+      |m AS (
+      |  SELECT COUNT(*) AS n_pop,
+      |    CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+      |    CAST(SUM(a * b) AS BIGINT) AS mm
+      |  FROM census),
+      |fin AS (
+      |  SELECT *,
+      |    (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+      |      / (CAST(mm AS DOUBLE) + 1.0) - 1.0 AS nhat,
+      |    (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+      |      * (CAST(n1 AS DOUBLE) - mm) * (CAST(n2 AS DOUBLE) - mm)
+      |      / ((CAST(mm AS DOUBLE) + 1.0) * (CAST(mm AS DOUBLE) + 1.0)
+      |        * (CAST(mm AS DOUBLE) + 2.0)) AS varn
+      |  FROM m)
+      |SELECT CAST(n_pop AS BIGINT) AS n_exact, n1 AS n_year1,
+      |  n2 AS n_year2, mm AS n_both,
+      |  CASE WHEN mm < 10 THEN NULL
+      |    ELSE FLOOR(nhat * 1e4 + 0.5) / 1e4 + 0 END AS chapman_est,
+      |  CASE WHEN mm < 10 THEN NULL
+      |    ELSE FLOOR(SQRT(varn) * 1e4 + 0.5) / 1e4 + 0 END AS se,
+      |  CASE WHEN mm < 10 THEN NULL
+      |    ELSE FLOOR((nhat / CAST(n_pop AS DOUBLE) - 1.0) * 1e6 + 0.5)
+      |      / 1e6 + 0 END AS rel_err
+      |FROM fin""".stripMargin
 }

@@ -1597,6 +1597,29 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q346/q347: the estimators LAND on fixture ground truth") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val cr = run("q346_capture_recapture", sf).head()
+      val (est, se) = (cr.getAs[Double]("chapman_est"),
+        cr.getAs[Double]("se"))
+      val truth = cr.getAs[Long]("n_exact").toDouble
+      assert(cr.getAs[Long]("n_both") > 50L, s"thin recapture at $sf")
+      assert(math.abs(est - truth) < 5.0 * se + 1.0,
+        s"Chapman $est ± $se vs truth $truth at $sf")
+
+      val qn = run("q347_qn_scale", sf).head()
+      assert(qn.getAs[Long]("qn_raw") > 0L, s"degenerate Qn at $sf")
+      val ratio = qn.getAs[Double]("qn_over_sd")
+      // Gaussian-ish daily revenue: Qn consistent with sd (the 2.2219
+      // constant exists exactly for this); heavy contamination would
+      // push the ratio well below 1
+      assert(ratio > 0.8 && ratio < 1.25,
+        s"Qn/sd off the Gaussian band at $sf: $ratio")
+      assert(qn.getAs[Long]("k_rank") <
+        qn.getAs[Long]("n_pairs"), s"rank out of range at $sf")
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

@@ -539,7 +539,10 @@ class PlanShapeSpec extends SparkSpec {
       // r15: q344's 1-row S-statistic x 1-row variance-census join
       // (the q248 shape; the trailing-window cut sits under the lazy
       // checkpoint)
-      "q344_seasonal_mk")
+      "q344_seasonal_mk",
+      // r15: q347's 1-row (n, k, sd) broadcast picking the Qn rank on
+      // the bounded pair census (the q242 form)
+      "q347_qn_scale")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

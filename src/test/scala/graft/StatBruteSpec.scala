@@ -3380,6 +3380,52 @@ class StatBruteSpec extends SparkSpec {
       "Bartlett failed to fire on a 4x-variance group")
   }
 
+  test("q346 Chapman estimate matches a sequential two-capture walk") {
+    val row = SparkEntry.queries("q346_capture_recapture")(spark, sf0001)
+      .head()
+    val caps = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byC = caps.groupBy(_._1)
+    val n1 = byC.count(_._2.exists(_._2 == 1995))
+    val n2 = byC.count(_._2.exists(_._2 == 1996))
+    val m = byC.count(g => g._2.exists(_._2 == 1995) &&
+      g._2.exists(_._2 == 1996))
+    val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    assert(row.getAs[Long]("n_year1") === n1.toLong)
+    assert(row.getAs[Long]("n_both") === m.toLong)
+    assert(math.abs(row.getAs[Double]("chapman_est") - nHat) < 1e-3)
+    // the estimator must LAND: within 5 standard errors of the truth
+    // (equal catchability holds for the fixture's order process)
+    assert(math.abs(nHat - byC.size) <
+      5.0 * row.getAs[Double]("se") + 1.0,
+      s"Chapman $nHat far from truth ${byC.size}")
+  }
+
+  test("q347 Qn matches a sequential pairwise-difference selection") {
+    val row = SparkEntry.queries("q347_qn_scale")(spark, sf0001).head()
+    val (rev, _) = dailySeries()
+    val recent = {
+      // mirror the recent-365 cut on OBSERVED-day index: q347 keys the
+      // cut on calendar t, so rebuild it the same way
+      val days = Tables.orders(spark, sf0001)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+        .select(datediff(col("day"), lit("1995-01-01")).cast("long"),
+          col("rev")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val tmax = days.map(_._1).max
+      days.filter(_._1 > tmax - 365).map(_._2)
+    }
+    val diffs = (for {
+      i <- recent.indices; j <- i + 1 until recent.length
+    } yield math.abs(recent(i) - recent(j))).sorted
+    val h = recent.length / 2 + 1
+    val k = h * (h - 1) / 2
+    assert(row.getAs[Long]("k_rank") === k.toLong)
+    assert(row.getAs[Long]("qn_raw") === diffs(k - 1),
+      s"raw ${row.getAs[Long]("qn_raw")} vs brute ${diffs(k - 1)}")
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
