@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
@@ -896,4 +896,72 @@ object AggQueries {
       |    ELSE ROUND(CAST(top20 AS DOUBLE) / CAST(bot20 AS DOUBLE), 4) + 0
       |    END AS ratio_2020
       |FROM a""".stripMargin
+
+  /** L284 Hill tail-index estimator ([PK] Hill 1975): over the k = 200
+    * largest whole-dollar order values, α̂ = 1/H with
+    * H = (1/k)Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — the standard Pareto-tail screen
+    * beside q150 Gini / q249 Atkinson / q167 Lorenz (those measure
+    * overall concentration; Hill asks "does the TOP decay like a
+    * power law, and how fast"). The fixture's bounded order values
+    * are decisively NOT heavy-tailed — α̂ lands far above the
+    * heavy-tail regime (α < 2 means infinite variance), the honest
+    * null a screen must report before anyone trusts a mean.
+    *
+    * Parity: the top-(k+1) values are an exact TakeOrdered selection
+    * (ties at the cut can't change the multiset of VALUES); each
+    * ln(xᵢ) leg takes an exact int64 argument and is nano-quantized
+    * (q320 convention); H and α̂ one final double chain, 6dp/4dp.
+    *
+    * Scale: TakeOrderedAndProject (per-partition top-k, k-row merge)
+    * — the whole query touches k+1 = 201 rows past the scan. */
+  def q350HillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val top = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+      .orderBy(col("v").desc).limit(k + 1)
+    val w = Window.orderBy(col("v").desc)
+    def ln9(c: Column) =
+      floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      min(col("v")).as("xref"),
+      sum(when(col("rn") <= k, ln9(col("v"))).otherwise(0L)).as("sl9"))
+    def f(c: String) = col(c).cast("double")
+    val h = (f("sl9") / 1e9 - lit(k.toDouble) *
+      (ln9(col("xref")).cast("double") / 1e9)) / k.toDouble
+    val bad = col("n") < (k + 1).toLong || col("xref") <= 0L
+    m.select(lit(k.toLong).as("k"),
+      col("xref").cast("long").as("x_kplus1"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(h * 1e6 + 0.5).cast("long")
+          .cast("double") / 1e6) + 0.0).as("mean_log_excess"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(lit(1.0) / h * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("hill_alpha"))
+  }
+
+  val q350HillTailSql: String =
+    """WITH top AS (
+      |  SELECT CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders ORDER BY v DESC LIMIT 201),
+      |r AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top),
+      |m AS (
+      |  SELECT COUNT(*) AS n, CAST(MIN(v) AS BIGINT) AS xref,
+      |    CAST(SUM(CASE WHEN rn <= 200 THEN
+      |      CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS sl9
+      |  FROM r),
+      |fin AS (
+      |  SELECT *,
+      |    (CAST(sl9 AS DOUBLE) / 1e9 - 200.0
+      |      * (CAST(CAST(FLOOR(LN(CAST(xref AS DOUBLE)) * 1e9 + 0.5)
+      |          AS BIGINT) AS DOUBLE) / 1e9)) / 200.0 AS h
+      |  FROM m)
+      |SELECT CAST(200 AS BIGINT) AS k, xref AS x_kplus1,
+      |  CASE WHEN n < 201 OR xref <= 0 THEN NULL
+      |    ELSE FLOOR(h * 1e6 + 0.5) / 1e6 + 0 END AS mean_log_excess,
+      |  CASE WHEN n < 201 OR xref <= 0 THEN NULL
+      |    ELSE FLOOR(1.0 / h * 1e4 + 0.5) / 1e4 + 0 END AS hill_alpha
+      |FROM fin""".stripMargin
 }

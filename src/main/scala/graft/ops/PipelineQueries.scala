@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated queries for the round-2 pipeline operators: bloom-routed
@@ -985,4 +985,162 @@ object PipelineQueries {
       |    AS BIGINT) AS alloc_tokens,
       |  CASE WHEN idx <= m THEN 1 ELSE 0 END AS capped
       |FROM fin ORDER BY lang""".stripMargin
+
+  /** L282 post-stratified estimation + design effect ([PK] classical
+    * survey sampling, e.g. Cochran 1977 §5A): from q331's consistent
+    * 1/16 hash sample of orders, estimate mean order value two ways —
+    * the simple sample mean and the post-stratified mean
+    * Σ_h (N_h/N)·ȳ_h re-weighted by POPULATION stratum counts (order
+    * priority) — each with its SE, beside the TRUE population mean
+    * the fixture makes knowable. The deff panel that decides whether
+    * stratum re-weighting is worth it for a given slice at 100 TB
+    * (here strata barely explain value variance, so post ≈ srs — the
+    * honest null, and the SEs prove both LAND).
+    *
+    * Parity: membership is the q331 exact integer hash comparison;
+    * all moments exact DECIMAL cents; the estimates/SEs fixed double
+    * chains (2dp dollars / 4dp SEs).
+    *
+    * Scale: ONE fact scan computing population + sample stratum
+    * moments side by side (the sample is a map-side predicate, q331's
+    * point); a ≤5-row census aggregate after. No second scan. */
+  def q348PostStratified(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val inS = graft.ops.Kmv.hashCol(col("o_orderkey")) <
+      graft.ops.Kmv.HashSpace / 16L
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    val strat = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("h"), cents.as("v"),
+        inS.cast("long").as("m"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("m")).as("mh"),
+        sum(col("m") * col("v").cast(dec)).as("sh"),
+        sum(col("m") * col("v").cast(dec) * col("v").cast(dec)).as("qh"))
+    def f(c: Column) = c.cast("double")
+    // per-stratum sample mean and variance (exact-moment identities)
+    val sVar = (f(col("mh")) * f(col("qh")) - f(col("sh")) * f(col("sh"))) /
+      f(col("mh")) / (f(col("mh")) - 1.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val t = strat
+      .withColumn("nn", sum(col("nh")).over(w))
+      .withColumn("nsamp", sum(col("mh")).over(w))
+      .withColumn("stot", sum(col("sh")).over(w))
+      .withColumn("qtot", sum(col("qh")).over(w))
+      // nano-quantized per-stratum legs (q185 discipline); unobserved
+      // (mh = 0) strata contribute 0 to the post mean and mh < 2 ones
+      // 0 to its variance — a NaN here would cast divergently across
+      // engines, and the bias is visible in the error columns anyway
+      .withColumn("post9", when(col("mh") >= 1L,
+        floor(f(col("nh")) / f(col("nn")) *
+          (f(col("sh")) / f(col("mh"))) * 1e9 + 0.5).cast("long"))
+        .otherwise(0L))
+      // variance legs are cents-squared scale (~1e11): a nano quantum
+      // overflows int64 (measured at sf0.01), so they carry 1e4
+      .withColumn("pvar4", when(col("mh") >= 2L,
+        floor(f(col("nh")) / f(col("nn")) *
+          (f(col("nh")) / f(col("nn"))) * sVar / f(col("mh")) * 1e4 + 0.5)
+          .cast("long"))
+        .otherwise(0L))
+    val popMean = Tables.orders(s, dir)
+      .agg((sum(cents.cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("truec"))
+    val m = t.agg(max(col("nn")).as("npop"), max(col("nsamp")).as("ns"),
+        max(col("stot")).as("st"), max(col("qtot")).as("qt"),
+        sum(col("post9")).as("sp9"), sum(col("pvar4")).as("sv4"))
+      .crossJoin(broadcast(popMean))
+    val srsMean = f(col("st")) / f(col("ns"))
+    val srsVar = (f(col("ns")) * f(col("qt")) - f(col("st")) *
+      f(col("st"))) / f(col("ns")) / (f(col("ns")) - 1.0)
+    val fpc = lit(1.0) - f(col("ns")) / f(col("npop"))
+    def d2(c: Column) = (floor(c / 100.0 * 1e2 + 0.5).cast("long")
+      .cast("double") / 1e2) + 0.0
+    def d4(c: Column) = (floor(c / 100.0 * 1e4 + 0.5).cast("long")
+      .cast("double") / 1e4) + 0.0
+    val thin = col("ns") < 2L
+    m.select(col("npop").cast("long").as("n_pop"),
+      col("ns").cast("long").as("n_sample"),
+      d2(col("truec")).as("true_mean"),
+      when(thin, lit(null).cast("double"))
+        .otherwise(d2(srsMean)).as("srs_mean"),
+      when(thin, lit(null).cast("double"))
+        .otherwise(d2(col("sp9").cast("double") / 1e9)).as("post_mean"),
+      when(thin, lit(null).cast("double"))
+        .otherwise(d4(sqrt(srsVar / f(col("ns")) * fpc))).as("se_srs"),
+      when(thin, lit(null).cast("double"))
+        .otherwise(d4(sqrt(col("sv4").cast("double") / 1e4)))
+        .as("se_post"))
+  }
+
+  val q348PostStratifiedSql: String = {
+    val hv = graft.ops.Kmv.hashSql("o_orderkey")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS h,
+       |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+       |    CASE WHEN $hv
+       |      < 281474976710656 // 16 THEN 1 ELSE 0 END AS m
+       |  FROM orders),
+       |strat AS (
+       |  SELECT h, COUNT(*) AS nh, CAST(SUM(m) AS BIGINT) AS mh,
+       |    CAST(SUM(m * CAST(v AS HUGEINT)) AS HUGEINT) AS sh,
+       |    CAST(SUM(m * CAST(v AS HUGEINT) * v) AS HUGEINT) AS qh
+       |  FROM o GROUP BY h),
+       |t AS (
+       |  SELECT *,
+       |    CAST(SUM(nh) OVER () AS BIGINT) AS nn,
+       |    CAST(SUM(mh) OVER () AS BIGINT) AS nsamp,
+       |    CAST(SUM(sh) OVER () AS HUGEINT) AS stot,
+       |    CAST(SUM(qh) OVER () AS HUGEINT) AS qtot
+       |  FROM strat),
+       |t2 AS (
+       |  SELECT *,
+       |    CASE WHEN mh >= 1 THEN
+       |      CAST(FLOOR(CAST(nh AS DOUBLE) / nn
+       |        * (CAST(sh AS DOUBLE) / mh) * 1e9 + 0.5) AS BIGINT)
+       |      ELSE 0 END AS post9,
+       |    CASE WHEN mh >= 2 THEN
+       |      CAST(FLOOR(CAST(nh AS DOUBLE) / nn
+       |        * (CAST(nh AS DOUBLE) / nn)
+       |        * ((CAST(mh AS DOUBLE) * CAST(qh AS DOUBLE)
+       |            - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+       |          / CAST(mh AS DOUBLE) / (CAST(mh AS DOUBLE) - 1.0))
+       |        / CAST(mh AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+       |      ELSE 0 END AS pvar4
+       |  FROM t),
+       |pm AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+       |      AS HUGEINT)) AS DOUBLE) / COUNT(*) AS truec
+       |  FROM orders),
+       |m AS (
+       |  SELECT CAST(MAX(nn) AS BIGINT) AS npop,
+       |    CAST(MAX(nsamp) AS BIGINT) AS ns,
+       |    CAST(MAX(stot) AS HUGEINT) AS st,
+       |    CAST(MAX(qtot) AS HUGEINT) AS qt,
+       |    CAST(SUM(post9) AS BIGINT) AS sp9,
+       |    CAST(SUM(pvar4) AS BIGINT) AS sv4
+       |  FROM t2),
+       |fin AS (
+       |  SELECT *,
+       |    CAST(st AS DOUBLE) / ns AS srsmean,
+       |    (CAST(ns AS DOUBLE) * CAST(qt AS DOUBLE)
+       |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+       |      / CAST(ns AS DOUBLE) / (CAST(ns AS DOUBLE) - 1.0) AS srsvar,
+       |    1.0 - CAST(ns AS DOUBLE) / npop AS fpc
+       |  FROM m CROSS JOIN pm)
+       |SELECT npop AS n_pop, ns AS n_sample,
+       |  FLOOR(truec / 100.0 * 1e2 + 0.5) / 1e2 + 0 AS true_mean,
+       |  CASE WHEN ns < 2 THEN NULL
+       |    ELSE FLOOR(srsmean / 100.0 * 1e2 + 0.5) / 1e2 + 0 END
+       |    AS srs_mean,
+       |  CASE WHEN ns < 2 THEN NULL
+       |    ELSE FLOOR(CAST(sp9 AS DOUBLE) / 1e9 / 100.0 * 1e2 + 0.5)
+       |      / 1e2 + 0 END AS post_mean,
+       |  CASE WHEN ns < 2 THEN NULL
+       |    ELSE FLOOR(SQRT(srsvar / CAST(ns AS DOUBLE) * fpc) / 100.0
+       |      * 1e4 + 0.5) / 1e4 + 0 END AS se_srs,
+       |  CASE WHEN ns < 2 THEN NULL
+       |    ELSE FLOOR(SQRT(CAST(sv4 AS DOUBLE) / 1e4) / 100.0 * 1e4
+       |      + 0.5) / 1e4 + 0 END AS se_post
+       |FROM fin""".stripMargin
+  }
 }

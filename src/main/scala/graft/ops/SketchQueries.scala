@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-engine-checkable sketches (round 14). The HLL (A5) and
@@ -295,4 +296,107 @@ object SketchQueries {
       |    ELSE FLOOR((nhat / CAST(n_pop AS DOUBLE) - 1.0) * 1e6 + 0.5)
       |      / 1e6 + 0 END AS rel_err
       |FROM fin""".stripMargin
+
+  /** L285 KMV sketch ROLLUP ([PK] Beyer et al. 2007 §4 — the merge
+    * property, exercised END-TO-END as an oracle query): build a
+    * monthly k-min sketch of distinct customers, roll the MONTHLY
+    * SKETCHES (never the raw data) up to quarters, and report each
+    * quarter's estimate beside its exact distinct count. The k
+    * smallest of a union of per-month k-smallest sets IS the union's
+    * k-min sketch, so the rollup is lossless — the property that lets
+    * a 100 TB pipeline keep per-partition/per-day sketches and answer
+    * any coarser distinct-count question without rescanning. KmvSpec
+    * pins the merge algebra in-process; THIS query pins it
+    * cross-engine, against ground truth, at every fixture SF.
+    *
+    * Parity: exact int64 hashes; two deterministic rank layers (ties
+    * impossible — hv is distinct within each layer's partition);
+    * below-k quarters report the EXACT member count as the estimate
+    * (the Kmv.estimate convention); one double chain 4dp/6dp.
+    *
+    * Scale: map-side (month, hv) distinct → per-month top-k windows
+    * (24 bounded partitions) → the quarterly layer sees ≤ 24·k rows
+    * TOTAL. The exact counts (the measuring stick) are the only
+    * full-shuffle stage. */
+  def q351KmvRollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).as("m"),
+        (year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).as("qtr"),
+        col("o_custkey"))
+    val monthly = o.select(col("m"), col("qtr"),
+        Kmv.hashCol(col("o_custkey")).as("hv"))
+      .groupBy("m", "qtr", "hv").agg(count(lit(1)).as("_d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("m").orderBy("hv")))
+      .filter(col("rn") <= k)
+    val quarterly = monthly.groupBy("qtr", "hv").agg(count(lit(1)).as("_d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qtr").orderBy("hv")))
+      .filter(col("rn") <= k)
+      .groupBy("qtr")
+      .agg(count(lit(1)).as("mu"), max(col("hv")).as("uk"))
+    val exact = o.groupBy("qtr")
+      .agg(count_distinct(col("o_custkey")).as("n_exact"))
+    def f(c: String) = col(c).cast("double")
+    val est = when(col("mu") < k.toLong, f("mu"))
+      .otherwise(Kmv.estimateCol(col("mu"), col("uk")))
+    quarterly.join(exact, "qtr")
+      .select(col("qtr").cast("long").as("qtr"),
+        col("n_exact").cast("long").as("n_exact"),
+        col("mu").cast("long").as("k_used"),
+        (floor(est * 1e4 + 0.5).cast("long").cast("double") / 1e4 + 0.0)
+          .as("rollup_est"),
+        when(col("n_exact") === 0L, lit(null).cast("double"))
+          .otherwise((floor((est / f("n_exact") - 1.0) * 1e6 + 0.5)
+            .cast("long").cast("double") / 1e6) + 0.0).as("rel_err"))
+      .orderBy("qtr")
+  }
+
+  val q351KmvRollupSql: String =
+    s"""WITH o AS (
+       |  SELECT date_part('year', o_orderdate) * 100
+       |      + date_part('month', o_orderdate) AS m,
+       |    date_part('year', o_orderdate) * 10
+       |      + date_part('quarter', o_orderdate) AS qtr,
+       |    o_custkey
+       |  FROM orders
+       |  WHERE date_part('year', o_orderdate) IN (1995, 1996)),
+       |mh AS (
+       |  SELECT DISTINCT m, qtr,
+       |    ${Kmv.hashSql("o_custkey")} AS hv
+       |  FROM o),
+       |monthly AS (
+       |  SELECT m, qtr, hv FROM (
+       |    SELECT m, qtr, hv,
+       |      ROW_NUMBER() OVER (PARTITION BY m ORDER BY hv) AS rn
+       |    FROM mh)
+       |  WHERE rn <= 256),
+       |qh AS (SELECT DISTINCT qtr, hv FROM monthly),
+       |quarterly AS (
+       |  SELECT qtr, COUNT(*) AS mu, MAX(hv) AS uk FROM (
+       |    SELECT qtr, hv,
+       |      ROW_NUMBER() OVER (PARTITION BY qtr ORDER BY hv) AS rn
+       |    FROM qh)
+       |  WHERE rn <= 256 GROUP BY qtr),
+       |ex AS (
+       |  SELECT qtr, COUNT(DISTINCT o_custkey) AS n_exact
+       |  FROM o GROUP BY qtr),
+       |fin AS (
+       |  SELECT q.qtr, mu, uk, n_exact,
+       |    CASE WHEN mu < 256 THEN CAST(mu AS DOUBLE)
+       |      ELSE (CAST(mu AS DOUBLE) - 1.0) * 2.81474976710656e14
+       |        / uk END AS est
+       |  FROM quarterly q JOIN ex ON q.qtr = ex.qtr)
+       |SELECT CAST(qtr AS BIGINT) AS qtr,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(mu AS BIGINT) AS k_used,
+       |  FLOOR(est * 1e4 + 0.5) / 1e4 + 0 AS rollup_est,
+       |  CASE WHEN n_exact = 0 THEN NULL
+       |    ELSE FLOOR((est / n_exact - 1.0) * 1e6 + 0.5) / 1e6 + 0 END
+       |    AS rel_err
+       |FROM fin ORDER BY qtr""".stripMargin
 }

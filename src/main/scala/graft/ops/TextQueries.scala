@@ -1702,4 +1702,94 @@ object TextQueries {
       |      - CAST(shsgl AS DOUBLE) / 1e9) / (CAST(shs AS DOUBLE) / 1e9)
       |      * 1e6 + 0.5) / 1e6 + 0 END AS u_source_lang
       |FROM m""".stripMargin
+
+  /** L283 Goodman–Kruskal λ ([PK] Goodman & Kruskal 1954), both
+    * directions, on q343's (lang, source) contingency: the
+    * proportional reduction in MODAL-prediction error —
+    * λ(X|Y) = (Σ_y max_x c(x,y) − max_x c_x)/(N − max_x c_x). The
+    * third member of the nominal-association triple (q186 Cramér's V
+    * symmetric-χ², q343 Theil's U entropy, λ modal): λ = 0 whenever
+    * every column shares the global mode even under real association,
+    * which is exactly why it's reported BESIDE the other two — the
+    * disagreements are the diagnostics.
+    *
+    * Parity: pure exact-int order statistics and counts on the tiny
+    * census; each λ is ONE exact-rational division, floor-quantized
+    * 6dp.
+    *
+    * Scale: the q343 plan — one map-side contingency census, window
+    * maxima over ≤|langs|·|sources| rows, one sum agg. */
+  def q349GoodmanKruskal(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy()
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    val aug = cells
+      .withColumn("nn", sum(col("c")).over(w))
+      .withColumn("cl", sum(col("c")).over(wl))
+      .withColumn("cs", sum(col("c")).over(ws))
+      .withColumn("mxs", max(col("c")).over(ws))
+      .withColumn("mxl", max(col("c")).over(wl))
+    // per-margin modal contributions: take each margin's max once by
+    // ranking inside the margin (exact int tie-break by the partner
+    // key keeps it deterministic, though SUM of per-margin maxima
+    // never depends on which tied row is picked)
+    val m = aug
+      .withColumn("rs", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("source"))))
+      .agg(max(col("nn")).as("nd"),
+        sum(when(col("rs") === 1, col("c")).otherwise(0L)).as("sms"),
+        sum(when(col("rl") === 1, col("c")).otherwise(0L)).as("sml"),
+        max(col("cl")).as("maxl"), max(col("cs")).as("maxs"))
+    def q6r(num: Column, den: Column): Column =
+      when(den <= 0L, lit(null).cast("double"))
+        .otherwise((floor(num.cast("double") / den.cast("double") * 1e6
+          + 0.5).cast("long").cast("double") / 1e6) + 0.0)
+    m.select(col("nd").cast("long").as("n_docs"),
+      col("sms").cast("long").as("sum_modal_by_source"),
+      col("sml").cast("long").as("sum_modal_by_lang"),
+      col("maxl").cast("long").as("modal_lang_n"),
+      col("maxs").cast("long").as("modal_source_n"),
+      q6r(col("sms") - col("maxl"), col("nd") - col("maxl"))
+        .as("lambda_lang_source"),
+      q6r(col("sml") - col("maxs"), col("nd") - col("maxs"))
+        .as("lambda_source_lang"))
+  }
+
+  val q349GoodmanKruskalSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS c
+      |  FROM documents GROUP BY lang, source),
+      |aug AS (
+      |  SELECT *,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cs,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY c DESC, lang) AS rs,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY c DESC, source) AS rl
+      |  FROM cells),
+      |m AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS nd,
+      |    CAST(SUM(CASE WHEN rs = 1 THEN c ELSE 0 END) AS BIGINT)
+      |      AS sms,
+      |    CAST(SUM(CASE WHEN rl = 1 THEN c ELSE 0 END) AS BIGINT)
+      |      AS sml,
+      |    CAST(MAX(cl) AS BIGINT) AS maxl,
+      |    CAST(MAX(cs) AS BIGINT) AS maxs
+      |  FROM aug)
+      |SELECT nd AS n_docs, sms AS sum_modal_by_source,
+      |  sml AS sum_modal_by_lang, maxl AS modal_lang_n,
+      |  maxs AS modal_source_n,
+      |  CASE WHEN nd - maxl <= 0 THEN NULL
+      |    ELSE FLOOR(CAST(sms - maxl AS DOUBLE) / (nd - maxl) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS lambda_lang_source,
+      |  CASE WHEN nd - maxs <= 0 THEN NULL
+      |    ELSE FLOOR(CAST(sml - maxs AS DOUBLE) / (nd - maxs) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS lambda_source_lang
+      |FROM m""".stripMargin
 }

@@ -1620,6 +1620,59 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q348-q350: survey estimators land; lambda and Hill read the fixture right") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val ps = run("q348_post_stratified", sf).head()
+      val (t, srs, post) = (ps.getAs[Double]("true_mean"),
+        ps.getAs[Double]("srs_mean"), ps.getAs[Double]("post_mean"))
+      val (seS, seP) = (ps.getAs[Double]("se_srs"),
+        ps.getAs[Double]("se_post"))
+      assert(ps.getAs[Long]("n_sample") > 50L, s"thin sample at $sf")
+      assert(seS > 0.0 && seP > 0.0)
+      assert(math.abs(srs - t) < 4.0 * seS, s"SRS off at $sf: $srs vs $t")
+      assert(math.abs(post - t) < 4.0 * seP,
+        s"post-strat off at $sf: $post vs $t")
+
+      val gk = run("q349_goodman_kruskal", sf).head()
+      val lam = gk.getAs[java.lang.Double]("lambda_lang_source")
+      // independence fixture: modal prediction barely improves — the
+      // documented near-zero regime (reported BESIDE V and U exactly
+      // because the three disagree differently under independence)
+      assert(lam != null && lam >= 0.0 && lam < 0.15,
+        s"lambda off the independence band at $sf: $lam")
+      assert(gk.getAs[Long]("sum_modal_by_source") >=
+        gk.getAs[Long]("modal_lang_n"), s"modal census inverted at $sf")
+
+      val hl = run("q350_hill_tail", sf).head()
+      val a = hl.getAs[java.lang.Double]("hill_alpha")
+      // bounded order totals: NOT heavy-tailed — alpha far above the
+      // infinite-variance regime (< 2); a Pareto corpus would crash it
+      assert(a != null && a > 3.0, s"Hill alpha reads heavy-tailed at $sf: $a")
+      assert(hl.getAs[Long]("x_kplus1") > 0L)
+    }
+  }
+
+  test("q351: the sketch rollup lands on every quarter") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rk = run("q351_kmv_rollup", sf).collect()
+      assert(rk.length === 8, s"quarter census short at $sf")
+      rk.foreach { r =>
+        val err = r.getAs[java.lang.Double]("rel_err")
+        assert(err != null && math.abs(err) < 0.25,
+          s"rollup estimate off-band at $sf qtr=${r.getAs[Long]("qtr")}: $err")
+        // sf0.001 quarters hold as few as ~45 distinct customers —
+        // those ride the below-k EXACT branch asserted below
+        assert(r.getAs[Long]("k_used") > 20L, s"underfilled sketch at $sf")
+      }
+      // below-k quarters (possible at sf0.001) must be EXACT
+      rk.filter(_.getAs[Long]("k_used") < 256L).foreach { r =>
+        assert(r.getAs[Double]("rollup_est") ===
+          r.getAs[Long]("n_exact").toDouble,
+          s"below-k quarter not exact at $sf")
+      }
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

@@ -542,7 +542,10 @@ class PlanShapeSpec extends SparkSpec {
       "q344_seasonal_mk",
       // r15: q347's 1-row (n, k, sd) broadcast picking the Qn rank on
       // the bounded pair census (the q242 form)
-      "q347_qn_scale")
+      "q347_qn_scale",
+      // r15: q348's 1-row true-population-mean broadcast onto the
+      // 1-row estimator aggregate (the q244 aggregate-pair shape)
+      "q348_post_stratified")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

@@ -3426,6 +3426,93 @@ class StatBruteSpec extends SparkSpec {
       s"raw ${row.getAs[Long]("qn_raw")} vs brute ${diffs(k - 1)}")
   }
 
+  test("q348 post-stratified estimate matches a sequential survey walk") {
+    val row = SparkEntry.queries("q348_post_stratified")(spark, sf0001)
+      .head()
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"),
+        (graft.ops.Kmv.hashCol(col("o_orderkey")) <
+          graft.ops.Kmv.HashSpace / 16L).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val nPop = rows.length
+    val trueMean = rows.map(r => BigInt(r._2)).sum.toDouble / nPop / 100.0
+    val samp = rows.filter(_._3)
+    val srs = samp.map(_._2.toDouble).sum / samp.length / 100.0
+    val post = rows.groupBy(_._1).map { case (_, g) =>
+      val sh = g.filter(_._3)
+      if (sh.isEmpty) 0.0
+      else g.length.toDouble / nPop * (sh.map(_._2.toDouble).sum / sh.length)
+    }.sum / 100.0
+    assert(row.getAs[Long]("n_sample") === samp.length.toLong)
+    assert(math.abs(row.getAs[Double]("true_mean") - trueMean) < 0.02)
+    assert(math.abs(row.getAs[Double]("srs_mean") - srs) < 0.02)
+    assert(math.abs(row.getAs[Double]("post_mean") - post) < 0.02)
+  }
+
+  test("q349 lambda matches a sequential modal-prediction walk") {
+    val row = SparkEntry.queries("q349_goodman_kruskal")(spark, sf0001)
+      .head()
+    val cells = Tables.documents(spark, sf0001)
+      .groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum
+    val sms = cells.groupBy(_._1._2).values.map(_.map(_._2).max).sum
+    val maxl = cells.groupBy(_._1._1).values.map(_.map(_._2).sum).max
+    val lam = (sms - maxl).toDouble / (n - maxl)
+    assert(row.getAs[Long]("sum_modal_by_source") === sms)
+    assert(math.abs(row.getAs[Double]("lambda_lang_source") - lam) < 1e-5)
+  }
+
+  test("q350 Hill alpha matches a sequential top-k walk") {
+    val row = SparkEntry.queries("q350_hill_tail")(spark, sf0001).head()
+    val vs = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val k = 200
+    val xref = vs(k) // (k+1)-th largest
+    val h = vs.take(k).map(v => math.log(v.toDouble) -
+      math.log(xref.toDouble)).sum / k
+    assert(row.getAs[Long]("x_kplus1") === xref)
+    assert(math.abs(row.getAs[Double]("hill_alpha") - 1.0 / h) < 1e-2,
+      s"alpha ${row.getAs[Double]("hill_alpha")} vs brute ${1.0 / h}")
+  }
+
+  test("q351 sketch rollup matches a sequential independent-md5 walk") {
+    // independent path: java MessageDigest for the 48-bit fold (not
+    // Spark's md5/conv chain), plain sets for the month/quarter k-mins
+    val rows = SparkEntry.queries("q351_kmv_rollup")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("qtr") ->
+        (r.getAs[Long]("k_used"), r.getAs[Double]("rollup_est"))).toMap
+    def h48(key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"), quarter(col("o_orderdate")))
+      .filter(col("y").isin(1995, 1996))
+      .collect()
+      .map(r => (r.getInt(1) * 100 + r.getInt(2),
+        r.getInt(1) * 10 + r.getInt(3), h48(r.getLong(0))))
+    val monthly: Seq[(Int, Seq[Long])] = o.groupBy(_._1).toSeq
+      .map { case (_, g) =>
+        (g.head._2, g.map(_._3).distinct.sorted.take(256).toSeq)
+      }
+    val quarterly = monthly.groupBy(_._1).map { case (q, g) =>
+      q -> g.flatMap(_._2).distinct.sorted.take(256)
+    }
+    quarterly.foreach { case (q, sk) =>
+      val (ku, est) = rows(q.toLong)
+      assert(ku === sk.length.toLong, s"qtr $q k_used")
+      val brute = if (sk.length < 256) sk.length.toDouble
+        else 255.0 * 2.81474976710656e14 / sk.last
+      assert(math.abs(est - brute) < 1e-2, s"qtr $q est $est vs $brute")
+    }
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
