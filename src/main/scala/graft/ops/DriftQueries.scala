@@ -1433,6 +1433,99 @@ object DriftQueries {
       |    END AS a2
       |FROM g""".stripMargin
 
+  /** L286 Kuiper two-sample test ([PK] Kuiper 1960): V = D⁺ + D⁻ on
+    * the q280 base/new price split — where KS takes max |F−G| (and so
+    * sees mostly the middle of the support), Kuiper adds the two
+    * one-sided suprema, giving equal sensitivity at the tails and to
+    * spread changes that shift mass symmetrically (KS's blind spot).
+    * Completes the drift quintet on the q147 input: KS, CvM, EMD, AD,
+    * Kuiper.
+    *
+    * Parity: the ECDF difference is compared in EXACT cross-
+    * multiplied integers (n_y·F_x − n_x·F_y as DECIMAL — no double
+    * ever enters the supremum); D⁺/D⁻/V are one final division each,
+    * 6dp.
+    *
+    * Scale: the q280 shape end-to-end — distinct-cents census,
+    * PrefixSum cumulatives, 1-row totals broadcast, one max/min agg. */
+  def q352Kuiper(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val h = o.groupBy("pc")
+      .agg(count(lit(1)).as("l"),
+        count(when(!col("is_new"), 1)).as("cx"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
+    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // scaled ECDF gap at each block end: ny·F_x − nx·F_y, exact int
+    val gap = (col("nn") - col("nx")).cast(dec) * col("cum_x").cast(dec) -
+      col("nx").cast(dec) *
+        (col("cum_all") - col("cum_x")).cast(dec)
+    val g = c.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("nn"), max(col("nx")).as("nx"),
+        max(gap).as("gmax"), min(gap).as("gmin"))
+    def f(c: Column) = c.cast("double")
+    val scale = f(col("nx")) * (f(col("nn")) - f(col("nx")))
+    val dPlus = greatest(f(col("gmax")), lit(0.0)) / scale
+    val dMinus = greatest(-f(col("gmin")), lit(0.0)) / scale
+    def r6(c: Column) = (floor(c * 1e6 + 0.5).cast("long")
+      .cast("double") / 1e6) + 0.0
+    val bad = col("nx") === 0L || col("nx") === col("nn")
+    g.select(col("nx").cast("long").as("n_base"),
+      (col("nn") - col("nx")).cast("long").as("n_new"),
+      when(bad, lit(null).cast("double")).otherwise(r6(dPlus)).as("d_plus"),
+      when(bad, lit(null).cast("double")).otherwise(r6(dMinus)).as("d_minus"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(r6(dPlus + dMinus)).as("kuiper_v"))
+  }
+
+  val q352KuiperSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |h AS (
+      |  SELECT pc, COUNT(*) AS l,
+      |    COUNT(*) FILTER (WHERE NOT is_new) AS cx
+      |  FROM o GROUP BY pc),
+      |c AS (
+      |  SELECT pc, l, cx,
+      |    CAST(SUM(l) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_all,
+      |    CAST(SUM(cx) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_x
+      |  FROM h),
+      |tot AS (SELECT MAX(cum_all) AS nn, MAX(cum_x) AS nx FROM c),
+      |g AS (
+      |  SELECT MAX(nn) AS nn, MAX(nx) AS nx,
+      |    MAX(CAST(nn - nx AS HUGEINT) * cum_x
+      |      - CAST(nx AS HUGEINT) * (cum_all - cum_x)) AS gmax,
+      |    MIN(CAST(nn - nx AS HUGEINT) * cum_x
+      |      - CAST(nx AS HUGEINT) * (cum_all - cum_x)) AS gmin
+      |  FROM c, tot)
+      |SELECT CAST(nx AS BIGINT) AS n_base,
+      |  CAST(nn - nx AS BIGINT) AS n_new,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE FLOOR(GREATEST(CAST(gmax AS DOUBLE), 0.0)
+      |      / (CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) - nx)) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS d_plus,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE FLOOR(GREATEST(-CAST(gmin AS DOUBLE), 0.0)
+      |      / (CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) - nx)) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS d_minus,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE FLOOR((GREATEST(CAST(gmax AS DOUBLE), 0.0)
+      |        / (CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) - nx))
+      |      + GREATEST(-CAST(gmin AS DOUBLE), 0.0)
+      |        / (CAST(nx AS DOUBLE) * (CAST(nn AS DOUBLE) - nx))) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS kuiper_v
+      |FROM g""".stripMargin
+
   val q276BrierMurphySql: String =
     """WITH h AS (
       |  SELECT n_chars AS sc, COUNT(*) AS n,

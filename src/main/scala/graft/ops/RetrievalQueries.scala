@@ -302,6 +302,80 @@ object RetrievalQueries {
     * machinery serves r1/r2). Real fleets fuse per query id — the
     * partition key becomes (query_id) with per-query candidate pools,
     * same plan shape. */
+  /** L287 min–max CombSUM score fusion ([PK] Fox & Shaw 1994; Lee
+    * 1997): fuse the q171 ranker pair by NORMALIZED SCORES instead of
+    * ranks — per (lang, system) min–max to [0,1], then sum — the
+    * calibrated-score counterpart to RRF (rank fusion discards score
+    * GAPS; score fusion keeps them, at the price of the normalization
+    * sensitivity this panel exposes: r1/r2 vs the q171 output is the
+    * comparison). CombMNZ ≡ 2·CombSUM here (both systems score every
+    * doc), noted rather than duplicated.
+    *
+    * Parity: both normalized scores are one IEEE division each from
+    * exact ints ((s−min)/(max−min) — the min/max ride windows over
+    * the census), so the fused sort key is bit-identical across
+    * engines (the q171 unrounded-key precedent) with doc_id
+    * tie-break; outputs 6dp.
+    *
+    * Scale: the q171 plan — lang-partitioned windows over the
+    * document census, one shuffle on lang, top-10 filter. */
+  def q353CombSumFusion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sig = d.select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("s1"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("s2"))
+    val wl = Window.partitionBy(col("lang"))
+    def f(c: Column) = c.cast("double")
+    def norm(c: Column): Column = {
+      val mn = min(c).over(wl); val mx = max(c).over(wl)
+      when(mx > mn, (f(c) - f(mn)) / (f(mx) - f(mn))).otherwise(lit(0.0))
+    }
+    val scored = sig
+      .withColumn("ns1", norm(col("s1")))
+      .withColumn("ns2", norm(col("s2")))
+      .withColumn("fused", col("ns1") + col("ns2"))
+    val wf = Window.partitionBy(col("lang"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"),
+        (round(col("ns1"), 6) + 0.0).as("norm_len"),
+        (round(col("ns2"), 6) + 0.0).as("norm_uniq"),
+        (round(col("fused"), 6) + 0.0).as("combsum"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q353CombSumFusionSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS s1,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS s2
+      |  FROM documents),
+      |w AS (
+      |  SELECT *,
+      |    CAST(MIN(s1) OVER (PARTITION BY lang) AS BIGINT) AS mn1,
+      |    CAST(MAX(s1) OVER (PARTITION BY lang) AS BIGINT) AS mx1,
+      |    CAST(MIN(s2) OVER (PARTITION BY lang) AS BIGINT) AS mn2,
+      |    CAST(MAX(s2) OVER (PARTITION BY lang) AS BIGINT) AS mx2
+      |  FROM sig),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN mx1 > mn1 THEN (CAST(s1 AS DOUBLE) - mn1)
+      |      / (CAST(mx1 AS DOUBLE) - mn1) ELSE 0.0 END AS ns1,
+      |    CASE WHEN mx2 > mn2 THEN (CAST(s2 AS DOUBLE) - mn2)
+      |      / (CAST(mx2 AS DOUBLE) - mn2) ELSE 0.0 END AS ns2
+      |  FROM w),
+      |t AS (
+      |  SELECT *, ns1 + ns2 AS fused,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ns1 + ns2 DESC, doc_id) AS rnk
+      |  FROM sc)
+      |SELECT lang, rnk, doc_id,
+      |  ROUND(ns1, 6) + 0 AS norm_len, ROUND(ns2, 6) + 0 AS norm_uniq,
+      |  ROUND(fused, 6) + 0 AS combsum
+      |FROM t WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
   def q171RrfFusion(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val sig = d.select(col("doc_id"), col("lang"), col("n_chars"),

@@ -1673,6 +1673,29 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q352/q353: both suprema real; fusion ranks a real top-10") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val ku = run("q352_kuiper", sf).head()
+      val (dp, dm) = (ku.getAs[Double]("d_plus"), ku.getAs[Double]("d_minus"))
+      // same-distribution split: the null band (the q294 convention) —
+      // but BOTH one-sided suprema must be strictly positive (an ECDF
+      // pair crosses zero somewhere on any finite sample)
+      assert(dp > 0.0 && dm > 0.0, s"one-sided supremum vacuous at $sf")
+      assert(ku.getAs[Double]("kuiper_v") < 0.2,
+        s"Kuiper off the null band at $sf")
+
+      val cs = run("q353_combsum", sf).collect()
+      assert(cs.length === 50, s"fusion panel short at $sf")
+      cs.groupBy(_.getAs[String]("lang")).foreach { case (lg, rows) =>
+        val fs = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("combsum"))
+        assert(fs.zip(fs.tail).forall { case (a, b) => a >= b },
+          s"fused scores not monotone for $lg at $sf")
+        assert(fs.head > 1.0 && fs.head <= 2.0,
+          s"degenerate top score for $lg at $sf: ${fs.head}")
+      }
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

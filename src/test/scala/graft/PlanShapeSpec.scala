@@ -545,7 +545,10 @@ class PlanShapeSpec extends SparkSpec {
       "q347_qn_scale",
       // r15: q348's 1-row true-population-mean broadcast onto the
       // 1-row estimator aggregate (the q244 aggregate-pair shape)
-      "q348_post_stratified")
+      "q348_post_stratified",
+      // r15: q352's 1-row side-totals broadcast onto the distinct-
+      // cents census (the q280/q147 max-of-cumulative pattern)
+      "q352_kuiper")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

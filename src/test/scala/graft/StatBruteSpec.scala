@@ -3513,6 +3513,28 @@ class StatBruteSpec extends SparkSpec {
     }
   }
 
+  test("q352 Kuiper matches a sequential ECDF walk") {
+    val row = SparkEntry.queries("q352_kuiper")(spark, sf0001).head()
+    val vals = Tables.orders(spark, sf0001)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .as("nw"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val xs = vals.filter(!_._2).map(_._1).sorted
+    val ys = vals.filter(_._2).map(_._1).sorted
+    val cuts = (xs ++ ys).distinct.sorted
+    def ecdf(a: Array[Long], v: Long): Double =
+      a.count(_ <= v).toDouble / a.length
+    val gaps = cuts.map(v => ecdf(xs, v) - ecdf(ys, v))
+    val dPlus = math.max(gaps.max, 0.0)
+    val dMinus = math.max(-gaps.min, 0.0)
+    assert(row.getAs[Long]("n_base") === xs.length.toLong)
+    assert(math.abs(row.getAs[Double]("d_plus") - dPlus) < 1e-5)
+    assert(math.abs(row.getAs[Double]("d_minus") - dMinus) < 1e-5)
+    assert(math.abs(row.getAs[Double]("kuiper_v") - (dPlus + dMinus))
+      < 1e-5)
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
