@@ -74,12 +74,16 @@ object SurvivalQueries {
     val withRisk = day.withColumn("n_risk",
       col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
     val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
-    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
-      .otherwise(log((col("n_risk") - col("d")).cast("double") /
-        col("n_risk").cast("double")))
+    // r15 fuzz find (seed 122): each libm ln carries ~1-ulp cross-engine
+    // drift, and the SUMMED drift once landed within an ulp of a 4dp
+    // rounding boundary. Quantize every ln term to nano-units BEFORE
+    // the cumulative sum, so both engines exp the IDENTICAL argument.
+    val lnTerm9 = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
+      .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
     withRisk
       .withColumn("dead", dead)
-      .withColumn("ln_s", sum(lnTerm).over(wCum))
+      .withColumn("ln_s", sum(lnTerm9).over(wCum).cast("double") / 1e9)
       .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
         col("c").as("n_censored"),
         when(col("dead") === 1L, lit(0.0))
@@ -113,9 +117,11 @@ object SurvivalQueries {
       |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS dead,
-      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
-      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
+      |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk)
+      |               * 1e9 + 0.5) AS BIGINT) END) OVER
       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) / 1e9
       |      AS ln_s
       |  FROM risk)
       |SELECT t AS t_hours, n_risk, d AS n_churn, c AS n_censored,
@@ -422,9 +428,13 @@ object SurvivalQueries {
     val withRisk = day.withColumn("n_risk",
       col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
     val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
-    val lnTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0.0))
-      .otherwise(log((col("n_risk") - col("d")).cast("double") /
-        col("n_risk").cast("double")))
+    // r15 fuzz find (seed 122): each libm ln carries ~1-ulp cross-engine
+    // drift, and the SUMMED drift once landed within an ulp of a 4dp
+    // rounding boundary. Quantize every ln term to nano-units BEFORE
+    // the cumulative sum, so both engines exp the IDENTICAL argument.
+    val lnTerm9 = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
+      .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
     val gwTerm = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
       .otherwise(floor(col("d").cast("double") /
         (col("n_risk").cast("double") * (col("n_risk") - col("d"))) * 1e9
@@ -433,7 +443,7 @@ object SurvivalQueries {
     val se = surv * sqrt(col("gw").cast("double") / 1e9)
     withRisk
       .withColumn("dead", dead)
-      .withColumn("ln_s", sum(lnTerm).over(wCum))
+      .withColumn("ln_s", sum(lnTerm9).over(wCum).cast("double") / 1e9)
       .withColumn("gw", sum(gwTerm).over(wCum))
       .select(col("t").as("t_hours"), col("n_risk"), col("d").as("n_churn"),
         when(col("dead") === 1L, lit(0.0))
@@ -475,9 +485,11 @@ object SurvivalQueries {
       |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS dead,
-      |    SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS DOUBLE)
-      |             ELSE LN(CAST(n_risk - d AS DOUBLE) / n_risk) END) OVER
+      |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk)
+      |               * 1e9 + 0.5) AS BIGINT) END) OVER
       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) / 1e9
       |      AS ln_s,
       |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN 0
       |      ELSE CAST(FLOOR(CAST(d AS DOUBLE)
