@@ -1086,6 +1086,70 @@ object CorpusQueries {
       |    ELSE NULL END AS mh1
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** L289 index of coincidence ([PK] Friedman 1922 — the kappa test):
+    * per language, the probability two randomly drawn non-space
+    * characters of the transliterated corpus are EQUAL —
+    * IC = Σ_c n_c(n_c−1) / (N(N−1)) — the repeat-probability
+    * character statistic beside q187's entropy (IC weights SQUARED
+    * frequencies, so it is the collision view; a flat alphabet gives
+    * 1/|A|, skew raises it). Computed on the q320 transliterated text,
+    * which pins IC's DEFINING invariance: the per-language maps are
+    * codepoint-1:1 relabelings, so every language must read the SAME
+    * IC up to sampling noise (measured 0.0613–0.0620 across all five
+    * scripts) while sitting decisively ABOVE the uniform-24-symbol
+    * floor 1/24 ≈ 0.0417 — the statistic sees the frequency
+    * DISTRIBUTION, never the symbols.
+    *
+    * Parity: an EXACT integer census end-to-end; IC is ONE exact-
+    * rational division, floor-quantized 6dp. Character splitting is
+    * codepoint-based in both engines (proved by q334).
+    *
+    * Scale: explode chars → (lang, char) hash agg (map-side
+    * combinable; exchanged volume ∝ |alphabet|·|langs|), one
+    * ≤|langs|-group fold. */
+  def q355IndexOfCoincidence(s: SparkSession, dir: String): DataFrame = {
+    val xt = graft.functions.TextFns.scriptXlit(col("lang"), col("text"))
+    val chars = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(xt, "")).as("ch"))
+      .filter(col("ch") =!= " " && col("ch") =!= "")
+    val census = chars.groupBy("lang", "ch").agg(count(lit(1)).as("c"))
+    val g = census.groupBy("lang")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1L)).as("coll"))
+    def f(c: Column) = c.cast("double")
+    val ic = f(col("coll")) / (f(col("n")) * (f(col("n")) - 1.0))
+    g.select(col("lang"), col("n").cast("long").as("n_chars"),
+        col("n_distinct").cast("long").as("n_alphabet"),
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise((floor(ic * 1e6 + 0.5).cast("long")
+            .cast("double") / 1e6) + 0.0).as("ic"))
+      .orderBy("lang")
+  }
+
+  val q355IndexOfCoincidenceSql: String =
+    s"""WITH xd AS (
+      |  SELECT lang,
+      |    ${graft.functions.TextFns.scriptXlitSql("lang", "text")} AS xt
+      |  FROM documents),
+      |ch AS (
+      |  SELECT lang, unnest(string_split(xt, '')) AS ch FROM xd),
+      |cf AS (SELECT lang, ch FROM ch WHERE ch <> ' ' AND ch <> ''),
+      |census AS (
+      |  SELECT lang, ch, COUNT(*) AS c FROM cf GROUP BY lang, ch),
+      |g AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+      |    COUNT(*) AS n_distinct,
+      |    CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS coll
+      |  FROM census GROUP BY lang)
+      |SELECT lang, n AS n_chars,
+      |  CAST(n_distinct AS BIGINT) AS n_alphabet,
+      |  CASE WHEN n < 2 THEN NULL
+      |    ELSE FLOOR(CAST(coll AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 1e6
+      |      + 0.5) / 1e6 + 0 END AS ic
+      |FROM g ORDER BY lang""".stripMargin
+
   /** L263 HD-D lexical diversity ([PK] McCarthy & Jarvis 2010 — the
     * hypergeometric-distribution D): the probability-exact successor
     * to TTR (q277's raw type-token ratio is length-confounded; HD-D

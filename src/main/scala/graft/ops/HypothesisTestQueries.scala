@@ -218,6 +218,79 @@ object HypothesisTestQueries {
     *
     * Scale: one map-side-combinable brand census; windows over ≤25
     * rows. */
+  /** L288 risk ratio with Katz log CI ([PK] Katz et al. 1978): the
+    * probability-scale sibling of q225's odds ratio on the SAME
+    * brand × heavy-quantity 2×2 censuses — RR = [a/(a+b)]/[c/(c+d)],
+    * SE(ln RR) = √(1/a − 1/(a+b) + 1/c − 1/(c+d)). OR overstates RR
+    * whenever the outcome is common (here "heavy line" is ~40% — the
+    * regime where the distinction matters); reporting the pair makes
+    * the divergence visible per brand.
+    *
+    * Parity: the 2×2 census is exact int64 (the q225 shape); RR and
+    * the SE are one double chain from exact ints; ONE terminal
+    * ln/exp on an identical argument per bound (the q225 precedent —
+    * no accumulated libm drift, checklist item 8's exempt case). 4dp.
+    *
+    * Scale: the q225 plan — one broadcast-dim join, one ≤25-row brand
+    * census, window totals over it. */
+  def q354RiskRatio(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_quantity") >= 30, 0L).otherwise(1L)).as("b"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("c", sum(col("a")).over(wAll) - col("a"))
+      .withColumn("d", sum(col("b")).over(wAll) - col("b"))
+    def f(c: Column) = c.cast("double")
+    val rr = (f(col("a")) / (f(col("a")) + f(col("b")))) /
+      (f(col("c")) / (f(col("c")) + f(col("d"))))
+    val se = sqrt(lit(1.0) / col("a") -
+      lit(1.0) / (f(col("a")) + f(col("b"))) +
+      lit(1.0) / col("c") - lit(1.0) / (f(col("c")) + f(col("d"))))
+    val bad = col("a") === 0L || col("c") === 0L
+    def r4(c: Column) = (round(c, 4) + 0.0)
+    t.select(col("brand"), col("a"), col("b"), col("c"), col("d"),
+        when(bad, lit(null).cast("double")).otherwise(r4(rr))
+          .as("risk_ratio"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(r4(exp(log(rr) - lit(1.96) * se))).as("ci_lo"),
+        when(bad, lit(null).cast("double"))
+          .otherwise(r4(exp(log(rr) + lit(1.96) * se))).as("ci_hi"))
+      .orderBy("brand")
+  }
+
+  val q354RiskRatioSql: String = {
+    val rr = "(CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))" +
+      " / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))"
+    val se = "SQRT(1.0 / a - 1.0 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))" +
+      " + 1.0 / c - 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))"
+    s"""WITH g AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN l_quantity >= 30 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT brand, a, b,
+      |    CAST(SUM(a) OVER () AS BIGINT) - a AS c,
+      |    CAST(SUM(b) OVER () AS BIGINT) - b AS d
+      |  FROM g)
+      |SELECT brand, a, b, c, d,
+      |  CASE WHEN a = 0 OR c = 0 THEN NULL
+      |    ELSE ROUND($rr, 4) + 0 END AS risk_ratio,
+      |  CASE WHEN a = 0 OR c = 0 THEN NULL
+      |    ELSE ROUND(exp(ln($rr) - 1.96 * $se), 4) + 0 END AS ci_lo,
+      |  CASE WHEN a = 0 OR c = 0 THEN NULL
+      |    ELSE ROUND(exp(ln($rr) + 1.96 * $se), 4) + 0 END AS ci_hi
+      |FROM t ORDER BY brand""".stripMargin
+  }
+
   def q225OddsRatio(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)),

@@ -1696,6 +1696,32 @@ class NonDegeneracySpec extends SparkSpec {
     }
   }
 
+  test("q354/q355: RR pairs with OR; IC is skewed yet relabeling-invariant") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rr = run("q354_risk_ratio", sf).collect()
+      assert(rr.length === 25, s"brand census short at $sf")
+      rr.foreach { r =>
+        val v = r.getAs[java.lang.Double]("risk_ratio")
+        assert(v != null && v > 0.5 && v < 2.0,
+          s"RR out of the homogeneous band at $sf: $v")
+        assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+      }
+      assert(rr.map(_.getAs[Double]("risk_ratio")).distinct.length > 5,
+        s"constant RR at $sf")
+
+      val ic = run("q355_ioc", sf).collect()
+      assert(ic.length === 5)
+      val vals = ic.map(_.getAs[Double]("ic"))
+      // skew: decisively above the uniform-24-symbol floor 1/24
+      assert(vals.forall(_ > 0.05), s"IC at the uniform floor at $sf")
+      // relabeling invariance: the 1:1 transliterations cannot move
+      // IC, so all five languages agree within sampling noise
+      assert(vals.max - vals.min < 0.01,
+        s"IC not relabeling-invariant at $sf: ${vals.mkString(",")}")
+      assert(ic.forall(_.getAs[Long]("n_alphabet") >= 20L))
+    }
+  }
+
   test("q335: the Voronoi partition is total, proper, and uneven") {
     Seq(sf001, sf0001).foreach { sf =>
       val vh = run("q335_nearest_hub", sf).collect()

@@ -3535,6 +3535,43 @@ class StatBruteSpec extends SparkSpec {
       < 1e-5)
   }
 
+  test("q354 risk ratio matches a sequential 2x2 walk") {
+    val rows = SparkEntry.queries("q354_risk_ratio")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("brand") ->
+        r.getAs[java.lang.Double]("risk_ratio")).toMap
+    val cells = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), (col("l_quantity") >= 30).as("hv"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val byB = cells.groupBy(_._1)
+    val (ta, tb) = (cells.count(_._2), cells.count(!_._2))
+    byB.foreach { case (br, g) =>
+      val a = g.count(_._2); val b = g.length - a
+      val c = ta - a; val d = tb - b
+      val rr = (a.toDouble / (a + b)) / (c.toDouble / (c + d))
+      assert(math.abs(rows(br) - rr) < 1e-3, s"$br RR ${rows(br)} vs $rr")
+    }
+  }
+
+  test("q355 IC matches a sequential character census walk") {
+    val rows = SparkEntry.queries("q355_ioc")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Double]("ic"))).toMap
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), TextFns.scriptXlit(col("lang"), col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lg, g) =>
+      val counts = g.flatMap(_._2.toSeq).filter(_ != ' ')
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val ic = counts.map(c => c * (c - 1.0)).sum / (n.toDouble * (n - 1))
+      assert(rows(lg)._1 === n, s"$lg char count")
+      assert(math.abs(rows(lg)._2 - ic) < 1e-5, s"$lg IC")
+    }
+  }
+
   test("q333 hub bands match a sequential law-of-cosines walk") {
     // Independent on BOTH axes: coordinates from java MessageDigest
     // (not Spark's md5/conv/substring chain) and distance from the
