@@ -43,12 +43,17 @@ object DriftQueries {
       .agg(count(lit(1)).as("n"))
     val t = c.withColumn("tot",
       sum(col("n")).over(Window.partitionBy("col_name")))
+    // r16 libm-sum audit: each p·ln p term is libm-drifty (~1 ulp per
+    // engine); quantize every term to nano BEFORE the cross-row sum so
+    // both engines round the identical accumulated argument (the
+    // seed-122 q175 convention).
+    val plnp9 = floor((col("n") / col("tot")) * log(col("n") / col("tot"))
+      * 1e9 + 0.5).cast("long")
     t.groupBy("col_name")
       .agg(max(col("tot")).as("n_rows"),
         count(lit(1)).as("n_distinct"),
         coalesce(sum(when(col("val").isNull, col("n"))), lit(0L)).as("n_null"),
-        (round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
-          + 0.0).as("entropy"),
+        (round(-(sum(plnp9).cast("double") / 1e9), 4) + 0.0).as("entropy"),
         round(max(col("n")).cast("double") / max(col("tot")), 4).as("top_share"))
       .orderBy("col_name")
   }
@@ -67,8 +72,9 @@ object DriftQueries {
       |  MAX(tot) AS n_rows,
       |  COUNT(*) AS n_distinct,
       |  CAST(COALESCE(SUM(n) FILTER (WHERE val IS NULL), 0) AS BIGINT) AS n_null,
-      |  ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 4)
-      |    + 0 AS entropy,
+      |  ROUND(-(CAST(SUM(CAST(FLOOR((CAST(n AS DOUBLE) / tot)
+      |      * LN(CAST(n AS DOUBLE) / tot) * 1e9 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e9), 4) + 0 AS entropy,
       |  ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 4) AS top_share
       |FROM t GROUP BY col_name ORDER BY col_name""".stripMargin
 

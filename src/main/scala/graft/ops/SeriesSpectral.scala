@@ -144,17 +144,23 @@ object SeriesSpectral {
     val lvls = perW.reduce(_ unionAll _)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    // least squares of ln(rs_mean) on ln(w) over the 4 points
-    val lx = log(col("w").cast("double"))
-    val ly = log(col("rs_mean"))
+    // least squares of ln(rs_mean) on ln(w) over the 4 points.
+    // r16 libm-sum audit: the regression moments summed RAW libm ln
+    // terms (the seed-122 q175 class). Quantize each ln to nano-long
+    // first; moments are then exact integers (DECIMAL for the ~1e19
+    // products) and the slope is ONE double division of identical
+    // exact operands — the 1e9 scales cancel in the ratio.
+    val lx9 = floor(log(col("w").cast("double")) * 1e9 + 0.5)
+      .cast("long").cast(dec)
+    val ly9 = floor(log(col("rs_mean")) * 1e9 + 0.5).cast("long").cast(dec)
     val t = lvls
-      .withColumn("k", count(lit(1)).over(wAll))
-      .withColumn("sx", sum(lx).over(wAll))
-      .withColumn("sy", sum(ly).over(wAll))
-      .withColumn("sxy", sum(lx * ly).over(wAll))
-      .withColumn("sxx", sum(lx * lx).over(wAll))
-    val h = (col("k") * col("sxy") - col("sx") * col("sy")) /
-      (col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("k", count(lit(1)).over(wAll).cast(dec))
+      .withColumn("sx", sum(lx9).over(wAll))
+      .withColumn("sy", sum(ly9).over(wAll))
+      .withColumn("sxy", sum(lx9 * ly9).over(wAll))
+      .withColumn("sxx", sum(lx9 * lx9).over(wAll))
+    val h = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
     t.select(col("w"), col("n_blocks"),
         (round(col("rs_mean"), 6) + 0.0).as("rs_mean"),
         (round(h, 6) + 0.0).as("hurst_h"))
@@ -196,17 +202,24 @@ object SeriesSpectral {
        |${lvl(32)}
        |UNION ALL
        |${lvl(64)}),
+       |lq AS (
+       |  SELECT *,
+       |    CAST(CAST(FLOOR(LN(CAST(w AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |      AS HUGEINT) AS lx9,
+       |    CAST(CAST(FLOOR(LN(rs_mean) * 1e9 + 0.5) AS BIGINT)
+       |      AS HUGEINT) AS ly9
+       |  FROM lv),
        |t AS (
-       |  SELECT *, COUNT(*) OVER () AS k,
-       |    SUM(LN(CAST(w AS DOUBLE))) OVER () AS sx,
-       |    SUM(LN(rs_mean)) OVER () AS sy,
-       |    SUM(LN(CAST(w AS DOUBLE)) * LN(rs_mean)) OVER () AS sxy,
-       |    SUM(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE))) OVER ()
-       |      AS sxx
-       |  FROM lv)
+       |  SELECT *, CAST(COUNT(*) OVER () AS HUGEINT) AS k,
+       |    SUM(lx9) OVER () AS sx,
+       |    SUM(ly9) OVER () AS sy,
+       |    SUM(lx9 * ly9) OVER () AS sxy,
+       |    SUM(lx9 * lx9) OVER () AS sxx
+       |  FROM lq)
        |SELECT w, n_blocks,
        |  ROUND(rs_mean, 6) + 0 AS rs_mean,
-       |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0
+       |  ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) + 0
        |    AS hurst_h
        |FROM t ORDER BY w""".stripMargin
   }
@@ -541,12 +554,19 @@ object SeriesSpectral {
       max(col("n")).as("nn"))
     val perLag = lagged.filter(col("x").isNotNull)
       .groupBy("lag").agg(sum(col("x") * col("y")).as("sxy"))
+    // r16 libm-sum audit (adjacent class): the 6 per-lag terms are
+    // IEEE-exact per term but were summed RAW — double addition is
+    // order-sensitive, and engines visit the lag rows in different
+    // orders. Quantize each term to 1e15 (terms ≤ 1/(nn−lag) ≤ 0.25,
+    // so ≤ 2.5e14 fits long) so the sum is exact on both engines.
     val qSum = perLag.crossJoin(broadcast(den))
       .select(col("nn"), col("see"),
-        ((col("sxy").cast("double") / col("see").cast("double")) *
+        floor((col("sxy").cast("double") / col("see").cast("double")) *
           (col("sxy").cast("double") / col("see").cast("double")) /
-          (col("nn").cast("double") - col("lag").cast("double"))).as("term"))
-      .groupBy("nn").agg(sum(col("term")).as("tsum"),
+          (col("nn").cast("double") - col("lag").cast("double"))
+          * 1e15 + 0.5).cast("long").as("term15"))
+      .groupBy("nn").agg(
+        (sum(col("term15")).cast("double") / 1e15).as("tsum"),
         max(col("see")).as("see"))
     val q = col("nn").cast("double") * (col("nn").cast("double") + 2.0) *
       col("tsum")
@@ -592,9 +612,10 @@ object SeriesSpectral {
        |  WHERE x IS NOT NULL GROUP BY lag),
        |qs AS (
        |  SELECT den.nn,
-       |    SUM((CAST(sxy AS DOUBLE) / CAST(see AS DOUBLE))
+       |    CAST(SUM(CAST(FLOOR((CAST(sxy AS DOUBLE) / CAST(see AS DOUBLE))
        |      * (CAST(sxy AS DOUBLE) / CAST(see AS DOUBLE))
-       |      / (CAST(nn AS DOUBLE) - CAST(lag AS DOUBLE))) AS tsum,
+       |      / (CAST(nn AS DOUBLE) - CAST(lag AS DOUBLE))
+       |      * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS tsum,
        |    MAX(CAST(see AS DOUBLE)) AS seed
        |  FROM perlag CROSS JOIN den GROUP BY den.nn)
        |SELECT CAST(nn AS BIGINT) AS n_diffs,

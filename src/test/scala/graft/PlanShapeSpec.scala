@@ -689,4 +689,92 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"undocumented driver-side action in: ${offenders.mkString(", ")}")
   }
+
+  test("raw libm terms never flow into a cross-row sum/avg (seed-122 class)") {
+    // r16 (verdict mandate #1): the round-15 fuzz catch (seed 122,
+    // q175/q242) was a STRUCTURAL class — each libm call (ln/exp/trig/
+    // pow: anything not IEEE-correctly-rounded) carries ~1-ulp
+    // cross-engine drift, and SUMMING raw terms across rows walks the
+    // accumulated drift onto rounding-grid boundaries. The repo
+    // convention quantizes every libm term to an integer grid
+    // (floor(x·1eN + 0.5) as long) BEFORE the accumulation, so both
+    // engines accumulate identical exact integers. This lint makes the
+    // convention structural: every sum/avg whose argument (directly,
+    // or via a column/val bound on a libm line) carries an un-floored
+    // libm term must either show the floor( quantizer inside the
+    // accumulated argument or be adjudicated in the allowlist below.
+    // sqrt and IEEE +−×÷ are correctly rounded and exempt; a single
+    // TERMINAL libm call on an identical argument (q354's documented
+    // rule) is exempt because it is not accumulated. The offline twin
+    // of this scan is scripts/libm_audit.py; the r16 adjudication
+    // table lives in COVERAGE.md.
+    val libm = ("""\b(ln|log|log10|log2|log1p|exp|expm1|sin|cos|tan|asin|""" +
+      """acos|atan|atan2|sinh|cosh|tanh|pow|power|cbrt)\s*\(""").r
+    val acc = """\b(?i)(sum|avg|mean)\s*\(""".r
+    val quant = """(?i)floor\s*\(""".r
+    val bind = Seq(
+      """\.as\("([A-Za-z_][A-Za-z0-9_]*)"\)""".r,
+      """(?i)\bAS\s+([A-Za-z_][A-Za-z0-9_]*)""".r,
+      """\bval\s+([A-Za-z_][A-Za-z0-9_]*)\s*=""".r,
+      """withColumn\("([A-Za-z_][A-Za-z0-9_]*)"""".r)
+    val sqlTypes = Set("DOUBLE", "BIGINT", "HUGEINT", "INT", "INTEGER",
+      "LONG", "VARCHAR", "DECIMAL", "FLOAT", "SMALLINT", "DATE",
+      "TIMESTAMP", "BOOLEAN", "REAL")
+    // (file suffix, argument substring, why it is sound)
+    val allowlist: Seq[(String, String, String)] = Seq(
+      ("ops/QualityClassifier.scala", "loss",
+        "iterative trainer, no DuckDB oracle; loss asserted with tolerance"),
+      ("ops/SpatialStats.scala", "km",
+        "band censuses sum exact 0/1 indicators — the libm distance " +
+          "feeds a comparison, never the accumulator (q333 band-edge rule)"))
+    def balancedArg(text: String, open: Int): String = {
+      var depth = 0; var j = open
+      while (j < text.length) {
+        text.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return text.substring(open, j + 1)
+          case _ =>
+        }
+        j += 1
+      }
+      text.substring(open)
+    }
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val walk = java.nio.file.Files.walk(root)
+    val offenders = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val rel = root.relativize(p).toString
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // names bound on a line carrying an un-floored libm call
+          val tainted = text.linesIterator.filterNot { l =>
+            val t = l.trim
+            t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+          }.filter(l => libm.findFirstIn(l).isDefined &&
+              quant.findFirstIn(l).isEmpty)
+            .flatMap(l => bind.flatMap(_.findAllMatchIn(l).map(_.group(1))))
+            .filterNot(n => sqlTypes(n.toUpperCase)).toSet
+          acc.findAllMatchIn(text).flatMap { m =>
+            val arg = balancedArg(text, m.end - 1)
+            val direct = libm.findFirstIn(arg).isDefined
+            val viaTaint = tainted.exists(t =>
+              ("""[("\s]""" + java.util.regex.Pattern.quote(t) +
+                """[)"\s,*+\-/]""").r.findFirstIn(arg).isDefined)
+            val raw = (direct || viaTaint) && quant.findFirstIn(arg).isEmpty
+            val excused = allowlist.exists { case (f, sub, _) =>
+              rel.endsWith(f.stripPrefix("ops/")) && arg.contains(sub) }
+            if (raw && !excused) {
+              val line = text.substring(0, m.start).count(_ == '\n') + 1
+              Some(s"$rel:$line ${arg.replaceAll("\\s+", " ").take(90)}")
+            } else None
+          }.toList
+        }.toList
+    } finally walk.close()
+    assert(offenders.isEmpty,
+      "un-quantized libm term inside a cross-row accumulation " +
+        "(quantize with floor(x*1eN+0.5) before the sum, or adjudicate " +
+        s"in the allowlist): ${offenders.mkString("; ")}")
+  }
 }
