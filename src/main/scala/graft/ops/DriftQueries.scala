@@ -23,11 +23,12 @@ object DriftQueries {
     * codes — the screens a schema-mapping step runs before trusting a
     * field.
     *
-    * Parity: counts are exact; entropy = −Σ p·ln p sums ≤ 5 doubles per
-    * column whose partition-order jitter (~1e−16) sits twelve orders
-    * below the round(4) grid; `+ 0.0` normalizes the single-value
-    * column's −0.0 (q111 discipline). p = n/tot is int64→double
-    * division, IEEE-identical.
+    * Parity: counts are exact; each p·ln p entropy term is
+    * nano-quantized BEFORE the per-column sum (r16 libm-sum audit —
+    * the seed-122 class: raw libm terms carry ~1-ulp cross-engine
+    * drift and summed drift walks onto the round(4) grid); `+ 0.0`
+    * normalizes the single-value column's −0.0 (q111 discipline).
+    * p = n/tot is int64→double division, IEEE-identical.
     *
     * Scale: stack → one (column, value) hash agg, map-side combinable;
     * the entropy window runs over ≤ |values| rows per column. Columns
@@ -281,53 +282,6 @@ object DriftQueries {
       |FROM ranked JOIN ref USING (rnk)
       |ORDER BY doc_id""".stripMargin
 
-  /** L119 exact ROC AUC via the Mann–Whitney rank statistic: how well
-    * does n_chars separate the q179 focus source from the rest? AUC =
-    * P(score_pos > score_neg) + ½P(=) — the threshold-free evaluation
-    * every quality-classifier pipeline reports, computed EXACTLY with
-    * tie handling (no trapezoid approximation): over distinct scores,
-    * numerator·2 = Σ 2·p_s·(negs strictly below s) + p_s·q_s, an exact
-    * int64; AUC is one final division by 2·n_pos·n_neg, rounded 6dp.
-    *
-    * Scale: the q147 KS shape — a distinct-score census (map-side
-    * combinable, rows bounded by the VALUE DOMAIN, not the corpus)
-    * then [[PrefixSum]]'s distributed running sum over it and a single
-    * global aggregate; the corpus is never globally sorted or ranked. */
-  def q181Auc(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("n_chars").as("sc"),
-      (col("source") === "src0").as("pos"))
-    val h = d.groupBy("sc")
-      .agg(count(when(col("pos"), 1)).as("p"),
-        count(when(!col("pos"), 1)).as("q"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
-      Seq((col("q"), "cumq")))
-    c.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
-        sum(col("p") * (col("cumq") - col("q")) * lit(2L) +
-          col("p") * col("q")).as("num2"))
-      .select(col("n_pos"), col("n_neg"), col("num2"),
-        round(col("num2").cast("double") /
-          (col("n_pos") * col("n_neg") * lit(2L)).cast("double"), 6).as("auc"))
-  }
-
-  val q181AucSql: String =
-    """WITH d AS (
-      |  SELECT n_chars AS sc, source = 'src0' AS pos FROM documents),
-      |h AS (
-      |  SELECT sc, COUNT(*) FILTER (WHERE pos) AS p,
-      |    COUNT(*) FILTER (WHERE NOT pos) AS q
-      |  FROM d GROUP BY sc),
-      |c AS (
-      |  SELECT sc, p, q,
-      |    SUM(q) OVER (ORDER BY sc
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
-      |  FROM h)
-      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
-      |  CAST(SUM(q) AS BIGINT) AS n_neg,
-      |  CAST(SUM(p * (cumq - q) * 2 + p * q) AS BIGINT) AS num2,
-      |  ROUND(CAST(SUM(p * (cumq - q) * 2 + p * q) AS DOUBLE)
-      |    / CAST(SUM(p) * SUM(q) * 2 AS DOUBLE), 6) AS auc
-      |FROM c""".stripMargin
-
   /** L120 exact 1-D Wasserstein distance (earth mover's): W₁ between
     * the focus source's n_chars distribution and the rest — the
     * INTEGRATED CDF deviation ∫|F₁−F₂|dx, the drift measure that sees
@@ -387,145 +341,6 @@ object DriftQueries {
       |    * (COALESCE(next_sc, sc) - sc)) AS DOUBLE)
       |    / MAX(ta * tb), 6) AS w1
       |FROM c, tot""".stripMargin
-
-  /** L121 Cohen's kappa: chance-corrected agreement between two
-    * independent quality raters — here the q162 Gopher mean-word-length
-    * rule vs the stopword-absence rule — the inter-annotator statistic
-    * a labeling pipeline reports before trusting auto-labels (raw
-    * percent agreement is inflated when both raters mostly say "keep").
-    * κ = (n·(n₁₁+n₀₀) − pe_num)/(n² − pe_num) with pe_num = r₁c₁+r₀c₀
-    * — every term an exact int64 product from the 2×2 confusion
-    * census; one final division, 6dp.
-    *
-    * Scale: two codegen'd boolean columns, one map-side-combinable
-    * 4-counter aggregate, one output row — no shuffle beyond the
-    * single partial/final exchange. */
-  def q183Kappa(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val nw = (length(col("text")) -
-      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
-    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val ra = (sumLen * 10 < nw * 42 || sumLen * 10 > nw * 48)
-    val rb = !arrays_overlap(split(col("text"), " "),
-      array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to")))
-    val cts = d.select(ra.as("ra"), rb.as("rb"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
-        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
-        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
-        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
-    val r1 = col("n11") + col("n10")
-    val c1 = col("n11") + col("n01")
-    val peNum = r1 * c1 + (col("n") - r1) * (col("n") - c1)
-    cts.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-      round((col("n") * (col("n11") + col("n00")) - peNum).cast("double") /
-        (col("n") * col("n") - peNum).cast("double"), 6).as("kappa"))
-  }
-
-  val q183KappaSql: String =
-    """WITH f AS (
-      |  SELECT
-      |    length(replace(text, ' ', '')) * 10
-      |        < (length(text) - length(replace(text, ' ', '')) + 1) * 42
-      |      OR length(replace(text, ' ', '')) * 10
-      |        > (length(text) - length(replace(text, ' ', '')) + 1) * 48 AS ra,
-      |    len(list_intersect(string_split(text, ' '),
-      |      ['the', 'a', 'of', 'and', 'to'])) = 0 AS rb
-      |  FROM documents),
-      |cts AS (
-      |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-      |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-      |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-      |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n00
-      |  FROM f)
-      |SELECT n, n11, n10, n01, n00,
-      |  ROUND(CAST(n * (n11 + n00)
-      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
-      |      AS DOUBLE)
-      |    / CAST(n * n
-      |      - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))
-      |      AS DOUBLE), 6) AS kappa
-      |FROM cts""".stripMargin
-
-  /** L122 distributed Poisson bootstrap: a 95 % percentile confidence
-    * interval for mean n_chars from B = 200 resamples — THE resampling
-    * scheme that works at fact scale (Efron's classic bootstrap needs a
-    * global sample per replicate; the Poisson approximation gives every
-    * row an independent Poisson(1) replication count, so each replicate
-    * is one map-side-combinable weighted aggregate — Chamandy et al.'s
-    * streaming-scale estimator). Deterministic by construction: the
-    * replication count comes from the q127 LCG hash of (doc_id, b)
-    * against exact integer CDF thresholds ⌊P·CDF_Pois(1)(k)⌋, so both
-    * engines draw literally the same resamples — no RNG state anywhere.
-    *
-    * Parity: each replicate mean is ONE int64/int64 division (exact
-    * IEEE bits), so the rank ordering of the 200 means and the rank-5 /
-    * rank-196 percentile picks are engine-independent; the point mean
-    * rides an in-plan 1-row moment broadcast (q242 form, r13).
-    *
-    * Scale: corpus × B rows exist only between the generate and the
-    * partial agg in the same stage — the shuffle carries ≤ B·tasks
-    * partial rows into B groups; the rank window sees exactly B rows. */
-  def q184Bootstrap(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    // point-estimate moments in-plan (r13, closing the .head() sweep):
-    // a 1-row broadcast onto the 1-row CI aggregate (q242 form); one
-    // map-side-combinable scan, same as the old driver fetch, minus
-    // the build-time action
-    val tot = d.agg(sum("n_chars").as("sx"), count(lit(1)).as("n"))
-    val reps = d.select(col("doc_id"), col("n_chars"),
-      explode(expr("sequence(0L, 199L)")).as("b"))
-    val h = pmod(col("doc_id") * lit(1103515245L) +
-      col("b") * lit(2654435761L) + lit(12345L), lit(1000000007L))
-    val w = when(h < 367879443L, 0L).when(h < 735758887L, 1L)
-      .when(h < 919698609L, 2L).when(h < 981011849L, 3L)
-      .when(h < 996340160L, 4L).when(h < 999405822L, 5L)
-      .when(h < 999916765L, 6L).otherwise(7L)
-    val repMeans = reps.withColumn("w", w)
-      .groupBy("b")
-      .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
-      .select(col("b"),
-        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
-    val ranked = repMeans.withColumn("rn",
-      row_number().over(Window.orderBy(col("m"), col("b"))))
-    ranked.agg(
-        round(min(when(col("rn") === 5, col("m"))), 6).as("ci_lo"),
-        round(min(when(col("rn") === 196, col("m"))), 6).as("ci_hi"))
-      .crossJoin(broadcast(tot))
-      .select(col("n").as("n_docs"), lit(200).as("n_reps"),
-        round(col("sx").cast("double") / col("n").cast("double"), 6)
-          .as("mean"),
-        col("ci_lo"), col("ci_hi"))
-  }
-
-  val q184BootstrapSql: String =
-    """WITH reps AS (
-      |  SELECT b.b, d.n_chars,
-      |    ((d.doc_id * 1103515245 + b.b * 2654435761 + 12345)
-      |      % 1000000007 + 1000000007) % 1000000007 AS h
-      |  FROM documents d
-      |  CROSS JOIN (SELECT unnest(range(0, 200)) AS b) b),
-      |w AS (
-      |  SELECT b, n_chars,
-      |    CASE WHEN h < 367879443 THEN 0 WHEN h < 735758887 THEN 1
-      |         WHEN h < 919698609 THEN 2 WHEN h < 981011849 THEN 3
-      |         WHEN h < 996340160 THEN 4 WHEN h < 999405822 THEN 5
-      |         WHEN h < 999916765 THEN 6 ELSE 7 END AS w
-      |  FROM reps),
-      |rm AS (
-      |  SELECT b, CAST(SUM(w * n_chars) AS DOUBLE)
-      |    / CAST(SUM(w) AS DOUBLE) AS m
-      |  FROM w GROUP BY b),
-      |r AS (SELECT b, m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM rm),
-      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
-      |        FROM documents)
-      |SELECT tot.n AS n_docs, 200 AS n_reps,
-      |  ROUND(CAST(tot.s AS DOUBLE) / tot.n, 6) AS mean,
-      |  ROUND(MIN(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo,
-      |  ROUND(MIN(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi
-      |FROM r, tot GROUP BY tot.n, tot.s""".stripMargin
 
   /** L129 Theil T inequality decomposition (Theil 1967 [PK]) of order
     * values by priority class — the inequality statistic Gini (q150)
@@ -610,87 +425,6 @@ object DriftQueries {
        |  FLOOR(((CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE)) * (mu_g / mu))
        |    * ln(mu_g / mu) * 1e9 + 0.5) / 1e9 AS between_term
        |FROM t ORDER BY priority""".stripMargin
-
-  /** L135 calibration / reliability table — the eval readout AUC
-    * (q181) deliberately ignores: AUC scores RANKING, calibration asks
-    * whether predicted probabilities MEAN what they say. Toy length
-    * classifier for src0 membership: p̂ = (n_chars−min)/(max−min),
-    * binned into 10 equal-width probability bins; per bin the mean
-    * prediction, observed src0 rate, their absolute gap, and the bin's
-    * weight — the table ECE = Σ (n_b/N)·|gap| summarizes (pinned
-    * brute-force in RankStatSpec).
-    *
-    * Parity: bin assignment is an exact INT decision
-    * ((sc−mn)·10 div (mx−mn+1), the q88 bounds discipline) so a 1-ulp
-    * divergence can never flip a row's bin; p̂ is nano-quantized per
-    * distinct length and summed as int64; every per-bin output is one
-    * fixed int→double chain. Bounds ride a window over the
-    * distinct-length census (≤ |lengths| rows), not a one-row join.
-    *
-    * Scale: one map-side-combinable length census, a tiny unpartitioned
-    * window over it, a ≤10-group agg. */
-  def q197Calibration(s: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(s, dir)
-      .groupBy(col("n_chars").as("sc"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
-    val wAll = Window.partitionBy()
-    val withB = h
-      .withColumn("mn", min(col("sc")).over(wAll))
-      .withColumn("mx", max(col("sc")).over(wAll))
-    val span = col("mx") - col("mn")
-    val bin = expr("(sc - mn) * 10 div (mx - mn + 1)")
-    val phat = when(span > 0L,
-      (col("sc") - col("mn")).cast("double") / span.cast("double"))
-      .otherwise(lit(0.0))
-    withB
-      .select(bin.as("bin"), col("n"), col("pos"),
-        (col("n") * floor(phat * lit(1.0e9) + lit(0.5)).cast("long"))
-          .as("pq"))
-      .groupBy("bin")
-      .agg(sum("n").as("n_docs"), sum("pos").as("n_pos"),
-        sum("pq").as("spq"))
-      .select(col("bin"), col("n_docs"), col("n_pos"),
-        ((col("spq").cast("double") / lit(1.0e9)) /
-          col("n_docs").cast("double")).as("avg_pred"),
-        (col("n_pos").cast("double") / col("n_docs").cast("double"))
-          .as("obs_rate"),
-        abs((col("spq").cast("double") / lit(1.0e9)) /
-          col("n_docs").cast("double") -
-          col("n_pos").cast("double") / col("n_docs").cast("double"))
-          .as("abs_gap"))
-      .orderBy("bin")
-  }
-
-  val q197CalibrationSql: String =
-    """WITH h AS (
-      |  SELECT n_chars AS sc, COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS pos
-      |  FROM documents GROUP BY n_chars),
-      |b AS (
-      |  SELECT sc, n, pos,
-      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
-      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
-      |  FROM h),
-      |q AS (
-      |  SELECT (sc - mn) * 10 // (mx - mn + 1) AS bin, n, pos,
-      |    n * CAST(FLOOR(
-      |      CASE WHEN mx - mn > 0
-      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
-      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
-      |  FROM b),
-      |a AS (
-      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_docs,
-      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
-      |    CAST(SUM(pq) AS BIGINT) AS spq
-      |  FROM q GROUP BY bin)
-      |SELECT bin, n_docs, n_pos,
-      |  (CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE) AS avg_pred,
-      |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS obs_rate,
-      |  abs((CAST(spq AS DOUBLE) / 1e9) / CAST(n_docs AS DOUBLE)
-      |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS abs_gap
-      |FROM a ORDER BY bin""".stripMargin
 
   /** L148 Tukey-fence outlier audit (Tukey 1977 [PK], the boxplot
     * rule): per market segment, the quartiles of per-CUSTOMER lifetime
@@ -1172,174 +906,6 @@ object DriftQueries {
       |      6) + 0 END AS u_status_given_priority
       |FROM q""".stripMargin
 
-  /** L203 empirical-Bayes beta-binomial shrinkage (Robbins 1956;
-    * Robinson's MoM recipe [PK]) of per-part return rates: fit a
-    * Beta(α, β) prior to the observed k/n return fractions by method
-    * of moments over parts with n ≥ 5, then report each part's raw
-    * rate beside its shrunken posterior mean (k+α)/(n+α+β). THE
-    * small-sample ranking fix for rate leaderboards — a 1/1 part no
-    * longer beats a 40/50 one — and the estimator behind every
-    * "quality score with a prior" curation rule; the Bayesian sibling
-    * of q133's Wilson bound (Wilson widens intervals; EB moves the
-    * point estimate).
-    *
-    * Parity: per-part rates quantize to nano int64 BEFORE the moment
-    * sums (distributed double summation would be order-dependent);
-    * mean/variance ride exact DECIMAL sums; α/β/posterior one double
-    * chain 6dp. Top-15 by |shrinkage| with a total order.
-    *
-    * Scale: one lineitem hash agg to parts, one 1-row moment agg
-    * broadcast back (allowlisted 1-row BNLJ). Guards: MoM variance 0
-    * (or below binomial noise ⇒ α,β ≤ 0) nulls the shrunken column —
-    * the raw column always survives. */
-  def q261EbShrinkage(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val li = Tables.lineitem(s, dir)
-      .groupBy("l_partkey")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
-    val rq = floor(col("k").cast("double") / col("n") * 1e9 + 0.5)
-      .cast("long")
-    val withR = li.withColumn("rq", rq)
-    val mom = withR.filter(col("n") >= 5)
-      .agg(count(lit(1)).as("g"), sum(col("rq").cast(dec)).as("sr"),
-        sum(col("rq").cast(dec) * col("rq").cast(dec)).as("qr"))
-    val gD = col("g").cast("double")
-    val m1 = col("sr").cast("double") / gD / 1e9
-    val m2 = (col("qr").cast("double") -
-      col("sr").cast("double") * (col("sr").cast("double") / gD)) /
-      (gD - 1.0) / 1e18
-    val common = m1 * (lit(1.0) - m1) / m2 - 1.0
-    val alpha = m1 * common
-    val beta = (lit(1.0) - m1) * common
-    val bad = col("g") < 2 || m2 <= 0.0 || alpha <= 0.0 || beta <= 0.0
-    val j = withR.crossJoin(broadcast(mom))
-    val raw = col("k").cast("double") / col("n")
-    val post = (col("k") + alpha) / (col("n") + alpha + beta)
-    j.select(col("l_partkey"), col("n"), col("k"),
-        (round(raw, 4) + 0.0).as("raw_rate"),
-        when(bad, lit(null).cast("double"))
-          .otherwise(round(post, 4) + 0.0).as("eb_rate"),
-        when(bad, lit(null).cast("double"))
-          .otherwise(floor(abs(post - raw) * 1e9 + 0.5) / 1e9)
-          .as("shrinkage"))
-      .orderBy(col("shrinkage").desc_nulls_last, col("l_partkey"))
-      .limit(15)
-  }
-
-  val q261EbShrinkageSql: String = {
-    val m1 = "(CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e9)"
-    val m2 = "((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)" +
-      " * (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)))" +
-      " / (CAST(g AS DOUBLE) - 1.0) / 1e18)"
-    val common = s"($m1 * (1.0 - $m1) / $m2 - 1.0)"
-    val alpha = s"($m1 * $common)"
-    val beta = s"((1.0 - $m1) * $common)"
-    val bad = s"(g < 2 OR $m2 <= 0.0 OR $alpha <= 0.0 OR $beta <= 0.0)"
-    val post = s"((k + $alpha) / (n + $alpha + $beta))"
-    s"""WITH li AS (
-       |  SELECT l_partkey, COUNT(*) AS n,
-       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS k
-       |  FROM lineitem GROUP BY l_partkey),
-       |wr AS (
-       |  SELECT *, CAST(FLOOR(CAST(k AS DOUBLE) / n * 1e9 + 0.5)
-       |    AS BIGINT) AS rq
-       |  FROM li),
-       |mom AS (
-       |  SELECT COUNT(*) AS g, SUM(CAST(rq AS HUGEINT)) AS sr,
-       |    SUM(CAST(rq AS HUGEINT) * rq) AS qr
-       |  FROM wr WHERE n >= 5)
-       |SELECT l_partkey, n, k,
-       |  ROUND(CAST(k AS DOUBLE) / n, 4) + 0 AS raw_rate,
-       |  CASE WHEN $bad THEN NULL
-       |    ELSE ROUND($post, 4) + 0 END AS eb_rate,
-       |  CASE WHEN $bad THEN NULL
-       |    ELSE FLOOR(ABS($post - CAST(k AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
-       |    END AS shrinkage
-       |FROM wr, mom
-       |ORDER BY shrinkage DESC NULLS LAST, l_partkey LIMIT 15""".stripMargin
-  }
-
-  /** L208 Brier score + Murphy decomposition ([PK] Brier 1950; Murphy
-    * 1973): the PROPER score behind q197's calibration table — B =
-    * (1/N)Σ(p̂−y)² split into reliability (Σn_k(p̄_k−ō_k)²/N — how far
-    * each forecast bin sits from its observed rate; q197's abs_gap,
-    * squared and mass-weighted), resolution (Σn_k(ō_k−ō)²/N — how much
-    * the bins separate outcomes; the part a useful classifier EARNS),
-    * and uncertainty ō(1−ō) (the data's irreducible floor). The
-    * residual B − (REL − RES + UNC) is the within-bin variance term
-    * (forecasts vary inside a bin), reported rather than hidden so the
-    * identity is auditable.
-    *
-    * Parity: same length-derived forecast as q197 (nano-quantized long
-    * per distinct n_chars); the raw-Brier sum expands to
-    * pos·(pq−10⁹)² + (n−pos)·pq² — exact DECIMAL(38,0)/HUGEINT in
-    * 10⁻¹⁸ units; per-bin REL/RES terms are pico-quantized (1e12)
-    * int64 so the ≤10-bin sums are order-free; ō rides a whole-frame
-    * window over the bin census (the q146 pattern, no second scan).
-    *
-    * Scale: the q197 shape end-to-end — value-domain census, ≤10-bin
-    * table, 1-row algebra. Guards: an empty period or single-value
-    * span degenerates to bin 0 with zero reliability — still defined. */
-  def q276BrierMurphy(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val h = Tables.documents(s, dir)
-      .groupBy(col("n_chars").as("sc"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
-    val wAll = Window.partitionBy()
-    val withB = h
-      .withColumn("mn", min(col("sc")).over(wAll))
-      .withColumn("mx", max(col("sc")).over(wAll))
-    val span = col("mx") - col("mn")
-    val phat = when(span > 0L,
-      (col("sc") - col("mn")).cast("double") / span.cast("double"))
-      .otherwise(lit(0.0))
-    val q = withB.select(
-      expr("(sc - mn) * 10 div (mx - mn + 1)").as("bin"),
-      col("n"), col("pos"),
-      floor(phat * lit(1.0e9) + lit(0.5)).cast("long").as("pq"))
-    // raw Brier in 1e-18 units: Σ pos·(pq−1e9)² + (n−pos)·pq²
-    val bnum = (col("pos").cast(dec) *
-        ((col("pq") - lit(1000000000L)).cast(dec) *
-          (col("pq") - lit(1000000000L)).cast(dec))) +
-      ((col("n") - col("pos")).cast(dec) *
-        (col("pq").cast(dec) * col("pq").cast(dec)))
-    val bins = q.withColumn("bn", bnum)
-      .groupBy("bin")
-      .agg(sum("n").as("nk"), sum("pos").as("pk"),
-        sum(col("n").cast(dec) * col("pq").cast(dec)).as("spq"),
-        sum(col("bn")).as("bnk"))
-    val wholeN = sum(col("nk")).over(wAll)
-    val wholeP = sum(col("pk")).over(wAll)
-    val pbar = col("spq").cast("double") / 1e9 / col("nk").cast("double")
-    val obar = col("pk").cast("double") / col("nk").cast("double")
-    val obarAll = col("np").cast("double") / col("nn").cast("double")
-    val terms = bins
-      .withColumn("nn", wholeN).withColumn("np", wholeP)
-      .select(col("nn"), col("np"), col("bnk"),
-        floor(col("nk").cast("double") * (pbar - obar) * (pbar - obar) *
-          1e12 + 0.5).cast("long").as("relq"),
-        floor(col("nk").cast("double") * (obar - obarAll) *
-          (obar - obarAll) * 1e12 + 0.5).cast("long").as("resq"))
-    val g = terms.groupBy("nn", "np")
-      .agg(sum(col("bnk")).as("bsum"),
-        sum(col("relq")).as("rels"), sum(col("resq")).as("ress"))
-    val nD = col("nn").cast("double")
-    val brier = col("bsum").cast("double") / 1e18 / nD
-    val rel = col("rels").cast("double") / 1e12 / nD
-    val res = col("ress").cast("double") / 1e12 / nD
-    val unc = (col("np").cast("double") / nD) *
-      (lit(1.0) - col("np").cast("double") / nD)
-    g.select(col("nn").as("n_docs"),
-      (round(brier, 6) + 0.0).as("brier"),
-      (round(rel, 6) + 0.0).as("reliability"),
-      (round(res, 6) + 0.0).as("resolution"),
-      (round(unc, 6) + 0.0).as("uncertainty"),
-      (round(brier - (rel - res + unc), 6) + 0.0).as("within_resid"))
-  }
-
   /** L213 two-sample Anderson–Darling distance ([PK] Pettitt 1976;
     * Scholz & Stephens 1987 ties form) between the base and comparison
     * price distributions — completes the drift quartet on the q147
@@ -1532,160 +1098,4 @@ object DriftQueries {
       |      + 0.5) / 1e6 + 0 END AS kuiper_v
       |FROM g""".stripMargin
 
-  val q276BrierMurphySql: String =
-    """WITH h AS (
-      |  SELECT n_chars AS sc, COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS pos
-      |  FROM documents GROUP BY n_chars),
-      |b AS (
-      |  SELECT sc, n, pos,
-      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
-      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
-      |  FROM h),
-      |q AS (
-      |  SELECT (sc - mn) * 10 // (mx - mn + 1) AS bin, n, pos,
-      |    CAST(FLOOR(
-      |      CASE WHEN mx - mn > 0
-      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
-      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
-      |  FROM b),
-      |bins AS (
-      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS nk,
-      |    CAST(SUM(pos) AS BIGINT) AS pk,
-      |    SUM(CAST(n AS HUGEINT) * pq) AS spq,
-      |    SUM(CAST(pos AS HUGEINT)
-      |          * ((pq - 1000000000) * CAST(pq - 1000000000 AS HUGEINT))
-      |        + CAST(n - pos AS HUGEINT) * (CAST(pq AS HUGEINT) * pq))
-      |      AS bnk
-      |  FROM q GROUP BY bin),
-      |t AS (
-      |  SELECT bnk,
-      |    CAST(SUM(nk) OVER () AS BIGINT) AS nn,
-      |    CAST(SUM(pk) OVER () AS BIGINT) AS np,
-      |    CAST(FLOOR(CAST(nk AS DOUBLE)
-      |      * (CAST(spq AS DOUBLE) / 1e9 / nk - CAST(pk AS DOUBLE) / nk)
-      |      * (CAST(spq AS DOUBLE) / 1e9 / nk - CAST(pk AS DOUBLE) / nk)
-      |      * 1e12 + 0.5) AS BIGINT) AS relq,
-      |    CAST(FLOOR(CAST(nk AS DOUBLE)
-      |      * (CAST(pk AS DOUBLE) / nk
-      |         - CAST(SUM(pk) OVER () AS DOUBLE) / SUM(nk) OVER ())
-      |      * (CAST(pk AS DOUBLE) / nk
-      |         - CAST(SUM(pk) OVER () AS DOUBLE) / SUM(nk) OVER ())
-      |      * 1e12 + 0.5) AS BIGINT) AS resq
-      |  FROM bins),
-      |g AS (
-      |  SELECT nn, np, SUM(bnk) AS bsum,
-      |    CAST(SUM(relq) AS BIGINT) AS rels,
-      |    CAST(SUM(resq) AS BIGINT) AS ress
-      |  FROM t GROUP BY nn, np)
-      |SELECT nn AS n_docs,
-      |  ROUND(CAST(bsum AS DOUBLE) / 1e18 / nn, 6) + 0 AS brier,
-      |  ROUND(CAST(rels AS DOUBLE) / 1e12 / nn, 6) + 0 AS reliability,
-      |  ROUND(CAST(ress AS DOUBLE) / 1e12 / nn, 6) + 0 AS resolution,
-      |  ROUND((CAST(np AS DOUBLE) / nn) * (1.0 - CAST(np AS DOUBLE) / nn),
-      |    6) + 0 AS uncertainty,
-      |  ROUND(CAST(bsum AS DOUBLE) / 1e18 / nn
-      |    - (CAST(rels AS DOUBLE) / 1e12 / nn
-      |       - CAST(ress AS DOUBLE) / 1e12 / nn
-      |       + (CAST(np AS DOUBLE) / nn)
-      |         * (1.0 - CAST(np AS DOUBLE) / nn)), 6) + 0 AS within_resid
-      |FROM g""".stripMargin
-
-  /** L276 Spiegelhalter's calibration Z ([PK] Spiegelhalter 1986): the
-    * single-number companion to q197's reliability TABLE —
-    * Z = Σ(y−p̂)(1−2p̂) / √Σ(1−2p̂)²p̂(1−p̂) over the same toy length
-    * classifier (p̂ = (n_chars−min)/(max−min), target = src0
-    * membership). Unlike ECE it needs no binning, penalizes over- AND
-    * under-confidence symmetrically, and carries a proper null
-    * (N(0,1) when p̂ is calibrated) — the significance readout the
-    * table can't give.
-    *
-    * Parity: p̂ is nano-quantized per distinct length FIRST (the q197
-    * canonical value — both engines' doubles start from the same
-    * integer); each length's numerator/denominator term is one double
-    * chain nano-quantized before the int64 sum (q185 discipline); Z
-    * is one final double chain, 6dp.
-    *
-    * Scale: the q197 plan — one map-side length census, a tiny
-    * unpartitioned window over ≤|lengths| rows, one sum agg. */
-  def q342SpiegelhalterZ(s: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(s, dir)
-      .groupBy(col("n_chars").as("sc"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
-    val wAll = Window.partitionBy()
-    val withB = h
-      .withColumn("mn", min(col("sc")).over(wAll))
-      .withColumn("mx", max(col("sc")).over(wAll))
-    val span = col("mx") - col("mn")
-    val phat = when(span > 0L,
-      (col("sc") - col("mn")).cast("double") / span.cast("double"))
-      .otherwise(lit(0.0))
-    val p = floor(phat * lit(1.0e9) + lit(0.5)).cast("long")
-      .cast("double") / 1.0e9
-    val oneM2p = lit(1.0) - lit(2.0) * p
-    val num = oneM2p * (col("pos").cast("double") -
-      col("n").cast("double") * p)
-    val den = col("n").cast("double") * (oneM2p * oneM2p) * p *
-      (lit(1.0) - p)
-    val m = withB
-      .select(col("n"),
-        floor(num * lit(1.0e9) + lit(0.5)).cast("long").as("t9"),
-        floor(den * lit(1.0e9) + lit(0.5)).cast("long").as("d9"))
-      .agg(sum(col("n")).as("nd"), count(lit(1)).as("nl"),
-        sum(col("t9")).as("st9"), sum(col("d9")).as("sd9"))
-    def f(c: String) = col(c).cast("double")
-    val z = (f("st9") / 1.0e9) / sqrt(f("sd9") / 1.0e9)
-    val bad = col("sd9") <= 0L
-    m.select(col("nd").cast("long").as("n_docs"),
-      col("nl").cast("long").as("n_lengths"),
-      when(bad, lit(null).cast("double"))
-        .otherwise((floor(z * 1e6 + 0.5).cast("long")
-          .cast("double") / 1e6) + 0.0).as("z"),
-      when(bad, lit(null).cast("long"))
-        .otherwise((abs(z) > 1.96).cast("long")).as("reject_5pct"))
-  }
-
-  val q342SpiegelhalterZSql: String =
-    """WITH h AS (
-      |  SELECT n_chars AS sc, COUNT(*) AS n,
-      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS pos
-      |  FROM documents GROUP BY n_chars),
-      |b AS (
-      |  SELECT sc, n, pos,
-      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
-      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx
-      |  FROM h),
-      |q AS (
-      |  SELECT n, pos,
-      |    CAST(FLOOR(
-      |      CASE WHEN mx - mn > 0
-      |        THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
-      |        ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) / 1e9 AS p
-      |  FROM b),
-      |t AS (
-      |  SELECT n,
-      |    CAST(FLOOR((1.0 - 2.0 * p) * (CAST(pos AS DOUBLE)
-      |      - CAST(n AS DOUBLE) * p) * 1e9 + 0.5) AS BIGINT) AS t9,
-      |    CAST(FLOOR(CAST(n AS DOUBLE) * ((1.0 - 2.0 * p)
-      |      * (1.0 - 2.0 * p)) * p * (1.0 - p) * 1e9 + 0.5) AS BIGINT)
-      |      AS d9
-      |  FROM q),
-      |m AS (
-      |  SELECT CAST(SUM(n) AS BIGINT) AS nd, COUNT(*) AS nl,
-      |    CAST(SUM(t9) AS BIGINT) AS st9,
-      |    CAST(SUM(d9) AS BIGINT) AS sd9
-      |  FROM t)
-      |SELECT nd AS n_docs, CAST(nl AS BIGINT) AS n_lengths,
-      |  CASE WHEN sd9 <= 0 THEN NULL
-      |    ELSE FLOOR((CAST(st9 AS DOUBLE) / 1e9)
-      |      / SQRT(CAST(sd9 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 + 0
-      |    END AS z,
-      |  CASE WHEN sd9 <= 0 THEN NULL
-      |    ELSE CAST(CASE WHEN ABS((CAST(st9 AS DOUBLE) / 1e9)
-      |      / SQRT(CAST(sd9 AS DOUBLE) / 1e9)) > 1.96
-      |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
-      |FROM m""".stripMargin
 }

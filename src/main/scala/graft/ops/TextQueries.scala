@@ -689,155 +689,6 @@ object TextQueries {
       |  ROUND(regr_r2(LN(cnt), LN(rnk)), 4) AS r2
       |FROM r WHERE rnk <= 500 GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** L115 Spearman rank correlation between two per-language document
-    * rankings (the q171 pair: raw length vs distinct-word richness) —
-    * the ranker-agreement diagnostic run before fusing rankers: ρ near
-    * 1 means the second signal is redundant, near 0 orthogonal. Ranks
-    * are row_numbers with doc_id tie-breaks, hence PERMUTATIONS (no
-    * ties), so ρ = 1 − 6Σd²/(n(n²−1)) exactly — Σd² is an exact int64
-    * and the final expression is one int64→double division chain
-    * (rounded 6dp), a stronger parity guarantee than Pearson-on-ranks
-    * via the corr() co-moment kernel.
-    *
-    * Scale: two lang-partitioned rank windows on one shuffle (the q171
-    * shape), then a ≤|langs|-group map-side-combinable agg; n³ stays
-    * within int64 up to ~2M docs per language — past that, lift Σd²
-    * and n(n²−1) to double with a documented precision trade or
-    * decimal(38). */
-  def q177Spearman(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val sig = d.select(col("doc_id"), col("lang"), col("n_chars"),
-      size(array_distinct(tokens(col("text")))).as("n_uniq"))
-    val w1 = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val w2 = Window.partitionBy(col("lang"))
-      .orderBy(col("n_uniq").desc, col("doc_id"))
-    sig
-      .withColumn("dd",
-        (row_number().over(w1) - row_number().over(w2)).cast("long"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("dd") * col("dd")).as("sum_d2"))
-      .select(col("lang"), col("n_docs"), col("sum_d2"),
-        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
-            (col("n_docs") * (col("n_docs") * col("n_docs") - 1L)).cast("double"),
-          6).as("rho"))
-      .orderBy("lang")
-  }
-
-  val q177SpearmanSql: String =
-    """WITH sig AS (
-      |  SELECT doc_id, lang, n_chars,
-      |    len(list_distinct(string_split(text, ' '))) AS n_uniq
-      |  FROM documents),
-      |r AS (
-      |  SELECT lang,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
-      |       - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_uniq DESC, doc_id)
-      |      AS BIGINT) AS dd
-      |  FROM sig),
-      |a AS (
-      |  SELECT lang, COUNT(*) AS n_docs,
-      |    CAST(SUM(dd * dd) AS BIGINT) AS sum_d2
-      |  FROM r GROUP BY lang)
-      |SELECT lang, n_docs, sum_d2,
-      |  ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
-      |    / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE), 6) AS rho
-      |FROM a ORDER BY lang""".stripMargin
-
-  /** L117 log-likelihood-ratio keyness (Dunning 1993): which tokens are
-    * significantly over/under-represented in one source's documents vs
-    * the rest of the corpus — the corpus-comparison statistic PMI
-    * (q121, association WITHIN a corpus) and TV drift (q160, whole
-    * -distribution distance) don't give: a per-term G² significance
-    * ranking, the standard "what characterizes this source?" probe
-    * before up/down-weighting it in a training mix.
-    *
-    * G² = 2·Σ O·ln(O/E) over the focus/rest cells of each token's 2×2
-    * table; zero cells contribute 0 (x·ln x → 0). Cross-engine parity
-    * by the q103 recipe: every ln argument is a division of two exact
-    * int64 products (< 2⁵³ through sf ~10; lift to DECIMAL(38) ratios
-    * past that), the two terms sum in fixed order, and the statistic is
-    * quantized once to integer micro-units floor(g2·2e6 + 0.5) — so
-    * ORDERING and the top-20 cut are exact-integer decisions on both
-    * engines, never a last-ulp coin flip. Direction (over vs under) is
-    * the exact integer cross-product sign a·NB vs b·NA.
-    *
-    * Scale: explode → vocab-sized map-side-combinable count (shuffle ∝
-    * vocab, Heaps-sublinear); corpus totals are an IN-PLAN 1-row
-    * broadcast (q121/q242 form, r14 — this was the last build-time
-    * driver action in any query builder): na/nb are per-class token
-    * totals, computed straight off documents with a cheap size() agg
-    * (no second vocab shuffle) and cross-joined onto the census, so
-    * the optimizer sees one plan and nothing runs at construction
-    * time; top-20 via TakeOrdered + a 20-row rank window (q105
-    * pattern). */
-  def q179Keyness(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val tok = d
-      .select(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)).as("f"),
-        explode(tokens(col("text"))).as("w"))
-    val c = tok.groupBy("w")
-      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
-    // per-class corpus totals: sum of per-doc token counts ≡ sum over
-    // the vocab census of a/b, but costs one documents scan instead of
-    // a second pass over the exploded tokens
-    val tot = d.agg(
-      sum(when(col("source") === "src0", size(tokens(col("text"))))
-        .otherwise(lit(0))).cast("long").as("na"),
-      sum(when(col("source") =!= "src0", size(tokens(col("text"))))
-        .otherwise(lit(0))).cast("long").as("nb"))
-    val scored = c.filter(col("a") + col("b") >= 5)
-      .crossJoin(broadcast(tot))
-      .withColumn("k", floor((
-        when(col("a") > 0, col("a").cast("double") *
-          log((col("a") * (col("na") + col("nb"))).cast("double") /
-              (col("na") * (col("a") + col("b"))).cast("double")))
-          .otherwise(lit(0.0)) +
-        when(col("b") > 0, col("b").cast("double") *
-          log((col("b") * (col("na") + col("nb"))).cast("double") /
-              (col("nb") * (col("a") + col("b"))).cast("double")))
-          .otherwise(lit(0.0))) * lit(2000000.0) + lit(0.5)).cast("long"))
-      .withColumn("direction",
-        when(col("a") * col("nb") > col("b") * col("na"), lit(1))
-          .when(col("a") * col("nb") < col("b") * col("na"), lit(-1))
-          .otherwise(lit(0)))
-    scored.orderBy(col("k").desc, col("w")).limit(20)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("k").desc, col("w"))))
-      .select(col("rnk"), col("w").as("token"), col("a").as("n_focus"),
-        col("b").as("n_rest"), col("direction"),
-        (col("k").cast("double") / 1000000.0).as("g2"))
-      .orderBy("rnk")
-  }
-
-  val q179KeynessSql: String =
-    """WITH tok AS (
-      |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
-      |         unnest(string_split(text, ' ')) AS w
-      |  FROM documents),
-      |c AS (
-      |  SELECT w, CAST(SUM(f) AS BIGINT) AS a, CAST(SUM(1 - f) AS BIGINT) AS b
-      |  FROM tok GROUP BY w),
-      |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
-      |      FROM c),
-      |sc AS (
-      |  SELECT w, a, b,
-      |    CAST(FLOOR((
-      |      CASE WHEN a > 0 THEN a * ln(CAST(a * (t.na + t.nb) AS DOUBLE)
-      |        / CAST(t.na * (a + b) AS DOUBLE)) ELSE 0.0 END +
-      |      CASE WHEN b > 0 THEN b * ln(CAST(b * (t.na + t.nb) AS DOUBLE)
-      |        / CAST(t.nb * (a + b) AS DOUBLE)) ELSE 0.0 END
-      |    ) * 2000000.0 + 0.5) AS BIGINT) AS k,
-      |    CASE WHEN a * t.nb > b * t.na THEN 1
-      |         WHEN a * t.nb < b * t.na THEN -1 ELSE 0 END AS direction
-      |  FROM c CROSS JOIN t
-      |  WHERE a + b >= 5)
-      |SELECT ROW_NUMBER() OVER (ORDER BY k DESC, w) AS rnk, w AS token,
-      |  a AS n_focus, b AS n_rest, direction,
-      |  CAST(k AS DOUBLE) / 1000000.0 AS g2
-      |FROM sc ORDER BY k DESC, w LIMIT 20""".stripMargin
-
   /** L123 Jensen–Shannon divergence between source unigram
     * distributions (Lin 1991 [PK]) — the bounded, symmetric "how
     * different are these two corpora?" statistic that completes the
@@ -1042,754 +893,4 @@ object TextQueries {
       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS h_cond
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** L151 Flesch reading-ease readability (Flesch 1948 [PK]; the
-    * Kincaid recalibration powers every "grade level" readout): per
-    * English document, word / sentence / syllable counts and
-    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
-    * classical curation signal the Gopher/C4 rules (q162) don't carry:
-    * HOW HARD a passage reads, not just whether it's boilerplate.
-    *
-    * Syllables use the standard regex surrogate — maximal vowel runs
-    * [aeiouyAEIOUY]+ per word — which is deterministic and engine-
-    * identical for the ASCII fixture corpus (FixtureContractSpec pins
-    * ASCII-ness; Java and DuckDB RE2 regexes agree on pure-ASCII
-    * character classes). Sentences = maximal [.!?]+ runs, floored at 1.
-    *
-    * Parity: three exact int64 counts per row; the score is one
-    * identical double chain, 4dp. Scale: embarrassingly parallel row
-    * map over the codegen'd regexp_count kernel — no shuffle until the
-    * final order. */
-  def q217Flesch(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).filter(col("lang") === "en")
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_words"),
-        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
-          .as("n_sentences"),
-        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
-          .as("n_syllables"))
-      .filter(col("n_words") > 0)
-    d.select(col("doc_id"), col("n_words"), col("n_sentences"),
-      col("n_syllables"),
-      (round(lit(206.835)
-        - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
-        - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 4)
-        + 0.0).as("flesch"))
-      .orderBy("doc_id")
-  }
-
-  /** L156 Yule's characteristic K (Yule 1944 [PK]): per-language
-    * lexical repetitiveness 10⁴·(Σ c_w² − N)/N² over the word-frequency
-    * census — the size-robust repetition constant (unlike raw TTR, K is
-    * approximately text-length invariant), the single-number cousin of
-    * the q145 vocabulary-coverage curve and a standard template/spam
-    * signal beside q91's within-document repetition filter.
-    *
-    * Parity: the frequency census is exact int64; Σ c² rides
-    * DECIMAL(38,0)/HUGEINT (a 10⁹-token corpus with a 10⁸-count stop
-    * word overflows int64); K is one double chain, 4dp.
-    *
-    * Scale: the same map-side-combinable (lang, word) census as
-    * q40/q170; the K algebra runs on ≤|langs| rows. */
-  def q222YuleK(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val wc = Tables.documents(s, dir)
-      .select(col("lang"), explode(tokens(col("text"))).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-    wc.groupBy("lang")
-      .agg(count(lit(1)).as("n_types"),
-        sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("s2"))
-      .select(col("lang"), col("n_tokens"), col("n_types"),
-        (round(lit(1.0e4) *
-          (col("s2").cast("double") - col("n_tokens").cast("double")) /
-          (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
-          4) + 0.0).as("yule_k"))
-      .orderBy("lang")
-  }
-
-  val q222YuleKSql: String =
-    """WITH wc AS (
-      |  SELECT lang, w, COUNT(*) AS cnt
-      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
-      |        FROM documents)
-      |  GROUP BY lang, w)
-      |SELECT lang,
-      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-      |  COUNT(*) AS n_types,
-      |  ROUND(1e4 * (CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
-      |      - CAST(SUM(cnt) AS DOUBLE))
-      |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)), 4) + 0
-      |    AS yule_k
-      |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
-
-  /** L157 Good–Turing frequency smoothing (Good 1953 [PK]; the
-    * count-of-counts estimator behind Katz back-off): per language,
-    * the frequency-of-frequencies census V_r for r = 1..5, the
-    * smoothed counts r* = (r+1)·V_{r+1}/V_r, and the unseen-mass
-    * estimate P₀ = V₁/N — "how much probability belongs to words we
-    * have never seen", the vocabulary-openness readout behind the
-    * q145 coverage curve and any LM perplexity the corpus feeds.
-    * Measured over word BIGRAMS (the Katz back-off unit — and the
-    * fixture's unigram vocabulary is CLOSED, so every unigram exceeds
-    * r = 5 past sf0.01 and the unigram ladder is empty; the bigram
-    * space stays open).
-    *
-    * Parity: the double census (bigram counts → count-of-counts) is
-    * exact int64 end-to-end; r* and P₀ are single double chains, 4/6dp
-    * (NULL r* where V_{r+1} = 0 — DuckDB and Spark agree on NULL
-    * arithmetic here because the CASE guards it explicitly).
-    *
-    * Scale: two map-side-combinable censuses (the q192 bigram census
-    * collapsed again by count); the V_{r+1} lookup is a lag over the
-    * ≤5-row-per-language frequency ladder. */
-  def q223GoodTuring(s: SparkSession, dir: String): DataFrame = {
-    val wc = Tables.documents(s, dir)
-      .select(col("lang"),
-        explode(graft.functions.SimFns.wordBigrams(col("text"))).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-    val tot = wc.groupBy("lang")
-      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
-    val coc = wc.filter(col("cnt") <= 6)
-      .groupBy(col("lang"), col("cnt").as("r"))
-      .agg(count(lit(1)).as("v_r"))
-    val wNext = Window.partitionBy("lang").orderBy("r")
-    coc
-      .withColumn("v_r1",
-        when(lead(col("r"), 1).over(wNext) === col("r") + 1,
-          lead(col("v_r"), 1).over(wNext)).otherwise(lit(0L)))
-      .filter(col("r") <= 5)
-      .join(broadcast(tot), "lang")
-      .select(col("lang"), col("r"), col("v_r"), col("v_r1"),
-        when(col("v_r1") > 0,
-          round((col("r") + 1).cast("double") * col("v_r1") / col("v_r"), 4)
-            + 0.0).as("r_star"),
-        when(col("r") === 1,
-          round(col("v_r").cast("double") / col("n_tokens"), 6) + 0.0)
-          .as("p_unseen"))
-      .orderBy("lang", "r")
-  }
-
-  val q223GoodTuringSql: String =
-    """WITH wc AS (
-      |  SELECT lang, w, COUNT(*) AS cnt
-      |  FROM (SELECT lang,
-      |      unnest(CASE WHEN len(string_split(text,' ')) < 2 THEN []
-      |        ELSE list_transform(
-      |          generate_series(1, len(string_split(text,' ')) - 1),
-      |          i -> string_split(text,' ')[i] || ' '
-      |            || string_split(text,' ')[i+1]) END) AS w
-      |    FROM documents)
-      |  GROUP BY lang, w),
-      |tot AS (
-      |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-      |    COUNT(*) AS n_types
-      |  FROM wc GROUP BY lang),
-      |coc AS (
-      |  SELECT lang, cnt AS r, COUNT(*) AS v_r
-      |  FROM wc WHERE cnt <= 6 GROUP BY lang, cnt),
-      |lk AS (
-      |  SELECT lang, r, v_r,
-      |    CASE WHEN LEAD(r, 1) OVER (PARTITION BY lang ORDER BY r) = r + 1
-      |      THEN LEAD(v_r, 1) OVER (PARTITION BY lang ORDER BY r)
-      |      ELSE 0 END AS v_r1
-      |  FROM coc)
-      |SELECT lk.lang, r, v_r, CAST(v_r1 AS BIGINT) AS v_r1,
-      |  CASE WHEN v_r1 > 0
-      |    THEN ROUND(CAST(r + 1 AS DOUBLE) * v_r1 / v_r, 4) + 0 END
-      |    AS r_star,
-      |  CASE WHEN r = 1
-      |    THEN ROUND(CAST(v_r AS DOUBLE) / n_tokens, 6) + 0 END AS p_unseen
-      |FROM lk JOIN tot ON lk.lang = tot.lang
-      |WHERE r <= 5
-      |ORDER BY lk.lang, r""".stripMargin
-
-  val q217FleschSql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
-      |      AS n_words,
-      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
-      |      1) AS n_sentences,
-      |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
-      |      AS n_syllables
-      |  FROM documents WHERE lang = 'en')
-      |SELECT doc_id, n_words, n_sentences, n_syllables,
-      |  ROUND(206.835
-      |    - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
-      |    - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4) + 0 AS flesch
-      |FROM d WHERE n_words > 0
-      |ORDER BY doc_id""".stripMargin
-
-  /** L169 Bhattacharyya coefficient + Hellinger distance between
-    * source unigram distributions (Bhattacharyya 1943, Hellinger [PK]):
-    * BC = Σ√(p·q) over the shared vocabulary (disjoint-support terms
-    * are exactly 0, so the inner join IS the full sum — cheaper than
-    * q185's JS, whose disjoint mass telescopes into a constant), and
-    * H = √(1 − BC) — a proper metric in [0,1], the drift family's
-    * geometry-respecting member beside PSI (q146), KS (q147), EMD
-    * (q182), TV (q160), and JS (q185).
-    *
-    * Parity: p = cnt/tot is an exact-int division; √(p·q) is IEEE
-    * sqrt (correctly rounded, engine-identical); per-term values
-    * quantize to nano-units before the integer SUM (q185 discipline,
-    * partition-order independent); H = √(max(1−BC, 0)) guards the
-    * ≤ n_shared·5e-10 quantization overshoot past BC = 1 identically
-    * on both engines.
-    *
-    * Scale: ONE vocab-keyed self-equi-join with |sources|²-bounded
-    * fan-out per word; censuses map-side combinable. */
-  def q235Hellinger(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val wc = d.select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-    val tot = d.groupBy("source")
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("tot"))
-    val p = wc.join(broadcast(tot), "source")
-      .select(col("source"), col("w"),
-        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
-    val a = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
-    val b = p.select(col("source").as("src_b"), col("w"), col("p").as("pb"))
-    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        floor(sqrt(col("pa") * col("pb")) * lit(1.0e9) + lit(0.5))
-          .cast("long").as("tq"))
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("n_shared"), sum("tq").as("sq"))
-      .select(col("src_a"), col("src_b"), col("n_shared"),
-        (floor(col("sq").cast("double") / lit(1.0e9) * 1e6 + 0.5) / 1e6)
-          .as("bc"),
-        (round(sqrt(greatest(lit(1.0) -
-          col("sq").cast("double") / lit(1.0e9), lit(0.0))), 6) + 0.0)
-          .as("hellinger"))
-      .orderBy("src_a", "src_b")
-  }
-
-  val q235HellingerSql: String =
-    """WITH wc AS (
-      |  SELECT source, w, COUNT(*) AS cnt
-      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
-      |        FROM documents)
-      |  GROUP BY source, w),
-      |tot AS (
-      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
-      |  FROM documents GROUP BY source),
-      |p AS (
-      |  SELECT wc.source, w, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
-      |  FROM wc JOIN tot ON wc.source = tot.source),
-      |t AS (
-      |  SELECT a.source AS src_a, b.source AS src_b,
-      |    CAST(FLOOR(SQRT(a.p * b.p) * 1e9 + 0.5) AS BIGINT) AS tq
-      |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source),
-      |g AS (
-      |  SELECT src_a, src_b, COUNT(*) AS n_shared,
-      |    CAST(SUM(tq) AS BIGINT) AS sq
-      |  FROM t GROUP BY src_a, src_b)
-      |SELECT src_a, src_b, n_shared,
-      |  FLOOR(CAST(sq AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS bc,
-      |  ROUND(SQRT(GREATEST(1.0 - CAST(sq AS DOUBLE) / 1e9, 0.0)), 6) + 0
-      |    AS hellinger
-      |FROM g ORDER BY src_a, src_b""".stripMargin
-
-  /** L196 Chao1 richness + Good's coverage (Chao 1984, Good 1953 [PK]):
-    * from the word-TRIGRAM frequency spectrum — V observed types, f₁
-    * singletons, f₂ doubletons — estimate the UNSEEN phrase inventory
-    * (Chao1 = V + f₁(f₁−1)/(2(f₂+1)), bias-corrected form, defined even
-    * at f₂ = 0) and the sample coverage C = 1 − f₁/N. The "how much of
-    * the language have we actually crawled" diagnostic that turns L74's
-    * observed vocabulary curve into an asymptote estimate, on the same
-    * spectrum q223's Good–Turing smooths.
-    *
-    * Parity: V/N/f₁/f₂ exact int64 off the type-count census; the two
-    * estimates are one double chain 4dp/6dp.
-    *
-    * Scale: explode → type-count hash agg (map-side combined) → a
-    * 2-level ≤|counts| spectrum agg. Guards: an empty corpus nulls
-    * both estimates. */
-  def q269Chao1(s: SparkSession, dir: String): DataFrame = {
-    // word-TRIGRAM spectrum, not unigrams: the synthetic corpus closes
-    // its unigram vocabulary even at sf0.001 (zero singletons — the
-    // estimator would be vacuous, the q175 lesson), while the trigram
-    // space stays open at every SF (f1 = 9,402 / 9,424 / 207 at
-    // sf0.001/0.01/0.1 — measured)
-    val tri = Tables.documents(s, dir)
-      .select(tokens(col("text")).as("ts"))
-      // docs under 3 tokens contribute no trigrams; the filter (not a
-      // greatest() clamp) matters because Spark's sequence(1, 0) counts
-      // DOWN and would fabricate ghost windows on short/empty docs
-      .filter(size(col("ts")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(ts) - 2), " +
-          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("w"))
-    val wc = tri.groupBy("w").agg(count(lit(1)).as("c"))
-    val g = wc.agg(count(lit(1)).as("v"), sum(col("c")).as("n"),
-      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
-      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
-    val chao = col("v").cast("double") +
-      col("f1").cast("double") * (col("f1") - 1).cast("double") /
-        (lit(2.0) * (col("f2") + 1).cast("double"))
-    val cov = lit(1.0) - col("f1").cast("double") / col("n").cast("double")
-    g.select(col("v").as("n_types"), col("n").as("n_tokens"),
-      col("f1").as("singletons"), col("f2").as("doubletons"),
-      when(col("n").isNull || col("n") === 0, lit(null).cast("double"))
-        .otherwise(round(chao, 4) + 0.0).as("chao1"),
-      when(col("n").isNull || col("n") === 0, lit(null).cast("double"))
-        .otherwise(round(cov, 6) + 0.0).as("good_coverage"))
-  }
-
-  val q269Chao1Sql: String =
-    """WITH toks AS (
-      |  SELECT string_split(text, ' ') AS ts FROM documents),
-      |tri AS (
-      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
-      |  FROM (SELECT ts AS t,
-      |          unnest(range(1, greatest(len(ts) - 1, 1))) AS i
-      |        FROM toks)),
-      |wc AS (SELECT w, COUNT(*) AS c FROM tri GROUP BY w),
-      |g AS (
-      |  SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS n,
-      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-      |  FROM wc)
-      |SELECT v AS n_types, n AS n_tokens, f1 AS singletons,
-      |  f2 AS doubletons,
-      |  CASE WHEN n IS NULL OR n = 0 THEN NULL ELSE
-      |    ROUND(CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * (f1 - 1)
-      |      / (2.0 * (f2 + 1)), 4) + 0 END AS chao1,
-      |  CASE WHEN n IS NULL OR n = 0 THEN NULL ELSE
-      |    ROUND(1.0 - CAST(f1 AS DOUBLE) / n, 6) + 0 END AS good_coverage
-      |FROM g""".stripMargin
-
-  /** L197 term dispersion DP (Gries 2008 [PK]): for each frequent term,
-    * DP = Σᵢ|vᵢ − sᵢ|/2 over corpus parts (sources) — vᵢ the term's
-    * occurrence share in part i, sᵢ the part's token share. DP ≈ 0 ⇒
-    * the term is spread as the corpus is; DP → 1 ⇒ it lives in one
-    * part — the burstiness screen that separates topical spike terms
-    * from core vocabulary, which raw frequency (L10) cannot see.
-    *
-    * Parity: shares are exact int64 ratios; the |v−s| sum quantizes to
-    * nano units per (term, part) before the integer sum per term.
-    *
-    * Scale: one (term, source) hash agg; source totals by a ≤|sources|
-    * window; top-20 by TakeOrdered. Parts ABSENT for a term contribute
-    * |0 − sᵢ| = sᵢ, handled in closed form: DP = Σ_present(|vᵢ−sᵢ|−sᵢ)/2
-    * + Σ_all sᵢ/2 where the second term is exactly 1/2 — no dense
-    * term×part grid is ever built (the sparse-completion identity). */
-  def q271TermDispersion(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-    val cell = tok.groupBy("w", "source").agg(count(lit(1)).as("nws"))
-    val wSrc = Window.partitionBy("source")
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val wTerm = Window.partitionBy("w")
-    val t0 = cell
-      .withColumn("ns", sum(col("nws")).over(wSrc))
-      .withColumn("nt", sum(col("nws")).over(wAll))
-      .withColumn("nw", sum(col("nws")).over(wTerm))
-    val vi = col("nws").cast("double") / col("nw").cast("double")
-    val si = col("ns").cast("double") / col("nt").cast("double")
-    val termQ = floor((abs(vi - si) - si) * 1e9 + 0.5).cast("long")
-    t0.select(col("w"), col("nw"), termQ.as("tq"))
-      .groupBy("w", "nw").agg(sum(col("tq")).as("sq"))
-      .filter(col("nw") >= 50)
-      .select(col("w").as("term"), col("nw").as("n_occurrences"),
-        (floor((col("sq").cast("double") / 1e9 + 1.0) / 2.0 * 1e6 + 0.5)
-          / 1e6)
-          .as("dp"))
-      .orderBy(col("n_occurrences").desc, col("term"))
-      .limit(20)
-  }
-
-  val q271TermDispersionSql: String =
-    """WITH tok AS (
-      |  SELECT source, w
-      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
-      |        FROM documents)
-      |  WHERE w <> ''),
-      |cell AS (
-      |  SELECT w, source, COUNT(*) AS nws FROM tok GROUP BY w, source),
-      |t AS (
-      |  SELECT *,
-      |    CAST(SUM(nws) OVER (PARTITION BY source) AS BIGINT) AS ns,
-      |    CAST(SUM(nws) OVER () AS BIGINT) AS nt,
-      |    CAST(SUM(nws) OVER (PARTITION BY w) AS BIGINT) AS nw
-      |  FROM cell),
-      |q AS (
-      |  SELECT w, nw,
-      |    CAST(SUM(CAST(FLOOR((ABS(CAST(nws AS DOUBLE) / nw
-      |      - CAST(ns AS DOUBLE) / nt) - CAST(ns AS DOUBLE) / nt) * 1e9
-      |      + 0.5) AS BIGINT)) AS BIGINT) AS sq
-      |  FROM t GROUP BY w, nw)
-      |SELECT w AS term, nw AS n_occurrences,
-      |  FLOOR((CAST(sq AS DOUBLE) / 1e9 + 1.0) / 2.0 * 1e6 + 0.5) / 1e6 AS dp
-      |FROM q WHERE nw >= 50
-      |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin
-
-  /** L198 Fleiss' kappa (Fleiss 1971 [PK]) over a 3-rater quality
-    * ensemble: three deterministic document screens — length (n_chars ≥
-    * 100), verbosity (≥ 20 tokens), stopword presence — each "rate"
-    * every document good/bad; κ measures their agreement beyond chance.
-    * The ensemble-agreement readout an LLM-data pipeline needs before
-    * majority-voting quality raters (q183's Cohen κ compares exactly
-    * two raters; Fleiss generalizes to m).
-    *
-    * Parity: per-doc agreement P_i = (Σⱼ nᵢⱼ(nᵢⱼ−1))/(m(m−1)) rides
-    * exact int64 vote counts (m = 3); P̄ and P_e are exact-int ratios in
-    * one double chain 6dp.
-    *
-    * Scale: one per-doc map (3 boolean screens), one 1-row agg.
-    * Guards: P_e = 1 (all raters constant) nulls κ. */
-  def q274FleissKappa(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(
-        when(col("n_chars") >= 100, 1L).otherwise(0L).as("r1"),
-        when(size(tokens(col("text"))) >= 20, 1L).otherwise(0L).as("r2"),
-        when(arrays_overlap(tokens(col("text")),
-          typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))),
-          1L).otherwise(0L).as("r3"))
-      .withColumn("g", col("r1") + col("r2") + col("r3"))
-    val m = 3.0
-    val g = d.agg(count(lit(1)).as("n_docs"),
-      sum(col("g")).as("votes_good"),
-      // Σ_i [n_good(n_good−1) + n_bad(n_bad−1)] with n_bad = 3 − n_good
-      sum(col("g") * (col("g") - 1) +
-        (lit(3L) - col("g")) * (lit(2L) - col("g"))).as("agree_q"))
-    val nD = col("n_docs").cast("double")
-    val pbar = col("agree_q").cast("double") / (nD * m * (m - 1.0))
-    val pGood = col("votes_good").cast("double") / (nD * m)
-    val pe = pGood * pGood + (lit(1.0) - pGood) * (lit(1.0) - pGood)
-    g.select(col("n_docs"), col("votes_good"),
-      (round(pbar, 6) + 0.0).as("p_bar"),
-      (round(pe, 6) + 0.0).as("p_e"),
-      when(pe >= 1.0, lit(null).cast("double"))
-        .otherwise(round((pbar - pe) / (lit(1.0) - pe), 6) + 0.0)
-          .as("fleiss_kappa"))
-  }
-
-  val q274FleissKappaSql: String =
-    s"""WITH d AS (
-       |  SELECT
-       |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-       |    + (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0
-       |       END)
-       |    + (CASE WHEN len(list_intersect(string_split(text, ' '),
-       |        ['the','a','of','and','to','in','is','on'])) > 0
-       |       THEN 1 ELSE 0 END) AS g
-       |  FROM documents),
-       |t AS (
-       |  SELECT COUNT(*) AS n_docs,
-       |    CAST(SUM(g) AS BIGINT) AS votes_good,
-       |    CAST(SUM(g * (g - 1) + (3 - g) * (2 - g)) AS BIGINT) AS agree_q
-       |  FROM d),
-       |c AS (
-       |  SELECT n_docs, votes_good,
-       |    CAST(agree_q AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0 * 2.0)
-       |      AS pbar,
-       |    CAST(votes_good AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)
-       |      AS pg
-       |  FROM t)
-       |SELECT n_docs, votes_good,
-       |  ROUND(pbar, 6) + 0 AS p_bar,
-       |  ROUND(pg * pg + (1.0 - pg) * (1.0 - pg), 6) + 0 AS p_e,
-       |  CASE WHEN pg * pg + (1.0 - pg) * (1.0 - pg) >= 1.0 THEN NULL
-       |    ELSE ROUND((pbar - (pg * pg + (1.0 - pg) * (1.0 - pg)))
-       |      / (1.0 - (pg * pg + (1.0 - pg) * (1.0 - pg))), 6) + 0 END
-       |    AS fleiss_kappa
-       |FROM c""".stripMargin
-
-  /** L273 ACE richness estimator ([PK] Chao & Lee 1992 —
-    * abundance-based coverage estimator), on q269's word-TRIGRAM
-    * spectrum (the unigram vocabulary closes even at sf0.001 — q269's
-    * measured lesson): S_ACE = S_abund + S_rare/Ĉ + (F₁/Ĉ)·γ̂², with
-    * Ĉ = 1 − F₁/N_rare the sample coverage of the rare group
-    * (counts ≤ 10) and γ̂² the rare-group CV correction
-    * max(0, (S_rare/Ĉ)·Σi(i−1)Fᵢ/(N_rare(N_rare−1)) − 1). The
-    * abundance-weighted companion to q269's Chao1 (which uses only
-    * F₁/F₂): when the two disagree the rare tail is heterogeneous —
-    * the "how much vocabulary haven't we crawled yet" pair.
-    *
-    * Parity: the frequency-of-frequency census is exact int64
-    * (Σi(i−1)Fᵢ included); Ĉ, γ̂², ACE are one fixed double chain,
-    * coverage 6dp, ACE 4dp.
-    *
-    * Scale: the q269 shape — one explode → trigram hash agg (map-side
-    * combinable) → ONE ≤10-bin frequency census aggregate. */
-  def q339AceRichness(s: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.documents(s, dir)
-      .select(tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(ts) - 2), " +
-          "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("w"))
-    val wc = tri.groupBy("w").agg(count(lit(1)).as("c"))
-    val g = wc.agg(
-      sum(when(col("c") > 10L, 1L).otherwise(0L)).as("sa"),
-      sum(when(col("c") <= 10L, 1L).otherwise(0L)).as("sr"),
-      sum(when(col("c") <= 10L, col("c")).otherwise(0L)).as("nr"),
-      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
-      sum(when(col("c") <= 10L, col("c") * (col("c") - 1L))
-        .otherwise(0L)).as("ssq"))
-    def f(c: String) = col(c).cast("double")
-    val cov = lit(1.0) - f("f1") / f("nr")
-    val g2raw = f("sr") / cov * f("ssq") /
-      (f("nr") * (f("nr") - 1.0)) - 1.0
-    val g2 = greatest(g2raw, lit(0.0))
-    val ace = f("sa") + f("sr") / cov + f("f1") / cov * g2
-    val bad = col("nr") < 2L || col("f1") === col("nr")
-    g.select(col("sa").cast("long").as("s_abund"),
-      col("sr").cast("long").as("s_rare"),
-      col("nr").cast("long").as("n_rare"),
-      col("f1").cast("long").as("singletons"),
-      when(bad, lit(null).cast("double"))
-        .otherwise(rnd6c(cov)).as("coverage"),
-      when(bad, lit(null).cast("double"))
-        .otherwise(rnd6c(g2)).as("gamma2"),
-      when(bad, lit(null).cast("double"))
-        .otherwise((floor(ace * 1e4 + 0.5).cast("long")
-          .cast("double") / 1e4) + 0.0).as("ace"))
-  }
-
-  private def rnd6c(c: Column): Column =
-    (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
-
-  val q339AceRichnessSql: String =
-    """WITH toks AS (
-      |  SELECT string_split(text, ' ') AS ts FROM documents),
-      |tri AS (
-      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
-      |  FROM (SELECT ts AS t,
-      |          unnest(range(1, greatest(len(ts) - 1, 1))) AS i
-      |        FROM toks)),
-      |wc AS (SELECT w, COUNT(*) AS c FROM tri GROUP BY w),
-      |g AS (
-      |  SELECT
-      |    CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS sa,
-      |    CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS sr,
-      |    CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
-      |      AS nr,
-      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-      |    CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END)
-      |      AS BIGINT) AS ssq
-      |  FROM wc),
-      |fin AS (
-      |  SELECT *,
-      |    1.0 - CAST(f1 AS DOUBLE) / nr AS cov,
-      |    GREATEST(CAST(sr AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / nr)
-      |      * ssq / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0))
-      |      - 1.0, 0.0) AS g2
-      |  FROM g)
-      |SELECT sa AS s_abund, sr AS s_rare, nr AS n_rare,
-      |  f1 AS singletons,
-      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
-      |    ELSE FLOOR(cov * 1e6 + 0.5) / 1e6 + 0 END AS coverage,
-      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
-      |    ELSE FLOOR(g2 * 1e6 + 0.5) / 1e6 + 0 END AS gamma2,
-      |  CASE WHEN nr < 2 OR f1 = nr THEN NULL
-      |    ELSE FLOOR((CAST(sa AS DOUBLE) + CAST(sr AS DOUBLE) / cov
-      |      + CAST(f1 AS DOUBLE) / cov * g2) * 1e4 + 0.5) / 1e4 + 0 END
-      |    AS ace
-      |FROM fin""".stripMargin
-
-  /** L277 Theil's uncertainty coefficient ([PK] Theil 1970), both
-    * directions, on the (lang, source) contingency:
-    * U(X|Y) = (H(X) − H(X|Y))/H(X) — the NORMALIZED, DIRECTIONAL
-    * association readout q186's symmetric Cramér's V can't give
-    * ("knowing the source removes u% of the uncertainty about the
-    * language" ≠ the reverse). Composes the q192 entropy machinery at
-    * the column level instead of the token level — the
-    * mixture-balance screen run before stratifying a corpus by one of
-    * two correlated facets.
-    *
-    * Parity: the contingency census is exact int64; every entropy
-    * term −(c/N)ln(c/margin) is nano-quantized per CELL before the
-    * int64 sum (the q192 discipline — the ln argument is a ratio of
-    * exact ints); each U is one final double chain, 6dp.
-    *
-    * Scale: ONE map-side (lang, source) count census (≤ |langs|·
-    * |sources| rows); margins by windows over that census; one sum
-    * agg. Nothing fact-sized past the first aggregate. */
-  def q343TheilsU(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
-      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy()
-    val wl = Window.partitionBy("lang")
-    val ws = Window.partitionBy("source")
-    def f(c: Column) = c.cast("double")
-    val aug = cells
-      .withColumn("nn", sum(col("c")).over(w))
-      .withColumn("cl", sum(col("c")).over(wl))
-      .withColumn("cs", sum(col("c")).over(ws))
-    def q9(c: Column) = floor(c * lit(1.0e9) + lit(0.5)).cast("long")
-    // H(lang) / H(source) from cell terms weighted into margins would
-    // double-count; instead fold the margin entropies from the SAME
-    // cell rows by dividing each cell's share across its margin: the
-    // term −(c/N)·ln(margin/N) sums per margin to −(margin/N)ln(…)
-    val hl9 = q9(-(f(col("c")) / f(col("nn"))) *
-      log(f(col("cl")) / f(col("nn"))))
-    val hs9 = q9(-(f(col("c")) / f(col("nn"))) *
-      log(f(col("cs")) / f(col("nn"))))
-    val hlGs9 = q9(-(f(col("c")) / f(col("nn"))) *
-      log(f(col("c")) / f(col("cs"))))
-    val hsGl9 = q9(-(f(col("c")) / f(col("nn"))) *
-      log(f(col("c")) / f(col("cl"))))
-    val m = aug.select(col("nn"), hl9.as("hl"), hs9.as("hs"),
-        hlGs9.as("hlgs"), hsGl9.as("hsgl"))
-      .agg(max(col("nn")).as("nd"), count(lit(1)).as("k"),
-        sum(col("hl")).as("shl"), sum(col("hs")).as("shs"),
-        sum(col("hlgs")).as("shlgs"), sum(col("hsgl")).as("shsgl"))
-    def g(c: String) = col(c).cast("double") / 1.0e9
-    def r6(c: Column) = (floor(c * 1e6 + 0.5).cast("long")
-      .cast("double") / 1e6) + 0.0
-    val uLS = (g("shl") - g("shlgs")) / g("shl")
-    val uSL = (g("shs") - g("shsgl")) / g("shs")
-    m.select(col("nd").cast("long").as("n_docs"),
-      col("k").cast("long").as("n_cells"),
-      r6(g("shl")).as("h_lang"), r6(g("shs")).as("h_source"),
-      r6(g("shlgs")).as("h_lang_given_source"),
-      when(col("shl") <= 0L, lit(null).cast("double"))
-        .otherwise(r6(uLS)).as("u_lang_source"),
-      when(col("shs") <= 0L, lit(null).cast("double"))
-        .otherwise(r6(uSL)).as("u_source_lang"))
-  }
-
-  val q343TheilsUSql: String =
-    """WITH cells AS (
-      |  SELECT lang, source, COUNT(*) AS c
-      |  FROM documents GROUP BY lang, source),
-      |aug AS (
-      |  SELECT *,
-      |    CAST(SUM(c) OVER () AS BIGINT) AS nn,
-      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
-      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cs
-      |  FROM cells),
-      |t AS (
-      |  SELECT nn,
-      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
-      |      * ln(CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9 + 0.5)
-      |      AS BIGINT) AS hl,
-      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
-      |      * ln(CAST(cs AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9 + 0.5)
-      |      AS BIGINT) AS hs,
-      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
-      |      * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) * 1e9 + 0.5)
-      |      AS BIGINT) AS hlgs,
-      |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
-      |      * ln(CAST(c AS DOUBLE) / CAST(cl AS DOUBLE)) * 1e9 + 0.5)
-      |      AS BIGINT) AS hsgl
-      |  FROM aug),
-      |m AS (
-      |  SELECT CAST(MAX(nn) AS BIGINT) AS nd, COUNT(*) AS k,
-      |    CAST(SUM(hl) AS BIGINT) AS shl,
-      |    CAST(SUM(hs) AS BIGINT) AS shs,
-      |    CAST(SUM(hlgs) AS BIGINT) AS shlgs,
-      |    CAST(SUM(hsgl) AS BIGINT) AS shsgl
-      |  FROM t)
-      |SELECT nd AS n_docs, CAST(k AS BIGINT) AS n_cells,
-      |  FLOOR(CAST(shl AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
-      |    AS h_lang,
-      |  FLOOR(CAST(shs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
-      |    AS h_source,
-      |  FLOOR(CAST(shlgs AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
-      |    AS h_lang_given_source,
-      |  CASE WHEN shl <= 0 THEN NULL
-      |    ELSE FLOOR((CAST(shl AS DOUBLE) / 1e9
-      |      - CAST(shlgs AS DOUBLE) / 1e9) / (CAST(shl AS DOUBLE) / 1e9)
-      |      * 1e6 + 0.5) / 1e6 + 0 END AS u_lang_source,
-      |  CASE WHEN shs <= 0 THEN NULL
-      |    ELSE FLOOR((CAST(shs AS DOUBLE) / 1e9
-      |      - CAST(shsgl AS DOUBLE) / 1e9) / (CAST(shs AS DOUBLE) / 1e9)
-      |      * 1e6 + 0.5) / 1e6 + 0 END AS u_source_lang
-      |FROM m""".stripMargin
-
-  /** L283 Goodman–Kruskal λ ([PK] Goodman & Kruskal 1954), both
-    * directions, on q343's (lang, source) contingency: the
-    * proportional reduction in MODAL-prediction error —
-    * λ(X|Y) = (Σ_y max_x c(x,y) − max_x c_x)/(N − max_x c_x). The
-    * third member of the nominal-association triple (q186 Cramér's V
-    * symmetric-χ², q343 Theil's U entropy, λ modal): λ = 0 whenever
-    * every column shares the global mode even under real association,
-    * which is exactly why it's reported BESIDE the other two — the
-    * disagreements are the diagnostics.
-    *
-    * Parity: pure exact-int order statistics and counts on the tiny
-    * census; each λ is ONE exact-rational division, floor-quantized
-    * 6dp.
-    *
-    * Scale: the q343 plan — one map-side contingency census, window
-    * maxima over ≤|langs|·|sources| rows, one sum agg. */
-  def q349GoodmanKruskal(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
-      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy()
-    val wl = Window.partitionBy("lang")
-    val ws = Window.partitionBy("source")
-    val aug = cells
-      .withColumn("nn", sum(col("c")).over(w))
-      .withColumn("cl", sum(col("c")).over(wl))
-      .withColumn("cs", sum(col("c")).over(ws))
-      .withColumn("mxs", max(col("c")).over(ws))
-      .withColumn("mxl", max(col("c")).over(wl))
-    // per-margin modal contributions: take each margin's max once by
-    // ranking inside the margin (exact int tie-break by the partner
-    // key keeps it deterministic, though SUM of per-margin maxima
-    // never depends on which tied row is picked)
-    val m = aug
-      .withColumn("rs", row_number().over(
-        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
-      .withColumn("rl", row_number().over(
-        Window.partitionBy("lang").orderBy(col("c").desc, col("source"))))
-      .agg(max(col("nn")).as("nd"),
-        sum(when(col("rs") === 1, col("c")).otherwise(0L)).as("sms"),
-        sum(when(col("rl") === 1, col("c")).otherwise(0L)).as("sml"),
-        max(col("cl")).as("maxl"), max(col("cs")).as("maxs"))
-    def q6r(num: Column, den: Column): Column =
-      when(den <= 0L, lit(null).cast("double"))
-        .otherwise((floor(num.cast("double") / den.cast("double") * 1e6
-          + 0.5).cast("long").cast("double") / 1e6) + 0.0)
-    m.select(col("nd").cast("long").as("n_docs"),
-      col("sms").cast("long").as("sum_modal_by_source"),
-      col("sml").cast("long").as("sum_modal_by_lang"),
-      col("maxl").cast("long").as("modal_lang_n"),
-      col("maxs").cast("long").as("modal_source_n"),
-      q6r(col("sms") - col("maxl"), col("nd") - col("maxl"))
-        .as("lambda_lang_source"),
-      q6r(col("sml") - col("maxs"), col("nd") - col("maxs"))
-        .as("lambda_source_lang"))
-  }
-
-  val q349GoodmanKruskalSql: String =
-    """WITH cells AS (
-      |  SELECT lang, source, COUNT(*) AS c
-      |  FROM documents GROUP BY lang, source),
-      |aug AS (
-      |  SELECT *,
-      |    CAST(SUM(c) OVER () AS BIGINT) AS nn,
-      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
-      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cs,
-      |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY c DESC, lang) AS rs,
-      |    ROW_NUMBER() OVER (PARTITION BY lang
-      |      ORDER BY c DESC, source) AS rl
-      |  FROM cells),
-      |m AS (
-      |  SELECT CAST(MAX(nn) AS BIGINT) AS nd,
-      |    CAST(SUM(CASE WHEN rs = 1 THEN c ELSE 0 END) AS BIGINT)
-      |      AS sms,
-      |    CAST(SUM(CASE WHEN rl = 1 THEN c ELSE 0 END) AS BIGINT)
-      |      AS sml,
-      |    CAST(MAX(cl) AS BIGINT) AS maxl,
-      |    CAST(MAX(cs) AS BIGINT) AS maxs
-      |  FROM aug)
-      |SELECT nd AS n_docs, sms AS sum_modal_by_source,
-      |  sml AS sum_modal_by_lang, maxl AS modal_lang_n,
-      |  maxs AS modal_source_n,
-      |  CASE WHEN nd - maxl <= 0 THEN NULL
-      |    ELSE FLOOR(CAST(sms - maxl AS DOUBLE) / (nd - maxl) * 1e6
-      |      + 0.5) / 1e6 + 0 END AS lambda_lang_source,
-      |  CASE WHEN nd - maxs <= 0 THEN NULL
-      |    ELSE FLOOR(CAST(sml - maxs AS DOUBLE) / (nd - maxs) * 1e6
-      |      + 0.5) / 1e6 + 0 END AS lambda_source_lang
-      |FROM m""".stripMargin
 }

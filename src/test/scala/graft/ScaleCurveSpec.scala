@@ -167,7 +167,19 @@ class ScaleCurveSpec extends SparkSpec {
       // per-language panel is 5 rows); q330's prefix census is one
       // PrefixSum global order + adjacent-pair equi-join (paths scale
       // with events)
-      "q327_link_panel", "q329_hdd_diversity", "q330_prefix_paths")
+      "q327_link_panel", "q329_hdd_diversity", "q330_prefix_paths",
+      // round-16 (r15 verdict mandate #3): q207 is the #3 bench
+      // spender and sat in NEITHER gate — its wedge build is argued
+      // bounded like q327's (≤C(25,2) common-brand pairs per
+      // customer; copies multiply customers) — measure it. The new
+      // bounded-broadcast families likewise argue linearity in
+      // comments: q333/q335 stream the customer scan past a ≤25-row
+      // broadcast hub side (25n candidates for q333, an in-row argmin
+      // fold for q335), and q351's only full-shuffle stage is the
+      // exact-count measuring stick (the sketch layers see ≤24·k
+      // rows) — all three must measure ~linear
+      "q207_adamic_adar", "q333_hub_bands", "q335_nearest_hub",
+      "q351_kmv_rollup")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up
