@@ -330,6 +330,14 @@ object ScoreEvalQueries {
         (round(raw, 4) + 0.0).as("raw_rate"),
         when(bad, lit(null).cast("double"))
           .otherwise(round(post, 4) + 0.0).as("eb_rate"),
+        // r16: publish the MoM prior mean beside the shrunk rate so the
+        // estimator-honesty panel can assert eb lies between raw and
+        // prior from the output alone (the q346 estimate-beside-truth
+        // discipline, retro-applied). floor-form, not round(): m1 =
+        // sr/g/1e9 is a rational whose denominator can be 2·5-smooth
+        // (g is the part census), so it can land EXACTLY on .xxxx5
+        when(bad, lit(null).cast("double"))
+          .otherwise(floor(m1 * 1e4 + 0.5) / 1e4 + 0.0).as("prior_rate"),
         when(bad, lit(null).cast("double"))
           .otherwise(floor(abs(post - raw) * 1e9 + 0.5) / 1e9)
           .as("shrinkage"))
@@ -364,6 +372,8 @@ object ScoreEvalQueries {
        |  ROUND(CAST(k AS DOUBLE) / n, 4) + 0 AS raw_rate,
        |  CASE WHEN $bad THEN NULL
        |    ELSE ROUND($post, 4) + 0 END AS eb_rate,
+       |  CASE WHEN $bad THEN NULL
+       |    ELSE FLOOR($m1 * 1e4 + 0.5) / 1e4 + 0 END AS prior_rate,
        |  CASE WHEN $bad THEN NULL
        |    ELSE FLOOR(ABS($post - CAST(k AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
        |    END AS shrinkage

@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
   * pure aggregations (q14, q82, …) have no degenerate mode — their
   * output IS the census.
   */
-class NonDegeneracySpec extends SparkSpec {
+class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
   private val sf001 = "/root/testdata/sf0.01"
 
   private def run(q: String, sf: String = sf001): DataFrame =
@@ -126,7 +126,14 @@ class NonDegeneracySpec extends SparkSpec {
     val r = run("q184_bootstrap").head()
     val (lo, mean, hi) = (r.getAs[Double]("ci_lo"),
       r.getAs[Double]("mean"), r.getAs[Double]("ci_hi"))
-    assert(lo < mean && mean < hi, s"CI [$lo, $hi] fails to bracket $mean")
+    assert(lo < hi, s"zero-width CI [$lo, $hi]")
+    // estimator-honesty panel (r16 retro-apply): the resampled interval
+    // must bracket the exact full-data mean it estimates, and the
+    // construction must have real replicate/document support
+    assertEstimatorLands("q184 bootstrap CI", estimate = (lo + hi) / 2,
+      truth = mean, band = Within(lo, hi),
+      support = math.min(r.getAs[Long]("n_docs"),
+        r.getAs[Int]("n_reps").toLong), minSupport = 100L)
   }
 
   test("q186: chi-square and Cramér's V are strictly positive") {
@@ -535,6 +542,18 @@ class NonDegeneracySpec extends SparkSpec {
     assert(rows.forall(_.getAs[java.lang.Double]("eb_rate") != null))
     assert(rows.head.getAs[Double]("shrinkage") > 0.01,
       "top shrinkage negligible — the prior is doing nothing")
+    // estimator-honesty panel (r16 retro-apply): the posterior mean is
+    // a convex combination of the raw rate and the published MoM prior
+    // — every shrunk rate must land between them (4dp rounding slack)
+    rows.foreach { r =>
+      val (raw, eb, pri) = (r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("eb_rate"), r.getAs[Double]("prior_rate"))
+      assertEstimatorLands(
+        s"q261 part ${r.getAs[Long]("l_partkey")}", estimate = eb,
+        truth = eb, band = Within(math.min(raw, pri) - 1e-4,
+          math.max(raw, pri) + 1e-4),
+        support = r.getAs[Long]("n"), minSupport = 1L)
+    }
   }
 
   test("q262: the Walsh pair set is populated and HL is near the median") {
@@ -1383,10 +1402,10 @@ class NonDegeneracySpec extends SparkSpec {
   test("q326-q328: sketch, link panel, and point pattern all discriminate") {
     Seq(sf001, sf0001).foreach { sf =>
       val kmv = run("q326_kmv_distinct", sf).head()
-      val err = kmv.getAs[java.lang.Double]("rel_err")
-      assert(err != null && math.abs(err) < 0.25,
-        s"KMV error out of band at $sf: $err")
-      assert(kmv.getAs[Long]("k_used") > 100L, s"sketch underfilled at $sf")
+      assertEstimatorLands(s"q326 KMV at $sf",
+        estimate = kmv.getAs[Double]("kmv_estimate"),
+        truth = kmv.getAs[Long]("n_exact").toDouble, band = RelErr(0.25),
+        support = kmv.getAs[Long]("k_used"), minSupport = 101L)
       val lp = run("q327_link_panel", sf).collect()
       assert(lp.length === 30, s"link panel short at $sf")
       val js = lp.map(_.getAs[Double]("jaccard"))
@@ -1440,11 +1459,11 @@ class NonDegeneracySpec extends SparkSpec {
       val rate = smp.toDouble / tot
       assert(rate > 0.03 && rate < 0.12, s"global rate $rate at $sf")
       val ov = run("q332_kmv_overlap", sf).head()
-      assert(ov.getAs[Long]("n_exact_overlap") > 10L,
-        s"no real year overlap at $sf")
-      val err = ov.getAs[java.lang.Double]("rel_err")
-      assert(err != null && math.abs(err) < 0.35,
-        s"overlap estimate off-band at $sf: $err")
+      assertEstimatorLands(s"q332 KMV overlap at $sf",
+        estimate = ov.getAs[Double]("kmv_overlap_est"),
+        truth = ov.getAs[Long]("n_exact_overlap").toDouble,
+        band = RelErr(0.35),
+        support = ov.getAs[Long]("n_exact_overlap"), minSupport = 11L)
     }
   }
 
@@ -1600,21 +1619,21 @@ class NonDegeneracySpec extends SparkSpec {
   test("q346/q347: the estimators LAND on fixture ground truth") {
     Seq(sf001, sf0001).foreach { sf =>
       val cr = run("q346_capture_recapture", sf).head()
-      val (est, se) = (cr.getAs[Double]("chapman_est"),
-        cr.getAs[Double]("se"))
-      val truth = cr.getAs[Long]("n_exact").toDouble
-      assert(cr.getAs[Long]("n_both") > 50L, s"thin recapture at $sf")
-      assert(math.abs(est - truth) < 5.0 * se + 1.0,
-        s"Chapman $est ± $se vs truth $truth at $sf")
+      assertEstimatorLands(s"q346 Chapman at $sf",
+        estimate = cr.getAs[Double]("chapman_est"),
+        truth = cr.getAs[Long]("n_exact").toDouble,
+        band = ZSe(cr.getAs[Double]("se"), z = 5.0, slack = 1.0),
+        support = cr.getAs[Long]("n_both"), minSupport = 51L)
 
       val qn = run("q347_qn_scale", sf).head()
       assert(qn.getAs[Long]("qn_raw") > 0L, s"degenerate Qn at $sf")
-      val ratio = qn.getAs[Double]("qn_over_sd")
       // Gaussian-ish daily revenue: Qn consistent with sd (the 2.2219
       // constant exists exactly for this); heavy contamination would
       // push the ratio well below 1
-      assert(ratio > 0.8 && ratio < 1.25,
-        s"Qn/sd off the Gaussian band at $sf: $ratio")
+      assertEstimatorLands(s"q347 Qn/sd at $sf",
+        estimate = qn.getAs[Double]("qn_over_sd"), truth =
+          qn.getAs[Double]("qn_over_sd"), band = Within(0.8, 1.25),
+        support = qn.getAs[Long]("n_pairs"), minSupport = 1000L)
       assert(qn.getAs[Long]("k_rank") <
         qn.getAs[Long]("n_pairs"), s"rank out of range at $sf")
     }
@@ -1627,11 +1646,12 @@ class NonDegeneracySpec extends SparkSpec {
         ps.getAs[Double]("srs_mean"), ps.getAs[Double]("post_mean"))
       val (seS, seP) = (ps.getAs[Double]("se_srs"),
         ps.getAs[Double]("se_post"))
-      assert(ps.getAs[Long]("n_sample") > 50L, s"thin sample at $sf")
-      assert(seS > 0.0 && seP > 0.0)
-      assert(math.abs(srs - t) < 4.0 * seS, s"SRS off at $sf: $srs vs $t")
-      assert(math.abs(post - t) < 4.0 * seP,
-        s"post-strat off at $sf: $post vs $t")
+      assertEstimatorLands(s"q348 SRS mean at $sf", estimate = srs,
+        truth = t, band = ZSe(seS, z = 4.0),
+        support = ps.getAs[Long]("n_sample"), minSupport = 51L)
+      assertEstimatorLands(s"q348 post-stratified mean at $sf",
+        estimate = post, truth = t, band = ZSe(seP, z = 4.0),
+        support = ps.getAs[Long]("n_sample"), minSupport = 51L)
 
       val gk = run("q349_goodman_kruskal", sf).head()
       val lam = gk.getAs[java.lang.Double]("lambda_lang_source")
@@ -1657,12 +1677,13 @@ class NonDegeneracySpec extends SparkSpec {
       val rk = run("q351_kmv_rollup", sf).collect()
       assert(rk.length === 8, s"quarter census short at $sf")
       rk.foreach { r =>
-        val err = r.getAs[java.lang.Double]("rel_err")
-        assert(err != null && math.abs(err) < 0.25,
-          s"rollup estimate off-band at $sf qtr=${r.getAs[Long]("qtr")}: $err")
         // sf0.001 quarters hold as few as ~45 distinct customers —
         // those ride the below-k EXACT branch asserted below
-        assert(r.getAs[Long]("k_used") > 20L, s"underfilled sketch at $sf")
+        assertEstimatorLands(
+          s"q351 rollup at $sf qtr=${r.getAs[Long]("qtr")}",
+          estimate = r.getAs[Double]("rollup_est"),
+          truth = r.getAs[Long]("n_exact").toDouble, band = RelErr(0.25),
+          support = r.getAs[Long]("k_used"), minSupport = 21L)
       }
       // below-k quarters (possible at sf0.001) must be EXACT
       rk.filter(_.getAs[Long]("k_used") < 256L).foreach { r =>
