@@ -1225,4 +1225,100 @@ object CorpusQueries {
       |    / (COUNT(*) * 42.0e9) * 1e6 + 0.5) / 1e6 + 0 AS mean_hdd
       |FROM ph GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** L290 PCM sample-frame census — the audio twin of q334's
+    * multi-byte closure: a deterministic 8-sample PCM16LE frame is
+    * synthesized per document (unhex(md5) — 16 bytes), and the
+    * SIGNED LITTLE-ENDIAN int16 parse ([PK] the WAV/RIFF data-chunk
+    * sample layout) runs through Spark's BINARY column machinery
+    * (substring-on-binary byte slicing + hex/conv) — the exact
+    * byte-level plumbing a real audio decode path exercises, under
+    * the oracle hash gate. Per language: frame count, mean per-frame
+    * RMS loudness, mean DC offset, peak amplitude, and the
+    * clipped-sample census (|s| > 30000). md5-uniform samples pin the
+    * expected regime: mean RMS near the uniform-int16 RMS
+    * 65536/√12 ≈ 18918, clipping ≈ 2·2767/65536 ≈ 8.4 % of samples.
+    *
+    * Parity: each byte is one hex-pair integer on both engines
+    * (Spark: hex(substring(binary)) → conv; DuckDB: strpos hex-digit
+    * fold on the md5 text — the q333 mdFold convention); sample
+    * squares/sums/extremes are EXACT int64 per frame; the one libm-free
+    * double step (sqrt of an exactly-representable ssq/8) is
+    * IEEE-correctly-rounded, micro-quantized per frame BEFORE the
+    * language sum (memory rule: no raw doubles into cross-row sums).
+    *
+    * Scale: pure map + one ≤5-group hash agg — zero joins, zero
+    * fact-table shuffle; the binary parse is in-row codegen. At 100 TB
+    * the same shape holds with real audio bytes in place of the md5
+    * synth (the synth exists because the container ships no codecs —
+    * the PLUMBING is the operator). */
+  def q356PcmCensus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("lang"),
+      unhex(md5(concat(lit("pcm:"), col("doc_id").cast("string"))))
+        .as("pcm"))
+    val sm = d.select(col("lang"), expr(
+      """transform(sequence(0, 7), i ->
+        |  cast(conv(hex(substring(pcm, int(2*i+1), 1)), 16, 10)
+        |    as bigint) +
+        |  256 * cast(conv(hex(substring(pcm, int(2*i+2), 1)), 16, 10)
+        |    as bigint))""".stripMargin).as("u"))
+      .select(col("lang"), expr(
+        "transform(u, x -> IF(x >= 32768, x - 65536, x))").as("sm"))
+    val perFrame = sm.select(col("lang"),
+        expr("aggregate(sm, cast(0 as bigint), (a, x) -> a + x * x)")
+          .as("ssq"),
+        expr("aggregate(sm, cast(0 as bigint), (a, x) -> a + x)")
+          .as("ssum"),
+        expr("aggregate(sm, cast(0 as bigint), (a, x) -> greatest(a, abs(x)))")
+          .as("pk"),
+        expr("aggregate(sm, cast(0 as bigint), " +
+          "(a, x) -> a + IF(abs(x) > 30000, cast(1 as bigint), " +
+          "cast(0 as bigint)))").as("ncl"))
+      .withColumn("rms6",
+        floor(sqrt(col("ssq").cast("double") / 8.0) * 1e6 + 0.5)
+          .cast("long"))
+    perFrame.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) * lit(8L)).as("n_samples"),
+        (floor(sum(col("rms6")).cast("double") / count(lit(1)) / 1e6
+          * 1e4 + 0.5) / 1e4 + 0.0).as("mean_rms"),
+        (floor(sum(col("ssum")).cast("double") /
+          (count(lit(1)) * lit(8L)) * 1e4 + 0.5) / 1e4 + 0.0)
+          .as("mean_dc"),
+        max(col("pk")).as("peak_abs"),
+        sum(col("ncl")).as("n_clipped"))
+      .orderBy("lang")
+  }
+
+  val q356PcmCensusSql: String = {
+    def hd(p: String): String =
+      s"(strpos('0123456789abcdef', substr(hx, CAST($p AS INT), 1)) - 1)"
+    s"""WITH h AS (
+      |  SELECT doc_id, lang,
+      |    md5('pcm:' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      (${hd("4*i+1")} * 16 + ${hd("4*i+2")})
+      |      + 256 * (${hd("4*i+3")} * 16 + ${hd("4*i+4")}) AS u
+      |    FROM h, range(8) t(i)) q),
+      |pf AS (
+      |  SELECT lang, doc_id,
+      |    SUM(s * s) AS ssq, SUM(s) AS ssum, MAX(ABS(s)) AS pk,
+      |    SUM(CASE WHEN ABS(s) > 30000 THEN 1 ELSE 0 END) AS ncl
+      |  FROM sm GROUP BY lang, doc_id)
+      |SELECT lang, COUNT(*) AS n_docs, COUNT(*) * 8 AS n_samples,
+      |  FLOOR(CAST(SUM(CAST(FLOOR(SQRT(CAST(ssq AS DOUBLE) / 8.0)
+      |      * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6
+      |    * 1e4 + 0.5) / 1e4 + 0 AS mean_rms,
+      |  FLOOR(CAST(SUM(ssum) AS DOUBLE) / (COUNT(*) * 8)
+      |    * 1e4 + 0.5) / 1e4 + 0 AS mean_dc,
+      |  MAX(pk) AS peak_abs,
+      |  CAST(SUM(ncl) AS BIGINT) AS n_clipped
+      |FROM pf GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -399,4 +399,258 @@ object SketchQueries {
        |    ELSE FLOOR((est / n_exact - 1.0) * 1e6 + 0.5) / 1e6 + 0 END
        |    AS rel_err
        |FROM fin ORDER BY qtr""".stripMargin
+
+  /** L291 mergeable histogram quantile rollup — the q351 capability
+    * for QUANTILE questions: per-month 32-bin equi-width histograms of
+    * order value (cents, exact ints) are MERGED into quarterly
+    * histograms (bin-count addition — the mergeable-summary property),
+    * and each quarter's P50/P90 are estimated by linear interpolation
+    * inside the covering bin, published BESIDE the exact percentiles
+    * (the A10 `percentile` == `quantile_cont` contract) with their
+    * relative errors — the estimator-honesty discipline. The
+    * interpolation error is STRUCTURALLY bounded by ~one bin width,
+    * which the spec asserts; at 100 TB the monthly histograms answer
+    * any coarser-period quantile question without rescanning the
+    * facts ([PK] the classic equi-width summary of Ioannidis'
+    * histogram survey, 2003).
+    *
+    * Parity: bin ids are exact integer arithmetic ((x−mn)·32 div
+    * span) under a 1-row broadcast (mn, mx); counts exact; the
+    * interpolated estimate is ONE double chain over exact ints +
+    * t = p·n, floor-quantized 4dp; exact percentiles ride the A10
+    * contract, 4dp.
+    *
+    * Scale: one map-side-combinable (m, qtr, bin) agg over the fact
+    * scan (≤ 24·32 cells), a ≤ 8·32-row merge, bounded windows over
+    * the bin census, and a broadcast join of two ≤ 8-row sides. The
+    * only fact-wide stage besides the scan is the exact-percentile
+    * measuring stick — the point of the query (the q351 convention). */
+  def q357HistogramRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).as("m"),
+        (year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).as("qtr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint(eager = false)
+    val b = o.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val monthly = o.crossJoin(broadcast(b))
+      .select(col("m"), col("qtr"), col("mn"), col("mx"),
+        expr("(cents - mn) * 32 div (mx - mn + 1)").as("bin"))
+      .groupBy("m", "qtr", "bin")
+      .agg(count(lit(1)).as("c"), max(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+    val qbins = monthly.groupBy("qtr", "bin")
+      .agg(sum(col("c")).as("c"), max(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+    val wCum = Window.partitionBy("qtr").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("qtr")
+    val withCum = qbins
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cb", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("p", explode(array(lit(0.5), lit(0.9))))
+      .withColumn("t", col("p") * col("n"))
+      .filter(col("cb") < col("t") && col("t") <= col("cum"))
+    val w = (col("mx") - col("mn") + 1L).cast("double") / 32.0
+    val est = col("mn").cast("double") +
+      (col("bin").cast("double") +
+        (col("t") - col("cb").cast("double")) / col("c").cast("double")) * w
+    val ests = withCum
+      .select(col("qtr"), col("n"), col("p"),
+        (floor(est * 1e4 + 0.5).cast("long").cast("double") / 1e4 + 0.0)
+          .as("e"),
+        (floor(w * 1e4 + 0.5).cast("long").cast("double") / 1e4 + 0.0)
+          .as("bw"))
+      .groupBy("qtr")
+      .agg(max(col("n")).as("n_orders"), max(col("bw")).as("bin_w"),
+        max(when(col("p") === 0.5, col("e"))).as("est_p50"),
+        max(when(col("p") === 0.9, col("e"))).as("est_p90"))
+    val exact = o.groupBy("qtr")
+      .agg(percentile(col("cents"), array(lit(0.5), lit(0.9))).as("q"))
+      .select(col("qtr"),
+        (floor(element_at(col("q"), 1) * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4 + 0.0).as("exact_p50"),
+        (floor(element_at(col("q"), 2) * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4 + 0.0).as("exact_p90"))
+    def err(e: String, x: String) =
+      (floor((col(e) / col(x) - 1.0) * 1e6 + 0.5).cast("long")
+        .cast("double") / 1e6) + 0.0
+    ests.join(broadcast(exact), "qtr")
+      .select(col("qtr").cast("long").as("qtr"),
+        col("n_orders").cast("long").as("n_orders"), col("bin_w"),
+        col("est_p50"), col("exact_p50"),
+        err("est_p50", "exact_p50").as("rel_err_p50"),
+        col("est_p90"), col("exact_p90"),
+        err("est_p90", "exact_p90").as("rel_err_p90"))
+      .orderBy("qtr")
+  }
+
+  val q357HistogramRollupSql: String =
+    """WITH o AS (
+      |  SELECT date_part('year', o_orderdate) * 100
+      |      + date_part('month', o_orderdate) AS m,
+      |    date_part('year', o_orderdate) * 10
+      |      + date_part('quarter', o_orderdate) AS qtr,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE date_part('year', o_orderdate) IN (1995, 1996)),
+      |b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM o),
+      |monthly AS (
+      |  SELECT m, qtr, (cents - mn) * 32 // (mx - mn + 1) AS bin,
+      |    COUNT(*) AS c, MAX(mn) AS mn, MAX(mx) AS mx
+      |  FROM o CROSS JOIN b GROUP BY m, qtr, (cents - mn) * 32 // (mx - mn + 1)),
+      |qb AS (
+      |  SELECT qtr, bin, CAST(SUM(c) AS BIGINT) AS c,
+      |    MAX(mn) AS mn, MAX(mx) AS mx
+      |  FROM monthly GROUP BY qtr, bin),
+      |wc AS (
+      |  SELECT *,
+      |    CAST(SUM(c) OVER (PARTITION BY qtr ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY qtr) AS BIGINT) AS n
+      |  FROM qb),
+      |hit AS (
+      |  SELECT qtr, n, p, bin, c, mn, mx, cum - c AS cb, p * n AS t
+      |  FROM wc CROSS JOIN (VALUES (0.5), (0.9)) tp(p)
+      |  WHERE cum - c < p * n AND p * n <= cum),
+      |est AS (
+      |  SELECT qtr, n, p,
+      |    FLOOR((CAST(mn AS DOUBLE) +
+      |      (CAST(bin AS DOUBLE) + (t - CAST(cb AS DOUBLE))
+      |        / CAST(c AS DOUBLE))
+      |      * (CAST(mx - mn + 1 AS DOUBLE) / 32.0)) * 1e4 + 0.5)
+      |      / 1e4 + 0 AS e,
+      |    FLOOR(CAST(mx - mn + 1 AS DOUBLE) / 32.0 * 1e4 + 0.5)
+      |      / 1e4 + 0 AS bw
+      |  FROM hit),
+      |ests AS (
+      |  SELECT qtr, MAX(n) AS n_orders, MAX(bw) AS bin_w,
+      |    MAX(CASE WHEN p = 0.5 THEN e END) AS est_p50,
+      |    MAX(CASE WHEN p = 0.9 THEN e END) AS est_p90
+      |  FROM est GROUP BY qtr),
+      |ex AS (
+      |  SELECT qtr,
+      |    FLOOR(quantile_cont(cents, 0.5) * 1e4 + 0.5) / 1e4 + 0
+      |      AS exact_p50,
+      |    FLOOR(quantile_cont(cents, 0.9) * 1e4 + 0.5) / 1e4 + 0
+      |      AS exact_p90
+      |  FROM o GROUP BY qtr)
+      |SELECT CAST(ests.qtr AS BIGINT) AS qtr,
+      |  n_orders, bin_w, est_p50, exact_p50,
+      |  FLOOR((est_p50 / exact_p50 - 1.0) * 1e6 + 0.5) / 1e6 + 0
+      |    AS rel_err_p50,
+      |  est_p90, exact_p90,
+      |  FLOOR((est_p90 / exact_p90 - 1.0) * 1e6 + 0.5) / 1e6 + 0
+      |    AS rel_err_p90
+      |FROM ests JOIN ex ON ests.qtr = ex.qtr
+      |ORDER BY qtr""".stripMargin
+
+  /** L292 count-min sketch rollup — the L46 machinery finally under
+    * the cross-engine oracle gate ([PK] Cormode & Muthukrishnan 2005):
+    * a d=3 × w=1024 count-min sketch of per-customer order counts is
+    * built from MONTHLY cell censuses and merged by cell-wise addition
+    * (the mergeable-summary property, the q351/q357 rollup
+    * convention), then 20 probe customers' counts are estimated as
+    * min_j cell[j][h_j(k)] and published BESIDE their exact counts
+    * with the overshoot — CM's defining one-sided guarantee
+    * (est ≥ exact ALWAYS; E[overshoot] ≤ N/w per row) made a
+    * spec-checkable honesty panel. Unlike HLL (engine-private hash),
+    * every CM cell is md5-derived, so BOTH engines reproduce the
+    * sketch bit-for-bit.
+    *
+    * Parity: the ENTIRE query is exact integer arithmetic — md5 hex
+    * folds (the [[Kmv]] convention, salted 'cm0:'/'cm1:'/'cm2:' for
+    * the three rows), counts, mins — no doubles anywhere.
+    *
+    * Scale: fact scan → 3× stack (map-side combined into ≤ 24·3·1024
+    * monthly cells) → ≤ 3·1024 merged cells; the probe join
+    * broadcasts 60 rows against the cell census; exact counts ride a
+    * PUSHED custkey ≤ 20 filter. Nothing fact-sized shuffles except
+    * the initial cell combine, which is the sketch build itself. */
+  def q358CmRollup(s: SparkSession, dir: String): DataFrame = {
+    val w = 1024
+    def cell(j: Int, key: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cm$j:"),
+        key.cast("string"))), 1, 6), 16, 10).cast("long"), lit(w.toLong))
+    val o = Tables.orders(s, dir)
+      .select((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).as("m"), col("o_custkey"))
+    val monthly = o
+      .select(col("m"),
+        cell(0, col("o_custkey")).as("c0"),
+        cell(1, col("o_custkey")).as("c1"),
+        cell(2, col("o_custkey")).as("c2"))
+      .selectExpr("m", "stack(3, 0L, c0, 1L, c1, 2L, c2) as (j, cell)")
+      .groupBy("m", "j", "cell").agg(count(lit(1)).as("n"))
+    val merged = monthly.groupBy("j", "cell").agg(sum(col("n")).as("n"))
+    val probes = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 20)
+      .select(col("c_custkey"),
+        cell(0, col("c_custkey")).as("c0"),
+        cell(1, col("c_custkey")).as("c1"),
+        cell(2, col("c_custkey")).as("c2"))
+      .selectExpr("c_custkey", "stack(3, 0L, c0, 1L, c1, 2L, c2) as (j, cell)")
+    // broadcast the CELL census (≤ 3·1024 rows): Spark cannot
+    // broadcast the preserved (left) side of a left-outer join
+    val est = probes.join(broadcast(merged), Seq("j", "cell"), "left")
+      .groupBy("c_custkey")
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_est"))
+    val exact = Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(broadcast(exact), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("cm_est"),
+        (col("cm_est") - coalesce(col("n_exact"), lit(0L)))
+          .as("overshoot"))
+      .orderBy("c_custkey")
+  }
+
+  val q358CmRollupSql: String = {
+    def fold(salt: String, key: String): String =
+      s"""(list_sum(list_transform(range(6), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5('$salt:' || CAST($key AS VARCHAR)),
+         |           CAST(i + 1 AS INT), 1)) - 1)
+         |      * (CAST(1 AS BIGINT) << CAST(4 * (5 - i) AS INT)))) % 1024)"""
+        .stripMargin
+    s"""WITH o AS (
+       |  SELECT date_part('year', o_orderdate) * 100
+       |      + date_part('month', o_orderdate) AS m, o_custkey
+       |  FROM orders),
+       |cells AS (
+       |  SELECT m, j,
+       |    CASE j WHEN 0 THEN ${fold("cm0", "o_custkey")}
+       |           WHEN 1 THEN ${fold("cm1", "o_custkey")}
+       |           ELSE ${fold("cm2", "o_custkey")} END AS cell
+       |  FROM o CROSS JOIN (VALUES (0), (1), (2)) tj(j)),
+       |monthly AS (
+       |  SELECT m, j, cell, COUNT(*) AS n FROM cells GROUP BY m, j, cell),
+       |merged AS (
+       |  SELECT j, cell, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM monthly GROUP BY j, cell),
+       |probes AS (
+       |  SELECT c_custkey, j,
+       |    CASE j WHEN 0 THEN ${fold("cm0", "c_custkey")}
+       |           WHEN 1 THEN ${fold("cm1", "c_custkey")}
+       |           ELSE ${fold("cm2", "c_custkey")} END AS cell
+       |  FROM customer CROSS JOIN (VALUES (0), (1), (2)) tj(j)
+       |  WHERE c_custkey <= 20),
+       |est AS (
+       |  SELECT c_custkey, MIN(COALESCE(n, 0)) AS cm_est
+       |  FROM probes LEFT JOIN merged USING (j, cell)
+       |  GROUP BY c_custkey),
+       |ex AS (
+       |  SELECT o_custkey AS c_custkey, COUNT(*) AS n_exact
+       |  FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey)
+       |SELECT est.c_custkey, COALESCE(n_exact, 0) AS n_exact,
+       |  cm_est, cm_est - COALESCE(n_exact, 0) AS overshoot
+       |FROM est LEFT JOIN ex USING (c_custkey)
+       |ORDER BY c_custkey""".stripMargin
+  }
 }

@@ -548,7 +548,11 @@ class PlanShapeSpec extends SparkSpec {
       "q348_post_stratified",
       // r15: q352's 1-row side-totals broadcast onto the distinct-
       // cents census (the q280/q147 max-of-cumulative pattern)
-      "q352_kuiper")
+      "q352_kuiper",
+      // r16: q357's 1-row global (mn, mx) bounds broadcast under the
+      // fact scan that assigns histogram bins (the q88/q242 form; the
+      // quarterly merge and interpolation run on the ≤8×32-bin census)
+      "q357_hist_rollup")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

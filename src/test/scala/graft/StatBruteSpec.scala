@@ -3632,4 +3632,128 @@ class StatBruteSpec extends SparkSpec {
       assert(math.abs(hi - as.map(_._1).max) < 1e-3, s"hub $h max")
     }
   }
+
+  test("q356 PCM census matches an independent byte-level frame walk") {
+    // Independent on the parse axis: raw MessageDigest BYTES with
+    // Java's signed-short arithmetic ((hi << 8) | lo).toShort — not
+    // the hex-string conv/strpos fold either engine's query uses.
+    val rows = SparkEntry.queries("q356_pcm_census")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perLang = docs.groupBy(_._2).map { case (lang, ds) =>
+      var rmsMicro = 0L; var ssumAll = 0L; var peak = 0L; var ncl = 0L
+      ds.foreach { case (id, _) =>
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pcm:$id".getBytes("UTF-8"))
+        val sm = (0 until 8).map(i =>
+          (((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort.toLong)
+        val ssq = sm.map(x => x * x).sum
+        rmsMicro += math.floor(math.sqrt(ssq / 8.0) * 1e6 + 0.5).toLong
+        ssumAll += sm.sum
+        peak = math.max(peak, sm.map(math.abs).max)
+        ncl += sm.count(x => math.abs(x) > 30000)
+      }
+      val n = ds.length
+      (lang, n.toLong,
+        math.floor(rmsMicro.toDouble / n / 1e6 * 1e4 + 0.5) / 1e4,
+        math.floor(ssumAll.toDouble / (n * 8L) * 1e4 + 0.5) / 1e4,
+        peak, ncl)
+    }
+    assert(perLang.size === rows.size)
+    perLang.foreach { case (lang, n, rms, dc, peak, ncl) =>
+      val r = rows(lang)
+      assert(r.getAs[Long]("n_docs") === n, s"$lang n_docs")
+      assert(r.getAs[Long]("n_samples") === n * 8, s"$lang n_samples")
+      assert(math.abs(r.getAs[Double]("mean_rms") - rms) < 1e-9,
+        s"$lang rms ${r.getAs[Double]("mean_rms")} vs brute $rms")
+      assert(math.abs(r.getAs[Double]("mean_dc") - dc) < 1e-9,
+        s"$lang dc ${r.getAs[Double]("mean_dc")} vs brute $dc")
+      assert(r.getAs[Long]("peak_abs") === peak, s"$lang peak")
+      assert(r.getAs[Long]("n_clipped") === ncl, s"$lang clipped")
+    }
+  }
+
+  test("q357 histogram rollup matches a sequential bin walk") {
+    val rows = SparkEntry.queries("q357_hist_rollup")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("qtr") -> r).toMap
+
+    val o = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select((year(col("o_orderdate")) * 10 +
+        quarter(col("o_orderdate"))).as("qtr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getAs[Int]("qtr").toLong, r.getLong(1)))
+    val mn = o.map(_._2).min; val mx = o.map(_._2).max
+    val w = (mx - mn + 1).toDouble / 32.0
+    o.groupBy(_._1).foreach { case (qtr, os) =>
+      val xs = os.map(_._2).sorted
+      val n = xs.length
+      val hist = xs.groupBy(x => (x - mn) * 32 / (mx - mn + 1))
+        .view.mapValues(_.length.toLong).toMap
+      def estQ(p: Double): Double = {
+        val t = p * n
+        val bins = hist.keys.toSeq.sorted
+        var cum = 0L
+        val hit = bins.find { b =>
+          val ok = cum < t && t <= cum + hist(b); if (!ok) cum += hist(b); ok
+        }.get
+        val e = mn.toDouble + (hit.toDouble + (t - cum.toDouble) /
+          hist(hit).toDouble) * w
+        math.floor(e * 1e4 + 0.5) / 1e4
+      }
+      def exactQ(p: Double): Double = {
+        val pos = p * (n - 1)
+        val lo = pos.toInt
+        val v = if (lo + 1 >= n) xs(lo).toDouble
+          else xs(lo) + (xs(lo + 1) - xs(lo)) * (pos - lo)
+        math.floor(v * 1e4 + 0.5) / 1e4
+      }
+      val r = rows(qtr)
+      assert(r.getAs[Long]("n_orders") === n.toLong, s"qtr $qtr n")
+      assert(math.abs(r.getAs[Double]("est_p50") - estQ(0.5)) < 1e-6,
+        s"qtr $qtr est_p50 ${r.getAs[Double]("est_p50")} vs ${estQ(0.5)}")
+      assert(math.abs(r.getAs[Double]("est_p90") - estQ(0.9)) < 1e-6,
+        s"qtr $qtr est_p90")
+      assert(math.abs(r.getAs[Double]("exact_p50") - exactQ(0.5)) < 1e-4,
+        s"qtr $qtr exact_p50 ${r.getAs[Double]("exact_p50")} vs ${exactQ(0.5)}")
+      assert(math.abs(r.getAs[Double]("exact_p90") - exactQ(0.9)) < 1e-4,
+        s"qtr $qtr exact_p90 ${r.getAs[Double]("exact_p90")} vs ${exactQ(0.9)}")
+      // the structural interpolation bound: est within ~one bin width
+      assert(math.abs(r.getAs[Double]("est_p50") -
+        r.getAs[Double]("exact_p50")) <= 2.0 * w, s"qtr $qtr p50 bound")
+      assert(math.abs(r.getAs[Double]("est_p90") -
+        r.getAs[Double]("exact_p90")) <= 2.0 * w, s"qtr $qtr p90 bound")
+    }
+  }
+
+  test("q358 CM rollup matches a sequential independent-md5 walk") {
+    val rows = SparkEntry.queries("q358_cm_rollup")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("cm_est"),
+          r.getAs[Long]("overshoot"))).toMap
+
+    def cell(j: Int, key: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$j:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 1024L).toInt
+    }
+    val custs = Tables.orders(spark, sf0001).select("o_custkey")
+      .collect().map(_.getLong(0))
+    // the three 1024-cell counter rows, built sequentially
+    val counters = Array.fill(3, 1024)(0L)
+    custs.foreach(k => (0 until 3).foreach(j => counters(j)(cell(j, k)) += 1))
+    val exact = custs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (0L to 20L).foreach { k =>
+      val est = (0 until 3).map(j => counters(j)(cell(j, k))).min
+      val ex = exact.getOrElse(k, 0L)
+      val (re, rest, rov) = rows(k)
+      assert(re === ex, s"probe $k exact $re vs brute $ex")
+      assert(rest === est, s"probe $k est $rest vs brute $est")
+      assert(rov === est - ex, s"probe $k overshoot")
+      assert(rest >= re, s"probe $k CM UNDERestimates -- impossible")
+    }
+  }
 }
