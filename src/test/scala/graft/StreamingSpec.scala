@@ -723,4 +723,56 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(med - 50.5) <= 3.0, s"median estimate off: $med")
     } finally q.stop()
   }
+
+  test("KMV distinct sketch aggregates inside a windowed streaming query") {
+    // L293 (r16): the r15 KMV library doing streaming duty beside
+    // L83's t-digest — distinct-count state per window is O(k) longs,
+    // merged across micro-batches by the same partial/final path, and
+    // (unlike t-digest) DETERMINISTIC: the k smallest distinct hashes
+    // do not depend on batch boundaries, so the streamed sketch must
+    // equal the batch sketch over the same rows EXACTLY, not within a
+    // band.
+    import org.apache.spark.sql.functions._
+    val k = 64
+    val agg = udaf(new graft.ops.Kmv.KmvAgg(k))
+    val in = newStream()
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(agg(graft.ops.Kmv.hashCol(col("user_id"))).as("kmv"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("kmv"), col("n"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches with OVERLAPPING user sets: distinct across
+      // the window is 300, not 150 + 201
+      in.addData((1 to 150).map(u =>
+        Ev(u, ts("2024-01-01 10:05:00"), u, "m", 0.0)): _*)
+      q.processAllAvailable()
+      in.addData((100 to 300).map(u =>
+        Ev(1000 + u, ts("2024-01-01 10:40:00"), u, "m", 0.0)): _*)
+      q.processAllAvailable()
+      in.addData(Ev(9999, ts("2024-01-01 13:00:00"), 1, "m", 0.0))
+      q.processAllAvailable()
+      val row = spark.table("kmv_stream")
+        .filter(col("bucket") === ts("2024-01-01 10:00:00"))
+        .select("kmv", "n").collect()(0)
+      assert(row.getLong(1) === 351L, "both micro-batches must land")
+      val sk = row.getSeq[Long](0).toArray
+      assert(sk.length === k, s"sketch underfilled: ${sk.length}")
+      val est = graft.ops.Kmv.estimate(sk, k)
+      assert(math.abs(est / 300.0 - 1.0) < 0.35,
+        s"streamed KMV estimate $est off the 300-distinct truth")
+      // determinism: the streamed sketch == the batch sketch over the
+      // union of the same rows, element for element
+      import spark.implicits._
+      val users = ((1 to 150) ++ (100 to 300)).map(_.toLong)
+      val batchSk = users.toDF("user_id")
+        .select(graft.ops.Kmv.hashCol(col("user_id")).as("hv"))
+        .agg(agg(col("hv"))).collect()(0).getSeq[Long](0).toArray
+      assert(java.util.Arrays.equals(sk, batchSk),
+        "streamed sketch diverged from the batch sketch over equal rows")
+    } finally q.stop()
+  }
 }
