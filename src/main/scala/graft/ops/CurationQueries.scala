@@ -1421,4 +1421,147 @@ object CurationQueries {
       |  CAST(n_clusters AS BIGINT) AS n_clusters,
       |  n_dup_clusters, naive_straddle
       |FROM folds, strad ORDER BY fold""".stripMargin
+
+  /** L294 Holt-Winters additive triple smoothing ([PK] Holt 1957,
+    * Winters 1960) — completes the q115 EWMA → q143 Holt ladder with
+    * the SEASONAL component: level, trend, and a period-7 additive
+    * seasonal index adapt recursively over the 1997+ daily revenue
+    * series (α=0.3, β=0.1, γ=0.2), with the one-step-ahead fit
+    * (l + b + s) and its residual published per day. Seasonality is
+    * indexed over the OBSERVED-day sequence (the q143 recursion
+    * domain) — at oracle SFs the day census is sparse, so calendar
+    * weekday indexing would leave seasonal slots uninitialized; on
+    * dense production data the observed index IS the calendar day.
+    * Init is the classic first-season form: l₀ = mean of the first 7
+    * observations (computed in exact DECIMAL before ONE cast), b₀ = 0,
+    * s₀ = first-week deviations; output starts at observation 8.
+    *
+    * Parity: daily rev = exact DECIMAL sum cast once; l₀ likewise one
+    * exact-sum division; the recursion is the identical IEEE
+    * multiply/add chain on both engines (the q143 contract — Spark
+    * in-row `aggregate` fold over the collected series, DuckDB a
+    * RECURSIVE CTE joined step-by-step), outputs floor-quantized 4dp.
+    *
+    * Scale: one map-side-combinable day census, a 1-row init
+    * broadcast, then a fold over the scale-constant ≤ 730-element
+    * series — no per-row shuffle, no iteration over the cluster
+    * (q143/q262 discipline). */
+  def q359HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import Parity._
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dm(col("o_totalprice"))).cast("double").as("rev"),
+        sum(dm(col("o_totalprice"))).as("revd"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .localCheckpoint(eager = false)
+    val init = daily.filter(col("rn") <= 7)
+      .agg((sum(col("revd")).cast("double") / 7.0).as("l0"),
+        transform(array_sort(collect_list(struct(col("rn"), col("rev")))),
+          x => x("rev")).as("w0"))
+      .select(col("l0"),
+        transform(col("w0"), x => x - col("l0")).as("sea0"))
+    val rest = daily.filter(col("rn") >= 8)
+      .agg(array_sort(collect_list(struct(col("rn"), col("day"),
+        col("rev")))).as("s"))
+    // α=0.3, β=0.1, γ=0.2; idx = (rn-1) % 7 + 1 (1-based seasonal slot).
+    // SQL lambdas cannot bind locals, so l' repeats inline (q143 form).
+    val folded = rest.crossJoin(broadcast(init)).withColumn("out", expr(
+      """aggregate(s,
+        |  struct(l0 AS l, cast(0.0D as double) AS b, sea0 AS sea,
+        |    cast(array() as
+        |      array<struct<day: date, rev: double, lvl: double,
+        |        tr: double, se: double, fit: double>>) AS out),
+        |  (acc, x) -> struct(
+        |    0.3D * (x.rev - element_at(acc.sea,
+        |        cast((x.rn - 1) % 7 + 1 as int)))
+        |      + 0.7D * (acc.l + acc.b) AS l,
+        |    0.1D * ((0.3D * (x.rev - element_at(acc.sea,
+        |          cast((x.rn - 1) % 7 + 1 as int)))
+        |        + 0.7D * (acc.l + acc.b)) - acc.l)
+        |      + 0.9D * acc.b AS b,
+        |    transform(sequence(1, 7), j -> IF(j = (x.rn - 1) % 7 + 1,
+        |      0.2D * (x.rev - (0.3D * (x.rev - element_at(acc.sea,
+        |            cast((x.rn - 1) % 7 + 1 as int)))
+        |          + 0.7D * (acc.l + acc.b)))
+        |        + 0.8D * element_at(acc.sea,
+        |            cast((x.rn - 1) % 7 + 1 as int)),
+        |      element_at(acc.sea, cast(j as int)))) AS sea,
+        |    array_append(acc.out, struct(
+        |      x.day AS day, x.rev AS rev,
+        |      0.3D * (x.rev - element_at(acc.sea,
+        |          cast((x.rn - 1) % 7 + 1 as int)))
+        |        + 0.7D * (acc.l + acc.b) AS lvl,
+        |      0.1D * ((0.3D * (x.rev - element_at(acc.sea,
+        |            cast((x.rn - 1) % 7 + 1 as int)))
+        |          + 0.7D * (acc.l + acc.b)) - acc.l)
+        |        + 0.9D * acc.b AS tr,
+        |      0.2D * (x.rev - (0.3D * (x.rev - element_at(acc.sea,
+        |            cast((x.rn - 1) % 7 + 1 as int)))
+        |          + 0.7D * (acc.l + acc.b)))
+        |        + 0.8D * element_at(acc.sea,
+        |            cast((x.rn - 1) % 7 + 1 as int)) AS se,
+        |      acc.l + acc.b + element_at(acc.sea,
+        |          cast((x.rn - 1) % 7 + 1 as int)) AS fit)) AS out),
+        |  acc -> acc.out)""".stripMargin))
+    folded.select(explode(col("out")).as("z"))
+      .select(col("z.day").as("day"),
+        (floor(col("z.rev") * 1e4 + 0.5) / 1e4).as("rev"),
+        (floor(col("z.lvl") * 1e4 + 0.5) / 1e4).as("level"),
+        (floor(col("z.tr") * 1e4 + 0.5) / 1e4).as("trend"),
+        (floor(col("z.se") * 1e4 + 0.5) / 1e4).as("seasonal"),
+        (floor(col("z.fit") * 1e4 + 0.5) / 1e4).as("fitted"),
+        (floor((col("z.rev") - col("z.fit")) * 1e4 + 0.5) / 1e4)
+          .as("resid"))
+      .orderBy("day")
+  }
+
+  val q359HoltWintersSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS DOUBLE) AS rev,
+      |    SUM(CAST(o_totalprice AS DECIMAL(13,4))) AS revd
+      |  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT day, rev, revd, ROW_NUMBER() OVER (ORDER BY day) AS rn
+      |  FROM daily),
+      |i AS (
+      |  SELECT CAST(SUM(revd) AS DOUBLE) / 7.0 AS l0,
+      |    list(rev ORDER BY rn) AS w0
+      |  FROM s WHERE rn <= 7),
+      |i2 AS (
+      |  SELECT l0, list_transform(w0, x -> x - l0) AS sea0 FROM i),
+      |h AS (
+      |  SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
+      |    CAST(NULL AS DOUBLE) AS rev, l0 AS lvl,
+      |    CAST(0.0 AS DOUBLE) AS tr, sea0 AS sea,
+      |    CAST(NULL AS DOUBLE) AS se, CAST(NULL AS DOUBLE) AS fit
+      |  FROM i2
+      |  UNION ALL
+      |  SELECT s.rn, s.day, s.rev,
+      |    0.3 * (s.rev - h.sea[(s.rn - 1) % 7 + 1])
+      |      + 0.7 * (h.lvl + h.tr),
+      |    0.1 * ((0.3 * (s.rev - h.sea[(s.rn - 1) % 7 + 1])
+      |        + 0.7 * (h.lvl + h.tr)) - h.lvl)
+      |      + 0.9 * h.tr,
+      |    list_transform(range(1, 8), j ->
+      |      CASE WHEN j = (s.rn - 1) % 7 + 1 THEN
+      |        0.2 * (s.rev - (0.3 * (s.rev - h.sea[(s.rn - 1) % 7 + 1])
+      |            + 0.7 * (h.lvl + h.tr)))
+      |          + 0.8 * h.sea[(s.rn - 1) % 7 + 1]
+      |      ELSE h.sea[j] END),
+      |    0.2 * (s.rev - (0.3 * (s.rev - h.sea[(s.rn - 1) % 7 + 1])
+      |        + 0.7 * (h.lvl + h.tr)))
+      |      + 0.8 * h.sea[(s.rn - 1) % 7 + 1],
+      |    h.lvl + h.tr + h.sea[(s.rn - 1) % 7 + 1]
+      |  FROM s JOIN h ON s.rn = h.rn + 1)
+      |SELECT day,
+      |  FLOOR(rev * 1e4 + 0.5) / 1e4 AS rev,
+      |  FLOOR(lvl * 1e4 + 0.5) / 1e4 AS level,
+      |  FLOOR(tr * 1e4 + 0.5) / 1e4 AS trend,
+      |  FLOOR(se * 1e4 + 0.5) / 1e4 AS seasonal,
+      |  FLOOR(fit * 1e4 + 0.5) / 1e4 AS fitted,
+      |  FLOOR((rev - fit) * 1e4 + 0.5) / 1e4 AS resid
+      |FROM h WHERE rn >= 8 ORDER BY day""".stripMargin
 }

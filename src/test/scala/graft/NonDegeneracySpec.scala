@@ -1902,4 +1902,31 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
           "implausibly clean, the panel is measuring nothing")
     }
   }
+
+  test("q359: the triple smoother adapts — seasonal spread, sane residuals") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q359_holt_winters", sf).orderBy("day").collect()
+      assert(rows.length > 100, s"series too short at $sf")
+      val seas = rows.map(_.getAs[Double]("seasonal"))
+      assert(seas.distinct.length > 10,
+        s"seasonal component frozen at $sf -- gamma is doing nothing")
+      val resid = rows.map(_.getAs[Double]("resid"))
+      assert(resid.exists(_ > 0.0) && resid.exists(_ < 0.0),
+        s"one-sided residuals at $sf -- the fit is biased or broken")
+      // the fit must track the series: residual magnitude below the
+      // centered series magnitude on average (a constant-only or
+      // diverging recursion fails this)
+      val revs = rows.map(_.getAs[Double]("rev"))
+      val mean = revs.sum / revs.length
+      val residMae = resid.map(math.abs).sum / resid.length
+      val centeredMae = revs.map(v => math.abs(v - mean)).sum / revs.length
+      assert(residMae < 1.5 * centeredMae,
+        s"fit worse than a constant by 50%+ at $sf: $residMae vs $centeredMae")
+      rows.foreach { r =>
+        assert(math.abs(r.getAs[Double]("rev") - r.getAs[Double]("fitted")
+          - r.getAs[Double]("resid")) < 2e-4,
+          s"resid identity broken at $sf (4dp rounding band)")
+      }
+    }
+  }
 }

@@ -552,7 +552,12 @@ class PlanShapeSpec extends SparkSpec {
       // r16: q357's 1-row global (mn, mx) bounds broadcast under the
       // fact scan that assigns histogram bins (the q88/q242 form; the
       // quarterly merge and interpolation run on the ≤8×32-bin census)
-      "q357_hist_rollup")
+      "q357_hist_rollup",
+      // r16: q359's 1-row Holt-Winters init broadcast (l0 + first-week
+      // seasonal vector) onto the 1-row collected-series aggregate —
+      // the q244 aggregate-pair shape; the recursion itself is an
+      // in-row fold over the scale-constant day series
+      "q359_holt_winters")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

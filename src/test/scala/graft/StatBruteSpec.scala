@@ -3756,4 +3756,44 @@ class StatBruteSpec extends SparkSpec {
       assert(rest >= re, s"probe $k CM UNDERestimates -- impossible")
     }
   }
+
+  test("q359 Holt-Winters matches a sequential triple-smoothing walk") {
+    val rows = SparkEntry.queries("q359_holt_winters")(spark, sf0001)
+      .orderBy("day").collect()
+
+    val daily = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(13,4)")).as("revd"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0), r.getDecimal(1)))
+    val revs = daily.map(_._2.doubleValue())
+    val l0 = daily.take(7).map(_._2).reduce(_ add _).doubleValue() / 7.0
+    var l = l0; var b = 0.0
+    val sea = Array.tabulate(7)(i => revs(i) - l0)
+    val out = (7 until revs.length).map { t0 =>
+      val rn = t0 + 1
+      val idx = (rn - 1) % 7
+      val se = sea(idx)
+      val fit = l + b + se
+      val x = revs(t0)
+      val l2 = 0.3 * (x - se) + 0.7 * (l + b)
+      val b2 = 0.1 * (l2 - l) + 0.9 * b
+      val se2 = 0.2 * (x - l2) + 0.8 * se
+      l = l2; b = b2; sea(idx) = se2
+      (daily(t0)._1, x, l2, b2, se2, fit)
+    }
+    assert(rows.length === out.length, "row count vs brute walk")
+    rows.zip(out).foreach { case (r, (day, x, l2, b2, se2, fit)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day.toString)
+      def q4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getAs[Double]("rev") - q4(x)) < 1e-9, s"$day rev")
+      assert(math.abs(r.getAs[Double]("level") - q4(l2)) < 1e-9, s"$day lvl")
+      assert(math.abs(r.getAs[Double]("trend") - q4(b2)) < 1e-9, s"$day tr")
+      assert(math.abs(r.getAs[Double]("seasonal") - q4(se2)) < 1e-9,
+        s"$day seasonal")
+      assert(math.abs(r.getAs[Double]("fitted") - q4(fit)) < 1e-9,
+        s"$day fitted")
+    }
+  }
 }
