@@ -1200,4 +1200,124 @@ object LocationTests {
       |    ELSE CAST(CASE WHEN mstat / cfac > 9.4877 THEN 1 ELSE 0 END
       |      AS BIGINT) END AS reject_5pct
       |FROM fin""".stripMargin
+
+  /** L296 TOST equivalence test ([PK] Schuirmann 1987 — two one-sided
+    * tests): the INVERTED inferential question every ship/no-ship
+    * review actually asks — not "are the segments different?" (q231)
+    * but "can we PROVE they are the same to within ±δ?". Absence of
+    * significance is not equivalence; TOST earns it: reject
+    * mean-diff ≤ −δ AND mean-diff ≥ +δ, each at α = 0.05. Here:
+    * BUILDING vs FURNITURE mean order value, δ = 5 % of the pooled
+    * mean, Welch SE/df (the q231 machinery), decision at the z
+    * critical 1.645 — documented large-df form (df runs in the
+    * thousands at oracle SFs; t₀.₀₅ differs from z in the third
+    * decimal there, and the published t-statistics let any reader
+    * re-decide under exact-t).
+    *
+    * Parity: the q231 exact-moment scheme (HUGEINT/DECIMAL sums, one
+    * double chain); outputs floor-quantized (NOT round(): means are
+    * s/n rationals and n can be 2·5-smooth); the flag compares the
+    * already-quantized t values, so both engines decide on identical
+    * doubles.
+    *
+    * Scale: one broadcast dim join + a 2-group moment agg — the q231
+    * plan exactly. */
+  def q361Tost(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE"))
+      .select((col("c_mktsegment") === "BUILDING").as("ga"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val g = o.groupBy("ga")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("sv"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qv"))
+    val piv = g.agg(
+      max(when(col("ga"), col("n"))).as("n_a"),
+      max(when(col("ga"), col("sv"))).as("s_a"),
+      max(when(col("ga"), col("qv"))).as("q_a"),
+      max(when(!col("ga"), col("n"))).as("n_b"),
+      max(when(!col("ga"), col("sv"))).as("s_b"),
+      max(when(!col("ga"), col("qv"))).as("q_b"))
+    def m(sv: String, n: String) = col(sv).cast("double") / col(n)
+    def va(qv: String, sv: String, n: String) =
+      (col(qv).cast("double") -
+        col(sv).cast("double") * col(sv).cast("double") / col(n)) /
+        (col(n) - lit(1.0))
+    val (ma, mb) = (m("s_a", "n_a"), m("s_b", "n_b"))
+    val (sea, seb) = (va("q_a", "s_a", "n_a") / col("n_a"),
+      va("q_b", "s_b", "n_b") / col("n_b"))
+    val diff = ma - mb
+    val se = sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("n_a") - lit(1.0)) +
+        seb * seb / (col("n_b") - lit(1.0)))
+    val margin = (col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b")) * 0.05
+    def fq6(c: org.apache.spark.sql.Column) =
+      (floor(c * 1e6 + 0.5) / 1e6) + 0.0
+    val tLo = fq6((diff + margin) / se)
+    val tHi = fq6((margin - diff) / se)
+    piv.select(col("n_a"), col("n_b"),
+      fq6(ma).as("mean_a"), fq6(mb).as("mean_b"),
+      fq6(diff).as("diff"), fq6(se).as("se"),
+      (floor(df * 1e4 + 0.5) / 1e4 + 0.0).as("df"),
+      fq6(margin).as("margin"),
+      tLo.as("t_lower"), tHi.as("t_upper"),
+      when(tLo > 1.645 && tHi > 1.645, 1L).otherwise(0L)
+        .as("equivalent"))
+  }
+
+  val q361TostSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment = 'BUILDING' AS ga,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'FURNITURE')),
+      |g AS (
+      |  SELECT ga, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM o GROUP BY ga),
+      |piv AS (
+      |  SELECT
+      |    MAX(CASE WHEN ga THEN n END) AS n_a,
+      |    MAX(CASE WHEN ga THEN sv END) AS s_a,
+      |    MAX(CASE WHEN ga THEN qv END) AS q_a,
+      |    MAX(CASE WHEN NOT ga THEN n END) AS n_b,
+      |    MAX(CASE WHEN NOT ga THEN sv END) AS s_b,
+      |    MAX(CASE WHEN NOT ga THEN qv END) AS q_b
+      |  FROM g),
+      |d AS (
+      |  SELECT n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / n_a AS ma,
+      |    CAST(s_b AS DOUBLE) / n_b AS mb,
+      |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+      |      / n_a) / (n_a - 1.0) / n_a AS sea,
+      |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+      |      / n_b) / (n_b - 1.0) / n_b AS seb,
+      |    CAST(s_a + s_b AS DOUBLE) / (n_a + n_b) * 0.05 AS margin
+      |  FROM piv),
+      |z AS (
+      |  SELECT n_a, n_b, ma, mb, margin,
+      |    ma - mb AS diff, SQRT(sea + seb) AS se,
+      |    (sea + seb) * (sea + seb)
+      |      / (sea * sea / (n_a - 1.0) + seb * seb / (n_b - 1.0)) AS df,
+      |    FLOOR(((ma - mb) + margin) / SQRT(sea + seb) * 1e6 + 0.5)
+      |      / 1e6 + 0 AS t_lower,
+      |    FLOOR((margin - (ma - mb)) / SQRT(sea + seb) * 1e6 + 0.5)
+      |      / 1e6 + 0 AS t_upper
+      |  FROM d)
+      |SELECT n_a, n_b,
+      |  FLOOR(ma * 1e6 + 0.5) / 1e6 + 0 AS mean_a,
+      |  FLOOR(mb * 1e6 + 0.5) / 1e6 + 0 AS mean_b,
+      |  FLOOR(diff * 1e6 + 0.5) / 1e6 + 0 AS diff,
+      |  FLOOR(se * 1e6 + 0.5) / 1e6 + 0 AS se,
+      |  FLOOR(df * 1e4 + 0.5) / 1e4 + 0 AS df,
+      |  FLOOR(margin * 1e6 + 0.5) / 1e6 + 0 AS margin,
+      |  t_lower, t_upper,
+      |  CAST(CASE WHEN t_lower > 1.645 AND t_upper > 1.645
+      |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+      |FROM z""".stripMargin
 }

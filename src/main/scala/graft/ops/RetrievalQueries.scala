@@ -512,4 +512,64 @@ object RetrievalQueries {
       |  FLOOR(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE) * 1e6 + 0.5)
       |    / 1e6 AS ndcg10
       |FROM i ORDER BY query_lang""".stripMargin
+
+  /** L295 rank-biased precision @20 ([PK] Moffat & Zobel 2008): the
+    * retrieval-eval metric with a USER MODEL — a reader inspects rank
+    * r+1 with persistence p after rank r, so RBP = (1−p)·Σ p^(r−1)·rel_r,
+    * and (the paper's point) it comes with a built-in RESIDUAL: the
+    * unexamined tail can add at most p^d, published here beside the
+    * base score so every value is an interval, not a point. p = 0.5 —
+    * Moffat & Zobel's impatient-user setting — which makes every term
+    * a DYADIC rational: rel·2^(20−r) summed as exact integer shifts
+    * over 2^20, so the metric is EXACT cross-engine with no libm
+    * anywhere (contrast q238's quantized ln-DCG terms). Ranking and
+    * relevance reuse the q238 frame (per-language query fleet, length-
+    * ranked corpus).
+    *
+    * Parity: integer shifts and sums end-to-end; the two output
+    * divisions by 2²⁰ are exact binary scalings.
+    *
+    * Scale: the q238 shape — one ranked window per query language over
+    * the corpus, rank filter ≤ 20 BEFORE any per-term work, ≤ 5-row
+    * output. */
+  def q360Rbp(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val langs = d.select(col("lang").as("ql")).distinct()
+    val w = Window.partitionBy("ql")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = d.crossJoin(broadcast(langs))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .withColumn("rel", (col("lang") === col("ql")).cast("long"))
+    ranked.groupBy(col("ql").as("query_lang"))
+      .agg(sum(col("rel")).as("n_rel20"),
+        sum(expr("rel * shiftleft(1L, cast(20 - rk as int))")).as("num"))
+      .select(col("query_lang"), col("n_rel20"),
+        (col("num").cast("double") / 1048576.0).as("rbp"),
+        lit(1.0 / 1048576.0).as("residual"),
+        ((col("num") + 1L).cast("double") / 1048576.0).as("rbp_max"))
+      .orderBy("query_lang")
+  }
+
+  val q360RbpSql: String =
+    """WITH langs AS (SELECT DISTINCT lang AS ql FROM documents),
+      |ranked AS (
+      |  SELECT ql, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY ql
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents CROSS JOIN langs
+      |  QUALIFY rk <= 20)
+      |SELECT ql AS query_lang,
+      |  CAST(SUM(CASE WHEN lang = ql THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rel20,
+      |  CAST(SUM(CASE WHEN lang = ql
+      |      THEN (CAST(1 AS BIGINT) << (20 - rk)) ELSE 0 END) AS DOUBLE)
+      |    / 1048576.0 AS rbp,
+      |  1.0 / 1048576.0 AS residual,
+      |  CAST(SUM(CASE WHEN lang = ql
+      |      THEN (CAST(1 AS BIGINT) << (20 - rk)) ELSE 0 END) + 1
+      |    AS DOUBLE) / 1048576.0 AS rbp_max
+      |FROM ranked GROUP BY ql
+      |ORDER BY query_lang""".stripMargin
 }

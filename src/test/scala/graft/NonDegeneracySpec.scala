@@ -1929,4 +1929,37 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       }
     }
   }
+
+  test("q360/q361: RBP sees a real fleet; TOST discriminates by evidence") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rb = run("q360_rbp", sf).collect()
+      assert(rb.length === 5, s"query fleet short at $sf")
+      rb.foreach { r =>
+        val (v, mx) = (r.getAs[Double]("rbp"), r.getAs[Double]("rbp_max"))
+        assert(v >= 0.0 && v < 1.0 && mx > v,
+          s"RBP interval degenerate at $sf: [$v, $mx]")
+      }
+      // length-ranked top-20 is language-skewed, so scores must differ
+      // across the fleet (a constant column means rel never fired or
+      // always fired — either is a broken user model)
+      assert(rb.map(_.getAs[Double]("rbp")).distinct.length > 1,
+        s"constant RBP across query languages at $sf")
+      assert(rb.map(_.getAs[Long]("n_rel20")).sum > 0L,
+        s"zero relevant in every top-20 at $sf")
+    }
+    // TOST: the decision must track the EVIDENCE — equivalence proven
+    // on the big samples (sf0.01: |diff| 49 vs margin 12.5k), withheld
+    // on the thin one (sf0.001: |diff| 17.7k > margin — claiming
+    // equivalence there would be the exact malpractice TOST exists to
+    // prevent). Both sides measured against the fixture.
+    val big = run("q361_tost", sf001).head()
+    assert(big.getAs[Long]("equivalent") === 1L,
+      "sf0.01 segments are equivalent within 5% — TOST must prove it")
+    assert(big.getAs[Double]("se") > 0.0 && big.getAs[Double]("df") > 100.0)
+    val thin = run("q361_tost", sf0001).head()
+    assert(thin.getAs[Long]("equivalent") === 0L,
+      "sf0.001 evidence cannot prove equivalence — TOST must withhold")
+    assert(thin.getAs[Double]("t_lower") < 1.645 ||
+      thin.getAs[Double]("t_upper") < 1.645)
+  }
 }

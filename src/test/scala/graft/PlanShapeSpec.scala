@@ -557,7 +557,10 @@ class PlanShapeSpec extends SparkSpec {
       // seasonal vector) onto the 1-row collected-series aggregate —
       // the q244 aggregate-pair shape; the recursion itself is an
       // in-row fold over the scale-constant day series
-      "q359_holt_winters")
+      "q359_holt_winters",
+      // r16: q360's 5-row query-language fleet broadcast (the exact
+      // q238/q340 broadcast-query pattern)
+      "q360_rbp")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

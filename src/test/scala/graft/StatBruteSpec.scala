@@ -3796,4 +3796,63 @@ class StatBruteSpec extends SparkSpec {
         s"$day fitted")
     }
   }
+
+  test("q360 RBP matches a sequential user-model walk; q361 TOST matches Welch") {
+    // q360: exact dyadic arithmetic — brute must match to the bit
+    val rbp = SparkEntry.queries("q360_rbp")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("query_lang") -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val langs = docs.map(_._2).distinct.sorted
+    langs.foreach { ql =>
+      val top20 = docs.sortBy(d => (-d._3, d._1)).take(20)
+      var num = 0L; var nrel = 0L
+      top20.zipWithIndex.foreach { case ((_, lg, _), i) =>
+        if (lg == ql) { nrel += 1; num += 1L << (20 - (i + 1)) }
+      }
+      val r = rbp(ql)
+      assert(r.getAs[Long]("n_rel20") === nrel, s"$ql n_rel20")
+      assert(r.getAs[Double]("rbp") === num.toDouble / 1048576.0,
+        s"$ql rbp must be EXACT (dyadic)")
+      assert(r.getAs[Double]("rbp_max") ===
+        (num + 1L).toDouble / 1048576.0, s"$ql rbp_max")
+    }
+
+    // q361: sequential Welch moments + the TOST decision
+    val row = SparkEntry.queries("q361_tost")(spark, sf0001).head()
+    val seg = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vs = Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_totalprice").collect()
+      .flatMap { r =>
+        seg.get(r.getLong(0)) match {
+          case Some("BUILDING") =>
+            Some((true, math.floor(r.getDouble(1) + 0.5).toLong))
+          case Some("FURNITURE") =>
+            Some((false, math.floor(r.getDouble(1) + 0.5).toLong))
+          case _ => None
+        }
+      }
+    def mom(g: Boolean) = {
+      val xs = vs.filter(_._1 == g).map(_._2)
+      (xs.length.toLong, xs.map(BigInt(_)).sum,
+        xs.map(x => BigInt(x) * x).sum)
+    }
+    val (na, sa, qa) = mom(true); val (nb, sb, qb) = mom(false)
+    val ma = sa.toDouble / na; val mb = sb.toDouble / nb
+    val sea = (qa.toDouble - sa.toDouble * sa.toDouble / na) / (na - 1.0) / na
+    val seb = (qb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1.0) / nb
+    val se = math.sqrt(sea + seb)
+    val margin = (sa + sb).toDouble / (na + nb) * 0.05
+    val tLo = ((ma - mb) + margin) / se
+    val tHi = (margin - (ma - mb)) / se
+    assert(row.getAs[Long]("n_a") === na && row.getAs[Long]("n_b") === nb)
+    assert(math.abs(row.getAs[Double]("t_lower") - tLo) < 1e-4)
+    assert(math.abs(row.getAs[Double]("t_upper") - tHi) < 1e-4)
+    val eq = if (math.floor(tLo * 1e6 + 0.5) / 1e6 > 1.645 &&
+      math.floor(tHi * 1e6 + 0.5) / 1e6 > 1.645) 1L else 0L
+    assert(row.getAs[Long]("equivalent") === eq, "TOST decision")
+  }
 }
