@@ -744,4 +744,120 @@ object SeriesTrendTests {
        |  FLOOR(2.2219 * CAST(ad AS DOUBLE) / CAST(sd AS DOUBLE) * 1e6
        |    + 0.5) / 1e6 + 0 AS qn_over_sd
        |FROM pick""".stripMargin
+
+  /** L300 Bartels rank von Neumann ratio ([PK] Bartels 1982) — the
+    * RANK analogue of von Neumann's successive-difference test,
+    * distribution-free against serial dependence of any monotone
+    * shape: RVN = Σ(R_i − R_{i+1})² / Σ(R_i − R̄)², ≈ 2 under
+    * randomness, → 0 under positive rank autocorrelation. Run per
+    * year on TWO series — the raw daily revenue census AND its 7-day
+    * rolling sum — so the query is its own power demonstration: the
+    * rolling sum mechanically induces strong positive dependence
+    * (adjacent windows share 6 of 7 days) and must reject hard
+    * (z ≈ −10…−16 at fixture SFs), while the raw series sits inside
+    * the null band. Complements q237 (sign runs), q264 (turning
+    * points), and q265 (variance ratio) — ranks see what signs and
+    * raw moments each miss.
+    *
+    * Parity: ranks are tie-free by construction (row_number over the
+    * exact (value, day) order — both engines sort identical int64
+    * pairs), so the numerator is an exact int64 lag sum and the
+    * denominator collapses to the closed form n(n²−1)/12; RVN and
+    * Bartels' exact-moment z = (RVN−2)/√(4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²))
+    * are one double chain each from exact integers, 6dp/4dp; the
+    * reject flag compares the already-quantized z.
+    *
+    * Scale: one fact-scan day rollup; the rolling sum, the per-
+    * (series, year) rank window, and the lag window all run over the
+    * scale-CONSTANT ~2,400-row census; output ≤ 14 rows. */
+  def q364BartelsRvn(s: SparkSession, dir: String): DataFrame = {
+    val b = daily(s, dir)
+      .withColumn("ma7", sum(col("rev"))
+        .over(Window.orderBy("day").rowsBetween(-6, 0)))
+      .withColumn("pos", row_number().over(Window.orderBy("day")))
+    val ser = b.select(lit("raw").as("series"), year(col("day")).as("yr"),
+        col("day"), col("rev").as("v"))
+      .unionByName(b.filter(col("pos") >= 7)
+        .select(lit("ma7").as("series"), year(col("day")).as("yr"),
+          col("day"), col("ma7").as("v")))
+    val rk = ser.withColumn("rk",
+      row_number().over(Window.partitionBy("series", "yr")
+        .orderBy("v", "day")).cast("long"))
+    val sq = rk.withColumn("nxt",
+      lead(col("rk"), 1).over(Window.partitionBy("series", "yr")
+        .orderBy("day")))
+    val m = sq.groupBy("series", "yr").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("nxt").isNull, 0L)
+        .otherwise((col("rk") - col("nxt")) * (col("rk") - col("nxt"))))
+        .as("num"))
+    def f(c: String) = col(c).cast("double")
+    val n = f("n")
+    val rvn = lit(12.0) * f("num") / (n * (n * n - 1.0))
+    val z = (rvn - 2.0) / sqrt(lit(4.0) * (n - 2.0) *
+      (lit(5.0) * n * n - n * 2.0 - 9.0) /
+      (lit(5.0) * n * (n + 1.0) * (n - 1.0) * (n - 1.0)))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val bad = col("n") < 10L
+    m.select(col("series"), col("yr").cast("long").as("yr"),
+        col("n").as("n_days"),
+        when(bad, lit(null).cast("double")).otherwise(rnd6(rvn)).as("rvn"),
+        when(bad, lit(null).cast("double")).otherwise(rnd4(z)).as("z"),
+        when(bad, lit(null).cast("long"))
+          .otherwise((abs(rnd4(z)) > 1.96).cast("long")).as("reject_5pct"))
+      .orderBy("series", "yr")
+  }
+
+  val q364BartelsRvnSql: String =
+    s"""WITH d AS ($dailySql),
+       |b AS (
+       |  SELECT day, rev,
+       |    CAST(SUM(rev) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS pos
+       |  FROM d),
+       |ser AS (
+       |  SELECT 'raw' AS series, date_part('year', day) AS yr, day,
+       |    rev AS v FROM b
+       |  UNION ALL
+       |  SELECT 'ma7', date_part('year', day), day, ma7
+       |  FROM b WHERE pos >= 7),
+       |r AS (
+       |  SELECT series, yr, day,
+       |    ROW_NUMBER() OVER (PARTITION BY series, yr ORDER BY v, day)
+       |      AS rk
+       |  FROM ser),
+       |sq AS (
+       |  SELECT series, yr, rk,
+       |    LEAD(rk) OVER (PARTITION BY series, yr ORDER BY day) AS nxt
+       |  FROM r),
+       |m AS (
+       |  SELECT series, yr, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+       |      ELSE (rk - nxt) * (rk - nxt) END) AS BIGINT) AS num
+       |  FROM sq GROUP BY series, yr),
+       |fin AS (
+       |  SELECT series, yr, n, num,
+       |    12.0 * num / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0))
+       |      AS rvn,
+       |    (12.0 * num / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0))
+       |      - 2.0)
+       |      / sqrt(4.0 * (n - 2.0) * (5.0 * CAST(n AS DOUBLE) * n
+       |          - 2.0 * n - 9.0)
+       |        / (5.0 * CAST(n AS DOUBLE) * (n + 1.0) * (n - 1.0)
+       |          * (n - 1.0))) AS z
+       |  FROM m)
+       |SELECT series, CAST(yr AS BIGINT) AS yr, CAST(n AS BIGINT)
+       |    AS n_days,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE FLOOR(rvn * 1e6 + 0.5) / 1e6 + 0 END AS rvn,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE FLOOR(z * 1e4 + 0.5) / 1e4 + 0 END AS z,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE CAST(CASE WHEN ABS(FLOOR(z * 1e4 + 0.5) / 1e4 + 0) > 1.96
+       |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+       |FROM fin ORDER BY series, yr""".stripMargin
 }

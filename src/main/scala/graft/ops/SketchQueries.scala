@@ -653,4 +653,206 @@ object SketchQueries {
        |FROM est LEFT JOIN ex USING (c_custkey)
        |ORDER BY c_custkey""".stripMargin
   }
+
+  /** L297 HyperLogLog distinct census under the oracle gate ([PK]
+    * Flajolet et al. 2007) — upgrades A5 from ScalaTest-only to
+    * cross-engine-verified by building the WHOLE sketch from the
+    * standardized md5 fold instead of an engine-private hash: the
+    * 48-bit [[Kmv.hashCol]] value splits into an 8-bit register index
+    * (m = 256) and a 40-bit remainder whose leading-zero rank
+    * ρ = 41 − bitlength(w) both engines compute EXACTLY via
+    * `bin()` (both emit the unpadded binary string). The raw
+    * estimate's harmonic denominator Σ 2^(−M_j) is kept EXACT as the
+    * integer Σ 2^(41−M_j) (≤ 256·2⁴¹ < 2⁴⁹ — no float sum, no
+    * ordering hazard); empty registers contribute 2⁴¹ each. Per
+    * order priority: the HLL estimate BESIDE the exact distinct
+    * customer count and the relative error — the estimator-honesty
+    * panel. The fixture exercises BOTH regimes: at sf0.001 every
+    * group lands in Flajolet's small-range linear-counting branch
+    * (E_raw ≤ 2.5m, V > 0 ⇒ m·ln(m/V)); at sf0.01 every group takes
+    * the raw harmonic estimator.
+    *
+    * Parity: register maxima and the harmonic sum are exact int64;
+    * α₂₅₆ = 0.7213/(1 + 1.079/256) is the identical literal IEEE
+    * chain in both engines; the linear-counting branch's single
+    * TERMINAL ln runs on the identical exact ratio m/V (the q354
+    * exemption); outputs floor-quantized 4dp.
+    *
+    * Scale: the sketch side is a two-level map-side-combinable agg —
+    * (pri, idx) max-ρ census (≤ 5·256 rows after partial agg) then a
+    * ≤ 256-row fold per group; the exact count-distinct is the full
+    * shuffle the sketch exists to replace, kept as the oracle's
+    * measuring stick (the q326/q351 convention). */
+  def q362HllCensus(s: SparkSession, dir: String): DataFrame = {
+    val mask = 1099511627775L // 2^40 − 1
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        Kmv.hashCol(col("o_custkey")).as("hv"))
+    val reg = o
+      .select(col("priority"), shiftright(col("hv"), 40).as("idx"),
+        col("hv").bitwiseAND(lit(mask)).as("w"))
+      .withColumn("rho", when(col("w") === 0L, lit(41L))
+        .otherwise(lit(41L) - length(bin(col("w"))).cast("long")))
+      .groupBy("priority", "idx").agg(max(col("rho")).as("m"))
+    val agg = reg.groupBy("priority").agg(
+      count(lit(1)).as("nreg"),
+      sum(expr("shiftleft(1L, cast(41 - m as int))")).as("s_obs"))
+    val ex = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val v = lit(256L) - col("nreg")
+    val sInt = col("s_obs") + v * lit(2199023255552L) // + V·2^41
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val eRaw = alpha * lit(65536.0) * lit(2199023255552.0) /
+      sInt.cast("double")
+    val est = when(eRaw <= 640.0 && v > 0L,
+      lit(256.0) * log(lit(256.0) / v.cast("double"))).otherwise(eRaw)
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    agg.join(broadcast(ex), Seq("priority"))
+      .select(col("priority"), col("n_exact"),
+        col("nreg").as("n_registers"), v.as("v_empty"),
+        rnd4(est).as("hll_est"),
+        rnd4((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+      .orderBy("priority")
+  }
+
+  val q362HllCensusSql: String =
+    s"""WITH h AS (
+       |  SELECT o_orderpriority AS priority,
+       |    ${Kmv.hashSql("o_custkey")} AS hv
+       |  FROM orders),
+       |reg AS (
+       |  SELECT priority, hv >> 40 AS idx,
+       |    MAX(CASE WHEN (hv & 1099511627775) = 0 THEN 41
+       |      ELSE 41 - length(bin(hv & 1099511627775)) END) AS m
+       |  FROM h GROUP BY priority, hv >> 40),
+       |agg AS (
+       |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS nreg,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - m AS INT)) AS BIGINT)
+       |      AS s_obs
+       |  FROM reg GROUP BY priority),
+       |ex AS (
+       |  SELECT o_orderpriority AS priority,
+       |    COUNT(DISTINCT o_custkey) AS n_exact
+       |  FROM orders GROUP BY 1),
+       |fin AS (
+       |  SELECT priority, n_exact, nreg, 256 - nreg AS v_empty,
+       |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+       |      / CAST(s_obs + (256 - nreg) * (CAST(1 AS BIGINT) << 41)
+       |          AS DOUBLE) AS e_raw
+       |  FROM agg JOIN ex USING (priority))
+       |SELECT priority, CAST(n_exact AS BIGINT) AS n_exact,
+       |  nreg AS n_registers, CAST(256 - nreg AS BIGINT) AS v_empty,
+       |  FLOOR(CASE WHEN e_raw <= 640.0 AND 256 - nreg > 0
+       |      THEN 256.0 * ln(256.0 / (256 - nreg)) ELSE e_raw END
+       |    * 1e4 + 0.5) / 1e4 + 0 AS hll_est,
+       |  FLOOR((CASE WHEN e_raw <= 640.0 AND 256 - nreg > 0
+       |      THEN 256.0 * ln(256.0 / (256 - nreg)) ELSE e_raw END
+       |      - n_exact) / n_exact * 1e4 + 0.5) / 1e4 + 0 AS rel_err
+       |FROM fin ORDER BY priority""".stripMargin
+
+  /** L298 AMS F2 tug-of-war sketch rollup ([PK] Alon, Matias &
+    * Szegedy 1996): estimate the second frequency moment
+    * F2 = Σ_c f_c² of per-customer order counts from 32 ±1-sign
+    * linear sketches X_j = Σ_c f_c·s_j(c) — built MONTHLY and rolled
+    * up to quarters by ADDITION (the sketch is linear in the
+    * frequency vector, so the quarterly sketch is the sum of the
+    * monthly ones — the q351/q357/q358 mergeable-summary property,
+    * here for a JOIN-SIZE/skew statistic: F2 is the self-join size
+    * an optimizer prices). Estimate = mean of X_j² over the 32
+    * estimators, published BESIDE the exact F2 and its relative
+    * error. Sign functions come from 32 distinct BITS of the
+    * standardized [[Kmv.hashCol]] md5 fold (md5 bits stand in for
+    * AMS's 4-wise-independent family; the honesty panel measures the
+    * envelope they actually deliver).
+    *
+    * Parity: EVERY value is exact integer arithmetic — sign sums,
+    * their quarterly sums, squares, Σ X² < 2⁵² — and the one
+    * division is by the power of two 32, an exact IEEE scaling.
+    * Zero libm, zero rounding anywhere.
+    *
+    * Scale: the monthly sketch is ONE 32-column map-side-combinable
+    * agg over the fact scan (no row explosion — the 32 estimators
+    * are columns, unpivoted only AFTER aggregation to ≤ 24·32
+    * bounded rows); the rollup and estimate touch ≤ 28·32 rows; the
+    * exact F2 is the full per-(quarter, customer) shuffle the sketch
+    * replaces, kept as the measuring stick. */
+  def q363AmsF2Rollup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).cast("long").as("m"),
+        (year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).cast("long").as("qtr"),
+        col("o_custkey"),
+        Kmv.hashCol(col("o_custkey")).as("hv"))
+    val signSums = (0 until 32).map { j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(lit(1L)) * 2L - 1L)
+        .as(s"x$j")
+    }
+    val monthly = base.groupBy("qtr", "m").agg(signSums.head,
+      signSums.tail: _*)
+    val quarterly = monthly.groupBy("qtr")
+      .agg(sum(col("x0")).as("x0"),
+        (1 until 32).map(j => sum(col(s"x$j")).as(s"x$j")): _*)
+    val sumSq = (0 until 32).map(j => col(s"x$j") * col(s"x$j"))
+      .reduce(_ + _)
+    val est = quarterly.select(col("qtr"),
+      (sumSq.cast("double") / 32.0).as("ams_est"))
+    val ex = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 10 +
+        quarter(col("o_orderdate"))).cast("long").as("qtr"),
+        col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("qtr")
+      .agg(sum(col("n") * col("n")).as("f2_exact"),
+        sum(col("n")).as("n_orders"))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    est.join(broadcast(ex), Seq("qtr"))
+      .select(col("qtr").as("quarter"), col("n_orders"),
+        col("f2_exact"), col("ams_est"),
+        rnd4((col("ams_est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double")).as("rel_err"))
+      .orderBy("quarter")
+  }
+
+  val q363AmsF2RollupSql: String = {
+    val signSums = (0 until 32).map(j =>
+      s"CAST(SUM(2 * ((hv >> $j) & 1) - 1) AS BIGINT) AS x$j")
+      .mkString(",\n       |    ")
+    val qSums = (0 until 32).map(j =>
+      s"CAST(SUM(x$j) AS BIGINT) AS x$j").mkString(", ")
+    val sumSq = (0 until 32).map(j => s"x$j*x$j").mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT date_part('year', o_orderdate) * 100
+       |      + date_part('month', o_orderdate) AS m,
+       |    date_part('year', o_orderdate) * 10
+       |      + date_part('quarter', o_orderdate) AS qtr,
+       |    ${Kmv.hashSql("o_custkey")} AS hv
+       |  FROM orders),
+       |monthly AS (
+       |  SELECT qtr, m,
+       |    $signSums
+       |  FROM h GROUP BY qtr, m),
+       |quarterly AS (
+       |  SELECT qtr, $qSums
+       |  FROM monthly GROUP BY qtr),
+       |est AS (
+       |  SELECT qtr, ($sumSq) / 32.0 AS ams_est FROM quarterly),
+       |ex AS (
+       |  SELECT qtr, CAST(SUM(n * n) AS BIGINT) AS f2_exact,
+       |    CAST(SUM(n) AS BIGINT) AS n_orders
+       |  FROM (
+       |    SELECT date_part('year', o_orderdate) * 10
+       |        + date_part('quarter', o_orderdate) AS qtr,
+       |      o_custkey, COUNT(*) AS n
+       |    FROM orders GROUP BY 1, 2) GROUP BY qtr)
+       |SELECT CAST(est.qtr AS BIGINT) AS quarter, n_orders, f2_exact,
+       |  ams_est,
+       |  FLOOR((ams_est - f2_exact) / f2_exact * 1e4 + 0.5) / 1e4 + 0
+       |    AS rel_err
+       |FROM est JOIN ex USING (qtr) ORDER BY quarter""".stripMargin
+  }
 }

@@ -1962,4 +1962,92 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
     assert(thin.getAs[Double]("t_lower") < 1.645 ||
       thin.getAs[Double]("t_upper") < 1.645)
   }
+
+  test("q362: HLL estimates land in the envelope; both regimes exercised") {
+    // Flajolet's standard error is 1.04/sqrt(256) = 6.5%; the
+    // linear-counting branch at sf0.001 is tighter still. Band: 4x the
+    // raw-regime SE. The fixture must exercise BOTH branches: at
+    // sf0.001 every priority group has ~130 distinct customers
+    // (E_raw <= 640 and V large -> linear counting), at sf0.01 ~1.3k
+    // (raw harmonic estimator, V near zero).
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q362_hll_census", sf).collect()
+      assert(rows.length === 5, s"priority census short at $sf")
+      rows.foreach { r =>
+        val pri = r.getAs[String]("priority")
+        assertEstimatorLands(s"q362 $pri at $sf",
+          estimate = r.getAs[Double]("hll_est"),
+          truth = r.getAs[Long]("n_exact").toDouble,
+          band = RelErr(0.26), support = r.getAs[Long]("n_exact"),
+          minSupport = 50L)
+        assert(r.getAs[Long]("n_registers") + r.getAs[Long]("v_empty")
+          === 256L, s"register census broken at $sf $pri")
+      }
+    }
+    // regime pins (measured in the Scaladoc): small-range correction
+    // fires at sf0.001 (V ~ 150 empty registers), raw estimator at
+    // sf0.01 (V <= 10)
+    assert(run("q362_hll_census", sf0001).collect()
+      .forall(_.getAs[Long]("v_empty") > 100L),
+      "sf0.001 must sit in the linear-counting regime")
+    assert(run("q362_hll_census", sf001).collect()
+      .forall(_.getAs[Long]("v_empty") <= 10L),
+      "sf0.01 must sit in the raw-estimator regime")
+  }
+
+  test("q363: AMS F2 estimates land in the tug-of-war envelope") {
+    // mean-of-32 AMS estimator: SD <= sqrt(2/32)*F2 = 0.354*F2 per
+    // quarter (Alon-Matias-Szegedy variance bound Var(X^2) <= 2*F2^2).
+    // Per-quarter band 2.5 sigma; across quarters the MEAN |rel err|
+    // must sit well inside one sigma (measured 0.17-0.24 at fixture
+    // SFs) -- a sign-hash bug that decorrelates the estimators fails
+    // the aggregate band even if single quarters squeak through.
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q363_ams_f2", sf).collect()
+      assert(rows.length >= 20, s"quarter census short at $sf")
+      rows.foreach { r =>
+        val q = r.getAs[Long]("quarter")
+        assert(r.getAs[Long]("f2_exact") >= r.getAs[Long]("n_orders"),
+          s"F2 < N impossible at $sf q=$q")
+        assertEstimatorLands(s"q363 quarter $q at $sf",
+          estimate = r.getAs[Double]("ams_est"),
+          truth = r.getAs[Long]("f2_exact").toDouble,
+          band = RelErr(0.89), support = r.getAs[Long]("n_orders"),
+          minSupport = 20L)
+      }
+      val meanAbs = rows.map(r => math.abs(r.getAs[Double]("rel_err")))
+        .sum / rows.length
+      assert(meanAbs < 0.354,
+        s"mean |rel err| $meanAbs outside one AMS sigma at $sf")
+    }
+  }
+
+  test("q364: Bartels RVN rejects the smoothed series, not the raw one") {
+    // the query is its own power demonstration: the 7-day rolling sum
+    // shares 6/7 days between neighbors -> strong positive rank
+    // autocorrelation -> RVN far below 2 (z measured -7..-17 at both
+    // SFs); the raw daily census sits in the null band. A test that
+    // rejected both (or neither) would be measuring nothing.
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q364_bartels_rvn", sf).collect()
+      val (ma, raw) = rows.partition(_.getAs[String]("series") == "ma7")
+      assert(ma.length === 7 && raw.length === 7,
+        s"year census short at $sf")
+      ma.foreach { r =>
+        assert(r.getAs[Long]("reject_5pct") === 1L &&
+          r.getAs[Double]("z") < -5.0,
+          s"smoothed series must reject hard at $sf yr=${r.getAs[Long]("yr")}")
+        assert(r.getAs[Double]("rvn") < 1.0,
+          s"smoothed RVN should collapse toward 0 at $sf")
+      }
+      // raw daily revenue: near-random by this rank test at fixture
+      // SFs (measured z in [-1.3, 2.4]) -- most years must NOT reject
+      assert(raw.count(_.getAs[Long]("reject_5pct") === 0L) >= 5,
+        s"raw daily series should sit near the null band at $sf")
+      raw.foreach { r =>
+        val rvn = r.getAs[Double]("rvn")
+        assert(rvn > 1.5 && rvn < 2.5, s"raw RVN $rvn implausible at $sf")
+      }
+    }
+  }
 }

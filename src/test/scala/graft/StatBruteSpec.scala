@@ -3855,4 +3855,128 @@ class StatBruteSpec extends SparkSpec {
       math.floor(tHi * 1e6 + 0.5) / 1e6 > 1.645) 1L else 0L
     assert(row.getAs[Long]("equivalent") === eq, "TOST decision")
   }
+
+  /** The 48-bit md5-prefix hash, computed OUTSIDE both engines (the
+    * q358 MessageDigest discipline) — pins Kmv.hashCol/hashSql. */
+  private def md5Hv48(k: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
+  test("q362 HLL census matches an independent MessageDigest register walk") {
+    val out = SparkEntry.queries("q362_hll_census")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("priority") -> r).toMap
+    val rows = Tables.orders(spark, sf0001)
+      .select("o_orderpriority", "o_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mask = (1L << 40) - 1L
+    rows.groupBy(_._1).foreach { case (pri, g) =>
+      val regs = Array.fill(256)(0L)
+      g.foreach { case (_, k) =>
+        val h = md5Hv48(k)
+        val idx = (h >> 40).toInt
+        val w = h & mask
+        // rho = leading zeros among the 40 remainder bits + 1
+        val rho = if (w == 0L) 41L
+          else 41L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val v = regs.count(_ == 0L)
+      val sInt = regs.map(m => 1L << (41L - m).toInt).sum
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val eRaw = alpha * 65536.0 * 2199023255552.0 / sInt.toDouble
+      val est =
+        if (eRaw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+      val exact = g.map(_._2).distinct.length
+      val r = out(pri)
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Long]("n_exact") === exact.toLong, s"$pri exact")
+      assert(r.getAs[Long]("v_empty") === v.toLong, s"$pri empty registers")
+      assert(r.getAs[Long]("n_registers") === (256 - v).toLong, s"$pri nreg")
+      assert(math.abs(r.getAs[Double]("hll_est") - q4(est)) < 1e-9,
+        s"$pri estimate")
+      assert(math.abs(r.getAs[Double]("rel_err") -
+        q4((est - exact) / exact)) < 1e-9, s"$pri rel err")
+    }
+  }
+
+  test("q363 AMS F2 rollup matches a quarter-direct sign-sketch walk") {
+    // the query builds MONTHLY sketches and merges them; this walk
+    // builds each quarter's sketch directly from the rows — equality
+    // IS the linearity/merge property, verified outside both engines
+    val out = SparkEntry.queries("q363_ams_f2")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("quarter") -> r).toMap
+    val rows = Tables.orders(spark, sf0001)
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .collect()
+      .map { r =>
+        val d = r.getDate(0).toLocalDate
+        (d.getYear * 10L + ((d.getMonthValue - 1) / 3 + 1), r.getLong(1))
+      }
+    rows.groupBy(_._1).foreach { case (qtr, g) =>
+      val x = Array.fill(32)(0L)
+      g.foreach { case (_, k) =>
+        val h = md5Hv48(k)
+        var j = 0
+        while (j < 32) { x(j) += 2L * ((h >> j) & 1L) - 1L; j += 1 }
+      }
+      val est = x.map(v => v * v).sum.toDouble / 32.0
+      val f2 = g.groupBy(_._2).values
+        .map(s => s.length.toLong * s.length).sum
+      val r = out(qtr)
+      def q4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Long]("n_orders") === g.length.toLong, s"$qtr n")
+      assert(r.getAs[Long]("f2_exact") === f2, s"$qtr exact F2")
+      // the estimate is exact integer arithmetic / 32 — zero tolerance
+      assert(r.getAs[Double]("ams_est") === est, s"$qtr AMS estimate")
+      assert(math.abs(r.getAs[Double]("rel_err") -
+        q4((est - f2) / f2)) < 1e-9, s"$qtr rel err")
+    }
+  }
+
+  test("q364 Bartels RVN matches a sequential rank walk on both series") {
+    val out = SparkEntry.queries("q364_bartels_rvn")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("yr")) -> r).toMap
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val ma7 = daily.indices.drop(6)
+      .map(i => (daily(i)._1, daily.slice(i - 6, i + 1).map(_._2).sum))
+
+    def walk(series: String,
+        pts: Seq[(java.time.LocalDate, Long)]): Unit = {
+      pts.groupBy(_._1.getYear).foreach { case (yr, g0) =>
+        val g = g0.sortBy(_._1.toEpochDay)
+        val n = g.length
+        val rank = new Array[Long](n)
+        g.zipWithIndex
+          .sortBy { case ((d, v), _) => (v, d.toEpochDay) }
+          .zipWithIndex
+          .foreach { case ((_, orig), rk) => rank(orig) = rk + 1L }
+        val num = (0 until n - 1)
+          .map { i => val d = rank(i) - rank(i + 1); d * d }.sum
+        val nd = n.toDouble
+        val rvn = 12.0 * num / (nd * (nd * nd - 1.0))
+        val z = (rvn - 2.0) / math.sqrt(4.0 * (nd - 2.0) *
+          (5.0 * nd * nd - nd * 2.0 - 9.0) /
+          (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)))
+        val r = out((series, yr.toLong))
+        def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+        assert(r.getAs[Long]("n_days") === n.toLong, s"$series $yr n")
+        assert(math.abs(r.getAs[Double]("rvn") - q6(rvn)) < 1e-9,
+          s"$series $yr rvn")
+        assert(math.abs(r.getAs[Double]("z") - q4(z)) < 1e-9,
+          s"$series $yr z")
+        assert(r.getAs[Long]("reject_5pct") ===
+          (if (math.abs(q4(z)) > 1.96) 1L else 0L), s"$series $yr flag")
+      }
+    }
+    walk("raw", daily.toSeq)
+    walk("ma7", ma7)
+  }
 }
