@@ -931,4 +931,108 @@ object HypothesisTestQueries {
       |      * (skew * skew + exk * exk / 4.0)) / 2.0) * 1e8 + 0.5) / 1e8
       |    END AS p
       |FROM st""".stripMargin
+
+  /** L301 exact sign test with a dyadic binomial tail ([PK] the
+    * oldest formal hypothesis test — Arbuthnot 1710; binomial form in
+    * any nonparametrics text, e.g. Conover 1999 §3.4) — the suite's
+    * FIRST exact small-sample p-value: for every unordered pair of
+    * market segments, compare quarterly revenues as matched pairs
+    * (quarter = the block), count wins, and compute the two-sided
+    * p = min(1, 2·Σ_{i≤min(k,n−k)} C(n,i)/2ⁿ) EXACTLY — the binomial
+    * coefficients accumulate through Pascal's multiplicative
+    * recurrence C(n,i) = C(n,i−1)·(n−i+1)/i (every intermediate an
+    * exact int64: Σ ≤ 2²⁷), so the p-value is a DYADIC rational both
+    * engines produce bit-for-bit with ZERO libm and zero normal
+    * approximation (contrast q233 McNemar's large-sample z on the
+    * same matched-pairs frame). At sf0.001 the panel genuinely
+    * rejects (FURNITURE is shifted against three peers); at sf0.01
+    * the segments are balanced and the panel is an honest null.
+    *
+    * Parity: quarterly revenues exact cents; wins/ties integer
+    * decisions; the tail fold is exact int64 in both engines (Spark
+    * `aggregate` HOF with `div`; DuckDB a ≤14-step recursive CTE);
+    * p = 2·s/2ⁿ is an exact dyadic double (n ≤ 27).
+    *
+    * Scale: one fact-scan (qtr, segment) rollup (orders ⋈ broadcast
+    * customer-segment), a ≤135-row census self-joined into ≤10 pair
+    * rows, and a ≤14-step in-row fold per pair — nothing after the
+    * rollup sees fact-sized data. */
+  def q366SignTest(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val c = Tables.orders(s, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy((year(col("o_orderdate")) * 10 +
+        quarter(col("o_orderdate"))).cast("long").as("qtr"), col("seg"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("rev"))
+    val x = c.select(col("qtr"), col("seg").as("seg_a"),
+      col("rev").as("rev_a"))
+    val y = c.select(col("qtr"), col("seg").as("seg_b"),
+      col("rev").as("rev_b"))
+    val pairs = x.join(y, Seq("qtr")).filter(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b")
+      .agg(sum(when(col("rev_a") =!= col("rev_b"), 1L).otherwise(0L))
+          .as("n"),
+        sum(when(col("rev_a") > col("rev_b"), 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("kmin", least(col("k"), col("n") - col("k")))
+    // Σ_{i=0}^{kmin} C(n,i) via the multiplicative recurrence, folded
+    // in-row: acc.c walks C(n,i), acc.s accumulates the tail sum
+    val tail = when(col("kmin") === 0L, lit(1L)).otherwise(expr(
+      """aggregate(sequence(1, cast(kmin as int)),
+        |  named_struct('c', 1L, 's', 1L),
+        |  (acc, j) -> named_struct(
+        |    'c', acc.c * (n - j + 1) div j,
+        |    's', acc.s + acc.c * (n - j + 1) div j),
+        |  acc -> acc.s)""".stripMargin))
+    pairs
+      .withColumn("tail", tail)
+      .select(col("seg_a"), col("seg_b"), col("n").as("n_pairs"),
+        col("k").as("wins_a"),
+        least(lit(1.0), lit(2.0) * col("tail").cast("double") /
+          expr("shiftleft(1L, cast(n as int))").cast("double"))
+          .as("p_exact"))
+      .withColumn("reject_5pct", (col("p_exact") <= 0.05).cast("long"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  val q366SignTestSql: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT date_part('year', o_orderdate) * 10
+      |      + date_part('quarter', o_orderdate) AS qtr,
+      |    c_mktsegment AS seg,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.seg AS seg_a, y.seg AS seg_b,
+      |    CAST(SUM(CASE WHEN x.rev <> y.rev THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN x.rev > y.rev THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM c x JOIN c y ON x.qtr = y.qtr AND x.seg < y.seg
+      |  GROUP BY 1, 2),
+      |p2 AS (SELECT *, LEAST(k, n - k) AS kmin FROM pairs),
+      |tail(seg_a, seg_b, j, c, s) AS (
+      |  SELECT seg_a, seg_b, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(1 AS BIGINT) FROM p2
+      |  UNION ALL
+      |  SELECT t.seg_a, t.seg_b, t.j + 1,
+      |    t.c * (p.n - t.j) // (t.j + 1),
+      |    t.s + t.c * (p.n - t.j) // (t.j + 1)
+      |  FROM tail t JOIN p2 p
+      |    ON t.seg_a = p.seg_a AND t.seg_b = p.seg_b
+      |  WHERE t.j < p.kmin)
+      |SELECT p.seg_a, p.seg_b, p.n AS n_pairs, p.k AS wins_a,
+      |  LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
+      |    / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
+      |    AS p_exact,
+      |  CAST(CASE WHEN LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
+      |    / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
+      |      <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      |FROM p2 p JOIN tail t
+      |  ON p.seg_a = t.seg_a AND p.seg_b = t.seg_b AND t.j = p.kmin
+      |ORDER BY p.seg_a, p.seg_b""".stripMargin
 }

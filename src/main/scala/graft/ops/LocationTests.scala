@@ -1320,4 +1320,176 @@ object LocationTests {
       |  CAST(CASE WHEN t_lower > 1.645 AND t_upper > 1.645
       |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
       |FROM z""".stripMargin
+
+  /** L302 Brunner–Munzel test ([PK] Brunner & Munzel 2000) — the
+    * heteroscedasticity-robust upgrade of q210's Mann–Whitney on the
+    * generalized Behrens–Fisher problem: estimates the stochastic-
+    * superiority probability p̂ = P(X < Y) + ½P(X = Y) and tests
+    * p = ½ WITHOUT assuming equal variances or equal shapes, via
+    * pooled-vs-within midrank variances and a Welch–Satterthwaite df.
+    * Two pairs in one query — its own power demonstration (the q364
+    * convention): 'priority' (URGENT vs LOW order totals — the q210
+    * null pair, |W| ≈ 2) and 'discount' (gross l_extendedprice vs
+    * net post-discount revenue — pointwise dominance, so the test
+    * must fire: W ≈ −4.9 at sf0.001, −15.4 at sf0.01).
+    *
+    * Parity: midranks enter as EXACT scaled integers m2 = 2·minrank +
+    * ties − 1 (the established midrank-×2 trick); the variance
+    * pieces expand to Σw² = n²Σu² − 2n(p−q)Σu + n(p−q)² over exact
+    * DECIMAL(38) sums (u = m2_pooled − m2_within, p = Σm2_pooled,
+    * q = n(n+1) — the q298 moment discipline, no residual pass);
+    * p̂/W/df are one fixed double chain each, 6dp/4dp.
+    *
+    * Scale: the q210 shape — per-pair global rank windows over the
+    * two samples (the honest construction for a rank test; at 100 TB
+    * the same op runs per stratum or through RangedNtile machinery),
+    * then ONE 4-moment agg per (pair, group); everything after the
+    * rank pass is a ≤4-row census. */
+  def q367BrunnerMunzel(s: SparkSession, dir: String): DataFrame = {
+    val pri = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(lit("priority").as("pair"),
+        when(col("o_orderpriority") === "1-URGENT", lit("x"))
+          .otherwise(lit("y")).as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+    val li = Tables.lineitem(s, dir)
+    val disc = li.select(lit("discount").as("pair"), lit("x").as("grp"),
+        floor(col("l_extendedprice") * 1000000 + 0.5).cast("long")
+          .as("v"))
+      .unionByName(li.select(lit("discount").as("pair"),
+        lit("y").as("grp"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          1000000 + 0.5).cast("long").as("v")))
+    val base = pri.unionByName(disc)
+    val wp = Window.partitionBy("pair").orderBy("v")
+    val wpv = Window.partitionBy("pair", "v")
+    val wg = Window.partitionBy("pair", "grp").orderBy("v")
+    val wgv = Window.partitionBy("pair", "grp", "v")
+    val ranked = base
+      .withColumn("m2c", lit(2L) * rank().over(wp) +
+        count(lit(1)).over(wpv) - 1L)
+      .withColumn("m2w", lit(2L) * rank().over(wg) +
+        count(lit(1)).over(wgv) - 1L)
+      .withColumn("u", col("m2c") - col("m2w"))
+    val dec = "decimal(38,0)"
+    val m = ranked.groupBy("pair", "grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("m2c").cast(dec)).as("p"),
+      sum(col("u").cast(dec)).as("su"),
+      sum((col("u") * col("u")).cast(dec)).as("su2"))
+    // Σw² with w = n·u − (p − n(n+1)): exact DECIMAL, one value/group
+    val pq = col("p") - (col("n") * (col("n") + 1L)).cast(dec)
+    val sw2 = (col("n") * col("n")).cast(dec) * col("su2") -
+      lit(2L).cast(dec) * col("n").cast(dec) * pq * col("su") +
+      col("n").cast(dec) * pq * pq
+    val g = m.withColumn("sw2", sw2)
+      .groupBy("pair").agg(
+        max(when(col("grp") === "x", col("n"))).as("n1"),
+        max(when(col("grp") === "y", col("n"))).as("n2"),
+        max(when(col("grp") === "x", col("p"))).as("p1"),
+        max(when(col("grp") === "y", col("p"))).as("p2"),
+        max(when(col("grp") === "x", col("sw2"))).as("w1"),
+        max(when(col("grp") === "y", col("sw2"))).as("w2"))
+    def d(c: Column) = c.cast("double")
+    val (n1, n2) = (d(col("n1")), d(col("n2")))
+    val rbar1 = d(col("p1")) / (n1 * 2.0)
+    val rbar2 = d(col("p2")) / (n2 * 2.0)
+    val s1 = d(col("w1")) / (lit(4.0) * n1 * n1 * (n1 - 1.0))
+    val s2 = d(col("w2")) / (lit(4.0) * n2 * n2 * (n2 - 1.0))
+    val vs1 = n1 * s1
+    val vs2 = n2 * s2
+    val wStat = n1 * n2 * (rbar2 - rbar1) /
+      ((n1 + n2) * sqrt(vs1 + vs2))
+    val df = (vs1 + vs2) * (vs1 + vs2) /
+      (vs1 * vs1 / (n1 - 1.0) + vs2 * vs2 / (n2 - 1.0))
+    val pHat = (rbar2 - (n2 + 1.0) / 2.0) / n1
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    def rnd2(c: Column): Column =
+      (floor(c * 1e2 + 0.5).cast("long").cast("double") / 1e2) + 0.0
+    g.select(col("pair"), col("n1"), col("n2"),
+        rnd6(pHat).as("p_hat"), rnd4(wStat).as("w_stat"),
+        rnd2(df).as("df"),
+        (abs(rnd4(wStat)) > 1.96).cast("long").as("reject_5pct"))
+      .orderBy("pair")
+  }
+
+  val q367BrunnerMunzelSql: String =
+    """WITH base AS (
+      |  SELECT 'priority' AS pair,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'x' ELSE 'y' END
+      |      AS grp,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  UNION ALL
+      |  SELECT 'discount', 'x',
+      |    CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', 'y',
+      |    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+      |      AS BIGINT)
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT pair, grp,
+      |    2 * RANK() OVER (PARTITION BY pair ORDER BY v)
+      |      + COUNT(*) OVER (PARTITION BY pair, v) - 1 AS m2c,
+      |    2 * RANK() OVER (PARTITION BY pair, grp ORDER BY v)
+      |      + COUNT(*) OVER (PARTITION BY pair, grp, v) - 1 AS m2w
+      |  FROM base),
+      |m AS (
+      |  SELECT pair, grp, COUNT(*) AS n,
+      |    CAST(SUM(CAST(m2c AS HUGEINT)) AS HUGEINT) AS p,
+      |    CAST(SUM(CAST(m2c - m2w AS HUGEINT)) AS HUGEINT) AS su,
+      |    CAST(SUM(CAST((m2c - m2w) * (m2c - m2w) AS HUGEINT))
+      |      AS HUGEINT) AS su2
+      |  FROM ranked GROUP BY pair, grp),
+      |w AS (
+      |  SELECT pair, grp, n, p,
+      |    CAST(n AS HUGEINT) * n * su2
+      |      - 2 * CAST(n AS HUGEINT) * (p - CAST(n AS HUGEINT) * (n + 1))
+      |        * su
+      |      + CAST(n AS HUGEINT) * (p - CAST(n AS HUGEINT) * (n + 1))
+      |        * (p - CAST(n AS HUGEINT) * (n + 1)) AS sw2
+      |  FROM m),
+      |g AS (
+      |  SELECT pair,
+      |    MAX(CASE WHEN grp = 'x' THEN n END) AS n1,
+      |    MAX(CASE WHEN grp = 'y' THEN n END) AS n2,
+      |    MAX(CASE WHEN grp = 'x' THEN p END) AS p1,
+      |    MAX(CASE WHEN grp = 'y' THEN p END) AS p2,
+      |    MAX(CASE WHEN grp = 'x' THEN sw2 END) AS w1,
+      |    MAX(CASE WHEN grp = 'y' THEN sw2 END) AS w2
+      |  FROM w GROUP BY pair),
+      |f AS (
+      |  SELECT pair, n1, n2,
+      |    CAST(p1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 2.0) AS rbar1,
+      |    CAST(p2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 2.0) AS rbar2,
+      |    CAST(n1 AS DOUBLE) * (CAST(w1 AS DOUBLE)
+      |      / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |        * (CAST(n1 AS DOUBLE) - 1.0))) AS vs1,
+      |    CAST(n2 AS DOUBLE) * (CAST(w2 AS DOUBLE)
+      |      / (4.0 * CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        * (CAST(n2 AS DOUBLE) - 1.0))) AS vs2
+      |  FROM g),
+      |z AS (
+      |  SELECT pair, n1, n2,
+      |    (rbar2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+      |      / CAST(n1 AS DOUBLE) AS p_hat,
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rbar2 - rbar1)
+      |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |        * sqrt(vs1 + vs2)) AS w_stat,
+      |    (vs1 + vs2) * (vs1 + vs2)
+      |      / (vs1 * vs1 / (CAST(n1 AS DOUBLE) - 1.0)
+      |        + vs2 * vs2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+      |  FROM f)
+      |SELECT pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  FLOOR(p_hat * 1e6 + 0.5) / 1e6 + 0 AS p_hat,
+      |  FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0 AS w_stat,
+      |  FLOOR(df * 1e2 + 0.5) / 1e2 + 0 AS df,
+      |  CAST(CASE WHEN ABS(FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0) > 1.96
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      |FROM z ORDER BY pair""".stripMargin
 }

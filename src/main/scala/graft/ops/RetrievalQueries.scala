@@ -572,4 +572,88 @@ object RetrievalQueries {
       |    AS DOUBLE) / 1048576.0 AS rbp_max
       |FROM ranked GROUP BY ql
       |ORDER BY query_lang""".stripMargin
+
+  /** L300 bpref — Buckley & Voorhees' judged-only binary-preference
+    * retrieval metric ([PK] Buckley & Voorhees 2004): with R relevant
+    * and N nonrelevant judged documents, bpref = (1/R)·Σ_{r rel}
+    * (1 − min(nonrel_above_r, min(R,N))/min(R,N)) — unlike MAP/nDCG
+    * (q238) it only counts JUDGED nonrelevant docs ranked above each
+    * relevant one, making it robust to incomplete judgments (the
+    * TREC pooling regime — exactly the situation of a sampled 100 TB
+    * relevance audit). Runs on the q360 frame: per-language query
+    * fleet, length-ranked top-20 as the judged pool, lang-match
+    * relevance.
+    *
+    * Parity: ranks, the nonrel-above prefix counts, R, N, min(R,N),
+    * and the scaled numerator Σ(mn − min(na, mn)) are ALL exact
+    * integers; bpref is ONE IEEE division of exact ints (the q353
+    * convention — bit-identical cross-engine, no quantization
+    * needed).
+    *
+    * Scale: the q238/q360 shape — one ranked window per query
+    * language, rank filter ≤ 20 before any per-term work, ≤ 5-row
+    * output. */
+  def q365Bpref(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val langs = d.select(col("lang").as("ql")).distinct()
+    val w = Window.partitionBy("ql")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = d.crossJoin(broadcast(langs))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .withColumn("rel", (col("lang") === col("ql")).cast("long"))
+    val wq = Window.partitionBy("ql")
+    val wna = Window.partitionBy("ql").orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val f = ranked
+      .withColumn("na", coalesce(sum(lit(1L) - col("rel")).over(wna),
+        lit(0L)))
+      .withColumn("r_rel", sum(col("rel")).over(wq))
+      .withColumn("mn", least(col("r_rel"), lit(20L) - col("r_rel")))
+    f.groupBy(col("ql").as("query_lang"))
+      .agg(max(col("r_rel")).as("n_rel"),
+        (lit(20L) - max(col("r_rel"))).as("n_nonrel"),
+        sum(col("rel") * (col("mn") - least(col("na"), col("mn"))))
+          .as("num"))
+      .select(col("query_lang"), col("n_rel"), col("n_nonrel"),
+        when(col("n_rel") === 0L || col("n_nonrel") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (col("n_rel") * least(col("n_rel"), col("n_nonrel")))
+              .cast("double")).as("bpref"))
+      .orderBy("query_lang")
+  }
+
+  val q365BprefSql: String =
+    """WITH langs AS (SELECT DISTINCT lang AS ql FROM documents),
+      |ranked AS (
+      |  SELECT ql, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY ql
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents CROSS JOIN langs
+      |  QUALIFY rk <= 20),
+      |f AS (
+      |  SELECT ql, rk,
+      |    CASE WHEN lang = ql THEN 1 ELSE 0 END AS rel,
+      |    COALESCE(SUM(CASE WHEN lang = ql THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY ql ORDER BY rk
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS na,
+      |    SUM(CASE WHEN lang = ql THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY ql) AS r_rel
+      |  FROM ranked),
+      |g AS (
+      |  SELECT ql, rel, na, r_rel,
+      |    LEAST(r_rel, 20 - r_rel) AS mn
+      |  FROM f)
+      |SELECT ql AS query_lang,
+      |  CAST(MAX(r_rel) AS BIGINT) AS n_rel,
+      |  CAST(20 - MAX(r_rel) AS BIGINT) AS n_nonrel,
+      |  CASE WHEN MAX(r_rel) = 0 OR MAX(r_rel) = 20 THEN NULL
+      |    ELSE CAST(SUM(rel * (mn - LEAST(na, mn))) AS DOUBLE)
+      |      / CAST(MAX(r_rel) * LEAST(MAX(r_rel), 20 - MAX(r_rel))
+      |          AS DOUBLE) END AS bpref
+      |FROM g GROUP BY ql
+      |ORDER BY query_lang""".stripMargin
 }

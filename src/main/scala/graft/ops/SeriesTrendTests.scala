@@ -745,7 +745,7 @@ object SeriesTrendTests {
        |    + 0.5) / 1e6 + 0 AS qn_over_sd
        |FROM pick""".stripMargin
 
-  /** L300 Bartels rank von Neumann ratio ([PK] Bartels 1982) — the
+  /** L299 Bartels rank von Neumann ratio ([PK] Bartels 1982) — the
     * RANK analogue of von Neumann's successive-difference test,
     * distribution-free against serial dependence of any monotone
     * shape: RVN = Σ(R_i − R_{i+1})² / Σ(R_i − R̄)², ≈ 2 under

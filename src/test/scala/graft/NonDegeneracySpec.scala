@@ -2050,4 +2050,80 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       }
     }
   }
+
+  test("q365: bpref sees a real fleet with judged preferences") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q365_bpref", sf).collect()
+      assert(rows.length === 5, s"query fleet short at $sf")
+      rows.foreach { r =>
+        val (rl, nn) = (r.getAs[Long]("n_rel"), r.getAs[Long]("n_nonrel"))
+        assert(rl >= 2L && nn >= 2L,
+          s"judged pool degenerate at $sf ${r.getAs[String]("query_lang")}")
+        val b = r.getAs[Double]("bpref")
+        assert(b >= 0.0 && b <= 1.0, s"bpref out of range at $sf")
+      }
+      // zero is a legitimate bpref (all relevant below min(R,N)
+      // nonrelevant), but a fleet where NOTHING scores would mean the
+      // preference counting never fired
+      assert(rows.count(_.getAs[Double]("bpref") > 0.0) >= 2,
+        s"bpref zero across (almost) the whole fleet at $sf")
+      assert(rows.map(_.getAs[Double]("bpref")).distinct.length > 1,
+        s"constant bpref across query languages at $sf")
+    }
+  }
+
+  test("q366: exact sign-test panel — dyadic p-values, both regimes") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q366_sign_test", sf).collect()
+      assert(rows.length === 10, s"pair panel short at $sf")
+      rows.foreach { r =>
+        val (n, k, p) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("wins_a"),
+          r.getAs[Double]("p_exact"))
+        assert(n >= 20L && k >= 0L && k <= n, s"pair census broken at $sf")
+        assert(p > 0.0 && p <= 1.0, s"p out of range at $sf")
+        // the p-value must be EXACTLY dyadic: p·2^(n−1) is the integer
+        // tail sum (or p == 1 after the min) — a float-accumulated
+        // binomial tail would miss this by ulps
+        if (p < 1.0) {
+          val scaled = p * math.pow(2.0, (n - 1).toDouble)
+          assert(math.abs(scaled - math.rint(scaled)) < 1e-6,
+            s"p=$p not dyadic at $sf (scaled $scaled)")
+        }
+      }
+      assert(rows.map(_.getAs[Double]("p_exact")).distinct.length >= 4,
+        s"p-values suspiciously uniform at $sf")
+    }
+    // regime pins: the sf0.001 fixture has a genuinely shifted segment
+    // (FURNITURE) -> >= 2 exact rejections; sf0.01 is balanced -> none
+    assert(run("q366_sign_test", sf0001).collect()
+      .count(_.getAs[Long]("reject_5pct") === 1L) >= 2,
+      "sf0.001 panel must detect the shifted segment")
+    assert(run("q366_sign_test", sf001).collect()
+      .forall(_.getAs[Long]("reject_5pct") === 0L),
+      "sf0.01 panel is an honest null — a rejection means broken tails")
+  }
+
+  test("q367: Brunner-Munzel fires on dominance, not on the null pair") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q367_brunner_munzel", sf).collect()
+        .map(r => r.getAs[String]("pair") -> r).toMap
+      val dom = rows("discount")
+      assert(dom.getAs[Double]("w_stat") < -4.0,
+        s"pointwise-dominated pair must reject hard at $sf")
+      assert(dom.getAs[Long]("reject_5pct") === 1L)
+      assert(dom.getAs[Double]("p_hat") < 0.5,
+        s"net revenue must be stochastically smaller at $sf")
+      val nul = rows("priority")
+      assert(math.abs(nul.getAs[Double]("w_stat")) < 3.0,
+        s"priority pair should sit near the null at $sf")
+      assert(math.abs(dom.getAs[Double]("w_stat")) >
+        math.abs(nul.getAs[Double]("w_stat")) + 2.0,
+        s"power separation lost at $sf")
+      rows.values.foreach { r =>
+        assert(r.getAs[Double]("df") > 100.0 &&
+          r.getAs[Long]("n1") > 100L && r.getAs[Long]("n2") > 100L,
+          s"degenerate sample sizes at $sf")
+      }
+    }
+  }
 }

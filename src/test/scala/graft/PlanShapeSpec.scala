@@ -560,7 +560,10 @@ class PlanShapeSpec extends SparkSpec {
       "q359_holt_winters",
       // r16: q360's 5-row query-language fleet broadcast (the exact
       // q238/q340 broadcast-query pattern)
-      "q360_rbp")
+      "q360_rbp",
+      // r16: q365's 5-row query-language fleet broadcast (the same
+      // q238/q360 pattern — bpref shares q360's ranked frame)
+      "q365_bpref")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods

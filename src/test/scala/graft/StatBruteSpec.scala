@@ -3979,4 +3979,155 @@ class StatBruteSpec extends SparkSpec {
     walk("raw", daily.toSeq)
     walk("ma7", ma7)
   }
+
+  test("q365 bpref matches a sequential preference walk") {
+    val out = SparkEntry.queries("q365_bpref")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("query_lang") -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1),
+        r.getAs[Long]("n_chars")))
+    val langs = docs.map(_._2).distinct.sorted
+    langs.foreach { ql =>
+      val top20 = docs.sortBy { case (id, _, nc) => (-nc, id) }.take(20)
+      val rels = top20.map(_._2 == ql)
+      val rCount = rels.count(identity)
+      val nCount = 20 - rCount
+      val mn = math.min(rCount, nCount)
+      var nonrelAbove = 0L
+      var num = 0L
+      rels.foreach { rel =>
+        if (rel) num += mn - math.min(nonrelAbove, mn.toLong)
+        else nonrelAbove += 1
+      }
+      val expected =
+        if (rCount == 0 || nCount == 0) None
+        else Some(num.toDouble / (rCount.toLong * mn).toDouble)
+      val r = out(ql)
+      assert(r.getAs[Long]("n_rel") === rCount.toLong, s"$ql R")
+      assert(r.getAs[Long]("n_nonrel") === nCount.toLong, s"$ql N")
+      expected match {
+        case Some(b) => assert(r.getAs[Double]("bpref") === b, s"$ql bpref")
+        case None => assert(r.isNullAt(r.fieldIndex("bpref")), s"$ql null")
+      }
+    }
+  }
+
+  test("q366 sign test matches an exact BigInteger binomial tail") {
+    val out = SparkEntry.queries("q366_sign_test")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("seg_a"), r.getAs[String]("seg_b")) -> r)
+      .toMap
+    // quarterly segment revenue census, collected once (135 rows)
+    val c = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy((year(col("o_orderdate")) * 10 +
+        quarter(col("o_orderdate"))).cast("long").as("qtr"),
+        col("c_mktsegment").as("seg"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("rev"))
+      .collect()
+      .map(r => (r.getAs[Long]("qtr"), r.getString(1), r.getAs[Long]("rev")))
+    val byQtr = c.groupBy(_._1)
+    val segs = c.map(_._2).distinct.sorted
+    for (a <- segs; b <- segs if a < b) {
+      var n = 0L; var k = 0L
+      byQtr.values.foreach { g =>
+        val m = g.map(t => t._2 -> t._3).toMap
+        (m.get(a), m.get(b)) match {
+          case (Some(ra), Some(rb)) if ra != rb =>
+            n += 1; if (ra > rb) k += 1
+          case _ => ()
+        }
+      }
+      val kmin = math.min(k, n - k)
+      // exact tail via BigInteger — a reference INDEPENDENT of the
+      // query's int64 Pascal fold
+      import java.math.BigInteger
+      var cbi = BigInteger.ONE
+      var s = BigInteger.ONE
+      (1L to kmin).foreach { j =>
+        cbi = cbi.multiply(BigInteger.valueOf(n - j + 1))
+          .divide(BigInteger.valueOf(j))
+        s = s.add(cbi)
+      }
+      val p = math.min(1.0,
+        2.0 * s.doubleValue() / math.pow(2.0, n.toDouble))
+      val r = out((a, b))
+      assert(r.getAs[Long]("n_pairs") === n, s"$a-$b n")
+      assert(r.getAs[Long]("wins_a") === k, s"$a-$b k")
+      assert(math.abs(r.getAs[Double]("p_exact") - p) < 1e-12,
+        s"$a-$b p: ${r.getAs[Double]("p_exact")} vs $p")
+    }
+  }
+
+  test("q367 Brunner-Munzel matches a sequential midrank walk") {
+    val out = SparkEntry.queries("q367_brunner_munzel")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+
+    def midranks(v: Array[Long]): Array[Double] = {
+      val order = v.indices.sortBy(i => (v(i), i))
+      val ranks = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) {
+        var j = i
+        while (j + 1 < v.length && v(order(j + 1)) == v(order(i))) j += 1
+        val mid = (i + j) / 2.0 + 1.0
+        (i to j).foreach(t => ranks(order(t)) = mid)
+        i = j + 1
+      }
+      ranks
+    }
+    def bm(x: Array[Long], y: Array[Long]): (Double, Double, Double) = {
+      val (nx, ny) = (x.length.toDouble, y.length.toDouble)
+      val rc = midranks(x ++ y)
+      val (rcx, rcy) = rc.splitAt(x.length)
+      val (rx, ry) = (midranks(x), midranks(y))
+      val (mx, my) = (rcx.sum / nx, rcy.sum / ny)
+      val sx = rcx.zip(rx).map { case (c, w) =>
+        val t = c - w - mx + (nx + 1) / 2.0; t * t }.sum / (nx - 1.0)
+      val sy = rcy.zip(ry).map { case (c, w) =>
+        val t = c - w - my + (ny + 1) / 2.0; t * t }.sum / (ny - 1.0)
+      val w = nx * ny * (my - mx) /
+        ((nx + ny) * math.sqrt(nx * sx + ny * sy))
+      val df = math.pow(nx * sx + ny * sy, 2) /
+        (math.pow(nx * sx, 2) / (nx - 1.0) +
+          math.pow(ny * sy, 2) / (ny - 1.0))
+      val pHat = (my - (ny + 1.0) / 2.0) / nx
+      (pHat, w, df)
+    }
+    // priority pair
+    val pri = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (px, py) = (pri.filter(_._1 == "1-URGENT").map(_._2),
+      pri.filter(_._1 == "5-LOW").map(_._2))
+    // discount pair
+    val li = Tables.lineitem(spark, sf0001)
+      .select(floor(col("l_extendedprice") * 1000000 + 0.5)
+          .cast("long").as("g"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          1000000 + 0.5).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def check(pair: String, x: Array[Long], y: Array[Long]): Unit = {
+      val (pHat, w, df) = bm(x, y)
+      val r = out(pair)
+      def q(v: Double, s: Double) = math.floor(v * s + 0.5) / s
+      // the walk's double ordering differs from the engines' fixed
+      // chain; compare at one quantum of each published rounding
+      assert(math.abs(r.getAs[Double]("p_hat") - q(pHat, 1e6)) <= 2e-6,
+        s"$pair p_hat")
+      assert(math.abs(r.getAs[Double]("w_stat") - q(w, 1e4)) <= 2e-4,
+        s"$pair W")
+      assert(math.abs(r.getAs[Double]("df") - q(df, 1e2)) <= 2e-2,
+        s"$pair df")
+      assert(r.getAs[Long]("n1") === x.length.toLong, s"$pair n1")
+      assert(r.getAs[Long]("n2") === y.length.toLong, s"$pair n2")
+    }
+    check("priority", px, py)
+    check("discount", li.map(_._1), li.map(_._2))
+  }
 }
