@@ -855,4 +855,122 @@ object SketchQueries {
        |    AS rel_err
        |FROM est JOIN ex USING (qtr) ORDER BY quarter""".stripMargin
   }
+
+  /** L303 Bloom-filter false-positive census under the oracle gate
+    * ([PK] Bloom 1970) — oracle-hardens the L15 bloom machinery the
+    * way q362 did HLL: the WHOLE filter (k = 7 salted 48-bit md5
+    * folds mod m, bit set = the distinct positions of the member
+    * keys) is reproduced bit-for-bit in DuckDB, probed with 3,000
+    * keys DISJOINT from the member set by construction, and the
+    * observed false-positive rate is published BESIDE Bloom's
+    * theoretical (1 − (1 − 1/m)^{kn})^k. Two filter sizes × two SFs
+    * sweep FOUR regimes: moderate (obs 0.042 vs exp 0.045), clean
+    * (0 ≈ 0), SATURATED (all 1,024 bits set → fpr ≡ 1 — the
+    * undersized-filter failure mode, measured not assumed), and
+    * sparse (0.004 vs 0.005).
+    *
+    * Parity: bit positions, the bit census, membership decisions,
+    * and all counts are exact integers; fpr_obs is one IEEE division;
+    * fpr_exp is a TERMINAL two-pow chain on identical exact arguments
+    * (the q354 exemption), 6dp.
+    *
+    * Scale: the filter build is one distinct-key pass + a ≤ m-row
+    * bit census (broadcast); probes are a fixed 3,000 × k × |m|
+    * map-side frame joined against the broadcast census — nothing
+    * fact-sized moves after the first distinct. */
+  def q368BloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val k = 7
+    def pos(j: Column, key: Column, m: Column): Column =
+      pmod(conv(substring(md5(concat(lit("bf"), j.cast("string"),
+        lit(":"), key.cast("string"))), 1, 12), 16, 10).cast("long"), m)
+    val ms = array(lit(1024L), lit(16384L))
+    val members = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val nRow = members.agg(count(lit(1)).as("n_members"))
+    val bits = members
+      .select(col("o_custkey"), explode(ms).as("m"))
+      .select(col("m"), explode(sequence(lit(0), lit(k - 1))).as("j"),
+        col("o_custkey"))
+      .select(col("m"), pos(col("j"), col("o_custkey"), col("m"))
+        .as("p"))
+      .distinct()
+    val bitCounts = bits.groupBy("m").agg(count(lit(1)).as("bits_set"))
+    val probes = s.range(1000001L, 1003001L).toDF("key")
+      .select(col("key"), explode(ms).as("m"))
+      .select(col("m"), col("key"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("m"), col("key"),
+        pos(col("j"), col("key"), col("m")).as("p"))
+    val hits = probes.join(broadcast(bits.withColumn("hit", lit(1L))),
+        Seq("m", "p"), "left")
+      .groupBy("m", "key")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("nhit") === k.toLong, 1L).otherwise(0L))
+          .as("n_false_pos"))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    val md = col("m").cast("double")
+    val nd = col("n_members").cast("double")
+    val fprExp = pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / md,
+      lit(k.toDouble) * nd), k.toDouble)
+    hits.join(broadcast(bitCounts), Seq("m"))
+      .crossJoin(broadcast(nRow))
+      .select(col("m").as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_members"), col("bits_set"), col("n_probes"),
+        col("n_false_pos"),
+        rnd6(col("n_false_pos").cast("double") /
+          col("n_probes").cast("double")).as("fpr_obs"),
+        rnd6(fprExp).as("fpr_exp"))
+      .orderBy("m_bits")
+  }
+
+  val q368BloomFprSql: String =
+    """WITH members AS (SELECT DISTINCT o_custkey FROM orders),
+      |nrow AS (SELECT COUNT(*) AS n_members FROM members),
+      |ms(m) AS (VALUES (CAST(1024 AS BIGINT)), (CAST(16384 AS BIGINT))),
+      |bits AS (
+      |  SELECT DISTINCT m,
+      |    list_sum(list_transform(range(12), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+      |             || CAST(o_custkey AS VARCHAR)),
+      |           CAST(i + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) % m
+      |      AS p
+      |  FROM members CROSS JOIN ms CROSS JOIN range(7) tj(j)),
+      |bc AS (SELECT m, COUNT(*) AS bits_set FROM bits GROUP BY m),
+      |probes AS (
+      |  SELECT m, key,
+      |    list_sum(list_transform(range(12), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+      |             || CAST(key AS VARCHAR)),
+      |           CAST(i + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) % m
+      |      AS p
+      |  FROM range(1000001, 1003001) tk(key) CROSS JOIN ms
+      |    CROSS JOIN range(7) tj(j)),
+      |hits AS (
+      |  SELECT pr.m, pr.key,
+      |    CAST(SUM(CASE WHEN b.p IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS nhit
+      |  FROM probes pr LEFT JOIN bits b ON pr.m = b.m AND pr.p = b.p
+      |  GROUP BY pr.m, pr.key),
+      |agg AS (
+      |  SELECT m, COUNT(*) AS n_probes,
+      |    CAST(SUM(CASE WHEN nhit = 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_false_pos
+      |  FROM hits GROUP BY m)
+      |SELECT agg.m AS m_bits, CAST(7 AS BIGINT) AS k_hashes,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(bits_set AS BIGINT) AS bits_set,
+      |  CAST(n_probes AS BIGINT) AS n_probes, n_false_pos,
+      |  FLOOR(CAST(n_false_pos AS DOUBLE) / n_probes * 1e6 + 0.5) / 1e6
+      |    + 0 AS fpr_obs,
+      |  FLOOR(pow(1.0 - pow(1.0 - 1.0 / agg.m,
+      |      7.0 * CAST(n_members AS DOUBLE)), 7.0) * 1e6 + 0.5) / 1e6
+      |    + 0 AS fpr_exp
+      |FROM agg JOIN bc ON agg.m = bc.m CROSS JOIN nrow
+      |ORDER BY m_bits""".stripMargin
 }

@@ -540,4 +540,152 @@ object SurvivalQueries {
       |  ROUND(CAST(sg AS DOUBLE) / n, 4) + 0 AS mean_gap_s,
       |  FLOOR(CAST(MAX(dq) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS ks_d
       |FROM d GROUP BY n, sg""".stripMargin
+
+  /** L304 restricted mean survival time ([PK] Royston & Parmar 2013;
+    * Uno et al. 2014) — the modern model-free survival estimand:
+    * RMST(τ) = ∫₀^τ S(t)dt, the area under the KM step curve up to a
+    * clinically chosen horizon, reported at τ ∈ {660, 690, 720} hours
+    * over q175's churn construction. Published BESIDE the naive
+    * truncated mean avg(min(lifetime, τ)) that treats censored users
+    * as churned at last sight — the censoring bias RMST exists to
+    * avoid, made visible per row (naive ≤ RMST always; the gap is
+    * the bias).
+    *
+    * Parity: S(t) enters the integral as its ALREADY-QUANTIZED 4dp
+    * value cast to DECIMAL(9,4) (Spark HALF_UP cast == the mirror's
+    * explicit ROUND — the value is an exact 4-decimal rational, so
+    * the cast is lossless); segment lengths are exact integer hours;
+    * the step integral is an exact DECIMAL sum — no double
+    * accumulation anywhere. The naive mean is exact-int ÷ exact-int,
+    * 4dp.
+    *
+    * Scale: the q175 shape verbatim (one user-keyed agg, a ≤|days|
+    * day census, tiny windows); the τ-explode multiplies only the
+    * ≤|days| census ×3. */
+  def q369Rmst(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
+      countDistinct("user_id").as("nu"))
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        col("nu"))
+    val day = peru.groupBy("t")
+      .agg(sum(col("churn")).as("d"), sum(lit(1L) - col("churn")).as("c"),
+        max(col("nu")).as("nu"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = day.withColumn("n_risk",
+      col("nu") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val dead = max(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+      .over(wCum)
+    val lnTerm9 = when(col("d") === 0 || col("d") >= col("n_risk"), lit(0L))
+      .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+    val km = withRisk
+      .withColumn("dead", dead)
+      .withColumn("ln_s", sum(lnTerm9).over(wCum).cast("double") / 1e9)
+      .select(col("t"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("ln_s")), 4)).as("sv"))
+    val taus = km.select(col("t"), col("sv"),
+      explode(array(lit(660L), lit(690L), lit(720L))).as("tau"))
+    val wt = Window.partitionBy("tau").orderBy("t")
+    val seg = taus
+      .withColumn("t_next",
+        greatest(coalesce(lead(col("t"), 1).over(wt), col("tau")),
+          col("t")))
+      .select(col("tau"),
+        col("sv").cast("decimal(9,4)").as("svd"),
+        (least(col("t_next"), col("tau")) - least(col("t"), col("tau")))
+          .as("len"),
+        min(col("t")).over(Window.partitionBy("tau")).as("t_first"))
+    val rmst = seg.groupBy("tau")
+      .agg((sum(col("svd") * col("len")) +
+        least(max(col("t_first")), max(col("tau")))
+          .cast("decimal(9,4)")).cast("decimal(18,4)")
+        // exact 4-dec rational -> the double cast is deterministic;
+        // emitted as DOUBLE so the driver hasher sees one dtype
+        .cast("double").as("rmst_hours"))
+    val naive = peru
+      .select(col("t"), col("nu"),
+        explode(array(lit(660L), lit(690L), lit(720L))).as("tau"))
+      .groupBy("tau")
+      .agg((round(sum(least(col("t"), col("tau"))).cast("double") /
+        max(col("nu")).cast("double"), 4) + 0.0).as("naive_mean_hours"),
+        max(col("nu")).as("n_users"))
+    rmst.join(broadcast(naive), Seq("tau"))
+      .select(col("tau").as("tau_hours"), col("n_users"),
+        col("rmst_hours"), col("naive_mean_hours"))
+      .orderBy("tau_hours")
+  }
+
+  val q369RmstSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
+      |peru AS (
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(SUM(1 - churn) AS BIGINT) AS c
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(d + c) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_risk
+      |  FROM day),
+      |cum AS (
+      |  SELECT t, n_risk, d,
+      |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS dead,
+      |    CAST(SUM(CASE WHEN d = 0 OR d >= n_risk THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / n_risk)
+      |               * 1e9 + 0.5) AS BIGINT) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) / 1e9 AS ln_s
+      |  FROM risk),
+      |km AS (
+      |  SELECT t,
+      |    CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END AS sv
+      |  FROM cum),
+      |taus(tau) AS (VALUES (CAST(660 AS BIGINT)), (CAST(690 AS BIGINT)),
+      |  (CAST(720 AS BIGINT))),
+      |seg AS (
+      |  SELECT tau,
+      |    CAST(ROUND(sv, 4) AS DECIMAL(9,4)) AS svd,
+      |    LEAST(GREATEST(COALESCE(LEAD(t) OVER
+      |        (PARTITION BY tau ORDER BY t), tau), t), tau)
+      |      - LEAST(t, tau) AS len,
+      |    MIN(t) OVER (PARTITION BY tau) AS t_first
+      |  FROM km CROSS JOIN taus),
+      |r AS (
+      |  SELECT tau,
+      |    CAST(CAST(SUM(svd * len)
+      |      + CAST(LEAST(MAX(t_first), MAX(tau)) AS DECIMAL(9,4))
+      |      AS DECIMAL(18,4)) AS DOUBLE) AS rmst_hours
+      |  FROM seg GROUP BY tau),
+      |nv AS (
+      |  SELECT tau,
+      |    ROUND(CAST(SUM(LEAST(t, tau)) AS DOUBLE)
+      |      / (SELECT nu FROM b), 4) + 0 AS naive_mean_hours,
+      |    CAST((SELECT nu FROM b) AS BIGINT) AS n_users
+      |  FROM peru CROSS JOIN taus GROUP BY tau)
+      |SELECT r.tau AS tau_hours, n_users, rmst_hours, naive_mean_hours
+      |FROM r JOIN nv ON r.tau = nv.tau
+      |ORDER BY tau_hours""".stripMargin
 }

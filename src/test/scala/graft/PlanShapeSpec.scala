@@ -563,7 +563,16 @@ class PlanShapeSpec extends SparkSpec {
       "q360_rbp",
       // r16: q365's 5-row query-language fleet broadcast (the same
       // q238/q360 pattern — bpref shares q360's ranked frame)
-      "q365_bpref")
+      "q365_bpref",
+      // r16: q368's 1-row member-count broadcast onto the 2-row FPR
+      // census (the q244 aggregate-pair shape; the filter build and
+      // probe joins are plain broadcast-hash)
+      "q368_bloom_fpr",
+      // r16: q369 carries q175's 1-row (corpus end, user total)
+      // bounds broadcast TWICE — once under the KM chain, once under
+      // the naive-mean comparator (both the allowlisted q242 form;
+      // everything after the per-user agg is a ≤|days|×3 census)
+      "q369_rmst")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -576,7 +585,7 @@ class PlanShapeSpec extends SparkSpec {
     // join (advisor fix — zero-count cells so every judge ranks the
     // same object set) on top of its 1-row tie-census broadcast.
     val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
-      "q285_kendall_w" -> 2)
+      "q285_kendall_w" -> 2, "q369_rmst" -> 2)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

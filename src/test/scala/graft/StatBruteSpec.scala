@@ -4130,4 +4130,85 @@ class StatBruteSpec extends SparkSpec {
     check("priority", px, py)
     check("discount", li.map(_._1), li.map(_._2))
   }
+
+  test("q368 Bloom census matches an independent MessageDigest filter walk") {
+    val out = SparkEntry.queries("q368_bloom_fpr")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("m_bits") -> r).toMap
+    val members = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().collect().map(_.getLong(0))
+    def pos(j: Int, key: Long, m: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bf$j:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % m
+    }
+    Seq(1024L, 16384L).foreach { m =>
+      val bits = (for (k <- members; j <- 0 until 7) yield pos(j, k, m)).toSet
+      val fp = (1000001L until 1003001L).count { p =>
+        (0 until 7).forall(j => bits.contains(pos(j, p, m)))
+      }
+      val r = out(m)
+      assert(r.getAs[Long]("n_members") === members.length.toLong, s"m=$m n")
+      assert(r.getAs[Long]("bits_set") === bits.size.toLong, s"m=$m bits")
+      assert(r.getAs[Long]("n_false_pos") === fp.toLong, s"m=$m fp")
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("fpr_obs") - q6(fp / 3000.0)) < 1e-9)
+      val n = members.length.toDouble
+      val exp = math.pow(1.0 - math.pow(1.0 - 1.0 / m, 7.0 * n), 7.0)
+      assert(math.abs(r.getAs[Double]("fpr_exp") - q6(exp)) < 2e-6, s"m=$m exp")
+    }
+  }
+
+  test("q369 RMST matches a sequential step-integral walk") {
+    val out = SparkEntry.queries("q369_rmst")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("tau_hours") -> r).toMap
+    // per-user lifetimes + churn flags, the q175 construction
+    val e = Tables.events(spark, sf0001).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .collect().map(r => (r.getAs[Long]("f"), r.getAs[Long]("l")))
+    val endUs = e.map(_._2).max
+    val lives = e.map { case (f, l) =>
+      ((l - f) / 3600000000L, l <= endUs - 12L * 3600L * 1000000L)
+    }
+    val nu = lives.length
+    // KM walk replicating the query's exact quantized-ln chain
+    val byT = lives.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = nu.toLong
+    var lnSum = 0L
+    var dead = false
+    val km = byT.map { case (t, g) =>
+      val d = g.count(_._2).toLong
+      if (d >= atRisk) dead = true
+      if (d > 0 && d < atRisk)
+        lnSum += math.floor(math.log((atRisk - d).toDouble /
+          atRisk.toDouble) * 1e9 + 0.5).toLong
+      val sv = if (dead) 0.0
+        else math.floor(math.exp(lnSum.toDouble / 1e9) * 1e4 + 0.5) / 1e4
+      atRisk -= g.length
+      (t, sv)
+    }
+    Seq(660L, 690L, 720L).foreach { tau =>
+      // exact step integral over the quantized curve, in BigDecimal
+      var rmst = BigDecimal(math.min(km.head._1, tau)) // S=1 head segment
+      km.indices.foreach { i =>
+        val (t, sv) = km(i)
+        val tNext = math.max(if (i + 1 < km.length) km(i + 1)._1 else tau, t)
+        val len = math.min(tNext, tau) - math.min(t, tau)
+        // the query casts the 4dp double to DECIMAL(9,4) — replicate
+        // the lossless 4-decimal recovery, not the binary expansion
+        rmst += BigDecimal(sv)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) * len
+      }
+      val naive = math.floor(lives.map(l => math.min(l._1, tau)).sum
+        .toDouble / nu.toDouble * 1e4 + 0.5) / 1e4
+      val r = out(tau)
+      assert(r.getAs[Long]("n_users") === nu.toLong, s"tau=$tau n")
+      assert(math.abs(r.getAs[Double]("rmst_hours") - rmst.toDouble) < 1e-9,
+        s"tau=$tau rmst: ${r.getAs[Double]("rmst_hours")} vs $rmst")
+      assert(math.abs(r.getAs[Double]("naive_mean_hours") - naive) < 1e-9,
+        s"tau=$tau naive")
+    }
+  }
 }
