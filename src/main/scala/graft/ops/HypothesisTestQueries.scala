@@ -978,20 +978,31 @@ object HypothesisTestQueries {
           .as("k"))
       .withColumn("kmin", least(col("k"), col("n") - col("k")))
     // Σ_{i=0}^{kmin} C(n,i) via the multiplicative recurrence, folded
-    // in-row: acc.c walks C(n,i), acc.s accumulates the tail sum
-    val tail = when(col("kmin") === 0L, lit(1L)).otherwise(expr(
-      """aggregate(sequence(1, cast(kmin as int)),
-        |  named_struct('c', 1L, 's', 1L),
-        |  (acc, j) -> named_struct(
-        |    'c', acc.c * (n - j + 1) div j,
-        |    's', acc.s + acc.c * (n - j + 1) div j),
-        |  acc -> acc.s)""".stripMargin))
+    // in-row: acc.c walks C(n,i), acc.s accumulates the tail sum.
+    // n ≤ 60 cap (fuzz hardening): the recurrence's peak intermediate
+    // C(n,⌊n/2⌋−1)·(n/2+1) stays under 2⁶³ only to n ≈ 61 — beyond
+    // that the exact dyadic construction is out of its small-sample
+    // domain and the test reports NULL (the q251 convention). The
+    // when-branch also keeps the fold from EVALUATING there (ANSI
+    // overflow would throw).
+    val tail = when(col("n") > 60L, lit(null).cast("long"))
+      .when(col("kmin") === 0L, lit(1L))
+      .otherwise(expr(
+        """aggregate(sequence(1, cast(kmin as int)),
+          |  named_struct('c', 1L, 's', 1L),
+          |  (acc, j) -> named_struct(
+          |    'c', acc.c * (n - j + 1) div j,
+          |    's', acc.s + acc.c * (n - j + 1) div j),
+          |  acc -> acc.s)""".stripMargin))
     pairs
       .withColumn("tail", tail)
       .select(col("seg_a"), col("seg_b"), col("n").as("n_pairs"),
         col("k").as("wins_a"),
-        least(lit(1.0), lit(2.0) * col("tail").cast("double") /
-          expr("shiftleft(1L, cast(n as int))").cast("double"))
+        // explicit null-through: both engines' LEAST skips nulls
+        when(col("tail").isNull, lit(null).cast("double"))
+          .otherwise(least(lit(1.0),
+            lit(2.0) * col("tail").cast("double") /
+              expr("shiftleft(1L, cast(n as int))").cast("double")))
           .as("p_exact"))
       .withColumn("reject_5pct", (col("p_exact") <= 0.05).cast("long"))
       .orderBy("seg_a", "seg_b")
@@ -1024,15 +1035,17 @@ object HypothesisTestQueries {
       |    t.s + t.c * (p.n - t.j) // (t.j + 1)
       |  FROM tail t JOIN p2 p
       |    ON t.seg_a = p.seg_a AND t.seg_b = p.seg_b
-      |  WHERE t.j < p.kmin)
+      |  WHERE t.j < p.kmin AND p.n <= 60 AND t.j < 30)
       |SELECT p.seg_a, p.seg_b, p.n AS n_pairs, p.k AS wins_a,
-      |  LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
-      |    / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
-      |    AS p_exact,
-      |  CAST(CASE WHEN LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
-      |    / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
-      |      <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
-      |FROM p2 p JOIN tail t
+      |  CASE WHEN p.n > 60 OR t.s IS NULL THEN NULL
+      |    ELSE LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
+      |      / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
+      |    END AS p_exact,
+      |  CASE WHEN p.n > 60 OR t.s IS NULL THEN NULL
+      |    ELSE CAST(CASE WHEN LEAST(1.0, 2.0 * CAST(t.s AS DOUBLE)
+      |      / CAST(CAST(1 AS BIGINT) << CAST(p.n AS INT) AS DOUBLE))
+      |        <= 0.05 THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
+      |FROM p2 p LEFT JOIN tail t
       |  ON p.seg_a = t.seg_a AND p.seg_b = t.seg_b AND t.j = p.kmin
       |ORDER BY p.seg_a, p.seg_b""".stripMargin
 }

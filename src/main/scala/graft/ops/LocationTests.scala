@@ -1392,27 +1392,42 @@ object LocationTests {
         max(when(col("grp") === "y", col("sw2"))).as("w2"))
     def d(c: Column) = c.cast("double")
     val (n1, n2) = (d(col("n1")), d(col("n2")))
-    val rbar1 = d(col("p1")) / (n1 * 2.0)
-    val rbar2 = d(col("p2")) / (n2 * 2.0)
-    val s1 = d(col("w1")) / (lit(4.0) * n1 * n1 * (n1 - 1.0))
-    val s2 = d(col("w2")) / (lit(4.0) * n2 * n2 * (n2 - 1.0))
+    // ANSI-safe divisors (the q370 hoisting note): clamp exact zeros;
+    // identity whenever the `bad` guard isn't already nulling the row
+    def safe(c: Column) = greatest(c, lit(1e-300))
+    val rbar1 = d(col("p1")) / safe(n1 * 2.0)
+    val rbar2 = d(col("p2")) / safe(n2 * 2.0)
+    val s1 = d(col("w1")) / safe(lit(4.0) * n1 * n1 * (n1 - 1.0))
+    val s2 = d(col("w2")) / safe(lit(4.0) * n2 * n2 * (n2 - 1.0))
     val vs1 = n1 * s1
     val vs2 = n2 * s2
     val wStat = n1 * n2 * (rbar2 - rbar1) /
-      ((n1 + n2) * sqrt(vs1 + vs2))
+      safe((n1 + n2) * sqrt(vs1 + vs2))
     val df = (vs1 + vs2) * (vs1 + vs2) /
-      (vs1 * vs1 / (n1 - 1.0) + vs2 * vs2 / (n2 - 1.0))
-    val pHat = (rbar2 - (n2 + 1.0) / 2.0) / n1
+      safe(vs1 * vs1 / safe(n1 - 1.0) + vs2 * vs2 / safe(n2 - 1.0))
+    val pHat = (rbar2 - (n2 + 1.0) / 2.0) / safe(n1)
+    // fuzz hardening (q251 convention): a missing or 1-element group,
+    // or an all-tied pooled sample (zero rank variance), nulls the test
+    val bad = col("n1").isNull || col("n2").isNull ||
+      col("n1") < 2L || col("n2") < 2L || (vs1 + vs2) <= 0.0
+    def guard(c: Column): Column =
+      when(bad, lit(null).cast("double")).otherwise(c)
     def rnd6(c: Column): Column =
-      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+      guard((floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6)
+        + 0.0)
     def rnd4(c: Column): Column =
-      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+      guard((floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4)
+        + 0.0)
     def rnd2(c: Column): Column =
-      (floor(c * 1e2 + 0.5).cast("long").cast("double") / 1e2) + 0.0
+      guard((floor(c * 1e2 + 0.5).cast("long").cast("double") / 1e2)
+        + 0.0)
     g.select(col("pair"), col("n1"), col("n2"),
         rnd6(pHat).as("p_hat"), rnd4(wStat).as("w_stat"),
         rnd2(df).as("df"),
-        (abs(rnd4(wStat)) > 1.96).cast("long").as("reject_5pct"))
+        when(bad, lit(null).cast("long"))
+          .otherwise((abs((floor(wStat * 1e4 + 0.5).cast("long")
+            .cast("double") / 1e4) + 0.0) > 1.96).cast("long"))
+          .as("reject_5pct"))
       .orderBy("pair")
   }
 
@@ -1476,6 +1491,8 @@ object LocationTests {
       |  FROM g),
       |z AS (
       |  SELECT pair, n1, n2,
+      |    (n1 IS NULL OR n2 IS NULL OR n1 < 2 OR n2 < 2
+      |      OR vs1 + vs2 <= 0.0) AS bad,
       |    (rbar2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
       |      / CAST(n1 AS DOUBLE) AS p_hat,
       |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rbar2 - rbar1)
@@ -1486,10 +1503,170 @@ object LocationTests {
       |        + vs2 * vs2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
       |  FROM f)
       |SELECT pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  FLOOR(p_hat * 1e6 + 0.5) / 1e6 + 0 AS p_hat,
-      |  FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0 AS w_stat,
-      |  FLOOR(df * 1e2 + 0.5) / 1e2 + 0 AS df,
-      |  CAST(CASE WHEN ABS(FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0) > 1.96
-      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(p_hat * 1e6 + 0.5) / 1e6 + 0 END AS p_hat,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0 END AS w_stat,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(df * 1e2 + 0.5) / 1e2 + 0 END AS df,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE CAST(CASE WHEN ABS(FLOOR(w_stat * 1e4 + 0.5) / 1e4 + 0)
+      |      > 1.96 THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
       |FROM z ORDER BY pair""".stripMargin
+
+  /** L306 Baumgartner–Weiß–Schindler two-sample test ([PK]
+    * Baumgartner, Weiß & Schindler 1998): a rank test WEIGHTED BY THE
+    * VARIANCE OF THE EMPIRICAL PROCESS, so unlike Mann–Whitney (q210)
+    * and Brunner–Munzel (q367) it keeps full power at the TAILS —
+    * B = ½(B_X + B_Y), B_X = (1/n)Σᵢ (Rᵢ − (m+n)i/n)² /
+    * [(i/(n+1))(1−i/(n+1))·m(m+n)/n]. Same two pairs as q367 (the
+    * power-demo convention): 'priority' sits under the b₀.₀₅ = 2.493
+    * large-sample critical value (measured 2.10/2.48); 'discount'
+    * fires decisively (25.7 at sf0.001, 250 at sf0.01).
+    *
+    * Parity: each term is an exact integer RATIO — numerator
+    * A²(n+1)² with A = nRᵢ − (m+n)i, denominator n·i·(n+1−i)·m·(m+n),
+    * both DECIMAL(38)-exact — divided once in double and micro-
+    * quantized (1e6) per term BEFORE the sum (the seed-122
+    * convention: the cross-row accumulation is exact int64); pooled
+    * and within positions come from a tie-robust (pair, grp, v)
+    * census (cumulative counts + parallel k-th pairing inside tied
+    * runs — identical to per-row ranks on tie-free data and
+    * engine-deterministic on ties); B is one
+    * double chain from the two integer sums, 4dp.
+    *
+    * Scale: the q367 shape — per-pair rank windows, then one keyed
+    * agg; everything after the rank pass is a 4-row census. */
+  def q371Bws(s: SparkSession, dir: String): DataFrame = {
+    val pri = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(lit("priority").as("pair"),
+        when(col("o_orderpriority") === "1-URGENT", lit("x"))
+          .otherwise(lit("y")).as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+    val li = Tables.lineitem(s, dir)
+    val disc = li.select(lit("discount").as("pair"), lit("x").as("grp"),
+        floor(col("l_extendedprice") * 1000000 + 0.5).cast("long")
+          .as("v"))
+      .unionByName(li.select(lit("discount").as("pair"),
+        lit("y").as("grp"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          1000000 + 0.5).cast("long").as("v")))
+    val base = pri.unionByName(disc)
+    // tie-robust census construction (fuzz seed 133: per-row tiebreak
+    // keys can collide on adversarial data, making row_number pairing
+    // engine-dependent): collapse to a (pair, grp, v) census, place
+    // each tied run by cumulative counts (within: v order; pooled:
+    // (v, grp) order, x before y), and pair the k-th within-position
+    // with the k-th pooled rank — on tie-free data this is EXACTLY
+    // the per-row construction, and on ties it is deterministic
+    val census = base.groupBy("pair", "grp", "v")
+      .agg(count(lit(1)).as("cv"))
+    val wInC = Window.partitionBy("pair", "grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPoolC = Window.partitionBy("pair").orderBy("v", "grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy("pair", "grp")
+    val wPair = Window.partitionBy("pair")
+    val dec = "decimal(38,0)"
+    val ranked = census
+      .withColumn("i0", coalesce(sum(col("cv")).over(wInC), lit(0L)) + 1L)
+      .withColumn("r0", coalesce(sum(col("cv")).over(wPoolC), lit(0L)) + 1L)
+      .withColumn("n", sum(col("cv")).over(wGrp))
+      .withColumn("m", sum(col("cv")).over(wPair) - col("n"))
+      .withColumn("k", explode(sequence(lit(0L), col("cv") - 1L)))
+      .withColumn("i", col("i0") + col("k"))
+      .withColumn("r", col("r0") + col("k"))
+    val a = col("n") * col("r") - (col("m") + col("n")) * col("i")
+    val num = a.cast(dec) * a.cast(dec) *
+      ((col("n") + 1L) * (col("n") + 1L)).cast(dec)
+    val den = col("n").cast(dec) * col("i").cast(dec) *
+      (col("n") + 1L - col("i")).cast(dec) * col("m").cast(dec) *
+      (col("m") + col("n")).cast(dec)
+    val micro = floor(num.cast("double") / den.cast("double") * 1e6 + 0.5)
+      .cast("long")
+    // fuzz hardening: a pair whose other group is EMPTY (m = 0) has no
+    // two-sample question — drop its rows (the den factor m would be
+    // an exact-zero ANSI divisor); the group pivot then yields nulls
+    val g = ranked.filter(col("m") > 0L).withColumn("micro", micro)
+      .groupBy("pair", "grp")
+      .agg(max(col("n")).as("n"), sum(col("micro")).as("s"))
+      .groupBy("pair")
+      .agg(max(when(col("grp") === "x", col("n"))).as("n1"),
+        max(when(col("grp") === "y", col("n"))).as("n2"),
+        max(when(col("grp") === "x", col("s"))).as("s1"),
+        max(when(col("grp") === "y", col("s"))).as("s2"))
+    def d(c: String) = col(c).cast("double")
+    val b = (d("s1") / 1e6 / d("n1") + d("s2") / 1e6 / d("n2")) / 2.0
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    g.select(col("pair"), col("n1"), col("n2"), rnd4(b).as("b_stat"),
+        (rnd4(b) > 2.493).cast("long").as("reject_5pct"))
+      .orderBy("pair")
+  }
+
+  val q371BwsSql: String =
+    """WITH base AS (
+      |  SELECT 'priority' AS pair,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'x' ELSE 'y' END
+      |      AS grp,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  UNION ALL
+      |  SELECT 'discount', 'x',
+      |    CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', 'y',
+      |    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+      |      AS BIGINT)
+      |  FROM lineitem),
+      |census AS (
+      |  SELECT pair, grp, v, COUNT(*) AS cv
+      |  FROM base GROUP BY pair, grp, v),
+      |pos AS (
+      |  SELECT pair, grp, v, cv,
+      |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY pair, grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) + 1 AS i0,
+      |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY pair ORDER BY v, grp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) + 1 AS r0,
+      |    CAST(SUM(cv) OVER (PARTITION BY pair, grp) AS BIGINT) AS n,
+      |    CAST(SUM(cv) OVER (PARTITION BY pair) AS BIGINT)
+      |      - CAST(SUM(cv) OVER (PARTITION BY pair, grp) AS BIGINT)
+      |      AS m
+      |  FROM census),
+      |ranked AS (
+      |  SELECT pair, grp, n, m,
+      |    i0 + k AS i, r0 + k AS r
+      |  FROM pos, unnest(generate_series(0, cv - 1)) tk(k)),
+      |t AS (
+      |  SELECT pair, grp, n,
+      |    CAST(FLOOR(
+      |      CAST(CAST(n * r - (m + n) * i AS HUGEINT)
+      |          * CAST(n * r - (m + n) * i AS HUGEINT)
+      |          * CAST((n + 1) * (n + 1) AS HUGEINT) AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * i * (n + 1 - i) * m * (m + n)
+      |          AS DOUBLE)
+      |      * 1e6 + 0.5) AS BIGINT) AS micro
+      |  FROM ranked WHERE m > 0),
+      |g AS (
+      |  SELECT pair, grp, MAX(n) AS n, CAST(SUM(micro) AS BIGINT) AS s
+      |  FROM t GROUP BY pair, grp),
+      |p AS (
+      |  SELECT pair,
+      |    MAX(CASE WHEN grp = 'x' THEN n END) AS n1,
+      |    MAX(CASE WHEN grp = 'y' THEN n END) AS n2,
+      |    MAX(CASE WHEN grp = 'x' THEN s END) AS s1,
+      |    MAX(CASE WHEN grp = 'y' THEN s END) AS s2
+      |  FROM g GROUP BY pair)
+      |SELECT pair, n1, n2,
+      |  FLOOR((CAST(s1 AS DOUBLE) / 1e6 / n1
+      |    + CAST(s2 AS DOUBLE) / 1e6 / n2) / 2.0 * 1e4 + 0.5) / 1e4 + 0
+      |    AS b_stat,
+      |  CAST(CASE WHEN FLOOR((CAST(s1 AS DOUBLE) / 1e6 / n1
+      |      + CAST(s2 AS DOUBLE) / 1e6 / n2) / 2.0 * 1e4 + 0.5) / 1e4 + 0
+      |      > 2.493 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      |FROM p ORDER BY pair""".stripMargin
 }

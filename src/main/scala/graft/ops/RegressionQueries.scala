@@ -540,4 +540,283 @@ object RegressionQueries {
        |    FLOOR(d2 * 1e4 + 0.5) / 1e4 AS mahal_d2
        |  FROM dd ORDER BY d2 DESC, l_orderkey LIMIT 20)
        |ORDER BY mahal_d2 DESC, l_orderkey""".stripMargin
+
+  /** L305 variance-inflation-factor panel ([PK] any regression text,
+    * e.g. Kutner et al. §10.5) — the multicollinearity diagnosis the
+    * q298/q311 fit family assumes away: for the three daily-census
+    * predictors (order count, revenue, 7-day rolling revenue sum),
+    * VIF_j = 1/(1 − R²_j) from regressing each on the other two. For
+    * three predictors the whole panel is closed-form in the three
+    * pairwise correlations: det = 1 − r₁₂² − r₁₃² − r₂₃² + 2r₁₂r₁₃r₂₃
+    * and VIF₁ = (1 − r₂₃²)/det (cyclically). Measured: count↔revenue
+    * collinearity drives VIF to ~3.8/4.0 at sf0.01 while the
+    * smoothed predictor stays near 1.2 — the panel that says WHICH
+    * coefficient SEs q311 inflates.
+    *
+    * Parity: the nine (co)moment sums are exact DECIMAL(38) over the
+    * day census (the q298 discipline); the three correlations and
+    * the VIF chain are one fixed double chain, 4dp/6dp on output.
+    *
+    * Scale: one fact-scan day rollup, one rolling window over the
+    * scale-constant census, ONE 9-moment aggregate, 3-row output. */
+  def q370VifPanel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    val base = d
+      .withColumn("ma7", sum(col("rev")).over(w))
+      .withColumn("pos", row_number().over(Window.orderBy("day")))
+      .filter(col("pos") >= 7)
+      .select(col("cnt").cast(dec).as("x1"), col("rev").cast(dec).as("x2"),
+        col("ma7").cast(dec).as("x3"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x3") * col("x3")).as("s33"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"),
+      sum(col("x2") * col("x3")).as("s23"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    // ANSI-safe divisors (fuzz seed 133): codegen subexpression
+    // elimination can hoist these shared divisions OUT of the
+    // CASE-WHEN guard, and Spark 4 ANSI throws on an exact-zero
+    // divisor — clamp to a subnormal floor (a no-op whenever the
+    // `bad` guard below isn't already nulling the row)
+    def corr(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column =
+      (n * dd(sab) - dd(sa) * dd(sb)) /
+        greatest(sqrt(n * dd(saa) - dd(sa) * dd(sa)) *
+          sqrt(n * dd(sbb) - dd(sb) * dd(sb)), lit(1e-300))
+    val r12 = corr("s12", "s1", "s2", "s11", "s22")
+    val r13 = corr("s13", "s1", "s3", "s11", "s33")
+    val r23 = corr("s23", "s2", "s3", "s22", "s33")
+    val det0 = lit(1.0) - r12 * r12 - r13 * r13 - r23 * r23 +
+      lit(2.0) * r12 * r13 * r23
+    val det = when(abs(det0) < 1e-9, lit(1.0)).otherwise(det0)
+    // fuzz hardening (the q251 convention): a degenerate census —
+    // too few days, a constant predictor, or a singular correlation
+    // matrix — nulls the panel instead of pushing NaN/Inf through
+    // ANSI casts
+    def v(saa: String, sa: String) =
+      n * dd(saa) - dd(sa) * dd(sa)
+    val bad = col("n") < 10L || v("s11", "s1") <= 0.0 ||
+      v("s22", "s2") <= 0.0 || v("s33", "s3") <= 0.0 ||
+      abs(det0) < 1e-9
+    def rnd4(c: Column): Column = when(bad, lit(null).cast("double"))
+      .otherwise((floor(c * 1e4 + 0.5).cast("long").cast("double") /
+        1e4) + 0.0)
+    def rnd6(c: Column): Column = when(bad, lit(null).cast("double"))
+      .otherwise((floor(c * 1e6 + 0.5).cast("long").cast("double") /
+        1e6) + 0.0)
+    val wide = m.select(col("n").as("n_days"),
+      rnd4((lit(1.0) - r23 * r23) / det).as("vif_cnt"),
+      rnd4((lit(1.0) - r13 * r13) / det).as("vif_rev"),
+      rnd4((lit(1.0) - r12 * r12) / det).as("vif_ma7"),
+      rnd6(lit(1.0) - r23 * r23).as("num_cnt"),
+      rnd6(lit(1.0) - r13 * r13).as("num_rev"),
+      rnd6(lit(1.0) - r12 * r12).as("num_ma7"))
+    wide.select(col("n_days"),
+        expr("stack(3, 'cnt', vif_cnt, num_cnt," +
+          " 'ma7', vif_ma7, num_ma7," +
+          " 'rev', vif_rev, num_rev)" +
+          " as (predictor, vif, num_1mr2)"))
+      .select(col("predictor"), col("n_days"), col("vif"),
+        col("num_1mr2"))
+      .orderBy("predictor")
+  }
+
+  val q370VifPanelSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(cnt AS HUGEINT) AS x1, CAST(rev AS HUGEINT) AS x2,
+      |    CAST(SUM(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS HUGEINT) AS x3,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS pos
+      |  FROM d QUALIFY pos >= 7),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+      |    SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x3 * x3) AS s33,
+      |    SUM(x1 * x2) AS s12, SUM(x1 * x3) AS s13, SUM(x2 * x3) AS s23
+      |  FROM b),
+      |c AS (
+      |  SELECT CAST(n AS BIGINT) AS n_days,
+      |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS v11,
+      |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS v22,
+      |    CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+      |      - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS v33,
+      |    (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+      |    (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        * sqrt(CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+      |          - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+      |    (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |        * sqrt(CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+      |          - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+      |  FROM m),
+      |f AS (
+      |  SELECT n_days, r12, r13, r23,
+      |    1.0 - r12 * r12 - r13 * r13 - r23 * r23
+      |      + 2.0 * r12 * r13 * r23 AS det,
+      |    (n_days < 10 OR v11 <= 0.0 OR v22 <= 0.0 OR v33 <= 0.0
+      |      OR ABS(1.0 - r12 * r12 - r13 * r13 - r23 * r23
+      |        + 2.0 * r12 * r13 * r23) < 1e-9) AS bad
+      |  FROM c)
+      |SELECT predictor, n_days,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(vif * 1e4 + 0.5) / 1e4 + 0 END AS vif,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE FLOOR(num * 1e6 + 0.5) / 1e6 + 0 END AS num_1mr2
+      |FROM (
+      |  SELECT n_days, bad, 'cnt' AS predictor,
+      |    (1.0 - r23 * r23) / det AS vif, 1.0 - r23 * r23 AS num FROM f
+      |  UNION ALL
+      |  SELECT n_days, bad, 'ma7', (1.0 - r12 * r12) / det,
+      |    1.0 - r12 * r12
+      |  FROM f
+      |  UNION ALL
+      |  SELECT n_days, bad, 'rev', (1.0 - r13 * r13) / det,
+      |    1.0 - r13 * r13
+      |  FROM f)
+      |ORDER BY predictor""".stripMargin
+
+  /** L307 errors-in-variables regression panel ([PK] Deming 1943;
+    * Ricker 1973 reduced-major-axis) — when BOTH variables carry
+    * noise, OLS y~x attenuates the slope toward 0 and OLS x~y
+    * inverted overshoots; Deming (λ=1) and RMA (geometric-mean)
+    * regression sit between. Two pairs, two regimes (the q364/q367
+    * convention): 'count_rev' (daily order count vs revenue — weakly
+    * correlated, the bracket spans 2×, and Deming-λ=1 pegs at the
+    * inverse bound because the units differ by ~10⁵: the SCALE-
+    * DEPENDENCE lesson, measured not asserted — RMA is the
+    * scale-free answer) and 'net_gross' (daily net vs gross revenue,
+    * r ≈ 0.9999 — the method-comparison regime Deming was built for,
+    * all four slopes pinned near 1.05). The exact algebraic identity
+    * b_rma² = b_ols·b_inv is pinned in the spec.
+    *
+    * Parity: all moment sums exact DECIMAL(38)/HUGEINT over the day
+    * census; each slope is one fixed double chain (the q370 corr
+    * shape) with ONE terminal sqrt; 6dp.
+    *
+    * Scale: one fact-scan day rollup per pair, ONE 6-moment
+    * aggregate each, 2-row output. */
+  def q372EivPanel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val pair1 = o
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast(dec).as("x"),
+        sum(floor(col("o_totalprice") + 0.5).cast("long")).cast(dec)
+          .as("y"))
+      .select(lit("count_rev").as("pair"), col("x"), col("y"))
+    val li = Tables.lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100 + 0.5).cast("long")).cast(dec).as("x"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast(dec).as("y"))
+      .select(lit("net_gross").as("pair"), col("x"), col("y"))
+    val m = pair1.unionByName(li).groupBy("pair").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val cxx = n * dd("sxx") - dd("sx") * dd("sx")
+    val cyy = n * dd("syy") - dd("sy") * dd("sy")
+    val cxy = n * dd("sxy") - dd("sx") * dd("sy")
+    // ANSI-safe divisors (the q370 hoisting note): clamp away exact
+    // zeros; no-ops whenever `bad` below isn't already nulling the row
+    val cxxS = greatest(cxx, lit(1e-300))
+    val cxyS = when(cxy === 0.0, lit(1.0)).otherwise(cxy)
+    val r = cxy / greatest(sqrt(cxx) * sqrt(cyy), lit(1e-300))
+    val bOls = cxy / cxxS
+    val bInv = cyy / cxyS
+    val bDem = (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) +
+      lit(4.0) * cxy * cxy)) / (lit(2.0) * cxyS)
+    val bRma = signum(cxy) * sqrt(cyy) / greatest(sqrt(cxx), lit(1e-300))
+    // fuzz hardening (q251 convention): degenerate day census —
+    // constant x or y, or zero covariance — nulls the slopes
+    val bad = col("n") < 3L || cxx <= 0.0 || cyy <= 0.0 || cxy === 0.0
+    def rnd6(c: Column): Column = when(bad, lit(null).cast("double"))
+      .otherwise((floor(c * 1e6 + 0.5).cast("long").cast("double") /
+        1e6) + 0.0)
+    m.select(col("pair"), col("n").as("n_days"), rnd6(r).as("r"),
+        rnd6(bOls).as("b_ols"), rnd6(bDem).as("b_deming"),
+        rnd6(bRma).as("b_rma"), rnd6(bInv).as("b_inv"))
+      .orderBy("pair")
+  }
+
+  val q372EivPanelSql: String =
+    """WITH p1 AS (
+      |  SELECT 'count_rev' AS pair, CAST(COUNT(*) AS HUGEINT) AS x,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS HUGEINT)
+      |      AS y
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |p2 AS (
+      |  SELECT 'net_gross' AS pair,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+      |      + 0.5) AS BIGINT)) AS HUGEINT) AS x,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS HUGEINT) AS y
+      |  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+      |m AS (
+      |  SELECT pair, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM u GROUP BY pair),
+      |c AS (
+      |  SELECT pair, CAST(n AS BIGINT) AS n_days,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |    (n < 3 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+      |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0
+      |      OR CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0) AS bad
+      |  FROM m)
+      |SELECT pair, n_days,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(cxy / (sqrt(cxx) * sqrt(cyy)) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS r,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(cxy / cxx * 1e6 + 0.5) / 1e6 + 0 END AS b_ols,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+      |      + 4.0 * cxy * cxy)) / (2.0 * cxy) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS b_deming,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(sign(cxy) * sqrt(cyy) / sqrt(cxx) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS b_rma,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(cyy / cxy * 1e6 + 0.5) / 1e6 + 0 END AS b_inv
+      |FROM c ORDER BY pair""".stripMargin
 }

@@ -793,10 +793,14 @@ object SeriesTrendTests {
         .as("num"))
     def f(c: String) = col(c).cast("double")
     val n = f("n")
-    val rvn = lit(12.0) * f("num") / (n * (n * n - 1.0))
-    val z = (rvn - 2.0) / sqrt(lit(4.0) * (n - 2.0) *
+    // ANSI-safe divisors (the q370 hoisting note): clamp exact zeros
+    // (n = 1/2 on adversarial data); identity whenever the n < 10
+    // guard isn't already nulling the row
+    def safe(c: Column) = greatest(c, lit(1e-300))
+    val rvn = lit(12.0) * f("num") / safe(n * (n * n - 1.0))
+    val z = (rvn - 2.0) / safe(sqrt(lit(4.0) * (n - 2.0) *
       (lit(5.0) * n * n - n * 2.0 - 9.0) /
-      (lit(5.0) * n * (n + 1.0) * (n - 1.0) * (n - 1.0)))
+      safe(lit(5.0) * n * (n + 1.0) * (n - 1.0) * (n - 1.0))))
     def rnd6(c: Column): Column =
       (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
     def rnd4(c: Column): Column =

@@ -2190,4 +2190,78 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         s"censoring bias invisible at the widest tau at $sf")
     }
   }
+
+  test("q370: VIF panel sees real collinearity, ordered correctly") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q370_vif", sf).collect()
+        .map(r => r.getAs[String]("predictor") -> r).toMap
+      assert(rows.keySet === Set("cnt", "rev", "ma7"),
+        s"predictor panel short at $sf")
+      rows.values.foreach { r =>
+        assert(r.getAs[Double]("vif") >= 1.0,
+          s"VIF below 1 at $sf — algebraically impossible")
+        val num = r.getAs[Double]("num_1mr2")
+        assert(num > 0.0 && num <= 1.0, s"1−R² out of range at $sf")
+      }
+      // the count<->revenue collinearity (r12 = 0.68/0.86 measured)
+      // must inflate BOTH members above the smoothed predictor —
+      // a panel where everything is ~1 diagnosed nothing
+      val (vc, vr, vm) = (rows("cnt").getAs[Double]("vif"),
+        rows("rev").getAs[Double]("vif"), rows("ma7").getAs[Double]("vif"))
+      assert(vc > vm && vr > vm,
+        s"collinear pair not inflated above the smoothed predictor at $sf")
+      assert(vr > 1.5, s"revenue VIF implausibly low at $sf")
+    }
+  }
+
+  test("q371: BWS fires on dominance and stays under the critical value") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q371_bws", sf).collect()
+        .map(r => r.getAs[String]("pair") -> r).toMap
+      val dom = rows("discount")
+      assert(dom.getAs[Double]("b_stat") > 20.0 &&
+        dom.getAs[Long]("reject_5pct") === 1L,
+        s"dominated pair must fire at $sf")
+      val nul = rows("priority")
+      assert(nul.getAs[Double]("b_stat") < 2.493 &&
+        nul.getAs[Long]("reject_5pct") === 0L,
+        s"null pair crossed the critical value at $sf")
+      rows.values.foreach(r => assert(r.getAs[Long]("n1") > 100L &&
+        r.getAs[Long]("n2") > 100L, s"degenerate samples at $sf"))
+    }
+  }
+
+  test("q372: EIV slopes bracket correctly; RMA identity holds") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q372_eiv", sf).collect()
+        .map(r => r.getAs[String]("pair") -> r).toMap
+      rows.foreach { case (pair, r) =>
+        val (bo, bd, brm, bi) = (r.getAs[Double]("b_ols"),
+          r.getAs[Double]("b_deming"), r.getAs[Double]("b_rma"),
+          r.getAs[Double]("b_inv"))
+        assert(r.getAs[Double]("r") > 0.0, s"$pair r sign at $sf")
+        // attenuation bracket (r > 0): OLS <= {Deming, RMA} <= inverse
+        assert(bo <= bd + 1e-6 && bd <= bi + 1e-6,
+          s"$pair Deming outside the bracket at $sf")
+        assert(bo <= brm + 1e-6 && brm <= bi + 1e-6,
+          s"$pair RMA outside the bracket at $sf")
+        // exact algebraic identity b_rma^2 = b_ols * b_inv (checked
+        // on the 6dp-rounded values -> relative band)
+        assert(math.abs(brm * brm - bo * bi) / (bo * bi) < 1e-4,
+          s"$pair RMA geometric-mean identity broken at $sf")
+      }
+      // regimes: method-comparison pair is tight and near 1.05;
+      // count_rev bracket is wide (attenuation matters)
+      val ng = rows("net_gross")
+      assert(ng.getAs[Double]("r") > 0.99 &&
+        ng.getAs[Double]("b_ols") > 1.0 &&
+        ng.getAs[Double]("b_inv") < 1.1,
+        s"net_gross regime off at $sf")
+      // bracket ratio = 1/r²: measured 2.14 at sf0.001 (r=.68) and
+      // 1.35 at sf0.01 (r=.86) — both decisively away from 1
+      val cr = rows("count_rev")
+      assert(cr.getAs[Double]("b_inv") / cr.getAs[Double]("b_ols") > 1.25,
+        s"count_rev attenuation bracket collapsed at $sf")
+    }
+  }
 }

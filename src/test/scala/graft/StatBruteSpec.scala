@@ -4211,4 +4211,140 @@ class StatBruteSpec extends SparkSpec {
         s"tau=$tau naive")
     }
   }
+
+  test("q370 VIF matches a sequential correlation walk") {
+    val out = SparkEntry.queries("q370_vif")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("predictor") -> r).toMap
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val rows = d.indices.drop(6).map { i =>
+      (d(i)._1.toDouble, d(i)._2.toDouble,
+        d.slice(i - 6, i + 1).map(_._2).sum.toDouble)
+    }
+    val n = rows.length.toDouble
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      (n * sab - sa * sb) /
+        (math.sqrt(n * a.map(x => x * x).sum - sa * sa) *
+          math.sqrt(n * b.map(x => x * x).sum - sb * sb))
+    }
+    val (c1, c2, c3) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (r12, r13, r23) = (corr(c1, c2), corr(c1, c3), corr(c2, c3))
+    val det = 1.0 - r12 * r12 - r13 * r13 - r23 * r23 +
+      2.0 * r12 * r13 * r23
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 1e-4-quantum tolerance: the walk's double sums run in a
+    // different order than the engines' exact DECIMAL moments
+    assert(math.abs(out("cnt").getAs[Double]("vif") -
+      q4((1 - r23 * r23) / det)) <= 2e-4, "vif cnt")
+    assert(math.abs(out("rev").getAs[Double]("vif") -
+      q4((1 - r13 * r13) / det)) <= 2e-4, "vif rev")
+    assert(math.abs(out("ma7").getAs[Double]("vif") -
+      q4((1 - r12 * r12) / det)) <= 2e-4, "vif ma7")
+    assert(math.abs(out("cnt").getAs[Double]("num_1mr2") -
+      q6(1 - r23 * r23)) <= 2e-6, "num cnt")
+  }
+
+  test("q371 BWS matches a sequential weighted-rank walk") {
+    val out = SparkEntry.queries("q371_bws")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    val pri = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        col("o_orderkey").as("tb"))
+      .collect().map(r => (if (r.getString(0) == "1-URGENT") "x" else "y",
+        r.getLong(1), r.getLong(2)))
+    val lif = Tables.lineitem(spark, sf0001)
+      .select(floor(col("l_extendedprice") * 1000000 + 0.5)
+          .cast("long").as("g"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          1000000 + 0.5).cast("long").as("n"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val disc = lif.map(t => ("x", t._1, t._3)) ++
+      lif.map(t => ("y", t._2, t._3))
+
+    def bws(rows: Array[(String, Long, Long)]): Double = {
+      // pooled ranks by the query's (v, grp, tb) total order
+      val pooled = rows.sortBy { case (g, v, tb) => (v, g, tb) }
+      val rk = scala.collection.mutable.Map[(String, Long, Long), Long]()
+      pooled.zipWithIndex.foreach { case (t, i) => rk(t) = i + 1L }
+      var sums = Map("x" -> 0L, "y" -> 0L)
+      val byG = rows.groupBy(_._1)
+      val (nx, ny) = (byG("x").length.toLong, byG("y").length.toLong)
+      byG.foreach { case (g, rs) =>
+        val nn = rs.length.toLong
+        val mm = rows.length.toLong - nn
+        rs.sortBy { case (_, v, tb) => (v, tb) }.zipWithIndex.foreach {
+          case (t, i0) =>
+            val i = i0 + 1L
+            val a = BigInt(nn * rk(t) - (mm + nn) * i)
+            val num = a * a * BigInt((nn + 1) * (nn + 1))
+            val den = BigInt(nn) * BigInt(i) * BigInt(nn + 1 - i) *
+              BigInt(mm) * BigInt(mm + nn)
+            val micro = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5)
+              .toLong
+            sums += g -> (sums(g) + micro)
+        }
+      }
+      (sums("x") / 1e6 / nx + sums("y") / 1e6 / ny) / 2.0
+    }
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(math.abs(out("priority").getAs[Double]("b_stat") -
+      q4(bws(pri))) < 1e-9, "priority B")
+    assert(math.abs(out("discount").getAs[Double]("b_stat") -
+      q4(bws(disc))) < 1e-9, "discount B")
+  }
+
+  test("q372 EIV slopes match a sequential moment walk") {
+    val out = SparkEntry.queries("q372_eiv")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("pair") -> r).toMap
+    def check(pair: String, pts: Array[(Long, Long)]): Unit = {
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxx = pts.map(p => p._1.toDouble * p._1).sum
+      val syy = pts.map(p => p._2.toDouble * p._2).sum
+      val sxy = pts.map(p => p._1.toDouble * p._2).sum
+      val cxx = n * sxx - sx * sx
+      val cyy = n * syy - sy * sy
+      val cxy = n * sxy - sx * sy
+      val bOls = cxy / cxx
+      val bInv = cyy / cxy
+      val bDem = (cyy - cxx + math.sqrt((cyy - cxx) * (cyy - cxx) +
+        4.0 * cxy * cxy)) / (2.0 * cxy)
+      val bRma = math.signum(cxy) * math.sqrt(cyy) / math.sqrt(cxx)
+      val r = out(pair)
+      // walk sums doubles (different order than the engines' exact
+      // DECIMAL moments) -> compare at a few quanta of the rounding;
+      // count_rev slopes are ~5e5 so scale the band relatively
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 2e-6 + 1e-9 * math.abs(b),
+          s"$pair $what: $a vs $b")
+      close(r.getAs[Double]("b_ols"), bOls, "ols")
+      close(r.getAs[Double]("b_inv"), bInv, "inv")
+      close(r.getAs[Double]("b_deming"), bDem, "deming")
+      close(r.getAs[Double]("b_rma"), bRma, "rma")
+    }
+    val p1 = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") + 0.5).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val p2 = Tables.lineitem(spark, sf0001)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("x"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    check("count_rev", p1)
+    check("net_gross", p2)
+  }
 }
