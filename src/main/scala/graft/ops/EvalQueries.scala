@@ -1529,4 +1529,251 @@ object EvalQueries {
       |  CASE WHEN n < 2 OR msr <= 0 THEN NULL
       |    ELSE FLOOR((msr - mse) / msr * 1e6 + 0.5) / 1e6 END AS icc_3_k
       |FROM ms""".stripMargin
+
+  /** L309 Bland–Altman agreement analysis ([PK] Bland & Altman 1986)
+    * — THE method-comparison readout correlation gets wrong (two
+    * systems can correlate at 0.99 and still disagree by a constant
+    * bias): two measurements of daily business volume — order-dated
+    * revenue (orders) vs ship-dated gross revenue (lineitem) — give
+    * per-day differences; published: the bias (mean difference), the
+    * SD of differences, the 95% limits of agreement bias ± 1.96·SD,
+    * and the observed fraction outside them (≈ 4.5% at both SFs —
+    * the nominal-coverage honesty check, asserted in the spec).
+    *
+    * Parity: daily sums exact cents; Σd and Σd² exact
+    * DECIMAL(38)/HUGEINT; bias/SD/LoA one fixed double chain with
+    * one terminal sqrt; the outside-count compares exact ints
+    * against the quantized LoA bounds (4dp — both engines compare
+    * identical doubles), so the count is integer-deterministic.
+    *
+    * Scale: two fact-scan day rollups, one broadcast-joinable
+    * ≤|days| frame, ONE moment agg + one bounded recount. 1 row. */
+  def q374BlandAltman(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("va"))
+    val b = Tables.lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("vb"))
+    val dec = "decimal(38,0)"
+    val diffs = a.join(b, Seq("day"))
+      .select((col("va") - col("vb")).as("d"))
+    val m = diffs.agg(count(lit(1)).as("n"),
+      sum(col("d").cast(dec)).as("sd1"),
+      sum((col("d") * col("d")).cast(dec)).as("sd2"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val bias = dd("sd1") / greatest(n, lit(1e-300))
+    val sdev = sqrt(greatest((n * dd("sd2") - dd("sd1") * dd("sd1")) /
+      greatest(n * (n - 1.0), lit(1e-300)), lit(0.0)))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val stats = m.select(col("n").as("n_days"),
+      rnd4(bias).as("bias_cents"), rnd4(sdev).as("sd_cents"),
+      rnd4(bias - lit(1.96) * sdev).as("loa_lo"),
+      rnd4(bias + lit(1.96) * sdev).as("loa_hi"))
+    val out = diffs.crossJoin(broadcast(stats))
+      .groupBy("n_days", "bias_cents", "sd_cents", "loa_lo", "loa_hi")
+      .agg(sum(when(col("d").cast("double") < col("loa_lo") ||
+        col("d").cast("double") > col("loa_hi"), 1L).otherwise(0L))
+        .as("n_outside"))
+    val bad = col("n_days") < 10L || col("sd_cents") <= 0.0
+    out.select(col("n_days"),
+      when(bad, lit(null).cast("double")).otherwise(col("bias_cents"))
+        .as("bias_cents"),
+      when(bad, lit(null).cast("double")).otherwise(col("sd_cents"))
+        .as("sd_cents"),
+      when(bad, lit(null).cast("double")).otherwise(col("loa_lo"))
+        .as("loa_lo"),
+      when(bad, lit(null).cast("double")).otherwise(col("loa_hi"))
+        .as("loa_hi"),
+      when(bad, lit(null).cast("long")).otherwise(col("n_outside"))
+        .as("n_outside"),
+      when(bad, lit(null).cast("double"))
+        .otherwise((floor(col("n_outside").cast("double") /
+          col("n_days").cast("double") * 1e4 + 0.5).cast("long")
+          .cast("double") / 1e4) + 0.0).as("pct_outside"))
+  }
+
+  val q374BlandAltmanSql: String =
+    """WITH a AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS va
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS vb
+      |  FROM lineitem GROUP BY 1),
+      |diffs AS (SELECT va - vb AS d FROM a JOIN b USING (day)),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(CAST(d AS HUGEINT)) AS sd1,
+      |    SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sd2
+      |  FROM diffs),
+      |st AS (
+      |  SELECT CAST(n AS BIGINT) AS n_days,
+      |    FLOOR(CAST(sd1 AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1e-300)
+      |      * 1e4 + 0.5) / 1e4 + 0 AS bias_cents,
+      |    FLOOR(sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)
+      |        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+      |      / GREATEST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0),
+      |        1e-300), 0.0)) * 1e4 + 0.5) / 1e4 + 0 AS sd_cents,
+      |    FLOOR((CAST(sd1 AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1e-300)
+      |      - 1.96 * sqrt(GREATEST((CAST(n AS DOUBLE)
+      |          * CAST(sd2 AS DOUBLE)
+      |        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+      |      / GREATEST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0),
+      |        1e-300), 0.0))) * 1e4 + 0.5) / 1e4 + 0 AS loa_lo,
+      |    FLOOR((CAST(sd1 AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1e-300)
+      |      + 1.96 * sqrt(GREATEST((CAST(n AS DOUBLE)
+      |          * CAST(sd2 AS DOUBLE)
+      |        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+      |      / GREATEST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0),
+      |        1e-300), 0.0))) * 1e4 + 0.5) / 1e4 + 0 AS loa_hi
+      |  FROM m),
+      |cnt AS (
+      |  SELECT n_days, bias_cents, sd_cents, loa_lo, loa_hi,
+      |    CAST(SUM(CASE WHEN CAST(d AS DOUBLE) < loa_lo
+      |      OR CAST(d AS DOUBLE) > loa_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_outside
+      |  FROM diffs CROSS JOIN st
+      |  GROUP BY n_days, bias_cents, sd_cents, loa_lo, loa_hi)
+      |SELECT n_days,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE bias_cents END AS bias_cents,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE sd_cents END AS sd_cents,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE loa_lo END AS loa_lo,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE loa_hi END AS loa_hi,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE n_outside END AS n_outside,
+      |  CASE WHEN n_days < 10 OR sd_cents <= 0.0 THEN NULL
+      |    ELSE FLOOR(CAST(n_outside AS DOUBLE) / n_days * 1e4 + 0.5)
+      |      / 1e4 + 0 END AS pct_outside
+      |FROM cnt""".stripMargin
+
+  /** L310 weighted-kappa ladder ([PK] Cohen 1968) — ordinal
+    * agreement where the PENALTY for a disagreement grows with its
+    * distance: two tier assignments of every document (terciles by
+    * character count vs terciles by token count — two real proxies
+    * for "document size class") cross-tabulated 3×3; published
+    * beside each other: unweighted κ (all disagreements equal),
+    * linear-weight κ (1 − |i−j|/2), quadratic-weight κ
+    * (1 − (i−j)²/4). Near-diagonal disagreement makes the ladder
+    * strictly increase (0.940 < 0.955 < 0.970 at sf0.001) — the
+    * "weighting matters" readout for ordinal labels.
+    *
+    * Parity: every κ is an EXACT integer ratio — scaling by 4n²
+    * (quadratic), 2n² (linear), n² (unweighted) clears all
+    * denominators: κ_q = (n·P_q − E_q)/(4n² − E_q) with
+    * P_q = Σn_ij(4−(i−j)²), E_q = Σr_i·c_j(4−(i−j)²) all int64 —
+    * one IEEE division each, 6dp. NTILE(3) over the deterministic
+    * (size, doc_id) order is identical in both engines (same
+    * larger-first remainder rule).
+    *
+    * Scale: two rank windows over the corpus (at 100 TB: the
+    * RangedNtile machinery — L35), a 9-cell census, 1-row output. */
+  def q375WeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val t = d.select(col("doc_id"),
+      ntile(3).over(Window.orderBy(col("n_chars"), col("doc_id")))
+        .cast("long").as("ra"),
+      ntile(3).over(Window.orderBy(size(split(col("text"), " ")),
+        col("doc_id"))).cast("long").as("rb"))
+    val cells = t.groupBy("ra", "rb").agg(count(lit(1)).as("c"))
+    val m = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(0L))
+        .as("p0"),
+      sum(col("c") * (lit(2L) - abs(col("ra") - col("rb")))).as("pl"),
+      sum(col("c") * (lit(4L) -
+        (col("ra") - col("rb")) * (col("ra") - col("rb")))).as("pq"))
+    // chance mass needs the full r_i x c_j cross — 3x3, broadcast-tiny
+    val rr = cells.groupBy("ra").agg(sum(col("c")).as("r"))
+    val ccb = cells.groupBy("rb").agg(sum(col("c")).as("cc"))
+    val cross = rr.crossJoin(broadcast(ccb))
+      .agg(sum(when(col("ra") === col("rb"), col("r") * col("cc"))
+          .otherwise(0L)).as("e0"),
+        sum(col("r") * col("cc") *
+          (lit(2L) - abs(col("ra") - col("rb")))).as("el"),
+        sum(col("r") * col("cc") * (lit(4L) -
+          (col("ra") - col("rb")) * (col("ra") - col("rb")))).as("eq"))
+    def dd(c: Column) = c.cast("double")
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    val j = m.crossJoin(broadcast(cross))
+    val n = col("n")
+    val bad = n < 10L || (n * n - col("e0")) === 0L ||
+      (lit(2L) * n * n - col("el")) === 0L ||
+      (lit(4L) * n * n - col("eq")) === 0L
+    def guard(c: Column) = when(bad, lit(null).cast("double"))
+      .otherwise(c)
+    j.select(col("n").as("n_docs"),
+      guard(rnd6(dd(col("p0")) / greatest(dd(n), lit(1e-300))))
+        .as("po"),
+      guard(rnd6(dd(n * col("p0") - col("e0")) /
+        greatest(dd(n * n - col("e0")), lit(1e-300)))).as("kappa"),
+      guard(rnd6(dd(n * col("pl") - col("el")) /
+        greatest(dd(lit(2L) * n * n - col("el")), lit(1e-300))))
+        .as("kappa_lin"),
+      guard(rnd6(dd(n * col("pq") - col("eq")) /
+        greatest(dd(lit(4L) * n * n - col("eq")), lit(1e-300))))
+        .as("kappa_quad"))
+  }
+
+  val q375WeightedKappaSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(NTILE(3) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+      |      AS ra,
+      |    CAST(NTILE(3) OVER (ORDER BY len(string_split(text, ' ')),
+      |      doc_id) AS BIGINT) AS rb
+      |  FROM documents),
+      |cells AS (SELECT ra, rb, COUNT(*) AS c FROM t GROUP BY ra, rb),
+      |m AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT)
+      |      AS p0,
+      |    CAST(SUM(c * (2 - ABS(ra - rb))) AS BIGINT) AS pl,
+      |    CAST(SUM(c * (4 - (ra - rb) * (ra - rb))) AS BIGINT) AS pq
+      |  FROM cells),
+      |rr AS (SELECT ra, CAST(SUM(c) AS BIGINT) AS r FROM cells
+      |  GROUP BY ra),
+      |ccb AS (SELECT rb, CAST(SUM(c) AS BIGINT) AS cc FROM cells
+      |  GROUP BY rb),
+      |cross_t AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN ra = rb THEN r * cc ELSE 0 END) AS BIGINT)
+      |      AS e0,
+      |    CAST(SUM(r * cc * (2 - ABS(ra - rb))) AS BIGINT) AS el,
+      |    CAST(SUM(r * cc * (4 - (ra - rb) * (ra - rb))) AS BIGINT)
+      |      AS eq
+      |  FROM rr CROSS JOIN ccb),
+      |f AS (
+      |  SELECT n, p0, pl, pq, e0, el, eq,
+      |    (n < 10 OR n * n - e0 = 0 OR 2 * n * n - el = 0
+      |      OR 4 * n * n - eq = 0) AS bad
+      |  FROM m CROSS JOIN cross_t)
+      |SELECT n AS n_docs,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(CAST(p0 AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1e-300)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS po,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(CAST(n * p0 - e0 AS DOUBLE)
+      |      / GREATEST(CAST(n * n - e0 AS DOUBLE), 1e-300) * 1e6 + 0.5)
+      |      / 1e6 + 0 END AS kappa,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(CAST(n * pl - el AS DOUBLE)
+      |      / GREATEST(CAST(2 * n * n - el AS DOUBLE), 1e-300)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS kappa_lin,
+      |  CASE WHEN bad THEN NULL ELSE
+      |    FLOOR(CAST(n * pq - eq AS DOUBLE)
+      |      / GREATEST(CAST(4 * n * n - eq AS DOUBLE), 1e-300)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS kappa_quad
+      |FROM f""".stripMargin
 }

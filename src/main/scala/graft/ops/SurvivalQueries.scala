@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Parity._
@@ -688,4 +688,162 @@ object SurvivalQueries {
       |SELECT r.tau AS tau_hours, n_users, rmst_hours, naive_mean_hours
       |FROM r JOIN nv ON r.tau = nv.tau
       |ORDER BY tau_hours""".stripMargin
+
+  /** L308 Aalen–Johansen cumulative incidence under competing risks
+    * ([PK] Aalen & Johansen 1978; Putter et al. 2007 tutorial) — the
+    * estimator 1−KM gets WRONG when churn has more than one cause:
+    * users here leave either right after a purchase (converted-then-
+    * left) or otherwise, and naively running KM per cause treats the
+    * competing cause as censoring, overstating both incidences. AJ
+    * allocates risk properly: CIF_k(t) = Σ_{t'≤t} S(t'−)·d_k(t')/n(t')
+    * with S the ALL-CAUSE KM. The fundamental identity
+    * S(t) + ΣCIF_k(t) = 1 is published per row (its drift bounded by
+    * the quantization) — the spec pins it.
+    *
+    * Parity: the day table is q175's exact construction with churn
+    * split by the user's last event type; S(t−) enters each CIF term
+    * as the PREVIOUS row's already-4dp-rounded survival (cross-engine
+    * exact — no raw libm flows between rows); each term
+    * S4(t−)·d_k/n is one double chain nano-quantized BEFORE the
+    * prefix sum (seed-122 convention); output 6dp.
+    *
+    * Scale: the q175 shape — per-user agg, ≤|days| census, tiny
+    * windows; the cause split adds one max() to the user agg. */
+  def q373AalenJohansen(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"),
+      countDistinct("user_id").as("nu"))
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        max(struct(col("ts"), col("event_type"))).as("last_ev"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        col("last_ev.event_type").as("cause"),
+        col("nu"))
+    val day = peru.groupBy("t")
+      .agg(sum(when(col("churn") === 1L &&
+          col("cause") === "purchase", 1L).otherwise(0L)).as("dp"),
+        sum(when(col("churn") === 1L &&
+          col("cause") =!= "purchase", 1L).otherwise(0L)).as("dq"),
+        sum(lit(1L) - col("churn")).as("c"),
+        max(col("nu")).as("nu"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = col("dp") + col("dq")
+    val withRisk = day.withColumn("n_risk",
+      col("nu") - coalesce(sum(d + col("c")).over(wPrev), lit(0L)))
+    val dead = max(when(d >= col("n_risk"), 1L).otherwise(0L)).over(wCum)
+    val lnTerm9 = when(d === 0L || d >= col("n_risk"), lit(0L))
+      .otherwise(floor(log((col("n_risk") - d).cast("double") /
+        col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+    val base = withRisk
+      .withColumn("dead", dead)
+      .withColumn("ln_prev",
+        coalesce(sum(lnTerm9).over(wPrev), lit(0L)).cast("double") / 1e9)
+      .withColumn("dead_prev",
+        coalesce(max(when(d >= col("n_risk"), 1L).otherwise(0L))
+          .over(wPrev), lit(0L)))
+      .withColumn("ln_s", sum(lnTerm9).over(wCum).cast("double") / 1e9)
+      // S(t−): the previous row's published 4dp survival — exact
+      // cross-engine, so no raw libm value crosses rows
+      .withColumn("s_prev", when(col("dead_prev") === 1L, lit(0.0))
+        .otherwise(round(exp(col("ln_prev")), 4)))
+    def cifTerm(dk: Column): Column =
+      floor(col("s_prev") * dk.cast("double") /
+        col("n_risk").cast("double") * 1e9 + 0.5).cast("long")
+    val cum = base
+      .withColumn("cifp9", sum(cifTerm(col("dp"))).over(wCum))
+      .withColumn("cifq9", sum(cifTerm(col("dq"))).over(wCum))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    cum.select(col("t").as("t_hours"), col("n_risk"),
+        col("dp").as("d_purchase"), col("dq").as("d_other"),
+        col("c").as("n_censored"),
+        rnd6(col("cifp9").cast("double") / 1e9).as("cif_purchase"),
+        rnd6(col("cifq9").cast("double") / 1e9).as("cif_other"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("ln_s")), 4)).as("survival"))
+      .orderBy("t_hours")
+  }
+
+  val q373AalenJohansenSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(ts) AS fin, COUNT(DISTINCT user_id) AS nu FROM e),
+      |peru AS (
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT epoch_us(fin) - 43200000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn,
+      |    (MAX({'ts': ts, 'et': event_type})).et AS cause
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN churn = 1 AND cause = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+      |    CAST(SUM(CASE WHEN churn = 1 AND cause <> 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS dq,
+      |    CAST(SUM(1 - churn) AS BIGINT) AS c
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, dp, dq, c,
+      |    (SELECT nu FROM b) - CAST(COALESCE(SUM(dp + dq + c) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_risk
+      |  FROM day),
+      |cum0 AS (
+      |  SELECT t, dp, dq, c, n_risk,
+      |    MAX(CASE WHEN dp + dq >= n_risk THEN 1 ELSE 0 END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS dead,
+      |    COALESCE(MAX(CASE WHEN dp + dq >= n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS dead_prev,
+      |    CAST(SUM(CASE WHEN dp + dq = 0 OR dp + dq >= n_risk
+      |        THEN CAST(0 AS BIGINT)
+      |        ELSE CAST(FLOOR(LN(CAST(n_risk - dp - dq AS DOUBLE)
+      |          / n_risk) * 1e9 + 0.5) AS BIGINT) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) / 1e9 AS ln_s,
+      |    CAST(COALESCE(SUM(CASE WHEN dp + dq = 0 OR dp + dq >= n_risk
+      |        THEN CAST(0 AS BIGINT)
+      |        ELSE CAST(FLOOR(LN(CAST(n_risk - dp - dq AS DOUBLE)
+      |          / n_risk) * 1e9 + 0.5) AS BIGINT) END) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS DOUBLE) / 1e9 AS ln_prev
+      |  FROM risk),
+      |cum1 AS (
+      |  SELECT *,
+      |    CASE WHEN dead_prev = 1 THEN 0.0
+      |      ELSE ROUND(EXP(ln_prev), 4) END AS s_prev
+      |  FROM cum0),
+      |cum2 AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(FLOOR(s_prev * dp / n_risk * 1e9 + 0.5)
+      |      AS BIGINT)) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cifp9,
+      |    CAST(SUM(CAST(FLOOR(s_prev * dq / n_risk * 1e9 + 0.5)
+      |      AS BIGINT)) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cifq9
+      |  FROM cum1)
+      |SELECT t AS t_hours, n_risk, dp AS d_purchase, dq AS d_other,
+      |  c AS n_censored,
+      |  FLOOR(CAST(cifp9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
+      |    AS cif_purchase,
+      |  FLOOR(CAST(cifq9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0
+      |    AS cif_other,
+      |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END
+      |    AS survival
+      |FROM cum2 ORDER BY t_hours""".stripMargin
 }

@@ -2264,4 +2264,75 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         s"count_rev attenuation bracket collapsed at $sf")
     }
   }
+
+  test("q373: AJ incidences honor the fundamental identity, both causes") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q373_aalen_johansen", sf).orderBy("t_hours")
+        .collect()
+      assert(rows.length >= 10, s"event-time census short at $sf")
+      var prevP = 0.0; var prevQ = 0.0; var prevRisk = Long.MaxValue
+      rows.foreach { r =>
+        val (p, q, sv) = (r.getAs[Double]("cif_purchase"),
+          r.getAs[Double]("cif_other"), r.getAs[Double]("survival"))
+        // S(t) + CIF_p(t) + CIF_o(t) = 1 — the property 1−KM-per-cause
+        // VIOLATES under competing risks; drift bound = S's 4dp
+        // quantization feeding each term
+        assert(math.abs(sv + p + q - 1.0) < 5e-4,
+          s"fundamental identity broken at $sf t=${r.getAs[Long]("t_hours")}")
+        assert(p >= prevP - 1e-12 && q >= prevQ - 1e-12,
+          s"CIF not monotone at $sf")
+        assert(r.getAs[Long]("n_risk") < prevRisk,
+          s"risk set not strictly shrinking at $sf")
+        prevP = p; prevQ = q; prevRisk = r.getAs[Long]("n_risk")
+      }
+      // both competing causes must actually occur, and leave real
+      // incidence mass — a zero cause would mean the split is vacuous
+      assert(rows.map(_.getAs[Long]("d_purchase")).sum >= 1L,
+        s"no purchase-cause churn at $sf")
+      assert(rows.map(_.getAs[Long]("d_other")).sum >= 1L,
+        s"no other-cause churn at $sf")
+      val last = rows.last
+      assert(last.getAs[Double]("cif_purchase") +
+        last.getAs[Double]("cif_other") > 0.2,
+        s"total incidence implausibly small at $sf")
+    }
+  }
+
+  test("q374: Bland-Altman limits carry ~nominal coverage") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q374_bland_altman", sf).head()
+      val n = r.getAs[Long]("n_days")
+      assert(n > 500L, s"day-pair census short at $sf")
+      assert(r.getAs[Double]("sd_cents") > 0.0, s"zero spread at $sf")
+      assert(r.getAs[Double]("loa_lo") < r.getAs[Double]("bias_cents") &&
+        r.getAs[Double]("bias_cents") < r.getAs[Double]("loa_hi"),
+        s"LoA don't bracket the bias at $sf")
+      // nominal 5% coverage check (measured 4.51%/4.59%): a badly
+      // non-normal or mis-computed SD lands far outside [2%, 8%]
+      val pct = r.getAs[Double]("pct_outside")
+      assert(pct > 0.02 && pct < 0.08,
+        s"LoA coverage $pct far from nominal at $sf")
+      // the two systems genuinely disagree (the bias is real): order-
+      // dated vs ship-dated revenue differ systematically
+      assert(math.abs(r.getAs[Double]("bias_cents")) > 0.0,
+        s"zero bias suspicious at $sf")
+    }
+  }
+
+  test("q375: the kappa ladder is strictly ordered and beats chance") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q375_weighted_kappa", sf).head()
+      assert(r.getAs[Long]("n_docs") >= 100L, s"doc census short at $sf")
+      val (k, kl, kq) = (r.getAs[Double]("kappa"),
+        r.getAs[Double]("kappa_lin"), r.getAs[Double]("kappa_quad"))
+      // near-diagonal disagreement (tercile size proxies) => the
+      // quadratic weights forgive most of it: k < k_lin < k_quad
+      assert(k < kl && kl < kq,
+        s"weighting ladder out of order at $sf: $k, $kl, $kq")
+      assert(k > 0.2 && kq < 1.0,
+        s"agreement out of plausible band at $sf")
+      assert(r.getAs[Double]("po") < 1.0,
+        s"perfect agreement means the two proxies collapsed at $sf")
+    }
+  }
 }

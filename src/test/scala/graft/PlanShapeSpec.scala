@@ -572,7 +572,17 @@ class PlanShapeSpec extends SparkSpec {
       // bounds broadcast TWICE — once under the KM chain, once under
       // the naive-mean comparator (both the allowlisted q242 form;
       // everything after the per-user agg is a ≤|days|×3 census)
-      "q369_rmst")
+      "q369_rmst",
+      // r16: q373's 1-row (corpus end, user total) bounds broadcast
+      // under the per-user agg — the identical q175/q242 form
+      "q373_aalen_johansen",
+      // r16: q374's 1-row stats broadcast back onto the ≤|days|
+      // difference frame for the outside-LoA recount (the q242 form)
+      "q374_bland_altman",
+      // r16: q375's two 1-row broadcasts — the 3-row marginals cross
+      // (3×3 chance mass) and the 1-row moment/chance join — both
+      // census-side, nothing fact-sized
+      "q375_weighted_kappa")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -585,7 +595,7 @@ class PlanShapeSpec extends SparkSpec {
     // join (advisor fix — zero-count cells so every judge ranks the
     // same object set) on top of its 1-row tie-census broadcast.
     val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
-      "q285_kendall_w" -> 2, "q369_rmst" -> 2)
+      "q285_kendall_w" -> 2, "q369_rmst" -> 2, "q375_weighted_kappa" -> 2)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

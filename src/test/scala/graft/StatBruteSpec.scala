@@ -4347,4 +4347,142 @@ class StatBruteSpec extends SparkSpec {
     check("count_rev", p1)
     check("net_gross", p2)
   }
+
+  test("q373 Aalen-Johansen matches a sequential competing-risks walk") {
+    val out = SparkEntry.queries("q373_aalen_johansen")(spark, sf0001)
+      .orderBy("t_hours").collect()
+    val e = Tables.events(spark, sf0001).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"),
+        max(struct(col("ts"), col("event_type"))).as("le"))
+      .collect().map(r => (r.getAs[Long]("f"), r.getAs[Long]("l"),
+        r.getStruct(r.fieldIndex("le")).getString(1)))
+    val endUs = e.map(_._2).max
+    val lives = e.map { case (f, l, cause) =>
+      ((l - f) / 3600000000L,
+        l <= endUs - 12L * 3600L * 1000000L, cause)
+    }
+    val nu = lives.length
+    val byT = lives.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = nu.toLong
+    var lnSum = 0L
+    var deadPrev = 0L
+    var cifP9 = 0L
+    var cifQ9 = 0L
+    val walk = byT.map { case (t, g) =>
+      val dp = g.count(x => x._2 && x._3 == "purchase").toLong
+      val dq = g.count(x => x._2 && x._3 != "purchase").toLong
+      val d = dp + dq
+      val sPrev = if (deadPrev == 1L) 0.0
+        else math.floor(math.exp(lnSum.toDouble / 1e9) * 1e4 + 0.5) / 1e4
+      cifP9 += math.floor(sPrev * dp.toDouble / atRisk.toDouble * 1e9
+        + 0.5).toLong
+      cifQ9 += math.floor(sPrev * dq.toDouble / atRisk.toDouble * 1e9
+        + 0.5).toLong
+      if (d >= atRisk) deadPrev = 1L
+      if (d > 0 && d < atRisk)
+        lnSum += math.floor(math.log((atRisk - d).toDouble /
+          atRisk.toDouble) * 1e9 + 0.5).toLong
+      val sv = if (deadPrev == 1L) 0.0
+        else math.floor(math.exp(lnSum.toDouble / 1e9) * 1e4 + 0.5) / 1e4
+      val row = (t, atRisk, dp, dq,
+        math.floor(cifP9.toDouble / 1e9 * 1e6 + 0.5) / 1e6,
+        math.floor(cifQ9.toDouble / 1e9 * 1e6 + 0.5) / 1e6, sv)
+      atRisk -= g.length
+      row
+    }
+    assert(out.length === walk.length, "event-time row count")
+    out.zip(walk).foreach { case (r, (t, risk, dp, dq, cp, cq, sv)) =>
+      assert(r.getAs[Long]("t_hours") === t, s"t=$t")
+      assert(r.getAs[Long]("n_risk") === risk, s"t=$t risk")
+      assert(r.getAs[Long]("d_purchase") === dp, s"t=$t dp")
+      assert(r.getAs[Long]("d_other") === dq, s"t=$t dq")
+      assert(math.abs(r.getAs[Double]("cif_purchase") - cp) < 1e-9,
+        s"t=$t CIF purchase")
+      assert(math.abs(r.getAs[Double]("cif_other") - cq) < 1e-9,
+        s"t=$t CIF other")
+      assert(math.abs(r.getAs[Double]("survival") - sv) < 1e-9,
+        s"t=$t survival")
+    }
+  }
+
+  test("q374 Bland-Altman matches a sequential difference walk") {
+    val r = SparkEntry.queries("q374_bland_altman")(spark, sf0001).head()
+    val a = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("v")).collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    val b = Tables.lineitem(spark, sf0001)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("v")).collect()
+      .map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    val d = a.keySet.intersect(b.keySet).toSeq.sorted
+      .map(k => a(k) - b(k))
+    val n = d.length.toDouble
+    val s1 = d.map(BigDecimal(_)).sum.toDouble
+    val s2 = d.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+    val bias = s1 / n
+    val sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Long]("n_days") === d.length.toLong, "n")
+    assert(math.abs(r.getAs[Double]("bias_cents") - q4(bias)) <= 2e-4)
+    assert(math.abs(r.getAs[Double]("sd_cents") - q4(sd)) <= 2e-4)
+    val (lo, hi) = (r.getAs[Double]("loa_lo"), r.getAs[Double]("loa_hi"))
+    val outside = d.count(x => x.toDouble < lo || x.toDouble > hi)
+    assert(r.getAs[Long]("n_outside") === outside.toLong, "outside count")
+  }
+
+  test("q375 kappa ladder matches a sequential contingency walk") {
+    val r = SparkEntry.queries("q375_weighted_kappa")(spark, sf0001)
+      .head()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = docs.length
+    def terciles(key: (Long, Long, Long) => (Long, Long)) = {
+      val order = docs.sortBy(key.tupled)
+      // NTILE(3): first buckets take the remainder (both engines)
+      val base = n / 3; val rem = n % 3
+      val sizes = (0 until 3).map(i => base + (if (i < rem) 1 else 0))
+      val tiers = new Array[Int](n)
+      var idx = 0
+      sizes.zipWithIndex.foreach { case (sz, t) =>
+        (0 until sz).foreach { _ =>
+          tiers(docs.indexOf(order(idx))) = t + 1; idx += 1 }
+      }
+      tiers
+    }
+    val ra = terciles((id, nc, _) => (nc, id))
+    val rb = terciles((id, _, tk) => (tk, id))
+    val nij = Array.fill(4, 4)(0L)
+    docs.indices.foreach(i => nij(ra(i))(rb(i)) += 1)
+    val rr = (1 to 3).map(i => (1 to 3).map(j => nij(i)(j)).sum)
+    val cc = (1 to 3).map(j => (1 to 3).map(i => nij(i)(j)).sum)
+    val p0 = (1 to 3).map(i => nij(i)(i)).sum
+    def pw(w: (Int, Int) => Long) =
+      (for (i <- 1 to 3; j <- 1 to 3) yield nij(i)(j) * w(i, j)).sum
+    def ew(w: (Int, Int) => Long) =
+      (for (i <- 1 to 3; j <- 1 to 3)
+        yield rr(i - 1) * cc(j - 1) * w(i, j)).sum
+    val nl = n.toLong
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val kap = (nl * p0 - ew((i, j) => if (i == j) 1L else 0L)).toDouble /
+      (nl * nl - ew((i, j) => if (i == j) 1L else 0L)).toDouble
+    val kl = (nl * pw((i, j) => 2L - math.abs(i - j)) -
+      ew((i, j) => 2L - math.abs(i - j))).toDouble /
+      (2L * nl * nl - ew((i, j) => 2L - math.abs(i - j))).toDouble
+    val kq = (nl * pw((i, j) => 4L - (i - j).toLong * (i - j)) -
+      ew((i, j) => 4L - (i - j).toLong * (i - j))).toDouble /
+      (4L * nl * nl - ew((i, j) => 4L - (i - j).toLong * (i - j)))
+        .toDouble
+    assert(r.getAs[Long]("n_docs") === nl, "n")
+    assert(math.abs(r.getAs[Double]("kappa") - q6(kap)) < 1e-9, "kappa")
+    assert(math.abs(r.getAs[Double]("kappa_lin") - q6(kl)) < 1e-9, "lin")
+    assert(math.abs(r.getAs[Double]("kappa_quad") - q6(kq)) < 1e-9, "quad")
+  }
 }
