@@ -1321,4 +1321,71 @@ object CorpusQueries {
       |FROM pf GROUP BY lang
       |ORDER BY lang""".stripMargin
   }
+
+  /** L312 term burstiness / Poisson adaptation ([PK] Church & Gale
+    * 1995; Katz 1996): content words are BURSTY — once a document
+    * uses a term it tends to reuse it — so their document frequency
+    * falls SHORT of the Poisson prediction df̂ = N(1 − e^(−cf/N)),
+    * while function words track it. Per top-20 term by collection
+    * frequency: cf, df, Katz's adaptation E[tf | tf > 0] = cf/df, and
+    * the observed/Poisson df ratio — the screen that separates
+    * topical vocabulary from glue in corpus curation (a burst-blind
+    * tf weighting overcounts topical repetition).
+    *
+    * Parity: cf/df/N are exact integer censuses; burstiness is one
+    * IEEE division of exact ints; the Poisson df̂ has ONE terminal
+    * exp on the identical exact ratio (q354 exemption), 4dp; the
+    * ratio divides the exact df by the quantized df̂.
+    *
+    * Scale: one explode → (term) hash agg (map-side combinable,
+    * exchanged volume ~|vocab|), TakeOrdered 20, 1-row N broadcast. */
+  def q377Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("term")).limit(20)
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val nd = col("n_docs").cast("double")
+    val dfHat = nd * (lit(1.0) -
+      exp(lit(0.0) - col("cf").cast("double") / nd))
+    stats.crossJoin(broadcast(n))
+      .select(col("term"), col("cf"), col("df"),
+        rnd4(col("cf").cast("double") / col("df").cast("double"))
+          .as("burstiness"),
+        rnd4(dfHat).as("df_poisson"),
+        rnd4(col("df").cast("double") /
+          greatest(rnd4(dfHat), lit(1e-300))).as("adaptation"))
+      .orderBy(col("cf").desc, col("term"))
+  }
+
+  val q377BurstinessSql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |stats AS (
+      |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term
+      |  ORDER BY cf DESC, term LIMIT 20),
+      |f AS (
+      |  SELECT term, cf, df, CAST(n_docs AS BIGINT) AS n_docs,
+      |    FLOOR(CAST(n_docs AS DOUBLE) * (1.0
+      |      - exp(0.0 - CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+      |      * 1e4 + 0.5) / 1e4 + 0 AS df_poisson
+      |  FROM stats CROSS JOIN n)
+      |SELECT term, cf, df,
+      |  FLOOR(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) * 1e4 + 0.5)
+      |    / 1e4 + 0 AS burstiness,
+      |  df_poisson,
+      |  FLOOR(CAST(df AS DOUBLE) / GREATEST(df_poisson, 1e-300)
+      |    * 1e4 + 0.5) / 1e4 + 0 AS adaptation
+      |FROM f ORDER BY cf DESC, term""".stripMargin
 }

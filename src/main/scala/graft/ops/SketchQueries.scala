@@ -753,6 +753,107 @@ object SketchQueries {
        |      - n_exact) / n_exact * 1e4 + 0.5) / 1e4 + 0 AS rel_err
        |FROM fin ORDER BY priority""".stripMargin
 
+  /** L311 HLL register rollup *(the q351 capability for the q362
+    * sketch)*: monthly 256-register HLL censuses of distinct
+    * customers merged into QUARTERS by register-wise MAX — the merge
+    * property HLL exists for (a register census is a lossless union
+    * summary: max(M_a, M_b) is the census of A ∪ B) — each quarterly
+    * estimate published BESIDE the exact distinct count and the
+    * relative error. At fixture SFs every quarter sits in Flajolet's
+    * linear-counting branch (30–500 distinct vs m = 256), which the
+    * spec pins; the raw-regime branch is q362's.
+    *
+    * Parity: the q362 arithmetic per quarter — register maxima and
+    * Σ2^(41−M_j) exact int64, α₂₅₆ a literal chain, the
+    * linear-counting ln TERMINAL on the exact m/V ratio; 4dp.
+    *
+    * Scale: the monthly register census is map-side-combinable
+    * (≤ 24·256 rows after partial agg); the quarterly merge touches
+    * ≤ 8·256 rows; the exact side is the full per-quarter distinct
+    * the rollup replaces — the measuring stick (q351 convention). */
+  def q376HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val mask = 1099511627775L
+    val o = Tables.orders(s, dir)
+      .select((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).cast("long").as("m"),
+        (year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).cast("long").as("qtr"),
+        col("o_custkey"),
+        Kmv.hashCol(col("o_custkey")).as("hv"))
+    val monthly = o
+      .select(col("qtr"), col("m"), shiftright(col("hv"), 40).as("idx"),
+        col("hv").bitwiseAND(lit(mask)).as("w"))
+      .withColumn("rho", when(col("w") === 0L, lit(41L))
+        .otherwise(lit(41L) - length(bin(col("w"))).cast("long")))
+      .groupBy("qtr", "m", "idx").agg(max(col("rho")).as("mm"))
+    val merged = monthly.groupBy("qtr", "idx")
+      .agg(max(col("mm")).as("m"))
+    val agg = merged.groupBy("qtr").agg(
+      count(lit(1)).as("nreg"),
+      sum(expr("shiftleft(1L, cast(41 - m as int))")).as("s_obs"))
+    val ex = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 10 +
+        quarter(col("o_orderdate"))).cast("long").as("qtr"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val v = lit(256L) - col("nreg")
+    val sInt = col("s_obs") + v * lit(2199023255552L)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val eRaw = alpha * lit(65536.0) * lit(2199023255552.0) /
+      sInt.cast("double")
+    val est = when(eRaw <= 640.0 && v > 0L,
+      lit(256.0) * log(lit(256.0) / v.cast("double"))).otherwise(eRaw)
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    agg.join(broadcast(ex), Seq("qtr"))
+      .select(col("qtr").as("quarter"), col("n_exact"),
+        v.as("v_empty"), rnd4(est).as("hll_est"),
+        rnd4((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+      .orderBy("quarter")
+  }
+
+  val q376HllRollupSql: String =
+    s"""WITH h AS (
+       |  SELECT date_part('year', o_orderdate) * 100
+       |      + date_part('month', o_orderdate) AS m,
+       |    date_part('year', o_orderdate) * 10
+       |      + date_part('quarter', o_orderdate) AS qtr,
+       |    ${Kmv.hashSql("o_custkey")} AS hv
+       |  FROM orders),
+       |monthly AS (
+       |  SELECT qtr, m, hv >> 40 AS idx,
+       |    MAX(CASE WHEN (hv & 1099511627775) = 0 THEN 41
+       |      ELSE 41 - length(bin(hv & 1099511627775)) END) AS mm
+       |  FROM h GROUP BY qtr, m, hv >> 40),
+       |merged AS (
+       |  SELECT qtr, idx, MAX(mm) AS mreg FROM monthly GROUP BY qtr, idx),
+       |agg AS (
+       |  SELECT qtr, CAST(COUNT(*) AS BIGINT) AS nreg,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mreg AS INT))
+       |      AS BIGINT) AS s_obs
+       |  FROM merged GROUP BY qtr),
+       |ex AS (
+       |  SELECT date_part('year', o_orderdate) * 10
+       |      + date_part('quarter', o_orderdate) AS qtr,
+       |    COUNT(DISTINCT o_custkey) AS n_exact
+       |  FROM orders GROUP BY 1),
+       |fin AS (
+       |  SELECT agg.qtr, n_exact, nreg, 256 - nreg AS v_empty,
+       |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+       |      / CAST(s_obs + (256 - nreg) * (CAST(1 AS BIGINT) << 41)
+       |          AS DOUBLE) AS e_raw
+       |  FROM agg JOIN ex ON agg.qtr = ex.qtr)
+       |SELECT CAST(qtr AS BIGINT) AS quarter,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(256 - nreg AS BIGINT) AS v_empty,
+       |  FLOOR(CASE WHEN e_raw <= 640.0 AND 256 - nreg > 0
+       |      THEN 256.0 * ln(256.0 / (256 - nreg)) ELSE e_raw END
+       |    * 1e4 + 0.5) / 1e4 + 0 AS hll_est,
+       |  FLOOR((CASE WHEN e_raw <= 640.0 AND 256 - nreg > 0
+       |      THEN 256.0 * ln(256.0 / (256 - nreg)) ELSE e_raw END
+       |      - n_exact) / n_exact * 1e4 + 0.5) / 1e4 + 0 AS rel_err
+       |FROM fin ORDER BY quarter""".stripMargin
+
   /** L298 AMS F2 tug-of-war sketch rollup ([PK] Alon, Matias &
     * Szegedy 1996): estimate the second frequency moment
     * F2 = Σ_c f_c² of per-customer order counts from 32 ±1-sign

@@ -2335,4 +2335,61 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         s"perfect agreement means the two proxies collapsed at $sf")
     }
   }
+
+  test("q376: HLL rollup estimates land per quarter; registers real") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q376_hll_rollup", sf).collect()
+      assert(rows.length >= 20, s"quarter census short at $sf")
+      rows.foreach { r =>
+        val q = r.getAs[Long]("quarter")
+        // sf0.001 quarters sit deep in linear counting (max |err|
+        // 4.6%); sf0.01 quarters (~460 distinct vs m=256) cross the
+        // transition zone where LC variance peaks (measured max 16.4%)
+        // — the q362 4-sigma envelope covers both
+        assertEstimatorLands(s"q376 quarter $q at $sf",
+          estimate = r.getAs[Double]("hll_est"),
+          truth = r.getAs[Long]("n_exact").toDouble,
+          band = RelErr(0.26), support = r.getAs[Long]("n_exact"),
+          minSupport = 20L)
+        assert(r.getAs[Long]("v_empty") > 0L &&
+          r.getAs[Long]("v_empty") < 256L,
+          s"register census degenerate at $sf q=$q")
+      }
+    }
+  }
+
+  test("q377: top terms are bursty — adaptation below the Poisson line") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q377_burstiness", sf).collect()
+      assert(rows.length === 20, s"top-term census short at $sf")
+      rows.foreach { r =>
+        val t = r.getAs[String]("term")
+        assert(r.getAs[Double]("burstiness") > 1.5,
+          s"top term '$t' not bursty at $sf — repetition never fired")
+        // Church-Gale signature: observed df falls SHORT of Poisson
+        assert(r.getAs[Long]("df").toDouble <
+          r.getAs[Double]("df_poisson"),
+          s"term '$t' beats the Poisson df at $sf — not bursty")
+        assert(r.getAs[Double]("adaptation") < 1.0 &&
+          r.getAs[Double]("adaptation") > 0.5,
+          s"adaptation out of band for '$t' at $sf")
+      }
+    }
+  }
+
+  test("q378: tau_AP is top-weighted — differs from plain tau") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q378_tau_ap", sf).head()
+      assert(r.getAs[Long]("n_items") === 50L, s"top-50 short at $sf")
+      val (t, ta) = (r.getAs[Double]("kendall_tau"),
+        r.getAs[Double]("tau_ap"))
+      assert(t > 0.2 && t < 0.9 && ta > 0.2 && ta < 0.9,
+        s"correlations out of plausible band at $sf: tau=$t tau_ap=$ta")
+      // measured: head discordance dominates this ranker pair, so the
+      // top-weighted coefficient sits BELOW plain tau (0.45 vs 0.57 at
+      // sf0.001) — equality would mean the weighting did nothing
+      assert(math.abs(ta - t) > 0.005,
+        s"top-weighting invisible at $sf: tau=$t tau_ap=$ta")
+    }
+  }
 }

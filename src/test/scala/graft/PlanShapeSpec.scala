@@ -582,7 +582,14 @@ class PlanShapeSpec extends SparkSpec {
       // r16: q375's two 1-row broadcasts — the 3-row marginals cross
       // (3×3 chance mass) and the 1-row moment/chance join — both
       // census-side, nothing fact-sized
-      "q375_weighted_kappa")
+      "q375_weighted_kappa",
+      // r16: q377's 1-row corpus-size broadcast onto the 20-row
+      // top-term census (the q244 aggregate-pair shape)
+      "q377_burstiness",
+      // r16: q378's bounded pair machinery — the 50-row ranked census
+      // self-joined on a rank inequality (the q211 broadcast-pair
+      // discipline), plus two 1-row aggregate crosses
+      "q378_tau_ap")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -595,7 +602,8 @@ class PlanShapeSpec extends SparkSpec {
     // join (advisor fix — zero-count cells so every judge ranks the
     // same object set) on top of its 1-row tie-census broadcast.
     val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
-      "q285_kendall_w" -> 2, "q369_rmst" -> 2, "q375_weighted_kappa" -> 2)
+      "q285_kendall_w" -> 2, "q369_rmst" -> 2, "q375_weighted_kappa" -> 2,
+      "q378_tau_ap" -> 3)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

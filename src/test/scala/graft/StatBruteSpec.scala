@@ -4485,4 +4485,111 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("kappa_lin") - q6(kl)) < 1e-9, "lin")
     assert(math.abs(r.getAs[Double]("kappa_quad") - q6(kq)) < 1e-9, "quad")
   }
+
+  test("q376 HLL rollup matches a quarter-direct register walk") {
+    // the query merges MONTHLY register censuses by max; this walk
+    // builds each quarter's registers directly — equality IS the
+    // lossless-union property of the register summary
+    val out = SparkEntry.queries("q376_hll_rollup")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("quarter") -> r).toMap
+    val rows = Tables.orders(spark, sf0001)
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .collect().map { r =>
+        val d = r.getDate(0).toLocalDate
+        (d.getYear * 10L + ((d.getMonthValue - 1) / 3 + 1), r.getLong(1))
+      }
+    val mask = (1L << 40) - 1L
+    rows.groupBy(_._1).foreach { case (qtr, g) =>
+      val regs = Array.fill(256)(0L)
+      g.foreach { case (_, k) =>
+        val h = md5Hv48(k)
+        val idx = (h >> 40).toInt
+        val w = h & mask
+        val rho = if (w == 0L) 41L
+          else 41L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val v = regs.count(_ == 0L)
+      val sInt = regs.map(m => 1L << (41L - m).toInt).sum
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val eRaw = alpha * 65536.0 * 2199023255552.0 / sInt.toDouble
+      val est =
+        if (eRaw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+      val exact = g.map(_._2).distinct.length
+      val r = out(qtr)
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Long]("n_exact") === exact.toLong, s"$qtr exact")
+      assert(r.getAs[Long]("v_empty") === v.toLong, s"$qtr empty")
+      assert(math.abs(r.getAs[Double]("hll_est") - q4(est)) < 1e-9,
+        s"$qtr estimate")
+    }
+  }
+
+  test("q377 burstiness matches a sequential token-census walk") {
+    val out = SparkEntry.queries("q377_burstiness")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length
+    val cf = scala.collection.mutable.Map[String, Long]()
+    val df = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (_, text) =>
+      val toks = text.split(" ", -1)
+      toks.foreach(t => cf(t) = cf.getOrElse(t, 0L) + 1L)
+      toks.distinct.foreach(t => df(t) = df.getOrElse(t, 0L) + 1L)
+    }
+    val top = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(top.map(_._1).toSet === out.keySet, "top-20 term set")
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    top.foreach { case (t, c) =>
+      val r = out(t)
+      assert(r.getAs[Long]("cf") === c, s"$t cf")
+      assert(r.getAs[Long]("df") === df(t), s"$t df")
+      assert(math.abs(r.getAs[Double]("burstiness") -
+        q4(c.toDouble / df(t))) < 1e-9, s"$t burstiness")
+      val dfHat = q4(nDocs * (1.0 - math.exp(0.0 - c.toDouble / nDocs)))
+      assert(math.abs(r.getAs[Double]("df_poisson") - dfHat) < 1e-9,
+        s"$t poisson df")
+      assert(math.abs(r.getAs[Double]("adaptation") -
+        q4(df(t).toDouble / math.max(dfHat, 1e-300))) < 1e-9, s"$t adapt")
+    }
+  }
+
+  test("q378 tau_AP matches a sequential top-weighted walk") {
+    val r = SparkEntry.queries("q378_tau_ap")(spark, sf0001).head()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val top = docs.sortBy { case (id, nc, _) => (-nc, id) }.take(50)
+    val rt = top.zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }
+      .toMap
+    val rs = top.sortBy { case (id, _, tk) => (-tk, id) }.zipWithIndex
+      .map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    val items = top.map { case (id, _, _) => (rs(id), rt(id)) }
+    val n = items.length
+    var nc = 0L
+    items.foreach { case (rsa, rta) =>
+      items.foreach { case (rsb, rtb) =>
+        if (rsa < rsb && rta < rtb) nc += 1
+      }
+    }
+    val npairs = n.toLong * (n - 1) / 2
+    var s9 = 0L
+    items.foreach { case (rsb, rtb) =>
+      if (rsb >= 2) {
+        val c = items.count { case (rsa, rta) => rsa < rsb && rta < rtb }
+        s9 += math.floor(c.toDouble / (rsb - 1).toDouble * 1e9 + 0.5)
+          .toLong
+      }
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val tau = 2.0 * (nc * 2L - npairs).toDouble /
+      (n.toLong * (n - 1)).toDouble
+    val tauAp = 2.0 / (n - 1).toDouble * (s9.toDouble / 1e9) - 1.0
+    assert(r.getAs[Long]("n_items") === n.toLong)
+    assert(math.abs(r.getAs[Double]("kendall_tau") - q6(tau)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("tau_ap") - q6(tauAp)) < 1e-9)
+  }
 }
