@@ -1143,4 +1143,74 @@ object PipelineQueries {
        |      + 0.5) / 1e4 + 0 END AS se_post
        |FROM fin""".stripMargin
   }
+
+  /** L315 Kish design effect / effective sample size ([PK] Kish
+    * 1965 §8.2): when observations carry unequal weights (here: order
+    * value as an importance weight — the DSIR/mixing regime of q313/
+    * q86), the variance of a weighted mean behaves as if only
+    * n_eff = (Σw)²/Σw² observations existed; deff = n/n_eff is the
+    * inflation factor every weighted-sample SE must carry. Per market
+    * segment: n, n_eff, deff, and the weight coefficient of variation
+    * that drives it (deff = 1 + cv² exactly — pinned in the spec).
+    *
+    * Parity: Σw and Σw² are exact DECIMAL(38)/HUGEINT sums of exact
+    * cents; n_eff/deff/cv one fixed double chain each, 4dp.
+    *
+    * Scale: one broadcast-dim fact agg (map-side combinable), 5-row
+    * output. */
+  def q380KishNeff(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val m = Tables.orders(s, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("w"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum((col("w") * col("w")).cast(dec)).as("sw2"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val neff = dd("sw") * dd("sw") / greatest(dd("sw2"), lit(1e-300))
+    val deff = n * dd("sw2") /
+      greatest(dd("sw") * dd("sw"), lit(1e-300))
+    val cv2 = n * dd("sw2") /
+      greatest(dd("sw") * dd("sw"), lit(1e-300)) - 1.0
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val bad = col("n") < 10L || col("sw2") <= 0L
+    def guard(c: Column) = when(bad, lit(null).cast("double"))
+      .otherwise(rnd4(c))
+    m.select(col("segment"), col("n"),
+        guard(neff).as("n_eff"), guard(deff).as("deff"),
+        guard(cv2).as("cv2_weights"))
+      .orderBy("segment")
+  }
+
+  val q380KishNeffSql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS segment, COUNT(*) AS n,
+      |    SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      AS HUGEINT)) AS sw,
+      |    SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |        AS HUGEINT)
+      |      * CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |        AS HUGEINT)) AS sw2
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT segment, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n < 10 OR sw2 <= 0 THEN NULL ELSE
+      |    FLOOR(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+      |      / GREATEST(CAST(sw2 AS DOUBLE), 1e-300) * 1e4 + 0.5)
+      |      / 1e4 + 0 END AS n_eff,
+      |  CASE WHEN n < 10 OR sw2 <= 0 THEN NULL ELSE
+      |    FLOOR(CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE)
+      |      / GREATEST(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE), 1e-300)
+      |      * 1e4 + 0.5) / 1e4 + 0 END AS deff,
+      |  CASE WHEN n < 10 OR sw2 <= 0 THEN NULL ELSE
+      |    FLOOR((CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE)
+      |      / GREATEST(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE), 1e-300)
+      |      - 1.0) * 1e4 + 0.5) / 1e4 + 0 END AS cv2_weights
+      |FROM m ORDER BY segment""".stripMargin
 }

@@ -815,6 +815,123 @@ object SeriesTrendTests {
       .orderBy("series", "yr")
   }
 
+  /** L314 records-count randomness test ([PK] records theory — Rényi
+    * 1962; Glick 1978): in an iid sequence the expected number of
+    * UPPER records (running maxima) in n observations is the harmonic
+    * number H_n with variance H_n − H_n⁽²⁾ — observed record excess is
+    * a trend/heavy-tail screen orthogonal to ranks (q364), signs
+    * (q237), and turning points (q264). Run on the raw daily census
+    * AND its 7-day rolling sum (the q364 power convention): smoothing
+    * concentrates the trend, so the smoothed series sets MORE records
+    * (z 2.2/4.9 vs 0.6/3.0 measured); lower records (running minima)
+    * published beside — under uptrend, up ≫ down.
+    *
+    * Parity: record events are exact integer comparisons against the
+    * strictly-preceding window max/min; H_n and H_n⁽²⁾ accumulate
+    * 1/i and 1/i² terms PICO-quantized (1e12) before the sum
+    * (seed-122 convention — both engines sum identical int64); z is
+    * one double chain, 4dp.
+    *
+    * Scale: the q364 shape — one fact-scan day rollup, bounded
+    * windows over the scale-constant census, 2-row output. */
+  def q379RecordsTest(s: SparkSession, dir: String): DataFrame = {
+    val b = daily(s, dir)
+      .withColumn("ma7", sum(col("rev"))
+        .over(Window.orderBy("day").rowsBetween(-6, 0)))
+      .withColumn("pos", row_number().over(Window.orderBy("day")))
+    val ser = b.select(lit("raw").as("series"), col("day"),
+        col("rev").as("v"))
+      .unionByName(b.filter(col("pos") >= 7)
+        .select(lit("ma7").as("series"), col("day"), col("ma7").as("v")))
+    val wPrev = Window.partitionBy("series").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSer = Window.partitionBy("series").orderBy("day")
+    val marked = ser
+      .withColumn("up", when(max(col("v")).over(wPrev).isNull ||
+        col("v") > max(col("v")).over(wPrev), 1L).otherwise(0L))
+      .withColumn("dn", when(min(col("v")).over(wPrev).isNull ||
+        col("v") < min(col("v")).over(wPrev), 1L).otherwise(0L))
+      .withColumn("i", row_number().over(wSer).cast("long"))
+      .withColumn("h1p", floor(lit(1e12) / col("i").cast("double") + 0.5)
+        .cast("long"))
+      .withColumn("h2p", floor(lit(1e12) /
+        (col("i") * col("i")).cast("double") + 0.5).cast("long"))
+    val m = marked.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      sum(col("up")).as("rec_up"), sum(col("dn")).as("rec_dn"),
+      sum(col("h1p")).as("h1"), sum(col("h2p")).as("h2"))
+    val hn = col("h1").cast("double") / 1e12
+    val h2n = col("h2").cast("double") / 1e12
+    val z = (col("rec_up").cast("double") - hn) /
+      greatest(sqrt(hn - h2n), lit(1e-300))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val bad = col("n") < 10L
+    m.select(col("series"), col("n").as("n_days"),
+        col("rec_up"), col("rec_dn"),
+        when(bad, lit(null).cast("double")).otherwise(rnd4(hn))
+          .as("e_records"),
+        when(bad, lit(null).cast("double")).otherwise(rnd4(z))
+          .as("z_up"),
+        when(bad, lit(null).cast("long"))
+          .otherwise((abs(rnd4(z)) > 1.96).cast("long")).as("reject_5pct"))
+      .orderBy("series")
+  }
+
+  val q379RecordsTestSql: String =
+    s"""WITH d AS ($dailySql),
+       |b AS (
+       |  SELECT day, rev,
+       |    CAST(SUM(rev) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS pos
+       |  FROM d),
+       |ser AS (
+       |  SELECT 'raw' AS series, day, rev AS v FROM b
+       |  UNION ALL
+       |  SELECT 'ma7', day, ma7 FROM b WHERE pos >= 7),
+       |marked AS (
+       |  SELECT series,
+       |    CASE WHEN MAX(v) OVER (PARTITION BY series ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR v > MAX(v) OVER (PARTITION BY series ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS up,
+       |    CASE WHEN MIN(v) OVER (PARTITION BY series ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR v < MIN(v) OVER (PARTITION BY series ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS dn,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM ser),
+       |m AS (
+       |  SELECT series, COUNT(*) AS n,
+       |    CAST(SUM(up) AS BIGINT) AS rec_up,
+       |    CAST(SUM(dn) AS BIGINT) AS rec_dn,
+       |    CAST(SUM(CAST(FLOOR(1e12 / CAST(i AS DOUBLE) + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS h1,
+       |    CAST(SUM(CAST(FLOOR(1e12 / CAST(i * i AS DOUBLE) + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS h2
+       |  FROM marked GROUP BY series)
+       |SELECT series, CAST(n AS BIGINT) AS n_days, rec_up, rec_dn,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE FLOOR(CAST(h1 AS DOUBLE) / 1e12 * 1e4 + 0.5) / 1e4 + 0
+       |    END AS e_records,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE FLOOR((rec_up - CAST(h1 AS DOUBLE) / 1e12)
+       |      / GREATEST(sqrt(CAST(h1 AS DOUBLE) / 1e12
+       |        - CAST(h2 AS DOUBLE) / 1e12), 1e-300) * 1e4 + 0.5)
+       |      / 1e4 + 0 END AS z_up,
+       |  CASE WHEN n < 10 THEN NULL
+       |    ELSE CAST(CASE WHEN ABS(FLOOR((rec_up
+       |      - CAST(h1 AS DOUBLE) / 1e12)
+       |      / GREATEST(sqrt(CAST(h1 AS DOUBLE) / 1e12
+       |        - CAST(h2 AS DOUBLE) / 1e12), 1e-300) * 1e4 + 0.5)
+       |      / 1e4 + 0) > 1.96 THEN 1 ELSE 0 END AS BIGINT) END
+       |    AS reject_5pct
+       |FROM m ORDER BY series""".stripMargin
+
   val q364BartelsRvnSql: String =
     s"""WITH d AS ($dailySql),
        |b AS (

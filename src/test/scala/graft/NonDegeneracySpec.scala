@@ -2392,4 +2392,47 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         s"top-weighting invisible at $sf: tau=$t tau_ap=$ta")
     }
   }
+
+  test("q379: smoothing concentrates the trend into extra records") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q379_records_test", sf).collect()
+        .map(r => r.getAs[String]("series") -> r).toMap
+      val (raw, ma) = (rows("raw"), rows("ma7"))
+      Seq(raw, ma).foreach { r =>
+        assert(r.getAs[Long]("rec_up") >= 1L &&
+          r.getAs[Long]("rec_dn") >= 1L,
+          s"first observation is always a record — census broken at $sf")
+        assert(r.getAs[Double]("e_records") > 7.0 &&
+          r.getAs[Double]("e_records") < 10.0,
+          s"H_n implausible for ~1-2.4k days at $sf")
+      }
+      // the power demonstration: the 7-day sum concentrates the trend,
+      // so the smoothed series must set MORE upper records and carry a
+      // LARGER z (measured raw 0.59/2.95 vs ma7 2.23/4.88)
+      assert(ma.getAs[Long]("rec_up") > raw.getAs[Long]("rec_up"),
+        s"smoothed series should set more records at $sf")
+      assert(ma.getAs[Double]("z_up") > raw.getAs[Double]("z_up") + 1.0,
+        s"record excess should grow under smoothing at $sf")
+    }
+  }
+
+  test("q380: weights genuinely cost effective sample size") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q380_kish_neff", sf).collect()
+      assert(rows.length === 5, s"segment census short at $sf")
+      rows.foreach { r =>
+        val seg = r.getAs[String]("segment")
+        val (n, neff, deff) = (r.getAs[Long]("n"),
+          r.getAs[Double]("n_eff"), r.getAs[Double]("deff"))
+        assert(neff > 0.0 && neff < n.toDouble,
+          s"$seg n_eff outside (0, n) at $sf — impossible")
+        // order values are genuinely unequal: deff measured 1.27-1.37
+        assert(deff > 1.1 && deff < 2.0,
+          s"$seg design effect out of the measured band at $sf")
+        // Kish identity deff = 1 + cv^2 (checked on quantized values)
+        assert(math.abs(deff - 1.0 - r.getAs[Double]("cv2_weights"))
+          < 2e-4, s"$seg deff identity broken at $sf")
+      }
+    }
+  }
 }

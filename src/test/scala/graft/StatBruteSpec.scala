@@ -4592,4 +4592,69 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("kendall_tau") - q6(tau)) < 1e-9)
     assert(math.abs(r.getAs[Double]("tau_ap") - q6(tauAp)) < 1e-9)
   }
+
+  test("q379 records test matches a sequential running-extreme walk") {
+    val out = SparkEntry.queries("q379_records_test")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("series") -> r).toMap
+    val daily = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val ma7 = daily.indices.drop(6)
+      .map(i => daily.slice(i - 6, i + 1).sum).toArray
+    def walk(series: String, xs: Array[Long]): Unit = {
+      var mx = Long.MinValue; var mn = Long.MaxValue
+      var up = 0L; var dn = 0L
+      xs.foreach { v =>
+        if (v > mx) { up += 1; mx = v }
+        if (v < mn) { dn += 1; mn = v }
+      }
+      val n = xs.length
+      val h1 = (1 to n).map(i => math.floor(1e12 / i.toDouble + 0.5)
+        .toLong).sum
+      val h2 = (1 to n).map(i =>
+        math.floor(1e12 / (i.toLong * i).toDouble + 0.5).toLong).sum
+      val hn = h1.toDouble / 1e12
+      val h2n = h2.toDouble / 1e12
+      val z = (up.toDouble - hn) / math.max(math.sqrt(hn - h2n), 1e-300)
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      val r = out(series)
+      assert(r.getAs[Long]("n_days") === n.toLong, s"$series n")
+      assert(r.getAs[Long]("rec_up") === up, s"$series up")
+      assert(r.getAs[Long]("rec_dn") === dn, s"$series down")
+      assert(math.abs(r.getAs[Double]("e_records") - q4(hn)) < 1e-9,
+        s"$series H_n")
+      assert(math.abs(r.getAs[Double]("z_up") - q4(z)) < 1e-9,
+        s"$series z")
+    }
+    walk("raw", daily)
+    walk("ma7", ma7)
+  }
+
+  test("q380 Kish n_eff matches a sequential weight walk") {
+    val out = SparkEntry.queries("q380_kish_neff")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    val rows = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      val n = g.length
+      val sw = g.map(x => BigDecimal(x._2)).sum
+      val sw2 = g.map(x => BigDecimal(x._2) * BigDecimal(x._2)).sum
+      val neff = sw.toDouble * sw.toDouble /
+        math.max(sw2.toDouble, 1e-300)
+      val deff = n.toDouble * sw2.toDouble /
+        math.max(sw.toDouble * sw.toDouble, 1e-300)
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      val r = out(seg)
+      assert(r.getAs[Long]("n") === n.toLong, s"$seg n")
+      assert(math.abs(r.getAs[Double]("n_eff") - q4(neff)) <= 2e-4,
+        s"$seg n_eff")
+      assert(math.abs(r.getAs[Double]("deff") - q4(deff)) <= 2e-4,
+        s"$seg deff")
+    }
+  }
 }
