@@ -616,4 +616,220 @@ object ScoreEvalQueries {
       |      / SQRT(CAST(sd9 AS DOUBLE) / 1e9)) > 1.96
       |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
       |FROM m""".stripMargin
+
+  /** L316 Hosmer–Lemeshow calibration test ([PK] Hosmer & Lemeshow
+    * 1980): the TEST companion to q197's reliability table and q342's
+    * Spiegelhalter Z — group predictions into deciles of risk and
+    * compare observed vs expected positives: Ĉ = Σ_g (O_g − E_g)² /
+    * (n_g·p̄_g(1−p̄_g)), χ²(8) under calibration. Run on the q197 toy
+    * length classifier, which is genuinely MIScalibrated — the test
+    * must fire (Ĉ ≈ 1,180/1,072 vs the 15.507 critical value,
+    * asserted in the spec).
+    *
+    * Parity: deciles come from exact cumulative doc counts over the
+    * distinct-length census ((cum_before·10) div N — ties share a
+    * decile, the deterministic convention); E_g accumulates
+    * nano-quantized p̂ as int64 (the q197 discipline); each decile's
+    * χ² term is one double chain PICO-quantized before the final sum
+    * (seed-122 convention); 4dp.
+    *
+    * Scale: one length census, one tiny window over it, a ≤10-group
+    * agg. 1 row. */
+  def q381HosmerLemeshow(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = h
+      .withColumn("mn", min(col("sc")).over(wAll))
+      .withColumn("mx", max(col("sc")).over(wAll))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("cumb", coalesce(sum(col("n")).over(wCum), lit(0L)))
+    val span = col("mx") - col("mn")
+    val phat = when(span > 0L,
+      (col("sc") - col("mn")).cast("double") / span.cast("double"))
+      .otherwise(lit(0.0))
+    val g = withB
+      .select(expr("(cumb * 10) div nt").as("dec"), col("n"), col("pos"),
+        (col("n") * floor(phat * 1e9 + 0.5).cast("long")).as("pq"),
+        col("nt"))
+      .groupBy("dec")
+      .agg(sum(col("n")).as("ng"), sum(col("pos")).as("og"),
+        sum(col("pq")).as("eg9"), max(col("nt")).as("nt"))
+    val eg = col("eg9").cast("double") / 1e9
+    val pbar = eg / col("ng").cast("double")
+    val termOk = col("eg9") > 0L && col("eg9") < col("ng") * 1000000000L
+    val term12 = when(termOk,
+      floor((col("og").cast("double") - eg) *
+        (col("og").cast("double") - eg) /
+        (col("ng").cast("double") * pbar * (lit(1.0) - pbar)) *
+        1e12 + 0.5).cast("long")).otherwise(lit(0L))
+    val m = g.withColumn("t12", term12)
+      .agg(max(col("nt")).as("n_docs"), count(lit(1)).as("n_groups"),
+        sum(col("t12")).as("s12"))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val hl = col("s12").cast("double") / 1e12
+    val bad = col("n_groups") < 5L
+    m.select(col("n_docs"), col("n_groups"),
+      when(bad, lit(null).cast("double")).otherwise(rnd4(hl))
+        .as("hl_stat"),
+      (col("n_groups") - 2L).as("df"),
+      when(bad, lit(null).cast("long"))
+        .otherwise((rnd4(hl) > 15.507).cast("long")).as("reject_5pct"))
+  }
+
+  val q381HosmerLemeshowSql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS sc, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM documents GROUP BY n_chars),
+      |b AS (
+      |  SELECT sc, n, pos,
+      |    CAST(MIN(sc) OVER () AS BIGINT) AS mn,
+      |    CAST(MAX(sc) OVER () AS BIGINT) AS mx,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cumb
+      |  FROM h),
+      |q AS (
+      |  SELECT (cumb * 10) // nt AS dec, n, pos, nt,
+      |    n * CAST(FLOOR(CASE WHEN mx - mn > 0
+      |      THEN CAST(sc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+      |      ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS pq
+      |  FROM b),
+      |g AS (
+      |  SELECT dec, CAST(SUM(n) AS BIGINT) AS ng,
+      |    CAST(SUM(pos) AS BIGINT) AS og,
+      |    CAST(SUM(pq) AS BIGINT) AS eg9, MAX(nt) AS nt
+      |  FROM q GROUP BY dec),
+      |t AS (
+      |  SELECT nt, CASE WHEN eg9 > 0 AND eg9 < ng * 1000000000
+      |    THEN CAST(FLOOR((og - CAST(eg9 AS DOUBLE) / 1e9)
+      |      * (og - CAST(eg9 AS DOUBLE) / 1e9)
+      |      / (CAST(ng AS DOUBLE) * (CAST(eg9 AS DOUBLE) / 1e9 / ng)
+      |        * (1.0 - CAST(eg9 AS DOUBLE) / 1e9 / ng)) * 1e12 + 0.5)
+      |      AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS t12
+      |  FROM g),
+      |m AS (
+      |  SELECT CAST(MAX(nt) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    CAST(SUM(t12) AS BIGINT) AS s12
+      |  FROM t)
+      |SELECT n_docs, n_groups,
+      |  CASE WHEN n_groups < 5 THEN NULL
+      |    ELSE FLOOR(CAST(s12 AS DOUBLE) / 1e12 * 1e4 + 0.5) / 1e4 + 0
+      |    END AS hl_stat,
+      |  n_groups - 2 AS df,
+      |  CASE WHEN n_groups < 5 THEN NULL
+      |    ELSE CAST(CASE WHEN FLOOR(CAST(s12 AS DOUBLE) / 1e12 * 1e4
+      |      + 0.5) / 1e4 + 0 > 15.507 THEN 1 ELSE 0 END AS BIGINT) END
+      |    AS reject_5pct
+      |FROM m""".stripMargin
+
+  /** L317 pinball (quantile) loss panel ([PK] Koenker & Bassett 1978;
+    * the M5-competition metric): the PROPER score for quantile
+    * forecasts — ρ_τ(u) = max(τu, (τ−1)u) — evaluated at
+    * τ ∈ {0.1, 0.5, 0.9} for two day-ahead revenue forecasters: the
+    * trailing-28-day empirical quantile (a REAL quantile forecast)
+    * and naive persistence (yesterday's value, a point forecast).
+    * The quantile forecaster must win at every τ (asserted) — the
+    * readout q278's MAE/MASE point metrics cannot see, and the
+    * reason quantile forecasts exist.
+    *
+    * Parity: ENTIRELY exact integer arithmetic — the trailing
+    * quantile interpolates at position 27τ = (27k)/10 with exact
+    * residue m = 27k mod 10, so q̂·10 = v_lo·10 + (v_hi−v_lo)·m is an
+    * exact int64; every pinball term max(k·u, (k−10)·u) is exact
+    * int64 scaled by 100; ONE division per row at the end, 4dp.
+    * Zero libm, zero per-term rounding.
+    *
+    * Scale: one fact-scan day rollup; the 28-element sorted window
+    * is O(k log k) per row over the scale-constant census (the q205
+    * convention); ≤6-row output. */
+  def q382PinballLoss(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val wPrev = Window.orderBy("day").rowsBetween(-28, -1)
+    val base = d
+      .withColumn("arr", sort_array(collect_list(col("rev")).over(wPrev)))
+      .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+      .withColumn("pos", row_number().over(Window.orderBy("day")))
+      .filter(col("pos") >= 29)
+      .select(col("rev"), col("arr"), col("prev"))
+      .select(col("rev"), col("prev"), col("arr"),
+        explode(array(lit(1L), lit(5L), lit(9L))).as("k"))
+    val q10 = element_at(col("arr"), (expr("27 * k div 10") + 1L)
+        .cast("int")) * 10L +
+      (element_at(col("arr"), (expr("27 * k div 10") + 2L).cast("int")) -
+        element_at(col("arr"), (expr("27 * k div 10") + 1L)
+          .cast("int"))) * expr("27 * k % 10")
+    def pin(u: Column): Column =
+      greatest(col("k") * u, (col("k") - 10L) * u)
+    val terms = base
+      .withColumn("u_emp", col("rev") * 10L - q10)
+      .withColumn("u_per", (col("rev") - col("prev")) * 10L)
+      .select(col("k"),
+        pin(col("u_emp")).as("t_emp"), pin(col("u_per")).as("t_per"))
+    val m = terms.groupBy("k").agg(count(lit(1)).as("n_days"),
+      sum(col("t_emp")).as("se"), sum(col("t_per")).as("sp"))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    val den = greatest(lit(100.0) * col("n_days").cast("double"),
+      lit(1e-300))
+    m.select((col("k").cast("double") / 10.0).as("tau"), col("n_days"),
+        rnd4(col("se").cast("double") / den).as("pinball_quantile"),
+        rnd4(col("sp").cast("double") / den).as("pinball_persist"))
+      .orderBy("tau")
+  }
+
+  val q382PinballLossSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT day, rev,
+      |    list_sort(array_agg(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)) AS arr,
+      |    LAG(rev) OVER (ORDER BY day) AS prev,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS pos
+      |  FROM d),
+      |e AS (
+      |  SELECT rev, prev, arr, k
+      |  FROM b CROSS JOIN (VALUES (CAST(1 AS BIGINT)),
+      |    (CAST(5 AS BIGINT)), (CAST(9 AS BIGINT))) tk(k)
+      |  WHERE pos >= 29),
+      |t AS (
+      |  SELECT k,
+      |    rev * 10 - (arr[CAST(27 * k // 10 + 1 AS INT)] * 10
+      |      + (arr[CAST(27 * k // 10 + 2 AS INT)]
+      |        - arr[CAST(27 * k // 10 + 1 AS INT)]) * (27 * k % 10))
+      |      AS u_emp,
+      |    (rev - prev) * 10 AS u_per
+      |  FROM e),
+      |m AS (
+      |  SELECT k, COUNT(*) AS n_days,
+      |    CAST(SUM(GREATEST(k * u_emp, (k - 10) * u_emp)) AS BIGINT)
+      |      AS se,
+      |    CAST(SUM(GREATEST(k * u_per, (k - 10) * u_per)) AS BIGINT)
+      |      AS sp
+      |  FROM t GROUP BY k)
+      |SELECT CAST(k AS DOUBLE) / 10.0 AS tau,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  FLOOR(CAST(se AS DOUBLE)
+      |    / GREATEST(100.0 * CAST(n_days AS DOUBLE), 1e-300) * 1e4 + 0.5)
+      |    / 1e4 + 0 AS pinball_quantile,
+      |  FLOOR(CAST(sp AS DOUBLE)
+      |    / GREATEST(100.0 * CAST(n_days AS DOUBLE), 1e-300) * 1e4 + 0.5)
+      |    / 1e4 + 0 AS pinball_persist
+      |FROM m ORDER BY tau""".stripMargin
 }

@@ -2435,4 +2435,42 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       }
     }
   }
+
+  test("q381: HL fires on the miscalibrated toy; deciles populated") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q381_hosmer_lemeshow", sf).head()
+      assert(r.getAs[Long]("n_groups") === 10L,
+        s"decile grouping short at $sf")
+      // the q197/q342 toy classifier is genuinely miscalibrated
+      // (Spiegelhalter z 17/46 on the same construction) — HL must
+      // reject DECISIVELY, not marginally (measured 1180/1072)
+      assert(r.getAs[Double]("hl_stat") > 100.0,
+        s"HL missed gross miscalibration at $sf")
+      assert(r.getAs[Long]("reject_5pct") === 1L &&
+        r.getAs[Long]("df") === 8L, s"HL verdict wrong at $sf")
+    }
+  }
+
+  test("q382: the quantile forecast beats persistence at every tau") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q382_pinball", sf).collect()
+      assert(rows.length === 3, s"tau panel short at $sf")
+      rows.foreach { r =>
+        val tau = r.getAs[Double]("tau")
+        val (pq, pp) = (r.getAs[Double]("pinball_quantile"),
+          r.getAs[Double]("pinball_persist"))
+        assert(pq > 0.0 && pp > 0.0, s"degenerate losses at $sf")
+        // the trailing-28d empirical quantile is a REAL quantile
+        // forecast; persistence is a point forecast — proper scoring
+        // must separate them at every tau (measured 2-4x)
+        assert(pq < pp, s"quantile forecast lost at tau=$tau, $sf")
+      }
+      // tail losses are cheaper than the median's for a real quantile
+      // forecaster (tau-asymmetry working as designed)
+      val byTau = rows.map(r => r.getAs[Double]("tau") ->
+        r.getAs[Double]("pinball_quantile")).toMap
+      assert(byTau(0.1) < byTau(0.5) && byTau(0.9) < byTau(0.5),
+        s"pinball tau-shape wrong at $sf")
+    }
+  }
 }

@@ -179,7 +179,12 @@ class ScaleCurveSpec extends SparkSpec {
       // exact-count measuring stick (the sketch layers see ≤24·k
       // rows) — all three must measure ~linear
       "q207_adamic_adar", "q333_hub_bands", "q335_nearest_hub",
-      "q351_kmv_rollup")
+      "q351_kmv_rollup",
+      // round-16: the two new rank tests whose windows genuinely
+      // scale with the facts (the q210 global-rank convention) —
+      // q371 is the round's only multi-second bench entry (3.6 s at
+      // sf0.1); both must stay ~n log n, never n²
+      "q367_brunner_munzel", "q371_bws")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

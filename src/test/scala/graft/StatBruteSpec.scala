@@ -4657,4 +4657,72 @@ class StatBruteSpec extends SparkSpec {
         s"$seg deff")
     }
   }
+
+  test("q381 Hosmer-Lemeshow matches a sequential decile walk") {
+    val r = SparkEntry.queries("q381_hosmer_lemeshow")(spark, sf0001)
+      .head()
+    val lens = Tables.documents(spark, sf0001)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("pos"))
+      .orderBy("sc").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (mn, mx) = (lens.map(_._1).min, lens.map(_._1).max)
+    val nt = lens.map(_._2).sum
+    var cumb = 0L
+    val groups = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    lens.foreach { case (sc, n, pos) =>
+      val dec = (cumb * 10) / nt
+      val phat = if (mx - mn > 0) (sc - mn).toDouble / (mx - mn) else 0.0
+      val pq = n * math.floor(phat * 1e9 + 0.5).toLong
+      val (gn, go, ge) = groups.getOrElse(dec, (0L, 0L, 0L))
+      groups(dec) = (gn + n, go + pos, ge + pq)
+      cumb += n
+    }
+    var s12 = 0L
+    groups.values.foreach { case (ng, og, eg9) =>
+      if (eg9 > 0L && eg9 < ng * 1000000000L) {
+        val eg = eg9.toDouble / 1e9
+        val pbar = eg / ng.toDouble
+        s12 += math.floor((og.toDouble - eg) * (og.toDouble - eg) /
+          (ng.toDouble * pbar * (1.0 - pbar)) * 1e12 + 0.5).toLong
+      }
+    }
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Long]("n_docs") === nt, "n docs")
+    assert(r.getAs[Long]("n_groups") === groups.size.toLong, "groups")
+    assert(math.abs(r.getAs[Double]("hl_stat") -
+      q4(s12.toDouble / 1e12)) < 1e-9, "HL statistic")
+  }
+
+  test("q382 pinball loss matches a sequential forecast walk") {
+    val out = SparkEntry.queries("q382_pinball")(spark, sf0001)
+      .collect().map(r => r.getAs[Double]("tau") -> r).toMap
+    val rev = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    Seq(1L, 5L, 9L).foreach { k =>
+      var se = BigInt(0); var sp = BigInt(0); var n = 0L
+      (28 until rev.length).foreach { i =>
+        val w = rev.slice(i - 28, i).sorted
+        val idx = ((27 * k) / 10).toInt
+        val m = 27 * k % 10
+        val q10 = w(idx) * 10L + (w(idx + 1) - w(idx)) * m
+        val y10 = rev(i) * 10L
+        val ue = y10 - q10
+        val up = (rev(i) - rev(i - 1)) * 10L
+        se += BigInt(math.max(k * ue, (k - 10) * ue))
+        sp += BigInt(math.max(k * up, (k - 10) * up))
+        n += 1
+      }
+      def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      val r = out(k.toDouble / 10.0)
+      assert(r.getAs[Long]("n_days") === n, s"k=$k n")
+      assert(math.abs(r.getAs[Double]("pinball_quantile") -
+        q4(se.toDouble / (100.0 * n))) < 1e-9, s"k=$k quantile loss")
+      assert(math.abs(r.getAs[Double]("pinball_persist") -
+        q4(sp.toDouble / (100.0 * n))) < 1e-9, s"k=$k persist loss")
+    }
+  }
 }
