@@ -56,26 +56,112 @@ BIND_VAL = re.compile(r"\bval\s+([A-Za-z_][A-Za-z0-9_]*)\s*=")
 BIND_WITHCOL = re.compile(r'withColumn\("([A-Za-z_][A-Za-z0-9_]*)"')
 
 
-def tainted_names(text: str) -> set:
-    """Names bound to an expression containing a raw (un-floored) libm
-    call — approximated per-line: a line with a libm token, no floor(,
-    and a binding. Good enough to surface two-step sum-by-name sites."""
-    out = set()
-    for line in text.split("\n"):
-        if not LIBM.search(line) or QUANT.search(line):
+CONT_HEAD = re.compile(r"^\s*[.+\-*/&|:]")
+
+
+def logical_statements(text: str):
+    """Join physical lines into logical statements: a statement
+    continues while its parens/brackets are unbalanced or the next
+    line begins with an operator/dot (the codebase's two continuation
+    styles). r17 upgrade (verdict mandate #5): the r16 per-line taint
+    missed bindings whose libm call sat on a continuation line.
+    stripMargin SQL lines (leading '|') and triple-quote delimiters
+    stay PER-LINE: SQL parens are unbalanced across lines, so merging
+    would glue whole mirrors into one blob — a FLOOR anywhere would
+    then mask every taint in it, and unrelated AS-names would absorb
+    taints from distant expressions (both observed in development)."""
+    lines = [
+        l.split("//")[0]
+        for l in text.split("\n")
+        if not l.lstrip().startswith(("//", "*", "/*"))
+    ]
+    out, buf, depth = [], [], 0
+    for i, l in enumerate(lines):
+        sql_line = l.lstrip().startswith("|") or '"""' in l
+        if sql_line:
+            if buf:
+                out.append(" ".join(buf))
+                buf, depth = [], 0
+            out.append(l)
             continue
-        if line.lstrip().startswith(("//", "*", "/*")):
-            continue  # prose comments bind nothing
-        for pat in (BIND_SCALA, BIND_SQL, BIND_VAL, BIND_WITHCOL):
-            for b in pat.finditer(line):
-                n = b.group(1)
-                # SQL CAST(x AS TYPE) binds type names, not columns
-                if n.upper() in {
-                    "DOUBLE", "BIGINT", "HUGEINT", "INT", "INTEGER",
-                    "LONG", "VARCHAR", "DECIMAL", "FLOAT", "SMALLINT",
-                    "DATE", "TIMESTAMP", "BOOLEAN", "REAL",
-                }:
-                    continue
+        buf.append(l)
+        depth += l.count("(") + l.count("[") - l.count(")") - l.count("]")
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        next_cont = (
+            CONT_HEAD.match(nxt)
+            and not nxt.lstrip().startswith("|")
+            and '"""' not in nxt
+        )
+        # a trailing binary operator/comma also continues the statement
+        tail_cont = l.rstrip().endswith(("+", "-", "*", "/", "&&", "||",
+                                         "=", ",", "=>"))
+        if depth <= 0 and not next_cont and not tail_cont:
+            out.append(" ".join(buf))
+            buf, depth = [], 0
+    if buf:
+        out.append(" ".join(buf))
+    return out
+
+
+SQL_TYPES = {
+    "DOUBLE", "BIGINT", "HUGEINT", "INT", "INTEGER", "LONG", "VARCHAR",
+    "DECIMAL", "FLOAT", "SMALLINT", "DATE", "TIMESTAMP", "BOOLEAN", "REAL",
+}
+
+
+def chain_before(stmt: str, pos: int) -> str:
+    """The method-chain expression ending at `pos` (exclusive): walk
+    left matching brackets; stop at an unmatched '(' (enclosing call)
+    or a top-level ',' (argument boundary) or '=' (val binding)."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        c = stmt[j]
+        if c in ")]":
+            depth += 1
+        elif c in "([":
+            depth -= 1
+            if depth < 0:
+                break
+        elif depth == 0 and c in ",=;":
+            break
+        j -= 1
+    return stmt[j + 1 : pos]
+
+
+def tainted_names(text: str) -> set:
+    """Names whose BOUND EXPRESSION contains a raw (un-floored) libm
+    call — r17 expression-based (verdict mandate #5): statements merge
+    continuation lines, and each binding is checked against its OWN
+    expression (the chain before `.as(`, the `withColumn` arg, the text
+    after `val x =`), not the whole statement/line — so an exact count
+    bound in the same fluent chain as a libm projection is no longer
+    cross-tainted, and a libm call on a continuation line of its
+    binding no longer escapes. SQL `AS x` stays line-scoped (SQL lines
+    are per-line statements and the expression precedes AS on them)."""
+
+    def raw_libm(expr: str) -> bool:
+        return bool(LIBM.search(expr)) and not QUANT.search(expr)
+
+    out = set()
+    for stmt in logical_statements(text):
+        if not LIBM.search(stmt):
+            continue
+        for b in BIND_SCALA.finditer(stmt):
+            if raw_libm(chain_before(stmt, b.start())):
+                out.add(b.group(1))
+        for b in BIND_WITHCOL.finditer(stmt):
+            arg = balanced_arg(stmt, stmt.index("(", b.start()))
+            if raw_libm(arg):
+                out.add(b.group(1))
+        for b in BIND_VAL.finditer(stmt):
+            if raw_libm(stmt[b.end():]):
+                out.add(b.group(1))
+        if QUANT.search(stmt):
+            continue  # SQL lines keep the r16 whole-line granularity
+        for b in BIND_SQL.finditer(stmt):
+            n = b.group(1)
+            if n.upper() not in SQL_TYPES:
                 out.add(n)
     return out
 
@@ -84,6 +170,10 @@ def main() -> int:
     sites = []
     for f in sorted(SRC.rglob("*.scala")):
         text = f.read_text()
+        # taint stays FILE-scoped (r16 behavior): a Scala builder and
+        # its oracleSql mirror live in the same file and deliberately
+        # cross-taint (e.g. SpatialStats' km is libm-bound only on the
+        # SQL side, and the Scala sum sites must still surface)
         taint = tainted_names(text)
         for m in ACC.finditer(text):
             arg = balanced_arg(text, m.end() - 1)

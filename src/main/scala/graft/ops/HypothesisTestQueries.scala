@@ -982,17 +982,21 @@ object HypothesisTestQueries {
     // n ≤ 60 cap (fuzz hardening): the recurrence's peak intermediate
     // C(n,⌊n/2⌋−1)·(n/2+1) stays under 2⁶³ only to n ≈ 61 — beyond
     // that the exact dyadic construction is out of its small-sample
-    // domain and the test reports NULL (the q251 convention). The
-    // when-branch also keeps the fold from EVALUATING there (ANSI
-    // overflow would throw).
+    // domain and the test reports NULL (the q251 convention).
+    // r17 (r16 advisor): the fold's own arguments are CLAMPED
+    // (least(n, 60), least(kmin, 30)) so its int64 arithmetic cannot
+    // overflow even if codegen subexpression elimination ever hoists
+    // it past the when-branch (the repo's documented CASE-laziness
+    // hazard) — for n ≤ 60 the clamps are identities, and for n > 60
+    // the fold's (discarded) value is garbage but SAFE
     val tail = when(col("n") > 60L, lit(null).cast("long"))
       .when(col("kmin") === 0L, lit(1L))
       .otherwise(expr(
-        """aggregate(sequence(1, cast(kmin as int)),
+        """aggregate(sequence(1, cast(least(kmin, 30L) as int)),
           |  named_struct('c', 1L, 's', 1L),
           |  (acc, j) -> named_struct(
-          |    'c', acc.c * (n - j + 1) div j,
-          |    's', acc.s + acc.c * (n - j + 1) div j),
+          |    'c', acc.c * (least(n, 60L) - j + 1) div j,
+          |    's', acc.s + acc.c * (least(n, 60L) - j + 1) div j),
           |  acc -> acc.s)""".stripMargin))
     pairs
       .withColumn("tail", tail)

@@ -606,14 +606,20 @@ object RetrievalQueries {
     val wq = Window.partitionBy("ql")
     val wna = Window.partitionBy("ql").orderBy("rk")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // r17 (r16 advisor): the judged-pool size is the OBSERVED pool
+    // (max rk per query), not the literal 20 — on a corpus with fewer
+    // than 20 documents the Buckley–Voorhees N and min(R,N) must
+    // shrink with it; identical to 20 whenever the corpus fills the
+    // pool, so fixture results are unchanged
     val f = ranked
       .withColumn("na", coalesce(sum(lit(1L) - col("rel")).over(wna),
         lit(0L)))
+      .withColumn("pool", max(col("rk")).over(wq).cast("long"))
       .withColumn("r_rel", sum(col("rel")).over(wq))
-      .withColumn("mn", least(col("r_rel"), lit(20L) - col("r_rel")))
+      .withColumn("mn", least(col("r_rel"), col("pool") - col("r_rel")))
     f.groupBy(col("ql").as("query_lang"))
       .agg(max(col("r_rel")).as("n_rel"),
-        (lit(20L) - max(col("r_rel"))).as("n_nonrel"),
+        (max(col("pool")) - max(col("r_rel"))).as("n_nonrel"),
         sum(col("rel") * (col("mn") - least(col("na"), col("mn"))))
           .as("num"))
       .select(col("query_lang"), col("n_rel"), col("n_nonrel"),
@@ -640,19 +646,20 @@ object RetrievalQueries {
       |      OVER (PARTITION BY ql ORDER BY rk
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS na,
+      |    CAST(MAX(rk) OVER (PARTITION BY ql) AS BIGINT) AS pool,
       |    SUM(CASE WHEN lang = ql THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY ql) AS r_rel
       |  FROM ranked),
       |g AS (
-      |  SELECT ql, rel, na, r_rel,
-      |    LEAST(r_rel, 20 - r_rel) AS mn
+      |  SELECT ql, rel, na, r_rel, pool,
+      |    LEAST(r_rel, pool - r_rel) AS mn
       |  FROM f)
       |SELECT ql AS query_lang,
       |  CAST(MAX(r_rel) AS BIGINT) AS n_rel,
-      |  CAST(20 - MAX(r_rel) AS BIGINT) AS n_nonrel,
-      |  CASE WHEN MAX(r_rel) = 0 OR MAX(r_rel) = 20 THEN NULL
+      |  CAST(MAX(pool) - MAX(r_rel) AS BIGINT) AS n_nonrel,
+      |  CASE WHEN MAX(r_rel) = 0 OR MAX(r_rel) = MAX(pool) THEN NULL
       |    ELSE CAST(SUM(rel * (mn - LEAST(na, mn))) AS DOUBLE)
-      |      / CAST(MAX(r_rel) * LEAST(MAX(r_rel), 20 - MAX(r_rel))
+      |      / CAST(MAX(r_rel) * LEAST(MAX(r_rel), MAX(pool) - MAX(r_rel))
       |          AS DOUBLE) END AS bpref
       |FROM g GROUP BY ql
       |ORDER BY query_lang""".stripMargin

@@ -962,13 +962,15 @@ object SketchQueries {
     * way q362 did HLL: the WHOLE filter (k = 7 salted 48-bit md5
     * folds mod m, bit set = the distinct positions of the member
     * keys) is reproduced bit-for-bit in DuckDB, probed with 3,000
-    * keys DISJOINT from the member set by construction, and the
-    * observed false-positive rate is published BESIDE Bloom's
+    * keys DISJOINT from the member set by DERIVATION — max(o_custkey)
+    * + 1 … + 3,000, valid at ANY SF (r16 advisor: the previous fixed
+    * 1000001+ literals overlapped real members above ~SF 6.7) — and
+    * the observed false-positive rate is published BESIDE Bloom's
     * theoretical (1 − (1 − 1/m)^{kn})^k. Two filter sizes × two SFs
-    * sweep FOUR regimes: moderate (obs 0.042 vs exp 0.045), clean
+    * sweep FOUR regimes: moderate (obs 0.036 vs exp 0.045), clean
     * (0 ≈ 0), SATURATED (all 1,024 bits set → fpr ≡ 1 — the
     * undersized-filter failure mode, measured not assumed), and
-    * sparse (0.004 vs 0.005).
+    * sparse (0.0053 vs 0.0053).
     *
     * Parity: bit positions, the bit census, membership decisions,
     * and all counts are exact integers; fpr_obs is one IEEE division;
@@ -995,8 +997,14 @@ object SketchQueries {
         .as("p"))
       .distinct()
     val bitCounts = bits.groupBy("m").agg(count(lit(1)).as("bits_set"))
-    val probes = s.range(1000001L, 1003001L).toDF("key")
-      .select(col("key"), explode(ms).as("m"))
+    // r17 (r16 advisor): probe keys are max(o_custkey) + 1 … + 3000 —
+    // disjoint from the member set BY DERIVATION at any SF (the fixed
+    // 1000001+ literals overlapped real members above ~SF 6.7); the
+    // 1-row max rides an in-plan broadcast (q242 form, no driver action)
+    val mxRow = members.agg(max(col("o_custkey")).as("mx"))
+    val probes = s.range(1L, 3001L).toDF("off")
+      .crossJoin(broadcast(mxRow))
+      .select((col("mx") + col("off")).as("key"), explode(ms).as("m"))
       .select(col("m"), col("key"),
         explode(sequence(lit(0), lit(k - 1))).as("j"))
       .select(col("m"), col("key"),
@@ -1050,8 +1058,10 @@ object SketchQueries {
       |           CAST(i + 1 AS INT), 1)) - 1)
       |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) % m
       |      AS p
-      |  FROM range(1000001, 1003001) tk(key) CROSS JOIN ms
-      |    CROSS JOIN range(7) tj(j)),
+      |  FROM (SELECT mx + off AS key
+      |        FROM range(1, 3001) toff(off)
+      |        CROSS JOIN (SELECT MAX(o_custkey) AS mx FROM orders) tmx)
+      |    CROSS JOIN ms CROSS JOIN range(7) tj(j)),
       |hits AS (
       |  SELECT pr.m, pr.key,
       |    CAST(SUM(CASE WHEN b.p IS NULL THEN 0 ELSE 1 END) AS BIGINT)

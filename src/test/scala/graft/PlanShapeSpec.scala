@@ -601,9 +601,12 @@ class PlanShapeSpec extends SparkSpec {
     // r14: q285 gained the ≤7-row × |types|-row grid-densify cross
     // join (advisor fix — zero-count cells so every judge ranks the
     // same object set) on top of its 1-row tie-census broadcast.
+    // r17: q368 gained a second 1-row broadcast (the probe range now
+    // derives from max(o_custkey) — r16 advisor fix — beside the
+    // existing n_members broadcast)
     val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
       "q285_kendall_w" -> 2, "q369_rmst" -> 2, "q375_weighted_kappa" -> 2,
-      "q378_tau_ap" -> 3)
+      "q378_tau_ap" -> 3, "q368_bloom_fpr" -> 2)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -732,28 +735,207 @@ class PlanShapeSpec extends SparkSpec {
       s"undocumented driver-side action in: ${offenders.mkString(", ")}")
   }
 
-  test("raw libm terms never flow into a cross-row sum/avg (seed-122 class)") {
-    // r16 (verdict mandate #1): the round-15 fuzz catch (seed 122,
-    // q175/q242) was a STRUCTURAL class — each libm call (ln/exp/trig/
-    // pow: anything not IEEE-correctly-rounded) carries ~1-ulp
-    // cross-engine drift, and SUMMING raw terms across rows walks the
-    // accumulated drift onto rounding-grid boundaries. The repo
-    // convention quantizes every libm term to an integer grid
-    // (floor(x·1eN + 0.5) as long) BEFORE the accumulation, so both
-    // engines accumulate identical exact integers. This lint makes the
-    // convention structural: every sum/avg whose argument (directly,
-    // or via a column/val bound on a libm line) carries an un-floored
-    // libm term must either show the floor( quantizer inside the
-    // accumulated argument or be adjudicated in the allowlist below.
-    // sqrt and IEEE +−×÷ are correctly rounded and exempt; a single
-    // TERMINAL libm call on an identical argument (q354's documented
-    // rule) is exempt because it is not accumulated. The offline twin
-    // of this scan is scripts/libm_audit.py; the r16 adjudication
-    // table lives in COVERAGE.md.
-    val libm = ("""\b(ln|log|log10|log2|log1p|exp|expm1|sin|cos|tan|asin|""" +
-      """acos|atan|atan2|sinh|cosh|tanh|pow|power|cbrt)\s*\(""").r
+  // --- literal-partitioned window lint (r17, verdict mandate #3) ---
+  // The q367/q371 r16 regression class: a Window.partitionBy whose
+  // partition columns are ALL literal-bound panel labels
+  // (lit("…").as("name") — the pair/grp pattern) has cardinality ≤ the
+  // number of literals in the query, so over a fact-scale (or
+  // fact-CARDINALITY census) input it is a disguised single-reducer
+  // sort: at 100x one task sorts half the fact table, exactly what the
+  // PrefixSum discipline exists to forbid. PLANS.md's exchange count
+  // never surfaces this (the exchange is there — it just has 2 live
+  // partitions), so the guard is a content lint in the libm-rule mold:
+  // detector + justification allowlist + a planted-offender self-test.
+  /** Per query-builder function: windows whose partitionBy columns are
+    * all bound from string literals in the same function. Returns
+    * (functionName, lineInChunk, partitionCols). */
+  private def literalPartitionedWindows(src: String)
+      : Seq[(String, Int, Seq[String])] = {
+    // strip line comments, then merge continuation lines (leading '.')
+    // into their statement so lit("x")\n.as("grp") still binds
+    val lines = src.linesIterator
+      .map(l => l.indexOf("//") match {
+        case -1 => l
+        case i => l.substring(0, i)
+      }).toVector
+    val merged = lines.foldLeft(Vector.empty[String]) { (acc, l) =>
+      if (l.trim.startsWith(".") && acc.nonEmpty)
+        acc.init :+ (acc.last + " " + l.trim)
+      else acc :+ l
+    }.mkString("\n")
+    val fnSplit = """(?=\n  def )""".r
+    val fnName = """\n  def (\w+)""".r
+    val litBind = Seq(
+      """lit\("[^"]*"\)[^\n]*?\.as\("(\w+)"\)""".r,
+      """lit\("[^"]*"\)[^\n]*?withColumn\("(\w+)"""".r,
+      """withColumn\("(\w+)",\s*lit\("""".r)
+    val winPart = """Window\s*\.partitionBy\(([^)]*)\)""".r
+    fnSplit.split(merged).toSeq.flatMap { chunk =>
+      val name = fnName.findFirstMatchIn(chunk).map(_.group(1))
+        .getOrElse("?")
+      val bound = litBind.flatMap(_.findAllMatchIn(chunk).map(_.group(1)))
+        .toSet
+      winPart.findAllMatchIn(chunk).flatMap { m =>
+        val cols = """"(\w+)"""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+        if (cols.nonEmpty && cols.forall(bound)) {
+          val line = chunk.substring(0, m.start).count(_ == '\n') + 1
+          Some((name, line, cols))
+        } else None
+      }
+    }
+  }
+
+  test("no window partitions solely on literal-bound panel labels (q367/q371 class)") {
+    // (function, why the window input is provably NOT fact-scale)
+    val allowlist = Map(
+      "q379RecordsTest" -> ("series union of two copies of the " +
+        "scale-constant DAY census — input is ≤ 2·|days| rows at any SF"))
+    val root = java.nio.file.Paths.get("src/main/scala/graft/ops")
+    val builderDecl = """def q\d+\w*\(s: SparkSession""".r
+    val walk = java.nio.file.Files.walk(root)
+    val offenders = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (builderDecl.findFirstIn(src).isEmpty) Nil
+          else literalPartitionedWindows(src)
+            .filterNot { case (fn, _, _) => allowlist.contains(fn) }
+            .map { case (fn, ln, cols) =>
+              s"${root.relativize(p)} $fn (+$ln): partitionBy(${cols.mkString(", ")})"
+            }
+        }.toList
+    } finally walk.close()
+    assert(offenders.isEmpty,
+      "window partitioned solely on literal-bound labels — a ≤|literals|-" +
+        "cardinality sort; rewrite on the census + PrefixSum backbone " +
+        s"(q210/q254) or adjudicate in the allowlist:\n${offenders.mkString("\n")}")
+  }
+
+  test("literal-window lint self-test: the r16 q367 shape is caught") {
+    // negative test (mandate #3): the exact r16 offender pattern —
+    // literal pair/grp labels, then rank windows partitioned by them —
+    // must be flagged; the rewritten census+PrefixSum q367 must not be.
+    val planted = """
+  def q999Offender(s: SparkSession, dir: String): DataFrame = {
+    val base = pri.select(lit("priority").as("pair"),
+        when(cond, lit("x"))
+          .otherwise(lit("y")).as("grp"),
+        col("v"))
+    val wp = Window.partitionBy("pair").orderBy("v")
+    val wg = Window.partitionBy("pair", "grp").orderBy("v")
+    base.withColumn("r", rank().over(wp))
+  }
+"""
+    val hits = literalPartitionedWindows(planted)
+    assert(hits.map(_._3).toSet == Set(Seq("pair"), Seq("pair", "grp")),
+      s"planted r16 q367 shape must be flagged, got: $hits")
+    val rewritten = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/ops/LocationTests.scala")),
+      "UTF-8")
+    val lt = literalPartitionedWindows(rewritten)
+    assert(lt.isEmpty,
+      s"rewritten LocationTests must carry no literal-partitioned window: $lt")
+  }
+
+  // --- libm-accumulation lint (r16 mandate #1; taint pass upgraded to
+  // statement-based in r17 per verdict mandate #5) ---
+  // The round-15 fuzz catch (seed 122, q175/q242) was a STRUCTURAL
+  // class — each libm call (ln/exp/trig/pow: anything not
+  // IEEE-correctly-rounded) carries ~1-ulp cross-engine drift, and
+  // SUMMING raw terms across rows walks the accumulated drift onto
+  // rounding-grid boundaries. The repo convention quantizes every libm
+  // term to an integer grid (floor(x·1eN + 0.5) as long) BEFORE the
+  // accumulation, so both engines accumulate identical exact integers.
+  // The lint: every sum/avg whose argument (directly, or via a
+  // column/val bound in a libm-carrying STATEMENT — r16's line-based
+  // taint missed bindings whose libm call sat on a continuation line)
+  // must either show the floor( quantizer inside the accumulated
+  // argument or be adjudicated in the allowlist. sqrt and IEEE +−×÷
+  // are correctly rounded and exempt; a single TERMINAL libm call on
+  // an identical argument (q354's documented rule) is exempt because
+  // it is not accumulated. Offline twin: scripts/libm_audit.py;
+  // adjudication table in COVERAGE.md.
+  private val libmRe = ("""\b(ln|log|log10|log2|log1p|exp|expm1|sin|cos|""" +
+    """tan|asin|acos|atan|atan2|sinh|cosh|tanh|pow|power|cbrt)\s*\(""").r
+  private val quantRe = """(?i)floor\s*\(""".r
+
+  /** Joins physical lines into logical statements: a line continues
+    * while its parens/brackets are unbalanced, the NEXT line starts
+    * with an operator/dot, or the line ENDS with a binary operator /
+    * comma (the codebase's continuation styles). stripMargin SQL
+    * lines (leading '|') and triple-quote delimiters stay PER-LINE:
+    * SQL parens are unbalanced across lines, so merging would glue
+    * whole mirrors into one blob — a floor( anywhere would then mask
+    * every taint in it, and unrelated AS-names would absorb taints
+    * from distant expressions (both observed in development).
+    * Comment lines are dropped first. Twin of
+    * scripts/libm_audit.py's logical_statements. */
+  private def logicalStatements(text: String): Seq[String] = {
+    val lines = text.linesIterator.filterNot { l =>
+      val t = l.trim
+      t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+    }.map(l => l.indexOf("//") match {
+      case -1 => l
+      case i => l.substring(0, i)
+    }).toVector
+    def depthDelta(l: String): Int =
+      l.count(c => c == '(' || c == '[') - l.count(c => c == ')' || c == ']')
+    val contHead = """^\s*[.+\-*/&|:]""".r
+    def isSqlLine(l: String): Boolean =
+      l.trim.startsWith("|") || l.contains("\"\"\"")
+    val out = Vector.newBuilder[String]
+    var buf = new StringBuilder
+    var depth = 0
+    def flush(): Unit = if (buf.nonEmpty) {
+      out += buf.toString
+      buf = new StringBuilder
+      depth = 0
+    }
+    lines.zipWithIndex.foreach { case (l, idx) =>
+      if (isSqlLine(l)) {
+        flush()
+        out += l
+      } else {
+        buf.append(l).append(' ')
+        depth += depthDelta(l)
+        val nxt = if (idx + 1 < lines.length) lines(idx + 1) else ""
+        val nextCont = contHead.findFirstIn(nxt).isDefined &&
+          !isSqlLine(nxt)
+        val tailCont = Seq("+", "-", "*", "/", "&&", "||", "=", ",", "=>")
+          .exists(l.replaceAll("\\s+$", "").endsWith(_))
+        if (depth <= 0 && !nextCont && !tailCont) flush()
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** The method-chain expression ending at `pos` (exclusive): walk
+    * left matching brackets; stop at an unmatched '(' (enclosing
+    * call), a top-level ',' (argument boundary) or '='/';'. */
+  private def chainBefore(stmt: String, pos: Int): String = {
+    var depth = 0; var j = pos - 1
+    var stop = -1
+    while (j >= 0 && stop < 0) {
+      stmt.charAt(j) match {
+        case ')' | ']' => depth += 1
+        case '(' | '[' => depth -= 1; if (depth < 0) stop = j
+        case ',' | '=' | ';' if depth == 0 => stop = j
+        case _ =>
+      }
+      j -= 1
+    }
+    stmt.substring(stop + 1, pos)
+  }
+
+  /** The lint core, shared with the planted-offender self-test:
+    * returns the offending (lineNumber, accumulationArg) pairs in
+    * `text`, with `rel` used only for the allowlist match. */
+  private def libmOffenders(rel: String, text: String): Seq[(Int, String)] = {
     val acc = """\b(?i)(sum|avg|mean)\s*\(""".r
-    val quant = """(?i)floor\s*\(""".r
     val bind = Seq(
       """\.as\("([A-Za-z_][A-Za-z0-9_]*)"\)""".r,
       """(?i)\bAS\s+([A-Za-z_][A-Za-z0-9_]*)""".r,
@@ -769,18 +951,65 @@ class PlanShapeSpec extends SparkSpec {
       ("ops/SpatialStats.scala", "km",
         "band censuses sum exact 0/1 indicators — the libm distance " +
           "feeds a comparison, never the accumulator (q333 band-edge rule)"))
-    def balancedArg(text: String, open: Int): String = {
+    def balancedArg(t: String, open: Int): String = {
       var depth = 0; var j = open
-      while (j < text.length) {
-        text.charAt(j) match {
+      while (j < t.length) {
+        t.charAt(j) match {
           case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) return text.substring(open, j + 1)
+          case ')' => depth -= 1; if (depth == 0) return t.substring(open, j + 1)
           case _ =>
         }
         j += 1
       }
-      text.substring(open)
+      t.substring(open)
     }
+    // names whose BOUND EXPRESSION carries an un-floored libm call —
+    // r17 expression-based (verdict mandate #5): each binding is
+    // checked against its OWN expression (the chain before `.as(`,
+    // the withColumn arg, the text after `val x =`), so an exact
+    // count bound in the same fluent chain as a libm projection is
+    // not cross-tainted, and `val x = a *\n  log(b)` (libm on the
+    // continuation line) no longer escapes. SQL `AS x` stays
+    // line-scoped (SQL lines are per-line statements).
+    def rawLibm(e: String): Boolean =
+      libmRe.findFirstIn(e).isDefined && quantRe.findFirstIn(e).isEmpty
+    val Seq(bindAs, bindSql, bindVal, bindWithCol) = bind
+    val tainted = logicalStatements(text)
+      .filter(st => libmRe.findFirstIn(st).isDefined)
+      .flatMap { st =>
+        val viaAs = bindAs.findAllMatchIn(st)
+          .filter(m => rawLibm(chainBefore(st, m.start)))
+          .map(_.group(1))
+        val viaWc = bindWithCol.findAllMatchIn(st).filter { m =>
+          val open = st.indexOf('(', m.start)
+          open >= 0 && rawLibm(balancedArg(st, open))
+        }.map(_.group(1))
+        val viaVal = bindVal.findAllMatchIn(st)
+          .filter(m => rawLibm(st.substring(m.end)))
+          .map(_.group(1))
+        val viaSql =
+          if (quantRe.findFirstIn(st).isDefined) Iterator.empty
+          else bindSql.findAllMatchIn(st).map(_.group(1))
+            .filterNot(n => sqlTypes(n.toUpperCase))
+        viaAs ++ viaWc ++ viaVal ++ viaSql
+      }.toSet
+    acc.findAllMatchIn(text).flatMap { m =>
+      val arg = balancedArg(text, m.end - 1)
+      val direct = libmRe.findFirstIn(arg).isDefined
+      val viaTaint = tainted.exists(t =>
+        ("""[("\s]""" + java.util.regex.Pattern.quote(t) +
+          """[)"\s,*+\-/]""").r.findFirstIn(arg).isDefined)
+      val raw = (direct || viaTaint) && quantRe.findFirstIn(arg).isEmpty
+      val excused = allowlist.exists { case (f, sub, _) =>
+        rel.endsWith(f.stripPrefix("ops/")) && arg.contains(sub) }
+      if (raw && !excused) {
+        val line = text.substring(0, m.start).count(_ == '\n') + 1
+        Some((line, arg.replaceAll("\\s+", " ").take(90)))
+      } else None
+    }.toSeq
+  }
+
+  test("raw libm terms never flow into a cross-row sum/avg (seed-122 class)") {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val walk = java.nio.file.Files.walk(root)
     val offenders = try {
@@ -790,33 +1019,34 @@ class PlanShapeSpec extends SparkSpec {
         .flatMap { p =>
           val rel = root.relativize(p).toString
           val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          // names bound on a line carrying an un-floored libm call
-          val tainted = text.linesIterator.filterNot { l =>
-            val t = l.trim
-            t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
-          }.filter(l => libm.findFirstIn(l).isDefined &&
-              quant.findFirstIn(l).isEmpty)
-            .flatMap(l => bind.flatMap(_.findAllMatchIn(l).map(_.group(1))))
-            .filterNot(n => sqlTypes(n.toUpperCase)).toSet
-          acc.findAllMatchIn(text).flatMap { m =>
-            val arg = balancedArg(text, m.end - 1)
-            val direct = libm.findFirstIn(arg).isDefined
-            val viaTaint = tainted.exists(t =>
-              ("""[("\s]""" + java.util.regex.Pattern.quote(t) +
-                """[)"\s,*+\-/]""").r.findFirstIn(arg).isDefined)
-            val raw = (direct || viaTaint) && quant.findFirstIn(arg).isEmpty
-            val excused = allowlist.exists { case (f, sub, _) =>
-              rel.endsWith(f.stripPrefix("ops/")) && arg.contains(sub) }
-            if (raw && !excused) {
-              val line = text.substring(0, m.start).count(_ == '\n') + 1
-              Some(s"$rel:$line ${arg.replaceAll("\\s+", " ").take(90)}")
-            } else None
-          }.toList
+          libmOffenders(rel, text).map { case (ln, arg) => s"$rel:$ln $arg" }
         }.toList
     } finally walk.close()
     assert(offenders.isEmpty,
       "un-quantized libm term inside a cross-row accumulation " +
         "(quantize with floor(x*1eN+0.5) before the sum, or adjudicate " +
         s"in the allowlist): ${offenders.mkString("; ")}")
+  }
+
+  test("libm lint self-test: a continuation-line binding is caught") {
+    // negative test (r17 mandate #5): r16's line-based taint required
+    // the libm call and the binding on the SAME physical line — this
+    // planted violation splits them across a continuation and must
+    // now be flagged
+    val planted = """
+  def q998Offender(s: SparkSession, dir: String): DataFrame = {
+    val term = col("weight") *
+      log(col("score") + 1.0)
+    df.groupBy("g").agg(sum(term).as("t"))
+  }
+"""
+    val hits = libmOffenders("ops/Planted.scala", planted)
+    assert(hits.nonEmpty && hits.head._2.contains("term"),
+      s"continuation-line libm binding must be flagged, got: $hits")
+    // and the quantized form of the same statement must pass
+    val quantized = planted.replace("log(col(\"score\") + 1.0)",
+      "floor(log(col(\"score\") + 1.0) * 1e9 + 0.5).cast(\"long\")")
+    assert(libmOffenders("ops/Planted.scala", quantized).isEmpty,
+      "the floor-quantized continuation form must be clean")
   }
 }

@@ -3988,6 +3988,11 @@ class StatBruteSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getString(1),
         r.getAs[Long]("n_chars")))
     val langs = docs.map(_._2).distinct.sorted
+    // r17 (r16 advisor): the walk uses pool = 20 literals below, valid
+    // only while the corpus fills the judged pool — assert it does
+    // (the query itself derives pool from max(rk) and stays correct on
+    // sub-20 corpora)
+    assert(docs.length >= 20, "fixture must fill the judged top-20 pool")
     langs.foreach { ql =>
       val top20 = docs.sortBy { case (id, _, nc) => (-nc, id) }.take(20)
       val rels = top20.map(_._2 == ql)
@@ -4142,9 +4147,12 @@ class StatBruteSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 12), 16) % m
     }
+    // r17 (r16 advisor): probes derive from max(o_custkey) + 1 …
+    // + 3000, matching the query's SF-safe construction
+    val mx = members.max
     Seq(1024L, 16384L).foreach { m =>
       val bits = (for (k <- members; j <- 0 until 7) yield pos(j, k, m)).toSet
-      val fp = (1000001L until 1003001L).count { p =>
+      val fp = ((mx + 1L) to (mx + 3000L)).count { p =>
         (0 until 7).forall(j => bits.contains(pos(j, p, m)))
       }
       val r = out(m)

@@ -775,4 +775,70 @@ class StreamingSpec extends SparkSpec {
         "streamed sketch diverged from the batch sketch over equal rows")
     } finally q.stop()
   }
+
+  test("equi-width histogram bins aggregate inside a windowed streaming query") {
+    // r17 (r16 verdict mandate #6): q357's mergeable-histogram
+    // property doing streaming duty beside KmvAgg/t-digest — the bin
+    // census state per window is ≤ 32 longs, merged across
+    // micro-batches by the same partial/final path, and (like KMV,
+    // unlike t-digest) DETERMINISTIC: bin counts are exact integers
+    // independent of batch boundaries, so the streamed census must
+    // equal the batch census over the same rows element-for-element,
+    // and the interpolated P50 from streamed bins must sit within one
+    // bin width of the exact median (q357's structural bound).
+    import org.apache.spark.sql.functions._
+    // fixed bounds (a streaming histogram cannot scan for min/max):
+    // values land in [1, 400], 32 equi-width bins
+    val (lo, hi, nb) = (1L, 400L, 32L)
+    val bin = least(lit(nb - 1),
+      floor((col("value").cast("long") - lo) * nb / (hi - lo + 1)))
+    val in = newStream()
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("bucket"), col("bin"), col("c"))
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches over one window: counts must MERGE (40+60
+      // rows, values interleaved so most bins span both batches)
+      in.addData((1 to 40).map(i =>
+        Ev(i, ts("2024-01-01 10:05:00"), 1, "m", (i * 7 % 400 + 1).toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((41 to 100).map(i =>
+        Ev(i, ts("2024-01-01 10:40:00"), 1, "m", (i * 7 % 400 + 1).toDouble)): _*)
+      q.processAllAvailable()
+      in.addData(Ev(999, ts("2024-01-01 13:00:00"), 1, "m", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hist_stream")
+        .filter(col("bucket") === ts("2024-01-01 10:00:00"))
+        .select("bin", "c").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.values.sum === 100L, "both micro-batches must land")
+      // batch census over the identical rows, element for element
+      import spark.implicits._
+      val vals = (1 to 100).map(i => (i * 7 % 400 + 1).toLong)
+      val batch = vals.toDF("value")
+        .groupBy(least(lit(nb - 1),
+          floor((col("value") - lo) * nb / (hi - lo + 1))).as("bin"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "streamed bin census diverged from the batch census over equal rows")
+      // q357's readout: interpolated P50 within one bin width of exact
+      val sorted = vals.sorted
+      val exactMed = (sorted(49) + sorted(50)) / 2.0
+      val cumBins = streamed.toSeq.sortBy(_._1)
+        .scanLeft(((-1L), 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+        .drop(1)
+      val t = 0.5 * 100
+      val (mb, cumAt) = cumBins.find(_._2 >= t).get
+      val cBefore = cumAt - streamed(mb)
+      val w = (hi - lo + 1).toDouble / nb
+      val p50 = lo + (mb + (t - cBefore) / streamed(mb)) * w
+      assert(math.abs(p50 - exactMed) <= w,
+        s"interpolated P50 $p50 beyond one bin width of exact $exactMed")
+    } finally q.stop()
+  }
 }
