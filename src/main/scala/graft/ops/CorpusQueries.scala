@@ -1388,4 +1388,146 @@ object CorpusQueries {
       |  FLOOR(CAST(df AS DOUBLE) / GREATEST(df_poisson, 1e-300)
       |    * 1e4 + 0.5) / 1e4 + 0 AS adaptation
       |FROM f ORDER BY cf DESC, term""".stripMargin
+
+  /** L318 WAV/RIFF header parse census *(added r17)* — the second
+    * oracle-gated multimodal kernel beside q356's PCM data-chunk
+    * parse (the r16 verdict's suggested gap): a complete 44-byte
+    * PCM-WAV header ([PK] the RIFF/WAVE canonical layout — the 1991
+    * Microsoft/IBM RIFF spec) is SYNTHESIZED per document from
+    * deterministic parameters (rate ∈ {8000, 16000, 22050, 44100,
+    * 48000}, 1–2 channels, 100–999 frames, 16-bit), byte-assembled
+    * little-endian through unhex, and then PARSED BACK field by field
+    * through Spark's BINARY machinery (substring-on-binary byte
+    * slicing + hex/conv LE folds): the four magic tags checked
+    * against their byte values, nChannels/sampleRate/byteRate/
+    * blockAlign/bits/dataSize decoded, and the header's INTERNAL
+    * CONSISTENCY re-derived (byteRate = rate·ch·bits/8, blockAlign =
+    * ch·bits/8, riffSize = 36 + dataSize) — the integrity census a
+    * real ingest pipeline runs before trusting a container's
+    * metadata. Per sample rate: file/stereo/valid counts, total
+    * frames, exact total duration (µs, integer division), data
+    * bytes.
+    *
+    * Parity: every field is exact integer byte arithmetic on both
+    * engines (Spark parses the BINARY column; DuckDB the same hex
+    * text through the q333 strpos fold); duration_us = frames·1e6
+    * div rate is exact integer division; ZERO doubles anywhere.
+    *
+    * Scale: pure map + one ≤5-group hash agg — zero joins, zero
+    * shuffle beyond the final 5-row agg; the synth exists because
+    * the container ships no media files (the PARSE is the operator,
+    * same contract as q356). */
+  def q383WavHeaderCensus(s: SparkSession, dir: String): DataFrame = {
+    def le16(c: Column): Column = concat(
+      lpad(lower(hex(pmod(c, lit(256L)))), 2, "0"),
+      lpad(lower(hex(pmod(floor(c / 256.0).cast("long"), lit(256L)))),
+        2, "0"))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("rate", element_at(
+        typedlit(Seq(8000L, 16000L, 22050L, 44100L, 48000L)),
+        (pmod(col("doc_id"), lit(5L)) + 1L).cast("int")))
+      .withColumn("ch", lit(1L) + pmod(col("doc_id"), lit(2L)))
+      .withColumn("frames", lit(100L) + pmod(col("doc_id"), lit(900L)))
+      .withColumn("dsize", col("frames") * col("ch") * 2L)
+    def le32(c: Column): Column =
+      concat(le16(pmod(c, lit(65536L))),
+        le16(floor(c / 65536.0).cast("long")))
+    val hx = concat(lit("52494646"), le32(col("dsize") + 36L),
+      lit("57415645"), lit("666d7420"), lit("10000000"), lit("0100"),
+      le16(col("ch")), le32(col("rate")),
+      le32(col("rate") * col("ch") * 2L), le16(col("ch") * 2L),
+      lit("1000"), lit("64617461"), le32(col("dsize")))
+    val wav = d.select(unhex(hx).as("wav"))
+    // the operator: byte-level parse of the BINARY column
+    def u8(i: Int): Column =
+      conv(hex(substring(col("wav"), i, 1)), 16, 10).cast("long")
+    def u16(i: Int): Column = u8(i) + u8(i + 1) * 256L
+    def u32(i: Int): Column = u16(i) + u16(i + 2) * 65536L
+    def tag(i: Int, hex4: String): Column =
+      conv(hex(substring(col("wav"), i, 4)), 16, 10) === lit(
+        java.lang.Long.parseLong(hex4, 16)).cast("string")
+    val p = wav.select(
+      (tag(1, "52494646") && tag(9, "57415645") &&
+        tag(13, "666d7420") && tag(37, "64617461")).as("magic_ok"),
+      u16(21).as("fmt"), u16(23).as("ch"), u32(25).as("rate"),
+      u32(29).as("byte_rate"), u16(33).as("block"), u16(35).as("bits"),
+      u32(5).as("riff_size"), u32(41).as("dsize"))
+    val ok = col("magic_ok") && col("fmt") === 1L &&
+      col("byte_rate") === expr("(rate * ch * bits) div 8") &&
+      col("block") === expr("(ch * bits) div 8") &&
+      col("riff_size") === col("dsize") + 36L
+    p.withColumn("frames", expr("dsize div (ch * 2)"))
+      .withColumn("dur_us", expr("(frames * 1000000) div rate"))
+      .groupBy(col("rate").as("sample_rate"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("ch") === 2L, 1L).otherwise(0L)).as("n_stereo"),
+        sum(ok.cast("long")).as("n_valid"),
+        sum(col("frames")).as("total_frames"),
+        sum(col("dur_us")).as("total_dur_us"),
+        sum(col("dsize")).as("total_data_bytes"))
+      .orderBy("sample_rate")
+  }
+
+  val q383WavHeaderCensusSql: String = {
+    def hd(p: String): String =
+      s"(strpos('0123456789abcdef', substr(hx, CAST($p AS INT), 1)) - 1)"
+    def u8(i: Int): String = s"(${hd(s"${2 * i - 1}")} * 16 + ${hd(s"${2 * i}")})"
+    def u16(i: Int): String = s"(${u8(i)} + ${u8(i + 1)} * 256)"
+    def u32(i: Int): String = s"(${u16(i)} + ${u16(i + 2)} * 65536)"
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    ([8000, 16000, 22050, 44100, 48000])[(doc_id % 5) + 1]
+      |      AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    100 + doc_id % 900 AS frames
+      |  FROM documents),
+      |d2 AS (SELECT *, frames * ch * 2 AS dsize FROM d),
+      |h AS (
+      |  SELECT '52494646'
+      |    || printf('%02x%02x%02x%02x', (dsize + 36) % 256,
+      |         ((dsize + 36) // 256) % 256, ((dsize + 36) // 65536) % 256,
+      |         ((dsize + 36) // 16777216) % 256)
+      |    || '57415645' || '666d7420' || '10000000' || '0100'
+      |    || printf('%02x%02x', ch % 256, ch // 256)
+      |    || printf('%02x%02x%02x%02x', rate % 256, (rate // 256) % 256,
+      |         (rate // 65536) % 256, (rate // 16777216) % 256)
+      |    || printf('%02x%02x%02x%02x', (rate * ch * 2) % 256,
+      |         ((rate * ch * 2) // 256) % 256,
+      |         ((rate * ch * 2) // 65536) % 256,
+      |         ((rate * ch * 2) // 16777216) % 256)
+      |    || printf('%02x%02x', (ch * 2) % 256, (ch * 2) // 256)
+      |    || '1000' || '64617461'
+      |    || printf('%02x%02x%02x%02x', dsize % 256,
+      |         (dsize // 256) % 256, (dsize // 65536) % 256,
+      |         (dsize // 16777216) % 256) AS hx
+      |  FROM d2),
+      |p AS (
+      |  SELECT
+      |    (substr(hx, 1, 8) = '52494646'
+      |      AND substr(hx, 17, 8) = '57415645'
+      |      AND substr(hx, 25, 8) = '666d7420'
+      |      AND substr(hx, 73, 8) = '64617461') AS magic_ok,
+      |    ${u16(21)} AS fmt, ${u16(23)} AS ch, ${u32(25)} AS rate,
+      |    ${u32(29)} AS byte_rate, ${u16(33)} AS blk, ${u16(35)} AS bits,
+      |    ${u32(5)} AS riff_size, ${u32(41)} AS dsize
+      |  FROM h),
+      |f AS (
+      |  SELECT *,
+      |    (magic_ok AND fmt = 1
+      |      AND byte_rate = rate * ch * bits // 8
+      |      AND blk = ch * bits // 8
+      |      AND riff_size = dsize + 36) AS ok,
+      |    dsize // (ch * 2) AS frames
+      |  FROM p)
+      |SELECT CAST(rate AS BIGINT) AS sample_rate,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stereo,
+      |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |  CAST(SUM(frames) AS BIGINT) AS total_frames,
+      |  CAST(SUM(frames * 1000000 // rate) AS BIGINT) AS total_dur_us,
+      |  CAST(SUM(dsize) AS BIGINT) AS total_data_bytes
+      |FROM f GROUP BY rate
+      |ORDER BY sample_rate""".stripMargin
+  }
 }

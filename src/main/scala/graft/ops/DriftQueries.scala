@@ -1098,4 +1098,91 @@ object DriftQueries {
       |      + 0.5) / 1e6 + 0 END AS kuiper_v
       |FROM g""".stripMargin
 
+  /** L322 generalized-entropy inequality panel GE(0)/GE(1)/GE(2)
+    * *(added r17; [PK] Shorrocks 1980; Cowell 2011)* — the one-
+    * parameter family the suite's inequality members are points of:
+    * GE(0) = mean log deviation (bottom-sensitive), GE(1) = Theil T
+    * (q191's statistic, here on the per-customer value frame as a
+    * cross-member check), GE(2) = ½CV² (top-sensitive, pure
+    * moments). Per market segment over customer lifetime order value
+    * — reading ACROSS α is the readout: GE(2) ≫ GE(0) ⇔ inequality
+    * lives in the top tail.
+    *
+    * Parity: per-customer cents are exact; ln x is nano-quantized
+    * per term BEFORE both sums (Σt₉ int64 for GE(0); Σx·t₉
+    * DECIMAL(38) for GE(1) — the q191 convention); GE(2) is exact
+    * moments only; ln μ is one TERMINAL ln on the identical exact
+    * ratio (q354 exemption); 6dp.
+    *
+    * Scale: orders ⋈ broadcast customer-segment → per-customer agg →
+    * per-segment 5-row moment agg, all map-side combinable; no
+    * windows, no fact-sized joins. */
+  def q387GePanel(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perc = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("x"))
+    val t9 = floor(log(col("x").cast("double")) * 1e9 + 0.5).cast("long")
+    val g = perc
+      .withColumn("t9", t9)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("t9")).as("st9"),
+        sum(col("x").cast(dec) * col("t9").cast(dec)).as("sxt9"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val mu = d(col("sx")) / n
+    val lnMu = log(mu)
+    val ge0 = lnMu - d(col("st9")) / 1e9 / n
+    val ge1 = d(col("sxt9")) / 1e9 / d(col("sx")) - lnMu
+    val ge2 = (n * d(col("sxx")) / (d(col("sx")) * d(col("sx"))) - 1.0) / 2.0
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    g.select(col("seg"), col("n").as("n_customers"),
+        (floor(mu + 0.5).cast("long")).as("mean_cents"),
+        rnd6(ge0).as("ge0_mld"), rnd6(ge1).as("ge1_theil"),
+        rnd6(ge2).as("ge2_half_cv2"))
+      .orderBy("seg")
+  }
+
+  val q387GePanelSql: String =
+    """WITH perc AS (
+      |  SELECT c_mktsegment AS seg, o_custkey,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT seg, x,
+      |    CAST(FLOOR(ln(CAST(x AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS t9
+      |  FROM perc),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(t9) AS BIGINT) AS st9,
+      |    CAST(SUM(CAST(x AS HUGEINT) * t9) AS HUGEINT) AS sxt9
+      |  FROM t GROUP BY seg),
+      |f AS (
+      |  SELECT seg, n,
+      |    CAST(sx AS DOUBLE) / n AS mu,
+      |    ln(CAST(sx AS DOUBLE) / n) AS lnmu,
+      |    CAST(st9 AS DOUBLE) / 1e9 / n AS mlnx,
+      |    CAST(sxt9 AS DOUBLE) / 1e9 / CAST(sx AS DOUBLE) AS xlnx,
+      |    (n * CAST(sxx AS DOUBLE)
+      |      / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) - 1.0) / 2.0
+      |      AS ge2
+      |  FROM g)
+      |SELECT seg, CAST(n AS BIGINT) AS n_customers,
+      |  CAST(FLOOR(mu + 0.5) AS BIGINT) AS mean_cents,
+      |  FLOOR((lnmu - mlnx) * 1e6 + 0.5) / 1e6 + 0 AS ge0_mld,
+      |  FLOOR((xlnx - lnmu) * 1e6 + 0.5) / 1e6 + 0 AS ge1_theil,
+      |  FLOOR(ge2 * 1e6 + 0.5) / 1e6 + 0 AS ge2_half_cv2
+      |FROM f ORDER BY seg""".stripMargin
 }

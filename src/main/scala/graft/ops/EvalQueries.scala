@@ -626,10 +626,11 @@ object EvalQueries {
       |      AS BIGINT) AS va
       |  FROM orders GROUP BY 1),
       |b AS (
-      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
       |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
       |      AS BIGINT) AS vb
-      |  FROM lineitem GROUP BY 1),
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
       |diffs AS (SELECT va - vb AS d FROM a JOIN b USING (day)),
       |m AS (
       |  SELECT COUNT(*) AS n, SUM(CAST(d AS HUGEINT)) AS sd1,
@@ -800,4 +801,204 @@ object EvalQueries {
       |      / GREATEST(CAST(4 * n * n - eq AS DOUBLE), 1e-300)
       |      * 1e6 + 0.5) / 1e6 + 0 END AS kappa_quad
       |FROM f""".stripMargin
+
+  /** L321 Scott's π vs Cohen's κ *(added r17; [PK] Scott 1955;
+    * Cohen 1960)* — the CHANCE-MODEL contrast the agreement family
+    * was missing: for each of the three rater pairs, the same
+    * observed agreement p_o is corrected by TWO different chance
+    * models — Cohen's (each rater's own marginal: p_e = p₁p₂ +
+    * q₁q₂) and Scott's (the POOLED marginal both raters are assumed
+    * to share: p_e = p̄² + q̄², the 2-rater root of Fleiss' κ —
+    * q274). The gap κ − π is the classic marginal-asymmetry readout:
+    * identical marginals → identical statistics; diverging screen
+    * base rates pull π below κ (Scott's pooled model is always ≥
+    * Cohen's p_e by AM-GM, so π ≤ κ — pinned in NonDegeneracySpec).
+    *
+    * Parity: agreement and marginal counts are exact int64 censuses;
+    * κ, π, and the gap are each ONE identical double chain on exact
+    * integer ratios, 6dp.
+    *
+    * Scale: one fact scan → 3-rater per-doc verdicts → a single
+    * 8-cell (r1, r2, r3) census hash agg (map-side combinable);
+    * everything after is ≤8-row algebra exploded to 3 pair rows. */
+  def q386ScottPi(s: SparkSession, dir: String): DataFrame = {
+    val cen = raters(s, dir).groupBy("r1", "r2", "r3")
+      .agg(count(lit(1)).as("n"))
+    val pairs = cen.withColumn("pair",
+        explode(array(lit("r1_r2"), lit("r1_r3"), lit("r2_r3"))))
+      .withColumn("a", when(col("pair") === "r1_r2", col("r1"))
+        .when(col("pair") === "r1_r3", col("r1")).otherwise(col("r2")))
+      .withColumn("b", when(col("pair") === "r1_r2", col("r2"))
+        .when(col("pair") === "r1_r3", col("r3")).otherwise(col("r3")))
+      .groupBy("pair")
+      .agg(sum(col("n")).as("nt"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("ao"),
+        sum(col("a") * col("n")).as("m1"),
+        sum(col("b") * col("n")).as("m2"))
+    def d(c: Column) = c.cast("double")
+    val nt = d(col("nt"))
+    val po = d(col("ao")) / nt
+    val (p1, p2) = (d(col("m1")) / nt, d(col("m2")) / nt)
+    val peC = p1 * p2 + (lit(1.0) - p1) * (lit(1.0) - p2)
+    val pBar = (p1 + p2) / 2.0
+    val peS = pBar * pBar + (lit(1.0) - pBar) * (lit(1.0) - pBar)
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    pairs.select(col("pair"), col("nt").as("n_docs"),
+        rnd6(po).as("p_obs"),
+        rnd6((po - peC) / greatest(lit(1.0) - peC, lit(1e-300)))
+          .as("kappa"),
+        rnd6((po - peS) / greatest(lit(1.0) - peS, lit(1e-300)))
+          .as("scott_pi"),
+        rnd6((po - peC) / greatest(lit(1.0) - peC, lit(1e-300)) -
+          (po - peS) / greatest(lit(1.0) - peS, lit(1e-300)))
+          .as("kappa_minus_pi"))
+      .orderBy("pair")
+  }
+
+  val q386ScottPiSql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS r1,
+      |    CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END
+      |      AS r2,
+      |    CASE WHEN len(list_intersect(string_split(text, ' '),
+      |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on'])) > 0
+      |      THEN 1 ELSE 0 END AS r3
+      |  FROM documents),
+      |cen AS (
+      |  SELECT r1, r2, r3, COUNT(*) AS n FROM r GROUP BY r1, r2, r3),
+      |p AS (
+      |  SELECT pair,
+      |    CASE pair WHEN 'r1_r2' THEN r1 WHEN 'r1_r3' THEN r1
+      |      ELSE r2 END AS a,
+      |    CASE pair WHEN 'r1_r2' THEN r2 WHEN 'r1_r3' THEN r3
+      |      ELSE r3 END AS b,
+      |    n
+      |  FROM cen CROSS JOIN
+      |    (VALUES ('r1_r2'), ('r1_r3'), ('r2_r3')) tp(pair)),
+      |g AS (
+      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS ao,
+      |    CAST(SUM(a * n) AS BIGINT) AS m1,
+      |    CAST(SUM(b * n) AS BIGINT) AS m2
+      |  FROM p GROUP BY pair),
+      |f AS (
+      |  SELECT pair, nt,
+      |    CAST(ao AS DOUBLE) / nt AS po,
+      |    CAST(m1 AS DOUBLE) / nt AS p1,
+      |    CAST(m2 AS DOUBLE) / nt AS p2
+      |  FROM g),
+      |f2 AS (
+      |  SELECT pair, nt, po,
+      |    p1 * p2 + (1.0 - p1) * (1.0 - p2) AS pec,
+      |    ((p1 + p2) / 2.0) * ((p1 + p2) / 2.0)
+      |      + (1.0 - (p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0) AS pes
+      |  FROM f)
+      |SELECT pair, nt AS n_docs,
+      |  FLOOR(po * 1e6 + 0.5) / 1e6 + 0 AS p_obs,
+      |  FLOOR((po - pec) / GREATEST(1.0 - pec, 1e-300) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS kappa,
+      |  FLOOR((po - pes) / GREATEST(1.0 - pes, 1e-300) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS scott_pi,
+      |  FLOOR(((po - pec) / GREATEST(1.0 - pec, 1e-300)
+      |    - (po - pes) / GREATEST(1.0 - pes, 1e-300)) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS kappa_minus_pi
+      |FROM f2 ORDER BY pair""".stripMargin
+
+  /** L329 Lin's concordance correlation coefficient *(added r17;
+    * [PK] Lin 1989)* — the CONTINUOUS-scale agreement coefficient
+    * beside q374's Bland–Altman limits, on two daily measures of
+    * the same flow (net order revenue vs gross pre-discount/tax
+    * lineitem revenue, both on order date): CCC =
+    * 2s_xy/(s_x² + s_y² + (x̄−ȳ)²) penalizes both scatter AND the
+    * systematic shift Pearson's r is blind to — published as the
+    * (r, C_b, CCC) triple with CCC = r·C_b, so the decomposition
+    * says whether disagreement is noise (r < 1) or bias (C_b < 1).
+    * CCC ≤ r always — pinned in NonDegeneracySpec.
+    *
+    * Parity: all five moments are exact DECIMAL(38)/HUGEINT sums of
+    * exact cents; CCC/r/C_b are each one identical double chain
+    * (population-moment convention, Lin's original), 6dp.
+    *
+    * Scale: two map-side day rollups joined on the scale-constant
+    * day census; one 1-row moment agg; no windows. */
+  def q394LinCcc(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("va"))
+    val b = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("vb"))
+    val m = a.join(b, Seq("day")).agg(count(lit(1)).as("n"),
+      sum(col("va").cast(dec)).as("sx"),
+      sum(col("vb").cast(dec)).as("sy"),
+      sum(col("va").cast(dec) * col("va").cast(dec)).as("sxx"),
+      sum(col("vb").cast(dec) * col("vb").cast(dec)).as("syy"),
+      sum(col("va").cast(dec) * col("vb").cast(dec)).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val (mx, my) = (dd("sx") / n, dd("sy") / n)
+    val vx = dd("sxx") / n - mx * mx
+    val vy = dd("syy") / n - my * my
+    val cxy = dd("sxy") / n - mx * my
+    val ccc = lit(2.0) * cxy /
+      greatest(vx + vy + (mx - my) * (mx - my), lit(1e-300))
+    val r = cxy / greatest(sqrt(greatest(vx, lit(0.0))) *
+      sqrt(greatest(vy, lit(0.0))), lit(1e-300))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    m.select(col("n").as("n_days"), rnd6(r).as("pearson_r"),
+      when(abs(r) < 1e-12, lit(null).cast("double"))
+        .otherwise(rnd6(ccc / r)).as("c_b"),
+      rnd6(ccc).as("ccc"))
+  }
+
+  val q394LinCccSql: String =
+    """WITH a AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS va
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS vb
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(va AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(vb AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(va AS HUGEINT) * va) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(vb AS HUGEINT) * vb) AS HUGEINT) AS syy,
+      |    CAST(SUM(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS sxy
+      |  FROM a JOIN b USING (day)),
+      |f AS (
+      |  SELECT n,
+      |    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+      |    CAST(sxx AS DOUBLE) / n AS mxx, CAST(syy AS DOUBLE) / n AS myy,
+      |    CAST(sxy AS DOUBLE) / n AS mxy
+      |  FROM m),
+      |z AS (
+      |  SELECT n,
+      |    mxx - mx * mx AS vx, myy - my * my AS vy,
+      |    mxy - mx * my AS cxy, mx, my
+      |  FROM f),
+      |z2 AS (
+      |  SELECT n,
+      |    2.0 * cxy / GREATEST(vx + vy + (mx - my) * (mx - my), 1e-300)
+      |      AS ccc,
+      |    cxy / GREATEST(SQRT(GREATEST(vx, 0.0))
+      |      * SQRT(GREATEST(vy, 0.0)), 1e-300) AS r
+      |  FROM z)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  FLOOR(r * 1e6 + 0.5) / 1e6 + 0 AS pearson_r,
+      |  CASE WHEN ABS(r) < 1e-12 THEN NULL
+      |    ELSE FLOOR(ccc / r * 1e6 + 0.5) / 1e6 + 0 END AS c_b,
+      |  FLOOR(ccc * 1e6 + 0.5) / 1e6 + 0 AS ccc
+      |FROM z2""".stripMargin
 }

@@ -784,4 +784,111 @@ object KSampleTests {
       |    ELSE CAST(CASE WHEN mstat / cfac > 9.4877 THEN 1 ELSE 0 END
       |      AS BIGINT) END AS reject_5pct
       |FROM fin""".stripMargin
+
+  /** L326 Levene's test, mean-centered *(added r17; [PK] Levene
+    * 1960)* — the ORIGINAL variance-homogeneity test q232's
+    * Brown–Forsythe is the robust modification of: the same one-way
+    * ANOVA machinery applied to |x − x̄_g| (mean centering, optimal
+    * under near-normality) instead of |x − median_g| (median
+    * centering, robust to tails). Published on the identical 5-segment
+    * order-value frame so W_mean beside q232's W_median IS the tail
+    * readout: heavy tails inflate mean-centered deviations and pull
+    * the two statistics apart.
+    *
+    * Parity: x̄_g = s_g/n_g from exact whole-dollar sums (the q232
+    * grain — a finer grid overflows the int64 Σz² at large SF); each
+    * |x − x̄_g| is ONE identical double chain dollar-quantized per
+    * row before the exact int64 group sums (seed-122 convention);
+    * the F chain reuses q232's quantized-variance tail verbatim.
+    *
+    * Scale: one broadcast dim join + two map-side-combinable group
+    * aggs (the mean pass then the deviation pass — same shape as
+    * q232's median pass); ≤5-row algebra after. */
+  def q391LeveneMean(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+    val mu = o.groupBy("seg")
+      .agg(count(lit(1)).as("ng"), sum(col("v").cast(dec)).as("sg"))
+    val dev = o.join(broadcast(mu), "seg")
+      .select(col("seg"),
+        floor(abs(col("v").cast("double") -
+          col("sg").cast("double") / col("ng").cast("double")) + 0.5)
+          .cast("long").as("zq"))
+    val g = dev.groupBy("seg")
+      .agg(count(lit(1)).as("nj"), sum(col("zq").cast(dec)).as("sj"),
+        sum(col("zq").cast(dec) * col("zq").cast(dec)).as("qj"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("vq",
+        floor((col("sj").cast("double") * col("sj").cast("double")) /
+          col("nj").cast("double") + 0.5).cast("long"))
+      .withColumn("nt", sum(col("nj")).over(wAll))
+      .withColumn("st", sum(col("sj")).over(wAll))
+      .withColumn("qt", sum(col("qj")).over(wAll))
+      .withColumn("sv", sum(col("vq")).over(wAll))
+    val grand = floor((col("st").cast("double") * col("st").cast("double")) /
+      col("nt").cast("double") + 0.5).cast("long")
+    val ssb = col("sv") - grand
+    val ssw = col("qt").cast("long") - col("sv")
+    val f = (ssb.cast("double") / 4.0) /
+      (ssw.cast("double") / (col("nt").cast("double") - 5.0))
+    t.select(col("seg").as("c_mktsegment"), col("nj"),
+        (round(col("sj").cast("double") / col("nj"), 4) + 0.0)
+          .as("mean_absdev_dollars"),
+        (round(f, 4) + 0.0).as("levene_stat"),
+        lit(4).as("df1"),
+        (col("nt") - 5).as("df2"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q391LeveneMeanSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |mu AS (
+      |  SELECT seg, COUNT(*) AS ng,
+      |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sg
+      |  FROM o GROUP BY seg),
+      |dev AS (
+      |  SELECT o.seg,
+      |    CAST(FLOOR(ABS(CAST(v AS DOUBLE)
+      |      - CAST(sg AS DOUBLE) / ng) + 0.5) AS BIGINT) AS zq
+      |  FROM o JOIN mu ON o.seg = mu.seg),
+      |g AS (
+      |  SELECT seg, COUNT(*) AS nj,
+      |    CAST(SUM(CAST(zq AS HUGEINT)) AS HUGEINT) AS sj,
+      |    CAST(SUM(CAST(zq AS HUGEINT) * zq) AS HUGEINT) AS qj
+      |  FROM dev GROUP BY seg),
+      |t AS (
+      |  SELECT seg, nj, sj, qj,
+      |    CAST(FLOOR(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+      |      / nj + 0.5) AS BIGINT) AS vq,
+      |    CAST(SUM(nj) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(qj) OVER () AS HUGEINT) AS qt
+      |  FROM g),
+      |t2 AS (
+      |  SELECT *, CAST(SUM(vq) OVER () AS BIGINT) AS sv,
+      |    CAST(SUM(sj) OVER () AS HUGEINT) AS st
+      |  FROM t),
+      |f AS (
+      |  SELECT seg, nj, sj, nt,
+      |    sv - CAST(FLOOR(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |      / nt + 0.5) AS BIGINT) AS ssb,
+      |    CAST(qt AS BIGINT) - sv AS ssw
+      |  FROM t2)
+      |SELECT seg AS c_mktsegment, nj,
+      |  ROUND(CAST(sj AS DOUBLE) / nj, 4) + 0
+      |    AS mean_absdev_dollars,
+      |  ROUND((CAST(ssb AS DOUBLE) / 4.0)
+      |    / (CAST(ssw AS DOUBLE) / (CAST(nt AS DOUBLE) - 5.0)), 4) + 0
+      |    AS levene_stat,
+      |  4 AS df1, nt - 5 AS df2
+      |FROM f ORDER BY c_mktsegment""".stripMargin
 }

@@ -1003,4 +1003,135 @@ object LocationTests {
       |      + CAST(s2 AS DOUBLE) / 1e6 / n2) / 2.0 * 1e4 + 0.5) / 1e4 + 0
       |      > 2.493 THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
       |FROM p ORDER BY pair""".stripMargin
+
+  /** L320 Siegel–Tukey rank dispersion test *(added r17;
+    * [PK] Siegel & Tukey 1960)*: do URGENT and LOW order values
+    * differ in SPREAD? Ranks are assigned alternating from the
+    * EXTREMES inward (1 to the minimum; 2, 3 to the two maxima; 4, 5
+    * to the next two minima, …), so a rank-sum test on them becomes a
+    * scale test with Mann–Whitney's exact null — the nonparametric
+    * sibling of q288's Ansari–Bradley, distinguished by needing NO
+    * separate null distribution (the q210 machinery applies
+    * verbatim). Closed form from the bottom position i of N:
+    * i ≤ ⌈N/2⌉ → 2i−1 if i odd else 2i; else with j = N−i+1 →
+    * 2j if j odd else 2j−1.
+    *
+    * Parity: positions come from the value census + [[PrefixSum]]
+    * cumulative; the k-th-position explode (q371's trick) makes each
+    * ST rank an exact integer; tied runs take the run's AVERAGE ST
+    * rank, micro-quantized (1e6) per run before the DECIMAL(38)
+    * group-sum (one IEEE division of exact ints — deterministic both
+    * engines); the z reuses q210's tie-corrected Mann–Whitney
+    * variance (ST ranks are a permutation of 1..N, so the tie term
+    * Σ(t³−t) is unchanged). Convention note (the q371 precedent):
+    * averaging ST ranks within a tied run is the standard midrank
+    * treatment; the alternating assignment itself is the
+    * Siegel–Tukey pinned order.
+    *
+    * Scale: census + ONE PrefixSum pass + map-side explode — no
+    * low-cardinality window anywhere; everything after the keyed agg
+    * is 1-row algebra. */
+  def q385SiegelTukey(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val f = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+    val cen = f.groupBy("c")
+      .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")))
+    val tot = cen.agg(sum(col("n")).as("nt"), sum(col("n1")).as("n1t"),
+      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec)).as("tie"))
+    // per tied run: positions i0..i0+n−1, each mapped to its ST rank,
+    // summed exactly; the run's average rank is ONE quantized division
+    val run = cum.crossJoin(broadcast(tot))
+      .withColumn("i0", col("cumn") - col("n") + 1L)
+      .withColumn("k", explode(sequence(lit(0L), col("n") - 1L)))
+      .withColumn("i", col("i0") + col("k"))
+      .withColumn("j", col("nt") - col("i") + 1L)
+      .withColumn("st", when(col("i") <= expr("(nt + 1) div 2"),
+          when(pmod(col("i"), lit(2L)) === 1L, col("i") * 2L - 1L)
+            .otherwise(col("i") * 2L))
+        .otherwise(when(pmod(col("j"), lit(2L)) === 1L, col("j") * 2L)
+          .otherwise(col("j") * 2L - 1L)))
+    val runs = run.groupBy("c")
+      .agg(max(col("n")).as("n"), max(col("n1")).as("n1"),
+        sum(col("st")).as("sr"))
+      .withColumn("aq", floor(col("sr").cast("double") * 1e6 /
+        col("n").cast("double") + 0.5).cast("long"))
+    val g = runs.agg(sum(col("n1").cast(dec) * col("aq").cast(dec))
+        .as("w1q6"))
+      .crossJoin(broadcast(tot))
+    def d(c: Column) = c.cast("double")
+    val n1t = d(col("n1t"))
+    val n2t = d(col("nt")) - n1t
+    val nt = d(col("nt"))
+    val w1 = d(col("w1q6")) / 1e6
+    val mean = n1t * (nt + 1.0) / 2.0
+    val varW = n1t * n2t / 12.0 *
+      ((nt + 1.0) - d(col("tie")) / (nt * (nt - 1.0)))
+    val z = (w1 - mean) / sqrt(greatest(varW, lit(1e-300)))
+    g.select(col("n1t").as("n_urgent"),
+        (col("nt") - col("n1t")).as("n_low"),
+        (floor(w1 * 1e4 + 0.5) / 1e4 + 0.0).as("w1_st"),
+        (floor(z * 1e4 + 0.5) / 1e4 + 0.0).as("z"),
+        ((abs(floor(z * 1e4 + 0.5) / 1e4 + 0.0) > 1.96).cast("long"))
+          .as("reject_5pct"))
+  }
+
+  val q385SiegelTukeySql: String =
+    """WITH f AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |cen AS (
+      |  SELECT c, COUNT(*) AS n, CAST(SUM(g1) AS BIGINT) AS n1
+      |  FROM f GROUP BY c),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(SUM(n1) AS BIGINT) AS n1t,
+      |    SUM(CAST(n AS HUGEINT) * n * n - n) AS tie
+      |  FROM cen),
+      |cum AS (
+      |  SELECT c, n, n1,
+      |    CAST(SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumn
+      |  FROM cen),
+      |pos AS (
+      |  SELECT c, n, n1, cumn - n + 1 + k AS i
+      |  FROM cum, unnest(generate_series(0, n - 1)) tk(k)),
+      |st AS (
+      |  SELECT c, n, n1,
+      |    CASE WHEN i <= (nt + 1) // 2
+      |      THEN CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END
+      |      ELSE CASE WHEN (nt - i + 1) % 2 = 1 THEN 2 * (nt - i + 1)
+      |        ELSE 2 * (nt - i + 1) - 1 END END AS r
+      |  FROM pos CROSS JOIN tot),
+      |runs AS (
+      |  SELECT c, MAX(n) AS n, MAX(n1) AS n1,
+      |    CAST(SUM(r) AS BIGINT) AS sr
+      |  FROM st GROUP BY c),
+      |w AS (
+      |  SELECT CAST(SUM(CAST(n1 AS HUGEINT)
+      |    * CAST(FLOOR(CAST(sr AS DOUBLE) * 1e6 / n + 0.5) AS BIGINT))
+      |    AS HUGEINT) AS w1q6
+      |  FROM runs),
+      |z AS (
+      |  SELECT n1t, nt - n1t AS n2t, nt,
+      |    CAST(w1q6 AS DOUBLE) / 1e6 AS w1,
+      |    (CAST(w1q6 AS DOUBLE) / 1e6
+      |      - CAST(n1t AS DOUBLE) * (nt + 1.0) / 2.0)
+      |    / SQRT(GREATEST(CAST(n1t AS DOUBLE) * (nt - n1t) / 12.0
+      |      * ((nt + 1.0) - CAST(tie AS DOUBLE)
+      |        / (CAST(nt AS DOUBLE) * (nt - 1.0))), 1e-300)) AS zz
+      |  FROM w CROSS JOIN tot)
+      |SELECT CAST(n1t AS BIGINT) AS n_urgent,
+      |  CAST(n2t AS BIGINT) AS n_low,
+      |  FLOOR(w1 * 1e4 + 0.5) / 1e4 + 0 AS w1_st,
+      |  FLOOR(zz * 1e4 + 0.5) / 1e4 + 0 AS z,
+      |  CAST(CASE WHEN ABS(FLOOR(zz * 1e4 + 0.5) / 1e4 + 0) > 1.96
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      |FROM z""".stripMargin
 }

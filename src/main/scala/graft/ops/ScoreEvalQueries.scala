@@ -832,4 +832,382 @@ object ScoreEvalQueries {
       |    / GREATEST(100.0 * CAST(n_days AS DOUBLE), 1e-300) * 1e4 + 0.5)
       |    / 1e4 + 0 AS pinball_persist
       |FROM m ORDER BY tau""".stripMargin
+
+  /** L325 decile lift / cumulative-gains table *(added r17; [PK] the
+    * standard marketing-model evaluation table — e.g. Berry & Linoff,
+    * Data Mining Techniques)*: score every order by the customer's
+    * account balance (the "model"), label it positive when its value
+    * beats the global median (the A10 exact-percentile contract), and
+    * read the model's worth decile by decile — response rate, lift
+    * over base rate, and cumulative capture of all positives down the
+    * ranking. The table q181's single-number AUC summarizes: a flat
+    * lift column ≈ 1 IS the honest null here (acctbal is generated
+    * independent of order value — asserted in NonDegeneracySpec, the
+    * q238 vacuity lesson: the MACHINERY is exercised by the
+    * non-degenerate decile counts, not by a fake signal).
+    *
+    * Parity: deciles ride [[RangedNtile]] == NTILE(10) on the total
+    * order (acctbal DESC, custkey, orderkey); labels are exact cent
+    * comparisons against the exact median; counts exact int64;
+    * rate/lift/capture are single double chains, 6dp.
+    *
+    * Scale: broadcast customer dim onto the fact scan; the decile
+    * pass is the two-phase range-partitioned RangedNtile (NO
+    * single-reducer sort — the q98 contract); per-decile agg is
+    * 10 rows; cumulative windows run over those 10 rows. */
+  def q390LiftTable(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))),
+        col("o_custkey") === col("c_custkey"))
+    val med = base.agg(expr("percentile(cents, 0.5)").as("med"))
+    val scored = base.crossJoin(broadcast(med))
+      .withColumn("y", (col("cents").cast("double") > col("med"))
+        .cast("long"))
+    val dec = RangedNtile.withNtile(scored, 10,
+      Seq(col("c_acctbal").desc, col("o_custkey"), col("o_orderkey")),
+      "decile")
+    val g = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val f = g
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("npos")).over(wAll))
+      .withColumn("cpos", sum(col("npos")).over(wCum))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    f.select(col("decile"), col("n"), col("npos"),
+        rnd6(d(col("npos")) / d(col("n"))).as("response_rate"),
+        rnd6((d(col("npos")) / d(col("n"))) /
+          greatest(d(col("pt")) / d(col("nt")), lit(1e-300))).as("lift"),
+        rnd6(d(col("cpos")) / greatest(d(col("pt")), lit(1e-300)))
+          .as("cum_capture"))
+      .orderBy("decile")
+  }
+
+  val q390LiftTableSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, c_acctbal,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM base),
+      |scored AS (
+      |  SELECT NTILE(10) OVER (ORDER BY c_acctbal DESC, o_custkey,
+      |      o_orderkey) AS decile,
+      |    CASE WHEN CAST(cents AS DOUBLE) > med THEN 1 ELSE 0 END AS y
+      |  FROM base CROSS JOIN m),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS npos
+      |  FROM scored GROUP BY decile),
+      |f AS (
+      |  SELECT decile, n, npos,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(npos) OVER () AS BIGINT) AS pt,
+      |    CAST(SUM(npos) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+      |  FROM g)
+      |SELECT decile, n, npos,
+      |  FLOOR(CAST(npos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 + 0
+      |    AS response_rate,
+      |  FLOOR((CAST(npos AS DOUBLE) / n)
+      |    / GREATEST(CAST(pt AS DOUBLE) / nt, 1e-300) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS lift,
+      |  FLOOR(CAST(cpos AS DOUBLE) / GREATEST(CAST(pt AS DOUBLE), 1e-300)
+      |    * 1e6 + 0.5) / 1e6 + 0 AS cum_capture
+      |FROM f ORDER BY decile""".stripMargin
+
+  /** The q392/q393 VaR-backtest frame: a trailing-100-day empirical
+    * 5th-percentile "Value-at-Risk" forecast of daily revenue (the
+    * k = ⌈0.05·w⌉-th smallest of the window — pinned lower-tail
+    * convention) and the breach indicator rev_t < VaR_t, evaluated
+    * from day 101. Rolling exact order statistics ride the q205
+    * collect+sort idiom over the scale-constant day census. */
+  private def varBreaches(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-100, -1)
+    d.withColumn("ws", sort_array(collect_list(col("rev")).over(w)))
+      .withColumn("k", size(col("ws")))
+      .filter(col("k") === 100)
+      .select(col("day"), col("rev"),
+        element_at(col("ws"), lit(5)).as("var95"))
+      .withColumn("breach", (col("rev") < col("var95")).cast("long"))
+  }
+
+  private val varBreachesSql: String =
+    """SELECT day, rev, ws[5] AS var95,
+      |  CASE WHEN rev < ws[5] THEN 1 ELSE 0 END AS breach
+      |FROM (
+      |  SELECT day, rev,
+      |    list_sort(list(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)) AS ws
+      |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+      |      CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+      |        AS BIGINT) AS rev
+      |    FROM orders GROUP BY 1))
+      |WHERE len(ws) = 100""".stripMargin
+
+  /** L327 Kupiec proportion-of-failures VaR backtest *(added r17;
+    * [PK] Kupiec 1995)* — the unconditional-coverage likelihood
+    * ratio every risk desk runs: with x breaches in n days at
+    * nominal p = 5 %, LR_pof = −2[(n−x)ln(1−p) + x ln p −
+    * (n−x)ln(1−x̂) − x ln x̂] ~ χ²(1). The q382/q389 forecast family's
+    * TAIL counterpart: those score the center, this tests whether
+    * the 5 % tail is actually 5 %.
+    *
+    * Parity: the rolling 5th percentile is an exact order statistic
+    * (integer revenue); breach counts exact int64; LR is one 1-ROW
+    * terminal-ln chain on exact ratios (no cross-row libm — the
+    * q354 scalar exemption), 4dp.
+    *
+    * Scale: the q205 documented census shape; 1-row output. */
+  def q392KupiecPof(s: SparkSession, dir: String): DataFrame = {
+    val g = varBreaches(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("breach")).as("x"))
+    def d(c: Column) = c.cast("double")
+    val (n, x) = (d(col("n")), d(col("x")))
+    val rate = x / n
+    val p = 0.05
+    val lr = lit(-2.0) * ((n - x) * log(lit(1.0) - p) + x * log(lit(p)) -
+      when(col("x") === 0L, lit(0.0)).otherwise(x * log(rate)) -
+      when(col("x") === col("n"), lit(0.0))
+        .otherwise((n - x) * log(lit(1.0) - rate)))
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    g.select(col("n").as("n_days"), col("x").as("n_breach"),
+      (floor(rate * 1e6 + 0.5) / 1e6 + 0.0).as("breach_rate"),
+      rnd4(lr).as("lr_pof"),
+      (rnd4(lr) > 3.8415).cast("long").as("reject_5pct"))
+  }
+
+  val q392KupiecPofSql: String =
+    s"""WITH vb AS ($varBreachesSql),
+       |g AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(breach) AS BIGINT) AS x
+       |  FROM vb),
+       |f AS (
+       |  SELECT n, x,
+       |    CAST(x AS DOUBLE) / n AS rate,
+       |    -2.0 * ((n - x) * ln(0.95) + x * ln(0.05)
+       |      - CASE WHEN x = 0 THEN 0.0
+       |          ELSE x * ln(CAST(x AS DOUBLE) / n) END
+       |      - CASE WHEN x = n THEN 0.0
+       |          ELSE (n - x) * ln(1.0 - CAST(x AS DOUBLE) / n) END)
+       |      AS lr
+       |  FROM g)
+       |SELECT CAST(n AS BIGINT) AS n_days, x AS n_breach,
+       |  FLOOR(rate * 1e6 + 0.5) / 1e6 + 0 AS breach_rate,
+       |  FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 AS lr_pof,
+       |  CAST(CASE WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
+       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+       |FROM f""".stripMargin
+
+  /** L328 Christoffersen independence test *(added r17; [PK]
+    * Christoffersen 1998)* — q392's COMPANION: even a correct 5 %
+    * breach RATE fails risk management if breaches CLUSTER (one bad
+    * week, not twenty bad days). Tests first-order independence of
+    * the breach sequence via the 2×2 transition counts n₀₀ n₀₁ n₁₀
+    * n₁₁: LR_ind = −2[ℓ(π)−ℓ(π₀,π₁)] ~ χ²(1), with the standard
+    * 0·ln 0 = 0 convention per term.
+    *
+    * Parity: transition counts are exact int64 (lag over the day
+    * census); LR is one 1-row terminal-ln chain (q354 exemption),
+    * 4dp; every potentially-empty cell carries the explicit CASE
+    * convention on both engines.
+    *
+    * Scale: the q205 documented census shape; 1-row output. */
+  def q393Christoffersen(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.orderBy("day")
+    val tr = varBreaches(s, dir)
+      .withColumn("prev", lag(col("breach"), 1).over(wLag))
+      .filter(col("prev").isNotNull)
+    val g = tr.agg(
+      sum(when(col("prev") === 0L && col("breach") === 0L, 1L)
+        .otherwise(0L)).as("n00"),
+      sum(when(col("prev") === 0L && col("breach") === 1L, 1L)
+        .otherwise(0L)).as("n01"),
+      sum(when(col("prev") === 1L && col("breach") === 0L, 1L)
+        .otherwise(0L)).as("n10"),
+      sum(when(col("prev") === 1L && col("breach") === 1L, 1L)
+        .otherwise(0L)).as("n11"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n00") + d("n01") + d("n10") + d("n11")
+    val pi = (d("n01") + d("n11")) / n
+    val pi0 = d("n01") / greatest(d("n00") + d("n01"), lit(1e-300))
+    val pi1 = d("n11") / greatest(d("n10") + d("n11"), lit(1e-300))
+    def term(cnt: Column, prob: Column): Column =
+      when(cnt === 0.0, lit(0.0)).otherwise(cnt * log(prob))
+    val l0 = term(d("n00") + d("n10"), lit(1.0) - pi) +
+      term(d("n01") + d("n11"), pi)
+    val l1 = term(d("n00"), lit(1.0) - pi0) + term(d("n01"), pi0) +
+      term(d("n10"), lit(1.0) - pi1) + term(d("n11"), pi1)
+    val lr = lit(-2.0) * (l0 - l1)
+    def rnd4(c: Column): Column =
+      (floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4) + 0.0
+    g.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      (floor(pi1 * 1e6 + 0.5) / 1e6 + 0.0).as("p_breach_after_breach"),
+      rnd4(lr).as("lr_ind"),
+      (rnd4(lr) > 3.8415).cast("long").as("reject_5pct"))
+  }
+
+  val q393ChristoffersenSql: String =
+    s"""WITH vb AS ($varBreachesSql),
+       |tr AS (
+       |  SELECT LAG(breach, 1) OVER (ORDER BY day) AS prev, breach
+       |  FROM vb QUALIFY prev IS NOT NULL),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN prev = 0 AND breach = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n00,
+       |    CAST(SUM(CASE WHEN prev = 0 AND breach = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN prev = 1 AND breach = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN prev = 1 AND breach = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n11
+       |  FROM tr),
+       |f AS (
+       |  SELECT n00, n01, n10, n11,
+       |    CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS n,
+       |    CAST(n01 + n11 AS DOUBLE)
+       |      / CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS pi,
+       |    CAST(n01 AS DOUBLE) / GREATEST(CAST(n00 + n01 AS DOUBLE),
+       |      1e-300) AS pi0,
+       |    CAST(n11 AS DOUBLE) / GREATEST(CAST(n10 + n11 AS DOUBLE),
+       |      1e-300) AS pi1
+       |  FROM g),
+       |z AS (
+       |  SELECT n00, n01, n10, n11, pi1,
+       |    -2.0 * (
+       |      (CASE WHEN n00 + n10 = 0 THEN 0.0
+       |        ELSE (n00 + n10) * ln(1.0 - pi) END
+       |      + CASE WHEN n01 + n11 = 0 THEN 0.0
+       |        ELSE (n01 + n11) * ln(pi) END)
+       |      - (CASE WHEN n00 = 0 THEN 0.0 ELSE n00 * ln(1.0 - pi0) END
+       |      + CASE WHEN n01 = 0 THEN 0.0 ELSE n01 * ln(pi0) END
+       |      + CASE WHEN n10 = 0 THEN 0.0 ELSE n10 * ln(1.0 - pi1) END
+       |      + CASE WHEN n11 = 0 THEN 0.0 ELSE n11 * ln(pi1) END))
+       |      AS lr
+       |  FROM f)
+       |SELECT n00, n01, n10, n11,
+       |  FLOOR(pi1 * 1e6 + 0.5) / 1e6 + 0 AS p_breach_after_breach,
+       |  FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 AS lr_ind,
+       |  CAST(CASE WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
+       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+       |FROM z""".stripMargin
+
+  /** L330 Youden's J optimal operating point *(added r17; [PK]
+    * Youden 1950)* — turns q181's whole-curve AUC into the decision
+    * the curve is FOR: the threshold maximizing J = TPR − FPR on the
+    * q390 frame (acctbal score, above-median-value label). The
+    * argmax runs over EVERY distinct score threshold by maximizing
+    * the EXACT cross-multiplied integer ge_pos·N⁻ − ge_neg·N⁺ — no
+    * doubles anywhere until the output rates, so the argmax is
+    * engine-exact (no rounding can flip it); threshold ties break to
+    * the highest score (pinned).
+    *
+    * Parity: the (score, label) census + ONE [[PrefixSum]] pass
+    * gives exact ≥-threshold counts; the 1-row global totals ride a
+    * broadcast (q211 tmax pattern, no fact-sized window); TPR/FPR/J
+    * are 6dp output divisions only.
+    *
+    * Scale: census + PrefixSum (no single-reducer sort); the argmax
+    * is one exact max + equality filter; 1-row output. */
+  def q395YoudenJ(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))),
+        col("o_custkey") === col("c_custkey"))
+    val med = base.agg(expr("percentile(cents, 0.5)").as("med"))
+    val lab = base.crossJoin(broadcast(med))
+      .select(col("score"),
+        (col("cents").cast("double") > col("med")).cast("long").as("y"))
+    val cen = lab.groupBy("score")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("score")), Seq((col("np"), "cp"), (col("nn"), "cn")))
+    val tot = cen.agg(sum(col("np")).as("post"), sum(col("nn")).as("negt"))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("gep", col("post") - col("cp") + col("np"))
+      .withColumn("gen", col("negt") - col("cn") + col("nn"))
+      .withColumn("num", col("gep").cast(dec) * col("negt").cast(dec) -
+        col("gen").cast(dec) * col("post").cast(dec))
+    val mx = j.agg(max(col("num")).as("mxnum"))
+    val best = j.join(broadcast(mx), col("num") === col("mxnum"))
+      .groupBy("post", "negt", "mxnum")
+      .agg(max(struct(col("score"), col("gep"), col("gen"))).as("b"))
+      .select(col("post"), col("negt"), col("mxnum"),
+        col("b.score").as("thr"), col("b.gep").as("gep"),
+        col("b.gen").as("gen"))
+    def d(c: String) = col(c).cast("double")
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    best.select(col("post").as("n_pos"), col("negt").as("n_neg"),
+      (d("thr") / 100.0).as("threshold_dollars"),
+      rnd6(d("gep") / greatest(d("post"), lit(1e-300))).as("tpr"),
+      rnd6(d("gen") / greatest(d("negt"), lit(1e-300))).as("fpr"),
+      rnd6(col("mxnum").cast("double") /
+        greatest(d("post") * d("negt"), lit(1e-300))).as("youden_j"))
+  }
+
+  val q395YoudenJSql: String =
+    """WITH base AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS score
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM base),
+      |lab AS (
+      |  SELECT score,
+      |    CASE WHEN CAST(cents AS DOUBLE) > med THEN 1 ELSE 0 END AS y
+      |  FROM base CROSS JOIN m),
+      |cen AS (
+      |  SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+      |    CAST(SUM(1 - y) AS BIGINT) AS nn
+      |  FROM lab GROUP BY score),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS post,
+      |    CAST(SUM(nn) AS BIGINT) AS negt FROM cen),
+      |cum AS (
+      |  SELECT score, np, nn,
+      |    CAST(SUM(np) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cp,
+      |    CAST(SUM(nn) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cn
+      |  FROM cen),
+      |j AS (
+      |  SELECT score, post - cp + np AS gep, negt - cn + nn AS gen,
+      |    CAST(post - cp + np AS HUGEINT) * negt
+      |      - CAST(negt - cn + nn AS HUGEINT) * post AS num,
+      |    post, negt
+      |  FROM cum CROSS JOIN tot),
+      |mx AS (SELECT MAX(num) AS mxnum FROM j),
+      |best AS (
+      |  SELECT post, negt, mxnum, MAX(score) AS thr
+      |  FROM j JOIN mx ON num = mxnum
+      |  GROUP BY post, negt, mxnum),
+      |b2 AS (
+      |  SELECT best.*, j.gep, j.gen
+      |  FROM best JOIN j ON j.score = best.thr AND j.num = best.mxnum)
+      |SELECT post AS n_pos, negt AS n_neg,
+      |  CAST(thr AS DOUBLE) / 100.0 AS threshold_dollars,
+      |  FLOOR(CAST(gep AS DOUBLE) / GREATEST(CAST(post AS DOUBLE), 1e-300)
+      |    * 1e6 + 0.5) / 1e6 + 0 AS tpr,
+      |  FLOOR(CAST(gen AS DOUBLE) / GREATEST(CAST(negt AS DOUBLE), 1e-300)
+      |    * 1e6 + 0.5) / 1e6 + 0 AS fpr,
+      |  FLOOR(CAST(mxnum AS DOUBLE)
+      |    / GREATEST(CAST(post AS DOUBLE) * CAST(negt AS DOUBLE), 1e-300)
+      |    * 1e6 + 0.5) / 1e6 + 0 AS youden_j
+      |FROM b2""".stripMargin
 }

@@ -1128,4 +1128,120 @@ object SeriesEconometrics {
        |    ELSE CAST(CASE WHEN ABS((tp - et) / SQRT(vt)) > 1.96
        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
        |FROM fin""".stripMargin
+
+  /** L324 Theil's U inequality coefficients + MSE decomposition
+    * *(added r17; [PK] Theil 1966 ch. 2)* — the forecast-quality
+    * panel q278 (MAE/MASE/sMAPE) and q324 (Diebold–Mariano) leave
+    * out: for the trailing-7-day-mean forecaster of daily revenue,
+    * U1 (bounded [0,1] badness), U2 vs the naive persistence step
+    * (U2 < 1 ⇔ the forecaster beats persistence), and Theil's
+    * three-way MSE decomposition UM/US/UC (bias / variance-mismatch
+    * / covariance shares, UM + US + UC = 1 — pinned in the spec):
+    * the readout that says not just HOW wrong a forecaster is but
+    * WHERE the error lives.
+    *
+    * Parity: the forecast is an exact integer (7-day window sum div
+    * 7); all moments (Σf, Σa, Σf², Σa², Σfa, Σ(f−a)², Σ step²) are
+    * exact int64/DECIMAL(38) sums; U1/U2/UM/US/UC are each one
+    * identical double chain (sqrt is IEEE-exempt), 6dp.
+    *
+    * Scale: one fact-scan day rollup; the lag/window frames run over
+    * the scale-constant day census (the q205 documented shape);
+    * 1-row output. */
+  def q389TheilU(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily(s, dir)
+    val wLag = Window.orderBy("day")
+    val f = d
+      .withColumn("prev", lag(col("rev"), 1).over(wLag))
+      .withColumn("pos", row_number().over(wLag))
+      .withColumn("fc", expr(
+        "sum(rev) over (order by day rows between 7 preceding and 1 preceding) div 7"))
+      .filter(col("pos") >= 8)
+    val g = f.agg(count(lit(1)).as("n"),
+      sum(col("fc").cast(dec)).as("sf"),
+      sum(col("rev").cast(dec)).as("sa"),
+      sum(col("fc").cast(dec) * col("fc").cast(dec)).as("sff"),
+      sum(col("rev").cast(dec) * col("rev").cast(dec)).as("saa"),
+      sum(col("fc").cast(dec) * col("rev").cast(dec)).as("sfa"),
+      sum((col("fc") - col("rev")).cast(dec) *
+        (col("fc") - col("rev")).cast(dec)).as("se2"),
+      sum((col("prev") - col("rev")).cast(dec) *
+        (col("prev") - col("rev")).cast(dec)).as("sp2"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val (mf, ma) = (dd("sf") / n, dd("sa") / n)
+    val vf = dd("sff") / n - mf * mf
+    val va = dd("saa") / n - ma * ma
+    val cov = dd("sfa") / n - mf * ma
+    val mse = dd("se2") / n
+    val (sdf, sda) = (sqrt(greatest(vf, lit(0.0))),
+      sqrt(greatest(va, lit(0.0))))
+    val u1 = sqrt(mse) /
+      greatest(sqrt(dd("saa") / n) + sqrt(dd("sff") / n), lit(1e-300))
+    val u2 = sqrt(dd("se2") / greatest(dd("sp2"), lit(1e-300)))
+    val um = (mf - ma) * (mf - ma) / greatest(mse, lit(1e-300))
+    val us = (sdf - sda) * (sdf - sda) / greatest(mse, lit(1e-300))
+    val uc = lit(2.0) * (lit(1.0) - cov / greatest(sdf * sda, lit(1e-300))) *
+      sdf * sda / greatest(mse, lit(1e-300))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    g.select(col("n").as("n_days"), rnd6(u1).as("u1"), rnd6(u2).as("u2"),
+      rnd6(um).as("um_bias"), rnd6(us).as("us_variance"),
+      rnd6(uc).as("uc_covariance"),
+      (u2 < 1.0).cast("long").as("beats_persistence"))
+  }
+
+  val q389TheilUSql: String =
+    s"""WITH d AS ($dailySql),
+       |f0 AS (
+       |  SELECT day, rev,
+       |    LAG(rev, 1) OVER (ORDER BY day) AS prev,
+       |    ROW_NUMBER() OVER (ORDER BY day) AS pos,
+       |    CAST(SUM(rev) OVER (ORDER BY day
+       |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) // 7
+       |      AS fc
+       |  FROM d),
+       |f AS (SELECT * FROM f0 WHERE pos >= 8),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(fc AS HUGEINT)) AS HUGEINT) AS sf,
+       |    CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS sa,
+       |    CAST(SUM(CAST(fc AS HUGEINT) * fc) AS HUGEINT) AS sff,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS saa,
+       |    CAST(SUM(CAST(fc AS HUGEINT) * rev) AS HUGEINT) AS sfa,
+       |    CAST(SUM(CAST(fc - rev AS HUGEINT) * (fc - rev)) AS HUGEINT)
+       |      AS se2,
+       |    CAST(SUM(CAST(prev - rev AS HUGEINT) * (prev - rev))
+       |      AS HUGEINT) AS sp2
+       |  FROM f),
+       |z AS (
+       |  SELECT n,
+       |    CAST(sf AS DOUBLE) / n AS mf, CAST(sa AS DOUBLE) / n AS ma,
+       |    CAST(sff AS DOUBLE) / n AS mff, CAST(saa AS DOUBLE) / n AS maa,
+       |    CAST(sfa AS DOUBLE) / n AS mfa,
+       |    CAST(se2 AS DOUBLE) / n AS mse,
+       |    CAST(se2 AS DOUBLE) AS e2, CAST(sp2 AS DOUBLE) AS p2
+       |  FROM g),
+       |z2 AS (
+       |  SELECT n, mse, e2, p2, mf, ma,
+       |    SQRT(GREATEST(mff - mf * mf, 0.0)) AS sdf,
+       |    SQRT(GREATEST(maa - ma * ma, 0.0)) AS sda,
+       |    mfa - mf * ma AS cov,
+       |    SQRT(mse) / GREATEST(SQRT(maa) + SQRT(mff), 1e-300) AS u1
+       |  FROM z)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  FLOOR(u1 * 1e6 + 0.5) / 1e6 + 0 AS u1,
+       |  FLOOR(SQRT(e2 / GREATEST(p2, 1e-300)) * 1e6 + 0.5) / 1e6 + 0
+       |    AS u2,
+       |  FLOOR((mf - ma) * (mf - ma) / GREATEST(mse, 1e-300) * 1e6 + 0.5)
+       |    / 1e6 + 0 AS um_bias,
+       |  FLOOR((sdf - sda) * (sdf - sda) / GREATEST(mse, 1e-300)
+       |    * 1e6 + 0.5) / 1e6 + 0 AS us_variance,
+       |  FLOOR(2.0 * (1.0 - cov / GREATEST(sdf * sda, 1e-300)) * sdf * sda
+       |    / GREATEST(mse, 1e-300) * 1e6 + 0.5) / 1e6 + 0
+       |    AS uc_covariance,
+       |  CAST(CASE WHEN SQRT(e2 / GREATEST(p2, 1e-300)) < 1.0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS beats_persistence
+       |FROM z2""".stripMargin
 }

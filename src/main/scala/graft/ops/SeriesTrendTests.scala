@@ -981,4 +981,85 @@ object SeriesTrendTests {
        |    ELSE CAST(CASE WHEN ABS(FLOOR(z * 1e4 + 0.5) / 1e4 + 0) > 1.96
        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_5pct
        |FROM fin ORDER BY series, yr""".stripMargin
+
+  /** L323 Page–Hinkley changepoint monitor *(added r17; [PK] Page
+    * 1954; Hinkley 1971; the standard drift detector of the data-
+    * stream literature, e.g. Gama et al. 2014 survey)*: the
+    * sequential mean-shift detector CUSUM (q148) is usually run as —
+    * PH_t = S_t − min_{τ≤t} S_τ with S_t = Σ(x_i − x̄ − δ), firing
+    * when the cumulative excess over the drift allowance δ exceeds
+    * λ. Run over the daily-revenue census with the PINNED integer
+    * convention δ·N = T div 20 (δ = 5 % of the mean) and λ = x̄ (one
+    * mean-sized excess): reports the peak PH, its day (the
+    * changepoint estimate), and the detection flag.
+    *
+    * Parity: everything up to the final normalization is EXACT
+    * integer arithmetic in N-scaled units — S′_t = N·C_t − t·(T +
+    * D), D = T div 20, all DECIMAL(38); the running min/max are
+    * integer comparisons; the only doubles are the two 6dp-floored
+    * output normalizations. Argmax day is tie-broken by latest day
+    * (deterministic on both engines).
+    *
+    * Scale: one fact-scan day rollup; every window runs over the
+    * scale-constant day census (the q205/q379 documented shape);
+    * 1-row output. */
+  def q388PageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily(s, dir)
+    val tot = d.agg(count(lit(1)).as("nn"), sum(col("rev")).as("tt"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ph = d.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(wCum).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("s", col("nn").cast(dec) * col("cum").cast(dec) -
+        col("t").cast(dec) *
+          (col("tt") + expr("tt div 20")).cast(dec))
+      .withColumn("m", min(col("s")).over(wCum))
+      .withColumn("ph", col("s") - col("m"))
+      .withColumn("mx", max(col("s") - col("m")).over(wAll))
+    val peak = ph.filter(col("ph") === col("mx"))
+      .groupBy("nn", "tt", "mx")
+      .agg(max(col("day")).as("change_day"))
+    def dd(c: Column) = c.cast("double")
+    // normalized peak in mean-units: PH′/(N·x̄) = PH′/T
+    val phMean = dd(col("mx")) / dd(col("tt"))
+    peak.select(col("nn").as("n_days"), col("change_day"),
+        (floor(phMean * 1e6 + 0.5) / 1e6 + 0.0).as("ph_max_mean_units"),
+        (phMean > 1.0).cast("long").as("detected"))
+  }
+
+  val q388PageHinkleySql: String =
+    s"""WITH d AS ($dailySql),
+       |tot AS (
+       |  SELECT COUNT(*) AS nn, CAST(SUM(CAST(rev AS HUGEINT))
+       |    AS HUGEINT) AS tt
+       |  FROM d),
+       |c AS (
+       |  SELECT day,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS t,
+       |    CAST(SUM(CAST(rev AS HUGEINT)) OVER (ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+       |  FROM d),
+       |s AS (
+       |  SELECT day, t,
+       |    CAST(nn AS HUGEINT) * cum - t * (tt + tt // 20) AS sv,
+       |    nn, tt
+       |  FROM c CROSS JOIN tot),
+       |p AS (
+       |  SELECT day, nn, tt,
+       |    sv - MIN(sv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |      AS ph
+       |  FROM s),
+       |p2 AS (SELECT *, MAX(ph) OVER () AS mx FROM p)
+       |SELECT CAST(nn AS BIGINT) AS n_days,
+       |  MAX(day) AS change_day,
+       |  FLOOR(CAST(mx AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6 + 0.5)
+       |    / 1e6 + 0 AS ph_max_mean_units,
+       |  CAST(CASE WHEN CAST(mx AS DOUBLE) / CAST(tt AS DOUBLE) > 1.0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS detected
+       |FROM p2 WHERE ph = mx
+       |GROUP BY nn, tt, mx""".stripMargin
 }

@@ -846,4 +846,157 @@ object SurvivalQueries {
       |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(ln_s), 4) END
       |    AS survival
       |FROM cum2 ORDER BY t_hours""".stripMargin
+
+  /** L319 weighted log-rank panel *(added r17)* — q224's two-group
+    * comparison under the THREE classical weight choices in one
+    * query ([PK] Mantel 1966; Gehan 1965; Tarone & Ware 1977):
+    * log-rank (w = 1, proportional-hazards-optimal), Gehan–Breslow
+    * (w = n_t/N, early-difference-sensitive), Tarone–Ware
+    * (w = √(n_t/N), the compromise). Weights are N-NORMALIZED — Z is
+    * scale-invariant in w, and w ≤ 1 keeps every quantized term
+    * bounded at any SF (raw Gehan w² = n² would overflow the micro
+    * grid at ~30M users). The panel is the readout a single test
+    * hides: when the hazard gap concentrates early, Gehan fires
+    * hardest; late, log-rank does.
+    *
+    * Parity: the q224 frame verbatim (hour-census d/c counts, at-risk
+    * from reverse cumulatives); per-time numerator w·(d1 − d·n1/n)
+    * and variance w²·V terms are each ONE identical double chain
+    * micro-quantized (1e6) BEFORE the cross-row sum (seed-122
+    * convention — √ of an exact ratio is IEEE-correctly-rounded and
+    * exempt); Z is one double chain, 4dp.
+    *
+    * Scale: one fact scan → per-user agg → scale-constant hour
+    * census; the 3-method explode multiplies CENSUS rows, not fact
+    * rows; unpartitioned windows run over the census only (q224's
+    * documented shape); 3-row output. */
+  def q384WeightedLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = e.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val peru = e.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+        " div 3600000000").as("t"),
+        when(unix_micros(col("last_ts")) <=
+          col("end_us") - 12L * 3600L * 1000000L, 1L)
+          .otherwise(0L).as("churn"),
+        pmod(col("user_id"), lit(2L)).as("g"))
+    val day = peru.groupBy("t")
+      .agg(sum(when(col("g") === 0, col("churn")).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0, lit(1L) - col("churn")).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1, col("churn")).otherwise(0L)).as("d2"),
+        sum(when(col("g") === 1, lit(1L) - col("churn")).otherwise(0L)).as("c2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = day
+      .withColumn("nu1", sum(col("d1") + col("c1")).over(wAll))
+      .withColumn("nu2", sum(col("d2") + col("c2")).over(wAll))
+      .withColumn("n1r", col("nu1") -
+        coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n2r", col("nu2") -
+        coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
+      .filter(col("d1") + col("d2") > 0)
+      .withColumn("method", explode(array(
+        lit("gehan"), lit("logrank"), lit("tarone_ware"))))
+    val n = (col("n1r") + col("n2r")).cast("double")
+    val bigN = (col("nu1") + col("nu2")).cast("double")
+    val w = when(col("method") === "logrank", lit(1.0))
+      .when(col("method") === "gehan", n / bigN)
+      .otherwise(sqrt(n / bigN))
+    val d = (col("d1") + col("d2")).cast("double")
+    val p1 = col("n1r").cast("double") / n
+    val numT = w * (col("d1").cast("double") - d * p1)
+    val varT = when(col("n1r") + col("n2r") > 1,
+      w * w * d * p1 * (lit(1.0) - p1) * (n - d) / (n - 1.0))
+      .otherwise(lit(0.0))
+    val g = risk
+      .withColumn("nq", floor(numT * 1e6 + 0.5).cast("long"))
+      .withColumn("vq", floor(varT * 1e6 + 0.5).cast("long"))
+      .groupBy("method")
+      .agg(max(col("nu1")).as("n_users_g0"),
+        max(col("nu2")).as("n_users_g1"),
+        sum(col("d1")).as("o1"),
+        sum(col("nq")).as("numq"), sum(col("vq")).as("varq"))
+    val z = col("numq").cast("double") / 1e6 /
+      sqrt(greatest(col("varq").cast("double") / 1e6, lit(1e-300)))
+    g.select(col("method"), col("n_users_g0"), col("n_users_g1"),
+        col("o1"),
+        (floor(z * 1e4 + 0.5) / 1e4 + 0.0).as("z"),
+        ((abs(floor(z * 1e4 + 0.5) / 1e4 + 0.0) > 1.96).cast("long"))
+          .as("reject_5pct"))
+      .orderBy("method")
+  }
+
+  val q384WeightedLogRankSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT MAX(epoch_us(ts)) AS end_us FROM e),
+      |peru AS (
+      |  SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+      |      AS BIGINT) AS t,
+      |    CASE WHEN epoch_us(MAX(ts)) <=
+      |      (SELECT end_us - 43200000000 FROM b)
+      |      THEN 1 ELSE 0 END AS churn,
+      |    user_id % 2 AS g
+      |  FROM e GROUP BY user_id),
+      |day AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN g = 0 THEN churn ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN g = 1 THEN churn ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 - churn ELSE 0 END) AS BIGINT) AS c2
+      |  FROM peru GROUP BY t),
+      |risk AS (
+      |  SELECT t, d1, d2,
+      |    CAST(SUM(d1 + c1) OVER () AS BIGINT) AS nu1,
+      |    CAST(SUM(d2 + c2) OVER () AS BIGINT) AS nu2,
+      |    CAST(SUM(d1 + c1) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n1r,
+      |    CAST(SUM(d2 + c2) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n2r
+      |  FROM day),
+      |m AS (
+      |  SELECT r.*, mm.method,
+      |    CASE mm.method
+      |      WHEN 'logrank' THEN 1.0
+      |      WHEN 'gehan' THEN CAST(n1r + n2r AS DOUBLE) / (nu1 + nu2)
+      |      ELSE SQRT(CAST(n1r + n2r AS DOUBLE) / (nu1 + nu2)) END AS w
+      |  FROM risk r CROSS JOIN
+      |    (VALUES ('gehan'), ('logrank'), ('tarone_ware')) mm(method)
+      |  WHERE r.d1 + r.d2 > 0),
+      |terms AS (
+      |  SELECT method, nu1, nu2, d1,
+      |    CAST(FLOOR(w * (CAST(d1 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE)
+      |      * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE)))
+      |      * 1e6 + 0.5) AS BIGINT) AS nq,
+      |    CAST(FLOOR(CASE WHEN n1r + n2r > 1
+      |      THEN w * w * CAST(d1 + d2 AS DOUBLE)
+      |        * (CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
+      |        * (1.0 - CAST(n1r AS DOUBLE) / CAST(n1r + n2r AS DOUBLE))
+      |        * (CAST(n1r + n2r AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+      |        / (CAST(n1r + n2r AS DOUBLE) - 1.0)
+      |      ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS vq
+      |  FROM m),
+      |g AS (
+      |  SELECT method, MAX(nu1) AS n_users_g0, MAX(nu2) AS n_users_g1,
+      |    CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(nq) AS BIGINT) AS numq,
+      |    CAST(SUM(vq) AS BIGINT) AS varq
+      |  FROM terms GROUP BY method)
+      |SELECT method, n_users_g0, n_users_g1, o1,
+      |  FLOOR(CAST(numq AS DOUBLE) / 1e6
+      |    / SQRT(GREATEST(CAST(varq AS DOUBLE) / 1e6, 1e-300))
+      |    * 1e4 + 0.5) / 1e4 + 0 AS z,
+      |  CAST(CASE WHEN ABS(FLOOR(CAST(numq AS DOUBLE) / 1e6
+      |    / SQRT(GREATEST(CAST(varq AS DOUBLE) / 1e6, 1e-300))
+      |    * 1e4 + 0.5) / 1e4 + 0) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS reject_5pct
+      |FROM g ORDER BY method""".stripMargin
 }

@@ -2473,4 +2473,194 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         s"pinball tau-shape wrong at $sf")
     }
   }
+
+  test("q383: every synthesized WAV header parses back valid, all rates present") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q383_wav_header", sf).collect()
+      assert(rows.length === 5, s"rate census short at $sf")
+      val nf = rows.map(_.getAs[Long]("n_files")).sum
+      rows.foreach { r =>
+        // the integrity re-derivation must hold for EVERY header —
+        // a single byte-order mistake in synth or parse zeroes this
+        assert(r.getAs[Long]("n_valid") === r.getAs[Long]("n_files"),
+          s"invalid headers at rate ${r.getAs[Long]("sample_rate")}, $sf")
+        assert(r.getAs[Long]("total_dur_us") > 0L &&
+          r.getAs[Long]("total_frames") > 0L, s"degenerate census at $sf")
+        val st = r.getAs[Long]("n_stereo").toDouble / r.getAs[Long]("n_files")
+        assert(st > 0.3 && st < 0.7, s"stereo share off at $sf")
+      }
+      assert(nf > 0L, s"no files at $sf")
+    }
+  }
+
+  test("q384: the three weightings give one o1 but genuinely different z") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q384_weighted_logrank", sf).collect()
+      assert(rows.length === 3, s"method panel short at $sf")
+      assert(rows.map(_.getAs[Long]("o1")).distinct.length === 1,
+        "observed events must not depend on the weighting")
+      val zs = rows.map(_.getAs[Double]("z"))
+      assert(zs.forall(z => !z.isNaN && math.abs(z) < 50.0),
+        s"degenerate z at $sf: ${zs.mkString(",")}")
+      assert(zs.distinct.length === 3,
+        s"weightings collapsed to one z at $sf — weights not applied")
+    }
+  }
+
+  test("q385: Siegel-Tukey rank sum sits inside its permutation bounds") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q385_siegel_tukey", sf).collect()(0)
+      val (n1, n2) = (r.getAs[Long]("n_urgent"), r.getAs[Long]("n_low"))
+      assert(n1 > 0 && n2 > 0, s"empty group at $sf")
+      val w1 = r.getAs[Double]("w1_st")
+      val n = (n1 + n2).toDouble
+      // W1 is a sum of n1 distinct values from a permutation of 1..N
+      assert(w1 >= n1 * (n1 + 1) / 2.0 - 1.0 &&
+        w1 <= n1 * (2 * n - n1 + 1) / 2.0 + 1.0,
+        s"W1 $w1 outside permutation bounds at $sf")
+      assert(!r.getAs[Double]("z").isNaN, s"z NaN at $sf")
+    }
+  }
+
+  test("q386: Scott's pi never exceeds Cohen's kappa (AM-GM)") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q386_scott_pi", sf).collect()
+      assert(rows.length === 3, s"pair panel short at $sf")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("p_obs") > 0.5 &&
+          r.getAs[Double]("p_obs") <= 1.0, s"degenerate agreement at $sf")
+        assert(r.getAs[Double]("kappa_minus_pi") >= -1e-9,
+          s"pi > kappa at $sf, pair ${r.getAs[String]("pair")} — " +
+            "the pooled chance model must dominate (AM-GM)")
+      }
+      // the three screens have different base rates, so at least one
+      // pair must show a strictly positive gap (marginal asymmetry)
+      assert(rows.map(_.getAs[Double]("kappa_minus_pi")).max > 0.0,
+        s"gap identically zero at $sf — marginals would have to match")
+    }
+  }
+
+  test("q387: GE panel is positive and finite for every segment") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q387_ge_panel", sf).collect()
+      assert(rows.length === 5, s"segment panel short at $sf")
+      rows.foreach { r =>
+        Seq("ge0_mld", "ge1_theil", "ge2_half_cv2").foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(v > 0.0 && v < 5.0, s"$c degenerate ($v) at $sf")
+        }
+      }
+    }
+  }
+
+  test("q388: Page-Hinkley fires on the trending order stream") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q388_page_hinkley", sf).collect()(0)
+      assert(r.getAs[Long]("detected") === 1L,
+        s"PH must fire on TPC-H's trending revenue at $sf")
+      assert(r.getAs[Double]("ph_max_mean_units") > 1.0, s"peak at $sf")
+      assert(r.getAs[java.sql.Date]("change_day") != null,
+        s"no changepoint day at $sf")
+    }
+  }
+
+  test("q389: the MSE decomposition sums to one and the forecaster wins") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q389_theil_u", sf).collect()(0)
+      val sumU = r.getAs[Double]("um_bias") +
+        r.getAs[Double]("us_variance") + r.getAs[Double]("uc_covariance")
+      assert(math.abs(sumU - 1.0) < 2e-3,
+        s"UM+US+UC = $sumU at $sf (must be 1)")
+      assert(r.getAs[Double]("u1") > 0.0 && r.getAs[Double]("u1") < 1.0,
+        s"U1 out of [0,1] at $sf")
+      assert(r.getAs[Long]("beats_persistence") === 1L,
+        s"7-day mean must beat persistence at $sf")
+    }
+  }
+
+  test("q390: gains table is a proper partition with an honest-null lift") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q390_lift_table", sf).collect()
+      assert(rows.length === 10, s"decile table short at $sf")
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"NTILE sizes off at $sf")
+      val caps = rows.sortBy(_.getAs[Number]("decile").longValue())
+        .map(_.getAs[Double]("cum_capture"))
+      assert(caps.zip(caps.tail).forall { case (a, b) => b >= a },
+        s"capture not monotone at $sf")
+      assert(math.abs(caps.last - 1.0) < 1e-9, s"capture must end at 1")
+      // acctbal is independent of order value by construction — the
+      // honest null is lift ~ 1 everywhere (the machinery is proven
+      // by the partition/monotonicity pins, not a fake signal)
+      rows.foreach { r =>
+        val l = r.getAs[Double]("lift")
+        assert(l > 0.5 && l < 1.5, s"lift $l outside null band at $sf")
+      }
+    }
+  }
+
+  test("q391: Levene panel is populated and finite for all five segments") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q391_levene_mean", sf).collect()
+      assert(rows.length === 5, s"segment panel short at $sf")
+      val stats = rows.map(_.getAs[Double]("levene_stat")).distinct
+      assert(stats.length === 1, "W must be one global statistic")
+      assert(stats.head >= 0.0 && !stats.head.isNaN, s"W degenerate at $sf")
+      rows.foreach(r =>
+        assert(r.getAs[Double]("mean_absdev_dollars") > 0.0,
+          s"zero dispersion at $sf"))
+    }
+  }
+
+  test("q392: the VaR forecaster's breach rate sits near its nominal 5%") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q392_kupiec_pof", sf).collect()(0)
+      assert(r.getAs[Long]("n_days") > 300L, s"evaluation window short at $sf")
+      val rate = r.getAs[Double]("breach_rate")
+      // an exact trailing 5th-percentile forecast of a stationary-ish
+      // series must land in a loose band around nominal — a zeroed or
+      // saturated breach series would be a construction bug
+      assert(rate > 0.01 && rate < 0.15, s"breach rate $rate off at $sf")
+      assert(r.getAs[Double]("lr_pof") >= 0.0, s"LR negative at $sf")
+    }
+  }
+
+  test("q393: breach transitions partition the evaluation days") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q393_christoffersen", sf).collect()(0)
+      val total = r.getAs[Long]("n00") + r.getAs[Long]("n01") +
+        r.getAs[Long]("n10") + r.getAs[Long]("n11")
+      val kup = run("q392_kupiec_pof", sf).collect()(0)
+      assert(total === kup.getAs[Long]("n_days") - 1L,
+        s"transition counts must partition n-1 days at $sf")
+      assert(r.getAs[Long]("n01") > 0L, s"no breach onsets at $sf")
+      assert(r.getAs[Double]("lr_ind") >= 0.0, s"LR negative at $sf")
+    }
+  }
+
+  test("q394: Lin's CCC decomposes as r times a bias factor in (0, 1]") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q394_lin_ccc", sf).collect()(0)
+      val (pr, cb, ccc) = (r.getAs[Double]("pearson_r"),
+        r.getAs[Double]("c_b"), r.getAs[Double]("ccc"))
+      assert(pr > 0.0, s"net vs gross daily revenue must correlate at $sf")
+      assert(cb > 0.0 && cb <= 1.0 + 1e-9, s"C_b $cb out of (0,1] at $sf")
+      assert(ccc <= pr + 1e-9, s"CCC must not exceed r at $sf")
+      assert(math.abs(ccc - pr * cb) < 5e-6, s"CCC != r*C_b at $sf")
+    }
+  }
+
+  test("q395: the Youden point dominates and stays in the null band") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q395_youden_j", sf).collect()(0)
+      val (tpr, fpr, j) = (r.getAs[Double]("tpr"), r.getAs[Double]("fpr"),
+        r.getAs[Double]("youden_j"))
+      assert(j >= 0.0, s"max J cannot be negative at $sf")
+      assert(math.abs((tpr - fpr) - j) < 5e-6, s"J != TPR-FPR at $sf")
+      // acctbal ⊥ order value: the honest null keeps J small; the
+      // machinery is proven by the exact identity above
+      assert(j < 0.2, s"J $j breaks the independence null at $sf")
+      assert(r.getAs[Long]("n_pos") > 0L && r.getAs[Long]("n_neg") > 0L)
+    }
+  }
 }

@@ -589,7 +589,22 @@ class PlanShapeSpec extends SparkSpec {
       // r16: q378's bounded pair machinery — the 50-row ranked census
       // self-joined on a rank inequality (the q211 broadcast-pair
       // discipline), plus two 1-row aggregate crosses
-      "q378_tau_ap")
+      "q378_tau_ap",
+      // r17: q384's 1-row corpus-end bounds broadcast under the
+      // per-user agg — the identical q224/q175 form
+      "q384_weighted_logrank",
+      // r17: q385's 1-row (N, n1t, tie) totals broadcast appears under
+      // both the position explode and the final algebra (the q242
+      // form, census-side twice)
+      "q385_siegel_tukey",
+      // r17: q388's 1-row (n, total) broadcast onto the checkpointless
+      // day census (the q336 form)
+      "q388_page_hinkley",
+      // r17: q395's four 1-row broadcasts — the exact median, the
+      // (N+, N-) totals (planned under both the J frame and the
+      // argmax filter), and the argmax num — all census-side (the
+      // q308 multi-broadcast precedent)
+      "q395_youden_j")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -606,7 +621,10 @@ class PlanShapeSpec extends SparkSpec {
     // existing n_members broadcast)
     val bnljMax = Map("q308_water_fill" -> 3, "q316_conformal" -> 2,
       "q285_kendall_w" -> 2, "q369_rmst" -> 2, "q375_weighted_kappa" -> 2,
-      "q378_tau_ap" -> 3, "q368_bloom_fpr" -> 2)
+      "q378_tau_ap" -> 3, "q368_bloom_fpr" -> 2,
+      // r17: q385 totals×2 (explode + algebra); q395 median/totals/
+      // argmax — see the allowlist entries above
+      "q385_siegel_tukey" -> 2, "q395_youden_j" -> 4)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -4733,4 +4733,317 @@ class StatBruteSpec extends SparkSpec {
         q4(sp.toDouble / (100.0 * n))) < 1e-9, s"k=$k persist loss")
     }
   }
+
+  test("q383 WAV census matches an independent JVM byte-builder walk") {
+    val out = SparkEntry.queries("q383_wav_header")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("sample_rate") -> r).toMap
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val rates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+    // independent construction: ByteBuffer little-endian, then a
+    // field-by-field parse of the raw bytes (not the hex-text path)
+    case class F(rate: Long, ch: Long, frames: Long, dsize: Long,
+      valid: Boolean)
+    val files = ids.map { id =>
+      val rate = rates((id % 5).toInt)
+      val ch = 1L + id % 2
+      val frames = 100L + id % 900
+      val dsize = frames * ch * 2
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt((dsize + 36).toInt)
+        .put("WAVE".getBytes("ASCII")).put("fmt ".getBytes("ASCII"))
+        .putInt(16).putShort(1).putShort(ch.toShort)
+        .putInt(rate.toInt).putInt((rate * ch * 2).toInt)
+        .putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes("ASCII")).putInt(dsize.toInt)
+      val a = bb.array()
+      val rb = java.nio.ByteBuffer.wrap(a)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def s4(off: Int) = new String(a, off, 4, "ASCII")
+      val pch = rb.getShort(22).toLong
+      val prate = rb.getInt(24).toLong
+      val pbr = rb.getInt(28).toLong
+      val pblk = rb.getShort(32).toLong
+      val pbits = rb.getShort(34).toLong
+      val pds = rb.getInt(40).toLong
+      val ok = s4(0) == "RIFF" && s4(8) == "WAVE" && s4(12) == "fmt " &&
+        s4(36) == "data" && rb.getShort(20) == 1 &&
+        pbr == prate * pch * pbits / 8 && pblk == pch * pbits / 8 &&
+        rb.getInt(4).toLong == pds + 36
+      F(prate, pch, pds / (pch * 2), pds, ok)
+    }
+    files.groupBy(_.rate).foreach { case (rate, fs) =>
+      val r = out(rate)
+      assert(r.getAs[Long]("n_files") === fs.length.toLong, s"$rate n")
+      assert(r.getAs[Long]("n_stereo") === fs.count(_.ch == 2).toLong)
+      assert(r.getAs[Long]("n_valid") === fs.count(_.valid).toLong)
+      assert(r.getAs[Long]("total_frames") === fs.map(_.frames).sum)
+      assert(r.getAs[Long]("total_dur_us") ===
+        fs.map(f => f.frames * 1000000L / rate).sum, s"$rate dur")
+      assert(r.getAs[Long]("total_data_bytes") === fs.map(_.dsize).sum)
+    }
+  }
+
+  test("q384 weighted log-rank matches a sequential hour-census walk") {
+    val out = SparkEntry.queries("q384_weighted_logrank")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    val e = Tables.events(spark, sf0001).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val endUs = e.map(_._3).max
+    val lives = e.map { case (u, f, l) =>
+      ((l - f) / 3600000000L, l <= endUs - 12L * 3600L * 1000000L, u % 2)
+    }
+    val nu0 = lives.count(_._3 == 0).toLong
+    val nu1 = lives.count(_._3 == 1).toLong
+    val bigN = (nu0 + nu1).toDouble
+    val byT = lives.groupBy(_._1).toSeq.sortBy(_._1)
+    var (r0, r1) = (nu0, nu1)
+    val sums = scala.collection.mutable.Map(
+      "logrank" -> (0L, 0L), "gehan" -> (0L, 0L), "tarone_ware" -> (0L, 0L))
+    byT.foreach { case (_, grp) =>
+      val d1 = grp.count(g => g._2 && g._3 == 0).toLong
+      val d2 = grp.count(g => g._2 && g._3 == 1).toLong
+      val (n1r, n2r) = (r0, r1)
+      if (d1 + d2 > 0) {
+        val n = (n1r + n2r).toDouble
+        val d = (d1 + d2).toDouble
+        val p1 = n1r / n
+        Seq("logrank", "gehan", "tarone_ware").foreach { m =>
+          val w = m match {
+            case "logrank" => 1.0
+            case "gehan" => n / bigN
+            case _ => math.sqrt(n / bigN)
+          }
+          val nq = math.floor(w * (d1 - d * p1) * 1e6 + 0.5).toLong
+          val vq = if (n1r + n2r > 1)
+            math.floor(w * w * d * p1 * (1.0 - p1) * (n - d) / (n - 1.0) *
+              1e6 + 0.5).toLong
+          else 0L
+          val (a, b) = sums(m)
+          sums(m) = (a + nq, b + vq)
+        }
+      }
+      r0 -= grp.count(_._3 == 0)
+      r1 -= grp.count(_._3 == 1)
+    }
+    sums.foreach { case (m, (numq, varq)) =>
+      val z = math.floor(numq / 1e6 /
+        math.sqrt(math.max(varq / 1e6, 1e-300)) * 1e4 + 0.5) / 1e4
+      assert(math.abs(out(m).getAs[Double]("z") - z) < 1e-9, s"$m z")
+    }
+  }
+
+  test("q385 Siegel-Tukey matches a sequential alternating-rank walk") {
+    val row = SparkEntry.queries("q385_siegel_tukey")(spark, sf0001).head()
+    val rows = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    val n = rows.length
+    // textbook alternating-extremes rank for bottom position i (1-based)
+    def st(i: Int): Long = {
+      if (i <= (n + 1) / 2) { if (i % 2 == 1) 2L * i - 1 else 2L * i }
+      else { val j = n - i + 1; if (j % 2 == 1) 2L * j else 2L * j - 1 }
+    }
+    // tied runs: the query's quantized average-rank convention
+    var i = 0
+    var w1q6 = BigInt(0)
+    var n1t = 0L
+    var tie = BigInt(0)
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && rows(j + 1)._1 == rows(i)._1) j += 1
+      val t = (j - i + 1).toLong
+      val sr = (i + 1 to j + 1).map(k => st(k)).sum
+      val aq = math.floor(sr.toDouble * 1e6 / t + 0.5).toLong
+      val n1 = rows.slice(i, j + 1).count(_._2).toLong
+      w1q6 += BigInt(n1) * BigInt(aq)
+      n1t += n1
+      tie += BigInt(t) * t * t - t
+      i = j + 1
+    }
+    val n2t = n - n1t
+    val w1 = w1q6.toDouble / 1e6
+    val mean = n1t * (n + 1.0) / 2.0
+    val varW = n1t.toDouble * n2t / 12.0 *
+      ((n + 1.0) - tie.toDouble / (n.toDouble * (n - 1.0)))
+    val z = math.floor((w1 - mean) / math.sqrt(varW) * 1e4 + 0.5) / 1e4
+    assert(row.getAs[Long]("n_urgent") === n1t)
+    assert(math.abs(row.getAs[Double]("w1_st") -
+      (math.floor(w1 * 1e4 + 0.5) / 1e4)) < 1e-9, "W1")
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-9, "z")
+  }
+
+  test("q388 Page-Hinkley matches a sequential integer cumulative walk") {
+    val row = SparkEntry.queries("q388_page_hinkley")(spark, sf0001).head()
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val nn = d.length.toLong
+    val tt = d.map(_._2).sum
+    val dd = tt / 20
+    var cum = BigInt(0)
+    var t = 0L
+    var minS = BigInt(Long.MaxValue) * 1000000
+    var mx = BigInt(Long.MinValue)
+    var mxDay: java.sql.Date = null
+    d.foreach { case (day, rev) =>
+      cum += rev; t += 1
+      val s = BigInt(nn) * cum - BigInt(t) * (BigInt(tt) + dd)
+      if (s < minS) minS = s
+      val ph = s - minS
+      if (ph > mx || (ph == mx && (mxDay == null || day.after(mxDay)))) {
+        mx = ph; mxDay = day
+      }
+    }
+    val phm = math.floor(mx.toDouble / tt.toDouble * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_days") === nn)
+    assert(row.getAs[java.sql.Date]("change_day") === mxDay)
+    assert(math.abs(row.getAs[Double]("ph_max_mean_units") - phm) < 1e-9)
+  }
+
+  test("q389 Theil U matches a sequential moment walk") {
+    val row = SparkEntry.queries("q389_theil_u")(spark, sf0001).head()
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val revs = d.map(_._2)
+    val recs = (7 until revs.length).map { k =>
+      val fc = revs.slice(k - 7, k).sum / 7
+      (fc, revs(k), revs(k - 1))
+    }
+    val n = recs.length.toDouble
+    def bsum(f: ((Long, Long, Long)) => BigInt): BigInt =
+      recs.map(f).foldLeft(BigInt(0))(_ + _)
+    val sf = bsum(r => BigInt(r._1)); val sa = bsum(r => BigInt(r._2))
+    val sff = bsum(r => BigInt(r._1) * r._1)
+    val saa = bsum(r => BigInt(r._2) * r._2)
+    val se2 = bsum(r => BigInt(r._1 - r._2) * (r._1 - r._2))
+    val sp2 = bsum(r => BigInt(r._3 - r._2) * (r._3 - r._2))
+    val mse = se2.toDouble / n
+    val u1 = math.sqrt(mse) /
+      (math.sqrt(saa.toDouble / n) + math.sqrt(sff.toDouble / n))
+    val u2 = math.sqrt(se2.toDouble / sp2.toDouble)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_days") === recs.length.toLong)
+    assert(math.abs(row.getAs[Double]("u1") - q6(u1)) < 1e-9, "u1")
+    assert(math.abs(row.getAs[Double]("u2") - q6(u2)) < 1e-9, "u2")
+    val mf = sf.toDouble / n; val ma = sa.toDouble / n
+    val sdf = math.sqrt(math.max(sff.toDouble / n - mf * mf, 0.0))
+    val sda = math.sqrt(math.max(saa.toDouble / n - ma * ma, 0.0))
+    assert(math.abs(row.getAs[Double]("um_bias") -
+      q6((mf - ma) * (mf - ma) / mse)) < 1e-9, "um")
+    assert(math.abs(row.getAs[Double]("us_variance") -
+      q6((sdf - sda) * (sdf - sda) / mse)) < 1e-9, "us")
+  }
+
+  test("q392/q393 VaR backtests match a sequential breach walk") {
+    val kup = SparkEntry.queries("q392_kupiec_pof")(spark, sf0001).head()
+    val chr = SparkEntry.queries("q393_christoffersen")(spark, sf0001).head()
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val revs = d.map(_._2)
+    val breaches = (100 until revs.length).map { k =>
+      val window = revs.slice(k - 100, k).sorted
+      if (revs(k) < window(4)) 1 else 0  // 5th smallest, 1-based index 5
+    }
+    val n = breaches.length
+    val x = breaches.sum
+    assert(kup.getAs[Long]("n_days") === n.toLong, "n")
+    assert(kup.getAs[Long]("n_breach") === x.toLong, "x")
+    val rate = x.toDouble / n
+    val lr = -2.0 * ((n - x) * math.log(0.95) + x * math.log(0.05) -
+      (if (x == 0) 0.0 else x * math.log(rate)) -
+      (if (x == n) 0.0 else (n - x) * math.log(1.0 - rate)))
+    def q4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(math.abs(kup.getAs[Double]("lr_pof") - q4(lr)) < 1e-9, "lr_pof")
+    // transitions
+    val tr = breaches.zip(breaches.tail)
+    val n00 = tr.count(t => t._1 == 0 && t._2 == 0).toLong
+    val n01 = tr.count(t => t._1 == 0 && t._2 == 1).toLong
+    val n10 = tr.count(t => t._1 == 1 && t._2 == 0).toLong
+    val n11 = tr.count(t => t._1 == 1 && t._2 == 1).toLong
+    assert(chr.getAs[Long]("n00") === n00 && chr.getAs[Long]("n01") === n01
+      && chr.getAs[Long]("n10") === n10 && chr.getAs[Long]("n11") === n11)
+    val nt = (n00 + n01 + n10 + n11).toDouble
+    val pi = (n01 + n11) / nt
+    val pi0 = n01.toDouble / math.max(n00 + n01, 1).toDouble
+    val pi1 = n11.toDouble / math.max(n10 + n11, 1).toDouble
+    def term(c: Long, p: Double) = if (c == 0) 0.0 else c * math.log(p)
+    val lrInd = -2.0 * ((term(n00 + n10, 1.0 - pi) + term(n01 + n11, pi)) -
+      (term(n00, 1.0 - pi0) + term(n01, pi0) +
+        term(n10, 1.0 - pi1) + term(n11, pi1)))
+    assert(math.abs(chr.getAs[Double]("lr_ind") - q4(lrInd)) < 1e-9, "lr_ind")
+  }
+
+  test("q395 Youden J matches a sequential threshold sweep") {
+    val row = SparkEntry.queries("q395_youden_j")(spark, sf0001).head()
+    val base = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cents = base.map(_._1).sorted
+    val nB = cents.length
+    val med = if (nB % 2 == 1) cents(nB / 2).toDouble
+      else (cents(nB / 2 - 1) + cents(nB / 2)) / 2.0
+    val labeled = base.map { case (c, sc) => (sc, if (c > med) 1L else 0L) }
+    val post = labeled.count(_._2 == 1L).toLong
+    val negt = nB - post
+    // sweep every distinct threshold: classify score >= thr as positive
+    val thrs = labeled.map(_._1).distinct.sorted
+    var best = (BigInt(Long.MinValue), Long.MinValue, 0L, 0L)
+    thrs.foreach { thr =>
+      val gep = labeled.count(t => t._1 >= thr && t._2 == 1L).toLong
+      val gen = labeled.count(t => t._1 >= thr && t._2 == 0L).toLong
+      val num = BigInt(gep) * negt - BigInt(gen) * post
+      if (num > best._1 || (num == best._1 && thr > best._2))
+        best = (num, thr, gep, gen)
+    }
+    assert(row.getAs[Long]("n_pos") === post)
+    assert(math.abs(row.getAs[Double]("threshold_dollars") -
+      best._2 / 100.0) < 1e-9, "threshold")
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(math.abs(row.getAs[Double]("youden_j") -
+      q6(best._1.toDouble / (post.toDouble * negt))) < 1e-9, "J")
+  }
+
+  test("q391 Levene mean-centered W matches a sequential group walk") {
+    val rows = SparkEntry.queries("q391_levene_mean")(spark, sf0001)
+      .collect()
+    val data = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = data.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2)
+      val mean = vs.sum.toDouble / vs.length
+      g -> vs.map(v => math.floor(math.abs(v - mean) + 0.5).toLong)
+    }
+    val zq = groups.values.flatten.toSeq
+    val nt = zq.length.toDouble
+    val sv = groups.values.map { z =>
+      val s = z.sum
+      math.floor(s.toDouble * s / z.length + 0.5).toLong
+    }.sum
+    val st = zq.sum
+    val grand = math.floor(st.toDouble * st / nt + 0.5).toLong
+    val qt = zq.map(z => z * z).sum
+    val f = ((sv - grand).toDouble / 4.0) / ((qt - sv).toDouble / (nt - 5.0))
+    val w = rows.head.getAs[Double]("levene_stat")
+    assert(math.abs(w - math.floor(f * 1e4 + 0.5) / 1e4) < 1e-9
+      || math.abs(w - (math.rint(f * 1e4) / 1e4)) < 1e-9, s"W $w vs $f")
+  }
 }
