@@ -909,4 +909,87 @@ object AttributionQueries {
       |    WHEN llr9 <= -a9 THEN 'accept_h0'
       |    ELSE 'continue' END AS state
       |FROM w ORDER BY day""".stripMargin
+
+  /** L334 Cohen's h for two proportions *(added r17; [PK] Cohen
+    * 1988 §6)* — the EFFECT SIZE q172's z-test should always be
+    * reported with (the q210/q247 pairing discipline): h = 2·asin√p₁
+    * − 2·asin√p₂ on the same A/B conversion frame, with Cohen's
+    * small/medium/large ladder (0.2/0.5/0.8). The arcsine transform
+    * makes h comparable ACROSS base rates — the property a raw rate
+    * difference lacks — and unlike z it does not grow with n: the
+    * honest null here is |h| < 0.2 at every SF (asserted) even where
+    * a large-n z might drift.
+    *
+    * Parity: conversion counts are exact int64; h is one identical
+    * double chain whose two asin calls are TERMINAL on exact integer
+    * ratios (the q354 exemption — never accumulated), 6dp.
+    *
+    * Scale: the q172 frame — one per-user agg, one 1-row pivot;
+    * 1-row output. */
+  def q399CohensH(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val perUser = e.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val agg = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("x_a") / greatest(d("n_a"), lit(1e-300))
+    val pb = d("x_b") / greatest(d("n_b"), lit(1e-300))
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    val habs = abs(rnd6(h))
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      rnd6(pa).as("rate_a"), rnd6(pb).as("rate_b"),
+      rnd6(h).as("cohens_h"),
+      when(habs < 0.2, lit("negligible")).when(habs < 0.5, lit("small"))
+        .when(habs < 0.8, lit("medium")).otherwise(lit("large"))
+        .as("magnitude"))
+  }
+
+  val q399CohensHSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+      |      THEN 1 ELSE 0 END) AS conv,
+      |    user_id % 2 AS variant
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS x_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS x_b
+      |  FROM u),
+      |f AS (
+      |  SELECT n_a, x_a, n_b, x_b,
+      |    CAST(x_a AS DOUBLE) / GREATEST(CAST(n_a AS DOUBLE), 1e-300)
+      |      AS pa,
+      |    CAST(x_b AS DOUBLE) / GREATEST(CAST(n_b AS DOUBLE), 1e-300)
+      |      AS pb
+      |  FROM g),
+      |z AS (
+      |  SELECT n_a, x_a, n_b, x_b, pa, pb,
+      |    FLOOR((2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)))
+      |      * 1e6 + 0.5) / 1e6 + 0 AS h
+      |  FROM f)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  FLOOR(pa * 1e6 + 0.5) / 1e6 + 0 AS rate_a,
+      |  FLOOR(pb * 1e6 + 0.5) / 1e6 + 0 AS rate_b,
+      |  h AS cohens_h,
+      |  CASE WHEN ABS(h) < 0.2 THEN 'negligible'
+      |    WHEN ABS(h) < 0.5 THEN 'small'
+      |    WHEN ABS(h) < 0.8 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM z""".stripMargin
 }

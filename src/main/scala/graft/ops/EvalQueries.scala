@@ -626,11 +626,10 @@ object EvalQueries {
       |      AS BIGINT) AS va
       |  FROM orders GROUP BY 1),
       |b AS (
-      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
       |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
       |      AS BIGINT) AS vb
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  GROUP BY 1),
+      |  FROM lineitem GROUP BY 1),
       |diffs AS (SELECT va - vb AS d FROM a JOIN b USING (day)),
       |m AS (
       |  SELECT COUNT(*) AS n, SUM(CAST(d AS HUGEINT)) AS sd1,

@@ -1006,7 +1006,8 @@ object ScoreEvalQueries {
        |SELECT CAST(n AS BIGINT) AS n_days, x AS n_breach,
        |  FLOOR(rate * 1e6 + 0.5) / 1e6 + 0 AS breach_rate,
        |  FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 AS lr_pof,
-       |  CAST(CASE WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
+       |  CAST(CASE WHEN lr IS NULL THEN NULL
+       |    WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
        |FROM f""".stripMargin
 
@@ -1100,7 +1101,8 @@ object ScoreEvalQueries {
        |SELECT n00, n01, n10, n11,
        |  FLOOR(pi1 * 1e6 + 0.5) / 1e6 + 0 AS p_breach_after_breach,
        |  FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 AS lr_ind,
-       |  CAST(CASE WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
+       |  CAST(CASE WHEN lr IS NULL THEN NULL
+       |    WHEN FLOOR(lr * 1e4 + 0.5) / 1e4 + 0 > 3.8415
        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
        |FROM z""".stripMargin
 
@@ -1123,10 +1125,15 @@ object ScoreEvalQueries {
     * is one exact max + equality filter; 1-row output. */
   def q395YoudenJ(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // null filter (fuzz seed 138): a NULL score would land FIRST in
+    // Spark's range order but LAST in DuckDB's ORDER BY, skewing every
+    // cumulative count after it — scores and labels must be non-null
     val base = Tables.orders(s, dir)
+      .filter(col("o_totalprice").isNotNull)
       .select(col("o_custkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_acctbal").isNotNull)
         .select(col("c_custkey"),
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))),
         col("o_custkey") === col("c_custkey"))
@@ -1166,7 +1173,8 @@ object ScoreEvalQueries {
     """WITH base AS (
       |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
       |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS score
-      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
       |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM base),
       |lab AS (
       |  SELECT score,
@@ -1210,4 +1218,139 @@ object ScoreEvalQueries {
       |    / GREATEST(CAST(post AS DOUBLE) * CAST(negt AS DOUBLE), 1e-300)
       |    * 1e6 + 0.5) / 1e6 + 0 AS youden_j
       |FROM b2""".stripMargin
+
+  /** L331 information-gain optimal split *(added r17; [PK] Quinlan
+    * 1986 (ID3); Breiman et al. 1984)* — q395's decision-theoretic
+    * sibling on the identical frame: the score threshold maximizing
+    * IG = H(parent) − Σ w·H(child), i.e. a one-node decision stump.
+    * Youden optimizes RATE SEPARATION; IG optimizes expected
+    * description length — publishing both thresholds says whether
+    * the two criteria agree on where the score cuts (under the
+    * independence null they wander — the stump finds only noise, IG
+    * near 0, asserted band).
+    *
+    * Parity: per-threshold child counts come from the q395 census +
+    * [[PrefixSum]] machinery; each candidate's IG is ONE identical
+    * double chain PICO-quantized (1e12) per census row — quantized
+    * VALUES are compared/maxed, never accumulated, so cross-engine
+    * argmax cannot flip (ties to the highest score, pinned); output
+    * divisions 6dp.
+    *
+    * Scale: census + PrefixSum + broadcast 1-row argmax — the q395
+    * shape verbatim; 1-row output. */
+  def q396InfoGainSplit(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.orders(s, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_acctbal").isNotNull)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))),
+        col("o_custkey") === col("c_custkey"))
+    val med = base.agg(expr("percentile(cents, 0.5)").as("med"))
+    val lab = base.crossJoin(broadcast(med))
+      .select(col("score"),
+        (col("cents").cast("double") > col("med")).cast("long").as("y"))
+    val cen = lab.groupBy("score")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("score")), Seq((col("np"), "cp"), (col("nn"), "cn")))
+    val tot = cen.agg(sum(col("np")).as("post"), sum(col("nn")).as("negt"))
+    // plogp(a, n) = -(a/n)·ln(a/n) with the 0·ln0 = 0 convention
+    def plogp(a: Column, n: Column): Column =
+      when(a === 0L || n === 0L, lit(0.0))
+        .otherwise(lit(-1.0) * (a.cast("double") / n.cast("double")) *
+          log(a.cast("double") / n.cast("double")))
+    val j = cum.crossJoin(broadcast(tot))
+      .withColumn("gep", col("post") - col("cp") + col("np"))
+      .withColumn("gen", col("negt") - col("cn") + col("nn"))
+      .withColumn("ltp", col("post") - col("gep"))
+      .withColumn("ltn", col("negt") - col("gen"))
+    val bigN = col("post") + col("negt")
+    val nGe = col("gep") + col("gen")
+    val nLt = col("ltp") + col("ltn")
+    val hPar = plogp(col("post"), bigN) + plogp(col("negt"), bigN)
+    val hGe = plogp(col("gep"), nGe) + plogp(col("gen"), nGe)
+    val hLt = plogp(col("ltp"), nLt) + plogp(col("ltn"), nLt)
+    val ig = hPar -
+      (nGe.cast("double") / bigN.cast("double")) * hGe -
+      (nLt.cast("double") / bigN.cast("double")) * hLt
+    val scored = j.withColumn("igq", floor(ig * 1e12 + 0.5).cast("long"))
+    val mx = scored.agg(max(col("igq")).as("mxig"))
+    val best = scored.join(broadcast(mx), col("igq") === col("mxig"))
+      .groupBy("post", "negt", "mxig")
+      .agg(max(col("score")).as("thr"))
+    def d(c: String) = col(c).cast("double")
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    val hParBest = plogp(col("post"), col("post") + col("negt")) +
+      plogp(col("negt"), col("post") + col("negt"))
+    best.select(col("post").as("n_pos"), col("negt").as("n_neg"),
+      (d("thr") / 100.0).as("threshold_dollars"),
+      rnd6(hParBest).as("parent_entropy"),
+      rnd6(col("mxig").cast("double") / 1e12).as("info_gain"))
+  }
+
+  val q396InfoGainSplitSql: String = {
+    def plogp(a: String, n: String): String =
+      s"(CASE WHEN $a = 0 OR $n = 0 THEN 0.0 ELSE " +
+        s"-(CAST($a AS DOUBLE) / $n) * ln(CAST($a AS DOUBLE) / $n) END)"
+    s"""WITH base AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS score
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
+      |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM base),
+      |lab AS (
+      |  SELECT score,
+      |    CASE WHEN CAST(cents AS DOUBLE) > med THEN 1 ELSE 0 END AS y
+      |  FROM base CROSS JOIN m),
+      |cen AS (
+      |  SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+      |    CAST(SUM(1 - y) AS BIGINT) AS nn
+      |  FROM lab GROUP BY score),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS post,
+      |    CAST(SUM(nn) AS BIGINT) AS negt FROM cen),
+      |cum AS (
+      |  SELECT score, np, nn,
+      |    CAST(SUM(np) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cp,
+      |    CAST(SUM(nn) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cn
+      |  FROM cen),
+      |j AS (
+      |  SELECT score, post, negt,
+      |    post - cp + np AS gep, negt - cn + nn AS gen,
+      |    cp - np AS ltp, cn - nn AS ltn
+      |  FROM cum CROSS JOIN tot),
+      |ig AS (
+      |  SELECT score, post, negt,
+      |    CAST(FLOOR((
+      |      ${plogp("post", "(post + negt)")}
+      |        + ${plogp("negt", "(post + negt)")}
+      |      - (CAST(gep + gen AS DOUBLE) / (post + negt))
+      |        * (${plogp("gep", "(gep + gen)")}
+      |          + ${plogp("gen", "(gep + gen)")})
+      |      - (CAST(ltp + ltn AS DOUBLE) / (post + negt))
+      |        * (${plogp("ltp", "(ltp + ltn)")}
+      |          + ${plogp("ltn", "(ltp + ltn)")})
+      |      ) * 1e12 + 0.5) AS BIGINT) AS igq
+      |  FROM j),
+      |mx AS (SELECT MAX(igq) AS mxig FROM ig),
+      |best AS (
+      |  SELECT post, negt, mxig, MAX(score) AS thr
+      |  FROM ig JOIN mx ON igq = mxig
+      |  GROUP BY post, negt, mxig)
+      |SELECT post AS n_pos, negt AS n_neg,
+      |  CAST(thr AS DOUBLE) / 100.0 AS threshold_dollars,
+      |  FLOOR((${plogp("post", "(post + negt)")}
+      |    + ${plogp("negt", "(post + negt)")}) * 1e6 + 0.5) / 1e6 + 0
+      |    AS parent_entropy,
+      |  FLOOR(CAST(mxig AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 + 0
+      |    AS info_gain
+      |FROM best""".stripMargin
+  }
 }

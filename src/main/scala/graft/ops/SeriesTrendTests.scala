@@ -1062,4 +1062,91 @@ object SeriesTrendTests {
        |    THEN 1 ELSE 0 END AS BIGINT) AS detected
        |FROM p2 WHERE ph = mx
        |GROUP BY nn, tt, mx""".stripMargin
+
+  /** L332 CUSUM-of-squares variance-break monitor *(added r17; [PK]
+    * Brown, Durbin & Evans 1975)* — the VARIANCE sibling of q148's
+    * mean CUSUM and q388's Page–Hinkley: s_t = Σ_{i≤t}x²_i / Σx²
+    * should track t/N under homoscedasticity, so sup_t |s_t − t/N|
+    * (scaled by √(N/2) against the 1.358 Brownian-bridge 5 %
+    * critical value — the standard large-sample approximation,
+    * pinned) locates WHERE the series' second moment shifts. On
+    * TPC-H the daily revenue VARIANCE is homogeneous even though the
+    * MEAN trends (q388 fires, this does not: bde 0.92/0.67 measured
+    * at sf0.001/0.01) — an honest null that, read BESIDE q388, is
+    * the textbook demonstration the two monitors answer different
+    * questions; non-degeneracy rides the located break day and the
+    * strictly positive sup.
+    *
+    * Parity: daily revenues in whole dollars; x², cumulative sums,
+    * and the argmax numerator |N·cumq − t·Q| are all exact
+    * DECIMAL(38)/HUGEINT — the argmax is engine-exact, ties to the
+    * latest day; only the two output normalizations are doubles,
+    * 6dp/4dp.
+    *
+    * Scale: the q388 documented census shape (one fact-scan day
+    * rollup, windows over the scale-constant day census); 1-row
+    * output. */
+  def q397CusumSquares(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily(s, dir).withColumn("x2",
+      col("rev").cast(dec) * col("rev").cast(dec))
+    val tot = d.agg(count(lit(1)).as("nn"), sum(col("x2")).as("qq"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val c = d.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(wCum).cast("long"))
+      .withColumn("cumq", sum(col("x2")).over(wCum))
+      .withColumn("dev", abs(col("nn").cast(dec) * col("cumq") -
+        col("t").cast(dec) * col("qq")))
+      .withColumn("mx", max(abs(col("nn").cast(dec) * col("cumq") -
+        col("t").cast(dec) * col("qq"))).over(wAll))
+    val peak = c.filter(col("dev") === col("mx"))
+      .groupBy("nn", "qq", "mx")
+      .agg(max(col("day")).as("break_day"))
+    def dd(c2: Column) = c2.cast("double")
+    val sup = dd(col("mx")) /
+      (dd(col("nn")) * greatest(dd(col("qq")), lit(1e-300)))
+    val stat = sqrt(dd(col("nn")) / 2.0) * sup
+    peak.select(col("nn").as("n_days"), col("break_day"),
+      (floor(sup * 1e6 + 0.5) / 1e6 + 0.0).as("sup_deviation"),
+      (floor(stat * 1e4 + 0.5) / 1e4 + 0.0).as("bde_stat"),
+      ((floor(stat * 1e4 + 0.5) / 1e4 + 0.0) > 1.358).cast("long")
+        .as("reject_5pct"))
+  }
+
+  val q397CusumSquaresSql: String =
+    s"""WITH d AS ($dailySql),
+       |d2 AS (SELECT day, CAST(rev AS HUGEINT) * rev AS x2 FROM d),
+       |tot AS (
+       |  SELECT COUNT(*) AS nn, CAST(SUM(x2) AS HUGEINT) AS qq FROM d2),
+       |c AS (
+       |  SELECT day,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS t,
+       |    CAST(SUM(x2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |      AS HUGEINT) AS cumq
+       |  FROM d2),
+       |p AS (
+       |  SELECT day, nn, qq,
+       |    ABS(CAST(nn AS HUGEINT) * cumq - t * qq) AS dev
+       |  FROM c CROSS JOIN tot),
+       |p2 AS (SELECT *, MAX(dev) OVER () AS mx FROM p),
+       |f AS (
+       |  SELECT nn, qq, mx, MAX(day) AS break_day
+       |  FROM p2 WHERE dev = mx
+       |  GROUP BY nn, qq, mx)
+       |SELECT CAST(nn AS BIGINT) AS n_days, break_day,
+       |  FLOOR(CAST(mx AS DOUBLE)
+       |    / (CAST(nn AS DOUBLE) * GREATEST(CAST(qq AS DOUBLE), 1e-300))
+       |    * 1e6 + 0.5) / 1e6 + 0 AS sup_deviation,
+       |  FLOOR(SQRT(CAST(nn AS DOUBLE) / 2.0) * CAST(mx AS DOUBLE)
+       |    / (CAST(nn AS DOUBLE) * GREATEST(CAST(qq AS DOUBLE), 1e-300))
+       |    * 1e4 + 0.5) / 1e4 + 0 AS bde_stat,
+       |  CAST(CASE WHEN FLOOR(SQRT(CAST(nn AS DOUBLE) / 2.0)
+       |      * CAST(mx AS DOUBLE)
+       |      / (CAST(nn AS DOUBLE) * GREATEST(CAST(qq AS DOUBLE), 1e-300))
+       |      * 1e4 + 0.5) / 1e4 + 0 > 1.358 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS reject_5pct
+       |FROM f""".stripMargin
 }

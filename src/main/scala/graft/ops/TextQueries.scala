@@ -893,4 +893,126 @@ object TextQueries {
       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS h_cond
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** L333 language-ID confidence-margin census *(added r17)* — the
+    * CURATION readout q45's classifier lacks: a language router that
+    * reports only its top-1 label hides how close the call was, and
+    * at 100 TB the low-margin documents are exactly the ones worth
+    * routing to a better (costlier) classifier. Per predicted
+    * language: document count, mean top1−top2 overlap margin, the
+    * low-confidence share (margin ≤ 1 profile bigram — including
+    * exact ties broken alphabetically), and the accuracy among
+    * CONFIDENT calls beside overall accuracy — the abstention curve's
+    * two endpoints ([PK] standard selective-classification readout,
+    * e.g. Geifman & El-Yaniv 2017).
+    *
+    * Parity: the q45 frame verbatim (top-20 bigram profiles, distinct
+    * doc-bigram overlap counts); margins are exact integer
+    * differences (a doc matching ONE candidate language has margin =
+    * its full overlap, pinned); all shares are 6dp output divisions
+    * of exact counts.
+    *
+    * Scale: the q45 shape — profile broadcast, per-doc keyed windows
+    * (doc_id cardinality), one ≤5-row census; nothing new moves. */
+  def q398LangMargin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bg = d.select(col("doc_id"), col("lang"),
+      explode(graft.functions.SimFns.charBigrams(col("text"))).as("b"))
+    val prof = bg.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("b"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("cand_lang"), col("b"))
+    val docBg = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.SimFns.charBigrams(col("text"))))
+        .as("b"))
+    val score = docBg.join(broadcast(prof), "b")
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("ov"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ov").desc, col("cand_lang"))
+    val top2 = score.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(max(when(col("rn") === 1, col("cand_lang"))).as("pred_lang"),
+        max(when(col("rn") === 1, col("ov"))).as("ov1"),
+        coalesce(max(when(col("rn") === 2, col("ov"))), lit(0L))
+          .as("ov2"))
+      .withColumn("margin", col("ov1") - col("ov2"))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    d.select(col("doc_id"), col("lang")).join(top2, "doc_id")
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("margin")).as("sum_margin"),
+        sum(when(col("margin") <= 1L, 1L).otherwise(0L)).as("n_low_conf"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("margin") > 1L && col("lang") === col("pred_lang"),
+          1L).otherwise(0L)).as("n_correct_conf"),
+        sum(when(col("margin") > 1L, 1L).otherwise(0L)).as("n_conf"))
+      .select(col("pred_lang"), col("n_docs"),
+        rnd6(col("sum_margin").cast("double") /
+          col("n_docs").cast("double")).as("mean_margin"),
+        rnd6(col("n_low_conf").cast("double") /
+          col("n_docs").cast("double")).as("low_conf_share"),
+        rnd6(col("n_correct").cast("double") /
+          col("n_docs").cast("double")).as("accuracy"),
+        when(col("n_conf") === 0L, lit(null).cast("double"))
+          .otherwise(rnd6(col("n_correct_conf").cast("double") /
+            col("n_conf").cast("double"))).as("accuracy_confident"))
+      .orderBy("pred_lang")
+  }
+
+  val q398LangMarginSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, length(text) - 1),
+      |      i -> substr(text, i, 2))) AS b
+      |  FROM documents),
+      |prof AS (
+      |  SELECT lang AS cand_lang, b FROM (
+      |    SELECT lang, b, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, b) AS rn
+      |    FROM bg GROUP BY lang, b)
+      |  WHERE rn <= 20),
+      |docbg AS (SELECT DISTINCT doc_id, b FROM bg),
+      |score AS (
+      |  SELECT d.doc_id, p.cand_lang, COUNT(*) AS ov
+      |  FROM docbg d JOIN prof p USING (b) GROUP BY 1, 2),
+      |top2 AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN rn = 1 THEN cand_lang END) AS pred_lang,
+      |    MAX(CASE WHEN rn = 1 THEN ov END) AS ov1,
+      |    COALESCE(MAX(CASE WHEN rn = 2 THEN ov END), 0) AS ov2
+      |  FROM (
+      |    SELECT doc_id, cand_lang, ov,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY ov DESC, cand_lang) AS rn
+      |    FROM score)
+      |  WHERE rn <= 2 GROUP BY doc_id),
+      |t AS (SELECT *, ov1 - ov2 AS margin FROM top2),
+      |g AS (
+      |  SELECT pred_lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(margin) AS BIGINT) AS sum_margin,
+      |    CAST(SUM(CASE WHEN margin <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_low_conf,
+      |    CAST(SUM(CASE WHEN d.lang = t.pred_lang THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_correct,
+      |    CAST(SUM(CASE WHEN margin > 1 AND d.lang = t.pred_lang
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_conf,
+      |    CAST(SUM(CASE WHEN margin > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_conf
+      |  FROM documents d JOIN t USING (doc_id)
+      |  GROUP BY pred_lang)
+      |SELECT pred_lang, n_docs,
+      |  FLOOR(CAST(sum_margin AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 + 0
+      |    AS mean_margin,
+      |  FLOOR(CAST(n_low_conf AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 + 0
+      |    AS low_conf_share,
+      |  FLOOR(CAST(n_correct AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 + 0
+      |    AS accuracy,
+      |  CASE WHEN n_conf = 0 THEN NULL
+      |    ELSE FLOOR(CAST(n_correct_conf AS DOUBLE) / n_conf * 1e6 + 0.5)
+      |      / 1e6 + 0 END AS accuracy_confident
+      |FROM g ORDER BY pred_lang""".stripMargin
+
 }

@@ -2663,4 +2663,66 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       assert(r.getAs[Long]("n_pos") > 0L && r.getAs[Long]("n_neg") > 0L)
     }
   }
+
+  test("q396: the stump finds only noise under independence, entropy = ln 2") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q396_info_gain", sf).collect()(0)
+      // balanced labels by construction (above/below the median)
+      assert(math.abs(r.getAs[Double]("parent_entropy") -
+        math.log(2.0)) < 2e-3, s"parent entropy off ln2 at $sf")
+      val ig = r.getAs[Double]("info_gain")
+      assert(ig >= 0.0 && ig < 0.05,
+        s"IG $ig breaks the independence null at $sf")
+    }
+  }
+
+  test("q397: variance CUSUM stays under critical while the mean CUSUM fires") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q397_cusum_squares", sf).collect()(0)
+      assert(r.getAs[Double]("sup_deviation") > 0.0, s"flat sup at $sf")
+      assert(r.getAs[java.sql.Date]("break_day") != null)
+      // the textbook contrast: TPC-H's daily revenue MEAN trends
+      // (q388 fires) but its VARIANCE is homogeneous — this monitor
+      // must NOT fire, or the pair stops demonstrating anything
+      assert(r.getAs[Long]("reject_5pct") === 0L,
+        s"variance break claimed on homoscedastic data at $sf")
+      val ph = run("q388_page_hinkley", sf).collect()(0)
+      assert(ph.getAs[Long]("detected") === 1L, "q388 companion must fire")
+    }
+  }
+
+  test("q398: the margin census exposes the weak classifier honestly") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q398_lang_margin", sf).collect()
+      assert(rows.nonEmpty, s"no predictions at $sf")
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(total > 0L)
+      rows.foreach { r =>
+        val (lo, acc) = (r.getAs[Double]("low_conf_share"),
+          r.getAs[Double]("accuracy"))
+        assert(lo >= 0.0 && lo <= 1.0 && acc >= 0.0 && acc <= 1.0)
+        assert(r.getAs[Double]("mean_margin") >= 0.0,
+          s"negative margin at $sf — top-2 ordering broken")
+      }
+      // the q45 bigram classifier is genuinely weak on this corpus;
+      // the margin census must SAY so (high low-confidence share)
+      // rather than manufacture confidence
+      val wLow = rows.map(r => r.getAs[Double]("low_conf_share") *
+        r.getAs[Long]("n_docs")).sum / total
+      assert(wLow > 0.5, s"low-confidence share $wLow implausibly low at $sf")
+    }
+  }
+
+  test("q399: Cohen's h sits in the A/B null and matches its z companion's sign") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q399_cohens_h", sf).collect()(0)
+      val h = r.getAs[Double]("cohens_h")
+      assert(!h.isNaN && math.abs(h) < 1.0, s"degenerate h at $sf")
+      val z = run("q172_ab_ztest", sf).collect()(0).getAs[Double]("z")
+      assert(h * z >= 0.0 || math.abs(h) < 1e-9,
+        s"h and z disagree in sign at $sf")
+      assert(Seq("negligible", "small", "medium", "large")
+        .contains(r.getAs[String]("magnitude")))
+    }
+  }
 }

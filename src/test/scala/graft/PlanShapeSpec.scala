@@ -604,7 +604,13 @@ class PlanShapeSpec extends SparkSpec {
       // (N+, N-) totals (planned under both the J frame and the
       // argmax filter), and the argmax num — all census-side (the
       // q308 multi-broadcast precedent)
-      "q395_youden_j")
+      "q395_youden_j",
+      // r17: q396 rides the identical q395 machinery (median, totals,
+      // argmax — census-side 1-row broadcasts)
+      "q396_info_gain",
+      // r17: q397's 1-row (n, Σx²) totals broadcast onto the day
+      // census (the q388/q336 form)
+      "q397_cusum_squares")
     // Queries whose plan legitimately carries MORE than one allowlisted
     // nested loop. q262's tmax cut sits under its lazy checkpoint (only
     // the ≤365-row Walsh pair build surfaces), and q266's three periods
@@ -624,7 +630,8 @@ class PlanShapeSpec extends SparkSpec {
       "q378_tau_ap" -> 3, "q368_bloom_fpr" -> 2,
       // r17: q385 totals×2 (explode + algebra); q395 median/totals/
       // argmax — see the allowlist entries above
-      "q385_siegel_tukey" -> 2, "q395_youden_j" -> 4)
+      "q385_siegel_tukey" -> 2, "q395_youden_j" -> 4,
+      "q396_info_gain" -> 4)
       .withDefaultValue(1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

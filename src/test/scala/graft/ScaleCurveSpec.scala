@@ -184,7 +184,14 @@ class ScaleCurveSpec extends SparkSpec {
       // scale with the facts (the q210 global-rank convention) —
       // q371 is the round's only multi-second bench entry (3.6 s at
       // sf0.1); both must stay ~n log n, never n²
-      "q367_brunner_munzel", "q371_bws")
+      // (r17: both rewritten onto census + PrefixSum — the gate now
+      // measures the two-phase kernel, not a 2-partition sort)
+      "q367_brunner_munzel", "q371_bws",
+      // round-17: the two new fact-cardinality census passes — q385's
+      // PrefixSum + k-th-position explode over cent-grain values,
+      // q395's PrefixSum over the acctbal score census — must stay
+      // ~n log n like their q210/q371 backbones
+      "q385_siegel_tukey", "q395_youden_j")
     val rows = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, s"$root/x1").count()                    // codegen warm-up

@@ -5046,4 +5046,70 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(w - math.floor(f * 1e4 + 0.5) / 1e4) < 1e-9
       || math.abs(w - (math.rint(f * 1e4) / 1e4)) < 1e-9, s"W $w vs $f")
   }
+
+  test("q396 info-gain split matches a sequential threshold sweep") {
+    val row = SparkEntry.queries("q396_info_gain")(spark, sf0001).head()
+    val base = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cents = base.map(_._1).sorted
+    val nB = cents.length
+    val med = if (nB % 2 == 1) cents(nB / 2).toDouble
+      else (cents(nB / 2 - 1) + cents(nB / 2)) / 2.0
+    val labeled = base.map { case (c, sc) => (sc, if (c > med) 1L else 0L) }
+    val post = labeled.count(_._2 == 1L)
+    val negt = nB - post
+    def plogp(a: Long, n: Long): Double =
+      if (a == 0 || n == 0) 0.0
+      else { val p = a.toDouble / n; -p * math.log(p) }
+    val hPar = plogp(post, nB) + plogp(negt, nB)
+    var best = (Long.MinValue, Long.MinValue)
+    labeled.map(_._1).distinct.sorted.foreach { thr =>
+      val gep = labeled.count(t => t._1 >= thr && t._2 == 1L).toLong
+      val gen = labeled.count(t => t._1 >= thr && t._2 == 0L).toLong
+      val (ltp, ltn) = (post - gep, negt - gen)
+      val (nGe, nLt) = (gep + gen, ltp + ltn)
+      val ig = hPar -
+        nGe.toDouble / nB * (plogp(gep, nGe) + plogp(gen, nGe)) -
+        nLt.toDouble / nB * (plogp(ltp, nLt) + plogp(ltn, nLt))
+      val igq = math.floor(ig * 1e12 + 0.5).toLong
+      if (igq > best._1 || (igq == best._1 && thr > best._2))
+        best = (igq, thr)
+    }
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(math.abs(row.getAs[Double]("threshold_dollars") -
+      best._2 / 100.0) < 1e-9, "threshold")
+    assert(math.abs(row.getAs[Double]("info_gain") -
+      q6(best._1 / 1e12)) < 1e-9, "IG")
+    assert(math.abs(row.getAs[Double]("parent_entropy") - q6(hPar)) < 1e-9)
+  }
+
+  test("q397 CUSUM-of-squares matches a sequential BigInt walk") {
+    val row = SparkEntry.queries("q397_cusum_squares")(spark, sf0001).head()
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val nn = d.length
+    val qq = d.map(x => BigInt(x._2) * x._2).sum
+    var cum = BigInt(0)
+    var mx = BigInt(-1)
+    var mxDay: java.sql.Date = null
+    d.zipWithIndex.foreach { case ((day, rev), i) =>
+      cum += BigInt(rev) * rev
+      val dev = (BigInt(nn) * cum - BigInt(i + 1) * qq).abs
+      if (dev > mx || (dev == mx && day.after(mxDay))) { mx = dev; mxDay = day }
+    }
+    val sup = mx.toDouble / (nn.toDouble * qq.toDouble)
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def q4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(row.getAs[Long]("n_days") === nn.toLong)
+    assert(row.getAs[java.sql.Date]("break_day") === mxDay)
+    assert(math.abs(row.getAs[Double]("sup_deviation") - q6(sup)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("bde_stat") -
+      q4(math.sqrt(nn / 2.0) * sup)) < 1e-9)
+  }
 }

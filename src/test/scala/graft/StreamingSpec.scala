@@ -841,4 +841,73 @@ class StreamingSpec extends SparkSpec {
         s"interpolated P50 $p50 beyond one bin width of exact $exactMed")
     } finally q.stop()
   }
+
+  test("count-min cell census aggregates inside a windowed streaming query") {
+    // r17 (r16 verdict mandate #6, second half): q358's count-min
+    // rollup doing streaming duty beside the histogram/KMV/t-digest
+    // members — the (j, cell) census state per window is ≤ 3·1024
+    // longs merged across micro-batches by the partial/final path,
+    // DETERMINISTIC like the histogram (exact integer counts), so the
+    // streamed census must equal the batch census over the same rows
+    // element-for-element, and a probe key's min-over-rows estimate
+    // must upper-bound its exact count (the count-min guarantee).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val w = 64L
+    def cell(j: Int, key: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cm$j:"),
+        key.cast("string"))), 1, 6), 16, 10).cast("long"), lit(w))
+    val in = newStream()
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"),
+        cell(0, col("user_id")).as("c0"), cell(1, col("user_id")).as("c1"),
+        cell(2, col("user_id")).as("c2"))
+      .selectExpr("ts", "stack(3, 0L, c0, 1L, c1, 2L, c2) as (j, cell)")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("j"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("bucket"), col("j"), col("cell"), col("n"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("append").start()
+    try {
+      // skewed stream: user 7 dominates, split across two micro-batches
+      val users = (1 to 30).map(_.toLong) ++ Seq.fill(40)(7L)
+      val (b1, b2) = users.splitAt(35)
+      in.addData(b1.zipWithIndex.map { case (u, i) =>
+        Ev(i, ts("2024-01-01 10:05:00"), u, "m", 0.0) }: _*)
+      q.processAllAvailable()
+      in.addData(b2.zipWithIndex.map { case (u, i) =>
+        Ev(100 + i, ts("2024-01-01 10:40:00"), u, "m", 0.0) }: _*)
+      q.processAllAvailable()
+      in.addData(Ev(999, ts("2024-01-01 13:00:00"), 1, "m", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("cm_stream")
+        .filter(col("bucket") === ts("2024-01-01 10:00:00"))
+        .select("j", "cell", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed.values.sum === 3L * users.length,
+        "both micro-batches must land in every row of the sketch")
+      // batch census over the identical keys, element for element
+      import spark.implicits._
+      val batch = users.toDF("user_id")
+        .select(cell(0, col("user_id")).as("c0"),
+          cell(1, col("user_id")).as("c1"), cell(2, col("user_id")).as("c2"))
+        .selectExpr("stack(3, 0L, c0, 1L, c1, 2L, c2) as (j, cell)")
+        .groupBy("j", "cell").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed cell census diverged from the batch census")
+      // the count-min guarantee on the hot probe key: est >= exact
+      val probe = spark.range(7, 8).toDF("k")
+        .select(cell(0, col("k")).as("c0"), cell(1, col("k")).as("c1"),
+          cell(2, col("k")).as("c2")).collect()(0)
+      val est = Seq(streamed.getOrElse((0L, probe.getLong(0)), 0L),
+        streamed.getOrElse((1L, probe.getLong(1)), 0L),
+        streamed.getOrElse((2L, probe.getLong(2)), 0L)).min
+      val exact = users.count(_ == 7L).toLong
+      assert(est >= exact, s"count-min must never undercount: $est < $exact")
+      assert(est <= exact + users.length,
+        s"estimate $est implausibly high for ${users.length} rows")
+    } finally q.stop()
+  }
 }
