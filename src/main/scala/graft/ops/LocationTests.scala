@@ -847,10 +847,11 @@ object LocationTests {
     *
     * Scale (rewritten r17, verdict mandate #2): the census here is
     * fact-cardinality (micro-unit price domain), so cumulative
-    * positions run through TWO multi-order [[PrefixSum]] passes with
-    * broadcast ≤4-row offset frames — no per-pair window anywhere;
-    * the k-th-position explode is embarrassingly parallel map-side
-    * work and everything after the keyed agg is a 4-row census. */
+    * positions run through ONE group-masked multi-column
+    * [[PrefixSum]] pass with a broadcast 2-row offset frame — no
+    * per-pair window anywhere; the k-th-position explode is
+    * embarrassingly parallel map-side work and everything after the
+    * keyed agg is a 4-row census. */
   def q371Bws(s: SparkSession, dir: String): DataFrame = {
     val pri = Tables.orders(s, dir)
       .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -880,33 +881,47 @@ object LocationTests {
     // r17 (verdict mandate #2): the census itself is fact-CARDINALITY
     // here (micro-unit prices make nearly every lineitem row a
     // distinct v), so r16's per-pair cumulative windows were
-    // 2-partition sorts over fact-scale data. Replaced with TWO
-    // [[PrefixSum]] passes — one per required total order (within:
-    // (pair, grp, v); pooled: (pair, v, grp), x before y at ties) —
-    // and per-group exclusive offsets from broadcast ≤4-row totals
-    // frames, which also carry n and m. Identical i/r/n/m per row,
-    // so the per-term integers and the oracle are unchanged.
-    val c1 = graft.ops.PrefixSum.withPrefixSums(census,
-      Seq(col("pair"), col("grp"), col("v")), Seq((col("cv"), "gw")))
-    val c2 = graft.ops.PrefixSum.withPrefixSums(c1,
-      Seq(col("pair"), col("v"), col("grp")), Seq((col("cv"), "gp")))
-    val totg = census.groupBy("pair", "grp").agg(sum(col("cv")).as("tn"))
-    val wOffG = Window.orderBy("pair", "grp")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offG = totg.select(col("pair"), col("grp"), col("tn"),
-      coalesce(sum(col("tn")).over(wOffG), lit(0L)).as("offw"))
-    val totp = totg.groupBy("pair").agg(sum(col("tn")).as("tp"))
+    // 2-partition sorts over fact-scale data. Replaced with ONE
+    // [[PrefixSum]] pass over the pooled order (pair, v, grp — x
+    // before y at ties): the within-group cumulative rides the SAME
+    // pass through group-MASKED sum columns (cvx/cvy — a grp-x row's
+    // global cvx cumulative in pooled order IS its inclusive
+    // within-x cumulative, since y rows contribute zero), and the
+    // per-pair/per-group exclusive offsets come from one broadcast
+    // 2-row pivoted totals frame, which also carries n and m.
+    // Identical i/r/n/m per row, so the per-term integers and the
+    // oracle are unchanged. (First written as two PrefixSum passes —
+    // the fold halved the round's top bench entry.)
+    val c2 = graft.ops.PrefixSum.withPrefixSums(
+      census
+        .withColumn("cvx", when(col("grp") === "x", col("cv"))
+          .otherwise(0L))
+        .withColumn("cvy", when(col("grp") === "y", col("cv"))
+          .otherwise(0L)),
+      Seq(col("pair"), col("v"), col("grp")),
+      Seq((col("cv"), "gp"), (col("cvx"), "gwx"), (col("cvy"), "gwy")))
+    val totg = census.groupBy("pair").agg(
+      sum(when(col("grp") === "x", col("cv")).otherwise(0L)).as("tx"),
+      sum(when(col("grp") === "y", col("cv")).otherwise(0L)).as("ty"))
     val wOffP = Window.orderBy("pair")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offP = totp.select(col("pair"), col("tp"),
-      coalesce(sum(col("tp")).over(wOffP), lit(0L)).as("offp"))
+    val offs = totg.select(col("pair"), col("tx"), col("ty"),
+      coalesce(sum(col("tx")).over(wOffP), lit(0L)).as("offx"),
+      coalesce(sum(col("ty")).over(wOffP), lit(0L)).as("offy"),
+      coalesce(sum(col("tx") + col("ty")).over(wOffP), lit(0L))
+        .as("offp"))
     val ranked = c2
-      .join(broadcast(offG), Seq("pair", "grp"))
-      .join(broadcast(offP), Seq("pair"))
+      .join(broadcast(offs), Seq("pair"))
+      .withColumn("gw", when(col("grp") === "x", col("gwx"))
+        .otherwise(col("gwy")))
+      .withColumn("offw", when(col("grp") === "x", col("offx"))
+        .otherwise(col("offy")))
       .withColumn("i0", col("gw") - col("offw") - col("cv") + 1L)
       .withColumn("r0", col("gp") - col("offp") - col("cv") + 1L)
-      .withColumn("n", col("tn"))
-      .withColumn("m", col("tp") - col("tn"))
+      .withColumn("n", when(col("grp") === "x", col("tx"))
+        .otherwise(col("ty")))
+      .withColumn("m", when(col("grp") === "x", col("ty"))
+        .otherwise(col("tx")))
       .withColumn("k", explode(sequence(lit(0L), col("cv") - 1L)))
       .withColumn("i", col("i0") + col("k"))
       .withColumn("r", col("r0") + col("k"))
