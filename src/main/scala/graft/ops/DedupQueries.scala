@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators L3–L5 (SURVEY.md §2.8): edit
@@ -765,4 +765,151 @@ object DedupQueries {
       |SELECT chunk, COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs
       |FROM f GROUP BY chunk HAVING COUNT(*) >= 2
       |ORDER BY n_occur DESC, chunk LIMIT 20""".stripMargin
+
+  /** L336 MinHash-estimate vs exact-Jaccard panel *(added r17; [PK]
+    * Broder 1997)* — puts the L5 MinHash machinery's ESTIMATOR under
+    * the oracle hash gate with the exact value beside it (the
+    * estimator-honesty discipline the sketch family follows):
+    * for every consecutive same-language document pair, 16
+    * deterministic md5 min-hashes per side, the match-share estimate
+    * Ĵ = |{i : mh_i(A) = mh_i(B)}|/16, the EXACT token-set Jaccard
+    * from an intersection join, and the per-language census of mean
+    * Ĵ, mean J, mean |Ĵ − J|, and the share of pairs within the
+    * binomial 2σ band √(J(1−J)/16) + ½·(1/16) — the readout that
+    * says whether 16 hashes suffice for this corpus's similarity
+    * regime BEFORE an LSH run trusts them.
+    *
+    * Parity: min-hashes are exact integer folds (48-bit md5, the
+    * q368 kernel) minimized per (doc, i); match counts, set sizes,
+    * and intersections are exact int64; J and Ĵ are exact-integer
+    * ratios micro-quantized per pair before the census sums
+    * (seed-122 convention); band membership is an integer decision
+    * on quantized values.
+    *
+    * Scale: pairs come from a doc_id+1 EQUI-join (no window, no
+    * all-pairs); the 16× token explode is map-side; the exact-
+    * intersection join is token-keyed within pairs. All shapes
+    * survive 100 TB; the exact leg is the measuring stick (the q351
+    * convention). */
+  def q401MinhashPanel(s: SparkSession, dir: String): DataFrame = {
+    def fold(i: Column, t: Column): Column =
+      conv(substring(md5(concat(lit("mh"), i.cast("string"), lit(":"),
+        t)), 1, 12), 16, 10).cast("long")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(graft.functions.TextFns.tokens(col("text")))
+          .as("ts"))
+    val toks = d.select(col("doc_id"), explode(col("ts")).as("t"))
+    val mh = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(fold(col("i"), col("t"))).as("mh"))
+    val pairs = d.select(col("doc_id").as("a"), col("lang"),
+        size(col("ts")).cast("long").as("na"))
+      .join(d.select((col("doc_id") - 1L).as("a"),
+        col("lang").as("lang_b"), col("doc_id").as("b"),
+        size(col("ts")).cast("long").as("nb")), Seq("a"))
+      .filter(col("lang") === col("lang_b"))
+    val est = pairs
+      .join(mh.select(col("doc_id").as("a"), col("i"),
+        col("mh").as("ma")), Seq("a"))
+      .join(mh.select(col("doc_id").as("b"), col("i"),
+        col("mh").as("mb")), Seq("b", "i"))
+      .groupBy("a", "b", "lang", "na", "nb")
+      .agg(sum((col("ma") === col("mb")).cast("long")).as("match16"))
+    val inter = pairs
+      .join(toks.select(col("doc_id").as("a"), col("t")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("t")), Seq("b", "t"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ninter"))
+    val per = est.join(inter, Seq("a", "b"), "left")
+      .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
+      .withColumn("jq", floor(col("ninter").cast("double") /
+        greatest((col("na") + col("nb") - col("ninter")).cast("double"),
+          lit(1.0)) * 1e6 + 0.5).cast("long"))
+      .withColumn("eq", col("match16") * 62500L)
+      // binomial 2σ band on a 16-hash estimate, half-grid slack
+      .withColumn("band", floor(lit(2e6) *
+        sqrt((col("jq").cast("double") / 1e6) *
+          (lit(1.0) - col("jq").cast("double") / 1e6) / 16.0) +
+        lit(31250.0) + 0.5).cast("long"))
+      .withColumn("inband",
+        (abs(col("eq") - col("jq")) <= col("band")).cast("long"))
+    def rnd6(c: Column): Column =
+      (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("eq")).as("se"), sum(col("jq")).as("sj"),
+        sum(abs(col("eq") - col("jq"))).as("sae"),
+        sum(col("inband")).as("nin"))
+      .select(col("lang"), col("n_pairs"),
+        rnd6(col("se").cast("double") / 1e6 /
+          col("n_pairs").cast("double")).as("mean_est"),
+        rnd6(col("sj").cast("double") / 1e6 /
+          col("n_pairs").cast("double")).as("mean_exact"),
+        rnd6(col("sae").cast("double") / 1e6 /
+          col("n_pairs").cast("double")).as("mae"),
+        rnd6(col("nin").cast("double") /
+          col("n_pairs").cast("double")).as("within_2sigma"))
+      .orderBy("lang")
+  }
+
+  val q401MinhashPanelSql: String = {
+    """WITH d AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(ts) AS t FROM d),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |    MIN(list_sum(list_transform(range(12), k ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('mh' || CAST(i AS VARCHAR) || ':' || t),
+      |           CAST(k + 1 AS INT), 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << CAST(4 * (11 - k) AS INT))))) AS mh
+      |  FROM toks CROSS JOIN range(16) ti(i)
+      |  GROUP BY doc_id, i),
+      |pairs AS (
+      |  SELECT da.doc_id AS a, db.doc_id AS b, da.lang,
+      |    len(da.ts) AS na, len(db.ts) AS nb
+      |  FROM d da JOIN d db ON db.doc_id = da.doc_id + 1
+      |    AND da.lang = db.lang),
+      |est AS (
+      |  SELECT p.a, p.b, p.lang, p.na, p.nb,
+      |    CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS match16
+      |  FROM pairs p
+      |  JOIN mh x ON x.doc_id = p.a
+      |  JOIN mh y ON y.doc_id = p.b AND y.i = x.i
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |inter AS (
+      |  SELECT p.a, p.b, COUNT(*) AS ninter
+      |  FROM pairs p
+      |  JOIN toks ta ON ta.doc_id = p.a
+      |  JOIN toks tb ON tb.doc_id = p.b AND tb.t = ta.t
+      |  GROUP BY 1, 2),
+      |per AS (
+      |  SELECT e.lang,
+      |    CAST(FLOOR(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+      |      / GREATEST(e.na + e.nb - COALESCE(i.ninter, 0), 1)
+      |      * 1e6 + 0.5) AS BIGINT) AS jq,
+      |    e.match16 * 62500 AS eq
+      |  FROM est e LEFT JOIN inter i ON e.a = i.a AND e.b = i.b),
+      |p2 AS (
+      |  SELECT lang, jq, eq,
+      |    CAST(FLOOR(2e6 * sqrt((CAST(jq AS DOUBLE) / 1e6)
+      |      * (1.0 - CAST(jq AS DOUBLE) / 1e6) / 16.0) + 31250.0 + 0.5)
+      |      AS BIGINT) AS band
+      |  FROM per)
+      |SELECT lang, COUNT(*) AS n_pairs,
+      |  FLOOR(CAST(SUM(eq) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS mean_est,
+      |  FLOOR(CAST(SUM(jq) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5)
+      |    / 1e6 + 0 AS mean_exact,
+      |  FLOOR(CAST(SUM(ABS(eq - jq)) AS DOUBLE) / 1e6 / COUNT(*)
+      |    * 1e6 + 0.5) / 1e6 + 0 AS mae,
+      |  FLOOR(CAST(SUM(CASE WHEN ABS(eq - jq) <= band THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 + 0 AS within_2sigma
+      |FROM p2 GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

@@ -1185,4 +1185,105 @@ object DriftQueries {
       |  FLOOR((xlnx - lnmu) * 1e6 + 0.5) / 1e6 + 0 AS ge1_theil,
       |  FLOOR(ge2 * 1e6 + 0.5) / 1e6 + 0 AS ge2_half_cv2
       |FROM f ORDER BY seg""".stripMargin
+
+  /** L335 Cramér–von Mises two-sample test *(added r17; [PK]
+    * Anderson 1962)* — completes the two-sample EDF-test triptych on
+    * the q280 frame: KS (q147) reads the supremum, Anderson–Darling
+    * (q280) tail-weights the integral, CvM integrates UNWEIGHTED —
+    * T = (nm/N²)·Σ_j l_j·(F₁ − F₂)² over the pooled distinct-value
+    * census (ECDFs read at block ends — the q280 pinned ties form),
+    * tested against the 0.461 large-sample 5 % critical value.
+    * Reading all three together localizes WHERE two distributions
+    * part: body (CvM), tails (AD), or one point (KS).
+    *
+    * Parity: the (F₁ − F₂) numerator is the exact cross-multiplied
+    * integer cum_x·n_y − cum_y·n_x (DECIMAL(38)/HUGEINT); each term
+    * is one identical double chain NANO-quantized before the int64
+    * sum (seed-122 convention); T is one output chain, 6dp.
+    *
+    * Scale: the q280 shape — cent census + ONE [[PrefixSum]] pass +
+    * a 1-row totals broadcast; 1-row output. */
+  def q400CvmTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+      (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .as("is_new"))
+    val h = o.groupBy("pc")
+      .agg(count(lit(1)).as("l"),
+        count(when(!col("is_new"), 1)).as("cx"))
+    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
+    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // F1 − F2 at a block end = (cum_x·ny − cum_y·nx)/(nx·ny), exact
+    val cumY = col("cum_all") - col("cum_x")
+    val nyC = col("nn") - col("nx")
+    val num = col("cum_x").cast(dec) * nyC.cast(dec) -
+      cumY.cast(dec) * col("nx").cast(dec)
+    val nd = (col("nx").cast("double") * nyC.cast("double"))
+    val termq = floor(col("l").cast("double") *
+      (num.cast("double") / nd) * (num.cast("double") / nd) *
+      1e9 + 0.5).cast("long")
+    val g = c.crossJoin(broadcast(tot))
+      .withColumn("termq", termq)
+      .agg(max(col("nn")).as("nn"), max(col("nx")).as("nx"),
+        sum(col("termq")).as("tq"))
+    def d(cc: Column) = cc.cast("double")
+    val t = d(col("nx")) * (d(col("nn")) - d(col("nx"))) /
+      (d(col("nn")) * d(col("nn"))) * (d(col("tq")) / 1e9)
+    g.select(col("nx").as("n_base"),
+      (col("nn") - col("nx")).as("n_new"),
+      when(col("nx") === 0 || col("nx") === col("nn"),
+        lit(null).cast("double"))
+        .otherwise(floor(t * 1e6 + 0.5) / 1e6 + 0.0).as("t_cvm"),
+      when(col("nx") === 0 || col("nx") === col("nn"),
+        lit(null).cast("long"))
+        .otherwise(((floor(t * 1e6 + 0.5) / 1e6 + 0.0) > 0.461)
+          .cast("long")).as("reject_5pct"))
+  }
+
+  val q400CvmTwoSampleSql: String =
+    """WITH o AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+      |    o_orderdate >= TIMESTAMP '1999-01-01' AS is_new
+      |  FROM orders),
+      |h AS (
+      |  SELECT pc, COUNT(*) AS l,
+      |    COUNT(*) FILTER (WHERE NOT is_new) AS cx
+      |  FROM o GROUP BY pc),
+      |c AS (
+      |  SELECT pc, l, cx,
+      |    CAST(SUM(l) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_all,
+      |    CAST(SUM(cx) OVER (ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_x
+      |  FROM h),
+      |tot AS (SELECT MAX(cum_all) AS nn, MAX(cum_x) AS nx FROM c),
+      |t AS (
+      |  SELECT CAST(FLOOR(CAST(l AS DOUBLE)
+      |    * (CAST(CAST(cum_x AS HUGEINT) * (nn - nx)
+      |         - CAST(cum_all - cum_x AS HUGEINT) * nx AS DOUBLE)
+      |       / (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE)))
+      |    * (CAST(CAST(cum_x AS HUGEINT) * (nn - nx)
+      |         - CAST(cum_all - cum_x AS HUGEINT) * nx AS DOUBLE)
+      |       / (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE)))
+      |    * 1e9 + 0.5) AS BIGINT) AS termq, nn, nx
+      |  FROM c, tot),
+      |g AS (
+      |  SELECT MAX(nn) AS nn, MAX(nx) AS nx,
+      |    CAST(SUM(termq) AS BIGINT) AS tq
+      |  FROM t)
+      |SELECT nx AS n_base, nn - nx AS n_new,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE FLOOR(CAST(nx AS DOUBLE) * (nn - nx)
+      |      / (CAST(nn AS DOUBLE) * nn) * (CAST(tq AS DOUBLE) / 1e9)
+      |      * 1e6 + 0.5) / 1e6 + 0 END AS t_cvm,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE CAST(CASE WHEN FLOOR(CAST(nx AS DOUBLE) * (nn - nx)
+      |      / (CAST(nn AS DOUBLE) * nn) * (CAST(tq AS DOUBLE) / 1e9)
+      |      * 1e6 + 0.5) / 1e6 + 0 > 0.461 THEN 1 ELSE 0 END AS BIGINT)
+      |    END AS reject_5pct
+      |FROM g""".stripMargin
 }
