@@ -421,6 +421,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** Scalar demux census of a video payload — the oracle-gateable
+    * readout of [[demuxVideoFrames]] (q402): per row, the container's
+    * demuxed frame count, total demuxed payload bytes, and the
+    * unsigned byte sum over every demuxed payload byte. One row in,
+    * one row out; a null or frameless payload reports zeros (rows are
+    * never dropped, the [[sampleVideoFrames]] contract). mapPartitions
+    * is justified exactly as there — a byte-walk no Expression can
+    * host; everything around it stays columnar. */
+  def demuxCensus(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("n_frames", IntegerType)
+      .add("payload_bytes", LongType)
+      .add("byte_checksum", LongType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val frames =
+          if (bytes == null) Vector.empty
+          else try demuxVideoFrames(bytes)
+          catch { case _: Exception => Vector.empty[Array[Byte]] }
+        var (pb, cs) = (0L, 0L)
+        frames.foreach { f =>
+          pb += f.length
+          var k = 0
+          while (k < f.length) { cs += f(k) & 0xffL; k += 1 }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+          Seq(Int.box(frames.length), Long.box(pb), Long.box(cs)))
+      }
+    }(enc)
+  }
+
   /** STUB featurize: payload → fixed-dim fake embedding (hash-seeded),
     * the shape an encoder model would produce. */
   def featurizeStub(df: DataFrame, dim: Int): DataFrame =

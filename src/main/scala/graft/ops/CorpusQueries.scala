@@ -1530,4 +1530,102 @@ object CorpusQueries {
       |FROM f GROUP BY rate
       |ORDER BY sample_rate""".stripMargin
   }
+
+  /** L337 RIFF-AVI demux census *(added r18; [PK] Microsoft AVI RIFF
+    * file format — public spec)* — puts the REAL video demux
+    * ([[graft.multimodal.Multimodal.demuxVideoFrames]], the machinery
+    * under q356/q383's siblings) under the oracle hash gate, the r17
+    * verdict's second-multimodal-kernel mandate: each document
+    * synthesizes a deterministic AVI container in-plan — 3–10 `00dc`
+    * frame chunks of 11–30 bytes (odd sizes exercise the even-padding
+    * rule), the LAST frame nested in a `LIST('rec ')` (exercises list
+    * recursion, the real-AVI grouping form), plus an `idx1` chunk
+    * whose interior bytes FAKE a frame header (exercises the
+    * plain-chunk skip — a demux that recurses into the index counts a
+    * phantom frame) — then the byte-walk demuxes it back and the
+    * census (frame count, payload bytes, unsigned byte checksum) is
+    * compared against DuckDB computing the same totals from the
+    * CONSTRUCTION formulas alone. Any padding, recursion, or size
+    * off-by-one in the walk diverges.
+    *
+    * Parity: every quantity is exact integer arithmetic end-to-end —
+    * frame sizes 11 + (7·id + 13·f) mod 20, fill byte (id + 3f) mod
+    * 251, checksum Σ psz·fill; the one division (mean frame bytes) is
+    * a single 4dp-floored double chain.
+    *
+    * Scale: container build is pure map-side `transform`/`array_join`
+    * column work (no explode, no shuffle); the demux is one
+    * mapPartitions pass (the [[graft.multimodal.Multimodal]]
+    * justification); the census is one map-side-combinable groupBy
+    * over ≤ 8 groups. */
+  def q402AviDemuxCensus(s: SparkSession, dir: String): DataFrame = {
+    def b(c: Column): Column = lpad(lower(hex(pmod(c, lit(256L)))), 2, "0")
+    def le32(c: Column): Column =
+      concat(b(c), b(shiftright(c, 8)), b(shiftright(c, 16)),
+        b(shiftright(c, 24)))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("nf", pmod(col("doc_id"), lit(8L)) + 3L)
+    def psz(f: Column): Column =
+      lit(11L) + pmod(col("doc_id") * 7L + f * 13L, lit(20L))
+    def fill(f: Column): Column = pmod(col("doc_id") + f * 3L, lit(251L))
+    // one 00dc chunk: fourcc, LE32 size, constant fill, even padding
+    def chunk(f: Column): Column = concat(lit("30306463"), le32(psz(f)),
+      array_join(array_repeat(b(fill(f)), psz(f).cast("int")), ""),
+      when(pmod(psz(f), lit(2L)) === 1L, lit("00")).otherwise(lit("")))
+    def chunkLen(f: Column): Column =
+      lit(8L) + psz(f) + pmod(psz(f), lit(2L))
+    val body = array_join(transform(
+      sequence(lit(0L), col("nf") - 1L),
+      f => when(f === col("nf") - 1L,
+        // last frame nested in LIST('rec ') — the real-AVI grouping
+        concat(lit("4c495354"), le32(lit(4L) + chunkLen(f)),
+          lit("72656320"), chunk(f)))
+        .otherwise(chunk(f))), "")
+    val moviSz = lit(4L) +
+      aggregate(sequence(lit(0L), col("nf") - 2L), lit(0L),
+        (acc, f) => acc + chunkLen(f)) +
+      (lit(12L) + chunkLen(col("nf") - 1L))
+    // idx1 decoy: 16 interior bytes that LOOK like a 00dc frame header
+    val idx1 = concat(lit("69647831"), le32(lit(16L)),
+      lit("30306463"), le32(lit(8L)), lit("abababababababab"))
+    val riffSz = lit(4L) + (lit(8L) + moviSz) + lit(24L)
+    val hx = concat(lit("52494646"), le32(riffSz), lit("41564920"),
+      lit("4c495354"), le32(moviSz), lit("6d6f7669"), body, idx1)
+    val vids = d.select(col("doc_id"), unhex(hx).as("media"))
+    val census = graft.multimodal.Multimodal.demuxCensus(vids, "media")
+    census.groupBy(col("n_frames").cast("long").as("n_frames"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("payload_bytes")).as("payload_bytes"),
+        sum(col("byte_checksum")).as("byte_checksum"))
+      .withColumn("avg_frame_bytes",
+        floor(col("payload_bytes").cast("double") /
+          col("total_frames").cast("double") * 1e4 + 0.5)
+          .cast("long").cast("double") / 1e4 + 0.0)
+      .orderBy("n_frames")
+  }
+
+  /** Mirror: the demux census recomputed from the construction
+    * formulas alone — an INDEPENDENT reference (no byte parsing), so
+    * any walk defect (padding, idx1 recursion, size off-by-one) on the
+    * Spark side hash-diverges. */
+  val q402AviDemuxCensusSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS did, doc_id % 8 + 3 AS nf FROM documents),
+      |f AS (
+      |  SELECT nf,
+      |    CAST(list_sum(list_transform(range(nf), f ->
+      |      11 + (did * 7 + f * 13) % 20)) AS BIGINT) AS pb,
+      |    CAST(list_sum(list_transform(range(nf), f ->
+      |      (11 + (did * 7 + f * 13) % 20) * ((did + f * 3) % 251)))
+      |      AS BIGINT) AS cs
+      |  FROM d)
+      |SELECT CAST(nf AS BIGINT) AS n_frames,
+      |  COUNT(*) AS n_videos,
+      |  CAST(SUM(nf) AS BIGINT) AS total_frames,
+      |  CAST(SUM(pb) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(cs) AS BIGINT) AS byte_checksum,
+      |  FLOOR(CAST(SUM(pb) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 + 0 AS avg_frame_bytes
+      |FROM f GROUP BY nf ORDER BY n_frames""".stripMargin
 }

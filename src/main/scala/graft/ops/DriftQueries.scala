@@ -951,9 +951,15 @@ object DriftQueries {
       (col("nn") - col("cum_all")).cast(dec)).cast("double")
     val nxD = col("nx").cast("double")
     val nyD = (col("nn") - col("nx")).cast("double")
+    // ANSI-safe divisor (r18, the q400 clamp applied to the shared
+    // shape): nx·ny is exactly 0.0 on a degenerate split and num is
+    // provably 0 there (cum_x·nn − nx·cum_all with one side empty),
+    // so greatest() is value-identity whenever the row survives the
+    // final nx∈{0,nn} null guard. den > 0 on every kept row
+    // (1 ≤ cum_all < nn).
     val termq = floor(col("l").cast("double") *
       (num.cast("double") * num.cast("double") /
-        (den * (nxD * nyD))) * 1e9 + 0.5).cast("long")
+        (den * greatest(nxD * nyD, lit(1e-300)))) * 1e9 + 0.5).cast("long")
     val g = c.crossJoin(broadcast(tot))
       .filter(col("cum_all") < col("nn"))
       .agg(max(col("nn")).as("nn"), max(col("nx")).as("nx"),
@@ -992,7 +998,8 @@ object DriftQueries {
       |       * CAST(CAST(cum_x AS HUGEINT) * nn
       |         - CAST(nx AS HUGEINT) * cum_all AS DOUBLE)
       |       / (CAST(CAST(cum_all AS HUGEINT) * (nn - cum_all) AS DOUBLE)
-      |          * (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE))))
+      |          * GREATEST(CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE),
+      |              1e-300)))
       |    * 1e9 + 0.5) AS BIGINT) AS termq, nn, nx
       |  FROM c, tot WHERE cum_all < nn),
       |g AS (
@@ -1220,7 +1227,14 @@ object DriftQueries {
     val nyC = col("nn") - col("nx")
     val num = col("cum_x").cast(dec) * nyC.cast(dec) -
       cumY.cast(dec) * col("nx").cast(dec)
-    val nd = (col("nx").cast("double") * nyC.cast("double"))
+    // ANSI-safe divisor (the q367 safe() pattern, r18 mandate): on a
+    // degenerate split (nx=0 or nx=nn) nd is exactly 0.0 and would
+    // throw BEFORE the final-select null guard can mask it (CASE
+    // laziness is defeated by hoisting — the q370 note). num is
+    // provably 0 whenever nd is 0 (one empty side ⇒ every block's
+    // cross-multiplied difference vanishes), so the clamp is exact.
+    val nd = greatest(
+      col("nx").cast("double") * nyC.cast("double"), lit(1e-300))
     val termq = floor(col("l").cast("double") *
       (num.cast("double") / nd) * (num.cast("double") / nd) *
       1e9 + 0.5).cast("long")
@@ -1265,10 +1279,12 @@ object DriftQueries {
       |  SELECT CAST(FLOOR(CAST(l AS DOUBLE)
       |    * (CAST(CAST(cum_x AS HUGEINT) * (nn - nx)
       |         - CAST(cum_all - cum_x AS HUGEINT) * nx AS DOUBLE)
-      |       / (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE)))
+      |       / GREATEST(CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE),
+      |           1e-300))
       |    * (CAST(CAST(cum_x AS HUGEINT) * (nn - nx)
       |         - CAST(cum_all - cum_x AS HUGEINT) * nx AS DOUBLE)
-      |       / (CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE)))
+      |       / GREATEST(CAST(nx AS DOUBLE) * CAST(nn - nx AS DOUBLE),
+      |           1e-300))
       |    * 1e9 + 0.5) AS BIGINT) AS termq, nn, nx
       |  FROM c, tot),
       |g AS (

@@ -795,11 +795,14 @@ object KSampleTests {
     * readout: heavy tails inflate mean-centered deviations and pull
     * the two statistics apart.
     *
-    * Parity: x̄_g = s_g/n_g from exact whole-dollar sums (the q232
-    * grain — a finer grid overflows the int64 Σz² at large SF); each
+    * Parity: x̄_g = s_g/n_g from exact whole-dollar sums; each
     * |x − x̄_g| is ONE identical double chain dollar-quantized per
-    * row before the exact int64 group sums (seed-122 convention);
-    * the F chain reuses q232's quantized-variance tail verbatim.
+    * row before the exact group sums (seed-122 convention); Σz and
+    * Σz² ride DECIMAL(38,0)/HUGEINT end-to-end (r18 — Σz² ≈ n·var
+    * exceeds int64 near SF 800, so ssw is subtracted as decimal and
+    * only the final F chain goes to double); the vq/grand int64
+    * quantization grid is the residual ceiling (≈ SF 2000, the
+    * q385/q395 documented-gate convention).
     *
     * Scale: one broadcast dim join + two map-side-combinable group
     * aggs (the mean pass then the deviation pass — same shape as
@@ -835,7 +838,13 @@ object KSampleTests {
     val grand = floor((col("st").cast("double") * col("st").cast("double")) /
       col("nt").cast("double") + 0.5).cast("long")
     val ssb = col("sv") - grand
-    val ssw = col("qt").cast("long") - col("sv")
+    // r18 (r17 advisor): Σz² stays DECIMAL(38,0) — cast(qt as long)
+    // overflows around SF 800 (Σz² ≈ n·var); subtract sv as decimal
+    // and go to double only inside the F chain. Residual scale gate:
+    // the vq/grand int64 quantization grid itself saturates near
+    // SF ~2000 (sj²/nj → 2⁶³) — the documented ceiling of the
+    // whole-dollar exact construction (q385/q395 convention).
+    val ssw = col("qt") - col("sv").cast(dec)
     val f = (ssb.cast("double") / 4.0) /
       (ssw.cast("double") / (col("nt").cast("double") - 5.0))
     t.select(col("seg").as("c_mktsegment"), col("nj"),
@@ -881,7 +890,7 @@ object KSampleTests {
       |  SELECT seg, nj, sj, nt,
       |    sv - CAST(FLOOR(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
       |      / nt + 0.5) AS BIGINT) AS ssb,
-      |    CAST(qt AS BIGINT) - sv AS ssw
+      |    qt - CAST(sv AS HUGEINT) AS ssw
       |  FROM t2)
       |SELECT seg AS c_mktsegment, nj,
       |  ROUND(CAST(sj AS DOUBLE) / nj, 4) + 0

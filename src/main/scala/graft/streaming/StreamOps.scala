@@ -29,6 +29,14 @@ case class TypeCount(user_id: Long, event_type: String, n_type: Long,
 /** A closed session: [start, end] span and its event count (T6 timers). */
 case class TtlCount(user_id: Long, n: Long)
 
+/** One merged equi-width bin census after a micro-batch (q357's
+  * mergeable-histogram property as keyed state), with the interpolated
+  * P50 read off the merged bins. */
+case class HistCensus(user_id: Long, n: Long, bins: Seq[Long],
+    est_p50: Double)
+
+private case class HistState(bins: Seq[Long])
+
 case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
     n_events: Long)
 
@@ -393,6 +401,58 @@ object StreamOps {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TypeCountProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** q357's mergeable equi-width histogram as a `StatefulProcessor` —
+    * the last member of the streaming-sketch symmetry (KMV, t-digest
+    * and count-min already stream; r17 verdict item #7): per key a
+    * `ValueState` holds the `nb`-long bin census and each micro-batch
+    * ADDS its bin counts — addition IS the merge, exactly the
+    * mergeable-summary property q357's quarterly rollup exploits.
+    * Emits the merged census plus the q357 covering-bin interpolated
+    * P50 after every batch; bin counts are exact integers independent
+    * of batch boundaries, so the final streamed census must equal a
+    * batch census over the same rows element-for-element
+    * (StreamingSpec asserts it). State is a fixed `nb` longs per key —
+    * bounded at any event rate; bounds are caller-fixed because a
+    * streaming histogram cannot scan for min/max. */
+  class HistogramProcessor(lo: Long, hi: Long, nb: Int)
+      extends StatefulProcessor[Long, Ev, HistCensus] {
+    @transient private var st: ValueState[HistState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistState]("hist",
+        Encoders.product[HistState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[HistCensus] = {
+      val bins = (if (st.exists()) st.get().bins
+        else Seq.fill(nb)(0L)).toArray
+      rows.foreach { r =>
+        val b = math.min(nb - 1L,
+          math.max(0L, (r.value.toLong - lo) * nb / (hi - lo + 1))).toInt
+        bins(b) += 1L
+      }
+      st.update(HistState(bins.toSeq))
+      val n = bins.sum
+      // q357's covering-bin linear interpolation at p = 0.5
+      val t = 0.5 * n
+      val w = (hi - lo + 1).toDouble / nb
+      var (cum, i, p50) = (0L, 0, lo.toDouble)
+      while (i < nb) {
+        if (cum < t && t <= cum + bins(i))
+          p50 = lo + (i + (t - cum) / bins(i)) * w
+        cum += bins(i); i += 1
+      }
+      Iterator.single(HistCensus(userId, n, bins.toSeq, p50))
+    }
+  }
+
+  /** Per-key streaming histogram census via [[HistogramProcessor]]. */
+  def histogramTws(events: Dataset[Ev], lo: Long = 1L, hi: Long = 400L,
+      nb: Int = 32): Dataset[HistCensus] = {
+    implicit val outEnc = Encoders.product[HistCensus]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new HistogramProcessor(lo, hi, nb),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Per-key running event counter whose state EXPIRES after `ttl` of

@@ -204,6 +204,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getInt(0) == 7), "n_frames counts ALL demuxed frames")
   }
 
+  test("demuxCensus counts real frames only: padding honored, rec-LIST " +
+      "recursed, idx1 decoy skipped (q402's brute reference)") {
+    import spark.implicits._
+    // handcrafted container, census expected values computed BY HAND —
+    // the independent reference behind q402's formula oracle
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); b.write(u32le(data.length))
+      b.write(data)
+      if ((data.length & 1) == 1) b.write(0)
+      b.toByteArray
+    }
+    val fa = Array[Byte](1, 2, 3)               // odd size → 1 pad byte
+    val fb = Array[Byte](250.toByte, 0, 5, 1)   // inside LIST('rec ')
+    val rec = chunk("LIST", "rec ".getBytes("US-ASCII") ++ chunk("01dc", fb))
+    // idx1 interior bytes FAKE a 00dc frame header — a walk that
+    // recurses into the plain chunk would count a phantom 8-byte frame
+    val decoy = "00dc".getBytes("US-ASCII") ++ u32le(8) ++
+      Array.fill[Byte](8)(0xab.toByte)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00dc", fa) ++ rec) ++ chunk("idx1", decoy)
+    val payload = "AVI ".getBytes("US-ASCII") ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32le(payload.length) ++ payload
+    val out = Multimodal.demuxCensus(
+      Seq((1L, avi), (2L, null: Array[Byte])).toDF("vid", "media"), "media")
+      .select("vid", "n_frames", "payload_bytes", "byte_checksum")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    // frames: [1,2,3] and [250,0,5,1] — 2 frames, 7 bytes, sum 262;
+    // the pad byte and the idx1 decoy contribute NOTHING
+    assert(out(1L) === ((2, 7L, 262L)))
+    assert(out(2L) === ((0, 0L, 0L)), "null payload reports zeros")
+  }
+
   test("featurizeStub emits fixed-dim vectors in [0,1)") {
     val out = Multimodal.featurizeStub(media, 16)
     val bad = out.filter(size(col("media_vec")) =!= 16 ||

@@ -2725,4 +2725,104 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
         .contains(r.getAs[String]("magnitude")))
     }
   }
+
+  test("q400: CvM completes the EDF triptych — positive, under critical, " +
+      "coherent with KS and AD on the same frame") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val r = run("q400_cvm_two_sample", sf).collect()(0)
+      assert(r.getAs[Long]("n_base") > 0L && r.getAs[Long]("n_new") > 0L,
+        s"degenerate split at $sf")
+      val t = r.getAs[Double]("t_cvm")
+      assert(!r.isNullAt(r.fieldIndex("t_cvm")) && t > 0.0,
+        s"flat CvM at $sf")
+      // the honest no-fire null: totalprice is homogeneous across the
+      // 1999-01-01 cut, so none of the three EDF tests may reject —
+      // measured t_cvm 0.044 (sf0.01) / 0.086 (sf0.001) vs 0.461
+      assert(r.getAs[Long]("reject_5pct") === 0L,
+        s"CvM fired on the homogeneous split at $sf (t=$t)")
+      // AD tail-weights the same integrand by 1/(F̄(1−F̄)) ≥ 4, so the
+      // unweighted CvM statistic must sit strictly below A² — the
+      // cross-test coherence pin (measured ratios 7.3 / 5.6)
+      val a2 = run("q280_ad_two_sample", sf).collect()(0).getAs[Double]("a2")
+      assert(t < a2, s"CvM $t not below AD $a2 at $sf")
+      val ks = run("q147_ks", sf).collect()(0).getAs[Double]("ks")
+      assert(ks > 0.0 && ks < 0.2, s"KS companion degenerate at $sf")
+    }
+  }
+
+  test("q400/q280: a fully one-sided date split returns the NULL row " +
+      "instead of throwing under ANSI (planted degenerate fixture)") {
+    // the r17-verdict mandate: every order pre-1999 ⇒ nx = nn, the
+    // nx·ny divisor is exactly 0.0, and only the greatest() clamp
+    // keeps the eager per-row division from exploding before the
+    // final-select guard nulls the statistic
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-degsplit"
+    spark.range(1, 51)
+      .select((col("id").cast("double") * 7.25 + 100.0).as("o_totalprice"),
+        (lit("1997-03-01").cast("timestamp") +
+          expr("make_interval(0,0,0,cast(id as int),0,0,0)"))
+          .as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq("q400_cvm_two_sample", "q280_ad_two_sample").foreach { q =>
+      val r = run(q, dir).collect()(0)
+      assert(r.getAs[Long]("n_new") === 0L, s"$q split not degenerate")
+      val statCol = if (q.startsWith("q400")) "t_cvm" else "a2"
+      assert(r.isNullAt(r.fieldIndex(statCol)),
+        s"$q must null the statistic on a one-sided split")
+    }
+  }
+
+  test("q401: the 16-hash MinHash estimator is honest — estimates track " +
+      "exact Jaccard and the 2σ band holds its binomial coverage") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q401_minhash_panel", sf).collect()
+      assert(rows.nonEmpty, s"no same-language pairs at $sf")
+      var (wIn, wMae, n) = (0.0, 0.0, 0L)
+      rows.foreach { r =>
+        val np = r.getAs[Long]("n_pairs")
+        assert(np > 0L)
+        val (est, exact) = (r.getAs[Double]("mean_est"),
+          r.getAs[Double]("mean_exact"))
+        assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+        // the estimator must TRACK the exact value, not drift —
+        // measured per-language gaps ≤ 0.071 at both fixture SFs
+        assert(math.abs(est - exact) <= 0.15,
+          s"estimator drift ${est - exact} for ${r.getString(0)} at $sf")
+        // MAE ≥ |mean difference| (triangle inequality, grid slack)
+        assert(r.getAs[Double]("mae") >= math.abs(est - exact) - 1e-6)
+        wIn += r.getAs[Double]("within_2sigma") * np
+        wMae += r.getAs[Double]("mae") * np
+        n += np
+      }
+      // binomial 2σ coverage: ≥ 0.85 weighted (measured 0.94–0.99);
+      // a broken hash or band would crater this toward 0
+      assert(wIn / n >= 0.85, s"2σ coverage ${wIn / n} at $sf")
+      // 16 hashes ⇒ σ ≈ √(J(1−J)/16) ≤ 0.125; MAE beyond 0.2 would
+      // mean the min-hash fold is not uniform
+      assert(wMae / n < 0.2, s"MAE ${wMae / n} implausible at $sf")
+    }
+  }
+
+  test("q402: the demux census is structurally complete — all 8 frame " +
+      "counts, sizes inside the construction bounds") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q402_avi_demux_census", sf).collect()
+      assert(rows.map(_.getAs[Long]("n_frames")).toSeq ===
+        (3L to 10L).toSeq, s"missing frame-count groups at $sf")
+      rows.foreach { r =>
+        val (nv, tf) = (r.getAs[Long]("n_videos"),
+          r.getAs[Long]("total_frames"))
+        assert(nv > 0L && tf === nv * r.getAs[Long]("n_frames"))
+        val pb = r.getAs[Long]("payload_bytes")
+        // frame sizes are 11..30 by construction; a padding or size
+        // bug pushes the census outside the bounds
+        assert(pb >= 11L * tf && pb <= 30L * tf,
+          s"payload $pb outside [11,30]·$tf at $sf")
+        val avg = r.getAs[Double]("avg_frame_bytes")
+        assert(avg >= 11.0 && avg <= 30.0)
+        // fill bytes are < 251
+        assert(r.getAs[Long]("byte_checksum") < 251L * pb)
+      }
+    }
+  }
 }

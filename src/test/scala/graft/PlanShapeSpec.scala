@@ -458,6 +458,9 @@ class PlanShapeSpec extends SparkSpec {
       // r13: q280's 1-row side-totals broadcast onto the distinct-cents
       // census (the q147 max-of-cumulative pattern)
       "q280_ad_two_sample",
+      // r18: q400 completes the EDF triptych on q280's exact shape —
+      // the same 1-row (nn, nx) totals broadcast onto the census
+      "q400_cvm_two_sample",
       // r13 batch 2: q283's 1-row n/T census broadcast onto the
       // per-customer frame (the q242 form), q284's 10-row depth grid
       // joined onto the ≤10-row overlap frame (both sides literal-

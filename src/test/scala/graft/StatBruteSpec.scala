@@ -5112,4 +5112,89 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("bde_stat") -
       q4(math.sqrt(nn / 2.0) * sup)) < 1e-9)
   }
+
+  test("q400 Cramér-von Mises matches a sequential ECDF walk") {
+    val row = SparkEntry.queries("q400_cvm_two_sample")(spark, sf0001).head()
+    val cut = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    val rows = Tables.orders(spark, sf0001)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("pc"),
+        (col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .as("is_new"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val census = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pc, g) => (pc, g.length.toLong,
+        g.count(!_._2).toLong) }
+    val nn = rows.length.toLong
+    val nx = rows.count(!_._2).toLong
+    val ny = nn - nx
+    var (cumAll, cumX) = (0L, 0L)
+    var tq = 0L
+    census.foreach { case (_, l, cx) =>
+      cumAll += l; cumX += cx
+      val cumY = cumAll - cumX
+      // exact cross-multiplied integer numerator, then ONE double
+      // chain nano-quantized — the engine's own grid, replayed
+      val num = (BigInt(cumX) * ny - BigInt(cumY) * nx).toDouble
+      val nd = math.max(nx.toDouble * ny.toDouble, 1e-300)
+      tq += math.floor(l.toDouble * (num / nd) * (num / nd) * 1e9 + 0.5)
+        .toLong
+    }
+    val t = nx.toDouble * ny.toDouble / (nn.toDouble * nn.toDouble) *
+      (tq.toDouble / 1e9)
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_base") === nx)
+    assert(row.getAs[Long]("n_new") === ny)
+    assert(math.abs(row.getAs[Double]("t_cvm") - q6(t)) < 1e-9)
+    assert(row.getAs[Long]("reject_5pct") ===
+      (if (q6(t) > 0.461) 1L else 0L))
+  }
+
+  test("q401 MinHash panel matches a sequential md5 fold per pair") {
+    val out = SparkEntry.queries("q401_minhash_panel")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).distinct.toSeq))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mh48(i: Int, t: String): Long = {
+      val hex = md.digest(s"mh$i:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val byId = docs.map(d => d._1 -> d).toMap
+    case class P(lang: String, eq: Long, jq: Long, inband: Long)
+    val pairs = docs.flatMap { case (a, lang, ta) =>
+      byId.get(a + 1).filter(_._2 == lang).map { case (_, _, tb) =>
+        val m16 = (0 until 16).count { i =>
+          ta.map(mh48(i, _)).min == tb.map(mh48(i, _)).min }
+        val inter = ta.toSet.intersect(tb.toSet).size.toLong
+        val union = math.max(ta.size + tb.size - inter, 1L).toDouble
+        val jq = math.floor(inter / union * 1e6 + 0.5).toLong
+        val eq = m16 * 62500L
+        val j = jq.toDouble / 1e6
+        val band = math.floor(2e6 * math.sqrt(j * (1 - j) / 16.0) +
+          31250.0 + 0.5).toLong
+        P(lang, eq, jq, if (math.abs(eq - jq) <= band) 1L else 0L)
+      }
+    }
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    pairs.groupBy(_.lang).foreach { case (lang, ps) =>
+      val r = out(lang)
+      val n = ps.length.toDouble
+      assert(r.getAs[Long]("n_pairs") === ps.length.toLong, s"n $lang")
+      assert(math.abs(r.getAs[Double]("mean_est") -
+        q6(ps.map(_.eq).sum / 1e6 / n)) < 1e-9, s"est $lang")
+      assert(math.abs(r.getAs[Double]("mean_exact") -
+        q6(ps.map(_.jq).sum / 1e6 / n)) < 1e-9, s"exact $lang")
+      assert(math.abs(r.getAs[Double]("mae") -
+        q6(ps.map(p => math.abs(p.eq - p.jq)).sum / 1e6 / n)) < 1e-9,
+        s"mae $lang")
+      assert(math.abs(r.getAs[Double]("within_2sigma") -
+        q6(ps.map(_.inband).sum / n)) < 1e-9, s"band $lang")
+    }
+    assert(out.keySet === pairs.map(_.lang).toSet)
+  }
 }
