@@ -584,4 +584,193 @@ object SeriesStats {
        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0 END
        |    AS acf
        |FROM m ORDER BY lag""".stripMargin
+
+  /** L338 Hoeffding's D dependence test *(added r18; [PK] Hoeffding
+    * 1948; Hollander & Wolfe §8.6)* — the dependence measure the
+    * rank-correlation family (q177 ρ, q211 τ-b, q251 γ) is BLIND to:
+    * D estimates ∫(F_xy − F_x·F_y)² and detects NON-monotone
+    * association (a U-shape has τ ≈ 0 but D > 0), the readout that
+    * decides whether "uncorrelated" actually means "independent" on
+    * q211's trailing-365-day (revenue, order count) frame.
+    *
+    * Tie convention (pinned, the q371 discipline): ranks are made
+    * STRICT by the lexicographic (value, day) jitter — R_i/S_i are
+    * ROW_NUMBERs over (rev, day)/(cnt, day), and Q_i counts strict
+    * dominance in BOTH jittered orders; D is then the exact classical
+    * no-ties statistic of the jittered sample, identical cross-engine
+    * (no midrank doubles anywhere).
+    *
+    * Parity: R, S, Q, and the three Hollander–Wolfe sums D1 = ΣQ(Q−1),
+    * D2 = Σ(R−1)(R−2)(S−1)(S−2), D3 = Σ(R−2)(S−2)Q are ALL exact
+    * int64/DECIMAL(38); D is ONE double chain over the exact sums,
+    * 6dp. Null when n < 5 (the formula's domain).
+    *
+    * Scale: the q206/q211 precedent — the day census is scale-CONSTANT
+    * (≤365 rows by construction), so the O(n²) dominance self-join is
+    * a bounded broadcast pair build under a lazy checkpoint, never
+    * fact-sized; windows run on the ≤365-row census. */
+  def q403HoeffdingD(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("t"), col("rev"), col("cnt"))
+    val ranked = recent
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rev"), col("t"))).cast("long"))
+      .withColumn("s", row_number().over(
+        Window.orderBy(col("cnt"), col("t"))).cast("long"))
+      .localCheckpoint(eager = false)
+    // Q_i: strict dominance count in both jittered orders. The
+    // bounded (≤365²) pair build sits under a lazy checkpoint so the
+    // downstream agg never re-plans it (the q206/q211 discipline).
+    val q = ranked.as("a")
+      .join(broadcast(ranked.as("b")),
+        col("b.r") < col("a.r") && col("b.s") < col("a.s"), "left")
+      .groupBy(col("a.t"), col("a.r"), col("a.s"))
+      .agg(count(col("b.t")).as("q"))
+      .localCheckpoint(eager = false)
+    val agg = q.agg(
+      count(lit(1)).as("n"),
+      sum((col("q") * (col("q") - 1L)).cast(dec)).as("d1"),
+      sum(((col("r") - 1L) * (col("r") - 2L)).cast(dec) *
+        ((col("s") - 1L) * (col("s") - 2L)).cast(dec)).as("d2"),
+      sum(((col("r") - 2L) * (col("s") - 2L)).cast(dec) *
+        col("q").cast(dec)).as("d3"))
+    def dd(c: Column) = c.cast("double")
+    val n = dd(col("n"))
+    val dStat = lit(30.0) *
+      ((n - 2.0) * (n - 3.0) * dd(col("d1")) + dd(col("d2")) -
+        lit(2.0) * (n - 2.0) * dd(col("d3"))) /
+      (n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0))
+    agg.select(col("n").as("n_days"),
+      col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+      col("d3").cast("long").as("d3"),
+      when(col("n") < 5L, lit(null).cast("double"))
+        .otherwise(floor(dStat * 1e6 + 0.5) / 1e6 + 0.0)
+        .as("hoeffding_d"))
+  }
+
+  val q403HoeffdingDSql: String =
+    s"""WITH daily AS ($daily2Sql),
+      |d AS (
+      |  SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+      |      AS t, rev, cnt
+      |  FROM daily),
+      |recent AS (
+      |  SELECT t, rev, cnt FROM d, (SELECT MAX(t) AS tmax FROM d)
+      |  WHERE t > tmax - 365),
+      |ranked AS (
+      |  SELECT t,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rev, t) AS BIGINT) AS r,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt, t) AS BIGINT) AS s
+      |  FROM recent),
+      |q AS (
+      |  SELECT a.t, a.r, a.s, COUNT(b.t) AS q
+      |  FROM ranked a LEFT JOIN ranked b ON b.r < a.r AND b.s < a.s
+      |  GROUP BY a.t, a.r, a.s),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(q AS HUGEINT) * (q - 1)) AS HUGEINT) AS d1,
+      |    CAST(SUM(CAST((r - 1) * (r - 2) AS HUGEINT)
+      |      * ((s - 1) * (s - 2))) AS HUGEINT) AS d2,
+      |    CAST(SUM(CAST((r - 2) * (s - 2) AS HUGEINT) * q) AS HUGEINT)
+      |      AS d3
+      |  FROM q)
+      |SELECT n AS n_days,
+      |  CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+      |  CAST(d3 AS BIGINT) AS d3,
+      |  CASE WHEN n < 5 THEN NULL
+      |    ELSE FLOOR(30.0 * ((CAST(n AS DOUBLE) - 2.0)
+      |        * (CAST(n AS DOUBLE) - 3.0) * CAST(d1 AS DOUBLE)
+      |        + CAST(d2 AS DOUBLE)
+      |        - 2.0 * (CAST(n AS DOUBLE) - 2.0) * CAST(d3 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      |        * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+      |        * (CAST(n AS DOUBLE) - 4.0)) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS hoeffding_d
+      |FROM agg""".stripMargin
+
+  /** L339 Blomqvist's β (medial correlation) *(added r18; [PK]
+    * Blomqvist 1950)* — the quadrant-count dependence coefficient on
+    * the same frame as q403/q211: split the (revenue, count) plane at
+    * the two exact medians (the A10 percentile contract), drop points
+    * ON either median (the classical even-sample convention), and read
+    * β = (concordant-quadrant − discordant-quadrant count)/kept. The
+    * cheapest member of the dependence ladder — ONE pass, no pair
+    * build — and the one a 100 TB pre-screen would run first; its
+    * sign must agree with q211's τ-b (pinned).
+    *
+    * Parity: medians are exact `percentile` == `quantile_cont` on
+    * int64 values; quadrant membership and counts are exact integer
+    * decisions; β is one division of exact ints, 6dp.
+    *
+    * Scale: the day census + a 1-row medians broadcast (q242 form) +
+    * one map-side-combinable agg. No pair build at all. */
+  def q404BlomqvistBeta(s: SparkSession, dir: String): DataFrame = {
+    val d = daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("rev"), col("cnt"))
+      .localCheckpoint(eager = false)
+    val med = recent.agg(expr("percentile(rev, 0.5)").as("mx"),
+      expr("percentile(cnt, 0.5)").as("my"))
+    val marked = recent.crossJoin(broadcast(med))
+      .select((col("rev").cast("double") > col("mx")).as("px"),
+        (col("rev").cast("double") < col("mx")).as("qx"),
+        (col("cnt").cast("double") > col("my")).as("py"),
+        (col("cnt").cast("double") < col("my")).as("qy"))
+    val agg = marked.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("px") && col("py"), 1L).otherwise(0L)).as("n_pp"),
+      sum(when(col("qx") && col("qy"), 1L).otherwise(0L)).as("n_mm"),
+      sum(when(col("px") && col("qy"), 1L).otherwise(0L)).as("n_pm"),
+      sum(when(col("qx") && col("py"), 1L).otherwise(0L)).as("n_mp"))
+    val kept = col("n_pp") + col("n_mm") + col("n_pm") + col("n_mp")
+    agg.select(col("n_days"), col("n_pp"), col("n_mm"), col("n_pm"),
+      col("n_mp"), (col("n_days") - kept).as("n_on_median"),
+      when(kept === 0L, lit(null).cast("double"))
+        .otherwise(floor(
+          (col("n_pp") + col("n_mm") - col("n_pm") - col("n_mp"))
+            .cast("double") / kept.cast("double") * 1e6 + 0.5) / 1e6 + 0.0)
+        .as("blomqvist_beta"))
+  }
+
+  val q404BlomqvistBetaSql: String =
+    s"""WITH daily AS ($daily2Sql),
+      |d AS (
+      |  SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+      |      AS t, rev, cnt
+      |  FROM daily),
+      |recent AS (
+      |  SELECT rev, cnt FROM d, (SELECT MAX(t) AS tmax FROM d)
+      |  WHERE t > tmax - 365),
+      |med AS (
+      |  SELECT quantile_cont(rev, 0.5) AS mx,
+      |    quantile_cont(cnt, 0.5) AS my
+      |  FROM recent),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_days,
+      |    CAST(SUM(CASE WHEN rev > mx AND cnt > my THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pp,
+      |    CAST(SUM(CASE WHEN rev < mx AND cnt < my THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_mm,
+      |    CAST(SUM(CASE WHEN rev > mx AND cnt < my THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pm,
+      |    CAST(SUM(CASE WHEN rev < mx AND cnt > my THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_mp
+      |  FROM recent CROSS JOIN med)
+      |SELECT n_days, n_pp, n_mm, n_pm, n_mp,
+      |  n_days - (n_pp + n_mm + n_pm + n_mp) AS n_on_median,
+      |  CASE WHEN n_pp + n_mm + n_pm + n_mp = 0 THEN NULL
+      |    ELSE FLOOR(CAST(n_pp + n_mm - n_pm - n_mp AS DOUBLE)
+      |      / CAST(n_pp + n_mm + n_pm + n_mp AS DOUBLE) * 1e6 + 0.5)
+      |      / 1e6 + 0 END AS blomqvist_beta
+      |FROM agg""".stripMargin
 }

@@ -2825,4 +2825,29 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       }
     }
   }
+
+  test("q403/q404: the dependence ladder agrees — Hoeffding's D detects " +
+      "the real revenue↔count association and Blomqvist matches tau's sign") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val hd = run("q403_hoeffding_d", sf).collect()(0)
+      val n = hd.getAs[Long]("n_days")
+      assert(n >= 5L, s"too few days at $sf")
+      val d = hd.getAs[Double]("hoeffding_d")
+      // daily revenue and order count are STRONGLY dependent (rev is
+      // a sum over cnt orders) — D must fire well above the null
+      assert(d > 0.02 && d <= 1.0, s"D $d misses the dependence at $sf")
+      val b = run("q404_blomqvist_beta", sf).collect()(0)
+      val beta = b.getAs[Double]("blomqvist_beta")
+      assert(beta > 0.0 && beta <= 1.0, s"beta $beta at $sf")
+      // quadrant counts partition the kept points; drops are the
+      // on-median points only
+      val kept = b.getAs[Long]("n_pp") + b.getAs[Long]("n_mm") +
+        b.getAs[Long]("n_pm") + b.getAs[Long]("n_mp")
+      assert(kept + b.getAs[Long]("n_on_median") ===
+        b.getAs[Long]("n_days"))
+      // the ladder coheres: tau-b (q211, same frame) positive too
+      val tau = run("q211_kendall", sf).collect()(0).getAs[Double]("tau_b")
+      assert(tau * beta > 0.0, s"beta $beta vs tau $tau at $sf")
+    }
+  }
 }

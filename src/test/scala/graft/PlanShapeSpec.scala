@@ -461,6 +461,10 @@ class PlanShapeSpec extends SparkSpec {
       // r18: q400 completes the EDF triptych on q280's exact shape —
       // the same 1-row (nn, nx) totals broadcast onto the census
       "q400_cvm_two_sample",
+      // r18: q404's 1-row exact-medians broadcast onto the ≤365-row
+      // day census (the q242 form; the tmax cut sits under the
+      // census checkpoint like q262's)
+      "q404_blomqvist_beta",
       // r13 batch 2: q283's 1-row n/T census broadcast onto the
       // per-customer frame (the q242 form), q284's 10-row depth grid
       // joined onto the ≤10-row overlap frame (both sides literal-

@@ -5197,4 +5197,70 @@ class StatBruteSpec extends SparkSpec {
     }
     assert(out.keySet === pairs.map(_.lang).toSet)
   }
+
+  private def recentDaily365: Array[(Long, Long, Long)] = {
+    val d = Tables.orders(spark, sf0001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tmax = d.map(_._1).max
+    d.filter(_._1 > tmax - 365).sortBy(_._1)
+  }
+
+  test("q403 Hoeffding's D matches a sequential O(n^2) dominance walk") {
+    val row = SparkEntry.queries("q403_hoeffding_d")(spark, sf0001).head()
+    val pts = recentDaily365
+    val n = pts.length
+    // the pinned lexicographic (value, day) jitter ranks
+    val rByT = pts.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+    val sByT = pts.sortBy(p => (p._3, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+    var (d1, d2, d3) = (BigInt(0), BigInt(0), BigInt(0))
+    pts.foreach { p =>
+      val (r, s) = (rByT(p._1), sByT(p._1))
+      val q = pts.count(o => rByT(o._1) < r && sByT(o._1) < s).toLong
+      d1 += BigInt(q) * (q - 1)
+      d2 += BigInt((r - 1) * (r - 2)) * ((s - 1) * (s - 2))
+      d3 += BigInt((r - 2) * (s - 2)) * q
+    }
+    val nd = n.toDouble
+    val dStat = 30.0 * ((nd - 2) * (nd - 3) * d1.toDouble + d2.toDouble -
+      2.0 * (nd - 2) * d3.toDouble) /
+      (nd * (nd - 1) * (nd - 2) * (nd - 3) * (nd - 4))
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("d1") === d1.toLong)
+    assert(row.getAs[Long]("d2") === d2.toLong)
+    assert(row.getAs[Long]("d3") === d3.toLong)
+    assert(math.abs(row.getAs[Double]("hoeffding_d") - q6(dStat)) < 1e-9)
+  }
+
+  test("q404 Blomqvist beta matches a sequential quadrant count") {
+    val row = SparkEntry.queries("q404_blomqvist_beta")(spark, sf0001).head()
+    val pts = recentDaily365
+    def med(v: Seq[Long]): Double = {
+      val s = v.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble
+      else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val (mx, my) = (med(pts.map(_._2).toSeq), med(pts.map(_._3).toSeq))
+    val pp = pts.count(p => p._2 > mx && p._3 > my).toLong
+    val mm = pts.count(p => p._2 < mx && p._3 < my).toLong
+    val pm = pts.count(p => p._2 > mx && p._3 < my).toLong
+    val mp = pts.count(p => p._2 < mx && p._3 > my).toLong
+    val kept = pp + mm + pm + mp
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_days") === pts.length.toLong)
+    assert((row.getAs[Long]("n_pp"), row.getAs[Long]("n_mm"),
+      row.getAs[Long]("n_pm"), row.getAs[Long]("n_mp")) ===
+      ((pp, mm, pm, mp)))
+    assert(row.getAs[Long]("n_on_median") === pts.length - kept)
+    assert(math.abs(row.getAs[Double]("blomqvist_beta") -
+      q6((pp + mm - pm - mp).toDouble / kept)) < 1e-9)
+  }
 }
