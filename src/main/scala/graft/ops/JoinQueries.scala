@@ -830,4 +830,84 @@ object JoinQueries {
       |SELECT a.c_nationkey, a.seg, a.n_cust, b.tot_cents
       |FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
       |ORDER BY a.c_nationkey, a.seg NULLS FIRST""".stripMargin
+
+  /** L340 native SQL MERGE INTO *(added r18; [PK] ISO SQL:2003 MERGE;
+    * Spark SupportsRowLevelOperations API)* — q70 is the MERGE SHAPE
+    * without a table format; this is the real statement: a CDC batch
+    * derived from the customer fixture (updates for even keys, deletes
+    * for multiples of 10) applied onto a base snapshot (keys not
+    * divisible by 3) held in `graft.sources.MemMergeCatalog` — the
+    * repo's SupportsRowLevelOperations catalog (S12) — via ONE
+    * `MERGE INTO` exercising ALL THREE clause families: WHEN MATCHED
+    * (DELETE and UPDATE), WHEN NOT MATCHED (guarded INSERT), and WHEN
+    * NOT MATCHED BY SOURCE (an audit +1). The post-merge table is then
+    * censused per segment; the DuckDB mirror computes the SAME end
+    * state relationally (join + two anti-joins + union), so the oracle
+    * is an independent reference for the entire Catalyst
+    * RewriteMergeIntoTable → ReplaceData → commit path.
+    *
+    * Parity: bal rides the exact cent grid (`round(·*100)` — the q400
+    * convention, cross-engine proven); all census values exact int64.
+    *
+    * Scale: the MERGE child plan (join of target and source, MergeRows)
+    * is fully distributed — the same plan an Iceberg/Delta table
+    * executes at 100 TB with groups = files and runtime group
+    * filtering; only the demo catalog's storage is driver-bounded
+    * (customer-dim scale here, documented in MemMergeCatalog). */
+  def q405MergeIntoNative(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.MemMergeCatalog].getName)
+    val t = "graftmem.cdc.accounts_q405"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (id BIGINT, seg STRING, bal BIGINT)")
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("bal"))
+    base.filter(col("id") % 3 =!= 0).writeTo(t).append()
+    base.filter(col("id") % 2 === 0)
+      .select(col("id"), col("seg"), (col("bal") + 777L).as("bal"),
+        when(col("id") % 10 === 0, "D").otherwise("U").as("op"))
+      .createOrReplaceTempView("graft_q405_src")
+    s.sql(s"""MERGE INTO $t AS tgt USING graft_q405_src AS src
+      ON tgt.id = src.id
+      WHEN MATCHED AND src.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET bal = src.bal
+      WHEN NOT MATCHED AND src.op <> 'D' THEN
+        INSERT (id, seg, bal) VALUES (src.id, src.seg, src.bal)
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = tgt.bal + 1""")
+    s.table(t).groupBy("seg")
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("bal")).as("total_cents"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("seg")
+  }
+
+  /** Mirror: the identical end state computed relationally — matched
+    * updates (op ≠ 'D'), by-source audit bump via anti-join, guarded
+    * inserts via the reverse anti-join; deletes fall out by exclusion. */
+  val q405MergeIntoNativeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS seg,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |tgt AS (SELECT * FROM base WHERE id % 3 <> 0),
+      |src AS (
+      |  SELECT id, seg, bal + 777 AS bal,
+      |    CASE WHEN id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM base WHERE id % 2 = 0),
+      |merged AS (
+      |  SELECT t.id, t.seg, s.bal
+      |  FROM tgt t JOIN src s ON t.id = s.id WHERE s.op <> 'D'
+      |  UNION ALL
+      |  SELECT t.id, t.seg, t.bal + 1 AS bal
+      |  FROM tgt t ANTI JOIN src s ON t.id = s.id
+      |  UNION ALL
+      |  SELECT s.id, s.seg, s.bal
+      |  FROM src s ANTI JOIN tgt t ON s.id = t.id
+      |  WHERE s.op <> 'D')
+      |SELECT seg, COUNT(*) AS n_accounts,
+      |  CAST(SUM(bal) AS BIGINT) AS total_cents,
+      |  CAST(MIN(id) AS BIGINT) AS min_id,
+      |  CAST(MAX(id) AS BIGINT) AS max_id
+      |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
 }
