@@ -166,13 +166,21 @@ object KSampleTests {
     val grand = floor((col("st").cast("double") * col("st").cast("double")) /
       col("nt").cast("double") + 0.5).cast("long")
     val ssb = col("sv") - grand
-    val ssw = col("qt").cast("long") - col("sv")
+    // r19 (r18 verdict, q391 pattern): Σv² stays DECIMAL(38,0) —
+    // `cast(qt as long)` overflows near SF ~200 for raw whole-dollar
+    // totalprice (qt ≈ n·E[v²] ≈ 4.6e16·SF). Subtract sv as decimal;
+    // the DIFFERENCE (≈ n·Var[v] ≈ 1.2e16·SF) is the only value that
+    // must fit int64, raising the exact-output ceiling to ~SF 760,
+    // where the ANSI long cast fails LOUDLY instead of saturating
+    // (q385/q395 convention; the vq/grand quantization grid itself
+    // holds to ~SF 1300).
+    val ssw = col("qt") - col("sv").cast(dec)
     val f = (ssb.cast("double") / 4.0) /
       (ssw.cast("double") / (col("nt").cast("double") - 5.0))
     t.select(col("seg").as("c_mktsegment"), col("nj"),
         (round(col("sj").cast("double") / col("nj"), 4) + 0.0)
           .as("mean_value"),
-        ssb.as("ss_between"), ssw.as("ss_within"),
+        ssb.as("ss_between"), ssw.cast("long").as("ss_within"),
         (round(f, 4) + 0.0).as("f_stat"))
       .orderBy("c_mktsegment")
   }
@@ -205,9 +213,9 @@ object KSampleTests {
       |SELECT seg AS c_mktsegment, nj,
       |  ROUND(CAST(sj AS DOUBLE) / nj, 4) + 0 AS mean_value,
       |  sv - grand AS ss_between,
-      |  CAST(qt AS BIGINT) - sv AS ss_within,
+      |  CAST(qt - CAST(sv AS HUGEINT) AS BIGINT) AS ss_within,
       |  ROUND((CAST(sv - grand AS DOUBLE) / 4.0)
-      |    / (CAST(CAST(qt AS BIGINT) - sv AS DOUBLE)
+      |    / (CAST(qt - CAST(sv AS HUGEINT) AS DOUBLE)
       |      / (CAST(nt AS DOUBLE) - 5.0)), 4) + 0 AS f_stat
       |FROM t2 ORDER BY seg""".stripMargin
 
@@ -254,7 +262,11 @@ object KSampleTests {
     val grand = floor((col("st").cast("double") * col("st").cast("double")) /
       col("nt").cast("double") + 0.5).cast("long")
     val ssb = col("sv") - grand
-    val ssw = col("qt").cast("long") - col("sv")
+    // r19 (r18 verdict, q391 pattern): Σdev2² stays DECIMAL(38,0) —
+    // see the q228 note; the doubled deviations make qt ≈ 4n·Var[v],
+    // so the old `cast(qt as long)` saturated near SF ~450 while the
+    // decimal difference holds and the F chain goes double-only here.
+    val ssw = col("qt") - col("sv").cast(dec)
     val f = (ssb.cast("double") / 4.0) /
       (ssw.cast("double") / (col("nt").cast("double") - 5.0))
     t.select(col("seg").as("c_mktsegment"), col("nj"),
@@ -300,7 +312,7 @@ object KSampleTests {
       |SELECT seg AS c_mktsegment, nj,
       |  ROUND(CAST(sj AS DOUBLE) / (nj * 2.0), 4) + 0 AS mean_absdev,
       |  ROUND((CAST(sv - grand AS DOUBLE) / 4.0)
-      |    / (CAST(CAST(qt AS BIGINT) - sv AS DOUBLE)
+      |    / (CAST(qt - CAST(sv AS HUGEINT) AS DOUBLE)
       |      / (CAST(nt AS DOUBLE) - 5.0)), 4) + 0 AS bf_stat,
       |  4 AS df1, nt - 5 AS df2
       |FROM t2 ORDER BY seg""".stripMargin

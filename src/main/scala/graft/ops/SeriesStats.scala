@@ -642,10 +642,17 @@ object SeriesStats {
         col("q").cast(dec)).as("d3"))
     def dd(c: Column) = c.cast("double")
     val n = dd(col("n"))
+    // r19 (r18 advisor): clamp the shared denominator — n(n−1)…(n−4)
+    // is exactly 0.0 whenever n ≤ 4 and the inline CASE alone is not
+    // a safe guard under ANSI codegen hoisting (the q370/q400/q280
+    // class: a common subexpression can be evaluated eagerly outside
+    // the CASE's lazy branch). The clamp never changes a defined
+    // result (n ≥ 5 ⇒ denominator ≥ 120).
     val dStat = lit(30.0) *
       ((n - 2.0) * (n - 3.0) * dd(col("d1")) + dd(col("d2")) -
         lit(2.0) * (n - 2.0) * dd(col("d3"))) /
-      (n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0))
+      greatest(n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0),
+        lit(1e-300))
     agg.select(col("n").as("n_days"),
       col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
       col("d3").cast("long").as("d3"),
@@ -688,9 +695,9 @@ object SeriesStats {
       |        * (CAST(n AS DOUBLE) - 3.0) * CAST(d1 AS DOUBLE)
       |        + CAST(d2 AS DOUBLE)
       |        - 2.0 * (CAST(n AS DOUBLE) - 2.0) * CAST(d3 AS DOUBLE))
-      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      |      / GREATEST(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
       |        * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
-      |        * (CAST(n AS DOUBLE) - 4.0)) * 1e6 + 0.5) / 1e6 + 0
+      |        * (CAST(n AS DOUBLE) - 4.0), 1e-300) * 1e6 + 0.5) / 1e6 + 0
       |    END AS hoeffding_d
       |FROM agg""".stripMargin
 
@@ -738,7 +745,11 @@ object SeriesStats {
       when(kept === 0L, lit(null).cast("double"))
         .otherwise(floor(
           (col("n_pp") + col("n_mm") - col("n_pm") - col("n_mp"))
-            .cast("double") / kept.cast("double") * 1e6 + 0.5) / 1e6 + 0.0)
+            .cast("double") /
+            // r19: clamp (q403 note) — kept == 0 division must not be
+            // reachable even if hoisting defeats the CASE's laziness.
+            greatest(kept.cast("double"), lit(1e-300)) * 1e6 + 0.5)
+          / 1e6 + 0.0)
         .as("blomqvist_beta"))
   }
 
@@ -770,7 +781,8 @@ object SeriesStats {
       |  n_days - (n_pp + n_mm + n_pm + n_mp) AS n_on_median,
       |  CASE WHEN n_pp + n_mm + n_pm + n_mp = 0 THEN NULL
       |    ELSE FLOOR(CAST(n_pp + n_mm - n_pm - n_mp AS DOUBLE)
-      |      / CAST(n_pp + n_mm + n_pm + n_mp AS DOUBLE) * 1e6 + 0.5)
+      |      / GREATEST(CAST(n_pp + n_mm + n_pm + n_mp AS DOUBLE), 1e-300)
+      |      * 1e6 + 0.5)
       |      / 1e6 + 0 END AS blomqvist_beta
       |FROM agg""".stripMargin
 }

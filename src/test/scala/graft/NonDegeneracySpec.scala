@@ -2772,6 +2772,32 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
     }
   }
 
+  test("q403/q404: a <5-day (and all-on-median) fixture returns the " +
+      "documented NULL instead of throwing under ANSI (planted clamp test)") {
+    // the r18-advisor mandate: q403's n(n−1)…(n−4) denominator is
+    // exactly 0.0 for n ≤ 4 and q404's kept divisor is 0 when every
+    // day sits ON both medians; codegen hoisting can evaluate the
+    // shared division before the CASE's lazy guard, so only the r19
+    // greatest(…, 1e-300) clamps keep ANSI from throwing. Three days
+    // with identical (rev, cnt) trip BOTH guards at once.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-degdep"
+    spark.range(1, 4)
+      .select(lit(1234.0).as("o_totalprice"),
+        (lit("1997-03-01").cast("timestamp") +
+          expr("make_interval(0,0,0,cast(id as int),0,0,0)"))
+          .as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val h = run("q403_hoeffding_d", dir).collect()(0)
+    assert(h.getAs[Long]("n_days") === 3L)
+    assert(h.isNullAt(h.fieldIndex("hoeffding_d")),
+      "q403 must null D when n < 5")
+    val b = run("q404_blomqvist_beta", dir).collect()(0)
+    assert(b.getAs[Long]("n_on_median") === 3L,
+      "fixture must put every day ON both medians")
+    assert(b.isNullAt(b.fieldIndex("blomqvist_beta")),
+      "q404 must null beta when kept == 0")
+  }
+
   test("q401: the 16-hash MinHash estimator is honest — estimates track " +
       "exact Jaccard and the 2σ band holds its binomial coverage") {
     Seq(sf001, sf0001).foreach { sf =>
