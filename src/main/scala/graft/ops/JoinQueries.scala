@@ -853,7 +853,18 @@ object JoinQueries {
     * is fully distributed — the same plan an Iceberg/Delta table
     * executes at 100 TB with groups = files and runtime group
     * filtering; only the demo catalog's storage is driver-bounded
-    * (customer-dim scale here, documented in MemMergeCatalog). */
+    * (customer-dim scale here, documented in MemMergeCatalog).
+    *
+    * Concurrency (r18 advisor): unlike every other `queries` entry,
+    * this one mutates session state at BUILD time (catalog conf,
+    * DROP/CREATE/append on the fixed names `graftmem.cdc.accounts_q405`
+    * / `graft_q405_src`, the MERGE itself). That is safe because the
+    * driver contract is strictly SEQUENTIAL — Verify/Bench/fuzz run one
+    * query at a time in one session (and MergeIntoSpec's suite runs on
+    * its own session); re-running the entry rebuilds from DROP, which
+    * is exactly the idempotence MergeIntoSpec pins. Concurrent
+    * invocations in a shared session would race on those names — if a
+    * parallel harness ever appears, suffix them per invocation. */
   def q405MergeIntoNative(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graftmem",
       classOf[graft.sources.MemMergeCatalog].getName)

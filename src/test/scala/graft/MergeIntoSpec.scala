@@ -85,6 +85,56 @@ class MergeIntoSpec extends SparkSpec {
     assert(!rows.contains(30L), "id 30 must not be inserted (op='D')")
   }
 
+  test("runtime group filtering: groups the scan does not read are " +
+      "not rewritten (the Iceberg-shape contract, r19)") {
+    val t = freshTable("grouped")
+    // two separate INSERT commits = two storage groups (data files)
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 10), (2, 'A', 20)")
+    spark.sql(s"INSERT INTO $t VALUES (100, 'B', 1000), (200, 'B', 2000)")
+    val before = graft.sources.MemMergeCatalog
+      .groupSnapshot("graftmem", Array("cdc"), "grouped")
+    assert(before.map(_._1).toSet.size === 2, s"expected 2 groups: $before")
+    val bGroup = before.find(_._2.exists(_.head == 100L)).get
+    // source matches ONLY keys in the first group
+    import spark.implicits._
+    Seq((1L, "A", 11L), (300L, "C", 3000L)).toDF("id", "seg", "bal")
+      .createOrReplaceTempView("srcg")
+    spark.sql(s"""MERGE INTO $t AS tgt USING srcg ON tgt.id = srcg.id
+      WHEN MATCHED THEN UPDATE SET bal = srcg.bal
+      WHEN NOT MATCHED THEN INSERT *""")
+    val after = graft.sources.MemMergeCatalog
+      .groupSnapshot("graftmem", Array("cdc"), "grouped")
+    // the untouched group survives with the SAME id and the SAME rows
+    val bAfter = after.find(_._1 == bGroup._1)
+    assert(bAfter.isDefined, s"group ${bGroup._1} must survive: $after")
+    assert(bAfter.get._2 === bGroup._2, "untouched group must be identical")
+    // the commit replaced EXACTLY the matched group, not the table
+    val replaced = graft.sources.MemMergeCatalog
+      .lastReplacedGroups("graftmem", Array("cdc"), "grouped")
+    assert(replaced === before.map(_._1).toSet - bGroup._1,
+      s"replaced $replaced; groups before ${before.map(_._1)}")
+    // relational end state is still the full merge result
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === Set((1L, 11L), (2L, 20L), (100L, 1000L),
+      (200L, 2000L), (300L, 3000L)), s"merge produced $got")
+  }
+
+  test("the MERGE plan carries the dynamic-pruning group filter " +
+      "(runtime group filtering is planned, not incidental)") {
+    val t = freshTable("pruned")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'A', 1)")
+    import spark.implicits._
+    Seq((1L, "A", 2L)).toDF("id", "seg", "bal")
+      .createOrReplaceTempView("srcp")
+    val plan = spark.sql(s"""EXPLAIN EXTENDED MERGE INTO $t AS tgt
+      USING srcp ON tgt.id = srcp.id
+      WHEN MATCHED THEN UPDATE SET bal = srcp.bal""")
+      .collect()(0).getString(0)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning group filter over the op scan:\n$plan")
+  }
+
   test("MERGE is idempotent re-run: rebuild + merge reproduces the " +
       "same state (the q405 oracle-query contract)") {
     (1 to 2).foreach { _ =>
