@@ -52,20 +52,38 @@ object Bench {
       }
       (times, failed.toSet)
     }
+    // Self-documenting measurement window (r18 verdict #4): a contended
+    // host shows up as uniform per-query inflation that is otherwise
+    // only adjudicable by cross-referencing replicate runs. Stamp the
+    // wall window, the host load (/proc/loadavg: the 1/5/15-min run
+    // queue INCLUDING whatever else the machine is doing), and both
+    // raw pass totals so drift is readable from the artifact alone.
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    def nowIso: String = java.time.OffsetDateTime.now(
+      java.time.ZoneOffset.UTC).toString
+    val (tStart, loadStart) = (nowIso, loadavg)
     val (p1, f1) = timedPass(1)
     val (p2, f2) = timedPass(2)
+    val (tEnd, loadEnd) = (nowIso, loadavg)
     val failed = f1 ++ f2
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def tot(p: Map[String, Double]) = if (p.nonEmpty) p.values.sum else 0.0
     // a failing query must be visible in the JSON, not silently counted
     // as its time-to-exception
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val window = s""""window":{"t_start":"$tStart","t_end":"$tEnd",""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""cpus":$cpus,"pass_totals":[${tot(p1)},${tot(p2)}]}"""
     // "queries" leads and the scalar fields TRAIL: the driver's artifact
     // keeps only the LAST bytes of this line, so putting the total/failed
     // after the (long) queries map is what makes them tail-survivable.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"n_queries":${results.size},"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,$window,"n_queries":${results.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -1628,4 +1628,97 @@ object CorpusQueries {
       |  FLOOR(CAST(SUM(pb) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE)
       |    * 1e4 + 0.5) / 1e4 + 0 AS avg_frame_bytes
       |FROM f GROUP BY nf ORDER BY n_frames""".stripMargin
+
+  /** L341 bare-MJPEG demux census *(added r19; [PK] ITU-T T.81 JPEG
+    * marker syntax)* — the q402 recipe applied to the OTHER demux
+    * layout ([[graft.multimodal.Multimodal.demuxVideoFrames]]'s
+    * non-RIFF branch), closing the r18 verdict's mandate: each
+    * document synthesizes a deterministic concatenated-JPEG stream
+    * in-plan — 2–7 frames, each `FFD8 <fill> FF00 <restart FFD0–D7>
+    * <fill> FFD9`, so the scan must honor byte stuffing (the FF00
+    * pair is payload, not a marker) and restart markers (FFD0+f%8
+    * never terminates a frame); every third document interleaves
+    * 5-byte inter-frame junk (resync must skip it), and every
+    * 4k+1-th document carries a TRUNCATED trailing `FFD8 <fill>`
+    * with no EOI (must be dropped, not looped on, and must not
+    * shift earlier boundaries) — then the byte-walk demuxes it back
+    * and the census is compared against DuckDB computing the same
+    * totals from the CONSTRUCTION formulas alone.
+    *
+    * Parity: all exact integer arithmetic — frame bytes
+    * pa+pb+8, checksum v·(pa+pb) + 1661 + (f mod 8) where 1661 =
+    * ΣSOI+stuffed+restart-base+EOI marker bytes; the one division
+    * (mean frame bytes) is the q402 4dp-floored double chain.
+    *
+    * Scale: identical shape to q402 — map-side column work to build,
+    * one mapPartitions demux pass, ≤6-group map-side-combinable agg. */
+  def q406MjpegDemuxCensus(s: SparkSession, dir: String): DataFrame = {
+    def b(c: Column): Column = lpad(lower(hex(pmod(c, lit(256L)))), 2, "0")
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("nf", pmod(col("doc_id"), lit(6L)) + 2L)
+    def pa(f: Column): Column =
+      lit(4L) + pmod(col("doc_id") * 3L + f * 5L, lit(9L))
+    def pb(f: Column): Column =
+      lit(3L) + pmod(col("doc_id") * 2L + f * 7L, lit(11L))
+    // fill byte < 199, so 0xFF can NEVER appear in fill runs — every
+    // FF in the stream is one of the deliberate marker sequences
+    def v(f: Column): Column = pmod(col("doc_id") + f * 3L, lit(199L))
+    def frame(f: Column): Column = concat(
+      lit("ffd8"),
+      array_join(array_repeat(b(v(f)), pa(f).cast("int")), ""),
+      lit("ff00"), // stuffed data byte: FF followed by 00 is payload
+      concat(lit("ffd"), pmod(f, lit(8L)).cast("string")), // restart
+      array_join(array_repeat(b(v(f)), pb(f).cast("int")), ""),
+      lit("ffd9"))
+    // inter-frame junk ('AAAAA'): no FF bytes, the scanner must skip
+    // it while resyncing on the next SOI (appended after EVERY frame,
+    // incl. the last — trailing junk has no SOI, so it is inert)
+    val gap = when(pmod(col("doc_id"), lit(3L)) === 0L,
+      lit("4141414141")).otherwise(lit(""))
+    val body = array_join(transform(
+      sequence(lit(0L), col("nf") - 1L), f => concat(frame(f), gap)), "")
+    // truncated trailing frame: SOI + fill, no EOI → must be dropped
+    val tail = when(pmod(col("doc_id"), lit(4L)) === 1L,
+      concat(lit("ffd8"), array_join(array_repeat(
+        b(pmod(col("doc_id") * 11L + 7L, lit(199L))), 6), "")))
+      .otherwise(lit(""))
+    val vids = d.select(col("doc_id"), unhex(concat(body, tail)).as("media"))
+    val census = graft.multimodal.Multimodal.demuxCensus(vids, "media")
+    census.groupBy(col("n_frames").cast("long").as("n_frames"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("payload_bytes")).as("payload_bytes"),
+        sum(col("byte_checksum")).as("byte_checksum"))
+      .withColumn("avg_frame_bytes",
+        floor(col("payload_bytes").cast("double") /
+          col("total_frames").cast("double") * 1e4 + 0.5)
+          .cast("long").cast("double") / 1e4 + 0.0)
+      .orderBy("n_frames")
+  }
+
+  /** Mirror: the MJPEG census recomputed from the construction
+    * formulas alone — an INDEPENDENT reference (no byte parsing), so
+    * any stuffing/restart/resync/truncation defect in the Spark-side
+    * scan hash-diverges. */
+  val q406MjpegDemuxCensusSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS did, doc_id % 6 + 2 AS nf FROM documents),
+      |f AS (
+      |  SELECT nf,
+      |    CAST(list_sum(list_transform(range(nf), f ->
+      |      (4 + (did * 3 + f * 5) % 9) + (3 + (did * 2 + f * 7) % 11)
+      |        + 8)) AS BIGINT) AS pb,
+      |    CAST(list_sum(list_transform(range(nf), f ->
+      |      ((did + f * 3) % 199) *
+      |        ((4 + (did * 3 + f * 5) % 9) + (3 + (did * 2 + f * 7) % 11))
+      |      + 1661 + (f % 8))) AS BIGINT) AS cs
+      |  FROM d)
+      |SELECT CAST(nf AS BIGINT) AS n_frames,
+      |  COUNT(*) AS n_videos,
+      |  CAST(SUM(nf) AS BIGINT) AS total_frames,
+      |  CAST(SUM(pb) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(cs) AS BIGINT) AS byte_checksum,
+      |  FLOOR(CAST(SUM(pb) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 + 0 AS avg_frame_bytes
+      |FROM f GROUP BY nf ORDER BY n_frames""".stripMargin
 }

@@ -241,6 +241,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === ((0, 0L, 0L)), "null payload reports zeros")
   }
 
+  test("demuxCensus MJPEG scan: stuffing honored, restart markers " +
+      "skipped, junk resync'd, truncated tail dropped (q406's brute " +
+      "reference)") {
+    import spark.implicits._
+    // handcrafted stream, census expected values computed BY HAND —
+    // the independent reference behind q406's formula oracle
+    def B(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // frame 1: SOI, data 01 02, stuffed FF 00, restart FFD0, 04, EOI
+    val f1 = B(0xFF, 0xD8, 0x01, 0x02, 0xFF, 0x00, 0xFF, 0xD0, 0x04,
+      0xFF, 0xD9)
+    // inter-frame junk with no SOI: must be skipped while resyncing
+    val junk = "XY".getBytes("US-ASCII")
+    // frame 2: SOI, 05, restart FFD7 (highest, closest to D9), 06, EOI
+    val f2 = B(0xFF, 0xD8, 0x05, 0xFF, 0xD7, 0x06, 0xFF, 0xD9)
+    // truncated tail: SOI + data, NO EOI — dropped, not looped on
+    val tail = B(0xFF, 0xD8, 0x07, 0x08)
+    val stream = f1 ++ junk ++ f2 ++ tail
+    val out = Multimodal.demuxCensus(
+      Seq((1L, stream)).toDF("vid", "media"), "media")
+      .select("n_frames", "payload_bytes", "byte_checksum")
+      .collect()(0)
+    // by hand: 2 frames; bytes 11 + 8 = 19; checksums
+    // f1: 255+216+1+2+255+0+255+208+4+255+217 = 1668
+    // f2: 255+216+5+255+215+6+255+217 = 1424  → 3092
+    assert(out.getInt(0) === 2, "exactly the two complete frames")
+    assert(out.getLong(1) === 19L, "frame bytes include their markers")
+    assert(out.getLong(2) === 3092L, "byte checksum")
+  }
+
   test("featurizeStub emits fixed-dim vectors in [0,1)") {
     val out = Multimodal.featurizeStub(media, 16)
     val bad = out.filter(size(col("media_vec")) =!= 16 ||

@@ -2798,6 +2798,32 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
       "q404 must null beta when kept == 0")
   }
 
+  test("q406: every decoy branch is populated on the fixtures — gap " +
+      "docs, truncated-tail docs, and all 6 frame-count groups") {
+    Seq(sf001, sf0001).foreach { sf =>
+      val rows = run("q406_mjpeg_demux_census", sf).collect()
+      // all 6 n_frames groups (2..7) must appear, each non-empty —
+      // a missing group means the construction (or demux) collapsed
+      assert(rows.map(_.getAs[Long]("n_frames")).toSet ===
+        Set(2L, 3L, 4L, 5L, 6L, 7L), s"frame groups at $sf")
+      assert(rows.forall(_.getAs[Long]("n_videos") > 0L))
+      // the decoy branches are doc_id-keyed; both classes must exist
+      // in the fixture or the stuffing/truncation paths are vacuous
+      val ids = graft.Tables.documents(spark, sf)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      assert(ids.exists(_ % 3 == 0) && ids.exists(_ % 3 != 0),
+        s"inter-frame-junk branch must split at $sf")
+      assert(ids.exists(_ % 4 == 1) && ids.exists(_ % 4 != 1),
+        s"truncated-tail branch must split at $sf")
+      // checksum sanity: strictly positive and consistent with the
+      // marker floor (each frame contributes ≥ 1661)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("byte_checksum") >=
+          r.getAs[Long]("total_frames") * 1661L)
+      }
+    }
+  }
+
   test("q401: the 16-hash MinHash estimator is honest — estimates track " +
       "exact Jaccard and the 2σ band holds its binomial coverage") {
     Seq(sf001, sf0001).foreach { sf =>
