@@ -1302,4 +1302,102 @@ object DriftQueries {
       |      * 1e6 + 0.5) / 1e6 + 0 > 0.461 THEN 1 ELSE 0 END AS BIGINT)
       |    END AS reject_5pct
       |FROM g""".stripMargin
+
+  /** L346 Watson U² two-sample test *(added r19; [PK] Watson 1962;
+    * Mardia & Jupp §8.3.2)* — completes the repo's EDF-distance
+    * ladder (KS/Kuiper q352 sup-norm, CvM q400 and AD q280 quadratic)
+    * with its ROTATION-INVARIANT member: U² = (nm/N²)·Σ(dⱼ − d̄)²
+    * subtracts the mean EDF gap, so the statistic is unchanged by a
+    * cyclic shift of the support — the right quadratic distance when
+    * the compared variable wraps (here: weekday vs weekend daily
+    * revenue on the q403/q404 trailing-365 census frame, the
+    * calendar-conditioned drift readout; on the circle, CvM depends
+    * on the arbitrary cut point, Watson does not — Mardia & Jupp's
+    * motivating identity).
+    *
+    * Parity: the census frame makes everything exact — numⱼ =
+    * cum_x·ny − cum_y·nx are exact int64 (≤ nx·ny ≤ 365²/4), and
+    * U² = (N·Σl·num² − (Σl·num)²)/(N³·nx·ny) is ONE guarded double
+    * division over int64 sums (N ≤ 365 keeps every product far
+    * inside int64); EDF read at distinct-value block ends under ties
+    * (the q280 convention); 6dp floor.
+    *
+    * Scale: the day census is scale-CONSTANT (≤365 rows by
+    * construction); one census PrefixSum + one fold. */
+  def q411WatsonU2(s: SparkSession, dir: String): DataFrame = {
+    val d = SeriesStats.daily2(s, dir)
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("t"),
+        col("rev"))
+    val recent = d
+      .crossJoin(broadcast(d.agg(max(col("t")).as("tmax"))))
+      .filter(col("t") > col("tmax") - 365)
+      .select(col("rev"),
+        // Sunday-epoch dow: 1995-01-01 was a Sunday; weekend = {0,6}
+        (pmod(col("t"), lit(7L)).isin(0L, 6L)).as("is_we"))
+    val h = recent.groupBy("rev").agg(count(lit(1)).as("l"),
+      count(when(!col("is_we"), 1)).as("lx"))
+    val c = graft.ops.PrefixSum.withPrefixSums(h, Seq(col("rev")),
+      Seq((col("l"), "cum_all"), (col("lx"), "cum_x")))
+    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    val withTot = c.crossJoin(broadcast(tot))
+      .withColumn("ny", col("nn") - col("nx"))
+      .withColumn("num",
+        col("cum_x") * col("ny") -
+          (col("cum_all") - col("cum_x")) * col("nx"))
+    val g = withTot.agg(
+      max(col("nn")).as("nn"), max(col("nx")).as("nx"),
+      sum(col("l") * col("num") * col("num")).as("sq"),
+      sum(col("l") * col("num")).as("s1"))
+    val nD = col("nn").cast("double")
+    val nxD = col("nx").cast("double")
+    val nyD = (col("nn") - col("nx")).cast("double")
+    val u2 = (nD * col("sq").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      greatest(nD * nD * nD * nxD * nyD, lit(1e-300))
+    g.select(col("nx").as("n_weekday"),
+        (col("nn") - col("nx")).as("n_weekend"),
+        when(col("nx") === 0 || col("nx") === col("nn"),
+          lit(null).cast("double"))
+          .otherwise(floor(u2 * 1e6 + 0.5) / 1e6 + 0.0).as("watson_u2"))
+  }
+
+  val q411WatsonU2Sql: String =
+    s"""WITH daily AS (${SeriesStats.daily2Sql}),
+      |d AS (
+      |  SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+      |      AS t, rev
+      |  FROM daily),
+      |recent AS (
+      |  SELECT rev, ((t % 7) + 7) % 7 IN (0, 6) AS is_we
+      |  FROM d, (SELECT MAX(t) AS tmax FROM d) WHERE t > tmax - 365),
+      |h AS (
+      |  SELECT rev, COUNT(*) AS l,
+      |    COUNT(*) FILTER (WHERE NOT is_we) AS lx
+      |  FROM recent GROUP BY rev),
+      |c AS (
+      |  SELECT rev, l, lx,
+      |    CAST(SUM(l) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_all,
+      |    CAST(SUM(lx) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_x
+      |  FROM h),
+      |tot AS (SELECT MAX(cum_all) AS nn, MAX(cum_x) AS nx FROM c),
+      |w AS (
+      |  SELECT l,
+      |    cum_x * (nn - nx) - (cum_all - cum_x) * nx AS num, nn, nx
+      |  FROM c, tot),
+      |g AS (
+      |  SELECT MAX(nn) AS nn, MAX(nx) AS nx,
+      |    CAST(SUM(l * num * num) AS BIGINT) AS sq,
+      |    CAST(SUM(l * num) AS BIGINT) AS s1
+      |  FROM w)
+      |SELECT nx AS n_weekday, nn - nx AS n_weekend,
+      |  CASE WHEN nx = 0 OR nx = nn THEN NULL
+      |    ELSE FLOOR((CAST(nn AS DOUBLE) * CAST(sq AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / GREATEST(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        * CAST(nn AS DOUBLE) * CAST(nx AS DOUBLE)
+      |        * CAST(nn - nx AS DOUBLE), 1e-300) * 1e6 + 0.5) / 1e6 + 0
+      |    END AS watson_u2
+      |FROM g""".stripMargin
 }

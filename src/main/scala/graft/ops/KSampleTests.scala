@@ -912,4 +912,223 @@ object KSampleTests {
       |    AS levene_stat,
       |  4 AS df1, nt - 5 AS df2
       |FROM f ORDER BY c_mktsegment""".stripMargin
+
+  /** L344 Quade test *(added r19; [PK] Quade 1979; Conover, Practical
+    * Nonparametric Statistics §5.8)* — the blocked design's third
+    * member: q241's Friedman weights every month equally; Quade
+    * weights each block by the RANK of its raw revenue RANGE, so
+    * months where priorities actually differ dominate — more power
+    * than Friedman at k ≤ 5 when block effects differ in size (the
+    * documented regime; Conover's recommendation for small k).
+    * Frame = q241 verbatim: blocks = 5-priority-complete months,
+    * within-block doubled midranks R2ᵢⱼ; block weights Q2ᵢ = doubled
+    * midrank of the block range Dᵢ = max−min monthly revenue across
+    * blocks; S4ᵢⱼ = Q2ᵢ·(R2ᵢⱼ − 6) = 4·Qᵢ(R̄ᵢⱼ − 3); F =
+    * (b−1)·ΣⱼS4ⱼ² / (b·ΣᵢⱼS4ᵢⱼ² − ΣⱼS4ⱼ²), df (k−1, (b−1)(k−1)).
+    *
+    * Parity: both rank layers ride the q241 doubled-midrank
+    * construction (exact under ties); Dᵢ is an exact int64 difference
+    * of whole-dollar sums; S4, A16 = ΣS4², B16 = ΣS4ⱼ² all exact
+    * int64 (|S4| ≤ 2b·4, A16 ≤ 80·5·680² ≈ 2e8 at fixture b); F is
+    * ONE guarded double division (clamped — the all-blocks-tied
+    * degenerate makes the denominator exactly 0, nulled).
+    *
+    * Scale: the q241 shape — one (month, priority) census, two
+    * census-sized window ranks (month-partitioned 5-row windows + one
+    * b-row block-rank window), b-row broadcast join back, ≤5-row
+    * algebra. */
+  def q409Quade(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+    val wMon = Window.partitionBy("mon")
+    val complete = d.withColumn("npr", count(lit(1)).over(wMon))
+      .filter(col("npr") === 5)
+    val wRank = Window.partitionBy("mon").orderBy("rev")
+    val wTies = Window.partitionBy("mon", "rev")
+    val ranked = complete
+      .withColumn("r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+    // block weights: doubled midrank of the raw range across blocks
+    val blocks = complete.groupBy("mon")
+      .agg((max(col("rev")) - min(col("rev"))).as("dr"))
+    val wB = Window.orderBy("dr")
+    val wBT = Window.partitionBy("dr")
+    val wb = blocks
+      .withColumn("q2",
+        lit(2) * rank().over(wB) + count(lit(1)).over(wBT) - 1)
+      .select(col("mon"), col("q2"))
+    val s4 = ranked.join(broadcast(wb), "mon")
+      .select(col("pr"),
+        (col("q2").cast("long") * (col("r2").cast("long") - 6L)).as("s4"))
+    val g = s4.groupBy("pr")
+      .agg(count(lit(1)).as("b"), sum(col("s4")).as("s4j"),
+        sum(col("s4") * col("s4")).as("a16j"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = g
+      .withColumn("a16", sum(col("a16j")).over(wAll))
+      .withColumn("b16", sum(col("s4j") * col("s4j")).over(wAll))
+    val bD = col("b").cast("double")
+    val den = bD * col("a16").cast("double") - col("b16").cast("double")
+    val f = (bD - 1.0) * col("b16").cast("double") /
+      greatest(den, lit(1e-300))
+    t.select(col("pr").as("o_orderpriority"), col("b").as("n_blocks"),
+        col("s4j").as("s4_j"),
+        when(den <= 0.0, lit(null).cast("double"))
+          .otherwise(round(f, 4) + 0.0).as("quade_f"),
+        lit(4).as("df1"), ((col("b") - 1) * 4).as("df2"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q409QuadeSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+      |    o_orderpriority AS pr,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (
+      |  SELECT * FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY mon) AS npr FROM d)
+      |  WHERE npr = 5),
+      |ranked AS (
+      |  SELECT mon, pr,
+      |    2 * RANK() OVER (PARTITION BY mon ORDER BY rev)
+      |      + COUNT(*) OVER (PARTITION BY mon, rev) - 1 AS r2
+      |  FROM complete),
+      |blocks AS (
+      |  SELECT mon, MAX(rev) - MIN(rev) AS dr
+      |  FROM complete GROUP BY mon),
+      |wb AS (
+      |  SELECT mon,
+      |    2 * RANK() OVER (ORDER BY dr)
+      |      + COUNT(*) OVER (PARTITION BY dr) - 1 AS q2
+      |  FROM blocks),
+      |s4 AS (
+      |  SELECT pr, CAST(q2 AS BIGINT) * (CAST(r2 AS BIGINT) - 6) AS s4
+      |  FROM ranked JOIN wb USING (mon)),
+      |g AS (
+      |  SELECT pr, COUNT(*) AS b, CAST(SUM(s4) AS BIGINT) AS s4j,
+      |    CAST(SUM(s4 * s4) AS BIGINT) AS a16j
+      |  FROM s4 GROUP BY pr),
+      |t AS (
+      |  SELECT *, CAST(SUM(a16j) OVER () AS BIGINT) AS a16,
+      |    CAST(SUM(s4j * s4j) OVER () AS BIGINT) AS b16
+      |  FROM g)
+      |SELECT pr AS o_orderpriority, b AS n_blocks, s4j AS s4_j,
+      |  CASE WHEN CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE)
+      |      - CAST(b16 AS DOUBLE) <= 0.0 THEN NULL
+      |    ELSE ROUND((CAST(b AS DOUBLE) - 1.0) * CAST(b16 AS DOUBLE)
+      |      / GREATEST(CAST(b AS DOUBLE) * CAST(a16 AS DOUBLE)
+      |          - CAST(b16 AS DOUBLE), 1e-300), 4) + 0 END AS quade_f,
+      |  4 AS df1, (b - 1) * 4 AS df2
+      |FROM t ORDER BY pr""".stripMargin
+
+  /** L345 Cuzick trend test *(added r19; [PK] Cuzick 1985, "A
+    * Wilcoxon-type test for trend", Stat. Med. 4:87–90)* — the rank
+    * analogue of q234's Cochran–Armitage (which needs binary
+    * outcomes) and the POOLED-rank complement of q254's
+    * Jonckheere–Terpstra (which sums pairwise dominance counts):
+    * score the ordered groups (priority level lᵢ = 1…5), rank ALL
+    * order values in one pooled ranking, and test T = Σ lᵢRᵢ against
+    * its permutation moments E[T] = (N+1)/2·Σlⱼnⱼ, Var[T] =
+    * (N+1)/12·(N·Σlⱼ²nⱼ − (Σlⱼnⱼ)²) with the standard ties factor
+    * (1 − Σ(t³−t)/(N³−N), the q227 correction applied to the trend
+    * variance). One pooled ranking instead of O(k²) pairwise scans —
+    * the 100 TB-friendly member of the ordered-alternative ladder.
+    *
+    * Parity: pooled doubled midranks via the q227 cent-census +
+    * PrefixSum (exact under ties); T2 = Σl·R2ⱼ and the moment inputs
+    * Σlⱼnⱼ, Σlⱼ²nⱼ, Σ(t³−t) are exact int64/DECIMAL(38); z is ONE
+    * guarded double chain 4dp (variance clamp, degenerate nulled).
+    *
+    * Scale: one value census + PrefixSum (the q227 shape: exchanged
+    * volume ∝ distinct cents), one ≤5-group fold. */
+  def q410CuzickTrend(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(s, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("l"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cen = o.groupBy("c").agg(count(lit(1)).as("n"))
+    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")))
+      .select(col("c"), col("n"), (col("cumn") * 2 - col("n") + 1).as("r2"))
+    val byg = o.groupBy("l", "c").agg(count(lit(1)).as("ncs"))
+      .join(cum, "c")
+      .groupBy("l")
+      .agg(sum(col("ncs")).as("nj"),
+        sum(col("ncs").cast(dec) * col("r2").cast(dec)).as("r2j"))
+    val tieDf = cen.agg(
+      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec)).as("tie"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = byg
+      .withColumn("nt", sum(col("nj")).over(wAll))
+      .withColumn("t2", sum(col("l").cast(dec) * col("r2j")).over(wAll))
+      .withColumn("l1", sum(col("l") * col("nj")).over(wAll))
+      .withColumn("l2", sum(col("l") * col("l") * col("nj")).over(wAll))
+      .crossJoin(broadcast(tieDf))
+    val nD = col("nt").cast("double")
+    val corr = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
+    // doubled units: T2 = 2T, E[T2] = (N+1)·L1, Var[T2] = 4·Var[T]
+    val eT2 = (nD + 1.0) * col("l1").cast("double")
+    val varT2 = (nD + 1.0) / 3.0 *
+      (nD * col("l2").cast("double") -
+        col("l1").cast("double") * col("l1").cast("double")) * corr
+    val z = (col("t2").cast("double") - eT2) /
+      sqrt(greatest(varT2, lit(1e-300)))
+    t.select(col("l").as("priority_level"), col("nj").as("n_orders"),
+        (round(col("r2j").cast("double") /
+          (col("nj").cast("double") * 2.0), 4) + 0.0).as("mean_rank"),
+        when(varT2 <= 0.0, lit(null).cast("double"))
+          .otherwise(round(z, 4) + 0.0).as("z_trend"))
+      .orderBy("priority_level")
+  }
+
+  val q410CuzickTrendSql: String =
+    """WITH o AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS l,
+      |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |cen AS (SELECT c, COUNT(*) AS n FROM o GROUP BY c),
+      |cum AS (
+      |  SELECT c, n,
+      |    2 * SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+      |      - n + 1 AS r2
+      |  FROM cen),
+      |tie AS (
+      |  SELECT CAST(SUM(CAST(n AS HUGEINT) * n * n - n) AS HUGEINT)
+      |    AS tie FROM cen),
+      |byg AS (
+      |  SELECT l, CAST(SUM(ncs) AS BIGINT) AS nj,
+      |    CAST(SUM(CAST(ncs AS HUGEINT) * r2) AS HUGEINT) AS r2j
+      |  FROM (SELECT l, c, COUNT(*) AS ncs FROM o GROUP BY l, c)
+      |  JOIN cum USING (c) GROUP BY l),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(nj) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(CAST(l AS HUGEINT) * r2j) OVER () AS HUGEINT) AS t2,
+      |    CAST(SUM(l * nj) OVER () AS BIGINT) AS l1,
+      |    CAST(SUM(l * l * nj) OVER () AS BIGINT) AS l2
+      |  FROM byg),
+      |f AS (
+      |  SELECT l, nj, r2j, nt, t2, l1, l2, tie,
+      |    (CAST(nt AS DOUBLE) + 1.0) * CAST(l1 AS DOUBLE) AS et2,
+      |    (CAST(nt AS DOUBLE) + 1.0) / 3.0
+      |      * (CAST(nt AS DOUBLE) * CAST(l2 AS DOUBLE)
+      |        - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE))
+      |      * (1.0 - CAST(tie AS DOUBLE)
+      |        / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+      |          * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE))) AS vart2
+      |  FROM t, tie)
+      |SELECT l AS priority_level, nj AS n_orders,
+      |  ROUND(CAST(r2j AS DOUBLE) / (CAST(nj AS DOUBLE) * 2.0), 4) + 0
+      |    AS mean_rank,
+      |  CASE WHEN vart2 <= 0.0 THEN NULL
+      |    ELSE ROUND((CAST(t2 AS DOUBLE) - et2)
+      |      / SQRT(GREATEST(vart2, 1e-300)), 4) + 0 END AS z_trend
+      |FROM f ORDER BY priority_level""".stripMargin
 }

@@ -2824,6 +2824,95 @@ class NonDegeneracySpec extends SparkSpec with EstimatorHonesty {
     }
   }
 
+  test("q407-q411: the r19 batch fires on real structure at both " +
+      "fixture SFs — bounds, identities, coherence") {
+    Seq(sf001, sf0001).foreach { sf =>
+      // q407: every order year present, resultant strictly inside
+      // (0,1) (uniform-ish calendar, but never exactly 0), mean day
+      // on the calendar circle
+      val ray = run("q407_rayleigh", sf).collect()
+      assert(ray.length >= 7, s"order years at $sf")
+      ray.foreach { r =>
+        val rbar = r.getAs[Double]("rbar")
+        assert(rbar > 0.0 && rbar < 1.0, s"rbar $rbar at $sf")
+        assert(r.getAs[Double]("rayleigh_z") > 0.0)
+        val md = r.getAs[Double]("mean_day")
+        assert(md >= 1.0 && md < 367.0, s"mean_day $md")
+      }
+      // q408: all 5 priorities, kappa defined and nonnegative (the
+      // weekly calendar is near-uniform -> small-R branch, kappa ~ 2R)
+      val vm = run("q408_von_mises_kappa", sf).collect()
+      assert(vm.length === 5)
+      vm.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("kappa")), s"kappa null at $sf")
+        assert(r.getAs[Double]("kappa") >= 0.0)
+        assert(r.getAs[Double]("circ_var") > 0.0)
+      }
+      // q409: complete blocks, F defined and positive, and the exact
+      // algebraic identity Sum_j S4_j = 0 (within-block centered ranks)
+      val qu = run("q409_quade", sf).collect()
+      assert(qu.length === 5)
+      assert(qu.map(_.getAs[Long]("s4_j")).sum === 0L,
+        s"Quade centered-rank identity at $sf")
+      assert(qu.forall(r => !r.isNullAt(r.fieldIndex("quade_f")) &&
+        r.getAs[Double]("quade_f") > 0.0))
+      assert(qu.map(_.getAs[Long]("n_blocks")).distinct.length === 1)
+      // q410: one scalar z shared by the 5 rows, defined; the pooled
+      // doubled-rank mass identity Sum_j 2*nj*mean_rank = N(N+1)
+      // (4dp rounding slack)
+      val cz = run("q410_cuzick_trend", sf).collect()
+      assert(cz.length === 5)
+      assert(cz.map(_.getAs[Double]("z_trend")).distinct.length === 1)
+      val nTot = cz.map(_.getAs[Long]("n_orders")).sum
+      val mass = cz.map(r => 2.0 * r.getAs[Long]("n_orders") *
+        r.getAs[Double]("mean_rank")).sum
+      assert(math.abs(mass - nTot.toDouble * (nTot + 1)) <
+        nTot * 1e-3, s"rank-mass identity at $sf")
+      // q411: both calendar classes populated, statistic defined,
+      // positive, and in the plausible two-sample range
+      val wa = run("q411_watson_u2", sf).head()
+      assert(wa.getAs[Long]("n_weekday") > 0 &&
+        wa.getAs[Long]("n_weekend") > 0)
+      val u2 = wa.getAs[Double]("watson_u2")
+      assert(u2 > 0.0 && u2 < 2.0, s"watson_u2 $u2 at $sf")
+    }
+  }
+
+  test("q407/q408/q411: planted degenerate calendars return the " +
+      "documented NULL/exact values instead of throwing under ANSI") {
+    // all orders on ONE date: R = 1 exactly, so q407's z = n, q408's
+    // kappa branch-3 divisor is ~0 (clamped) and the R >= 1-1e-9
+    // guard nulls kappa; the three days Mon-Wed leave q411 with zero
+    // weekend days -> its nx(nn-nx) divisor is clamped and the
+    // statistic nulls
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-degcirc"
+    spark.range(1, 4)
+      .select(lit(1234.0).as("o_totalprice"),
+        lit("1-URGENT").as("o_orderpriority"),
+        lit("1997-03-04").cast("timestamp").as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ray = run("q407_rayleigh", dir).head()
+    assert(ray.getAs[Double]("rbar") === 1.0)
+    assert(ray.getAs[Double]("rayleigh_z") === 3.0)
+    val vm = run("q408_von_mises_kappa", dir).head()
+    assert(vm.getAs[Double]("rbar") === 1.0)
+    assert(vm.isNullAt(vm.fieldIndex("kappa")),
+      "kappa must null at R = 1")
+    // Mon-Wed only (1997-03-03 is a Monday); a separate fixture dir —
+    // overwriting the first one trips Spark's cached file listing
+    val dir2 = s"${sys.props("java.io.tmpdir")}/graft-degcirc2"
+    spark.range(0, 3)
+      .select((lit(100.0) + col("id")).as("o_totalprice"),
+        (lit("1997-03-03").cast("timestamp") +
+          expr("make_interval(0,0,0,cast(id as int),0,0,0)"))
+          .as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val wa = run("q411_watson_u2", dir2).head()
+    assert(wa.getAs[Long]("n_weekend") === 0L)
+    assert(wa.isNullAt(wa.fieldIndex("watson_u2")),
+      "one-sided calendar split must null U2")
+  }
+
   test("q401: the 16-hash MinHash estimator is honest — estimates track " +
       "exact Jaccard and the 2σ band holds its binomial coverage") {
     Seq(sf001, sf0001).foreach { sf =>

@@ -465,6 +465,11 @@ class PlanShapeSpec extends SparkSpec {
       // day census (the q242 form; the tmax cut sits under the
       // census checkpoint like q262's)
       "q404_blomqvist_beta",
+      // r19: q410's 1-row pooled tie-census broadcast onto the ≤5-row
+      // group fold (the q227 form), q411's 1-row (nn, nx) totals
+      // broadcast onto the ≤365-row day census (the q280 form; the
+      // tmax cut rides the same shape)
+      "q410_cuzick_trend", "q411_watson_u2",
       // r13 batch 2: q283's 1-row n/T census broadcast onto the
       // per-customer frame (the q242 form), q284's 10-row depth grid
       // joined onto the ≤10-row overlap frame (both sides literal-

@@ -5263,4 +5263,195 @@ class StatBruteSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("blomqvist_beta") -
       q6((pp + mm - pm - mp).toDouble / kept)) < 1e-9)
   }
+
+  test("q407 Rayleigh matches a sequential per-order resultant walk " +
+      "(unquantized reference, grid slack)") {
+    val rows = SparkEntry.queries("q407_rayleigh")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("order_year") -> r).toMap
+    val orders = Tables.orders(spark, sf0001)
+      .select(year(col("o_orderdate")).cast("long"),
+        dayofyear(col("o_orderdate")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    orders.groupBy(_._1).foreach { case (yr, os) =>
+      // the INDEPENDENT reference: raw per-order cos/sin, no census,
+      // no nano grid — the quantized pipeline must land within grid
+      // slack (<= 0.5e-9 per distinct angle, ~366 of them)
+      val n = os.length
+      var (cs, sn) = (0.0, 0.0)
+      os.foreach { case (_, doy) =>
+        val a = 2.0 * math.Pi * (doy - 1).toDouble / 365.0
+        cs += math.cos(a); sn += math.sin(a)
+      }
+      val rbar = math.sqrt(cs * cs + sn * sn) / n
+      val z = n * rbar * rbar
+      val aDay = math.atan2(sn, cs) / (2.0 * math.Pi) * 365.0
+      val mDay = (if (aDay < 0) aDay + 365.0 else aDay) + 1.0
+      val r = rows(yr)
+      assert(r.getAs[Long]("n_orders") === n.toLong)
+      assert(math.abs(r.getAs[Double]("rbar") - rbar) < 1e-5,
+        s"rbar yr=$yr")
+      assert(math.abs(r.getAs[Double]("rayleigh_z") - z) < 1e-3 +
+        z * 1e-6, s"z yr=$yr")
+      // mean direction is unstable when rbar ~ 0; the fixture years
+      // are near-uniform, so allow the day slack that d(theta)/d(C,S)
+      // implies at the measured resultant length
+      val daySlack = 1e-4 * 365.0 / (2.0 * math.Pi) /
+        math.max(rbar, 1e-6) * 1e-2 + 1e-3
+      assert(math.abs(r.getAs[Double]("mean_day") - mDay) < daySlack,
+        s"mean_day yr=$yr: ${r.getAs[Double]("mean_day")} vs $mDay")
+    }
+  }
+
+  test("q408 von Mises kappa matches a sequential reference through " +
+      "the same three-branch inverse") {
+    val rows = SparkEntry.queries("q408_von_mises_kappa")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"),
+        pmod(datediff(col("o_orderdate"), lit("1995-01-01")), lit(7))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    orders.groupBy(_._1).foreach { case (pr, os) =>
+      val n = os.length
+      var (cs, sn) = (0.0, 0.0)
+      os.foreach { case (_, dow) =>
+        val a = 2.0 * math.Pi * dow.toDouble / 7.0
+        cs += math.cos(a); sn += math.sin(a)
+      }
+      val rbar = math.sqrt(cs * cs + sn * sn) / n
+      val kappa =
+        if (rbar < 0.53) 2.0 * rbar + rbar * rbar * rbar +
+          5.0 * math.pow(rbar, 5) / 6.0
+        else if (rbar < 0.85) -0.4 + 1.39 * rbar + 0.43 / (1.0 - rbar)
+        else 1.0 / (rbar * rbar * rbar - 4.0 * rbar * rbar + 3.0 * rbar)
+      val r = rows(pr)
+      assert(r.getAs[Long]("n_orders") === n.toLong)
+      assert(math.abs(r.getAs[Double]("rbar") - rbar) < 1e-5)
+      assert(math.abs(r.getAs[Double]("circ_var") - (1.0 - rbar)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-3,
+        s"kappa $pr: ${r.getAs[Double]("kappa")} vs $kappa")
+    }
+  }
+
+  test("q409 Quade F matches a sequential blocked-rank walk") {
+    val rows = SparkEntry.queries("q409_quade")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val cells = Tables.orders(spark, sf0001)
+      .groupBy(trunc(col("o_orderdate"), "month").as("mon"),
+        col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") + 0.5).cast("long")).as("rev"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2)))
+    val byMon = cells.groupBy(_._1).filter(_._2.length == 5)
+    // doubled within-block midranks
+    def mid2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val ties = sorted.count(_ == v)
+        v -> (2L * (below + 1) + ties - 1)
+      }.toMap
+    }
+    val ranges = byMon.map { case (m, cs) =>
+      m -> (cs.map(_._3).max - cs.map(_._3).min) }
+    val q2 = {
+      val ds = ranges.values.toSeq.sorted
+      ranges.map { case (m, d) =>
+        val below = ds.count(_ < d)
+        val ties = ds.count(_ == d)
+        m -> (2L * (below + 1) + ties - 1)
+      }
+    }
+    val s4 = byMon.toSeq.flatMap { case (m, cs) =>
+      val r2 = mid2(cs.map(_._3))
+      cs.map { case (_, pr, rev) => (pr, q2(m) * (r2(rev) - 6L)) }
+    }
+    val b = byMon.size.toLong
+    val a16 = s4.map(x => x._2 * x._2).sum
+    val s4j = s4.groupBy(_._1).map { case (pr, xs) => pr -> xs.map(_._2).sum }
+    val b16 = s4j.values.map(x => x * x).sum
+    val f = (b - 1).toDouble * b16 / (b.toDouble * a16 - b16)
+    s4j.foreach { case (pr, sj) =>
+      val r = rows(pr)
+      assert(r.getAs[Long]("n_blocks") === b)
+      assert(r.getAs[Long]("s4_j") === sj, s"S4_j $pr")
+      assert(math.abs(r.getAs[Double]("quade_f") -
+        math.round(f * 1e4) / 1e4.toDouble) < 1e-9, s"F $pr")
+    }
+  }
+
+  test("q410 Cuzick z matches a sequential pooled-rank trend walk") {
+    val rows = SparkEntry.queries("q410_cuzick_trend")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("priority_level") -> r).toMap
+    val obs = Tables.orders(spark, sf0001)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = obs.length.toLong
+    val sorted = obs.map(_._2).sorted
+    // doubled pooled midranks per distinct value
+    val r2 = obs.map(_._2).distinct.map { v =>
+      val below = sorted.count(_ < v)
+      val ties = sorted.count(_ == v)
+      v -> (2L * (below + 1) + ties - 1)
+    }.toMap
+    val t2 = obs.map { case (l, v) => BigInt(l) * r2(v) }.sum
+    val l1 = obs.map(_._1).sum
+    val l2 = obs.map(x => x._1 * x._1).sum
+    val tie = obs.groupBy(_._2).values
+      .map(g => { val t = BigInt(g.length); t * t * t - t }).sum
+    val nD = n.toDouble
+    val corr = 1.0 - tie.toDouble / (nD * nD * nD - nD)
+    val e = (nD + 1.0) * l1
+    val va = (nD + 1.0) / 3.0 * (nD * l2 - l1.toDouble * l1) * corr
+    val z = (t2.toDouble - e) / math.sqrt(va)
+    // per-level outputs share the scalar z; check one level + ranks
+    (1L to 5L).foreach { l =>
+      val r = rows(l)
+      assert(math.abs(r.getAs[Double]("z_trend") -
+        math.round(z * 1e4) / 1e4.toDouble) < 1e-9, s"z at l=$l")
+      val nj = obs.count(_._1 == l).toLong
+      assert(r.getAs[Long]("n_orders") === nj)
+      val mr = obs.filter(_._1 == l).map(x => r2(x._2)).sum.toDouble /
+        (nj * 2.0)
+      assert(math.abs(r.getAs[Double]("mean_rank") -
+        math.round(mr * 1e4) / 1e4.toDouble) < 1e-9)
+    }
+  }
+
+  test("q411 Watson U2 matches a sequential EDF walk and is " +
+      "rotation-invariant on the census") {
+    val row = SparkEntry.queries("q411_watson_u2")(spark, sf0001).head()
+    val pts = recentDaily365.map(p => (p._2, p._1 % 7 == 0 || p._1 % 7 == 6))
+    val nn = pts.length.toLong
+    val nx = pts.count(!_._2).toLong
+    val ny = nn - nx
+    def u2Of(vals: Array[(Long, Boolean)]): Double = {
+      val distinct = vals.map(_._1).distinct.sorted
+      var (cumAll, cumX) = (0L, 0L)
+      var (sq, s1) = (BigInt(0), BigInt(0))
+      distinct.foreach { v =>
+        val l = vals.count(_._1 == v).toLong
+        val lx = vals.count(p => p._1 == v && !p._2).toLong
+        cumAll += l; cumX += lx
+        val num = BigInt(cumX) * ny - BigInt(cumAll - cumX) * nx
+        sq += BigInt(l) * num * num
+        s1 += BigInt(l) * num
+      }
+      (BigInt(nn) * sq - s1 * s1).toDouble /
+        (nn.toDouble * nn * nn * nx * ny)
+    }
+    val u2 = u2Of(pts)
+    assert(row.getAs[Long]("n_weekday") === nx)
+    assert(row.getAs[Long]("n_weekend") === ny)
+    assert(math.abs(row.getAs[Double]("watson_u2") -
+      math.floor(u2 * 1e6 + 0.5) / 1e6) < 1e-9)
+    // the defining property CvM lacks: shifting the support cyclically
+    // (relabel values above a cut to sort first) leaves U2 unchanged
+    val cut = pts.map(_._1).sorted.apply(pts.length / 3)
+    val rotated = pts.map { case (v, w) =>
+      (if (v > cut) v - 1000000000L else v, w) }
+    assert(math.abs(u2Of(rotated) - u2) < 1e-9,
+      "U2 must be invariant under a cyclic relabeling of the support")
+  }
 }
