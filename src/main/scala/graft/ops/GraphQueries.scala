@@ -514,24 +514,22 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // pairs off a sorted distinct basket are already canonical per
+    // order (u < v, non-null); ONE distinct collapses cross-order
+    // duplicates, then the fused operator checkpoints once and shares
+    // its degree census between orientation and the cc denominator —
+    // r19: the previous perVertex composition re-canonicalized (an
+    // extra 3M-edge exchange + 100 MB checkpoint) and re-derived deg
     val edges = baskets.select(explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
         |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
-      // the distinct edge set feeds the degree census AND the wedge
-      // join's three self-references — cut the lineage once so the
-      // fact-sized basket-pair build runs a single time (the q176
-      // pattern, measured 3.9→2.3 s there)
-      .localCheckpoint()
-    val deg = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val tri = Triangles.perVertex(edges, "u", "v", broadcastAdj = true)
+    val dt = Triangles.perVertexWithDeg(edges, "u", "v",
+      broadcastAdj = true)
     val cc = (col("n_tri") * 2L).cast("double") /
       (col("deg") * (col("deg") - 1L)).cast("double")
-    deg.filter(col("deg") >= 2L)
-      .join(tri, Seq("id"), "left").na.fill(0L, Seq("n_tri"))
+    dt.filter(col("deg") >= 2L)
       .select(col("id").as("p_partkey"), col("deg"), col("n_tri"),
         cc.as("cc"))
       .orderBy(col("cc").desc, col("p_partkey")).limit(25)

@@ -1141,8 +1141,13 @@ object ScoreEvalQueries {
     val lab = base.crossJoin(broadcast(med))
       .select(col("score"),
         (col("cents").cast("double") > col("med")).cast("long").as("y"))
+    // r19 (guide §2.4): lazy checkpoint — cen feeds the PrefixSum pass
+    // AND the totals agg; unmaterialized, the whole base+median+label
+    // chain (two fact passes: the percentile agg and the census build)
+    // re-executed per consumer (profiled: 3× at sf0.1, ~0.9 s each)
     val cen = lab.groupBy("score")
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .localCheckpoint(eager = false)
     val cum = graft.ops.PrefixSum.withPrefixSums(cen,
       Seq(col("score")), Seq((col("np"), "cp"), (col("nn"), "cn")))
     val tot = cen.agg(sum(col("np")).as("post"), sum(col("nn")).as("negt"))
@@ -1151,13 +1156,15 @@ object ScoreEvalQueries {
       .withColumn("gen", col("negt") - col("cn") + col("nn"))
       .withColumn("num", col("gep").cast(dec) * col("negt").cast(dec) -
         col("gen").cast(dec) * col("post").cast(dec))
-    val mx = j.agg(max(col("num")).as("mxnum"))
-    val best = j.join(broadcast(mx), col("num") === col("mxnum"))
-      .groupBy("post", "negt", "mxnum")
-      .agg(max(struct(col("score"), col("gep"), col("gen"))).as("b"))
-      .select(col("post"), col("negt"), col("mxnum"),
-        col("b.score").as("thr"), col("b.gep").as("gep"),
-        col("b.gen").as("gen"))
+    // argmax in ONE ordered-limit pass over the census (r19): the
+    // previous max-agg + equality-join + groupBy evaluated the whole j
+    // subtree twice; (num desc, score desc) LIMIT 1 selects exactly the
+    // same row — the max score among rows attaining max num (score is
+    // the census key, so max(struct(score, …)) = the max-score row)
+    val best = j
+      .orderBy(col("num").desc, col("score").desc).limit(1)
+      .select(col("post"), col("negt"), col("num").as("mxnum"),
+        col("score").as("thr"), col("gep"), col("gen"))
     def d(c: String) = col(c).cast("double")
     def rnd6(c: Column): Column =
       (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0
@@ -1253,8 +1260,11 @@ object ScoreEvalQueries {
     val lab = base.crossJoin(broadcast(med))
       .select(col("score"),
         (col("cents").cast("double") > col("med")).cast("long").as("y"))
+    // r19: same lazy-checkpoint + single-pass-argmax rewrite as q395
+    // (see there); the census chain otherwise re-executed 3× per run
     val cen = lab.groupBy("score")
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .localCheckpoint(eager = false)
     val cum = graft.ops.PrefixSum.withPrefixSums(cen,
       Seq(col("score")), Seq((col("np"), "cp"), (col("nn"), "cn")))
     val tot = cen.agg(sum(col("np")).as("post"), sum(col("nn")).as("negt"))
@@ -1278,10 +1288,12 @@ object ScoreEvalQueries {
       (nGe.cast("double") / bigN.cast("double")) * hGe -
       (nLt.cast("double") / bigN.cast("double")) * hLt
     val scored = j.withColumn("igq", floor(ig * 1e12 + 0.5).cast("long"))
-    val mx = scored.agg(max(col("igq")).as("mxig"))
-    val best = scored.join(broadcast(mx), col("igq") === col("mxig"))
-      .groupBy("post", "negt", "mxig")
-      .agg(max(col("score")).as("thr"))
+    // one ordered-limit pass = the max-igq row with max score (igq
+    // ties), identical to the previous max-agg + join + groupBy
+    val best = scored
+      .orderBy(col("igq").desc, col("score").desc).limit(1)
+      .select(col("post"), col("negt"), col("igq").as("mxig"),
+        col("score").as("thr"))
     def d(c: String) = col(c).cast("double")
     def rnd6(c: Column): Column =
       (floor(c * 1e6 + 0.5).cast("long").cast("double") / 1e6) + 0.0

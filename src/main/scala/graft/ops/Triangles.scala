@@ -130,4 +130,58 @@ object Triangles {
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Per-vertex (id, deg, n_tri) over an ALREADY-CANONICAL edge list —
+    * rows are distinct, non-null, and `srcCol` < `dstCol` (the shape
+    * every sorted-basket pair build in this repo emits). Vertices with
+    * no triangle appear with n_tri = 0.
+    *
+    * This exists because composing [[perVertex]] with a caller-side
+    * degree census pays the canonicalization twice (r19 optimization
+    * round, guide §2.4 "remove shuffles outright"): [[triples]] always
+    * re-runs least/greatest + DISTINCT (one full exchange + hash agg of
+    * the edge list) and builds its own degree table, while the caller
+    * (q194) had already materialized both. Here the input is trusted,
+    * checkpointed ONCE, and the SAME degree census drives both the
+    * orientation join and the returned `deg` column — profiled on q194
+    * at sf0.1: one distinct exchange of 3M edges, one ~100 MB
+    * checkpoint, and one 2·m-row degree agg removed. */
+  def perVertexWithDeg(canonEdges: DataFrame, srcCol: String,
+      dstCol: String, broadcastAdj: Boolean = false): DataFrame = {
+    val canon = canonEdges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      // same lazy-checkpoint rationale as triples: canon feeds the
+      // degree census and the orientation join
+      .localCheckpoint(eager = false)
+    val deg = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      // vertex-sized; feeds the two orientation probes AND the returned
+      // deg column — without a cut the union+agg pass re-runs per use
+      .localCheckpoint(eager = false)
+    val degA = if (broadcastAdj) broadcast(deg) else deg
+    val oriented = canon
+      .join(degA.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(degA.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(eager = false)
+    val adjBase = oriented.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val adj = if (broadcastAdj) broadcast(adjBase) else adjBase
+    val tri = oriented
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(explode(graft.functions.SimFns.sortedLongIntersect(
+        col("na"), col("nb"))).as("c"), col("a"), col("b"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }
