@@ -734,6 +734,9 @@ object AggQueries {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
     val baskets = ob.groupBy("ok")
       .agg(sort_array(collect_set(col("b"))).as("bs"))
+      // r19 note: the q207-style explode re-spread was TRIED here and
+      // reverted — best-of-2 bench was a wash (the ≤C(7,3) expansion is
+      // too small a fraction of this query to pay the extra exchange)
     val nDf = ob.agg(countDistinct(col("ok")).as("n_total"))
     val singles = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val triples = baskets.select(explode(expr(

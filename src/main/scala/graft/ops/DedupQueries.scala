@@ -115,6 +115,13 @@ object DedupQueries {
     // candidate generation on keys, verify on payloads)
     val idx = ordered.select(col("doc_id"), col("lang"), col("len_bkt"),
       explode(slice(col("toks"), lit(1), pLen)).as("ptok"))
+      // r19 (guide §2.5): pin the candidate self-join's partitioning at
+      // the env-derived core count — the index is byte-tiny (ids only),
+      // so AQE's byte-based coalescing ran the quadratic-per-bucket
+      // candidate+verify stage near-serially; both join sides reuse this
+      // one exchange (same subtree), so no extra shuffle is added
+      .repartition(s.sparkContext.defaultParallelism,
+        col("lang"), col("len_bkt"), col("ptok"))
     val cand = idx.select(col("doc_id").as("doc_a"), col("lang"),
         col("len_bkt"), col("ptok"))
       .join(idx.select(col("doc_id").as("doc_b"), col("lang"),

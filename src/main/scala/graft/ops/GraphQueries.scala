@@ -205,9 +205,20 @@ object GraphQueries {
     val n = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders")).withColumn("one", lit(1))
     val bc = items.groupBy("brand").agg(count(lit(1)).as("c"))
-    val pairs = items.alias("a").join(items.alias("b"), Seq("ok"))
-      .filter(col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+    // r19 (guide §2.4): the pair census as a map-side explode off the
+    // per-order sorted basket — the previous items⋈items self-join paid
+    // an extra ok-keyed exchange of both sides and ran its probe stage
+    // on AQE-coalesced tasks; identical pair multiset (each a<b brand
+    // pair once per order), one groupBy shuffle, and the q207-style
+    // env-derived re-spread keeps the ≤C(k,2) expansion parallel
+    val pairs = items.groupBy("ok")
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .repartition(s.sparkContext.defaultParallelism, xxhash64(col("ok")))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("c_ab"))
     pairs
       .join(broadcast(bc.select(col("brand").as("brand_a"), col("c").as("c_a"))),
@@ -268,6 +279,10 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // r19: re-spread the CPU-bound pair explode (see q207) — AQE's
+      // byte-based coalescing ran it 4-way on this byte-tiny frame
+      .repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("l_orderkey")))
     val canon = baskets.select(explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
@@ -433,6 +448,9 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // r19: re-spread the CPU-bound pair explode (see q207/q174)
+      .repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("l_orderkey")))
     val canon = baskets.select(explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
@@ -591,6 +609,18 @@ object GraphQueries {
       .groupBy("c")
       .agg(sort_array(collect_set(col("b"))).as("bs"))
       .filter(size(col("bs")) >= 2)
+      // r19 (guide §2.5/§8): the wedge explode + pair census below is
+      // CPU-bound (≤C(25,2) hash-agg updates per basket) but its input
+      // is byte-tiny (1 row per customer), so AQE's byte-based
+      // coalescing ran it on ONE task (profiled 2.9 s single-thread at
+      // sf0.1). Hash-repartition the basket PROXY rows — not the pair
+      // volume — across the env-derived core count; explicit N keeps
+      // AQE from re-coalescing, and the shuffle stays customer-sized
+      // at every SF while the expansion stage scales with the machine.
+      // (keyed on xxhash64(c), not c: the child is already hash-
+      // partitioned by c with the same count, and an identical-key
+      // repartition is elided by the planner — observed r19)
+      .repartition(s.sparkContext.defaultParallelism, xxhash64(col("c")))
     val wq = floor(lit(1.0e6) / log(size(col("bs")).cast("double")) +
       lit(0.5)).cast("long")
     baskets.withColumn("wq", wq)
@@ -805,6 +835,9 @@ object GraphQueries {
     val baskets = cb.groupBy("c")
       .agg(sort_array(collect_set(col("b"))).as("bs"))
       .filter(size(col("bs")) >= 2)
+      // r19: same env-derived re-spread as q207 (see there) — the pair
+      // explode below otherwise runs on ~1 AQE-coalesced task
+      .repartition(s.sparkContext.defaultParallelism, xxhash64(col("c")))
       .localCheckpoint(eager = false)
     // brand degree census (≤25 rows) straight off the baskets so both
     // consumers share one shuffle
