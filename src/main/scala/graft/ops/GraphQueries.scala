@@ -532,6 +532,9 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // r19: re-spread the CPU-bound pair explode (see q207/q174)
+      .repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("l_orderkey")))
     // pairs off a sorted distinct basket are already canonical per
     // order (u < v, non-null); ONE distinct collapses cross-order
     // duplicates, then the fused operator checkpoints once and shares
@@ -739,6 +742,9 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // r19: re-spread the CPU-bound pair explode (see q207/q174)
+      .repartition(s.sparkContext.defaultParallelism,
+        xxhash64(col("l_orderkey")))
     val edges = baskets.select(explode(expr(
       """flatten(transform(ps, (x, i) ->
         |  transform(slice(ps, i + 2, size(ps) - i - 1),
