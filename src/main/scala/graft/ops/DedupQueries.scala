@@ -398,6 +398,9 @@ object DedupQueries {
     * No window, no cross product, no driver state. */
   def q135SparseCosine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimFns
+    // r19 note: a Respread.ifNarrow on this scan was tried and
+    // reverted — measured slower (the tokenize stage was not the
+    // bottleneck; the added text-payload shuffle was pure cost)
     val d = Tables.documents(s, dir)
     val tc = d.select(col("doc_id"),
         explode(SimFns.wordBigrams(col("text"))).as("g"))

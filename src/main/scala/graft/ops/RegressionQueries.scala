@@ -34,6 +34,10 @@ object RegressionQueries {
         .as("y"),
         sum(expr("cast(round(l_quantity) as bigint)")).as("x1"),
         count(lit(1)).as("x2"))
+      // r19 note: an explicit re-spread before the consumers'
+      // checkpoints was tried and reverted — measured flat-to-slower
+      // across q306/q311/q312/q315/q316 (the census shuffle cost ate
+      // the Gram-stage parallelism gain)
 
   private val perOrderSql: String =
     """SELECT l_orderkey,

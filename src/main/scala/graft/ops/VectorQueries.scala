@@ -207,8 +207,13 @@ object VectorQueries {
     * DECIMAL(38,0) sums — the shape is unchanged. The 64-row marginal
     * table broadcasts. */
   def q138Covariance(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).withColumn("m",
-      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+    // r19: the d²/2-per-row pair-product explode below is fused into
+    // the scan stage, which a small single-file fixture makes 1 task —
+    // profiled 2.0 s serial at sf0.1. Respread only when the scan is
+    // actually narrow (production-size scans pass through untouched).
+    val emb = Respread.ifNarrow(Tables.embeddings(s, dir), col("vec_id"))
+      .withColumn("m",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
     val pairs = emb.select(explode(expr(
         """flatten(transform(sequence(1, size(m)), i ->
           |  transform(sequence(i, size(m)), j ->
@@ -423,7 +428,11 @@ object VectorQueries {
     * cost ∝ candidates. Top-20 rides TakeOrderedAndProject on the
     * ROUNDED cosine (hazard #4 tie-break a, b). */
   def q218DenseLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    // r19: the per-vector signature kernel is scan-fused and the small
+    // single-file fixture scan is 1 task (profiled: both LSH jobs ran
+    // serially); respread only when actually narrow (see Respread)
+    val e = graft.ops.Respread.ifNarrow(Tables.embeddings(s, dir),
+      col("vec_id"))
     val bitTerms = (0 to 7).map { j =>
       s"""(CASE WHEN aggregate(sequence(0, size(xq) - 1), 0L,
          |  (acc, i) -> acc + (1L - 2L * ((((i * 8L + ${j}L) * 1103515245L
