@@ -334,10 +334,19 @@ object DedupQueries {
         element_at(col("ws"), i + 2), element_at(col("ws"), i + 3),
         element_at(col("ws"), i + 4)))
     val g = withWs.select(col("doc_id"), explode(grams).as("gram"))
-    val dupg = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("gram")
-    val perDoc = g.join(dupg, "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // r19 (guide §2.4): the previous dupg-census + join-back form built
+    // the string-alloc-heavy gram explode TWICE (census branch + probe
+    // branch). One gram-keyed repartition instead: the (gram, doc_id)
+    // agg and the per-gram doc-count window both reuse that single
+    // exchange (hash(gram) clusters (gram, doc_id) too), so the explode
+    // runs once and nothing joins back. Same n_dup by construction:
+    // Σ instances per doc over grams appearing in ≥ 2 docs.
+    val g2 = g.repartition(col("gram"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+    val perDoc = g2
+      .withColumn("nd", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
     val tot = withWs.select(col("doc_id"),
       (size(col("ws")) - 4).cast("long").as("n_grams"))
     // exact integer half-up division (the q46 r4 form): both engines
