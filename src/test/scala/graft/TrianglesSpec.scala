@@ -71,4 +71,36 @@ class TrianglesSpec extends SparkSpec {
     assert(pv(1L) === 3L)
     assert(!pv.contains(5L), "vertex 5 touches no triangle")
   }
+
+  /** r19 optimization round: the fused canonical-input variant must
+    * agree exactly with perVertex + an independent degree census —
+    * every vertex present (n_tri = 0 fill), both columns right, on
+    * structured and pseudo-random graphs, both broadcastAdj settings. */
+  test("perVertexWithDeg == perVertex + degree census on canonical edges") {
+    def canon(edges: DataFrame): DataFrame = edges
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .filter($"u" =!= $"v").distinct()
+    val rnd = new scala.util.Random(7)
+    val graphs = Seq(
+      df(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))),
+      df(Seq.fill(250)((rnd.nextInt(50) + 1L, rnd.nextInt(50) + 1L))))
+    for (g <- graphs; bc <- Seq(true, false)) {
+      val ce = canon(g)
+      val expectTri = Triangles.perVertex(ce, "u", "v", broadcastAdj = bc)
+        .as[(Long, Long)].collect().toMap
+      val expectDeg = ce.select($"u".as("id")).union(ce.select($"v"))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      val got = Triangles.perVertexWithDeg(ce, "u", "v", broadcastAdj = bc)
+        .select("id", "deg", "n_tri")
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet === expectDeg.keySet,
+        "every vertex of the edge set appears exactly once")
+      assert(got.length === expectDeg.size)
+      got.foreach { case (id, deg, nTri) =>
+        assert(deg === expectDeg(id), s"deg of $id (broadcastAdj=$bc)")
+        assert(nTri === expectTri.getOrElse(id, 0L),
+          s"n_tri of $id (broadcastAdj=$bc)")
+      }
+    }
+  }
 }
