@@ -50,12 +50,14 @@ object CorpusQueries {
     val novel = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(min(col("doc_id")).as("fd"))
       .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
-    val c = PrefixSum.withPrefixSums(
+    // r20 (verdict mandate #2): the census size fused into the prefix
+    // pass (row count ≡ the max-of-rn it replaced; zero extra jobs)
+    val (c, nck) = PrefixSum.withPrefixSumsAndTotals(
       toks.join(novel, Seq("doc_id"), "left")
         .select(col("doc_id"), col("nw"), coalesce(col("nv"), lit(0L)).as("nv")),
       Seq(col("doc_id")),
-      Seq((lit(1L), "rn"), (col("nw"), "cum_n"), (col("nv"), "cum_v")))
-    val nck = c.agg(max(col("rn")).as("nck"))
+      Seq((lit(1L), "rn"), (col("nw"), "cum_n"), (col("nv"), "cum_v")), Nil,
+      Seq((lit(1L), "nck")))
     val ck = c.crossJoin(broadcast(nck))
       .filter(expr("exists(sequence(1, 10), " +
         "k -> rn = greatest(cast(1 as bigint), " +

@@ -192,13 +192,12 @@ object DriftQueries {
     val h = o.groupBy("pc")
       .agg(count(when(!col("is_new"), 1)).as("ca"),
         count(when(col("is_new"), 1)).as("cb"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
-      Seq((col("ca"), "cuma"), (col("cb"), "cumb")))
-    // side totals in-plan (r13, closing the .head() sweep): counts are
-    // non-negative so each side's total IS the max of its cumulative —
-    // read it back from PrefixSum's already-checkpointed frame (no
-    // second orders scan) and broadcast the 1-row result (q242 form)
-    val tot = c.agg(max(col("cuma")).as("ta"), max(col("cumb")).as("tb"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    // (r13 read them back as max-of-cumulative; the fused form costs
+    // zero extra jobs — the driver already holds the partials)
+    val (c, tot) = PrefixSum.withPrefixSumsAndTotals(h, Seq(col("pc")),
+      Seq((col("ca"), "cuma"), (col("cb"), "cumb")), Nil,
+      Seq((col("ca"), "ta"), (col("cb"), "tb")))
     // Fuzz hardening (r12): an empty side leaves the KS distance
     // undefined — null, not a divide-by-zero crash
     c.crossJoin(broadcast(tot))
@@ -300,12 +299,12 @@ object DriftQueries {
     val h = d.groupBy("sc")
       .agg(count(when(col("pos"), 1)).as("p"),
         count(when(!col("pos"), 1)).as("q"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("sc")),
-      Seq((lit(1L), "idx"), (col("p"), "cuma"), (col("q"), "cumb")))
-    // side totals in-plan (r13, the q147 pattern): max of each
-    // cumulative count over PrefixSum's checkpointed frame, broadcast
-    // back as the 1-row cross-multiplier — no second documents scan
-    val tot = c.agg(max(col("cuma")).as("ta"), max(col("cumb")).as("tb"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    // (r13 read them back as max-of-cumulative; the fused form costs
+    // zero extra jobs — the driver already holds the partials)
+    val (c, tot) = PrefixSum.withPrefixSumsAndTotals(h, Seq(col("sc")),
+      Seq((lit(1L), "idx"), (col("p"), "cuma"), (col("q"), "cumb")), Nil,
+      Seq((col("p"), "ta"), (col("q"), "tb")))
     val nxt = c.select((col("idx") - 1L).as("idx"), col("sc").as("next_sc"))
     c.join(nxt, Seq("idx"), "left")
       .crossJoin(broadcast(tot))
@@ -938,9 +937,12 @@ object DriftQueries {
     val h = o.groupBy("pc")
       .agg(count(lit(1)).as("l"),
         count(when(!col("is_new"), 1)).as("cx"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
-      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
-    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    // (they equal the max-of-cumulative the r13 pattern read back, but
+    // cost zero extra jobs — the driver already holds the partials)
+    val (c, tot) = PrefixSum.withPrefixSumsAndTotals(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")), Nil,
+      Seq((col("l"), "nn"), (col("cx"), "nx")))
     // A² = (1/(n·m)) Σ_j l_j·(M_jN − nF_j)²/(F_j(N−F_j)) — the Pettitt
     // normalization with the ECDF read at distinct-value block ends
     // (the only well-defined ties form); each term is pre-divided by
@@ -1036,9 +1038,12 @@ object DriftQueries {
     val h = o.groupBy("pc")
       .agg(count(lit(1)).as("l"),
         count(when(!col("is_new"), 1)).as("cx"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
-      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
-    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    // (they equal the max-of-cumulative the r13 pattern read back, but
+    // cost zero extra jobs — the driver already holds the partials)
+    val (c, tot) = PrefixSum.withPrefixSumsAndTotals(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")), Nil,
+      Seq((col("l"), "nn"), (col("cx"), "nx")))
     // scaled ECDF gap at each block end: ny·F_x − nx·F_y, exact int
     val gap = (col("nn") - col("nx")).cast(dec) * col("cum_x").cast(dec) -
       col("nx").cast(dec) *
@@ -1219,9 +1224,12 @@ object DriftQueries {
     val h = o.groupBy("pc")
       .agg(count(lit(1)).as("l"),
         count(when(!col("is_new"), 1)).as("cx"))
-    val c = PrefixSum.withPrefixSums(h, Seq(col("pc")),
-      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")))
-    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    // (they equal the max-of-cumulative the r13 pattern read back, but
+    // cost zero extra jobs — the driver already holds the partials)
+    val (c, tot) = PrefixSum.withPrefixSumsAndTotals(h, Seq(col("pc")),
+      Seq((col("l"), "cum_all"), (col("cx"), "cum_x")), Nil,
+      Seq((col("l"), "nn"), (col("cx"), "nx")))
     // F1 − F2 at a block end = (cum_x·ny − cum_y·nx)/(nx·ny), exact
     val cumY = col("cum_all") - col("cum_x")
     val nyC = col("nn") - col("nx")
@@ -1336,9 +1344,11 @@ object DriftQueries {
         (pmod(col("t"), lit(7L)).isin(0L, 6L)).as("is_we"))
     val h = recent.groupBy("rev").agg(count(lit(1)).as("l"),
       count(when(!col("is_we"), 1)).as("lx"))
-    val c = graft.ops.PrefixSum.withPrefixSums(h, Seq(col("rev")),
-      Seq((col("l"), "cum_all"), (col("lx"), "cum_x")))
-    val tot = c.agg(max(col("cum_all")).as("nn"), max(col("cum_x")).as("nx"))
+    // r20 (verdict mandate #2): side totals fused into the prefix pass
+    val (c, tot) = graft.ops.PrefixSum.withPrefixSumsAndTotals(h,
+      Seq(col("rev")),
+      Seq((col("l"), "cum_all"), (col("lx"), "cum_x")), Nil,
+      Seq((col("l"), "nn"), (col("lx"), "nx")))
     val withTot = c.crossJoin(broadcast(tot))
       .withColumn("ny", col("nn") - col("nx"))
       .withColumn("num",

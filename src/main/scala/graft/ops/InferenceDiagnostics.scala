@@ -144,9 +144,11 @@ object InferenceDiagnostics {
       .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
     // distributed rank backbone (q210 shape) + the r13 max-of-cumulative
     // 1-row totals broadcast (q147 form) for the from-both-ends fold
-    val cum = PrefixSum.withPrefixSums(cell, Seq(col("pc")),
-      Seq((col("cnt"), "cumn")))
-    val tot = cum.agg(max(col("cumn")).as("nn"))
+    // r20 (verdict mandate #2): the 1-row total fused into the prefix
+    // pass (Σcnt ≡ the max-of-cumulative it replaced; zero extra jobs)
+    val (cum, tot) = PrefixSum.withPrefixSumsAndTotals(cell,
+      Seq(col("pc")), Seq((col("cnt"), "cumn")), Nil,
+      Seq((col("cnt"), "nn")))
     val ranked = cum.crossJoin(broadcast(tot))
       .withColumn("r2", lit(2L) * col("cumn") - col("cnt") + 1L)
       .withColumn("a2",
@@ -239,9 +241,11 @@ object InferenceDiagnostics {
         (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
       .groupBy("pc")
       .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-    val cum = PrefixSum.withPrefixSums(cell, Seq(col("pc")),
-      Seq((col("cnt"), "cumn")))
-    val tot = cum.agg(max(col("cumn")).as("nn"))
+    // r20 (verdict mandate #2): the 1-row total fused into the prefix
+    // pass (Σcnt ≡ the max-of-cumulative it replaced; zero extra jobs)
+    val (cum, tot) = PrefixSum.withPrefixSumsAndTotals(cell,
+      Seq(col("pc")), Seq((col("cnt"), "cumn")), Nil,
+      Seq((col("cnt"), "nn")))
     val ranked = cum.crossJoin(broadcast(tot))
       .withColumn("r2", lit(2L) * col("cumn") - col("cnt") + 1L)
       .withColumn("s2", lit(2L) * (col("nn") + 1L) - col("r2"))

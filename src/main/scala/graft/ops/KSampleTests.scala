@@ -54,8 +54,14 @@ object KSampleTests {
       .select(col("c_mktsegment").as("seg"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
     val cen = o.groupBy("c").agg(count(lit(1)).as("n"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
-      Seq(col("c")), Seq((col("n"), "cumn")))
+    // r20 (verdict mandate #2): the tie correction Σ(n³−n) used to be a
+    // second full aggregation over `cen`, re-executing the fact-scale
+    // census build; it now rides PrefixSum's own per-partition pass
+    val (cum0, tieTot) = graft.ops.PrefixSum.withPrefixSumsAndTotals(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")), Nil,
+      Seq((col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec), "tied")))
+    val cum = cum0
       .select(col("c"), col("n"), (col("cumn") * 2 - col("n") + 1).as("r2"))
     val bySeg = o.groupBy("seg", "c").agg(count(lit(1)).as("ncs"))
       .join(cum, "c")
@@ -64,9 +70,7 @@ object KSampleTests {
         sum(col("ncs").cast(dec) * col("r2").cast(dec)).as("r2j"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val tieDf = cen.agg(
-      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
-        col("n").cast(dec)).cast("long").as("tie"))
+    val tieDf = tieTot.select(col("tied").cast("long").as("tie"))
     val t = bySeg
       // Rⱼ²/nⱼ = (R2ⱼ/2)²/nⱼ = R2ⱼ²/(4nⱼ), pinned to int64 once
       .withColumn("vq",
@@ -1052,17 +1056,19 @@ object KSampleTests {
       .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("l"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
     val cen = o.groupBy("c").agg(count(lit(1)).as("n"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
-      Seq(col("c")), Seq((col("n"), "cumn")))
+    // r20 (verdict mandate #2): tie totals fused into the prefix pass —
+    // the q227 note applies verbatim
+    val (cum0, tieDf) = graft.ops.PrefixSum.withPrefixSumsAndTotals(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")), Nil,
+      Seq((col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec), "tie")))
+    val cum = cum0
       .select(col("c"), col("n"), (col("cumn") * 2 - col("n") + 1).as("r2"))
     val byg = o.groupBy("l", "c").agg(count(lit(1)).as("ncs"))
       .join(cum, "c")
       .groupBy("l")
       .agg(sum(col("ncs")).as("nj"),
         sum(col("ncs").cast(dec) * col("r2").cast(dec)).as("r2j"))
-    val tieDf = cen.agg(
-      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
-        col("n").cast(dec)).as("tie"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val t = byg

@@ -648,19 +648,22 @@ object LocationTests {
     val cen = base.groupBy("pair", "v").agg(
       sum(when(col("grp") === "x", 1L).otherwise(0L)).as("nx"),
       sum(when(col("grp") === "y", 1L).otherwise(0L)).as("ny"))
-    // ONE multi-column prefix pass over the global (pair, v) order.
-    // (r19 note: checkpointing cen here was TRIED and reverted — the
-    // census is fact-cardinality, so materializing it cost ~1.4 s of
-    // block writes to save the ~0.4 s offs-side re-aggregation below;
-    // the duplicate census build is the cheaper branch.)
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
+    // ONE multi-column prefix pass over the global (pair, v) order,
+    // FUSED with the per-pair totals (r20, verdict mandate #2): the
+    // r19 census checkpoint was rejected (fact-cardinality census,
+    // ~1.4 s of block writes to save a ~0.4 s re-aggregation), so the
+    // offs-side totals re-executed the whole census build. The fused
+    // pass folds the per-pair totals out of PrefixSum's own
+    // per-partition aggregation — no second census build, no extra
+    // materialization.
+    val (cum, offs) = graft.ops.PrefixSum.withPrefixSumsAndTotals(cen,
       Seq(col("pair"), col("v")),
-      Seq((col("nx"), "gx"), (col("ny"), "gy")))
+      Seq((col("nx"), "gx"), (col("ny"), "gy")),
+      Seq("pair"),
+      Seq((col("nx"), "tx"), (col("ny"), "ty")))
     // per-pair exclusive offsets: the 2-row pair-totals frame carries
     // the cumulative mass of lexicographically-preceding pairs; the
     // unpartitioned window runs over exactly |pairs| = 2 rows
-    val offs = cen.groupBy("pair")
-      .agg(sum(col("nx")).as("tx"), sum(col("ny")).as("ty"))
     val wOff = Window.orderBy("pair")
       .rowsBetween(Window.unboundedPreceding, -1)
     val off2 = offs.select(col("pair"),
@@ -879,13 +882,13 @@ object LocationTests {
     // (v, grp) order, x before y), and pair the k-th within-position
     // with the k-th pooled rank — on tie-free data this is EXACTLY
     // the per-row construction, and on ties it is deterministic
+    // r20 (verdict mandate #2): the census' second consumer — the
+    // per-pair totals — now rides PrefixSum's own per-partition
+    // aggregation (withPrefixSumsAndTotals below), so the census has
+    // exactly ONE consumer again and the r19 lazy checkpoint (which
+    // existed only to share the build between the two) is gone with it.
     val census = base.groupBy("pair", "grp", "v")
       .agg(count(lit(1)).as("cv"))
-      // r19 (guide §2.4): the census feeds BOTH the PrefixSum pass and
-      // the totals frame below; without a lineage cut the fact-scale
-      // union+agg build re-executed once per consumer (profiled: two
-      // identical 0.8 s stages at sf0.1). Lazy checkpoint = one build.
-      .localCheckpoint(eager = false)
     val dec = "decimal(38,0)"
     // r17 (verdict mandate #2): the census itself is fact-CARDINALITY
     // here (micro-unit prices make nearly every lineitem row a
@@ -901,17 +904,18 @@ object LocationTests {
     // Identical i/r/n/m per row, so the per-term integers and the
     // oracle are unchanged. (First written as two PrefixSum passes —
     // the fold halved the round's top bench entry.)
-    val c2 = graft.ops.PrefixSum.withPrefixSums(
+    val (c2, totg) = graft.ops.PrefixSum.withPrefixSumsAndTotals(
       census
         .withColumn("cvx", when(col("grp") === "x", col("cv"))
           .otherwise(0L))
         .withColumn("cvy", when(col("grp") === "y", col("cv"))
           .otherwise(0L)),
       Seq(col("pair"), col("v"), col("grp")),
-      Seq((col("cv"), "gp"), (col("cvx"), "gwx"), (col("cvy"), "gwy")))
-    val totg = census.groupBy("pair").agg(
-      sum(when(col("grp") === "x", col("cv")).otherwise(0L)).as("tx"),
-      sum(when(col("grp") === "y", col("cv")).otherwise(0L)).as("ty"))
+      Seq((col("cv"), "gp"), (col("cvx"), "gwx"), (col("cvy"), "gwy")),
+      Seq("pair"),
+      // per-pair totals of the SAME masked columns (tx ≡ Σ cv·[grp=x]),
+      // fused out of the prefix pass — no totg-side census re-read
+      Seq((col("cvx"), "tx"), (col("cvy"), "ty")))
     val wOffP = Window.orderBy("pair")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = totg.select(col("pair"), col("tx"), col("ty"),
@@ -1063,11 +1067,13 @@ object LocationTests {
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
     val cen = f.groupBy("c")
       .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
-      Seq(col("c")), Seq((col("n"), "cumn")))
-    val tot = cen.agg(sum(col("n")).as("nt"), sum(col("n1")).as("n1t"),
-      sum(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
-        col("n").cast(dec)).as("tie"))
+    // r20 (verdict mandate #2): totals fused into the prefix pass —
+    // the old cen.agg re-executed the fact-scale census build
+    val (cum, tot) = graft.ops.PrefixSum.withPrefixSumsAndTotals(cen,
+      Seq(col("c")), Seq((col("n"), "cumn")), Nil,
+      Seq((col("n"), "nt"), (col("n1"), "n1t"),
+        (col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+          col("n").cast(dec), "tie")))
     // per tied run: positions i0..i0+n−1, each mapped to its ST rank,
     // summed exactly; the run's average rank is ONE quantized division
     val run = cum.crossJoin(broadcast(tot))

@@ -850,9 +850,11 @@ object PipelineQueries {
     val o = Tables.lineitem(s, dir).groupBy("l_suppkey")
       .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
         .as("w"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(o,
-      Seq(col("l_suppkey")), Seq((col("w"), "cum")))
-    val tot = cum.agg(max(col("cum")).as("t"))
+    // r20 (verdict mandate #2): the 1-row grand total fused into the
+    // prefix pass (Σw ≡ the max-of-cumulative it replaced)
+    val (cum, tot) = graft.ops.PrefixSum.withPrefixSumsAndTotals(o,
+      Seq(col("l_suppkey")), Seq((col("w"), "cum")), Nil,
+      Seq((col("w"), "t")))
     val j = cum.crossJoin(broadcast(tot))
       .withColumn("f1", when(col("cum") * (2L * k) < col("t"), 0L)
         .otherwise(expr(s"(cum * ${2 * k} - t) div (2 * t)") + 1L))

@@ -284,12 +284,14 @@ object SeriesTrendTests {
     * half-offset pairing is a census self-join on rn = rn+m (tiny);
     * no fact-sized window. Guards: S⁺+S⁻ = 0 (all pairs tied) → null. */
   def q263CoxStuart(s: SparkSession, dir: String): DataFrame = {
-    val d0 = graft.ops.PrefixSum.withPrefixSums(
+    // r20 (verdict mandate #2): the census size fused into the prefix
+    // pass (row count ≡ the max-of-rn it replaced; zero extra jobs)
+    val (d0p, n) = graft.ops.PrefixSum.withPrefixSumsAndTotals(
       daily(s, dir).select(col("day"), col("rev")),
-      Seq(col("day")), Seq((lit(1L), "rn")))
-      .select(col("rn"), col("rev"))
+      Seq(col("day")), Seq((lit(1L), "rn")), Nil,
+      Seq((lit(1L), "n")))
+    val d0 = d0p.select(col("rn"), col("rev"))
       .localCheckpoint(eager = false)
-    val n = d0.agg(max(col("rn")).as("n"))
     val m = expr("(n + 1) div 2") // integer div — `/` on Columns is double
     val a = d0.select(col("rn").as("i"), col("rev").as("x1"))
     val b = d0.select(col("rn").as("j"), col("rev").as("x2"))

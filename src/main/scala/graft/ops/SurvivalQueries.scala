@@ -368,10 +368,12 @@ object SurvivalQueries {
       .filter(col("gap_us").isNotNull)
       .select(expr("gap_us div 1000000").as("g"))
     val cen = gaps.groupBy("g").agg(count(lit(1)).as("cnt"))
-    val cum = graft.ops.PrefixSum.withPrefixSums(cen,
-      Seq(col("g")), Seq((col("cnt"), "cum")))
-    val tot = cen.agg(sum(col("cnt")).as("n"),
-      sum(col("g") * col("cnt")).as("sg"))
+    // r20 (verdict mandate #2): the (n, Σg·cnt) totals used to re-run
+    // the whole census build — including the per-user lag window over
+    // events — a second time; fused into PrefixSum's own pass
+    val (cum, tot) = graft.ops.PrefixSum.withPrefixSumsAndTotals(cen,
+      Seq(col("g")), Seq((col("cnt"), "cum")), Nil,
+      Seq((col("cnt"), "n"), (col("g") * col("cnt"), "sg")))
     val lam = col("n").cast("double") / col("sg")
     val fT = lit(1.0) - exp(-lam * col("g"))
     val fHi = col("cum").cast("double") / col("n")
