@@ -293,7 +293,12 @@ object GraphQueries {
       // and both join probes otherwise re-run the fact-sized pair build
       // (q176/q178 lineage discipline)
       .localCheckpoint()
-    val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    // ONE canon block read per consumer, not two: explode of both
+    // orientations replaces the two-branch union (r20; identical rows)
+    val sym = canon.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("id"), col("d"))
     // the degree census is VERTEX-sized (the same executor-fits class
@@ -363,22 +368,31 @@ object GraphQueries {
       .localCheckpoint()
     val brand = Tables.part(s, dir)
       .select(col("p_partkey").as("id"), col("p_brand").as("b"))
+    // r20 (the q105/q176 checkpoint-volume mandate): e_c and d_c used
+    // to be three separate passes over the ~100 MB canon blocks (eIn,
+    // plus a two-branch union for degB). ONE exploded census computes
+    // both: each edge contributes its bu endpoint (tagged `internal`
+    // when bu = bv — tagging only the first element counts each
+    // internal edge once) and its bv endpoint; groupBy(brand) then
+    // yields d_c = endpoint count and e_c = internal-edge count. m
+    // stays a count over ALL canon edges (the SQL mirror counts canon
+    // BEFORE the brand join, which differs on RI-violating fuzz data).
     val m = canon.count()
-    val withB = canon
+    val census = canon
       .join(broadcast(brand.select(col("id").as("u"), col("b").as("bu"))), "u")
       .join(broadcast(brand.select(col("id").as("v"), col("b").as("bv"))), "v")
-    val eIn = withB.filter(col("bu") === col("bv"))
-      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("e_c"))
-    val degB = withB.select(col("bu").as("brand"))
-      .union(withB.select(col("bv").as("brand")))
-      .groupBy("brand").agg(count(lit(1)).as("d_c"))
-    val nodesB = canon.select(col("u").as("id")).union(canon.select(col("v")))
+      .select(explode(array(
+        struct(col("bu").as("brand"), (col("bu") === col("bv")).as("int")),
+        struct(col("bv").as("brand"), lit(false).as("int")))).as("e"))
+      .groupBy(col("e.brand").as("brand"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("e.int"), 1L).otherwise(0L)).as("e_c"))
+    val nodesB = canon.select(explode(array(col("u"), col("v"))).as("id"))
       .distinct()
       .join(broadcast(brand), "id")
       .groupBy(col("b").as("brand")).agg(count(lit(1)).as("n_nodes"))
     nodesB
-      .join(degB, Seq("brand"), "left")
-      .join(eIn, Seq("brand"), "left")
+      .join(census, Seq("brand"), "left")
       .select(col("brand"), col("n_nodes"),
         coalesce(col("e_c"), lit(0L)).as("e_c"),
         coalesce(col("d_c"), lit(0L)).as("d_c"))

@@ -52,30 +52,41 @@ object Triangles {
       // canon feeds the degree census AND the orientation join — cache
       // it, or the caller's whole edge build (q105's fact-sized
       // basket-pair explode) re-executes once per consumer; the later
-      // `oriented` cache can't help with that. LAZY localCheckpoint,
-      // not Dataset.persist: both are lazy (plan-only consumers never
-      // run the edge build), but persist pins a CacheManager entry that
-      // nothing can ever unpersist (the operator returns a DataFrame;
-      // there is no after-the-consumer hook), so every invocation leaks
-      // pinned storage for the life of the JVM — across a 208-query
-      // bench or the full test suite that crowds the unified-memory
-      // store and was measured turning the ScaleCurve 10× runs 3–24×
-      // slower. Checkpoint blocks are instead reclaimed by the
-      // ContextCleaner as soon as the query's RDDs go unreachable.
+      // `oriented` cache can't help with that. localCheckpoint, not
+      // Dataset.persist: persist pins a CacheManager entry that nothing
+      // can ever unpersist (the operator returns a DataFrame; there is
+      // no after-the-consumer hook), so every invocation leaks pinned
+      // storage for the life of the JVM — across a 409-query bench or
+      // the full test suite that crowds the unified-memory store and
+      // was measured turning the ScaleCurve 10× runs 3–24× slower.
+      // Checkpoint blocks are instead reclaimed by the ContextCleaner
+      // as soon as the query's RDDs go unreachable.
+      // LAZY here, unlike perVertexWithDeg (r20): under AQE,
+      // Dataset.checkpoint calls execute() at CONSTRUCTION, which runs
+      // every intermediate stage regardless of the flag — the flag only
+      // governs the final stage + block store. Lazy lets the deg/adj
+      // broadcast-exchange threads race to materialize that final
+      // stage (duplicated task run time), but on this operator the
+      // duplicates OVERLAP on otherwise-idle cores and eager's
+      // serialized materialization measured 12% WORSE wall on q105
+      // (best-of-4 interleaved A/B at sf0.1); perVertexWithDeg's
+      // pre-canonicalized input has no distinct stage to duplicate, so
+      // eager wins there.
       // Caveat (cluster scale): lineage is truncated once materialized,
       // so executor decommission fails the query into a retry instead
       // of recomputing one partition — under heavy dynamic allocation
       // wrap the call in explicit persist/unpersist instead.
       .localCheckpoint(eager = false)
-    val deg = canon.select(col("u").as("id"))
-      .union(canon.select(col("v").as("id")))
+    // ONE canon block read, not two: explode(array(u,v)) replaces the
+    // two-branch union (r20; per-id counts identical)
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
     // degree table is vertex-sized — the same memory class as the
     // adjacency arrays, so under broadcastAdj it rides the same
     // executor-fits assumption and both orientation joins go shuffle-free
     val degA = if (broadcastAdj) broadcast(deg) else deg
     // orient u→v when (deg,id)(u) < (deg,id)(v)
-    val oriented = canon
+    val orientedBase = canon
       .join(degA.select(col("id").as("u"), col("d").as("du")), "u")
       .join(degA.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
@@ -83,15 +94,16 @@ object Triangles {
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
-      // the oriented edge list feeds BOTH sides of the intersect stage
-      // (adjacency build + probe); without a cache the whole
-      // canon + degree subtree — the edge-build shuffles included —
-      // re-executes once per consumer. O(m) rows of two longs: the same
-      // materialize-the-collapsed-edges pattern as PageRank/CC, and the
-      // round-5 driver bench showed the re-derivation is exactly where a
-      // contended host doubles the bill (21 s vs 4 s local on q105).
-      // Lazy localCheckpoint, same leak-vs-lineage rationale as canon
-      .localCheckpoint(eager = false)
+    // the oriented edge list feeds BOTH sides of the intersect stage
+    // (adjacency build + probe); without a cache the whole
+    // canon + degree subtree re-executes once per consumer. Dropping
+    // this cut under broadcastAdj (re-deriving via two map-side BHJs
+    // from canon's blocks) was TRIED in r20 and reverted: together
+    // with an eager canon it measured 0.88× on q105 (best-of-4
+    // interleaved A/B at sf0.1) — the lazy checkpoint's racing
+    // broadcast threads overlap on idle cores and beat the
+    // serialized, read-twice form. Kept exactly as r19 shipped it.
+    val oriented = orientedBase.localCheckpoint(eager = false)
     // packed out-neighborhoods; sort_array makes rows deterministic AND
     // feeds the merge-scan intersect kernel below
     val adjBase = oriented.groupBy(col("a"))
@@ -151,17 +163,18 @@ object Triangles {
     val canon = canonEdges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
-      // same lazy-checkpoint rationale as triples: canon feeds the
-      // degree census and the orientation join
-      .localCheckpoint(eager = false)
-    val deg = canon.select(col("u").as("id"))
-      .union(canon.select(col("v").as("id")))
+      // same checkpoint rationale as triples: canon feeds the degree
+      // census and the orientation join; EAGER for the same r20
+      // broadcast-thread race reason
+      .localCheckpoint(eager = true)
+    // ONE canon block read, not two (r20, the triples note)
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       // vertex-sized; feeds the two orientation probes AND the returned
-      // deg column — without a cut the union+agg pass re-runs per use
-      .localCheckpoint(eager = false)
+      // deg column — without a cut the explode+agg pass re-runs per use
+      .localCheckpoint(eager = true)
     val degA = if (broadcastAdj) broadcast(deg) else deg
-    val oriented = canon
+    val orientedBase = canon
       .join(degA.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(degA.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(
@@ -169,7 +182,10 @@ object Triangles {
           col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(eager = false)
+    // no cut under broadcastAdj — re-derivation from canon blocks is
+    // map-side (r20, the triples note)
+    val oriented = if (broadcastAdj) orientedBase
+      else orientedBase.localCheckpoint(eager = true)
     val adjBase = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val adj = if (broadcastAdj) broadcast(adjBase) else adjBase

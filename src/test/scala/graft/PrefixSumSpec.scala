@@ -44,6 +44,50 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("fused totals match a separate aggregation, per group and global") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(-500L, 500L), Gen.choose(0L, 100L),
+        Gen.oneOf("a", "b", "c")))
+    for (data <- samples(gen, 3)) {
+      val df = data.zipWithIndex
+        .map { case ((k, v, g), i) => (i.toLong, k, v, g) }
+        .toDF("id", "k", "v", "g")
+      // per-group totals: identical to cen.groupBy(g).agg(sum) and the
+      // prefix columns identical to the plain operator
+      val (got, tot) = PrefixSum.withPrefixSumsAndTotals(df,
+        Seq(col("k"), col("id")), Seq((col("v"), "cum")), Seq("g"),
+        Seq((col("v"), "tv"), (col("v") * col("v"), "tq")))
+      val refTot = df.groupBy("g")
+        .agg(sum(col("v")).as("tv"), sum(col("v") * col("v")).as("tq"))
+      assert(tot.join(refTot, "g")
+        .filter(tot("tv") =!= refTot("tv") || tot("tq") =!= refTot("tq"))
+        .count() == 0)
+      assert(tot.count() == refTot.count())
+      val plain = PrefixSum.withPrefixSums(df,
+        Seq(col("k"), col("id")), Seq((col("v"), "cum")))
+      assert(got.join(plain.withColumnRenamed("cum", "cum_ref"),
+        Seq("id", "k", "v", "g"))
+        .filter(col("cum") =!= col("cum_ref")).count() == 0)
+      // global (group-less) totals: one row, SQL SUM semantics
+      val (_, gtot) = PrefixSum.withPrefixSumsAndTotals(df,
+        Seq(col("k"), col("id")), Seq((col("v"), "cum")), Nil,
+        Seq((col("v"), "tv")))
+      val exp = df.agg(sum("v")).collect()(0).getLong(0)
+      val grow = gtot.collect()
+      assert(grow.length == 1 && grow(0).getLong(0) == exp)
+    }
+  }
+
+  test("fused decimal totals stay exact") {
+    val dec = "decimal(38,0)"
+    val df = (1L to 50L).map(i => (i, i % 4)).toDF("id", "g")
+    val (_, tot) = PrefixSum.withPrefixSumsAndTotals(df, Seq(col("id")),
+      Seq((lit(1L), "rn")), Nil,
+      Seq((col("id").cast(dec) * col("id").cast(dec), "sq")))
+    val exp = (1L to 50L).map(i => BigInt(i) * BigInt(i)).sum
+    assert(BigInt(tot.collect()(0).getDecimal(0).toBigInteger) == exp)
+  }
+
   test("plan has no single-partition global sort") {
     val df = Tables.orders(spark, sf0001)
       .select(col("o_orderkey"), lit(1L).as("one"))
