@@ -26,35 +26,54 @@ object ConnectedComponents {
     * component = the smallest vertex id reachable. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      // a null endpoint identifies nothing — drop the edge rather than
-      // propagate null labels through the joins
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // ONE pass over the (possibly expensive) caller edge build and ONE
+    // distinct shuffle (r20, guide §2.4): each input edge explodes to
+    // both directed orientations PLUS both endpoints' self-edges —
+    // previously three union branches over two subtrees with two
+    // distincts. The self-edge per vertex makes one join + one
+    // aggregation yield BOTH min(self, neighbors) — the update — and
+    // the self row's label — the previous value for the convergence
+    // check. A null endpoint identifies nothing — drop the edge rather
+    // than propagate null labels through the joins.
+    val symPlus = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull)
+      .select(explode(array(
+        struct(col("s").as("src"), col("t").as("dst")),
+        struct(col("t").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("s").as("dst")),
+        struct(col("t").as("src"), col("t").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-    // fold a self-edge per vertex into the adjacency: one join + one
-    // aggregation then yields BOTH min(self, neighbors) — the update —
-    // and the self row's label — the previous value for the convergence
-    // check — instead of a second (left) join per round
-    val symPlus = sym
-      .union(sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint()
 
-    var labels = symPlus.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    // round 1 needs no label join: labels start as identity, so each
+    // neighbor's component IS its id and min(dst) is the round-1 update
+    // (prev = the self row's id). This also removes the initial
+    // vertex-distinct + checkpoint the identity frame used to cost.
+    var labels: DataFrame = null
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val updated = symPlus
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src"))
-        .agg(min(col("component")).as("next"),
-          // exactly one self row per src carries the previous label
-          min(when(col("dst") === col("src"), col("component"))).as("prev"))
-        .localCheckpoint()
+      val updated = (if (it == 0)
+        symPlus.groupBy(col("src"))
+          .agg(min(col("dst")).as("next"),
+            min(when(col("dst") === col("src"), col("dst"))).as("prev"))
+      else
+        symPlus
+          .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .groupBy(col("src"))
+          .agg(min(col("component")).as("next"),
+            // exactly one self row per src carries the previous label
+            min(when(col("dst") === col("src"), col("component"))).as("prev")))
+        // LAZY cut + count as the materializing action: the filter-count
+        // below stores the round's blocks AND moves the changed count in
+        // ONE job, where the previous eager checkpoint + count pair paid
+        // two (r20, verdict mandate #4 — the CC consumers q84/q90/q279
+        // spend ~30 jobs/query on round scheduling). No consumer races
+        // the lazy materialization: the count is synchronous and the
+        // next round's join only starts after it returns.
+        .localCheckpoint(eager = false)
       changed = updated.filter(col("next") =!= col("prev")).count()
       labels = updated.select(col("src").as("id"), col("next").as("component"))
       it += 1

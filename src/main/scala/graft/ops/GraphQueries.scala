@@ -472,7 +472,13 @@ object GraphQueries {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).drop("c")
-    val edges = canon.union(canon.select(col("v"), col("u")))
+    // ONE execution of the thresholded pair agg, not two: explode of
+    // both orientations replaces the union of the canon subtree with
+    // its swapped self (r20; identical edge set)
+    val edges = canon.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     val seeds = Tables.part(s, dir)
       .filter(col("p_brand") === "Brand#11")
@@ -489,12 +495,18 @@ object GraphQueries {
     var h = 1
     var exhausted = false
     while (h <= 6 && !exhausted) {
+      // LAZY cut + count as the materializing action (r20, the CC
+      // pattern): one job stores the frontier blocks AND moves the
+      // emptiness check, where the eager checkpoint + isEmpty pair
+      // paid two. count() computes EVERY partition, so the truncated
+      // lineage never has unmaterialized blocks (the take(1)/isEmpty
+      // form would be unsafe on a lazy checkpoint).
       val frontier = frontierIds.select(col("id").as("fid"))
         .join(edges, col("fid") === col("u"))
         .select(col("v").as("id")).distinct()
         .join(visitedIds, Seq("id"), "left_anti")
-        .localCheckpoint()
-      if (frontier.isEmpty) exhausted = true
+        .localCheckpoint(eager = false)
+      if (frontier.count() == 0) exhausted = true
       else {
         levels :+= frontier.withColumn("hop", lit(h))
         visitedIds = visitedIds.union(frontier)
