@@ -698,6 +698,172 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("unpartitioned windows appear ONLY on the bounded-frame allowlist") {
+    // r20 (verdict mandate #5): 84 source sites build unpartitioned
+    // (global) windows; each moves its whole input to ONE task, so a
+    // fact-scale frame there is a serial stage at 100 TB. This test is
+    // the systematic pin the r19 verdict asked for: every query whose
+    // executed plan carries an unpartitioned WindowExec must be on the
+    // allowlist below, and each allowlist family documents why its
+    // window inputs are cardinality-bounded. Audited r20 against the
+    // code: the repo's PrefixSum/RangedNtile machinery exists precisely
+    // so that the fact-scale cumulative work never lands here — what
+    // remains is (a) the ≤|days| daily/series census family, (b) the
+    // ≤|segments|/≤|groups|/grid statistical censuses, (c) value-domain
+    // censuses bounded by the survival horizon or a quantile/tail cut,
+    // (d) ≤k rank attaches above a TakeOrderedAndProject/limit, and
+    // (e) PrefixSum's ≤|groups|-row exclusive-offset frames. The
+    // row-count spot checks in the test below make the heaviest
+    // members' bounds executable.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(n: SparkPlan): Int = {
+      val self = n match {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      self + kids.map(globalWindows).sum
+    }
+    val allowed = Set(
+      // (a) daily / series census: inputs are the ≤|days| (or hourly,
+      // ≤|hours-in-horizon|) aggregate of the fact table — bounded by
+      // the DATE DOMAIN, not the row count
+      "q26_rolling_revenue", "q159_growth_accounting", "q191_theil",
+      "q197_calibration", "q205_rolling_median", "q208_acf",
+      "q212_dow_season", "q213_ccf", "q219_pacf", "q226_pettitt",
+      "q230_durbin_watson", "q237_runs_test", "q241_friedman",
+      "q243_page_trend", "q246_haar_energy", "q252_hurst_rs",
+      "q253_kpss", "q264_turning_points", "q265_variance_ratio",
+      "q275_ljung_box", "q290_spectral_entropy", "q292_sample_entropy",
+      "q299_isotonic_fit", "q302_dickey_fuller", "q309_chow_break",
+      "q321_granger", "q322_newey_west", "q323_seasonal_decomp",
+      "q324_diebold_mariano", "q325_arch_lm", "q336_runs_test",
+      "q337_variance_ratio", "q338_hurst_rs", "q341_turning_points",
+      "q342_spiegelhalter_z", "q343_theils_u", "q347_qn_scale",
+      "q364_bartels_rvn", "q379_records_test", "q388_page_hinkley",
+      "q392_kupiec_pof", "q393_christoffersen", "q397_cusum_squares",
+      // (b) dimension / group censuses: ≤|segments| (5), ≤|priorities|
+      // (5), ≤|nations| (25), ≤|brands| (25), p-value lists (≤20),
+      // criteria grids, decile/bin panels — all dimension-bounded
+      "q165_apportion", "q167_lorenz", "q216_bh_fdr", "q220_topsis",
+      "q225_odds_ratio",
+      "q227_kruskal_wallis", "q228_anova_f", "q229_mantel_haenszel",
+      "q232_brown_forsythe", "q234_cochran_armitage", "q239_neyman_alloc",
+      "q259_mood_median", "q267_gk_lambda", "q268_mutual_info",
+      "q276_brier_murphy", "q284_rbo", "q348_post_stratified",
+      "q349_goodman_kruskal", "q354_risk_ratio", "q370_vif",
+      "q375_weighted_kappa", "q378_tau_ap", "q381_hosmer_lemeshow",
+      "q382_pinball", "q389_theil_u", "q390_lift_table",
+      "q391_levene_mean", "q409_quade", "q410_cuzick_trend",
+      // (c) value-domain censuses: survival hour censuses bounded by
+      // the censor horizon (q175/q200/q242/q224/q369/q373/q384), the
+      // Hill tail's top-k cut (q350), q146's decile panel, q186's
+      // margin grid, q184's 200-resample frame
+      "q146_psi", "q175_kaplan_meier", "q184_bootstrap", "q186_chi2",
+      "q200_nelson_aalen", "q224_log_rank", "q242_km_greenwood",
+      "q350_hill_tail", "q369_rmst", "q373_aalen_johansen",
+      "q384_weighted_logrank",
+      // (d) ≤k rank attaches above a TakeOrderedAndProject / limit /
+      // vertex-dimension result (nations, top-N docs, paths)
+      "q99_bm25", "q101_pagerank", "q105_triangles", "q113_session_paths",
+      "q145_vocab_coverage", "q179_keyness", "q209_hits",
+      "q236_t_closeness", "q271_term_dispersion",
+      // (e) PrefixSum's per-group exclusive-offset frames: ≤|groups|
+      // rows (2 pairs for q367/q371; ≤5 for the k-sample family)
+      "q206_theil_sen", "q367_brunner_munzel", "q371_bws")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = globalWindows(fn(spark, sf0001).queryExecution.executedPlan)
+        if (n > 0 && !allowed(name)) Some(s"$name: $n global WindowExec")
+        else None
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the bounded-frame allowlist — move " +
+        "the cumulative work onto PrefixSum/RangedNtile or justify the " +
+        s"bound here:\n${offenders.mkString("\n")}")
+  }
+
+  test("the heaviest allowlisted global windows see census-sized input, not facts") {
+    // executable spot checks for the allowlist above (the q205/q206
+    // technique): count the rows that actually ENTER each unpartitioned
+    // WindowExec of the flagged queries with the largest inputs. A
+    // refactor that feeds a fact-sized frame into any of them jumps
+    // these counts by orders of magnitude.
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dayCensus = Tables.orders(spark, sf0001)
+        .select(to_date(col("o_orderdate"))).distinct().count()
+      val factRows = Tables.orders(spark, sf0001).count()
+      assert(factRows > dayCensus, "fixture sanity: facts exceed days")
+      def globalWindowInputs(q: String): Seq[Long] = {
+        val plan = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan
+        val wins = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(wins.nonEmpty, s"$q expected an unpartitioned WindowExec")
+        wins.map(_.child.execute().count())
+      }
+      // day-census family: every global window sits on ≤|days| rows
+      // (q246 stacks ≤⌈log₂ days⌉ Haar levels — allow the stack)
+      Seq("q226_pettitt", "q246_haar_energy").foreach { q =>
+        globalWindowInputs(q).foreach { n =>
+          assert(n <= dayCensus * 8,
+            s"$q global-window input $n is not day-census-bounded ($dayCensus days)")
+        }
+      }
+      // PrefixSum offset frames: ≤|pairs| = 2 rows regardless of SF
+      Seq("q367_brunner_munzel", "q371_bws").foreach { q =>
+        globalWindowInputs(q).foreach { n =>
+          assert(n <= 4,
+            s"$q offset-frame window input $n exceeds the pair bound")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("global-window lint self-test: a planted fact-scale global window is caught") {
+    // the detector must actually fire: a running total over raw orders
+    // rows (the q98 trap) is exactly what the allowlist exists to keep
+    // out of query plans
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(n: SparkPlan): Int = {
+      val self = n match {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      self + kids.map(globalWindows).sum
+    }
+    import org.apache.spark.sql.expressions.Window
+    val planted = Tables.orders(spark, sf0001)
+      .withColumn("cum", sum("o_totalprice").over(
+        Window.orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(globalWindows(planted.queryExecution.executedPlan) == 1,
+      "detector failed to flag a planted global window")
+    // and the partitioned form must NOT be flagged
+    val keyed = Tables.orders(spark, sf0001)
+      .withColumn("cum", sum("o_totalprice").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(globalWindows(keyed.queryExecution.executedPlan) == 0,
+      "detector flagged a keyed window")
+  }
+
   test("q139/q153: the two-path salted join pays replication ONLY under skew") {
     // q139's join key has no hot key → the degenerate plain-join plan:
     // no Generate (explode) node may appear anywhere
