@@ -17,8 +17,11 @@ run / fork := true
 // gate must finish comfortably inside its wall budget (r19: the full
 // suite was killed mid-run at ~46 min, failing the round's test gate
 // without a single assertion failure). They remain first-class tests —
-// run them with  sbt "testOnly -- -n graft.SlowScale"  (done each
-// optimization round; results recorded in OPTIMIZATION_r*.md).
+// run them by REPLACING the options (the exclusion below applies to
+// testOnly too, so a bare `-n` silently selects zero tests):
+//   sbt 'set Test/testOptions := Seq(Tests.Argument(
+//     TestFrameworks.ScalaTest, "-n", "graft.SlowScale"))' test
+// (done each optimization round; results recorded in OPTIMIZATION_r*.md).
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
   "-l", "graft.SlowScale")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
